@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §2.12 X1/X2). All pure Catalyst built-ins — no UDFs — so every
+  * hot path stays inside whole-stage codegen and scales by partitioning:
+  *
+  *  - exact dedup: one hash-aggregate shuffle on the normalized key;
+  *  - MinHash+LSH: per-doc signatures via a single grouped aggregation
+  *    (map-side partial agg), then a band-bucket self-join that only pairs
+  *    candidates sharing a band — the O(n²) all-pairs join never happens;
+  *  - SimHash: 64 bit-counters in one aggregation, near-dup = small hamming
+  *    distance within LSH chunks;
+  *  - n-gram Jaccard: exact verification via shingle equi-join (used to
+  *    verify LSH candidates, or standalone at small scale / within blocks).
+  */
+object Dedup {
+
+  /** Whitespace-collapsing, case-folding normalization used as the exact-dup
+    * key (so formatting alone doesn't defeat dedup).
+    */
+  def normalizeText(c: Column): Column =
+    regexp_replace(btrim(lower(c)), "\\s+", " ")
+
+  /** X1: exact dedup — keep the smallest id per normalized key.
+    * One shuffle (hash aggregate), map-side combine for free.
+    */
+  def exact(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    df.groupBy(keyCol.as("dedup_key"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word n-gram shingles of a text column, as an array column.
+    * `sequence`+`transform`+`slice` — generated code, no UDF.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = filter(split(normalizeText(text), " "), w => length(w) > 0)
+    array_distinct(
+      when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", words))))
+  }
+
+  /** MinHash signature column: for each of `numPerm` hash permutations, the
+    * min over the document's shingles of a seeded 64-bit hash. Computed as
+    * `numPerm` parallel `min` aggregates over the exploded shingles — one
+    * shuffle keyed by doc id with full map-side partial aggregation, so at
+    * 100 TB the reduce side only sees one signature row per (doc, partition).
+    *
+    * Returns (idCol, sig: array<long>[numPerm]).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, numPerm: Int): DataFrame = {
+    val exploded = df.select(col(idCol), explode(shingles).as("__sh"))
+    val aggs = (0 until numPerm).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"__h$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numPerm).map(i => col(s"__h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: candidate pairs sharing at least one of `bands` bands of
+    * `rowsPerBand` signature components. Self-join keyed on
+    * (band index, band hash) — only true candidates meet.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))).as(Seq("band", "bandHash")))
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bandHash"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bandHash"))
+    l.join(r, Seq("band", "bandHash")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** X2 end-to-end: MinHash+LSH near-duplicate pairs with the estimated
+    * Jaccard similarity (fraction of agreeing signature components),
+    * thresholded. Deterministic given the data (hash seeds are fixed).
+    */
+  def minhashNearDupPairs(
+      df: DataFrame, idCol: String, text: Column,
+      shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val sigs = minhashSignatures(df, idCol, wordShingles(text, shingleLen), numPerm)
+    val pairs = lshCandidatePairs(sigs, idCol, bands, rowsPerBand)
+    val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("__siga"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("__sigb"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("__siga"), col("__sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, e) => acc + e)
+          .cast("double") / numPerm)
+      .where(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** X2b: 64-bit SimHash of a token multiset: per bit, sign of the sum of
+    * (+1 / -1) votes from each token hash. 64 counters in one grouped
+    * aggregation; near-dups have small hamming distance.
+    */
+  def simhash64(df: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    val exploded = df.select(col(idCol), explode(tokens).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+    val aggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
+    }
+    val counted = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"__b$i") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    counted.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: LSH over 4 16-bit chunks (docs within hamming
+    * distance <=3 of each other must agree on at least one chunk), verified
+    * with `bit_count(xor)`.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, tokens: Column, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash64(df, idCol, tokens)
+    val chunkVals = array((0 until 4).map(ci =>
+      shiftrightunsigned(col("simhash"), ci * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunked = sh.select(col(idCol), col("simhash"),
+      posexplode(chunkVals).as(Seq("chunk", "chunkVal")))
+    val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("__sa"), col("chunk"), col("chunkVal"))
+    val r = chunked.select(col(idCol).as("id_b"), col("simhash").as("__sb"), col("chunk"), col("chunkVal"))
+    l.join(r, Seq("chunk", "chunkVal")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** X2c: exact n-gram Jaccard similarity of all pairs sharing >=1 shingle,
+    * via shingle equi-join + count ratio. Exact but quadratic in the worst
+    * case — at scale use it only to verify LSH candidates or inside blocks
+    * (pass `blockCols` to co-partition, e.g. language).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, text: Column,
+      shingleLen: Int = 3, threshold: Double = 0.2,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val sh = df.select(col(idCol) +: blockCols.map(col) :+ explode(wordShingles(text, shingleLen)).as("__sh"): _*)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val joinKeys = "__sh" +: blockCols
+    val l = sh.select(col(idCol).as("id_a") +: joinKeys.map(col): _*)
+    val r = sh.select(col(idCol).as("id_b") +: joinKeys.map(col): _*)
+    val inter = l.join(r, joinKeys).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__c"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), "id_b")
+      .withColumn("jaccard", col("__c").cast("double") / (col("__na") + col("__nb") - col("__c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

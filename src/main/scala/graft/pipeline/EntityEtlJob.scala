@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import graft.cdc.ChangeFilter
+import graft.functions.Canonical
+import graft.model.{EntityType, Model}
+import graft.sink.HttpBatchSink
+import graft.source.EntityApiSource
+import graft.source.EntityApiSource.{Fetcher, Page}
+import graft.state.EntityStateStore
+import graft.template.TemplateCompiler
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end incremental ETL orchestration — the Spark equivalent of the
+  * reference's `main`/`handleEntityType` loop (reference app.js:13-60,
+  * SURVEY.md §3.1).
+  *
+  * Per entity type, per page:
+  *   source page -> drop-missing-id (F3) -> CDC filter vs state (F2) ->
+  *   template projection (F5/T1) -> batched HTTP send (K1) ->
+  *   state commit: upsert + TTL evict + checkpoint advance (K2/F4/A1) ->
+  *   loop while partialResults (S3/W4).
+  *
+  * Send happens before commit — at-least-once, same as the reference
+  * (app.js:55-58; SURVEY.md §2.10 W2).
+  */
+final class EntityEtlJob(
+    spark: SparkSession,
+    store: EntityStateStore,
+    fetch: Fetcher,
+    entitiesUrlTemplate: String,
+    senderFactory: HttpBatchSink.SenderFactory,
+    templates: Map[String, String],
+    maxBatchSize: Int = 10000,
+    ttlMs: Long = 8L * 3600 * 1000,
+    escapeHtml: Boolean = false,
+    now: () => Long = () => System.currentTimeMillis()) {
+
+  final case class PageStats(fetched: Long, emitted: Long, batches: Long, checkpoint: Long)
+
+  /** Run all requested types (empty = all discovered), serially per type like
+    * the reference; types with no template are skipped (app.js:22-25).
+    */
+  def run(types: Seq[EntityType], requested: Seq[String] = Nil): Map[String, Seq[PageStats]] =
+    EntityApiSource.selectTypes(types, requested)
+      .filter(t => templates.contains(t.name))
+      .map(t => t.name -> runType(t))
+      .toMap
+
+  /** The do-while pagination loop for one type (reference app.js:48-59). */
+  def runType(entityType: EntityType): Seq[PageStats] = {
+    val stats = Seq.newBuilder[PageStats]
+    var checkpoint = store.load(entityType.name)._2
+    var partial = true
+    while (partial) {
+      val page = EntityApiSource.fetchPage(fetch, entitiesUrlTemplate, entityType, checkpoint)
+      val st = processPage(entityType, page, checkpoint)
+      stats += st
+      partial = page.partialResults
+      checkpoint = st.checkpoint
+    }
+    stats.result()
+  }
+
+  /** One page end-to-end: filter, transform, send, commit. */
+  def processPage(entityType: EntityType, page: Page, prevCheckpoint: Long): PageStats = {
+    val (state, _) = store.load(entityType.name)
+    val batch = EntityApiSource.pageToDf(spark, page, entityType)
+
+    // cache: the batch feeds the CDC filter, the send AND the state commit
+    val valid = ChangeFilter.dropMissingId(batch, "id").cache()
+
+    val changed = ChangeFilter.newOrUpdatedEntities(valid, state).cache()
+    val emitted = changed.count()
+
+    // T1: compile this type's template once into a single Column
+    val doc: Column = TemplateCompiler.compileTemplate(
+      templates(entityType.name), TemplateCompiler.mapResolver(col("attrs")), escapeHtml)
+    val batches = HttpBatchSink.send(changed.select(doc.as("doc")), maxBatchSize, senderFactory)
+
+    // commit AFTER send (W2). All fetched ids get a TTL refresh
+    // (cache.js:79 runs before the change test), cached copy minus
+    // updatedOnMs (cache.js:53).
+    val nowMs = now()
+    val strippedAttrs = map_filter(col("attrs"), (k, _) => k =!= Model.UpdatedOnMs)
+    val toCommit = valid.select(
+      col("id"),
+      to_json(array_sort(map_entries(strippedAttrs))).as("entityJson"),
+      Canonical.canonicalHashExcept(col("attrs"), Model.IgnoredProps).as("entityHash"))
+    val nextCkpt = store.nextCheckpoint(valid, Model.UpdatedOnMs, prevCheckpoint, page.partialResults)
+    store.commit(entityType.name, toCommit, nowMs, ttlMs, nextCkpt)
+
+    val fetched = valid.count()
+    valid.unpersist(); changed.unpersist()
+    PageStats(fetched, emitted, batches, nextCkpt)
+  }
+}

@@ -1,0 +1,240 @@
+package graft.queries
+
+/** DuckDB oracle SQL twins for [[Queries.all]] — one per SQL-expressible
+  * query, mirroring the Spark plan expression-for-expression so results
+  * hash-match bit-exactly (decimal-cast sums, epoch-ms timestamps, ratios
+  * rounded identically, identical tie-breaks). Queries whose semantics
+  * depend on Spark-internal hash functions (xxhash64) or on approximate
+  * candidate generation are deliberately absent -> the driver records a
+  * rows-only check for them (x2_minhash_lsh, x2_simhash, x3_ivf_topk,
+  * x4_decode_stub).
+  */
+object Oracles {
+
+  private val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+  private val wordsOf = s"""list_filter(string_split($norm, ' '), x -> len(x) > 0)"""
+
+  val all: Map[String, String] = Map(
+
+    "s2_incremental_scan" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |FROM events WHERE epoch_ms(ts) > 1705276800000 ORDER BY event_id""".stripMargin,
+
+    "f2_cdc_filter" ->
+      """WITH state AS (
+        |  SELECT * FROM (SELECT user_id, event_type, value, props,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |    FROM events WHERE epoch_ms(ts) < 1704844800000) WHERE rn = 1),
+        |batch AS (
+        |  SELECT * FROM (SELECT user_id, event_id, ts, event_type, value, props,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |    FROM events WHERE epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) < 1705708800000) WHERE rn = 1)
+        |SELECT b.user_id, b.event_id, epoch_ms(b.ts) AS ts_ms, b.event_type, b.value, b.props
+        |FROM batch b LEFT JOIN state s ON b.user_id = s.user_id
+        |WHERE s.user_id IS NULL OR (b.event_type IS DISTINCT FROM s.event_type)
+        |   OR (b.value IS DISTINCT FROM s.value) OR (b.props IS DISTINCT FROM s.props)
+        |ORDER BY b.user_id""".stripMargin,
+
+    "f3_missing_id_drop" ->
+      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k, count(*) AS n
+        |FROM events WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f4_ttl_expiry" ->
+      """SELECT event_type, count(*) AS n, min(ttl) AS min_ttl, max(ttl) AS max_ttl
+        |FROM (SELECT event_type, epoch_ms(ts) + 28800000 AS ttl FROM events)
+        |WHERE ttl >= 1705708800000 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a1_checkpoint_max" ->
+      """SELECT event_type, max(epoch_ms(ts)) AS checkpoint, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "k2_upsert_lww" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "t1_template_render" ->
+      """SELECT c_custkey AS doc_id,
+        | '{"cmdb_ci": "cust-' || c_custkey || '", "name": "' ||
+        | CASE WHEN c_name IS NOT NULL AND c_name <> '' THEN c_name
+        |      ELSE 'anon-' || c_custkey END ||
+        | '", "segment": "' || c_mktsegment ||
+        | '", "vendor": "TPCH/CRM", "nation": "' || c_nationkey || '"}' AS doc
+        |FROM customer ORDER BY doc_id""".stripMargin,
+
+    "e7_batch_slices" ->
+      """SELECT event_type, (rn - 1) // 500 AS batch_id, count(*) AS n,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM (SELECT event_type, event_id,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY event_id) rn
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/count(*), 6) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1999-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "w_topk_orders" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey) rn FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+
+    "set_except_users" ->
+      """SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |WHERE event_type IN ('click','view')
+        |EXCEPT SELECT user_id, epoch_ms(ts) // 86400000 FROM events
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, day""".stripMargin,
+
+    "rollup_customers" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin,
+
+    "j_anti_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j_semi_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "w_tumbling_hourly" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms, event_type,
+        |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "w_sessionize" ->
+      """SELECT user_id, CAST(SUM(newflag) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM (SELECT user_id,
+        |        CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END AS newflag
+        |      FROM (SELECT user_id, epoch_ms(ts) - lag(epoch_ms(ts))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |            FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x1_exact_dedup" ->
+      s"""WITH n AS (SELECT doc_id, $norm AS nt FROM documents)
+         |SELECT min(doc_id) AS keeper_id, count(*) AS dup_count, md5(nt) AS key_md5
+         |FROM n GROUP BY nt ORDER BY keeper_id""".stripMargin,
+
+    "x2_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(CASE WHEN len(ws) >= 3
+         |           THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+         |           ELSE [array_to_string(ws, ' ')] END) AS s
+         |       FROM w),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(c*1.0/(x.n + y.n - c), 6) AS jaccard
+         |FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+         |WHERE c*1.0/(x.n + y.n - c) >= 0.5 ORDER BY 1, 2""".stripMargin,
+
+    "x2_embedding_near_dup" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(
+        |    list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin,
+
+    "x3_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+        |s AS (SELECT qid, nid, round(
+        |    list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE))))), 6) AS cos
+        |  FROM q, c WHERE nid <> qid)
+        |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos AS cosine
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "x5_quality" ->
+      s"""WITH b AS (SELECT doc_id, $norm AS nt FROM documents),
+         |w AS (SELECT doc_id, nt, list_filter(string_split(nt, ' '), x -> len(x) > 0) AS ws FROM b),
+         |m AS (SELECT doc_id, nt, len(ws) AS nw,
+         |        list_sum(list_transform(ws, x -> len(x))) AS sumlen,
+         |        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','the','a','and','of','to','in','is','el','la','de','y','que','los','un','le','et','les','des','une','de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS nstop
+         |      FROM w)
+         |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(nt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |  round(sumlen*1.0/greatest(nw, 1), 6) AS mean_word_len,
+         |  round(nstop*1.0/greatest(nw, 1), 6) AS stopword_ratio,
+         |  round(len(regexp_replace(nt, '[^a-z]', '', 'g'))*1.0/greatest(len(nt), 1), 6) AS alpha_ratio,
+         |  round((least(nw/50.0, 1.0)
+         |       + (CASE WHEN sumlen*1.0/greatest(nw, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+         |       + least((nstop*1.0/greatest(nw, 1))*5, 1.0))/3.0, 6) AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "x5_lang_id" ->
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS s_de,
+         |  len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS s_en,
+         |  len(list_filter(ws, x -> list_contains(['el','la','de','y','que','los','un'], x))) AS s_es,
+         |  len(list_filter(ws, x -> list_contains(['le','la','et','les','des','un','une'], x))) AS s_fr,
+         |  len(list_filter(ws, x -> list_contains(['de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS s_zh
+         |  FROM w)
+         |SELECT doc_id, CASE WHEN s_de + s_en + s_es + s_fr + s_zh = 0 THEN 'und'
+         |  WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+         |  WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+         |  WHEN s_es > greatest(s_de, s_en) THEN 'es'
+         |  WHEN s_en > s_de THEN 'en' ELSE 'de' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x5_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, $norm AS nt FROM documents)
+         |SELECT doc_id, md5(nt) AS doc_md5,
+         |  list_min(list_transform(
+         |    CASE WHEN len(nt) >= 8
+         |      THEN list_transform(generate_series(1, len(nt)-7), i -> substr(nt, i, 8))
+         |      ELSE [nt] END, g -> md5(g))) AS min_gram_md5
+         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "x4_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(base64(encode(text))) AS content_md5,
+        |  base64(encode(substr(text, 1, 12))) AS b64_head
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

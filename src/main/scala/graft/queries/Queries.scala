@@ -1,0 +1,383 @@
+package graft.queries
+
+import graft.functions.Canonical
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.template.TemplateCompiler
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The driver-facing query registry: one entry per implemented operator from
+  * SURVEY.md §2 (+ the §2.12 extensions), each with a DuckDB oracle twin
+  * where the semantics are SQL-expressible.
+  *
+  * Determinism rules (the driver hash-compares values):
+  *  - money/measure aggregates are cast to exact DECIMAL before summing
+  *    (associative-safe), then to DOUBLE for output — bit-identical across
+  *    engines regardless of summation order;
+  *  - timestamps are emitted as epoch millis (BIGINT) or DATE, never raw
+  *    timestamps (precision differs across engines);
+  *  - ratios/cosines are rounded to 6 dp *before* any ranking that depends
+  *    on them;
+  *  - every query orders its output deterministically (full tiebreaks).
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def tsMs(c: Column): Column = Canonical.tsMillis(c)
+
+  /** events.ts arrives as a nanos LONG (spark.sql.legacy.parquet.nanosAsLong
+    * — Spark 4 refuses parquet TIMESTAMP(NANOS) natively); exact integer
+    * division matches DuckDB's epoch_ms() floor.
+    */
+  private val evTsMs: Column = expr("ts div 1000000")
+
+  // epoch-millis constants used as checkpoints/cutoffs (events span
+  // 2024-01-01 .. 2024-01-30 at every sf)
+  private val Jan10 = 1704844800000L
+  private val Jan15 = 1705276800000L
+  private val Jan20 = 1705708800000L
+
+  /** Exact decimal sum of a double measure, emitted as double. */
+  private def decSum(c: Column, p: Int, s: Int): Column =
+    sum(c.cast(DecimalType(p, s))).cast("double")
+
+  // ==================================================================
+  // Core reference semantics (SURVEY.md §2.1-§2.10), generalized
+  // ==================================================================
+
+  /** S2/W1: incremental scan — only rows past the persisted checkpoint.
+    * The predicate is pushed into the scan (parquet min/max pruning here;
+    * the URL template in the live HTTP source).
+    */
+  private def s2IncrementalScan(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .where(evTsMs > Jan15)
+      .select(col("event_id"), evTsMs.as("ts_ms"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("event_id")
+
+  /** F2/J1/J2: CDC filter — latest pre-checkpoint version per entity
+    * (user_id) vs latest in-window version; emit only new-or-changed
+    * (content compare excludes the version column, reference cache.js:83-85).
+    */
+  private def f2CdcFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    def lastPer(df: DataFrame): DataFrame = df
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("__rn") === 1).drop("__rn")
+    val state = lastPer(ev.where(evTsMs < Jan10))
+      .select(col("user_id").as("__sid"), col("event_type").as("__set"),
+        col("value").as("__sv"), col("props").as("__sp"))
+    val batch = lastPer(ev.where(evTsMs >= Jan10 && evTsMs < Jan20))
+    batch.join(state, batch("user_id") === col("__sid"), "left")
+      .where(col("__sid").isNull ||
+        !(col("event_type") <=> col("__set")) ||
+        !(col("value") <=> col("__sv")) ||
+        !(col("props") <=> col("__sp")))
+      .select(col("user_id"), col("event_id"), evTsMs.as("ts_ms"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy("user_id")
+  }
+
+  /** F3: missing-id drop — extract the id from the JSON payload, drop rows
+    * where it is absent, then count per id (reference cache.js:71-74).
+    */
+  private def f3MissingIdDrop(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("__k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1))
+      .where(col("__k") =!= "")
+      .select(col("__k").cast("int").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  /** F4/W5: TTL expiry — entries whose ttl (event time + 8h) survives `now`
+    * (reference cache.js:60-67,95-97).
+    */
+  private def f4TtlExpiry(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("__ttl", evTsMs + lit(8L * 3600 * 1000))
+      .where(col("__ttl") >= Jan20)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("__ttl").as("min_ttl"), max("__ttl").as("max_ttl"))
+      .orderBy("event_type")
+
+  /** A1: checkpoint = max(updatedOnMs) over all fetched items, per type
+    * (reference cache.js:100-108).
+    */
+  private def a1CheckpointMax(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(max(evTsMs).as("checkpoint"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** K2/§2.8: upsert = last-write-wins per entity id
+    * (reference cache.js:50-58 overwrites by key).
+    */
+  private def k2UpsertLww(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("__rn") === 1)
+      .select(col("user_id"), col("event_id"), evTsMs.as("ts_ms"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+
+  /** F5/T1/E1-E6: template projection — a Handlebars-subset template
+    * compiled to a single Column (rename, #with coalesce-with-default,
+    * interpolation, literals).
+    */
+  private val customerTemplate =
+    """{"cmdb_ci": "cust-{{entity.c_custkey}}", "name": "{{#with entity.c_name}}{{.}}{{else}}anon-{{entity.c_custkey}}{{/with}}", "segment": "{{entity.c_mktsegment}}", "vendor": "TPCH/CRM", "nation": "{{entity.c_nationkey}}"}"""
+
+  private def t1TemplateRender(spark: SparkSession, dir: String): DataFrame = {
+    val doc = TemplateCompiler.compileTemplate(customerTemplate, TemplateCompiler.columnResolver())
+    t(spark, dir, "customer")
+      .select(col("c_custkey").as("doc_id"), doc.as("doc"))
+      .orderBy("doc_id")
+  }
+
+  /** K1/O2/E7: batch slicing — contiguous batches of 500 per type, with the
+    * reference's ceil(n/max) slice math (app.js:96-106) visible as per-batch
+    * counts.
+    */
+  private def e7BatchSlices(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("event_id")))
+      .withColumn("batch_id", ((col("__rn") - 1) / 500).cast("long"))
+      .groupBy("event_type", "batch_id")
+      .agg(count(lit(1)).as("n"), min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy("event_type", "batch_id")
+
+  // ==================================================================
+  // Relational generalization (Catalyst built-ins; bench headliners)
+  // ==================================================================
+
+  private def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate").cast(DateType) <= lit("1999-09-02").cast(DateType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity"), 12, 2).as("sum_qty"),
+        decSum(col("l_extendedprice"), 18, 2).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 4).as("sum_disc_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 24, 6).as("sum_charge"),
+        round(sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders").where(col("o_orderdate").cast(DateType) < lit("1998-01-01").cast(DateType))
+    val li = t(spark, dir, "lineitem").where(col("l_shipdate").cast(DateType) > lit("1998-01-01").cast(DateType))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast(DateType).as("o_orderdate"), col("o_orderpriority"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region")
+    val nation = t(spark, dir, "nation")
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    val supp = t(spark, dir, "supplier")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** O-family/window: top-3 orders by price per priority class. */
+  private def wTopkOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .where(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank").cast("long").as("rank"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rank")
+
+  /** Set ops: (user, day) pairs engaged (click/view) minus pairs that
+    * purchased that day.
+    */
+  private def setExceptUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .withColumn("day", expr("(ts div 1000000) div 86400000"))
+    ev.where(col("event_type").isin("click", "view")).select("user_id", "day")
+      .except(ev.where(col("event_type") === "purchase").select("user_id", "day"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Grouping sets: rollup over region/nation customer stats. Expressed in
+    * Spark SQL (the DataFrame `.rollup` + post-agg coalesce trips Spark 4's
+    * ambiguous-self-join analyzer check); the SQL text is the portable ANSI
+    * form shared with the oracle.
+    */
+  private def rollupCustomers(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    t(spark, dir, "nation").createOrReplaceTempView("nation")
+    t(spark, dir, "region").createOrReplaceTempView("region")
+    spark.sql(
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Anti join: customers that never placed an URGENT order. */
+  private def jAntiNoOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Semi join: suppliers with at least one shipped lineitem. */
+  private def jSemiSuppliers(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier")
+      .join(t(spark, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+
+  /** W-family: tumbling hourly window aggregation on the event stream. */
+  private def wTumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy((expr("(ts div 1000000) div 3600000") * 3600000L).as("hour_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value"), 12, 2).as("sum_value"))
+      .orderBy("hour_ms", "event_type")
+
+  /** Sessionization: new session after a >30 min gap; per-user session and
+    * event counts (lag + running sum — the window-function composition a
+    * streaming session-window would produce).
+    */
+  private def wSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("__gap", evTsMs - lag(evTsMs, 1).over(byUser))
+      .withColumn("__new", when(col("__gap").isNull || col("__gap") > 30L * 60 * 1000, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("__new").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // ==================================================================
+  // Extensions (SURVEY.md §2.12): dedup, similarity, multimodal, text
+  // ==================================================================
+
+  private def x1ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(spark, dir, "documents"), "doc_id", Dedup.normalizeText(col("text")))
+      .select(col("keeper_id"), col("dup_count"), md5(col("dedup_key")).as("key_md5"))
+      .orderBy("keeper_id")
+
+  private def x2NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", col("text"),
+      shingleLen = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  private def x2MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPairs(t(spark, dir, "documents"), "doc_id", col("text"),
+      shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  private def x2Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash64(t(spark, dir, "documents"), "doc_id", TextAnalysis.words(col("text")))
+      .orderBy("doc_id")
+
+  private def x3KnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.cosineTopK(emb.where(col("vec_id") % 100 === 0), emb, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private def x3IvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb.where(col("vec_id") % 100 === 0), emb, k = 5, nProbe = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  private def x2EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(t(spark, dir, "embeddings"), threshold = 0.4,
+      blockCol = Some("label"))
+      .orderBy("id_a", "id_b")
+
+  private def x5Quality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityMetrics(t(spark, dir, "documents"), "doc_id", col("text"))
+      .orderBy("doc_id")
+
+  private def x5LangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  private def x5Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(t(spark, dir, "documents"), "doc_id", col("text"))
+      .orderBy("doc_id")
+
+  private def x4MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.asMedia(t(spark, dir, "documents"), "doc_id", col("text"), "text/plain")
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.content_md5").as("content_md5"),
+        base64(col("media").substr(1, 12)).as("b64_head"))
+      .orderBy("doc_id")
+
+  private def x4DecodeStub(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(t(spark, dir, "documents"), "doc_id", col("text"), "text/plain")
+    Multimodal.decodeFeaturesStub(media, "doc_id", dim = 8)
+      .select(col("id"), round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 8), 6).as("f7"))
+      .orderBy("id")
+  }
+
+  // ==================================================================
+  // Registry
+  // ==================================================================
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s2_incremental_scan" -> (s2IncrementalScan _),
+    "f2_cdc_filter" -> (f2CdcFilter _),
+    "f3_missing_id_drop" -> (f3MissingIdDrop _),
+    "f4_ttl_expiry" -> (f4TtlExpiry _),
+    "a1_checkpoint_max" -> (a1CheckpointMax _),
+    "k2_upsert_lww" -> (k2UpsertLww _),
+    "t1_template_render" -> (t1TemplateRender _),
+    "e7_batch_slices" -> (e7BatchSlices _),
+    "q1_agg" -> (q1Agg _),
+    "q3_top_orders" -> (q3TopOrders _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "w_topk_orders" -> (wTopkOrders _),
+    "set_except_users" -> (setExceptUsers _),
+    "rollup_customers" -> (rollupCustomers _),
+    "j_anti_no_orders" -> (jAntiNoOrders _),
+    "j_semi_suppliers" -> (jSemiSuppliers _),
+    "w_tumbling_hourly" -> (wTumblingHourly _),
+    "w_sessionize" -> (wSessionize _),
+    "x1_exact_dedup" -> (x1ExactDedup _),
+    "x2_ngram_jaccard" -> (x2NgramJaccard _),
+    "x2_minhash_lsh" -> (x2MinhashLsh _),
+    "x2_simhash" -> (x2Simhash _),
+    "x2_embedding_near_dup" -> (x2EmbeddingNearDup _),
+    "x3_knn_cosine" -> (x3KnnCosine _),
+    "x3_ivf_topk" -> (x3IvfTopk _),
+    "x5_quality" -> (x5Quality _),
+    "x5_lang_id" -> (x5LangId _),
+    "x5_fingerprint" -> (x5Fingerprint _),
+    "x4_multimodal_meta" -> (x4MultimodalMeta _),
+    "x4_decode_stub" -> (x4DecodeStub _)
+  )
+}

@@ -1,0 +1,67 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** Batched HTTP load sink (SURVEY.md §2 row K1, §2.10 W2).
+  *
+  * The reference slices rendered documents into <=maxBatchSize chunks, wraps
+  * each in `[doc1,doc2,...]` (targetBody.hbs:2) and PUTs them serially
+  * (reference app.js:88-112). Spark-first: each *partition* streams its rows
+  * through `Iterator.grouped(maxBatchSize)` and posts its own batches —
+  * partitions load in parallel (the reference is fully serial; SURVEY.md §3),
+  * memory stays bounded (no collect), and batch assembly is a plain
+  * `mkString(",")` exactly like targetBody.hbs.
+  *
+  * Delivery is at-least-once: the send happens before the state commit
+  * (reference app.js:55-58), and a retried Spark task re-sends its
+  * partition. The reference has the same property across crashed runs and
+  * relies on an idempotent target method (PUT) — we document the same
+  * requirement (SURVEY.md §7.5 risk 3).
+  */
+object HttpBatchSink {
+
+  /** Pluggable transport: (body) => (). Must throw on failure (fail-fast,
+    * reference http.js:19). Instantiated per partition on the executor.
+    */
+  type SenderFactory = () => String => Unit
+
+  def httpSender(url: String, method: String, headers: Map[String, String],
+                 timeout: Duration = Duration.ofSeconds(60)): SenderFactory = () => {
+    val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+    body => {
+      val b = HttpRequest.newBuilder(URI.create(url)).timeout(timeout)
+        .method(method, HttpRequest.BodyPublishers.ofString(body))
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode / 100 == 2, s"$method $url -> HTTP ${resp.statusCode}")
+    }
+  }
+
+  /** Send `docs` (a single string column of rendered documents) in batches.
+    * Skips empty input without a request (reference app.js:89-91).
+    *
+    * @return number of batches sent (driver-visible, via accumulator)
+    */
+  def send(docs: DataFrame, maxBatchSize: Int, senderFactory: SenderFactory): Long = {
+    require(maxBatchSize > 0, "maxBatchSize must be positive")
+    val sent: LongAccumulator = docs.sparkSession.sparkContext.longAccumulator("graft.batchesSent")
+    val colName = docs.columns.head
+    docs.select(col(colName).cast("string")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val send = senderFactory()
+          it.map(_.getString(0)).grouped(maxBatchSize).foreach { chunk =>
+            // `[` + mkString(",") + `]` replicates targetBody.hbs:2 (E7)
+            send(chunk.mkString("[", ",", "]"))
+            sent.add(1)
+          }
+        }
+    }
+    sent.value
+  }
+}

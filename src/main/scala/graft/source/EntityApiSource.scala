@@ -1,0 +1,170 @@
+package graft.source
+
+import graft.model.{EntityType, Model}
+import graft.template.TemplateCompiler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** Incremental entity source (SURVEY.md §2 rows S1-S3, §2.10 W1/W4).
+  *
+  * The reference pulls pages from a REST API with the checkpoint injected
+  * into a URL template (`updatedFromMs={{updatedFromMs}}`, reference
+  * config.json:9, app.js:76-82) and loops while `partialResults`
+  * (app.js:48-59). That hand-built pushdown stays: the predicate travels in
+  * the URL, so Spark never scans rows older than the checkpoint.
+  *
+  * The fetch itself is a driver-side page loop (pages are small and strictly
+  * sequential in the reference — each page's checkpoint depends on the
+  * previous commit, so there is nothing to parallelize *across* pages);
+  * parallelism comes from Spark once a page lands as a DataFrame. A page is
+  * parsed with `spark.read.json` over a Dataset[String] — schema-on-read for
+  * the dynamic entity key set (SURVEY.md §1.2).
+  */
+object EntityApiSource {
+
+  /** One fetched page: raw item JSON strings + the pagination flag
+    * (envelope per reference README.md:206-254).
+    */
+  final case class Page(items: Seq[String], partialResults: Boolean)
+
+  /** Pluggable transport: (url) => response body. Tests stub this; prod uses
+    * [[httpFetcher]].
+    */
+  type Fetcher = String => String
+
+  def httpFetcher(headers: Map[String, String], timeout: Duration = Duration.ofSeconds(60)): Fetcher = {
+    lazy val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+    url => {
+      val b = HttpRequest.newBuilder(URI.create(url)).timeout(timeout).GET()
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      // fail-fast on non-2xx, unwinds the whole run (reference http.js:19, app.js:28-30)
+      require(resp.statusCode / 100 == 2, s"GET $url -> HTTP ${resp.statusCode}")
+      resp.body()
+    }
+  }
+
+  /** GET the type catalog `{name, uniqueIdField}[]` (reference app.js:71-74). */
+  def fetchEntityTypes(fetch: Fetcher, typesUrl: String): Seq[EntityType] = {
+    val body = fetch(typesUrl)
+    Json.parseArray(body).flatMap { obj =>
+      for (n <- obj.get("name"); id <- obj.get("uniqueIdField")) yield EntityType(n, id)
+    }
+  }
+
+  /** CLI-style type selection: no requested names = all (reference
+    * app.js:62-69, F1).
+    */
+  def selectTypes(all: Seq[EntityType], requested: Seq[String]): Seq[EntityType] =
+    if (requested.isEmpty) all else all.filter(t => requested.contains(t.name))
+
+  /** Fetch one page for a type from the templated URL (reference
+    * app.js:76-82; template config.json:9).
+    */
+  def fetchPage(fetch: Fetcher, urlTemplate: String, entityType: EntityType, checkpoint: Long): Page = {
+    val url = TemplateCompiler.renderString(urlTemplate,
+      Map("type" -> entityType.name, "updatedFromMs" -> checkpoint.toString))
+    val body = fetch(url)
+    val (items, partial) = Json.splitEnvelope(body)
+    Page(items, partial)
+  }
+
+  /** Parse a page into the canonical batch DataFrame
+    * (id, updatedOnMs, attrs map<string,string>) — flat entities only, per
+    * the reference data model (SURVEY.md §1.1: values arrive pre-stringified).
+    */
+  def pageToDf(spark: SparkSession, page: Page, entityType: EntityType): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.json(spark.createDataset(page.items))
+    if (raw.columns.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Model.entityBatchSchema)
+    } else {
+      val attrCols = raw.columns.filterNot(_ == Model.UpdatedOnMs)
+      val attrs = map(attrCols.flatMap(c => Seq(lit(c), col(s"`$c`").cast("string"))): _*)
+      val updated =
+        if (raw.columns.contains(Model.UpdatedOnMs)) col(Model.UpdatedOnMs).cast("long")
+        else lit(null).cast("long")
+      raw.select(
+        col(s"`${entityType.uniqueIdField}`").cast("string").as("id"),
+        updated.as(Model.UpdatedOnMs),
+        map_filter(attrs, (_, v) => v.isNotNull).as("attrs"))
+    }
+  }
+}
+
+/** Minimal dependency-free JSON helpers for the driver-side envelope only
+  * (row-level parsing is done by spark.read.json). Handles the reference's
+  * `{items: [...], partialResults: bool}` shape and the flat type-catalog
+  * array; not a general JSON parser.
+  */
+private[graft] object Json {
+
+  /** Split `{"items":[{...},{...}],"partialResults":true}` into raw item
+    * strings + flag, by brace matching (string-aware).
+    */
+  def splitEnvelope(body: String): (Seq[String], Boolean) = {
+    val partial = """"partialResults"\s*:\s*true""".r.findFirstIn(body).isDefined
+    val itemsIdx = body.indexOf("\"items\"")
+    if (itemsIdx < 0) (Seq.empty, partial)
+    else {
+      val start = body.indexOf('[', itemsIdx)
+      (topLevelObjects(body, start), partial)
+    }
+  }
+
+  /** Parse a flat JSON array of flat string-valued objects into key->value
+    * maps (sufficient for the type catalog).
+    */
+  def parseArray(body: String): Seq[Map[String, String]] = {
+    val start = body.indexOf('[')
+    if (start < 0) Seq.empty
+    else topLevelObjects(body, start).map(parseFlatObject)
+  }
+
+  /** Extract top-level `{...}` object substrings of the array starting at
+    * `start` (index of '[').
+    */
+  private def topLevelObjects(s: String, start: Int): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var depth = 0; var inStr = false; var esc = false; var objStart = -1; var i = start
+    var arrDepth = 0
+    var done = false
+    while (i < s.length && !done) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => if (depth == 0) objStart = i; depth += 1
+        case '}' => depth -= 1; if (depth == 0) { out += s.substring(objStart, i + 1) }
+        case '[' => arrDepth += 1
+        case ']' => arrDepth -= 1; if (arrDepth == 0 && depth == 0) done = true
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Parse `{"k":"v","n":1}` into Map(k->v, n->"1") — flat scalars only. */
+  def parseFlatObject(obj: String): Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*"|-?\d+(?:\.\d+)?|true|false|null)""".r
+    pair.findAllMatchIn(obj).foreach { mm =>
+      val k = unescape(mm.group(1))
+      val v = mm.group(2)
+      val value = if (v.startsWith("\"")) unescape(v.substring(1, v.length - 1)) else v
+      m += k -> value
+    }
+    m.result()
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+      .replace("\\r", "\r").replace("\\t", "\t")
+}

@@ -1,0 +1,160 @@
+package graft.template
+
+import graft.functions.Canonical
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiles the reference's Handlebars-subset templates into a single
+  * Catalyst `Column` producing the rendered document per row — templates stay
+  * *data* (a user drops a file, no code change — reference README.md:161-171,
+  * templates.js:15-28) while execution is fully codegen'd: one `concat`/
+  * `when` expression tree per entity type, compiled once at plan time
+  * (the reference recompiles URL templates per call, templates.js:36-40 — a
+  * known inefficiency we do not replicate).
+  *
+  * Supported constructs — the complete scalar surface of the 20 shipped
+  * templates (SURVEY.md §2.4, rows E1-E8):
+  *   - `{{entity.x}}`            field access, missing/null -> "" (E1), with
+  *                               optional HTML escaping (E2, default off)
+  *   - `{{{entity.x}}}`          raw (unescaped) emit (E8)
+  *   - `{{#with entity.x}}body{{else}}fallback{{/with}}`
+  *                               coalesce-with-default; Handlebars treats ""
+  *                               as falsy, so empty string takes the fallback
+  *                               branch (E3 — `coalesce` alone would be
+  *                               wrong, SURVEY.md §7.5 risk 2); `{{.}}` in
+  *                               the body refers to the tested value
+  *   - anything else             literal text (E4/E5 interpolation falls out
+  *                               of literal+field concatenation)
+  *   - `{{env.X}}`               environment substitution, resolved at
+  *                               compile time from a provided map (E9)
+  */
+object TemplateCompiler {
+
+  sealed trait Part
+  final case class Lit(s: String) extends Part
+  final case class Field(path: String, raw: Boolean) extends Part
+  final case class With(path: String, body: Seq[Part], fallback: Seq[Part]) extends Part
+
+  /** Resolve a template path to a Column. `entity.`-prefixed paths hit the
+    * payload map; anything else is looked up in `env`.
+    */
+  type Resolver = String => Column
+
+  /** Resolver for the canonical batch shape: payload in `attrs`
+    * map<string,string>; missing key renders as "" (Handlebars default,
+    * relied on by the reference — SURVEY.md §1.2).
+    */
+  def mapResolver(attrsCol: Column, env: Map[String, String] = Map.empty): Resolver = {
+    case p if p.startsWith("entity.") => coalesce(element_at(attrsCol, p.stripPrefix("entity.")), lit(""))
+    case p if p.startsWith("env.")    => lit(env.getOrElse(p.stripPrefix("env."), ""))
+    case p                            => coalesce(element_at(attrsCol, p), lit(""))
+  }
+
+  /** Resolver over wide top-level columns (for relational inputs). */
+  def columnResolver(env: Map[String, String] = Map.empty): Resolver = {
+    case p if p.startsWith("entity.") => coalesce(col(p.stripPrefix("entity.")).cast("string"), lit(""))
+    case p if p.startsWith("env.")    => lit(env.getOrElse(p.stripPrefix("env."), ""))
+    case p                            => coalesce(col(p).cast("string"), lit(""))
+  }
+
+  // ---------------------------------------------------------------- parsing
+
+  def parse(template: String): Seq[Part] = {
+    val (parts, rest) = parseUntil(template, Set.empty)
+    require(rest.isEmpty, s"unbalanced template near: ${rest.take(40)}")
+    parts
+  }
+
+  /** Parse until one of `stops` ({{else}} / {{/with}}) or end of input.
+    * Returns (parts, remaining-input-starting-at-the-stop-tag).
+    */
+  private def parseUntil(in: String, stops: Set[String]): (Seq[Part], String) = {
+    val parts = Vector.newBuilder[Part]
+    var s = in
+    while (s.nonEmpty) {
+      val i = s.indexOf("{{")
+      if (i < 0) { parts += Lit(s); s = "" }
+      else {
+        if (i > 0) parts += Lit(s.substring(0, i))
+        s = s.substring(i)
+        if (s.startsWith("{{{")) {
+          val end = s.indexOf("}}}")
+          require(end > 0, s"unterminated raw stash: ${s.take(40)}")
+          parts += Field(s.substring(3, end).trim, raw = true)
+          s = s.substring(end + 3)
+        } else {
+          val end = s.indexOf("}}")
+          require(end > 0, s"unterminated stash: ${s.take(40)}")
+          val tag = s.substring(2, end).trim
+          if (stops.contains(tag)) return (parts.result(), s)
+          if (tag.startsWith("#with")) {
+            val path = tag.stripPrefix("#with").trim
+            val afterOpen = s.substring(end + 2)
+            val (body, atStop) = parseUntil(afterOpen, Set("else", "/with"))
+            val (fb, afterAll) =
+              if (tagAt(atStop) == "else") {
+                val (f, atClose) = parseUntil(skipTag(atStop), Set("/with"))
+                (f, skipTag(atClose))
+              } else (Seq.empty[Part], skipTag(atStop))
+            parts += With(path, body, fb)
+            s = afterAll
+          } else {
+            parts += Field(tag, raw = false)
+            s = s.substring(end + 2)
+          }
+        }
+      }
+    }
+    (parts.result(), "")
+  }
+
+  private def tagAt(s: String): String = {
+    require(s.startsWith("{{"), s"expected tag at: ${s.take(40)} (unclosed #with?)")
+    s.substring(2, s.indexOf("}}")).trim
+  }
+  private def skipTag(s: String): String = s.substring(s.indexOf("}}") + 2)
+
+  // -------------------------------------------------------------- compiling
+
+  /** Compile a parsed template to one string-valued Column. */
+  def compile(parts: Seq[Part], resolve: Resolver, escapeHtml: Boolean = false): Column = {
+    def emit(p: Part, ctx: Option[Column]): Column = p match {
+      case Lit(s) => lit(s)
+      case Field(".", raw) =>
+        val c = ctx.getOrElse(lit(""))
+        if (escapeHtml && !raw) Canonical.htmlEscape(c) else c
+      case Field(path, raw) =>
+        val c = resolve(path)
+        if (escapeHtml && !raw) Canonical.htmlEscape(c) else c
+      case With(path, body, fb) =>
+        val tested = resolve(path)
+        val bodyC = concatAll(body.map(emit(_, Some(tested))))
+        val fbC = concatAll(fb.map(emit(_, ctx)))
+        // "" is falsy in Handlebars #with (E3)
+        when(tested.isNotNull && tested =!= "", bodyC).otherwise(fbC)
+    }
+    concatAll(parts.map(emit(_, None)))
+  }
+
+  private def concatAll(cs: Seq[Column]): Column =
+    if (cs.isEmpty) lit("") else if (cs.size == 1) cs.head else concat(cs: _*)
+
+  /** One-shot: template text -> rendered-document Column. */
+  def compileTemplate(template: String, resolve: Resolver, escapeHtml: Boolean = false): Column =
+    compile(parse(template), resolve, escapeHtml)
+
+  /** Driver-side render for URL/header templating (E10): same parser, plain
+    * string interpolation against a value map — no DataFrame involved.
+    */
+  def renderString(template: String, values: Map[String, String]): String = {
+    def emit(p: Part, ctx: Option[String]): String = p match {
+      case Lit(s)            => s
+      case Field(".", _)     => ctx.getOrElse("")
+      case Field(path, _)    => values.getOrElse(path, values.getOrElse(path.stripPrefix("entity."), ""))
+      case With(path, b, fb) =>
+        val v = values.getOrElse(path, values.getOrElse(path.stripPrefix("entity."), ""))
+        if (v.nonEmpty) b.map(emit(_, Some(v))).mkString else fb.map(emit(_, ctx)).mkString
+    }
+    parse(template).map(emit(_, None)).mkString
+  }
+}

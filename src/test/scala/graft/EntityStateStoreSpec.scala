@@ -1,0 +1,71 @@
+package graft
+
+import graft.model.Model
+import graft.state.EntityStateStore
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** State-store semantics, 1:1 with the reference's cache tests
+  * (test/cache.test.js): empty bootstrap (:17-23), save/load roundtrip
+  * (:36-48), upsert + checkpoint=max (:50-61), TTL eviction (:63-74),
+  * partial-results stall bump (:76-82), TTL refresh on every touched id
+  * (:98-106).
+  */
+class EntityStateStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore() =
+    new EntityStateStore(spark, Files.createTempDirectory("graft-state-spec").toString)
+
+  private def batch(rows: (String, String)*) =
+    rows.toSeq.toDF("id", "entityHash").withColumn("entityJson", concat(lit("{}"), lit("")))
+      .select("id", "entityJson", "entityHash")
+
+  test("empty bootstrap: missing state -> empty DF + default checkpoint (cache.test.js:17-23)") {
+    val (df, ckpt) = freshStore().load("nope")
+    assert(df.count() == 0 && ckpt == Model.DefaultCheckpoint)
+    assert(df.schema == Model.stateSchema)
+  }
+
+  test("commit/load roundtrip with upsert and checkpoint (cache.test.js:36-61)") {
+    val store = freshStore()
+    store.commit("t", batch("1" -> "h1", "2" -> "h2"), nowMs = 1000, ttlMs = 500, newCheckpoint = 42)
+    val (df1, ckpt1) = store.load("t")
+    assert(ckpt1 == 42 && df1.count() == 2)
+    // upsert overwrites by id, keeps survivors
+    store.commit("t", batch("2" -> "h2b", "3" -> "h3"), nowMs = 1100, ttlMs = 500, newCheckpoint = 50)
+    val (df2, ckpt2) = store.load("t")
+    assert(ckpt2 == 50)
+    val m = df2.select("id", "entityHash").as[(String, String)].collect().toMap
+    assert(m == Map("1" -> "h1", "2" -> "h2b", "3" -> "h3"))
+  }
+
+  test("TTL eviction at commit time (cache.test.js:63-74) + refresh for touched ids") {
+    val store = freshStore()
+    store.commit("t", batch("old" -> "h", "touched" -> "h"), nowMs = 1000, ttlMs = 100, newCheckpoint = 1)
+    // at now=1200 both ttls (1100) expired; "touched" re-appears in the batch
+    // (TTL refresh side effect, cache.js:79), "old" is evicted
+    store.commit("t", batch("touched" -> "h"), nowMs = 1200, ttlMs = 100, newCheckpoint = 2)
+    val ids = store.load("t")._1.select("id").as[String].collect().toSeq
+    assert(ids == Seq("touched"))
+  }
+
+  test("nextCheckpoint: max over ALL fetched rows; invalid keeps prev; stall bumps (cache.js:100-117)") {
+    val store = freshStore()
+    val page = Seq(("a", 10L), ("b", 30L), ("c", 20L)).toDF("id", "updatedOnMs")
+    assert(store.nextCheckpoint(page, "updatedOnMs", prev = 5, partialResults = false) == 30)
+    val empty = page.where(lit(false))
+    assert(store.nextCheckpoint(empty, "updatedOnMs", prev = 5, partialResults = false) == 5)
+    // stall-breaker: partial results but checkpoint did not advance -> +1ms
+    assert(store.nextCheckpoint(page.withColumn("updatedOnMs", lit(5L)),
+      "updatedOnMs", prev = 5, partialResults = true) == 6)
+    // reference fixture: checkpoint 30 + stall -> 31 (cache.test.js:76-82)
+    assert(store.nextCheckpoint(page, "updatedOnMs", prev = 30, partialResults = true) == 31)
+  }
+
+  test("commit survives repeated ids within one page (overlap re-fetch, W3)") {
+    val store = freshStore()
+    store.commit("t", batch("1" -> "ha", "1" -> "ha"), nowMs = 1, ttlMs = 10, newCheckpoint = 1)
+    assert(store.load("t")._1.count() == 1)
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Extension-operator semantics on small hand-built inputs (X1-X5). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different content about spark catalyst optimizer internals rules"),
+    (5L, "  The  QUICK brown fox jumps over the lazy dog near the river bank today ") // dup modulo case/ws
+  ).toDF("doc_id", "text")
+
+  test("X1 exact dedup groups normalized duplicates") {
+    val out = Dedup.exact(docs, "doc_id", Dedup.normalizeText(col("text")))
+      .select("keeper_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 3) // 1, 2, 5 collapse
+    assert(out(3L) == 1 && out(4L) == 1)
+  }
+
+  test("X2 minhash: identical docs estimate jaccard 1.0; near-dups score high; unrelated absent") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", col("text"), threshold = 0.5)
+      .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((1L, 2L)) == 1.0 && pairs((1L, 5L)) == 1.0 && pairs((2L, 5L)) == 1.0)
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("X2 exact n-gram jaccard agrees with set arithmetic") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), shingleLen = 3, threshold = 0.1)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(out((1L, 2L)) == 1.0)
+    // docs have 14 words -> 12 shingles; the changed last word appears only
+    // in the final shingle: 11 shared / 13 union
+    assert(math.abs(out((1L, 3L)) - 11.0 / 13.0) < 1e-6)
+  }
+
+  test("X2 simhash: identical docs share the signature; near-dups are close") {
+    val sh = Dedup.simhash64(docs, "doc_id", TextAnalysis.words(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L) && sh(1L) == sh(5L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 12)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 12)
+    // chunk-LSH guarantees recall only for hamming <= 3 (4 chunks); exact
+    // duplicates (hamming 0) must always be found
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", TextAnalysis.words(col("text")), maxHamming = 12)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet.contains((1L, 2L)))
+    assert(pairs.forall(_._3 <= 12))
+  }
+
+  test("X3 cosine top-k ranks by similarity with exact scores") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(1f, 0.1f, 0f), 0),
+      (2L, Array(0.7f, 0.7f, 0f), 0),
+      (3L, Array(0f, 0f, 1f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.cosineTopK(vecs.where(col("vec_id") === 0), vecs, k = 3)
+      .select("neighbor_id", "rank", "cosine").as[(Long, Long, Double)].collect()
+      .sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._3 > 0.99 && math.abs(out(1)._3 - math.sqrt(0.5)) < 1e-4 && out(2)._3 == 0.0)
+  }
+
+  test("X3 IVF probes nearest cells only (approximate but cell-complete)") {
+    val vecs = (0 until 40).map { i =>
+      val cell = i % 4
+      val base = Array.fill(8)(0.01f * i)
+      base(cell) = 1f
+      (i.toLong, base, cell)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfTopK(vecs.where(col("vec_id") === 0), vecs, k = 3, nProbe = 2)
+    assert(out.count() == 3)
+    // with nProbe=2 all neighbors come from at most 2 cells
+    val cells = out.join(vecs, out("neighbor_id") === vecs("vec_id")).select("label")
+      .as[Int].collect().toSet
+    assert(cells.size <= 2)
+  }
+
+  test("X5 language id votes stopwords with deterministic ties") {
+    val t = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el perro y la casa de los gatos que"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = t.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "und")
+  }
+
+  test("X5 quality metrics compute exact ratios") {
+    val t = Seq((1L, "the the the the")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityMetrics(t, "doc_id", col("text")).head()
+    assert(r.getAs[Long]("n_words") == 4)
+    assert(r.getAs[Double]("stopword_ratio") == 1.0)
+    assert(r.getAs[Double]("mean_word_len") == 3.0)
+  }
+
+  test("X5 fingerprints stable under whitespace/case noise") {
+    val t = Seq((1L, "Hello   World Program"), (2L, "hello world program")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(t, "doc_id", col("text"))
+      .select("doc_md5", "min_gram_md5").collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("X4 multimodal: metadata + deterministic stub features") {
+    val media = Multimodal.asMedia(docs, "doc_id", col("text"), "text/plain")
+    val meta = media.select("meta.n_bytes", "meta.media_type").as[(Long, String)].collect()
+    assert(meta.forall(_._2 == "text/plain") && meta.forall(_._1 > 0))
+    val feats = Multimodal.decodeFeaturesStub(media, "doc_id", dim = 4)
+      .select("features").as[Array[Double]].collect()
+    assert(feats.forall(f => f.length == 4 && f.forall(v => v >= 0 && v < 1)))
+    // identical payloads -> identical features
+    val byId = Multimodal.decodeFeaturesStub(media, "doc_id", dim = 4)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(byId(1L).toSeq == byId(2L).toSeq)
+    val slices = Multimodal.sampleSlices(media, n = 3, sliceLen = 4)
+      .select("slices").as[Seq[String]].collect()
+    assert(slices.forall(_.size == 3))
+  }
+}

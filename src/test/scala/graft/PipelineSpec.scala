@@ -1,0 +1,97 @@
+package graft
+
+import graft.model.EntityType
+import graft.pipeline.EntityEtlJob
+import graft.sink.HttpBatchSink
+import graft.source.EntityApiSource
+import graft.state.EntityStateStore
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** End-to-end pipeline behavior with a stubbed API + collecting sink:
+  * pagination (S3/W4), CDC suppression across pages (F2), at-least-once
+  * ordering (W2: send fails => state NOT committed), batch slicing (K1).
+  */
+object PipelineSpec {
+  // static collectors: executors share the JVM in local mode
+  val sentBodies = new ConcurrentLinkedQueue[String]()
+  @volatile var failSends = false
+  def collectingSender: HttpBatchSink.SenderFactory = () => body => {
+    if (failSends) throw new RuntimeException("injected sink failure")
+    sentBodies.add(body)
+  }
+}
+
+class PipelineSpec extends SparkSpec {
+  import PipelineSpec._
+
+  private val tpl = """{"id": "{{entity.id}}", "x": "{{entity.x}}"}"""
+
+  private def mkJob(store: EntityStateStore, pages: Map[Long, EntityApiSource.Page]): EntityEtlJob = {
+    // fetcher keyed on the rendered updatedFromMs — exercises URL templating (E10)
+    val fetch: EntityApiSource.Fetcher = url => {
+      val ckpt = url.split("updatedFromMs=")(1).toLong
+      val page = pages.getOrElse(ckpt, EntityApiSource.Page(Nil, partialResults = false))
+      val items = page.items.mkString("[", ",", "]")
+      s"""{"items": $items, "partialResults": ${page.partialResults}}"""
+    }
+    new EntityEtlJob(spark, store, fetch,
+      entitiesUrlTemplate = "stub://e?type={{type}}&updatedFromMs={{updatedFromMs}}",
+      senderFactory = collectingSender,
+      templates = Map("t" -> tpl),
+      maxBatchSize = 2, ttlMs = 1000000, now = () => 5000)
+  }
+
+  private def entity(id: Int, x: String, ts: Long): String =
+    s"""{"id": "$id", "x": "$x", "updatedOnMs": $ts}"""
+
+  test("pagination loop + CDC suppression + batch slicing end-to-end") {
+    sentBodies.clear(); failSends = false
+    val store = new EntityStateStore(spark, Files.createTempDirectory("pl").toString)
+    val pages = Map(
+      1L -> EntityApiSource.Page(Seq(entity(1, "a", 10), entity(2, "b", 20), entity(3, "c", 20)), partialResults = true),
+      20L -> EntityApiSource.Page(Seq(entity(3, "c", 20), entity(4, "d", 30)), partialResults = false))
+    val stats = mkJob(store, pages).runType(EntityType("t", "id"))
+
+    assert(stats.map(_.fetched) == Seq(3, 2))
+    // page 2 re-fetches id=3 (inclusive checkpoint boundary, W3) but CDC suppresses it
+    assert(stats.map(_.emitted) == Seq(3, 1))
+    assert(stats.last.checkpoint == 30)
+    // batching is PER PARTITION (parallel load): page1's 3 docs produce
+    // 2..3 bodies depending on partition placement, each <= maxBatchSize
+    assert(stats.head.batches >= 2 && stats.head.batches <= 3 && stats.last.batches == 1)
+    val bodies = sentBodies.asScala.toSeq
+    assert(bodies.forall(b => b.startsWith("[") && b.endsWith("]")))
+    assert(bodies.map(b => b.count(_ == '{')).sum == 4) // 3 + 1 docs, <=2 each
+    assert(bodies.forall(b => b.count(_ == '{') <= 2))
+    assert(bodies.mkString.contains(""""x": "d""""))
+    // state has all 4 ids, updatedOnMs stripped from cached json
+    val (state, ckpt) = store.load("t")
+    assert(ckpt == 30 && state.count() == 4)
+    assert(!state.select("entityJson").collect().map(_.getString(0)).exists(_.contains("updatedOnMs")))
+  }
+
+  test("at-least-once: failed send aborts before state commit (W2, app.js:55-58)") {
+    sentBodies.clear(); failSends = true
+    val store = new EntityStateStore(spark, Files.createTempDirectory("pl2").toString)
+    val pages = Map(1L -> EntityApiSource.Page(Seq(entity(1, "a", 10)), partialResults = false))
+    intercept[Exception] { mkJob(store, pages).runType(EntityType("t", "id")) }
+    // nothing committed: next run re-fetches from the default checkpoint
+    val (state, ckpt) = store.load("t")
+    assert(state.count() == 0 && ckpt == 1)
+    // recovery: the retry re-sends and commits (effectively-once via F2+idempotent PUT)
+    failSends = false
+    val stats = mkJob(store, pages).runType(EntityType("t", "id"))
+    assert(stats.head.emitted == 1 && store.load("t")._2 == 10)
+  }
+
+  test("types without a template are skipped (app.js:22-25); CLI filter respected (F1)") {
+    sentBodies.clear(); failSends = false
+    val store = new EntityStateStore(spark, Files.createTempDirectory("pl3").toString)
+    val job = mkJob(store, Map.empty)
+    val ran = job.run(Seq(EntityType("t", "id"), EntityType("untemplated", "id")))
+    assert(ran.keySet == Set("t"))
+    assert(job.run(Seq(EntityType("t", "id")), requested = Seq("other")).isEmpty)
+  }
+}
