@@ -34,15 +34,33 @@ object Dedup {
 
   /** Distinct word n-gram shingles of a text column, as an array column.
     * `sequence`+`transform`+`slice` — generated code, no UDF.
+    *
+    * NOTE: higher-order lambdas are interpreted (not codegen'd) and do NOT
+    * share subexpressions — referencing an expensive expression (regexp
+    * normalization, split) from inside the lambda re-evaluates it per
+    * element. Always stage through [[explodedShingles]] in pipelines; this
+    * Column form is for already-materialized `words` arrays.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = filter(split(normalizeText(text), " "), w => length(w) > 0)
+  def shinglesOfWords(words: Column, n: Int): Column =
     array_distinct(
       when(size(words) >= n,
         transform(sequence(lit(0), size(words) - n),
           i => concat_ws(" ", slice(words, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", words))))
-  }
+
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesOfWords(filter(split(normalizeText(text), " "), w => length(w) > 0), n)
+
+  /** (id, shingle) rows with the word array materialized in its own
+    * projection first, so normalization/split run once per document instead
+    * of once per shingle inside the interpreted lambda.
+    */
+  def explodedShingles(df: DataFrame, idCol: String, text: Column, n: Int,
+                       extraCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: extraCols.map(col) :+
+        filter(split(normalizeText(text), " "), w => length(w) > 0).as("__words"): _*)
+      .select(col(idCol) +: extraCols.map(col) :+
+        explode(shinglesOfWords(col("__words"), n)).as("__sh"): _*)
 
   /** MinHash signature column: for each of `numPerm` hash permutations, the
     * min over the document's shingles of a seeded 64-bit hash. Computed as
@@ -52,8 +70,11 @@ object Dedup {
     *
     * Returns (idCol, sig: array<long>[numPerm]).
     */
-  def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, numPerm: Int): DataFrame = {
-    val exploded = df.select(col(idCol), explode(shingles).as("__sh"))
+  def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, numPerm: Int): DataFrame =
+    minhashSignaturesExploded(df.select(col(idCol), explode(shingles).as("__sh")), idCol, numPerm)
+
+  /** Same, over pre-exploded (id, __sh) rows. */
+  def minhashSignaturesExploded(exploded: DataFrame, idCol: String, numPerm: Int): DataFrame = {
     val aggs = (0 until numPerm).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"__h$i"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until numPerm).map(i => col(s"__h$i")): _*).as("sig"))
@@ -83,7 +104,8 @@ object Dedup {
       shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val sigs = minhashSignatures(df, idCol, wordShingles(text, shingleLen), numPerm)
+    val sigs = minhashSignaturesExploded(
+      explodedShingles(df, idCol, text, shingleLen), idCol, numPerm)
     val pairs = lshCandidatePairs(sigs, idCol, bands, rowsPerBand)
     val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("__siga"))
     val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("__sigb"))
@@ -141,7 +163,7 @@ object Dedup {
       df: DataFrame, idCol: String, text: Column,
       shingleLen: Int = 3, threshold: Double = 0.2,
       blockCols: Seq[String] = Nil): DataFrame = {
-    val sh = df.select(col(idCol) +: blockCols.map(col) :+ explode(wordShingles(text, shingleLen)).as("__sh"): _*)
+    val sh = explodedShingles(df, idCol, text, shingleLen, blockCols)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val joinKeys = "__sh" +: blockCols
     val l = sh.select(col(idCol).as("id_a") +: joinKeys.map(col): _*)

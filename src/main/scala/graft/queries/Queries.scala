@@ -35,6 +35,17 @@ object Queries {
     */
   private val evTsMs: Column = expr("ts div 1000000")
 
+  /** Pushdown-friendly event-time predicates: `ts div 1000000 OP c` defeats
+    * parquet filter pushdown (arithmetic on the column), so filters compare
+    * the raw nanos column against pre-scaled bounds instead — exactly
+    * equivalent for integer nanos, and the scan skips row groups via
+    * min/max stats. floor(ts/1e6) > c  <=>  ts >= (c+1)*1e6;
+    * floor(ts/1e6) >= c  <=>  ts >= c*1e6;  floor(ts/1e6) < c  <=>  ts < c*1e6.
+    */
+  private def tsMsAfter(c: Long): Column = col("ts") >= (c + 1) * 1000000L
+  private def tsMsAtLeast(c: Long): Column = col("ts") >= c * 1000000L
+  private def tsMsBefore(c: Long): Column = col("ts") < c * 1000000L
+
   // epoch-millis constants used as checkpoints/cutoffs (events span
   // 2024-01-01 .. 2024-01-30 at every sf)
   private val Jan10 = 1704844800000L
@@ -55,7 +66,7 @@ object Queries {
     */
   private def s2IncrementalScan(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .where(evTsMs > Jan15)
+      .where(tsMsAfter(Jan15))
       .select(col("event_id"), evTsMs.as("ts_ms"), col("user_id"),
         col("event_type"), col("value"))
       .orderBy("event_id")
@@ -70,10 +81,10 @@ object Queries {
       .withColumn("__rn", row_number().over(
         Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
       .where(col("__rn") === 1).drop("__rn")
-    val state = lastPer(ev.where(evTsMs < Jan10))
+    val state = lastPer(ev.where(tsMsBefore(Jan10)))
       .select(col("user_id").as("__sid"), col("event_type").as("__set"),
         col("value").as("__sv"), col("props").as("__sp"))
-    val batch = lastPer(ev.where(evTsMs >= Jan10 && evTsMs < Jan20))
+    val batch = lastPer(ev.where(tsMsAtLeast(Jan10) && tsMsBefore(Jan20)))
     batch.join(state, batch("user_id") === col("__sid"), "left")
       .where(col("__sid").isNull ||
         !(col("event_type") <=> col("__set")) ||
@@ -100,8 +111,8 @@ object Queries {
     */
   private def f4TtlExpiry(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
+      .where(tsMsAtLeast(Jan20 - 8L * 3600 * 1000)) // ttl >= now, pushed to the scan
       .withColumn("__ttl", evTsMs + lit(8L * 3600 * 1000))
-      .where(col("__ttl") >= Jan20)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), min("__ttl").as("min_ttl"), max("__ttl").as("max_ttl"))
       .orderBy("event_type")
@@ -321,8 +332,7 @@ object Queries {
       .orderBy("doc_id")
 
   private def x5LangId(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+    TextAnalysis.langId(t(spark, dir, "documents"), "doc_id", col("text"))
       .orderBy("doc_id")
 
   private def x5Fingerprint(spark: SparkSession, dir: String): DataFrame =
