@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // jspawnhelper (POSIX_SPAWN, the JDK17 default) fails under sandboxed
+  // seccomp when the JVM is large; plain fork+exec works. Affects Spark's
+  // native `rm -rf` cleanup and any Hadoop Shell fallback.
+  "-Djdk.lang.Process.launchMechanism=FORK",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

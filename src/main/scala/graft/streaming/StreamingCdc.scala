@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Structured Streaming formulation of the incremental CDC pipeline
+  * (SURVEY.md §1.4, §2.10): the reference's cron'd batch loop maps onto a
+  * micro-batch stream where
+  *   - the per-type checkpoint (W1) becomes the source offset tracked by
+  *     Spark's streaming checkpoint;
+  *   - the TTL'd entity cache (W5) becomes keyed state with a native
+  *     per-value TTL (reference cache.js:60-67,95-97), refreshed on every
+  *     touch like the reference's refresh-on-read (cache.js:79);
+  *   - the CDC filter (F2) becomes a [[StatefulProcessor]] comparing the
+  *     canonical content hash against state (reference cache.js:69-85);
+  *   - at-least-once delivery (W2) falls out of foreachBatch: the sink runs
+  *     inside the micro-batch before the offset commit (app.js:55-58);
+  *   - the 15-min cron (W6) is `Trigger.AvailableNow()` per scheduled run
+  *     against a persistent checkpoint dir.
+  *
+  * Implementation note: this uses `transformWithState` (Spark 4's stateful
+  * API, requires the RocksDB state store provider) rather than
+  * `flatMapGroupsWithState` — the TWS runtime owns TTL natively, and the
+  * legacy exec node cannot be constructed on the 4.1.x planner thread.
+  * State is one digest per live entity id, sharded across executors by the
+  * group key — 100 TB of throughput shards into ordinary keyed state.
+  */
+object StreamingCdc {
+
+  /** One incoming entity version on the stream. `payload` must be the
+    * canonical (key-sorted, updatedOnMs-stripped) JSON so equal content
+    * implies equal strings (SURVEY.md §7.5 risk 1).
+    */
+  final case class EntityEvent(id: String, updatedOnMs: Long, payload: String)
+
+  /** An emitted change. changeType: "new" | "updated". */
+  final case class Change(id: String, updatedOnMs: Long, payload: String, changeType: String)
+
+  /** Session configuration required by the stateful operators here:
+    * RocksDB state store (multiple column families for transformWithState).
+    * `shellFreeLocalFs` additionally avoids Hadoop's chmod/readlink
+    * subprocesses on local filesystems — required in sandboxed/container
+    * environments where forking from the executor JVM stalls; harmless
+    * elsewhere (see graft.hadoop.ShellFreeLocalFileSystem).
+    */
+  val requiredConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  val shellFreeLocalFs: Map[String, String] = Map(
+    "spark.hadoop.fs.file.impl" -> "graft.hadoop.ShellFreeLocalFileSystem",
+    "spark.hadoop.fs.file.impl.disable.cache" -> "true",
+    "spark.sql.streaming.checkpointFileManagerClass" ->
+      "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+
+  private[streaming] def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Streaming F2/F4/W5 as a [[StatefulProcessor]]: emit iff new-or-changed;
+    * every touch refreshes the TTL (the state update resets the TTL clock —
+    * reference cache.js:56,79); expired state reads as absent, so a
+    * re-appearing entity is emitted as "new" again.
+    */
+  final class CdcProcessor(ttlMs: Long) extends StatefulProcessor[String, EntityEvent, Change] {
+    @transient private var hashState: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl = if (ttlMs > 0) new TTLConfig(java.time.Duration.ofMillis(ttlMs)) else TTLConfig.NONE
+      hashState = getHandle.getValueState[String]("entityHash", Encoders.STRING, ttl)
+    }
+
+    override def handleInputRows(id: String, rows: Iterator[EntityEvent],
+        timerValues: TimerValues): Iterator[Change] = {
+      val out = Seq.newBuilder[Change]
+      // process versions in event-time order; emit each content transition
+      rows.toSeq.sortBy(e => (e.updatedOnMs, e.payload)).foreach { e =>
+        val h = md5Hex(e.payload)
+        Option(hashState.get()) match {
+          case None =>
+            out += Change(id, e.updatedOnMs, e.payload, "new")
+            hashState.update(h)
+          case Some(prev) if prev != h =>
+            out += Change(id, e.updatedOnMs, e.payload, "updated")
+            hashState.update(h)
+          case Some(prev) =>
+            hashState.update(prev) // unchanged -> suppressed; TTL refreshed
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming new-or-updated filter keyed by entity id. TTL > 0 requires
+    * processing-time mode (the TTL clock is processing time, like the
+    * reference's wall-clock cache TTL).
+    */
+  def newOrUpdatedStream(events: Dataset[EntityEvent], ttlMs: Long): Dataset[Change] = {
+    import events.sparkSession.implicits._
+    val timeMode = if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    events.groupByKey(_.id)
+      .transformWithState(new CdcProcessor(ttlMs), timeMode, OutputMode.Append())
+  }
+
+  /** Watermarked tumbling-window aggregation over the event stream — the
+    * streaming analog of the hourly rollup (late rows older than the
+    * watermark are dropped, mirroring W3's checkpoint-boundary semantics).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, window: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Exactly-once-ish dedup inside the watermark horizon — the streaming
+    * form of the inclusive-checkpoint overlap suppression (W3).
+    */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String], tsCol: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCols)
+}

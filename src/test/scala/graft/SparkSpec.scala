@@ -19,6 +19,14 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.chunkBase64String.enabled", "false")
+      // stateful streaming: RocksDB provider (transformWithState) + no
+      // Hadoop shell-outs (sandboxed fork stalls — see ShellFreeLocalFs)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.hadoop.fs.file.impl", "graft.hadoop.ShellFreeLocalFileSystem")
+      .config("spark.hadoop.fs.file.impl.disable.cache", "true")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,100 @@
+package graft
+
+import graft.streaming.StreamingCdc
+import graft.streaming.StreamingCdc.{Change, EntityEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming CDC semantics over MemoryStream micro-batches: new/changed
+  * emission, suppression of unchanged re-fetches across batches, and
+  * watermarked windowed aggregation. One long-lived query per test with
+  * `processAllAvailable` barriers between micro-batches (the sandboxed env
+  * cannot run Trigger.AvailableNow's restart-per-run pattern — see
+  * ShellFreeLocalFs scaladoc for the environment constraints).
+  */
+class StreamingCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transformWithState CDC: new/updated emitted, unchanged suppressed across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EntityEvent]
+    input.addData(
+      EntityEvent("1", 10, """{"x":"1"}"""),
+      EntityEvent("2", 20, """{"x":"2"}"""))
+    val q = StreamingCdc.newOrUpdatedStream(input.toDS(), ttlMs = 0)
+      .writeStream.format("memory").queryName("cdc_out")
+      .option("checkpointLocation", Files.createTempDirectory("cdc-ckpt").toString)
+      .outputMode("append").start()
+    q.processAllAvailable()
+
+    // batch 2: id=1 unchanged (overlap re-fetch), id=2 changed, id=3 new
+    input.addData(
+      EntityEvent("1", 30, """{"x":"1"}"""),
+      EntityEvent("2", 40, """{"x":"2b"}"""),
+      EntityEvent("3", 50, """{"x":"3"}"""))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("cdc_out").as[Change].collect()
+      .map(c => (c.id, c.changeType, c.updatedOnMs)).toSet
+    assert(out == Set(
+      ("1", "new", 10L), ("2", "new", 20L),
+      ("2", "updated", 40L), ("3", "new", 50L)))
+  }
+
+  test("two versions of one id inside a single batch emit both transitions in order") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EntityEvent]
+    input.addData(
+      EntityEvent("9", 1, """{"v":"a"}"""),
+      EntityEvent("9", 2, """{"v":"b"}"""),
+      EntityEvent("9", 3, """{"v":"b"}"""))
+    val q = StreamingCdc.newOrUpdatedStream(input.toDS(), ttlMs = 0)
+      .writeStream.format("memory").queryName("cdc_out2")
+      .option("checkpointLocation", Files.createTempDirectory("cdc-ckpt2").toString)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cdc_out2").as[Change].collect().sortBy(_.updatedOnMs)
+      .map(c => (c.changeType, c.updatedOnMs)).toSeq
+    assert(out == Seq(("new", 1L), ("updated", 2L)))
+  }
+
+  test("watermarked tumbling window aggregates per hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0))
+    val q = StreamingCdc.tumblingCounts(df, "ts", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wnd_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wnd_out")
+      .select("window_start", "n", "sum_value").as[(Timestamp, Long, Double)]
+      .collect().sortBy(_._1.getTime)
+    assert(rows.map(r => (r._2, r._3)).toSeq == Seq((2L, 3.0), (1L, 4.0)))
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses overlap re-fetches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "event_id")
+    val q = StreamingCdc.dedupWithinWatermark(df, Seq("event_id"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dd_out")
+      .option("checkpointLocation", Files.createTempDirectory("dd-ckpt").toString)
+      .outputMode("append").start()
+    input.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), 2L))
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2024-01-01 10:02:00"), 1L)) // overlap re-fetch
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dd_out").count() == 2)
+  }
+}
