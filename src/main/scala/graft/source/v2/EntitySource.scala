@@ -1,0 +1,199 @@
+package graft.source.v2
+
+import graft.model.{EntityType, Model}
+import graft.source.{EntityApiSource, Json}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 connector for the incremental entity API (SURVEY.md §2.1
+  * S1-S3, §2.10 W1/W4) — `spark.read.format("graft-entities")` /
+  * `spark.readStream.format("graft-entities")`.
+  *
+  * The streaming offset IS the reference's per-type checkpoint (epoch-millis
+  * `updatedFromMs`, reference cache.js:18/app.js:77): Spark's streaming
+  * checkpoint persists it, `latestOffset` advances it by draining the
+  * paginated fetch loop (app.js:48-59) including the stall-breaker bump
+  * (cache.js:114-117), and the predicate travels inside the URL — the
+  * reference's hand-built pushdown, kept (SURVEY.md §4).
+  *
+  * Options:
+  *   - `urlTemplate`     e.g. http://host/v2/entities?type={{type}}&updatedFromMs={{updatedFromMs}}
+  *   - `type`            entity type name
+  *   - `uniqueIdField`   per-type id key (reference app.js:46)
+  *   - `checkpoint`      initial updatedFromMs (default 1 = full history)
+  *   - `fetcherClass`    FQCN of a [[FetcherFactory]] (tests plug stubs;
+  *                       default is the java.net.http transport)
+  *   - `header.<name>`   HTTP headers for the default transport
+  */
+class EntityTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-entities"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Model.entityBatchSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new EntityTable(EntitySourceConfig.from(new CaseInsensitiveStringMap(properties)))
+}
+
+/** Pluggable page transport, instantiated by FQCN on the driver. */
+trait FetcherFactory extends Serializable {
+  def fetcher(options: Map[String, String]): EntityApiSource.Fetcher
+}
+
+final class HttpFetcherFactory extends FetcherFactory {
+  override def fetcher(options: Map[String, String]): EntityApiSource.Fetcher = {
+    val headers = options.collect { case (k, v) if k.startsWith("header.") => k.stripPrefix("header.") -> v }
+    EntityApiSource.httpFetcher(headers)
+  }
+}
+
+final case class EntitySourceConfig(
+    urlTemplate: String, entityType: EntityType, startCheckpoint: Long,
+    fetcherClass: String, options: Map[String, String]) {
+  def fetch: EntityApiSource.Fetcher =
+    Class.forName(fetcherClass).getDeclaredConstructor().newInstance()
+      .asInstanceOf[FetcherFactory].fetcher(options)
+}
+
+object EntitySourceConfig {
+  def from(options: CaseInsensitiveStringMap): EntitySourceConfig = {
+    val m = options.asCaseSensitiveMap().asScala.toMap
+    EntitySourceConfig(
+      urlTemplate = options.get("urlTemplate"),
+      entityType = EntityType(options.get("type"), options.get("uniqueIdField")),
+      startCheckpoint = Option(options.get("checkpoint")).map(_.toLong).getOrElse(Model.DefaultCheckpoint),
+      fetcherClass = Option(options.get("fetcherClass")).getOrElse(classOf[HttpFetcherFactory].getName),
+      options = m)
+  }
+}
+
+class EntityTable(config: EntitySourceConfig) extends Table with SupportsRead {
+  override def name(): String = s"graft-entities(${config.entityType.name})"
+  override def schema(): StructType = Model.entityBatchSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new EntityScan(config)
+    }
+}
+
+/** Drains the pagination loop from `from` until !partialResults; returns
+  * (raw item json strings, final checkpoint). Driver-side, like the
+  * reference (pages are causally sequential — each page's window starts at
+  * the previous page's max event time).
+  */
+object PageDrain {
+  def drain(config: EntitySourceConfig, from: Long): (Seq[String], Long) = {
+    val fetch = config.fetch
+    val items = Seq.newBuilder[String]
+    var checkpoint = from
+    var partial = true
+    while (partial) {
+      val page = EntityApiSource.fetchPage(fetch, config.urlTemplate, config.entityType, checkpoint)
+      items ++= page.items
+      val maxTs = page.items.flatMap(Json.parseFlatObject(_).get(Model.UpdatedOnMs))
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+      // checkpoint = max(updatedOnMs) over all fetched items (cache.js:100-108);
+      // invalid/absent keeps previous; stall bump under partialResults (:114-117)
+      val next = if (maxTs.isEmpty) checkpoint else math.max(checkpoint, maxTs.max)
+      checkpoint = if (page.partialResults && next == checkpoint) checkpoint + 1 else next
+      partial = page.partialResults
+    }
+    (items.result(), checkpoint)
+  }
+}
+
+class EntityScan(config: EntitySourceConfig) extends Scan {
+  override def readSchema(): StructType = Model.entityBatchSchema
+  override def description(): String = s"graft-entities scan (${config.entityType.name})"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val (items, _) = PageDrain.drain(config, config.startCheckpoint)
+      EntityScan.partition(items, config.entityType.uniqueIdField)
+    }
+    override def createReaderFactory(): PartitionReaderFactory = EntityReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new EntityMicroBatchStream(config)
+}
+
+object EntityScan {
+  /** Split a drained page list into input partitions (rows were fetched on
+    * the driver; executors parse them — parallelism in parse + downstream).
+    */
+  def partition(items: Seq[String], idField: String, slices: Int = 8): Array[InputPartition] =
+    if (items.isEmpty) Array.empty
+    else items.grouped(math.max(1, math.ceil(items.size.toDouble / slices).toInt))
+      .map(chunk => EntityInputPartition(chunk.toArray, idField): InputPartition).toArray
+}
+
+final case class EntityInputPartition(items: Array[String], idField: String) extends InputPartition
+
+/** Streaming offset = the entity checkpoint (epoch millis). */
+final case class CheckpointOffset(ms: Long) extends Offset {
+  override def json(): String = ms.toString
+}
+
+class EntityMicroBatchStream(config: EntitySourceConfig) extends MicroBatchStream {
+  // items drained for the current (start, end] window, keyed by end offset
+  @volatile private var pending: (Long, Seq[String]) = (config.startCheckpoint, Seq.empty)
+  @volatile private var current: Long = config.startCheckpoint
+
+  override def initialOffset(): Offset = CheckpointOffset(config.startCheckpoint)
+  override def deserializeOffset(json: String): Offset = CheckpointOffset(json.toLong)
+
+  override def latestOffset(): Offset = {
+    val (items, next) = PageDrain.drain(config, current)
+    if (next != current) pending = (next, items)
+    CheckpointOffset(math.max(next, current))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val endMs = end.asInstanceOf[CheckpointOffset].ms
+    val items = if (pending._1 == endMs) pending._2 else PageDrain.drain(config,
+      start.asInstanceOf[CheckpointOffset].ms)._1
+    EntityScan.partition(items, config.entityType.uniqueIdField)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = EntityReaderFactory
+
+  override def commit(end: Offset): Unit = {
+    current = end.asInstanceOf[CheckpointOffset].ms
+  }
+  override def stop(): Unit = ()
+}
+
+object EntityReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[EntityInputPartition]
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < p.items.length }
+      override def get(): InternalRow = {
+        // flat string->scalar entities (SURVEY.md §1.1); values stringified
+        val obj = Json.parseFlatObject(p.items(i))
+        val id = obj.get(p.idField).map(UTF8String.fromString).orNull
+        val updated = obj.get(Model.UpdatedOnMs)
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+        val attrs = obj - Model.UpdatedOnMs
+        val keys = attrs.keys.toArray.map(k => UTF8String.fromString(k): AnyRef)
+        val vals = attrs.values.toArray.map(v => UTF8String.fromString(v): AnyRef)
+        InternalRow(id,
+          updated.map(Long.box).orNull,
+          ArrayBasedMapData(keys, vals))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.source.v2.{EntityTableProvider, FetcherFactory}
+import graft.source.EntityApiSource
+import org.apache.spark.sql.functions._
+
+/** Stub transport for the V2 connector specs: pages keyed by checkpoint. */
+class StubFetcherFactory extends FetcherFactory {
+  override def fetcher(options: Map[String, String]): EntityApiSource.Fetcher = url => {
+    val ckpt = url.split("updatedFromMs=")(1).toLong
+    StubFetcherFactory.pages.getOrElse(ckpt, """{"items": [], "partialResults": false}""")
+  }
+}
+object StubFetcherFactory {
+  val pages: Map[Long, String] = Map(
+    1L ->
+      """{"items": [{"uid": "a", "color": "red", "updatedOnMs": 100},
+        |           {"uid": "b", "color": "blue", "updatedOnMs": 200}], "partialResults": true}""".stripMargin,
+    200L ->
+      """{"items": [{"uid": "b", "color": "blue", "updatedOnMs": 200},
+        |           {"uid": "c", "color": "green", "updatedOnMs": 300}], "partialResults": false}""".stripMargin)
+}
+
+/** DataSource V2 connector: batch read drains the pagination loop with the
+  * stall-proof checkpoint advance; short name resolves via
+  * DataSourceRegister; rows land in the canonical (id, updatedOnMs, attrs)
+  * shape with pushdown-by-URL.
+  */
+class EntitySourceV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def read() = spark.read.format("graft-entities")
+    .option("urlTemplate", "stub://e?type={{type}}&updatedFromMs={{updatedFromMs}}")
+    .option("type", "widget")
+    .option("uniqueIdField", "uid")
+    .option("fetcherClass", classOf[StubFetcherFactory].getName)
+    .load()
+
+  test("batch read drains all pages; duplicate boundary rows arrive (CDC suppresses downstream)") {
+    val df = read()
+    assert(df.schema.fieldNames.toSeq == Seq("id", "updatedOnMs", "attrs"))
+    val rows = df.select($"id", $"updatedOnMs", element_at($"attrs", "color"))
+      .as[(String, Long, String)].collect().sorted.toSeq
+    // 4 raw rows: b is re-fetched at the inclusive checkpoint boundary (W3)
+    assert(rows == Seq(("a", 100L, "red"), ("b", 200L, "blue"), ("b", 200L, "blue"), ("c", 300L, "green")))
+  }
+
+  test("checkpoint option starts mid-stream (URL pushdown of the predicate)") {
+    val df = spark.read.format("graft-entities")
+      .option("urlTemplate", "stub://e?type={{type}}&updatedFromMs={{updatedFromMs}}")
+      .option("type", "widget").option("uniqueIdField", "uid")
+      .option("checkpoint", "200")
+      .option("fetcherClass", classOf[StubFetcherFactory].getName)
+      .load()
+    assert(df.select("id").as[String].collect().sorted.toSeq == Seq("b", "c"))
+  }
+
+  test("composes with the CDC filter + template like any DataFrame") {
+    val batch = read()
+    val state = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.model.Model.stateSchema)
+    val changed = graft.cdc.ChangeFilter.newOrUpdatedEntities(batch.dropDuplicates("id"), state)
+    assert(changed.count() == 3)
+  }
+}
