@@ -73,10 +73,20 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, numPerm: Int): DataFrame =
     minhashSignaturesExploded(df.select(col(idCol), explode(shingles).as("__sh")), idCol, numPerm)
 
-  /** Same, over pre-exploded (id, __sh) rows. */
+  /** Same, over pre-exploded (id, __sh) rows.
+    *
+    * Permutation hashes are derived from two base string hashes: each
+    * permutation re-hashes the fixed-width (seed, b1, b2) triple rather
+    * than the variable-length shingle — string bytes are scanned twice
+    * per shingle instead of numPerm times, at equivalent MinHash quality.
+    * (An affine h1 + i*h2 mix would be cheaper still, but ANSI mode —
+    * Spark 4's default — faults on the intentional long wraparound.)
+    */
   def minhashSignaturesExploded(exploded: DataFrame, idCol: String, numPerm: Int): DataFrame = {
-    val aggs = (0 until numPerm).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"__h$i"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val hashed = exploded.select(col(idCol),
+      xxhash64(col("__sh")).as("__b1"), xxhash64(lit(1), col("__sh")).as("__b2"))
+    val aggs = (0 until numPerm).map(i => min(xxhash64(lit(i), col("__b1"), col("__b2"))).as(s"__h$i"))
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until numPerm).map(i => col(s"__h$i")): _*).as("sig"))
   }
 
@@ -165,9 +175,12 @@ object Dedup {
       blockCols: Seq[String] = Nil): DataFrame = {
     val sh = explodedShingles(df, idCol, text, shingleLen, blockCols)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val joinKeys = "__sh" +: blockCols
-    val l = sh.select(col(idCol).as("id_a") +: joinKeys.map(col): _*)
-    val r = sh.select(col(idCol).as("id_b") +: joinKeys.map(col): _*)
+    // join on the 64-bit shingle hash, not the string: smaller shuffle keys
+    // (collision risk ~n²/2^65 — immaterial at any realistic shingle count)
+    val shh = sh.withColumn("__shh", xxhash64(col("__sh"))).drop("__sh")
+    val joinKeys = "__shh" +: blockCols
+    val l = shh.select(col(idCol).as("id_a") +: joinKeys.map(col): _*)
+    val r = shh.select(col(idCol).as("id_b") +: joinKeys.map(col): _*)
     val inter = l.join(r, joinKeys).where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__c"))
     inter

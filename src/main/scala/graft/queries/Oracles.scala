@@ -150,9 +150,9 @@ object Oracles {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x1_exact_dedup" ->
-      s"""WITH n AS (SELECT doc_id, $norm AS nt FROM documents)
-         |SELECT min(doc_id) AS keeper_id, count(*) AS dup_count, md5(nt) AS key_md5
-         |FROM n GROUP BY nt ORDER BY keeper_id""".stripMargin,
+      s"""WITH n AS (SELECT doc_id, md5($norm) AS ntd FROM documents)
+         |SELECT min(doc_id) AS keeper_id, count(*) AS dup_count, ntd AS key_md5
+         |FROM n GROUP BY ntd ORDER BY keeper_id""".stripMargin,
 
     "x2_ngram_jaccard" ->
       s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),

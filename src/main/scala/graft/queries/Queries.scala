@@ -292,8 +292,10 @@ object Queries {
   // ==================================================================
 
   private def x1ExactDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exact(t(spark, dir, "documents"), "doc_id", Dedup.normalizeText(col("text")))
-      .select(col("keeper_id"), col("dup_count"), md5(col("dedup_key")).as("key_md5"))
+    // group on the md5 digest (collision-free in practice): the shuffle
+    // moves 32-byte keys instead of full document texts
+    Dedup.exact(t(spark, dir, "documents"), "doc_id", md5(Dedup.normalizeText(col("text"))))
+      .select(col("keeper_id"), col("dup_count"), col("dedup_key").as("key_md5"))
       .orderBy("keeper_id")
 
   private def x2NgramJaccard(spark: SparkSession, dir: String): DataFrame =
