@@ -109,6 +109,26 @@ object Oracles {
         |        ORDER BY o_totalprice DESC, o_orderkey) rn FROM orders)
         |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
 
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_late FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |  AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cube_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "set_intersect_users" ->
+      """SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |WHERE event_type = 'click'
+        |INTERSECT SELECT user_id, epoch_ms(ts) // 86400000 FROM events
+        |WHERE event_type = 'error'
+        |ORDER BY user_id, day""".stripMargin,
+
     "set_except_users" ->
       """SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
         |WHERE event_type IN ('click','view')

@@ -266,6 +266,42 @@ object Queries {
       .select("s_suppkey", "s_name")
       .orderBy("s_suppkey")
 
+  /** Correlated-EXISTS semi join (TPC-H Q4 shape): orders with at least one
+    * lineitem shipped more than 60 days after the order date, counted per
+    * priority class.
+    */
+  private def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate").cast(DateType) > date_add(col("o_orderdate").cast(DateType), 60),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** CUBE grouping sets over order status x priority. */
+  private def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice"), 18, 2).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  /** Set intersection: (user, day) pairs that clicked AND errored that day. */
+  private def setIntersectUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .withColumn("day", expr("(ts div 1000000) div 86400000"))
+    ev.where(col("event_type") === "click").select("user_id", "day")
+      .intersect(ev.where(col("event_type") === "error").select("user_id", "day"))
+      .orderBy("user_id", "day")
+  }
+
   /** W-family: tumbling hourly window aggregation on the event stream. */
   private def wTumblingHourly(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
@@ -373,6 +409,9 @@ object Queries {
     "q3_top_orders" -> (q3TopOrders _),
     "q5_region_revenue" -> (q5RegionRevenue _),
     "w_topk_orders" -> (wTopkOrders _),
+    "q4_late_orders" -> (q4LateOrders _),
+    "cube_orders" -> (cubeOrders _),
+    "set_intersect_users" -> (setIntersectUsers _),
     "set_except_users" -> (setExceptUsers _),
     "rollup_customers" -> (rollupCustomers _),
     "j_anti_no_orders" -> (jAntiNoOrders _),
