@@ -24,8 +24,14 @@ import org.apache.spark.sql.types._
   */
 object Queries {
 
+  /** Table accessor: prefers a session temp view named `name` when one is
+    * registered (Bench pre-registers CACHED views so the 33 queries scan
+    * each input once), else reads the parquet directly (Verify path — keeps
+    * scan-level pushdown observable).
+    */
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (spark.catalog.tableExists(name)) spark.table(name)
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   private def tsMs(c: Column): Column = Canonical.tsMillis(c)
 
@@ -239,15 +245,16 @@ object Queries {
     * form shared with the oracle.
     */
   private def rollupCustomers(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "customer").createOrReplaceTempView("customer")
-    t(spark, dir, "nation").createOrReplaceTempView("nation")
-    t(spark, dir, "region").createOrReplaceTempView("region")
+    // distinct view names: must not clobber Bench's cached input views
+    t(spark, dir, "customer").createOrReplaceTempView("graft_rollup_customer")
+    t(spark, dir, "nation").createOrReplaceTempView("graft_rollup_nation")
+    t(spark, dir, "region").createOrReplaceTempView("graft_rollup_region")
     spark.sql(
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         |  count(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey
+        |FROM graft_rollup_customer JOIN graft_rollup_nation ON c_nationkey = n_nationkey
+        |  JOIN graft_rollup_region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin)
   }
 

@@ -3,6 +3,7 @@ package graft.template
 import graft.functions.Canonical
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Compiles the reference's Handlebars-subset templates into a single
   * Catalyst `Column` producing the rendered document per row — templates stay
@@ -55,6 +56,23 @@ object TemplateCompiler {
     case p if p.startsWith("entity.") => coalesce(col(p.stripPrefix("entity.")).cast("string"), lit(""))
     case p if p.startsWith("env.")    => lit(env.getOrElse(p.stripPrefix("env."), ""))
     case p                            => coalesce(col(p).cast("string"), lit(""))
+  }
+
+  /** Load every `*.hbs` in a directory into a name -> template-text map —
+    * users add a transform by dropping a file, no code change (reference
+    * templates.js:15-28, README.md:161-171). Compilation to Columns happens
+    * once per type at plan build.
+    */
+  def loadTemplateDir(dir: java.nio.file.Path): Map[String, String] = {
+    if (!java.nio.file.Files.isDirectory(dir)) Map.empty
+    else {
+      val stream = java.nio.file.Files.list(dir)
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".hbs"))
+        .map(p => p.getFileName.toString.stripSuffix(".hbs") -> java.nio.file.Files.readString(p))
+        .toMap
+      finally stream.close()
+    }
   }
 
   // ---------------------------------------------------------------- parsing

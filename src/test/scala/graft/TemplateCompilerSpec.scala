@@ -73,6 +73,17 @@ class TemplateCompilerSpec extends SparkSpec {
     assert(url == "https://host/v2/entities?type=awsEc2&updatedFromMs=1700000000000")
   }
 
+  test("loadTemplateDir scans *.hbs files generically (templates.js:15-28)") {
+    val dir = java.nio.file.Files.createTempDirectory("tpl")
+    java.nio.file.Files.writeString(dir.resolve("awsEc2.hbs"), """{"a": "{{entity.x}}"}""")
+    java.nio.file.Files.writeString(dir.resolve("gce.hbs"), """{"b": "{{entity.y}}"}""")
+    java.nio.file.Files.writeString(dir.resolve("notes.txt"), "ignored")
+    val loaded = TemplateCompiler.loadTemplateDir(dir)
+    assert(loaded.keySet == Set("awsEc2", "gce"))
+    assert(loaded("awsEc2").contains("entity.x"))
+    assert(TemplateCompiler.loadTemplateDir(dir.resolve("missing")).isEmpty)
+  }
+
   test("parse rejects unbalanced constructs") {
     intercept[IllegalArgumentException](TemplateCompiler.parse("{{#with entity.a}}no close"))
     intercept[IllegalArgumentException](TemplateCompiler.parse("{{unterminated"))
