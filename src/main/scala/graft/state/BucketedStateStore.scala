@@ -1,0 +1,91 @@
+package graft.state
+
+import graft.model.Model
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+
+/** Bucketed variant of the entity state table — the 100 TB posture from
+  * SURVEY.md §7.5: state is the big side of the CDC join, so it is stored
+  * bucketed (+sorted) by `id`. Re-reading it for the join then produces NO
+  * exchange on the state side — only the (much smaller) incoming batch is
+  * shuffled to the state's bucketing, every run.
+  *
+  * Commits alternate between two bucketed tables (blue/green) because a
+  * catalog table cannot be overwritten by a plan that reads it; a pointer
+  * file records which generation is current, preserving the reference's
+  * page-granular commit (app.js:57-58) with crash-safe swap semantics.
+  *
+  * (In a real deployment the catalog is a shared metastore; here the
+  * in-session catalog carries the bucketing metadata, which is exactly what
+  * the CDC join needs within a run.)
+  */
+final class BucketedStateStore(spark: SparkSession, root: String, buckets: Int = 8) {
+
+  private def typeDir(t: String): Path = Paths.get(root, t)
+  private def ckptFile(t: String): Path = typeDir(t).resolve("checkpoint")
+  private def genFile(t: String): Path = typeDir(t).resolve("generation")
+  // store-unique table names: two stores (or re-runs over a reused
+  // warehouse) must not collide
+  private val storeId = Integer.toHexString(root.hashCode).takeWhile(_ != '-')
+  private def tableName(t: String, gen: Long): String = s"graft_state_${storeId}_${t}_g${gen % 2}"
+
+  private def currentGen(t: String): Option[Long] =
+    if (Files.exists(genFile(t))) Some(Files.readString(genFile(t)).trim.toLong) else None
+
+  def load(entityType: String): (DataFrame, Long) = {
+    val df = currentGen(entityType) match {
+      case Some(gen) => spark.table(tableName(entityType, gen))
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Model.stateSchema)
+    }
+    val ckpt =
+      if (Files.exists(ckptFile(entityType))) Files.readString(ckptFile(entityType)).trim.toLong
+      else Model.DefaultCheckpoint
+    (df, ckpt)
+  }
+
+  /** Same commit semantics as [[EntityStateStore.commit]] (upsert + TTL
+    * eviction + checkpoint advance), materialized as a bucketed, id-sorted
+    * catalog table in the next generation slot.
+    */
+  def commit(entityType: String, batch: DataFrame, nowMs: Long, ttlMs: Long,
+             newCheckpoint: Long): Unit = {
+    val (state, _) = load(entityType)
+    val fresh = batch
+      .select(col("id"), lit(nowMs + ttlMs).as("ttl"), col("entityJson"), col("entityHash"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("id").orderBy(col("entityHash"))))
+      .where(col("__rn") === 1).drop("__rn")
+    val survivors = state
+      .where(col("ttl") >= lit(nowMs))
+      .join(fresh.select(col("id").as("__bid")), col("id") === col("__bid"), "left_anti")
+    val next = survivors.unionByName(fresh).select(Model.stateSchema.fieldNames.map(col): _*)
+
+    val gen = currentGen(entityType).map(_ + 1).getOrElse(0L)
+    dropStale(tableName(entityType, gen))
+    next.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet")
+      .saveAsTable(tableName(entityType, gen))
+
+    Files.createDirectories(typeDir(entityType))
+    Files.writeString(genFile(entityType), gen.toString)
+    Files.writeString(ckptFile(entityType), newCheckpoint.toString)
+  }
+
+  /** Drop the slot's table AND its warehouse directory — a crashed previous
+    * session can leave the directory behind with no catalog entry, which
+    * blocks re-creation (LOCATION_ALREADY_EXISTS).
+    */
+  private def dropStale(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    val dir = Paths.get(loc.getPath)
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+}
