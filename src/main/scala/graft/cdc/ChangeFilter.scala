@@ -48,7 +48,7 @@ object ChangeFilter {
       // new (no cached row, cache.js:75-77) or changed (digest differs,
       // cache.js:83-85). Null-safe: a null cached hash never suppresses.
       .where(col("__sid").isNull || !(col("__shash") <=> col("__hash")))
-      .drop("__sid", "__shash")
+      .drop("__sid", "__shash", "__hash")
   }
 
   /** Convenience for the canonical batch shape (id, updatedOnMs, attrs). */

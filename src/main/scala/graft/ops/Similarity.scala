@@ -80,7 +80,6 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellCol: String = "label"): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     // per-cell centroid: element-wise mean via posexplode + pivot-free agg
     val cent = corpus
       .select(col(cellCol).as("__cell"), posexplode(col(vecCol)).as(Seq("__i", "__x")))

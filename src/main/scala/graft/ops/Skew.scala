@@ -25,6 +25,19 @@ object Skew {
   def salt(buckets: Int, identityCols: Column*): Column =
     pmod(hash(identityCols: _*), lit(buckets))
 
+  /** Join types whose semantics survive small-side replication: unmatched
+    * SMALL-side rows never appear in these outputs, so replicating the
+    * small side across salt buckets (or hot/cold branches) cannot
+    * duplicate them. right/full joins would emit one row per replica.
+    */
+  private val replicationSafeJoinTypes =
+    Set("inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+
+  private def requireReplicationSafe(joinType: String): Unit =
+    require(replicationSafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"join type '$joinType' is not replication-safe (unmatched small-side rows would duplicate); " +
+        "use inner/left/left_semi/left_anti")
+
   /** Salted equi-join: `large` join `small` on `key`, with the large side
     * salted into `buckets` sub-keys and the small side exploded across all
     * buckets. Result columns = large.* ++ small.* minus the duplicate key.
@@ -32,6 +45,7 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, buckets: Int,
                  joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    requireReplicationSafe(joinType)
     val idCols = large.columns.map(col)
     val l = large.withColumn("__salt", salt(buckets, idCols.toIndexedSeq: _*))
     val s = small.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
@@ -44,6 +58,7 @@ object Skew {
     */
   def hotColdJoin(large: DataFrame, small: DataFrame, key: String, hotKeys: Seq[Any],
                   joinType: String = "inner"): DataFrame = {
+    requireReplicationSafe(joinType)
     val hot = large.where(col(key).isInCollection(hotKeys))
       .join(broadcast(small), Seq(key), joinType)
     val cold = large.where(!col(key).isInCollection(hotKeys) || col(key).isNull)

@@ -65,10 +65,10 @@ final class EntityEtlJob(
   /** One page end-to-end: filter, transform, send, commit. */
   def processPage(entityType: EntityType, page: Page, prevCheckpoint: Long): PageStats = {
     val (state, _) = store.load(entityType.name)
-    val batch = EntityApiSource.pageToDf(spark, page, entityType)
-
-    // cache: the batch feeds the CDC filter, the send AND the state commit
-    val valid = ChangeFilter.dropMissingId(batch, "id").cache()
+    // cache: the raw batch feeds the checkpoint calc, the CDC filter, the
+    // send AND the state commit
+    val batch = EntityApiSource.pageToDf(spark, page, entityType).cache()
+    val valid = ChangeFilter.dropMissingId(batch, "id")
 
     val changed = ChangeFilter.newOrUpdatedEntities(valid, state).cache()
     val emitted = changed.count()
@@ -87,11 +87,13 @@ final class EntityEtlJob(
       col("id"),
       to_json(array_sort(map_entries(strippedAttrs))).as("entityJson"),
       Canonical.canonicalHashExcept(col("attrs"), Model.IgnoredProps).as("entityHash"))
-    val nextCkpt = store.nextCheckpoint(valid, Model.UpdatedOnMs, prevCheckpoint, page.partialResults)
+    // checkpoint = max over ALL fetched items, including rows the
+    // missing-id filter dropped (reference cache.js:100 counts every item)
+    val nextCkpt = store.nextCheckpoint(batch, Model.UpdatedOnMs, prevCheckpoint, page.partialResults)
     store.commit(entityType.name, toCommit, nowMs, ttlMs, nextCkpt)
 
     val fetched = valid.count()
-    valid.unpersist(); changed.unpersist()
+    batch.unpersist(); changed.unpersist()
     PageStats(fetched, emitted, batches, nextCkpt)
   }
 }

@@ -213,7 +213,7 @@ object Oracles {
       s"""WITH b AS (SELECT doc_id, $norm AS nt FROM documents),
          |w AS (SELECT doc_id, nt, list_filter(string_split(nt, ' '), x -> len(x) > 0) AS ws FROM b),
          |m AS (SELECT doc_id, nt, len(ws) AS nw,
-         |        list_sum(list_transform(ws, x -> len(x))) AS sumlen,
+         |        coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS sumlen,
          |        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','the','a','and','of','to','in','is','el','la','de','y','que','los','un','le','et','les','des','une','de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS nstop
          |      FROM w)
          |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,

@@ -45,7 +45,10 @@ object HttpBatchSink {
   /** Send `docs` (a single string column of rendered documents) in batches.
     * Skips empty input without a request (reference app.js:89-91).
     *
-    * @return number of batches sent (driver-visible, via accumulator)
+    * @return number of batches sent (driver-visible, via accumulator).
+    *         Task retries re-send AND re-count — the value can exceed
+    *         ceil(n/maxBatchSize) under failures, consistent with the
+    *         at-least-once delivery contract (W2).
     */
   def send(docs: DataFrame, maxBatchSize: Int, senderFactory: SenderFactory): Long = {
     require(maxBatchSize > 0, "maxBatchSize must be positive")

@@ -164,7 +164,30 @@ private[graft] object Json {
     m.result()
   }
 
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
-      .replace("\\r", "\r").replace("\\t", "\t")
+  /** Single-pass JSON string unescape — sequential replace passes corrupt
+    * adjacent sequences (e.g. literal backslash + 'n' becoming a newline).
+    */
+  private def unescape(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'  => out.append('\n'); i += 2
+          case 'r'  => out.append('\r'); i += 2
+          case 't'  => out.append('\t'); i += 2
+          case 'b'  => out.append('\b'); i += 2
+          case 'f'  => out.append('\f'); i += 2
+          case '"'  => out.append('"'); i += 2
+          case '/'  => out.append('/'); i += 2
+          case '\\' => out.append('\\'); i += 2
+          case 'u' if i + 5 < s.length + 1 && i + 6 <= s.length =>
+            out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => out.append(other); i += 2
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 }

@@ -161,8 +161,20 @@ class EntityMicroBatchStream(config: EntitySourceConfig) extends MicroBatchStrea
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val endMs = end.asInstanceOf[CheckpointOffset].ms
-    val items = if (pending._1 == endMs) pending._2 else PageDrain.drain(config,
-      start.asInstanceOf[CheckpointOffset].ms)._1
+    val items =
+      if (pending._1 == endMs) pending._2
+      else {
+        // recovery replay: re-drain from `start`, but BOUND the batch at the
+        // committed end offset — rows newer than endMs belong to the next
+        // batch (they re-arrive because the next start is endMs); without
+        // the bound a replayed batch would differ from its original contents
+        val drained = PageDrain.drain(config, start.asInstanceOf[CheckpointOffset].ms)._1
+        drained.filter { item =>
+          Json.parseFlatObject(item).get(Model.UpdatedOnMs)
+            .flatMap(v => scala.util.Try(v.toLong).toOption)
+            .forall(_ <= endMs)
+        }
+      }
     EntityScan.partition(items, config.entityType.uniqueIdField)
   }
 

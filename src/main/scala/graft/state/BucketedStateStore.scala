@@ -28,7 +28,8 @@ final class BucketedStateStore(spark: SparkSession, root: String, buckets: Int =
   private def genFile(t: String): Path = typeDir(t).resolve("generation")
   // store-unique table names: two stores (or re-runs over a reused
   // warehouse) must not collide
-  private val storeId = Integer.toHexString(root.hashCode).takeWhile(_ != '-')
+  private val storeId = java.security.MessageDigest.getInstance("MD5")
+    .digest(root.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
   private def tableName(t: String, gen: Long): String = s"graft_state_${storeId}_${t}_g${gen % 2}"
 
   private def currentGen(t: String): Option[Long] =
