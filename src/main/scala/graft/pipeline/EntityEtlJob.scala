@@ -71,12 +71,18 @@ final class EntityEtlJob(
     val valid = ChangeFilter.dropMissingId(batch, "id")
 
     val changed = ChangeFilter.newOrUpdatedEntities(valid, state).cache()
-    val emitted = changed.count()
+
+    // A2 counts ride the send job as observed metrics (df.observe) instead
+    // of separate count() actions — one job materializes send + both counts
+    val obs = new org.apache.spark.sql.Observation(s"graft-page-${System.nanoTime()}")
 
     // T1: compile this type's template once into a single Column
     val doc: Column = TemplateCompiler.compileTemplate(
       templates(entityType.name), TemplateCompiler.mapResolver(col("attrs")), escapeHtml)
-    val batches = HttpBatchSink.send(changed.select(doc.as("doc")), maxBatchSize, senderFactory)
+    val batches = HttpBatchSink.send(
+      changed.observe(obs, count(lit(1)).as("emitted")).select(doc.as("doc")),
+      maxBatchSize, senderFactory)
+    val emitted = obs.get("emitted").asInstanceOf[Long]
 
     // commit AFTER send (W2). All fetched ids get a TTL refresh
     // (cache.js:79 runs before the change test), cached copy minus

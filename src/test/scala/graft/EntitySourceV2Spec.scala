@@ -55,6 +55,22 @@ class EntitySourceV2Spec extends SparkSpec {
     assert(df.select("id").as[String].collect().sorted.toSeq == Seq("b", "c"))
   }
 
+  test("micro-batch streaming read: offset = checkpoint, pages arrive incrementally") {
+    val out = spark.readStream.format("graft-entities")
+      .option("urlTemplate", "stub://e?type={{type}}&updatedFromMs={{updatedFromMs}}")
+      .option("type", "widget").option("uniqueIdField", "uid")
+      .option("fetcherClass", classOf[StubFetcherFactory].getName)
+      .load()
+    val q = out.writeStream.format("memory").queryName("v2_stream")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("v2s").toString)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // the first latestOffset drains the full pagination loop (both pages)
+    val ids = spark.table("v2_stream").select("id").as[String].collect().sorted.toSeq
+    assert(ids == Seq("a", "b", "b", "c"))
+  }
+
   test("composes with the CDC filter + template like any DataFrame") {
     val batch = read()
     val state = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
