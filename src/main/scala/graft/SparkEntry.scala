@@ -16,6 +16,10 @@ object SparkEntry {
     * Returns the committed state table; driver smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
+    // the driver may pass a session it built itself: events.ts is parquet
+    // TIMESTAMP(NANOS), which Spark 4 only reads with this (runtime-settable)
+    // legacy conf
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sfDir = "/root/testdata/sf0.001"
     val events = spark.read.parquet(s"$sfDir/events.parquet")
 

@@ -403,7 +403,17 @@ object Queries {
   // Registry
   // ==================================================================
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Session confs the queries depend on, all runtime-settable — applied
+    * defensively in case the harness passes a session it built itself:
+    * nanos parquet reads (events.ts) and unchunked base64 (x4 digests).
+    */
+  private def ensureSessionConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.chunkBase64String.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  private val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s2_incremental_scan" -> (s2IncrementalScan _),
     "f2_cdc_filter" -> (f2CdcFilter _),
     "f3_missing_id_drop" -> (f3MissingIdDrop _),
@@ -438,4 +448,9 @@ object Queries {
     "x4_multimodal_meta" -> (x4MultimodalMeta _),
     "x4_decode_stub" -> (x4DecodeStub _)
   )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (name, fn) =>
+      name -> ((spark: SparkSession, dir: String) => { ensureSessionConfs(spark); fn(spark, dir) })
+    }
 }
