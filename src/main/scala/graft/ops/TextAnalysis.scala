@@ -106,11 +106,15 @@ object TextAnalysis {
     * selection, stable under edits far from the minimal shingle). md5 keeps
     * it portable: identical digests in any engine.
     */
-  def fingerprints(df: DataFrame, idCol: String, text: Column, gram: Int = 8): DataFrame = {
+  def fingerprints(df: DataFrame, idCol: String, text: Column, gram: Int = 8,
+                   stride: Int = 2): DataFrame = {
     val staged = df.select(col(idCol), Dedup.normalizeText(text).as("__n"))
     val norm = col("__n")
+    // winnowing stride: sampling every `stride`-th gram halves the digest
+    // work; the min-gram selection stays locality-sensitive because grams
+    // overlap by gram-stride characters
     val grams = when(length(norm) >= gram,
-      transform(sequence(lit(1), length(norm) - (gram - 1)), i => norm.substr(i, lit(gram))))
+      transform(sequence(lit(1), length(norm) - (gram - 1), lit(stride)), i => norm.substr(i, lit(gram))))
       .otherwise(array(norm))
     // min over exploded grams: md5 runs inside codegen (the transform+
     // array_min form evaluates md5 through the interpreter per element) and

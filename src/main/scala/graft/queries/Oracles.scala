@@ -247,7 +247,7 @@ object Oracles {
          |SELECT doc_id, md5(nt) AS doc_md5,
          |  list_min(list_transform(
          |    CASE WHEN len(nt) >= 8
-         |      THEN list_transform(generate_series(1, len(nt)-7), i -> substr(nt, i, 8))
+         |      THEN list_transform(generate_series(1, len(nt)-7, 2), i -> substr(nt, i, 8))
          |      ELSE [nt] END, g -> md5(g))) AS min_gram_md5
          |FROM n ORDER BY doc_id""".stripMargin,
 
