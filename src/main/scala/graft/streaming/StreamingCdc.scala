@@ -118,4 +118,38 @@ object StreamingCdc {
     */
   def dedupWithinWatermark(events: DataFrame, idCols: Seq[String], tsCol: String, watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCols)
+
+  /** Streaming load path (W2): each micro-batch of changes renders through
+    * the per-type template and loads via the batched HTTP sink INSIDE
+    * foreachBatch — the send completes before Spark commits the batch's
+    * offset, so a crash between send and commit replays the batch
+    * (at-least-once, same ordering as the reference app.js:55-58).
+    *
+    * Returns a started query; caller owns the lifecycle.
+    */
+  def loadStream(
+      changes: Dataset[Change],
+      templateText: String,
+      senderFactory: graft.sink.HttpBatchSink.SenderFactory,
+      maxBatchSize: Int,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val docCol = graft.template.TemplateCompiler.compileTemplate(
+      templateText,
+      // changes carry canonical JSON payloads; expose id/type/payload fields
+      path => path match {
+        case "entity.id" => col("id").cast("string")
+        case "entity.updatedOnMs" => col("updatedOnMs").cast("string")
+        case "entity.changeType" => col("changeType")
+        case "entity.payload" => col("payload")
+        case p => lit("") // unknown field -> Handlebars empty-string default
+      })
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Change], _: Long) =>
+        graft.sink.HttpBatchSink.send(
+          batch.toDF().select(docCol.as("doc")), maxBatchSize, senderFactory)
+        () // commit happens after this returns (send-before-commit, W2)
+      }
+      .start()
+  }
 }

@@ -80,6 +80,26 @@ class StreamingCdcSpec extends SparkSpec {
     assert(rows.map(r => (r._2, r._3)).toSeq == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("foreachBatch load path: changes render + send before the offset commits") {
+    implicit val sqlCtx = spark.sqlContext
+    PipelineSpec.sentBodies.clear(); PipelineSpec.failSends = false
+    val input = MemoryStream[EntityEvent]
+    input.addData(
+      EntityEvent("7", 1, """{"v":"a"}"""),
+      EntityEvent("8", 2, """{"v":"b"}"""))
+    val changes = StreamingCdc.newOrUpdatedStream(input.toDS(), ttlMs = 0)
+    val q = StreamingCdc.loadStream(changes,
+      """{"id": "{{entity.id}}", "change": "{{entity.changeType}}", "doc": {{{entity.payload}}}}""",
+      PipelineSpec.collectingSender, maxBatchSize = 1,
+      Files.createTempDirectory("load-ckpt").toString)
+    q.processAllAvailable()
+    q.stop()
+    val bodies = scala.jdk.CollectionConverters.CollectionHasAsScala(PipelineSpec.sentBodies).asScala.toSeq
+    assert(bodies.size == 2) // maxBatchSize=1 -> one body per change
+    val all = bodies.mkString
+    assert(all.contains(""""change": "new"""") && all.contains(""""doc": {"v":"b"}"""))
+  }
+
   test("dropDuplicatesWithinWatermark suppresses overlap re-fetches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
