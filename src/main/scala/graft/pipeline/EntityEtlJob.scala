@@ -91,6 +91,7 @@ final class EntityEtlJob(
     val strippedAttrs = map_filter(col("attrs"), (k, _) => k =!= Model.UpdatedOnMs)
     val toCommit = valid.select(
       col("id"),
+      col(Model.UpdatedOnMs), // LWW dedup inside commit keeps the newest version per id
       to_json(array_sort(map_entries(strippedAttrs))).as("entityJson"),
       Canonical.canonicalHashExcept(col("attrs"), Model.IgnoredProps).as("entityHash"))
     // checkpoint = max over ALL fetched items, including rows the

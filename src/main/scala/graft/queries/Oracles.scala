@@ -254,7 +254,7 @@ object Oracles {
     "x4_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(base64(encode(text))) AS content_md5,
-        |  base64(encode(substr(text, 1, 12))) AS b64_head
+        |  base64(unhex(substr(hex(encode(text)), 1, 24))) AS b64_head
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

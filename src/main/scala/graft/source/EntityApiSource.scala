@@ -151,15 +151,85 @@ private[graft] object Json {
     out.result()
   }
 
-  /** Parse `{"k":"v","n":1}` into Map(k->v, n->"1") — flat scalars only. */
+  /** Parse `{"k":"v","n":1}` into Map(k->v, n->"1") — flat scalars only.
+    *
+    * Cursor-based (not regex) so that (a) numbers in exponent notation
+    * (`1.5e9`) parse like any JSON number, and (b) nested object/array values
+    * are skipped whole instead of having their inner pairs hoisted to the top
+    * level.
+    */
   def parseFlatObject(obj: String): Map[String, String] = {
     val m = Map.newBuilder[String, String]
-    val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*"|-?\d+(?:\.\d+)?|true|false|null)""".r
-    pair.findAllMatchIn(obj).foreach { mm =>
-      val k = unescape(mm.group(1))
-      val v = mm.group(2)
-      val value = if (v.startsWith("\"")) unescape(v.substring(1, v.length - 1)) else v
-      m += k -> value
+    var i = obj.indexOf('{')
+    if (i < 0) return Map.empty
+    i += 1
+
+    def skipWs(): Unit = while (i < obj.length && obj.charAt(i).isWhitespace) i += 1
+
+    /** Scan a JSON string starting at the opening quote; returns the raw
+      * (still-escaped) contents and leaves `i` past the closing quote.
+      */
+    def scanString(): String = {
+      val start = i + 1
+      i += 1
+      var esc = false
+      while (i < obj.length && (esc || obj.charAt(i) != '"')) {
+        esc = !esc && obj.charAt(i) == '\\'
+        i += 1
+      }
+      val raw = obj.substring(start, i)
+      i += 1 // past closing quote
+      raw
+    }
+
+    /** Skip a nested `{...}` or `[...]` value wholesale (string-aware). */
+    def skipComposite(): Unit = {
+      var depth = 0; var inStr = false; var esc = false
+      var going = true
+      while (i < obj.length && going) {
+        val c = obj.charAt(i)
+        if (inStr) {
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"'       => inStr = true
+          case '{' | '[' => depth += 1
+          case '}' | ']' => depth -= 1; if (depth == 0) going = false
+          case _         =>
+        }
+        i += 1
+      }
+    }
+
+    val numberChars = "+-0123456789.eE"
+    var done = false
+    while (i < obj.length && !done) {
+      skipWs()
+      if (i >= obj.length || obj.charAt(i) == '}') done = true
+      else if (obj.charAt(i) == ',') i += 1
+      else if (obj.charAt(i) == '"') {
+        val key = unescape(scanString())
+        skipWs()
+        if (i < obj.length && obj.charAt(i) == ':') {
+          i += 1; skipWs()
+          if (i < obj.length) obj.charAt(i) match {
+            case '"' =>
+              m += key -> unescape(scanString())
+            case '{' | '[' =>
+              skipComposite() // non-flat value: skip, keep only flat scalars
+            case c if numberChars.indexOf(c.toInt) >= 0 =>
+              val start = i
+              while (i < obj.length && numberChars.indexOf(obj.charAt(i).toInt) >= 0) i += 1
+              m += key -> obj.substring(start, i)
+            case 't' | 'f' | 'n' =>
+              val start = i
+              while (i < obj.length && obj.charAt(i).isLetter) i += 1
+              m += key -> obj.substring(start, i)
+            case _ => i += 1
+          }
+        }
+      } else i += 1
     }
     m.result()
   }

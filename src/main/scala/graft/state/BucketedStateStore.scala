@@ -54,10 +54,8 @@ final class BucketedStateStore(spark: SparkSession, root: String, buckets: Int =
   def commit(entityType: String, batch: DataFrame, nowMs: Long, ttlMs: Long,
              newCheckpoint: Long): Unit = {
     val (state, _) = load(entityType)
-    val fresh = batch
+    val fresh = StateStores.dedupNewestPerId(batch)
       .select(col("id"), lit(nowMs + ttlMs).as("ttl"), col("entityJson"), col("entityHash"))
-      .withColumn("__rn", row_number().over(Window.partitionBy("id").orderBy(col("entityHash"))))
-      .where(col("__rn") === 1).drop("__rn")
     val survivors = state
       .where(col("ttl") >= lit(nowMs))
       .join(fresh.select(col("id").as("__bid")), col("id") === col("__bid"), "left_anti")

@@ -68,7 +68,9 @@ final class EntityStateStore(spark: SparkSession, root: String) {
     *  4. swap the parquet dir + checkpoint file.
     *
     * `batch` columns: id, entityJson, entityHash (updatedOnMs already
-    * stripped from json/hash by the caller — cache.js:53).
+    * stripped from json/hash by the caller — cache.js:53; pass it as an
+    * extra `updatedOnMs` column so intra-page dedup keeps the NEWEST
+    * version, matching the reference's last-item-in-page-order overwrite).
     */
   def commit(
       entityType: String,
@@ -77,11 +79,8 @@ final class EntityStateStore(spark: SparkSession, root: String) {
       ttlMs: Long,
       newCheckpoint: Long): Unit = {
     val (state, _) = load(entityType)
-    val fresh = batch
+    val fresh = StateStores.dedupNewestPerId(batch)
       .select(col("id"), lit(nowMs + ttlMs).as("ttl"), col("entityJson"), col("entityHash"))
-      // a page can repeat an id (overlapping fetches); keep one row per id
-      .withColumn("__rn", row_number().over(Window.partitionBy("id").orderBy(col("entityHash"))))
-      .where(col("__rn") === 1).drop("__rn")
 
     // last-write-wins upsert: survivors of old state (not in batch) + batch.
     val survivors = state

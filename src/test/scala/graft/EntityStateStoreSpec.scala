@@ -68,4 +68,16 @@ class EntityStateStoreSpec extends SparkSpec {
     store.commit("t", batch("1" -> "ha", "1" -> "ha"), nowMs = 1, ttlMs = 10, newCheckpoint = 1)
     assert(store.load("t")._1.count() == 1)
   }
+
+  test("intra-page dedup keeps the NEWEST version per id (page-order overwrite, cache.js:56)") {
+    val store = freshStore()
+    // same id, two contents: updatedOnMs 20 must win over 10 even though
+    // its hash sorts lexicographically later
+    val b = Seq(("1", 10L, "aaa-old"), ("1", 20L, "zzz-new"))
+      .toDF("id", Model.UpdatedOnMs, "entityHash")
+      .withColumn("entityJson", lit("{}"))
+    store.commit("t", b, nowMs = 1, ttlMs = 10, newCheckpoint = 1)
+    val kept = store.load("t")._1.select("entityHash").as[String].collect().toSeq
+    assert(kept == Seq("zzz-new"))
+  }
 }

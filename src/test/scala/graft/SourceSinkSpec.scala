@@ -27,6 +27,19 @@ class SourceSinkSpec extends SparkSpec {
     assert(none.isEmpty && !p2)
   }
 
+  test("parseFlatObject: exponent numbers parse; nested values are skipped whole") {
+    val m = Json.parseFlatObject(
+      """{"a": 1.5e9, "b": -2E-3, "neg": -7, "s": "x\"y", "t": true, "z": null,
+        |"nested": {"inner": "HOISTED?", "deep": {"k": 1}}, "arr": [1, {"inArr": "no"}],
+        |"after": "kept"}""".stripMargin)
+    assert(m("a") == "1.5e9" && m("b") == "-2E-3" && m("neg") == "-7")
+    assert(m("s") == "x\"y" && m("t") == "true" && m("z") == "null")
+    assert(m("after") == "kept")
+    // nested object/array pairs must NOT be hoisted to the top level
+    assert(!m.contains("inner") && !m.contains("k") && !m.contains("inArr"))
+    assert(!m.contains("nested") && !m.contains("arr"))
+  }
+
   test("type catalog parse (S1, app.js:71-74)") {
     val types = EntityApiSource.fetchEntityTypes(
       _ => """[{"name": "awsEc2", "uniqueIdField": "AWSUniqueId"}, {"name": "gce", "uniqueIdField": "gcp_id"}]""",
