@@ -25,6 +25,21 @@ object Dedup {
   def normalizeText(c: Column): Column =
     regexp_replace(btrim(lower(c)), "\\s+", " ")
 
+  /** Portable 60-bit hash: the first 15 hex chars of the md5 digest as a
+    * long. Reproducible in ANY engine with md5 + hex→int (DuckDB:
+    * `('0x' || substr(md5(x),1,15))::BIGINT`) — used wherever a hash value
+    * is part of checked OUTPUT, so results stay engine-independent.
+    * (xxhash64 remains in use for internal join/bucket keys where only
+    * equality matters.)
+    */
+  def md5Hash60(c: Column): Column = conv(substr(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Portable 32-bit hash slice: hex chars [off, off+8) of md5 as a long in
+    * [0, 2^32). `off` is 1-based; off=1 and off=9 give two independent
+    * halves of the digest.
+    */
+  def md5Hash32(c: Column, off: Int): Column = conv(substr(md5(c), off, 8), 16, 10).cast("long")
+
   /** X1: exact dedup — keep the smallest id per normalized key.
     * One shuffle (hash aggregate), map-side combine for free.
     */
@@ -73,19 +88,35 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, numPerm: Int): DataFrame =
     minhashSignaturesExploded(df.select(col(idCol), explode(shingles).as("__sh")), idCol, numPerm)
 
+  /** Modulus for the portable universal-hash permutation family: the
+    * Mersenne prime 2^31-1. 31-bit minhash values are the standard working
+    * size (collision odds per permutation ~ #shingles/2^31 — immaterial for
+    * similarity ESTIMATION, which only counts component agreement).
+    */
+  val MinhashP: Long = 2147483647L
+
+  /** Permutation-i coefficients for h_i(x) = (a_i*x + b_i) mod p —
+    * fixed Knuth-style multipliers, a_i != 0. Both < 2^31, so a_i*x + b_i
+    * stays < 2^62: no overflow under ANSI mode, portable to any engine
+    * with 64-bit integer arithmetic.
+    */
+  def minhashPerm(i: Int): (Long, Long) =
+    (((i + 1) * 2654435761L) % MinhashP, ((i + 1) * 40503L + 7) % MinhashP)
+
   /** Same, over pre-exploded (id, __sh) rows.
     *
-    * Permutation hashes are derived from two base string hashes: each
-    * permutation re-hashes the fixed-width (seed, b1, b2) triple rather
-    * than the variable-length shingle — string bytes are scanned twice
-    * per shingle instead of numPerm times, at equivalent MinHash quality.
-    * (An affine h1 + i*h2 mix would be cheaper still, but ANSI mode —
-    * Spark 4's default — faults on the intentional long wraparound.)
+    * The shingle is hashed ONCE with the portable md5-based base hash; each
+    * permutation is an affine transform (a_i*x+b_i) mod p of that base —
+    * the classic universal-hash MinHash. String bytes are scanned once per
+    * shingle (not numPerm times) and every signature component is
+    * reproducible outside Spark, so the whole operator is oracle-checkable.
     */
   def minhashSignaturesExploded(exploded: DataFrame, idCol: String, numPerm: Int): DataFrame = {
-    val hashed = exploded.select(col(idCol),
-      xxhash64(col("__sh")).as("__b1"), xxhash64(lit(1), col("__sh")).as("__b2"))
-    val aggs = (0 until numPerm).map(i => min(xxhash64(lit(i), col("__b1"), col("__b2"))).as(s"__h$i"))
+    val hashed = exploded.select(col(idCol), (md5Hash60(col("__sh")) % MinhashP).as("__x"))
+    val aggs = (0 until numPerm).map { i =>
+      val (a, b) = minhashPerm(i)
+      min((lit(a) * col("__x") + lit(b)) % MinhashP).as(s"__h$i")
+    }
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until numPerm).map(i => col(s"__h$i")): _*).as("sig"))
   }
@@ -131,12 +162,18 @@ object Dedup {
   /** X2b: 64-bit SimHash of a token multiset: per bit, sign of the sum of
     * (+1 / -1) votes from each token hash. 64 counters in one grouped
     * aggregation; near-dups have small hamming distance.
+    *
+    * Token bits come from the md5 digest (two portable 32-bit halves), so
+    * the simhash VALUE is engine-independent and oracle-checkable — not an
+    * artifact of Spark's internal xxhash64.
     */
   def simhash64(df: DataFrame, idCol: String, tokens: Column): DataFrame = {
     val exploded = df.select(col(idCol), explode(tokens).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
+      .withColumn("__lo", md5Hash32(col("__tok"), 1))
+      .withColumn("__hi", md5Hash32(col("__tok"), 9))
     val aggs = (0 until 64).map { i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
+      val part = if (i < 32) shiftright(col("__lo"), i) else shiftright(col("__hi"), i - 32)
+      sum(when(part.bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
     }
     val counted = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val sim = (0 until 64).map { i =>
