@@ -32,13 +32,13 @@ object Dedup {
     * (xxhash64 remains in use for internal join/bucket keys where only
     * equality matters.)
     */
-  def md5Hash60(c: Column): Column = conv(substr(md5(c), 1, 15), 16, 10).cast("long")
+  def md5Hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Portable 32-bit hash slice: hex chars [off, off+8) of md5 as a long in
     * [0, 2^32). `off` is 1-based; off=1 and off=9 give two independent
     * halves of the digest.
     */
-  def md5Hash32(c: Column, off: Int): Column = conv(substr(md5(c), off, 8), 16, 10).cast("long")
+  def md5Hash32(c: Column, off: Int): Column = conv(substring(md5(c), off, 8), 16, 10).cast("long")
 
   /** X1: exact dedup — keep the smallest id per normalized key.
     * One shuffle (hash aggregate), map-side combine for free.
