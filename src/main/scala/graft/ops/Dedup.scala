@@ -111,8 +111,15 @@ object Dedup {
     * shingle (not numPerm times) and every signature component is
     * reproducible outside Spark, so the whole operator is oracle-checkable.
     */
-  def minhashSignaturesExploded(exploded: DataFrame, idCol: String, numPerm: Int): DataFrame = {
-    val hashed = exploded.select(col(idCol), (md5Hash60(col("__sh")) % MinhashP).as("__x"))
+  def minhashSignaturesExploded(exploded: DataFrame, idCol: String, numPerm: Int): DataFrame =
+    minhashSignaturesFromHashed(
+      exploded.select(col(idCol), (md5Hash60(col("__sh")) % MinhashP).as("__x")),
+      idCol, numPerm)
+
+  /** Signature aggregation over already-hashed (id, __x) rows, x in [0, p).
+    * One shuffle keyed by id with full map-side partial aggregation.
+    */
+  def minhashSignaturesFromHashed(hashed: DataFrame, idCol: String, numPerm: Int): DataFrame = {
     val aggs = (0 until numPerm).map { i =>
       val (a, b) = minhashPerm(i)
       min((lit(a) * col("__x") + lit(b)) % MinhashP).as(s"__h$i")
@@ -139,6 +146,14 @@ object Dedup {
   /** X2 end-to-end: MinHash+LSH near-duplicate pairs with the estimated
     * Jaccard similarity (fraction of agreeing signature components),
     * thresholded. Deterministic given the data (hash seeds are fixed).
+    *
+    * The signature table is persisted (memory-and-disk): it is consumed
+    * four times downstream (two banding sides, two verify sides) and Spark
+    * does not reuse the exchange across the self-join aliases — without the
+    * persist the whole shingle-explode + md5 + 64-min-agg pipeline executes
+    * 4x (measured 2.4s -> 1.1s at sf0.1). At 100 TB the signature table is
+    * ~500 bytes/doc — 3 orders of magnitude smaller than the corpus — and
+    * materializing it once is exactly what a production near-dup pass does.
     */
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, text: Column,
@@ -147,6 +162,7 @@ object Dedup {
     val rowsPerBand = numPerm / bands
     val sigs = minhashSignaturesExploded(
       explodedShingles(df, idCol, text, shingleLen), idCol, numPerm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidatePairs(sigs, idCol, bands, rowsPerBand)
     val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("__siga"))
     val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("__sigb"))
@@ -187,7 +203,10 @@ object Dedup {
     * with `bit_count(xor)`.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, tokens: Column, maxHamming: Int = 3): DataFrame = {
+    // persisted for the same reason as the minhash signature table: both
+    // chunked join sides re-derive it, and it is ~16 bytes/doc
     val sh = simhash64(df, idCol, tokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkVals = array((0 until 4).map(ci =>
       shiftrightunsigned(col("simhash"), ci * 16).bitwiseAND(lit(0xFFFFL))): _*)
     val chunked = sh.select(col(idCol), col("simhash"),
@@ -199,6 +218,47 @@ object Dedup {
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** X2c at scale: exact n-gram Jaccard restricted to MinHash-LSH candidate
+    * pairs — the 100 TB formulation of near-dup detection. The quadratic
+    * hot-shingle self-join of [[ngramJaccardPairs]] never happens: candidate
+    * generation is the banded LSH join (only docs agreeing on a full band
+    * meet), and exact verification is a per-pair set intersection of hashed
+    * shingle ARRAYS carried by two linear id-keyed joins.
+    *
+    * Plan shape: one explode+md5 pass -> per-doc shingle-hash set (persisted;
+    * ~8 bytes/shingle, orders of magnitude smaller than the text) -> 64-perm
+    * signatures from the re-exploded sets -> banded candidates -> two joins
+    * on id to attach the sets -> array_intersect. Every join key is an id or
+    * a band hash; no key's fan-out depends on shingle frequency, so one hot
+    * trigram cannot pin a reducer.
+    *
+    * Recall is the LSH recall (1-(1-J^r)^b; ~64% at J=0.5 with 16x4, ->1 as
+    * J->1); precision is exact. Fully portable (md5 base hash) — the DuckDB
+    * oracle mirrors both stages.
+    */
+  def lshVerifiedJaccardPairs(
+      df: DataFrame, idCol: String, text: Column,
+      shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val hashed = explodedShingles(df, idCol, text, shingleLen)
+      .select(col(idCol), (md5Hash60(col("__sh")) % MinhashP).as("__x"))
+    // per-doc set of hashed shingles: the single pass over the text; both
+    // the signatures and the verification sets derive from it
+    val sets = hashed.groupBy(col(idCol)).agg(collect_set(col("__x")).as("__set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignaturesFromHashed(
+      sets.select(col(idCol), explode(col("__set")).as("__x")), idCol, numPerm)
+    val pairs = lshCandidatePairs(sigs, idCol, bands, numPerm / bands)
+    val a = sets.select(col(idCol).as("id_a"), col("__set").as("__seta"))
+    val b = sets.select(col(idCol).as("id_b"), col("__set").as("__setb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("__c", size(array_intersect(col("__seta"), col("__setb"))))
+      .withColumn("jaccard",
+        col("__c").cast("double") / (size(col("__seta")) + size(col("__setb")) - col("__c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** X2c: exact n-gram Jaccard similarity of all pairs sharing >=1 shingle,

@@ -4,10 +4,11 @@ package graft.queries
   * query, mirroring the Spark plan expression-for-expression so results
   * hash-match bit-exactly (decimal-cast sums, epoch-ms timestamps, ratios
   * rounded identically, identical tie-breaks). Queries whose semantics
-  * depend on Spark-internal hash functions (xxhash64) or on approximate
-  * candidate generation are deliberately absent -> the driver records a
-  * rows-only check for them (x2_minhash_lsh, x2_simhash, x3_ivf_topk,
-  * x4_decode_stub).
+  * depend on approximate candidate generation with Spark-side constants
+  * are deliberately absent -> the driver records a rows-only check for
+  * them (x3_ivf_topk, x4_decode_stub). The minhash/simhash twins exist
+  * BECAUSE the operators hash with md5 slices (portable) rather than
+  * Spark's internal xxhash64 — see Dedup.md5Hash60/md5Hash32.
   */
 object Oracles {
 
@@ -174,6 +175,9 @@ object Oracles {
          |SELECT min(doc_id) AS keeper_id, count(*) AS dup_count, ntd AS key_md5
          |FROM n GROUP BY ntd ORDER BY keeper_id""".stripMargin,
 
+    // LSH-verified exact Jaccard: the candidate CTEs mirror x2_minhash_lsh;
+    // verification counts the intersection of DISTINCT shingle hashes per
+    // candidate pair (Spark: array_intersect of collect_set arrays).
     "x2_ngram_jaccard" ->
       s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
          |sh AS (SELECT DISTINCT doc_id,
@@ -181,12 +185,78 @@ object Oracles {
          |           THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
          |           ELSE [array_to_string(ws, ' ')] END) AS s
          |       FROM w),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |hx AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY 1),
+         |perms AS (SELECT i, ((i+1)*2654435761) % 2147483647 AS a, ((i+1)*40503 + 7) % 2147483647 AS b
+         |          FROM generate_series(0, 63) t(i)),
+         |sig AS (SELECT doc_id, i, min((a*x + b) % 2147483647) AS h
+         |        FROM hx CROSS JOIN perms GROUP BY 1, 2),
+         |sigarr AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY 1),
+         |bands AS (SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bandkey
+         |          FROM sigarr CROSS JOIN generate_series(0, 15) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bandkey = b.bandkey
+         |         WHERE a.doc_id < b.doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS c
+         |          FROM cand c JOIN hx a ON a.doc_id = c.id_a
+         |                      JOIN hx b ON b.doc_id = c.id_b AND b.x = a.x
+         |          GROUP BY 1, 2)
          |SELECT id_a, id_b, round(c*1.0/(x.n + y.n - c), 6) AS jaccard
          |FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
          |WHERE c*1.0/(x.n + y.n - c) >= 0.5 ORDER BY 1, 2""".stripMargin,
+
+    // Mirrors Dedup.minhashNearDupPairs exactly: same portable base hash
+    // (first 15 md5 hex chars as a 60-bit int, mod the Mersenne prime), the
+    // same (a_i*x+b_i) mod p affine permutations from Dedup.minhashPerm, the
+    // same 16x4 banding (band equality on the raw signature slice — Spark's
+    // xxhash64 band key is equality-equivalent), and the same
+    // agreeing-components/64 estimate.
+    "x2_minhash_lsh" ->
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(CASE WHEN len(ws) >= 3
+         |           THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+         |           ELSE [array_to_string(ws, ' ')] END) AS s
+         |       FROM w),
+         |hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
+         |perms AS (SELECT i, ((i+1)*2654435761) % 2147483647 AS a, ((i+1)*40503 + 7) % 2147483647 AS b
+         |          FROM generate_series(0, 63) t(i)),
+         |sig AS (SELECT doc_id, i, min((a*x + b) % 2147483647) AS h
+         |        FROM hx CROSS JOIN perms GROUP BY 1, 2),
+         |sigarr AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY 1),
+         |bands AS (SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bandkey
+         |          FROM sigarr CROSS JOIN generate_series(0, 15) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bandkey = b.bandkey
+         |         WHERE a.doc_id < b.doc_id),
+         |est AS (SELECT c.id_a, c.id_b,
+         |          len(list_filter(range(1, 65), i -> x.sig[i] = y.sig[i])) / 64.0 AS e
+         |        FROM cand c JOIN sigarr x ON x.doc_id = c.id_a JOIN sigarr y ON y.doc_id = c.id_b)
+         |SELECT id_a, id_b, round(e, 6) AS est_jaccard FROM est WHERE e >= 0.5 ORDER BY 1, 2""".stripMargin,
+
+    // Mirrors Dedup.simhash64: token bits from the two 32-bit md5 halves,
+    // +1/-1 votes per bit over the token MULTISET, bit set when the vote sum
+    // is >= 0. Bit 63 is assembled through HUGEINT and wrapped back to the
+    // signed 64-bit value Spark produces (1L << 63 = Long.MinValue).
+    "x2_simhash" ->
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+         |h AS (SELECT doc_id,
+         |        ('0x' || substr(md5(t), 1, 8))::BIGINT AS lo,
+         |        ('0x' || substr(md5(t), 9, 8))::BIGINT AS hi
+         |      FROM tok),
+         |bits AS (SELECT doc_id, i,
+         |           sum(CASE WHEN ((CASE WHEN i < 32 THEN lo >> i ELSE hi >> (i - 32) END) & 1) = 1
+         |               THEN 1 ELSE -1 END) AS c
+         |         FROM h CROSS JOIN generate_series(0, 63) t(i) GROUP BY 1, 2),
+         |assembled AS (SELECT doc_id,
+         |    sum(CASE WHEN c >= 0 THEN
+         |          (CASE WHEN i = 63 THEN 9223372036854775808::HUGEINT ELSE ((1::BIGINT << i))::HUGEINT END)
+         |        ELSE 0::HUGEINT END) AS s
+         |  FROM bits GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN s >= 9223372036854775808::HUGEINT THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS simhash
+         |FROM assembled ORDER BY doc_id""".stripMargin,
 
     "x2_embedding_near_dup" ->
       """WITH s AS (

@@ -341,9 +341,15 @@ object Queries {
       .select(col("keeper_id"), col("dup_count"), col("dedup_key").as("key_md5"))
       .orderBy("keeper_id")
 
+  /** Registered as the LSH-verified form: exact Jaccard computed ONLY on
+    * banded-LSH candidate pairs. The unblocked shingle self-join of
+    * Dedup.ngramJaccardPairs is quadratic on hot shingles (one common
+    * trigram pins a reducer at 100 TB); this plan's join keys are all doc
+    * ids or band hashes, so fan-out never depends on shingle frequency.
+    */
   private def x2NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", col("text"),
-      shingleLen = 3, threshold = 0.5)
+    Dedup.lshVerifiedJaccardPairs(t(spark, dir, "documents"), "doc_id", col("text"),
+      shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
   private def x2MinhashLsh(spark: SparkSession, dir: String): DataFrame =

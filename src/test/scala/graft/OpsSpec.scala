@@ -41,6 +41,23 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out((1L, 3L)) - 11.0 / 13.0) < 1e-6)
   }
 
+  test("X2 LSH-verified jaccard: exact scores on candidate pairs, no self-join") {
+    val out = Dedup.lshVerifiedJaccardPairs(docs, "doc_id", col("text"), threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // exact duplicates: jaccard exactly 1.0, always recalled (all bands agree)
+    assert(out((1L, 2L)) == 1.0 && out((1L, 5L)) == 1.0 && out((2L, 5L)) == 1.0)
+    // near-dup pair: candidate recall via LSH, score matches exact set math
+    // (12 shingles each, 11 shared / 13 union)
+    assert(math.abs(out((1L, 3L)) - 11.0 / 13.0) < 1e-6)
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
+    // scores equal the exact all-pairs computation on every emitted pair
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    out.foreach { case (k, j) => assert(exact(k) == j) }
+  }
+
   test("X2 simhash: identical docs share the signature; near-dups are close") {
     val sh = Dedup.simhash64(docs, "doc_id", TextAnalysis.words(col("text")))
       .as[(Long, Long)].collect().toMap
