@@ -161,15 +161,39 @@ object Queries {
   /** K1/O2/E7: batch slicing — contiguous batches of 500 per type, with the
     * reference's ceil(n/max) slice math (app.js:96-106) visible as per-batch
     * counts.
+    *
+    * Two-phase numbering: a global `row_number() over (partition by
+    * event_type)` funnels each type through ONE reducer — a scale-killer
+    * for low-cardinality types. Instead event_ids are range-bucketed with a
+    * monotone bucket function (from broadcast per-type min/max — no
+    * sampling, so the plan is deterministic), ranked locally per
+    * (type, bucket) window, and composed with broadcast cumulative bucket
+    * offsets: global_rank = offset(bucket) + local_rank. Identical output,
+    * but the widest sort is 1/NumBuckets of a type and parallelism is
+    * types x buckets.
     */
-  private def e7BatchSlices(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("event_type").orderBy("event_id")))
+  private val E7Buckets = 32
+  private def e7BatchSlices(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select("event_type", "event_id")
+    val stats = ev.groupBy("event_type")
+      .agg(min("event_id").as("__lo"), max("event_id").as("__hi"))
+    // monotone in event_id within a type => buckets are range-disjoint and
+    // ordered, so offset composition preserves the global ordering
+    val bucketed = ev.join(broadcast(stats), "event_type")
+      .withColumn("__b", least(lit(E7Buckets - 1).cast("long"),
+        floor((col("event_id") - col("__lo")) * E7Buckets / (col("__hi") - col("__lo") + 1))).cast("int"))
+    val offsets = bucketed.groupBy("event_type", "__b").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum("__c").over(
+        Window.partitionBy("event_type").orderBy("__b")) - col("__c"))
+      .select("event_type", "__b", "__off")
+    bucketed.join(broadcast(offsets), Seq("event_type", "__b"))
+      .withColumn("__rn", col("__off") + row_number().over(
+        Window.partitionBy("event_type", "__b").orderBy("event_id")))
       .withColumn("batch_id", ((col("__rn") - 1) / 500).cast("long"))
       .groupBy("event_type", "batch_id")
       .agg(count(lit(1)).as("n"), min("event_id").as("min_id"), max("event_id").as("max_id"))
       .orderBy("event_type", "batch_id")
+  }
 
   // ==================================================================
   // Relational generalization (Catalyst built-ins; bench headliners)
