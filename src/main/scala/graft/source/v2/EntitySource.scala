@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -34,6 +34,13 @@ import scala.jdk.CollectionConverters._
   *   - `fetcherClass`    FQCN of a [[FetcherFactory]] (tests plug stubs;
   *                       default is the java.net.http transport)
   *   - `header.<name>`   HTTP headers for the default transport
+  *   - `maxPagesPerBatch` admission control: at most this many pages are
+  *                       drained per micro-batch (default unbounded). The
+  *                       first run against a deep backlog (checkpoint=1 =>
+  *                       full history) would otherwise drain EVERYTHING into
+  *                       driver memory as one batch; with the cap the
+  *                       backlog walks forward across micro-batches, each
+  *                       committing its own checkpoint.
   */
 class EntityTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-entities"
@@ -57,7 +64,8 @@ final class HttpFetcherFactory extends FetcherFactory {
 
 final case class EntitySourceConfig(
     urlTemplate: String, entityType: EntityType, startCheckpoint: Long,
-    fetcherClass: String, options: Map[String, String]) {
+    fetcherClass: String, options: Map[String, String],
+    maxPagesPerBatch: Int = Int.MaxValue) {
   def fetch: EntityApiSource.Fetcher =
     Class.forName(fetcherClass).getDeclaredConstructor().newInstance()
       .asInstanceOf[FetcherFactory].fetcher(options)
@@ -71,7 +79,8 @@ object EntitySourceConfig {
       entityType = EntityType(options.get("type"), options.get("uniqueIdField")),
       startCheckpoint = Option(options.get("checkpoint")).map(_.toLong).getOrElse(Model.DefaultCheckpoint),
       fetcherClass = Option(options.get("fetcherClass")).getOrElse(classOf[HttpFetcherFactory].getName),
-      options = m)
+      options = m,
+      maxPagesPerBatch = Option(options.get("maxPagesPerBatch")).map(_.toInt).getOrElse(Int.MaxValue))
   }
 }
 
@@ -92,12 +101,15 @@ class EntityTable(config: EntitySourceConfig) extends Table with SupportsRead {
   * the previous page's max event time).
   */
 object PageDrain {
-  def drain(config: EntitySourceConfig, from: Long): (Seq[String], Long) = {
+  def drain(config: EntitySourceConfig, from: Long,
+            maxPages: Int = Int.MaxValue): (Seq[String], Long) = {
     val fetch = config.fetch
     val items = Seq.newBuilder[String]
     var checkpoint = from
     var partial = true
-    while (partial) {
+    var pages = 0
+    while (partial && pages < maxPages) {
+      pages += 1
       val page = EntityApiSource.fetchPage(fetch, config.urlTemplate, config.entityType, checkpoint)
       items ++= page.items
       val maxTs = page.items.flatMap(Json.parseFlatObject(_).get(Model.UpdatedOnMs))
@@ -145,30 +157,48 @@ final case class CheckpointOffset(ms: Long) extends Offset {
   override def json(): String = ms.toString
 }
 
-class EntityMicroBatchStream(config: EntitySourceConfig) extends MicroBatchStream {
+class EntityMicroBatchStream(config: EntitySourceConfig)
+    extends MicroBatchStream with SupportsAdmissionControl {
   // items drained for the current (start, end] window, keyed by end offset
   @volatile private var pending: (Long, Seq[String]) = (config.startCheckpoint, Seq.empty)
-  @volatile private var current: Long = config.startCheckpoint
 
   override def initialOffset(): Offset = CheckpointOffset(config.startCheckpoint)
   override def deserializeOffset(json: String): Offset = CheckpointOffset(json.toLong)
 
-  override def latestOffset(): Offset = {
-    val (items, next) = PageDrain.drain(config, current)
-    if (next != current) pending = (next, items)
-    CheckpointOffset(math.max(next, current))
+  /** The page cap is the admission-control unit here (pages arrive serially
+    * from the remote API; rows-per-page is the server's choice), so the
+    * ReadLimit argument is not consulted — the cap always applies.
+    */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Drain at most `maxPagesPerBatch` pages past `start`; a deep backlog
+    * surfaces as successive micro-batches, each advancing the persisted
+    * checkpoint, instead of one unbounded driver-memory batch (W4).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[CheckpointOffset].ms
+    val (items, next) = PageDrain.drain(config, from, config.maxPagesPerBatch)
+    if (next != from) pending = (next, items)
+    CheckpointOffset(math.max(next, from))
   }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is called for SupportsAdmissionControl sources")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val endMs = end.asInstanceOf[CheckpointOffset].ms
     val items =
       if (pending._1 == endMs) pending._2
       else {
-        // recovery replay: re-drain from `start`, but BOUND the batch at the
-        // committed end offset — rows newer than endMs belong to the next
-        // batch (they re-arrive because the next start is endMs); without
-        // the bound a replayed batch would differ from its original contents
-        val drained = PageDrain.drain(config, start.asInstanceOf[CheckpointOffset].ms)._1
+        // recovery replay: re-drain from `start` with the SAME page cap (a
+        // deterministic fetcher then replays the exact page sequence), and
+        // BOUND the batch at the committed end offset — rows newer than
+        // endMs belong to the next batch (they re-arrive because the next
+        // start is endMs); without the bound a replayed batch would differ
+        // from its original contents
+        val drained =
+          PageDrain.drain(config, start.asInstanceOf[CheckpointOffset].ms, config.maxPagesPerBatch)._1
         drained.filter { item =>
           Json.parseFlatObject(item).get(Model.UpdatedOnMs)
             .flatMap(v => scala.util.Try(v.toLong).toOption)
@@ -180,9 +210,7 @@ class EntityMicroBatchStream(config: EntitySourceConfig) extends MicroBatchStrea
 
   override def createReaderFactory(): PartitionReaderFactory = EntityReaderFactory
 
-  override def commit(end: Offset): Unit = {
-    current = end.asInstanceOf[CheckpointOffset].ms
-  }
+  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 

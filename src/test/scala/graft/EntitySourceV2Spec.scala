@@ -21,6 +21,28 @@ object StubFetcherFactory {
         |           {"uid": "c", "color": "green", "updatedOnMs": 300}], "partialResults": false}""".stripMargin)
 }
 
+/** 5-page backlog stub for the admission-control spec: 10 distinct items,
+  * two per page, strictly increasing timestamps, no boundary re-fetch.
+  */
+class DeepBacklogFetcherFactory extends FetcherFactory {
+  override def fetcher(options: Map[String, String]): EntityApiSource.Fetcher = url => {
+    val ckpt = url.split("updatedFromMs=")(1).toLong
+    DeepBacklogFetcherFactory.pages.getOrElse(ckpt, """{"items": [], "partialResults": false}""")
+  }
+}
+object DeepBacklogFetcherFactory {
+  private def page(ts: Seq[Long], partial: Boolean): String = {
+    val items = ts.map(t => s"""{"uid": "u$t", "v": "x$t", "updatedOnMs": $t}""").mkString(",")
+    s"""{"items": [$items], "partialResults": $partial}"""
+  }
+  val pages: Map[Long, String] = Map(
+    1L -> page(Seq(100L, 110L), partial = true),
+    110L -> page(Seq(120L, 130L), partial = true),
+    130L -> page(Seq(140L, 150L), partial = true),
+    150L -> page(Seq(160L, 170L), partial = true),
+    170L -> page(Seq(180L, 190L), partial = false))
+}
+
 /** DataSource V2 connector: batch read drains the pagination loop with the
   * stall-proof checkpoint advance; short name resolves via
   * DataSourceRegister; rows land in the canonical (id, updatedOnMs, attrs)
@@ -69,6 +91,31 @@ class EntitySourceV2Spec extends SparkSpec {
     // the first latestOffset drains the full pagination loop (both pages)
     val ids = spark.table("v2_stream").select("id").as[String].collect().sorted.toSeq
     assert(ids == Seq("a", "b", "b", "c"))
+  }
+
+  test("admission control: maxPagesPerBatch walks a deep backlog across micro-batches (W4)") {
+    val out = spark.readStream.format("graft-entities")
+      .option("urlTemplate", "stub://e?type={{type}}&updatedFromMs={{updatedFromMs}}")
+      .option("type", "widget").option("uniqueIdField", "uid")
+      .option("maxPagesPerBatch", "2")
+      .option("fetcherClass", classOf[DeepBacklogFetcherFactory].getName)
+      .load()
+    val q = out.writeStream.format("memory").queryName("v2_admission")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("v2a").toString)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    q.stop()
+    // 5 pages / cap 2 => 3 micro-batches (4 + 4 + 2 rows), never one big drain
+    assert(progress.length == 3, s"expected 3 non-empty micro-batches, got ${progress.length}")
+    assert(progress.map(_.numInputRows).toSeq == Seq(4L, 4L, 2L))
+    // the source offset (= entity checkpoint) advances strictly monotonically
+    val endOffsets = progress.map(_.sources.head.endOffset.toLong).toSeq
+    assert(endOffsets == endOffsets.sorted && endOffsets.distinct == endOffsets)
+    assert(endOffsets.last == 190L)
+    // union of the batches is the complete backlog, exactly once here
+    val ids = spark.table("v2_admission").select("id").as[String].collect().sorted.toSeq
+    assert(ids == (100 to 190 by 10).map(t => s"u$t").sorted)
   }
 
   test("composes with the CDC filter + template like any DataFrame") {
