@@ -38,6 +38,13 @@ final class EntityEtlJob(
 
   final case class PageStats(fetched: Long, emitted: Long, batches: Long, checkpoint: Long)
 
+  /** The batch-wrapper template rides the same templates map as the entity
+    * templates, keyed "targetBody" like the reference's TARGET_BODY_TEMPLATE
+    * (templates.js:14, app.js:106) — a user who edits targetBody.hbs changes
+    * the wire format here too. Absent -> the shipped `[doc,...]` shape.
+    */
+  private val targetBody: Option[String] = templates.get("targetBody")
+
   /** Run all requested types (empty = all discovered), serially per type like
     * the reference; types with no template are skipped (app.js:22-25).
     */
@@ -81,7 +88,7 @@ final class EntityEtlJob(
       templates(entityType.name), TemplateCompiler.mapResolver(col("attrs")), escapeHtml)
     val batches = HttpBatchSink.send(
       changed.observe(obs, count(lit(1)).as("emitted")).select(doc.as("doc")),
-      maxBatchSize, senderFactory)
+      maxBatchSize, senderFactory, targetBody)
     val emitted = obs.get("emitted").asInstanceOf[Long]
 
     // commit AFTER send (W2). All fetched ids get a TTL refresh

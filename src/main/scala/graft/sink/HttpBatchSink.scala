@@ -30,13 +30,22 @@ object HttpBatchSink {
     */
   type SenderFactory = () => String => Unit
 
+  /** Header VALUES are templates re-rendered against the live env on every
+    * request (reference http.js:22-28): `Authorization: Bearer {{env.TOKEN}}`
+    * picks up a rotated token without restarting the run. `env` is read per
+    * request; injectable for tests.
+    */
   def httpSender(url: String, method: String, headers: Map[String, String],
-                 timeout: Duration = Duration.ofSeconds(60)): SenderFactory = () => {
+                 timeout: Duration = Duration.ofSeconds(60),
+                 env: () => Map[String, String] = () => sys.env): SenderFactory = () => {
     val client = HttpClient.newBuilder().connectTimeout(timeout).build()
     body => {
       val b = HttpRequest.newBuilder(URI.create(url)).timeout(timeout)
         .method(method, HttpRequest.BodyPublishers.ofString(body))
-      headers.foreach { case (k, v) => b.header(k, v) }
+      val e = env()
+      headers.foreach { case (k, v) =>
+        b.header(k, graft.template.TemplateCompiler.renderWithEnv(v, Map.empty, e))
+      }
       val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
       require(resp.statusCode / 100 == 2, s"$method $url -> HTTP ${resp.statusCode}")
     }
@@ -50,17 +59,24 @@ object HttpBatchSink {
     *         ceil(n/maxBatchSize) under failures, consistent with the
     *         at-least-once delivery contract (W2).
     */
-  def send(docs: DataFrame, maxBatchSize: Int, senderFactory: SenderFactory): Long = {
+  def send(docs: DataFrame, maxBatchSize: Int, senderFactory: SenderFactory,
+           targetBody: Option[String] = None): Long = {
     require(maxBatchSize > 0, "maxBatchSize must be positive")
     val sent: LongAccumulator = docs.sparkSession.sparkContext.longAccumulator("graft.batchesSent")
     val colName = docs.columns.head
+    // targetBody is replaceable data like every other template
+    // (reference templates.js:43, app.js:106); the default fast path is the
+    // shipped targetBody.hbs:2 semantics as a plain mkString
+    val assemble: Seq[String] => String = targetBody match {
+      case Some(t) => chunk => graft.template.TemplateCompiler.renderBatchBody(t, chunk)
+      case None    => chunk => chunk.mkString("[", ",", "]")
+    }
     docs.select(col(colName).cast("string")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val send = senderFactory()
           it.map(_.getString(0)).grouped(maxBatchSize).foreach { chunk =>
-            // `[` + mkString(",") + `]` replicates targetBody.hbs:2 (E7)
-            send(chunk.mkString("[", ",", "]"))
+            send(assemble(chunk))
             sent.add(1)
           }
         }

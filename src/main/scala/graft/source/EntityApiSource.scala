@@ -35,11 +35,20 @@ object EntityApiSource {
     */
   type Fetcher = String => String
 
-  def httpFetcher(headers: Map[String, String], timeout: Duration = Duration.ofSeconds(60)): Fetcher = {
+  /** Header VALUES are templates re-rendered against the live env on every
+    * request (reference http.js:22-28 renders `{{env.X}}` per request, so a
+    * token rotated mid-run takes effect on the next page fetch). `env` is
+    * read per request; injectable for tests.
+    */
+  def httpFetcher(headers: Map[String, String], timeout: Duration = Duration.ofSeconds(60),
+                  env: () => Map[String, String] = () => sys.env): Fetcher = {
     lazy val client = HttpClient.newBuilder().connectTimeout(timeout).build()
     url => {
       val b = HttpRequest.newBuilder(URI.create(url)).timeout(timeout).GET()
-      headers.foreach { case (k, v) => b.header(k, v) }
+      val e = env()
+      headers.foreach { case (k, v) =>
+        b.header(k, graft.template.TemplateCompiler.renderWithEnv(v, Map.empty, e))
+      }
       val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
       // fail-fast on non-2xx, unwinds the whole run (reference http.js:19, app.js:28-30)
       require(resp.statusCode / 100 == 2, s"GET $url -> HTTP ${resp.statusCode}")

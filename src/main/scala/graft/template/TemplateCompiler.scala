@@ -175,4 +175,60 @@ object TemplateCompiler {
     }
     parse(template).map(emit(_, None)).mkString
   }
+
+  /** [[renderString]] with live `{{env.X}}` resolution — the reference
+    * renders headers against the CURRENT process env on every request
+    * (http.js:22-28 via templates.js:36-40), so a token rotated mid-run is
+    * picked up by the next request. Call per request with a fresh env map.
+    */
+  def renderWithEnv(template: String, values: Map[String, String],
+                    env: Map[String, String]): String =
+    renderString(template, values ++ env.map { case (k, v) => s"env.$k" -> v })
+
+  /** Render a targetBody-shaped batch template (reference templates.js:43,
+    * app.js:106, templates/targetBody.hbs:1-3): literal text around
+    * `{{#each entities}}`, with `{{{.}}}` / `{{.}}` emitting each rendered
+    * document and `{{#unless @last}}sep{{/unless}}` between items. This is
+    * the complete construct surface of the shipped targetBody template; a
+    * user-edited wrapper of the same shape (different brackets, an envelope
+    * object, a different separator) renders faithfully.
+    */
+  def renderBatchBody(template: String, entities: Seq[String]): String = {
+    val EachOpen = "{{#each entities}}"
+    val EachClose = "{{/each}}"
+    val start = template.indexOf(EachOpen)
+    if (start < 0) renderString(template, Map.empty)
+    else {
+      val end = template.indexOf(EachClose, start)
+      require(end >= 0, "unterminated {{#each}} in targetBody template")
+      val body = template.substring(start + EachOpen.length, end)
+      val sb = new StringBuilder(template.substring(0, start))
+      val n = entities.size
+      entities.iterator.zipWithIndex.foreach { case (e, i) =>
+        sb.append(renderEachItem(body, e, last = i == n - 1))
+      }
+      sb.append(template.substring(end + EachClose.length)).toString
+    }
+  }
+
+  private def renderEachItem(body: String, value: String, last: Boolean): String = {
+    val UnlessOpen = "{{#unless @last}}"
+    val UnlessClose = "{{/unless}}"
+    def fill(s: String): String = s.replace("{{{.}}}", value).replace("{{.}}", value)
+    val sb = new StringBuilder
+    var s = body
+    while (s.nonEmpty) {
+      val u = s.indexOf(UnlessOpen)
+      if (u < 0) { sb.append(fill(s)); s = "" }
+      else {
+        sb.append(fill(s.substring(0, u)))
+        val rest = s.substring(u)
+        val c = rest.indexOf(UnlessClose)
+        require(c >= 0, "unterminated {{#unless}} in targetBody template")
+        if (!last) sb.append(fill(rest.substring(UnlessOpen.length, c)))
+        s = rest.substring(c + UnlessClose.length)
+      }
+    }
+    sb.toString
+  }
 }

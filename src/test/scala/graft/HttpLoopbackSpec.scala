@@ -18,7 +18,9 @@ import scala.jdk.CollectionConverters._
   */
 object HttpLoopbackSpec {
   val received = new ConcurrentLinkedQueue[(String, String)]() // (method, body)
+  val tokens = new ConcurrentLinkedQueue[String]() // X-Token header per request
   @volatile var failPuts = false
+  @volatile var liveToken = "tok-1" // simulated rotating credential
 }
 
 class HttpLoopbackSpec extends SparkSpec {
@@ -47,6 +49,7 @@ class HttpLoopbackSpec extends SparkSpec {
     })
     server.createContext("/v2/types", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        Option(ex.getRequestHeaders.getFirst("X-Token")).foreach(tokens.add)
         val body = """[{"name": "widget", "uniqueIdField": "uid"}]"""
         ex.sendResponseHeaders(200, body.length)
         ex.getResponseBody.write(body.getBytes); ex.close()
@@ -54,6 +57,7 @@ class HttpLoopbackSpec extends SparkSpec {
     })
     server.createContext("/load", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        Option(ex.getRequestHeaders.getFirst("X-Token")).foreach(tokens.add)
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
         if (failPuts) { ex.sendResponseHeaders(503, -1); ex.close() }
         else {
@@ -90,6 +94,44 @@ class HttpLoopbackSpec extends SparkSpec {
       val all = bodies.map(_._2).mkString
       assert(all.contains(""""color": "green"""") && all.contains(""""id": "a""""))
       assert(store.load("widget")._1.count() == 3)
+    }
+  }
+
+  test("per-request env header rendering: a rotated token reaches the next request (E9, http.js:22-28)") {
+    import spark.implicits._
+    received.clear(); tokens.clear(); failPuts = false
+    liveToken = "tok-1"
+    withServer { port =>
+      // source side: header template re-renders against the live env per fetch
+      val fetch = EntityApiSource.httpFetcher(
+        Map("X-Token" -> "Bearer {{env.TOKEN}}"), env = () => Map("TOKEN" -> liveToken))
+      fetch(s"http://127.0.0.1:$port/v2/types")
+      liveToken = "tok-2"
+      fetch(s"http://127.0.0.1:$port/v2/types")
+      assert(tokens.asScala.toSeq == Seq("Bearer tok-1", "Bearer tok-2"))
+
+      // sink side: same semantics across two send() calls
+      tokens.clear()
+      val sender = HttpBatchSink.httpSender(s"http://127.0.0.1:$port/load", "PUT",
+        Map("X-Token" -> "{{env.TOKEN}}"), env = () => Map("TOKEN" -> liveToken))
+      val docs = Seq("""{"id":"1"}""").toDF("doc")
+      HttpBatchSink.send(docs, 10, sender)
+      liveToken = "tok-3"
+      HttpBatchSink.send(docs, 10, sender)
+      assert(tokens.asScala.toSeq == Seq("tok-2", "tok-3"))
+    }
+  }
+
+  test("user-supplied targetBody template wraps the batch (templates.js:43, app.js:106)") {
+    import spark.implicits._
+    received.clear(); failPuts = false
+    withServer { port =>
+      val sender = HttpBatchSink.httpSender(s"http://127.0.0.1:$port/load", "PUT", Map.empty)
+      val docs = Seq("""{"id":"1"}""", """{"id":"2"}""").toDF("doc").coalesce(1)
+      val tpl = """{"entities": [{{#each entities}}{{{.}}}{{#unless @last}},{{/unless}}{{/each}}]}"""
+      HttpBatchSink.send(docs, 10, sender, Some(tpl))
+      assert(received.asScala.toSeq.map(_._2) ==
+        Seq("""{"entities": [{"id":"1"},{"id":"2"}]}"""))
     }
   }
 

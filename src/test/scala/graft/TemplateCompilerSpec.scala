@@ -88,4 +88,112 @@ class TemplateCompilerSpec extends SparkSpec {
     intercept[IllegalArgumentException](TemplateCompiler.parse("{{#with entity.a}}no close"))
     intercept[IllegalArgumentException](TemplateCompiler.parse("{{unterminated"))
   }
+
+  // ------------------------------------------------------------------------
+  // Golden renders over the ACTUAL 20 shipped reference templates
+  // (/root/reference/templates/*.hbs; SURVEY.md §5 commitment). Decision on
+  // the two template defects (SURVEY.md §7.5 risk 6): FAITHFUL — the
+  // reference's Handlebars renders exactly what the template says, so
+  // awsDynamoDb.hbs (missing comma after "type": "DB") and awsS3.hbs
+  // (trailing comma before }) produce invalid JSON there too; we reproduce
+  // the bytes rather than silently repairing a user's template.
+  // ------------------------------------------------------------------------
+
+  private val refDir = java.nio.file.Paths.get("/root/reference/templates")
+  private def refTemplates = TemplateCompiler.loadTemplateDir(refDir)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def parsesAsJson(s: String): Boolean =
+    try { mapper.readTree(s); true } catch { case _: Exception => false }
+
+  /** A2-shaped entity covering the field surface of all 19 entity templates. */
+  private val a2Entity: Map[String, String] = Map(
+    "aws_arn" -> "arn:aws:ec2:us-west-2:123:instance/i-1", "AWSUniqueId" -> "i-1_us-west-2_123",
+    "aws_architecture" -> "x86_64", "aws_state" -> "running", "aws_state_reason" -> "",
+    "aws_launch_time" -> "2020-05-12T12:34:56.123Z", "aws_tag_Name" -> "web-1",
+    "aws_instance_id" -> "i-1", "aws_instance_type" -> "m5.large", "aws_image_id" -> "ami-9",
+    "aws_hypervisor" -> "xen", "aws_create_time" -> "2020-05-12T12:34:56.123Z",
+    "aws_creation_time" -> "2020-05-12T12:34:56.123Z", "aws_created_timestamp" -> "2020-05-12",
+    "aws_instance_create_time" -> "2020-05-11T01:02:03Z", "aws_cluster_create_time" -> "2020-05-10",
+    "aws_cache_cluster_create_time" -> "2020-05-09", "aws_cache_cluster_name" -> "cache-1",
+    "aws_cluster_identifier" -> "cl-1", "aws_cluster_name" -> "ecs-1", "aws_cluster_node_type" -> "dc2",
+    "aws_cluster_status" -> "available", "aws_cluster_version" -> "1.0",
+    "aws_db_instance_identifier" -> "db-1", "aws_distribution_id" -> "E123",
+    "aws_domain_name" -> "search-1", "aws_encrypted" -> "true", "aws_engine" -> "postgres",
+    "aws_engine_version" -> "13.4", "aws_fifo_queue" -> "false",
+    "aws_function_code_sha256" -> "abc", "aws_function_memory_size" -> "512",
+    "aws_function_name" -> "fn-1", "aws_function_runtime" -> "java17", "aws_function_version" -> "7",
+    "aws_master_public_dns_name" -> "emr-1", "aws_queue_url" -> "https://sqs/q1",
+    "aws_release_label" -> "emr-6.3", "aws_rest_api_name" -> "api-1",
+    "aws_retention_period_hours" -> "24", "aws_stage_name" -> "prod", "aws_status" -> "ACTIVE",
+    "aws_table_status" -> "ACTIVE", "aws_attachment_state" -> "attached",
+    "azure_resource_id" -> "/subs/1/vm-1", "azure_vm_id" -> "vm-1",
+    "azure_computer_name" -> "azvm", "azure_power_state" -> "PowerState/running",
+    "azure_size" -> "Standard_D2", "azure_image_reference_offer" -> "UbuntuServer",
+    "azure_image_reference_sku" -> "18.04-LTS", "azure_image_reference_version" -> "latest",
+    "gcp_standard_id" -> "gce://p/z/i-1", "gcp_id" -> "981", "gcp_cpu_platform" -> "Intel",
+    "gcp_creation_time" -> "2020-05-12T12:34:56Z", "gcp_status" -> "RUNNING",
+    "gcp_machine_type" -> "n1-standard-1")
+
+  test("golden: loadTemplateDir loads all 20 shipped reference templates") {
+    val tpls = refTemplates
+    assert(tpls.size == 20, s"expected 20 templates, got ${tpls.keySet}")
+    assert(tpls.keySet == Set("awsApiGateway", "awsAsg", "awsCloudFront", "awsDynamoDb",
+      "awsEbsVolume", "awsEc2", "awsEcs", "awsElastiCache", "awsElasticSearch", "awsElb",
+      "awsEmr", "awsKinesis", "awsLambda", "awsRds", "awsRedshift", "awsS3", "awsSqs",
+      "azureVm", "gce", "targetBody"))
+  }
+
+  test("golden: all 19 entity templates render; 17 valid JSON, 2 faithful defects") {
+    val tpls = refTemplates - "targetBody"
+    val broken = Set("awsDynamoDb", "awsS3")
+    tpls.foreach { case (name, tpl) =>
+      val out = render(tpl, a2Entity)
+      if (broken(name))
+        assert(!parsesAsJson(out), s"$name: template defect should reproduce faithfully:\n$out")
+      else
+        assert(parsesAsJson(out), s"$name rendered invalid JSON:\n$out")
+    }
+  }
+
+  test("golden: awsElb matches the reference's own test pair (test/templates.test.js:24-43)") {
+    val out = render(refTemplates("awsElb"), Map(
+      "aws_arn" -> "arn-1", "AWSUniqueId" -> "awsuid-2",
+      "aws_create_time" -> "2020-05-12T12:34:56.123Z", "aws_tag_Name" -> "name-3",
+      "type" -> "ELB"))
+    val node = mapper.readTree(out)
+    assert(node.size() == 5)
+    assert(node.get("cmdb_ci").asText == "arn-1")
+    assert(node.get("asset").asText == "awsuid-2")
+    assert(node.get("install_date").asText == "2020-05-12T12:34:56.123Z")
+    assert(node.get("name").asText == "name-3")
+    assert(node.get("type").asText == "ELB")
+  }
+
+  test("golden: awsEc2 #with fallback + azureVm interpolation over real templates") {
+    // aws_tag_Name present -> name; removed -> falls back to aws_instance_id
+    val ec2 = mapper.readTree(render(refTemplates("awsEc2"), a2Entity))
+    assert(ec2.get("name").asText == "web-1" && ec2.get("vendor").asText == "AWS/EC2")
+    val noTag = mapper.readTree(render(refTemplates("awsEc2"), a2Entity - "aws_tag_Name"))
+    assert(noTag.get("name").asText == "i-1")
+    val az = mapper.readTree(render(refTemplates("azureVm"), a2Entity))
+    assert(az.get("version").asText == "UbuntuServer 18.04-LTS/latest")
+    val gce = mapper.readTree(render(refTemplates("gce"), a2Entity))
+    assert(gce.get("cmdb_ci").asText == "gce://p/z/i-1" && gce.get("name").asText == "981")
+  }
+
+  test("golden: the real targetBody.hbs joins rendered docs (E7, targetBody.hbs:1-3)") {
+    val tpl = refTemplates("targetBody")
+    assert(TemplateCompiler.renderBatchBody(tpl, Seq("""{"a":1}""", """{"b":2}""")) ==
+      "[\n" + """{"a":1},{"b":2}""" + "\n]")
+    // single element: no separator; the list parses as JSON
+    assert(TemplateCompiler.renderBatchBody(tpl, Seq("""{"a":1}""")) == "[\n" + """{"a":1}""" + "\n]")
+    assert(parsesAsJson(TemplateCompiler.renderBatchBody(tpl, Seq("""{"a":1}""", """{"b":2}"""))))
+    assert(TemplateCompiler.renderBatchBody(tpl, Nil) == "[\n\n]")
+  }
+
+  test("user-edited targetBody shape renders faithfully (templates.js:43)") {
+    val tpl = """{"entities": [{{#each entities}}{{{.}}}{{#unless @last}}, {{/unless}}{{/each}}], "n": "batch"}"""
+    assert(TemplateCompiler.renderBatchBody(tpl, Seq("1", "2", "3")) ==
+      """{"entities": [1, 2, 3], "n": "batch"}""")
+  }
 }
