@@ -154,15 +154,16 @@ object Dedup {
     * 4x (measured 2.4s -> 1.1s at sf0.1). At 100 TB the signature table is
     * ~500 bytes/doc — 3 orders of magnitude smaller than the corpus — and
     * materializing it once is exactly what a production near-dup pass does.
+    * The persist is registered with [[OpCaches]]; the caller releases it via
+    * `OpCaches.release()` after the consuming action.
     */
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, text: Column,
       shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val sigs = minhashSignaturesExploded(
-      explodedShingles(df, idCol, text, shingleLen), idCol, numPerm)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = OpCaches.pin(minhashSignaturesExploded(
+      explodedShingles(df, idCol, text, shingleLen), idCol, numPerm))
     val pairs = lshCandidatePairs(sigs, idCol, bands, rowsPerBand)
     val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("__siga"))
     val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("__sigb"))
@@ -203,10 +204,9 @@ object Dedup {
     * with `bit_count(xor)`.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, tokens: Column, maxHamming: Int = 3): DataFrame = {
-    // persisted for the same reason as the minhash signature table: both
+    // pinned for the same reason as the minhash signature table: both
     // chunked join sides re-derive it, and it is ~16 bytes/doc
-    val sh = simhash64(df, idCol, tokens)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = OpCaches.pin(simhash64(df, idCol, tokens))
     val chunkVals = array((0 until 4).map(ci =>
       shiftrightunsigned(col("simhash"), ci * 16).bitwiseAND(lit(0xFFFFL))): _*)
     val chunked = sh.select(col(idCol), col("simhash"),
@@ -246,8 +246,8 @@ object Dedup {
       .select(col(idCol), (md5Hash60(col("__sh")) % MinhashP).as("__x"))
     // per-doc set of hashed shingles: the single pass over the text; both
     // the signatures and the verification sets derive from it
-    val sets = hashed.groupBy(col(idCol)).agg(collect_set(col("__x")).as("__set"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = OpCaches.pin(
+      hashed.groupBy(col(idCol)).agg(collect_set(col("__x")).as("__set")))
     val sigs = minhashSignaturesFromHashed(
       sets.select(col(idCol), explode(col("__set")).as("__x")), idCol, numPerm)
     val pairs = lshCandidatePairs(sigs, idCol, bands, numPerm / bands)

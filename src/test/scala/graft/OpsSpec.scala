@@ -31,6 +31,18 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("operator-internal persists are registered and released via OpCaches") {
+    import graft.ops.OpCaches
+    OpCaches.release() // clean slate regardless of test order
+    Dedup.minhashNearDupPairs(docs, "doc_id", col("text"), threshold = 0.5).count()
+    assert(OpCaches.pinnedCount == 1) // the signature table
+    OpCaches.release()
+    assert(OpCaches.pinnedCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty ||
+      // unpersist(blocking=false): allow the async drop a moment
+      { Thread.sleep(500); spark.sparkContext.getPersistentRDDs.isEmpty })
+  }
+
   test("X2 exact n-gram jaccard agrees with set arithmetic") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), shingleLen = 3, threshold = 0.1)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
