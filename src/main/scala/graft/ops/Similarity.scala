@@ -106,6 +106,68 @@ object Similarity {
         col("__cos").as("cosine"))
   }
 
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): dyadic
+    * rational derived from md5("hp_<k>_<i>") — the first 8 hex chars as an
+    * integer, divided by 2^31, shifted to be zero-centered. Portable to any
+    * engine with md5 (the DuckDB oracle twin computes the identical value),
+    * so RHP-LSH bucket keys are engine-independent, exactly like the md5
+    * base hash of the minhash family.
+    */
+  private[graft] def planeComponent(k: Int, i: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp_${k}_${i}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = digest.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xFFL))
+    v / 2147483648.0 - 1.0
+  }
+
+  /** X2 at scale: embedding near-duplicate pairs via random-hyperplane LSH
+    * (sign-random-projection) — the sub-quadratic path that replaces the
+    * within-block all-pairs join. Per vector, `bands * bitsPerBand` sign
+    * bits of md5-seeded hyperplane projections; vectors meet ONLY when they
+    * agree on every bit of some band, then candidates are verified with the
+    * exact cosine. Join keys are (band, bucket) — fan-out depends on bucket
+    * occupancy, never on a cross join — and the candidate set shrinks
+    * geometrically in bitsPerBand, so at 100 TB the knobs trade recall for
+    * candidate volume explicitly.
+    *
+    * Recall for a pair at angle θ: per-bit collision p = 1 - θ/π, recall =
+    * 1-(1-p^bits)^bands. Defaults (16 bands x 4 bits) target moderate
+    * thresholds (~0.94 recall at cosine 0.4); production near-dup sweeps at
+    * cosine >= 0.8 should raise bitsPerBand to 8-16, which collapses the
+    * background candidate rate to ~L/2^bits.
+    *
+    * Projections are rounded to 6 dp before the sign test so bucket bits are
+    * reproducible across engines regardless of last-ulp summation noise; the
+    * base (id, vec, norm) table is pinned in [[OpCaches]] (consumed by the
+    * banding pass and both verify sides) — callers release after the action.
+    */
+  def randomHyperplaneNearDupPairs(
+      df: DataFrame, threshold: Double, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val base = OpCaches.pin(df.select(col(idCol), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n")))
+    val planes = Array.tabulate(bands * bitsPerBand, dim)(planeComponent)
+    val bandBuckets = array((0 until bands).map { b =>
+      (0 until bitsPerBand).map { j =>
+        val k = b * bitsPerBand + j
+        when(round(dot(col("__v"), typedlit(planes(k).toSeq)), 6) >= 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val banded = base.select(col(idCol), posexplode(bandBuckets).as(Seq("__band", "__bkt")))
+    val cand = banded.alias("a").join(banded.alias("b"), Seq("__band", "__bkt"))
+      .where(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")).distinct()
+    cand
+      .join(base.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")), "id_b")
+      .withColumn("cosine", round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs (X2 flavor): all pairs above a
     * cosine threshold, blocked by a cell column to avoid the full cross
     * join (exact within blocks).

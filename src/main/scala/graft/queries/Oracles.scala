@@ -267,6 +267,32 @@ object Oracles {
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin,
 
+    // Mirrors Similarity.randomHyperplaneNearDupPairs: identical md5-seeded
+    // hyperplane components (first 8 md5 hex chars of "hp_<k>_<i>" over 2^31,
+    // zero-centered — dyadic rationals, bit-exact in double), projections
+    // rounded to 6dp before the sign test, 16 bands x 4 sign bits, exact
+    // cosine verification on candidates.
+    "x2_rhp_near_dup" ->
+      """WITH planes AS (
+        |  SELECT k, list_transform(generate_series(0, 63),
+        |           i -> ('0x' || substr(md5('hp_' || k || '_' || i), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS p
+        |  FROM generate_series(0, 63) t(k)),
+        |proj AS (
+        |  SELECT e.vec_id, pl.k // 4 AS band,
+        |    CASE WHEN round(list_sum(list_transform(generate_series(1, 64),
+        |                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])), 6) >= 0
+        |         THEN 1 << (pl.k % 4) ELSE 0 END AS bit
+        |  FROM embeddings e CROSS JOIN planes pl),
+        |buck AS (SELECT vec_id, band, sum(bit) AS bkt FROM proj GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |         FROM buck a JOIN buck b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+        |v AS (SELECT c.id_a, c.id_b, round(
+        |    list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+        |  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b)
+        |SELECT id_a, id_b, cosine FROM v WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin,
+
     "x3_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
         |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),

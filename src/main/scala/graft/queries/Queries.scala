@@ -402,6 +402,17 @@ object Queries {
       blockCol = Some("label"))
       .orderBy("id_a", "id_b")
 
+  /** X2 scale path for embeddings: random-hyperplane LSH (16 bands x 4 bits)
+    * with exact-cosine verification — no all-pairs join anywhere; candidate
+    * recall ~0.94 at cosine 0.4 per the sign-LSH collision formula. The
+    * md5-seeded hyperplanes are portable, so the DuckDB twin mirrors the
+    * full two-stage plan and this is hash-checked, not rows-only.
+    */
+  private def x2RhpNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomHyperplaneNearDupPairs(t(spark, dir, "embeddings"),
+      threshold = 0.4, dim = 64)
+      .orderBy("id_a", "id_b")
+
   private def x5Quality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityMetrics(t(spark, dir, "documents"), "doc_id", col("text"))
       .orderBy("doc_id")
@@ -470,6 +481,7 @@ object Queries {
     "x2_minhash_lsh" -> (x2MinhashLsh _),
     "x2_simhash" -> (x2Simhash _),
     "x2_embedding_near_dup" -> (x2EmbeddingNearDup _),
+    "x2_rhp_near_dup" -> (x2RhpNearDup _),
     "x3_knn_cosine" -> (x3KnnCosine _),
     "x3_ivf_topk" -> (x3IvfTopk _),
     "x5_quality" -> (x5Quality _),

@@ -97,6 +97,26 @@ class OpsSpec extends SparkSpec {
     assert(out(0)._3 > 0.99 && math.abs(out(1)._3 - math.sqrt(0.5)) < 1e-4 && out(2)._3 == 0.0)
   }
 
+  test("X2 random-hyperplane LSH recalls the exact near-dup set at high cosine") {
+    // 3 near-dup clusters of nearly-identical vectors + isolated noise rows:
+    // at cosine >= 0.9 the per-bit collision rate is ~0.95, so with 16x4
+    // banding the LSH result must EQUAL the exact all-pairs result
+    // (deterministic given the fixed md5-seeded planes)
+    val dim = 8
+    val vecs = (0 until 30).map { i =>
+      val cluster = i % 3
+      val base = Array.tabulate(dim)(d => if (d == cluster) 1f else 0.02f * ((i * 7 + d) % 5))
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.embeddingNearDupPairs(vecs, threshold = 0.9)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.randomHyperplaneNearDupPairs(vecs, threshold = 0.9, dim = dim)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    graft.ops.OpCaches.release()
+    assert(exact.nonEmpty) // the fixture really has near-dups
+    assert(lsh == exact)   // full recall at this similarity, identical scores
+  }
+
   test("X3 IVF probes nearest cells only (approximate but cell-complete)") {
     val vecs = (0 until 40).map { i =>
       val cell = i % 4
