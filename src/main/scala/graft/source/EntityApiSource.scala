@@ -243,6 +243,18 @@ private[graft] object Json {
     m.result()
   }
 
+  /** Parse a JSON number literal as an epoch-millis long: integer fast path,
+    * decimal/exponent forms (`1.5e9`) via double — exact for any whole value
+    * below 2^53, which covers epoch millis for the next ~280k years. A JS
+    * reference treats `1.5e9` as a plain number (cache.js:100-108 compares
+    * numerically), so the checkpoint math must accept every JSON number
+    * form, not just integer literals.
+    */
+  def numberToLong(s: String): Option[Long] =
+    s.toLongOption.orElse(s.toDoubleOption.collect {
+      case d if d.isWhole && math.abs(d) <= (1L << 53) => d.toLong
+    })
+
   /** Single-pass JSON string unescape — sequential replace passes corrupt
     * adjacent sequences (e.g. literal backslash + 'n' becoming a newline).
     */

@@ -113,7 +113,7 @@ object PageDrain {
       val page = EntityApiSource.fetchPage(fetch, config.urlTemplate, config.entityType, checkpoint)
       items ++= page.items
       val maxTs = page.items.flatMap(Json.parseFlatObject(_).get(Model.UpdatedOnMs))
-        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .flatMap(Json.numberToLong)
       // checkpoint = max(updatedOnMs) over all fetched items (cache.js:100-108);
       // invalid/absent keeps previous; stall bump under partialResults (:114-117)
       val next = if (maxTs.isEmpty) checkpoint else math.max(checkpoint, maxTs.max)
@@ -201,7 +201,7 @@ class EntityMicroBatchStream(config: EntitySourceConfig)
           PageDrain.drain(config, start.asInstanceOf[CheckpointOffset].ms, config.maxPagesPerBatch)._1
         drained.filter { item =>
           Json.parseFlatObject(item).get(Model.UpdatedOnMs)
-            .flatMap(v => scala.util.Try(v.toLong).toOption)
+            .flatMap(Json.numberToLong)
             .forall(_ <= endMs)
         }
       }
@@ -224,8 +224,7 @@ object EntityReaderFactory extends PartitionReaderFactory {
         // flat string->scalar entities (SURVEY.md §1.1); values stringified
         val obj = Json.parseFlatObject(p.items(i))
         val id = obj.get(p.idField).map(UTF8String.fromString).orNull
-        val updated = obj.get(Model.UpdatedOnMs)
-          .flatMap(s => scala.util.Try(s.toLong).toOption)
+        val updated = obj.get(Model.UpdatedOnMs).flatMap(Json.numberToLong)
         val attrs = obj - Model.UpdatedOnMs
         val keys = attrs.keys.toArray.map(k => UTF8String.fromString(k): AnyRef)
         val vals = attrs.values.toArray.map(v => UTF8String.fromString(v): AnyRef)

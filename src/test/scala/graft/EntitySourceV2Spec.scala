@@ -43,6 +43,24 @@ object DeepBacklogFetcherFactory {
     170L -> page(Seq(180L, 190L), partial = false))
 }
 
+/** Two-page stub whose first page carries `updatedOnMs` in exponent
+  * notation (`1.5e9`): the checkpoint must advance numerically (to
+  * 1500000000), not freeze on an unparseable literal.
+  */
+class ExponentTsFetcherFactory extends FetcherFactory {
+  override def fetcher(options: Map[String, String]): EntityApiSource.Fetcher = url => {
+    val ckpt = url.split("updatedFromMs=")(1).toLong
+    ckpt match {
+      case 1L =>
+        """{"items": [{"uid": "e1", "v": "a", "updatedOnMs": 1.5e9},
+          |           {"uid": "e2", "v": "b", "updatedOnMs": 1.4e9}], "partialResults": true}""".stripMargin
+      case 1500000000L =>
+        """{"items": [{"uid": "e3", "v": "c", "updatedOnMs": 1500000100}], "partialResults": false}""".stripMargin
+      case _ => """{"items": [], "partialResults": false}"""
+    }
+  }
+}
+
 /** DataSource V2 connector: batch read drains the pagination loop with the
   * stall-proof checkpoint advance; short name resolves via
   * DataSourceRegister; rows land in the canonical (id, updatedOnMs, attrs)
@@ -75,6 +93,17 @@ class EntitySourceV2Spec extends SparkSpec {
       .option("fetcherClass", classOf[StubFetcherFactory].getName)
       .load()
     assert(df.select("id").as[String].collect().sorted.toSeq == Seq("b", "c"))
+  }
+
+  test("exponent-notation updatedOnMs advances the checkpoint and lands as a long") {
+    val df = spark.read.format("graft-entities")
+      .option("urlTemplate", "stub://e?type={{type}}&updatedFromMs={{updatedFromMs}}")
+      .option("type", "widget").option("uniqueIdField", "uid")
+      .option("fetcherClass", classOf[ExponentTsFetcherFactory].getName)
+      .load()
+    val rows = df.select($"id", $"updatedOnMs").as[(String, Long)].collect().sorted.toSeq
+    // page 2 was fetched => the 1.5e9 checkpoint advanced the pagination loop
+    assert(rows == Seq(("e1", 1500000000L), ("e2", 1400000000L), ("e3", 1500000100L)))
   }
 
   test("micro-batch streaming read: offset = checkpoint, pages arrive incrementally") {

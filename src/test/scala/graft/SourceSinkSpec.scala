@@ -27,6 +27,79 @@ class SourceSinkSpec extends SparkSpec {
     assert(none.isEmpty && !p2)
   }
 
+  test("property: parseFlatObject agrees with spark.read.json on generated flat payloads") {
+    // deterministic generator (fixed seed): ~80 payloads mixing strings with
+    // escapes/unicode, integer/decimal/exponent numbers, booleans, nulls,
+    // and nested composites (which parseFlatObject must skip, not hoist)
+    val rnd = new scala.util.Random(42)
+    val stringAlphabet = "abcXYZ 09_\"\\\n\té√"
+    def jsonEscape(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\t' => "\\t"; case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    // per-field: (json fragment, expected parsed value or None when skipped)
+    def genField(name: String): (String, Option[String]) = rnd.nextInt(7) match {
+      case 0 => val v = rnd.between(-1000000L, 1000000L); (s""""$name": $v""", Some(v.toString))
+      case 1 => val v = s"${rnd.between(1, 99)}.${rnd.between(0, 99)}e${rnd.between(-9, 9)}"
+                (s""""$name": $v""", Some(v))
+      case 2 => val v = s"-${rnd.between(0, 99)}.${rnd.between(1, 99)}"
+                (s""""$name": $v""", Some(v))
+      case 3 => val v = rnd.nextBoolean().toString; (s""""$name": $v""", Some(v))
+      case 4 => (s""""$name": null""", Some("null"))
+      case 5 => // nested composite: skipped whole by the flat parser
+        val inner = if (rnd.nextBoolean()) """{"x": 1, "y": [2, {"z": "3"}]}""" else """[1, {"a": "b"}, []]"""
+        (s""""$name": $inner""", None)
+      case _ =>
+        val v = (0 until rnd.between(0, 12)).map(_ => stringAlphabet(rnd.nextInt(stringAlphabet.length))).mkString
+        (s""""$name": "${jsonEscape(v)}"""", Some(v))
+    }
+    val payloads = (0 until 80).map { j =>
+      val fields = (0 until rnd.between(1, 8)).map(i => genField(s"p${j}_f$i"))
+      (s"{${fields.map(_._1).mkString(", ")}}", fields)
+    }
+    val parsed = payloads.map(p => Json.parseFlatObject(p._1))
+    // spark.read.json over the same payloads: the schema-merged DataFrame is
+    // the ground truth for which fields exist and what they contain
+    val df = spark.read.json(spark.createDataset(payloads.map(_._1)))
+    val rows = df.collect()
+    val schema = df.schema
+    rows.zip(parsed).zipWithIndex.foreach { case ((row, flat), j) =>
+      schema.fields.foreach { f =>
+        val sv = row.get(row.fieldIndex(f.name))
+        f.dataType match {
+          case _: org.apache.spark.sql.types.StructType | _: org.apache.spark.sql.types.ArrayType =>
+            // nested: the flat parser must not expose the key at all
+            assert(!flat.contains(f.name), s"payload $j: nested ${f.name} hoisted")
+          case _ if sv == null =>
+            // absent in this payload, or a JSON null literal
+            assert(!flat.contains(f.name) || flat(f.name) == "null",
+              s"payload $j: ${f.name} null in spark but '${flat.get(f.name)}' in flat parser")
+          case _: org.apache.spark.sql.types.StringType =>
+            assert(flat(f.name) == sv.asInstanceOf[String],
+              s"payload $j: ${f.name} string mismatch")
+          case _: org.apache.spark.sql.types.BooleanType =>
+            assert(flat(f.name).toBoolean == sv.asInstanceOf[Boolean])
+          case _ => // long or double: compare numerically (raw text is kept)
+            assert(flat(f.name).toDouble == sv.toString.toDouble,
+              s"payload $j: ${f.name} number mismatch: flat=${flat(f.name)} spark=$sv")
+        }
+      }
+      // completeness the other way: every flat-parsed key is a real field
+      flat.keys.foreach(k => assert(schema.fieldNames.contains(k), s"payload $j: phantom key $k"))
+    }
+  }
+
+  test("numberToLong: integer, decimal-whole, and exponent forms; rejects fractional") {
+    assert(Json.numberToLong("1705276800000").contains(1705276800000L))
+    assert(Json.numberToLong("1.5e9").contains(1500000000L))
+    assert(Json.numberToLong("1.5E12").contains(1500000000000L))
+    assert(Json.numberToLong("-2e3").contains(-2000L))
+    assert(Json.numberToLong("1.5").isEmpty)   // not a whole ms value
+    assert(Json.numberToLong("1e60").isEmpty)  // beyond exact double range
+    assert(Json.numberToLong("abc").isEmpty)
+  }
+
   test("parseFlatObject: exponent numbers parse; nested values are skipped whole") {
     val m = Json.parseFlatObject(
       """{"a": 1.5e9, "b": -2E-3, "neg": -7, "s": "x\"y", "t": true, "z": null,
