@@ -3,12 +3,12 @@ package graft.queries
 /** DuckDB oracle SQL twins for [[Queries.all]] — one per SQL-expressible
   * query, mirroring the Spark plan expression-for-expression so results
   * hash-match bit-exactly (decimal-cast sums, epoch-ms timestamps, ratios
-  * rounded identically, identical tie-breaks). Queries whose semantics
-  * depend on approximate candidate generation with Spark-side constants
-  * are deliberately absent -> the driver records a rows-only check for
-  * them (x3_ivf_topk, x4_decode_stub). The minhash/simhash twins exist
-  * BECAUSE the operators hash with md5 slices (portable) rather than
-  * Spark's internal xxhash64 — see Dedup.md5Hash60/md5Hash32.
+  * rounded identically, identical tie-breaks). The ONLY query without a
+  * twin is x3_ivf_topk: its probe selection depends on data-derived
+  * centroids whose ranking is approximate BY DESIGN, so the driver records
+  * a rows-only check for it. Everything hash-based is portable because the
+  * operators hash with md5 slices (Dedup.md5Hash60/md5Hash32,
+  * Similarity.planeComponent) rather than Spark's internal xxhash64.
   */
 object Oracles {
 
@@ -346,6 +346,22 @@ object Oracles {
          |      THEN list_transform(generate_series(1, len(nt)-7, 2), i -> substr(nt, i, 8))
          |      ELSE [nt] END, g -> md5(g))) AS min_gram_md5
          |FROM n ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.decodeFeaturesStub exactly: feature j = mean of
+    // UTF-8 payload bytes at positions i ≡ j (mod 8), scaled by 1/256 —
+    // bytes recovered from hex(encode(text)) pairs, summed in index order
+    // like the stub's sequential loop, rounded after the mean like the
+    // registered query.
+    "x4_decode_stub" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id,
+        |  list_transform(generate_series(0, n-1, 8), i -> ('0x' || substr(h, 2*i+1, 2))::BIGINT / 256.0) AS s0,
+        |  list_transform(generate_series(7, n-1, 8), i -> ('0x' || substr(h, 2*i+1, 2))::BIGINT / 256.0) AS s7
+        |FROM b)
+        |SELECT doc_id AS id,
+        |  CASE WHEN len(s0) = 0 THEN 0.0 ELSE round(list_sum(s0)/len(s0), 6) END AS f0,
+        |  CASE WHEN len(s7) = 0 THEN 0.0 ELSE round(list_sum(s7)/len(s7), 6) END AS f7
+        |FROM f ORDER BY id""".stripMargin,
 
     "x4_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

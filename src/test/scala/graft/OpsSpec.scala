@@ -172,4 +172,22 @@ class OpsSpec extends SparkSpec {
       .select("slices").as[Seq[String]].collect()
     assert(slices.forall(_.size == 3))
   }
+
+  test("X4 metadata is byte-based under non-ASCII text (DuckDB oracle parity)") {
+    // expected values computed independently with DuckDB's byte-based oracle
+    // expressions (octet_length(encode), md5(base64(encode)),
+    // base64(unhex(substr(hex(encode), 1, 24)))) — the x4_multimodal_meta
+    // gate stays honest for multi-byte UTF-8 even though the sf fixtures are
+    // pure ASCII: Spark's binary substr counts BYTES, not characters
+    val t = Seq((1L, "héllo wörld ✓ 日本語テキスト"), (2L, "plain ascii only"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.asMedia(t, "doc_id", col("text"), "text/plain")
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.content_md5").as("content_md5"),
+        base64(col("media").substr(1, 12)).as("b64_head"))
+      .as[(Long, Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 39L, "40865ac5f27543ff5266d9b8f16aec6b", "aMOpbGxvIHfDtnJs"),
+      (2L, 16L, "ca0a134380e2dda917a28324ae44338a", "cGxhaW4gYXNjaWkg")))
+  }
 }
