@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * the corpus side stays partitioned and never shuffles for scoring; the
   * only shuffle is the per-query top-k (tiny after per-partition pruning).
   *
-  * Scale path: IVF — partition the corpus by a coarse quantizer (here the
-  * pre-clustered `label`, in general k-means cells), search only the probe
-  * cells nearest the query centroid. Turns a full scan into a
+  * Scale path: IVF — partition the corpus by a coarse quantizer
+  * ([[kmeansCells]], or any pre-existing cell column), search only the
+  * probe cells nearest the query centroid. Turns a full scan into a
   * `#probes/#cells` fraction of the data.
   */
 object Similarity {
@@ -166,6 +166,92 @@ object Similarity {
       .withColumn("cosine", round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Deterministic spherical k-means (Lloyd) over the embedding column —
+    * the data-driven coarse quantizer for [[ivfTopKKmeans]] when no
+    * pre-clustered cell column exists (real corpora have no `label`).
+    *
+    * Spark-first formulation: every iteration is two hash aggregations —
+    * assignment = `max_by(cell, cosine)` against the BROADCAST centroid
+    * table (k * dim doubles, trivially small), re-centering =
+    * posexplode + per-(cell, index) avg. Centroids are collected between
+    * iterations (k rows — a constant-size aggregation result, not a data
+    * collect). Seeding is deterministic farthest-point (maxmin) traversal —
+    * the k-means++ idea without its RNG: start from the row with the
+    * smallest md5(id), then repeatedly add the row most dissimilar to every
+    * chosen seed. Uniform-hash seeding was measured at 0.55 IVF recall on
+    * the planted-cluster fixture (duplicate seeds collapse cells); maxmin
+    * reaches 1.0.
+    *
+    * At 100 TB: fit the centroids on a deterministic sample (pass
+    * `sampleMod` > 1 to keep ids with md5(id) mod sampleMod == 0), then the
+    * full corpus pays only the final assignment pass.
+    *
+    * Returns (id, cell) assignments.
+    */
+  def kmeansCells(
+      corpus: DataFrame, k: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleMod: Int = 1): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("__kid"), col(vecCol).as("__kv"))
+    val fit = if (sampleMod <= 1) base
+      else base.where(Dedup.md5Hash60(col("__kid").cast("string")) % sampleMod === 0)
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Any](0).map {
+        case f: Float => f.toDouble // exact widening, like graft_dot
+        case d: Double => d
+        case x => x.toString.toDouble
+      }
+    val firstSeed = vecOf(
+      fit.orderBy(md5(col("__kid").cast("string")), col("__kid")).select(col("__kv")).limit(1).head())
+    var seeds = Seq(firstSeed)
+    while (seeds.size < k) {
+      val seedDf = broadcast(seeds.zipWithIndex.map(_.swap).toDF("__cell", "__centroid"))
+      val next = fit.crossJoin(seedDf)
+        .withColumn("__cos", dot(col("__kv"), col("__centroid")) /
+          (norm(col("__kv")) * norm(col("__centroid"))))
+        .groupBy(col("__kid")).agg(max(col("__cos")).as("__near"), first(col("__kv")).as("__kv"))
+        .orderBy(col("__near").asc, col("__kid")) // farthest from every seed; id tiebreak
+        .select(col("__kv")).limit(1).head()
+      seeds = seeds :+ vecOf(next)
+    }
+    var centroids: Seq[(Int, Seq[Double])] = seeds.zipWithIndex.map(_.swap)
+    def assign(df: DataFrame): DataFrame = {
+      val centDf = broadcast(centroids.toDF("__cell", "__centroid"))
+      df.crossJoin(centDf)
+        .withColumn("__cos", dot(col("__kv"), col("__centroid")) /
+          (norm(col("__kv")) * norm(col("__centroid"))))
+        .groupBy(col("__kid"))
+        // ties broken toward the larger cell id via lexicographic struct max
+        .agg(max_by(col("__cell"), struct(col("__cos"), col("__cell"))).as("__cell"),
+          first(col("__kv")).as("__kv"))
+    }
+    for (_ <- 1 to iters) {
+      centroids = assign(fit)
+        .select(col("__cell"), posexplode(col("__kv")).as(Seq("__i", "__x")))
+        .groupBy("__cell", "__i").agg(avg("__x").as("__m"))
+        .groupBy("__cell").agg(array_sort(collect_list(struct(col("__i"), col("__m")))).as("__ims"))
+        .select(col("__cell"), transform(col("__ims"), s => s.getField("__m")).as("__c"))
+        .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    }
+    assign(base).select(col("__kid").as(idCol), col("__cell").as("cell"))
+  }
+
+  /** IVF top-k with data-driven cells: k-means the corpus (no `label`
+    * column required), then probe as in [[ivfTopK]]. Approximate by design
+    * — recall depends on nProbe/kCells; OpsSpec asserts recall against the
+    * brute-force result on the sf0.001 fixture.
+    */
+  def ivfTopKKmeans(
+      queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
+      kCells: Int = 10, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = kmeansCells(corpus, kCells, iters, idCol, vecCol)
+    ivfTopK(queries, corpus.join(cells, idCol), k, nProbe, idCol, vecCol, "cell")
   }
 
   /** Embedding-cosine near-duplicate pairs (X2 flavor): all pairs above a

@@ -391,9 +391,13 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Cells come from deterministic k-means (3 Lloyd iterations), NOT the
+    * fixture's pre-clustered `label` — real corpora have no label column.
+    */
   private def x3IvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    Similarity.ivfTopK(emb.where(col("vec_id") % 100 === 0), emb, k = 5, nProbe = 3)
+    Similarity.ivfTopKKmeans(emb.where(col("vec_id") % 100 === 0), emb,
+      k = 5, nProbe = 3, kCells = 10)
       .orderBy("query_id", "rank")
   }
 
