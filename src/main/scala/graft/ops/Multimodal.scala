@@ -49,6 +49,74 @@ object Multimodal {
       transform(offsets, o => base64(col("media").substr(o.cast("int"), lit(sliceLen)))))
   }
 
+  /** X4 lazy-pointer variant (SURVEY.md §2.12): at 100 TB the payload bytes
+    * cannot ride through every shuffle — the row carries only a
+    * `(path, offset, n_bytes)` pointer into the media store, and bytes are
+    * materialized partition-locally AFTER all shuffles, immediately before
+    * the decode kernel. Joins/filters/repartitions upstream move ~50 bytes
+    * per row instead of megabytes.
+    */
+  val pointerSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("offset", LongType),
+    StructField("n_bytes", LongType)))
+
+  /** Wrap pointer columns as the lazy media representation: (id, ptr,
+    * meta). No payload bytes anywhere in the schema.
+    */
+  def asMediaPointers(df: DataFrame, idCol: String,
+                      path: org.apache.spark.sql.Column,
+                      offset: org.apache.spark.sql.Column,
+                      nBytes: org.apache.spark.sql.Column,
+                      mediaType: String): DataFrame =
+    df.select(col(idCol),
+      struct(path.as("path"), offset.cast("long").as("offset"),
+        nBytes.cast("long").as("n_bytes")).as("ptr"),
+      struct(nBytes.cast("long").as("n_bytes"),
+        lit(mediaType).as("media_type")).as("meta"))
+
+  /** Materialize pointer rows into payload bytes, partition-locally: each
+    * partition opens its referenced files once (small channel cache), reads
+    * the byte ranges, and emits (id, media). This is the LAST step before a
+    * decode kernel — everything upstream shuffles pointers only. Local
+    * filesystem reader; an object-store deployment swaps in its ranged-GET
+    * client here, the Spark plumbing is identical.
+    */
+  def materializePointers(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed: Dataset[PointerRow] = df.select(
+      col(idCol).cast("long").as("id"),
+      col("ptr.path").as("path"),
+      col("ptr.offset").as("offset"),
+      col("ptr.n_bytes").as("nBytes")).as[PointerRow]
+    typed.mapPartitions { it =>
+      val channels = scala.collection.mutable.Map.empty[String, java.nio.channels.FileChannel]
+      def channel(p: String) = channels.getOrElseUpdate(p,
+        java.nio.channels.FileChannel.open(java.nio.file.Paths.get(p),
+          java.nio.file.StandardOpenOption.READ))
+      new Iterator[MediaRow] {
+        override def hasNext: Boolean = {
+          val more = it.hasNext
+          if (!more) { channels.values.foreach(_.close()); channels.clear() }
+          more
+        }
+        override def next(): MediaRow = {
+          val row = it.next()
+          val buf = java.nio.ByteBuffer.allocate(row.nBytes.toInt)
+          val ch = channel(row.path)
+          var pos = row.offset
+          while (buf.hasRemaining) {
+            val n = ch.read(buf, pos)
+            require(n >= 0, s"EOF at $pos reading ${row.nBytes} bytes of ${row.path}")
+            pos += n
+          }
+          MediaRow(row.id, buf.array())
+        }
+      }
+    }.toDF("id", "media")
+  }
+
   /** Partition-local "decode + featurize" kernel.
     *
     * STUB DECODER — stands in for an image/audio codec that is not present
@@ -87,3 +155,4 @@ object Multimodal {
   */
 final case class MediaRow(id: Long, media: Array[Byte])
 final case class FeatureRow(id: Long, features: Array[Double])
+final case class PointerRow(id: Long, path: String, offset: Long, nBytes: Long)

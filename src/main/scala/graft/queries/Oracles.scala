@@ -367,6 +367,16 @@ object Oracles {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(base64(encode(text))) AS content_md5,
         |  base64(unhex(substr(hex(encode(text)), 1, 24))) AS b64_head
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same answer as x4_multimodal_meta but the Spark side goes through the
+    // lazy-pointer store (blob write -> pointer shuffle -> partition-local
+    // range reads): equality with text-derived values proves the pointer
+    // read path is byte-faithful.
+    "x4_lazy_pointer" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(base64(encode(text))) AS content_md5,
+        |  base64(unhex(substr(hex(encode(text)), 1, 24))) AS b64_head
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -436,6 +436,57 @@ object Queries {
         base64(col("media").substr(1, 12)).as("b64_head"))
       .orderBy("doc_id")
 
+  /** One-time local blob store posing as the external media store for the
+    * lazy-pointer query: concatenated UTF-8 payloads of `documents` in
+    * doc_id order. In production the store already exists — building it is
+    * setup, the pointer path is what the query measures. Written atomically
+    * (tmp + rename) and cached per sf dir.
+    */
+  private def blobStoreFor(spark: SparkSession, dir: String): String = {
+    val blob = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_blob_${dir.hashCode.toHexString}.bin")
+    if (!java.nio.file.Files.exists(blob)) {
+      val texts = t(spark, dir, "documents").select("doc_id", "text")
+        .orderBy("doc_id").collect()
+      val out = java.nio.file.Files.createTempFile("graft_blob", ".tmp")
+      val ch = java.nio.file.Files.newOutputStream(out)
+      try texts.foreach(r => ch.write(r.getString(1).getBytes("UTF-8")))
+      finally ch.close()
+      try java.nio.file.Files.move(out, blob, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () } // concurrent builder won
+    }
+    blob.toString
+  }
+
+  /** X4 lazy-pointer column: the row carries (path, offset, n_bytes), the
+    * shuffle moves pointers, and bytes materialize partition-locally after
+    * it. Hash-checked: the oracle computes the same digest/head from
+    * documents.text directly, so any byte infidelity in the pointer read
+    * path (offset math, range reads, channel reuse) breaks the gate.
+    */
+  private def x4LazyPointer(spark: SparkSession, dir: String): DataFrame = {
+    val blobPath = blobStoreFor(spark, dir)
+    val docs = t(spark, dir, "documents")
+    val len = octet_length(col("text")).cast("long")
+    val ptrs = docs
+      .withColumn("n_bytes", len)
+      .withColumn("offset",
+        coalesce(sum("n_bytes").over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val media = Multimodal.asMediaPointers(ptrs, "doc_id",
+      lit(blobPath), col("offset"), col("n_bytes"), "text/plain")
+    // a genuine range-partition shuffle over the POINTER representation —
+    // the payload bytes do not exist yet (OpsSpec asserts the exchange
+    // output carries no binary column)
+    val shuffled = media.repartitionByRange(8, col("doc_id"))
+    Multimodal.materializePointers(shuffled, "doc_id")
+      .select(col("id").as("doc_id"),
+        length(col("media")).cast("long").as("n_bytes"),
+        md5(base64(col("media"))).as("content_md5"),
+        base64(col("media").substr(1, 12)).as("b64_head"))
+      .orderBy("doc_id")
+  }
+
   private def x4DecodeStub(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMedia(t(spark, dir, "documents"), "doc_id", col("text"), "text/plain")
     Multimodal.decodeFeaturesStub(media, "doc_id", dim = 8)
@@ -492,6 +543,7 @@ object Queries {
     "x5_lang_id" -> (x5LangId _),
     "x5_fingerprint" -> (x5Fingerprint _),
     "x4_multimodal_meta" -> (x4MultimodalMeta _),
+    "x4_lazy_pointer" -> (x4LazyPointer _),
     "x4_decode_stub" -> (x4DecodeStub _)
   )
 

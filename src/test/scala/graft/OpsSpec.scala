@@ -201,6 +201,37 @@ class OpsSpec extends SparkSpec {
     assert(slices.forall(_.size == 3))
   }
 
+  test("X4 lazy pointers: byte-exact range reads; no binary column crosses the shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // blob = concatenated payloads; pointers slice it back out
+    val payloads = Seq("alpha", "βγδ-utf8", "the last payload")
+    val blob = java.nio.file.Files.createTempFile("graft_ptr_spec", ".bin")
+    java.nio.file.Files.write(blob, payloads.mkString.getBytes("UTF-8"))
+    val lens = payloads.map(_.getBytes("UTF-8").length.toLong)
+    val offsets = lens.scanLeft(0L)(_ + _).init
+    val ptrs = payloads.indices.map(i => (i.toLong, blob.toString, offsets(i), lens(i)))
+      .toDF("doc_id", "p", "o", "n")
+    val media = Multimodal.asMediaPointers(ptrs, "doc_id", col("p"), col("o"), col("n"), "text/plain")
+    assert(!media.schema.fields.exists(_.dataType == org.apache.spark.sql.types.BinaryType))
+    val shuffled = media.repartitionByRange(2, col("doc_id"))
+    val out = Multimodal.materializePointers(shuffled, "doc_id")
+    val bytes = out.as[(Long, Array[Byte])].collect().sortBy(_._1)
+      .map { case (id, b) => id -> new String(b, "UTF-8") }.toSeq
+    assert(bytes == payloads.indices.map(i => i.toLong -> payloads(i)))
+    // the exchange moves pointers only: no binary attribute in its output
+    // (unwrap AQE, which hides the exchanges behind AdaptiveSparkPlanExec)
+    val plan = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, s"expected a shuffle in:\n$plan")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType == org.apache.spark.sql.types.BinaryType),
+        s"payload bytes crossed a shuffle: ${e.output}")
+    }
+  }
+
   test("X4 metadata is byte-based under non-ASCII text (DuckDB oracle parity)") {
     // expected values computed independently with DuckDB's byte-based oracle
     // expressions (octet_length(encode), md5(base64(encode)),
