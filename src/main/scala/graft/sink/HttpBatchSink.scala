@@ -37,17 +37,22 @@ object HttpBatchSink {
     */
   def httpSender(url: String, method: String, headers: Map[String, String],
                  timeout: Duration = Duration.ofSeconds(60),
-                 env: () => Map[String, String] = () => sys.env): SenderFactory = () => {
-    val client = HttpClient.newBuilder().connectTimeout(timeout).build()
-    body => {
-      val b = HttpRequest.newBuilder(URI.create(url)).timeout(timeout)
-        .method(method, HttpRequest.BodyPublishers.ofString(body))
-      val e = env()
-      headers.foreach { case (k, v) =>
-        b.header(k, graft.template.TemplateCompiler.renderWithEnv(v, Map.empty, e))
+                 env: () => Map[String, String] = () => sys.env): SenderFactory = {
+    // construction-time fail-fast: malformed header templates and env vars
+    // missing at startup are config errors, not per-request 401s
+    graft.template.TemplateCompiler.validateHeaderTemplates(headers, env())
+    () => {
+      val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+      body => {
+        val b = HttpRequest.newBuilder(URI.create(url)).timeout(timeout)
+          .method(method, HttpRequest.BodyPublishers.ofString(body))
+        val e = env()
+        headers.foreach { case (k, v) =>
+          b.header(k, graft.template.TemplateCompiler.renderWithEnv(v, Map.empty, e))
+        }
+        val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode / 100 == 2, s"$method $url -> HTTP ${resp.statusCode}")
       }
-      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-      require(resp.statusCode / 100 == 2, s"$method $url -> HTTP ${resp.statusCode}")
     }
   }
 

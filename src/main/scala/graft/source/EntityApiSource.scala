@@ -42,6 +42,9 @@ object EntityApiSource {
     */
   def httpFetcher(headers: Map[String, String], timeout: Duration = Duration.ofSeconds(60),
                   env: () => Map[String, String] = () => sys.env): Fetcher = {
+    // construction-time fail-fast on malformed header templates / env vars
+    // missing at startup (rotation still applies per request below)
+    TemplateCompiler.validateHeaderTemplates(headers, env())
     lazy val client = HttpClient.newBuilder().connectTimeout(timeout).build()
     url => {
       val b = HttpRequest.newBuilder(URI.create(url)).timeout(timeout).GET()

@@ -102,7 +102,19 @@ class EntityTable(config: EntitySourceConfig) extends Table with SupportsRead {
   */
 object PageDrain {
   def drain(config: EntitySourceConfig, from: Long,
-            maxPages: Int = Int.MaxValue): (Seq[String], Long) = {
+            maxPages: Int = Int.MaxValue): (Seq[String], Long) =
+    walk(config, from, maxPages, retain = true)
+
+  /** Walk the pagination loop to the current backlog end WITHOUT retaining
+    * items — O(one page) memory. Used by the AvailableNow prepare step to
+    * fix the run's end offset; the per-batch drains then re-fetch pages
+    * under their own cap.
+    */
+  def probeEnd(config: EntitySourceConfig, from: Long): Long =
+    walk(config, from, Int.MaxValue, retain = false)._2
+
+  private def walk(config: EntitySourceConfig, from: Long, maxPages: Int,
+                   retain: Boolean): (Seq[String], Long) = {
     val fetch = config.fetch
     val items = Seq.newBuilder[String]
     var checkpoint = from
@@ -111,7 +123,7 @@ object PageDrain {
     while (partial && pages < maxPages) {
       pages += 1
       val page = EntityApiSource.fetchPage(fetch, config.urlTemplate, config.entityType, checkpoint)
-      items ++= page.items
+      if (retain) items ++= page.items
       val maxTs = page.items.flatMap(Json.parseFlatObject(_).get(Model.UpdatedOnMs))
         .flatMap(Json.numberToLong)
       // checkpoint = max(updatedOnMs) over all fetched items (cache.js:100-108);
@@ -158,9 +170,12 @@ final case class CheckpointOffset(ms: Long) extends Offset {
 }
 
 class EntityMicroBatchStream(config: EntitySourceConfig)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   // items drained for the current (start, end] window, keyed by end offset
   @volatile private var pending: (Long, Seq[String]) = (config.startCheckpoint, Seq.empty)
+  // AvailableNow: the backlog end fixed at prepare time; batches never pass it
+  @volatile private var availableNowEnd: Option[Long] = None
 
   override def initialOffset(): Offset = CheckpointOffset(config.startCheckpoint)
   override def deserializeOffset(json: String): Offset = CheckpointOffset(json.toLong)
@@ -171,13 +186,35 @@ class EntityMicroBatchStream(config: EntitySourceConfig)
     */
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** Trigger.AvailableNow contract: fix the CURRENT backlog end as this
+    * run's target, then let the capped micro-batches walk to it — without
+    * this, Spark's generic wrapper captures ONE capped drain as the whole
+    * run and a deep backlog stops after maxPagesPerBatch pages. The probe
+    * walks pages without retaining items (O(page) memory); rows arriving
+    * after the probe are excluded by the same bound the replay path uses
+    * and picked up by the next run, exactly like the reference's cron
+    * (crontab:1) picks up from the committed checkpoint.
+    */
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(PageDrain.probeEnd(config, config.startCheckpoint))
+
   /** Drain at most `maxPagesPerBatch` pages past `start`; a deep backlog
     * surfaces as successive micro-batches, each advancing the persisted
     * checkpoint, instead of one unbounded driver-memory batch (W4).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[CheckpointOffset].ms
-    val (items, next) = PageDrain.drain(config, from, config.maxPagesPerBatch)
+    val (drained, drainedNext) = PageDrain.drain(config, from, config.maxPagesPerBatch)
+    // under AvailableNow, cap at the prepared end: items newer than the
+    // target belong to the next run, and the offset must converge to the
+    // target so the query terminates even while new data keeps arriving
+    val (items, next) = availableNowEnd match {
+      case Some(end) =>
+        (drained.filter(Json.parseFlatObject(_).get(Model.UpdatedOnMs)
+          .flatMap(Json.numberToLong).forall(_ <= end)),
+          math.min(drainedNext, end))
+      case None => (drained, drainedNext)
+    }
     if (next != from) pending = (next, items)
     CheckpointOffset(math.max(next, from))
   }

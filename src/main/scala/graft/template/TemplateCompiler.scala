@@ -185,6 +185,40 @@ object TemplateCompiler {
                     env: Map[String, String]): String =
     renderString(template, values ++ env.map { case (k, v) => s"env.$k" -> v })
 
+  /** Env var names a template references via `{{env.X}}` (including inside
+    * `#with` bodies/fallbacks). Parsing throws on malformed mustaches, so
+    * this doubles as construction-time template validation: transports call
+    * it once per header and fail fast on an unresolvable reference instead
+    * of rendering `Bearer ` and surfacing as a remote 401 at send time.
+    */
+  def envRefs(template: String): Seq[String] = {
+    def collect(ps: Seq[Part]): Seq[String] = ps.flatMap {
+      case Field(p, _) if p.startsWith("env.") => Seq(p.stripPrefix("env."))
+      case With(p, b, fb) =>
+        (if (p.startsWith("env.")) Seq(p.stripPrefix("env.")) else Nil) ++ collect(b) ++ collect(fb)
+      case _ => Nil
+    }
+    collect(parse(template)).distinct
+  }
+
+  /** Fail-fast header validation: every header value must parse as a
+    * template AND every `{{env.X}}` it references must be resolvable in
+    * `env` NOW (construction time). Rotation stays supported — values are
+    * still re-rendered per request — but a var that is absent at startup is
+    * a config error, reported with the header name.
+    */
+  def validateHeaderTemplates(headers: Map[String, String], env: Map[String, String]): Unit =
+    headers.foreach { case (name, tpl) =>
+      val missing =
+        try envRefs(tpl).filterNot(env.contains)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(s"header '$name': ${e.getMessage}")
+        }
+      require(missing.isEmpty,
+        s"header '$name' references unset env var(s): ${missing.mkString(", ")}")
+    }
+
   /** Render a targetBody-shaped batch template (reference templates.js:43,
     * app.js:106, templates/targetBody.hbs:1-3): literal text around
     * `{{#each entities}}`, with `{{{.}}}` / `{{.}}` emitting each rendered

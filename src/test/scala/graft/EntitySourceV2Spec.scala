@@ -1,7 +1,9 @@
 package graft
 
-import graft.source.v2.{EntityTableProvider, FetcherFactory}
+import graft.model.EntityType
+import graft.source.v2.{CheckpointOffset, EntityMicroBatchStream, EntityReaderFactory, EntitySourceConfig, EntityTableProvider, FetcherFactory}
 import graft.source.EntityApiSource
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
 import org.apache.spark.sql.functions._
 
 /** Stub transport for the V2 connector specs: pages keyed by checkpoint. */
@@ -41,6 +43,19 @@ object DeepBacklogFetcherFactory {
     130L -> page(Seq(140L, 150L), partial = true),
     150L -> page(Seq(160L, 170L), partial = true),
     170L -> page(Seq(180L, 190L), partial = false))
+}
+
+/** Mutable stub for the AvailableNow spec: pages can change mid-run to
+  * model data arriving after the prepare-time probe.
+  */
+class MutableBacklogFetcherFactory extends FetcherFactory {
+  override def fetcher(options: Map[String, String]): EntityApiSource.Fetcher = url => {
+    val ckpt = url.split("updatedFromMs=")(1).toLong
+    MutableBacklogFetcherFactory.pages.getOrElse(ckpt, """{"items": [], "partialResults": false}""")
+  }
+}
+object MutableBacklogFetcherFactory {
+  @volatile var pages: Map[Long, String] = Map.empty
 }
 
 /** Two-page stub whose first page carries `updatedOnMs` in exponent
@@ -93,6 +108,43 @@ class EntitySourceV2Spec extends SparkSpec {
       .option("fetcherClass", classOf[StubFetcherFactory].getName)
       .load()
     assert(df.select("id").as[String].collect().sorted.toSeq == Seq("b", "c"))
+  }
+
+  test("AvailableNow: prepared end bounds the run; capped batches walk the full backlog") {
+    val config = EntitySourceConfig(
+      "stub://e?type={{type}}&updatedFromMs={{updatedFromMs}}",
+      EntityType("widget", "uid"), 1L,
+      classOf[MutableBacklogFetcherFactory].getName, Map.empty, maxPagesPerBatch = 2)
+    MutableBacklogFetcherFactory.pages = DeepBacklogFetcherFactory.pages
+    val stream = new EntityMicroBatchStream(config)
+    stream.prepareForTriggerAvailableNow() // fixes end = 190 (full backlog)
+    // data arriving AFTER the probe: reachable from offset 190, but must be
+    // excluded from this run and left for the next one
+    MutableBacklogFetcherFactory.pages = DeepBacklogFetcherFactory.pages +
+      (190L -> """{"items": [{"uid": "late", "v": "x", "updatedOnMs": 250}], "partialResults": false}""")
+    var start = stream.initialOffset()
+    var batches = 0
+    val seen = Seq.newBuilder[String]
+    var done = false
+    while (!done) {
+      val end = stream.latestOffset(start, ReadLimit.allAvailable())
+      if (end.asInstanceOf[CheckpointOffset].ms == start.asInstanceOf[CheckpointOffset].ms) done = true
+      else {
+        batches += 1
+        stream.planInputPartitions(start, end).foreach { p =>
+          val r = EntityReaderFactory.createReader(p)
+          while (r.next()) seen += r.get().getUTF8String(0).toString
+        }
+        start = end
+      }
+    }
+    // 5 pages at cap 2 => 3 batches; the walk reaches the PREPARED end, not
+    // one capped drain (the generic wrapper's failure mode), and not the
+    // late arrival either
+    assert(batches == 3)
+    assert(start.asInstanceOf[CheckpointOffset].ms == 190L)
+    val ids = seen.result()
+    assert(ids.size == 10 && !ids.contains("late"))
   }
 
   test("exponent-notation updatedOnMs advances the checkpoint and lands as a long") {

@@ -27,6 +27,32 @@ class SourceSinkSpec extends SparkSpec {
     assert(none.isEmpty && !p2)
   }
 
+  test("header templates fail fast at construction: malformed or unset env refs") {
+    import graft.template.TemplateCompiler
+    val env = Map("TOKEN" -> "abc")
+    // valid: resolvable ref and plain literal pass
+    TemplateCompiler.validateHeaderTemplates(
+      Map("Authorization" -> "Bearer {{env.TOKEN}}", "Accept" -> "application/json"), env)
+    // unset env var: error names the header and the var
+    val missing = intercept[IllegalArgumentException] {
+      TemplateCompiler.validateHeaderTemplates(Map("Authorization" -> "Bearer {{env.NOPE}}"), env)
+    }
+    assert(missing.getMessage.contains("Authorization") && missing.getMessage.contains("NOPE"))
+    // malformed template: unbalanced mustache is a construction error, not a send-time one
+    val malformed = intercept[IllegalArgumentException] {
+      TemplateCompiler.validateHeaderTemplates(Map("X-Bad" -> "oops {{env.TOKEN"), env)
+    }
+    assert(malformed.getMessage.contains("X-Bad"))
+    // both transports validate at construction
+    intercept[IllegalArgumentException] {
+      HttpBatchSink.httpSender("http://x", "PUT",
+        Map("Authorization" -> "Bearer {{env.NOPE}}"), env = () => env)
+    }
+    intercept[IllegalArgumentException] {
+      EntityApiSource.httpFetcher(Map("Authorization" -> "Bearer {{env.NOPE}}"), env = () => env)
+    }
+  }
+
   test("property: parseFlatObject agrees with spark.read.json on generated flat payloads") {
     // deterministic generator (fixed seed): ~80 payloads mixing strings with
     // escapes/unicode, integer/decimal/exponent numbers, booleans, nulls,
