@@ -246,6 +246,43 @@ private[graft] object Json {
     m.result()
   }
 
+  /** Extract the raw `{...}` subtree of a top-level (or nested) object key,
+    * string-aware brace matching — lets config parsing descend the
+    * reference's two-level config.json shape without a JSON library.
+    */
+  def subObject(body: String, key: String): Option[String] = {
+    val keyIdx = body.indexOf("\"" + key + "\"")
+    if (keyIdx < 0) None
+    else {
+      val colon = body.indexOf(':', keyIdx)
+      if (colon < 0) None
+      else {
+        var i = colon + 1
+        while (i < body.length && body.charAt(i).isWhitespace) i += 1
+        if (i >= body.length || body.charAt(i) != '{') None
+        else {
+          val start = i
+          var depth = 0; var inStr = false; var esc = false
+          while (i < body.length) {
+            val c = body.charAt(i)
+            if (inStr) {
+              if (esc) esc = false
+              else if (c == '\\') esc = true
+              else if (c == '"') inStr = false
+            } else c match {
+              case '"' => inStr = true
+              case '{' => depth += 1
+              case '}' => depth -= 1; if (depth == 0) return Some(body.substring(start, i + 1))
+              case _ =>
+            }
+            i += 1
+          }
+          None
+        }
+      }
+    }
+  }
+
   /** Parse a JSON number literal as an epoch-millis long: integer fast path,
     * decimal/exponent forms (`1.5e9`) via double — exact for any whole value
     * below 2^53, which covers epoch millis for the next ~280k years. A JS

@@ -94,4 +94,32 @@ class PipelineSpec extends SparkSpec {
     assert(ran.keySet == Set("t"))
     assert(job.run(Seq(EntityType("t", "id")), requested = Seq("other")).isEmpty)
   }
+
+  test("EtlConfig loads the reference config.json shape (config.json:1-23, app.js:11)") {
+    import graft.pipeline.EtlConfig
+    // the real reference config is the golden input, like the .hbs goldens
+    val cfg = EtlConfig.load(java.nio.file.Paths.get("/root/reference/config.json"))
+    assert(cfg.logLevel == "info")
+    assert(cfg.sfxHeaders == Map("X-SF-TOKEN" -> "{{env.SIGNALFX_ACCESS_TOKEN}}"))
+    assert(cfg.typesUrl == "https://api.us1.signalfx.com/v2/entities/types")
+    assert(cfg.entitiesUrlTemplate ==
+      "https://api.us1.signalfx.com/v2/entities?type={{type}}&updatedFromMs={{updatedFromMs}}")
+    assert(cfg.targetMethod == "PUT" && cfg.maxBatchSize == 10000)
+    assert(cfg.targetHeaders("Content-Type") == "application/json")
+    assert(cfg.ttlMs == 8L * 3600 * 1000)
+    // url.resolve semantics (http.js:12): absolute endpoint replaces the
+    // server's trailing slash; {{type}}/{{env.X}} render per type
+    assert(cfg.targetUrlFor("vm", Map("BAR" -> "baz")) == "http://localhost:9090/sample/vm?foo=baz")
+    // wiring fails fast when a header's env var is unset at construction
+    intercept[IllegalArgumentException] {
+      EtlConfig.buildJob(spark, new EntityStateStore(spark,
+        Files.createTempDirectory("plc").toString), cfg, Map("vm" -> "{}"), "vm",
+        env = () => Map("MY_SECRET_TOKEN" -> "t", "BAR" -> "b")) // SIGNALFX token missing
+    }
+    // with every referenced var present, the job wires end-to-end
+    val job = EtlConfig.buildJob(spark, new EntityStateStore(spark,
+      Files.createTempDirectory("plc2").toString), cfg, Map("vm" -> "{}"), "vm",
+      env = () => Map("SIGNALFX_ACCESS_TOKEN" -> "s", "MY_SECRET_TOKEN" -> "t", "BAR" -> "b"))
+    assert(job != null)
+  }
 }
