@@ -172,73 +172,55 @@ object Similarity {
     * the data-driven coarse quantizer for [[ivfTopKKmeans]] when no
     * pre-clustered cell column exists (real corpora have no `label`).
     *
-    * Spark-first formulation: every iteration is two hash aggregations —
-    * assignment = `max_by(cell, cosine)` against the BROADCAST centroid
-    * table (k * dim doubles, trivially small), re-centering =
-    * posexplode + per-(cell, index) avg. Centroids are collected between
-    * iterations (k rows — a constant-size aggregation result, not a data
-    * collect). Seeding is deterministic farthest-point (maxmin) traversal —
-    * the k-means++ idea without its RNG: start from the row with the
-    * smallest md5(id), then repeatedly add the row most dissimilar to every
-    * chosen seed. Uniform-hash seeding was measured at 0.55 IVF recall on
-    * the planted-cluster fixture (duplicate seeds collapse cells); maxmin
-    * reaches 1.0.
+    * Fit-on-sample, assign-distributed — the only shape that survives
+    * 100 TB: ONE TakeOrdered job draws a bounded deterministic sample (the
+    * `fitSampleSize` rows with smallest md5(id) — no RNG, reproducible),
+    * seeding + Lloyd run on the driver over that constant-size sample
+    * (O(sample * k * dim) flops), and the full corpus pays exactly one
+    * distributed assignment pass: `max_by(cell, cosine)` against the
+    * broadcast centroid table. The previous formulation's distributed
+    * maxmin seeding cost k full scans of the corpus — k-means++-style
+    * local init on a sample is the standard fix.
     *
-    * At 100 TB: fit the centroids on a deterministic sample (pass
-    * `sampleMod` > 1 to keep ids with md5(id) mod sampleMod == 0), then the
-    * full corpus pays only the final assignment pass.
+    * Seeding is farthest-point (maxmin) traversal: start from the sample
+    * row with the smallest md5(id), repeatedly add the row most dissimilar
+    * to every chosen seed. Uniform-hash seeding was measured at 0.55 IVF
+    * recall on the planted-cluster fixture (duplicate seeds collapse
+    * cells); maxmin separates them.
     *
     * Returns (id, cell) assignments.
     */
   def kmeansCells(
       corpus: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      sampleMod: Int = 1): DataFrame = {
+      fitSampleSize: Int = 4096): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col(idCol).as("__kid"), col(vecCol).as("__kv"))
-    val fit = if (sampleMod <= 1) base
-      else base.where(Dedup.md5Hash60(col("__kid").cast("string")) % sampleMod === 0)
-    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
-      r.getSeq[Any](0).map {
+    // bounded deterministic fit sample: one TakeOrdered job, never a scan
+    // per seed
+    val sample: Array[Array[Double]] = base
+      .orderBy(md5(col("__kid").cast("string")), col("__kid"))
+      .limit(fitSampleSize)
+      .select(col("__kv"))
+      .collect()
+      .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble // exact widening, like graft_dot
         case d: Double => d
         case x => x.toString.toDouble
-      }
-    val firstSeed = vecOf(
-      fit.orderBy(md5(col("__kid").cast("string")), col("__kid")).select(col("__kv")).limit(1).head())
-    var seeds = Seq(firstSeed)
-    while (seeds.size < k) {
-      val seedDf = broadcast(seeds.zipWithIndex.map(_.swap).toDF("__cell", "__centroid"))
-      val next = fit.crossJoin(seedDf)
-        .withColumn("__cos", dot(col("__kv"), col("__centroid")) /
-          (norm(col("__kv")) * norm(col("__centroid"))))
-        .groupBy(col("__kid")).agg(max(col("__cos")).as("__near"), first(col("__kv")).as("__kv"))
-        .orderBy(col("__near").asc, col("__kid")) // farthest from every seed; id tiebreak
-        .select(col("__kv")).limit(1).head()
-      seeds = seeds :+ vecOf(next)
-    }
-    var centroids: Seq[(Int, Seq[Double])] = seeds.zipWithIndex.map(_.swap)
-    def assign(df: DataFrame): DataFrame = {
-      val centDf = broadcast(centroids.toDF("__cell", "__centroid"))
-      df.crossJoin(centDf)
-        .withColumn("__cos", dot(col("__kv"), col("__centroid")) /
-          (norm(col("__kv")) * norm(col("__centroid"))))
-        .groupBy(col("__kid"))
-        // ties broken toward the larger cell id via lexicographic struct max
-        .agg(max_by(col("__cell"), struct(col("__cos"), col("__cell"))).as("__cell"),
-          first(col("__kv")).as("__kv"))
-    }
-    for (_ <- 1 to iters) {
-      centroids = assign(fit)
-        .select(col("__cell"), posexplode(col("__kv")).as(Seq("__i", "__x")))
-        .groupBy("__cell", "__i").agg(avg("__x").as("__m"))
-        .groupBy("__cell").agg(array_sort(collect_list(struct(col("__i"), col("__m")))).as("__ims"))
-        .select(col("__cell"), transform(col("__ims"), s => s.getField("__m")).as("__c"))
-        .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
-    }
-    assign(base).select(col("__kid").as(idCol), col("__cell").as("cell"))
+      }.toArray)
+    require(sample.nonEmpty, "kmeansCells: empty corpus")
+    val centroids = KmeansLocal.fit(sample, math.min(k, sample.length), iters)
+    val centDf = broadcast(
+      centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF("__cell", "__centroid"))
+    base.crossJoin(centDf)
+      .withColumn("__cos", dot(col("__kv"), col("__centroid")) /
+        (norm(col("__kv")) * norm(col("__centroid"))))
+      .groupBy(col("__kid"))
+      // ties broken toward the larger cell id via lexicographic struct max
+      .agg(max_by(col("__cell"), struct(col("__cos"), col("__cell"))).as("cell"))
+      .select(col("__kid").as(idCol), col("cell"))
   }
 
   /** IVF top-k with data-driven cells: k-means the corpus (no `label`
@@ -252,6 +234,66 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cells = kmeansCells(corpus, kCells, iters, idCol, vecCol)
     ivfTopK(queries, corpus.join(cells, idCol), k, nProbe, idCol, vecCol, "cell")
+  }
+
+  /** Driver-local spherical k-means over the bounded fit sample (see
+    * [[Similarity.kmeansCells]]): maxmin seeding + Lloyd iterations with
+    * cosine assignment. Plain arrays — the sample is constant-size by
+    * construction, so this is quantizer training, not a data-plane loop.
+    */
+  private[graft] object KmeansLocal {
+
+    private def dotL(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    private def cosL(a: Array[Double], b: Array[Double]): Double = {
+      val d = math.sqrt(dotL(a, a)) * math.sqrt(dotL(b, b))
+      if (d == 0) 0.0 else dotL(a, b) / d
+    }
+
+    def fit(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+      // maxmin seeding: sample is already md5-ordered, so element 0 is the
+      // deterministic first seed
+      val seeds = scala.collection.mutable.ArrayBuffer(sample(0))
+      while (seeds.size < k) {
+        var bestIdx = -1; var bestNear = Double.MaxValue
+        var i = 0
+        while (i < sample.length) {
+          var near = Double.MinValue
+          seeds.foreach { s => val c = cosL(sample(i), s); if (c > near) near = c }
+          // strictly-less keeps the FIRST (md5-order) row on ties — stable
+          if (near < bestNear) { bestNear = near; bestIdx = i }
+          i += 1
+        }
+        seeds += sample(bestIdx)
+      }
+      var centroids = seeds.toArray
+      (1 to iters).foreach { _ =>
+        val dim = centroids(0).length
+        val sums = Array.fill(centroids.length)(new Array[Double](dim))
+        val counts = new Array[Long](centroids.length)
+        sample.foreach { v =>
+          var best = 0; var bestCos = Double.MinValue
+          var c = 0
+          while (c < centroids.length) {
+            val cs = cosL(v, centroids(c))
+            if (cs >= bestCos) { bestCos = cs; best = c } // ties -> larger cell, like max_by
+            c += 1
+          }
+          var i = 0
+          while (i < dim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        centroids = centroids.indices.map { c =>
+          if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      centroids
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs (X2 flavor): all pairs above a
