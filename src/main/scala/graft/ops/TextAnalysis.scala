@@ -73,31 +73,85 @@ object TextAnalysis {
     * length/stopword blend in the style of public pretraining-data filters).
     */
   def qualityMetrics(df: DataFrame, idCol: String, text: Column): DataFrame = {
-    val staged = df
-      .select(col(idCol), Dedup.normalizeText(text).as("__n"))
-      .select(col(idCol), col("__n"), wordsOfNorm(col("__n")).as("__w"))
-      .select(col(idCol), col("__n"),
-        size(col("__w")).as("__nw"),
-        aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w)).as("__sumlen"),
-        size(filter(col("__w"),
-          t => t.isInCollection(Stopwords.flatMap(_._2).map(lit(_))))).as("__nstop"),
-        size(regexp_extract_all(col("__n"), lit(TokenPattern), lit(0))).as("__ntok"))
+    val staged = stagedCounts(df, idCol, text)
     val nWords = col("__nw")
     val meanLen = col("__sumlen").cast("double") / greatest(nWords, lit(1)).cast("double")
     val stopRatio = col("__nstop").cast("double") / greatest(nWords, lit(1)).cast("double")
     val alphaRatio = length(regexp_replace(col("__n"), "[^a-z]", "")).cast("double") /
       greatest(length(col("__n")), lit(1)).cast("double")
-    // blended score: enough words, sane word length, some stopwords
-    val lengthScore = least(nWords.cast("double") / lit(50.0), lit(1.0))
-    val wordLenScore = when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.5)
-    val score = round((lengthScore + wordLenScore + least(stopRatio * 5, lit(1.0))) / 3.0, 6)
     staged.select(col(idCol),
       nWords.cast("long").as("n_words"),
       col("__ntok").cast("long").as("n_tokens"),
       round(meanLen, 6).as("mean_word_len"),
       round(stopRatio, 6).as("stopword_ratio"),
       round(alphaRatio, 6).as("alpha_ratio"),
-      score.as("quality_score"))
+      blendedScore.as("quality_score"))
+  }
+
+  /** Staged per-doc counts (`__n` norm text, `__w` word array, `__nw`,
+    * `__sumlen`, `__nstop`, `__ntok`) shared by [[qualityMetrics]] and
+    * [[cleanCorpus]] so the score formula can't drift between them.
+    */
+  private def stagedCounts(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(col(idCol), Dedup.normalizeText(text).as("__n"))
+      .select(col(idCol), col("__n"), wordsOfNorm(col("__n")).as("__w"))
+      .select(col(idCol), col("__n"), col("__w"),
+        size(col("__w")).as("__nw"),
+        aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w)).as("__sumlen"),
+        size(filter(col("__w"),
+          t => t.isInCollection(Stopwords.flatMap(_._2).map(lit(_))))).as("__nstop"),
+        size(regexp_extract_all(col("__n"), lit(TokenPattern), lit(0))).as("__ntok"))
+
+  /** Blended [0,1] quality score over [[stagedCounts]] columns: enough
+    * words, sane word length, some stopwords.
+    */
+  private def blendedScore: Column = {
+    val nWords = col("__nw")
+    val meanLen = col("__sumlen").cast("double") / greatest(nWords, lit(1)).cast("double")
+    val stopRatio = col("__nstop").cast("double") / greatest(nWords, lit(1)).cast("double")
+    val lengthScore = least(nWords.cast("double") / lit(50.0), lit(1.0))
+    val wordLenScore = when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round((lengthScore + wordLenScore + least(stopRatio * 5, lit(1.0))) / 3.0, 6)
+  }
+
+  /** End-to-end corpus cleaning — the canonical pretraining-data pipeline
+    * (filter by language, filter by quality, drop exact duplicates) composed
+    * in ONE scan: the language vote and the quality score share the staged
+    * word array, the dedup key is the md5 of the already-staged normalized
+    * text, and the only shuffle is the final keep-min hash aggregation on
+    * the 32-char key — survivors' text never moves. At 100 TB this is a
+    * map-side-filtered linear pass plus one agg on a bounded-width key.
+    * Dups share identical normalized text, hence identical lang/score, so
+    * `min` over those columns is exact, not arbitrary.
+    */
+  def cleanCorpus(df: DataFrame, idCol: String, text: Column,
+                  minQuality: Double = 0.5, minWords: Int = 5): DataFrame = {
+    val staged = stagedCounts(df, idCol, text)
+      .select(col(idCol), col("__n"), col("__nw"),
+        langIdFromWords(col("__w")).as("pred_lang"), blendedScore.as("quality_score"))
+    staged
+      .where(col("pred_lang") =!= "und" and col("quality_score") >= minQuality
+        and col("__nw") >= minWords)
+      .groupBy(md5(col("__n")).as("key_md5"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"),
+        min("pred_lang").as("pred_lang"), min("quality_score").as("quality_score"))
+      .select("keeper_id", "dup_count", "pred_lang", "quality_score", "key_md5")
+  }
+
+  /** Vocabulary top-k: the k most frequent word tokens with total
+    * occurrences and document frequency. Two-phase: partial-aggregated
+    * count per (token, doc) — the explode never shuffles raw text, only
+    * (token, id) pairs with map-side combine — then a re-agg on `token`
+    * alone over the already-collapsed per-doc counts. The final top-k is a
+    * TakeOrdered (no global sort). Ties broken by token order.
+    */
+  def vocabTopK(df: DataFrame, idCol: String, text: Column, k: Int = 100): DataFrame = {
+    val perDoc = df.select(col(idCol), explode(words(text)).as("token"))
+      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("__c"))
+    perDoc.groupBy("token")
+      .agg(sum("__c").as("n_occurrences"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
   }
 
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and a

@@ -377,6 +377,43 @@ object Oracles {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(base64(encode(text))) AS content_md5,
         |  base64(unhex(substr(hex(encode(text)), 1, 24))) AS b64_head
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // x6_clean_corpus composes the x5_lang_id vote, the x5_quality score and
+    // the x1_exact_dedup keep-min, expression-for-expression, then filters:
+    // pred_lang <> 'und' AND quality_score >= 0.5 AND n_words >= 5.
+    "x6_clean_corpus" ->
+      s"""WITH w AS (SELECT doc_id, $norm AS nt, $wordsOf AS ws FROM documents),
+         |m AS (SELECT doc_id, nt, len(ws) AS nw,
+         |        coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS sumlen,
+         |        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','the','a','and','of','to','in','is','el','la','de','y','que','los','un','le','et','les','des','une','de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS nstop,
+         |        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS s_de,
+         |        len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS s_en,
+         |        len(list_filter(ws, x -> list_contains(['el','la','de','y','que','los','un'], x))) AS s_es,
+         |        len(list_filter(ws, x -> list_contains(['le','la','et','les','des','un','une'], x))) AS s_fr,
+         |        len(list_filter(ws, x -> list_contains(['de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS s_zh
+         |      FROM w),
+         |s AS (SELECT doc_id, nt, nw,
+         |        CASE WHEN s_de + s_en + s_es + s_fr + s_zh = 0 THEN 'und'
+         |             WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+         |             WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+         |             WHEN s_es > greatest(s_de, s_en) THEN 'es'
+         |             WHEN s_en > s_de THEN 'en' ELSE 'de' END AS pred_lang,
+         |        round((least(nw/50.0, 1.0)
+         |             + (CASE WHEN sumlen*1.0/greatest(nw, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+         |             + least((nstop*1.0/greatest(nw, 1))*5, 1.0))/3.0, 6) AS quality_score
+         |      FROM m)
+         |SELECT min(doc_id) AS keeper_id, count(*) AS dup_count,
+         |  min(pred_lang) AS pred_lang, min(quality_score) AS quality_score,
+         |  md5(nt) AS key_md5
+         |FROM s WHERE pred_lang <> 'und' AND quality_score >= 0.5 AND nw >= 5
+         |GROUP BY md5(nt) ORDER BY keeper_id""".stripMargin,
+
+    "x6_vocab_topk" ->
+      s"""WITH t AS (SELECT doc_id, unnest($wordsOf) AS token FROM documents),
+         |pd AS (SELECT token, doc_id, count(*) AS c FROM t GROUP BY 1, 2)
+         |SELECT token, CAST(sum(c) AS BIGINT) AS n_occurrences, count(*) AS doc_freq
+         |FROM pd GROUP BY token
+         |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin
   )
 }

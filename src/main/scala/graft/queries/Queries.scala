@@ -429,6 +429,21 @@ object Queries {
     TextAnalysis.fingerprints(t(spark, dir, "documents"), "doc_id", col("text"))
       .orderBy("doc_id")
 
+  /** X6: the end-to-end corpus-cleaning pipeline (lang filter + quality
+    * floor + exact dedup) as one registered query — the composed shape a
+    * pretraining-data job actually runs, oracle-checked end to end.
+    */
+  private def x6CleanCorpus(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cleanCorpus(t(spark, dir, "documents"), "doc_id", col("text"))
+      .orderBy("keeper_id")
+
+  /** X6: vocabulary top-k (token frequency + doc frequency) — the BPE /
+    * vocab-building precursor pass.
+    */
+  private def x6VocabTopk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabTopK(t(spark, dir, "documents"), "doc_id", col("text"), k = 100)
+      .orderBy(col("n_occurrences").desc, col("token"))
+
   private def x4MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.asMedia(t(spark, dir, "documents"), "doc_id", col("text"), "text/plain")
       .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
@@ -464,15 +479,36 @@ object Queries {
     * documents.text directly, so any byte infidelity in the pointer read
     * path (offset math, range reads, channel reuse) breaks the gate.
     */
+  private val X4Buckets = 32
   private def x4LazyPointer(spark: SparkSession, dir: String): DataFrame = {
     val blobPath = blobStoreFor(spark, dir)
     val docs = t(spark, dir, "documents")
     val len = octet_length(col("text")).cast("long")
-    val ptrs = docs
-      .withColumn("n_bytes", len)
-      .withColumn("offset",
-        coalesce(sum("n_bytes").over(
-          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val sized = docs.withColumn("n_bytes", len)
+    // Two-phase byte offsets (same shape as e7's numbering): a bare
+    // Window.orderBy(doc_id) running sum funnels the whole corpus through
+    // ONE reducer. Instead doc_ids are range-bucketed with a monotone
+    // function of broadcast min/max, so bucket-major + doc_id-minor order
+    // equals global doc_id order; offset = broadcast cumulative bucket
+    // byte-size + within-bucket running sum. Widest sort = 1/X4Buckets of
+    // the corpus. The bucket prefix-sum is a triangular self-join over the
+    // ≤X4Buckets-row aggregate (no global window — an unpartitioned
+    // WindowExec would route through one partition, and a constant
+    // partition key gets folded away by EliminateWindowPartitions).
+    val stats = sized.agg(min("doc_id").as("__lo"), max("doc_id").as("__hi"))
+    val bucketed = sized.crossJoin(broadcast(stats))
+      .withColumn("__b", least(lit(X4Buckets - 1).cast("long"),
+        floor((col("doc_id") - col("__lo")) * X4Buckets / (col("__hi") - col("__lo") + 1))).cast("int"))
+      .drop("__lo", "__hi")
+    val sizes = bucketed.groupBy("__b").agg(sum("n_bytes").as("__c"))
+    val offsets = sizes.select(col("__b"), col("__c"))
+      .join(broadcast(sizes.select(col("__b").as("__b2"), col("__c").as("__c2"))),
+        col("__b2") < col("__b"), "left")
+      .groupBy("__b").agg(coalesce(sum("__c2"), lit(0L)).as("__off"))
+    val ptrs = bucketed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("offset", col("__off") + coalesce(sum("n_bytes").over(
+        Window.partitionBy("__b").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__b", "__off")
     val media = Multimodal.asMediaPointers(ptrs, "doc_id",
       lit(blobPath), col("offset"), col("n_bytes"), "text/plain")
     // a genuine range-partition shuffle over the POINTER representation —
@@ -544,7 +580,9 @@ object Queries {
     "x5_fingerprint" -> (x5Fingerprint _),
     "x4_multimodal_meta" -> (x4MultimodalMeta _),
     "x4_lazy_pointer" -> (x4LazyPointer _),
-    "x4_decode_stub" -> (x4DecodeStub _)
+    "x4_decode_stub" -> (x4DecodeStub _),
+    "x6_clean_corpus" -> (x6CleanCorpus _),
+    "x6_vocab_topk" -> (x6VocabTopk _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -249,4 +249,31 @@ class OpsSpec extends SparkSpec {
       (1L, 39L, "40865ac5f27543ff5266d9b8f16aec6b", "aMOpbGxvIHfDtnJs"),
       (2L, 16L, "ca0a134380e2dda917a28324ae44338a", "cGxhaW4gYXNjaWkg")))
   }
+
+  test("X6 clean corpus: filters und/low-quality/short docs, dedups survivors") {
+    val t = Seq(
+      (1L, "the quick brown fox and the lazy dog of the river is in the field today"),
+      (2L, "  THE quick brown fox and the lazy dog of the river is in the field today "), // dup of 1
+      (3L, "zzz qqq xxx"), // lang=und and too short -> dropped
+      (4L, "der hund und die katze ist nicht ein tier sondern zwei tiere im garten heute")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cleanCorpus(t, "doc_id", col("text"))
+      .select("keeper_id", "dup_count", "pred_lang").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 2L), (4L, 1L)))
+    assert(out.map(_._3) == Seq("en", "de"))
+  }
+
+  test("X6 vocab top-k: occurrence and doc-frequency counts with token-order ties") {
+    val t = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana apple banana"),
+      (3L, "cherry date")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabTopK(t, "doc_id", col("text"), k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // apple: 3 occurrences in 2 docs; banana: 3 in 2 (tie broken by token);
+    // cherry: 2 in 2
+    assert(out == Seq(("apple", 3L, 2L), ("banana", 3L, 2L), ("cherry", 2L, 2L)))
+  }
 }
