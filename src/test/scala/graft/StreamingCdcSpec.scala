@@ -61,6 +61,34 @@ class StreamingCdcSpec extends SparkSpec {
     assert(out == Seq(("new", 1L), ("updated", 2L)))
   }
 
+  test("streaming exact dedup: first content wins across batches, min doc id within a batch") {
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.{Doc, Kept}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    // batch 1: docs 5 and 2 are dups modulo case/whitespace -> keeper 2
+    input.addData(
+      Doc(5L, "The quick  brown fox"),
+      Doc(2L, "  the quick brown fox "),
+      Doc(7L, "something else entirely"))
+    val q = StreamingDedup.firstSeenStream(input.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", Files.createTempDirectory("dedup-ckpt").toString)
+      .outputMode("append").start()
+    q.processAllAvailable()
+
+    // batch 2: known content re-arrives (suppressed, even with a smaller
+    // id — first arrival won); one genuinely new doc passes
+    input.addData(
+      Doc(1L, "the quick brown fox"),
+      Doc(9L, "brand new content here"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_out").as[Kept].collect().map(k => k.docId).toSet
+    assert(out == Set(2L, 7L, 9L))
+  }
+
   test("watermarked tumbling window aggregates per hour") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
