@@ -122,7 +122,9 @@ object TextAnalysis {
     * the 32-char key — survivors' text never moves. At 100 TB this is a
     * map-side-filtered linear pass plus one agg on a bounded-width key.
     * Dups share identical normalized text, hence identical lang/score, so
-    * `min` over those columns is exact, not arbitrary.
+    * those ride in the GROUP BY key (same groups as the md5 alone) — which
+    * also keeps every aggregate primitive-typed, i.e. HashAggregate with
+    * map-side combine instead of a min(string)-forced SortAggregate.
     */
   def cleanCorpus(df: DataFrame, idCol: String, text: Column,
                   minQuality: Double = 0.5, minWords: Int = 5): DataFrame = {
@@ -132,9 +134,8 @@ object TextAnalysis {
     staged
       .where(col("pred_lang") =!= "und" and col("quality_score") >= minQuality
         and col("__nw") >= minWords)
-      .groupBy(md5(col("__n")).as("key_md5"))
-      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"),
-        min("pred_lang").as("pred_lang"), min("quality_score").as("quality_score"))
+      .groupBy(md5(col("__n")).as("key_md5"), col("pred_lang"), col("quality_score"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
       .select("keeper_id", "dup_count", "pred_lang", "quality_score", "key_md5")
   }
 
