@@ -409,6 +409,21 @@ object Oracles {
          |FROM s WHERE pred_lang <> 'und' AND quality_score >= 0.5 AND nw >= 5
          |GROUP BY md5(nt) ORDER BY keeper_id""".stripMargin,
 
+    // Equivalent formulation of AsOf.asofJoin (union + running last) as a
+    // theta-join + argmax: LEFT JOIN keeps no-predecessor purchases (one
+    // all-null row, rn = 1), ties on click_ts_ms resolve to max click_id.
+    "j_asof_attribution" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS click_ts_ms
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.user_id, p.event_id, p.ts_ms, c.click_id, c.click_ts_ms,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |                           ORDER BY c.click_ts_ms DESC, c.click_id DESC) rn
+        |      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts_ms <= p.ts_ms)
+        |SELECT user_id, event_id, ts_ms, click_id, click_ts_ms
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "x6_vocab_topk" ->
       s"""WITH t AS (SELECT doc_id, unnest($wordsOf) AS token FROM documents),
          |pd AS (SELECT token, doc_id, count(*) AS c FROM t GROUP BY 1, 2)

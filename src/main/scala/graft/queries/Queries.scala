@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Canonical
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.template.TemplateCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -429,6 +429,26 @@ object Queries {
     TextAnalysis.fingerprints(t(spark, dir, "documents"), "doc_id", col("text"))
       .orderBy("doc_id")
 
+  /** As-of (point-in-time) join: attribute each purchase to the user's
+    * latest preceding click (inclusive boundary, max-click-id tiebreak) —
+    * the operator Spark lacks natively, composed as union + one keyed
+    * window in [[AsOf.asofJoin]]. The DuckDB twin is the equivalent
+    * theta-join + argmax, so the whole semantics (inclusive `<=`, null on
+    * no-predecessor, tie resolution) is hash-checked.
+    */
+  private def jAsofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), evTsMs.as("ts_ms"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), evTsMs.as("click_ts_ms"))
+    AsOf.asofJoin(purchases, clicks, "user_id",
+      col("ts_ms"), col("click_ts_ms"), col("click_id"))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("asof.click_id").as("click_id"), col("asof.click_ts_ms").as("click_ts_ms"))
+      .orderBy("event_id")
+  }
+
   /** X6: the end-to-end corpus-cleaning pipeline (lang filter + quality
     * floor + exact dedup) as one registered query — the composed shape a
     * pretraining-data job actually runs, oracle-checked end to end.
@@ -582,7 +602,8 @@ object Queries {
     "x4_lazy_pointer" -> (x4LazyPointer _),
     "x4_decode_stub" -> (x4DecodeStub _),
     "x6_clean_corpus" -> (x6CleanCorpus _),
-    "x6_vocab_topk" -> (x6VocabTopk _)
+    "x6_vocab_topk" -> (x6VocabTopk _),
+    "j_asof_attribution" -> (jAsofAttribution _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
