@@ -409,6 +409,24 @@ object Oracles {
          |FROM s WHERE pred_lang <> 'und' AND quality_score >= 0.5 AND nw >= 5
          |GROUP BY md5(nt) ORDER BY keeper_id""".stripMargin,
 
+    "pivot_user_events" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // quantile_cont == Spark's exact `percentile`: linear interpolation at
+    // rank (n-1)*p; both sides round to 6dp to absorb last-ulp noise.
+    "q6_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // Equivalent formulation of AsOf.asofJoin (union + running last) as a
     // theta-join + argmax: LEFT JOIN keeps no-predecessor purchases (one
     // all-null row, rn = 1), ties on click_ts_ms resolve to max click_id.

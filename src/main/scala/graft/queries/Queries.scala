@@ -324,6 +324,36 @@ object Queries {
         col("n"), col("sum_price"))
       .orderBy("status", "priority")
 
+  /** Pivot with an EXPLICIT value list — no dictionary-discovery job (an
+    * unlisted `pivot(col)` first scans the data to enumerate values; at
+    * 100 TB that is a full extra pass). One hash aggregation; absent
+    * (user, type) combos surface as 0 like the SQL FILTER form.
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private def pivotUserEvents(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = t(spark, dir, "events")
+      .groupBy("user_id").pivot("event_type", EventTypes).agg(count(lit(1)))
+    pivoted.na.fill(0L, EventTypes).orderBy("user_id")
+  }
+
+  /** Exact interpolated percentiles per group (`percentile` = DuckDB's
+    * quantile_cont definition: linear interpolation at rank (n-1)*p).
+    * Rounded to 6dp BEFORE comparison so last-ulp interpolation noise
+    * can't break the hash gate. Scale note: exact percentile buffers each
+    * group's values — the 100 TB tool is `approx_percentile` (t-digest,
+    * mergeable partial aggs); this registers the exact form because only
+    * it is oracle-checkable bit-for-bit.
+    */
+  private def q6Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D))").as("__p"))
+      .select(col("l_returnflag"),
+        round(element_at(col("__p"), 1), 6).as("p25"),
+        round(element_at(col("__p"), 2), 6).as("p50"),
+        round(element_at(col("__p"), 3), 6).as("p95"))
+      .orderBy("l_returnflag")
+
   /** Set intersection: (user, day) pairs that clicked AND errored that day. */
   private def setIntersectUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
@@ -603,7 +633,9 @@ object Queries {
     "x4_decode_stub" -> (x4DecodeStub _),
     "x6_clean_corpus" -> (x6CleanCorpus _),
     "x6_vocab_topk" -> (x6VocabTopk _),
-    "j_asof_attribution" -> (jAsofAttribution _)
+    "j_asof_attribution" -> (jAsofAttribution _),
+    "pivot_user_events" -> (pivotUserEvents _),
+    "q6_percentiles" -> (q6Percentiles _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
