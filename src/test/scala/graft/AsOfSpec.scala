@@ -32,6 +32,30 @@ class AsOfSpec extends SparkSpec {
     assert(out == Map(10L -> Some(902L), 11L -> Some(900L), 20L -> None, 30L -> None))
   }
 
+  test("property: union-window as-of equals the naive theta-join argmax on random data") {
+    // deterministic pseudo-random fixture (no RNG: md5-derived values)
+    def h(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .take(6).map("%02x".format(_)).mkString, 16)
+    val ls = (1 to 200).map(i => (h(s"lk$i") % 7, h(s"lt$i") % 100, i.toLong))
+    val rs = (1 to 300).map(i => (h(s"rk$i") % 7, h(s"rt$i") % 100, 1000L + i))
+    val l = ls.toDF("k", "lts", "lid")
+    val r = rs.toDF("k", "rts", "rid")
+
+    val fast = AsOf.asofJoin(l, r, "k", col("lts"), col("rts"), col("rid"))
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    // reference semantics, computed directly on the driver
+    val byKey = rs.groupBy(_._1)
+    val naive = ls.map { case (k, lts, lid) =>
+      val best = byKey.getOrElse(k, Nil).filter(_._2 <= lts)
+        .sortBy(t => (t._2, t._3)).lastOption.map(_._3)
+      lid -> best
+    }.toMap
+    assert(fast == naive)
+  }
+
   test("as-of join plan has no join node — one exchange, one window") {
     val out = AsOf.asofJoin(left, right, "k", col("lts"), col("rts"), col("rid"))
     val plan = out.queryExecution.executedPlan.toString
