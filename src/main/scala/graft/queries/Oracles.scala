@@ -427,6 +427,18 @@ object Oracles {
         |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // Plain theta-join twin of Intervals.windowJoin's binned equi-join:
+    // exclusive start, inclusive end of the 5-minute window.
+    "j_interval_errors" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, event_id AS error_id, epoch_ms(ts) AS ets
+        |      FROM events WHERE event_type = 'error')
+        |SELECT p.user_id, purchase_id, error_id, ets - pts AS delta_ms
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |              AND e.ets > p.pts AND e.ets <= p.pts + 300000
+        |ORDER BY purchase_id, error_id""".stripMargin,
+
     // Equivalent formulation of AsOf.asofJoin (union + running last) as a
     // theta-join + argmax: LEFT JOIN keeps no-predecessor purchases (one
     // all-null row, rn = 1), ties on click_ts_ms resolve to max click_id.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Canonical
-import graft.ops.{AsOf, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Intervals, Multimodal, Similarity, TextAnalysis}
 import graft.template.TemplateCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -479,6 +479,24 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Interval join: errors within 5 minutes AFTER a purchase by the same
+    * user — [[Intervals.windowJoin]]'s time-bucketed equi-join (constant 2×
+    * fan-out, no per-key nested loop); the DuckDB twin is the plain
+    * theta-join, so the binning's boundary semantics (exclusive start,
+    * inclusive end) are hash-checked.
+    */
+  private def jIntervalErrors(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), evTsMs.as("pts"))
+    val e = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), evTsMs.as("ets"))
+    Intervals.windowJoin(p, e, "user_id", "pts", "ets", windowMs = 300000L)
+      .select(col("user_id"), col("purchase_id"), col("error_id"),
+        (col("ets") - col("pts")).as("delta_ms"))
+      .orderBy("purchase_id", "error_id")
+  }
+
   /** X6: the end-to-end corpus-cleaning pipeline (lang filter + quality
     * floor + exact dedup) as one registered query — the composed shape a
     * pretraining-data job actually runs, oracle-checked end to end.
@@ -634,6 +652,7 @@ object Queries {
     "x6_clean_corpus" -> (x6CleanCorpus _),
     "x6_vocab_topk" -> (x6VocabTopk _),
     "j_asof_attribution" -> (jAsofAttribution _),
+    "j_interval_errors" -> (jIntervalErrors _),
     "pivot_user_events" -> (pivotUserEvents _),
     "q6_percentiles" -> (q6Percentiles _)
   )
