@@ -409,6 +409,14 @@ object Oracles {
          |FROM s WHERE pred_lang <> 'und' AND quality_score >= 0.5 AND nw >= 5
          |GROUP BY md5(nt) ORDER BY keeper_id""".stripMargin,
 
+    "q7_promo_by_brand" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items,
+        |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_promo
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "pivot_user_events" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

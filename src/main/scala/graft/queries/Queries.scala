@@ -354,6 +354,23 @@ object Queries {
         round(element_at(col("__p"), 3), 6).as("p95"))
       .orderBy("l_returnflag")
 
+  /** Fact-to-dimension broadcast join (TPC-H Q14 flavor): revenue and item
+    * share of promo-like parts per brand. `part` is the explicitly
+    * broadcast dimension (dims stay broadcastable at 100 TB; the lineitem
+    * fact never shuffles for the join — only for the final brand agg).
+    */
+  private def q7PromoByBrand(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    val pt = t(spark, dir, "part").select("p_partkey", "p_brand", "p_type")
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 4).as("revenue"),
+        count(lit(1)).as("n_items"),
+        sum(when(col("p_type").startsWith("PROMO"), 1L).otherwise(0L)).as("n_promo"))
+      .orderBy("p_brand")
+  }
+
   /** Set intersection: (user, day) pairs that clicked AND errored that day. */
   private def setIntersectUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
@@ -654,7 +671,8 @@ object Queries {
     "j_asof_attribution" -> (jAsofAttribution _),
     "j_interval_errors" -> (jIntervalErrors _),
     "pivot_user_events" -> (pivotUserEvents _),
-    "q6_percentiles" -> (q6Percentiles _)
+    "q6_percentiles" -> (q6Percentiles _),
+    "q7_promo_by_brand" -> (q7PromoByBrand _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
