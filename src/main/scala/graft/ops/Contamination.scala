@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (SURVEY.md §2.12 extension surface): flag
+  * training documents that share word n-grams with an evaluation/benchmark
+  * set, the standard guard against test-set leakage into a training corpus.
+  *
+  * Shape: the benchmark side is SMALL (eval suites are thousands of
+  * documents, the training side is the 100 TB corpus), so the benchmark's
+  * distinct shingle-hash set is broadcast and the training side never
+  * shuffles its text — each training partition streams its shingles
+  * through the broadcast hash set, and only (doc_id, matched-gram) pairs
+  * reach the one aggregation keyed by doc id (map-side combined). There is
+  * no self-join and no all-pairs surface anywhere; cost is one linear scan
+  * of the corpus.
+  */
+object Contamination {
+
+  /** Distinct (id, gram-hash) rows for `n`-word shingles of `text` —
+    * staged normalization (see [[Dedup.explodedShingles]]) and the
+    * portable md5-60 hash, so the oracle can replay the hashes.
+    */
+  private def gramHashes(df: DataFrame, idCol: String, text: Column, n: Int): DataFrame =
+    Dedup.explodedShingles(df, idCol, text, n)
+      .select(col(idCol), Dedup.md5Hash60(col("__sh")).as("__g"))
+      .distinct()
+
+  /** Per-training-document contamination report: documents sharing at
+    * least `minOverlap` distinct `n`-grams with the benchmark set, with
+    * the count of distinct shared grams (the triage signal — one shared
+    * gram in a long doc is noise, fifty is a copied passage).
+    *
+    * Output: (idCol, n_overlap_grams), contaminated docs only.
+    */
+  def contaminationReport(train: DataFrame, benchmark: DataFrame, idCol: String,
+                          text: Column, n: Int = 3, minOverlap: Int = 1): DataFrame = {
+    val benchGrams = broadcast(
+      gramHashes(benchmark, idCol, text, n).select(col("__g")).distinct())
+    gramHashes(train, idCol, text, n)
+      .join(benchGrams, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap_grams")) // grams are pre-distinct per doc
+      .where(col("n_overlap_grams") >= minOverlap)
+  }
+
+  /** Decontaminated corpus: `train` minus every row [[contaminationReport]]
+    * flags — a broadcast-able anti-join when the flagged set is small, a
+    * shuffled anti-join otherwise (Spark decides from size stats; AQE
+    * re-plans at runtime).
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+                    text: Column, n: Int = 3, minOverlap: Int = 1): DataFrame =
+    train.join(contaminationReport(train, benchmark, idCol, text, n, minOverlap)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation sampling operators for training-data pipelines
+  * (SURVEY.md §2.12 extension surface): deterministic train/val/test
+  * splits, per-stratum sampling, and token-budget quotas. The reference
+  * pipeline selects *which entities* flow downstream (type selection,
+  * `/root/reference/app.js:20-27`); at corpus scale the analogous decision
+  * is *which documents* enter a training mix, and it must be reproducible
+  * run-over-run — so every operator here derives its randomness from
+  * md5(id), never from an RNG: re-running on the same corpus yields the
+  * same split/sample/quota, and any md5-capable engine can replay the
+  * selection (the DuckDB oracle twins do, bit-for-bit).
+  *
+  * Scale posture: [[assignSplit]] and [[sampleByHash]] are pure
+  * projections/filters — zero shuffles at any scale. [[stratifiedSample]]
+  * and [[tokenQuota]] use one window over the stratum/group key; strata
+  * cardinality is what bounds the sort (languages, sources — thousands,
+  * not billions), and rows within a stratum spread across partitions by
+  * the window shuffle.
+  */
+object Sampling {
+
+  /** Deterministic uniform in [0, 1): the first 8 hex chars of
+    * md5(id-as-string) over 2^32. Exact integer-to-double division —
+    * identical IEEE value in any engine (DuckDB twin:
+    * `('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0`).
+    */
+  def hashUnit(id: Column): Column =
+    Dedup.md5Hash32(id.cast("string"), 1) / lit(4294967296.0)
+
+  /** The canonical 90/5/5 split spec. */
+  val DefaultSplits: Seq[(String, Double)] =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  /** Cumulative upper cut of each split interval, in the exact doubles the
+    * comparison uses — exposed so oracle twins interpolate THESE values
+    * (0.9 + 0.05 is 0.9500000000000001 in IEEE; a hand-written 0.95
+    * literal would disagree on boundary hashes).
+    */
+  def cumulativeCuts(splits: Seq[(String, Double)]): Seq[Double] =
+    splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+
+  /** Split assignment: each row lands in the named split whose cumulative
+    * fraction interval contains hashUnit(id). Fractions must sum to 1.
+    * Pure projection — no shuffle, no state; a row's split is a function
+    * of its id alone, so splits are stable under corpus growth (new docs
+    * never move old docs across splits — the property that keeps eval
+    * sets uncontaminated across dataset versions).
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)] = DefaultSplits): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val u = hashUnit(col(idCol))
+    val cuts = cumulativeCuts(splits)
+    // fold from the last split backward: first interval containing u wins
+    val assigned = splits.init.zip(cuts.init).foldRight(lit(splits.last._1)) {
+      case (((name, _), hi), acc) => when(u < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** Bernoulli-by-hash sample: keep rows with hashUnit(id) < fraction.
+    * Map-only (the filter pushes into the scan's data filters); proportions
+    * are exact in expectation only — the zero-shuffle path for "give me
+    * ~1% of 100 TB".
+    */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.where(hashUnit(col(idCol)) < fraction)
+
+  /** Exact stratified sample: within each stratum, rank rows by
+    * (hashUnit(id), id) and keep the first ceil(fraction * stratum_size) —
+    * per-stratum proportions are exact, selection is deterministic, and
+    * the per-stratum ordering means a larger fraction's sample is a
+    * superset of a smaller one's (nested samples, the property curation
+    * sweeps rely on). One window shuffle on the stratum key.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCols: Seq[String],
+                       fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0,1]: $fraction")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+    val ordered = w.orderBy(hashUnit(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(ordered))
+      .withColumn("__n", count(lit(1)).over(w))
+      .where(col("__rk") <= ceil(col("__n") * fraction))
+      .drop("__rk", "__n")
+  }
+
+  /** Token-budget quota: per group (source, language, domain …), admit
+    * documents in deterministic md5 priority order while the group's
+    * cumulative token count stays within `budget` — the "cap each source
+    * at N tokens" step of training-mix construction. The token count is
+    * staged in its own projection (lambda-staging rule, see
+    * [[TextAnalysis]]), then one running-sum window per group.
+    *
+    * A document that would cross the budget is dropped, but scanning
+    * continues — later (shorter) documents may still fit; `strict = true`
+    * instead stops at the first overflow (prefix semantics, the
+    * reproducible-mix variant where admitting a doc can never be undone
+    * by a later corpus edit upstream of it).
+    *
+    * Output: group cols + (idCol, n_tokens, cum_tokens) of admitted docs.
+    */
+  def tokenQuota(df: DataFrame, idCol: String, text: Column, groupCols: Seq[String],
+                 budget: Long, strict: Boolean = false): DataFrame = {
+    val staged = df.select(groupCols.map(col) :+ col(idCol) :+
+      TextAnalysis.tokenCount(text).cast("long").as("n_tokens"): _*)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(hashUnit(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = staged.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    if (strict) {
+      // prefix form: admit while EVERY doc so far fits — i.e. the running
+      // max of cum_tokens (== cum_tokens itself, it's monotone) <= budget
+      cum.where(col("cum_tokens") <= budget)
+    } else {
+      // skip-and-continue: a doc is admitted iff the cumulative total of
+      // admitted docs before it plus itself fits. Equivalent to the
+      // greedy scan; expressed as cum-of-admitted via a second pass:
+      // admit iff n_tokens + (admitted cum before) <= budget. The greedy
+      // admitted-set is NOT a window expression (depends on prior
+      // admissions), so it is computed per-group with a bounded
+      // aggregation: groups are budget-bounded (cum list fits easily —
+      // the window above already sorts the group).
+      greedyAdmit(cum, idCol, groupCols, budget)
+    }
+  }
+
+  /** Greedy budget admission over pre-sorted per-group rows: fold the
+    * group's (priority-ordered) docs, admitting each iff the admitted
+    * total stays <= budget. Uses collect_list + a higher-order fold per
+    * group — the per-group row count is bounded above by what a budget can
+    * admit plus skipped docs; for corpus-scale groups prefer
+    * `strict = true` (pure window, no per-group array).
+    */
+  private def greedyAdmit(cum: DataFrame, idCol: String, groupCols: Seq[String],
+                          budget: Long): DataFrame = {
+    val rowStruct = struct(Sampling.hashUnit(col(idCol)).as("__u"), col(idCol).as("__id"),
+      col("n_tokens").as("__nt"))
+    val grouped = cum.groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(rowStruct)).as("__docs"))
+    // fold: acc = array of admitted (id, nt, cum) structs + running total
+    val admitted = aggregate(
+      col("__docs"),
+      struct(lit(0L).as("__tot"), array().cast("array<struct<__id:long,__nt:long,__cum:long>>").as("__keep")),
+      (acc, d) => {
+        val nt = d.getField("__nt")
+        val fits = acc.getField("__tot") + nt <= budget
+        struct(
+          when(fits, acc.getField("__tot") + nt).otherwise(acc.getField("__tot")).as("__tot"),
+          when(fits, array_append(acc.getField("__keep"),
+              struct(d.getField("__id").as("__id"), nt.as("__nt"),
+                (acc.getField("__tot") + nt).as("__cum"))))
+            .otherwise(acc.getField("__keep")).as("__keep"))
+      },
+      acc => acc.getField("__keep"))
+    grouped.select(groupCols.map(col) :+ explode(admitted).as("__d"): _*)
+      .select(groupCols.map(col) :+ col("__d.__id").as(idCol) :+
+        col("__d.__nt").as("n_tokens") :+ col("__d.__cum").as("cum_tokens"): _*)
+  }
+}

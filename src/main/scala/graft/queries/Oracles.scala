@@ -15,6 +15,41 @@ object Oracles {
   private val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
   private val wordsOf = s"""list_filter(string_split($norm, ' '), x -> len(x) > 0)"""
 
+  /** md5-derived uniform in [0,1) over the doc id — the twin of
+    * [[graft.ops.Sampling.hashUnit]] (identical IEEE division of the same
+    * 32-bit integer).
+    */
+  private val hashUnit =
+    """('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0"""
+
+  /** The minhash-LSH candidate/estimate CTE chain (mirrors
+    * Dedup.minhashNearDupPairs: portable md5 base hash, 64 affine
+    * permutations, 16x4 banding, signature-agreement estimate). Shared by
+    * the pair query and the clusters query so the two oracles cannot
+    * drift.
+    */
+  private val minhashPairChain =
+    s"""w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(CASE WHEN len(ws) >= 3
+       |           THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+       |           ELSE [array_to_string(ws, ' ')] END) AS s
+       |       FROM w),
+       |hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
+       |perms AS (SELECT i, ((i+1)*2654435761) % 2147483647 AS a, ((i+1)*40503 + 7) % 2147483647 AS b
+       |          FROM generate_series(0, 63) t(i)),
+       |sig AS (SELECT doc_id, i, min((a*x + b) % 2147483647) AS h
+       |        FROM hx CROSS JOIN perms GROUP BY 1, 2),
+       |sigarr AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY 1),
+       |bands AS (SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bandkey
+       |          FROM sigarr CROSS JOIN generate_series(0, 15) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b ON a.b = b.b AND a.bandkey = b.bandkey
+       |         WHERE a.doc_id < b.doc_id),
+       |est AS (SELECT c.id_a, c.id_b,
+       |          len(list_filter(range(1, 65), i -> x.sig[i] = y.sig[i])) / 64.0 AS e
+       |        FROM cand c JOIN sigarr x ON x.doc_id = c.id_a JOIN sigarr y ON y.doc_id = c.id_b)""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "s2_incremental_scan" ->
@@ -212,26 +247,7 @@ object Oracles {
     // xxhash64 band key is equality-equivalent), and the same
     // agreeing-components/64 estimate.
     "x2_minhash_lsh" ->
-      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
-         |         unnest(CASE WHEN len(ws) >= 3
-         |           THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
-         |           ELSE [array_to_string(ws, ' ')] END) AS s
-         |       FROM w),
-         |hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
-         |perms AS (SELECT i, ((i+1)*2654435761) % 2147483647 AS a, ((i+1)*40503 + 7) % 2147483647 AS b
-         |          FROM generate_series(0, 63) t(i)),
-         |sig AS (SELECT doc_id, i, min((a*x + b) % 2147483647) AS h
-         |        FROM hx CROSS JOIN perms GROUP BY 1, 2),
-         |sigarr AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY 1),
-         |bands AS (SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bandkey
-         |          FROM sigarr CROSS JOIN generate_series(0, 15) t(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bandkey = b.bandkey
-         |         WHERE a.doc_id < b.doc_id),
-         |est AS (SELECT c.id_a, c.id_b,
-         |          len(list_filter(range(1, 65), i -> x.sig[i] = y.sig[i])) / 64.0 AS e
-         |        FROM cand c JOIN sigarr x ON x.doc_id = c.id_a JOIN sigarr y ON y.doc_id = c.id_b)
+      s"""WITH $minhashPairChain
          |SELECT id_a, id_b, round(e, 6) AS est_jaccard FROM est WHERE e >= 0.5 ORDER BY 1, 2""".stripMargin,
 
     // Mirrors Dedup.simhash64: token bits from the two 32-bit md5 halves,
@@ -467,6 +483,64 @@ object Oracles {
          |pd AS (SELECT token, doc_id, count(*) AS c FROM t GROUP BY 1, 2)
          |SELECT token, CAST(sum(c) AS BIGINT) AS n_occurrences, count(*) AS doc_freq
          |FROM pd GROUP BY token
-         |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin
+         |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+
+    // Split cuts are interpolated from Sampling.cumulativeCuts — the exact
+    // IEEE doubles the Spark comparison uses (0.9 + 0.05 != literal 0.95).
+    "x7_split" -> {
+      val cuts = graft.ops.Sampling.cumulativeCuts(graft.ops.Sampling.DefaultSplits)
+      val names = graft.ops.Sampling.DefaultSplits.map(_._1)
+      val cases = names.init.zip(cuts.init)
+        .map { case (n, c) => s"WHEN u < $c THEN '$n'" }.mkString(" ")
+      s"""WITH u AS (SELECT doc_id, $hashUnit AS u FROM documents)
+         |SELECT doc_id, CASE $cases ELSE '${names.last}' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin
+    },
+
+    "x7_stratified_sample" ->
+      s"""WITH u AS (SELECT doc_id, lang, source, $hashUnit AS u FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY u, doc_id) AS rk,
+         |             count(*) OVER (PARTITION BY lang, source) AS n
+         |      FROM u)
+         |SELECT doc_id, lang, source FROM r WHERE rk <= ceil(n * 0.25) ORDER BY doc_id""".stripMargin,
+
+    "x7_token_quota" ->
+      s"""WITH b AS (SELECT source, doc_id,
+         |             CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |             $hashUnit AS u
+         |           FROM documents),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM b)
+         |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 800 ORDER BY source, cum_tokens""".stripMargin,
+
+    // Contamination.contaminationReport twin: distinct trigram md5-60
+    // hashes per doc; benchmark = doc_id % 20 = 0, train = the rest.
+    "x7_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(CASE WHEN len(ws) >= 3
+         |           THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+         |           ELSE [array_to_string(ws, ' ')] END) AS s
+         |       FROM w),
+         |g AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS g FROM sh),
+         |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0)
+         |SELECT t.doc_id, count(*) AS n_overlap_grams
+         |FROM g t JOIN bg USING (g) WHERE t.doc_id % 20 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Components.dedupClusters twin: same minhash pair chain, closed with
+    // a recursive transitive-reachability CTE; component = min reachable
+    // id (self included via the symmetric edge list).
+    "x7_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairChain,
+         |p AS (SELECT id_a, id_b FROM est WHERE e >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(s, d) AS (SELECT s, d FROM edges
+         |                UNION SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+         |comp AS (SELECT s AS id, least(s, min(d)) AS component FROM reach GROUP BY s)
+         |SELECT id, component, id = component AS is_keeper FROM comp ORDER BY id""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Canonical
-import graft.ops.{AsOf, Dedup, Intervals, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Components, Contamination, Dedup, Intervals, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.template.TemplateCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -616,6 +616,64 @@ object Queries {
       .orderBy("id")
   }
 
+  /** X7: deterministic train/val/test split — md5-hash interval
+    * assignment, a pure projection (no shuffle at any scale; the orderBy
+    * is output canonicalization only). Split fractions are interpolated
+    * into the oracle at full double precision so interval boundaries are
+    * bit-identical (see [[Oracles.SplitCuts]]).
+    */
+  private def x7Split(spark: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplit(t(spark, dir, "documents"), "doc_id")
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+
+  /** X7: exact stratified sample — 25% of each (lang, source) stratum,
+    * selected by md5 rank so the sample is reproducible and nested
+    * (a 50% sample would contain this one).
+    */
+  private def x7StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(spark, dir, "documents"), "doc_id",
+      Seq("lang", "source"), fraction = 0.25)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
+  /** X7: token-budget quota — cap each source at 800 tokens (the fixture sources hold ~1300 each, so the quota genuinely cuts), admitting
+    * docs in md5-priority order (strict prefix semantics: the
+    * window-expressible form; the greedy skip-and-continue variant is
+    * spec-tested in SamplingSpec).
+    */
+  private def x7TokenQuota(spark: SparkSession, dir: String): DataFrame =
+    Sampling.tokenQuota(t(spark, dir, "documents"), "doc_id", col("text"),
+      Seq("source"), budget = 800L, strict = true)
+      .orderBy("source", "cum_tokens")
+
+  /** X7: benchmark decontamination — training docs (doc_id % 20 != 0)
+    * sharing any word trigram with the benchmark set (doc_id % 20 == 0).
+    * The benchmark gram set is broadcast; the corpus side never shuffles
+    * text — the scale contract for decontaminating 100 TB against a
+    * fixed eval suite.
+    */
+  private def x7Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Contamination.contaminationReport(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0),
+      "doc_id", col("text"), n = 3)
+      .orderBy("doc_id")
+  }
+
+  /** X7: near-dup clusters — connected components over the minhash-LSH
+    * pair list, labeling every paired doc with its cluster (= min
+    * reachable doc id) and whether it is the cluster's keeper. The DuckDB
+    * twin recomputes the same pairs and closes them with a recursive CTE,
+    * so the clustering itself is hash-checked, not just the pairs.
+    */
+  private def x7DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(t(spark, dir, "documents"), "doc_id", col("text"),
+      shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5)
+    Components.dedupClusters(pairs).orderBy("id")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -672,7 +730,12 @@ object Queries {
     "j_interval_errors" -> (jIntervalErrors _),
     "pivot_user_events" -> (pivotUserEvents _),
     "q6_percentiles" -> (q6Percentiles _),
-    "q7_promo_by_brand" -> (q7PromoByBrand _)
+    "q7_promo_by_brand" -> (q7PromoByBrand _),
+    "x7_split" -> (x7Split _),
+    "x7_stratified_sample" -> (x7StratifiedSample _),
+    "x7_token_quota" -> (x7TokenQuota _),
+    "x7_decontaminate" -> (x7Decontaminate _),
+    "x7_dedup_clusters" -> (x7DedupClusters _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

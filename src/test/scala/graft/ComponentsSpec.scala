@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Components
+
+/** Connected components must equal a driver-side union-find on arbitrary
+  * pair lists — including shapes min-propagation alone converges slowly on
+  * (chains) and shapes that exercise the pointer jump (stars, cycles).
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: classic union-find with path compression. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are not guaranteed minimal under arbitrary union order unless we
+    // always attach the larger root (done above), so find() now yields the
+    // min id of each component
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccOf(pairs: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] = {
+    val out = Components.connectedComponents(pairs.toDF("id_a", "id_b"), maxIter = maxIter)
+      .as[(Long, Long)].collect().toMap
+    out
+  }
+
+  test("chain, star, cycle, and disjoint pairs all collapse to min-id labels") {
+    val chain = (1L to 20L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(ccOf(chain) == (1L to 20L).map(_ -> 1L).toMap)
+
+    val star = (2L to 10L).map(i => (1L, i))
+    assert(ccOf(star) == (1L to 10L).map(_ -> 1L).toMap)
+
+    val cycle = Seq((5L, 6L), (6L, 7L), (7L, 5L))
+    assert(ccOf(cycle) == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+
+    val disjoint = Seq((1L, 2L), (3L, 4L), (10L, 11L))
+    assert(ccOf(disjoint) == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("edge orientation and duplicates do not matter") {
+    val pairs = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (3L, 3L))
+    assert(ccOf(pairs) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("property: equals union-find on random pair lists") {
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { _ =>
+      val n = 1 + rnd.nextInt(60)
+      val pairs = Seq.fill(n)((rnd.nextLong(41), rnd.nextLong(41)))
+      assert(ccOf(pairs) == unionFind(pairs), s"pairs: $pairs")
+    }
+  }
+
+  test("dedupClusters marks exactly one keeper per component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Components.dedupClusters(pairs).as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.filter(_._3).map(_._1).sorted == Seq(1L, 7L))
+    assert(out.groupBy(_._2).forall { case (_, members) => members.count(_._3) == 1 })
+  }
+
+  test("self-loops only: every vertex is its own component") {
+    assert(ccOf(Seq((4L, 4L), (9L, 9L))) == Map(4L -> 4L, 9L -> 9L))
+  }
+}

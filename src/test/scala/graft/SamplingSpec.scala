@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops.{OpCaches, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Sampling/curation operator semantics: split determinism and stability,
+  * stratified exactness and nesting, quota budget-respect and maximality.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 400L).map { i =>
+    val src = s"s${i % 4}"
+    // text length varies by id so token counts differ per doc
+    (i, src, ("tok " * (5 + (i % 37).toInt)).trim)
+  }.toDF("doc_id", "source", "text")
+
+  test("assignSplit is a total, deterministic partition of the input") {
+    val out = Sampling.assignSplit(docs, "doc_id").select("doc_id", "split")
+    assert(out.count() == 400)
+    val again = Sampling.assignSplit(docs, "doc_id").select("doc_id", "split")
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    val bySplit = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // 90/5/5 within loose binomial tolerance on 400 rows
+    assert(bySplit("train") > 320 && bySplit("val") < 50 && bySplit("test") < 50)
+  }
+
+  test("assignSplit is stable under corpus growth (no doc changes split)") {
+    val small = Sampling.assignSplit(docs.where($"doc_id" < 100), "doc_id")
+      .select("doc_id", "split")
+    val big = Sampling.assignSplit(docs, "doc_id")
+      .select("doc_id", "split").where($"doc_id" < 100)
+    assert(small.except(big).isEmpty && big.except(small).isEmpty)
+  }
+
+  test("assignSplit rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("stratifiedSample takes exactly ceil(fraction * n) per stratum, nested") {
+    val quarter = Sampling.stratifiedSample(docs, "doc_id", Seq("source"), 0.25)
+    val perStratum = quarter.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perStratum.values.toSet == Set(25L)) // 100 per stratum * 0.25
+    val half = Sampling.stratifiedSample(docs, "doc_id", Seq("source"), 0.5)
+    // nesting: the 25% sample is a subset of the 50% sample
+    assert(quarter.select("doc_id").except(half.select("doc_id")).isEmpty)
+  }
+
+  test("sampleByHash matches the split-interval semantics") {
+    val s = Sampling.sampleByHash(docs, "doc_id", 0.3).select("doc_id")
+    val viaUnit = docs.where(Sampling.hashUnit($"doc_id") < 0.3).select("doc_id")
+    assert(s.except(viaUnit).isEmpty && viaUnit.except(s).isEmpty)
+    // deterministic: same rows every run
+    assert(s.count() == Sampling.sampleByHash(docs, "doc_id", 0.3).count())
+  }
+
+  test("tokenQuota strict: admitted prefix respects budget and is maximal") {
+    val budget = 300L
+    val out = Sampling.tokenQuota(docs, "doc_id", $"text", Seq("source"), budget, strict = true)
+    val maxCum = out.groupBy("source").agg(max("cum_tokens").as("m"))
+      .as[(String, Long)].collect().toMap
+    maxCum.values.foreach(m => assert(m <= budget))
+    // maximality: for each source the NEXT doc in priority order would blow
+    // the budget — recompute the unfiltered running sum and check the first
+    // excluded row
+    val all = Sampling.tokenQuota(docs, "doc_id", $"text", Seq("source"), Long.MaxValue, strict = true)
+    val firstExcluded = all.where($"cum_tokens" > budget)
+      .groupBy("source").agg(min("cum_tokens").as("c")).as[(String, Long)].collect().toMap
+    firstExcluded.foreach { case (src, c) =>
+      assert(c > budget, s"source $src admitted beyond budget")
+    }
+  }
+
+  test("tokenQuota greedy admits docs strict skips, never over budget") {
+    val budget = 300L
+    val strict = Sampling.tokenQuota(docs, "doc_id", $"text", Seq("source"), budget, strict = true)
+    val greedy = Sampling.tokenQuota(docs, "doc_id", $"text", Seq("source"), budget)
+    // greedy is a superset of strict (same priority order, skips instead of stopping)
+    assert(strict.select("source", "doc_id").except(greedy.select("source", "doc_id")).isEmpty)
+    // greedy cum_tokens stays within budget per source
+    val maxCum = greedy.groupBy("source").agg(max("cum_tokens").as("m")).as[(String, Long)].collect()
+    maxCum.foreach { case (src, m) => assert(m <= budget, s"greedy $src over budget: $m") }
+    // greedy total >= strict total (it fills remaining budget with later docs)
+    val gTot = greedy.agg(sum("n_tokens")).head().getLong(0)
+    val sTot = strict.agg(sum("n_tokens")).head().getLong(0)
+    assert(gTot >= sTot)
+  }
+
+  test("greedy quota equals a reference fold on the driver") {
+    val budget = 300L
+    val greedy = Sampling.tokenQuota(docs, "doc_id", $"text", Seq("source"), budget)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    // reference: per source, walk docs in (hashUnit, id) order, admit if fits
+    val rows = Sampling.tokenQuota(docs, "doc_id", $"text", Seq("source"), Long.MaxValue, strict = true)
+      .select($"source", $"doc_id", $"n_tokens", Sampling.hashUnit($"doc_id").as("u"))
+      .as[(String, Long, Long, Double)].collect()
+    val expect = rows.toSeq.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      var tot = 0L
+      ds.sortBy(d => (d._4, d._2)).flatMap { d =>
+        if (tot + d._3 <= budget) { tot += d._3; Some((src, d._2)) } else None
+      }
+    }.toSet
+    assert(greedy == expect)
+    OpCaches.release()
+  }
+}
