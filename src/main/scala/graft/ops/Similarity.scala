@@ -137,35 +137,69 @@ object Similarity {
     * background candidate rate to ~L/2^bits.
     *
     * Projections are rounded to 6 dp before the sign test so bucket bits are
-    * reproducible across engines regardless of last-ulp summation noise; the
-    * base (id, vec, norm) table is pinned in [[OpCaches]] (consumed by the
-    * banding pass and both verify sides) — callers release after the action.
+    * reproducible across engines regardless of last-ulp summation noise.
+    *
+    * Two physical routes, identical results:
+    *
+    *  - `carryVectors = true` (default): vectors and norms RIDE the banded
+    *    rows into the bucket self-join, the exact cosine is computed inside
+    *    the join stage, and pairs are deduplicated only AFTER the threshold
+    *    filter — on the tiny surviving set, not the candidate flood. One
+    *    bucket-keyed shuffle end to end (the shape of Spark MLlib's own
+    *    `approxSimilarityJoin`). Shuffle volume is `bands ×` the vector
+    *    table, the right trade up to moderate dims (an explicit knob, not a
+    *    silent choice, because at dim ≫ 10³ the amplification flips the
+    *    balance).
+    *  - `carryVectors = false`: banded rows carry only (id, band, bucket);
+    *    candidates are distinct'd and verified by joining the (pinned)
+    *    vector table back twice. Vector bytes shuffle once, but the
+    *    pre-verify distinct materializes the full candidate pair set —
+    *    preferable only for very wide vectors, where `bands ×`
+    *    amplification outweighs the extra candidate-keyed joins. Callers
+    *    release the pinned table via OpCaches after the action.
     */
   def randomHyperplaneNearDupPairs(
       df: DataFrame, threshold: Double, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
+      bands: Int = 16, bitsPerBand: Int = 4,
+      carryVectors: Boolean = true): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val base = OpCaches.pin(df.select(col(idCol), col(vecCol).as("__v"),
-      norm(col(vecCol)).as("__n")))
     val planes = Array.tabulate(bands * bitsPerBand, dim)(planeComponent)
-    val bandBuckets = array((0 until bands).map { b =>
+    def bandBuckets(v: Column) = array((0 until bands).map { b =>
       (0 until bitsPerBand).map { j =>
         val k = b * bitsPerBand + j
-        when(round(dot(col("__v"), typedlit(planes(k).toSeq)), 6) >= 0, lit(1L << j))
+        when(round(dot(v, typedlit(planes(k).toSeq)), 6) >= 0, lit(1L << j))
           .otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
-    val banded = base.select(col(idCol), posexplode(bandBuckets).as(Seq("__band", "__bkt")))
-    val cand = banded.alias("a").join(banded.alias("b"), Seq("__band", "__bkt"))
-      .where(col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")).distinct()
-    cand
-      .join(base.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na")), "id_a")
-      .join(base.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")), "id_b")
+    def verify(paired: DataFrame): DataFrame = paired
       .withColumn("cosine", round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    if (carryVectors) {
+      val banded = df.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+        .select(col(idCol), col("__v"), col("__n"),
+          posexplode(bandBuckets(col("__v"))).as(Seq("__band", "__bkt")))
+      def side(s: String) = banded.select(col(idCol).as(s"id_$s"), col("__v").as(s"__v$s"),
+        col("__n").as(s"__n$s"), col("__band"), col("__bkt"))
+      // dedup AFTER the cosine filter: scores are deterministic per pair
+      // (6-dp round), so distinct collapses multi-band hits exactly.
+      // Hash join, not sort-merge: the banded rows carry the vectors, and
+      // sorting KB-wide rows costs more than hashing the bucket keys.
+      verify(side("a").hint("shuffle_hash").join(side("b"), Seq("__band", "__bkt"))
+        .where(col("id_a") < col("id_b")))
+        .distinct()
+    } else {
+      val base = OpCaches.pin(df.select(col(idCol), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n")))
+      val banded = base.select(col(idCol), posexplode(bandBuckets(col("__v"))).as(Seq("__band", "__bkt")))
+      val cand = banded.alias("a").join(banded.alias("b"), Seq("__band", "__bkt"))
+        .where(col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")).distinct()
+      verify(cand
+        .join(base.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na")), "id_a")
+        .join(base.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")), "id_b"))
+    }
   }
 
   /** Deterministic spherical k-means (Lloyd) over the embedding column —
