@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Connected components over a pair list — the step that turns near-dup
@@ -12,54 +13,115 @@ import org.apache.spark.storage.StorageLevel
   * A~B and B~C but A!~C, pairwise keep-min would keep A and C even though
   * they sit in one duplicate cluster.
   *
-  * Algorithm: distributed min-label propagation with pointer jumping.
-  * Each round does (1) a neighbor-min pass — every vertex takes the min of
-  * its own and its neighbors' labels (one join + one map-side-combined
-  * aggregation on vertex id), and (2) a pointer-jump — label :=
-  * label(label), halving label-chain depths so convergence is
-  * O(log(diameter)) rounds, not O(diameter). Labels only ever decrease, so
-  * `sum(label)` is a monotone convergence certificate: one cheap agg per
-  * round, stop when it stops falling. Per round: two shuffles over the
-  * EDGE list + two over the vertex list — no step ever materializes
-  * anything bigger than the input pair list, which is the scale contract
-  * (the pair list itself was produced sub-quadratically by LSH).
+  * Two routes, chosen by the measured edge count (the pair list is an LSH
+  * OUTPUT — orders of magnitude smaller than the corpus — so even at
+  * 100 TB it is usually bounded):
+  *
+  *  - **Driver union-find** (edge count ≤ `driverEdgeLimit`, integral
+  *    ids): collect the deduplicated edge list, run union-find with path
+  *    compression (linear, exact), parallelize (id, component) back. The
+  *    same fit-small/apply-distributed shape as
+  *    [[Similarity.kmeansCells]]; the collect is bounded by an EXPLICIT
+  *    knob (default 4M edges ≈ 64 MB on the driver), never by hope.
+  *  - **Distributed min-label propagation with pointer jumping** (above
+  *    the limit, or non-integral ids). Each round: (1) neighbor-min —
+  *    every vertex takes the min of its own and its neighbors' labels
+  *    (one join + one map-side-combined aggregation); (2) pointer-jump —
+  *    label := label(label), halving label-chain depths so convergence
+  *    is O(log(diameter)) rounds, not O(diameter). Labels only ever
+  *    decrease, so `sum(label)` is a monotone convergence certificate:
+  *    one cheap agg per round, stop when it stops falling. No step
+  *    materializes anything bigger than the edge list.
   *
   * Near-dup graphs in practice are myriads of tiny components (dup pairs,
   * dup triangles), so rounds-to-converge is small; the `maxIter` cap
   * bounds pathological chains (default 20 ≈ diameters to ~2^20 with
   * jumping).
   *
-  * The returned (id, component) table is backed by the final round's local
-  * checkpoint — already materialized by the convergence actions; its blocks
-  * are reclaimed by the context cleaner when the result is dereferenced.
+  * Distributed-route iteration state is EAGERLY localCheckpoint'ed, not
+  * just persisted: each round references the previous round's frame
+  * several times (the self-join in the jump), so without lineage
+  * truncation the logical plan doubles per round — analysis cost alone
+  * becomes exponential. Local checkpoints trade fault re-compute for
+  * speed — the standard choice for convergent iterative refinement.
+  * Blocks of superseded rounds are dereferenced immediately and
+  * reclaimed by the context cleaner.
   */
 object Components {
 
   /** @param pairs   (aCol, bCol) undirected edges, any orientation
+    * @param driverEdgeLimit distinct-edge count at or below which the
+    *        driver union-find route runs (0 forces the distributed loop)
     * @return (id, component) for every vertex incident to an edge;
     *         component = min reachable id
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-                          maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+                          maxIter: Int = 20, driverEdgeLimit: Long = 4000000L): DataFrame = {
+    val idType = pairs.schema(aCol).dataType
+    // integral ids are the operator contract: both routes rely on numeric
+    // labels (the distributed route's sum-certificate, the driver route's
+    // primitive maps). Map string keys through Dedup.md5Hash60 or a dense
+    // id assignment first.
+    require(idType == LongType || idType == IntegerType,
+      s"connectedComponents needs integral ids, got $idType")
+    val edges = pairs.select(col(aCol).cast(LongType).as("src"),
+        col(bCol).cast(LongType).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Iteration state is EAGERLY localCheckpoint'ed, not just persisted:
-    // each round references the previous round's frame several times (the
-    // self-join in the jump), so without lineage truncation the logical
-    // plan doubles per round — analysis cost alone becomes exponential.
-    // The checkpoint stores the rows once per round and starts the next
-    // round's plan from a leaf. (Local checkpoints trade fault re-compute
-    // for speed — the standard choice for convergent iterative refinement,
-    // where losing an executor just means redoing cheap rounds.) Blocks of
-    // superseded rounds are dereferenced immediately and reclaimed by the
-    // context cleaner.
+    val edgeCount = edges.count()
+    val out =
+      if (edgeCount <= driverEdgeLimit) driverUnionFind(pairs, edges)
+      else propagateDistributed(edges, maxIter)
+    edges.unpersist(blocking = false)
+    if (idType == IntegerType)
+      out.select(col("id").cast(IntegerType).as("id"),
+        col("component").cast(IntegerType).as("component"))
+    else out
+  }
+
+  /** Bounded-small route: exact union-find (path compression, min-rooted
+    * union) over the collected edge list; one distributed pass total.
+    */
+  private def driverUnionFind(pairs: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrDefault(root, root) != root) root = parent.get(root)
+      var cur = x // path compression
+      while (parent.getOrDefault(cur, cur) != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
+      parent.put(x, root)
+      root
+    }
+    collected.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val rows = parent.keySet().toArray(Array.empty[java.lang.Long])
+      .map(id => Row(id.longValue(), find(id.longValue())))
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("component", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq,
+      math.max(1, rows.length / 500000)), schema)
+  }
+
+  /** Big-graph route: min-label propagation + pointer jumping (see class
+    * doc). Expects a persisted, deduplicated, symmetric-capable edge list
+    * keyed (src, dst) — symmetry is established here.
+    */
+  private def propagateDistributed(halfEdges: DataFrame, maxIter: Int): DataFrame = {
+    val edges = halfEdges
+      .union(halfEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
-    var certificate = labels.agg(sum(col("lbl"))).head().getLong(0)
-    var converged = false
+    var certificate = Option(labels.agg(sum(col("lbl"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var converged = labels.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
       // neighbor-min: min label over {self} ∪ neighbors
@@ -90,7 +152,7 @@ object Components {
     * plus the union of never-paired docs (not in the pair list).
     */
   def dedupClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-                    maxIter: Int = 20): DataFrame =
-    connectedComponents(pairs, aCol, bCol, maxIter)
+                    maxIter: Int = 20, driverEdgeLimit: Long = 4000000L): DataFrame =
+    connectedComponents(pairs, aCol, bCol, maxIter, driverEdgeLimit)
       .select(col("id"), col("component"), (col("id") === col("component")).as("is_keeper"))
 }

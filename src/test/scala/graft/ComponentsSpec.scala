@@ -26,10 +26,17 @@ class ComponentsSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  /** Both physical routes must agree with each other and the reference:
+    * driverEdgeLimit=0 forces the distributed propagation loop.
+    */
   private def ccOf(pairs: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] = {
-    val out = Components.connectedComponents(pairs.toDF("id_a", "id_b"), maxIter = maxIter)
+    val df = pairs.toDF("id_a", "id_b")
+    val driver = Components.connectedComponents(df, maxIter = maxIter)
       .as[(Long, Long)].collect().toMap
-    out
+    val distributed = Components.connectedComponents(df, maxIter = maxIter, driverEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == distributed, "driver union-find and distributed propagation disagree")
+    driver
   }
 
   test("chain, star, cycle, and disjoint pairs all collapse to min-id labels") {
@@ -69,5 +76,16 @@ class ComponentsSpec extends SparkSpec {
 
   test("self-loops only: every vertex is its own component") {
     assert(ccOf(Seq((4L, 4L), (9L, 9L))) == Map(4L -> 4L, 9L -> 9L))
+  }
+
+  test("empty pair list yields an empty labeling on both routes") {
+    assert(ccOf(Seq.empty[(Long, Long)]) == Map.empty[Long, Long])
+  }
+
+  test("non-integral id columns are rejected") {
+    val strPairs = Seq(("a", "b")).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(strPairs)
+    }
   }
 }
