@@ -155,4 +155,19 @@ object Components {
                     maxIter: Int = 20, driverEdgeLimit: Long = 4000000L): DataFrame =
     connectedComponents(pairs, aCol, bCol, maxIter, driverEdgeLimit)
       .select(col("id"), col("component"), (col("id") === col("component")).as("is_keeper"))
+
+  /** The APPLY step: the corpus minus every non-keeper cluster member —
+    * rows never mentioned in the pair list survive untouched, each cluster
+    * keeps exactly its min-id member. The drop list (non-keepers) is the
+    * small side of the anti-join: at most one row per duplicate found, so
+    * Spark broadcasts it when it fits and AQE re-plans when it does not;
+    * the corpus side streams through unshuffled either way.
+    */
+  def applyDedup(corpus: DataFrame, idCol: String, pairs: DataFrame,
+                 aCol: String = "id_a", bCol: String = "id_b",
+                 maxIter: Int = 20, driverEdgeLimit: Long = 4000000L): DataFrame = {
+    val drop = dedupClusters(pairs, aCol, bCol, maxIter, driverEdgeLimit)
+      .where(!col("is_keeper")).select(col("id").as(idCol))
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -55,4 +55,37 @@ object Contamination {
     train.join(contaminationReport(train, benchmark, idCol, text, n, minOverlap)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** The benchmark's distinct gram-hash set as driver values — the bounded
+    * artifact a STREAMING admission filter closes over (eval suites are
+    * small by definition; re-derive when the benchmark set changes).
+    */
+  def benchmarkGramSet(benchmark: DataFrame, idCol: String, text: Column, n: Int = 3): Array[Long] =
+    gramHashes(benchmark, idCol, text, n)
+      .select(col("__g")).distinct().collect().map(_.getLong(0))
+
+  /** Per-row contamination count over a MATERIALIZED word-array column —
+    * a pure projection (Catalyst compiles `isInCollection` over the
+    * literal gram list to an O(1) hash-set probe per gram), so it runs
+    * STATELESS in a streaming query: no aggregation, no watermark, no
+    * state store. This is the streaming admission form of
+    * [[contaminationReport]] — each arriving document is checked against
+    * the fixed benchmark the moment it arrives.
+    */
+  def overlapCountOfWords(words: Column, benchGrams: Array[Long], n: Int = 3): Column =
+    size(filter(Dedup.shinglesOfWords(words, n),
+      g => Dedup.md5Hash60(g).isInCollection(benchGrams.toSeq)))
+
+  /** Streaming-safe decontamination filter: keep rows whose text shares
+    * fewer than `minOverlap` grams with the (pre-collected) benchmark set.
+    * The word array is staged in its own projection first (interpreted
+    * lambdas re-evaluate captured expressions PER ELEMENT — the
+    * [[TextAnalysis]] staging rule).
+    */
+  def admitClean(df: DataFrame, text: Column, benchGrams: Array[Long],
+                 n: Int = 3, minOverlap: Int = 1): DataFrame = {
+    val staged = df.withColumn("__adm_w", TextAnalysis.words(text))
+      .withColumn("__adm_n", overlapCountOfWords(col("__adm_w"), benchGrams, n))
+    staged.where(col("__adm_n") < minOverlap).drop("__adm_w", "__adm_n")
+  }
 }

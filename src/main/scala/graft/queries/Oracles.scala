@@ -541,6 +541,19 @@ object Oracles {
          |reach(s, d) AS (SELECT s, d FROM edges
          |                UNION SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
          |comp AS (SELECT s AS id, least(s, min(d)) AS component FROM reach GROUP BY s)
-         |SELECT id, component, id = component AS is_keeper FROM comp ORDER BY id""".stripMargin
+         |SELECT id, component, id = component AS is_keeper FROM comp ORDER BY id""".stripMargin,
+
+    // Apply step: corpus minus non-keeper cluster members (same recursive
+    // closure as x7_dedup_clusters).
+    "x7_dedup_apply" ->
+      s"""WITH RECURSIVE $minhashPairChain,
+         |p AS (SELECT id_a, id_b FROM est WHERE e >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(s, d) AS (SELECT s, d FROM edges
+         |                UNION SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+         |comp AS (SELECT s AS id, least(s, min(d)) AS component FROM reach GROUP BY s)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -674,6 +674,20 @@ object Queries {
     Components.dedupClusters(pairs).orderBy("id")
   }
 
+  /** X7: the dedup APPLY step — the corpus anti-joined against non-keeper
+    * cluster members, i.e. the surviving documents a training run would
+    * actually read. Composes pairs → clusters → anti-join end to end under
+    * one oracle.
+    */
+  private def x7DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", col("text"),
+      shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5)
+    Components.applyDedup(docs, "doc_id", pairs)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -735,7 +749,8 @@ object Queries {
     "x7_stratified_sample" -> (x7StratifiedSample _),
     "x7_token_quota" -> (x7TokenQuota _),
     "x7_decontaminate" -> (x7Decontaminate _),
-    "x7_dedup_clusters" -> (x7DedupClusters _)
+    "x7_dedup_clusters" -> (x7DedupClusters _),
+    "x7_dedup_apply" -> (x7DedupApply _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

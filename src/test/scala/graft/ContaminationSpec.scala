@@ -53,4 +53,31 @@ class ContaminationSpec extends SparkSpec {
     val rep = Contamination.contaminationReport(t, b, "doc_id", $"text", n = 3)
     assert(rep.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
+
+  test("batch admitClean equals decontaminate on the shared fixture") {
+    val grams = Contamination.benchmarkGramSet(benchmark, "doc_id", $"text", n = 3)
+    val viaSet = Contamination.admitClean(train, $"text", grams, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val viaJoin = Contamination.decontaminate(train, benchmark, "doc_id", $"text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaSet == viaJoin)
+  }
+
+  test("admitClean is stateless-streamable: per-arrival admission matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val grams = Contamination.benchmarkGramSet(benchmark, "doc_id", $"text", n = 3)
+    val input = MemoryStream[(Long, String)]
+    val q = Contamination.admitClean(input.toDS().toDF("doc_id", "text"), $"text", grams, n = 3)
+      .writeStream.format("memory").queryName("admit_out")
+      .outputMode("append").start()
+    val rows = train.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    input.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("admit_out").select("doc_id").as[Long].collect().toSet
+    assert(streamed == Set(2L)) // same survivor set as batch decontaminate
+  }
 }
