@@ -155,6 +155,72 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** PII patterns in the Java/RE2 COMMON regex subset (no lookaround, no
+    * backreferences) so Spark and any RE2 engine (the DuckDB oracle)
+    * replace identically. Order matters and is part of the contract:
+    * emails first (an address contains dots a later pattern could eat),
+    * then IPs (dotted digits that the phone class would swallow), then
+    * phone-like digit runs.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""" -> "<EMAIL>",
+    """\b(\d{1,3}\.){3}\d{1,3}\b""" -> "<IP>",
+    """\+?\d[\d\s().-]{7,}\d""" -> "<PHONE>")
+
+  /** PII-scrubbed text: emails, IPv4 addresses and phone-like digit runs
+    * replaced by typed redaction tokens. Pure per-row projection — the
+    * canonical pre-training scrub pass, zero shuffles at any scale.
+    */
+  def piiScrub(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+
+  /** Number of redaction tokens [[piiScrub]] inserts: each pattern is
+    * counted on the text AFTER the earlier patterns were scrubbed (an IP
+    * is also a phone-like digit run — counting every pattern on the raw
+    * text would double-count it). Redaction tokens themselves are
+    * match-proof: no digits, no '@'.
+    */
+  def piiCount(text: Column): Column =
+    PiiPatterns.foldLeft((lit(0), text)) { case ((n, t), (pat, rep)) =>
+      (n + size(regexp_extract_all(t, lit(pat), lit(0))), regexp_replace(t, pat, rep))
+    }._1
+
+  /** DataFrame form: (idCol, clean_text, n_pii). */
+  def piiScrub(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(col(idCol), text.as("__t"))
+      .select(col(idCol), piiScrub(col("__t")).as("clean_text"),
+        piiCount(col("__t")).cast("long").as("n_pii"))
+
+  /** Repetition metrics in the style of the Gopher/MassiveText filters:
+    * the fraction of words taken by the single most frequent word, and the
+    * fraction of word 2-grams that are repeats of an earlier 2-gram.
+    * High values flag boilerplate/spam documents that length and stopword
+    * scores miss.
+    *
+    * Shape: one explode keyed by (doc, word) with map-side combine, one
+    * distinct-2-gram count, one keyed join of the two per-doc aggregates —
+    * nothing wider than (doc, token) ever shuffles.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val staged = df.select(col(idCol), words(text).as("__w"))
+    val wordAgg = staged.select(col(idCol), explode(col("__w")).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__nw"), max(col("__c")).as("__top"))
+    val gram2 = staged
+      .select(col(idCol), explode(Dedup.shinglesOfWords(col("__w"), 2)).as("__g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__n2d")) // shingles are pre-distinct
+    wordAgg.join(gram2, Seq(idCol))
+      .select(col(idCol),
+        col("__nw").cast("long").as("n_words"),
+        round(col("__top").cast("double") / col("__nw"), 6).as("top_word_frac"),
+        // nw-1 total 2-grams; guard the 1-word doc (its "2-gram" is the
+        // whole text, trivially distinct -> repetition 0)
+        when(col("__nw") <= 1, lit(0.0))
+          .otherwise(round(lit(1.0) - col("__n2d").cast("double") / (col("__nw") - 1), 6))
+          .as("dup_2gram_frac"))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and a
     * winnowing-style shingle fingerprint — the minimum md5 over all
     * character 8-grams (a locality-sensitive "smallest shingle wins"

@@ -543,6 +543,37 @@ object Oracles {
          |comp AS (SELECT s AS id, least(s, min(d)) AS component FROM reach GROUP BY s)
          |SELECT id, component, id = component AS is_keeper FROM comp ORDER BY id""".stripMargin,
 
+    // Patterns interpolated from TextAnalysis.PiiPatterns so the two
+    // engines can never drift; 'g' mirrors Spark's replace-all default.
+    "x5_pii_scrub" -> {
+      val Seq((email, er), (ip, ir), (phone, pr)) = graft.ops.TextAnalysis.PiiPatterns
+      // counts mirror piiCount: each pattern counted on the text with the
+      // EARLIER patterns already scrubbed (no double-count of IPs as phones)
+      s"""WITH s1 AS (SELECT doc_id, text,
+         |              regexp_replace(text, '$email', '$er', 'g') AS t1 FROM documents),
+         |s2 AS (SELECT *, regexp_replace(t1, '$ip', '$ir', 'g') AS t2 FROM s1)
+         |SELECT doc_id,
+         |  regexp_replace(t2, '$phone', '$pr', 'g') AS clean_text,
+         |  len(regexp_extract_all(text, '$email')) + len(regexp_extract_all(t1, '$ip'))
+         |    + len(regexp_extract_all(t2, '$phone')) AS n_pii
+         |FROM s2 ORDER BY doc_id""".stripMargin
+    },
+
+    "x5_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         |t AS (SELECT doc_id, unnest(ws) AS tk FROM w),
+         |wc AS (SELECT doc_id, tk, count(*) AS c FROM t GROUP BY 1, 2),
+         |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw, max(c) AS top FROM wc GROUP BY 1),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+         |        THEN list_distinct(list_transform(generate_series(1, len(ws)-1), i -> array_to_string(ws[i:i+1], ' ')))
+         |        ELSE [array_to_string(ws, ' ')] END) AS gm
+         |      FROM w),
+         |ga AS (SELECT doc_id, count(*) AS n2d FROM g GROUP BY 1)
+         |SELECT wa.doc_id, nw AS n_words,
+         |  round(top*1.0/nw, 6) AS top_word_frac,
+         |  CASE WHEN nw <= 1 THEN 0.0 ELSE round(1.0 - n2d*1.0/(nw-1), 6) END AS dup_2gram_frac
+         |FROM wa JOIN ga ON wa.doc_id = ga.doc_id ORDER BY wa.doc_id""".stripMargin,
+
     // Apply step: corpus minus non-keeper cluster members (same recursive
     // closure as x7_dedup_clusters).
     "x7_dedup_apply" ->

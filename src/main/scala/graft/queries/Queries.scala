@@ -476,6 +476,21 @@ object Queries {
     TextAnalysis.fingerprints(t(spark, dir, "documents"), "doc_id", col("text"))
       .orderBy("doc_id")
 
+  /** X5: PII scrub — the fixture corpus carries no PII, so this doubles as
+    * a 500-document regex-parity check between engines (the synthetic-PII
+    * behavior is spec-tested in OpsSpec).
+    */
+  private def x5PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiScrub(t(spark, dir, "documents"), "doc_id", col("text"))
+      .orderBy("doc_id")
+
+  /** X5: Gopher-style repetition signals (top-word fraction, duplicate
+    * 2-gram fraction).
+    */
+  private def x5Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(t(spark, dir, "documents"), "doc_id", col("text"))
+      .orderBy("doc_id")
+
   /** As-of (point-in-time) join: attribute each purchase to the user's
     * latest preceding click (inclusive boundary, max-click-id tiebreak) —
     * the operator Spark lacks natively, composed as union + one keyed
@@ -750,7 +765,9 @@ object Queries {
     "x7_token_quota" -> (x7TokenQuota _),
     "x7_decontaminate" -> (x7Decontaminate _),
     "x7_dedup_clusters" -> (x7DedupClusters _),
-    "x7_dedup_apply" -> (x7DedupApply _)
+    "x7_dedup_apply" -> (x7DedupApply _),
+    "x5_pii_scrub" -> (x5PiiScrub _),
+    "x5_repetition" -> (x5Repetition _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

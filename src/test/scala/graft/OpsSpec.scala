@@ -276,4 +276,35 @@ class OpsSpec extends SparkSpec {
     // cherry: 2 in 2
     assert(out == Seq(("apple", 3L, 2L), ("banana", 3L, 2L), ("cherry", 2L, 2L)))
   }
+
+  test("X5 PII scrub: emails, IPs and phone runs redacted, counts per doc") {
+    val t = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.org or 192.168.0.1 today"),
+      (2L, "call +1 (555) 123-4567 now"),
+      (3L, "no pii here at all"),
+      (4L, "two mails: a@b.co c.d@e.f.org and 10.0.0.255")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(t, "doc_id", col("text"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0)._2 == "reach me at <EMAIL> or <IP> today" && out(0)._3 == 2)
+    assert(out(1)._2.contains("<PHONE>") && out(1)._3 == 1)
+    assert(out(2)._2 == "no pii here at all" && out(2)._3 == 0)
+    assert(out(3)._2 == "two mails: <EMAIL> <EMAIL> and <IP>" && out(3)._3 == 3)
+  }
+
+  test("X5 repetition metrics: top-word and duplicate-2-gram fractions") {
+    val t = Seq(
+      (1L, "spam spam spam spam"),          // top 4/4; 2-grams: 3 total, 1 distinct
+      (2L, "all words here differ"),        // top 1/4; 3 distinct 2-grams of 3
+      (3L, "one"),                          // single word: dup fraction defined 0
+      (4L, "go go stop go go stop")         // top 4/6; 2-grams: [go go, go stop, stop go] distinct=3 of 5
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(t, "doc_id", col("text"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, 4L, 1.0, 0.666667))) // 1 - 1/3, rounded to 6dp
+    assert(out(1) == ((2L, 4L, 0.25, 0.0)))
+    assert(out(2) == ((3L, 1L, 1.0, 0.0)))
+    assert(out(3)._2 == 6L && math.abs(out(3)._3 - 4.0 / 6) < 1e-6 &&
+      math.abs(out(3)._4 - (1.0 - 3.0 / 5)) < 1e-6)
+  }
 }
