@@ -574,6 +574,19 @@ object Oracles {
          |  CASE WHEN nw <= 1 THEN 0.0 ELSE round(1.0 - n2d*1.0/(nw-1), 6) END AS dup_2gram_frac
          |FROM wa JOIN ga ON wa.doc_id = ga.doc_id ORDER BY wa.doc_id""".stripMargin,
 
+    "x7_pack_sequences" ->
+      s"""WITH b AS (SELECT source, doc_id,
+         |             CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |             $hashUnit AS u
+         |           FROM documents),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM b WHERE n_tokens > 0)
+         |SELECT source, doc_id, n_tokens, cum - n_tokens AS start_offset,
+         |  (cum - n_tokens) // 512 AS first_seq, (cum - 1) // 512 AS last_seq
+         |FROM c ORDER BY source, start_offset""".stripMargin,
+
     // Apply step: corpus minus non-keeper cluster members (same recursive
     // closure as x7_dedup_clusters).
     "x7_dedup_apply" ->

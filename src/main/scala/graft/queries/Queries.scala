@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Canonical
-import graft.ops.{AsOf, Components, Contamination, Dedup, Intervals, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Components, Contamination, Dedup, Intervals, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.template.TemplateCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -703,6 +703,15 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X7: sequence packing placement — concat-and-chunk into 512-token
+    * sequences per source shard; every document's stream offset and
+    * spanned sequence ids from pure window arithmetic.
+    */
+  private def x7PackSequences(spark: SparkSession, dir: String): DataFrame =
+    Packing.concatChunkPack(t(spark, dir, "documents"), "doc_id", col("text"),
+      seqLen = 512L, groupCols = Seq("source"))
+      .orderBy("source", "start_offset")
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -767,7 +776,8 @@ object Queries {
     "x7_dedup_clusters" -> (x7DedupClusters _),
     "x7_dedup_apply" -> (x7DedupApply _),
     "x5_pii_scrub" -> (x5PiiScrub _),
-    "x5_repetition" -> (x5Repetition _)
+    "x5_repetition" -> (x5Repetition _),
+    "x7_pack_sequences" -> (x7PackSequences _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
