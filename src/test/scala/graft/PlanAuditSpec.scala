@@ -1,0 +1,62 @@
+package graft
+
+/** Locks the scale posture of representative registered queries into CI:
+  * pruned scans, pushed filters, broadcast small sides, and the absence of
+  * cartesian products are PLAN properties — a regression in any of them
+  * changes the 100 TB story without changing sf0.01 results, so results
+  * alone cannot guard them.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    val s = df.queryExecution.executedPlan.toString()
+    graft.ops.OpCaches.release()
+    s
+  }
+
+  test("no registered query plans a cartesian product") {
+    // the similarity queries use crossJoin deliberately but ALWAYS with a
+    // broadcast side - they must plan as BroadcastNestedLoopJoin, never
+    // CartesianProduct (which would shuffle-pair both sides)
+    Seq("x3_knn_cosine", "x3_ivf_topk", "x2_rhp_near_dup", "x2_embedding_near_dup",
+      "q5_region_revenue", "x7_decontaminate", "x7_dedup_apply").foreach { q =>
+      assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("split assignment reads only the id column and shuffles only for output order") {
+    val plan = planOf("x7_split")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), "split scan is not pruned to doc_id")
+    assert("Exchange".r.findAllIn(plan).size == 1, "split should shuffle once (the output sort)")
+  }
+
+  test("incremental scan pushes the checkpoint predicate into the parquet scan") {
+    val plan = planOf("s2_incremental_scan")
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      "checkpoint predicate did not reach the scan")
+  }
+
+  test("decontamination broadcasts the benchmark gram set") {
+    val plan = planOf("x7_decontaminate")
+    assert(plan.contains("BroadcastExchange"), "benchmark side is not broadcast")
+  }
+
+  test("brute-force knn broadcasts the query side; corpus side stays unshuffled") {
+    val plan = planOf("x3_knn_cosine")
+    assert(plan.contains("BroadcastNestedLoopJoin"), "expected broadcast cross join")
+    // tree prints top-down: everything after the join node is its input
+    // subtree (corpus scan + broadcast build) — no shuffle may appear there
+    val inputs = plan.substring(plan.indexOf("BroadcastNestedLoopJoin"))
+    assert(!inputs.contains("Exchange hashpartitioning"),
+      "corpus rows shuffle before scoring")
+  }
+
+  test("exact dedup scan prunes to the id and text columns") {
+    val plan = planOf("x1_exact_dedup")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "dedup scan reads more than (doc_id, text)")
+  }
+}
