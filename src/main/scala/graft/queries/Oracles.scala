@@ -587,6 +587,23 @@ object Oracles {
          |  (cum - n_tokens) // 512 AS first_seq, (cum - 1) // 512 AS last_seq
          |FROM c ORDER BY source, start_offset""".stripMargin,
 
+    "x7_pack_occupancy" ->
+      s"""WITH b AS (SELECT source, doc_id,
+         |             CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |             $hashUnit AS u
+         |           FROM documents),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM b WHERE n_tokens > 0),
+         |placed AS (SELECT source, n_tokens, cum - n_tokens AS off,
+         |             (cum - n_tokens) // 512 AS fs, (cum - 1) // 512 AS ls FROM c),
+         |spanned AS (SELECT source, n_tokens, off, unnest(generate_series(fs, ls)) AS seq_id
+         |            FROM placed)
+         |SELECT source, seq_id, count(*) AS n_docs,
+         |  CAST(sum(least(off + n_tokens, (seq_id + 1) * 512) - greatest(off, seq_id * 512)) AS BIGINT) AS n_tokens
+         |FROM spanned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Apply step: corpus minus non-keeper cluster members (same recursive
     // closure as x7_dedup_clusters).
     "x7_dedup_apply" ->

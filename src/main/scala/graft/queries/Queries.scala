@@ -712,6 +712,14 @@ object Queries {
       seqLen = 512L, groupCols = Seq("source"))
       .orderBy("source", "start_offset")
 
+  /** X7: per-sequence fill report over the same packing. */
+  private def x7PackOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val placed = Packing.concatChunkPack(t(spark, dir, "documents"), "doc_id", col("text"),
+      seqLen = 512L, groupCols = Seq("source"))
+    Packing.sequenceOccupancy(placed, seqLen = 512L, groupCols = Seq("source"))
+      .orderBy("source", "seq_id")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -777,7 +785,8 @@ object Queries {
     "x7_dedup_apply" -> (x7DedupApply _),
     "x5_pii_scrub" -> (x5PiiScrub _),
     "x5_repetition" -> (x5Repetition _),
-    "x7_pack_sequences" -> (x7PackSequences _)
+    "x7_pack_sequences" -> (x7PackSequences _),
+    "x7_pack_occupancy" -> (x7PackOccupancy _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
