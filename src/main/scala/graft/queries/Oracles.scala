@@ -24,31 +24,46 @@ object Oracles {
 
   /** The minhash-LSH candidate/estimate CTE chain (mirrors
     * Dedup.minhashNearDupPairs: portable md5 base hash, 64 affine
-    * permutations, 16x4 banding, signature-agreement estimate). Shared by
-    * the pair query and the clusters query so the two oracles cannot
-    * drift.
+    * permutations, 16x4 banding, signature-agreement estimate), over any
+    * (doc_id, text) relation `src`. Shared by the pair query, the cluster
+    * queries and the composed pipeline so the oracles cannot drift. CTE
+    * names are mh-prefixed so the chain composes with other chains.
     */
-  private val minhashPairChain =
-    s"""w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
-       |sh AS (SELECT DISTINCT doc_id,
+  private def minhashChain(src: String) =
+    s"""mhw AS (SELECT doc_id, $wordsOf AS ws FROM $src),
+       |mhsh AS (SELECT DISTINCT doc_id,
        |         unnest(CASE WHEN len(ws) >= 3
        |           THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
        |           ELSE [array_to_string(ws, ' ')] END) AS s
-       |       FROM w),
-       |hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
-       |perms AS (SELECT i, ((i+1)*2654435761) % 2147483647 AS a, ((i+1)*40503 + 7) % 2147483647 AS b
+       |       FROM mhw),
+       |mhhx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS x FROM mhsh),
+       |mhperms AS (SELECT i, ((i+1)*2654435761) % 2147483647 AS a, ((i+1)*40503 + 7) % 2147483647 AS b
        |          FROM generate_series(0, 63) t(i)),
-       |sig AS (SELECT doc_id, i, min((a*x + b) % 2147483647) AS h
-       |        FROM hx CROSS JOIN perms GROUP BY 1, 2),
-       |sigarr AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY 1),
-       |bands AS (SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bandkey
-       |          FROM sigarr CROSS JOIN generate_series(0, 15) t(b)),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bands a JOIN bands b ON a.b = b.b AND a.bandkey = b.bandkey
+       |mhsig AS (SELECT doc_id, i, min((a*x + b) % 2147483647) AS h
+       |        FROM mhhx CROSS JOIN mhperms GROUP BY 1, 2),
+       |mhsigarr AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mhsig GROUP BY 1),
+       |mhbands AS (SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bandkey
+       |          FROM mhsigarr CROSS JOIN generate_series(0, 15) t(b)),
+       |mhcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM mhbands a JOIN mhbands b ON a.b = b.b AND a.bandkey = b.bandkey
        |         WHERE a.doc_id < b.doc_id),
        |est AS (SELECT c.id_a, c.id_b,
        |          len(list_filter(range(1, 65), i -> x.sig[i] = y.sig[i])) / 64.0 AS e
-       |        FROM cand c JOIN sigarr x ON x.doc_id = c.id_a JOIN sigarr y ON y.doc_id = c.id_b)""".stripMargin
+       |        FROM mhcand c JOIN mhsigarr x ON x.doc_id = c.id_a JOIN mhsigarr y ON y.doc_id = c.id_b)""".stripMargin
+
+  private val minhashPairChain = minhashChain("documents")
+
+  /** Minhash pairs closed into components: appends the symmetric edge
+    * list, recursive reachability and min-label CTEs to [[minhashChain]];
+    * ends with `comp(id, component)`.
+    */
+  private def componentsChain(src: String) =
+    s"""${minhashChain(src)},
+       |p AS (SELECT id_a, id_b FROM est WHERE e >= 0.5),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+       |reach(s, d) AS (SELECT s, d FROM edges
+       |                UNION SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+       |comp AS (SELECT s AS id, least(s, min(d)) AS component FROM reach GROUP BY s)""".stripMargin
 
   val all: Map[String, String] = Map(
 
@@ -535,12 +550,7 @@ object Oracles {
     // a recursive transitive-reachability CTE; component = min reachable
     // id (self included via the symmetric edge list).
     "x7_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairChain,
-         |p AS (SELECT id_a, id_b FROM est WHERE e >= 0.5),
-         |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-         |reach(s, d) AS (SELECT s, d FROM edges
-         |                UNION SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
-         |comp AS (SELECT s AS id, least(s, min(d)) AS component FROM reach GROUP BY s)
+      s"""WITH RECURSIVE ${componentsChain("documents")}
          |SELECT id, component, id = component AS is_keeper FROM comp ORDER BY id""".stripMargin,
 
     // Patterns interpolated from TextAnalysis.PiiPatterns so the two
@@ -607,14 +617,66 @@ object Oracles {
     // Apply step: corpus minus non-keeper cluster members (same recursive
     // closure as x7_dedup_clusters).
     "x7_dedup_apply" ->
-      s"""WITH RECURSIVE $minhashPairChain,
-         |p AS (SELECT id_a, id_b FROM est WHERE e >= 0.5),
-         |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-         |reach(s, d) AS (SELECT s, d FROM edges
-         |                UNION SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
-         |comp AS (SELECT s AS id, least(s, min(d)) AS component FROM reach GROUP BY s)
+      s"""WITH RECURSIVE ${componentsChain("documents")}
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // The composed curation pipeline, stage for stage the Spark plan:
+    // clean (x6 semantics) -> decontaminate (x7d, benchmark = doc_id%20=0
+    // of the RAW corpus) -> near-dup dedup over the survivors (minhash +
+    // recursive components) -> split (keep 'train') -> pack per source.
+    "x8_curation_pipeline" -> {
+      val c0 = graft.ops.Sampling.cumulativeCuts(graft.ops.Sampling.DefaultSplits).head
+      s"""WITH RECURSIVE
+         |cw AS (SELECT doc_id, $norm AS nt, $wordsOf AS ws FROM documents),
+         |cm AS (SELECT doc_id, nt, ws, len(ws) AS nw,
+         |        coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS sumlen,
+         |        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','the','a','and','of','to','in','is','el','la','de','y','que','los','un','le','et','les','des','une','de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS nstop,
+         |        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS s_de,
+         |        len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS s_en,
+         |        len(list_filter(ws, x -> list_contains(['el','la','de','y','que','los','un'], x))) AS s_es,
+         |        len(list_filter(ws, x -> list_contains(['le','la','et','les','des','un','une'], x))) AS s_fr,
+         |        len(list_filter(ws, x -> list_contains(['de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS s_zh
+         |      FROM cw),
+         |cs AS (SELECT doc_id, nt, nw,
+         |        CASE WHEN s_de + s_en + s_es + s_fr + s_zh = 0 THEN 'und'
+         |             WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+         |             WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+         |             WHEN s_es > greatest(s_de, s_en) THEN 'es'
+         |             WHEN s_en > s_de THEN 'en' ELSE 'de' END AS pred_lang,
+         |        round((least(nw/50.0, 1.0)
+         |             + (CASE WHEN sumlen*1.0/greatest(nw, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+         |             + least((nstop*1.0/greatest(nw, 1))*5, 1.0))/3.0, 6) AS quality_score
+         |      FROM cm),
+         |cleanids AS (SELECT min(doc_id) AS doc_id FROM cs
+         |             WHERE pred_lang <> 'und' AND quality_score >= 0.5 AND nw >= 5
+         |             GROUP BY md5(nt), pred_lang, quality_score),
+         |gsh AS (SELECT DISTINCT doc_id,
+         |          unnest(CASE WHEN len(ws) >= 3
+         |            THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+         |            ELSE [array_to_string(ws, ' ')] END) AS s
+         |        FROM cw),
+         |gg AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS g FROM gsh),
+         |bgr AS (SELECT DISTINCT g FROM gg WHERE doc_id % 20 = 0),
+         |train1 AS (SELECT d.* FROM documents d
+         |           JOIN cleanids USING (doc_id)
+         |           WHERE doc_id % 20 <> 0
+         |             AND doc_id NOT IN (SELECT t.doc_id FROM gg t JOIN bgr USING (g))),
+         |${componentsChain("train1")},
+         |pb AS (SELECT source, doc_id,
+         |         CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |         $hashUnit AS u
+         |       FROM train1
+         |       WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+         |         AND $hashUnit < $c0),
+         |pc AS (SELECT source, doc_id, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |       FROM pb WHERE n_tokens > 0)
+         |SELECT source, doc_id, n_tokens, cum - n_tokens AS start_offset,
+         |  (cum - n_tokens) // 512 AS first_seq, (cum - 1) // 512 AS last_seq
+         |FROM pc ORDER BY source, start_offset""".stripMargin
+    }
   )
 }

@@ -720,6 +720,30 @@ object Queries {
       .orderBy("source", "seq_id")
   }
 
+  /** X8: the COMPOSED curation pipeline — what a user of this library
+    * actually runs end to end over a raw corpus: quality/language clean +
+    * exact dedup (x6) → benchmark decontamination (x7d; benchmark =
+    * doc_id % 20 == 0 of the raw corpus) → near-dup dedup via minhash
+    * pairs + connected components (x7c) → deterministic train split
+    * (x7s) → sequence packing per source (x7p). Every stage is
+    * individually oracle-checked; this query checks their COMPOSITION —
+    * ordering, column flow, and filter interactions — under one oracle.
+    */
+  private def x8CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val cleanIds = TextAnalysis.cleanCorpus(docs, "doc_id", col("text"))
+      .select(col("keeper_id").as("doc_id"))
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    val train0 = docs.join(cleanIds, "doc_id").where(col("doc_id") % 20 =!= 0)
+    val train1 = Contamination.decontaminate(train0, bench, "doc_id", col("text"), n = 3)
+    val pairs = Dedup.minhashNearDupPairs(train1, "doc_id", col("text"),
+      shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5)
+    val train2 = Components.applyDedup(train1, "doc_id", pairs)
+    val train3 = Sampling.assignSplit(train2, "doc_id").where(col("split") === "train")
+    Packing.concatChunkPack(train3, "doc_id", col("text"), seqLen = 512L, Seq("source"))
+      .orderBy("source", "start_offset")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -786,7 +810,8 @@ object Queries {
     "x5_pii_scrub" -> (x5PiiScrub _),
     "x5_repetition" -> (x5Repetition _),
     "x7_pack_sequences" -> (x7PackSequences _),
-    "x7_pack_occupancy" -> (x7PackOccupancy _)
+    "x7_pack_occupancy" -> (x7PackOccupancy _),
+    "x8_curation_pipeline" -> (x8CurationPipeline _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
