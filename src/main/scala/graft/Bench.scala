@@ -25,8 +25,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // register each input table once as a cached temp view: the 33 queries
-    // share one scan per table instead of re-reading parquet 33 times
+    // register each input table once as a cached temp view: every query
+    // shares one scan per table instead of re-reading parquet per query
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { name =>

@@ -25,8 +25,8 @@ import org.apache.spark.sql.types._
 object Queries {
 
   /** Table accessor: prefers a session temp view named `name` when one is
-    * registered (Bench pre-registers CACHED views so the 33 queries scan
-    * each input once), else reads the parquet directly (Verify path — keeps
+    * registered (Bench pre-registers CACHED views so the queries
+    * scan each input once), else reads the parquet directly (Verify path — keeps
     * scan-level pushdown observable).
     */
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -735,7 +735,12 @@ object Queries {
       .select(col("keeper_id").as("doc_id"))
     val bench = docs.where(col("doc_id") % 20 === 0)
     val train0 = docs.join(cleanIds, "doc_id").where(col("doc_id") % 20 =!= 0)
-    val train1 = Contamination.decontaminate(train0, bench, "doc_id", col("text"), n = 3)
+    // the decontaminated corpus feeds BOTH the pair mining and the final
+    // anti-join/split/pack chain — pin it so the clean+decontaminate
+    // stages run once (released by the caller via OpCaches, as with every
+    // operator-internal persist)
+    val train1 = graft.ops.OpCaches.pin(
+      Contamination.decontaminate(train0, bench, "doc_id", col("text"), n = 3))
     val pairs = Dedup.minhashNearDupPairs(train1, "doc_id", col("text"),
       shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5)
     val train2 = Components.applyDedup(train1, "doc_id", pairs)
