@@ -330,6 +330,33 @@ object Similarity {
     }
   }
 
+  /** Int8 scalar quantization of the embedding column — the standard 4×
+    * memory cut for ANN corpora (and the input format of int8 SIMD
+    * distance kernels). Per-vector symmetric scale = max|x|/127; q =
+    * round(x/scale) lands in [-127, 127] by construction (no clamp
+    * needed). Pure per-row projection — zero shuffles at any scale.
+    * Outputs the scale (9 dp), the quantized vector, and the mean
+    * absolute reconstruction error (6 dp) as the quality signal.
+    *
+    * Deterministic and engine-portable: max is order-free, float→double
+    * widening is exact, and both Spark and DuckDB round halves away from
+    * zero — so the DuckDB twin reproduces q bit-for-bit.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val staged = df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__scale",
+        greatest(aggregate(col("__v"), lit(0.0), (a, x) => greatest(a, abs(x.cast("double")))),
+          lit(1e-30)) / 127.0)
+    staged
+      .withColumn("q", transform(col("__v"), x => round(x.cast("double") / col("__scale")).cast("int")))
+      .withColumn("recon_mae",
+        round(aggregate(zip_with(col("__v"), col("q"),
+            (x, q) => abs(x.cast("double") - q.cast("double") * col("__scale"))),
+          lit(0.0), _ + _) / size(col("__v")), 6))
+      .select(col(idCol), round(col("__scale"), 9).as("scale"), col("q"), col("recon_mae"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (X2 flavor): all pairs above a
     * cosine threshold, blocked by a cell column to avoid the full cross
     * join (exact within blocks).

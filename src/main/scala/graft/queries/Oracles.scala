@@ -289,6 +289,19 @@ object Oracles {
          |  CAST(CASE WHEN s >= 9223372036854775808::HUGEINT THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS simhash
          |FROM assembled ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Similarity.quantizeInt8: order-free max, exact float->double
+    // widening, both engines round halves away from zero.
+    "x3_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS sc
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, sc, embedding,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)/sc) AS INT)) AS qv FROM s)
+        |SELECT vec_id, round(sc, 9) AS scale, array_to_string(qv, ',') AS q_csv,
+        |  round(list_sum(list_transform(generate_series(1, len(embedding)),
+        |    i -> abs(CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE)*sc))) / len(embedding), 6) AS recon_mae
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "x2_embedding_near_dup" ->
       """WITH s AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(

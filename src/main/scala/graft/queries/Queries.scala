@@ -448,6 +448,15 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** X3: int8 quantization — the q vector rides as a CSV string so the
+    * driver's column-wise compare stays type-stable across engines.
+    */
+  private def x3QuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("scale"), concat_ws(",", col("q")).as("q_csv"),
+        col("recon_mae"))
+      .orderBy("vec_id")
+
   private def x2EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(t(spark, dir, "embeddings"), threshold = 0.4,
       blockCol = Some("label"))
@@ -816,7 +825,8 @@ object Queries {
     "x5_repetition" -> (x5Repetition _),
     "x7_pack_sequences" -> (x7PackSequences _),
     "x7_pack_occupancy" -> (x7PackOccupancy _),
-    "x8_curation_pipeline" -> (x8CurationPipeline _)
+    "x8_curation_pipeline" -> (x8CurationPipeline _),
+    "x3_quantize_int8" -> (x3QuantizeInt8 _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

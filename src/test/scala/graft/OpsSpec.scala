@@ -277,6 +277,24 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(("apple", 3L, 2L), ("banana", 3L, 2L), ("cherry", 2L, 2L)))
   }
 
+  test("X3 int8 quantization: bounded range, per-element error <= scale/2, zero-vector safe") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.001f, 0.002f, -0.003f, 0.0015f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.quantizeInt8(vecs)
+      .as[(Long, Double, Array[Int], Double)].collect().sortBy(_._1)
+    out.foreach { case (_, _, q, _) => q.foreach(v => assert(v >= -127 && v <= 127)) }
+    // max element quantizes to exactly +/-127
+    assert(out(0)._3(0) == 127)
+    assert(out(1)._3.max == math.round(0.002f.toDouble / (0.003f.toDouble / 127)).toInt)
+    // zero vector: q all zero, no NaN/Inf
+    assert(out(2)._3.forall(_ == 0) && out(2)._4 == 0.0)
+    // reconstruction error bounded by scale/2 per element -> mae <= scale/2
+    out.take(2).foreach { case (_, scale, _, mae) => assert(mae <= scale / 2 + 1e-9) }
+  }
+
   test("X5 PII scrub: emails, IPs and phone runs redacted, counts per doc") {
     val t = Seq(
       (1L, "reach me at jane.doe+spam@corp.example.org or 192.168.0.1 today"),
