@@ -113,6 +113,22 @@ object StreamingCdc {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermarked SESSION-window aggregation — the streaming analog of the
+    * batch sessionization query (`w_sessionize`): per user, events closer
+    * than `gap` merge into one session; a session closes when the
+    * watermark passes its end + gap. Uses Spark's native
+    * `session_window` (state merges windows as events arrive), so this is
+    * a built-in stateful aggregation, not custom state.
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, userCol: String,
+                    gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Exactly-once-ish dedup inside the watermark horizon — the streaming
     * form of the inclusive-checkpoint overlap suppression (W3).
     */

@@ -108,6 +108,29 @@ class StreamingCdcSpec extends SparkSpec {
     assert(rows.map(r => (r._2, r._3)).toSeq == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("session windows merge events within the gap, split across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "user", "value")
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "u1", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:10:00"), "u1", 2.0),  // within 30m gap: merges
+      (Timestamp.valueOf("2024-01-01 12:00:00"), "u1", 4.0),  // > gap: new session
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "u2", 8.0))
+    val q = StreamingCdc.sessionCounts(df, "ts", "user", gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .select("user", "session_start", "n_events", "sum_value")
+      .as[(String, Timestamp, Long, Double)].collect().sortBy(r => (r._1, r._2.getTime))
+    assert(rows.map(r => (r._1, r._3, r._4)).toSeq ==
+      Seq(("u1", 2L, 3.0), ("u1", 1L, 4.0), ("u2", 1L, 8.0)))
+    // the merged session spans first event .. last event + gap
+    assert(rows(0)._2 == Timestamp.valueOf("2024-01-01 10:00:00"))
+  }
+
   test("foreachBatch load path: changes render + send before the offset commits") {
     implicit val sqlCtx = spark.sqlContext
     PipelineSpec.sentBodies.clear(); PipelineSpec.failSends = false
