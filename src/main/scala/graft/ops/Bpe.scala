@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning — the tokenizer-training precursor over a corpus
+  * (the step after [[TextAnalysis.vocabTopK]]): starting from characters,
+  * repeatedly merge the most frequent adjacent symbol pair across the
+  * (frequency-weighted) vocabulary.
+  *
+  * Scale contract: fit-small, apply-distributed — the SAME shape as
+  * [[Similarity.kmeansCells]]. ONE distributed pass builds the
+  * word-frequency table; the top-`vocabCap` rows (one TakeOrdered job,
+  * deterministic ties by word) come to the driver, and the merge loop
+  * runs there over the bounded vocab — O(vocab · wordLen · numMerges)
+  * driver work, zero further cluster jobs. A 100 TB corpus changes the
+  * first pass only.
+  *
+  * Determinism & portability: the segmentation state is a padded
+  * symbol-string (" l o w "), and a merge applies as `passes` rounds of
+  * plain leftmost non-overlapping string replacement of " a b " with
+  * " ab " — the ONE primitive every engine implements identically (no
+  * regex). This is a documented deviation from canonical BPE: shared
+  * boundary spaces make a single replace pass skip every other
+  * occurrence in runs like "l l l l", so both engines run the same fixed
+  * number of passes instead of a data-dependent fixpoint — bit-identical
+  * merge tables by construction, asserted by the DuckDB oracle twin.
+  * Ties in pair frequency break lexicographically (smallest left, then
+  * right symbol).
+  */
+object Bpe {
+
+  /** Padded symbol string of a word: " l o w " (boundary spaces let a
+    * merge pattern " a b " match at word edges).
+    */
+  private[graft] def paddedSeg(word: String): String =
+    " " + word.map(c => s"$c ").mkString
+
+  /** One merge application: `passes` rounds of leftmost non-overlapping
+    * replace — the JVM twin of the oracle's nested `replace()` calls.
+    */
+  private[graft] def applyMerge(seg: String, a: String, b: String, passes: Int): String = {
+    var s = seg
+    var i = 0
+    while (i < passes) { s = s.replace(s" $a $b ", s" $a$b "); i += 1 }
+    s
+  }
+
+  private[graft] def symbols(seg: String): Array[String] =
+    seg.split(" ").filter(_.nonEmpty)
+
+  /** Learn `numMerges` merges over the corpus' top-`vocabCap` words (by
+    * total occurrences). Returns (merge_rank, lhs, rhs, pair_freq) —
+    * fewer rows iff the vocabulary runs out of adjacent pairs first.
+    */
+  def learnMerges(df: DataFrame, idCol: String, text: Column,
+                  numMerges: Int = 8, vocabCap: Int = 500,
+                  passes: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab: Array[(String, Long)] = df
+      .select(explode(TextAnalysis.words(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(vocabCap)
+      .as[(String, Long)].collect()
+    var segs: Array[(String, Long)] = vocab.map { case (w, f) => (paddedSeg(w), f) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= numMerges && !exhausted) {
+      val weights = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (seg, f) =>
+        val t = symbols(seg)
+        var i = 0
+        while (i < t.length - 1) {
+          val p = (t(i), t(i + 1))
+          weights.update(p, weights.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (weights.isEmpty) exhausted = true
+      else {
+        // argmax weight, ties -> smallest (lhs, rhs)
+        val ((a, b), w) = weights.minBy { case ((x, y), n) => (-n, x, y) }
+        merges += ((k, a, b, w))
+        segs = segs.map { case (seg, f) => (applyMerge(seg, a, b, passes), f) }
+        k += 1
+      }
+    }
+    merges.result().toDF("merge_rank", "lhs", "rhs", "pair_freq")
+      .select(col("merge_rank").cast("long"), col("lhs"), col("rhs"), col("pair_freq"))
+  }
+
+  /** Distributed application: token count per document AFTER the learned
+    * merges — the merge list is tiny and rides into the projection as
+    * nested `replace` calls (codegen'd string ops, no UDF, no shuffle).
+    */
+  def tokenCountWithMerges(df: DataFrame, idCol: String, text: Column,
+                           merges: Seq[(String, String)], passes: Int = 8): DataFrame = {
+    val staged = df.select(col(idCol), TextAnalysis.words(text).as("__w"))
+      .select(col(idCol), explode(col("__w")).as("__word"))
+    val seg0 = concat(lit(" "), regexp_replace(col("__word"), "(.)", "$1 "))
+    val segN = merges.foldLeft(seg0) { case (seg, (a, b)) =>
+      (1 to passes).foldLeft(seg)((s, _) => regexp_replace(s, // literal replace: escape regex
+        java.util.regex.Pattern.quote(s" $a $b "), s" $a$b "))
+    }
+    staged.select(col(idCol), size(filter(split(segN, " "), t => length(t) > 0)).as("__n"))
+      .groupBy(col(idCol)).agg(sum(col("__n")).as("n_bpe_tokens"))
+  }
+}

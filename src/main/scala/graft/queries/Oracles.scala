@@ -289,6 +289,42 @@ object Oracles {
          |  CAST(CASE WHEN s >= 9223372036854775808::HUGEINT THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS simhash
          |FROM assembled ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Bpe.learnMerges stage for stage: the iterative merge loop is
+    // UNROLLED into N CTE stages (SQL cannot aggregate in a recursive
+    // term); each stage applies the previous best pair as `passes` nested
+    // plain `replace()` calls on the padded symbol string - the identical
+    // leftmost non-overlapping primitive the JVM learner uses - then
+    // re-counts adjacent pairs and picks the (weight desc, lhs, rhs)
+    // argmax. An exhausted vocabulary empties every later stage in both
+    // engines identically.
+    "x6_bpe_merges" -> {
+      val (n, vocabCap, passes) = (8, 500, 8)
+      def applySql(seg: String): String =
+        (1 to passes).foldLeft(seg)((s, _) =>
+          s"replace($s, ' '||x.a||' '||x.b||' ', ' '||x.a||x.b||' ')")
+      val stages = (1 to n).map { k =>
+        val prev = if (k == 1) "seg0" else s"seg${k - 1}"
+        s"""toks$k AS (SELECT freq, list_filter(string_split(seg, ' '), t -> len(t) > 0) AS t FROM $prev),
+           |pairs$k AS (SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS w
+           |  FROM (SELECT freq, unnest(list_transform(generate_series(1, len(t)-1), i -> [t[i], t[i+1]])) AS pr
+           |        FROM toks$k WHERE len(t) > 1)
+           |  GROUP BY 1, 2),
+           |best$k AS (SELECT a, b, w FROM pairs$k ORDER BY w DESC, a, b LIMIT 1),
+           |seg$k AS (SELECT word, freq, ${applySql("seg")} AS seg FROM $prev, best$k x)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to n).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, w AS pair_freq FROM best$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH vocab AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($wordsOf) AS word FROM documents)
+         |  GROUP BY word ORDER BY freq DESC, word LIMIT $vocabCap),
+         |seg0 AS (SELECT word, freq, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg FROM vocab),
+         |$stages
+         |$union
+         |ORDER BY merge_rank""".stripMargin
+    },
+
     // Mirrors Similarity.quantizeInt8: order-free max, exact float->double
     // widening, both engines round halves away from zero.
     "x3_quantize_int8" ->

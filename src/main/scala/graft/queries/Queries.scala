@@ -553,6 +553,14 @@ object Queries {
     TextAnalysis.vocabTopK(t(spark, dir, "documents"), "doc_id", col("text"), k = 100)
       .orderBy(col("n_occurrences").desc, col("token"))
 
+  /** X6: BPE merge learning (tokenizer-training precursor) — fit-small
+    * over the capped vocab, every merge decision hash-checked against the
+    * unrolled DuckDB twin.
+    */
+  private def x6BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.learnMerges(t(spark, dir, "documents"), "doc_id", col("text"))
+      .orderBy("merge_rank")
+
   private def x4MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.asMedia(t(spark, dir, "documents"), "doc_id", col("text"), "text/plain")
       .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
@@ -826,7 +834,8 @@ object Queries {
     "x7_pack_sequences" -> (x7PackSequences _),
     "x7_pack_occupancy" -> (x7PackOccupancy _),
     "x8_curation_pipeline" -> (x8CurationPipeline _),
-    "x3_quantize_int8" -> (x3QuantizeInt8 _)
+    "x3_quantize_int8" -> (x3QuantizeInt8 _),
+    "x6_bpe_merges" -> (x6BpeMerges _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE merge-learning semantics on hand-checkable fixtures. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("classic fixture: most frequent pair merges first, merged symbols compose") {
+    // "ab" appears in every word with high frequency -> (a, b) must be
+    // merge 1; then (ab, c) composes the merged symbol
+    val docs = Seq(
+      (1L, "abc abc abc abd"),
+      (2L, "abc abd abe"),
+      (3L, "abc")
+    ).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "doc_id", $"text", numMerges = 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges.head == ((1L, "a", "b", 8L)))        // 8 words, each one (a,b)
+    assert(merges(1) == ((2L, "ab", "c", 5L)))         // abc x5
+    assert(merges(2)._2 == "ab")                       // then ab+d (x2)
+  }
+
+  test("tie in pair frequency breaks to the lexicographically smallest pair") {
+    val docs = Seq((1L, "xy zw")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "doc_id", $"text", numMerges = 1)
+      .as[(Long, String, String, Long)].collect()
+    assert(merges.head == ((1L, "x", "y", 1L))) // (x,y) < (z,w)
+  }
+
+  test("vocabulary exhaustion stops the merge list early in both routes") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text") // 1 pair, then single symbols
+    val merges = Bpe.learnMerges(docs, "doc_id", $"text", numMerges = 8)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges.map(m => (m._2, m._3)) == Seq(("a", "b")))
+  }
+
+  test("same-symbol runs merge leftmost-compatible (replace-pass semantics)") {
+    // " l l l " must become [ll, l], never [l, ll]
+    assert(Bpe.applyMerge(" l l l ", "l", "l", passes = 8) == " ll l ")
+    // alternating-boundary runs need >1 pass; 8 passes reach fixpoint here
+    assert(Bpe.applyMerge(" a b a b ", "a", "b", passes = 8) == " ab ab ")
+  }
+
+  test("distributed token count with merges matches a driver-side replay") {
+    val docs = Seq((1L, "abc abd"), (2L, "xyz abc")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val out = Bpe.tokenCountWithMerges(docs, "doc_id", $"text", merges)
+      .as[(Long, Long)].collect().toMap
+    // doc1: "abc"->[abc] (1), "abd"->[ab, d] (2) => 3
+    // doc2: "xyz"->[x,y,z] (3), "abc"->[abc] (1) => 4
+    assert(out == Map(1L -> 3L, 2L -> 4L))
+  }
+}
