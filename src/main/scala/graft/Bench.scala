@@ -52,11 +52,12 @@ object Bench {
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        // drop operator-internal persisted helpers (outside the timed
-        // region): the next rep must rebuild them, and the next query must
+        val elapsed = (System.nanoTime() - t0) / 1e9 // capture BEFORE cleanup
+        // drop operator-internal persisted helpers outside the timed
+        // region: the next rep must rebuild them, and the next query must
         // not compete with their blocks for executor memory
         graft.ops.OpCaches.release()
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) elapsed else -1.0
       }
       // a query that failed ANY rep is reported failed (-1): partial timings
       // of a flaky query are not comparable across rounds

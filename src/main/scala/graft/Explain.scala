@@ -13,6 +13,9 @@ object Explain {
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // constructing a query may pin operator-internal helper tables;
+      // release per query like every other OpCaches consumer
+      graft.ops.OpCaches.release()
     }
     spark.stop()
   }

@@ -49,6 +49,19 @@ object Bpe {
   private[graft] def symbols(seg: String): Array[String] =
     seg.split(" ").filter(_.nonEmpty)
 
+  /** Unsigned UTF-8 byte comparison — the binary collation SQL engines
+    * apply in ORDER BY, equal to code-point order.
+    */
+  private[graft] val utf8Ordering: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var r = 0
+    while (r == 0 && i < n) { r = (x(i) & 0xFF) - (y(i) & 0xFF); i += 1 }
+    if (r != 0) r else x.length - y.length
+  }
+
   /** Learn `numMerges` merges over the corpus' top-`vocabCap` words (by
     * total occurrences). Returns (merge_rank, lhs, rhs, pair_freq) —
     * fewer rows iff the vocabulary runs out of adjacent pairs first.
@@ -81,8 +94,13 @@ object Bpe {
       }
       if (weights.isEmpty) exhausted = true
       else {
-        // argmax weight, ties -> smallest (lhs, rhs)
-        val ((a, b), w) = weights.minBy { case ((x, y), n) => (-n, x, y) }
+        // argmax weight, ties -> smallest (lhs, rhs) in UTF-8 BYTE order:
+        // the oracle's ORDER BY uses binary collation over UTF-8, and Java
+        // String.compareTo (UTF-16 units) disagrees with it for
+        // supplementary-plane symbols (emoji sort before U+E000.. in
+        // UTF-16, after in UTF-8)
+        val ((a, b), w) = weights.minBy { case ((x, y), n) => (-n, x, y) }(
+          Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering))
         merges += ((k, a, b, w))
         segs = segs.map { case (seg, f) => (applyMerge(seg, a, b, passes), f) }
         k += 1

@@ -95,6 +95,12 @@ object Multimodal {
       def channel(p: String) = channels.getOrElseUpdate(p,
         java.nio.channels.FileChannel.open(java.nio.file.Paths.get(p),
           java.nio.file.StandardOpenOption.READ))
+      // close on TASK completion, not on iterator exhaustion: a limit/take
+      // or task failure abandons the iterator mid-stream and would leak
+      // the handles until GC
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        channels.values.foreach(ch => scala.util.Try(ch.close())); channels.clear()
+      })
       new Iterator[MediaRow] {
         override def hasNext: Boolean = {
           val more = it.hasNext
@@ -103,6 +109,11 @@ object Multimodal {
         }
         override def next(): MediaRow = {
           val row = it.next()
+          // a Spark binary cell is a JVM byte[]: hard 2 GiB ceiling. Fail
+          // loudly rather than let .toInt wrap to a silently-short read
+          require(row.nBytes >= 0 && row.nBytes <= Int.MaxValue,
+            s"payload of ${row.nBytes} bytes at ${row.path}:${row.offset} exceeds the " +
+              "2 GiB binary-cell limit - split oversized media into ranged pointer rows")
           val buf = java.nio.ByteBuffer.allocate(row.nBytes.toInt)
           val ch = channel(row.path)
           var pos = row.offset

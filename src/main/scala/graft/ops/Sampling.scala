@@ -73,8 +73,11 @@ object Sampling {
     df.where(hashUnit(col(idCol)) < fraction)
 
   /** Exact stratified sample: within each stratum, rank rows by
-    * (hashUnit(id), id) and keep the first ceil(fraction * stratum_size) —
-    * per-stratum proportions are exact, selection is deterministic, and
+    * (hashUnit(id), id) and keep the first ceil(fraction * stratum_size)
+    * (ceil of the IEEE double product — fractions whose product lands just
+    * above an integer, e.g. 0.07 * 100 = 7.000000000000001, round up to
+    * the next row; the oracle computes the identical double, so parity
+    * holds) — per-stratum proportions are exact, selection is deterministic, and
     * the per-stratum ordering means a larger fraction's sample is a
     * superset of a smaller one's (nested samples, the property curation
     * sweeps rely on). One window shuffle on the stratum key.

@@ -575,8 +575,24 @@ object Queries {
     * (tmp + rename) and cached per sf dir.
     */
   private def blobStoreFor(spark: SparkSession, dir: String): String = {
+    // cache key fingerprints the SOURCE parquet (size + mtime), not just
+    // the dir name: a regenerated fixture must rebuild the blob, and a
+    // dir-name hash collision must not serve another dataset's bytes
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val fp = {
+      val (sz, mt) =
+        if (java.nio.file.Files.isDirectory(src)) {
+          val parts = java.nio.file.Files.list(src).toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.toString.endsWith(".parquet")).sortBy(_.toString)
+          (parts.map(java.nio.file.Files.size).sum,
+            parts.map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).foldLeft(0L)(math.max))
+        } else if (java.nio.file.Files.exists(src))
+          (java.nio.file.Files.size(src), java.nio.file.Files.getLastModifiedTime(src).toMillis)
+        else (0L, 0L)
+      java.lang.Long.toHexString(sz * 31 + mt)
+    }
     val blob = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_blob_${dir.hashCode.toHexString}.bin")
+      sys.props("java.io.tmpdir"), s"graft_blob_${dir.hashCode.toHexString}_$fp.bin")
     if (!java.nio.file.Files.exists(blob)) {
       val texts = t(spark, dir, "documents").select("doc_id", "text")
         .orderBy("doc_id").collect()

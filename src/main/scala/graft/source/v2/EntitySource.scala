@@ -176,6 +176,7 @@ class EntityMicroBatchStream(config: EntitySourceConfig)
   @volatile private var pending: (Long, Seq[String]) = (config.startCheckpoint, Seq.empty)
   // AvailableNow: the backlog end fixed at prepare time; batches never pass it
   @volatile private var availableNowEnd: Option[Long] = None
+  @volatile private var availableNowActive: Boolean = false
 
   override def initialOffset(): Offset = CheckpointOffset(config.startCheckpoint)
   override def deserializeOffset(json: String): Offset = CheckpointOffset(json.toLong)
@@ -194,9 +195,18 @@ class EntityMicroBatchStream(config: EntitySourceConfig)
     * after the probe are excluded by the same bound the replay path uses
     * and picked up by the next run, exactly like the reference's cron
     * (crontab:1) picks up from the committed checkpoint.
+    *
+    * The probe is DEFERRED to the first `latestOffset` call: prepare runs
+    * before Spark hands the source its restored offset, so probing here
+    * would have to start from `config.startCheckpoint` and re-walk the
+    * full API history on every cron run of a long-lived pipeline; the
+    * first `latestOffset` receives the committed checkpoint and probes
+    * only the actual backlog.
     */
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(PageDrain.probeEnd(config, config.startCheckpoint))
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowActive = true
+    availableNowEnd = None
+  }
 
   /** Drain at most `maxPagesPerBatch` pages past `start`; a deep backlog
     * surfaces as successive micro-batches, each advancing the persisted
@@ -204,6 +214,8 @@ class EntityMicroBatchStream(config: EntitySourceConfig)
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[CheckpointOffset].ms
+    if (availableNowActive && availableNowEnd.isEmpty)
+      availableNowEnd = Some(PageDrain.probeEnd(config, from))
     val (drained, drainedNext) = PageDrain.drain(config, from, config.maxPagesPerBatch)
     // under AvailableNow, cap at the prepared end: items newer than the
     // target belong to the next run, and the offset must converge to the

@@ -30,9 +30,21 @@ object StreamingDedup {
   /** An admitted (first-seen) document: the keeper id and its content key. */
   final case class Kept(docId: Long, keyMd5: String)
 
-  /** JVM-side twin of `Dedup.normalizeText` (Column form) — keep in sync. */
-  private[streaming] def normalize(text: String): String =
-    text.trim.toLowerCase.replaceAll("\\s+", " ")
+  /** JVM-side twin of `Dedup.normalizeText` (Column form) — keep in sync.
+    * Mirrors `regexp_replace(btrim(lower(c)), "\s+", " ")` operation for
+    * operation: `btrim` strips SPACES only (not all whitespace — Java's
+    * `String.trim` strips every char <= U+0020 and would produce a
+    * different key for "foo\n" than the batch operator does), then the
+    * whitespace collapse runs on the space-trimmed string.
+    */
+  private[graft] def normalize(text: String): String = {
+    val lowered = text.toLowerCase
+    var from = 0
+    var to = lowered.length
+    while (from < to && lowered.charAt(from) == ' ') from += 1
+    while (to > from && lowered.charAt(to - 1) == ' ') to -= 1
+    lowered.substring(from, to).replaceAll("\\s+", " ")
+  }
 
   final class FirstSeenProcessor(ttlMs: Long) extends StatefulProcessor[String, Doc, Kept] {
     @transient private var keeper: ValueState[String] = _

@@ -53,7 +53,9 @@ object StreamingQuota {
       // batch-local admissions and is replay-stable
       rows.toSeq.map(d => (tokenCount(d.text), d)).sortBy { case (n, d) => (n, d.docId) }
         .foreach { case (n, d) =>
-          if (n > 0 && total + n <= budget) {
+          // zero-token docs always fit (cum unchanged) — same membership
+          // rule as the batch greedy form
+          if (total + n <= budget) {
             total += n
             out += Admitted(key, d.docId, n, total)
           }

@@ -108,6 +108,15 @@ class StreamingCdcSpec extends SparkSpec {
     assert(rows.map(r => (r._2, r._3)).toSeq == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("JVM normalize is the twin of Dedup.normalizeText on edge whitespace") {
+    val tricky = Seq("foo\n", "  foo  ", "\tfoo\t", "a  b\n\nc", " Mixed CASE \r\n", "", "   ", "\n")
+    val viaCol = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(graft.ops.Dedup.normalizeText(org.apache.spark.sql.functions.col("t"))).as[String].collect().toSeq
+    val viaJvm = tricky.map(graft.streaming.StreamingDedup.normalize)
+    assert(viaJvm == viaCol)
+  }
+
   test("session windows merge events within the gap, split across it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
