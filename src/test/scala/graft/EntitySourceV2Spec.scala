@@ -58,6 +58,18 @@ object MutableBacklogFetcherFactory {
   @volatile var pages: Map[Long, String] = Map.empty
 }
 
+/** Records every requested checkpoint; serves the deep-backlog pages. */
+class CountingFetcherFactory extends FetcherFactory {
+  override def fetcher(options: Map[String, String]): EntityApiSource.Fetcher = url => {
+    val ckpt = url.split("updatedFromMs=")(1).toLong
+    CountingFetcherFactory.requested.add(ckpt)
+    DeepBacklogFetcherFactory.pages.getOrElse(ckpt, """{"items": [], "partialResults": false}""")
+  }
+}
+object CountingFetcherFactory {
+  val requested = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+}
+
 /** Two-page stub whose first page carries `updatedOnMs` in exponent
   * notation (`1.5e9`): the checkpoint must advance numerically (to
   * 1500000000), not freeze on an unparseable literal.
@@ -145,6 +157,26 @@ class EntitySourceV2Spec extends SparkSpec {
     assert(start.asInstanceOf[CheckpointOffset].ms == 190L)
     val ids = seen.result()
     assert(ids.size == 10 && !ids.contains("late"))
+  }
+
+  test("AvailableNow probe starts from the restored offset, not startCheckpoint") {
+    val config = EntitySourceConfig(
+      "stub://e?type={{type}}&updatedFromMs={{updatedFromMs}}",
+      EntityType("widget", "uid"), 1L,
+      classOf[CountingFetcherFactory].getName, Map.empty, maxPagesPerBatch = 2)
+    CountingFetcherFactory.requested.clear()
+    val stream = new EntityMicroBatchStream(config)
+    stream.prepareForTriggerAvailableNow()
+    // prepare must NOT walk the API (it has no offset yet); the probe runs
+    // on the first latestOffset call with the restored checkpoint
+    assert(CountingFetcherFactory.requested.isEmpty)
+    stream.latestOffset(CheckpointOffset(150L), ReadLimit.allAvailable())
+    val asked = scala.jdk.CollectionConverters.CollectionHasAsScala(
+      CountingFetcherFactory.requested).asScala.toSeq
+    assert(asked.nonEmpty)
+    // a long-lived pipeline restored at 150 must never re-fetch history
+    // from startCheckpoint=1
+    assert(asked.min >= 150L, s"probe re-walked history: fetched from ${asked.min}")
   }
 
   test("exponent-notation updatedOnMs advances the checkpoint and lands as a long") {
