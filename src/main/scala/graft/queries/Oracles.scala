@@ -711,7 +711,8 @@ object Oracles {
          |train1 AS (SELECT d.* FROM documents d
          |           JOIN cleanids USING (doc_id)
          |           WHERE doc_id % 20 <> 0
-         |             AND doc_id NOT IN (SELECT t.doc_id FROM gg t JOIN bgr USING (g))),
+         |             AND doc_id NOT IN (SELECT t.doc_id FROM gg t JOIN bgr USING (g)
+         |                                GROUP BY t.doc_id HAVING count(*) >= 10)),
          |${componentsChain("train1")},
          |pb AS (SELECT source, doc_id,
          |         CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,

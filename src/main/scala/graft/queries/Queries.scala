@@ -771,9 +771,12 @@ object Queries {
     // the decontaminated corpus feeds BOTH the pair mining and the final
     // anti-join/split/pack chain — pin it so the clean+decontaminate
     // stages run once (released by the caller via OpCaches, as with every
-    // operator-internal persist)
+    // operator-internal persist). minOverlap = 10: in this fixture's
+    // dense shared vocabulary a single common trigram is noise (at sf0.1
+    // it flags 4748/4750 docs); a copied passage shows up as a RUN of
+    // shared grams, which is the leakage the composed pipeline screens
     val train1 = graft.ops.OpCaches.pin(
-      Contamination.decontaminate(train0, bench, "doc_id", col("text"), n = 3))
+      Contamination.decontaminate(train0, bench, "doc_id", col("text"), n = 3, minOverlap = 10))
     val pairs = Dedup.minhashNearDupPairs(train1, "doc_id", col("text"),
       shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5)
     val train2 = Components.applyDedup(train1, "doc_id", pairs)
