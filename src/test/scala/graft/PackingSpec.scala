@@ -59,4 +59,38 @@ class PackingSpec extends SparkSpec {
       Packing.concatChunkPack(docs, "doc_id", $"text", 16L, Nil)
     }
   }
+
+  test("property: placement equals a driver-side replay on random corpora") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 30 + rnd.nextInt(60)
+      val seqLen = 8L + rnd.nextInt(24)
+      val data = (0 until n).map { i =>
+        (i.toLong + trial * 1000, s"s${rnd.nextInt(3)}", ("w " * rnd.nextInt(12)).trim)
+      }
+      val df = data.toDF("doc_id", "source", "text")
+      val got = Packing.concatChunkPack(df, "doc_id", $"text", seqLen, Seq("source"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      // driver replay: same priority order, cumulative offsets, div spans
+      val expect = data
+        .map { case (id, src, text) =>
+          val nt = text.split(" ").count(_.nonEmpty).toLong // "w"-only corpus: words = tokens
+          (src, id, nt)
+        }
+        .filter(_._3 > 0)
+        .groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+          var cum = 0L
+          ds.sortBy { case (_, id, _) =>
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(id.toString.getBytes("UTF-8")).take(4)
+              .map("%02x".format(_)).mkString
+            (java.lang.Long.parseLong(hex, 16) / 4294967296.0, id)
+          }.map { case (_, id, nt) =>
+            val off = cum; cum += nt
+            (src, id, nt, off, off / seqLen, (off + nt - 1) / seqLen)
+          }
+        }.toSet
+      assert(got == expect, s"trial $trial (n=$n, seqLen=$seqLen)")
+    }
+  }
 }

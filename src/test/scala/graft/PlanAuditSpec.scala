@@ -59,4 +59,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "dedup scan reads more than (doc_id, text)")
   }
+
+  test("int8 quantization is a pure projection: no joins, no aggregates, one output-sort shuffle") {
+    val plan = planOf("x3_quantize_int8")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      "quantization should not join or aggregate")
+    assert("Exchange".r.findAllIn(plan).size == 1, "quantization should shuffle once (output sort)")
+  }
+
+  test("PII scrub is a pure projection over a pruned scan") {
+    val plan = planOf("x5_pii_scrub")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"))
+  }
+
+  test("sequence packing shuffles once for the shard window, once for output order") {
+    val plan = planOf("x7_pack_sequences")
+    assert("Exchange".r.findAllIn(plan).size == 2,
+      "packing should shuffle exactly twice (shard window + output sort)")
+    assert(plan.contains("Window"), "expected the shard cumsum window")
+  }
 }
