@@ -50,17 +50,13 @@ object Bpe {
     seg.split(" ").filter(_.nonEmpty)
 
   /** Unsigned UTF-8 byte comparison — the binary collation SQL engines
-    * apply in ORDER BY, equal to code-point order.
+    * apply in ORDER BY, equal to code-point order. Delegates to Spark's
+    * own UTF8String comparator (the implementation behind the vocab
+    * `orderBy` in [[learnMerges]]) so both code paths share one collation.
     */
-  private[graft] val utf8Ordering: Ordering[String] = (a: String, b: String) => {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    var r = 0
-    while (r == 0 && i < n) { r = (x(i) & 0xFF) - (y(i) & 0xFF); i += 1 }
-    if (r != 0) r else x.length - y.length
-  }
+  private[graft] val utf8Ordering: Ordering[String] = (a: String, b: String) =>
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** Learn `numMerges` merges over the corpus' top-`vocabCap` words (by
     * total occurrences). Returns (merge_rank, lhs, rhs, pair_freq) —

@@ -109,9 +109,12 @@ object Multimodal {
         }
         override def next(): MediaRow = {
           val row = it.next()
-          // a Spark binary cell is a JVM byte[]: hard 2 GiB ceiling. Fail
-          // loudly rather than let .toInt wrap to a silently-short read
-          require(row.nBytes >= 0 && row.nBytes <= Int.MaxValue,
+          // a Spark binary cell is a JVM byte[]: hard ~2 GiB ceiling
+          // (HotSpot caps arrays a few elements below Int.MaxValue — an
+          // allocate at the exact boundary dies as OutOfMemoryError, which
+          // Spark's handler treats as executor-fatal). Fail loudly rather
+          // than let .toInt wrap to a silently-short read.
+          require(row.nBytes >= 0 && row.nBytes <= Int.MaxValue - 8,
             s"payload of ${row.nBytes} bytes at ${row.path}:${row.offset} exceeds the " +
               "2 GiB binary-cell limit - split oversized media into ranged pointer rows")
           val buf = java.nio.ByteBuffer.allocate(row.nBytes.toInt)

@@ -582,8 +582,11 @@ object Queries {
     val fp = {
       val (sz, mt) =
         if (java.nio.file.Files.isDirectory(src)) {
-          val parts = java.nio.file.Files.list(src).toArray.map(_.asInstanceOf[java.nio.file.Path])
-            .filter(_.toString.endsWith(".parquet")).sortBy(_.toString)
+          val listing = java.nio.file.Files.list(src)
+          val parts =
+            try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+              .filter(_.toString.endsWith(".parquet")).sortBy(_.toString)
+            finally listing.close() // directory stream holds an fd
           (parts.map(java.nio.file.Files.size).sum,
             parts.map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).foldLeft(0L)(math.max))
         } else if (java.nio.file.Files.exists(src))
@@ -591,9 +594,18 @@ object Queries {
         else (0L, 0L)
       java.lang.Long.toHexString(sz * 31 + mt)
     }
+    val dirKey = dir.hashCode.toHexString
     val blob = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_blob_${dir.hashCode.toHexString}_$fp.bin")
+      sys.props("java.io.tmpdir"), s"graft_blob_${dirKey}_$fp.bin")
     if (!java.nio.file.Files.exists(blob)) {
+      // a regenerated fixture gets a fresh fingerprint: drop the
+      // superseded blob(s) for this dataset dir instead of orphaning them
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val stale = java.nio.file.Files.list(tmp)
+      try stale.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.getFileName.toString.startsWith(s"graft_blob_${dirKey}_") && p != blob)
+        .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+      finally stale.close()
       val texts = t(spark, dir, "documents").select("doc_id", "text")
         .orderBy("doc_id").collect()
       val out = java.nio.file.Files.createTempFile("graft_blob", ".tmp")

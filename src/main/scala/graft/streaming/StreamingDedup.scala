@@ -38,7 +38,10 @@ object StreamingDedup {
     * whitespace collapse runs on the space-trimmed string.
     */
   private[graft] def normalize(text: String): String = {
-    val lowered = text.toLowerCase
+    // Locale.ROOT: Spark's lower() is locale-independent (ASCII fast path
+    // in UTF8String); a Turkish-locale JVM default would map 'I' to
+    // dotless U+0131 and fork the key
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
     var from = 0
     var to = lowered.length
     while (from < to && lowered.charAt(from) == ' ') from += 1
