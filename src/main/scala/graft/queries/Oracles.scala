@@ -289,6 +289,15 @@ object Oracles {
          |  CAST(CASE WHEN s >= 9223372036854775808::HUGEINT THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS simhash
          |FROM assembled ORDER BY doc_id""".stripMargin,
 
+    // The PLAIN join: Skew.saltedJoin is result-identical by contract, so
+    // the oracle needs no salt at all - that identity IS what the gate checks.
+    "q8_salted_revenue" ->
+      """SELECT s_nationkey,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Mirrors Bpe.learnMerges stage for stage: the iterative merge loop is
     // UNROLLED into N CTE stages (SQL cannot aggregate in a recursive
     // term); each stage applies the previous best pair as `passes` nested

@@ -765,6 +765,26 @@ object Queries {
       .orderBy("source", "seq_id")
   }
 
+  /** Skew-mitigation path under the driver gate: revenue per supplier
+    * nation through [[graft.ops.Skew.saltedJoin]] — the salted plan is
+    * result-identical to the plain join BY CONTRACT, so the oracle is the
+    * plain SQL join and any salting defect (dropped salt bucket, replica
+    * duplication, wrong key composition) breaks the hash match. The
+    * decimal-exact sum is order-independent, so the salt's partition
+    * reshuffle cannot perturb it.
+    */
+  private def q8SaltedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"), col("l_discount"),
+        col("l_orderkey"), col("l_linenumber"))
+    val supp = t(spark, dir, "supplier").select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.ops.Skew.saltedJoin(li, supp, "suppkey", buckets = 8)
+      .groupBy("s_nationkey")
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("s_nationkey")
+  }
+
   /** X8: the COMPOSED curation pipeline — what a user of this library
     * actually runs end to end over a raw corpus: quality/language clean +
     * exact dedup (x6) → benchmark decontamination (x7d; benchmark =
@@ -866,7 +886,8 @@ object Queries {
     "x7_pack_occupancy" -> (x7PackOccupancy _),
     "x8_curation_pipeline" -> (x8CurationPipeline _),
     "x3_quantize_int8" -> (x3QuantizeInt8 _),
-    "x6_bpe_merges" -> (x6BpeMerges _)
+    "x6_bpe_merges" -> (x6BpeMerges _),
+    "q8_salted_revenue" -> (q8SaltedRevenue _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
