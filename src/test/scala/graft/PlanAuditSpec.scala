@@ -20,9 +20,18 @@ class PlanAuditSpec extends SparkSpec {
   test("no registered query plans a cartesian product") {
     // the similarity queries use crossJoin deliberately but ALWAYS with a
     // broadcast side - they must plan as BroadcastNestedLoopJoin, never
-    // CartesianProduct (which would shuffle-pair both sides)
-    Seq("x3_knn_cosine", "x3_ivf_topk", "x2_rhp_near_dup", "x2_embedding_near_dup",
-      "q5_region_revenue", "x7_decontaminate", "x7_dedup_apply").foreach { q =>
+    // CartesianProduct (which would shuffle-pair both sides). Audited over
+    // the ENTIRE registry except queries whose construction itself runs
+    // driver-side fit jobs (k-means, union-find edge counts, blob builds,
+    // BPE vocab) - those are spot-checked above/below where cheap.
+    val constructionRunsJobs = Set(
+      "x3_ivf_topk", "x7_dedup_clusters", "x7_dedup_apply", "x8_curation_pipeline",
+      "x4_lazy_pointer", "x6_bpe_merges")
+    (SparkEntry.queries.keySet -- constructionRunsJobs).toSeq.sorted.foreach { q =>
+      assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+    // the heavy ones still get the check, constructed once each
+    Seq("x3_ivf_topk", "x7_dedup_apply").foreach { q =>
       assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian product")
     }
   }
