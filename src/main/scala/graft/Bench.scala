@@ -64,12 +64,23 @@ object Bench {
       val best = if (runs.exists(_ < 0)) -1.0 else runs.min
       (name, best, runs)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val raw = results.map { case (k, _, rs) => "\"" + k + "\":" + rs.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val raw = results.map { case (k, _, rs) => "\"" + k + "\":" + rs.map(f3).mkString("[", ",", "]") }.mkString("{", ",", "}")
     // failures are recorded as -1.0 per query but MUST NOT pollute the total
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"runs":$raw,"sf":"$sfDir"}""")
+    // Detailed line (per-rep runs) first, for humans diffing rounds; the
+    // COMPACT summary line prints LAST because the driver captures only a
+    // 2000-char stdout tail — round 4's single combined line overflowed it
+    // and the artifact came back "parsed": null.
+    println(s"""{"metric":"detail","reps":$reps,"runs":$raw,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    // If the registry ever grows the summary past the tail window, shed the
+    // per-query map (it survives in the detail line) rather than the total.
+    if (summary.length <= 1900) println(summary)
+    else println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -606,11 +606,16 @@ object Queries {
         .filter(p => p.getFileName.toString.startsWith(s"graft_blob_${dirKey}_") && p != blob)
         .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
       finally stale.close()
+      // toLocalIterator, not collect(): the driver holds one partition of
+      // the sorted corpus at a time (constant memory at any SF), streaming
+      // bytes straight to disk. Fixture plumbing standing in for an external
+      // object store, but it sits on a registered query's path so it must
+      // not be the thing that OOMs first.
       val texts = t(spark, dir, "documents").select("doc_id", "text")
-        .orderBy("doc_id").collect()
+        .orderBy("doc_id").toLocalIterator()
       val out = java.nio.file.Files.createTempFile("graft_blob", ".tmp")
       val ch = java.nio.file.Files.newOutputStream(out)
-      try texts.foreach(r => ch.write(r.getString(1).getBytes("UTF-8")))
+      try texts.forEachRemaining(r => ch.write(r.getString(1).getBytes("UTF-8")))
       finally ch.close()
       try java.nio.file.Files.move(out, blob, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException => () } // concurrent builder won
