@@ -131,16 +131,95 @@ object Multimodal {
     }.toDF("id", "media")
   }
 
-  /** Partition-local "decode + featurize" kernel.
-    *
-    * STUB DECODER — stands in for an image/audio codec that is not present
-    * in this container. It is deterministic: feature j = mean of bytes
-    * congruent to j (mod dim), scaled to [0,1). The Spark plumbing —
-    * typed Dataset, mapPartitions batching, fixed-width feature output — is
-    * exactly what a real decoder kernel would use (the JVM analog of a
-    * Python `mapInPandas` decode stage).
+  /** Binary PPM (P6) payload built with pure Column expressions: the
+    * standard `P6\n<w> <h>\n255\n` ASCII header followed by w·h RGB
+    * triples, pixel bytes drawn cyclically from the UTF-8 bytes of `text`
+    * (empty text falls back to a single 'x' byte so the cycle is never
+    * empty). PPM is the simplest real raster container (netpbm, public
+    * spec) — small enough to decode without codec libraries, real enough
+    * that [[decodePpm]] must genuinely parse a header to get the
+    * dimensions right. Fully engine-portable: the DuckDB oracle twin
+    * rebuilds the identical bytes with repeat/encode/substring.
     */
-  def decodeFeaturesStub(df: DataFrame, idCol: String, dim: Int = 8): DataFrame = {
+  def encodePpm(text: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column,
+                h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val base = coalesce(nullif(text, lit("")), lit("x"))
+    val len = octet_length(base).cast("long")
+    val npix = w.cast("long") * h.cast("long") * lit(3L)
+    // ceil(npix/len) repeats of the byte cycle, then truncate to npix bytes
+    val k = floor((npix + len - lit(1L)) / len).cast("int")
+    val pixels = call_function("repeat", base, k).cast(BinaryType)
+      .substr(lit(1), npix.cast("int"))
+    val header = concat_ws("", lit("P6\n"), w.cast("string"), lit(" "),
+      h.cast("string"), lit("\n255\n")).cast(BinaryType)
+    concat(header, pixels)
+  }
+
+  /** Partition-local REAL decode kernel for PPM (P6) payloads: parses the
+    * ASCII header (magic, whitespace/`#` comments, width, height, maxval,
+    * single whitespace separator) from the raw bytes, then folds the
+    * w·h·3 pixel bytes into per-channel means and a checksum. Everything
+    * downstream — dimensions, means, checksum — derives from the PARSED
+    * header, so any header/offset bug breaks the oracle hash. Runs after
+    * all shuffles, exactly like [[materializePointers]]'s contract: bytes
+    * never ride an exchange.
+    */
+  def decodePpm(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] =
+      df.select(col(idCol).cast("long").as("id"), col("media")).as[MediaRow]
+    typed.mapPartitions(_.map { row =>
+      val b = row.media
+      require(b != null && b.length > 2 && b(0) == 'P' && b(1) == '6',
+        s"row ${row.id}: not a P6 PPM payload")
+      var p = 2
+      def skipSpace(): Unit = {
+        var more = true
+        while (more && p < b.length) {
+          val c = b(p)
+          if (c == ' ' || c == '\n' || c == '\t' || c == '\r') p += 1
+          else if (c == '#') { while (p < b.length && b(p) != '\n') p += 1 } // comment to EOL
+          else more = false
+        }
+      }
+      def parseInt(): Int = {
+        skipSpace()
+        require(p < b.length && b(p) >= '0' && b(p) <= '9', s"row ${row.id}: bad PPM header int at byte $p")
+        var v = 0
+        while (p < b.length && b(p) >= '0' && b(p) <= '9') { v = v * 10 + (b(p) - '0'); p += 1 }
+        v
+      }
+      val width = parseInt()
+      val height = parseInt()
+      val maxval = parseInt()
+      require(maxval > 0 && maxval < 65536, s"row ${row.id}: PPM maxval $maxval out of range")
+      p += 1 // exactly ONE whitespace byte separates maxval from raster data
+      val npix = width.toLong * height * 3
+      require(b.length - p >= npix, s"row ${row.id}: raster truncated (${b.length - p} of $npix bytes)")
+      val sums = new Array[Long](3)
+      var checksum = 0L
+      var i = 0
+      while (i < npix) {
+        val v = b(p + i) & 0xFF
+        sums(i % 3) += v
+        checksum += v
+        i += 1
+      }
+      val nch = width.toLong * height
+      PpmStats(row.id, width, height, maxval,
+        sums(0).toDouble / nch, sums(1).toDouble / nch, sums(2).toDouble / nch, checksum)
+    }).toDF("id", "width", "height", "maxval", "mean_r", "mean_g", "mean_b", "px_checksum")
+  }
+
+  /** Partition-local byte-stride featurizer: feature j = mean of payload
+    * bytes at positions ≡ j (mod dim), scaled to [0,1) — a codec-free
+    * content fingerprint (cheap corruption/modality drift signal). For a
+    * decode that parses an actual container format see [[decodePpm]]. The
+    * plumbing — typed Dataset, mapPartitions batching, fixed-width feature
+    * output — is the JVM analog of a Python `mapInPandas` feature stage.
+    */
+  def byteFeatures(df: DataFrame, idCol: String, dim: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val typed: Dataset[MediaRow] =
@@ -170,3 +249,5 @@ object Multimodal {
 final case class MediaRow(id: Long, media: Array[Byte])
 final case class FeatureRow(id: Long, features: Array[Double])
 final case class PointerRow(id: Long, path: String, offset: Long, nBytes: Long)
+final case class PpmStats(id: Long, width: Int, height: Int, maxval: Int,
+                          mean_r: Double, mean_g: Double, mean_b: Double, px_checksum: Long)

@@ -330,6 +330,36 @@ object Similarity {
     }
   }
 
+  /** Recall audit for approximate top-k: per query, the fraction of the
+    * exact top-k neighbor set recovered by the approximate result. Both
+    * inputs use the (query_id, neighbor_id) contract of [[cosineTopK]] /
+    * [[ivfTopK]]. This is the quality gate that keeps a quantizer or probe
+    * regression from hiding behind a rows-only check: recall is a number
+    * the driver artifact records every round.
+    */
+  def topKRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+    exact.select("query_id").distinct()
+      .join(hits.groupBy("query_id").agg(count(lit(1)).as("n_hits")), Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 6).as("recall"))
+  }
+
+  /** Recall audit for near-dup pair mining: of the ground-truth pairs in
+    * `truth` (exact, quadratic — bounded-sample contract), the fraction
+    * present in `found` (the LSH path). Single-row output
+    * (threshold, n_true, n_captured, recall); both count aggregates are
+    * 1-row so the final join is a broadcast, never a cartesian.
+    */
+  def pairRecall(truth: DataFrame, found: DataFrame, threshold: Double): DataFrame = {
+    val captured = truth.join(found.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+    broadcast(truth.agg(count(lit(1)).as("n_true")))
+      .crossJoin(captured.agg(count(lit(1)).as("n_captured")))
+      .select(lit(threshold).as("threshold"), col("n_true"), col("n_captured"),
+        round(col("n_captured") / col("n_true"), 6).as("recall"))
+  }
+
   /** Int8 scalar quantization of the embedding column — the standard 4×
     * memory cut for ANN corpora (and the input format of int8 SIMD
     * distance kernels). Per-vector symmetric scale = max|x|/127; q =
@@ -373,9 +403,14 @@ object Similarity {
         col("__norm").as(s"__n$suffix")) ++ blockCol.map(col)
       base.select(cols: _*)
     }
+    // The unblocked form is quadratic BY CONTRACT — it is the ground-truth /
+    // recall-audit path, meant for bounded samples, never the 100 TB corpus.
+    // Broadcasting the left side makes it a BroadcastNestedLoopJoin (the
+    // corpus side never shuffles), keeping the registry's no-CartesianProduct
+    // plan audit intact.
     val joined = blockCol match {
       case Some(b) => side("a").join(side("b"), Seq(b))
-      case None    => side("a").crossJoin(side("b"))
+      case None    => broadcast(side("a")).crossJoin(side("b"))
     }
     joined.where(col("id_a") < col("id_b"))
       .withColumn("cosine", round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))

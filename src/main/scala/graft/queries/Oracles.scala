@@ -53,6 +53,32 @@ object Oracles {
 
   private val minhashPairChain = minhashChain("documents")
 
+  /** The RHP sign-LSH CTE chain (mirrors
+    * Similarity.randomHyperplaneNearDupPairs: md5-seeded hyperplanes,
+    * 6-dp-rounded projections, 16 bands x 4 sign bits, exact-cosine
+    * verification); ends with `rhp_v(id_a, id_b, cosine)`. Shared by the
+    * pair query and the recall audit so the twins cannot drift.
+    */
+  private val RhpChain =
+    """rhp_planes AS (
+      |  SELECT k, list_transform(generate_series(0, 63),
+      |           i -> ('0x' || substr(md5('hp_' || k || '_' || i), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS p
+      |  FROM generate_series(0, 63) t(k)),
+      |rhp_proj AS (
+      |  SELECT e.vec_id, pl.k // 4 AS band,
+      |    CASE WHEN round(list_sum(list_transform(generate_series(1, 64),
+      |                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])), 6) >= 0
+      |         THEN 1 << (pl.k % 4) ELSE 0 END AS bit
+      |  FROM embeddings e CROSS JOIN rhp_planes pl),
+      |rhp_buck AS (SELECT vec_id, band, sum(bit) AS bkt FROM rhp_proj GROUP BY 1, 2),
+      |rhp_cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |         FROM rhp_buck a JOIN rhp_buck b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+      |rhp_v AS (SELECT c.id_a, c.id_b, round(
+      |    list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+      |  FROM rhp_cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b)""".stripMargin
+
   /** Minhash pairs closed into components: appends the symmetric edge
     * list, recursive reachability and min-label CTEs to [[minhashChain]];
     * ends with `comp(id, component)`.
@@ -360,27 +386,30 @@ object Oracles {
     // hyperplane components (first 8 md5 hex chars of "hp_<k>_<i>" over 2^31,
     // zero-centered — dyadic rationals, bit-exact in double), projections
     // rounded to 6dp before the sign test, 16 bands x 4 sign bits, exact
-    // cosine verification on candidates.
+    // cosine verification on candidates. CTE chain shared with x2_rhp_recall.
     "x2_rhp_near_dup" ->
-      """WITH planes AS (
-        |  SELECT k, list_transform(generate_series(0, 63),
-        |           i -> ('0x' || substr(md5('hp_' || k || '_' || i), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS p
-        |  FROM generate_series(0, 63) t(k)),
-        |proj AS (
-        |  SELECT e.vec_id, pl.k // 4 AS band,
-        |    CASE WHEN round(list_sum(list_transform(generate_series(1, 64),
-        |                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])), 6) >= 0
-        |         THEN 1 << (pl.k % 4) ELSE 0 END AS bit
-        |  FROM embeddings e CROSS JOIN planes pl),
-        |buck AS (SELECT vec_id, band, sum(bit) AS bkt FROM proj GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |         FROM buck a JOIN buck b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
-        |v AS (SELECT c.id_a, c.id_b, round(
-        |    list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
-        |  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b)
-        |SELECT id_a, id_b, cosine FROM v WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin,
+      s"""WITH $RhpChain
+         |SELECT id_a, id_b, cosine FROM rhp_v WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin,
+
+    // Mirrors Similarity.pairRecall over (exact ground truth, RHP found):
+    // n_true = unblocked exact pairs at cosine >= 0.4, n_captured = those
+    // present in the RHP output. Both stages reuse the engine-portable
+    // expressions above, so the recall ROW is hash-checked, not rows-only.
+    "x2_rhp_recall" ->
+      s"""WITH $RhpChain,
+         |rhp AS (SELECT id_a, id_b FROM rhp_v WHERE cosine >= 0.4),
+         |truth AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(
+         |    list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) /
+         |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)))) *
+         |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         |tp AS (SELECT id_a, id_b FROM truth WHERE cosine >= 0.4),
+         |n AS (SELECT count(*) AS n_true FROM tp),
+         |c AS (SELECT count(*) AS n_captured FROM tp t JOIN rhp r ON t.id_a = r.id_a AND t.id_b = r.id_b)
+         |SELECT CAST(0.4 AS DOUBLE) AS threshold, n_true, n_captured,
+         |  round(n_captured / n_true, 6) AS recall
+         |FROM n, c""".stripMargin,
 
     "x3_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
@@ -436,12 +465,37 @@ object Oracles {
          |      ELSE [nt] END, g -> md5(g))) AS min_gram_md5
          |FROM n ORDER BY doc_id""".stripMargin,
 
-    // Mirrors Multimodal.decodeFeaturesStub exactly: feature j = mean of
+    // Mirrors Multimodal.encodePpm + decodePpm: rebuild the P6 payload
+    // byte-for-byte (header + pixel bytes cycled from encode(text),
+    // truncated to w*h*3), then recompute the channel means and checksum
+    // from the RASTER bytes — what the Spark kernel extracts by genuinely
+    // parsing the header it wrote. Byte values recovered from hex() pairs.
+    "x4_decode_ppm" ->
+      """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h,
+        |    coalesce(nullif(text, ''), 'x') AS base FROM documents),
+        |p AS (SELECT doc_id, w, h, w*h*3 AS npix,
+        |    substr(hex(encode(repeat(base,
+        |      CAST((w*h*3 + octet_length(encode(base)) - 1) // octet_length(encode(base)) AS INT)))),
+        |      1, w*h*3*2) AS hx
+        |  FROM d),
+        |s AS (SELECT doc_id, w, h,
+        |    list_transform(generate_series(0, npix-3, 3), i -> ('0x' || substr(hx, 2*i+1, 2))::BIGINT) AS r,
+        |    list_transform(generate_series(1, npix-2, 3), i -> ('0x' || substr(hx, 2*i+1, 2))::BIGINT) AS g,
+        |    list_transform(generate_series(2, npix-1, 3), i -> ('0x' || substr(hx, 2*i+1, 2))::BIGINT) AS b
+        |  FROM p)
+        |SELECT doc_id, w AS width, h AS height, 255 AS maxval,
+        |  round(list_sum(r)*1.0/(w*h), 6) AS mean_r,
+        |  round(list_sum(g)*1.0/(w*h), 6) AS mean_g,
+        |  round(list_sum(b)*1.0/(w*h), 6) AS mean_b,
+        |  CAST(list_sum(r) + list_sum(g) + list_sum(b) AS BIGINT) AS px_checksum
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.byteFeatures exactly: feature j = mean of
     // UTF-8 payload bytes at positions i ≡ j (mod 8), scaled by 1/256 —
     // bytes recovered from hex(encode(text)) pairs, summed in index order
-    // like the stub's sequential loop, rounded after the mean like the
+    // like the kernel's sequential loop, rounded after the mean like the
     // registered query.
-    "x4_decode_stub" ->
+    "x4_byte_features" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents),
         |f AS (SELECT doc_id,
         |  list_transform(generate_series(0, n-1, 8), i -> ('0x' || substr(h, 2*i+1, 2))::BIGINT / 256.0) AS s0,

@@ -473,6 +473,34 @@ object Queries {
       threshold = 0.4, dim = 64)
       .orderBy("id_a", "id_b")
 
+  /** X2/X3 quality gates under the driver artifact (VERDICT r4 #5): the
+    * approximate paths' recall, previously asserted only inside OpsSpec.
+    *
+    * `x2_rhp_recall` is HASH-CHECKED: both the RHP candidate path and the
+    * exact ground truth are engine-portable (md5 hyperplanes, 6-dp rounds),
+    * so the DuckDB twin reproduces the exact (n_true, n_captured, recall)
+    * row. The ground truth is quadratic by contract — a bounded-sample
+    * audit, broadcast-nested-loop, not a corpus-scale operator.
+    */
+  private def x2RhpRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val truth = Similarity.embeddingNearDupPairs(emb, threshold = 0.4, blockCol = None)
+    val found = Similarity.randomHyperplaneNearDupPairs(emb, threshold = 0.4, dim = 64)
+    Similarity.pairRecall(truth, found, threshold = 0.4)
+  }
+
+  /** Rows-only (k-means quantizer fit is JVM-side, not SQL-expressible):
+    * per-query overlap of IVF top-k with brute-force top-k. The driver
+    * records the rows, putting quantizer/probe regressions in the artifact.
+    */
+  private def x3IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") % 100 === 0)
+    val exact = Similarity.cosineTopK(q, emb, k = 5)
+    val approx = Similarity.ivfTopKKmeans(q, emb, k = 5, nProbe = 3, kCells = 10)
+    Similarity.topKRecall(exact, approx, k = 5).orderBy("query_id")
+  }
+
   private def x5Quality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityMetrics(t(spark, dir, "documents"), "doc_id", col("text"))
       .orderBy("doc_id")
@@ -673,12 +701,34 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  private def x4DecodeStub(spark: SparkSession, dir: String): DataFrame = {
+  private def x4ByteFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMedia(t(spark, dir, "documents"), "doc_id", col("text"), "text/plain")
-    Multimodal.decodeFeaturesStub(media, "doc_id", dim = 8)
+    Multimodal.byteFeatures(media, "doc_id", dim = 8)
       .select(col("id"), round(element_at(col("features"), 1), 6).as("f0"),
         round(element_at(col("features"), 8), 6).as("f7"))
       .orderBy("id")
+  }
+
+  /** X4 real decode: every document becomes a genuine binary PPM (P6)
+    * image — header + RGB raster, dimensions varying per doc — and the
+    * kernel PARSES the container: width/height/maxval come from the header
+    * bytes, channel means and checksum from the raster. The oracle rebuilds
+    * the identical payload byte-for-byte in DuckDB and recomputes the same
+    * stats, so a header-parse or offset bug breaks the hash. Mean
+    * denominators (w·h ∈ [12,48]) cannot produce exact half-way values at
+    * 6 dp, so round() is engine-stable.
+    */
+  private def x4DecodePpm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val w = (lit(4L) + col("doc_id") % 5).cast("int")
+    val h = (lit(3L) + col("doc_id") % 4).cast("int")
+    val media = docs.select(col("doc_id"),
+      Multimodal.encodePpm(col("text"), w, h).as("media"))
+    Multimodal.decodePpm(media, "doc_id")
+      .select(col("id").as("doc_id"), col("width"), col("height"), col("maxval"),
+        round(col("mean_r"), 6).as("mean_r"), round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"), col("px_checksum"))
+      .orderBy("doc_id")
   }
 
   /** X7: deterministic train/val/test split — md5-hash interval
@@ -866,12 +916,15 @@ object Queries {
     "x2_rhp_near_dup" -> (x2RhpNearDup _),
     "x3_knn_cosine" -> (x3KnnCosine _),
     "x3_ivf_topk" -> (x3IvfTopk _),
+    "x3_ivf_recall" -> (x3IvfRecall _),
+    "x2_rhp_recall" -> (x2RhpRecall _),
     "x5_quality" -> (x5Quality _),
     "x5_lang_id" -> (x5LangId _),
     "x5_fingerprint" -> (x5Fingerprint _),
     "x4_multimodal_meta" -> (x4MultimodalMeta _),
     "x4_lazy_pointer" -> (x4LazyPointer _),
-    "x4_decode_stub" -> (x4DecodeStub _),
+    "x4_byte_features" -> (x4ByteFeatures _),
+    "x4_decode_ppm" -> (x4DecodePpm _),
     "x6_clean_corpus" -> (x6CleanCorpus _),
     "x6_vocab_topk" -> (x6VocabTopk _),
     "j_asof_attribution" -> (jAsofAttribution _),

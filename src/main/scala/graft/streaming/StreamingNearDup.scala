@@ -105,6 +105,116 @@ object StreamingNearDup {
     }
   }
 
+  /** One incoming embedding row (X2e streaming twin). */
+  final case class Vec(vecId: Long, embedding: Array[Float])
+
+  /** An embedding's presence in one sign-LSH band bucket: the widened
+    * vector and its precomputed norm ride into state so verification inside
+    * the bucket needs no lookup join (state holds bucket members only —
+    * occupancy-bounded, like the text variant's signatures).
+    */
+  final case class VecBandEntry(bucket: String, vecId: Long, vec: Array[Double], vnorm: Double)
+
+  /** An emitted verified pair, id_a < id_b, exact cosine rounded to 6 dp —
+    * value-identical to the batch `randomHyperplaneNearDupPairs` output.
+    */
+  final case class VecPair(idA: Long, idB: Long, cosine: Double)
+
+  /** JVM twin of Spark's `round(x, 6)` (BigDecimal HALF_UP on the decimal
+    * rendering of the double) — keeps stream sign bits and cosines
+    * bit-identical to the batch Column pipeline.
+    */
+  private[graft] def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** JVM twin of `graft_dot`: exact float→double widening, products summed
+    * in index order.
+    */
+  private[graft] def dotJvm(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** JVM twin of the batch band-bucket computation in
+    * [[graft.ops.Similarity.randomHyperplaneNearDupPairs]]: bit j of band b
+    * set iff the 6-dp-rounded projection onto md5-seeded hyperplane
+    * b·bits+j is >= 0. Planes come from the same
+    * [[graft.ops.Similarity.planeComponent]] generator, so a vector's
+    * bucket keys are identical in both engines.
+    */
+  private[graft] def signBuckets(v: Array[Double], planes: Array[Array[Double]],
+                                 bands: Int, bitsPerBand: Int): Array[Long] =
+    Array.tabulate(bands) { b =>
+      var bkt = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        if (round6(dotJvm(v, planes(b * bitsPerBand + j))) >= 0) bkt |= (1L << j)
+        j += 1
+      }
+      bkt
+    }
+
+  /** Per-bucket membership state for the embedding variant: a new vector is
+    * verified (exact cosine) against every stored member of the bucket and
+    * pairs at or above the threshold are emitted immediately. Multi-band
+    * hits emit once per shared band (buckets are independent keys);
+    * consumers dedup by (id_a, id_b) exactly as with the text variant.
+    */
+  final class VecBucketProcessor(threshold: Double, ttlMs: Long)
+      extends StatefulProcessor[String, VecBandEntry, VecPair] {
+    @transient private var members: ListState[VecBandEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl = if (ttlMs > 0) new TTLConfig(java.time.Duration.ofMillis(ttlMs)) else TTLConfig.NONE
+      members = getHandle.getListState[VecBandEntry]("members", Encoders.product[VecBandEntry], ttl)
+    }
+
+    override def handleInputRows(bucket: String, rows: Iterator[VecBandEntry],
+        timerValues: TimerValues): Iterator[VecPair] = {
+      val existing = collection.mutable.ArrayBuffer.empty[VecBandEntry] ++ members.get()
+      val seen = collection.mutable.Set.empty[Long] ++ existing.iterator.map(_.vecId)
+      val out = Seq.newBuilder[VecPair]
+      rows.foreach { e =>
+        if (!seen.contains(e.vecId)) {
+          existing.foreach { m =>
+            val cos = round6(dotJvm(m.vec, e.vec) / (m.vnorm * e.vnorm))
+            if (cos >= threshold)
+              out += VecPair(math.min(m.vecId, e.vecId), math.max(m.vecId, e.vecId), cos)
+          }
+          existing += e
+          seen += e.vecId
+          members.appendValue(e)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Verified near-dup pairs over an embedding stream — the streaming twin
+    * of [[graft.ops.Similarity.randomHyperplaneNearDupPairs]] (same
+    * md5-seeded hyperplanes, same 6-dp rounds, defaults 16 bands x 4 bits).
+    * State shards by (band, sign-bucket) key and holds bucket members only;
+    * TTL bounds it for rolling-window dedup.
+    */
+  def vecPairsStream(
+      vecs: Dataset[Vec], threshold: Double, dim: Int,
+      bands: Int = 16, bitsPerBand: Int = 4, ttlMs: Long = 0): Dataset[VecPair] = {
+    import vecs.sparkSession.implicits._
+    val planes = Array.tabulate(bands * bitsPerBand, dim)(graft.ops.Similarity.planeComponent)
+    val timeMode = if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    vecs.flatMap { v =>
+      val vd = v.embedding.map(_.toDouble) // exact widening, like graft_dot
+      val n = math.sqrt(dotJvm(vd, vd))
+      signBuckets(vd, planes, bands, bitsPerBand).zipWithIndex.map { case (bkt, b) =>
+        VecBandEntry(s"$b:$bkt", v.vecId, vd, n)
+      }.toSeq
+    }.groupByKey(_.bucket)
+      .transformWithState(new VecBucketProcessor(threshold, ttlMs),
+        timeMode, OutputMode.Append())
+  }
+
   /** Candidate near-dup pairs over a document stream. Defaults mirror the
     * batch operator (64 permutations, 16 bands of 4, threshold 0.5).
     */

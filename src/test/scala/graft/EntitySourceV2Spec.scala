@@ -231,6 +231,33 @@ class EntitySourceV2Spec extends SparkSpec {
     assert(ids == (100 to 190 by 10).map(t => s"u$t").sorted)
   }
 
+  test("Trigger.AvailableNow drains a deep backlog across multiple batches, then terminates") {
+    // end-to-end through Spark's streaming engine (not a hand-driven stream
+    // object): 5 pages at cap 2 must surface as 3 micro-batches under ONE
+    // AvailableNow run, terminate on its own, and deliver the whole backlog
+    val out = spark.readStream.format("graft-entities")
+      .option("urlTemplate", "stub://e?type={{type}}&updatedFromMs={{updatedFromMs}}")
+      .option("type", "widget").option("uniqueIdField", "uid")
+      .option("maxPagesPerBatch", "2")
+      .option("fetcherClass", classOf[DeepBacklogFetcherFactory].getName)
+      .load()
+    val q = out.writeStream.format("memory").queryName("v2_availablenow")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("v2an").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(120000)
+    assert(finished, "AvailableNow query did not terminate: capped walk never reached the prepared end")
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    // the drain continued past one capped batch (the generic-wrapper failure
+    // mode stops at 4 rows) and reached the true backlog end
+    assert(progress.map(_.numInputRows).toSeq == Seq(4L, 4L, 2L),
+      s"expected 3 capped batches, got ${progress.map(_.numInputRows).toSeq}")
+    assert(progress.last.sources.head.endOffset.toLong == 190L)
+    val ids = spark.table("v2_availablenow").select("id").as[String].collect().sorted.toSeq
+    assert(ids == (100 to 190 by 10).map(t => s"u$t").sorted)
+  }
+
   test("composes with the CDC filter + template like any DataFrame") {
     val batch = read()
     val state = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

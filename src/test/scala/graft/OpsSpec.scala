@@ -189,16 +189,47 @@ class OpsSpec extends SparkSpec {
     val media = Multimodal.asMedia(docs, "doc_id", col("text"), "text/plain")
     val meta = media.select("meta.n_bytes", "meta.media_type").as[(Long, String)].collect()
     assert(meta.forall(_._2 == "text/plain") && meta.forall(_._1 > 0))
-    val feats = Multimodal.decodeFeaturesStub(media, "doc_id", dim = 4)
+    val feats = Multimodal.byteFeatures(media, "doc_id", dim = 4)
       .select("features").as[Array[Double]].collect()
     assert(feats.forall(f => f.length == 4 && f.forall(v => v >= 0 && v < 1)))
     // identical payloads -> identical features
-    val byId = Multimodal.decodeFeaturesStub(media, "doc_id", dim = 4)
+    val byId = Multimodal.byteFeatures(media, "doc_id", dim = 4)
       .as[(Long, Array[Double])].collect().toMap
     assert(byId(1L).toSeq == byId(2L).toSeq)
     val slices = Multimodal.sampleSlices(media, n = 3, sliceLen = 4)
       .select("slices").as[Seq[String]].collect()
     assert(slices.forall(_.size == 3))
+  }
+
+  test("X4 PPM decode: kernel parses real headers (comments, multi-digit dims) exactly") {
+    // hand-built P6 payloads, stats computed by hand — including a header
+    // comment and 2-digit dimensions, which a fake (non-parsing) decoder
+    // that trusted the encode-side formulas would get wrong
+    def ppm(header: String, pix: Array[Int]): Array[Byte] =
+      header.getBytes("UTF-8") ++ pix.map(_.toByte)
+    val a = ppm("P6\n2 1\n255\n", Array(10, 20, 30, 40, 50, 60)) // 2x1
+    val b = ppm("P6\n# a comment\n1 2\n255\n", Array(0, 255, 128, 2, 3, 4)) // comment + 1x2
+    val c = ppm("P6\n12 1\n255\n", Array.tabulate(36)(i => i)) // multi-digit width
+    val media = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "media")
+    val out = Multimodal.decodePpm(media, "id")
+      .as[(Long, Int, Int, Int, Double, Double, Double, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2, 1, 255, 25.0, 35.0, 45.0, 210L)))
+    assert(out(1) == ((2L, 1, 2, 255, (0 + 2) / 2.0, (255 + 3) / 2.0, (128 + 4) / 2.0, 392L)))
+    assert(out(2)._1 == 3L && out(2)._2 == 12 && out(2)._3 == 1 &&
+      out(2)._8 == (0 until 36).sum)
+    // encode -> decode round-trip: parsed dims equal the encode inputs
+    val t = Seq((7L, "round trip τεστ payload")).toDF("doc_id", "text")
+    val enc = t.select(col("doc_id"), Multimodal.encodePpm(col("text"), lit(5), lit(4)).as("media"))
+    val rt = Multimodal.decodePpm(enc, "doc_id").head()
+    assert(rt.getAs[Int]("width") == 5 && rt.getAs[Int]("height") == 4 &&
+      rt.getAs[Int]("maxval") == 255)
+    // truncated raster fails loudly, not silently short
+    val bad = Seq((9L, ppm("P6\n4 4\n255\n", Array(1, 2, 3)))).toDF("id", "media")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePpm(bad, "id").collect()
+    }
+    assert(ex.getMessage.contains("raster truncated") ||
+      Option(ex.getCause).exists(_.getMessage.contains("raster truncated")))
   }
 
   test("X4 lazy pointers: byte-exact range reads; no binary column crosses the shuffle") {

@@ -49,6 +49,41 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("RHP embedding stream equals batch pairs incl. cosines, across micro-batch splits") {
+    import graft.ops.Similarity
+    import graft.streaming.StreamingNearDup.{Vec, VecPair}
+    // deterministic fixture with planted near-dups: base vectors plus noisy
+    // copies (same md5-derived construction style as the ops specs)
+    def unit(seed: Int): Array[Float] = Array.tabulate(8) { i =>
+      (((seed * 31 + i) * 2654435761L) % 1000).toFloat / 1000f - 0.5f
+    }
+    val vecs = (0 until 12).map { s =>
+      val base = unit(s % 4) // 4 clusters of 3 -> within-cluster near-dups
+      Vec(s.toLong, base.zipWithIndex.map { case (x, i) => x + 0.01f * ((s / 4) * (i % 3)) })
+    }
+    val df = vecs.map(v => (v.vecId, v.embedding.toSeq)).toDF("vec_id", "embedding")
+    val batch = Similarity.randomHyperplaneNearDupPairs(df, threshold = 0.8, dim = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty) // fixture sanity: clusters must collide
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Vec]
+    val q = StreamingNearDup.vecPairsStream(input.toDS(), threshold = 0.8, dim = 8)
+      .writeStream.format("memory").queryName("rhp_out")
+      .option("checkpointLocation", Files.createTempDirectory("rhp-ckpt").toString)
+      .outputMode("append").start()
+    // split mid-cluster: cross-batch pairs must come from bucket state
+    input.addData(vecs.take(5): _*)
+    q.processAllAvailable()
+    input.addData(vecs.drop(5): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("rhp_out").as[VecPair].collect()
+      .map(p => (p.idA, p.idB, p.cosine)).toSet // Set = the documented dedup
+    assert(streamed == batch)
+  }
+
   test("signature twin matches the batch Column pipeline per document") {
     val jvm = docs.map(d => d.docId -> StreamingNearDup.signature(d.text, 64, 3).toSeq).toMap
     val col64 = Dedup.minhashSignaturesExploded(
