@@ -158,6 +158,21 @@ object Similarity {
     *    amplification outweighs the extra candidate-keyed joins. Callers
     *    release the pinned table via OpCaches after the action.
     */
+  /** Per-band sign-LSH bucket array for `v`: bit j of band b is the
+    * 6-dp-rounded sign of the projection onto md5-seeded hyperplane
+    * b·bitsPerBand+j. Shared by the banded pair miners and the multi-probe
+    * variant so the bucket math cannot drift between them.
+    */
+  private def signBucketArray(v: Column, planes: Array[Array[Double]],
+                              bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      (0 until bitsPerBand).map { j =>
+        val k = b * bitsPerBand + j
+        when(round(dot(v, typedlit(planes(k).toSeq)), 6) >= 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
   def randomHyperplaneNearDupPairs(
       df: DataFrame, threshold: Double, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -165,13 +180,7 @@ object Similarity {
       carryVectors: Boolean = true): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val planes = Array.tabulate(bands * bitsPerBand, dim)(planeComponent)
-    def bandBuckets(v: Column) = array((0 until bands).map { b =>
-      (0 until bitsPerBand).map { j =>
-        val k = b * bitsPerBand + j
-        when(round(dot(v, typedlit(planes(k).toSeq)), 6) >= 0, lit(1L << j))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    def bandBuckets(v: Column) = signBucketArray(v, planes, bands, bitsPerBand)
     def verify(paired: DataFrame): DataFrame = paired
       .withColumn("cosine", round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .where(col("cosine") >= threshold)
@@ -200,6 +209,51 @@ object Similarity {
         .join(base.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na")), "id_a")
         .join(base.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")), "id_b"))
     }
+  }
+
+  /** Multi-probe variant of [[randomHyperplaneNearDupPairs]] (Lv et al.,
+    * VLDB'07, applied to sign-LSH): one side of the band self-join also
+    * probes every bucket at Hamming distance 1 — so a pair whose band
+    * buckets differ in at most one sign bit still becomes a candidate.
+    * The trade: the recall of a wider table (≈ bands × (1+bits) probe
+    * keys) from fewer physical bands; probe rows carry only (id, band,
+    * key), never the vector. Candidates are still verified with the exact
+    * cosine, so precision is unaffected.
+    *
+    * Regime caveat (measured, SCALING.md): multi-probe belongs with
+    * HIGH-bit bands, where exact collisions are rare and Hamming-1 probing
+    * buys recall back cheaply. With coarse 4-bit bands it multiplies an
+    * already-quadratic background candidate rate (16 buckets/band) —
+    * the worst-scaling RHP variant in the sf1 rehearsal. At corpus scale
+    * pair it with bitsPerBand ≥ 8.
+    *
+    * Probing is ASYMMETRIC (left side expands, right side stays exact):
+    * for an unordered pair at Hamming distance ≤1 the left expansion
+    * always covers the right key, and symmetric expansion would only
+    * duplicate candidates.
+    */
+  def rhpMultiProbePairs(
+      df: DataFrame, threshold: Double, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val planes = Array.tabulate(bands * bitsPerBand, dim)(planeComponent)
+    val base = df.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+      .select(col(idCol), col("__v"), col("__n"),
+        posexplode(signBucketArray(col("__v"), planes, bands, bitsPerBand))
+          .as(Seq("__band", "__bkt")))
+    val probeKeys = array(col("__bkt") +:
+      (0 until bitsPerBand).map(j => col("__bkt").bitwiseXOR(lit(1L << j))): _*)
+    val left = base.select(col(idCol).as("id_a"), col("__v").as("__va"),
+      col("__n").as("__na"), col("__band"), explode(probeKeys).as("__key"))
+    val right = base.select(col(idCol).as("id_b"), col("__v").as("__vb"),
+      col("__n").as("__nb"), col("__band"), col("__bkt").as("__key"))
+    left.hint("shuffle_hash").join(right, Seq("__band", "__key"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .distinct()
   }
 
   /** Deterministic spherical k-means (Lloyd) over the embedding column —

@@ -53,31 +53,44 @@ object Oracles {
 
   private val minhashPairChain = minhashChain("documents")
 
-  /** The RHP sign-LSH CTE chain (mirrors
-    * Similarity.randomHyperplaneNearDupPairs: md5-seeded hyperplanes,
-    * 6-dp-rounded projections, 16 bands x 4 sign bits, exact-cosine
-    * verification); ends with `rhp_v(id_a, id_b, cosine)`. Shared by the
-    * pair query and the recall audit so the twins cannot drift.
+  /** The RHP sign-LSH bucket CTE chain (mirrors the bucket math of
+    * Similarity.randomHyperplaneNearDupPairs / rhpMultiProbePairs:
+    * md5-seeded hyperplanes, 6-dp-rounded projections, `bands` bands of
+    * `bits` sign bits); ends with `rhp_buck(vec_id, band, bkt)`. Shared by
+    * the pair query, the recall audit and the multi-probe query so the
+    * twins cannot drift.
     */
-  private val RhpChain =
-    """rhp_planes AS (
-      |  SELECT k, list_transform(generate_series(0, 63),
-      |           i -> ('0x' || substr(md5('hp_' || k || '_' || i), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS p
-      |  FROM generate_series(0, 63) t(k)),
-      |rhp_proj AS (
-      |  SELECT e.vec_id, pl.k // 4 AS band,
-      |    CASE WHEN round(list_sum(list_transform(generate_series(1, 64),
-      |                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])), 6) >= 0
-      |         THEN 1 << (pl.k % 4) ELSE 0 END AS bit
-      |  FROM embeddings e CROSS JOIN rhp_planes pl),
-      |rhp_buck AS (SELECT vec_id, band, sum(bit) AS bkt FROM rhp_proj GROUP BY 1, 2),
-      |rhp_cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      |         FROM rhp_buck a JOIN rhp_buck b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
-      |rhp_v AS (SELECT c.id_a, c.id_b, round(
+  private def rhpBucketChain(bands: Int, bits: Int): String = {
+    val nPlanes = bands * bits
+    s"""rhp_planes AS (
+       |  SELECT k, list_transform(generate_series(0, 63),
+       |           i -> ('0x' || substr(md5('hp_' || k || '_' || i), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS p
+       |  FROM generate_series(0, ${nPlanes - 1}) t(k)),
+       |rhp_proj AS (
+       |  SELECT e.vec_id, pl.k // $bits AS band,
+       |    CASE WHEN round(list_sum(list_transform(generate_series(1, 64),
+       |                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])), 6) >= 0
+       |         THEN 1 << (pl.k % $bits) ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN rhp_planes pl),
+       |rhp_buck AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS bkt FROM rhp_proj GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Exact-cosine verification of `rhp_cand(id_a, id_b)`; ends with
+    * `rhp_v(id_a, id_b, cosine)`.
+    */
+  private val RhpVerify =
+    """rhp_v AS (SELECT c.id_a, c.id_b, round(
       |    list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) /
       |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)))) *
       |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
       |  FROM rhp_cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b)""".stripMargin
+
+  /** 16×4 equality-join candidate chain ending at `rhp_v`. */
+  private val RhpChain =
+    s"""${rhpBucketChain(16, 4)},
+       |rhp_cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM rhp_buck a JOIN rhp_buck b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+       |$RhpVerify""".stripMargin
 
   /** Minhash pairs closed into components: appends the symmetric edge
     * list, recursive reachability and min-label CTEs to [[minhashChain]];
@@ -410,6 +423,38 @@ object Oracles {
          |SELECT CAST(0.4 AS DOUBLE) AS threshold, n_true, n_captured,
          |  round(n_captured / n_true, 6) AS recall
          |FROM n, c""".stripMargin,
+
+    // Multi-probe twin: 8 bands x 4 bits, left side expanded to the bucket
+    // plus its four 1-bit-flip neighbors (xor), equality join against the
+    // exact right side, exact-cosine verification. Mirrors
+    // Similarity.rhpMultiProbePairs.
+    "x2_rhp_multiprobe" ->
+      s"""WITH ${rhpBucketChain(8, 4)},
+         |rhp_probe AS (SELECT vec_id, band,
+         |    unnest([bkt, xor(bkt, 1), xor(bkt, 2), xor(bkt, 4), xor(bkt, 8)]) AS key
+         |  FROM rhp_buck),
+         |rhp_cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM rhp_probe a JOIN rhp_buck b ON a.band = b.band AND a.key = b.bkt AND a.vec_id < b.vec_id),
+         |$RhpVerify
+         |SELECT id_a, id_b, cosine FROM rhp_v WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin,
+
+    // Scale-form RHP twin: 8 bands x 8 bits, threshold 0.5 (see the query
+    // scaladoc for the knob rationale).
+    "x2_rhp_scale" ->
+      s"""WITH ${rhpBucketChain(8, 8)},
+         |rhp_cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM rhp_buck a JOIN rhp_buck b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |$RhpVerify
+         |SELECT id_a, id_b, cosine FROM rhp_v WHERE cosine >= 0.45 ORDER BY 1, 2""".stripMargin,
+
+    // The sketch flags are pinned TRUE: DuckDB recomputes the exact values,
+    // and Spark's side only hash-matches if HLL++ / approx_percentile landed
+    // inside their documented error bounds.
+    "q9_approx_sketches" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS hll_ok, TRUE AS pctl_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "x3_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),

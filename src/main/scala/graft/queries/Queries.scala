@@ -473,6 +473,53 @@ object Queries {
       threshold = 0.4, dim = 64)
       .orderBy("id_a", "id_b")
 
+  /** X2 RHP at its SCALE-form knobs: 8 bands × 8 sign bits, threshold 0.45.
+    * The 16×4 default's background collision rate (1/16 per band for
+    * unrelated vectors) makes its candidate set quadratic at corpus scale —
+    * measured exp ≈ 1.2 in the sf1 rehearsal (SCALING.md) — while 8-bit
+    * bands collapse it ~32× (1/256 per band). The price is recall at this
+    * fixture's low max cosine (~0.5, far below the 0.8+ regime sign-LSH is
+    * designed for, where 8-bit bands keep recall high). Registered to pin
+    * the scale-form plan and its candidate math under the hash gate.
+    */
+  private def x2RhpScale(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomHyperplaneNearDupPairs(t(spark, dir, "embeddings"),
+      threshold = 0.45, dim = 64, bands = 8, bitsPerBand = 8)
+      .orderBy("id_a", "id_b")
+
+  /** X2 multi-probe sign-LSH: 8 bands × 4 bits, each probed at Hamming
+    * distance ≤ 1 — half the band shuffle of the 16×4 exact form at
+    * comparable recall. Hash-checked: the md5 hyperplanes and the 1-bit
+    * probe expansion are both engine-portable.
+    */
+  private def x2RhpMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.rhpMultiProbePairs(t(spark, dir, "embeddings"),
+      threshold = 0.4, dim = 64)
+      .orderBy("id_a", "id_b")
+
+  /** Sketch aggregates under the oracle gate (the 100 TB form of
+    * count-distinct and percentile): the query emits the EXACT values plus
+    * booleans asserting the sketches (HyperLogLog++, GK quantile) landed
+    * within their error bounds — the oracle pins the exact values and
+    * `TRUE` flags, so a sketch regression past its bound breaks the hash
+    * even though the sketch itself is not bit-portable across engines.
+    */
+  private def q9ApproxSketches(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    ev.groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("__hll"),
+        expr("approx_percentile(value, 0.5, 10000)").as("__ap"),
+        expr("percentile(value, 0.5)").as("__ep"),
+        max(col("value")).as("__mx"), min(col("value")).as("__mn"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        // HLL++ default rsd = 5%; 3 sigma + small-count slack
+        (abs(col("__hll") - col("exact_users")) <= col("exact_users") * 0.15 + lit(16)).as("hll_ok"),
+        (abs(col("__ap") - col("__ep")) <= (col("__mx") - col("__mn")) * 0.05).as("pctl_ok"))
+      .orderBy("event_type")
+  }
+
   /** X2/X3 quality gates under the driver artifact (VERDICT r4 #5): the
     * approximate paths' recall, previously asserted only inside OpsSpec.
     *
@@ -918,6 +965,9 @@ object Queries {
     "x3_ivf_topk" -> (x3IvfTopk _),
     "x3_ivf_recall" -> (x3IvfRecall _),
     "x2_rhp_recall" -> (x2RhpRecall _),
+    "x2_rhp_multiprobe" -> (x2RhpMultiprobe _),
+    "x2_rhp_scale" -> (x2RhpScale _),
+    "q9_approx_sketches" -> (q9ApproxSketches _),
     "x5_quality" -> (x5Quality _),
     "x5_lang_id" -> (x5LangId _),
     "x5_fingerprint" -> (x5Fingerprint _),

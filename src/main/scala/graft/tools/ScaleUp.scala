@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: derive a ×N-scale copy of the `documents` and `embeddings`
+  * fixtures for scale rehearsals (SCALING.md) without touching the
+  * read-only test data.
+  *
+  * The derivation is built so the WORKLOAD scales linearly — replica r of
+  * the corpus preserves the original's internal similarity structure
+  * exactly, while cross-replica rows never collide:
+  *
+  *  - documents: every word in replica r>0 gets the suffix `~r`. Two docs
+  *    that were near-dups stay near-dups within the same replica (identical
+  *    transformation on both sides), but share NO shingles with any other
+  *    replica — pair counts scale exactly ×N, not ×N² (naive duplication
+  *    would plant N exact copies of every doc and blow the verification
+  *    stage up quadratically, measuring the fixture, not the engine).
+  *  - embeddings: replica r's vectors are cyclically shifted by r
+  *    dimensions. Cosine is permutation-invariant, so within-replica
+  *    structure is EXACT; cross-replica cosines of unrelated layouts sit
+  *    near zero, far below every registered threshold.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <destDir> <factor>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcSfDir> <destDir> <factor>")
+    val Array(src, dest, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val reps = spark.range(factor).select(col("id").cast("int").as("__r"))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") * factor + col("__r")).as("doc_id"),
+        when(col("__r") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1~"), col("__r")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.repartition(32).write.mode("overwrite").parquet(s"$dest/documents.parquet")
+
+    val dim = 64
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") * factor + col("__r")).as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => element_at(col("embedding"), (i + col("__r")) % dim + 1)).as("embedding"),
+        // replicas are "new data": own blocks, so block sizes stay constant
+        // and blocked-exact scaling measures the engine, not the fixture
+        (col("label") * factor + col("__r")).cast("int").as("label"))
+    emb.repartition(32).write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+
+    println(s"SCALED factor=$factor docs=${spark.read.parquet(s"$dest/documents.parquet").count()} " +
+      s"embeddings=${spark.read.parquet(s"$dest/embeddings.parquet").count()}")
+    spark.stop()
+  }
+}

@@ -117,6 +117,30 @@ class OpsSpec extends SparkSpec {
     assert(lsh == exact)   // full recall at this similarity, identical scores
   }
 
+  test("X2 multi-probe RHP: superset of the exact-band candidates, precision intact") {
+    val dim = 8
+    val vecs = (0 until 30).map { i =>
+      val cluster = i % 3
+      val base = Array.tabulate(dim)(d => if (d == cluster) 1f else 0.02f * ((i * 7 + d) % 5))
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val plain = Similarity.randomHyperplaneNearDupPairs(vecs, threshold = 0.9, dim = dim,
+        bands = 8, bitsPerBand = 4)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val probed = Similarity.rhpMultiProbePairs(vecs, threshold = 0.9, dim = dim,
+        bands = 8, bitsPerBand = 4)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    graft.ops.OpCaches.release()
+    // Hamming<=1 probing can only ADD candidates over the same planes; every
+    // emitted pair is still exact-cosine-verified at the threshold
+    assert(plain.subsetOf(probed))
+    assert(probed.forall(_._3 >= 0.9))
+    // and it must equal the exact ground truth here (full recall regime)
+    val exact = Similarity.embeddingNearDupPairs(vecs, threshold = 0.9)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(probed == exact)
+  }
+
   test("X3 IVF probes nearest cells only (approximate but cell-complete)") {
     val vecs = (0 until 40).map { i =>
       val cell = i % 4
