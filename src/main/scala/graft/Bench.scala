@@ -50,10 +50,14 @@ object Bench {
     // fixtures that carry only a subset of the tables (SCALING.md)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] SPARK_GRAFT_BENCH_ONLY name not in registry: $n")))
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // a filtered run must never be mistaken for a full-registry total
+    val subsetTag = if (only.isDefined) s""","subset":true,"registry":${SparkEntry.queries.size}""" else ""
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -84,11 +88,11 @@ object Bench {
     // and the artifact came back "parsed": null.
     println(s"""{"metric":"detail","reps":$reps,"runs":$raw,"sf":"$sfDir"}""")
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"reps":$reps$subsetTag,"queries":$qs,"sf":"$sfDir"}"""
     // If the registry ever grows the summary past the tail window, shed the
     // per-query map (it survives in the detail line) rather than the total.
     if (summary.length <= 1900) println(summary)
-    else println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    else println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"reps":$reps$subsetTag,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -141,18 +141,117 @@ object Multimodal {
     * dimensions right. Fully engine-portable: the DuckDB oracle twin
     * rebuilds the identical bytes with repeat/encode/substring.
     */
-  def encodePpm(text: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column,
-                h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  /** First `nBytes` bytes of the endlessly-repeated UTF-8 byte cycle of
+    * `text` (empty text falls back to one 'x' byte). The deterministic
+    * "payload generator" both container encoders draw from — portable: the
+    * DuckDB twin is repeat/encode/substr over the same bytes.
+    */
+  private def cycledBytes(text: org.apache.spark.sql.Column,
+                          nBytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val base = coalesce(nullif(text, lit("")), lit("x"))
     val len = octet_length(base).cast("long")
+    // ceil(nBytes/len) repeats of the byte cycle, then truncate
+    val k = floor((nBytes + len - lit(1L)) / len).cast("int")
+    call_function("repeat", base, k).cast(BinaryType).substr(lit(1), nBytes.cast("int"))
+  }
+
+  def encodePpm(text: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column,
+                h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val npix = w.cast("long") * h.cast("long") * lit(3L)
-    // ceil(npix/len) repeats of the byte cycle, then truncate to npix bytes
-    val k = floor((npix + len - lit(1L)) / len).cast("int")
-    val pixels = call_function("repeat", base, k).cast(BinaryType)
-      .substr(lit(1), npix.cast("int"))
     val header = concat_ws("", lit("P6\n"), w.cast("string"), lit(" "),
       h.cast("string"), lit("\n255\n")).cast(BinaryType)
-    concat(header, pixels)
+    concat(header, cycledBytes(text, npix))
+  }
+
+  /** Little-endian 32/16-bit binary renderings of an integral column —
+    * RIFF header fields (hex → byte-swapped pairs → unhex; pure built-in
+    * expressions, codegen'd).
+    */
+  private def le32(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = lpad(hex(v.cast("long")), 8, "0")
+    unhex(concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2)))
+  }
+  private def le16(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = lpad(hex(v.cast("long")), 4, "0")
+    unhex(concat(h.substr(3, 2), h.substr(1, 2)))
+  }
+
+  /** Canonical 44-byte RIFF/WAVE header (PCM, mono, 16-bit) + `nSamples`
+    * little-endian samples drawn from the text byte cycle. Like
+    * [[encodePpm]], a REAL container built from pure Column expressions so
+    * the DuckDB twin can rebuild the identical bytes.
+    */
+  def encodeWav(text: org.apache.spark.sql.Column, nSamples: org.apache.spark.sql.Column,
+                sampleRate: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dataSize = nSamples.cast("long") * lit(2L)
+    concat(
+      lit("RIFF").cast(BinaryType), le32(lit(36L) + dataSize),
+      lit("WAVE").cast(BinaryType),
+      lit("fmt ").cast(BinaryType), le32(lit(16L)),
+      le16(lit(1L)), le16(lit(1L)), // PCM, mono
+      le32(sampleRate), le32(sampleRate.cast("long") * lit(2L)), // byte rate
+      le16(lit(2L)), le16(lit(16L)), // block align, bits/sample
+      lit("data").cast(BinaryType), le32(dataSize),
+      cycledBytes(text, dataSize))
+  }
+
+  /** Partition-local REAL decode kernel for RIFF/WAVE payloads: validates
+    * the RIFF envelope, walks the chunk list (any order, unknown chunks
+    * skipped with even-size padding per the RIFF spec), reads the PCM
+    * format from `fmt `, then folds the 16-bit little-endian samples of
+    * `data` into mean amplitude, peak and a checksum. Sample rate and
+    * count come from the PARSED header/chunk sizes, so offset or
+    * endianness bugs break the oracle hash.
+    */
+  def decodeWav(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] =
+      df.select(col(idCol).cast("long").as("id"), col("media")).as[MediaRow]
+    typed.mapPartitions(_.map { row =>
+      val b = row.media
+      def ascii(p: Int, n: Int) = new String(b, p, n, java.nio.charset.StandardCharsets.US_ASCII)
+      def u16(p: Int): Int = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+      def u32(p: Int): Long = (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+      require(b != null && b.length >= 44 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
+        s"row ${row.id}: not a RIFF/WAVE payload")
+      require(u32(4) == b.length - 8,
+        s"row ${row.id}: RIFF size ${u32(4)} != payload ${b.length - 8}")
+      var p = 12
+      var sampleRate = -1
+      var dataAt = -1
+      var dataLen = 0L
+      while (p + 8 <= b.length) {
+        val id = ascii(p, 4)
+        val size = u32(p + 4) // unsigned: 0..2^32-1, never negative as Long
+        // bound-check the DECLARED size before trusting it: a corrupt size
+        // must fail loudly here, not hang the walk (a truncated-Int advance
+        // of 0/negative would loop forever) or read past the buffer
+        require(size <= b.length - p - 8,
+          s"row ${row.id}: chunk '$id' declares $size bytes at $p, payload has ${b.length - p - 8}")
+        if (id == "fmt ") {
+          require(size >= 16, s"row ${row.id}: fmt chunk too short ($size < 16)")
+          require(u16(p + 8) == 1 && u16(p + 10) == 1 && u16(p + 22) == 16,
+            s"row ${row.id}: decoder supports PCM mono 16-bit only")
+          sampleRate = u32(p + 12).toInt
+        } else if (id == "data") { dataAt = p + 8; dataLen = size }
+        p += 8 + size.toInt + (size.toInt & 1) // RIFF pads chunks to even size
+      }
+      require(sampleRate > 0 && dataAt >= 0, s"row ${row.id}: missing fmt/data chunk")
+      require(dataAt + dataLen <= b.length, s"row ${row.id}: data chunk truncated")
+      val n = dataLen / 2
+      var sum = 0L
+      var peak = 0
+      var i = 0
+      while (i < n) {
+        val v = u16(dataAt + 2 * i.toInt).toShort.toInt
+        sum += v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        i += 1
+      }
+      WavStats(row.id, sampleRate, n, if (n == 0) 0.0 else sum.toDouble / n, peak, sum)
+    }).toDF("id", "sample_rate", "n_samples", "mean_amp", "peak", "pcm_checksum")
   }
 
   /** Partition-local REAL decode kernel for PPM (P6) payloads: parses the
@@ -193,7 +292,11 @@ object Multimodal {
       val width = parseInt()
       val height = parseInt()
       val maxval = parseInt()
-      require(maxval > 0 && maxval < 65536, s"row ${row.id}: PPM maxval $maxval out of range")
+      // maxval > 255 means 2 bytes per sample (big-endian) per the netpbm
+      // spec — this kernel reads 1-byte samples only, so reject rather than
+      // silently misdecode a 16-bit raster
+      require(maxval > 0 && maxval < 256,
+        s"row ${row.id}: PPM maxval $maxval unsupported (2-byte-per-sample rasters not handled)")
       p += 1 // exactly ONE whitespace byte separates maxval from raster data
       val npix = width.toLong * height * 3
       require(b.length - p >= npix, s"row ${row.id}: raster truncated (${b.length - p} of $npix bytes)")
@@ -251,3 +354,5 @@ final case class FeatureRow(id: Long, features: Array[Double])
 final case class PointerRow(id: Long, path: String, offset: Long, nBytes: Long)
 final case class PpmStats(id: Long, width: Int, height: Int, maxval: Int,
                           mean_r: Double, mean_g: Double, mean_b: Double, px_checksum: Long)
+final case class WavStats(id: Long, sample_rate: Int, n_samples: Long,
+                          mean_amp: Double, peak: Int, pcm_checksum: Long)

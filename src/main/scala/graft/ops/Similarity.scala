@@ -216,9 +216,13 @@ object Similarity {
     * probes every bucket at Hamming distance 1 — so a pair whose band
     * buckets differ in at most one sign bit still becomes a candidate.
     * The trade: the recall of a wider table (≈ bands × (1+bits) probe
-    * keys) from fewer physical bands; probe rows carry only (id, band,
-    * key), never the vector. Candidates are still verified with the exact
-    * cosine, so precision is unaffected.
+    * keys) from fewer physical bands. This implementation uses the
+    * carry-vectors route on BOTH sides (like the default
+    * [[randomHyperplaneNearDupPairs]]), so the probe side shuffles
+    * ~bands × (1+bits) copies of each vector — for very wide vectors,
+    * prefer the candidates-then-rejoin shape (`carryVectors = false`
+    * analog) where probe rows carry only (id, band, key). Candidates are
+    * still verified with the exact cosine, so precision is unaffected.
     *
     * Regime caveat (measured, SCALING.md): multi-probe belongs with
     * HIGH-bit bands, where exact collisions are rare and Hamming-1 probing
@@ -394,10 +398,13 @@ object Similarity {
   def topKRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val hits = exact.select("query_id", "neighbor_id")
       .join(approx.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
-    exact.select("query_id").distinct()
+    // denominator = the query's ACTUAL exact-set size, not the constant k:
+    // a corpus with fewer than k eligible neighbors must still read 1.0
+    // when the approximate path reproduces the exact set perfectly
+    exact.groupBy("query_id").agg(count(lit(1)).as("__n_exact"))
       .join(hits.groupBy("query_id").agg(count(lit(1)).as("n_hits")), Seq("query_id"), "left")
       .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 6).as("recall"))
+        round(coalesce(col("n_hits"), lit(0L)) / col("__n_exact"), 6).as("recall"))
   }
 
   /** Recall audit for near-dup pair mining: of the ground-truth pairs in

@@ -438,7 +438,7 @@ object Oracles {
          |$RhpVerify
          |SELECT id_a, id_b, cosine FROM rhp_v WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin,
 
-    // Scale-form RHP twin: 8 bands x 8 bits, threshold 0.5 (see the query
+    // Scale-form RHP twin: 8 bands x 8 bits, threshold 0.45 (see the query
     // scaladoc for the knob rationale).
     "x2_rhp_scale" ->
       s"""WITH ${rhpBucketChain(8, 8)},
@@ -533,6 +533,31 @@ object Oracles {
         |  round(list_sum(g)*1.0/(w*h), 6) AS mean_g,
         |  round(list_sum(b)*1.0/(w*h), 6) AS mean_b,
         |  CAST(list_sum(r) + list_sum(g) + list_sum(b) AS BIGINT) AS px_checksum
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.encodeWav + decodeWav: samples are 16-bit LE
+    // signed ints over the cycled text bytes (2 bytes each, recovered from
+    // hex pairs); the Spark kernel reads sample rate and count from the
+    // PARSED RIFF chunks, the oracle from the known construction — equal
+    // stats prove the chunk walk and endianness handling.
+    "x4_decode_wav" ->
+      """WITH d AS (SELECT doc_id, CAST(50 + doc_id % 32 AS BIGINT) AS ns,
+        |    coalesce(nullif(text, ''), 'x') AS base FROM documents),
+        |p AS (SELECT doc_id, ns,
+        |    substr(hex(encode(repeat(base,
+        |      CAST((ns*2 + octet_length(encode(base)) - 1) // octet_length(encode(base)) AS INT)))),
+        |      1, ns*4) AS hx
+        |  FROM d),
+        |r AS (SELECT doc_id, ns, list_transform(generate_series(0, ns-1),
+        |    i -> ('0x' || substr(hx, 4*i+1, 2))::BIGINT + 256*('0x' || substr(hx, 4*i+3, 2))::BIGINT) AS u
+        |  FROM p),
+        |s AS (SELECT doc_id, ns,
+        |    list_transform(u, v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS smp
+        |  FROM r)
+        |SELECT doc_id, 8000 AS sample_rate, ns AS n_samples,
+        |  round(list_sum(smp)*1.0/ns, 6) AS mean_amp,
+        |  CAST(list_max(list_transform(smp, v -> abs(v))) AS INT) AS peak,
+        |  CAST(list_sum(smp) AS BIGINT) AS pcm_checksum
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // Mirrors Multimodal.byteFeatures exactly: feature j = mean of

@@ -778,6 +778,24 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X4 real decode, audio flavor: every document becomes a genuine
+    * RIFF/WAVE payload (44-byte canonical header + 16-bit LE PCM cycled
+    * from the text bytes) and the kernel walks the chunk list for real:
+    * sample rate comes from the parsed `fmt ` chunk, the sample count from
+    * the parsed `data` size. The oracle recomputes the identical PCM stats
+    * from the same byte construction, so endianness/offset bugs break the
+    * hash. Sample-count denominators (50..81) cannot tie at 6 dp.
+    */
+  private def x4DecodeWav(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val media = docs.select(col("doc_id"),
+      Multimodal.encodeWav(col("text"), lit(50L) + col("doc_id") % 32, lit(8000)).as("media"))
+    Multimodal.decodeWav(media, "doc_id")
+      .select(col("id").as("doc_id"), col("sample_rate"), col("n_samples"),
+        round(col("mean_amp"), 6).as("mean_amp"), col("peak"), col("pcm_checksum"))
+      .orderBy("doc_id")
+  }
+
   /** X7: deterministic train/val/test split — md5-hash interval
     * assignment, a pure projection (no shuffle at any scale; the orderBy
     * is output canonicalization only). Split fractions are interpolated
@@ -975,6 +993,7 @@ object Queries {
     "x4_lazy_pointer" -> (x4LazyPointer _),
     "x4_byte_features" -> (x4ByteFeatures _),
     "x4_decode_ppm" -> (x4DecodePpm _),
+    "x4_decode_wav" -> (x4DecodeWav _),
     "x6_clean_corpus" -> (x6CleanCorpus _),
     "x6_vocab_topk" -> (x6VocabTopk _),
     "j_asof_attribution" -> (jAsofAttribution _),

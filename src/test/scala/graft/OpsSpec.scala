@@ -256,6 +256,41 @@ class OpsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("raster truncated")))
   }
 
+  test("X4 WAV decode: real RIFF chunk walk (foreign chunks, odd-size padding) and signed PCM") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-assembled WAV: fmt + a foreign 3-byte LIST chunk (odd size ->
+    // pad byte) BEFORE data; samples include negatives. A decoder that
+    // assumed data at byte 44 would misparse.
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val sz = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(body.length).array()
+      id.getBytes("US-ASCII") ++ sz ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    }
+    val fmt = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16).array()
+    val samples = Seq[Short](100, -200, 32767, -32768, 0)
+    val pcm = {
+      val bb = ByteBuffer.allocate(samples.size * 2).order(ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val body = "WAVE".getBytes("US-ASCII") ++ chunk("fmt ", fmt) ++
+      chunk("LIST", Array[Byte](1, 2, 3)) ++ chunk("data", pcm)
+    val riffSz = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(body.length).array()
+    val wav = "RIFF".getBytes("US-ASCII") ++ riffSz ++ body
+    val out = Multimodal.decodeWav(Seq((1L, wav)).toDF("id", "media"), "id").head()
+    assert(out.getAs[Int]("sample_rate") == 8000)
+    assert(out.getAs[Long]("n_samples") == 5L)
+    assert(out.getAs[Long]("pcm_checksum") == samples.map(_.toLong).sum)
+    assert(out.getAs[Int]("peak") == 32768)
+    assert(math.abs(out.getAs[Double]("mean_amp") - samples.map(_.toInt).sum / 5.0) < 1e-9)
+    // encode -> decode round-trip: parsed rate/count equal the encode inputs
+    val enc = Seq((2L, "wav röund trip")).toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.encodeWav(col("text"), lit(7), lit(44100)).as("media"))
+    val rt = Multimodal.decodeWav(enc, "doc_id").head()
+    assert(rt.getAs[Int]("sample_rate") == 44100 && rt.getAs[Long]("n_samples") == 7L)
+  }
+
   test("X4 lazy pointers: byte-exact range reads; no binary column crosses the shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // blob = concatenated payloads; pointers slice it back out
