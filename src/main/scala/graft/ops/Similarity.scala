@@ -4,6 +4,7 @@ import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over an embedding column (SURVEY.md §2.12 X3).
   *
@@ -80,16 +81,24 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellCol: String = "label"): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
-    // per-cell centroid: element-wise mean via posexplode + pivot-free agg
+    // per-cell centroid: element-wise mean via posexplode + pivot-free agg.
+    // The mean goes through an EXACT decimal sum (order-free, like every
+    // measure aggregate here) so centroid doubles are bit-identical across
+    // engines and partitionings — which makes IVF over a closed-form cell
+    // mapping (lshCells) hash-checkable, and k-means IVF reproducible
+    // across shuffle layouts.
     val cent = corpus
       .select(col(cellCol).as("__cell"), posexplode(col(vecCol)).as(Seq("__i", "__x")))
-      .groupBy("__cell", "__i").agg(avg("__x").as("__m"))
+      .groupBy("__cell", "__i")
+      .agg((sum(col("__x").cast(DecimalType(27, 10))).cast("double") / count(lit(1))).as("__m"))
       .groupBy("__cell").agg(array_sort(collect_list(struct(col("__i"), col("__m")))).as("__ims"))
       .select(col("__cell"), transform(col("__ims"), s => s.getField("__m")).as("__centroid"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    // nProbe nearest cells per query (centroid table is tiny: broadcast)
+    // nProbe nearest cells per query (centroid table is tiny: broadcast);
+    // probe distance rounded to 6 dp before ranking, like every ranked
+    // cosine, so probe selection cannot depend on sub-6dp noise
     val probes = q.crossJoin(broadcast(cent))
-      .withColumn("__d", cosine(col("__qv"), col("__centroid")))
+      .withColumn("__d", round(cosine(col("__qv"), col("__centroid")), 6))
       .withColumn("__pr", row_number().over(Window.partitionBy("query_id").orderBy(col("__d").desc, col("__cell"))))
       .where(col("__pr") <= nProbe)
       .select(col("query_id"), col("__qv"), col("__cell"))
@@ -313,6 +322,25 @@ object Similarity {
       // ties broken toward the larger cell id via lexicographic struct max
       .agg(max_by(col("__cell"), struct(col("__cos"), col("__cell"))).as("cell"))
       .select(col("__kid").as(idCol), col("cell"))
+  }
+
+  /** Engine-portable coarse quantizer: cell = `bitsPerCell` md5-hyperplane
+    * sign bits (band 0 of the RHP plane family, same 6-dp-rounded
+    * projections). Unlike [[kmeansCells]] the mapping is closed-form — no
+    * fitted state — so [[ivfTopK]] over these cells is hash-checkable END
+    * TO END (quantize → centroid → probe → cell-restricted top-k), which
+    * puts the whole IVF mechanism under the driver's bit-exact gate; the
+    * k-means quantizer remains the data-driven alternative (rows-only).
+    * 2^bitsPerCell cells; at corpus scale raise bitsPerCell exactly like
+    * the RHP banding knobs.
+    */
+  def lshCells(corpus: DataFrame, dim: Int, bitsPerCell: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val planes = Array.tabulate(bitsPerCell, dim)(planeComponent)
+    corpus.select(col(idCol),
+      element_at(signBucketArray(col(vecCol), planes, 1, bitsPerCell), 1)
+        .cast("int").as("cell"))
   }
 
   /** IVF top-k with data-driven cells: k-means the corpus (no `label`

@@ -468,6 +468,39 @@ object Oracles {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s)
         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // Mirrors Similarity.lshCells + ivfTopK end to end: cells = 4 sign bits
+    // of RHP band 0 (rhpBucketChain(1,4)); centroids = per-dimension exact
+    // DECIMAL(27,10) sums cast to double over the cell count; probes = top-3
+    // cells by 6-dp-rounded cosine (ties to the smaller cell); final top-k
+    // restricted to probed cells, ranked on the 6-dp cosine with neighbor-id
+    // ties — every stage reproduced bit-exactly.
+    "x3_ivf_lsh_topk" -> {
+      def cos(a: String, b: String) =
+        s"""round(
+           |    list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i])) /
+           |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $a[i]))) *
+           |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> $b[i] * $b[i])))), 6)""".stripMargin
+      s"""WITH ${rhpBucketChain(1, 4)},
+         |cells AS (SELECT vec_id, CAST(bkt AS INT) AS cell FROM rhp_buck),
+         |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+         |expd AS (SELECT c.cell, i, CAST(e.embedding[i] AS DECIMAL(27,10)) AS xd
+         |        FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
+         |        CROSS JOIN generate_series(1, 64) t(i)),
+         |cent AS (SELECT cell, i, CAST(sum(xd) AS DOUBLE) / count(*) AS m FROM expd GROUP BY 1, 2),
+         |centarr AS (SELECT cell, list(m ORDER BY i) AS cv FROM cent GROUP BY 1),
+         |q AS (SELECT vec_id AS qid, ev AS qe FROM ed WHERE vec_id % 100 = 0),
+         |pr AS (SELECT qid, qe, cell FROM (
+         |    SELECT q.qid, q.qe, ca.cell,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY ${cos("q.qe", "ca.cv")} DESC, ca.cell) AS rnk
+         |    FROM q CROSS JOIN centarr ca) WHERE rnk <= 3),
+         |s AS (SELECT pr.qid, e.vec_id AS nid, ${cos("pr.qe", "e.ev")} AS cos
+         |    FROM pr JOIN cells cc ON cc.cell = pr.cell
+         |    JOIN ed e ON e.vec_id = cc.vec_id AND e.vec_id <> pr.qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos AS cosine
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s)
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
     "x5_quality" ->
       s"""WITH b AS (SELECT doc_id, $norm AS nt FROM documents),
          |w AS (SELECT doc_id, nt, list_filter(string_split(nt, ' '), x -> len(x) > 0) AS ws FROM b),

@@ -448,6 +448,20 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** X3 IVF, HASH-CHECKED: same probe/top-k mechanism as x3_ivf_topk but
+    * over the closed-form sign-LSH quantizer (16 cells), so centroids
+    * (exact decimal means), probe ranking (6-dp cosine) and the
+    * cell-restricted top-k are all reproduced bit-exactly by the DuckDB
+    * twin. The k-means variant stays registered as the data-driven path.
+    */
+  private def x3IvfLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cells = Similarity.lshCells(emb, dim = 64, bitsPerCell = 4)
+    Similarity.ivfTopK(emb.where(col("vec_id") % 100 === 0), emb.join(cells, "vec_id"),
+      k = 5, nProbe = 3, cellCol = "cell")
+      .orderBy("query_id", "rank")
+  }
+
   /** X3: int8 quantization — the q vector rides as a CSV string so the
     * driver's column-wise compare stays type-stable across engines.
     */
@@ -982,6 +996,7 @@ object Queries {
     "x3_knn_cosine" -> (x3KnnCosine _),
     "x3_ivf_topk" -> (x3IvfTopk _),
     "x3_ivf_recall" -> (x3IvfRecall _),
+    "x3_ivf_lsh_topk" -> (x3IvfLshTopk _),
     "x2_rhp_recall" -> (x2RhpRecall _),
     "x2_rhp_multiprobe" -> (x2RhpMultiprobe _),
     "x2_rhp_scale" -> (x2RhpScale _),
