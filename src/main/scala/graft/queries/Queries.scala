@@ -520,13 +520,19 @@ object Queries {
     */
   private def q9ApproxSketches(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
-    ev.groupBy("event_type").agg(
-        count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id")).as("__hll"),
-        expr("approx_percentile(value, 0.5, 10000)").as("__ap"),
-        expr("percentile(value, 0.5)").as("__ep"),
-        max(col("value")).as("__mx"), min(col("value")).as("__mn"))
+    // exact distinct as its own two-stage agg (distinct pairs, then count):
+    // mixing countDistinct into the sketch agg would force an Expand over
+    // every row, double-scanning the table for one column — the same
+    // reason the 100 TB form pairs sketches with pre-aggregated exacts
+    val exact = ev.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("exact_users"))
+    val sketches = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n_events"),
+      approx_count_distinct(col("user_id")).as("__hll"),
+      expr("approx_percentile(value, 0.5, 10000)").as("__ap"),
+      expr("percentile(value, 0.5)").as("__ep"),
+      max(col("value")).as("__mx"), min(col("value")).as("__mn"))
+    sketches.join(broadcast(exact), "event_type")
       .select(col("event_type"), col("n_events"), col("exact_users"),
         // HLL++ default rsd = 5%; 3 sigma + small-count slack
         (abs(col("__hll") - col("exact_users")) <= col("exact_users") * 0.15 + lit(16)).as("hll_ok"),
