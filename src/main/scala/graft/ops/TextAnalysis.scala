@@ -221,6 +221,27 @@ object TextAnalysis {
           .as("dup_2gram_frac"))
   }
 
+  /** Within-doc repetition REMOVAL (the mutation companion to
+    * [[repetitionMetrics]], which only scores): collapse every run of
+    * consecutive identical normalized words to a single occurrence —
+    * "buy now now now" → "buy now" — the cheapest of the MassiveText-style
+    * repetition scrubs. Pure per-row projection over a higher-order filter
+    * (no shuffle at any scale); engine-portable: DuckDB's indexed
+    * `list_filter` reproduces the keep-first-of-run rule exactly.
+    *
+    * Output: (idCol, n_words, n_kept, clean_text).
+    */
+  def collapseRepeats(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val staged = df.select(col(idCol), words(text).as("__w"))
+    // keep word i (0-based) iff it is the first word or differs from its
+    // predecessor; element_at is 1-based, so predecessor of i is index i
+    val kept = filter(col("__w"), (w, i) => (i === 0) || (w =!= element_at(col("__w"), i)))
+    staged.select(col(idCol),
+      size(col("__w")).cast("long").as("n_words"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, " ").as("clean_text"))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and a
     * winnowing-style shingle fingerprint — the minimum md5 over all
     * character 8-grams (a locality-sensitive "smallest shingle wins"

@@ -784,6 +784,18 @@ object Oracles {
          |FROM s2 ORDER BY doc_id""".stripMargin
     },
 
+    // Mirrors TextAnalysis.collapseRepeats: keep word i iff first-of-run
+    // (DuckDB's indexed list_filter, 1-based; Spark's filter lambda,
+    // 0-based — both compare against the predecessor).
+    "x5_collapse_repeats" ->
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         |k AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |        list_filter(ws, (x, i) -> i = 1 OR x <> ws[i-1]) AS kept
+         |      FROM w)
+         |SELECT doc_id, n_words, CAST(len(kept) AS BIGINT) AS n_kept,
+         |  md5(array_to_string(kept, ' ')) AS clean_md5
+         |FROM k ORDER BY doc_id""".stripMargin,
+
     "x5_repetition" ->
       s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
          |t AS (SELECT doc_id, unnest(ws) AS tk FROM w),

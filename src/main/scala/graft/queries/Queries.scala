@@ -576,6 +576,14 @@ object Queries {
     TextAnalysis.langId(t(spark, dir, "documents"), "doc_id", col("text"))
       .orderBy("doc_id")
 
+  /** X5 repetition removal: the run-collapse scrub over every document,
+    * hash-checked via counts + the md5 of the cleaned text. */
+  private def x5CollapseRepeats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collapseRepeats(t(spark, dir, "documents"), "doc_id", col("text"))
+      .select(col("doc_id"), col("n_words"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
   private def x5Fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(t(spark, dir, "documents"), "doc_id", col("text"))
       .orderBy("doc_id")
@@ -1030,6 +1038,7 @@ object Queries {
     "x7_dedup_apply" -> (x7DedupApply _),
     "x5_pii_scrub" -> (x5PiiScrub _),
     "x5_repetition" -> (x5Repetition _),
+    "x5_collapse_repeats" -> (x5CollapseRepeats _),
     "x7_pack_sequences" -> (x7PackSequences _),
     "x7_pack_occupancy" -> (x7PackOccupancy _),
     "x8_curation_pipeline" -> (x8CurationPipeline _),

@@ -202,6 +202,22 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_word_len") == 3.0)
   }
 
+  test("X5 collapseRepeats keeps first-of-run only, per run") {
+    val t = Seq(
+      (1L, "buy now now now limited offer offer"),
+      (2L, "no repeats here"),
+      (3L, "a a a"),
+      (4L, "x y x y")). // alternation is NOT a consecutive run
+      toDF("doc_id", "text")
+    val out = TextAnalysis.collapseRepeats(t, "doc_id", col("text"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 7L, 4L, "buy now limited offer"),
+      (2L, 3L, 3L, "no repeats here"),
+      (3L, 3L, 1L, "a"),
+      (4L, 4L, 4L, "x y x y")))
+  }
+
   test("X5 fingerprints stable under whitespace/case noise") {
     val t = Seq((1L, "Hello   World Program"), (2L, "hello world program")).toDF("doc_id", "text")
     val fps = TextAnalysis.fingerprints(t, "doc_id", col("text"))
