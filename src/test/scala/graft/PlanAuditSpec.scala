@@ -82,6 +82,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("HashAggregate"))
   }
 
+  test("sketch aggregation plans no Expand (exact distinct is its own two-stage agg)") {
+    // mixing countDistinct into the sketch agg would Expand every input row
+    // (one projection per distinct group) — the round-5 7x regression this
+    // locks out. The exact distinct must stay a separate two-stage agg.
+    val plan = planOf("q9_approx_sketches")
+    assert(!plan.contains("Expand"), "q9 regressed to an Expand-based mixed distinct aggregate")
+    assert(plan.contains("BroadcastExchange"), "exact-users side should broadcast-join back")
+  }
+
+  test("LSH-cell IVF broadcasts centroids and probe rows; repetition collapse is a pure projection") {
+    val ivf = planOf("x3_ivf_lsh_topk")
+    assert(ivf.contains("BroadcastExchange"), "IVF centroid/probe sides should broadcast")
+    assert(!ivf.contains("CartesianProduct"))
+    val rep = planOf("x5_collapse_repeats")
+    assert(rep.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "collapse-repeats scan reads more than (doc_id, text)")
+    assert(!rep.contains("Join") && !rep.contains("HashAggregate"),
+      "collapse-repeats should not join or aggregate")
+  }
+
   test("sequence packing shuffles once for the shard window, once for output order") {
     val plan = planOf("x7_pack_sequences")
     assert("Exchange".r.findAllIn(plan).size == 2,
