@@ -93,6 +93,57 @@ object Sampling {
       .drop("__rk", "__n")
   }
 
+  /** Training-mix reweighting: deterministically sample each group
+    * (source, language, domain …) toward a TARGET mixture — the "80% web /
+    * 15% code / 5% books" step of training-mix construction (the static
+    * form of DoReMi-style domain weighting). The target corpus size is
+    * `targetFraction` of the input; group g's quota is `weights(g)` of
+    * that, so its per-row acceptance fraction is
+    * `min(1, weights(g) * floor(targetFraction * N) / n_g)` — groups over
+    * their quota are thinned by md5 selection, groups at or under it pass
+    * whole (a hash sample cannot invent rows; reaching an exact mixture
+    * against a short group means thinning the OTHERS, i.e. a smaller
+    * targetFraction). Groups absent from `weights` get weight 0 and are
+    * dropped.
+    *
+    * Selection is [[hashUnit]]-deterministic per id: re-runs reproduce the
+    * mix, and corpus growth re-derives fractions but never flips a kept row
+    * within an unchanged group. Cost: one tiny group-count aggregate
+    * broadcast back over the corpus — the corpus itself is filtered in a
+    * single map-only pass (zero corpus-scale shuffles).
+    *
+    * Output: kept rows as (groupCol, idCol, accept_frac rounded 9 dp).
+    */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    weights: Map[String, Double], targetFraction: Double): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction in (0,1]: $targetFraction")
+    require(weights.nonEmpty && math.abs(weights.values.sum - 1.0) < 1e-9,
+      s"mixture weights must sum to 1: $weights")
+    // the quota table derives from `df` itself: the group key is renamed so
+    // the corpus-side join resolves unambiguously against the self-lineage
+    val counts = df.groupBy(col(groupCol).as("__g")).agg(count(lit(1)).as("__n"))
+    // weight lookup as a literal CASE chain (sorted for plan determinism);
+    // the oracle twin writes the identical CASE
+    val wexpr = weights.toSeq.sortBy(_._1).foldRight(lit(0.0): Column) {
+      case ((g, w), acc) => when(col("__g") === g, lit(w)).otherwise(acc)
+    }
+    // f computed in the exact literal shape the DuckDB twin uses:
+    // least(1.0, (w * floor(tf * N)) / n) — every step IEEE-identical.
+    // N comes from an unpartitioned window over the COUNTS table — its
+    // cardinality is the number of groups (languages/sources), so the
+    // single-partition window is bytes, never corpus-scale. (Named __tot,
+    // not __N: analysis is case-insensitive, so __N would collide with __n.)
+    val quoted = counts
+      .withColumn("__tot", sum(col("__n")).over(Window.partitionBy()))
+      .withColumn("__f",
+        least(lit(1.0), wexpr * floor(lit(targetFraction) * col("__tot")) / col("__n")))
+      .select(col("__g"), col("__f"))
+    df.join(broadcast(quoted), col(groupCol) === col("__g"))
+      .where(hashUnit(col(idCol)) < col("__f"))
+      .select(col(groupCol), col(idCol), round(col("__f"), 9).as("accept_frac"))
+  }
+
   /** Token-budget quota: per group (source, language, domain …), admit
     * documents in deterministic md5 priority order while the group's
     * cumulative token count stays within `budget` — the "cap each source

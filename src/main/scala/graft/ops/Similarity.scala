@@ -506,4 +506,63 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., arXiv:2303.09540):
+    * cluster the corpus with a coarse quantizer, and within each cluster
+    * drop every vector that has a ≥ `threshold` cosine neighbor of higher
+    * keep-priority — where priority is ASCENDING similarity to the cluster
+    * centroid (the paper's rule: among semantic duplicates, keep the
+    * example LEAST typical of its cluster; ties broken by id). The standard
+    * "prune redundant paraphrases from web-scale corpora" step that exact
+    * and MinHash dedup cannot express.
+    *
+    * Quantizer = [[lshCells]] (closed-form md5 sign-LSH, no fitted state),
+    * so the whole operator — cells, exact-decimal centroids, 6-dp-rounded
+    * priorities, pair verification — is engine-portable and sits under the
+    * driver's bit-exact oracle gate; swap in [[kmeansCells]] for the
+    * data-driven quantizer when hash-portability is not required.
+    *
+    * Scale shape: one cell-keyed self-join (never a cross join) plus the
+    * centroid aggregation; per-cell candidate volume is the knob —
+    * `bitsPerCell` plays exactly the role of SemDeDup's cluster count k
+    * (the paper uses k ≈ 11k for LAION; here 2^bitsPerCell), so at corpus
+    * scale raise it until cells are join-sized. The drop rule compares
+    * against EVERY higher-priority in-cell neighbor (not only kept ones) —
+    * deterministic in one join pass, no iterative peeling.
+    *
+    * Output: every corpus row as (idCol, cell, centroid_cos, kept).
+    */
+  def semanticDedup(
+      corpus: DataFrame, threshold: Double, dim: Int, bitsPerCell: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cells = lshCells(corpus, dim, bitsPerCell, idCol, vecCol)
+    val base = corpus.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+      .join(cells, idCol)
+    // per-cell centroid through the exact DECIMAL sum (order-free), like
+    // ivfTopK: centroid doubles are bit-identical across engines/layouts
+    val cent = base
+      .select(col("cell"), posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy("cell", "__i")
+      .agg((sum(col("__x").cast(DecimalType(27, 10))).cast("double") / count(lit(1))).as("__m"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("__i"), col("__m")))).as("__ims"))
+      .select(col("cell"), transform(col("__ims"), s => s.getField("__m")).as("__c"))
+    // keep-priority key: (6-dp-rounded centroid cosine ASC, id) — rounded
+    // BEFORE comparison so priority order cannot depend on sub-6dp noise
+    val keyed = base.join(broadcast(cent), "cell")
+      .withColumn("centroid_cos",
+        round(dot(col("__v"), col("__c")) / (col("__n") * norm(col("__c"))), 6))
+      .select(col("cell"), col(idCol), col("__v"), col("__n"), col("centroid_cos"))
+    def side(s: String) = keyed.select(col("cell"), col(idCol).as(s"__id$s"),
+      col("__v").as(s"__v$s"), col("__n").as(s"__n$s"), col("centroid_cos").as(s"__cc$s"))
+    val dropped = side("a").join(side("b"), Seq("cell"))
+      .where(struct(col("__cca"), col("__ida")) < struct(col("__ccb"), col("__idb")))
+      .withColumn("__cos", round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .where(col("__cos") >= threshold)
+      .select(col("__idb").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    keyed.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("centroid_cos"),
+        col("__dropped").isNull.as("kept"))
+  }
 }

@@ -483,7 +483,7 @@ object Oracles {
       s"""WITH ${rhpBucketChain(1, 4)},
          |cells AS (SELECT vec_id, CAST(bkt AS INT) AS cell FROM rhp_buck),
          |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
-         |expd AS (SELECT c.cell, i, CAST(e.embedding[i] AS DECIMAL(27,10)) AS xd
+         |expd AS (SELECT c.cell, i, CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(27,10)) AS xd
          |        FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
          |        CROSS JOIN generate_series(1, 64) t(i)),
          |cent AS (SELECT cell, i, CAST(sum(xd) AS DOUBLE) / count(*) AS m FROM expd GROUP BY 1, 2),
@@ -500,6 +500,55 @@ object Oracles {
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s)
          |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    // Mirrors Similarity.semanticDedup end to end: cells = 4 sign bits of
+    // RHP band 0 (the x3_ivf_lsh_topk quantizer), centroids = exact
+    // DECIMAL(27,10) means, keep-priority = (6-dp centroid cosine ASC, id),
+    // drop rule = any same-cell ≥-threshold neighbor of lower priority.
+    // NOTE the double-hop CAST(CAST(f AS DOUBLE) AS DECIMAL): DuckDB's
+    // direct FLOAT→DECIMAL goes through the float's SHORTEST decimal repr
+    // (0.0178204628f → 0.0178204624), while Spark rounds the exact binary
+    // value (→ 0.0178204626); hopping through DOUBLE makes both engines
+    // round the same binary value. Same fix applied in x3_ivf_lsh_topk.
+    "x2_semdedup" -> {
+      def cos(a: String, b: String) =
+        s"""round(
+           |    list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i])) /
+           |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $a[i]))) *
+           |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> $b[i] * $b[i])))), 6)""".stripMargin
+      s"""WITH ${rhpBucketChain(1, 4)},
+         |cells AS (SELECT vec_id, CAST(bkt AS INT) AS cell FROM rhp_buck),
+         |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+         |expd AS (SELECT c.cell, i, CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(27,10)) AS xd
+         |        FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
+         |        CROSS JOIN generate_series(1, 64) t(i)),
+         |cent AS (SELECT cell, i, CAST(sum(xd) AS DOUBLE) / count(*) AS m FROM expd GROUP BY 1, 2),
+         |centarr AS (SELECT cell, list(m ORDER BY i) AS cv FROM cent GROUP BY 1),
+         |keyed AS (SELECT c.cell, e.vec_id, e.ev, ${cos("e.ev", "ca.cv")} AS ccos
+         |        FROM ed e JOIN cells c ON c.vec_id = e.vec_id JOIN centarr ca ON ca.cell = c.cell),
+         |dropped AS (SELECT DISTINCT b.vec_id
+         |        FROM keyed a JOIN keyed b ON a.cell = b.cell
+         |          AND (a.ccos, a.vec_id) < (b.ccos, b.vec_id)
+         |        WHERE ${cos("a.ev", "b.ev")} >= 0.4)
+         |SELECT k.vec_id, k.cell, k.ccos AS centroid_cos, (d.vec_id IS NULL) AS kept
+         |FROM keyed k LEFT JOIN dropped d ON d.vec_id = k.vec_id
+         |ORDER BY k.vec_id""".stripMargin
+    },
+
+    // Mirrors Sampling.mixtureSample: per-lang acceptance fraction
+    // least(1.0, (w * floor(0.6 * N)) / n) in the identical IEEE shape,
+    // md5-unit selection per doc.
+    "x7_mixture_sample" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+         |t AS (SELECT sum(n) AS tot FROM c),
+         |q AS (SELECT lang, least(1.0,
+         |    (CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.2 WHEN 'es' THEN 0.2
+         |               WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.2 ELSE 0.0 END)
+         |    * floor(0.6 * tot) / n) AS f FROM c, t)
+         |SELECT d.lang, d.doc_id, round(q.f, 9) AS accept_frac
+         |FROM documents d JOIN q ON q.lang = d.lang
+         |WHERE $hashUnit < q.f
+         |ORDER BY d.doc_id""".stripMargin,
 
     "x5_quality" ->
       s"""WITH b AS (SELECT doc_id, $norm AS nt FROM documents),

@@ -845,6 +845,29 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** X7: mixture reweighting — sample the lang-skewed corpus (en is ~3×
+    * fr) toward a UNIFORM five-language mix at 60% of corpus size. Long
+    * languages are md5-thinned to quota, short ones pass whole — the
+    * static domain-reweighting step of training-mix construction. One tiny
+    * group-count agg broadcast back; the corpus pass is map-only.
+    */
+  private def x7MixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(t(spark, dir, "documents"), "doc_id", "lang",
+      weights = Map("de" -> 0.2, "en" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
+      targetFraction = 0.6)
+      .orderBy("doc_id")
+
+  /** X2: SemDeDup-style semantic dedup — within each closed-form LSH cell,
+    * drop every embedding with a ≥ 0.4-cosine neighbor of lower
+    * centroid-similarity (keep the least-typical representative). The
+    * quantizer is the md5 sign-LSH cell map, so cells, exact-decimal
+    * centroids and the drop rule are all reproduced bit-exactly by the
+    * DuckDB twin — semantic dedup under the hash gate, not rows-only.
+    */
+  private def x2Semdedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(spark, dir, "embeddings"), threshold = 0.4, dim = 64)
+      .orderBy("vec_id")
+
   /** X7: token-budget quota — cap each source at 800 tokens (the fixture sources hold ~1300 each, so the quota genuinely cuts), admitting
     * docs in md5-priority order (strict prefix semantics: the
     * window-expressible form; the greedy skip-and-continue variant is
@@ -1044,7 +1067,9 @@ object Queries {
     "x8_curation_pipeline" -> (x8CurationPipeline _),
     "x3_quantize_int8" -> (x3QuantizeInt8 _),
     "x6_bpe_merges" -> (x6BpeMerges _),
-    "q8_salted_revenue" -> (q8SaltedRevenue _)
+    "q8_salted_revenue" -> (q8SaltedRevenue _),
+    "x7_mixture_sample" -> (x7MixtureSample _),
+    "x2_semdedup" -> (x2Semdedup _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

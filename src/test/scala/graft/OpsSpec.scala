@@ -431,4 +431,45 @@ class OpsSpec extends SparkSpec {
     assert(out(3)._2 == 6L && math.abs(out(3)._3 - 4.0 / 6) < 1e-6 &&
       math.abs(out(3)._4 - (1.0 - 3.0 / 5)) < 1e-6)
   }
+
+  test("X2 SemDeDup: cells, priorities and drop rule verified against a driver-side reference") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.semanticDedup(emb, threshold = 0.4, dim = 64)
+      .select("vec_id", "cell", "centroid_cos", "kept")
+      .as[(Long, Int, Double, Boolean)].collect()
+    val vecs: Map[Long, Array[Double]] = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    // total, exactly-once output
+    assert(out.length == vecs.size && out.map(_._1).distinct.length == vecs.size)
+    def round6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]) = a.indices.map(i => a(i) * b(i)).sum
+    def cos(a: Array[Double], b: Array[Double]) =
+      round6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    // reference cells from the same md5 hyperplanes (band 0, 4 sign bits)
+    val planes = Array.tabulate(4, 64)(Similarity.planeComponent)
+    val cellOf: Map[Long, Int] = vecs.map { case (id, v) =>
+      id -> (0 until 4).map(j => if (round6(dot(v, planes(j))) >= 0) 1 << j else 0).sum
+    }
+    out.foreach { case (id, c, _, _) => assert(c == cellOf(id), s"cell of $id") }
+    // reference centroids through the same DECIMAL(27,10) sum
+    val byCell = vecs.keys.groupBy(cellOf)
+    val ccos: Map[Long, Double] = byCell.flatMap { case (_, ids) =>
+      val n = ids.size
+      val centroid = Array.tabulate(64) { i =>
+        ids.map(id => BigDecimal(vecs(id)(i)).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble / n
+      }
+      ids.map(id => id -> cos(vecs(id), centroid))
+    }
+    out.foreach { case (id, _, cc, _) => assert(cc == ccos(id), s"centroid_cos of $id") }
+    // reference drop rule: some same-cell >=0.4 neighbor of lower (ccos, id)
+    val ord = Ordering.Tuple2[Double, Long]
+    val dropped = vecs.keys.filter { d =>
+      byCell(cellOf(d)).exists(nbr => nbr != d &&
+        ord.lt((ccos(nbr), nbr), (ccos(d), d)) && cos(vecs(nbr), vecs(d)) >= 0.4)
+    }.toSet
+    assert(dropped.nonEmpty, "fixture should contain semantic duplicates")
+    out.foreach { case (id, _, _, kept) => assert(kept == !dropped(id), s"kept flag of $id") }
+  }
 }

@@ -108,4 +108,24 @@ class PlanAuditSpec extends SparkSpec {
       "packing should shuffle exactly twice (shard window + output sort)")
     assert(plan.contains("Window"), "expected the shard cumsum window")
   }
+
+  test("mixture sampling broadcasts the quota table; the corpus pass is a filter, not a join shuffle") {
+    val plan = planOf("x7_mixture_sample")
+    assert(plan.contains("BroadcastHashJoin"), "quota table should broadcast back over the corpus")
+    // the corpus side must not hash-shuffle for the quota join: between the
+    // join node and the broadcast build (the quota subtree, where the tiny
+    // group-count agg's own exchanges live) the stream side must be a plain
+    // filtered scan
+    val corpusBranch = plan.substring(plan.indexOf("BroadcastHashJoin"),
+      plan.indexOf("BroadcastExchange"))
+    assert(!corpusBranch.contains("Exchange"), "corpus rows shuffle for the quota join")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "mixture scan reads more than (doc_id, lang)")
+  }
+
+  test("semantic dedup joins on cell keys only — no cartesian, centroids broadcast") {
+    val plan = planOf("x2_semdedup")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastExchange"), "centroid table should broadcast")
+  }
 }

@@ -106,4 +106,39 @@ class SamplingSpec extends SparkSpec {
     assert(greedy == expect)
     OpCaches.release()
   }
+
+  test("mixtureSample: long groups thin to quota, short groups pass whole, selection is md5-exact") {
+    // groups a=200, b=100, c=100 rows; weights (.25, .5, .25), target 50% of
+    // 400 = 200 docs -> quotas (50, 100, 50) -> f = (.25, 1.0, .5)
+    val mixed = (0L until 400L).map { i =>
+      (i, if (i < 200) "a" else if (i < 300) "b" else "c")
+    }.toDF("doc_id", "grp")
+    val weights = Map("a" -> 0.25, "b" -> 0.5, "c" -> 0.25)
+    val out = Sampling.mixtureSample(mixed, "doc_id", "grp", weights, targetFraction = 0.5)
+    val by = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(by("b") == 100, s"f=1 group must pass whole: $by")
+    // hash-thinned groups land near quota (binomial tolerance)
+    assert(math.abs(by("a") - 50) <= 20 && math.abs(by("c") - 50) <= 20, by.toString)
+    // selection is EXACTLY hashUnit < f per group — recompute independently
+    val expect = mixed.select($"grp", $"doc_id", Sampling.hashUnit($"doc_id").as("u"))
+      .as[(String, Long, Double)].collect()
+      .filter { case (g, _, u) => u < math.min(1.0, weights(g) * 200.0 / (if (g == "a") 200 else 100)) }
+      .map { case (g, id, _) => (g, id) }.toSet
+    assert(out.select("grp", "doc_id").as[(String, Long)].collect().toSet == expect)
+    // deterministic re-run
+    assert(Sampling.mixtureSample(mixed, "doc_id", "grp", weights, 0.5)
+      .select("doc_id").except(out.select("doc_id")).isEmpty)
+  }
+
+  test("mixtureSample: unweighted groups are dropped; weights must sum to 1") {
+    val mixed = (0L until 100L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "grp")
+    val out = Sampling.mixtureSample(mixed, "doc_id", "grp", Map("a" -> 1.0), targetFraction = 0.4)
+    assert(out.select("grp").distinct().as[String].collect().toSeq == Seq("a"))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(mixed, "doc_id", "grp", Map("a" -> 0.5, "b" -> 0.4), 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(mixed, "doc_id", "grp", Map("a" -> 1.0), 0.0)
+    }
+  }
 }
