@@ -242,6 +242,51 @@ object TextAnalysis {
       array_join(kept, " ").as("clean_text"))
   }
 
+  /** Gopher-style quality-rule filter (Rae et al., arXiv:2112.11446,
+    * appendix A1.1, as popularized by the MassiveText/RefinedWeb cleaning
+    * recipes): each document gets a boolean verdict PER RULE plus the
+    * conjunction (`keep`) — word-count bounds, mean-word-length bounds,
+    * alphabetic-character floor, minimum stopword hits, top-word-fraction
+    * and duplicate-2-gram ceilings. Emitting the per-rule flags (not just
+    * the filter) is what makes the pass auditable: corpus-level rule-trip
+    * rates are the standard diagnostic for tuning a cleaning recipe.
+    *
+    * Every flag compares a 6-dp-ROUNDED metric to its threshold — the same
+    * rounded values [[qualityMetrics]]/[[repetitionMetrics]] emit and the
+    * oracle reproduces bit-exactly — so the verdicts are engine-portable by
+    * construction. Shape: the per-row staged counts plus the repetition
+    * aggregates' (doc, token) shuffle; documents with no words fail
+    * `rule_n_words` and carry `false` repetition flags.
+    */
+  def gopherRules(df: DataFrame, idCol: String, text: Column,
+                  minWords: Long = 30, maxWords: Long = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaRatio: Double = 0.6, minStopwords: Long = 1,
+                  maxTopWordFrac: Double = 0.3, maxDup2gramFrac: Double = 0.3): DataFrame = {
+    val staged = stagedCounts(df, idCol, text)
+    val meanLen = round(col("__sumlen").cast("double") / greatest(col("__nw"), lit(1)).cast("double"), 6)
+    val alphaRatio = round(length(regexp_replace(col("__n"), "[^a-z]", "")).cast("double") /
+      greatest(length(col("__n")), lit(1)).cast("double"), 6)
+    val perRow = staged.select(col(idCol),
+      col("__nw").cast("long").as("n_words"),
+      col("__nw").between(minWords, maxWords).as("rule_n_words"),
+      meanLen.between(minMeanLen, maxMeanLen).as("rule_mean_word_len"),
+      (alphaRatio >= minAlphaRatio).as("rule_alpha_ratio"),
+      (col("__nstop") >= minStopwords).as("rule_stopwords"))
+    val rep = repetitionMetrics(df, idCol, text)
+      .select(col(idCol), (col("top_word_frac") <= maxTopWordFrac).as("rule_top_word"),
+        (col("dup_2gram_frac") <= maxDup2gramFrac).as("rule_dup_2gram"))
+    perRow.join(rep, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        col("rule_n_words"), col("rule_mean_word_len"), col("rule_alpha_ratio"),
+        col("rule_stopwords"),
+        coalesce(col("rule_top_word"), lit(false)).as("rule_top_word"),
+        coalesce(col("rule_dup_2gram"), lit(false)).as("rule_dup_2gram"))
+      .withColumn("keep",
+        col("rule_n_words") && col("rule_mean_word_len") && col("rule_alpha_ratio") &&
+          col("rule_stopwords") && col("rule_top_word") && col("rule_dup_2gram"))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and a
     * winnowing-style shingle fingerprint — the minimum md5 over all
     * character 8-grams (a locality-sensitive "smallest shingle wins"

@@ -845,6 +845,45 @@ object Oracles {
          |  md5(array_to_string(kept, ' ')) AS clean_md5
          |FROM k ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextAnalysis.gopherRules (minWords=30, alpha>=0.8,
+    // top_word<=0.15): per-rule verdicts over the SAME 6-dp-rounded metrics
+    // as x5_quality / x5_repetition, LEFT-joined repetition flags coalesced
+    // false for wordless docs.
+    "x5_gopher_rules" ->
+      s"""WITH b AS (SELECT doc_id, $norm AS nt FROM documents),
+         |w AS (SELECT doc_id, nt, list_filter(string_split(nt, ' '), x -> len(x) > 0) AS ws FROM b),
+         |m AS (SELECT doc_id, nt, len(ws) AS nw,
+         |        coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS sumlen,
+         |        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','the','a','and','of','to','in','is','el','la','de','y','que','los','un','le','et','les','des','une','de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS nstop
+         |      FROM w),
+         |t AS (SELECT doc_id, unnest(ws) AS tk FROM w),
+         |wc AS (SELECT doc_id, tk, count(*) AS c FROM t GROUP BY 1, 2),
+         |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw2, max(c) AS top FROM wc GROUP BY 1),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+         |        THEN list_distinct(list_transform(generate_series(1, len(ws)-1), i -> array_to_string(ws[i:i+1], ' ')))
+         |        ELSE [array_to_string(ws, ' ')] END) AS gm
+         |      FROM w),
+         |ga AS (SELECT doc_id, count(*) AS n2d FROM g GROUP BY 1),
+         |rep AS (SELECT wa.doc_id,
+         |        (round(top*1.0/nw2, 6) <= 0.15) AS rule_top_word,
+         |        ((CASE WHEN nw2 <= 1 THEN 0.0 ELSE round(1.0 - n2d*1.0/(nw2-1), 6) END) <= 0.3) AS rule_dup_2gram
+         |      FROM wa JOIN ga ON wa.doc_id = ga.doc_id)
+         |SELECT m.doc_id, CAST(nw AS BIGINT) AS n_words,
+         |  (nw BETWEEN 30 AND 100000) AS rule_n_words,
+         |  (round(sumlen*1.0/greatest(nw, 1), 6) BETWEEN 3.0 AND 10.0) AS rule_mean_word_len,
+         |  (round(len(regexp_replace(nt, '[^a-z]', '', 'g'))*1.0/greatest(len(nt), 1), 6) >= 0.8) AS rule_alpha_ratio,
+         |  (nstop >= 1) AS rule_stopwords,
+         |  coalesce(rule_top_word, FALSE) AS rule_top_word,
+         |  coalesce(rule_dup_2gram, FALSE) AS rule_dup_2gram,
+         |  ((nw BETWEEN 30 AND 100000)
+         |   AND (round(sumlen*1.0/greatest(nw, 1), 6) BETWEEN 3.0 AND 10.0)
+         |   AND (round(len(regexp_replace(nt, '[^a-z]', '', 'g'))*1.0/greatest(len(nt), 1), 6) >= 0.8)
+         |   AND (nstop >= 1)
+         |   AND coalesce(rule_top_word, FALSE)
+         |   AND coalesce(rule_dup_2gram, FALSE)) AS keep
+         |FROM m LEFT JOIN rep ON rep.doc_id = m.doc_id
+         |ORDER BY m.doc_id""".stripMargin,
+
     "x5_repetition" ->
       s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
          |t AS (SELECT doc_id, unnest(ws) AS tk FROM w),

@@ -603,6 +603,17 @@ object Queries {
     TextAnalysis.repetitionMetrics(t(spark, dir, "documents"), "doc_id", col("text"))
       .orderBy("doc_id")
 
+  /** X5: the composite Gopher rule filter — per-rule boolean verdicts plus
+    * the keep conjunction, with thresholds tuned to discriminate on this
+    * fixture (word floor 30, alpha floor 0.8, top-word ceiling 0.15).
+    * Hash-checked: every verdict compares a 6-dp-rounded metric the twin
+    * reproduces bit-exactly.
+    */
+  private def x5GopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(t(spark, dir, "documents"), "doc_id", col("text"),
+      minWords = 30, minAlphaRatio = 0.8, maxTopWordFrac = 0.15)
+      .orderBy("doc_id")
+
   /** As-of (point-in-time) join: attribute each purchase to the user's
     * latest preceding click (inclusive boundary, max-click-id tiebreak) —
     * the operator Spark lacks natively, composed as union + one keyed
@@ -1069,7 +1080,8 @@ object Queries {
     "x6_bpe_merges" -> (x6BpeMerges _),
     "q8_salted_revenue" -> (q8SaltedRevenue _),
     "x7_mixture_sample" -> (x7MixtureSample _),
-    "x2_semdedup" -> (x2Semdedup _)
+    "x2_semdedup" -> (x2Semdedup _),
+    "x5_gopher_rules" -> (x5GopherRules _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

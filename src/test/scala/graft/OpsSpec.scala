@@ -432,6 +432,28 @@ class OpsSpec extends SparkSpec {
       math.abs(out(3)._4 - (1.0 - 3.0 / 5)) < 1e-6)
   }
 
+  test("X5 Gopher rules: per-rule verdicts and keep conjunction; wordless doc fails safely") {
+    // 36 distinct letter-only words incl. stopwords: no rule trips
+    val good = ((0 until 33).map(i =>
+      s"word${('a' + i / 26).toChar}${('a' + i % 26).toChar}") ++ Seq("the", "and", "of")).mkString(" ")
+    val t = Seq(
+      (1L, good),                                   // passes every rule
+      (2L, "short doc only"),                       // fails word floor
+      (3L, ("spam " * 40).trim),                    // top-word frac 1.0, dup 2-grams
+      (4L, ""),                                     // wordless: repetition flags coalesce false
+      (5L, (("zz1 " * 20) + ("qq2 " * 21)).trim)    // no stopwords, digits cut alpha ratio
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(t, "doc_id", col("text"),
+      minWords = 30, minAlphaRatio = 0.8, maxTopWordFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("rule_n_words") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("rule_top_word") && !out(3L).getAs[Boolean]("rule_dup_2gram"))
+    assert(out(4L).getAs[Long]("n_words") == 0L &&
+      !out(4L).getAs[Boolean]("rule_top_word") && !out(4L).getAs[Boolean]("keep"))
+    assert(!out(5L).getAs[Boolean]("rule_stopwords") && !out(5L).getAs[Boolean]("rule_alpha_ratio"))
+  }
+
   test("X2 SemDeDup: cells, priorities and drop rule verified against a driver-side reference") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.semanticDedup(emb, threshold = 0.4, dim = 64)
