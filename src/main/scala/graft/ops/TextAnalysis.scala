@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §2.12 X5):
   * language ID (stopword-vote heuristic), quality scoring, token counting,
@@ -285,6 +287,79 @@ object TextAnalysis {
       .withColumn("keep",
         col("rule_n_words") && col("rule_mean_word_len") && col("rule_alpha_ratio") &&
           col("rule_stopwords") && col("rule_top_word") && col("rule_dup_2gram"))
+  }
+
+  /** Character trigrams of the staged normalized text: positions 1..len-2,
+    * one gram per position (docs shorter than 3 chars get their whole text
+    * as the single "gram"). Shared by the LM fit and scoring passes so the
+    * gram definition cannot drift between them.
+    */
+  private def charTrigrams(norm: Column): Column =
+    when(length(norm) >= 3,
+      transform(sequence(lit(1), length(norm) - 2), i => norm.substr(i, lit(3))))
+      .otherwise(array(norm))
+
+  /** Character-trigram language-model fit — the CCNet-style "familiarity"
+    * model (Wenzek et al., arXiv:1911.00359 use a 5-gram KenLM; a char
+    * trigram model is its engine-portable small sibling): add-one-smoothed
+    * log-probabilities over the trigrams of a deterministic md5 sample of
+    * the corpus. The fit is FULLY DISTRIBUTED — one explode + count
+    * aggregation, no driver-side training — and the model table is bounded
+    * by the charset cubed (tens of thousands of rows), broadcastable at any
+    * corpus size.
+    *
+    * Portability: log-probs are ln((c+1)/(C+V)) ROUNDED to 6 dp at the
+    * model boundary — `ln` agrees across engines to 1 ulp, so rounded
+    * values are stable; downstream sums go through exact DECIMAL so
+    * aggregation order can never perturb a score.
+    *
+    * Returns (gram, logp). The unseen-gram floor ln(1/(C+V)) is what
+    * [[lmScore]] substitutes for out-of-vocabulary grams.
+    */
+  def charTrigramLmFit(df: DataFrame, idCol: String, text: Column,
+                       sampleFraction: Double = 0.2): DataFrame = {
+    val sampled = Sampling.sampleByHash(df, idCol, sampleFraction)
+    val grams = sampled.select(Dedup.normalizeText(text).as("__n"))
+      .select(explode(charTrigrams(col("__n"))).as("gram"))
+    val counts = grams.groupBy("gram").agg(count(lit(1)).as("__c"))
+    // C (total grams) and V (vocab) over the tiny counts table: one
+    // unpartitioned window, same bytes-sized pattern as mixtureSample
+    counts
+      .withColumn("__tot", sum(col("__c")).over(Window.partitionBy()))
+      .withColumn("__v", count(lit(1)).over(Window.partitionBy()))
+      .select(col("gram"),
+        round(log((col("__c") + 1).cast("double") / (col("__tot") + col("__v")).cast("double")), 6)
+          .as("logp"),
+        col("__tot").as("__lmtot"), col("__v").as("__lmv"))
+  }
+
+  /** Per-document LM familiarity score over a fitted trigram model: the
+    * mean log-probability of the document's trigrams (OOV grams take the
+    * smoothing floor), plus the OOV fraction — the two signals a
+    * CCNet-style perplexity bucket sort runs on. High (less negative)
+    * scores = text that looks like the sample corpus; spam/garbage scores
+    * low or heavily OOV.
+    *
+    * Shape: one explode keyed back by a broadcast join against the model
+    * (bounded vocab), then an exact-DECIMAL mean per doc — rounded logps
+    * are exact multiples of 1e-6, so the DECIMAL(18,6) cast and sum are
+    * bit-identical in any engine regardless of aggregation order.
+    */
+  def lmScore(df: DataFrame, idCol: String, text: Column, lm: DataFrame): DataFrame = {
+    val floorCol = round(log(lit(1.0) / (col("__lmtot") + col("__lmv")).cast("double")), 6)
+    val model = broadcast(lm.select(col("gram"), col("logp")))
+    val floor = broadcast(lm.select(floorCol.as("__floor")).limit(1))
+    val grams = df.select(col(idCol), Dedup.normalizeText(text).as("__n"))
+      .select(col(idCol), explode(charTrigrams(col("__n"))).as("gram"))
+    grams.join(model, Seq("gram"), "left").crossJoin(floor)
+      .withColumn("__lp", coalesce(col("logp"), col("__floor")))
+      .withColumn("__oov", when(col("logp").isNull, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        round((sum(col("__lp").cast(DecimalType(18, 6))).cast("double") / count(lit(1))), 6)
+          .as("lm_score"),
+        round(sum(col("__oov")).cast("double") / count(lit(1)), 6).as("oov_frac"))
   }
 
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and a

@@ -845,6 +845,29 @@ object Oracles {
          |  md5(array_to_string(kept, ' ')) AS clean_md5
          |FROM k ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextAnalysis.charTrigramLmFit + lmScore: 20% md5 sample,
+    // add-one char-trigram logps rounded 6dp at the model boundary (ln
+    // agrees across engines to 1 ulp), per-doc mean through an exact
+    // DECIMAL(18,6) sum so aggregation order cannot move a score.
+    "x5_lm_score" -> {
+      val grams = "CASE WHEN len(nt) >= 3 THEN list_transform(generate_series(1, len(nt)-2), i -> substr(nt, i, 3)) ELSE [nt] END"
+      s"""WITH b AS (SELECT doc_id, $norm AS nt FROM documents),
+         |samp AS (SELECT nt FROM b WHERE $hashUnit < 0.2),
+         |sg AS (SELECT unnest($grams) AS gram FROM samp),
+         |cnt AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM sg GROUP BY 1),
+         |tv AS (SELECT sum(c) AS tot, CAST(count(*) AS BIGINT) AS v FROM cnt),
+         |lm AS (SELECT gram, round(ln(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)), 6) AS logp FROM cnt, tv),
+         |fl AS (SELECT round(ln(1.0 / CAST(tot + v AS DOUBLE)), 6) AS floorp FROM tv),
+         |dg AS (SELECT doc_id, unnest($grams) AS gram FROM b),
+         |j AS (SELECT doc_id, coalesce(lm.logp, fl.floorp) AS lp,
+         |        CASE WHEN lm.gram IS NULL THEN 1 ELSE 0 END AS oov
+         |      FROM dg LEFT JOIN lm ON lm.gram = dg.gram CROSS JOIN fl)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS lm_score,
+         |  round(sum(oov)*1.0 / count(*), 6) AS oov_frac
+         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
     // Mirrors TextAnalysis.gopherRules (minWords=30, alpha>=0.8,
     // top_word<=0.15): per-rule verdicts over the SAME 6-dp-rounded metrics
     // as x5_quality / x5_repetition, LEFT-joined repetition flags coalesced

@@ -614,6 +614,18 @@ object Queries {
       minWords = 30, minAlphaRatio = 0.8, maxTopWordFrac = 0.15)
       .orderBy("doc_id")
 
+  /** X5: CCNet-style LM familiarity — fit a char-trigram add-one LM on the
+    * 20% md5 sample of the corpus (fully distributed, no driver training),
+    * score every document by mean trigram log-prob + OOV fraction. The
+    * whole chain (sample, counts, 6-dp logps, exact-DECIMAL mean) is
+    * engine-portable, so the model AND the scores sit under the hash gate.
+    */
+  private def x5LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val lm = TextAnalysis.charTrigramLmFit(docs, "doc_id", col("text"), sampleFraction = 0.2)
+    TextAnalysis.lmScore(docs, "doc_id", col("text"), lm).orderBy("doc_id")
+  }
+
   /** As-of (point-in-time) join: attribute each purchase to the user's
     * latest preceding click (inclusive boundary, max-click-id tiebreak) —
     * the operator Spark lacks natively, composed as union + one keyed
@@ -1081,7 +1093,8 @@ object Queries {
     "q8_salted_revenue" -> (q8SaltedRevenue _),
     "x7_mixture_sample" -> (x7MixtureSample _),
     "x2_semdedup" -> (x2Semdedup _),
-    "x5_gopher_rules" -> (x5GopherRules _)
+    "x5_gopher_rules" -> (x5GopherRules _),
+    "x5_lm_score" -> (x5LmScore _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

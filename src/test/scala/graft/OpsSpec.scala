@@ -454,6 +454,30 @@ class OpsSpec extends SparkSpec {
     assert(!out(5L).getAs[Boolean]("rule_stopwords") && !out(5L).getAs[Boolean]("rule_alpha_ratio"))
   }
 
+  test("X5 char-trigram LM: fit counts, smoothing, floor and score math verified by hand") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t = Seq((1L, "aaaa"), (2L, "aaab")).toDF("doc_id", "text")
+    val lm = graft.ops.TextAnalysis.charTrigramLmFit(t, "doc_id", col("text"), sampleFraction = 1.0)
+    // grams: doc1 = aaa, aaa; doc2 = aaa, aab -> counts aaa=3, aab=1; C=4, V=2
+    val lmMap = lm.select("gram", "logp").as[(String, Double)].collect().toMap
+    assert(lmMap == Map("aaa" -> r6(math.log(4.0 / 6)), "aab" -> r6(math.log(2.0 / 6))))
+    val s = TextAnalysis.lmScore(t, "doc_id", col("text"), lm)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(s(1L).getAs[Long]("n_grams") == 2L)
+    assert(s(1L).getAs[Double]("lm_score") == lmMap("aaa")) // mean of two equal logps
+    assert(s(1L).getAs[Double]("oov_frac") == 0.0)
+    // expected mean through the SAME exact-decimal sum the operator uses
+    // (a plain double sum lands on the other side of the .xxxxxx5 boundary)
+    val decMean = (BigDecimal(lmMap("aaa")).setScale(6, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(lmMap("aab")).setScale(6, BigDecimal.RoundingMode.HALF_UP)).toDouble / 2
+    assert(s(2L).getAs[Double]("lm_score") == r6(decMean))
+    // fully OOV doc: every gram takes the floor ln(1/(C+V)), oov_frac 1
+    val oov = TextAnalysis.lmScore(Seq((3L, "zzzz")).toDF("doc_id", "text"), "doc_id", col("text"), lm)
+      .head()
+    assert(oov.getAs[Double]("lm_score") == r6(math.log(1.0 / 6)))
+    assert(oov.getAs[Double]("oov_frac") == 1.0)
+  }
+
   test("X2 SemDeDup: cells, priorities and drop rule verified against a driver-side reference") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.semanticDedup(emb, threshold = 0.4, dim = 64)

@@ -128,4 +128,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("BroadcastExchange"), "centroid table should broadcast")
   }
+
+  test("LM scoring broadcasts the model; doc grams never hash-shuffle for the lookup") {
+    val plan = planOf("x5_lm_score")
+    assert(plan.contains("BroadcastHashJoin"), "gram->logp lookup should be a broadcast join")
+    // the only hash exchanges belong to the model fit (tiny vocab agg) and
+    // the final per-doc aggregate — the gram stream itself must reach its
+    // broadcast join unshuffled: no exchange between the join and its
+    // stream-side scan
+    val streamSide = plan.substring(plan.indexOf("BroadcastHashJoin"),
+      plan.indexOf("BroadcastExchange"))
+    assert(!streamSide.contains("Exchange"), "doc grams shuffle before the model lookup")
+  }
 }
