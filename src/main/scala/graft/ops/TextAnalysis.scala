@@ -362,6 +362,94 @@ object TextAnalysis {
         round(sum(col("__oov")).cast("double") / count(lit(1)), 6).as("oov_frac"))
   }
 
+  /** Per-document TF-IDF keyword extraction: the `k` highest-scoring word
+    * tokens of each document under the sklearn-style smoothed IDF
+    * (idf = ln((1+N)/(1+df)) + 1, score = tf · idf) — the cheap
+    * "what is this document about" signal used for corpus exploration,
+    * topic bucketing and keyword-based decontamination.
+    *
+    * Shape: one (doc, token) count aggregation with map-side combine, a
+    * token-keyed document-frequency re-aggregation over the ALREADY
+    * collapsed per-doc rows (vocab-sized, broadcast back), and a per-doc
+    * top-k window. IDFs are rounded to 6 dp before the multiply so scores
+    * and ranks are engine-portable; ties break toward the lexicographically
+    * smaller token.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, text: Column, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val tf = df.select(col(idCol), explode(words(text)).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    val nDocs = df.agg(count(lit(1)).as("__nd"))
+    val idf = docFreq.crossJoin(broadcast(nDocs))
+      .select(col("token"),
+        round(log((lit(1) + col("__nd")).cast("double") / (lit(1) + col("__df")).cast("double")) + 1, 6)
+          .as("idf"))
+    val scored = tf.join(broadcast(idf), "token")
+      .withColumn("score", round(col("tf").cast("double") * col("idf"), 6))
+    val w = W.partitionBy(col(idCol)).orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"), col("token"),
+        col("tf"), col("score"))
+  }
+
+  /** BM25 retrieval over the corpus (Robertson/Spärck Jones, the standard
+    * probabilistic ranking function): for each query string, the `topK`
+    * highest-scoring documents under
+    * score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). This is the keyword-search
+    * surface of the engine — eval-set leakage hunts and corpus exploration
+    * both reduce to "find the documents most like this string".
+    *
+    * Shape: query terms form a tiny broadcast table; candidate docs come
+    * from a semi-join-style inner join on token (docs sharing no query
+    * term never score, exactly the inverted-index access path); per-term
+    * idf and the corpus stats (N, avgdl) are vocab-/scalar-sized
+    * broadcasts. IDFs round to 6 dp, per-term contributions sum through
+    * exact DECIMAL, final scores round to 6 dp — ranks engine-portable,
+    * doc-id tiebreak.
+    */
+  def bm25Search(df: DataFrame, idCol: String, text: Column,
+                 queries: Seq[(String, String)], topK: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docWords = df.select(col(idCol), words(text).as("__w"))
+      .select(col(idCol), size(col("__w")).cast("long").as("__dl"), col("__w"))
+    val tf = docWords.select(col(idCol), col("__dl"), explode(col("__w")).as("token"))
+      .groupBy(col(idCol), col("__dl"), col("token")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    // corpus stats: N and average doc length (exact integer sums -> one
+    // double division, identical in any engine)
+    val stats = docWords.agg(count(lit(1)).as("__nd"), sum(col("__dl")).as("__sumdl"))
+    val qTerms = queries.toDF("query_id", "__qtext")
+      .select(col("query_id"), explode_outer(words(col("__qtext"))).as("token")).distinct()
+    val idf = qTerms.join(docFreq, Seq("token")).crossJoin(broadcast(stats))
+      .select(col("query_id"), col("token"),
+        round(log(lit(1.0) +
+          (col("__nd").cast("double") - col("__df") + 0.5) / (col("__df").cast("double") + 0.5)), 6)
+          .as("idf"),
+        col("__nd"), col("__sumdl"))
+    val perTerm = tf.join(broadcast(idf), "token")
+      .withColumn("__avgdl", col("__sumdl").cast("double") / col("__nd").cast("double"))
+      // constant subexpressions (k1+1, 1-b) fold on the driver so the twin
+      // can write the same plain literals
+      .withColumn("__contrib", round(
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("__dl").cast("double") / col("__avgdl"))), 6))
+    val scored = perTerm.groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("__contrib").cast(DecimalType(18, 6))).cast("double"), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+    val w = W.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col(idCol),
+        col("score"), col("n_terms"))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and a
     * winnowing-style shingle fingerprint — the minimum md5 over all
     * character 8-grams (a locality-sensitive "smallest shingle wins"

@@ -845,6 +845,53 @@ object Oracles {
          |  md5(array_to_string(kept, ' ')) AS clean_md5
          |FROM k ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextAnalysis.tfidfKeywords: sklearn-smoothed idf
+    // ln((1+N)/(1+df)) + 1 rounded 6dp, score = tf * idf rounded 6dp,
+    // top-3 per doc with token tiebreak.
+    "x6_tfidf_keywords" ->
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         |t AS (SELECT doc_id, unnest(ws) AS token FROM w),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndoc FROM documents),
+         |idf AS (SELECT token, round(ln((1 + ndoc) * 1.0 / (1 + dfc)) + 1, 6) AS idf FROM dfq, nd),
+         |s AS (SELECT tf.doc_id, tf.token, tf.tf, round(tf.tf * idf.idf, 6) AS score
+         |      FROM tf JOIN idf USING (token))
+         |SELECT doc_id, CAST(rn AS BIGINT) AS rank, token, tf, score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) rn FROM s)
+         |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Mirrors TextAnalysis.bm25Search (k1=1.2, b=0.75): idf =
+    // ln(1+(N-df+0.5)/(df+0.5)) rounded 6dp, per-term contributions
+    // rounded 6dp and summed through exact DECIMAL, constants written as
+    // the same folded literals (k1+1=2.2, 1-b=0.25).
+    "x6_bm25_search" ->
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         |dw AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+         |t AS (SELECT doc_id, dl, unnest(ws) AS token FROM dw),
+         |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2, 3),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS ndoc, CAST(sum(dl) AS BIGINT) AS sumdl FROM dw),
+         |q(query_id, qtext) AS (VALUES
+         |  ('q_join', 'spark join filter'),
+         |  ('q_scan', 'table scan fast'),
+         |  ('q_window', 'window order batch')),
+         |qt AS (SELECT DISTINCT query_id, token FROM (
+         |  SELECT query_id, unnest(list_filter(string_split(regexp_replace(trim(lower(qtext)), '\\s+', ' ', 'g'), ' '), x -> len(x) > 0)) AS token FROM q)),
+         |idf AS (SELECT query_id, token, round(ln(1.0 + (ndoc - dfc + 0.5) / (dfc + 0.5)), 6) AS idf
+         |      FROM qt JOIN dfq USING (token), st),
+         |pt AS (SELECT idf.query_id, tf.doc_id,
+         |        round(idf.idf * (tf.tf * 2.2) /
+         |          (tf.tf + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / ndoc))), 6) AS contrib
+         |      FROM tf JOIN idf USING (token), st),
+         |sc AS (SELECT query_id, doc_id,
+         |        round(CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE), 6) AS score,
+         |        CAST(count(*) AS BIGINT) AS n_terms
+         |      FROM pt GROUP BY 1, 2)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, score, n_terms
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) rn FROM sc)
+         |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
     // Mirrors TextAnalysis.charTrigramLmFit + lmScore: 20% md5 sample,
     // add-one char-trigram logps rounded 6dp at the model boundary (ln
     // agrees across engines to 1 ulp), per-doc mean through an exact

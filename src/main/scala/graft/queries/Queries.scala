@@ -626,6 +626,28 @@ object Queries {
     TextAnalysis.lmScore(docs, "doc_id", col("text"), lm).orderBy("doc_id")
   }
 
+  /** X6: per-document TF-IDF keywords — top-3 tokens per doc under the
+    * sklearn-smoothed idf, 6-dp-rounded scores, token tiebreak. The
+    * "what is each document about" exploration signal.
+    */
+  private def x6TfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfKeywords(t(spark, dir, "documents"), "doc_id", col("text"), k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** X6: BM25 keyword retrieval — top-10 documents for three fixed query
+    * strings drawn from the fixture vocabulary. Candidates come from an
+    * inner join on query terms (the inverted-index access path: docs
+    * sharing no term never score).
+    */
+  private def x6Bm25Search(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Search(t(spark, dir, "documents"), "doc_id", col("text"),
+      queries = Seq(
+        "q_join" -> "spark join filter",
+        "q_scan" -> "table scan fast",
+        "q_window" -> "window order batch"),
+      topK = 10)
+      .orderBy("query_id", "rank")
+
   /** As-of (point-in-time) join: attribute each purchase to the user's
     * latest preceding click (inclusive boundary, max-click-id tiebreak) —
     * the operator Spark lacks natively, composed as union + one keyed
@@ -1094,7 +1116,9 @@ object Queries {
     "x7_mixture_sample" -> (x7MixtureSample _),
     "x2_semdedup" -> (x2Semdedup _),
     "x5_gopher_rules" -> (x5GopherRules _),
-    "x5_lm_score" -> (x5LmScore _)
+    "x5_lm_score" -> (x5LmScore _),
+    "x6_tfidf_keywords" -> (x6TfidfKeywords _),
+    "x6_bm25_search" -> (x6Bm25Search _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

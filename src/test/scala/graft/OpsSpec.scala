@@ -454,6 +454,35 @@ class OpsSpec extends SparkSpec {
     assert(!out(5L).getAs[Boolean]("rule_stopwords") && !out(5L).getAs[Boolean]("rule_alpha_ratio"))
   }
 
+  test("X6 TF-IDF keywords and BM25 retrieval: scores verified by hand") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val corpus = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple cherry"),
+      (3L, "durian durian durian")).toDF("doc_id", "text")
+    // tf-idf: N=3; df(apple)=2, df(banana)=1 -> doc1 rank1 = banana (tf 2)
+    val kw = TextAnalysis.tfidfKeywords(corpus, "doc_id", col("text"), k = 2)
+      .select("doc_id", "rank", "token", "score")
+      .as[(Long, Long, String, Double)].collect().toSet
+    val idfBanana = r6(math.log(4.0 / 2) + 1)
+    val idfApple = r6(math.log(4.0 / 3) + 1)
+    assert(kw.contains((1L, 1L, "banana", r6(2.0 * idfBanana))))
+    assert(kw.contains((1L, 2L, "apple", r6(1.0 * idfApple))))
+    assert(kw.contains((3L, 1L, "durian", r6(3.0 * r6(math.log(4.0 / 2) + 1)))))
+    // bm25 "apple": docs 1 and 2 match; doc2 is shorter at equal tf -> ranks first
+    val hits = TextAnalysis.bm25Search(corpus, "doc_id", col("text"),
+      queries = Seq("q" -> "apple"), topK = 10)
+      .select("rank", "doc_id", "score", "n_terms")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(hits.map(_._2).toSeq == Seq(2L, 1L)) // doc3 shares no term: never scored
+    val idfQ = r6(math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5)))
+    val avgdl = 8.0 / 3
+    def contrib(tf: Long, dl: Long) =
+      r6(idfQ * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+    assert(hits.map(h => (h._2, h._3)).toMap == Map(2L -> contrib(1, 2), 1L -> contrib(1, 3)))
+    assert(hits.forall(_._4 == 1L))
+  }
+
   test("X5 char-trigram LM: fit counts, smoothing, floor and score math verified by hand") {
     def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val t = Seq((1L, "aaaa"), (2L, "aaab")).toDF("doc_id", "text")
