@@ -1008,6 +1008,73 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin,
 
     // The composed curation pipeline, stage for stage the Spark plan:
+    // Mirrors x8CurationV2: gopher keep (x5_gopher_rules semantics) ->
+    // LM floor -5.43 (x5_lm_score semantics, model fit on the RAW corpus's
+    // 20% sample) -> uniform-lang mixture at 80% of the FILTERED corpus ->
+    // train split -> pack per source. Each sub-chain is copied verbatim
+    // from its per-stage twin so the composition cannot drift from the
+    // stages it composes.
+    "x8_curation_v2" -> {
+      val c0 = graft.ops.Sampling.cumulativeCuts(graft.ops.Sampling.DefaultSplits).head
+      val grams = "CASE WHEN len(nt) >= 3 THEN list_transform(generate_series(1, len(nt)-2), i -> substr(nt, i, 3)) ELSE [nt] END"
+      s"""WITH b AS (SELECT doc_id, $norm AS nt FROM documents),
+         |w AS (SELECT doc_id, nt, list_filter(string_split(nt, ' '), x -> len(x) > 0) AS ws FROM b),
+         |m AS (SELECT doc_id, nt, len(ws) AS nw,
+         |        coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS sumlen,
+         |        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','the','a','and','of','to','in','is','el','la','de','y','que','los','un','le','et','les','des','une','de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS nstop
+         |      FROM w),
+         |t AS (SELECT doc_id, unnest(ws) AS tk FROM w),
+         |wc AS (SELECT doc_id, tk, count(*) AS c FROM t GROUP BY 1, 2),
+         |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw2, max(c) AS top FROM wc GROUP BY 1),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+         |        THEN list_distinct(list_transform(generate_series(1, len(ws)-1), i -> array_to_string(ws[i:i+1], ' ')))
+         |        ELSE [array_to_string(ws, ' ')] END) AS gm
+         |      FROM w),
+         |ga AS (SELECT doc_id, count(*) AS n2d FROM g GROUP BY 1),
+         |rep AS (SELECT wa.doc_id,
+         |        (round(top*1.0/nw2, 6) <= 0.15) AS rule_top_word,
+         |        ((CASE WHEN nw2 <= 1 THEN 0.0 ELSE round(1.0 - n2d*1.0/(nw2-1), 6) END) <= 0.3) AS rule_dup_2gram
+         |      FROM wa JOIN ga ON wa.doc_id = ga.doc_id),
+         |gk AS (SELECT m.doc_id FROM m LEFT JOIN rep ON rep.doc_id = m.doc_id
+         |      WHERE (nw BETWEEN 30 AND 100000)
+         |        AND (round(sumlen*1.0/greatest(nw, 1), 6) BETWEEN 3.0 AND 10.0)
+         |        AND (round(len(regexp_replace(nt, '[^a-z]', '', 'g'))*1.0/greatest(len(nt), 1), 6) >= 0.8)
+         |        AND (nstop >= 1)
+         |        AND coalesce(rule_top_word, FALSE)
+         |        AND coalesce(rule_dup_2gram, FALSE)),
+         |samp AS (SELECT nt FROM b WHERE $hashUnit < 0.2),
+         |sg AS (SELECT unnest($grams) AS gram FROM samp),
+         |cnt AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM sg GROUP BY 1),
+         |tv AS (SELECT sum(c) AS tot, CAST(count(*) AS BIGINT) AS v FROM cnt),
+         |lm AS (SELECT gram, round(ln(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)), 6) AS logp FROM cnt, tv),
+         |fl AS (SELECT round(ln(1.0 / CAST(tot + v AS DOUBLE)), 6) AS floorp FROM tv),
+         |dg AS (SELECT doc_id, unnest($grams) AS gram FROM b),
+         |j AS (SELECT doc_id, coalesce(lm.logp, fl.floorp) AS lp
+         |      FROM dg LEFT JOIN lm ON lm.gram = dg.gram CROSS JOIN fl),
+         |ls AS (SELECT doc_id FROM j GROUP BY 1
+         |      HAVING round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) >= -5.43),
+         |fd AS (SELECT d.* FROM documents d JOIN gk USING (doc_id) JOIN ls USING (doc_id)),
+         |mc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM fd GROUP BY lang),
+         |mt AS (SELECT sum(n) AS tot FROM mc),
+         |mq AS (SELECT lang, least(1.0,
+         |    (CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.2 WHEN 'es' THEN 0.2
+         |               WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.2 ELSE 0.0 END)
+         |    * floor(0.8 * tot) / n) AS f FROM mc, mt),
+         |mx AS (SELECT fd.doc_id, fd.source, fd.text FROM fd JOIN mq ON mq.lang = fd.lang
+         |      WHERE $hashUnit < mq.f),
+         |pb AS (SELECT source, doc_id,
+         |        CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |        $hashUnit AS u
+         |      FROM mx WHERE $hashUnit < $c0),
+         |pc AS (SELECT source, doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM pb WHERE n_tokens > 0)
+         |SELECT source, doc_id, n_tokens, cum - n_tokens AS start_offset,
+         |  (cum - n_tokens) // 512 AS first_seq, (cum - 1) // 512 AS last_seq
+         |FROM pc ORDER BY source, start_offset""".stripMargin
+    },
+
     // clean (x6 semantics) -> decontaminate (x7d, benchmark = doc_id%20=0
     // of the RAW corpus) -> near-dup dedup over the survivors (minhash +
     // recursive components) -> split (keep 'train') -> pack per source.

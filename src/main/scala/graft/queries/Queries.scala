@@ -1033,6 +1033,36 @@ object Queries {
       .orderBy("source", "start_offset")
   }
 
+  /** X8b: the round-5 composed pipeline — the same "what a user actually
+    * runs" check as [[x8CurationPipeline]], but chaining the NEW signal
+    * family: Gopher rule filter → LM familiarity floor (model fit on the
+    * raw corpus's 20% md5 sample) → uniform-language mixture reweighting
+    * at 80% of the filtered corpus → train split → sequence packing. Every
+    * stage is individually oracle-checked; this query pins their
+    * composition (filter interactions, fraction bases, column flow) under
+    * one hash.
+    */
+  private def x8CurationV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val keepIds = TextAnalysis.gopherRules(docs, "doc_id", col("text"),
+      minWords = 30, minAlphaRatio = 0.8, maxTopWordFrac = 0.15)
+      .where(col("keep")).select("doc_id")
+    val lm = TextAnalysis.charTrigramLmFit(docs, "doc_id", col("text"), sampleFraction = 0.2)
+    val familiar = TextAnalysis.lmScore(docs, "doc_id", col("text"), lm)
+      .where(col("lm_score") >= -5.43).select("doc_id")
+    val filtered = docs.join(keepIds, "doc_id").join(familiar, "doc_id")
+    // mixture fractions are computed on the FILTERED corpus — the base a
+    // real mix targets after cleaning, not the raw doc counts
+    val mixed = Sampling.mixtureSample(filtered, "doc_id", "lang",
+      weights = Map("de" -> 0.2, "en" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
+      targetFraction = 0.8)
+      .select("doc_id")
+    val train = Sampling.assignSplit(docs.join(mixed, "doc_id"), "doc_id")
+      .where(col("split") === "train")
+    Packing.concatChunkPack(train, "doc_id", col("text"), seqLen = 512L, Seq("source"))
+      .orderBy("source", "start_offset")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -1118,7 +1148,8 @@ object Queries {
     "x5_gopher_rules" -> (x5GopherRules _),
     "x5_lm_score" -> (x5LmScore _),
     "x6_tfidf_keywords" -> (x6TfidfKeywords _),
-    "x6_bm25_search" -> (x6Bm25Search _)
+    "x6_bm25_search" -> (x6Bm25Search _),
+    "x8_curation_v2" -> (x8CurationV2 _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
