@@ -548,11 +548,15 @@ object Similarity {
       .groupBy("cell").agg(array_sort(collect_list(struct(col("__i"), col("__m")))).as("__ims"))
       .select(col("cell"), transform(col("__ims"), s => s.getField("__m")).as("__c"))
     // keep-priority key: (6-dp-rounded centroid cosine ASC, id) — rounded
-    // BEFORE comparison so priority order cannot depend on sub-6dp noise
-    val keyed = base.join(broadcast(cent), "cell")
+    // BEFORE comparison so priority order cannot depend on sub-6dp noise.
+    // Pinned: keyed feeds both self-join sides AND the final kept-flag
+    // join; unpinned, the corpus scan + cell projection + centroid cosine
+    // would execute three times (caller releases via OpCaches, as with
+    // every operator-internal persist)
+    val keyed = OpCaches.pin(base.join(broadcast(cent), "cell")
       .withColumn("centroid_cos",
         round(dot(col("__v"), col("__c")) / (col("__n") * norm(col("__c"))), 6))
-      .select(col("cell"), col(idCol), col("__v"), col("__n"), col("centroid_cos"))
+      .select(col("cell"), col(idCol), col("__v"), col("__n"), col("centroid_cos")))
     def side(s: String) = keyed.select(col("cell"), col(idCol).as(s"__id$s"),
       col("__v").as(s"__v$s"), col("__n").as(s"__n$s"), col("centroid_cos").as(s"__cc$s"))
     val dropped = side("a").join(side("b"), Seq("cell"))

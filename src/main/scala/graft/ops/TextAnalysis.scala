@@ -76,19 +76,30 @@ object TextAnalysis {
     */
   def qualityMetrics(df: DataFrame, idCol: String, text: Column): DataFrame = {
     val staged = stagedCounts(df, idCol, text)
-    val nWords = col("__nw")
-    val meanLen = col("__sumlen").cast("double") / greatest(nWords, lit(1)).cast("double")
-    val stopRatio = col("__nstop").cast("double") / greatest(nWords, lit(1)).cast("double")
-    val alphaRatio = length(regexp_replace(col("__n"), "[^a-z]", "")).cast("double") /
-      greatest(length(col("__n")), lit(1)).cast("double")
+    val stopRatio = col("__nstop").cast("double") / greatest(col("__nw"), lit(1)).cast("double")
     staged.select(col(idCol),
-      nWords.cast("long").as("n_words"),
+      col("__nw").cast("long").as("n_words"),
       col("__ntok").cast("long").as("n_tokens"),
-      round(meanLen, 6).as("mean_word_len"),
+      round(meanWordLen, 6).as("mean_word_len"),
       round(stopRatio, 6).as("stopword_ratio"),
-      round(alphaRatio, 6).as("alpha_ratio"),
+      round(alphaRatioExpr, 6).as("alpha_ratio"),
       blendedScore.as("quality_score"))
   }
+
+  /** Mean word length over [[stagedCounts]] columns (unrounded) — ONE
+    * definition shared by [[qualityMetrics]], [[blendedScore]] and
+    * [[gopherRules]] so the metric cannot drift between the emitters and
+    * the rule filter that promises bit-parity with them.
+    */
+  private def meanWordLen: Column =
+    col("__sumlen").cast("double") / greatest(col("__nw"), lit(1)).cast("double")
+
+  /** Alphabetic-character fraction of the staged normalized text
+    * (unrounded) — shared for the same reason as [[meanWordLen]].
+    */
+  private def alphaRatioExpr: Column =
+    length(regexp_replace(col("__n"), "[^a-z]", "")).cast("double") /
+      greatest(length(col("__n")), lit(1)).cast("double")
 
   /** Staged per-doc counts (`__n` norm text, `__w` word array, `__nw`,
     * `__sumlen`, `__nstop`, `__ntok`) shared by [[qualityMetrics]] and
@@ -109,10 +120,9 @@ object TextAnalysis {
     */
   private def blendedScore: Column = {
     val nWords = col("__nw")
-    val meanLen = col("__sumlen").cast("double") / greatest(nWords, lit(1)).cast("double")
     val stopRatio = col("__nstop").cast("double") / greatest(nWords, lit(1)).cast("double")
     val lengthScore = least(nWords.cast("double") / lit(50.0), lit(1.0))
-    val wordLenScore = when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val wordLenScore = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
     round((lengthScore + wordLenScore + least(stopRatio * 5, lit(1.0))) / 3.0, 6)
   }
 
@@ -266,14 +276,11 @@ object TextAnalysis {
                   minAlphaRatio: Double = 0.6, minStopwords: Long = 1,
                   maxTopWordFrac: Double = 0.3, maxDup2gramFrac: Double = 0.3): DataFrame = {
     val staged = stagedCounts(df, idCol, text)
-    val meanLen = round(col("__sumlen").cast("double") / greatest(col("__nw"), lit(1)).cast("double"), 6)
-    val alphaRatio = round(length(regexp_replace(col("__n"), "[^a-z]", "")).cast("double") /
-      greatest(length(col("__n")), lit(1)).cast("double"), 6)
     val perRow = staged.select(col(idCol),
       col("__nw").cast("long").as("n_words"),
       col("__nw").between(minWords, maxWords).as("rule_n_words"),
-      meanLen.between(minMeanLen, maxMeanLen).as("rule_mean_word_len"),
-      (alphaRatio >= minAlphaRatio).as("rule_alpha_ratio"),
+      round(meanWordLen, 6).between(minMeanLen, maxMeanLen).as("rule_mean_word_len"),
+      (round(alphaRatioExpr, 6) >= minAlphaRatio).as("rule_alpha_ratio"),
       (col("__nstop") >= minStopwords).as("rule_stopwords"))
     val rep = repetitionMetrics(df, idCol, text)
       .select(col(idCol), (col("top_word_frac") <= maxTopWordFrac).as("rule_top_word"),
@@ -346,9 +353,15 @@ object TextAnalysis {
     * bit-identical in any engine regardless of aggregation order.
     */
   def lmScore(df: DataFrame, idCol: String, text: Column, lm: DataFrame): DataFrame = {
-    val floorCol = round(log(lit(1.0) / (col("__lmtot") + col("__lmv")).cast("double")), 6)
     val model = broadcast(lm.select(col("gram"), col("logp")))
-    val floor = broadcast(lm.select(floorCol.as("__floor")).limit(1))
+    // the floor comes from an ungrouped AGGREGATE, which yields exactly one
+    // row even over an empty model (max of empty = null): a degenerate fit
+    // (empty sample) then scores every doc with NULL lm_score instead of
+    // annihilating the output through an empty cross join — the same
+    // one-row/NULL behavior as the oracle twin's ungrouped `tv` aggregate
+    val floor = broadcast(lm.agg(
+      round(log(lit(1.0) / (max(col("__lmtot")) + max(col("__lmv"))).cast("double")), 6)
+        .as("__floor")))
     val grams = df.select(col(idCol), Dedup.normalizeText(text).as("__n"))
       .select(col(idCol), explode(charTrigrams(col("__n"))).as("gram"))
     grams.join(model, Seq("gram"), "left").crossJoin(floor)
@@ -376,7 +389,6 @@ object TextAnalysis {
     * smaller token.
     */
   def tfidfKeywords(df: DataFrame, idCol: String, text: Column, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.{Window => W}
     val tf = df.select(col(idCol), explode(words(text)).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy("token").agg(count(lit(1)).as("__df"))
@@ -387,7 +399,7 @@ object TextAnalysis {
           .as("idf"))
     val scored = tf.join(broadcast(idf), "token")
       .withColumn("score", round(col("tf").cast("double") * col("idf"), 6))
-    val w = W.partitionBy(col(idCol)).orderBy(col("score").desc, col("token"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(idCol), col("rank").cast("long").as("rank"), col("token"),
@@ -413,7 +425,6 @@ object TextAnalysis {
   def bm25Search(df: DataFrame, idCol: String, text: Column,
                  queries: Seq[(String, String)], topK: Int = 10,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.{Window => W}
     val spark = df.sparkSession
     import spark.implicits._
     val docWords = df.select(col(idCol), words(text).as("__w"))
@@ -443,7 +454,7 @@ object TextAnalysis {
     val scored = perTerm.groupBy(col("query_id"), col(idCol))
       .agg(round(sum(col("__contrib").cast(DecimalType(18, 6))).cast("double"), 6).as("score"),
         count(lit(1)).as("n_terms"))
-    val w = W.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col(idCol),

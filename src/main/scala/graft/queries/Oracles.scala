@@ -544,7 +544,7 @@ object Oracles {
          |q AS (SELECT lang, least(1.0,
          |    (CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.2 WHEN 'es' THEN 0.2
          |               WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.2 ELSE 0.0 END)
-         |    * floor(0.6 * tot) / n) AS f FROM c, t)
+         |    * floor(0.6 * CAST(tot AS DOUBLE)) / n) AS f FROM c, t)
          |SELECT d.lang, d.doc_id, round(q.f, 9) AS accept_frac
          |FROM documents d JOIN q ON q.lang = d.lang
          |WHERE $hashUnit < q.f
@@ -881,7 +881,7 @@ object Oracles {
          |idf AS (SELECT query_id, token, round(ln(1.0 + (ndoc - dfc + 0.5) / (dfc + 0.5)), 6) AS idf
          |      FROM qt JOIN dfq USING (token), st),
          |pt AS (SELECT idf.query_id, tf.doc_id,
-         |        round(idf.idf * (tf.tf * 2.2) /
+         |        round(idf.idf * (tf.tf * CAST(2.2 AS DOUBLE)) /
          |          (tf.tf + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / ndoc))), 6) AS contrib
          |      FROM tf JOIN idf USING (token), st),
          |sc AS (SELECT query_id, doc_id,
@@ -1059,7 +1059,7 @@ object Oracles {
          |mq AS (SELECT lang, least(1.0,
          |    (CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.2 WHEN 'es' THEN 0.2
          |               WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.2 ELSE 0.0 END)
-         |    * floor(0.8 * tot) / n) AS f FROM mc, mt),
+         |    * floor(0.8 * CAST(tot AS DOUBLE)) / n) AS f FROM mc, mt),
          |mx AS (SELECT fd.doc_id, fd.source, fd.text FROM fd JOIN mq ON mq.lang = fd.lang
          |      WHERE $hashUnit < mq.f),
          |pb AS (SELECT source, doc_id,

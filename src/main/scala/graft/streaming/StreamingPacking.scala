@@ -33,14 +33,11 @@ object StreamingPacking {
                           startOffset: Long, firstSeq: Long, lastSeq: Long)
 
   /** JVM twin of `Sampling.hashUnit` (Column form) — keep in sync: first 8
-    * md5 hex chars of the id string over 2^32.
+    * md5 hex chars of the id string over 2^32. Digest/hex via the one
+    * shared [[StreamingCdc.md5Hex]] like the other streaming twins.
     */
-  private[graft] def hashUnit(id: Long): Double = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(4).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex, 16) / 4294967296.0
-  }
+  private[graft] def hashUnit(id: Long): Double =
+    java.lang.Long.parseLong(StreamingCdc.md5Hex(id.toString).substring(0, 8), 16) / 4294967296.0
 
   final class PackProcessor(seqLen: Long) extends StatefulProcessor[String, Doc, Placed] {
     @transient private var streamLen: ValueState[Long] = _

@@ -505,6 +505,14 @@ class OpsSpec extends SparkSpec {
       .head()
     assert(oov.getAs[Double]("lm_score") == r6(math.log(1.0 / 6)))
     assert(oov.getAs[Double]("oov_frac") == 1.0)
+    // degenerate EMPTY model (sample selected nothing): still one row per
+    // doc with NULL score / oov 1, never an annihilated (empty) output
+    val emptyLm = graft.ops.TextAnalysis.charTrigramLmFit(
+      t.where(lit(false)), "doc_id", col("text"), sampleFraction = 1.0)
+    val degenerate = TextAnalysis.lmScore(t, "doc_id", col("text"), emptyLm).collect()
+    assert(degenerate.length == 2)
+    assert(degenerate.forall(r => r.isNullAt(r.fieldIndex("lm_score"))))
+    assert(degenerate.forall(_.getAs[Double]("oov_frac") == 1.0))
   }
 
   test("X2 SemDeDup: cells, priorities and drop rule verified against a driver-side reference") {
