@@ -1050,7 +1050,12 @@ object Queries {
     val lm = TextAnalysis.charTrigramLmFit(docs, "doc_id", col("text"), sampleFraction = 0.2)
     val familiar = TextAnalysis.lmScore(docs, "doc_id", col("text"), lm)
       .where(col("lm_score") >= -5.43).select("doc_id")
-    val filtered = docs.join(keepIds, "doc_id").join(familiar, "doc_id")
+    // pinned: the filtered corpus (two chained filter joins over the gopher
+    // and LM passes) feeds BOTH mixtureSample's group-count aggregate and
+    // its selection join — unpinned, the whole gopher+LM chain runs twice
+    // (released by the caller via OpCaches, like every pipeline pin)
+    val filtered = graft.ops.OpCaches.pin(
+      docs.join(keepIds, "doc_id").join(familiar, "doc_id"))
     // mixture fractions are computed on the FILTERED corpus — the base a
     // real mix targets after cleaning, not the raw doc counts
     val mixed = Sampling.mixtureSample(filtered, "doc_id", "lang",
