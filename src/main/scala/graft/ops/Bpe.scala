@@ -31,10 +31,22 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** Padded symbol string of a word: " l o w " (boundary spaces let a
-    * merge pattern " a b " match at word edges).
+    * merge pattern " a b " match at word edges). Iterates CODE POINTS, not
+    * UTF-16 units: the distributed apply side segments with regex '(.)'
+    * (one code point per match in both Java and RE2), so splitting a
+    * supplementary-plane character into surrogate halves here would learn
+    * merges the apply pass can never match.
     */
-  private[graft] def paddedSeg(word: String): String =
-    " " + word.map(c => s"$c ").mkString
+  private[graft] def paddedSeg(word: String): String = {
+    val sb = new StringBuilder(" ")
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      sb.appendAll(Character.toChars(cp)).append(' ')
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
 
   /** One merge application: `passes` rounds of leftmost non-overlapping
     * replace — the JVM twin of the oracle's nested `replace()` calls.
@@ -62,7 +74,7 @@ object Bpe {
     * total occurrences). Returns (merge_rank, lhs, rhs, pair_freq) —
     * fewer rows iff the vocabulary runs out of adjacent pairs first.
     */
-  def learnMerges(df: DataFrame, idCol: String, text: Column,
+  def learnMerges(df: DataFrame, text: Column,
                   numMerges: Int = 8, vocabCap: Int = 500,
                   passes: Int = 8): DataFrame = {
     val spark = df.sparkSession
@@ -112,14 +124,19 @@ object Bpe {
     */
   def tokenCountWithMerges(df: DataFrame, idCol: String, text: Column,
                            merges: Seq[(String, String)], passes: Int = 8): DataFrame = {
+    // explode_outer: a wordless (empty/null/whitespace) document must
+    // report n_bpe_tokens = 0, like every per-doc report in this family —
+    // plain explode would drop the doc from the output entirely
     val staged = df.select(col(idCol), TextAnalysis.words(text).as("__w"))
-      .select(col(idCol), explode(col("__w")).as("__word"))
+      .select(col(idCol), explode_outer(col("__w")).as("__word"))
     val seg0 = concat(lit(" "), regexp_replace(col("__word"), "(.)", "$1 "))
     val segN = merges.foldLeft(seg0) { case (seg, (a, b)) =>
       (1 to passes).foldLeft(seg)((s, _) => regexp_replace(s, // literal replace: escape regex
         java.util.regex.Pattern.quote(s" $a $b "), s" $a$b "))
     }
-    staged.select(col(idCol), size(filter(split(segN, " "), t => length(t) > 0)).as("__n"))
+    staged.select(col(idCol),
+        when(col("__word").isNull, lit(0))
+          .otherwise(size(filter(split(segN, " "), t => length(t) > 0))).as("__n"))
       .groupBy(col(idCol)).agg(sum(col("__n")).as("n_bpe_tokens"))
   }
 }

@@ -29,9 +29,10 @@ import org.apache.spark.storage.StorageLevel
   *    (one join + one map-side-combined aggregation); (2) pointer-jump —
   *    label := label(label), halving label-chain depths so convergence
   *    is O(log(diameter)) rounds, not O(diameter). Labels only ever
-  *    decrease, so `sum(label)` is a monotone convergence certificate:
-  *    one cheap agg per round, stop when it stops falling. No step
-  *    materializes anything bigger than the edge list.
+  *    decrease, so the exact-DECIMAL `sum(label)` is a monotone
+  *    convergence certificate (decimal, not Long: md5Hash60 ids sum past
+  *    2^63 within rows): one cheap agg per round, stop when it stops
+  *    falling. No step materializes anything bigger than the edge list.
   *
   * Near-dup graphs in practice are myriads of tiny components (dup pairs,
   * dup triangles), so rounds-to-converge is small; the `maxIter` cap
@@ -58,12 +59,15 @@ object Components {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                           maxIter: Int = 20, driverEdgeLimit: Long = 4000000L): DataFrame = {
     val idType = pairs.schema(aCol).dataType
+    val bType = pairs.schema(bCol).dataType
     // integral ids are the operator contract: both routes rely on numeric
     // labels (the distributed route's sum-certificate, the driver route's
     // primitive maps). Map string keys through Dedup.md5Hash60 or a dense
-    // id assignment first.
-    require(idType == LongType || idType == IntegerType,
-      s"connectedComponents needs integral ids, got $idType")
+    // id assignment first. BOTH columns are checked and must agree — a
+    // stray non-integral bCol would otherwise cast to null and silently
+    // drop every edge, and a wider bCol would truncate in the output cast.
+    require((idType == LongType || idType == IntegerType) && bType == idType,
+      s"connectedComponents needs matching integral id columns, got ($idType, $bType)")
     val edges = pairs.select(col(aCol).cast(LongType).as("src"),
         col(bCol).cast(LongType).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
@@ -119,8 +123,15 @@ object Components {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
-    var certificate = Option(labels.agg(sum(col("lbl"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // certificate sums through DECIMAL(38,0): md5Hash60-mapped ids run to
+    // ~2^60, so a Long sum overflows after a handful of rows (ANSI mode
+    // would throw every round; legacy mode would wrap and break the
+    // equal-sum <=> converged invariant). Exact decimal keeps the monotone
+    // certificate sound to ~1e38 — beyond any corpus.
+    def certOf(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var certificate = certOf(labels)
     var converged = labels.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
@@ -137,9 +148,9 @@ object Components {
           col("x.lbl") === col("__jid"))
         .select(col("x.id").as("id"), col("__jl").as("lbl"))
         .localCheckpoint(true)
-      val next = jumped.agg(sum(col("lbl"))).head().getLong(0)
+      val next = certOf(jumped)
       labels = jumped
-      converged = next == certificate // labels only decrease: equal sum <=> no change
+      converged = next.compareTo(certificate) == 0 // labels only decrease: equal sum <=> no change
       certificate = next
       it += 1
     }

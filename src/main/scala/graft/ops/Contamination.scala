@@ -64,17 +64,33 @@ object Contamination {
     gramHashes(benchmark, idCol, text, n)
       .select(col("__g")).distinct().collect().map(_.getLong(0))
 
+  /** Ceiling on the gram set a STREAMING admission expression may embed:
+    * the literal list lives in the plan, and streaming re-analyzes the
+    * plan every micro-batch — a corpus-sized set would turn each batch's
+    * planning into a multi-million-node tree walk. Eval suites sit far
+    * below this; anything above it belongs in the batch broadcast-join
+    * form ([[contaminationReport]]), whose gram set never enters a plan.
+    */
+  val MaxStreamingGrams: Int = 1 << 20
+
   /** Per-row contamination count over a MATERIALIZED word-array column —
     * a pure projection (Catalyst compiles `isInCollection` over the
     * literal gram list to an O(1) hash-set probe per gram), so it runs
     * STATELESS in a streaming query: no aggregation, no watermark, no
     * state store. This is the streaming admission form of
     * [[contaminationReport]] — each arriving document is checked against
-    * the fixed benchmark the moment it arrives.
+    * the fixed benchmark the moment it arrives. Gram sets above
+    * [[MaxStreamingGrams]] are rejected rather than silently degrading
+    * per-batch planning (use the batch join form for those).
     */
-  def overlapCountOfWords(words: Column, benchGrams: Array[Long], n: Int = 3): Column =
+  def overlapCountOfWords(words: Column, benchGrams: Array[Long], n: Int = 3): Column = {
+    require(benchGrams.length <= MaxStreamingGrams,
+      s"benchmark gram set (${benchGrams.length}) exceeds MaxStreamingGrams " +
+        s"($MaxStreamingGrams): embed-in-plan streaming admission is for eval-suite-sized " +
+        "sets; decontaminate corpus-scale sets with the batch broadcast join")
     size(filter(Dedup.shinglesOfWords(words, n),
       g => Dedup.md5Hash60(g).isInCollection(benchGrams.toSeq)))
+  }
 
   /** Streaming-safe decontamination filter: keep rows whose text shares
     * fewer than `minOverlap` grams with the (pre-collected) benchmark set.

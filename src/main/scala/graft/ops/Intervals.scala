@@ -23,9 +23,16 @@ object Intervals {
   def windowJoin(left: DataFrame, right: DataFrame, keyCol: String,
                  leftTsCol: String, rightTsCol: String, windowMs: Long): DataFrame = {
     require(windowMs > 0, "windowMs must be positive")
-    val lb = floor(col(leftTsCol) / lit(windowMs)).cast("long")
+    // INTEGER division, not floor(double /): above 2^53 a double rounds the
+    // epoch before dividing (nanosecond epochs are ~1.8e18), which can push
+    // a boundary row into the wrong bucket so the equi-join never pairs it
+    // — a silently missing result the residual predicate would have kept.
+    // `div` is exact for longs and equals floor for the contract's
+    // non-negative inputs.
+    def bucketOf(c: String) = expr(s"CAST(`$c` AS BIGINT) div $windowMs")
+    val lb = bucketOf(leftTsCol)
     val l = left.withColumn("__b", explode(array(lb, lb + 1)))
-    val r = right.withColumn("__b", floor(col(rightTsCol) / lit(windowMs)).cast("long"))
+    val r = right.withColumn("__b", bucketOf(rightTsCol))
     l.join(r, Seq(keyCol, "__b"))
       .where(col(rightTsCol) > col(leftTsCol) &&
         col(rightTsCol) <= col(leftTsCol) + windowMs)

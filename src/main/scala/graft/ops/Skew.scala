@@ -34,20 +34,32 @@ object Skew {
     Set("inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
 
   private def requireReplicationSafe(joinType: String): Unit =
-    require(replicationSafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+    require(replicationSafeJoinTypes.contains(
+        joinType.toLowerCase(java.util.Locale.ROOT).replace(" ", "")),
       s"join type '$joinType' is not replication-safe (unmatched small-side rows would duplicate); " +
         "use inner/left/left_semi/left_anti")
 
   /** Salted equi-join: `large` join `small` on `key`, with the large side
     * salted into `buckets` sub-keys and the small side exploded across all
     * buckets. Result columns = large.* ++ small.* minus the duplicate key.
+    *
+    * The salt hashes `identityCols` when given (pick a few cheap columns
+    * that distinguish rows of the same key — e.g. a line number); the
+    * default hashes every hashable column of the large side, which is
+    * correct but pays to hash wide payload columns per row. Map columns
+    * are excluded from the default (Spark's `hash` rejects MapType).
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, buckets: Int,
-                 joinType: String = "inner"): DataFrame = {
+                 joinType: String = "inner", identityCols: Seq[String] = Nil): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     requireReplicationSafe(joinType)
-    val idCols = large.columns.map(col)
-    val l = large.withColumn("__salt", salt(buckets, idCols.toIndexedSeq: _*))
+    val idCols =
+      if (identityCols.nonEmpty) identityCols.map(col)
+      else large.schema.fields
+        .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .map(f => col(f.name)).toSeq
+    require(idCols.nonEmpty, "no hashable columns to derive the salt from")
+    val l = large.withColumn("__salt", salt(buckets, idCols: _*))
     val s = small.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     l.join(s, Seq(key, "__salt"), joinType).drop("__salt")
   }
@@ -55,13 +67,27 @@ object Skew {
   /** Split-join for known-hot keys: hot rows take a broadcast join (no
     * shuffle of the skewed partition), cold rows take the normal shuffle
     * join; results are unioned. `small` must be broadcastable.
+    *
+    * Null handling: a null in `hotKeys` routes the NULL-keyed rows through
+    * the broadcast branch — null keys all hash to one reducer, so they are
+    * often exactly the skew being mitigated (keyHistogram reports the null
+    * group for this reason). The IN probe itself is null-stripped and
+    * coalesced: three-valued `IN (…, null, …)` would otherwise evaluate to
+    * SQL NULL for every non-hot key and silently drop the row from BOTH
+    * branches.
     */
   def hotColdJoin(large: DataFrame, small: DataFrame, key: String, hotKeys: Seq[Any],
                   joinType: String = "inner"): DataFrame = {
     requireReplicationSafe(joinType)
-    val hot = large.where(col(key).isInCollection(hotKeys))
+    val nonNullHot = hotKeys.filter(_ != null)
+    val inHot =
+      if (nonNullHot.isEmpty) lit(false)
+      else coalesce(col(key).isInCollection(nonNullHot), lit(false))
+    val hotPred = // total (never SQL NULL): every row lands in exactly one branch
+      if (hotKeys.exists(_ == null)) inHot || col(key).isNull else inHot
+    val hot = large.where(hotPred)
       .join(broadcast(small), Seq(key), joinType)
-    val cold = large.where(!col(key).isInCollection(hotKeys) || col(key).isNull)
+    val cold = large.where(!hotPred)
       .join(small, Seq(key), joinType)
     hot.unionByName(cold)
   }

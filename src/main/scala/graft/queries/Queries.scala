@@ -706,7 +706,7 @@ object Queries {
     * unrolled DuckDB twin.
     */
   private def x6BpeMerges(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Bpe.learnMerges(t(spark, dir, "documents"), "doc_id", col("text"))
+    graft.ops.Bpe.learnMerges(t(spark, dir, "documents"), col("text"))
       .orderBy("merge_rank")
 
   private def x4MultimodalMeta(spark: SparkSession, dir: String): DataFrame =

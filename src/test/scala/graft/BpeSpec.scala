@@ -15,7 +15,7 @@ class BpeSpec extends SparkSpec {
       (2L, "abc abd abe"),
       (3L, "abc")
     ).toDF("doc_id", "text")
-    val merges = Bpe.learnMerges(docs, "doc_id", $"text", numMerges = 3)
+    val merges = Bpe.learnMerges(docs, $"text", numMerges = 3)
       .as[(Long, String, String, Long)].collect().toSeq
     assert(merges.head == ((1L, "a", "b", 8L)))        // 8 words, each one (a,b)
     assert(merges(1) == ((2L, "ab", "c", 5L)))         // abc x5
@@ -24,14 +24,14 @@ class BpeSpec extends SparkSpec {
 
   test("tie in pair frequency breaks to the lexicographically smallest pair") {
     val docs = Seq((1L, "xy zw")).toDF("doc_id", "text")
-    val merges = Bpe.learnMerges(docs, "doc_id", $"text", numMerges = 1)
+    val merges = Bpe.learnMerges(docs, $"text", numMerges = 1)
       .as[(Long, String, String, Long)].collect()
     assert(merges.head == ((1L, "x", "y", 1L))) // (x,y) < (z,w)
   }
 
   test("vocabulary exhaustion stops the merge list early in both routes") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text") // 1 pair, then single symbols
-    val merges = Bpe.learnMerges(docs, "doc_id", $"text", numMerges = 8)
+    val merges = Bpe.learnMerges(docs, $"text", numMerges = 8)
       .as[(Long, String, String, Long)].collect().toSeq
     assert(merges.map(m => (m._2, m._3)) == Seq(("a", "b")))
   }
