@@ -34,7 +34,12 @@ final class EntityEtlJob(
     maxBatchSize: Int = 10000,
     ttlMs: Long = 8L * 3600 * 1000,
     escapeHtml: Boolean = false,
-    now: () => Long = () => System.currentTimeMillis()) {
+    now: () => Long = () => System.currentTimeMillis(),
+    // {{env.X}} in ENTITY templates resolves against this map at template
+    // compile time (E9; reference templates resolve against process env) —
+    // driver-side, so the default sys.env is the env that actually set up
+    // the run
+    env: Map[String, String] = sys.env) {
 
   final case class PageStats(fetched: Long, emitted: Long, batches: Long, checkpoint: Long)
 
@@ -85,7 +90,7 @@ final class EntityEtlJob(
 
     // T1: compile this type's template once into a single Column
     val doc: Column = TemplateCompiler.compileTemplate(
-      templates(entityType.name), TemplateCompiler.mapResolver(col("attrs")), escapeHtml)
+      templates(entityType.name), TemplateCompiler.mapResolver(col("attrs"), env), escapeHtml)
     val batches = HttpBatchSink.send(
       changed.observe(obs, count(lit(1)).as("emitted")).select(doc.as("doc")),
       maxBatchSize, senderFactory, targetBody)
@@ -104,7 +109,8 @@ final class EntityEtlJob(
     // checkpoint = max over ALL fetched items, including rows the
     // missing-id filter dropped (reference cache.js:100 counts every item)
     val nextCkpt = store.nextCheckpoint(batch, Model.UpdatedOnMs, prevCheckpoint, page.partialResults)
-    store.commit(entityType.name, toCommit, nowMs, ttlMs, nextCkpt)
+    store.commit(entityType.name, toCommit, nowMs, ttlMs, nextCkpt,
+      preloadedState = Some(state)) // one state scan per page, not two
 
     val fetched = valid.count()
     batch.unpersist(); changed.unpersist()

@@ -52,13 +52,18 @@ final case class EtlConfig(
 object EtlConfig {
 
   /** Mirror of the reference's `url.resolve(server, path)` (http.js:12) for
-    * the config's shapes: an absolute `path` replaces the server's path
-    * (so `server: ".../"` + `path: "/x"` is NOT a double slash). Plain
+    * the config's shapes: an absolute `path` REPLACES the server's path
+    * entirely (RFC 3986 / node url.resolve — `https://host/api` + `/x` is
+    * `https://host/x`, not `https://host/api/x`), so a reference config
+    * whose server value carries a base path resolves identically. Plain
     * string handling because endpoint templates contain `{{...}}`, which a
     * URI parser rejects.
     */
   private[pipeline] def resolveUrl(server: String, path: String): String =
-    if (path.startsWith("/")) server.replaceAll("/+$", "") + path
+    if (path.startsWith("/")) {
+      val origin = "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*".r.findFirstIn(server)
+      origin.getOrElse(server.replaceAll("/+$", "")) + path
+    }
     else if (server.endsWith("/")) server + path
     else server + "/" + path
 

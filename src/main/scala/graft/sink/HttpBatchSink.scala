@@ -30,14 +30,22 @@ object HttpBatchSink {
     */
   type SenderFactory = () => String => Unit
 
-  /** Header VALUES are templates re-rendered against the live env on every
+  /** Header VALUES are templates re-rendered against `env()` on every
     * request (reference http.js:22-28): `Authorization: Bearer {{env.TOKEN}}`
-    * picks up a rotated token without restarting the run. `env` is read per
-    * request; injectable for tests.
+    * picks up a rotated token without restarting the run.
+    *
+    * The DEFAULT env is a snapshot of the DRIVER's sys.env taken here, at
+    * construction — the same map validation runs against. The request
+    * closure executes on EXECUTORS, whose process env does not carry the
+    * driver's exported variables on a real cluster manager; a live
+    * `() => sys.env` default would validate TOKEN on the driver and then
+    * render "" on every executor (the exact 401 the fail-fast exists to
+    * prevent). Pass a custom `env` for live rotation — it evaluates
+    * wherever the request runs.
     */
   def httpSender(url: String, method: String, headers: Map[String, String],
                  timeout: Duration = Duration.ofSeconds(60),
-                 env: () => Map[String, String] = () => sys.env): SenderFactory = {
+                 env: () => Map[String, String] = { val snap = sys.env; () => snap }): SenderFactory = {
     // construction-time fail-fast: malformed header templates and env vars
     // missing at startup are config errors, not per-request 401s
     graft.template.TemplateCompiler.validateHeaderTemplates(headers, env())

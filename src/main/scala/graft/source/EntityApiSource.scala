@@ -99,8 +99,16 @@ object EntityApiSource {
       val updated =
         if (raw.columns.contains(Model.UpdatedOnMs)) col(Model.UpdatedOnMs).cast("long")
         else lit(null).cast("long")
+      // a page where NO item carries the id key infers a schema without the
+      // column; selecting it would throw at analysis. Those rows are F3's
+      // log-and-skip case — give them a null id so dropMissingId filters
+      // them instead of crashing the run loop.
+      val idCol =
+        if (raw.columns.contains(entityType.uniqueIdField))
+          col(s"`${entityType.uniqueIdField}`").cast("string")
+        else lit(null).cast("string")
       raw.select(
-        col(s"`${entityType.uniqueIdField}`").cast("string").as("id"),
+        idCol.as("id"),
         updated.as(Model.UpdatedOnMs),
         map_filter(attrs, (_, v) => v.isNotNull).as("attrs"))
     }
@@ -115,16 +123,48 @@ object EntityApiSource {
 private[graft] object Json {
 
   /** Split `{"items":[{...},{...}],"partialResults":true}` into raw item
-    * strings + flag, by brace matching (string-aware).
+    * strings + flag, by brace matching (string-aware). The flag is matched
+    * against the ENVELOPE only (body with the items span excised): an item
+    * FIELD literally named partialResults must not force extra pagination
+    * rounds. A present-but-non-array `items` value yields no items instead
+    * of scanning from index -1 (or whatever '[' appears later in the body).
     */
   def splitEnvelope(body: String): (Seq[String], Boolean) = {
-    val partial = """"partialResults"\s*:\s*true""".r.findFirstIn(body).isDefined
+    def partialIn(s: String) = """"partialResults"\s*:\s*true""".r.findFirstIn(s).isDefined
     val itemsIdx = body.indexOf("\"items\"")
-    if (itemsIdx < 0) (Seq.empty, partial)
+    if (itemsIdx < 0) (Seq.empty, partialIn(body))
     else {
       val start = body.indexOf('[', itemsIdx)
-      (topLevelObjects(body, start), partial)
+      if (start < 0) (Seq.empty, partialIn(body))
+      else {
+        val end = spanEnd(body, start)
+        val envelope = body.substring(0, start) +
+          (if (end + 1 <= body.length) body.substring(math.min(end + 1, body.length)) else "")
+        (topLevelObjects(body, start), partialIn(envelope))
+      }
     }
+  }
+
+  /** Index of the bracket closing the composite value opening at `start`
+    * (string-aware); `s.length - 1` when unterminated.
+    */
+  private def spanEnd(s: String, start: Int): Int = {
+    var depth = 0; var inStr = false; var esc = false; var i = start
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '[' | '{' => depth += 1
+        case ']' | '}' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    s.length - 1
   }
 
   /** Parse a flat JSON array of flat string-valued objects into key->value
@@ -163,6 +203,35 @@ private[graft] object Json {
     out.result()
   }
 
+  /** A flat JSON scalar with its syntactic kind, so consumers that must
+    * match Spark's own json-read semantics (the V2 entity reader) can
+    * distinguish the STRING "1.50" from the NUMBER 1.50 and drop JSON
+    * nulls the way `spark.read.json` + string cast does.
+    */
+  final case class Scalar(raw: String, kind: Int)
+  object Scalar {
+    val Str = 0; val Num = 1; val Lit = 2 // Lit: true / false / null
+  }
+
+  /** [[Scalar]] value normalized to the string `spark.read.json` +
+    * `cast("string")` produces (the v1 `pageToDf` path), or None for a JSON
+    * null (v1 drops null attrs via map_filter): numbers render through
+    * Long/Double like the inferred column types would, everything else
+    * passes through. Keeps the content hash identical no matter which
+    * source path parsed the entity.
+    */
+  def normalizeScalar(s: Scalar): Option[String] = s.kind match {
+    case Scalar.Lit if s.raw == "null" => None
+    case Scalar.Num =>
+      val rendered =
+        if (s.raw.matches("-?\\d+"))
+          scala.util.Try(java.lang.Long.parseLong(s.raw).toString)
+            .getOrElse(new java.math.BigDecimal(s.raw).toBigInteger.toString)
+        else java.lang.Double.toString(java.lang.Double.parseDouble(s.raw))
+      Some(rendered)
+    case _ => Some(s.raw)
+  }
+
   /** Parse `{"k":"v","n":1}` into Map(k->v, n->"1") — flat scalars only.
     *
     * Cursor-based (not regex) so that (a) numbers in exponent notation
@@ -170,8 +239,12 @@ private[graft] object Json {
     * are skipped whole instead of having their inner pairs hoisted to the top
     * level.
     */
-  def parseFlatObject(obj: String): Map[String, String] = {
-    val m = Map.newBuilder[String, String]
+  def parseFlatObject(obj: String): Map[String, String] =
+    parseFlatObjectTyped(obj).map { case (k, s) => k -> s.raw }
+
+  /** [[parseFlatObject]] preserving each value's syntactic [[Scalar]] kind. */
+  def parseFlatObjectTyped(obj: String): Map[String, Scalar] = {
+    val m = Map.newBuilder[String, Scalar]
     var i = obj.indexOf('{')
     if (i < 0) return Map.empty
     i += 1
@@ -227,17 +300,17 @@ private[graft] object Json {
           i += 1; skipWs()
           if (i < obj.length) obj.charAt(i) match {
             case '"' =>
-              m += key -> unescape(scanString())
+              m += key -> Scalar(unescape(scanString()), Scalar.Str)
             case '{' | '[' =>
               skipComposite() // non-flat value: skip, keep only flat scalars
             case c if numberChars.indexOf(c.toInt) >= 0 =>
               val start = i
               while (i < obj.length && numberChars.indexOf(obj.charAt(i).toInt) >= 0) i += 1
-              m += key -> obj.substring(start, i)
+              m += key -> Scalar(obj.substring(start, i), Scalar.Num)
             case 't' | 'f' | 'n' =>
               val start = i
               while (i < obj.length && obj.charAt(i).isLetter) i += 1
-              m += key -> obj.substring(start, i)
+              m += key -> Scalar(obj.substring(start, i), Scalar.Lit)
             case _ => i += 1
           }
         }

@@ -270,11 +270,20 @@ object EntityReaderFactory extends PartitionReaderFactory {
       private var i = -1
       override def next(): Boolean = { i += 1; i < p.items.length }
       override def get(): InternalRow = {
-        // flat string->scalar entities (SURVEY.md §1.1); values stringified
-        val obj = Json.parseFlatObject(p.items(i))
-        val id = obj.get(p.idField).map(UTF8String.fromString).orNull
-        val updated = obj.get(Model.UpdatedOnMs).flatMap(Json.numberToLong)
-        val attrs = obj - Model.UpdatedOnMs
+        // flat string->scalar entities (SURVEY.md §1.1). Values normalize
+        // through Json.normalizeScalar — the SAME strings the v1 pageToDf
+        // path (spark.read.json + string cast) produces, with JSON nulls
+        // dropped: an entity parsed by either source path yields an
+        // identical attrs map, hence an identical content hash; raw
+        // literals ("1.50", "null") would mark every such entity changed
+        // on a v1<->v2 migration.
+        val obj = Json.parseFlatObjectTyped(p.items(i))
+        val id = obj.get(p.idField).flatMap(Json.normalizeScalar)
+          .map(UTF8String.fromString).orNull
+        val updated = obj.get(Model.UpdatedOnMs).map(_.raw).flatMap(Json.numberToLong)
+        val attrs = (obj - Model.UpdatedOnMs).flatMap { case (k, s) =>
+          Json.normalizeScalar(s).map(k -> _)
+        }
         val keys = attrs.keys.toArray.map(k => UTF8String.fromString(k): AnyRef)
         val vals = attrs.values.toArray.map(v => UTF8String.fromString(v): AnyRef)
         InternalRow(id,

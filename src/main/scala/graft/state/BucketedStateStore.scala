@@ -30,21 +30,54 @@ final class BucketedStateStore(spark: SparkSession, root: String, buckets: Int =
   // warehouse) must not collide
   private val storeId = java.security.MessageDigest.getInstance("MD5")
     .digest(root.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-  private def tableName(t: String, gen: Long): String = s"graft_state_${storeId}_${t}_g${gen % 2}"
+  // type names come from the REMOTE catalog: anything outside identifier
+  // characters (aws-ec2) would make saveAsTable's parse fail. Sanitized
+  // with a short hash suffix so distinct raw names cannot collide.
+  private def sanitized(t: String): String = {
+    val clean = t.replaceAll("[^A-Za-z0-9_]", "_")
+    if (clean == t) t
+    else clean + "_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+  }
+  private def tableName(t: String, gen: Long): String =
+    s"graft_state_${storeId}_${sanitized(t)}_g${gen % 2}"
 
   private def currentGen(t: String): Option[Long] =
     if (Files.exists(genFile(t))) Some(Files.readString(genFile(t)).trim.toLong) else None
 
   def load(entityType: String): (DataFrame, Long) = {
     val df = currentGen(entityType) match {
-      case Some(gen) => spark.table(tableName(entityType, gen))
-      case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Model.stateSchema)
+      case Some(gen) =>
+        val name = tableName(entityType, gen)
+        // the generation pointer survives a session restart but the
+        // in-session catalog does not: re-register the table over its
+        // surviving warehouse files (bucket spec included, so the CDC
+        // join's no-exchange property is restored too) before reading
+        if (!spark.catalog.tableExists(name)) reRegister(name)
+        if (spark.catalog.tableExists(name)) spark.table(name)
+        else emptyState // pointer without files: bootstrap like a cache miss
+      case None => emptyState
     }
     val ckpt =
       if (Files.exists(ckptFile(entityType))) Files.readString(ckptFile(entityType)).trim.toLong
       else Model.DefaultCheckpoint
     (df, ckpt)
+  }
+
+  private def emptyState: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Model.stateSchema)
+
+  /** Recreate catalog metadata for a generation table whose files survived
+    * a session restart in the warehouse directory (the in-memory catalog
+    * starts empty every session).
+    */
+  private def reRegister(name: String): Unit = {
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    if (Files.exists(Paths.get(loc.getPath))) {
+      spark.sql(s"CREATE TABLE `$name` (${Model.stateSchema.toDDL}) USING PARQUET " +
+        s"CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS LOCATION '$loc'")
+    }
   }
 
   /** Same commit semantics as [[EntityStateStore.commit]] (upsert + TTL

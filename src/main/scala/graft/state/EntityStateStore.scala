@@ -77,8 +77,13 @@ final class EntityStateStore(spark: SparkSession, root: String) {
       batch: DataFrame,
       nowMs: Long,
       ttlMs: Long,
-      newCheckpoint: Long): Unit = {
-    val (state, _) = load(entityType)
+      newCheckpoint: Long,
+      // the page loop already loaded state for the CDC join; passing it in
+      // halves the per-page scans of the dominant dataset (the write below
+      // materializes into a tmp dir BEFORE the swap, so reading the live
+      // dir it came from is safe)
+      preloadedState: Option[DataFrame] = None): Unit = {
+    val state = preloadedState.getOrElse(load(entityType)._1)
     val fresh = StateStores.dedupNewestPerId(batch)
       .select(col("id"), lit(nowMs + ttlMs).as("ttl"), col("entityJson"), col("entityHash"))
 

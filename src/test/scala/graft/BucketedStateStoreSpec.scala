@@ -38,6 +38,41 @@ class BucketedStateStoreSpec extends SparkSpec {
     assert(store.load("t")._1.select("id").as[String].collect().sorted.toSeq == Seq("3"))
   }
 
+  test("state survives a session restart: catalog metadata is re-registered over the warehouse files") {
+    val store = new BucketedStateStore(spark, Files.createTempDirectory("bkt3").toString, buckets = 4)
+    store.commit("t", batch("1" -> "h1", "2" -> "h2"), nowMs = 1000, ttlMs = 500, newCheckpoint = 7)
+    // simulate a restart: the in-memory catalog loses the table while the
+    // warehouse files survive — copy data out, drop (which deletes the
+    // managed files), restore the files without metadata
+    val name = spark.catalog.listTables().collect()
+      .map(_.name).find(_.contains("_t_g0")).orElse(
+        spark.catalog.listTables().collect().map(_.name).find(_.endsWith("_g0"))).get
+    val loc = java.nio.file.Paths.get(spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).getPath)
+    val backup = Files.createTempDirectory("bkt3-backup")
+    org.apache.commons.io.FileUtils.copyDirectory(loc.toFile, backup.toFile)
+    spark.sql(s"DROP TABLE `$name`")
+    org.apache.commons.io.FileUtils.copyDirectory(backup.toFile, loc.toFile)
+    assert(!spark.catalog.tableExists(name))
+    // load must re-register and read the surviving generation
+    val (df, ckpt) = store.load("t")
+    assert(ckpt == 7)
+    assert(df.select("id").as[String].collect().sorted.toSeq == Seq("1", "2"))
+    // and the next commit still works (generation advances into slot 1)
+    store.commit("t", batch("3" -> "h3"), nowMs = 1100, ttlMs = 500, newCheckpoint = 8)
+    assert(store.load("t")._1.count() == 3)
+  }
+
+  test("non-identifier type names (remote catalog) commit and load round-trip") {
+    val store = new BucketedStateStore(spark, Files.createTempDirectory("bkt4").toString, buckets = 2)
+    store.commit("aws-ec2", batch("1" -> "h1"), nowMs = 1000, ttlMs = 500, newCheckpoint = 1)
+    assert(store.load("aws-ec2")._1.count() == 1)
+    // distinct raw names must not collide after sanitization
+    store.commit("aws_ec2", batch("2" -> "h2", "3" -> "h3"), nowMs = 1000, ttlMs = 500, newCheckpoint = 1)
+    assert(store.load("aws-ec2")._1.count() == 1)
+    assert(store.load("aws_ec2")._1.count() == 2)
+  }
+
   test("CDC join over bucketed state shuffles only the batch side") {
     val store = new BucketedStateStore(spark, Files.createTempDirectory("bkt2").toString, buckets = 4)
     store.commit("t", batch((1 to 50).map(i => i.toString -> s"h$i"): _*), 1000, 100000, 1)

@@ -112,6 +112,26 @@ class EntitySourceV2Spec extends SparkSpec {
     assert(rows == Seq(("a", 100L, "red"), ("b", 200L, "blue"), ("b", 200L, "blue"), ("c", 300L, "green")))
   }
 
+  test("v1/v2 parity: identical attrs map (and hash input) for nulls, decimals and numeric strings") {
+    // the entity a migration must not re-emit: decimal 1.50, JSON null,
+    // a string that LOOKS numeric, a long, a bool
+    val item = """{"uid": "e1", "w": 1.50, "z": null, "s": "1.50", "n": 2, "b": true, "updatedOnMs": 100}"""
+    MutableBacklogFetcherFactory.pages = Map(
+      1L -> s"""{"items": [$item], "partialResults": false}""")
+    val v2 = spark.read.format("graft-entities")
+      .option("urlTemplate", "stub://e?type={{type}}&updatedFromMs={{updatedFromMs}}")
+      .option("type", "widget").option("uniqueIdField", "uid")
+      .option("fetcherClass", classOf[MutableBacklogFetcherFactory].getName)
+      .load()
+    val v1 = EntityApiSource.pageToDf(spark,
+      EntityApiSource.Page(Seq(item), partialResults = false), EntityType("widget", "uid"))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"updatedOnMs", map_entries($"attrs").cast("array<struct<key:string,value:string>>"))
+        .as[(String, Long, Seq[(String, String)])].collect()
+        .map { case (id, u, m) => (id, u, m.sortBy(_._1)) }.toSeq
+    assert(shape(v2) == shape(v1))
+  }
+
   test("checkpoint option starts mid-stream (URL pushdown of the predicate)") {
     val df = spark.read.format("graft-entities")
       .option("urlTemplate", "stub://e?type={{type}}&updatedFromMs={{updatedFromMs}}")

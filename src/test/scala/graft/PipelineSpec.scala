@@ -122,4 +122,16 @@ class PipelineSpec extends SparkSpec {
       env = () => Map("SIGNALFX_ACCESS_TOKEN" -> "s", "MY_SECRET_TOKEN" -> "t", "BAR" -> "b"))
     assert(job != null)
   }
+
+  test("resolveUrl: an absolute endpoint replaces the server's base path (node url.resolve)") {
+    import graft.pipeline.EtlConfig
+    val cfg = EtlConfig.fromJson(
+      """{"sfx": {"server": "https://host/api", "entitiesEndpoint": "/v2/entities?type={{type}}"}}""")
+    // node: url.resolve("https://host/api", "/v2/...") == "https://host/v2/..."
+    assert(cfg.entitiesUrlTemplate == "https://host/v2/entities?type={{type}}")
+    // relative endpoint appends
+    val rel = EtlConfig.fromJson(
+      """{"sfx": {"server": "https://host/api", "entitiesEndpoint": "v2/e"}}""")
+    assert(rel.entitiesUrlTemplate == "https://host/api/v2/e")
+  }
 }

@@ -27,6 +27,44 @@ class SourceSinkSpec extends SparkSpec {
     assert(none.isEmpty && !p2)
   }
 
+  test("envelope flag scoping: item fields named partialResults do not force pagination") {
+    // the envelope says false; an ITEM carries partialResults:true
+    val body =
+      """{"items": [{"id": "x", "partialResults": true}], "partialResults": false}"""
+    val (items, partial) = Json.splitEnvelope(body)
+    assert(items.size == 1 && !partial)
+    // non-array items value: no items, no crash, flag still read
+    val (none, p) = Json.splitEnvelope("""{"items": null, "partialResults": true}""")
+    assert(none.isEmpty && p)
+    // '[' appearing later in the body must not be misparsed as the item list
+    val (none2, _) = Json.splitEnvelope("""{"items": null, "other": [1, 2]}""")
+    assert(none2.isEmpty)
+  }
+
+  test("a page with no id column anywhere maps to null ids (F3 drop), not an analysis error") {
+    import graft.source.EntityApiSource
+    import graft.model.EntityType
+    val page = EntityApiSource.Page(
+      Seq("""{"color": "red", "updatedOnMs": 5}""", """{"color": "blue"}"""), partialResults = false)
+    val df = EntityApiSource.pageToDf(spark, page, EntityType("t", "uid"))
+    assert(df.count() == 2)
+    assert(graft.cdc.ChangeFilter.dropMissingId(df, "id").count() == 0)
+  }
+
+  test("normalizeScalar reproduces the v1 json-read stringification: nulls drop, numbers normalize, strings pass") {
+    import graft.source.Json.{normalizeScalar, parseFlatObjectTyped}
+    val m = parseFlatObjectTyped(
+      """{"s": "1.50", "d": 1.50, "i": 2, "big": 12345678901234567890, "t": true, "z": null, "e": 1.5e9}""")
+    def norm(k: String) = normalizeScalar(m(k))
+    assert(norm("s").contains("1.50"))  // STRING "1.50" stays verbatim
+    assert(norm("d").contains("1.5"))   // NUMBER 1.50 renders like a double cast
+    assert(norm("i").contains("2"))     // integral stays integral (no ".0")
+    assert(norm("big").contains("12345678901234567890")) // beyond Long: digits kept
+    assert(norm("t").contains("true"))
+    assert(norm("z").isEmpty)           // JSON null drops, like v1's map_filter
+    assert(norm("e").contains("1.5E9")) // exponent renders like Double.toString
+  }
+
   test("header templates fail fast at construction: malformed or unset env refs") {
     import graft.template.TemplateCompiler
     val env = Map("TOKEN" -> "abc")
