@@ -161,6 +161,11 @@ object Dedup {
       df: DataFrame, idCol: String, text: Column,
       shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
+    // same guard as the streaming twin: a non-dividing bands count would
+    // silently band empty/truncated signature slices — rowsPerBand = 0
+    // degenerates every band to ONE bucket (an all-pairs self-join)
+    require(bands > 0 && numPerm % bands == 0,
+      s"numPerm ($numPerm) must divide into bands ($bands)")
     val rowsPerBand = numPerm / bands
     val sigs = OpCaches.pin(minhashSignaturesExploded(
       explodedShingles(df, idCol, text, shingleLen), idCol, numPerm))
@@ -199,16 +204,27 @@ object Dedup {
     counted.select(col(idCol), sim.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: LSH over 4 16-bit chunks (docs within hamming
-    * distance <=3 of each other must agree on at least one chunk), verified
-    * with `bit_count(xor)`.
+  /** SimHash near-dup pairs: LSH over `maxHamming + 1` bit chunks — the
+    * pigeonhole guarantee (a pair within the hamming bound must agree on
+    * at least one chunk) holds for ANY bound when the chunk count exceeds
+    * it, not just the classic 4×16 split (which is exactly what
+    * maxHamming = 3, the default and the registered query's form, yields).
+    * Candidates are verified with `bit_count(xor)`, so precision is exact;
+    * more chunks = coarser buckets = more candidates, the usual LSH trade.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, tokens: Column, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming ($maxHamming) out of range for a 64-bit simhash")
+    val nChunks = maxHamming + 1
     // pinned for the same reason as the minhash signature table: both
     // chunked join sides re-derive it, and it is ~16 bytes/doc
     val sh = OpCaches.pin(simhash64(df, idCol, tokens))
-    val chunkVals = array((0 until 4).map(ci =>
-      shiftrightunsigned(col("simhash"), ci * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunkVals = array((0 until nChunks).map { ci =>
+      val lo = ci * 64 / nChunks
+      val width = (ci + 1) * 64 / nChunks - lo
+      val mask = if (width >= 64) lit(-1L) else lit((1L << width) - 1)
+      shiftrightunsigned(col("simhash"), lo).bitwiseAND(mask)
+    }: _*)
     val chunked = sh.select(col(idCol), col("simhash"),
       posexplode(chunkVals).as(Seq("chunk", "chunkVal")))
     val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("__sa"), col("chunk"), col("chunkVal"))

@@ -43,8 +43,11 @@ object Multimodal {
     */
   def sampleSlices(df: DataFrame, n: Int, sliceLen: Int): DataFrame = {
     val total = col("meta.n_bytes")
+    // span floor is 0, not 1: a payload of exactly sliceLen bytes must
+    // yield every slice at offset 1 (the full payload) — a floor of 1
+    // shifted all-but-the-first slice off by one byte
     val offsets = transform(sequence(lit(0), lit(n - 1)),
-      i => (i * greatest(total - sliceLen, lit(1L)) / lit(math.max(n - 1, 1))) + 1)
+      i => (i * greatest(total - sliceLen, lit(0L)) / lit(math.max(n - 1, 1))) + 1)
     df.withColumn("slices",
       transform(offsets, o => base64(col("media").substr(o.cast("int"), lit(sliceLen)))))
   }
@@ -286,7 +289,13 @@ object Multimodal {
         skipSpace()
         require(p < b.length && b(p) >= '0' && b(p) <= '9', s"row ${row.id}: bad PPM header int at byte $p")
         var v = 0
-        while (p < b.length && b(p) >= '0' && b(p) <= '9') { v = v * 10 + (b(p) - '0'); p += 1 }
+        while (p < b.length && b(p) >= '0' && b(p) <= '9') {
+          v = v * 10 + (b(p) - '0'); p += 1
+          // fail loudly, never wrap: a forged header like 4294967296 would
+          // otherwise overflow to an arbitrary (possibly negative) dimension
+          // and slip past the raster-length require below
+          require(v >= 0 && v <= 100000000, s"row ${row.id}: PPM header int overflows sane bounds")
+        }
         v
       }
       val width = parseInt()
@@ -310,8 +319,11 @@ object Multimodal {
         i += 1
       }
       val nch = width.toLong * height
+      // 0-pixel rasters: 0.0 means, not NaN (same contract as decodeWav's
+      // n == 0 guard)
+      def mean(c: Int) = if (nch == 0) 0.0 else sums(c).toDouble / nch
       PpmStats(row.id, width, height, maxval,
-        sums(0).toDouble / nch, sums(1).toDouble / nch, sums(2).toDouble / nch, checksum)
+        mean(0), mean(1), mean(2), checksum)
     }).toDF("id", "width", "height", "maxval", "mean_r", "mean_g", "mean_b", "px_checksum")
   }
 

@@ -82,7 +82,18 @@ final class EntityEtlJob(
     val batch = EntityApiSource.pageToDf(spark, page, entityType).cache()
     val valid = ChangeFilter.dropMissingId(batch, "id")
 
-    val changed = ChangeFilter.newOrUpdatedEntities(valid, state).cache()
+    // within-page LWW before the SEND: a page repeating an id must post ONE
+    // version (the newest). The reference's serial cache loop emits deduped
+    // and in order; here partitions post in PARALLEL, so emitting every
+    // version could apply the stale one last at the target. (The state
+    // commit already dedups its own input the same way.)
+    val lww = valid.withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")
+            .orderBy(col(Model.UpdatedOnMs).desc_nulls_last,
+              Canonical.canonicalHashExcept(col("attrs"), Model.IgnoredProps).desc)))
+      .where(col("__rn") === 1).drop("__rn")
+    val changed = ChangeFilter.newOrUpdatedEntities(lww, state).cache()
 
     // A2 counts ride the send job as observed metrics (df.observe) instead
     // of separate count() actions — one job materializes send + both counts

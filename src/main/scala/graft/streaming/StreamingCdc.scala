@@ -61,13 +61,23 @@ object StreamingCdc {
     * every touch refreshes the TTL (the state update resets the TTL clock —
     * reference cache.js:56,79); expired state reads as absent, so a
     * re-appearing entity is emitted as "new" again.
+    *
+    * State carries (updatedOnMs, hash), not the hash alone: a late
+    * micro-batch delivering an OLDER version than the one already applied
+    * must be suppressed, not emitted — hash-only state would overwrite the
+    * target with stale content and then re-fire on the newer version's
+    * redelivery. Within a batch, versions process in event-time order (the
+    * intra-batch form of the same rule). The suppressed-row TTL refresh
+    * writes state only when a TTL is configured — with TTL off the rewrite
+    * is a pure RocksDB churn on the hottest (duplicate) path.
     */
   final class CdcProcessor(ttlMs: Long) extends StatefulProcessor[String, EntityEvent, Change] {
-    @transient private var hashState: ValueState[String] = _
+    @transient private var verState: ValueState[(Long, String)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       val ttl = if (ttlMs > 0) new TTLConfig(java.time.Duration.ofMillis(ttlMs)) else TTLConfig.NONE
-      hashState = getHandle.getValueState[String]("entityHash", Encoders.STRING, ttl)
+      verState = getHandle.getValueState[(Long, String)]("entityVerHash",
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING), ttl)
     }
 
     override def handleInputRows(id: String, rows: Iterator[EntityEvent],
@@ -75,16 +85,22 @@ object StreamingCdc {
       val out = Seq.newBuilder[Change]
       // process versions in event-time order; emit each content transition
       rows.toSeq.sortBy(e => (e.updatedOnMs, e.payload)).foreach { e =>
-        val h = md5Hex(e.payload)
-        Option(hashState.get()) match {
+        val h = md5Hex(Option(e.payload).getOrElse("")) // null-safe, like the batch Column path
+        Option(verState.get()) match {
           case None =>
             out += Change(id, e.updatedOnMs, e.payload, "new")
-            hashState.update(h)
-          case Some(prev) if prev != h =>
+            verState.update((e.updatedOnMs, h))
+          case Some((prevMs, _)) if e.updatedOnMs < prevMs =>
+            // stale late arrival: suppress; touch refreshes TTL like any read
+            if (ttlMs > 0) verState.update(verState.get())
+          case Some((_, prevHash)) if prevHash != h =>
             out += Change(id, e.updatedOnMs, e.payload, "updated")
-            hashState.update(h)
-          case Some(prev) =>
-            hashState.update(prev) // unchanged -> suppressed; TTL refreshed
+            verState.update((e.updatedOnMs, h))
+          case Some((prevMs, prevHash)) =>
+            // unchanged -> suppressed; advance the version watermark, write
+            // state only when the write buys a TTL refresh
+            if (ttlMs > 0 || e.updatedOnMs > prevMs)
+              verState.update((math.max(prevMs, e.updatedOnMs), prevHash))
         }
       }
       out.result().iterator

@@ -38,6 +38,8 @@ object StreamingDedup {
     * whitespace collapse runs on the space-trimmed string.
     */
   private[graft] def normalize(text: String): String = {
+    if (text == null) return "" // null-safe: the batch Column path keys null
+                                // text without killing the query
     // Locale.ROOT: Spark's lower() is locale-independent (ASCII fast path
     // in UTF8String); a Turkish-locale JVM default would map 'I' to
     // dotless U+0131 and fork the key
@@ -60,7 +62,10 @@ object StreamingDedup {
     override def handleInputRows(key: String, rows: Iterator[Doc],
         timerValues: TimerValues): Iterator[Kept] = {
       if (keeper.get() != null) {
-        keeper.update(keeper.get()) // duplicate content -> suppressed; TTL refreshed
+        // duplicate content -> suppressed. The state rewrite exists ONLY to
+        // refresh the TTL clock; with TTL off it would be a pure RocksDB
+        // write per duplicate — the hottest path of a dedup stream
+        if (ttlMs > 0) keeper.update(keeper.get())
         Iterator.empty
       } else {
         var minId = Long.MaxValue

@@ -93,8 +93,11 @@ object StreamingNearDup {
             while (i < numPerm) { if (m.sig(i) == e.sig(i)) agree += 1; i += 1 }
             val est = agree.toDouble / numPerm
             if (est >= threshold)
+              // round6 (HALF_UP), NOT math.rint (half-even): the batch
+              // operator rounds with Spark's round(), and an est landing on
+              // a .xxxxxx5 boundary (e.g. 65/128) would diverge
               out += CandidatePair(math.min(m.docId, e.docId), math.max(m.docId, e.docId),
-                math.rint(est * 1e6) / 1e6)
+                round6(est))
           }
           existing += e
           seen += e.docId

@@ -43,6 +43,28 @@ class StreamingCdcSpec extends SparkSpec {
       ("2", "updated", 40L), ("3", "new", 50L)))
   }
 
+  test("late-arriving OLDER version in a later batch is suppressed (no stale overwrite)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EntityEvent]
+    input.addData(EntityEvent("e", 200, """{"v":"new"}"""))
+    val q = StreamingCdc.newOrUpdatedStream(input.toDS(), ttlMs = 0)
+      .writeStream.format("memory").queryName("cdc_late")
+      .option("checkpointLocation", Files.createTempDirectory("cdc-ckpt-late").toString)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: v1 arrives LATE, content differs — hash-only state would
+    // emit it as 'updated' and regress the target to stale content
+    input.addData(EntityEvent("e", 100, """{"v":"old"}"""))
+    q.processAllAvailable()
+    // batch 3: redelivery of the CURRENT version must stay suppressed
+    input.addData(EntityEvent("e", 200, """{"v":"new"}"""))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cdc_late").as[Change].collect()
+      .map(c => (c.changeType, c.updatedOnMs)).toSeq
+    assert(out == Seq(("new", 200L)))
+  }
+
   test("two versions of one id inside a single batch emit both transitions in order") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EntityEvent]
