@@ -45,7 +45,9 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // floor at 1: reps=0 would make runs.min throw before ANY summary line
+    // prints, leaving the driver's stdout-tail parse with nothing
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     // optional comma-separated allowlist, for scale rehearsals on derived
     // fixtures that carry only a subset of the tables (SCALING.md)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

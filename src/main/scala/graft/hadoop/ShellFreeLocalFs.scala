@@ -27,6 +27,12 @@ class ShellFreeRawLocalFileSystem extends RawLocalFileSystem {
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     val perms = new java.util.HashSet[PosixFilePermission]()
     val m = permission.toShort.toInt
+    // java.nio can express only the low 9 bits; silently dropping a
+    // requested setuid/setgid/sticky bit would also CLEAR it on the target
+    // where the chmod path would set it — fail loudly instead (nothing in
+    // a Spark checkpoint/warehouse path ever asks for special bits)
+    require((m & 0xE00) == 0,
+      f"setPermission 0$m%o: setuid/setgid/sticky bits unsupported by the shell-free path")
     if ((m & 0x100) != 0) perms.add(OWNER_READ)
     if ((m & 0x080) != 0) perms.add(OWNER_WRITE)
     if ((m & 0x040) != 0) perms.add(OWNER_EXECUTE)

@@ -36,9 +36,18 @@ object AsOf {
     val lpay = struct(left.columns.map(col): _*)
     val rType = right.select(rpay.as("p")).schema("p").dataType
     val lType = left.select(lpay.as("p")).schema("p").dataType
-    val ru = right.select(col(keyCol).as("__k"), rightTs.cast("long").as("__t"),
-      lit(0).as("__side"), tieBreak.cast("long").as("__tb"),
-      rpay.as("__r"), lit(null).cast(lType).as("__l"))
+    // SQL join semantics for NULLs: a NULL key never matches anything, and
+    // a right row with NULL ts precedes nothing. Unfiltered, the window
+    // would group NULL keys into one partition (NULL-keyed lefts silently
+    // attributed to NULL-keyed rights) and NULL ts would sort first,
+    // acting as "earlier than everything" — both diverge from the
+    // equivalent theta-join + argmax (and its oracle twin), which yields
+    // no match. Same NULL-grouping class as the hotColdJoin fix.
+    val ru = right
+      .where(col(keyCol).isNotNull && rightTs.cast("long").isNotNull)
+      .select(col(keyCol).as("__k"), rightTs.cast("long").as("__t"),
+        lit(0).as("__side"), tieBreak.cast("long").as("__tb"),
+        rpay.as("__r"), lit(null).cast(lType).as("__l"))
     val lu = left.select(col(keyCol).as("__k"), leftTs.cast("long").as("__t"),
       lit(1).as("__side"), lit(null).cast("long").as("__tb"),
       lit(null).cast(rType).as("__r"), lpay.as("__l"))

@@ -178,7 +178,13 @@ object Queries {
     val stats = ev.groupBy("event_type")
       .agg(min("event_id").as("__lo"), max("event_id").as("__hi"))
     // monotone in event_id within a type => buckets are range-disjoint and
-    // ordered, so offset composition preserves the global ordering
+    // ordered, so offset composition preserves the global ordering.
+    // NOTE: x4LazyPointer implements the same two-phase range-bucket
+    // numbering (there with byte weights and a triangular offset join) —
+    // a fix to this bucket formula applies THERE too. The floor(double)
+    // form is safe here because it is monotone and self-consistent (both
+    // sides of every comparison go through the same rounding), unlike the
+    // cross-side equi-join buckets Intervals needed integer div for.
     val bucketed = ev.join(broadcast(stats), "event_type")
       .withColumn("__b", least(lit(E7Buckets - 1).cast("long"),
         floor((col("event_id") - col("__lo")) * E7Buckets / (col("__hi") - col("__lo") + 1))).cast("int"))
@@ -524,7 +530,11 @@ object Queries {
     // mixing countDistinct into the sketch agg would force an Expand over
     // every row, double-scanning the table for one column — the same
     // reason the 100 TB form pairs sketches with pre-aggregated exacts
-    val exact = ev.select("event_type", "user_id").distinct()
+    // isNotNull first: COUNT(DISTINCT user_id) — the oracle's form — is
+    // NULL-excluding, and a bare distinct-pairs count would keep the
+    // (type, NULL) pair and read one user high
+    val exact = ev.select("event_type", "user_id").where(col("user_id").isNotNull)
+      .distinct()
       .groupBy("event_type").agg(count(lit(1)).as("exact_users"))
     val sketches = ev.groupBy("event_type").agg(
       count(lit(1)).as("n_events"),
@@ -793,6 +803,8 @@ object Queries {
     // ≤X4Buckets-row aggregate (no global window — an unpartitioned
     // WindowExec would route through one partition, and a constant
     // partition key gets folded away by EliminateWindowPartitions).
+    // same two-phase range-bucket numbering as e7BatchSlices (see the note
+    // there): a change to the bucket formula applies in BOTH places
     val stats = sized.agg(min("doc_id").as("__lo"), max("doc_id").as("__hi"))
     val bucketed = sized.crossJoin(broadcast(stats))
       .withColumn("__b", least(lit(X4Buckets - 1).cast("long"),

@@ -32,6 +32,22 @@ class AsOfSpec extends SparkSpec {
     assert(out == Map(10L -> Some(902L), 11L -> Some(900L), 20L -> None, 30L -> None))
   }
 
+  test("NULL keys and NULL right timestamps never match (SQL join semantics)") {
+    val l = Seq((Option(1L), 100L, 10L), (Option.empty[Long], 100L, 11L))
+      .toDF("k", "lts", "lid")
+    val r = Seq(
+      (Option.empty[Long], Option(90L), 900L), // NULL key: matches nothing
+      (Option(1L), Option.empty[Long], 901L),  // NULL ts: precedes nothing
+      (Option(1L), Option(95L), 902L)          // the only legitimate match
+    ).toDF("k", "rts", "rid")
+    val out = AsOf.asofJoin(l, r, "k", col("lts"), col("rts"), col("rid"))
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // NULL-keyed left row gets no match; NULL-keyed / NULL-ts right rows
+    // are never attributed to anyone
+    assert(out == Map(10L -> Some(902L), 11L -> None))
+  }
+
   test("property: union-window as-of equals the naive theta-join argmax on random data") {
     // deterministic pseudo-random fixture (no RNG: md5-derived values)
     def h(s: String): Long = java.lang.Long.parseLong(
