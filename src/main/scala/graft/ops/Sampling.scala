@@ -163,24 +163,23 @@ object Sampling {
                  budget: Long, strict: Boolean = false): DataFrame = {
     val staged = df.select(groupCols.map(col) :+ col(idCol) :+
       TextAnalysis.tokenCount(text).cast("long").as("n_tokens"): _*)
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(hashUnit(col(idCol)), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = staged.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
     if (strict) {
       // prefix form: admit while EVERY doc so far fits — i.e. the running
       // max of cum_tokens (== cum_tokens itself, it's monotone) <= budget
-      cum.where(col("cum_tokens") <= budget)
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(hashUnit(col(idCol)), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      staged.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .where(col("cum_tokens") <= budget)
     } else {
       // skip-and-continue: a doc is admitted iff the cumulative total of
       // admitted docs before it plus itself fits. Equivalent to the
-      // greedy scan; expressed as cum-of-admitted via a second pass:
-      // admit iff n_tokens + (admitted cum before) <= budget. The greedy
-      // admitted-set is NOT a window expression (depends on prior
-      // admissions), so it is computed per-group with a bounded
-      // aggregation: groups are budget-bounded (cum list fits easily —
-      // the window above already sorts the group).
-      greedyAdmit(cum, idCol, groupCols, budget)
+      // greedy scan; the greedy admitted-set is NOT a window expression
+      // (depends on prior admissions), so it is computed per-group with a
+      // bounded aggregation straight off `staged` — the strict path's
+      // running-sum window would be pure discarded work here (the fold
+      // re-derives order and totals itself).
+      greedyAdmit(staged, idCol, groupCols, budget)
     }
   }
 
@@ -191,16 +190,21 @@ object Sampling {
     * admit plus skipped docs; for corpus-scale groups prefer
     * `strict = true` (pure window, no per-group array).
     */
-  private def greedyAdmit(cum: DataFrame, idCol: String, groupCols: Seq[String],
+  private def greedyAdmit(staged: DataFrame, idCol: String, groupCols: Seq[String],
                           budget: Long): DataFrame = {
+    // id type flows from the INPUT: a hardcoded long would throw
+    // DATATYPE_MISMATCH at plan time for string/UUID ids (hashUnit already
+    // supports any id that casts to string)
+    val idSql = staged.schema(idCol).dataType.sql
     val rowStruct = struct(Sampling.hashUnit(col(idCol)).as("__u"), col(idCol).as("__id"),
       col("n_tokens").as("__nt"))
-    val grouped = cum.groupBy(groupCols.map(col): _*)
+    val grouped = staged.groupBy(groupCols.map(col): _*)
       .agg(array_sort(collect_list(rowStruct)).as("__docs"))
     // fold: acc = array of admitted (id, nt, cum) structs + running total
     val admitted = aggregate(
       col("__docs"),
-      struct(lit(0L).as("__tot"), array().cast("array<struct<__id:long,__nt:long,__cum:long>>").as("__keep")),
+      struct(lit(0L).as("__tot"),
+        array().cast(s"array<struct<__id:$idSql,__nt:bigint,__cum:bigint>>").as("__keep")),
       (acc, d) => {
         val nt = d.getField("__nt")
         val fits = acc.getField("__tot") + nt <= budget

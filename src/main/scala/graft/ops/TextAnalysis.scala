@@ -76,12 +76,11 @@ object TextAnalysis {
     */
   def qualityMetrics(df: DataFrame, idCol: String, text: Column): DataFrame = {
     val staged = stagedCounts(df, idCol, text)
-    val stopRatio = col("__nstop").cast("double") / greatest(col("__nw"), lit(1)).cast("double")
     staged.select(col(idCol),
       col("__nw").cast("long").as("n_words"),
       col("__ntok").cast("long").as("n_tokens"),
       round(meanWordLen, 6).as("mean_word_len"),
-      round(stopRatio, 6).as("stopword_ratio"),
+      round(stopRatioExpr, 6).as("stopword_ratio"),
       round(alphaRatioExpr, 6).as("alpha_ratio"),
       blendedScore.as("quality_score"))
   }
@@ -101,6 +100,12 @@ object TextAnalysis {
     length(regexp_replace(col("__n"), "[^a-z]", "")).cast("double") /
       greatest(length(col("__n")), lit(1)).cast("double")
 
+  /** Stopword fraction over [[stagedCounts]] columns (unrounded) — shared
+    * for the same reason as [[meanWordLen]].
+    */
+  private def stopRatioExpr: Column =
+    col("__nstop").cast("double") / greatest(col("__nw"), lit(1)).cast("double")
+
   /** Staged per-doc counts (`__n` norm text, `__w` word array, `__nw`,
     * `__sumlen`, `__nstop`, `__ntok`) shared by [[qualityMetrics]] and
     * [[cleanCorpus]] so the score formula can't drift between them.
@@ -119,11 +124,9 @@ object TextAnalysis {
     * words, sane word length, some stopwords.
     */
   private def blendedScore: Column = {
-    val nWords = col("__nw")
-    val stopRatio = col("__nstop").cast("double") / greatest(nWords, lit(1)).cast("double")
-    val lengthScore = least(nWords.cast("double") / lit(50.0), lit(1.0))
+    val lengthScore = least(col("__nw").cast("double") / lit(50.0), lit(1.0))
     val wordLenScore = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
-    round((lengthScore + wordLenScore + least(stopRatio * 5, lit(1.0))) / 3.0, 6)
+    round((lengthScore + wordLenScore + least(stopRatioExpr * 5, lit(1.0))) / 3.0, 6)
   }
 
   /** End-to-end corpus cleaning — the canonical pretraining-data pipeline
@@ -213,8 +216,14 @@ object TextAnalysis {
     * distinct-2-gram count, one keyed join of the two per-doc aggregates —
     * nothing wider than (doc, token) ever shuffles.
     */
-  def repetitionMetrics(df: DataFrame, idCol: String, text: Column): DataFrame = {
-    val staged = df.select(col(idCol), words(text).as("__w"))
+  def repetitionMetrics(df: DataFrame, idCol: String, text: Column): DataFrame =
+    repetitionFromWords(df.select(col(idCol), words(text).as("__w")), idCol)
+
+  /** [[repetitionMetrics]] over an ALREADY-staged word array (column
+    * `__w`) — lets [[gopherRules]] reuse its stagedCounts word array
+    * instead of normalizing and splitting the corpus a second time.
+    */
+  private def repetitionFromWords(staged: DataFrame, idCol: String): DataFrame = {
     val wordAgg = staged.select(col(idCol), explode(col("__w")).as("__t"))
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol))
@@ -282,7 +291,9 @@ object TextAnalysis {
       round(meanWordLen, 6).between(minMeanLen, maxMeanLen).as("rule_mean_word_len"),
       (round(alphaRatioExpr, 6) >= minAlphaRatio).as("rule_alpha_ratio"),
       (col("__nstop") >= minStopwords).as("rule_stopwords"))
-    val rep = repetitionMetrics(df, idCol, text)
+    // reuse the staged word array: re-normalizing the corpus for the
+    // repetition aggregates would double the dominant per-row cost
+    val rep = repetitionFromWords(staged.select(col(idCol), col("__w")), idCol)
       .select(col(idCol), (col("top_word_frac") <= maxTopWordFrac).as("rule_top_word"),
         (col("dup_2gram_frac") <= maxDup2gramFrac).as("rule_dup_2gram"))
     perRow.join(rep, Seq(idCol), "left")
@@ -353,13 +364,18 @@ object TextAnalysis {
     * bit-identical in any engine regardless of aggregation order.
     */
   def lmScore(df: DataFrame, idCol: String, text: Column, lm: DataFrame): DataFrame = {
-    val model = broadcast(lm.select(col("gram"), col("logp")))
+    // pinned: the model frame feeds BOTH the broadcast lookup and the floor
+    // aggregate — unpinned, the whole trigram fit (sample scan + explode +
+    // count agg) would execute twice per scoring run (caller releases via
+    // OpCaches, like every operator-internal persist)
+    val pinned = OpCaches.pin(lm)
+    val model = broadcast(pinned.select(col("gram"), col("logp")))
     // the floor comes from an ungrouped AGGREGATE, which yields exactly one
     // row even over an empty model (max of empty = null): a degenerate fit
     // (empty sample) then scores every doc with NULL lm_score instead of
     // annihilating the output through an empty cross join — the same
     // one-row/NULL behavior as the oracle twin's ungrouped `tv` aggregate
-    val floor = broadcast(lm.agg(
+    val floor = broadcast(pinned.agg(
       round(log(lit(1.0) / (max(col("__lmtot")) + max(col("__lmv"))).cast("double")), 6)
         .as("__floor")))
     val grams = df.select(col(idCol), Dedup.normalizeText(text).as("__n"))

@@ -85,6 +85,65 @@ object Oracles {
       |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
       |  FROM rhp_cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b)""".stripMargin
 
+  /** Gopher rule-filter CTE chain (mirrors TextAnalysis.gopherRules with
+    * the registered thresholds). Requires a preceding CTE `b(doc_id, nt)`;
+    * ends with `m(doc_id, nt, nw, sumlen, nstop)` and
+    * `rep(doc_id, rule_top_word, rule_dup_2gram)`. Shared by
+    * x5_gopher_rules and x8_curation_v2 so the composed pipeline cannot
+    * drift from the per-stage twin.
+    */
+  private val GopherChain =
+    """w AS (SELECT doc_id, nt, list_filter(string_split(nt, ' '), x -> len(x) > 0) AS ws FROM b),
+      |m AS (SELECT doc_id, nt, len(ws) AS nw,
+      |        coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS sumlen,
+      |        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','the','a','and','of','to','in','is','el','la','de','y','que','los','un','le','et','les','des','une','de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS nstop
+      |      FROM w),
+      |t AS (SELECT doc_id, unnest(ws) AS tk FROM w),
+      |wc AS (SELECT doc_id, tk, count(*) AS c FROM t GROUP BY 1, 2),
+      |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw2, max(c) AS top FROM wc GROUP BY 1),
+      |g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+      |        THEN list_distinct(list_transform(generate_series(1, len(ws)-1), i -> array_to_string(ws[i:i+1], ' ')))
+      |        ELSE [array_to_string(ws, ' ')] END) AS gm
+      |      FROM w),
+      |ga AS (SELECT doc_id, count(*) AS n2d FROM g GROUP BY 1),
+      |rep AS (SELECT wa.doc_id,
+      |        (round(top*1.0/nw2, 6) <= 0.15) AS rule_top_word,
+      |        ((CASE WHEN nw2 <= 1 THEN 0.0 ELSE round(1.0 - n2d*1.0/(nw2-1), 6) END) <= 0.3) AS rule_dup_2gram
+      |      FROM wa JOIN ga ON wa.doc_id = ga.doc_id)""".stripMargin
+
+  /** The gopher keep conjunction over `m` LEFT JOIN `rep` columns — the
+    * single definition both the per-rule query and the composed pipeline's
+    * keeper filter interpolate.
+    */
+  private val GopherKeep =
+    """(nw BETWEEN 30 AND 100000)
+      |   AND (round(sumlen*1.0/greatest(nw, 1), 6) BETWEEN 3.0 AND 10.0)
+      |   AND (round(len(regexp_replace(nt, '[^a-z]', '', 'g'))*1.0/greatest(len(nt), 1), 6) >= 0.8)
+      |   AND (nstop >= 1)
+      |   AND coalesce(rule_top_word, FALSE)
+      |   AND coalesce(rule_dup_2gram, FALSE)""".stripMargin
+
+  /** Char-trigram grams of a normalized-text column `nt`. */
+  private val LmGrams =
+    "CASE WHEN len(nt) >= 3 THEN list_transform(generate_series(1, len(nt)-2), i -> substr(nt, i, 3)) ELSE [nt] END"
+
+  /** Char-trigram LM CTE chain (mirrors TextAnalysis.charTrigramLmFit +
+    * lmScore's model/floor/per-gram stages, 20% md5 sample). Requires
+    * `b(doc_id, nt)`; ends with `j(doc_id, lp, oov)`. Shared by
+    * x5_lm_score and x8_curation_v2.
+    */
+  private val LmChain =
+    s"""samp AS (SELECT nt FROM b WHERE $hashUnit < 0.2),
+       |sg AS (SELECT unnest($LmGrams) AS gram FROM samp),
+       |cnt AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM sg GROUP BY 1),
+       |tv AS (SELECT sum(c) AS tot, CAST(count(*) AS BIGINT) AS v FROM cnt),
+       |lm AS (SELECT gram, round(ln(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)), 6) AS logp FROM cnt, tv),
+       |fl AS (SELECT round(ln(1.0 / CAST(tot + v AS DOUBLE)), 6) AS floorp FROM tv),
+       |dg AS (SELECT doc_id, unnest($LmGrams) AS gram FROM b),
+       |j AS (SELECT doc_id, coalesce(lm.logp, fl.floorp) AS lp,
+       |        CASE WHEN lm.gram IS NULL THEN 1 ELSE 0 END AS oov
+       |      FROM dg LEFT JOIN lm ON lm.gram = dg.gram CROSS JOIN fl)""".stripMargin
+
   /** 16×4 equality-join candidate chain ending at `rhp_v`. */
   private val RhpChain =
     s"""${rhpBucketChain(16, 4)},
@@ -895,49 +954,24 @@ object Oracles {
     // Mirrors TextAnalysis.charTrigramLmFit + lmScore: 20% md5 sample,
     // add-one char-trigram logps rounded 6dp at the model boundary (ln
     // agrees across engines to 1 ulp), per-doc mean through an exact
-    // DECIMAL(18,6) sum so aggregation order cannot move a score.
-    "x5_lm_score" -> {
-      val grams = "CASE WHEN len(nt) >= 3 THEN list_transform(generate_series(1, len(nt)-2), i -> substr(nt, i, 3)) ELSE [nt] END"
+    // DECIMAL(18,6) sum so aggregation order cannot move a score. Chain
+    // shared with x8_curation_v2 ([[LmChain]]).
+    "x5_lm_score" ->
       s"""WITH b AS (SELECT doc_id, $norm AS nt FROM documents),
-         |samp AS (SELECT nt FROM b WHERE $hashUnit < 0.2),
-         |sg AS (SELECT unnest($grams) AS gram FROM samp),
-         |cnt AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM sg GROUP BY 1),
-         |tv AS (SELECT sum(c) AS tot, CAST(count(*) AS BIGINT) AS v FROM cnt),
-         |lm AS (SELECT gram, round(ln(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)), 6) AS logp FROM cnt, tv),
-         |fl AS (SELECT round(ln(1.0 / CAST(tot + v AS DOUBLE)), 6) AS floorp FROM tv),
-         |dg AS (SELECT doc_id, unnest($grams) AS gram FROM b),
-         |j AS (SELECT doc_id, coalesce(lm.logp, fl.floorp) AS lp,
-         |        CASE WHEN lm.gram IS NULL THEN 1 ELSE 0 END AS oov
-         |      FROM dg LEFT JOIN lm ON lm.gram = dg.gram CROSS JOIN fl)
+         |$LmChain
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
          |  round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS lm_score,
          |  round(sum(oov)*1.0 / count(*), 6) AS oov_frac
-         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
-    },
+         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // Mirrors TextAnalysis.gopherRules (minWords=30, alpha>=0.8,
     // top_word<=0.15): per-rule verdicts over the SAME 6-dp-rounded metrics
     // as x5_quality / x5_repetition, LEFT-joined repetition flags coalesced
-    // false for wordless docs.
+    // false for wordless docs. Chain + keep predicate shared with
+    // x8_curation_v2 ([[GopherChain]]/[[GopherKeep]]).
     "x5_gopher_rules" ->
       s"""WITH b AS (SELECT doc_id, $norm AS nt FROM documents),
-         |w AS (SELECT doc_id, nt, list_filter(string_split(nt, ' '), x -> len(x) > 0) AS ws FROM b),
-         |m AS (SELECT doc_id, nt, len(ws) AS nw,
-         |        coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS sumlen,
-         |        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','the','a','and','of','to','in','is','el','la','de','y','que','los','un','le','et','les','des','une','de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS nstop
-         |      FROM w),
-         |t AS (SELECT doc_id, unnest(ws) AS tk FROM w),
-         |wc AS (SELECT doc_id, tk, count(*) AS c FROM t GROUP BY 1, 2),
-         |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw2, max(c) AS top FROM wc GROUP BY 1),
-         |g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
-         |        THEN list_distinct(list_transform(generate_series(1, len(ws)-1), i -> array_to_string(ws[i:i+1], ' ')))
-         |        ELSE [array_to_string(ws, ' ')] END) AS gm
-         |      FROM w),
-         |ga AS (SELECT doc_id, count(*) AS n2d FROM g GROUP BY 1),
-         |rep AS (SELECT wa.doc_id,
-         |        (round(top*1.0/nw2, 6) <= 0.15) AS rule_top_word,
-         |        ((CASE WHEN nw2 <= 1 THEN 0.0 ELSE round(1.0 - n2d*1.0/(nw2-1), 6) END) <= 0.3) AS rule_dup_2gram
-         |      FROM wa JOIN ga ON wa.doc_id = ga.doc_id)
+         |$GopherChain
          |SELECT m.doc_id, CAST(nw AS BIGINT) AS n_words,
          |  (nw BETWEEN 30 AND 100000) AS rule_n_words,
          |  (round(sumlen*1.0/greatest(nw, 1), 6) BETWEEN 3.0 AND 10.0) AS rule_mean_word_len,
@@ -945,12 +979,7 @@ object Oracles {
          |  (nstop >= 1) AS rule_stopwords,
          |  coalesce(rule_top_word, FALSE) AS rule_top_word,
          |  coalesce(rule_dup_2gram, FALSE) AS rule_dup_2gram,
-         |  ((nw BETWEEN 30 AND 100000)
-         |   AND (round(sumlen*1.0/greatest(nw, 1), 6) BETWEEN 3.0 AND 10.0)
-         |   AND (round(len(regexp_replace(nt, '[^a-z]', '', 'g'))*1.0/greatest(len(nt), 1), 6) >= 0.8)
-         |   AND (nstop >= 1)
-         |   AND coalesce(rule_top_word, FALSE)
-         |   AND coalesce(rule_dup_2gram, FALSE)) AS keep
+         |  ($GopherKeep) AS keep
          |FROM m LEFT JOIN rep ON rep.doc_id = m.doc_id
          |ORDER BY m.doc_id""".stripMargin,
 
@@ -1016,41 +1045,11 @@ object Oracles {
     // stages it composes.
     "x8_curation_v2" -> {
       val c0 = graft.ops.Sampling.cumulativeCuts(graft.ops.Sampling.DefaultSplits).head
-      val grams = "CASE WHEN len(nt) >= 3 THEN list_transform(generate_series(1, len(nt)-2), i -> substr(nt, i, 3)) ELSE [nt] END"
       s"""WITH b AS (SELECT doc_id, $norm AS nt FROM documents),
-         |w AS (SELECT doc_id, nt, list_filter(string_split(nt, ' '), x -> len(x) > 0) AS ws FROM b),
-         |m AS (SELECT doc_id, nt, len(ws) AS nw,
-         |        coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS sumlen,
-         |        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','the','a','and','of','to','in','is','el','la','de','y','que','los','un','le','et','les','des','une','de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS nstop
-         |      FROM w),
-         |t AS (SELECT doc_id, unnest(ws) AS tk FROM w),
-         |wc AS (SELECT doc_id, tk, count(*) AS c FROM t GROUP BY 1, 2),
-         |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw2, max(c) AS top FROM wc GROUP BY 1),
-         |g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
-         |        THEN list_distinct(list_transform(generate_series(1, len(ws)-1), i -> array_to_string(ws[i:i+1], ' ')))
-         |        ELSE [array_to_string(ws, ' ')] END) AS gm
-         |      FROM w),
-         |ga AS (SELECT doc_id, count(*) AS n2d FROM g GROUP BY 1),
-         |rep AS (SELECT wa.doc_id,
-         |        (round(top*1.0/nw2, 6) <= 0.15) AS rule_top_word,
-         |        ((CASE WHEN nw2 <= 1 THEN 0.0 ELSE round(1.0 - n2d*1.0/(nw2-1), 6) END) <= 0.3) AS rule_dup_2gram
-         |      FROM wa JOIN ga ON wa.doc_id = ga.doc_id),
+         |$GopherChain,
          |gk AS (SELECT m.doc_id FROM m LEFT JOIN rep ON rep.doc_id = m.doc_id
-         |      WHERE (nw BETWEEN 30 AND 100000)
-         |        AND (round(sumlen*1.0/greatest(nw, 1), 6) BETWEEN 3.0 AND 10.0)
-         |        AND (round(len(regexp_replace(nt, '[^a-z]', '', 'g'))*1.0/greatest(len(nt), 1), 6) >= 0.8)
-         |        AND (nstop >= 1)
-         |        AND coalesce(rule_top_word, FALSE)
-         |        AND coalesce(rule_dup_2gram, FALSE)),
-         |samp AS (SELECT nt FROM b WHERE $hashUnit < 0.2),
-         |sg AS (SELECT unnest($grams) AS gram FROM samp),
-         |cnt AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM sg GROUP BY 1),
-         |tv AS (SELECT sum(c) AS tot, CAST(count(*) AS BIGINT) AS v FROM cnt),
-         |lm AS (SELECT gram, round(ln(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)), 6) AS logp FROM cnt, tv),
-         |fl AS (SELECT round(ln(1.0 / CAST(tot + v AS DOUBLE)), 6) AS floorp FROM tv),
-         |dg AS (SELECT doc_id, unnest($grams) AS gram FROM b),
-         |j AS (SELECT doc_id, coalesce(lm.logp, fl.floorp) AS lp
-         |      FROM dg LEFT JOIN lm ON lm.gram = dg.gram CROSS JOIN fl),
+         |      WHERE $GopherKeep),
+         |$LmChain,
          |ls AS (SELECT doc_id FROM j GROUP BY 1
          |      HAVING round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) >= -5.43),
          |fd AS (SELECT d.* FROM documents d JOIN gk USING (doc_id) JOIN ls USING (doc_id)),

@@ -542,7 +542,11 @@ object Queries {
       expr("approx_percentile(value, 0.5, 10000)").as("__ap"),
       expr("percentile(value, 0.5)").as("__ep"),
       max(col("value")).as("__mx"), min(col("value")).as("__mn"))
-    sketches.join(broadcast(exact), "event_type")
+    // LEFT join + coalesce: a type whose user_ids are ALL NULL has no row
+    // on the exact side but must still report (exact_users = 0), exactly
+    // like the oracle's COUNT(DISTINCT) over the full GROUP BY
+    sketches.join(broadcast(exact), Seq("event_type"), "left")
+      .withColumn("exact_users", coalesce(col("exact_users"), lit(0L)))
       .select(col("event_type"), col("n_events"), col("exact_users"),
         // HLL++ default rsd = 5%; 3 sigma + small-count slack
         (abs(col("__hll") - col("exact_users")) <= col("exact_users") * 0.15 + lit(16)).as("hll_ok"),

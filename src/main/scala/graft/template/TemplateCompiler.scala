@@ -117,6 +117,13 @@ object TemplateCompiler {
             parts += With(path, body, fb)
             s = afterAll
           } else {
+            // unsupported block helpers must FAIL, not lex as field lookups:
+            // {{#if x}}SECRET{{/if}} would otherwise coalesce the helper
+            // tags to "" and emit the body for EVERY row — silent
+            // unconditional rendering of conditional content. #with is the
+            // one block construct the reference templates use (E3).
+            require(!tag.startsWith("#") && !tag.startsWith("/"),
+              s"unsupported block helper '{{$tag}}' (only #with/else is implemented)")
             parts += Field(tag, raw = false)
             s = s.substring(end + 2)
           }
