@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bypass sbt's logger for forked program output: under the driver's sbt
+// invocation the LoggedOutput default prefixes every stdout line with
+// "[info] ", which breaks any per-line JSON parse of the bench/verify
+// summary (BENCH_r01..r05 all came back "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -84,17 +84,23 @@ object Bench {
     // failures are recorded as -1.0 per query but MUST NOT pollute the total
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
-    // Detailed line (per-rep runs) first, for humans diffing rounds; the
-    // COMPACT summary line prints LAST because the driver captures only a
-    // 2000-char stdout tail — round 4's single combined line overflowed it
-    // and the artifact came back "parsed": null.
-    println(s"""{"metric":"detail","reps":$reps,"runs":$raw,"sf":"$sfDir"}""")
-    val summary =
+    // The driver captures only a 2000-char stdout tail and json-parses it
+    // per line; rounds 1-5 all came back "parsed": null because the
+    // queries-map summary outgrew the window (r1-r3) or sbt's logger
+    // prefixed it with "[info] " (r4-r5, fixed via outputStrategy in
+    // build.sbt). Defense in depth: per-query mins and per-rep runs go to a
+    // FILE artifact, the full line prints for humans, and a lean summary
+    // (~160 chars, always inside the window) prints LAST.
+    val detail =
+      s"""{"metric":"detail","reps":$reps$subsetTag,"mins":$qs,"runs":$raw,"sf":"$sfDir"}"""
+    val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"reps":$reps$subsetTag,"queries":$qs,"sf":"$sfDir"}"""
-    // If the registry ever grows the summary past the tail window, shed the
-    // per-query map (it survives in the detail line) rather than the total.
-    if (summary.length <= 1900) println(summary)
-    else println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"reps":$reps$subsetTag,"sf":"$sfDir"}""")
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json"))
+    java.nio.file.Files.write(detailPath,
+      (detail + "\n" + full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(full)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"reps":$reps$subsetTag,"detail":"${detailPath.toString}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -220,13 +220,17 @@ private[graft] object Json {
     * passes through. Keeps the content hash identical no matter which
     * source path parsed the entity.
     */
-  def normalizeScalar(s: Scalar): Option[String] = s.kind match {
+  def normalizeScalar(s: Scalar, widenToDouble: Boolean = false): Option[String] = s.kind match {
     case Scalar.Lit if s.raw == "null" => None
     case Scalar.Num =>
       val rendered =
-        if (s.raw.matches("-?\\d+"))
+        if (s.raw.matches("-?\\d+") && !widenToDouble)
           scala.util.Try(java.lang.Long.parseLong(s.raw).toString)
             .getOrElse(new java.math.BigDecimal(s.raw).toBigInteger.toString)
+        // widenToDouble: v1 infers ONE type per column per page, so an
+        // integral value sharing a page-column with a fractional one goes
+        // through the double rendering there ("2" -> "2.0"); the v2 reader
+        // passes widen=true for exactly those (page, key) pairs
         else java.lang.Double.toString(java.lang.Double.parseDouble(s.raw))
       Some(rendered)
     case _ => Some(s.raw)

@@ -101,8 +101,13 @@ class EntityTable(config: EntitySourceConfig) extends Table with SupportsRead {
   * the previous page's max event time).
   */
 object PageDrain {
+  /** Drained items grouped BY PAGE: v1's `spark.read.json` infers one type
+    * per column per page, so page membership decides which integral values
+    * render through the double path (see [[EntityScan.pageWidenKeys]]) —
+    * flattening here would lose that and re-introduce v1<->v2 hash drift.
+    */
   def drain(config: EntitySourceConfig, from: Long,
-            maxPages: Int = Int.MaxValue): (Seq[String], Long) =
+            maxPages: Int = Int.MaxValue): (Seq[Seq[String]], Long) =
     walk(config, from, maxPages, retain = true)
 
   /** Walk the pagination loop to the current backlog end WITHOUT retaining
@@ -114,16 +119,16 @@ object PageDrain {
     walk(config, from, Int.MaxValue, retain = false)._2
 
   private def walk(config: EntitySourceConfig, from: Long, maxPages: Int,
-                   retain: Boolean): (Seq[String], Long) = {
+                   retain: Boolean): (Seq[Seq[String]], Long) = {
     val fetch = config.fetch
-    val items = Seq.newBuilder[String]
+    val items = Seq.newBuilder[Seq[String]]
     var checkpoint = from
     var partial = true
     var pages = 0
     while (partial && pages < maxPages) {
       pages += 1
       val page = EntityApiSource.fetchPage(fetch, config.urlTemplate, config.entityType, checkpoint)
-      if (retain) items ++= page.items
+      if (retain && page.items.nonEmpty) items += page.items
       val maxTs = page.items.flatMap(Json.parseFlatObject(_).get(Model.UpdatedOnMs))
         .flatMap(Json.numberToLong)
       // checkpoint = max(updatedOnMs) over all fetched items (cache.js:100-108);
@@ -153,16 +158,38 @@ class EntityScan(config: EntitySourceConfig) extends Scan {
 }
 
 object EntityScan {
-  /** Split a drained page list into input partitions (rows were fetched on
-    * the driver; executors parse them — parallelism in parse + downstream).
+  /** Keys v1's PER-PAGE schema inference types as DOUBLE because at least
+    * one item on the page carries a fractional/exponent value for them: the
+    * reader must render INTEGRAL values of those keys through the double
+    * path too ("2" -> "2.0"), or a page mixing {"n":2} and {"n":2.5} hashes
+    * differently through the two source paths and the entity is re-emitted
+    * on a v1<->v2 migration. (A page whose values for a key are uniformly
+    * integral keeps the long rendering, matching v1's long column.)
     */
-  def partition(items: Seq[String], idField: String, slices: Int = 8): Array[InputPartition] =
-    if (items.isEmpty) Array.empty
-    else items.grouped(math.max(1, math.ceil(items.size.toDouble / slices).toInt))
-      .map(chunk => EntityInputPartition(chunk.toArray, idField): InputPartition).toArray
+  private[v2] def pageWidenKeys(page: Seq[String]): Set[String] =
+    page.iterator.flatMap(item => Json.parseFlatObjectTyped(item).collect {
+      case (k, s) if s.kind == Json.Scalar.Num && !s.raw.matches("-?\\d+") => k
+    }).toSet
+
+  /** Split drained pages into input partitions (rows were fetched on the
+    * driver; executors parse them — parallelism in parse + downstream).
+    * Each item carries its page's widen-key set so chunking is free to
+    * cross page boundaries.
+    */
+  def partition(pages: Seq[Seq[String]], idField: String, slices: Int = 8): Array[InputPartition] = {
+    val tagged = pages.flatMap { page =>
+      val widen = pageWidenKeys(page)
+      page.map(item => (item, widen))
+    }
+    if (tagged.isEmpty) Array.empty
+    else tagged.grouped(math.max(1, math.ceil(tagged.size.toDouble / slices).toInt))
+      .map(chunk => EntityInputPartition(chunk.map(_._1).toArray, idField,
+        chunk.map(_._2).toArray): InputPartition).toArray
+  }
 }
 
-final case class EntityInputPartition(items: Array[String], idField: String) extends InputPartition
+final case class EntityInputPartition(items: Array[String], idField: String,
+    widenKeys: Array[Set[String]]) extends InputPartition
 
 /** Streaming offset = the entity checkpoint (epoch millis). */
 final case class CheckpointOffset(ms: Long) extends Offset {
@@ -172,8 +199,8 @@ final case class CheckpointOffset(ms: Long) extends Offset {
 class EntityMicroBatchStream(config: EntitySourceConfig)
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  // items drained for the current (start, end] window, keyed by end offset
-  @volatile private var pending: (Long, Seq[String]) = (config.startCheckpoint, Seq.empty)
+  // pages drained for the current (start, end] window, keyed by end offset
+  @volatile private var pending: (Long, Seq[Seq[String]]) = (config.startCheckpoint, Seq.empty)
   // AvailableNow: the backlog end fixed at prepare time; batches never pass it
   @volatile private var availableNowEnd: Option[Long] = None
   @volatile private var availableNowActive: Boolean = false
@@ -222,8 +249,9 @@ class EntityMicroBatchStream(config: EntitySourceConfig)
     // target so the query terminates even while new data keeps arriving
     val (items, next) = availableNowEnd match {
       case Some(end) =>
-        (drained.filter(Json.parseFlatObject(_).get(Model.UpdatedOnMs)
-          .flatMap(Json.numberToLong).forall(_ <= end)),
+        // filter WITHIN each page: page membership decides type widening
+        (drained.map(_.filter(Json.parseFlatObject(_).get(Model.UpdatedOnMs)
+          .flatMap(Json.numberToLong).forall(_ <= end))),
           math.min(drainedNext, end))
       case None => (drained, drainedNext)
     }
@@ -248,11 +276,11 @@ class EntityMicroBatchStream(config: EntitySourceConfig)
         // from its original contents
         val drained =
           PageDrain.drain(config, start.asInstanceOf[CheckpointOffset].ms, config.maxPagesPerBatch)._1
-        drained.filter { item =>
+        drained.map(_.filter { item =>
           Json.parseFlatObject(item).get(Model.UpdatedOnMs)
             .flatMap(Json.numberToLong)
             .forall(_ <= endMs)
-        }
+        })
       }
     EntityScan.partition(items, config.entityType.uniqueIdField)
   }
@@ -278,11 +306,14 @@ object EntityReaderFactory extends PartitionReaderFactory {
         // literals ("1.50", "null") would mark every such entity changed
         // on a v1<->v2 migration.
         val obj = Json.parseFlatObjectTyped(p.items(i))
-        val id = obj.get(p.idField).flatMap(Json.normalizeScalar)
+        // the item's PAGE decides per-key double widening (v1 infers one
+        // type per column per page — EntityScan.pageWidenKeys)
+        val widen = p.widenKeys(i)
+        val id = obj.get(p.idField).flatMap(s => Json.normalizeScalar(s, widen(p.idField)))
           .map(UTF8String.fromString).orNull
         val updated = obj.get(Model.UpdatedOnMs).map(_.raw).flatMap(Json.numberToLong)
         val attrs = (obj - Model.UpdatedOnMs).flatMap { case (k, s) =>
-          Json.normalizeScalar(s).map(k -> _)
+          Json.normalizeScalar(s, widen(k)).map(k -> _)
         }
         val keys = attrs.keys.toArray.map(k => UTF8String.fromString(k): AnyRef)
         val vals = attrs.values.toArray.map(v => UTF8String.fromString(v): AnyRef)

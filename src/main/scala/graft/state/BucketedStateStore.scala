@@ -26,6 +26,14 @@ final class BucketedStateStore(spark: SparkSession, root: String, buckets: Int =
   private def typeDir(t: String): Path = Paths.get(root, t)
   private def ckptFile(t: String): Path = typeDir(t).resolve("checkpoint")
   private def genFile(t: String): Path = typeDir(t).resolve("generation")
+  // the bucket count the surviving parquet files were WRITTEN with: a
+  // restart that constructs the store with a different `buckets` must not
+  // re-register a wrong bucket spec — the CDC join's no-exchange property
+  // would then silently read rows from the wrong buckets
+  private def bucketsFile(t: String): Path = typeDir(t).resolve("buckets")
+
+  private def recordedBuckets(t: String): Option[Int] =
+    if (Files.exists(bucketsFile(t))) Some(Files.readString(bucketsFile(t)).trim.toInt) else None
   // store-unique table names: two stores (or re-runs over a reused
   // warehouse) must not collide
   private val storeId = java.security.MessageDigest.getInstance("MD5")
@@ -53,7 +61,7 @@ final class BucketedStateStore(spark: SparkSession, root: String, buckets: Int =
         // in-session catalog does not: re-register the table over its
         // surviving warehouse files (bucket spec included, so the CDC
         // join's no-exchange property is restored too) before reading
-        if (!spark.catalog.tableExists(name)) reRegister(name)
+        if (!spark.catalog.tableExists(name)) reRegister(entityType, name)
         if (spark.catalog.tableExists(name)) spark.table(name)
         else emptyState // pointer without files: bootstrap like a cache miss
       case None => emptyState
@@ -71,12 +79,20 @@ final class BucketedStateStore(spark: SparkSession, root: String, buckets: Int =
     * a session restart in the warehouse directory (the in-memory catalog
     * starts empty every session).
     */
-  private def reRegister(name: String): Unit = {
+  private def reRegister(entityType: String, name: String): Unit = {
+    // the files' actual bucket count wins; a silent mismatch would corrupt
+    // every join that trusts the registered spec, so refuse loudly instead
+    val fileBuckets = recordedBuckets(entityType).getOrElse(buckets)
+    require(fileBuckets == buckets,
+      s"BucketedStateStore at $root/$entityType was written with $fileBuckets buckets " +
+        s"but reopened with buckets=$buckets; reopen with buckets=$fileBuckets " +
+        "(or recommit the state) — registering a mismatched bucket spec would " +
+        "silently misroute the bucketed CDC join")
     val loc = spark.sessionState.catalog.defaultTablePath(
       org.apache.spark.sql.catalyst.TableIdentifier(name))
     if (Files.exists(Paths.get(loc.getPath))) {
       spark.sql(s"CREATE TABLE `$name` (${Model.stateSchema.toDDL}) USING PARQUET " +
-        s"CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS LOCATION '$loc'")
+        s"CLUSTERED BY (id) SORTED BY (id) INTO $fileBuckets BUCKETS LOCATION '$loc'")
     }
   }
 
@@ -102,6 +118,7 @@ final class BucketedStateStore(spark: SparkSession, root: String, buckets: Int =
       .saveAsTable(tableName(entityType, gen))
 
     Files.createDirectories(typeDir(entityType))
+    Files.writeString(bucketsFile(entityType), buckets.toString)
     Files.writeString(genFile(entityType), gen.toString)
     Files.writeString(ckptFile(entityType), newCheckpoint.toString)
   }

@@ -44,7 +44,10 @@ object StreamingAdmission {
     val words = norm.split(" ").filter(_.nonEmpty)
     val nw = words.length.toLong
     if (nw < r.minWords || nw > r.maxWords) return false
-    val meanLen = round6(words.map(_.length.toLong).sum.toDouble / math.max(nw, 1L))
+    // code points, not UTF-16 units: batch __sumlen sums Spark length(w)
+    // (code points), so a supplementary-plane char must weigh 1 here too
+    val meanLen = round6(words.map(w => w.codePointCount(0, w.length).toLong).sum.toDouble /
+      math.max(nw, 1L))
     if (meanLen < r.minMeanLen || meanLen > r.maxMeanLen) return false
     // code points, not UTF-16 units: Spark's length() counts code points,
     // so a supplementary-plane char must weigh 1 in the denominator here too

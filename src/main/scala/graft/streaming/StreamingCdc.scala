@@ -84,7 +84,9 @@ object StreamingCdc {
         timerValues: TimerValues): Iterator[Change] = {
       val out = Seq.newBuilder[Change]
       // process versions in event-time order; emit each content transition
-      rows.toSeq.sortBy(e => (e.updatedOnMs, e.payload)).foreach { e =>
+      // null payload must not NPE the tiebreak sort (Ordering.String is
+      // null-hostile); "" matches the hash treatment below
+      rows.toSeq.sortBy(e => (e.updatedOnMs, Option(e.payload).getOrElse(""))).foreach { e =>
         val h = md5Hex(Option(e.payload).getOrElse("")) // null-safe, like the batch Column path
         Option(verState.get()) match {
           case None =>

@@ -63,6 +63,26 @@ class BucketedStateStoreSpec extends SparkSpec {
     assert(store.load("t")._1.count() == 3)
   }
 
+  test("reopening with a different bucket count fails loudly instead of registering a wrong spec") {
+    val root = Files.createTempDirectory("bkt5").toString
+    new BucketedStateStore(spark, root, buckets = 4)
+      .commit("t", batch("1" -> "h1"), nowMs = 1000, ttlMs = 500, newCheckpoint = 1)
+    // simulate a restart with a changed config: the store must refuse to
+    // re-register the surviving files under the NEW bucket count — a wrong
+    // registered spec would silently misroute the no-exchange CDC join
+    // this store's tables only — other suites' stores share the catalog
+    val storeId = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val name = spark.catalog.listTables().collect().map(_.name)
+      .find(n => n.contains(storeId) && n.endsWith("_g0")).get
+    spark.sql(s"DROP TABLE IF EXISTS `$name`") // metadata only in this simulation path
+    val reopened = new BucketedStateStore(spark, root, buckets = 8)
+    val e = intercept[IllegalArgumentException] { reopened.load("t") }
+    assert(e.getMessage.contains("4 buckets") || e.getMessage.contains("buckets=4"))
+    // reopening with the RECORDED count works
+    assert(new BucketedStateStore(spark, root, buckets = 4).load("t")._2 == 1)
+  }
+
   test("non-identifier type names (remote catalog) commit and load round-trip") {
     val store = new BucketedStateStore(spark, Files.createTempDirectory("bkt4").toString, buckets = 2)
     store.commit("aws-ec2", batch("1" -> "h1"), nowMs = 1000, ttlMs = 500, newCheckpoint = 1)

@@ -39,6 +39,25 @@ class StreamingAdmissionSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.size < docs.size) // the gate genuinely splits
   }
 
+  test("non-BMP words: JVM mean-word-length counts code points like the batch length()") {
+    // "ab😀" is 3 code points but 4 UTF-16 units; four of them + "the"
+    // give mean word length 15/5 = 3.0 in code points (inside [3.0, 3.5])
+    // but 19/5 = 3.8 in UTF-16 units (outside). Spark's length() counts
+    // code points, so the batch keeps the doc — the JVM twin must agree.
+    val emojiDoc = "the ab😀 ab😀 ab😀 ab😀"
+    val plainDoc = "the cat sat on a mat"
+    val r = QualityRules(minWords = 3, minMeanLen = 3.0, maxMeanLen = 3.5,
+      minAlphaRatio = 0.5, maxTopWordFrac = 0.8, maxDup2gramFrac = 0.6)
+    val batch = TextAnalysis.gopherRules(
+        Seq((1L, emojiDoc), (2L, plainDoc)).toDF("doc_id", "text"), "doc_id", col("text"),
+        minWords = 3, minMeanLen = 3.0, maxMeanLen = 3.5,
+        minAlphaRatio = 0.5, maxTopWordFrac = 0.8, maxDup2gramFrac = 0.6)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(batch(1L), "batch must keep the non-BMP doc (length() = code points)")
+    assert(StreamingAdmission.keep(emojiDoc, r) == batch(1L))
+    assert(StreamingAdmission.keep(plainDoc, r) == batch(2L))
+  }
+
   test("per-rule JVM twins: each rule trips on its own fixture") {
     val r = QualityRules(minWords = 3, minAlphaRatio = 0.8, maxTopWordFrac = 0.5,
       maxDup2gramFrac = 0.5)
