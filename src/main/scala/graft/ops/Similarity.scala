@@ -429,10 +429,11 @@ object Similarity {
     // denominator = the query's ACTUAL exact-set size, not the constant k:
     // a corpus with fewer than k eligible neighbors must still read 1.0
     // when the approximate path reproduces the exact set perfectly
-    exact.groupBy("query_id").agg(count(lit(1)).as("__n_exact"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       .join(hits.groupBy("query_id").agg(count(lit(1)).as("n_hits")), Seq("query_id"), "left")
-      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)) / col("__n_exact"), 6).as("recall"))
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / col("n_exact"), 6).as("recall"))
   }
 
   /** Recall audit for near-dup pair mining: of the ground-truth pairs in

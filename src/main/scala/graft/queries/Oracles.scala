@@ -144,6 +144,58 @@ object Oracles {
        |        CASE WHEN lm.gram IS NULL THEN 1 ELSE 0 END AS oov
        |      FROM dg LEFT JOIN lm ON lm.gram = dg.gram CROSS JOIN fl)""".stripMargin
 
+  /** Mirrors Similarity.semanticDedup end to end at the given quantizer
+    * width: cells = `bitsPerCell` sign bits of RHP band 0 (the
+    * x3_ivf_lsh_topk quantizer), centroids = exact DECIMAL(27,10) means,
+    * keep-priority = (6-dp centroid cosine ASC, id), drop rule = any
+    * same-cell ≥-threshold neighbor of lower priority. ONE definition for
+    * the 4-bit and 8-bit registrations so the twins cannot drift.
+    * NOTE the double-hop CAST(CAST(f AS DOUBLE) AS DECIMAL): DuckDB's
+    * direct FLOAT→DECIMAL goes through the float's SHORTEST decimal repr
+    * (0.0178204628f → 0.0178204624), while Spark rounds the exact binary
+    * value (→ 0.0178204626); hopping through DOUBLE makes both engines
+    * round the same binary value. Same fix applied in x3_ivf_lsh_topk.
+    */
+  private def semDedupSql(bitsPerCell: Int, threshold: Double): String = {
+    def cos(a: String, b: String) =
+      s"""round(
+         |    list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i])) /
+         |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $a[i]))) *
+         |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> $b[i] * $b[i])))), 6)""".stripMargin
+    s"""WITH ${rhpBucketChain(1, bitsPerCell)},
+       |cells AS (SELECT vec_id, CAST(bkt AS INT) AS cell FROM rhp_buck),
+       |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+       |expd AS (SELECT c.cell, i, CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(27,10)) AS xd
+       |        FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
+       |        CROSS JOIN generate_series(1, 64) t(i)),
+       |cent AS (SELECT cell, i, CAST(sum(xd) AS DOUBLE) / count(*) AS m FROM expd GROUP BY 1, 2),
+       |centarr AS (SELECT cell, list(m ORDER BY i) AS cv FROM cent GROUP BY 1),
+       |keyed AS (SELECT c.cell, e.vec_id, e.ev, ${cos("e.ev", "ca.cv")} AS ccos
+       |        FROM ed e JOIN cells c ON c.vec_id = e.vec_id JOIN centarr ca ON ca.cell = c.cell),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |        FROM keyed a JOIN keyed b ON a.cell = b.cell
+       |          AND (a.ccos, a.vec_id) < (b.ccos, b.vec_id)
+       |        WHERE ${cos("a.ev", "b.ev")} >= $threshold)
+       |SELECT k.vec_id, k.cell, k.ccos AS centroid_cos, (d.vec_id IS NULL) AS kept
+       |FROM keyed k LEFT JOIN dropped d ON d.vec_id = k.vec_id
+       |ORDER BY k.vec_id""".stripMargin
+  }
+
+  /** Brute-force cosine top-k truth chain (mirrors Similarity.cosineTopK:
+    * 6-dp-rounded scores, rank by (cos DESC, nid), self-pairs excluded);
+    * ends with `ranked(qid, nid, cos, rn)`. Shared by x3_knn_cosine and
+    * the x3_ivf_recall_gate truth side so the two cannot drift.
+    */
+  private val KnnTruthChain =
+    """q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+      |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+      |s AS (SELECT qid, nid, round(
+      |    list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE))))), 6) AS cos
+      |  FROM q, c WHERE nid <> qid),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s)""".stripMargin
+
   /** 16×4 equality-join candidate chain ending at `rhp_v`. */
   private val RhpChain =
     s"""${rhpBucketChain(16, 4)},
@@ -483,19 +535,22 @@ object Oracles {
          |  round(n_captured / n_true, 6) AS recall
          |FROM n, c""".stripMargin,
 
-    // Multi-probe twin: 8 bands x 4 bits, left side expanded to the bucket
-    // plus its four 1-bit-flip neighbors (xor), equality join against the
-    // exact right side, exact-cosine verification. Mirrors
+    // Multi-probe twin in its design regime: 8 bands x 8 bits, left side
+    // expanded to the bucket plus its eight 1-bit-flip neighbors (xor),
+    // equality join against the exact right side, exact-cosine
+    // verification. Same knobs/threshold as x2_rhp_scale, so the two gated
+    // results differ only by the probed pairs. Mirrors
     // Similarity.rhpMultiProbePairs.
-    "x2_rhp_multiprobe" ->
-      s"""WITH ${rhpBucketChain(8, 4)},
-         |rhp_probe AS (SELECT vec_id, band,
-         |    unnest([bkt, xor(bkt, 1), xor(bkt, 2), xor(bkt, 4), xor(bkt, 8)]) AS key
+    "x2_rhp_multiprobe" -> {
+      val probes = ("bkt" +: (0 until 8).map(j => s"xor(bkt, ${1L << j})")).mkString(", ")
+      s"""WITH ${rhpBucketChain(8, 8)},
+         |rhp_probe AS (SELECT vec_id, band, unnest([$probes]) AS key
          |  FROM rhp_buck),
          |rhp_cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |         FROM rhp_probe a JOIN rhp_buck b ON a.band = b.band AND a.key = b.bkt AND a.vec_id < b.vec_id),
          |$RhpVerify
-         |SELECT id_a, id_b, cosine FROM rhp_v WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin,
+         |SELECT id_a, id_b, cosine FROM rhp_v WHERE cosine >= 0.45 ORDER BY 1, 2""".stripMargin
+    },
 
     // Scale-form RHP twin: 8 bands x 8 bits, threshold 0.45 (see the query
     // scaladoc for the knob rationale).
@@ -516,16 +571,20 @@ object Oracles {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "x3_knn_cosine" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
-        |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
-        |s AS (SELECT qid, nid, round(
-        |    list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE))))), 6) AS cos
-        |  FROM q, c WHERE nid <> qid)
-        |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos AS cosine
-        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s)
-        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+      s"""WITH $KnnTruthChain
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos AS cosine
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // The q9 sketch-gate pattern applied to the k-means IVF recall audit:
+    // n_exact = brute-force truth-set size (recomputed exactly here), and
+    // recall_ok is pinned TRUE — Spark's side only hash-matches while the
+    // k-means path's recall clears its 0.2 floor. The fit itself is the
+    // only remaining ungated surface (the raw recall values stay in the
+    // rows-only x3_ivf_recall).
+    "x3_ivf_recall_gate" ->
+      s"""WITH $KnnTruthChain
+         |SELECT qid AS query_id, CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+         |FROM ranked WHERE rn <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Mirrors Similarity.lshCells + ivfTopK end to end: cells = 4 sign bits
     // of RHP band 0 (rhpBucketChain(1,4)); centroids = per-dimension exact
@@ -569,30 +628,13 @@ object Oracles {
     // (0.0178204628f → 0.0178204624), while Spark rounds the exact binary
     // value (→ 0.0178204626); hopping through DOUBLE makes both engines
     // round the same binary value. Same fix applied in x3_ivf_lsh_topk.
-    "x2_semdedup" -> {
-      def cos(a: String, b: String) =
-        s"""round(
-           |    list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i])) /
-           |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $a[i]))) *
-           |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> $b[i] * $b[i])))), 6)""".stripMargin
-      s"""WITH ${rhpBucketChain(1, 4)},
-         |cells AS (SELECT vec_id, CAST(bkt AS INT) AS cell FROM rhp_buck),
-         |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
-         |expd AS (SELECT c.cell, i, CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(27,10)) AS xd
-         |        FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
-         |        CROSS JOIN generate_series(1, 64) t(i)),
-         |cent AS (SELECT cell, i, CAST(sum(xd) AS DOUBLE) / count(*) AS m FROM expd GROUP BY 1, 2),
-         |centarr AS (SELECT cell, list(m ORDER BY i) AS cv FROM cent GROUP BY 1),
-         |keyed AS (SELECT c.cell, e.vec_id, e.ev, ${cos("e.ev", "ca.cv")} AS ccos
-         |        FROM ed e JOIN cells c ON c.vec_id = e.vec_id JOIN centarr ca ON ca.cell = c.cell),
-         |dropped AS (SELECT DISTINCT b.vec_id
-         |        FROM keyed a JOIN keyed b ON a.cell = b.cell
-         |          AND (a.ccos, a.vec_id) < (b.ccos, b.vec_id)
-         |        WHERE ${cos("a.ev", "b.ev")} >= 0.4)
-         |SELECT k.vec_id, k.cell, k.ccos AS centroid_cos, (d.vec_id IS NULL) AS kept
-         |FROM keyed k LEFT JOIN dropped d ON d.vec_id = k.vec_id
-         |ORDER BY k.vec_id""".stripMargin
-    },
+    "x2_semdedup" -> semDedupSql(bitsPerCell = 4, threshold = 0.4),
+
+    // The SCALE-form knob (256 cells): same chain, only the quantizer width
+    // differs — bitsPerCell is SemDeDup's cluster-count k, the knob that
+    // keeps per-cell occupancy (and the quadratic within-cell pair term)
+    // bounded as the corpus grows. See x2SemdedupScale's scaladoc.
+    "x2_semdedup_scale" -> semDedupSql(bitsPerCell = 8, threshold = 0.4),
 
     // Mirrors Sampling.mixtureSample: per-lang acceptance fraction
     // least(1.0, (w * floor(0.6 * N)) / n) in the identical IEEE shape,

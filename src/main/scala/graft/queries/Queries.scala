@@ -507,14 +507,22 @@ object Queries {
       threshold = 0.45, dim = 64, bands = 8, bitsPerBand = 8)
       .orderBy("id_a", "id_b")
 
-  /** X2 multi-probe sign-LSH: 8 bands × 4 bits, each probed at Hamming
-    * distance ≤ 1 — half the band shuffle of the 16×4 exact form at
-    * comparable recall. Hash-checked: the md5 hyperplanes and the 1-bit
-    * probe expansion are both engine-portable.
+  /** X2 multi-probe sign-LSH in its DESIGN regime: 8 bands × 8 bits,
+    * each bucket probed at Hamming distance ≤ 1 (9 keys/band). High-bit
+    * bands make exact collisions rare (background rate ~L/256 per band),
+    * which is exactly where 1-bit probing pays: it recovers the pairs a
+    * single flipped sign bit would lose, buying back recall the 8-bit
+    * quantization gave up — same knobs and threshold as x2_rhp_scale, so
+    * the two gated plans differ ONLY in probing and the recall it adds.
+    * (The 8×4 coarse-band parameterization this replaced is kept as a
+    * spec-level regime demonstration in OpsSpec: with 16 buckets/band the
+    * probe expansion multiplies an already-quadratic background — measured
+    * exp 1.42 in SCALING.md round 5 — and must not be the registered plan.)
+    * Hash-checked: md5 hyperplanes and the probe expansion are portable.
     */
   private def x2RhpMultiprobe(spark: SparkSession, dir: String): DataFrame =
     Similarity.rhpMultiProbePairs(t(spark, dir, "embeddings"),
-      threshold = 0.4, dim = 64)
+      threshold = 0.45, dim = 64, bands = 8, bitsPerBand = 8)
       .orderBy("id_a", "id_b")
 
   /** Sketch aggregates under the oracle gate (the 100 TB form of
@@ -580,6 +588,27 @@ object Queries {
     val exact = Similarity.cosineTopK(q, emb, k = 5)
     val approx = Similarity.ivfTopKKmeans(q, emb, k = 5, nProbe = 3, kCells = 10)
     Similarity.topKRecall(exact, approx, k = 5).orderBy("query_id")
+  }
+
+  /** The HASH-GATED half of the k-means IVF recall audit (q9 sketch-gate
+    * pattern): `n_exact` is the brute-force truth-set size — fully
+    * SQL-expressible, so the oracle recomputes it exactly — and
+    * `recall_ok` pins the k-means path's recall at the 0.2 floor (the
+    * fixture family's observed per-query minimum; the fit is md5-seeded
+    * and deterministic, so the flag is stable round to round). A quantizer
+    * or probe regression that tanks recall flips the flag and breaks the
+    * hash even though the k-means assignment itself is not
+    * SQL-expressible; the raw recall VALUES stay driver-visible in the
+    * rows-only x3_ivf_recall. Only the fit remains ungated.
+    */
+  private def x3IvfRecallGate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") % 100 === 0)
+    val exact = Similarity.cosineTopK(q, emb, k = 5)
+    val approx = Similarity.ivfTopKKmeans(q, emb, k = 5, nProbe = 3, kCells = 10)
+    Similarity.topKRecall(exact, approx, k = 5)
+      .select(col("query_id"), col("n_exact"), (col("recall") >= 0.2).as("recall_ok"))
+      .orderBy("query_id")
   }
 
   private def x5Quality(spark: SparkSession, dir: String): DataFrame =
@@ -929,6 +958,21 @@ object Queries {
     Similarity.semanticDedup(t(spark, dir, "embeddings"), threshold = 0.4, dim = 64)
       .orderBy("vec_id")
 
+  /** X2 SemDeDup at its SCALE-form knob: `bitsPerCell = 8` (256 cells).
+    * `bitsPerCell` plays the role of the paper's cluster count k (≈11k for
+    * 400M rows): the within-cell pair term is quadratic in cell OCCUPANCY,
+    * so cell count must grow with the corpus for the dedup pass to stay
+    * ~linear — the 4-bit default's 16 cells are a toy parameterization
+    * whose occupancy grows linearly with corpus size. Registered so the
+    * scale-form cells, centroids and drop rule sit under the hash gate
+    * exactly like x2_rhp_scale does for the RHP banding knobs; the ×10
+    * rehearsal (SCALING.md) measures its scaling exponent.
+    */
+  private def x2SemdedupScale(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(spark, dir, "embeddings"), threshold = 0.4, dim = 64,
+      bitsPerCell = 8)
+      .orderBy("vec_id")
+
   /** X7: token-budget quota — cap each source at 800 tokens (the fixture sources hold ~1300 each, so the quota genuinely cuts), admitting
     * docs in md5-priority order (strict prefix semantics: the
     * window-expressible form; the greedy skip-and-continue variant is
@@ -1129,6 +1173,7 @@ object Queries {
     "x3_knn_cosine" -> (x3KnnCosine _),
     "x3_ivf_topk" -> (x3IvfTopk _),
     "x3_ivf_recall" -> (x3IvfRecall _),
+    "x3_ivf_recall_gate" -> (x3IvfRecallGate _),
     "x3_ivf_lsh_topk" -> (x3IvfLshTopk _),
     "x2_rhp_recall" -> (x2RhpRecall _),
     "x2_rhp_multiprobe" -> (x2RhpMultiprobe _),
@@ -1166,6 +1211,7 @@ object Queries {
     "q8_salted_revenue" -> (q8SaltedRevenue _),
     "x7_mixture_sample" -> (x7MixtureSample _),
     "x2_semdedup" -> (x2Semdedup _),
+    "x2_semdedup_scale" -> (x2SemdedupScale _),
     "x5_gopher_rules" -> (x5GopherRules _),
     "x5_lm_score" -> (x5LmScore _),
     "x6_tfidf_keywords" -> (x6TfidfKeywords _),

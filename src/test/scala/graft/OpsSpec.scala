@@ -139,6 +139,18 @@ class OpsSpec extends SparkSpec {
     val exact = Similarity.embeddingNearDupPairs(vecs, threshold = 0.9)
       .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
     assert(probed == exact)
+    // design regime (the registered x2_rhp_multiprobe knobs): with 8-bit
+    // bands exact collisions are rarer, and Hamming<=1 probing must buy
+    // pairs BACK — still a verified superset of the exact-band result
+    val plain8 = Similarity.randomHyperplaneNearDupPairs(vecs, threshold = 0.9, dim = dim,
+        bands = 8, bitsPerBand = 8)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val probed8 = Similarity.rhpMultiProbePairs(vecs, threshold = 0.9, dim = dim,
+        bands = 8, bitsPerBand = 8)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    graft.ops.OpCaches.release()
+    assert(plain8.subsetOf(probed8))
+    assert(probed8.subsetOf(exact)) // precision: every probed pair is verified
   }
 
   test("X3 IVF probes nearest cells only (approximate but cell-complete)") {

@@ -124,9 +124,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("semantic dedup joins on cell keys only — no cartesian, centroids broadcast") {
-    val plan = planOf("x2_semdedup")
-    assert(!plan.contains("CartesianProduct"))
-    assert(plan.contains("BroadcastExchange"), "centroid table should broadcast")
+    for (q <- Seq("x2_semdedup", "x2_semdedup_scale")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(plan.contains("BroadcastExchange"), s"$q: centroid table should broadcast")
+    }
   }
 
   test("LM scoring broadcasts the model; doc grams never hash-shuffle for the lookup") {
