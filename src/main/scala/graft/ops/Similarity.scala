@@ -316,8 +316,10 @@ object Similarity {
     val centDf = broadcast(
       centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF("__cell", "__centroid"))
     base.crossJoin(centDf)
-      .withColumn("__cos", dot(col("__kv"), col("__centroid")) /
-        (norm(col("__kv")) * norm(col("__centroid"))))
+      // round-before-compare, like every ranked cosine: assignment must not
+      // depend on sub-6dp noise (and the DuckDB twin rounds identically)
+      .withColumn("__cos", round(dot(col("__kv"), col("__centroid")) /
+        (norm(col("__kv")) * norm(col("__centroid"))), 6))
       .groupBy(col("__kid"))
       // ties broken toward the larger cell id via lexicographic struct max
       .agg(max_by(col("__cell"), struct(col("__cos"), col("__cell"))).as("cell"))
@@ -360,6 +362,16 @@ object Similarity {
     * [[Similarity.kmeansCells]]): maxmin seeding + Lloyd iterations with
     * cosine assignment. Plain arrays — the sample is constant-size by
     * construction, so this is quantizer training, not a data-plane loop.
+    *
+    * ENGINE-PORTABLE since r6: every cosine is rounded to 6 dp before any
+    * comparison (dot products are bit-identical across engines — the JVM
+    * loop, `graft_dot` and DuckDB's `list_sum` all sum in index order —
+    * so rounding only guards the comparisons), and Lloyd means go through
+    * the exact DECIMAL(·,10) addend discipline the distributed centroid
+    * aggregates use. The DuckDB twin (`Oracles.kmeansCellChain`) unrolls
+    * seeding + Lloyd into CTE stages and reproduces the centroids
+    * bit-for-bit, which upgrades the k-means IVF queries from rows-only to
+    * hash-checked.
     */
   private[graft] object KmeansLocal {
 
@@ -369,9 +381,16 @@ object Similarity {
       while (i < n) { s += a(i) * b(i); i += 1 }
       s
     }
+    /** 6-dp HALF_UP round through the shortest decimal repr — the same
+      * value Spark's `round(col, 6)` and DuckDB's `round(x, 6)` produce on
+      * an identical double (the house round used at every ranked-cosine
+      * boundary).
+      */
+    private def round6(d: Double): Double =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     private def cosL(a: Array[Double], b: Array[Double]): Double = {
       val d = math.sqrt(dotL(a, a)) * math.sqrt(dotL(b, b))
-      if (d == 0) 0.0 else dotL(a, b) / d
+      if (d == 0) 0.0 else round6(dotL(a, b) / d)
     }
 
     def fit(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
@@ -393,7 +412,12 @@ object Similarity {
       var centroids = seeds.toArray
       (1 to iters).foreach { _ =>
         val dim = centroids(0).length
-        val sums = Array.fill(centroids.length)(new Array[Double](dim))
+        // exact DECIMAL(·,10) addends, like the distributed centroid
+        // aggregates (`sum(x.cast(DecimalType(27,10)))`): each value is the
+        // EXACT binary double rounded to 10 dp, summed exactly — order-free,
+        // so the SQL twin's aggregate reproduces the mean bit-for-bit
+        val sums = Array.fill(centroids.length)(
+          Array.fill(dim)(java.math.BigDecimal.ZERO))
         val counts = new Array[Long](centroids.length)
         sample.foreach { v =>
           var best = 0; var bestCos = Double.MinValue
@@ -404,12 +428,16 @@ object Similarity {
             c += 1
           }
           var i = 0
-          while (i < dim) { sums(best)(i) += v(i); i += 1 }
+          while (i < dim) {
+            sums(best)(i) = sums(best)(i).add(
+              new java.math.BigDecimal(v(i)).setScale(10, java.math.RoundingMode.HALF_UP))
+            i += 1
+          }
           counts(best) += 1
         }
         centroids = centroids.indices.map { c =>
           if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
-          else sums(c).map(_ / counts(c))
+          else sums(c).map(_.doubleValue() / counts(c))
         }.toArray
       }
       centroids

@@ -181,6 +181,91 @@ object Oracles {
        |ORDER BY k.vec_id""".stripMargin
   }
 
+  /** 6-dp-rounded cosine over two 64-dim DOUBLE list expressions —
+    * `list_sum` folds in index order, exactly like the JVM loop and the
+    * `graft_dot` codegen kernel, so the pre-round double is bit-identical
+    * across all three engines.
+    */
+  private def listCos(a: String, b: String) =
+    s"""round(
+       |    list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i])) /
+       |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $a[i]))) *
+       |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> $b[i] * $b[i])))), 6)""".stripMargin
+
+  /** The deterministic k-means quantizer twin (mirrors
+    * Similarity.kmeansCells + KmeansLocal.fit STAGE FOR STAGE): md5-ordered
+    * bounded fit sample, maxmin seeding unrolled into k-1 CTE stages
+    * (argmin of the 6-dp-rounded nearest-seed cosine, ties to the first
+    * sample row), `iters` Lloyd stages (assignment = max_by on the rounded
+    * cosine with ties to the larger cell — and means through the exact
+    * DECIMAL(27,10) addend discipline, so centroids are bit-identical to
+    * the JVM fit), then the full-corpus assignment. Ends with
+    * `ed(vec_id, ev)` and `cells(vec_id, cell)`. The fit is the iterative
+    * piece that kept the k-means IVF queries rows-only through round 5;
+    * unrolling it (the x6_bpe_merges technique) puts the whole operator
+    * under the hash gate.
+    */
+  private def kmeansCellChain(k: Int = 10, iters: Int = 3, sampleLimit: Int = 4096): String = {
+    val seeding = (2 to k).map { s =>
+      s"""nr$s AS MATERIALIZED (SELECT i.idx, max(${listCos("i.ev", "sd.ev")}) AS nr
+         |  FROM smp i CROSS JOIN seeds${s - 1} sd GROUP BY 1),
+         |seeds$s AS MATERIALIZED (SELECT sid, ev FROM seeds${s - 1}
+         |  UNION ALL
+         |  SELECT ${s - 1} AS sid, s2.ev
+         |  FROM (SELECT idx FROM nr$s ORDER BY nr ASC, idx ASC LIMIT 1) p
+         |  JOIN smp s2 USING (idx))""".stripMargin
+    }.mkString(",\n")
+    val lloyd = (1 to iters).map { t =>
+      val prev = s"ct${t - 1}"
+      s"""asg$t AS MATERIALIZED (SELECT idx, cid FROM (
+         |    SELECT i.idx, c.cid,
+         |      row_number() OVER (PARTITION BY i.idx ORDER BY ${listCos("i.ev", "c.ev")} DESC, c.cid DESC) AS rk
+         |    FROM smp i CROSS JOIN $prev c) WHERE rk = 1),
+         |mu$t AS MATERIALIZED (SELECT a.cid, gs.i,
+         |    CAST(sum(CAST(s.ev[gs.i] AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+         |  FROM asg$t a JOIN smp s USING (idx) CROSS JOIN generate_series(1, 64) gs(i)
+         |  GROUP BY 1, 2),
+         |nc$t AS MATERIALIZED (SELECT cid, list(m ORDER BY i) AS ev FROM mu$t GROUP BY 1),
+         |ct$t AS MATERIALIZED (SELECT c.cid, coalesce(n.ev, c.ev) AS ev FROM $prev c LEFT JOIN nc$t n USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""ed AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+       |smp AS MATERIALIZED (SELECT vec_id, ev, idx FROM (
+       |    SELECT vec_id, ev,
+       |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS idx
+       |    FROM ed) WHERE idx <= $sampleLimit),
+       |seeds1 AS MATERIALIZED (SELECT 0 AS sid, ev FROM smp WHERE idx = 1),
+       |$seeding,
+       |ct0 AS MATERIALIZED (SELECT sid AS cid, ev FROM seeds$k),
+       |$lloyd,
+       |cells AS MATERIALIZED (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, CAST(c.cid AS INT) AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${listCos("e.ev", "c.ev")} DESC, c.cid DESC) AS rk
+       |    FROM ed e CROSS JOIN ct$iters c) WHERE rk = 1)""".stripMargin
+  }
+
+  /** IVF probe + cell-restricted top-k twin (mirrors Similarity.ivfTopK):
+    * full-corpus exact-decimal centroids per cell, 6-dp probe ranking, and
+    * the within-probed-cells top-k. Requires prior CTEs `ed(vec_id, ev)`
+    * and `cells(vec_id, cell)`; ends with `ivfr(qid, nid, cos, rn)`.
+    * Shared by x3_ivf_lsh_topk, x3_ivf_topk and x3_ivf_recall so the
+    * search mechanism cannot drift between quantizers.
+    */
+  private val IvfSearchChain =
+    s"""iexpd AS (SELECT c.cell, gs.i, CAST(CAST(e.embedding[gs.i] AS DOUBLE) AS DECIMAL(27,10)) AS xd
+       |        FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
+       |        CROSS JOIN generate_series(1, 64) gs(i)),
+       |icent AS (SELECT cell, i, CAST(sum(xd) AS DOUBLE) / count(*) AS m FROM iexpd GROUP BY 1, 2),
+       |icentarr AS (SELECT cell, list(m ORDER BY i) AS cv FROM icent GROUP BY 1),
+       |iq AS (SELECT vec_id AS qid, ev AS qe FROM ed WHERE vec_id % 100 = 0),
+       |ipr AS (SELECT qid, qe, cell FROM (
+       |    SELECT iq.qid, iq.qe, ca.cell,
+       |      row_number() OVER (PARTITION BY iq.qid ORDER BY ${listCos("iq.qe", "ca.cv")} DESC, ca.cell) AS rnk
+       |    FROM iq CROSS JOIN icentarr ca) WHERE rnk <= 3),
+       |isc AS (SELECT ipr.qid, e.vec_id AS nid, ${listCos("ipr.qe", "e.ev")} AS cos
+       |    FROM ipr JOIN cells cc ON cc.cell = ipr.cell
+       |    JOIN ed e ON e.vec_id = cc.vec_id AND e.vec_id <> ipr.qid),
+       |ivfr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM isc)""".stripMargin
+
   /** Brute-force cosine top-k truth chain (mirrors Similarity.cosineTopK:
     * 6-dp-rounded scores, rank by (cos DESC, nid), self-pairs excluded);
     * ends with `ranked(qid, nid, cos, rn)`. Shared by x3_knn_cosine and
@@ -592,32 +677,41 @@ object Oracles {
     // cells by 6-dp-rounded cosine (ties to the smaller cell); final top-k
     // restricted to probed cells, ranked on the 6-dp cosine with neighbor-id
     // ties — every stage reproduced bit-exactly.
-    "x3_ivf_lsh_topk" -> {
-      def cos(a: String, b: String) =
-        s"""round(
-           |    list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i])) /
-           |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $a[i]))) *
-           |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> $b[i] * $b[i])))), 6)""".stripMargin
+    "x3_ivf_lsh_topk" ->
       s"""WITH ${rhpBucketChain(1, 4)},
          |cells AS (SELECT vec_id, CAST(bkt AS INT) AS cell FROM rhp_buck),
          |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
-         |expd AS (SELECT c.cell, i, CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(27,10)) AS xd
-         |        FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
-         |        CROSS JOIN generate_series(1, 64) t(i)),
-         |cent AS (SELECT cell, i, CAST(sum(xd) AS DOUBLE) / count(*) AS m FROM expd GROUP BY 1, 2),
-         |centarr AS (SELECT cell, list(m ORDER BY i) AS cv FROM cent GROUP BY 1),
-         |q AS (SELECT vec_id AS qid, ev AS qe FROM ed WHERE vec_id % 100 = 0),
-         |pr AS (SELECT qid, qe, cell FROM (
-         |    SELECT q.qid, q.qe, ca.cell,
-         |      row_number() OVER (PARTITION BY q.qid ORDER BY ${cos("q.qe", "ca.cv")} DESC, ca.cell) AS rnk
-         |    FROM q CROSS JOIN centarr ca) WHERE rnk <= 3),
-         |s AS (SELECT pr.qid, e.vec_id AS nid, ${cos("pr.qe", "e.ev")} AS cos
-         |    FROM pr JOIN cells cc ON cc.cell = pr.cell
-         |    JOIN ed e ON e.vec_id = cc.vec_id AND e.vec_id <> pr.qid)
+         |$IvfSearchChain
          |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos AS cosine
-         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s)
-         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
-    },
+         |FROM ivfr WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // The k-means IVF, now HASH-CHECKED end to end: the fit twin unrolls
+    // maxmin seeding + 3 Lloyd iterations into CTE stages (kmeansCellChain)
+    // and the search reuses the same IvfSearchChain as the LSH variant.
+    // Rows-only through round 5 ("k-means fit not engine-portable") — made
+    // portable in r6 by rounding every fit cosine to 6 dp before comparison
+    // and pushing Lloyd means through the exact-DECIMAL addend discipline.
+    "x3_ivf_topk" ->
+      s"""WITH ${kmeansCellChain()},
+         |$IvfSearchChain
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos AS cosine
+         |FROM ivfr WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Recall audit over the now-portable k-means path: truth top-5 from the
+    // shared KnnTruthChain, approximate top-5 from the k-means IVF chain,
+    // per-query hit counts and 6-dp recall — every column hash-checked.
+    "x3_ivf_recall" ->
+      s"""WITH ${kmeansCellChain()},
+         |$IvfSearchChain,
+         |$KnnTruthChain,
+         |tr AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
+         |iv AS (SELECT qid, nid FROM ivfr WHERE rn <= 5),
+         |ne AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM tr GROUP BY 1),
+         |nh AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_hits FROM tr t JOIN iv v USING (qid, nid) GROUP BY 1)
+         |SELECT ne.qid AS query_id, ne.n_exact,
+         |  coalesce(nh.n_hits, 0) AS n_hits,
+         |  round(CAST(coalesce(nh.n_hits, 0) AS DOUBLE) / ne.n_exact, 6) AS recall
+         |FROM ne LEFT JOIN nh USING (qid) ORDER BY 1""".stripMargin,
 
     // Mirrors Similarity.semanticDedup end to end: cells = 4 sign bits of
     // RHP band 0 (the x3_ivf_lsh_topk quantizer), centroids = exact
