@@ -303,4 +303,94 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** X1sub: exact substring-span dedup — the k-gram approximation of
+    * suffix-array substring deduplication (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 §3):
+    * find every maximal token span whose every k-token window occurs more
+    * than once in the corpus. A span duplicated verbatim anywhere (inside
+    * one doc or across docs) is covered wall to wall by duplicated
+    * k-grams, so merging overlapping duplicated windows per document
+    * recovers the maximal duplicated regions the suffix array would
+    * report, at window resolution.
+    *
+    * Shape (all linear, no pair joins): one posexplode of k-token windows
+    * with the portable 60-bit gram hash; one count aggregate keyed by the
+    * hash (map-side combine bounds hot grams — a gram repeated a billion
+    * times costs one counter per map partition, never a joined fan-out);
+    * the >1 filter joined back on the hash; one per-doc window pass doing
+    * classic island merging (a window starts a new island when its start
+    * position clears every previous window's end). Output:
+    * (idCol, span_start, span_end, span_tokens), positions 1-based over
+    * the normalized-token sequence.
+    */
+  def substringSpans(df: DataFrame, idCol: String, text: Column, k: Int = 10): DataFrame = {
+    require(k >= 2, s"window length k must be >= 2, got $k")
+    val grams = df
+      .select(col(idCol), filter(split(normalizeText(text), " "), w => length(w) > 0).as("__words"))
+      .select(col(idCol), shinglesOfWordsAll(col("__words"), k).as("__g"))
+      .select(col(idCol), posexplode(col("__g")).as(Seq("__p0", "__sh")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("__p"),
+        (md5Hash60(col("__sh")) % MinhashP).as("__x"))
+    val dupGrams = grams.groupBy(col("__x")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).select(col("__x"))
+    val hits = grams.join(dupGrams, "__x")
+      .select(col(idCol), col("__p").as("__s"), (col("__p") + k - 1).as("__e"))
+    // island merge: windows sorted by start; a row opens a new island when
+    // its start clears the running max end of ALL previous rows + 1
+    // (adjacency merges: [1,5] and [6,9] are one span of contiguous tokens)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
+    val prevMax = max(col("__e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val opened = hits
+      .withColumn("__new", when(prevMax.isNull || col("__s") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    opened.groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** The APPLY step of substring dedup: drop every token covered by a
+    * duplicated span (the aggressive variant — all copies removed; the
+    * keep-one-copy variant is [[exact]] composed over span text, a
+    * different operator). Output: (idCol, n_tokens, n_removed, clean_md5)
+    * where clean_md5 hashes the surviving tokens re-joined with single
+    * spaces — the portable certificate of the scrubbed text.
+    *
+    * Shape: [[substringSpans]] + one per-doc span collection (spans per
+    * doc are few and bounded by n_tokens/k) broadcast-shaped join back to
+    * the corpus, then a per-row lambda filter over token positions. The
+    * corpus text shuffles zero times: spans travel to the docs, not the
+    * reverse.
+    */
+  def substringScrub(df: DataFrame, idCol: String, text: Column, k: Int = 10): DataFrame = {
+    val spans = substringSpans(df, idCol, text, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("__spans"))
+    val toks = df.select(col(idCol),
+      filter(split(normalizeText(text), " "), w => length(w) > 0).as("__w"))
+    toks.join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("__w"),
+        coalesce(col("__spans"), array().cast("array<struct<s:long,e:long>>")).as("__sp"))
+      // keep token at 1-based position p iff no span covers p
+      .withColumn("__keep",
+        filter(col("__w"), (w, i) =>
+          !exists(col("__sp"), sp => i + 1 >= sp.getField("s") && i + 1 <= sp.getField("e"))))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        (size(col("__w")) - size(col("__keep"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("__keep"))).as("clean_md5"))
+  }
+
+  /** ALL k-token windows of an already-MATERIALIZED words array
+    * (position-preserving — NOT deduplicated like [[shinglesOfWords]];
+    * substring spans need every position). Callers must stage the words
+    * array in its own projection first (lambda-staging rule, file header).
+    * Docs shorter than k tokens yield no windows: a span needs at least
+    * one full window of evidence.
+    */
+  private[graft] def shinglesOfWordsAll(words: Column, k: Int): Column =
+    when(size(words) >= k,
+      transform(sequence(lit(0), size(words) - k), i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
 }

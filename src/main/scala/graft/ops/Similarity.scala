@@ -598,4 +598,66 @@ object Similarity {
       .select(col(idCol), col("cell"), col("centroid_cos"),
         col("__dropped").isNull.as("kept"))
   }
+
+  /** X3p: first-principal-component projection via distributed power
+    * iteration — the dimensionality-reduction / whitening primitive of
+    * embedding pipelines (centroid-direction removal, ABTT-style
+    * postprocessing, 1-D quantizer ordering). Classic streaming PCA: the
+    * component vector lives on the driver (dim doubles — constant state,
+    * like the bounded k-means fit), the DATA never leaves its partitions,
+    * and each Lloyd-style refinement is ONE corpus pass:
+    * v ← normalize(Σ_i (x_i − μ)·((x_i − μ)ᵀ v)), starting from e_1.
+    *
+    * ENGINE-PORTABLE by the round-6 k-means discipline: the mean and every
+    * per-row coefficient s_i = round6((x_i − μ)ᵀ v) round at 6 dp, the
+    * per-dimension accumulators sum round6(s_i·(x_ij − μ_j)) through exact
+    * DECIMAL(18,6) (order-free), and the normalized component re-rounds at
+    * 6 dp — so the DuckDB twin (iterations unrolled into CTE stages, dots
+    * as index-order `list_sum` folds) reproduces component AND projections
+    * bit-for-bit. Driver state is 2·dim doubles; every corpus pass is an
+    * aggregate with map-side combine (zero shuffles of vector data).
+    *
+    * Returns (idCol, pc1 = round6 projection of the centered vector onto
+    * the unit component). Deterministic: fixed start, fixed iteration
+    * count — convergence is the iteration budget's job, exactly like the
+    * bounded Lloyd fit ([[KmeansLocal]]).
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                 iters: Int = 5): DataFrame = {
+    require(dim > 0 && iters >= 1, s"need dim > 0 and iters >= 1: dim=$dim iters=$iters")
+    def round6(d: Double): Double =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val x = (0 until dim).map(j => element_at(col(vecCol), j + 1).cast("double"))
+    // corpus mean, exact-decimal addends (the centroid discipline): one
+    // bounded collect of dim doubles — constant driver state by contract
+    val meanRow = df.select(
+      (0 until dim).map(j => sum(x(j).cast(DecimalType(27, 10))).as(s"__s$j")) :+
+        count(lit(1)).as("__n"): _*).head()
+    val n = meanRow.getLong(dim)
+    require(n > 0, "pcaProject needs a non-empty corpus")
+    val mu = (0 until dim).map(j => meanRow.getDecimal(j).doubleValue() / n).toArray
+    // index-order left fold == DuckDB's list_sum(list_transform(...)) fold
+    def centeredDot(v: Array[Double]): Column =
+      (0 until dim).map(j => (x(j) - lit(mu(j))) * lit(v(j))).reduceLeft(_ + _)
+    // normalized all-ones start (not e_1: a basis start collapses whenever
+    // that one axis carries zero variance; ones only collapses if the data
+    // span is orthogonal to it), rounded by the 6-dp boundary discipline
+    var v = Array.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
+    (1 to iters).foreach { _ =>
+      val staged = df.select((col(idCol) +: (0 until dim).map(j => x(j).as(s"__x$j"))) :+
+        round(centeredDot(v), 6).as("__s"): _*)
+      val acc = staged.select((0 until dim).map(j =>
+        sum(round(col("__s") * (col(s"__x$j") - lit(mu(j))), 6).cast(DecimalType(18, 6)))
+          .as(s"__w$j")): _*).head()
+      val w = (0 until dim).map(j =>
+        Option(acc.getDecimal(j)).map(_.doubleValue()).getOrElse(0.0)).toArray
+      // index-order sequential adds, same fold shape as the twin's list_sum
+      var ss = 0.0; var j = 0
+      while (j < dim) { ss += w(j) * w(j); j += 1 }
+      val nrm = math.sqrt(ss)
+      require(nrm > 0, "power iteration collapsed to the zero vector (degenerate corpus)")
+      v = w.map(wj => round6(wj / nrm))
+    }
+    df.select(col(idCol), round(centeredDot(v), 6).as("pc1"))
+  }
 }

@@ -85,6 +85,92 @@ object Oracles {
       |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
       |  FROM rhp_cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b)""".stripMargin
 
+  /** Substring-span CTE chain (mirrors Dedup.substringSpans at window
+    * length k): positions via scalar generate_series + unnest (DuckDB's
+    * table-function form rejects lateral column bounds), 60-bit md5 gram
+    * hashes mod the Mersenne prime, total-occurrence duplicate counting,
+    * and the per-doc island merge as two window passes. Ends with
+    * `ssw(doc_id, ws)` and `ssb(doc_id, s, e, isl)`; shared by
+    * x1_substring_spans and x1_substring_scrub so apply cannot drift from
+    * find.
+    */
+  private def SubstringSpanChain(k: Int = 10): String =
+    s"""ssw AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+       |ssp AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p FROM ssw),
+       |ssg AS (SELECT doc_id, p,
+       |    ('0x' || substr(md5(array_to_string(ws[p:p+${k - 1}], ' ')), 1, 15))::BIGINT % 2147483647 AS x
+       |  FROM ssp),
+       |ssd AS (SELECT x FROM ssg GROUP BY x HAVING count(*) > 1),
+       |ssh AS (SELECT g.doc_id, CAST(g.p AS BIGINT) AS s, CAST(g.p + ${k - 1} AS BIGINT) AS e
+       |        FROM ssg g JOIN ssd USING (x)),
+       |ssa AS (SELECT doc_id, s, e,
+       |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |          OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |         THEN 1 ELSE 0 END AS nw
+       |  FROM ssh),
+       |ssb AS (SELECT doc_id, s, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM ssa)""".stripMargin
+
+  /** DSIR fit + scoring CTE chain (mirrors Dsir.fitLogRatios + Dsir.score
+    * at buckets=4096, target = doc_id % 20 = 0): unigram+bigram
+    * occurrences, 60-bit md5 bucket hash, add-one-smoothed per-bucket
+    * log-likelihood ratios over a dense bucket spine (each ln rounded
+    * 6 dp, difference re-rounded). Ends with `dsj(doc_id, log_ratio)` —
+    * one row per SOURCE-doc gram occurrence. Shared by x7_dsir_score and
+    * x7_dsir_topk.
+    */
+  private val DsirScoreChain: String =
+    s"""dsw AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+       |dsg AS (SELECT doc_id, unnest(list_concat(ws,
+       |    CASE WHEN len(ws) >= 2
+       |      THEN list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])
+       |      ELSE [] END)) AS gm FROM dsw),
+       |dsb AS (SELECT doc_id, ('0x' || substr(md5(gm), 1, 15))::BIGINT % 4096 AS bucket FROM dsg),
+       |dst AS (SELECT bucket, count(*) AS ct FROM dsb WHERE doc_id % 20 = 0 GROUP BY 1),
+       |dss AS (SELECT bucket, count(*) AS cs FROM dsb WHERE doc_id % 20 <> 0 GROUP BY 1),
+       |dstt AS (SELECT coalesce(sum(ct), 0) AS v FROM dst),
+       |dsts AS (SELECT coalesce(sum(cs), 0) AS v FROM dss),
+       |dsr AS (SELECT sp.bucket,
+       |    round(round(ln(CAST(coalesce(dst.ct, 0) + 1 AS DOUBLE) / CAST(dstt.v + 4096 AS DOUBLE)), 6)
+       |        - round(ln(CAST(coalesce(dss.cs, 0) + 1 AS DOUBLE) / CAST(dsts.v + 4096 AS DOUBLE)), 6), 6) AS log_ratio
+       |  FROM (SELECT unnest(generate_series(0, 4095)) AS bucket) sp
+       |  LEFT JOIN dst USING (bucket) LEFT JOIN dss USING (bucket)
+       |  CROSS JOIN dstt CROSS JOIN dsts),
+       |dsj AS (SELECT b.doc_id, r.log_ratio FROM dsb b JOIN dsr r USING (bucket)
+       |        WHERE b.doc_id % 20 <> 0)""".stripMargin
+
+  /** Power-iteration PCA CTE chain (mirrors Similarity.pcaProject at
+    * dim=64, iters=5, the kmeansCellChain unroll technique): exact-decimal
+    * corpus mean, then five stages of s = round6(index-order centered
+    * dot) → per-dimension DECIMAL(18,6) accumulators → re-normalized
+    * re-rounded component. Ends with `ed(vec_id, ev)`, `ml(mv)` and
+    * `v5(vv)`.
+    */
+  private val PcaChain: String = {
+    val iters = (1 to 5).map { t =>
+      s"""pcs$t AS (SELECT e.vec_id, e.ev,
+         |    round(list_sum(list_transform(generate_series(1, 64),
+         |      i -> (e.ev[i] - ml.mv[i]) * v${t - 1}.vv[i])), 6) AS s
+         |  FROM ed e CROSS JOIN ml CROSS JOIN v${t - 1}),
+         |pcw$t AS (SELECT gs.i,
+         |    CAST(sum(CAST(round(s.s * (s.ev[gs.i] - ml.mv[gs.i]), 6) AS DECIMAL(18,6))) AS DOUBLE) AS w
+         |  FROM pcs$t s CROSS JOIN ml CROSS JOIN generate_series(1, 64) gs(i) GROUP BY 1),
+         |pcl$t AS (SELECT list(w ORDER BY i) AS wv FROM pcw$t),
+         |v$t AS (SELECT list_transform(wv,
+         |    x -> round(x / sqrt(list_sum(list_transform(wv, y -> y * y))), 6)) AS vv FROM pcl$t)""".stripMargin
+    }.mkString(",\n")
+    s"""ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+       |pcmu AS (SELECT gs.i,
+       |    CAST(sum(CAST(CAST(e.embedding[gs.i] AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+       |  FROM embeddings e CROSS JOIN generate_series(1, 64) gs(i) GROUP BY 1),
+       |ml AS (SELECT list(m ORDER BY i) AS mv FROM pcmu),
+       |v0 AS (SELECT list_transform(generate_series(1, 64),
+       |    i -> round(CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)), 6)) AS vv),
+       |$iters""".stripMargin
+  }
+
   /** Gopher rule-filter CTE chain (mirrors TextAnalysis.gopherRules with
     * the registered thresholds). Requires a preceding CTE `b(doc_id, nt)`;
     * ends with `m(doc_id, nt, nw, sumlen, nstop)` and
@@ -1265,6 +1351,74 @@ object Oracles {
          |SELECT source, doc_id, n_tokens, cum - n_tokens AS start_offset,
          |  (cum - n_tokens) // 512 AS first_seq, (cum - 1) // 512 AS last_seq
          |FROM pc ORDER BY source, start_offset""".stripMargin
-    }
+    },
+
+    // Mirrors Dedup.substringSpans (k=10): every position's 10-token
+    // window hashed with the portable 60-bit md5 hash mod the Mersenne
+    // prime; windows whose hash occurs >1 time corpus-wide are duplicated;
+    // per-doc island merge of overlapping-or-adjacent [p, p+9] intervals.
+    "x1_substring_spans" ->
+      s"""WITH ${SubstringSpanChain()}
+         |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+         |  CAST(max(e) AS BIGINT) AS span_end,
+         |  CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens
+         |FROM ssb GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+
+    // Mirrors Dedup.substringScrub: tokens covered by any duplicated span
+    // dropped (aggressive variant, all copies removed); certificate =
+    // md5 of the survivors re-joined with single spaces. The span chain is
+    // shared verbatim with x1_substring_spans so apply cannot drift from
+    // find.
+    "x1_substring_scrub" ->
+      s"""WITH ${SubstringSpanChain()},
+         |spn AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM ssb GROUP BY doc_id, isl),
+         |tok AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p FROM ssw),
+         |tk AS (SELECT doc_id, p, ws[p] AS t FROM tok),
+         |cov AS (SELECT DISTINCT tk.doc_id, tk.p FROM tk
+         |        JOIN spn ON spn.doc_id = tk.doc_id AND tk.p BETWEEN spn.ss AND spn.se),
+         |ag AS (SELECT tk.doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(count(cov.p) AS BIGINT) AS n_removed,
+         |         md5(coalesce(string_agg(CASE WHEN cov.p IS NULL THEN tk.t END, ' ' ORDER BY tk.p), '')) AS clean_md5
+         |       FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.p = tk.p
+         |       GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ag.n_tokens, 0) AS n_tokens,
+         |  coalesce(ag.n_removed, 0) AS n_removed,
+         |  coalesce(ag.clean_md5, md5('')) AS clean_md5
+         |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors Dsir.fitLogRatios + Dsir.score (buckets=4096, target =
+    // doc_id % 20 = 0, source = rest): unigram+bigram occurrences hashed
+    // into buckets, add-one-smoothed log-likelihood ratios per bucket
+    // (each ln rounded 6 dp, difference re-rounded), per-doc mean through
+    // exact DECIMAL(18,6) addends.
+    "x7_dsir_score" ->
+      s"""WITH $DsirScoreChain
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  round(CAST(sum(CAST(log_ratio AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS dsir_score
+         |FROM dsj GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // The DSIR selection step: top-100 by (score DESC, doc_id) over the
+    // same scoring chain.
+    "x7_dsir_topk" ->
+      s"""WITH $DsirScoreChain,
+         |dsc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    round(CAST(sum(CAST(log_ratio AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS dsir_score
+         |  FROM dsj GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, n_grams, dsir_score
+         |FROM dsc ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Mirrors Similarity.pcaProject (dim=64, iters=5): exact-DECIMAL(27,10)
+    // corpus mean, power iteration unrolled into 5 CTE stages — per-row
+    // coefficient s = round6 of the index-order centered dot, per-dimension
+    // accumulators through DECIMAL(18,6) addends, component re-normalized
+    // and re-rounded at 6 dp each stage — then the final projection. The
+    // same unroll technique as the k-means fit twin (kmeansCellChain).
+    "x3_pca_project" ->
+      s"""WITH $PcaChain
+         |SELECT e.vec_id, round(list_sum(list_transform(generate_series(1, 64),
+         |    i -> (e.ev[i] - ml.mv[i]) * v5.vv[i])), 6) AS pc1
+         |FROM ed e CROSS JOIN ml CROSS JOIN v5 ORDER BY e.vec_id""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Canonical
-import graft.ops.{AsOf, Components, Contamination, Dedup, Intervals, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Components, Contamination, Dedup, Dsir, Intervals, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.template.TemplateCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1128,6 +1128,59 @@ object Queries {
       .orderBy("source", "start_offset")
   }
 
+  /** X1sub: exact substring-span dedup (Lee et al. arXiv:2107.06499, k-gram
+    * form) — every maximal duplicated token span of >= 10 tokens, positions
+    * 1-based over the normalized token sequence.
+    */
+  private def x1SubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringSpans(t(spark, dir, "documents"), "doc_id", col("text"), k = 10)
+      .orderBy("doc_id", "span_start")
+
+  /** X1sub apply: the scrub — duplicated spans dropped from every doc,
+    * certified by counts + the md5 of the surviving tokens.
+    */
+  private def x1SubstringScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringScrub(t(spark, dir, "documents"), "doc_id", col("text"), k = 10)
+      .orderBy("doc_id")
+
+  /** X7i: DSIR importance scores — target domain = the benchmark slice
+    * (doc_id % 20 == 0, the decontamination convention), source = the
+    * rest; every source doc scored by its hashed-ngram target/source
+    * log-likelihood ratio.
+    */
+  private def x7DsirScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val target = docs.where(col("doc_id") % 20 === 0)
+    val source = docs.where(col("doc_id") % 20 =!= 0)
+    val ratios = Dsir.fitLogRatios(target, source, "doc_id", col("text"), buckets = 4096)
+    Dsir.score(source, "doc_id", col("text"), ratios, buckets = 4096)
+      .orderBy("doc_id")
+  }
+
+  /** X7i selection: the 100 source docs most like the target domain —
+    * TakeOrderedAndProject, never a global sort.
+    */
+  private def x7DsirTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val target = docs.where(col("doc_id") % 20 === 0)
+    val source = docs.where(col("doc_id") % 20 =!= 0)
+    val ratios = Dsir.fitLogRatios(target, source, "doc_id", col("text"), buckets = 4096)
+    val scored = Dsir.score(source, "doc_id", col("text"), ratios, buckets = 4096)
+    Dsir.topK(scored, "doc_id", k = 100)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("dsir_score").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "n_grams", "dsir_score")
+      .orderBy("rank")
+  }
+
+  /** X3p: first-principal-component projection by distributed power
+    * iteration (5 passes, engine-portable by the k-means discipline).
+    */
+  private def x3PcaProject(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pcaProject(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, iters = 5)
+      .orderBy("vec_id")
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -1216,7 +1269,12 @@ object Queries {
     "x5_lm_score" -> (x5LmScore _),
     "x6_tfidf_keywords" -> (x6TfidfKeywords _),
     "x6_bm25_search" -> (x6Bm25Search _),
-    "x8_curation_v2" -> (x8CurationV2 _)
+    "x8_curation_v2" -> (x8CurationV2 _),
+    "x1_substring_spans" -> (x1SubstringSpans _),
+    "x1_substring_scrub" -> (x1SubstringScrub _),
+    "x7_dsir_score" -> (x7DsirScore _),
+    "x7_dsir_topk" -> (x7DsirTopk _),
+    "x3_pca_project" -> (x3PcaProject _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

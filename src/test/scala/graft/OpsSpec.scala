@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Dsir, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Extension-operator semantics on small hand-built inputs (X1-X5). */
@@ -566,5 +566,90 @@ class OpsSpec extends SparkSpec {
     }.toSet
     assert(dropped.nonEmpty, "fixture should contain semantic duplicates")
     out.foreach { case (id, _, _, kept) => assert(kept == !dropped(id), s"kept flag of $id") }
+  }
+
+  test("X1sub substring spans: planted duplicate passage found at exact token boundaries") {
+    // docs A and B share tokens 3..14 of A (a 12-token verbatim passage);
+    // doc C is unrelated. k=10 => the duplicated windows are positions
+    // 3..5 in A (and 1..3 in B), merging to one span covering the passage.
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (1L, s"pre one two $passage post tail end"),
+      (2L, s"$passage totally other words here now"),
+      (3L, "nothing shared with the others at all whatsoever in any window")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(d, "doc_id", col("text"), k = 10)
+      .select("doc_id", "span_start", "span_end").as[(Long, Long, Long)].collect().toSet
+    // doc1: passage occupies tokens 4..15; doc2: tokens 1..12; doc3: none
+    assert(spans == Set((1L, 4L, 15L), (2L, 1L, 12L)))
+  }
+
+  test("X1sub substring scrub: duplicated spans removed from all copies, clean docs untouched") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (1L, s"pre one two $passage post tail end"),
+      (2L, s"$passage totally other words here now"),
+      (3L, "nothing shared with the others at all whatsoever in any window")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringScrub(d, "doc_id", col("text"), k = 10)
+      .select("doc_id", "n_tokens", "n_removed").as[(Long, Long, Long)].collect()
+      .map { case (id, nt, nr) => id -> ((nt, nr)) }.toMap
+    assert(out(1L) == ((18L, 12L)))  // 18 tokens, the 12-token passage removed
+    assert(out(2L) == ((17L, 12L)))
+    assert(out(3L) == ((11L, 0L)))
+    // within-doc repetition also counts as duplication (total occurrences)
+    val rep = Seq((7L, "one two three four five six seven eight nine ten " +
+      "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val repSpans = Dedup.substringSpans(rep, "doc_id", col("text"), k = 10)
+      .select("span_start", "span_end").as[(Long, Long)].collect().toSet
+    assert(repSpans == Set((1L, 20L))) // both copies covered, merged into one span
+  }
+
+  test("X7i DSIR: docs sharing the target's vocabulary outrank docs that don't") {
+    val target = Seq(
+      (100L, "spark catalyst optimizer rules rewrite logical plans efficiently always"),
+      (101L, "catalyst expressions codegen whole stage compilation spark plans")
+    ).toDF("doc_id", "text")
+    val source = Seq(
+      (1L, "spark catalyst optimizer rules rewrite plans codegen stage"), // target-like
+      (2L, "cooking pasta requires salted water and plenty of patience"), // unrelated
+      (3L, "spark plans compile with catalyst expressions and codegen")   // target-like
+    ).toDF("doc_id", "text")
+    val ratios = Dsir.fitLogRatios(target, source, "doc_id", col("text"), buckets = 512)
+    assert(ratios.count() == 512) // dense spine: every bucket has a ratio
+    val scores = Dsir.score(source, "doc_id", col("text"), ratios, buckets = 512)
+      .select("doc_id", "dsir_score").as[(Long, Double)].collect().toMap
+    assert(scores(1L) > scores(2L) && scores(3L) > scores(2L))
+    val top = Dsir.topK(
+      Dsir.score(source, "doc_id", col("text"), ratios, buckets = 512), "doc_id", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top == Set(1L, 3L))
+    graft.ops.OpCaches.release()
+  }
+
+  test("X3p PCA power iteration: recovers the dominant axis and centers exactly") {
+    // vectors spread along dimension 2 (variance 3 orders above the rest):
+    // the principal component must align with e_2, so pc1 ~ centered x_2
+    val vecs = (0 until 40).map { i =>
+      val v = Array.fill(4)(0.0f)
+      v(1) = (i - 20).toFloat * 10f // dominant axis
+      v(2) = (i % 3).toFloat * 0.1f // noise axis
+      (i.toLong, v.toSeq)
+    }
+    val d = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.pcaProject(d, "vec_id", "embedding", dim = 4, iters = 5)
+      .select("vec_id", "pc1").as[(Long, Double)].collect().toMap
+    val mean = vecs.map(_._2(1).toDouble).sum / vecs.size
+    vecs.foreach { case (id, v) =>
+      val expected = v(1) - mean
+      assert(math.abs(math.abs(out(id)) - math.abs(expected)) < 0.05,
+        s"vec $id: pc1=${out(id)} expected ~±$expected")
+    }
+    // projections are centered: they sum to ~0
+    assert(math.abs(out.values.sum) < 1e-3)
+    // deterministic: second run bit-identical
+    val again = Similarity.pcaProject(d, "vec_id", "embedding", dim = 4, iters = 5)
+      .select("vec_id", "pc1").as[(Long, Double)].collect().toMap
+    assert(again == out)
   }
 }

@@ -26,7 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     // BPE vocab) - those are spot-checked above/below where cheap.
     val constructionRunsJobs = Set(
       "x3_ivf_topk", "x7_dedup_clusters", "x7_dedup_apply", "x8_curation_pipeline",
-      "x4_lazy_pointer", "x6_bpe_merges")
+      "x4_lazy_pointer", "x6_bpe_merges", "x3_pca_project")
     (SparkEntry.queries.keySet -- constructionRunsJobs).toSeq.sorted.foreach { q =>
       assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian product")
     }
@@ -141,5 +141,32 @@ class PlanAuditSpec extends SparkSpec {
     val streamSide = plan.substring(plan.indexOf("BroadcastHashJoin"),
       plan.indexOf("BroadcastExchange"))
     assert(!streamSide.contains("Exchange"), "doc grams shuffle before the model lookup")
+  }
+
+  test("substring spans: hash-keyed duplicate counting, pruned scan, no pair join") {
+    val plan = planOf("x1_substring_spans")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "substring scan reads more than (doc_id, text)")
+    // duplicate detection must be COUNTING (agg on the gram hash), never a
+    // gram-keyed self-join — a hot gram must cost a counter, not a fan-out
+    assert(!plan.contains("SortMergeJoin"), "substring dedup pairs grams instead of counting them")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("DSIR: ratio table broadcasts back; selection plans a bounded top-k, not a global sort") {
+    val score = planOf("x7_dsir_score")
+    assert(score.contains("BroadcastHashJoin"), "bucket->ratio lookup should be a broadcast join")
+    val topk = planOf("x7_dsir_topk")
+    assert(topk.contains("TakeOrderedAndProject"),
+      "dsir top-k should plan TakeOrderedAndProject (per-partition heaps), not a global sort")
+  }
+
+  test("PCA projection output is a pure pruned projection (fit jobs are separate bounded passes)") {
+    val plan = planOf("x3_pca_project")
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding"),
+      "pca scan reads more than (vec_id, embedding)")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      "the projection pass should not join or aggregate")
+    assert("Exchange".r.findAllIn(plan).size == 1, "pca should shuffle once (output sort)")
   }
 }
