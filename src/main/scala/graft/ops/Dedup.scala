@@ -326,10 +326,14 @@ object Dedup {
     */
   def substringSpans(df: DataFrame, idCol: String, text: Column, k: Int = 10): DataFrame = {
     require(k >= 2, s"window length k must be >= 2, got $k")
+    // posexplode sits DIRECTLY over the staged words projection (a
+    // Generate): a plain intermediate Project would collapse into the
+    // staging one and inline the split/normalize into the interpreted
+    // lambda — re-evaluated once PER WINDOW (measured 17.7s -> 2.7s at
+    // sf0.1; the explodedShingles shape)
     val grams = df
       .select(col(idCol), filter(split(normalizeText(text), " "), w => length(w) > 0).as("__words"))
-      .select(col(idCol), shinglesOfWordsAll(col("__words"), k).as("__g"))
-      .select(col(idCol), posexplode(col("__g")).as(Seq("__p0", "__sh")))
+      .select(col(idCol), posexplode(shinglesOfWordsAll(col("__words"), k)).as(Seq("__p0", "__sh")))
       .select(col(idCol), (col("__p0") + 1).cast("long").as("__p"),
         (md5Hash60(col("__sh")) % MinhashP).as("__x"))
     val dupGrams = grams.groupBy(col("__x")).agg(count(lit(1)).as("__c"))
@@ -353,9 +357,9 @@ object Dedup {
   /** The APPLY step of substring dedup: drop every token covered by a
     * duplicated span (the aggressive variant — all copies removed; the
     * keep-one-copy variant is [[exact]] composed over span text, a
-    * different operator). Output: (idCol, n_tokens, n_removed, clean_md5)
-    * where clean_md5 hashes the surviving tokens re-joined with single
-    * spaces — the portable certificate of the scrubbed text.
+    * different operator). Output: (idCol, n_tokens, n_removed, clean_text)
+    * where clean_text re-joins the surviving tokens with single spaces
+    * (already normalized — the registered query certifies it by md5).
     *
     * Shape: [[substringSpans]] + one per-doc span collection (spans per
     * doc are few and bounded by n_tokens/k) broadcast-shaped join back to
@@ -379,7 +383,7 @@ object Dedup {
       .select(col(idCol),
         size(col("__w")).cast("long").as("n_tokens"),
         (size(col("__w")) - size(col("__keep"))).cast("long").as("n_removed"),
-        md5(concat_ws(" ", col("__keep"))).as("clean_md5"))
+        concat_ws(" ", col("__keep")).as("clean_text"))
   }
 
   /** ALL k-token windows of an already-MATERIALIZED words array

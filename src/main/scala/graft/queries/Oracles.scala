@@ -94,8 +94,8 @@ object Oracles {
     * x1_substring_spans and x1_substring_scrub so apply cannot drift from
     * find.
     */
-  private def SubstringSpanChain(k: Int = 10): String =
-    s"""ssw AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+  private def SubstringSpanChain(k: Int = 10, src: String = "documents"): String =
+    s"""ssw AS (SELECT doc_id, $wordsOf AS ws FROM $src),
        |ssp AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS p FROM ssw),
        |ssg AS (SELECT doc_id, p,
        |    ('0x' || substr(md5(array_to_string(ws[p:p+${k - 1}], ' ')), 1, 15))::BIGINT % 2147483647 AS x
@@ -121,8 +121,8 @@ object Oracles {
     * one row per SOURCE-doc gram occurrence. Shared by x7_dsir_score and
     * x7_dsir_topk.
     */
-  private val DsirScoreChain: String =
-    s"""dsw AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+  private def DsirScoreChain(src: String = "documents"): String =
+    s"""dsw AS (SELECT doc_id, $wordsOf AS ws FROM $src),
        |dsg AS (SELECT doc_id, unnest(list_concat(ws,
        |    CASE WHEN len(ws) >= 2
        |      THEN list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])
@@ -1393,7 +1393,7 @@ object Oracles {
     // (each ln rounded 6 dp, difference re-rounded), per-doc mean through
     // exact DECIMAL(18,6) addends.
     "x7_dsir_score" ->
-      s"""WITH $DsirScoreChain
+      s"""WITH ${DsirScoreChain()}
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
          |  round(CAST(sum(CAST(log_ratio AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS dsir_score
          |FROM dsj GROUP BY 1 ORDER BY doc_id""".stripMargin,
@@ -1401,7 +1401,7 @@ object Oracles {
     // The DSIR selection step: top-100 by (score DESC, doc_id) over the
     // same scoring chain.
     "x7_dsir_topk" ->
-      s"""WITH $DsirScoreChain,
+      s"""WITH ${DsirScoreChain()},
          |dsc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
          |    round(CAST(sum(CAST(log_ratio AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS dsir_score
          |  FROM dsj GROUP BY 1)
@@ -1419,6 +1419,44 @@ object Oracles {
       s"""WITH $PcaChain
          |SELECT e.vec_id, round(list_sum(list_transform(generate_series(1, 64),
          |    i -> (e.ev[i] - ml.mv[i]) * v5.vv[i])), 6) AS pc1
-         |FROM ed e CROSS JOIN ml CROSS JOIN v5 ORDER BY e.vec_id""".stripMargin
+         |FROM ed e CROSS JOIN ml CROSS JOIN v5 ORDER BY e.vec_id""".stripMargin,
+
+    // Mirrors x8CurationV3: substring scrub (x1_substring_scrub semantics,
+    // 15-surviving-token floor) -> DSIR fit + score over the SCRUBBED
+    // corpus (x7_dsir semantics, target = doc_id % 20 = 0 of the scrubbed
+    // relation) -> top-300 -> train split -> pack per source. Sub-chains
+    // shared verbatim with their per-stage twins.
+    "x8_curation_v3" -> {
+      val c0 = graft.ops.Sampling.cumulativeCuts(graft.ops.Sampling.DefaultSplits).head
+      s"""WITH ${SubstringSpanChain()},
+         |spn AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM ssb GROUP BY doc_id, isl),
+         |tok AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p FROM ssw),
+         |tk AS (SELECT doc_id, p, ws[p] AS t FROM tok),
+         |cov AS (SELECT DISTINCT tk.doc_id, tk.p FROM tk
+         |        JOIN spn ON spn.doc_id = tk.doc_id AND tk.p BETWEEN spn.ss AND spn.se),
+         |ag AS (SELECT tk.doc_id, count(*) AS ntok, count(cov.p) AS nrem,
+         |         coalesce(string_agg(CASE WHEN cov.p IS NULL THEN tk.t END, ' ' ORDER BY tk.p), '') AS ct
+         |       FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.p = tk.p
+         |       GROUP BY 1),
+         |sc3 AS (SELECT ag.doc_id, d.source, ag.ct AS text
+         |        FROM ag JOIN documents d USING (doc_id)
+         |        WHERE ag.ntok - ag.nrem >= 15),
+         |${DsirScoreChain("sc3")},
+         |dsc AS (SELECT doc_id,
+         |    round(CAST(sum(CAST(log_ratio AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS sc
+         |  FROM dsj GROUP BY 1),
+         |sel AS (SELECT doc_id FROM dsc ORDER BY sc DESC, doc_id LIMIT 300),
+         |pb AS (SELECT s.source, s.doc_id,
+         |        CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |        $hashUnit AS u
+         |      FROM sc3 s JOIN sel USING (doc_id) WHERE $hashUnit < $c0),
+         |pc AS (SELECT source, doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM pb WHERE n_tokens > 0)
+         |SELECT source, doc_id, n_tokens, cum - n_tokens AS start_offset,
+         |  (cum - n_tokens) // 512 AS first_seq, (cum - 1) // 512 AS last_seq
+         |FROM pc ORDER BY source, start_offset""".stripMargin
+    }
   )
 }

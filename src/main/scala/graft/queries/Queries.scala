@@ -1141,6 +1141,8 @@ object Queries {
     */
   private def x1SubstringScrub(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringScrub(t(spark, dir, "documents"), "doc_id", col("text"), k = 10)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
       .orderBy("doc_id")
 
   /** X7i: DSIR importance scores — target domain = the benchmark slice
@@ -1180,6 +1182,38 @@ object Queries {
     Similarity.pcaProject(t(spark, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, iters = 5)
       .orderBy("vec_id")
+
+  /** X8c: the round-6 composed pipeline — substring-span scrub over the
+    * whole corpus (hollowed-out docs dropped at a 15-surviving-token
+    * floor) → DSIR selection toward the benchmark slice of the SCRUBBED
+    * corpus (fit and scoring both downstream of the scrub, the order a
+    * real pipeline uses: dedup before domain selection so duplicated
+    * boilerplate can't dominate the feature ratios) → train split →
+    * sequence packing. Stage chains shared verbatim with the per-stage
+    * twins, composition pinned under one hash.
+    */
+  private def x8CurationV3(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    // pinned: the scrubbed corpus feeds the DSIR target side, the DSIR
+    // source side (fit + scoring) and the final select/split/pack chain —
+    // unpinned, the whole span-mine + scrub chain runs three times
+    // (released by the caller via OpCaches, like every pipeline pin)
+    val scrubbed = graft.ops.OpCaches.pin(
+      Dedup.substringScrub(docs, "doc_id", col("text"), k = 10)
+        .where(col("n_tokens") - col("n_removed") >= 15)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(col("doc_id"), col("source"), col("clean_text").as("text")))
+    val target = scrubbed.where(col("doc_id") % 20 === 0)
+    val source = scrubbed.where(col("doc_id") % 20 =!= 0)
+    val ratios = Dsir.fitLogRatios(target, source, "doc_id", col("text"), buckets = 4096)
+    val selected = Dsir.topK(
+      Dsir.score(source, "doc_id", col("text"), ratios, buckets = 4096), "doc_id", k = 300)
+      .select("doc_id")
+    val train = Sampling.assignSplit(scrubbed.join(selected, "doc_id"), "doc_id")
+      .where(col("split") === "train")
+    Packing.concatChunkPack(train, "doc_id", col("text"), seqLen = 512L, Seq("source"))
+      .orderBy("source", "start_offset")
+  }
 
   // ==================================================================
   // Registry
@@ -1274,7 +1308,8 @@ object Queries {
     "x1_substring_scrub" -> (x1SubstringScrub _),
     "x7_dsir_score" -> (x7DsirScore _),
     "x7_dsir_topk" -> (x7DsirTopk _),
-    "x3_pca_project" -> (x3PcaProject _)
+    "x3_pca_project" -> (x3PcaProject _),
+    "x8_curation_v3" -> (x8CurationV3 _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
