@@ -220,4 +220,61 @@ object Sampling {
       .select(groupCols.map(col) :+ col("__d.__id").as(idCol) :+
         col("__d.__nt").as("n_tokens") :+ col("__d.__cum").as("cum_tokens"): _*)
   }
+
+  /** Curriculum ordering: assign each document a difficulty bucket by score
+    * quantile and a global training-order key that interleaves the buckets
+    * round-robin — rank r of every bucket is consumed before rank r+1 of
+    * any bucket, so a training run sweeps easy-to-hard strata evenly
+    * instead of front-loading one difficulty (curriculum-learning data
+    * ordering, Bengio et al. ICML'09, as a deterministic sort key).
+    *
+    * Quantile bucketing WITHOUT a corpus-scale sort: scores arrive
+    * 6dp-rounded (they are — every score emitted by [[TextAnalysis]] is),
+    * so the distinct-value spine is bounded (≤ 10^6+1 values for a [0,1]
+    * score) regardless of corpus size. One count aggregate builds the
+    * spine; cumulative windows run over the SPINE (bounded), never the
+    * corpus; the spine broadcasts back — the same dense-spine discipline as
+    * [[graft.ops.Dsir]]'s bucket table. `ntile` over the raw corpus would
+    * be an unpartitioned corpus-wide window (single task at 100 TB); this
+    * is the scale-safe equivalent, with value-ties kept in one bucket
+    * (deterministic, engine-portable — ntile's tie-splitting depends on
+    * physical row order).
+    *
+    * Within-bucket ranks complete the key: rank = docs-in-bucket with a
+    * strictly lower score (from the spine) + row_number among same-score
+    * docs by id — the only corpus-side window partitions by SCORE VALUE
+    * (fine-grained; skew is bounded by the biggest single-score tie class,
+    * not bucket size). `curriculum_key = (rank-1)·B + bucket` is then a
+    * pure projection: unique, dense per bucket, and round-robin by
+    * construction — no global row-numbering pass.
+    *
+    * Output: (idCol, score, bucket, within_rank, curriculum_key), ordered
+    * by curriculum_key (ties impossible: rank is unique within bucket).
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, score: Column,
+                      buckets: Int = 6): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val staged = df.select(col(idCol), round(score, 6).as("score"))
+    val spine = staged.groupBy(col("score")).agg(count(lit(1)).as("__cnt"))
+    val wLt = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketed = spine
+      .withColumn("__cumlt", coalesce(sum(col("__cnt")).over(wLt), lit(0L)))
+      .withColumn("__tot", sum(col("__cnt")).over(Window.partitionBy()))
+      // exact integer floor-division: (cumlt*B) div tot never touches doubles
+      .withColumn("bucket",
+        least(expr(s"(__cumlt * $buckets) div __tot"), lit(buckets - 1L)))
+    val wInBucket = Window.partitionBy(col("bucket")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spineRanked = bucketed
+      .withColumn("__cumltb", coalesce(sum(col("__cnt")).over(wInBucket), lit(0L)))
+      .select(col("score"), col("bucket"), col("__cumltb"))
+    val wTie = Window.partitionBy(col("score")).orderBy(col(idCol))
+    staged.join(broadcast(spineRanked), "score")
+      .withColumn("within_rank", col("__cumltb") + row_number().over(wTie))
+      .select(col(idCol), col("score"), col("bucket"),
+        col("within_rank"),
+        ((col("within_rank") - 1) * buckets + col("bucket")).as("curriculum_key"))
+      .orderBy("curriculum_key")
+  }
 }

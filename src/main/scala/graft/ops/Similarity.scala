@@ -660,4 +660,70 @@ object Similarity {
     }
     df.select(col(idCol), round(centeredDot(v), 6).as("pc1"))
   }
+
+  /** Semantic decontamination: flag corpus vectors whose embedding-space
+    * cosine to ANY benchmark vector reaches `threshold` — the
+    * embedding-side complement of [[Contamination]]'s n-gram overlap
+    * guard. Paraphrased test-set leakage shares no 3-grams with the
+    * benchmark but sits next to it in embedding space; this is the stage
+    * that catches it (the embedding-similarity decontamination used by
+    * recent open-data efforts alongside exact n-gram matching).
+    *
+    * Shape mirrors [[Contamination.contaminationReport]] exactly, one level
+    * up the representation stack: the benchmark side is SMALL (an eval
+    * suite), so its banded sign-LSH rows broadcast; the corpus side
+    * computes its own band buckets in a map-only pass and meets the
+    * benchmark ONLY on (band, bucket) equality — never a cross join — then
+    * candidates are verified with the exact cosine. Corpus vectors that
+    * collide with no benchmark bucket never leave their partition. Same
+    * md5-seeded hyperplanes as [[randomHyperplaneNearDupPairs]]
+    * ([[planeComponent]]), so the report is engine-portable and
+    * hash-gated. High-bit bands (default 8×8) are the right regime: the
+    * benchmark occupies few buckets, and the corpus-side background
+    * collision rate falls as 2^-bits.
+    *
+    * Output: one row per CONTAMINATED corpus vector —
+    * (idCol, n_bench_hits = #benchmark vectors at ≥ threshold among LSH
+    * candidates, max_cosine), the triage report. [[semanticDecontaminate]]
+    * applies it as an anti-join.
+    */
+  def semanticContaminationReport(
+      corpus: DataFrame, benchmark: DataFrame, threshold: Double, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val planes = Array.tabulate(bands * bitsPerBand, dim)(planeComponent)
+    def banded(df: DataFrame, s: String) =
+      df.select(col(idCol).as(s"id_$s"), col(vecCol).as(s"__v$s"),
+          norm(col(vecCol)).as(s"__n$s"))
+        .select(col(s"id_$s"), col(s"__v$s"), col(s"__n$s"),
+          posexplode(signBucketArray(col(s"__v$s"), planes, bands, bitsPerBand))
+            .as(Seq("__band", "__bkt")))
+    // multi-band collisions of the same (corpus, bench) pair collapse via
+    // distinct BEFORE the per-corpus-vector aggregation, so n_bench_hits
+    // counts benchmark VECTORS, not band collisions; the cosine is
+    // deterministic per pair (6-dp round), so distinct is exact
+    banded(corpus, "a").join(broadcast(banded(benchmark, "b")), Seq("__band", "__bkt"))
+      .withColumn("__cos",
+        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .where(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("__cos"))
+      .distinct()
+      .groupBy(col("id_a").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bench_hits"),
+        max(col("__cos")).as("max_cosine"))
+  }
+
+  /** The corpus minus every vector [[semanticContaminationReport]] flags —
+    * an anti-join on the (small) flagged set, the same apply shape as
+    * [[Contamination.decontaminate]].
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame, benchmark: DataFrame, threshold: Double, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bands: Int = 8, bitsPerBand: Int = 8): DataFrame =
+    corpus.join(
+      semanticContaminationReport(corpus, benchmark, threshold, dim, idCol, vecCol,
+        bands, bitsPerBand).select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -109,16 +109,28 @@ object TextAnalysis {
   /** Staged per-doc counts (`__n` norm text, `__w` word array, `__nw`,
     * `__sumlen`, `__nstop`, `__ntok`) shared by [[qualityMetrics]] and
     * [[cleanCorpus]] so the score formula can't drift between them.
+    * `carry` columns ride the scan unchanged, so a caller grouping the
+    * metrics by another attribute (e.g. [[Domains]] by source) needs no
+    * re-join back to the input.
     */
-  private def stagedCounts(df: DataFrame, idCol: String, text: Column): DataFrame =
-    df.select(col(idCol), Dedup.normalizeText(text).as("__n"))
-      .select(col(idCol), col("__n"), wordsOfNorm(col("__n")).as("__w"))
-      .select(col(idCol), col("__n"), col("__w"),
+  private[ops] def stagedCounts(df: DataFrame, idCol: String, text: Column,
+                                carry: Seq[String] = Nil): DataFrame = {
+    val cs = carry.map(col)
+    df.select(col(idCol) +: cs :+ Dedup.normalizeText(text).as("__n"): _*)
+      .select(col(idCol) +: cs ++: Seq(col("__n"), wordsOfNorm(col("__n")).as("__w")): _*)
+      .select(col(idCol) +: cs ++: Seq(col("__n"), col("__w"),
         size(col("__w")).as("__nw"),
         aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w)).as("__sumlen"),
         size(filter(col("__w"),
           t => t.isInCollection(Stopwords.flatMap(_._2).map(lit(_))))).as("__nstop"),
-        size(regexp_extract_all(col("__n"), lit(TokenPattern), lit(0))).as("__ntok"))
+        size(regexp_extract_all(col("__n"), lit(TokenPattern), lit(0))).as("__ntok")): _*)
+  }
+
+  /** The blended quality score over a staged-counts frame — exposed for
+    * [[Domains]], which aggregates it per source; same expression as
+    * [[qualityMetrics]]'s `quality_score` column by construction.
+    */
+  private[ops] def blendedScoreCol: Column = blendedScore
 
   /** Blended [0,1] quality score over [[stagedCounts]] columns: enough
     * words, sane word length, some stopwords.

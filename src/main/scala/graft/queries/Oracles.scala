@@ -85,6 +85,37 @@ object Oracles {
       |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
       |  FROM rhp_cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b)""".stripMargin
 
+  /** Per-doc blended-quality CTE chain (mirrors TextAnalysis.blendedScore;
+    * the score expression is copied verbatim from x5_quality's
+    * quality_score so the two cannot drift). Ends with
+    * `qs(doc_id, source, score)`. Shared by x5_domain_stats,
+    * x5_domain_filter and x7_curriculum.
+    */
+  private val QualityScoreChain =
+    s"""qsb AS (SELECT doc_id, source, $norm AS nt FROM documents),
+       |qsw AS (SELECT doc_id, source, list_filter(string_split(nt, ' '), x -> len(x) > 0) AS ws FROM qsb),
+       |qsm AS (SELECT doc_id, source, len(ws) AS nw,
+       |        coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS sumlen,
+       |        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','the','a','and','of','to','in','is','el','la','de','y','que','los','un','le','et','les','des','une','de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS nstop
+       |      FROM qsw),
+       |qs AS (SELECT doc_id, source,
+       |  round((least(nw/50.0, 1.0)
+       |       + (CASE WHEN sumlen*1.0/greatest(nw, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+       |       + least((nstop*1.0/greatest(nw, 1))*5, 1.0))/3.0, 6) AS score
+       |FROM qsm)""".stripMargin
+
+  /** Per-domain trust CTE (mirrors Domains.domainStats over
+    * [[QualityScoreChain]]): exact-decimal mean of the 6dp scores, bottom-4
+    * domains untrusted. Ends with `dmr(source, n_docs, mean_quality, r)`.
+    */
+  private val DomainTrustChain =
+    s"""$QualityScoreChain,
+       |dm AS (SELECT source, count(*) AS n_docs,
+       |        round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality
+       |      FROM qs GROUP BY source),
+       |dmr AS (SELECT source, n_docs, mean_quality,
+       |        row_number() OVER (ORDER BY mean_quality ASC, source ASC) AS r FROM dm)""".stripMargin
+
   /** Substring-span CTE chain (mirrors Dedup.substringSpans at window
     * length k): positions via scalar generate_series + unnest (DuckDB's
     * table-function form rejects lateral column bounds), 60-bit md5 gram
@@ -1457,6 +1488,66 @@ object Oracles {
          |SELECT source, doc_id, n_tokens, cum - n_tokens AS start_offset,
          |  (cum - n_tokens) // 512 AS first_seq, (cum - 1) // 512 AS last_seq
          |FROM pc ORDER BY source, start_offset""".stripMargin
-    }
+    },
+
+    "x5_domain_stats" ->
+      s"""WITH $DomainTrustChain
+         |SELECT source, n_docs, mean_quality, r > 4 AS trusted
+         |FROM dmr ORDER BY source""".stripMargin,
+
+    "x5_domain_filter" ->
+      s"""WITH $DomainTrustChain,
+         |tr AS (SELECT source FROM dmr WHERE r > 4)
+         |SELECT d.doc_id, d.source, d.lang
+         |FROM documents d JOIN tr USING (source) ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors Chunking.chunkOverlap at 32/16: starts every 16 tokens,
+    // 1-based-inclusive list slice clamps at the tail exactly like Spark's
+    // slice(arr, start, length).
+    "x5_chunk_overlap" ->
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         |c AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1, 16)) AS s
+         |      FROM w WHERE len(ws) > 0)
+         |SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_idx, CAST(s AS BIGINT) AS start_tok,
+         |  CAST(len(ws[s+1:s+32]) AS BIGINT) AS n_tokens_chunk,
+         |  array_to_string(ws[s+1:s+32], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Mirrors Sampling.curriculumOrder over the blended quality score at
+    // B=6: quantile buckets from the distinct-score spine via exact
+    // integer floor-division, within-bucket rank = spine cumulative +
+    // same-score row_number, key = (rank-1)*6 + bucket.
+    "x7_curriculum" ->
+      s"""WITH $QualityScoreChain,
+         |sp AS (SELECT score, count(*) AS cnt FROM qs GROUP BY score),
+         |spw AS (SELECT score, cnt,
+         |    coalesce(sum(cnt) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumlt,
+         |    sum(cnt) OVER () AS tot FROM sp),
+         |spb AS (SELECT score, cnt, least((cumlt * 6) // tot, 5) AS bucket FROM spw),
+         |spc AS (SELECT score, bucket,
+         |    coalesce(sum(cnt) OVER (PARTITION BY bucket ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumltb
+         |  FROM spb),
+         |r AS (SELECT q.doc_id, q.score, c.bucket,
+         |    c.cumltb + row_number() OVER (PARTITION BY q.score ORDER BY q.doc_id) AS within_rank
+         |  FROM qs q JOIN spc c USING (score))
+         |SELECT doc_id, score, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(within_rank AS BIGINT) AS within_rank,
+         |  CAST((within_rank - 1) * 6 + bucket AS BIGINT) AS curriculum_key
+         |FROM r ORDER BY curriculum_key""".stripMargin,
+
+    // Mirrors Similarity.semanticContaminationReport at 16 bands x 8 bits,
+    // threshold 0.3: benchmark = vec_id % 25 = 0, corpus = the rest; band
+    // buckets from the shared rhp chain, candidates on (band, bucket)
+    // equality across the two sides, exact-cosine verification, per-corpus-
+    // vector hit count + max cosine.
+    "x2_semantic_decon" ->
+      s"""WITH ${rhpBucketChain(16, 8)},
+         |rhp_cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM rhp_buck a JOIN rhp_buck b ON a.band = b.band AND a.bkt = b.bkt
+         |  WHERE a.vec_id % 25 <> 0 AND b.vec_id % 25 = 0),
+         |$RhpVerify
+         |SELECT id_a AS vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+         |  max(cosine) AS max_cosine
+         |FROM rhp_v WHERE cosine >= 0.3 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1215,6 +1215,58 @@ object Queries {
       .orderBy("source", "start_offset")
   }
 
+  /** X5d: per-domain trust report — exact-decimal mean quality per source,
+    * bottom-4 domains marked untrusted (rank with full tiebreak). The
+    * domain window runs over the aggregated domain table only.
+    */
+  private def x5DomainStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Domains.domainStats(t(spark, dir, "documents"), "doc_id", "source",
+        col("text"), untrustedK = 4)
+      .orderBy("source")
+
+  /** X5d apply: the corpus restricted to trusted domains (broadcast
+    * semi-join — the corpus side never shuffles).
+    */
+  private def x5DomainFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Domains.filterByDomainTrust(t(spark, dir, "documents"), "doc_id",
+        "source", col("text"), untrustedK = 4)
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+
+  /** X5c: overlapping chunking — 32-token windows every 16 tokens, tail
+    * kept; pure map-side explode.
+    */
+  private def x5ChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunking.chunkOverlap(t(spark, dir, "documents"), "doc_id",
+        col("text"), chunkSize = 32, stride = 16)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** X7cu: curriculum ordering over the blended quality score — 6 quantile
+    * buckets from the distinct-score spine (no corpus-scale sort),
+    * round-robin interleaved training key.
+    */
+  private def x7Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityMetrics(t(spark, dir, "documents"), "doc_id", col("text"))
+      .select(col("doc_id"), col("quality_score"))
+    Sampling.curriculumOrder(q, "doc_id", col("quality_score"), buckets = 6)
+  }
+
+  /** X2sc: semantic decontamination report — corpus vectors (vec_id % 25
+    * != 0) within cosine 0.3 of any benchmark vector (vec_id % 25 == 0),
+    * via broadcast banded sign-LSH + exact verification. Knobs: 16 bands ×
+    * 8 bits — the high-bit regime (background collision rate 2^-8 per
+    * band) with the band count supplying recall, which is the axis that
+    * matters for a contamination GUARD (a missed near-benchmark doc leaks
+    * into training; a spurious candidate just costs one exact cosine).
+    */
+  private def x2SemanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.semanticContaminationReport(
+        emb.where(col("vec_id") % 25 =!= 0), emb.where(col("vec_id") % 25 === 0),
+        threshold = 0.3, dim = 64, bands = 16, bitsPerBand = 8)
+      .orderBy("vec_id")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -1309,7 +1361,12 @@ object Queries {
     "x7_dsir_score" -> (x7DsirScore _),
     "x7_dsir_topk" -> (x7DsirTopk _),
     "x3_pca_project" -> (x3PcaProject _),
-    "x8_curation_v3" -> (x8CurationV3 _)
+    "x8_curation_v3" -> (x8CurationV3 _),
+    "x5_domain_stats" -> (x5DomainStats _),
+    "x5_domain_filter" -> (x5DomainFilter _),
+    "x5_chunk_overlap" -> (x5ChunkOverlap _),
+    "x7_curriculum" -> (x7Curriculum _),
+    "x2_semantic_decon" -> (x2SemanticDecon _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -652,4 +652,100 @@ class OpsSpec extends SparkSpec {
       .select("vec_id", "pc1").as[(Long, Double)].collect().toMap
     assert(again == out)
   }
+
+  test("X5d domain trust: lowest-mean domain flagged, filter drops exactly its docs") {
+    import graft.ops.Domains
+    // srcA: long stopword-rich docs (high quality); srcB: the same; srcC:
+    // short stopword-free junk (low quality) — srcC must rank bottom
+    val good = "the quick brown fox jumps over the lazy dog and runs to the river"
+    val dom = Seq(
+      (1L, "srcA", good), (2L, "srcA", good + " again today"),
+      (3L, "srcB", good), (4L, "srcB", good + " tonight"),
+      (5L, "srcC", "zzz qqq"), (6L, "srcC", "xxxxyyyy")
+    ).toDF("doc_id", "source", "text")
+    val stats = Domains.domainStats(dom, "doc_id", "source", col("text"), untrustedK = 1)
+      .select("source", "n_docs", "mean_quality", "trusted")
+      .as[(String, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(stats("srcA")._2 == 2 && stats("srcB")._2 == 2 && stats("srcC")._2 == 2)
+    assert(!stats("srcC")._4, "junk domain must be untrusted")
+    assert(stats("srcA")._4 && stats("srcB")._4)
+    assert(stats("srcC")._3 < stats("srcA")._3 && stats("srcC")._3 < stats("srcB")._3)
+    val kept = Domains.filterByDomainTrust(dom, "doc_id", "source", col("text"),
+      untrustedK = 1).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 4L))
+    // mean is the exact decimal mean of the per-doc 6dp scores
+    val perDoc = TextAnalysis.qualityMetrics(
+        dom.where(col("source") === "srcA"), "doc_id", col("text"))
+      .select("quality_score").as[Double].collect()
+    val expect = BigDecimal(perDoc.map(BigDecimal(_)).sum.toDouble / perDoc.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(stats("srcA")._3 == expect)
+  }
+
+  test("X5c overlapping chunks: exact boundaries, tail kept, empty doc emits none") {
+    import graft.ops.Chunking
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "a b c"),   // single chunk shorter than chunkSize
+      (3L, "   ")      // no word tokens: no chunks
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkOverlap(d, "doc_id", col("text"), chunkSize = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tokens_chunk", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    assert(doc1.head._5 == "w1 w2 w3 w4" && doc1(1)._5 == "w4 w5 w6 w7")
+    assert(doc1.last._5 == "w10") // tail chunk kept
+    assert(out.filter(_._1 == 2L).map(_._5).toSeq == Seq("a b c"))
+    assert(!out.exists(_._1 == 3L))
+    // every token of doc 1 is covered by at least one chunk
+    val covered = doc1.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0L until 10L).toSet)
+  }
+
+  test("X7cu curriculum: quantile buckets off the spine, round-robin key order") {
+    import graft.ops.Sampling
+    // scores engineered with a tie (docs 3,4) and 2 buckets over 6 docs
+    val scored = Seq(
+      (1L, 0.1), (2L, 0.2), (3L, 0.3), (4L, 0.3), (5L, 0.8), (6L, 0.9)
+    ).toDF("doc_id", "s")
+    val out = Sampling.curriculumOrder(scored, "doc_id", col("s"), buckets = 2)
+      .select("doc_id", "bucket", "within_rank", "curriculum_key")
+      .as[(Long, Long, Long, Long)].collect()
+    val byDoc = out.map(r => r._1 -> r).toMap
+    // cum_lt*2/6: 0.1->0, 0.2->0, 0.3->0 (cumlt 2 -> 4/6=0), 0.8->1, 0.9->1
+    assert(byDoc(1L)._2 == 0 && byDoc(2L)._2 == 0 && byDoc(3L)._2 == 0 && byDoc(4L)._2 == 0)
+    assert(byDoc(5L)._2 == 1 && byDoc(6L)._2 == 1)
+    // ties bucket together and rank by id within the score class
+    assert(byDoc(3L)._3 == 3 && byDoc(4L)._3 == 4)
+    // key = (rank-1)*B + bucket: rank 1 of each bucket precedes rank 2 of any
+    val keys = out.sortBy(_._4).map(r => (r._3, r._2)).toSeq
+    assert(keys == keys.sortBy(k => (k._1, k._2)), s"not round-robin: $keys")
+    // keys are unique (a total training order)
+    assert(out.map(_._4).distinct.length == out.length)
+  }
+
+  test("X2sc semantic decontamination: near-benchmark vector flagged, orthogonal kept") {
+    // bench = unit e0; corpus: v10 ~ e0 (cos ~1), v11 = e1 (cos 0),
+    // v12 = -e0 (cos -1). Only v10 may be flagged at threshold 0.8.
+    def unit(dim: Int, axis: Int, scale: Float): Seq[Float] =
+      (0 until dim).map(i => if (i == axis) scale else 0.0f)
+    val bench = Seq((1L, unit(8, 0, 2.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, (unit(8, 0, 1.0f).init :+ 0.01f)), // nearly e0
+      (11L, unit(8, 1, 1.0f)),
+      (12L, unit(8, 0, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val report = Similarity.semanticContaminationReport(corpus, bench,
+        threshold = 0.8, dim = 8, bands = 16, bitsPerBand = 4)
+      .select("vec_id", "n_bench_hits", "max_cosine")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(report.contains(10L) && report(10L)._2 == 1L && report(10L)._3 > 0.99)
+    assert(!report.contains(11L) && !report.contains(12L))
+    val kept = Similarity.semanticDecontaminate(corpus, bench,
+        threshold = 0.8, dim = 8, bands = 16, bitsPerBand = 4)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(11L, 12L))
+  }
 }

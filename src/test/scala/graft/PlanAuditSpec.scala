@@ -169,4 +169,41 @@ class PlanAuditSpec extends SparkSpec {
       "the projection pass should not join or aggregate")
     assert("Exchange".r.findAllIn(plan).size == 1, "pca should shuffle once (output sort)")
   }
+
+  test("domain trust: corpus filtered by a broadcast semi-join, domain agg map-side combined") {
+    val plan = planOf("x5_domain_filter")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "trusted-domain set should broadcast into a semi-join")
+    // the per-domain aggregation partial-aggregates before its shuffle
+    assert(plan.contains("HashAggregate"), "domain mean should hash-aggregate")
+  }
+
+  test("chunking is map-side only: explode, no joins/aggregates, one output-sort shuffle") {
+    val plan = planOf("x5_chunk_overlap")
+    assert(plan.contains("Generate"), "chunk explode missing")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      "chunking must not join or aggregate")
+    assert("Exchange".r.findAllIn(plan).size == 1, "chunking should shuffle once (output sort)")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text"),
+      "chunk scan reads more than (doc_id, text)")
+  }
+
+  test("curriculum: spine broadcasts back; corpus window partitions by score, never unpartitioned") {
+    val plan = planOf("x7_curriculum")
+    assert(plan.contains("BroadcastHashJoin"), "score->bucket spine lookup should broadcast")
+    // exactly the SPINE windows (bucket assignment over distinct scores) may
+    // be single-partition; the corpus-side rank window must be keyed
+    assert(plan.contains("Window [") || plan.contains("RunningWindowFunction") ||
+      plan.contains("Window"), "expected window operators")
+    assert(plan.contains("windowspecdefinition(score#") ||
+      plan.contains("windowspecdefinition(score"),
+      "corpus rank window should partition by score")
+  }
+
+  test("semantic decontamination: benchmark side broadcasts; corpus meets it on band keys only") {
+    val plan = planOf("x2_semantic_decon")
+    assert(plan.contains("BroadcastHashJoin"), "benchmark banded rows should broadcast")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "decon must join on (band, bucket) keys, never pair all rows")
+  }
 }
