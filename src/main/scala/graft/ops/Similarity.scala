@@ -661,6 +661,139 @@ object Similarity {
     df.select(col(idCol), round(centeredDot(v), 6).as("pc1"))
   }
 
+  /** Product-quantization codes (Jégou et al., TPAMI'11): split each
+    * vector into `m` contiguous subspaces and quantize every sub-vector
+    * independently to `bitsPerCode` sign-LSH bits — the memory-compression
+    * step of large-scale ANN (an m·bitsPerCode-bit code replaces a
+    * dim·32-bit vector: 64 float dims → 4 bytes at 8×4, a 64× shrink).
+    * The sub-quantizer is the closed-form md5-hyperplane family
+    * ([[planeComponent]], plane k = s·bitsPerCode+j over sub-dimension
+    * indices), so codes are engine-portable — no fitted state, exactly
+    * like [[lshCells]] one level down the vector.
+    *
+    * Output: (idCol, codes array<int> of length m). Pure projection — no
+    * shuffle at any scale.
+    */
+  /** The m-element code array expression over a vector column — shared by
+    * [[pqCodes]], [[pqFitCodebooks]] and [[pqTopK]] so encoding cannot
+    * drift between fit and search.
+    */
+  private def pqCodesExpr(vec: Column, dim: Int, m: Int, bitsPerCode: Int): Column = {
+    require(dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
+    val subDim = dim / m
+    val planes = Array.tabulate(m * bitsPerCode, subDim)(planeComponent)
+    array((0 until m).map { s =>
+      (0 until bitsPerCode).map { j =>
+        val k = s * bitsPerCode + j
+        when(round(dot(slice(vec, s * subDim + 1, subDim),
+            typedlit(planes(k).toSeq)), 6) >= 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  def pqCodes(corpus: DataFrame, dim: Int, m: Int = 8, bitsPerCode: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col(idCol), pqCodesExpr(col(vecCol), dim, m, bitsPerCode).as("codes"))
+  }
+
+  /** Per-(subspace, code) centroids for [[pqCodes]]: the exact-DECIMAL
+    * mean of every sub-vector carrying that code (the IVF centroid
+    * discipline, so the codebook is bit-reproducible in any engine).
+    * Distributed aggregation over (s, code, component) — m·2^bits·subDim
+    * cells — then collected: the codebook is a bounded MODEL ARTIFACT
+    * (m·2^bits·subDim doubles; 1024 at the defaults), the thing a PQ
+    * deployment ships to its query fleet. Cells no corpus vector maps to
+    * stay zero vectors — they can never be referenced (codes come FROM
+    * the corpus).
+    *
+    * Returns codebooks(s)(code) = centroid array of length subDim.
+    */
+  def pqFitCodebooks(corpus: DataFrame, dim: Int, m: Int = 8, bitsPerCode: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    GraftFunctions.register(corpus.sparkSession)
+    val subDim = dim / m
+    val coded = corpus
+      .select(col(vecCol).as("__v"), pqCodesExpr(col(vecCol), dim, m, bitsPerCode).as("__c"))
+      .select(posexplode(col("__c")).as(Seq("__s", "__code")), col("__v"))
+      .select(col("__s"), col("__code"),
+        posexplode(slice(col("__v"), col("__s") * subDim + 1, lit(subDim))).as(Seq("__i", "__x")))
+      .groupBy("__s", "__code", "__i")
+      .agg((sum(col("__x").cast(DecimalType(27, 10))).cast("double") / count(lit(1))).as("__m"))
+      .collect()
+    val books = Array.fill(m, 1 << bitsPerCode)(new Array[Double](subDim))
+    coded.foreach { r => books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) }
+    books
+  }
+
+  private def round6L(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** PQ top-k by asymmetric distance computation: corpus vectors are
+    * represented ONLY by their m codes; each query scores a candidate as
+    * the cosine between the raw query and the candidate's RECONSTRUCTION
+    * (per-subspace codebook centroids). Per-subspace dot products and the
+    * reconstruction's per-subspace squared norms go through the
+    * round6→DECIMAL(18,6) exact-sum discipline before crossing subspaces
+    * (cross-subspace addition must not depend on order — the same rule as
+    * every portable mean here), so scores are bit-identical across
+    * engines and the query is hash-checkable.
+    *
+    * Scale shape: the corpus pass is a pure projection (codes + literal
+    * codebook lookups — the codebook rides the PLAN, there is no centroid
+    * join); queries broadcast (probe sets are small by contract); ranking
+    * is the per-query window all top-k variants share. Corpus vectors
+    * never shuffle, and at serving time the scan could read codes alone —
+    * dim/m·32/bits× less I/O than exact search.
+    *
+    * Output: (query_id, neighbor_id, rank, approx_cosine). Approximate by
+    * design (quantization error), audited by the recall query against the
+    * brute-force truth.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+             m: Int = 8, bitsPerCode: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val subDim = dim / m
+    val books = pqFitCodebooks(corpus, dim, m, bitsPerCode, idCol, vecCol)
+    // literal per-subspace lookup tables: code -> centroid, code -> round6
+    // squared norm (norm2 summed index-order over the centroid, like the
+    // twin's list_sum)
+    val centMaps = (0 until m).map { s =>
+      typedlit(books(s).indices.map(c => c -> books(s)(c).toSeq).toMap)
+    }
+    val normMaps = (0 until m).map { s =>
+      typedlit(books(s).indices.map { c =>
+        val v = books(s)(c)
+        var ss = 0.0; var i = 0
+        while (i < v.length) { ss += v(i) * v(i); i += 1 }
+        c -> round6L(ss)
+      }.toMap)
+    }
+    val coded = pqCodes(corpus, dim, m, bitsPerCode, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"),
+        (0 until m).map(s =>
+            element_at(normMaps(s), element_at(col("codes"), s + 1)).cast(DecimalType(18, 6)))
+          .reduce(_ + _).cast("double").as("__rn2"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val scored = coded.crossJoin(q)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__num",
+        (0 until m).map { s =>
+          round(dot(slice(col("__qv"), s * subDim + 1, subDim),
+            element_at(centMaps(s), element_at(col("codes"), s + 1))), 6)
+            .cast(DecimalType(18, 6))
+        }.reduce(_ + _).cast("double"))
+      .withColumn("__cos",
+        round(col("__num") / (col("__qn") * sqrt(col("__rn2"))), 6))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        col("__cos").as("approx_cosine"))
+  }
+
   /** Semantic decontamination: flag corpus vectors whose embedding-space
     * cosine to ANY benchmark vector reaches `threshold` — the
     * embedding-side complement of [[Contamination]]'s n-gram overlap

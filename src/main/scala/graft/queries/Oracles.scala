@@ -398,6 +398,62 @@ object Oracles {
       |  FROM q, c WHERE nid <> qid),
       |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s)""".stripMargin
 
+  /** Product-quantization chain (mirrors Similarity.pqCodes /
+    * pqFitCodebooks / pqTopK at dim=64, m=32, bits=4 — the registered
+    * regime, chosen because its measured recall matches the k-means IVF's
+    * at a 16× memory cut): per-subspace sign-LSH codes over planes
+    * k = s·bits+j of sub-dimension width dim/m, exact-DECIMAL(27,10)
+    * codebook centroids, round6→DECIMAL(18,6) cross-subspace sums for
+    * both the ADC numerator and the reconstruction norm, final 6-dp
+    * cosine ranked with neighbor-id ties. Ends with
+    * `pq_r(qid, nid, cos, rn)`. Shared by x3_pq_topk and x3_pq_recall so
+    * the search cannot drift from its audit. All constants derive from
+    * (PqM, PqBits) below — they cannot drift from each other.
+    */
+  private val PqM = 32
+  private val PqBits = 4
+  private val PqChain = {
+    val subDim = 64 / PqM
+    s"""pq_planes AS (
+       |  SELECT k, list_transform(generate_series(0, ${subDim - 1}),
+       |           i -> ('0x' || substr(md5('hp_' || k || '_' || i), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS p
+       |  FROM generate_series(0, ${PqM * PqBits - 1}) t(k)),
+       |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+       |pq_proj AS (
+       |  SELECT e.vec_id, pl.k // $PqBits AS s,
+       |    CASE WHEN round(list_sum(list_transform(generate_series(1, $subDim),
+       |                i -> e.ev[(pl.k // $PqBits) * $subDim + i] * pl.p[i])), 6) >= 0
+       |         THEN 1 << (pl.k % $PqBits) ELSE 0 END AS bit
+       |  FROM ed e CROSS JOIN pq_planes pl),
+       |pq_code AS (SELECT vec_id, s, CAST(sum(bit) AS INT) AS code FROM pq_proj GROUP BY 1, 2),
+       |pq_expd AS (SELECT c.s, c.code, gs.i, CAST(e.ev[c.s * $subDim + gs.i] AS DECIMAL(27,10)) AS xd
+       |        FROM ed e JOIN pq_code c ON c.vec_id = e.vec_id
+       |        CROSS JOIN generate_series(1, $subDim) gs(i)),
+       |pq_cent AS (SELECT s, code, i, CAST(sum(xd) AS DOUBLE) / count(*) AS m FROM pq_expd GROUP BY 1, 2, 3),
+       |pq_centarr AS (SELECT s, code, list(m ORDER BY i) AS cv FROM pq_cent GROUP BY 1, 2),
+       |pq_centn AS (SELECT s, code, cv,
+       |    round(list_sum(list_transform(generate_series(1, $subDim), i -> cv[i] * cv[i])), 6) AS n2
+       |  FROM pq_centarr),
+       |pq_q AS (SELECT vec_id AS qid, ev AS qv,
+       |    sqrt(list_sum(list_transform(generate_series(1, 64), i -> ev[i] * ev[i]))) AS qn
+       |  FROM ed WHERE vec_id % 100 = 0),
+       |pq_sub AS (SELECT q.qid, c.vec_id AS nid, c.s,
+       |    round(list_sum(list_transform(generate_series(1, $subDim), i -> q.qv[c.s * $subDim + i] * cn.cv[i])), 6) AS sd,
+       |    cn.n2
+       |  FROM pq_q q CROSS JOIN pq_code c
+       |  JOIN pq_centn cn ON cn.s = c.s AND cn.code = c.code
+       |  WHERE c.vec_id <> q.qid),
+       |pq_sc AS (SELECT qid, nid,
+       |    CAST(sum(CAST(sd AS DECIMAL(18,6))) AS DOUBLE) AS num,
+       |    CAST(sum(CAST(n2 AS DECIMAL(18,6))) AS DOUBLE) AS rn2
+       |  FROM pq_sub GROUP BY 1, 2),
+       |pq_r AS (SELECT sc.qid, sc.nid,
+       |    round(sc.num / (q.qn * sqrt(sc.rn2)), 6) AS cos,
+       |    row_number() OVER (PARTITION BY sc.qid
+       |      ORDER BY round(sc.num / (q.qn * sqrt(sc.rn2)), 6) DESC, sc.nid) AS rn
+       |  FROM pq_sc sc JOIN pq_q q ON q.qid = sc.qid)""".stripMargin
+  }
+
   /** 16×4 equality-join candidate chain ending at `rhp_v`. */
   private val RhpChain =
     s"""${rhpBucketChain(16, 4)},
@@ -1489,6 +1545,27 @@ object Oracles {
          |  (cum - n_tokens) // 512 AS first_seq, (cum - 1) // 512 AS last_seq
          |FROM pc ORDER BY source, start_offset""".stripMargin
     },
+
+    "x3_pq_topk" ->
+      s"""WITH $PqChain
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank,
+         |  cos AS approx_cosine
+         |FROM pq_r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Recall audit over the PQ path: truth top-5 from the shared
+    // KnnTruthChain, approximate top-5 from the PQ chain — both sides
+    // portable, every column hash-checked.
+    "x3_pq_recall" ->
+      s"""WITH $PqChain,
+         |$KnnTruthChain,
+         |tr AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
+         |pv AS (SELECT qid, nid FROM pq_r WHERE rn <= 5),
+         |ne AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM tr GROUP BY 1),
+         |nh AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_hits FROM tr t JOIN pv v USING (qid, nid) GROUP BY 1)
+         |SELECT ne.qid AS query_id, ne.n_exact,
+         |  coalesce(nh.n_hits, 0) AS n_hits,
+         |  round(CAST(coalesce(nh.n_hits, 0) AS DOUBLE) / ne.n_exact, 6) AS recall
+         |FROM ne LEFT JOIN nh USING (qid) ORDER BY 1""".stripMargin,
 
     "x5_domain_stats" ->
       s"""WITH $DomainTrustChain

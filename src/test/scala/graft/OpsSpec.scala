@@ -653,6 +653,36 @@ class OpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("X3pq product quantization: codes deterministic, clusters separated, recall on separable data") {
+    // two tight clusters on orthogonal axes; PQ must send same-cluster
+    // vectors to the same codes and rank same-cluster neighbors on top
+    def v(axis: Int, eps: Float, dim: Int = 16): Seq[Float] =
+      (0 until dim).map(i => if (i == axis) 1.0f else if (i == (axis + 1) % dim) eps else 0.0f)
+    val vecs = (
+      (0 until 6).map(i => (i.toLong, v(0, 0.01f * i))) ++
+      (0 until 6).map(i => (100L + i, v(8, 0.01f * i)))
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(vecs, dim = 16, m = 4, bitsPerCode = 4)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    // deterministic re-run
+    assert(Similarity.pqCodes(vecs, dim = 16, m = 4, bitsPerCode = 4)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap == codes)
+    // cluster members agree on the code of their loaded subspace
+    assert((0 until 6).map(i => codes(i.toLong)(0)).distinct.size == 1)
+    assert((0 until 6).map(i => codes(100L + i)(2)).distinct.size == 1)
+    // top-k from a cluster-0 query returns only cluster-0 neighbors
+    val out = Similarity.pqTopK(vecs.where(col("vec_id") === 0), vecs, k = 5,
+        dim = 16, m = 4, bitsPerCode = 4)
+      .select("query_id", "neighbor_id", "rank", "approx_cosine")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._3)
+    assert(out.length == 5)
+    assert(out.forall(_._2 < 100L), s"cross-cluster neighbor leaked: ${out.toSeq}")
+    assert(out.forall(r => r._4 > 0.9), s"same-cluster approx cosine too low: ${out.toSeq}")
+    // codebook of a single-member cell reproduces the member exactly
+    val books = Similarity.pqFitCodebooks(vecs, dim = 16, m = 4, bitsPerCode = 4)
+    assert(books.length == 4 && books.forall(_.length == 16))
+  }
+
   test("X5d domain trust: lowest-mean domain flagged, filter drops exactly its docs") {
     import graft.ops.Domains
     // srcA: long stopword-rich docs (high quality); srcB: the same; srcC:

@@ -26,7 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     // BPE vocab) - those are spot-checked above/below where cheap.
     val constructionRunsJobs = Set(
       "x3_ivf_topk", "x7_dedup_clusters", "x7_dedup_apply", "x8_curation_pipeline",
-      "x4_lazy_pointer", "x6_bpe_merges", "x3_pca_project")
+      "x4_lazy_pointer", "x6_bpe_merges", "x3_pca_project", "x3_pq_topk", "x3_pq_recall")
     (SparkEntry.queries.keySet -- constructionRunsJobs).toSeq.sorted.foreach { q =>
       assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian product")
     }
@@ -198,6 +198,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(score#") ||
       plan.contains("windowspecdefinition(score"),
       "corpus rank window should partition by score")
+  }
+
+  test("PQ top-k: codebook rides the plan (no centroid join); queries broadcast over a code projection") {
+    val plan = planOf("x3_pq_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"), "query side should broadcast")
+    // the only joins are the broadcast query pairing — the codebook is
+    // literal maps, so there is no centroid join anywhere
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "PQ scoring must not shuffle-join (codebook should be plan literals)")
+    assert(!plan.contains("CartesianProduct"), "PQ pairing must be broadcast, not cartesian")
   }
 
   test("semantic decontamination: benchmark side broadcasts; corpus meets it on band keys only") {
