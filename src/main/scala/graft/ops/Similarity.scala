@@ -750,15 +750,14 @@ object Similarity {
     * design (quantization error), audited by the recall query against the
     * brute-force truth.
     */
-  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-             m: Int = 8, bitsPerCode: Int = 4,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    GraftFunctions.register(queries.sparkSession)
-    val subDim = dim / m
-    val books = pqFitCodebooks(corpus, dim, m, bitsPerCode, idCol, vecCol)
-    // literal per-subspace lookup tables: code -> centroid, code -> round6
-    // squared norm (norm2 summed index-order over the centroid, like the
-    // twin's list_sum)
+  /** Literal per-subspace lookup tables for a fitted codebook:
+    * code → centroid, and code → round6 squared norm (norm2 summed
+    * index-order over the centroid, like the twin's list_sum). Shared by
+    * [[pqTopK]] and [[ivfPqTopK]] so ADC scoring cannot drift between the
+    * flat and the cell-restricted search.
+    */
+  private def pqLookupMaps(books: Array[Array[Array[Double]]], m: Int)
+      : (Seq[Column], Seq[Column]) = {
     val centMaps = (0 until m).map { s =>
       typedlit(books(s).indices.map(c => c -> books(s)(c).toSeq).toMap)
     }
@@ -770,28 +769,117 @@ object Similarity {
         c -> round6L(ss)
       }.toMap)
     }
-    val coded = pqCodes(corpus, dim, m, bitsPerCode, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("codes"),
-        (0 until m).map(s =>
-            element_at(normMaps(s), element_at(col("codes"), s + 1)).cast(DecimalType(18, 6)))
-          .reduce(_ + _).cast("double").as("__rn2"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      norm(col(vecCol)).as("__qn")))
-    val scored = coded.crossJoin(q)
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__num",
-        (0 until m).map { s =>
-          round(dot(slice(col("__qv"), s * subDim + 1, subDim),
-            element_at(centMaps(s), element_at(col("codes"), s + 1))), 6)
-            .cast(DecimalType(18, 6))
-        }.reduce(_ + _).cast("double"))
-      .withColumn("__cos",
-        round(col("__num") / (col("__qn") * sqrt(col("__rn2"))), 6))
+    (centMaps, normMaps)
+  }
+
+  /** Reconstruction squared norm of a code array through the normMaps —
+    * round6 per subspace, exact DECIMAL(18,6) across subspaces. */
+  private def pqReconNorm2(codes: Column, normMaps: Seq[Column], m: Int): Column =
+    (0 until m).map(s =>
+        element_at(normMaps(s), element_at(codes, s + 1)).cast(DecimalType(18, 6)))
+      .reduce(_ + _).cast("double")
+
+  /** ADC numerator: query · reconstruction, round6 per subspace, exact
+    * DECIMAL(18,6) across subspaces. */
+  private def pqAdcNumerator(qv: Column, codes: Column, centMaps: Seq[Column],
+                             m: Int, subDim: Int): Column =
+    (0 until m).map { s =>
+      round(dot(slice(qv, s * subDim + 1, subDim),
+        element_at(centMaps(s), element_at(codes, s + 1))), 6)
+        .cast(DecimalType(18, 6))
+    }.reduce(_ + _).cast("double")
+
+  private def pqRank(scored: DataFrame, k: Int): DataFrame =
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         col("__cos").as("approx_cosine"))
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+             m: Int = 8, bitsPerCode: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val subDim = dim / m
+    val books = pqFitCodebooks(corpus, dim, m, bitsPerCode, idCol, vecCol)
+    val (centMaps, normMaps) = pqLookupMaps(books, m)
+    val coded = pqCodes(corpus, dim, m, bitsPerCode, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"),
+        pqReconNorm2(col("codes"), normMaps, m).as("__rn2"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val scored = coded.crossJoin(q)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__num", pqAdcNumerator(col("__qv"), col("codes"), centMaps, m, subDim))
+      .withColumn("__cos",
+        round(col("__num") / (col("__qn") * sqrt(col("__rn2"))), 6))
+    pqRank(scored, k)
+  }
+
+  /** IVF-PQ top-k — the composition that actually serves ANN at corpus
+    * scale (the FAISS IVFPQ architecture, Jégou et al. TPAMI'11 §V): a
+    * coarse quantizer ([[lshCells]], closed-form) cuts the candidate set
+    * to the `nProbe` cells nearest each query, and within those cells
+    * candidates are scored by ADC against their PQ codes — so the index
+    * holds only (cell, codes) per vector (16 bytes + a cell int at the
+    * registered 32×4), and a query touches nProbe/2^bitsPerCell of the
+    * corpus instead of all of it.
+    *
+    * Where [[pqTopK]]'s candidate pairing is a broadcast cross join (every
+    * query meets every code — right for small probe sets, wrong at corpus
+    * scale), here the pairing is an EQUI-JOIN on the cell key: probes
+    * (queries × nProbe rows, tiny) broadcast against the coded corpus, and
+    * the corpus side never shuffles. Raising `bitsPerCell` deepens the cut
+    * exactly like the RHP banding knobs — cells shrink geometrically while
+    * probe ranking stays a broadcast against 2^bitsPerCell centroids.
+    *
+    * Every stage is closed-form or exact-decimal (cell bits, cell
+    * centroids, codebooks, ADC sums), so the whole index — quantize →
+    * probe → cell-restricted ADC top-k — is hash-checkable end to end.
+    *
+    * Output: (query_id, neighbor_id, rank, approx_cosine). Approximate
+    * twice over (cell cut + quantization error); audited against the
+    * brute-force truth by the recall query.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int, dim: Int,
+                bitsPerCell: Int = 4, m: Int = 8, bitsPerCode: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val subDim = dim / m
+    val books = pqFitCodebooks(corpus, dim, m, bitsPerCode, idCol, vecCol)
+    val (centMaps, normMaps) = pqLookupMaps(books, m)
+    val cellPlanes = Array.tabulate(bitsPerCell, dim)(planeComponent)
+    def cellExpr(v: Column) =
+      element_at(signBucketArray(v, cellPlanes, 1, bitsPerCell), 1).cast("int")
+    // the serving index: one corpus projection carrying cell + codes +
+    // reconstruction norm — raw vectors appear nowhere downstream
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+        cellExpr(col(vecCol)).as("__cell"),
+        pqCodesExpr(col(vecCol), dim, m, bitsPerCode).as("codes"))
+      .withColumn("__rn2", pqReconNorm2(col("codes"), normMaps, m))
+    // cell centroids: exact-decimal per-dimension means (the ivfTopK fit)
+    val cent = corpus
+      .select(cellExpr(col(vecCol)).as("__cell"), posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .groupBy("__cell", "__i")
+      .agg((sum(col("__x").cast(DecimalType(27, 10))).cast("double") / count(lit(1))).as("__m"))
+      .groupBy("__cell").agg(array_sort(collect_list(struct(col("__i"), col("__m")))).as("__ims"))
+      .select(col("__cell"), transform(col("__ims"), s => s.getField("__m")).as("__centroid"))
+    // nProbe nearest cells per query, 6-dp probe ranking with cell-id ties
+    // (identical discipline to ivfTopK so the twins share a probe chain)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("__d", round(cosine(col("__qv"), col("__centroid")), 6))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__d").desc, col("__cell"))))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__cell"))
+    val scored = broadcast(probes).join(coded, "__cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__num", pqAdcNumerator(col("__qv"), col("codes"), centMaps, m, subDim))
+      .withColumn("__cos",
+        round(col("__num") / (col("__qn") * sqrt(col("__rn2"))), 6))
+    pqRank(scored, k)
   }
 
   /** Semantic decontamination: flag corpus vectors whose embedding-space

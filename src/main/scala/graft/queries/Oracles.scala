@@ -412,37 +412,47 @@ object Oracles {
     */
   private val PqM = 32
   private val PqBits = 4
-  private val PqChain = {
-    val subDim = 64 / PqM
+  private val PqSubDim = 64 / PqM
+
+  /** Encode + fit half: codes, exact-decimal codebooks with round6 norms,
+    * and the query set with its norm — ends at `pq_centn` / `pq_q`.
+    */
+  private val PqCodeChain =
     s"""pq_planes AS (
-       |  SELECT k, list_transform(generate_series(0, ${subDim - 1}),
+       |  SELECT k, list_transform(generate_series(0, ${PqSubDim - 1}),
        |           i -> ('0x' || substr(md5('hp_' || k || '_' || i), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS p
        |  FROM generate_series(0, ${PqM * PqBits - 1}) t(k)),
        |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
        |pq_proj AS (
        |  SELECT e.vec_id, pl.k // $PqBits AS s,
-       |    CASE WHEN round(list_sum(list_transform(generate_series(1, $subDim),
-       |                i -> e.ev[(pl.k // $PqBits) * $subDim + i] * pl.p[i])), 6) >= 0
+       |    CASE WHEN round(list_sum(list_transform(generate_series(1, $PqSubDim),
+       |                i -> e.ev[(pl.k // $PqBits) * $PqSubDim + i] * pl.p[i])), 6) >= 0
        |         THEN 1 << (pl.k % $PqBits) ELSE 0 END AS bit
        |  FROM ed e CROSS JOIN pq_planes pl),
        |pq_code AS (SELECT vec_id, s, CAST(sum(bit) AS INT) AS code FROM pq_proj GROUP BY 1, 2),
-       |pq_expd AS (SELECT c.s, c.code, gs.i, CAST(e.ev[c.s * $subDim + gs.i] AS DECIMAL(27,10)) AS xd
+       |pq_expd AS (SELECT c.s, c.code, gs.i, CAST(e.ev[c.s * $PqSubDim + gs.i] AS DECIMAL(27,10)) AS xd
        |        FROM ed e JOIN pq_code c ON c.vec_id = e.vec_id
-       |        CROSS JOIN generate_series(1, $subDim) gs(i)),
+       |        CROSS JOIN generate_series(1, $PqSubDim) gs(i)),
        |pq_cent AS (SELECT s, code, i, CAST(sum(xd) AS DOUBLE) / count(*) AS m FROM pq_expd GROUP BY 1, 2, 3),
        |pq_centarr AS (SELECT s, code, list(m ORDER BY i) AS cv FROM pq_cent GROUP BY 1, 2),
        |pq_centn AS (SELECT s, code, cv,
-       |    round(list_sum(list_transform(generate_series(1, $subDim), i -> cv[i] * cv[i])), 6) AS n2
+       |    round(list_sum(list_transform(generate_series(1, $PqSubDim), i -> cv[i] * cv[i])), 6) AS n2
        |  FROM pq_centarr),
        |pq_q AS (SELECT vec_id AS qid, ev AS qv,
        |    sqrt(list_sum(list_transform(generate_series(1, 64), i -> ev[i] * ev[i]))) AS qn
-       |  FROM ed WHERE vec_id % 100 = 0),
-       |pq_sub AS (SELECT q.qid, c.vec_id AS nid, c.s,
-       |    round(list_sum(list_transform(generate_series(1, $subDim), i -> q.qv[c.s * $subDim + i] * cn.cv[i])), 6) AS sd,
+       |  FROM ed WHERE vec_id % 100 = 0)""".stripMargin
+
+  /** ADC scoring tail over a candidate CTE `pq_cand(qid, qv, nid)` —
+    * round6 per-subspace sums through DECIMAL(18,6), 6-dp cosine ranked
+    * with neighbor-id ties; ends with `pq_r(qid, nid, cos, rn)`. Shared
+    * by the flat and the IVF-restricted search so ADC cannot drift.
+    */
+  private val PqScoreTail =
+    s"""pq_sub AS (SELECT pc.qid, pc.nid, c.s,
+       |    round(list_sum(list_transform(generate_series(1, $PqSubDim), i -> pc.qv[c.s * $PqSubDim + i] * cn.cv[i])), 6) AS sd,
        |    cn.n2
-       |  FROM pq_q q CROSS JOIN pq_code c
-       |  JOIN pq_centn cn ON cn.s = c.s AND cn.code = c.code
-       |  WHERE c.vec_id <> q.qid),
+       |  FROM pq_cand pc JOIN pq_code c ON c.vec_id = pc.nid
+       |  JOIN pq_centn cn ON cn.s = c.s AND cn.code = c.code),
        |pq_sc AS (SELECT qid, nid,
        |    CAST(sum(CAST(sd AS DECIMAL(18,6))) AS DOUBLE) AS num,
        |    CAST(sum(CAST(n2 AS DECIMAL(18,6))) AS DOUBLE) AS rn2
@@ -452,7 +462,41 @@ object Oracles {
        |    row_number() OVER (PARTITION BY sc.qid
        |      ORDER BY round(sc.num / (q.qn * sqrt(sc.rn2)), 6) DESC, sc.nid) AS rn
        |  FROM pq_sc sc JOIN pq_q q ON q.qid = sc.qid)""".stripMargin
-  }
+
+  /** Flat PQ search (mirrors Similarity.pqTopK at dim=64, m=32, bits=4 —
+    * the registered regime, chosen because its measured recall matches the
+    * k-means IVF's at a 16× memory cut; all constants derive from
+    * (PqM, PqBits) so Spark and twin cannot drift): every query meets
+    * every code. Ends with `pq_r`.
+    */
+  private val PqChain =
+    s"""$PqCodeChain,
+       |pq_cand AS (SELECT q.qid, q.qv, e.vec_id AS nid
+       |  FROM pq_q q CROSS JOIN ed e WHERE e.vec_id <> q.qid),
+       |$PqScoreTail""".stripMargin
+
+  /** IVF-PQ search (mirrors Similarity.ivfPqTopK at bitsPerCell=4,
+    * nProbe=3, m=32, bits=4): coarse cells = 4 sign bits of RHP band 0
+    * (the x3_ivf_lsh_topk quantizer), exact-decimal cell centroids, 6-dp
+    * probe ranking with cell-id ties, candidates restricted to probed
+    * cells by an equi-join, then the shared ADC tail. Ends with `pq_r`.
+    */
+  private val IvfPqChain =
+    s"""${rhpBucketChain(1, 4)},
+       |cells AS (SELECT vec_id, CAST(bkt AS INT) AS cell FROM rhp_buck),
+       |$PqCodeChain,
+       |iexpd AS (SELECT c.cell, gs.i, CAST(CAST(e.embedding[gs.i] AS DOUBLE) AS DECIMAL(27,10)) AS xd
+       |        FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
+       |        CROSS JOIN generate_series(1, 64) gs(i)),
+       |icent AS (SELECT cell, i, CAST(sum(xd) AS DOUBLE) / count(*) AS m FROM iexpd GROUP BY 1, 2),
+       |icentarr AS (SELECT cell, list(m ORDER BY i) AS cv FROM icent GROUP BY 1),
+       |ipq AS (SELECT qid, qv, cell FROM (
+       |    SELECT q.qid, q.qv, ca.cell,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY ${listCos("q.qv", "ca.cv")} DESC, ca.cell) AS rnk
+       |    FROM pq_q q CROSS JOIN icentarr ca) WHERE rnk <= 3),
+       |pq_cand AS (SELECT p.qid, p.qv, cl.vec_id AS nid
+       |  FROM ipq p JOIN cells cl ON cl.cell = p.cell WHERE cl.vec_id <> p.qid),
+       |$PqScoreTail""".stripMargin
 
   /** 16×4 equality-join candidate chain ending at `rhp_v`. */
   private val RhpChain =
@@ -1557,6 +1601,27 @@ object Oracles {
     // portable, every column hash-checked.
     "x3_pq_recall" ->
       s"""WITH $PqChain,
+         |$KnnTruthChain,
+         |tr AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
+         |pv AS (SELECT qid, nid FROM pq_r WHERE rn <= 5),
+         |ne AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM tr GROUP BY 1),
+         |nh AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_hits FROM tr t JOIN pv v USING (qid, nid) GROUP BY 1)
+         |SELECT ne.qid AS query_id, ne.n_exact,
+         |  coalesce(nh.n_hits, 0) AS n_hits,
+         |  round(CAST(coalesce(nh.n_hits, 0) AS DOUBLE) / ne.n_exact, 6) AS recall
+         |FROM ne LEFT JOIN nh USING (qid) ORDER BY 1""".stripMargin,
+
+    "x3_ivfpq_topk" ->
+      s"""WITH $IvfPqChain
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank,
+         |  cos AS approx_cosine
+         |FROM pq_r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Recall audit over the IVF-PQ path: truth from the shared
+    // KnnTruthChain, approximate from the IVF-PQ chain — both sides
+    // portable, every column hash-checked.
+    "x3_ivfpq_recall" ->
+      s"""WITH $IvfPqChain,
          |$KnnTruthChain,
          |tr AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
          |pv AS (SELECT qid, nid FROM pq_r WHERE rn <= 5),

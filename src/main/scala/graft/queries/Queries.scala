@@ -639,6 +639,29 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** X3ivfpq: the IVF-PQ composition — coarse LSH cells cut candidates to
+    * nProbe/2^bitsPerCell of the corpus, PQ codes compress what remains to
+    * 16 bytes/vector, candidates pair by cell EQUI-join (not the flat
+    * form's cross join). The serving shape for corpus-scale ANN.
+    */
+  private def x3IvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfPqTopK(emb.where(col("vec_id") % 100 === 0), emb, k = 5,
+      nProbe = 3, dim = 64, bitsPerCell = 4, m = 32, bitsPerCode = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** X3ivfpq recall audit vs the brute-force truth — both sides portable
+    * and hash-checked, like the flat-PQ audit. */
+  private def x3IvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") % 100 === 0)
+    Similarity.topKRecall(Similarity.cosineTopK(q, emb, k = 5),
+      Similarity.ivfPqTopK(q, emb, k = 5, nProbe = 3, dim = 64,
+        bitsPerCell = 4, m = 32, bitsPerCode = 4), k = 5)
+      .orderBy("query_id")
+  }
+
   private def x5Quality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityMetrics(t(spark, dir, "documents"), "doc_id", col("text"))
       .orderBy("doc_id")
@@ -1396,7 +1419,9 @@ object Queries {
     "x7_curriculum" -> (x7Curriculum _),
     "x2_semantic_decon" -> (x2SemanticDecon _),
     "x3_pq_topk" -> (x3PqTopk _),
-    "x3_pq_recall" -> (x3PqRecall _)
+    "x3_pq_recall" -> (x3PqRecall _),
+    "x3_ivfpq_topk" -> (x3IvfPqTopk _),
+    "x3_ivfpq_recall" -> (x3IvfPqRecall _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -683,6 +683,30 @@ class OpsSpec extends SparkSpec {
     assert(books.length == 4 && books.forall(_.length == 16))
   }
 
+  test("X3ivfpq IVF-PQ: cell-restricted ADC agrees with flat PQ's top hit on separable clusters") {
+    def v(axis: Int, eps: Float, dim: Int = 16): Seq[Float] =
+      (0 until dim).map(i => if (i == axis) 1.0f else if (i == (axis + 1) % dim) eps else 0.0f)
+    val vecs = (
+      (0 until 6).map(i => (i.toLong, v(0, 0.01f * i))) ++
+      (0 until 6).map(i => (100L + i, v(8, 0.01f * i)))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(vecs.where(col("vec_id") === 0), vecs, k = 5,
+        nProbe = 1, dim = 16, bitsPerCell = 4, m = 4, bitsPerCode = 4)
+      .select("query_id", "neighbor_id", "rank", "approx_cosine")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._3)
+    // nProbe=1 searches one cell; whether or not the clusters share it,
+    // ADC must rank the 5 same-cluster candidates on top (cross-cluster
+    // reconstruction cosine ~ 0)
+    assert(out.nonEmpty && out.forall(_._2 < 100L), s"cross-cluster leak: ${out.toSeq}")
+    assert(out.forall(_._4 > 0.9), s"same-cluster approx cosine too low: ${out.toSeq}")
+    // determinism
+    val again = Similarity.ivfPqTopK(vecs.where(col("vec_id") === 0), vecs, k = 5,
+        nProbe = 1, dim = 16, bitsPerCell = 4, m = 4, bitsPerCode = 4)
+      .select("query_id", "neighbor_id", "rank", "approx_cosine")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._3)
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("X5d domain trust: lowest-mean domain flagged, filter drops exactly its docs") {
     import graft.ops.Domains
     // srcA: long stopword-rich docs (high quality); srcB: the same; srcC:

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     // BPE vocab) - those are spot-checked above/below where cheap.
     val constructionRunsJobs = Set(
       "x3_ivf_topk", "x7_dedup_clusters", "x7_dedup_apply", "x8_curation_pipeline",
-      "x4_lazy_pointer", "x6_bpe_merges", "x3_pca_project", "x3_pq_topk", "x3_pq_recall")
+      "x4_lazy_pointer", "x6_bpe_merges", "x3_pca_project", "x3_pq_topk", "x3_pq_recall",
+      "x3_ivfpq_topk", "x3_ivfpq_recall")
     (SparkEntry.queries.keySet -- constructionRunsJobs).toSeq.sorted.foreach { q =>
       assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian product")
     }
@@ -208,6 +209,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       "PQ scoring must not shuffle-join (codebook should be plan literals)")
     assert(!plan.contains("CartesianProduct"), "PQ pairing must be broadcast, not cartesian")
+  }
+
+  test("IVF-PQ top-k: candidates pair by cell equi-join (broadcast hash), codebook rides the plan") {
+    val plan = planOf("x3_ivfpq_topk")
+    // the probe->candidate pairing must be the keyed join on __cell — the
+    // whole point of IVF over the flat form's nested-loop cross join
+    assert(plan.contains("BroadcastHashJoin"), "probes should broadcast-hash-join coded corpus on cell")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "IVF-PQ scoring must not shuffle-join (codebook is plan literals, probes broadcast)")
   }
 
   test("semantic decontamination: benchmark side broadcasts; corpus meets it on band keys only") {
