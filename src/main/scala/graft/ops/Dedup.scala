@@ -133,12 +133,8 @@ object Dedup {
     * (band index, band hash) — only true candidates meet.
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(
-      col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))).as(Seq("band", "bandHash")))
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bandHash"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bandHash"))
+    val l = bandedKeys(sigs, idCol, "id_a", bands, rowsPerBand)
+    val r = bandedKeys(sigs, idCol, "id_b", bands, rowsPerBand)
     l.join(r, Seq("band", "bandHash")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -179,6 +175,78 @@ object Dedup {
           .cast("double") / numPerm)
       .where(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** The banded (band, bandHash) rows of a signature table — the LSH key
+    * both self-join and bipartite candidate generation meet on. */
+  private def bandedKeys(sigs: DataFrame, idCol: String, outId: String,
+                         bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
+      col(idCol).as(outId),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))).as(Seq("band", "bandHash")))
+
+  /** Incremental near-dup admission — the daily-shard workflow at corpus
+    * scale: an INCOMING batch is screened against a FROZEN existing corpus
+    * (plus itself) and each incoming doc gets an admission verdict, without
+    * ever re-deduplicating the corpus. Candidates meet on MinHash band
+    * equality in a bipartite incoming↔corpus equi-join — the corpus side is
+    * arbitrarily large (it is NOT broadcast; both sides shuffle on the band
+    * key, ~500 bytes/doc of signature, never the text) — and are verified
+    * by the agreeing-components estimate, exactly like the self-join form
+    * ([[minhashNearDupPairs]]).
+    *
+    * Verdicts: `corpus_dup` (≥ threshold vs some corpus doc), `batch_dup`
+    * (≥ threshold vs a LOWER-ID incoming doc — the keep-min discipline of
+    * the batch dedup family, non-cascading so admission is per-doc
+    * deterministic), `admitted` = neither.
+    *
+    * Output: (idCol, corpus_dup, batch_dup, admitted), one row per incoming
+    * doc.
+    */
+  def incrementalNearDupAdmit(
+      incoming: DataFrame, corpus: DataFrame, idCol: String, text: Column,
+      shingleLen: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && numPerm % bands == 0,
+      s"numPerm ($numPerm) must divide into bands ($bands)")
+    val rowsPerBand = numPerm / bands
+    // one signature pass per side; the same deterministic hash family on
+    // both, so a doc's signature is identical whichever side it sits on
+    val sigsInc = OpCaches.pin(minhashSignaturesExploded(
+      explodedShingles(incoming, idCol, text, shingleLen), idCol, numPerm))
+    val sigsCor = OpCaches.pin(minhashSignaturesExploded(
+      explodedShingles(corpus, idCol, text, shingleLen), idCol, numPerm))
+    def estOf(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, e) => acc + e).cast("double") / numPerm
+    // bipartite candidates: incoming meets corpus on the band key only
+    val candIC = bandedKeys(sigsInc, idCol, "__id_i", bands, rowsPerBand)
+      .join(bandedKeys(sigsCor, idCol, "__id_c", bands, rowsPerBand), Seq("band", "bandHash"))
+      .select("__id_i", "__id_c").distinct()
+    val corpusDup = candIC
+      .join(sigsInc.select(col(idCol).as("__id_i"), col("sig").as("__si")), "__id_i")
+      .join(sigsCor.select(col(idCol).as("__id_c"), col("sig").as("__sc")), "__id_c")
+      .where(estOf(col("__si"), col("__sc")) >= threshold)
+      .select(col("__id_i")).distinct()
+    // within-batch: self-join candidates, keep-min — a doc is a batch dup
+    // iff it verifies against ANY lower-id incoming doc
+    val candII = lshCandidatePairs(sigsInc, idCol, bands, rowsPerBand)
+    val batchDup = candII
+      .join(sigsInc.select(col(idCol).as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigsInc.select(col(idCol).as("id_b"), col("sig").as("__sb")), "id_b")
+      .where(estOf(col("__sa"), col("__sb")) >= threshold)
+      .select(col("id_b").as("__id_i")).distinct()
+    incoming.select(col(idCol))
+      .join(corpusDup.withColumn("__cd", lit(true)), col(idCol) === col("__id_i"), "left")
+      .drop("__id_i")
+      .join(batchDup.withColumn("__bd", lit(true)), col(idCol) === col("__id_i"), "left")
+      .drop("__id_i")
+      .select(col(idCol),
+        coalesce(col("__cd"), lit(false)).as("corpus_dup"),
+        coalesce(col("__bd"), lit(false)).as("batch_dup"),
+        (coalesce(col("__cd"), lit(false)) === false &&
+         coalesce(col("__bd"), lit(false)) === false).as("admitted"))
   }
 
   /** X2b: 64-bit SimHash of a token multiset: per bit, sign of the sum of

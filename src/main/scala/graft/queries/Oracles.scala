@@ -1611,6 +1611,32 @@ object Oracles {
          |  round(CAST(coalesce(nh.n_hits, 0) AS DOUBLE) / ne.n_exact, 6) AS recall
          |FROM ne LEFT JOIN nh USING (qid) ORDER BY 1""".stripMargin,
 
+    // Mirrors Dedup.incrementalNearDupAdmit over the odd/even doc_id
+    // split: signatures/bands from the SHARED minhashChain (a doc's
+    // signature is a per-doc function — side membership cannot change it),
+    // corpus_dup = band-collision + >=0.5 estimate vs any even-id doc,
+    // batch_dup = same vs any LOWER odd id (keep-min), admitted = neither.
+    "x2_incremental_admit" ->
+      s"""WITH $minhashPairChain,
+         |inc_cor AS (SELECT DISTINCT a.doc_id AS id_i
+         |  FROM mhbands a JOIN mhbands b ON a.b = b.b AND a.bandkey = b.bandkey
+         |  JOIN mhsigarr x ON x.doc_id = a.doc_id JOIN mhsigarr y ON y.doc_id = b.doc_id
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |    AND len(list_filter(range(1, 65), i -> x.sig[i] = y.sig[i])) / 64.0 >= 0.5),
+         |inc_inc AS (SELECT DISTINCT b.doc_id AS id_i
+         |  FROM mhbands a JOIN mhbands b ON a.b = b.b AND a.bandkey = b.bandkey
+         |  JOIN mhsigarr x ON x.doc_id = a.doc_id JOIN mhsigarr y ON y.doc_id = b.doc_id
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1 AND a.doc_id < b.doc_id
+         |    AND len(list_filter(range(1, 65), i -> x.sig[i] = y.sig[i])) / 64.0 >= 0.5)
+         |SELECT d.doc_id,
+         |  (ic.id_i IS NOT NULL) AS corpus_dup,
+         |  (ii.id_i IS NOT NULL) AS batch_dup,
+         |  (ic.id_i IS NULL AND ii.id_i IS NULL) AS admitted
+         |FROM documents d
+         |LEFT JOIN inc_cor ic ON ic.id_i = d.doc_id
+         |LEFT JOIN inc_inc ii ON ii.id_i = d.doc_id
+         |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin,
+
     "x3_ivfpq_topk" ->
       s"""WITH $IvfPqChain
          |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank,

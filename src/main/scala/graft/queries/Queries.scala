@@ -639,6 +639,20 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** X2i: incremental near-dup admission — the daily-shard workflow: the
+    * odd-id half of `documents` arrives as the incoming batch and is
+    * screened against the frozen even-id corpus (bipartite banded join; the
+    * corpus side is never broadcast and never re-deduplicated) plus itself
+    * (keep-min within the batch).
+    */
+  private def x2IncrementalAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.incrementalNearDupAdmit(
+      docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
+      "doc_id", col("text"))
+      .orderBy("doc_id")
+  }
+
   /** X3ivfpq: the IVF-PQ composition — coarse LSH cells cut candidates to
     * nProbe/2^bitsPerCell of the corpus, PQ codes compress what remains to
     * 16 bytes/vector, candidates pair by cell EQUI-join (not the flat
@@ -1421,7 +1435,8 @@ object Queries {
     "x3_pq_topk" -> (x3PqTopk _),
     "x3_pq_recall" -> (x3PqRecall _),
     "x3_ivfpq_topk" -> (x3IvfPqTopk _),
-    "x3_ivfpq_recall" -> (x3IvfPqRecall _)
+    "x3_ivfpq_recall" -> (x3IvfPqRecall _),
+    "x2_incremental_admit" -> (x2IncrementalAdmit _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -31,6 +31,30 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("X2i incremental admission: corpus dups rejected, batch keep-min, unique admitted") {
+    // frozen corpus: docs 2 (dup of incoming 1's text) and 4 (unrelated)
+    val corpus = docs.where(col("doc_id").isin(2L, 4L))
+    // incoming: 1 (dup of corpus 2), 3 (near-dup of corpus 2 AND of 1 — but
+    // corpus verdict dominates nothing: both flags are independent), 5
+    // (dup of corpus 2 and of lower-id 1)
+    val incoming = docs.where(col("doc_id").isin(1L, 3L, 5L))
+    val out = Dedup.incrementalNearDupAdmit(incoming, corpus, "doc_id", col("text"))
+      .select("doc_id", "corpus_dup", "batch_dup", "admitted")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((true, false, false)), s"doc 1: ${out(1L)}")
+    assert(out(3L)._1, "doc 3 is a near-dup of corpus doc 2")
+    assert(out(3L)._2, "doc 3 is a near-dup of lower-id incoming doc 1")
+    assert(out(5L) == ((true, true, false)), s"doc 5: ${out(5L)}")
+    assert(!out.values.exists(_._3), "nothing is admissible on this all-dup fixture")
+    // a genuinely new doc is admitted
+    val fresh = Seq((7L, "entirely novel sentence about distributed query engines and columnar storage formats")).toDF("doc_id", "text")
+    val out2 = Dedup.incrementalNearDupAdmit(incoming.union(fresh), corpus, "doc_id", col("text"))
+      .where(col("doc_id") === 7L)
+      .select("corpus_dup", "batch_dup", "admitted").as[(Boolean, Boolean, Boolean)].collect()
+    assert(out2.toSeq == Seq((false, false, true)))
+  }
+
   test("operator-internal persists are registered and released via OpCaches") {
     import graft.ops.OpCaches
     OpCaches.release() // clean slate regardless of test order
