@@ -172,7 +172,7 @@ object Similarity {
     * b·bitsPerBand+j. Shared by the banded pair miners and the multi-probe
     * variant so the bucket math cannot drift between them.
     */
-  private def signBucketArray(v: Column, planes: Array[Array[Double]],
+  private[graft] def signBucketArray(v: Column, planes: Array[Array[Double]],
                               bands: Int, bitsPerBand: Int): Column =
     array((0 until bands).map { b =>
       (0 until bitsPerBand).map { j =>
@@ -678,7 +678,7 @@ object Similarity {
     * [[pqCodes]], [[pqFitCodebooks]] and [[pqTopK]] so encoding cannot
     * drift between fit and search.
     */
-  private def pqCodesExpr(vec: Column, dim: Int, m: Int, bitsPerCode: Int): Column = {
+  private[graft] def pqCodesExpr(vec: Column, dim: Int, m: Int, bitsPerCode: Int): Column = {
     require(dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
     val subDim = dim / m
     val planes = Array.tabulate(m * bitsPerCode, subDim)(planeComponent)
@@ -756,7 +756,7 @@ object Similarity {
     * [[pqTopK]] and [[ivfPqTopK]] so ADC scoring cannot drift between the
     * flat and the cell-restricted search.
     */
-  private def pqLookupMaps(books: Array[Array[Array[Double]]], m: Int)
+  private[graft] def pqLookupMaps(books: Array[Array[Array[Double]]], m: Int)
       : (Seq[Column], Seq[Column]) = {
     val centMaps = (0 until m).map { s =>
       typedlit(books(s).indices.map(c => c -> books(s)(c).toSeq).toMap)
@@ -774,14 +774,14 @@ object Similarity {
 
   /** Reconstruction squared norm of a code array through the normMaps —
     * round6 per subspace, exact DECIMAL(18,6) across subspaces. */
-  private def pqReconNorm2(codes: Column, normMaps: Seq[Column], m: Int): Column =
+  private[graft] def pqReconNorm2(codes: Column, normMaps: Seq[Column], m: Int): Column =
     (0 until m).map(s =>
         element_at(normMaps(s), element_at(codes, s + 1)).cast(DecimalType(18, 6)))
       .reduce(_ + _).cast("double")
 
   /** ADC numerator: query · reconstruction, round6 per subspace, exact
     * DECIMAL(18,6) across subspaces. */
-  private def pqAdcNumerator(qv: Column, codes: Column, centMaps: Seq[Column],
+  private[graft] def pqAdcNumerator(qv: Column, codes: Column, centMaps: Seq[Column],
                              m: Int, subDim: Int): Column =
     (0 until m).map { s =>
       round(dot(slice(qv, s * subDim + 1, subDim),
