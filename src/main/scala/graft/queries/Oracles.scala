@@ -1611,6 +1611,52 @@ object Oracles {
          |  round(CAST(coalesce(nh.n_hits, 0) AS DOUBLE) / ne.n_exact, 6) AS recall
          |FROM ne LEFT JOIN nh USING (qid) ORDER BY 1""".stripMargin,
 
+    // Composed v4 twin: every stage chain is the per-stage twin verbatim —
+    // trust fit over the FULL corpus (DomainTrustChain), minhashChain over
+    // the trusted subset, the x2_incremental_admit verdict predicates, the
+    // x5_chunk_overlap slice math at 32/16, and the x7_curriculum spine at
+    // B=6 over chunk token counts (chunk_id = doc_id*1024 + chunk_idx
+    // tie-breaks exactly like the Spark composite id).
+    "x8_curation_v4" ->
+      s"""WITH $DomainTrustChain,
+         |v4tr AS (SELECT source FROM dmr WHERE r > 4),
+         |v4d AS (SELECT d.doc_id, d.text FROM documents d JOIN v4tr USING (source)),
+         |${minhashChain("v4d")},
+         |v4ic AS (SELECT DISTINCT a.doc_id AS id_i
+         |  FROM mhbands a JOIN mhbands b ON a.b = b.b AND a.bandkey = b.bandkey
+         |  JOIN mhsigarr x ON x.doc_id = a.doc_id JOIN mhsigarr y ON y.doc_id = b.doc_id
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |    AND len(list_filter(range(1, 65), i -> x.sig[i] = y.sig[i])) / 64.0 >= 0.5),
+         |v4ii AS (SELECT DISTINCT b.doc_id AS id_i
+         |  FROM mhbands a JOIN mhbands b ON a.b = b.b AND a.bandkey = b.bandkey
+         |  JOIN mhsigarr x ON x.doc_id = a.doc_id JOIN mhsigarr y ON y.doc_id = b.doc_id
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1 AND a.doc_id < b.doc_id
+         |    AND len(list_filter(range(1, 65), i -> x.sig[i] = y.sig[i])) / 64.0 >= 0.5),
+         |v4adm AS (SELECT d.doc_id, d.text FROM v4d d
+         |  LEFT JOIN v4ic ON v4ic.id_i = d.doc_id
+         |  LEFT JOIN v4ii ON v4ii.id_i = d.doc_id
+         |  WHERE d.doc_id % 2 = 1 AND v4ic.id_i IS NULL AND v4ii.id_i IS NULL),
+         |v4w AS (SELECT doc_id, $wordsOf AS ws FROM v4adm),
+         |v4c AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1, 16)) AS s
+         |        FROM v4w WHERE len(ws) > 0),
+         |v4ch AS (SELECT doc_id * 1024 + (s // 16) AS chunk_id,
+         |         round(CAST(len(ws[s+1:s+32]) AS DOUBLE), 6) AS score FROM v4c),
+         |v4sp AS (SELECT score, count(*) AS cnt FROM v4ch GROUP BY score),
+         |v4sw AS (SELECT score, cnt,
+         |    coalesce(sum(cnt) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumlt,
+         |    sum(cnt) OVER () AS tot FROM v4sp),
+         |v4sb AS (SELECT score, least((cumlt * 6) // tot, 5) AS bucket, cnt FROM v4sw),
+         |v4sc AS (SELECT score, bucket,
+         |    coalesce(sum(cnt) OVER (PARTITION BY bucket ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumltb
+         |  FROM v4sb),
+         |v4r AS (SELECT c.chunk_id, c.score, b.bucket,
+         |    b.cumltb + row_number() OVER (PARTITION BY c.score ORDER BY c.chunk_id) AS within_rank
+         |  FROM v4ch c JOIN v4sc b USING (score))
+         |SELECT chunk_id, score, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(within_rank AS BIGINT) AS within_rank,
+         |  CAST((within_rank - 1) * 6 + bucket AS BIGINT) AS curriculum_key
+         |FROM v4r ORDER BY curriculum_key""".stripMargin,
+
     // Mirrors Dedup.incrementalNearDupAdmit over the odd/even doc_id
     // split: signatures/bands from the SHARED minhashChain (a doc's
     // signature is a per-doc function — side membership cannot change it),

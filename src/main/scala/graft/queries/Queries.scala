@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Canonical
-import graft.ops.{AsOf, Components, Contamination, Dedup, Dsir, Intervals, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Chunking, Components, Contamination, Dedup, Dsir, Intervals, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.template.TemplateCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1280,6 +1280,30 @@ object Queries {
       .orderBy("source", "start_offset")
   }
 
+  /** X8d: composed pipeline v4 over the round-6 family — domain-trust
+    * filter (fit on the FULL corpus) → incremental near-dup admission of
+    * the odd-id shard against the frozen even-id corpus → overlapping
+    * 32/16 chunking of the admitted docs → curriculum ordering of the
+    * chunks by token count. Stage chains shared verbatim with the
+    * per-stage twins; composition pinned under one hash.
+    */
+  private def x8CurationV4(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    // the trusted corpus feeds both admission sides and the kept join —
+    // pinned so the trust fit runs once (released via OpCaches)
+    val trusted = graft.ops.OpCaches.pin(
+      graft.ops.Domains.filterByDomainTrust(docs, "doc_id", "source", col("text"), untrustedK = 4)
+        .select("doc_id", "text"))
+    val incoming = trusted.where(col("doc_id") % 2 === 1)
+    val frozen = trusted.where(col("doc_id") % 2 === 0)
+    val admitted = Dedup.incrementalNearDupAdmit(incoming, frozen, "doc_id", col("text"))
+      .where(col("admitted")).select("doc_id")
+    val chunks = Chunking.chunkOverlap(incoming.join(admitted, "doc_id"),
+        "doc_id", col("text"), chunkSize = 32, stride = 16)
+      .select((col("doc_id") * 1024 + col("chunk_idx")).as("chunk_id"), col("n_tokens_chunk"))
+    Sampling.curriculumOrder(chunks, "chunk_id", col("n_tokens_chunk").cast("double"), buckets = 6)
+  }
+
   /** X5d: per-domain trust report — exact-decimal mean quality per source,
     * bottom-4 domains marked untrusted (rank with full tiebreak). The
     * domain window runs over the aggregated domain table only.
@@ -1436,7 +1460,8 @@ object Queries {
     "x3_pq_recall" -> (x3PqRecall _),
     "x3_ivfpq_topk" -> (x3IvfPqTopk _),
     "x3_ivfpq_recall" -> (x3IvfPqRecall _),
-    "x2_incremental_admit" -> (x2IncrementalAdmit _)
+    "x2_incremental_admit" -> (x2IncrementalAdmit _),
+    "x8_curation_v4" -> (x8CurationV4 _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
