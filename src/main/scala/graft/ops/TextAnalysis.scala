@@ -512,4 +512,55 @@ object TextAnalysis {
       .groupBy(col(idCol), col("doc_md5"))
       .agg(min(md5(col("__g"))).as("min_gram_md5"))
   }
+
+  /** X6z: Zipf-law fit of the corpus frequency spectrum — the one-number
+    * statistical profile of a token distribution (Zipf's law: freq ∝
+    * rank^-α, α ≈ 1 for natural language; a corpus whose α drifts far from
+    * its reference is boilerplate-heavy or template-generated, which makes
+    * this a cheap corpus-health gate). OLS of ln(freq) on ln(rank) over
+    * the FULL vocabulary, in closed form from six aggregate sums.
+    *
+    * Scale shape: one token-count aggregation over the corpus (the
+    * vocab-sized result is bounded by the charset/vocabulary, like the LM
+    * fit), one unpartitioned rank window over that bounded vocab table,
+    * one global agg to the six sums, and a single-row projection. The
+    * corpus is touched exactly once.
+    *
+    * Portability: ln agrees across engines to 1 ulp only, so both lns are
+    * rounded to 6 dp at the model boundary; pair products are rounded to
+    * 6 dp and summed through exact DECIMAL(18,6) (order-free), and the
+    * closed-form combination runs in doubles with a fixed parenthesization
+    * mirrored by the twin. Rank ties (equal frequencies) cannot move the
+    * result: x depends only on rank, y only on frequency, so the sums are
+    * invariant to tie order.
+    *
+    * Output: one row (n_types, n_tokens, alpha, intercept, r2), 6 dp.
+    */
+  def zipfFit(df: DataFrame, text: Column): DataFrame = {
+    val counts = df.select(explode(words(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("__f"))
+    val ranked = counts.withColumn("__r",
+      row_number().over(Window.orderBy(col("__f").desc, col("token"))))
+    val pts = ranked.select(col("__f"),
+      round(log(col("__r").cast("double")), 6).as("__x"),
+      round(log(col("__f").cast("double")), 6).as("__y"))
+    def dsum(c: Column) = sum(c.cast(DecimalType(18, 6))).cast("double")
+    val s = pts.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__f")).as("__ntok"),
+      dsum(col("__x")).as("__sx"),
+      dsum(col("__y")).as("__sy"),
+      dsum(round(col("__x") * col("__x"), 6)).as("__sxx"),
+      dsum(round(col("__y") * col("__y"), 6)).as("__syy"),
+      dsum(round(col("__x") * col("__y"), 6)).as("__sxy"))
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = num / den
+    s.select(
+      col("__n").as("n_types"),
+      col("__ntok").as("n_tokens"),
+      round(-slope, 6).as("alpha"),
+      round((col("__sy") - slope * col("__sx")) / col("__n"), 6).as("intercept"),
+      round(num * num / (den * (col("__n") * col("__syy") - col("__sy") * col("__sy"))), 6).as("r2"))
+  }
 }

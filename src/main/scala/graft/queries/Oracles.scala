@@ -1176,6 +1176,28 @@ object Oracles {
          |FROM pd GROUP BY token
          |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
 
+    // Mirrors TextAnalysis.zipfFit: 6-dp lns at the model boundary (ln
+    // agrees to 1 ulp only), 6-dp pair products through exact
+    // DECIMAL(18,6) sums, and the closed-form OLS combination in doubles
+    // with the identical parenthesization.
+    "x6_zipf_fit" ->
+      s"""WITH t AS (SELECT unnest($wordsOf) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS f FROM t GROUP BY token),
+         |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, token) AS r FROM c),
+         |p AS (SELECT f, round(ln(CAST(r AS DOUBLE)), 6) AS x, round(ln(CAST(f AS DOUBLE)), 6) AS y FROM rk),
+         |s AS (SELECT count(*) AS n, sum(f) AS ntok,
+         |  CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(round(x*x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |  CAST(sum(CAST(round(y*y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+         |  CAST(sum(CAST(round(x*y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+         | FROM p)
+         |SELECT n AS n_types, CAST(ntok AS BIGINT) AS n_tokens,
+         |  round(-((n*sxy - sx*sy) / (n*sxx - sx*sx)), 6) AS alpha,
+         |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*sx) / n, 6) AS intercept,
+         |  round((n*sxy - sx*sy)*(n*sxy - sx*sy) / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+         |FROM s""".stripMargin,
+
     // Split cuts are interpolated from Sampling.cumulativeCuts — the exact
     // IEEE doubles the Spark comparison uses (0.9 + 0.05 != literal 0.95).
     "x7_split" -> {

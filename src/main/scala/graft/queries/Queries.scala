@@ -1304,6 +1304,13 @@ object Queries {
     Sampling.curriculumOrder(chunks, "chunk_id", col("n_tokens_chunk").cast("double"), buckets = 6)
   }
 
+  /** X6z: Zipf fit of the corpus token spectrum — one closed-form OLS row
+    * (alpha, intercept, r2) from six exact-decimal sums; a corpus-health
+    * gate whose only corpus-scale stage is one token-count agg.
+    */
+  private def x6ZipfFit(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(t(spark, dir, "documents"), col("text"))
+
   /** X5d: per-domain trust report — exact-decimal mean quality per source,
     * bottom-4 domains marked untrusted (rank with full tiebreak). The
     * domain window runs over the aggregated domain table only.
@@ -1461,7 +1468,8 @@ object Queries {
     "x3_ivfpq_topk" -> (x3IvfPqTopk _),
     "x3_ivfpq_recall" -> (x3IvfPqRecall _),
     "x2_incremental_admit" -> (x2IncrementalAdmit _),
-    "x8_curation_v4" -> (x8CurationV4 _)
+    "x8_curation_v4" -> (x8CurationV4 _),
+    "x6_zipf_fit" -> (x6ZipfFit _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

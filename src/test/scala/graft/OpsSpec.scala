@@ -731,6 +731,20 @@ class OpsSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("X6z zipf fit: exact power-law corpus recovers alpha=2 with r2=1") {
+    // frequencies 36, 9, 4 at ranks 1, 2, 3 lie exactly on f = 36*r^-2
+    val text = (Seq.fill(36)("aa") ++ Seq.fill(9)("bb") ++ Seq.fill(4)("cc")).mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq((1L, text)).toDF("doc_id", "text"), col("text"))
+      .select("n_types", "n_tokens", "alpha", "intercept", "r2")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(out.length == 1)
+    val (nt, ntok, alpha, intercept, r2) = out.head
+    assert(nt == 3 && ntok == 49)
+    assert(math.abs(alpha - 2.0) < 1e-3, s"alpha=$alpha")
+    assert(math.abs(intercept - math.log(36.0)) < 1e-3, s"intercept=$intercept")
+    assert(r2 > 0.999999, s"r2=$r2")
+  }
+
   test("X5d domain trust: lowest-mean domain flagged, filter drops exactly its docs") {
     import graft.ops.Domains
     // srcA: long stopword-rich docs (high quality); srcB: the same; srcC:
