@@ -206,55 +206,109 @@ object Multimodal {
     * count come from the PARSED header/chunk sizes, so offset or
     * endianness bugs break the oracle hash.
     */
+  /** The RIFF chunk walk shared by [[decodeWav]] and [[decodeWavSamples]]:
+    * validates the envelope, returns (sampleRate, dataAt, nSamples).
+    */
+  private def wavDataRange(b: Array[Byte], rid: Long): (Int, Int, Int) = {
+    def ascii(p: Int, n: Int) = new String(b, p, n, java.nio.charset.StandardCharsets.US_ASCII)
+    def u16(p: Int): Int = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+    def u32(p: Int): Long = (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+      ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+    require(b != null && b.length >= 44 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
+      s"row $rid: not a RIFF/WAVE payload")
+    require(u32(4) == b.length - 8,
+      s"row $rid: RIFF size ${u32(4)} != payload ${b.length - 8}")
+    var p = 12
+    var sampleRate = -1
+    var dataAt = -1
+    var dataLen = 0L
+    while (p + 8 <= b.length) {
+      val id = ascii(p, 4)
+      val size = u32(p + 4) // unsigned: 0..2^32-1, never negative as Long
+      // bound-check the DECLARED size before trusting it: a corrupt size
+      // must fail loudly here, not hang the walk (a truncated-Int advance
+      // of 0/negative would loop forever) or read past the buffer
+      require(size <= b.length - p - 8,
+        s"row $rid: chunk '$id' declares $size bytes at $p, payload has ${b.length - p - 8}")
+      if (id == "fmt ") {
+        require(size >= 16, s"row $rid: fmt chunk too short ($size < 16)")
+        require(u16(p + 8) == 1 && u16(p + 10) == 1 && u16(p + 22) == 16,
+          s"row $rid: decoder supports PCM mono 16-bit only")
+        sampleRate = u32(p + 12).toInt
+      } else if (id == "data") { dataAt = p + 8; dataLen = size }
+      p += 8 + size.toInt + (size.toInt & 1) // RIFF pads chunks to even size
+    }
+    require(sampleRate > 0 && dataAt >= 0, s"row $rid: missing fmt/data chunk")
+    require(dataAt + dataLen <= b.length, s"row $rid: data chunk truncated")
+    (sampleRate, dataAt, (dataLen / 2).toInt)
+  }
+
+  private def wavSample(b: Array[Byte], dataAt: Int, i: Int): Int =
+    (((b(dataAt + 2 * i) & 0xFF) | ((b(dataAt + 2 * i + 1) & 0xFF) << 8)).toShort).toInt
+
   def decodeWav(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val typed: Dataset[MediaRow] =
       df.select(col(idCol).cast("long").as("id"), col("media")).as[MediaRow]
     typed.mapPartitions(_.map { row =>
-      val b = row.media
-      def ascii(p: Int, n: Int) = new String(b, p, n, java.nio.charset.StandardCharsets.US_ASCII)
-      def u16(p: Int): Int = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
-      def u32(p: Int): Long = (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
-        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
-      require(b != null && b.length >= 44 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
-        s"row ${row.id}: not a RIFF/WAVE payload")
-      require(u32(4) == b.length - 8,
-        s"row ${row.id}: RIFF size ${u32(4)} != payload ${b.length - 8}")
-      var p = 12
-      var sampleRate = -1
-      var dataAt = -1
-      var dataLen = 0L
-      while (p + 8 <= b.length) {
-        val id = ascii(p, 4)
-        val size = u32(p + 4) // unsigned: 0..2^32-1, never negative as Long
-        // bound-check the DECLARED size before trusting it: a corrupt size
-        // must fail loudly here, not hang the walk (a truncated-Int advance
-        // of 0/negative would loop forever) or read past the buffer
-        require(size <= b.length - p - 8,
-          s"row ${row.id}: chunk '$id' declares $size bytes at $p, payload has ${b.length - p - 8}")
-        if (id == "fmt ") {
-          require(size >= 16, s"row ${row.id}: fmt chunk too short ($size < 16)")
-          require(u16(p + 8) == 1 && u16(p + 10) == 1 && u16(p + 22) == 16,
-            s"row ${row.id}: decoder supports PCM mono 16-bit only")
-          sampleRate = u32(p + 12).toInt
-        } else if (id == "data") { dataAt = p + 8; dataLen = size }
-        p += 8 + size.toInt + (size.toInt & 1) // RIFF pads chunks to even size
-      }
-      require(sampleRate > 0 && dataAt >= 0, s"row ${row.id}: missing fmt/data chunk")
-      require(dataAt + dataLen <= b.length, s"row ${row.id}: data chunk truncated")
-      val n = dataLen / 2
+      val (sampleRate, dataAt, n) = wavDataRange(row.media, row.id)
       var sum = 0L
       var peak = 0
       var i = 0
       while (i < n) {
-        val v = u16(dataAt + 2 * i.toInt).toShort.toInt
+        val v = wavSample(row.media, dataAt, i)
         sum += v
         if (math.abs(v) > peak) peak = math.abs(v)
         i += 1
       }
       WavStats(row.id, sampleRate, n, if (n == 0) 0.0 else sum.toDouble / n, peak, sum)
     }).toDF("id", "sample_rate", "n_samples", "mean_amp", "peak", "pcm_checksum")
+  }
+
+  /** Decode to the raw PCM sample array — the handoff from the
+    * partition-local byte kernel to column-expression feature extraction
+    * ([[wavFrameEnergy]]). Runs after all shuffles like every decode here;
+    * the samples column is ephemeral plan-internal state, never an
+    * exchange payload.
+    */
+  def decodeWavSamples(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] =
+      df.select(col(idCol).cast("long").as("id"), col("media")).as[MediaRow]
+    typed.mapPartitions(_.map { row =>
+      val (sampleRate, dataAt, n) = wavDataRange(row.media, row.id)
+      (row.id, sampleRate, Array.tabulate(n)(i => wavSample(row.media, dataAt, i)).toSeq)
+    }).toDF("id", "sample_rate", "smp")
+  }
+
+  /** X4f: frame-level audio features — fixed `frameLen`-sample windows
+    * over the decoded PCM (tail kept short), each reduced to RMS energy
+    * and peak: the frame-sample + feature-extract step of an audio
+    * pipeline (VAD/energy gating runs on exactly these frames). Decode is
+    * the partition-local kernel; framing and the energy folds are pure
+    * column expressions over the samples array — map-side, no shuffle at
+    * any scale. Sums accumulate in LONG (a 16-bit sample squared needs 31
+    * bits; frames would overflow INT), divisions and the sqrt run in
+    * double and round to 6 dp, so frames are engine-portable.
+    *
+    * Output: (id, frame_idx, n_in_frame, rms, peak).
+    */
+  def wavFrameEnergy(df: DataFrame, idCol: String, frameLen: Int = 16): DataFrame = {
+    require(frameLen > 0, s"frameLen must be positive: $frameLen")
+    decodeWavSamples(df, idCol)
+      .select(col("id"), posexplode(
+        // integer ceil-div (n + L-1)/L via floor: exact — array sizes sit
+        // far below the 2^52 double-integer ceiling
+        transform(sequence(lit(0),
+            floor((size(col("smp")) + (frameLen - 1)) / frameLen).cast("int") - 1),
+          i => slice(col("smp"), i * frameLen + 1, lit(frameLen)))).as(Seq("frame_idx", "__fr")))
+      .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+        size(col("__fr")).cast("long").as("n_in_frame"),
+        round(sqrt(aggregate(col("__fr"), lit(0L),
+            (acc, v) => acc + v.cast("long") * v).cast("double") / size(col("__fr"))), 6).as("rms"),
+        aggregate(col("__fr"), lit(0), (acc, v) => greatest(acc, abs(v))).as("peak"))
   }
 
   /** Partition-local REAL decode kernel for PPM (P6) payloads: parses the

@@ -1054,6 +1054,30 @@ object Oracles {
         |  CAST(list_sum(smp) AS BIGINT) AS pcm_checksum
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Multimodal.wavFrameEnergy over the same rebuilt PCM chain as
+    // x4_decode_wav: 16-sample frames (tail short), RMS = sqrt(sum(v²)/n)
+    // with the integer sum exact in both engines, peak = max |v|.
+    "x4_wav_frames" ->
+      """WITH d AS (SELECT doc_id, CAST(50 + doc_id % 32 AS BIGINT) AS ns,
+        |    coalesce(nullif(text, ''), 'x') AS base FROM documents),
+        |p AS (SELECT doc_id, ns,
+        |    substr(hex(encode(repeat(base,
+        |      CAST((ns*2 + octet_length(encode(base)) - 1) // octet_length(encode(base)) AS INT)))),
+        |      1, ns*4) AS hx
+        |  FROM d),
+        |r AS (SELECT doc_id, ns, list_transform(generate_series(0, ns-1),
+        |    i -> ('0x' || substr(hx, 4*i+1, 2))::BIGINT + 256*('0x' || substr(hx, 4*i+3, 2))::BIGINT) AS u
+        |  FROM p),
+        |s AS (SELECT doc_id, ns,
+        |    list_transform(u, v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS smp
+        |  FROM r),
+        |f AS (SELECT doc_id, smp, unnest(generate_series(0, CAST((ns + 15) // 16 - 1 AS BIGINT))) AS fi FROM s),
+        |fr AS (SELECT doc_id, fi, smp[CAST(fi*16+1 AS INT) : CAST(fi*16+16 AS INT)] AS w FROM f)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, CAST(len(w) AS BIGINT) AS n_in_frame,
+        |  round(sqrt(CAST(list_sum(list_transform(w, v -> v*v)) AS DOUBLE) / len(w)), 6) AS rms,
+        |  CAST(list_max(list_transform(w, v -> abs(v))) AS INT) AS peak
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+
     // Mirrors Multimodal.byteFeatures exactly: feature j = mean of
     // UTF-8 payload bytes at positions i ≡ j (mod 8), scaled by 1/256 —
     // bytes recovered from hex(encode(text)) pairs, summed in index order

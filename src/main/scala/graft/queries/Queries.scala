@@ -979,6 +979,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X4f: frame-level audio features over the deterministic WAV fixture —
+    * decode kernel hands the PCM array to pure column expressions (16-
+    * sample frames, RMS + peak each); the frame-sample step of an audio
+    * pipeline, map-side end to end.
+    */
+  private def x4WavFrames(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val media = docs.select(col("doc_id"),
+      Multimodal.encodeWav(col("text"), lit(50L) + col("doc_id") % 32, lit(8000)).as("media"))
+    Multimodal.wavFrameEnergy(media, "doc_id", frameLen = 16)
+      .select(col("id").as("doc_id"), col("frame_idx"), col("n_in_frame"), col("rms"), col("peak"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** X7: deterministic train/val/test split — md5-hash interval
     * assignment, a pure projection (no shuffle at any scale; the orderBy
     * is output canonicalization only). Split fractions are interpolated
@@ -1469,7 +1483,8 @@ object Queries {
     "x3_ivfpq_recall" -> (x3IvfPqRecall _),
     "x2_incremental_admit" -> (x2IncrementalAdmit _),
     "x8_curation_v4" -> (x8CurationV4 _),
-    "x6_zipf_fit" -> (x6ZipfFit _)
+    "x6_zipf_fit" -> (x6ZipfFit _),
+    "x4_wav_frames" -> (x4WavFrames _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -731,6 +731,17 @@ class OpsSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("X4f wav frame energy: constant-signal frames give rms=|sample|, tail frame short") {
+    import graft.ops.Multimodal
+    // "ab" cycled -> every 16-bit LE sample is 0x6261 = 25185
+    val media = Seq((1L, "ab")).toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.encodeWav(col("text"), lit(5L), lit(8000)).as("media"))
+    val out = Multimodal.wavFrameEnergy(media, "doc_id", frameLen = 2)
+      .select("frame_idx", "n_in_frame", "rms", "peak")
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 2L, 25185.0, 25185), (1L, 2L, 25185.0, 25185), (2L, 1L, 25185.0, 25185)))
+  }
+
   test("X6z zipf fit: exact power-law corpus recovers alpha=2 with r2=1") {
     // frequencies 36, 9, 4 at ranks 1, 2, 3 lie exactly on f = 36*r^-2
     val text = (Seq.fill(36)("aa") ++ Seq.fill(9)("bb") ++ Seq.fill(4)("cc")).mkString(" ")
