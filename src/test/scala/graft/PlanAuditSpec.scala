@@ -211,6 +211,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "PQ pairing must be broadcast, not cartesian")
   }
 
+  test("incremental admission: all joins keyed (band hash or id), corpus side never broadcast as a whole") {
+    val plan = planOf("x2_incremental_admit")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "bipartite candidates must meet on the band key, never a nested loop")
+  }
+
+  test("curation v4: composed plan stays cartesian-free; trust set broadcast semi-joins the corpus") {
+    val plan = planOf("x8_curation_v4")
+    assert(!plan.contains("CartesianProduct"), "v4 plans a cartesian product")
+    assert(plan.contains("LeftSemi"), "trusted-domain restriction should be a semi join")
+  }
+
+  test("zipf fit: corpus touched once — exactly one explode (Generate) feeds the token count agg") {
+    val plan = planOf("x6_zipf_fit")
+    assert(!plan.contains("CartesianProduct"))
+    assert("Generate".r.findAllIn(plan).size >= 1 && plan.contains("HashAggregate"),
+      "token counting should be one explode + hash agg")
+  }
+
   test("IVF-PQ top-k: candidates pair by cell equi-join (broadcast hash), codebook rides the plan") {
     val plan = planOf("x3_ivfpq_topk")
     // the probe->candidate pairing must be the keyed join on __cell — the
