@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Supervised document-quality classification (SURVEY.md §2.12 X5 family):
+  * a multinomial Naive Bayes text classifier distilled from domain-level
+  * weak supervision — the engine analog of the fastText quality filters
+  * public pretraining pipelines train on "reference corpus vs crawl"
+  * labels (CCNet's fastText LM buckets, GPT-3/LLaMA's Wikipedia-vs-
+  * CommonCrawl logistic filters). The reference's admission decisions are
+  * type-level gates (`/root/reference/app.js:20-27`); at corpus scale the
+  * admission signal must come from the CONTENT, and a trained classifier
+  * is the standard way to turn a weak corpus-level prior (domain trust)
+  * into a per-document score.
+  *
+  * Why Naive Bayes and not logistic regression: NB training is a pair of
+  * COUNT aggregations — one distributed pass, no iterative optimizer, no
+  * driver-side gradient state — and its decision function is a sum of
+  * per-token log-odds, which the engine can evaluate as a broadcast-join +
+  * exact-DECIMAL aggregation. Same filtering power class as fastText's
+  * linear classifier over unigram features, but closed-form and therefore
+  * hash-checkable end to end.
+  *
+  * Scale posture: labels ride the corpus scan (one broadcast semi-style
+  * join against the |domains|-row trust table); training is one
+  * (class × token) count aggregation with map-side combine whose output is
+  * VOCABULARY-sized, never corpus-sized; the model broadcasts to scoring,
+  * where one explode + per-doc DECIMAL aggregation produces scores.
+  * Corpus text never shuffles — the shuffled rows are (token, counts)
+  * pairs bounded by the vocabulary, exactly the [[TextAnalysis.lmScore]]
+  * posture.
+  *
+  * Determinism: log-probabilities are rounded to 6 dp at the model
+  * boundary (`ln` agrees across engines to 1 ulp on identical doubles);
+  * per-token log-odds differences of two 6-dp values are exact in
+  * DECIMAL(18,6); per-doc sums are order-free DECIMAL — scores are
+  * bit-identical in any md5-capable engine.
+  */
+object Classify {
+
+  /** Multinomial NB model fit on domain-trust weak labels: each document
+    * is labeled by [[Domains.domainStats]]' verdict for its domain
+    * (trusted = positive class), then per-class add-one-smoothed token
+    * log-probabilities are computed over the whole labeled corpus.
+    *
+    * Output: one row per training token —
+    * (token, lp_pos, lp_neg) plus the class totals every row carries for
+    * the floor/prior aggregates ([[TextAnalysis.charTrigramLmFit]]'s
+    * carry-the-totals pattern): __ctp/__ctn (per-class token totals),
+    * __v (vocabulary size), __npos/__nneg (per-class document counts).
+    */
+  def nbFitOnDomainTrust(df: DataFrame, idCol: String, domainCol: String,
+                         text: Column, untrustedK: Int = 4): DataFrame = {
+    // the trust table is |domains|-sized: broadcast, corpus never shuffles
+    val trust = broadcast(
+      Domains.domainStats(df, idCol, domainCol, text, untrustedK)
+        .select(col(domainCol), col("trusted")))
+    val labeled = df.join(trust, Seq(domainCol))
+      .select(col("trusted").as("__pos"), TextAnalysis.words(text).as("__ws"))
+    // per-class document counts (priors): one tiny ungrouped aggregate
+    val priors = labeled.agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("__npos"),
+      sum(when(col("__pos"), 0L).otherwise(1L)).as("__nneg"))
+    // (class × token) counts in ONE aggregation keyed by token only —
+    // map-side combined, output vocabulary-sized
+    val counts = labeled
+      .select(col("__pos"), explode(col("__ws")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("__cn"))
+    // class totals + vocab over the tiny counts table: unpartitioned
+    // window bounded by |vocab|, the charTrigramLmFit pattern
+    import org.apache.spark.sql.expressions.Window
+    counts
+      .withColumn("__ctp", sum(col("__cp")).over(Window.partitionBy()))
+      .withColumn("__ctn", sum(col("__cn")).over(Window.partitionBy()))
+      .withColumn("__v", count(lit(1)).over(Window.partitionBy()))
+      .crossJoin(broadcast(priors))
+      .select(col("token"),
+        round(log((col("__cp") + 1).cast("double") / (col("__ctp") + col("__v")).cast("double")), 6)
+          .as("lp_pos"),
+        round(log((col("__cn") + 1).cast("double") / (col("__ctn") + col("__v")).cast("double")), 6)
+          .as("lp_neg"),
+        col("__ctp"), col("__ctn"), col("__v"), col("__npos"), col("__nneg"))
+  }
+
+  /** Score every document under a fitted NB model: the per-document
+    * log-likelihood ratio
+    * llr = ln P(pos) − ln P(neg) + Σ_tokens (lp_pos(t) − lp_neg(t)),
+    * with out-of-vocabulary tokens taking each class's smoothing floor.
+    * llr > 0 ⇒ the document looks like the trusted corpus.
+    *
+    * Output: (idCol, n_tokens, llr, pred). Documents with no tokens get
+    * n_tokens = 0 and llr = the prior log-odds alone.
+    */
+  def nbScore(df: DataFrame, idCol: String, text: Column, model: DataFrame): DataFrame = {
+    // pinned: the model feeds the broadcast lookup AND the floor/prior
+    // aggregate — unpinned, the whole fit (trust scan + two count aggs)
+    // would run twice (caller releases via OpCaches, house pattern)
+    val pinned = OpCaches.pin(model)
+    val m = broadcast(pinned.select(col("token"), col("lp_pos"), col("lp_neg")))
+    // floors + priors from an ungrouped aggregate: exactly one row even on
+    // a degenerate (empty) model, the lmScore one-row/NULL pattern
+    val consts = broadcast(pinned.agg(
+      round(log(lit(1.0) / (max(col("__ctp")) + max(col("__v"))).cast("double")), 6).as("__fp"),
+      round(log(lit(1.0) / (max(col("__ctn")) + max(col("__v"))).cast("double")), 6).as("__fn"),
+      round(log(max(col("__npos")).cast("double") /
+        (max(col("__npos")) + max(col("__nneg"))).cast("double")), 6).as("__pp"),
+      round(log(max(col("__nneg")).cast("double") /
+        (max(col("__npos")) + max(col("__nneg"))).cast("double")), 6).as("__pn")))
+    // explode_outer: zero-token documents keep their row (null token ⇒
+    // zero contribution, not an OOV hit)
+    val toks = df.select(col(idCol), explode_outer(TextAnalysis.words(text)).as("token"))
+    toks.join(m, Seq("token"), "left").crossJoin(consts)
+      .withColumn("__d",
+        when(col("token").isNull, lit(0).cast(DecimalType(18, 6)))
+          .otherwise(coalesce(col("lp_pos"), col("__fp")).cast(DecimalType(18, 6)) -
+            coalesce(col("lp_neg"), col("__fn")).cast(DecimalType(18, 6))))
+      .withColumn("__t", when(col("token").isNull, 0L).otherwise(1L))
+      .groupBy(col(idCol))
+      .agg(sum(col("__t")).as("n_tokens"),
+        round((max(col("__pp")).cast(DecimalType(18, 6)) -
+          max(col("__pn")).cast(DecimalType(18, 6)) + sum(col("__d"))).cast("double"), 6)
+          .as("llr"))
+      .withColumn("pred", col("llr") > 0)
+  }
+}

@@ -1222,6 +1222,46 @@ object Oracles {
          |  round((n*sxy - sx*sy)*(n*sxy - sx*sy) / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
          |FROM s""".stripMargin,
 
+    // Mirrors Classify.nbFitOnDomainTrust + nbScore: domain-trust weak
+    // labels from the shared DomainTrustChain, add-one per-class token
+    // logps rounded 6dp at the model boundary, per-doc log-odds through
+    // exact DECIMAL(18,6) differences and order-free sums, priors/floors
+    // from the one-row totals aggregate. Zero-token docs keep a NULL-token
+    // row (zero contribution), the explode_outer twin.
+    "x5_nb_quality" ->
+      s"""WITH $DomainTrustChain,
+         |nbl AS (SELECT d.doc_id, (dmr.r > 4) AS pos, $wordsOf AS ws
+         |        FROM documents d JOIN dmr ON dmr.source = d.source),
+         |nbp AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+         |               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn FROM nbl),
+         |nbt AS (SELECT pos, unnest(ws) AS token FROM nbl),
+         |nbc AS (SELECT token, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+         |               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn FROM nbt GROUP BY 1),
+         |nbtv AS (SELECT sum(cp) AS ctp, sum(cn) AS ctn, CAST(count(*) AS BIGINT) AS v FROM nbc),
+         |nbm AS (SELECT token,
+         |    round(ln(CAST(cp + 1 AS DOUBLE) / CAST(ctp + v AS DOUBLE)), 6) AS lp_p,
+         |    round(ln(CAST(cn + 1 AS DOUBLE) / CAST(ctn + v AS DOUBLE)), 6) AS lp_n
+         |  FROM nbc, nbtv),
+         |nbk AS (SELECT
+         |    round(ln(1.0 / CAST(ctp + v AS DOUBLE)), 6) AS fp,
+         |    round(ln(1.0 / CAST(ctn + v AS DOUBLE)), 6) AS fneg,
+         |    round(ln(CAST(np AS DOUBLE) / CAST(np + nn AS DOUBLE)), 6) AS pp,
+         |    round(ln(CAST(nn AS DOUBLE) / CAST(np + nn AS DOUBLE)), 6) AS pn
+         |  FROM nbtv, nbp),
+         |nbd AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(ws) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE ws END) AS token
+         |  FROM (SELECT doc_id, $wordsOf AS ws FROM documents)),
+         |nbj AS (SELECT nbd.doc_id, nbk.pp, nbk.pn,
+         |    CASE WHEN nbd.token IS NULL THEN CAST(0 AS DECIMAL(18,6))
+         |         ELSE CAST(coalesce(nbm.lp_p, nbk.fp) AS DECIMAL(18,6)) -
+         |              CAST(coalesce(nbm.lp_n, nbk.fneg) AS DECIMAL(18,6)) END AS d,
+         |    CASE WHEN nbd.token IS NULL THEN 0 ELSE 1 END AS t
+         |  FROM nbd LEFT JOIN nbm ON nbm.token = nbd.token CROSS JOIN nbk),
+         |nbs AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS n_tokens,
+         |    round(CAST(CAST(max(pp) AS DECIMAL(18,6)) - CAST(max(pn) AS DECIMAL(18,6)) + sum(d) AS DOUBLE), 6) AS llr
+         |  FROM nbj GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, llr, (llr > 0) AS pred FROM nbs ORDER BY doc_id""".stripMargin,
+
     // Split cuts are interpolated from Sampling.cumulativeCuts — the exact
     // IEEE doubles the Spark comparison uses (0.9 + 0.05 != literal 0.95).
     "x7_split" -> {

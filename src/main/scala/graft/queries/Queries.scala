@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Canonical
-import graft.ops.{AsOf, Chunking, Components, Contamination, Dedup, Dsir, Intervals, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Chunking, Classify, Components, Contamination, Dedup, Dsir, Intervals, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.template.TemplateCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1325,6 +1325,17 @@ object Queries {
   private def x6ZipfFit(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.zipfFit(t(spark, dir, "documents"), col("text"))
 
+  /** X5nb: Naive Bayes quality classifier — fit on domain-trust weak
+    * labels (trusted domains = positive class), then score every document
+    * with the per-token log-odds sum. The fastText-style "looks like the
+    * reference corpus" filter, closed-form and hash-checkable.
+    */
+  private def x5NbQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = Classify.nbFitOnDomainTrust(docs, "doc_id", "source", col("text"))
+    Classify.nbScore(docs, "doc_id", col("text"), model).orderBy("doc_id")
+  }
+
   /** X5d: per-domain trust report — exact-decimal mean quality per source,
     * bottom-4 domains marked untrusted (rank with full tiebreak). The
     * domain window runs over the aggregated domain table only.
@@ -1484,7 +1495,8 @@ object Queries {
     "x2_incremental_admit" -> (x2IncrementalAdmit _),
     "x8_curation_v4" -> (x8CurationV4 _),
     "x6_zipf_fit" -> (x6ZipfFit _),
-    "x4_wav_frames" -> (x4WavFrames _)
+    "x4_wav_frames" -> (x4WavFrames _),
+    "x5_nb_quality" -> (x5NbQuality _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

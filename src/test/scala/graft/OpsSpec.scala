@@ -851,4 +851,36 @@ class OpsSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(11L, 12L))
   }
+
+  test("X5nb naive bayes: held-in docs score by class vocabulary, zero-token doc gets prior") {
+    import graft.ops.Classify
+    // trustA's vocabulary is disjoint from junkC's; with untrustedK=1 the
+    // junk domain becomes the negative class, so a fresh doc written in
+    // trustA's vocabulary must score llr > 0 and junk vocabulary < 0
+    val good = "the quick brown fox jumps over the lazy dog and runs to the river"
+    val corpus = Seq(
+      (1L, "trustA", good), (2L, "trustA", good + " again today"),
+      (3L, "trustB", good), (4L, "trustB", good + " tonight"),
+      (5L, "junkC", "zzz qqq zzz qqq"), (6L, "junkC", "qqq zzz qqq"),
+      (7L, "trustA", "quick fox runs"), // trusted vocabulary only
+      (8L, "junkC", "zzz zzz"), // junk vocabulary only
+      (9L, "trustB", "") // zero tokens: prior-only row
+    ).toDF("doc_id", "source", "text")
+    val model = Classify.nbFitOnDomainTrust(corpus, "doc_id", "source", col("text"),
+      untrustedK = 1)
+    val out = Classify.nbScore(corpus, "doc_id", col("text"), model)
+      .select("doc_id", "n_tokens", "llr", "pred")
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    graft.ops.OpCaches.release()
+    assert(out.size == 9, "every document scores, including the empty one")
+    assert(out(7L)._3 > 0 && out(7L)._4, "trusted-vocabulary doc must classify positive")
+    assert(out(8L)._3 < 0 && !out(8L)._4, "junk-vocabulary doc must classify negative")
+    assert(out(9L)._2 == 0L, "empty doc has zero tokens")
+    // prior-only llr: round6(ln(npos/n)) - round6(ln(nneg/n)) over the
+    // 6-vs-3 label split, the same HALF_UP rounding as the operator
+    def r6(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+    val expect = r6(r6(math.log(6.0 / 9)).subtract(r6(math.log(3.0 / 9))).doubleValue())
+    assert(out(9L)._3 == expect.doubleValue(), "empty doc scores the prior log-odds alone")
+  }
 }

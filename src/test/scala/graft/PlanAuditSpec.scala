@@ -144,6 +144,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!streamSide.contains("Exchange"), "doc grams shuffle before the model lookup")
   }
 
+  test("NB quality: model lookup broadcast, token stream unshuffled, no cartesian") {
+    val plan = planOf("x5_nb_quality")
+    assert(!plan.contains("CartesianProduct"), "nb scoring plans a cartesian product")
+    assert(plan.contains("BroadcastHashJoin"), "token->log-odds lookup should be a broadcast join")
+    // same property as the LM test: the scoring-side token stream reaches
+    // its model lookup without a hash exchange (the only shuffles belong
+    // to the vocabulary-sized fit aggregates and the per-doc aggregate)
+    val streamSide = plan.substring(plan.indexOf("BroadcastHashJoin"),
+      plan.indexOf("BroadcastExchange"))
+    assert(!streamSide.contains("Exchange"), "doc tokens shuffle before the model lookup")
+  }
+
   test("substring spans: hash-keyed duplicate counting, pruned scan, no pair join") {
     val plan = planOf("x1_substring_spans")
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
