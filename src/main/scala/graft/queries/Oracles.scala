@@ -1222,6 +1222,56 @@ object Oracles {
          |  round((n*sxy - sx*sy)*(n*sxy - sx*sy) / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
          |FROM s""".stripMargin,
 
+    // Mirrors Retrieval.hybridRrf: the x6_bm25_search chain at pool depth
+    // 20, brute-force cosine pools for the three probe vectors (6-dp
+    // scores, id tiebreaks, self-pair excluded), then rank-only RRF —
+    // CAST(1 AS DOUBLE)/(60+rank) per retriever (a bare 1.0 literal would
+    // stay exact DECIMAL in DuckDB where Spark divides doubles), summed in
+    // fixed (text, vector) order and rounded 6dp.
+    "x6_hybrid_rrf" ->
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         |dw AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+         |t AS (SELECT doc_id, dl, unnest(ws) AS token FROM dw),
+         |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2, 3),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS ndoc, CAST(sum(dl) AS BIGINT) AS sumdl FROM dw),
+         |q(query_id, qtext, pvid) AS (VALUES
+         |  ('q_join', 'spark join filter', 0),
+         |  ('q_scan', 'table scan fast', 100),
+         |  ('q_window', 'window order batch', 200)),
+         |qt AS (SELECT DISTINCT query_id, token FROM (
+         |  SELECT query_id, unnest(list_filter(string_split(regexp_replace(trim(lower(qtext)), '\\s+', ' ', 'g'), ' '), x -> len(x) > 0)) AS token FROM q)),
+         |idf AS (SELECT query_id, token, round(ln(1.0 + (ndoc - dfc + 0.5) / (dfc + 0.5)), 6) AS idf
+         |      FROM qt JOIN dfq USING (token), st),
+         |pt AS (SELECT idf.query_id, tf.doc_id,
+         |        round(idf.idf * (tf.tf * CAST(2.2 AS DOUBLE)) /
+         |          (tf.tf + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / ndoc))), 6) AS contrib
+         |      FROM tf JOIN idf USING (token), st),
+         |sc AS (SELECT query_id, doc_id,
+         |        round(CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+         |      FROM pt GROUP BY 1, 2),
+         |tr AS (SELECT query_id, doc_id AS id, CAST(rn AS BIGINT) AS rt FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) rn FROM sc)
+         |  WHERE rn <= 20),
+         |qv AS (SELECT q.query_id, q.pvid, e.embedding AS qe FROM q JOIN embeddings e ON e.vec_id = q.pvid),
+         |vs AS (SELECT qv.query_id, c.vec_id AS id, round(
+         |    list_sum(list_transform(generate_series(1, len(qv.qe)), i -> CAST(qv.qe[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE))) /
+         |    (sqrt(list_sum(list_transform(generate_series(1, len(qv.qe)), i -> CAST(qv.qe[i] AS DOUBLE)*CAST(qv.qe[i] AS DOUBLE)))) *
+         |     sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE))))), 6) AS cos
+         |  FROM qv CROSS JOIN embeddings c WHERE c.vec_id <> qv.pvid),
+         |vr AS (SELECT query_id, id, CAST(rn AS BIGINT) AS rv FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) rn FROM vs)
+         |  WHERE rn <= 20),
+         |fu AS (SELECT query_id, id,
+         |    round(coalesce(CAST(1 AS DOUBLE) / (60 + rt), 0) +
+         |          coalesce(CAST(1 AS DOUBLE) / (60 + rv), 0), 6) AS rrf_score,
+         |    rt, rv
+         |  FROM tr FULL OUTER JOIN vr USING (query_id, id))
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, id AS doc_id, rrf_score,
+         |  rt AS bm25_rank, rv AS cosine_rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, id) rn FROM fu)
+         |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
     // Mirrors Classify.nbFitOnDomainTrust + nbScore: domain-trust weak
     // labels from the shared DomainTrustChain, add-one per-class token
     // logps rounded 6dp at the model boundary, per-doc log-odds through

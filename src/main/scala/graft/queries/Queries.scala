@@ -1325,6 +1325,21 @@ object Queries {
   private def x6ZipfFit(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.zipfFit(t(spark, dir, "documents"), col("text"))
 
+  /** X6hy: hybrid BM25 + cosine retrieval fused with reciprocal rank
+    * fusion — rank-only fusion (no score calibration), 20-deep pools per
+    * retriever, document-id tiebreak. Probe vectors stand in for query
+    * embeddings (query-by-exemplar).
+    */
+  private def x6HybridRrf(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.hybridRrf(
+        t(spark, dir, "documents"), t(spark, dir, "embeddings"),
+        queries = Seq(
+          ("q_join", "spark join filter", 0L),
+          ("q_scan", "table scan fast", 100L),
+          ("q_window", "window order batch", 200L)),
+        topK = 10, poolK = 20, rrfK = 60)
+      .orderBy("query_id", "rank")
+
   /** X5nb: Naive Bayes quality classifier — fit on domain-trust weak
     * labels (trusted domains = positive class), then score every document
     * with the per-token log-odds sum. The fastText-style "looks like the
@@ -1496,7 +1511,8 @@ object Queries {
     "x8_curation_v4" -> (x8CurationV4 _),
     "x6_zipf_fit" -> (x6ZipfFit _),
     "x4_wav_frames" -> (x4WavFrames _),
-    "x5_nb_quality" -> (x5NbQuality _)
+    "x5_nb_quality" -> (x5NbQuality _),
+    "x6_hybrid_rrf" -> (x6HybridRrf _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -852,6 +852,29 @@ class OpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(11L, 12L))
   }
 
+  test("X6hy hybrid RRF: doc in both pools outranks single-retriever docs, ranks ride along") {
+    import graft.ops.Retrieval
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha delta"), (3L, "zzz yyy")
+    ).toDF("doc_id", "text")
+    // probe 10 = e0; corpus: 3 = e0 exactly (cos 1), 1 close to e0, 2 ⊥
+    val embeds = Seq(
+      (1L, Seq(0.95f, 0.05f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(1f, 0f, 0f, 0f)), (10L, Seq(1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Retrieval.hybridRrf(docs, embeds,
+        queries = Seq(("q1", "alpha beta", 10L)), topK = 5, poolK = 3, rrfK = 60)
+      .orderBy("rank")
+      .select("rank", "doc_id", "bm25_rank", "cosine_rank")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    // doc1: bm25 #1 (two query terms) + cosine #2 -> fused #1;
+    // doc2: bm25 #2 + cosine #3 -> fused #2; doc3: cosine #1 only -> #3
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._3.contains(1L) && out(0)._4.contains(2L))
+    assert(out(2)._3.isEmpty && out(2)._4.contains(1L),
+      "vector-only doc carries a NULL bm25 rank and its cosine rank")
+  }
+
   test("X5nb naive bayes: held-in docs score by class vocabulary, zero-token doc gets prior") {
     import graft.ops.Classify
     // trustA's vocabulary is disjoint from junkC's; with untrustedK=1 the

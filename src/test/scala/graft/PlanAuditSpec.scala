@@ -144,6 +144,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!streamSide.contains("Exchange"), "doc grams shuffle before the model lookup")
   }
 
+  test("hybrid RRF: no cartesian; query batch broadcast on the vector side") {
+    val plan = planOf("x6_hybrid_rrf")
+    assert(!plan.contains("CartesianProduct"), "hybrid fusion plans a cartesian product")
+    // the cosine pool's corpus pass meets the 3-probe batch via broadcast
+    // (the x3_knn_cosine shape); the fusion join itself runs on two
+    // queries×poolK lists, never corpus-sized input
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "probe batch should broadcast")
+  }
+
   test("NB quality: model lookup broadcast, token stream unshuffled, no cartesian") {
     val plan = planOf("x5_nb_quality")
     assert(!plan.contains("CartesianProduct"), "nb scoring plans a cartesian product")
