@@ -277,4 +277,33 @@ object Sampling {
         ((col("within_rank") - 1) * buckets + col("bucket")).as("curriculum_key"))
       .orderBy("curriculum_key")
   }
+
+  /** X7cs: cluster-balanced diversity sampling — cap every embedding-space
+    * cluster at `quota` members, so the sample covers the corpus's MODES
+    * instead of its mass (a uniform sample of a web corpus is mostly its
+    * head clusters; per-cluster caps are how public curation pipelines
+    * keep the tail represented — the selection-side complement of
+    * SemDeDup's per-cluster dedup).
+    *
+    * Clusters are [[Similarity.lshCells]]' closed-form sign-LSH cells
+    * (2^bitsPerCell of them) — no fitted state, so the whole selection is
+    * hash-checkable; at corpus scale raise `bitsPerCell` exactly like the
+    * RHP banding knobs (cell count should track the cluster structure, not
+    * the corpus size). Within a cell, members are admitted in md5-priority
+    * order (deterministic pseudo-random, the [[sampleByHash]] unit), id
+    * tiebreak.
+    *
+    * Shape: cell assignment is a pure map-side projection; the only
+    * shuffle is ONE hash exchange on the cell key for the per-cell rank
+    * window; output is at most 2^bitsPerCell × quota rows.
+    */
+  def clusterBalancedSample(corpus: DataFrame, dim: Int, bitsPerCell: Int,
+                            quota: Int, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val cells = Similarity.lshCells(corpus, dim, bitsPerCell, idCol, vecCol)
+    val w = Window.partitionBy(col("cell")).orderBy(hashUnit(col(idCol)), col(idCol))
+    cells.withColumn("cell_rank", row_number().over(w).cast("long"))
+      .where(col("cell_rank") <= quota)
+      .select(col(idCol), col("cell"), col("cell_rank"))
+  }
 }

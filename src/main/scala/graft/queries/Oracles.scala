@@ -1222,6 +1222,18 @@ object Oracles {
          |  round((n*sxy - sx*sy)*(n*sxy - sx*sy) / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
          |FROM s""".stripMargin,
 
+    // Mirrors Sampling.clusterBalancedSample: cells = 6 sign bits of RHP
+    // band 0 (the x3_ivf_lsh_topk quantizer family), per-cell md5-priority
+    // rank with id tiebreak, quota 16.
+    "x7_cluster_sample" ->
+      s"""WITH ${rhpBucketChain(1, 6)},
+         |csc AS (SELECT vec_id, CAST(bkt AS INT) AS cell FROM rhp_buck),
+         |csr AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+         |    ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0, vec_id) AS rk
+         |  FROM csc)
+         |SELECT vec_id, cell, CAST(rk AS BIGINT) AS cell_rank FROM csr
+         |WHERE rk <= 16 ORDER BY cell, cell_rank""".stripMargin,
+
     // Mirrors Retrieval.hybridRrf: the x6_bm25_search chain at pool depth
     // 20, brute-force cosine pools for the three probe vectors (6-dp
     // scores, id tiebreaks, self-pair excluded), then rank-only RRF —

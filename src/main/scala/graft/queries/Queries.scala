@@ -1325,6 +1325,15 @@ object Queries {
   private def x6ZipfFit(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.zipfFit(t(spark, dir, "documents"), col("text"))
 
+  /** X7cs: cluster-balanced diversity sampling — 64 closed-form sign-LSH
+    * cells, at most 16 members each in md5-priority order. The sample
+    * covers embedding-space modes instead of corpus mass.
+    */
+  private def x7ClusterSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.clusterBalancedSample(t(spark, dir, "embeddings"),
+        dim = 64, bitsPerCell = 6, quota = 16)
+      .orderBy("cell", "cell_rank")
+
   /** X6hy: hybrid BM25 + cosine retrieval fused with reciprocal rank
     * fusion — rank-only fusion (no score calibration), 20-deep pools per
     * retriever, document-id tiebreak. Probe vectors stand in for query
@@ -1512,7 +1521,8 @@ object Queries {
     "x6_zipf_fit" -> (x6ZipfFit _),
     "x4_wav_frames" -> (x4WavFrames _),
     "x5_nb_quality" -> (x5NbQuality _),
-    "x6_hybrid_rrf" -> (x6HybridRrf _)
+    "x6_hybrid_rrf" -> (x6HybridRrf _),
+    "x7_cluster_sample" -> (x7ClusterSample _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -852,6 +852,38 @@ class OpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(11L, 12L))
   }
 
+  test("X7cs cluster-balanced sample: per-cell cap enforced, md5-priority selection, full coverage at large quota") {
+    import graft.ops.{Sampling, Similarity}
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.tabulate(8)(d => if (d == (i % 4).toInt) 1.0f else 0.01f * ((i + d) % 3)))
+    ).toDF("vec_id", "embedding")
+    // large quota: everything kept, ranks contiguous within each cell
+    val all = Sampling.clusterBalancedSample(vecs, dim = 8, bitsPerCell = 3, quota = 1000)
+      .select("vec_id", "cell", "cell_rank")
+      .as[(Long, Int, Long)].collect()
+    assert(all.length == 40, "large quota keeps every vector")
+    all.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        "cell ranks are contiguous from 1")
+    }
+    // quota 1: exactly one survivor per populated cell, and it is the
+    // md5-priority minimum of that cell's members
+    val one = Sampling.clusterBalancedSample(vecs, dim = 8, bitsPerCell = 3, quota = 1)
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    val cells = Similarity.lshCells(vecs, dim = 8, bitsPerCell = 3)
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val expect = cells.groupBy(_._2).map { case (c, rows) =>
+      c -> rows.map(_._1).minBy(id => (u(id), id))
+    }
+    assert(one.length == expect.size, "one survivor per populated cell")
+    one.foreach { case (id, c) => assert(expect(c) == id, s"cell $c keeps its md5-min member") }
+  }
+
   test("X6hy hybrid RRF: doc in both pools outranks single-retriever docs, ranks ride along") {
     import graft.ops.Retrieval
     val docs = Seq(

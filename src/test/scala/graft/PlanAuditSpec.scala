@@ -144,6 +144,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!streamSide.contains("Exchange"), "doc grams shuffle before the model lookup")
   }
 
+  test("cluster sample: one cell-keyed exchange feeds the rank window, no joins at all") {
+    val plan = planOf("x7_cluster_sample")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      "cell assignment is a projection — no join belongs in this plan")
+    assert(plan.contains("hashpartitioning(cell"),
+      "the per-cell rank window should shuffle on the cell key")
+  }
+
   test("hybrid RRF: no cartesian; query batch broadcast on the vector side") {
     val plan = planOf("x6_hybrid_rrf")
     assert(!plan.contains("CartesianProduct"), "hybrid fusion plans a cartesian product")
