@@ -116,6 +116,47 @@ object Oracles {
        |dmr AS (SELECT source, n_docs, mean_quality,
        |        row_number() OVER (ORDER BY mean_quality ASC, source ASC) AS r FROM dm)""".stripMargin
 
+  /** NB quality-classifier CTE chain (mirrors Classify.nbFitOnDomainTrust
+    * + nbScore): domain-trust weak labels from [[DomainTrustChain]],
+    * add-one per-class token logps rounded 6dp at the model boundary,
+    * per-doc log-odds through exact DECIMAL(18,6) differences and
+    * order-free sums, priors/floors from the one-row totals aggregate.
+    * Ends with `nbs(doc_id, n_tokens, llr)`. Shared by x5_nb_quality and
+    * x8_curation_v5 so the composed filter cannot drift from the scorer.
+    */
+  private val NbScoreChain =
+    s"""$DomainTrustChain,
+       |nbl AS (SELECT d.doc_id, (dmr.r > 4) AS pos, $wordsOf AS ws
+       |        FROM documents d JOIN dmr ON dmr.source = d.source),
+       |nbp AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+       |               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn FROM nbl),
+       |nbt AS (SELECT pos, unnest(ws) AS token FROM nbl),
+       |nbc AS (SELECT token, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+       |               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn FROM nbt GROUP BY 1),
+       |nbtv AS (SELECT sum(cp) AS ctp, sum(cn) AS ctn, CAST(count(*) AS BIGINT) AS v FROM nbc),
+       |nbm AS (SELECT token,
+       |    round(ln(CAST(cp + 1 AS DOUBLE) / CAST(ctp + v AS DOUBLE)), 6) AS lp_p,
+       |    round(ln(CAST(cn + 1 AS DOUBLE) / CAST(ctn + v AS DOUBLE)), 6) AS lp_n
+       |  FROM nbc, nbtv),
+       |nbk AS (SELECT
+       |    round(ln(1.0 / CAST(ctp + v AS DOUBLE)), 6) AS fp,
+       |    round(ln(1.0 / CAST(ctn + v AS DOUBLE)), 6) AS fneg,
+       |    round(ln(CAST(np AS DOUBLE) / CAST(np + nn AS DOUBLE)), 6) AS pp,
+       |    round(ln(CAST(nn AS DOUBLE) / CAST(np + nn AS DOUBLE)), 6) AS pn
+       |  FROM nbtv, nbp),
+       |nbd AS (SELECT doc_id,
+       |    unnest(CASE WHEN len(ws) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE ws END) AS token
+       |  FROM (SELECT doc_id, $wordsOf AS ws FROM documents)),
+       |nbj AS (SELECT nbd.doc_id, nbk.pp, nbk.pn,
+       |    CASE WHEN nbd.token IS NULL THEN CAST(0 AS DECIMAL(18,6))
+       |         ELSE CAST(coalesce(nbm.lp_p, nbk.fp) AS DECIMAL(18,6)) -
+       |              CAST(coalesce(nbm.lp_n, nbk.fneg) AS DECIMAL(18,6)) END AS d,
+       |    CASE WHEN nbd.token IS NULL THEN 0 ELSE 1 END AS t
+       |  FROM nbd LEFT JOIN nbm ON nbm.token = nbd.token CROSS JOIN nbk),
+       |nbs AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS n_tokens,
+       |    round(CAST(CAST(max(pp) AS DECIMAL(18,6)) - CAST(max(pn) AS DECIMAL(18,6)) + sum(d) AS DOUBLE), 6) AS llr
+       |  FROM nbj GROUP BY doc_id)""".stripMargin
+
   /** Substring-span CTE chain (mirrors Dedup.substringSpans at window
     * length k): positions via scalar generate_series + unnest (DuckDB's
     * table-function form rejects lateral column bounds), 60-bit md5 gram
@@ -1222,6 +1263,24 @@ object Oracles {
          |  round((n*sxy - sx*sy)*(n*sxy - sx*sy) / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
          |FROM s""".stripMargin,
 
+    // Mirrors x8CurationV5: NB gate via the shared NbScoreChain, then the
+    // cluster-balance selection restricted BEFORE the rank window (the
+    // window runs over survivors only — cell values are closed-form per
+    // vector, so computing cells on the full table and filtering is
+    // equivalent, but ranks are not). Scores ride along from `keep`.
+    "x8_curation_v5" ->
+      s"""WITH $NbScoreChain,
+         |${rhpBucketChain(1, 6)},
+         |v5k AS (SELECT doc_id AS vec_id, n_tokens, llr FROM nbs WHERE llr > 0),
+         |v5c AS (SELECT c.vec_id, CAST(c.bkt AS INT) AS cell FROM rhp_buck c
+         |        JOIN v5k k ON k.vec_id = c.vec_id),
+         |v5r AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+         |    ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0, vec_id) AS rk
+         |  FROM v5c)
+         |SELECT r.vec_id, r.cell, CAST(r.rk AS BIGINT) AS cell_rank, k.n_tokens, k.llr
+         |FROM v5r r JOIN v5k k ON k.vec_id = r.vec_id
+         |WHERE r.rk <= 8 ORDER BY r.cell, cell_rank""".stripMargin,
+
     // Mirrors Sampling.clusterBalancedSample: cells = 6 sign bits of RHP
     // band 0 (the x3_ivf_lsh_topk quantizer family), per-cell md5-priority
     // rank with id tiebreak, quota 16.
@@ -1284,44 +1343,12 @@ object Oracles {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, id) rn FROM fu)
          |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    // Mirrors Classify.nbFitOnDomainTrust + nbScore: domain-trust weak
-    // labels from the shared DomainTrustChain, add-one per-class token
-    // logps rounded 6dp at the model boundary, per-doc log-odds through
-    // exact DECIMAL(18,6) differences and order-free sums, priors/floors
-    // from the one-row totals aggregate. Zero-token docs keep a NULL-token
-    // row (zero contribution), the explode_outer twin.
+    // Mirrors Classify.nbFitOnDomainTrust + nbScore via the shared
+    // NbScoreChain (domain-trust weak labels, 6-dp logps at the model
+    // boundary, exact-DECIMAL log-odds; zero-token docs keep a NULL-token
+    // row — the explode_outer twin).
     "x5_nb_quality" ->
-      s"""WITH $DomainTrustChain,
-         |nbl AS (SELECT d.doc_id, (dmr.r > 4) AS pos, $wordsOf AS ws
-         |        FROM documents d JOIN dmr ON dmr.source = d.source),
-         |nbp AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
-         |               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn FROM nbl),
-         |nbt AS (SELECT pos, unnest(ws) AS token FROM nbl),
-         |nbc AS (SELECT token, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
-         |               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn FROM nbt GROUP BY 1),
-         |nbtv AS (SELECT sum(cp) AS ctp, sum(cn) AS ctn, CAST(count(*) AS BIGINT) AS v FROM nbc),
-         |nbm AS (SELECT token,
-         |    round(ln(CAST(cp + 1 AS DOUBLE) / CAST(ctp + v AS DOUBLE)), 6) AS lp_p,
-         |    round(ln(CAST(cn + 1 AS DOUBLE) / CAST(ctn + v AS DOUBLE)), 6) AS lp_n
-         |  FROM nbc, nbtv),
-         |nbk AS (SELECT
-         |    round(ln(1.0 / CAST(ctp + v AS DOUBLE)), 6) AS fp,
-         |    round(ln(1.0 / CAST(ctn + v AS DOUBLE)), 6) AS fneg,
-         |    round(ln(CAST(np AS DOUBLE) / CAST(np + nn AS DOUBLE)), 6) AS pp,
-         |    round(ln(CAST(nn AS DOUBLE) / CAST(np + nn AS DOUBLE)), 6) AS pn
-         |  FROM nbtv, nbp),
-         |nbd AS (SELECT doc_id,
-         |    unnest(CASE WHEN len(ws) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE ws END) AS token
-         |  FROM (SELECT doc_id, $wordsOf AS ws FROM documents)),
-         |nbj AS (SELECT nbd.doc_id, nbk.pp, nbk.pn,
-         |    CASE WHEN nbd.token IS NULL THEN CAST(0 AS DECIMAL(18,6))
-         |         ELSE CAST(coalesce(nbm.lp_p, nbk.fp) AS DECIMAL(18,6)) -
-         |              CAST(coalesce(nbm.lp_n, nbk.fneg) AS DECIMAL(18,6)) END AS d,
-         |    CASE WHEN nbd.token IS NULL THEN 0 ELSE 1 END AS t
-         |  FROM nbd LEFT JOIN nbm ON nbm.token = nbd.token CROSS JOIN nbk),
-         |nbs AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS n_tokens,
-         |    round(CAST(CAST(max(pp) AS DECIMAL(18,6)) - CAST(max(pn) AS DECIMAL(18,6)) + sum(d) AS DOUBLE), 6) AS llr
-         |  FROM nbj GROUP BY doc_id)
+      s"""WITH $NbScoreChain
          |SELECT doc_id, n_tokens, llr, (llr > 0) AS pred FROM nbs ORDER BY doc_id""".stripMargin,
 
     // Split cuts are interpolated from Sampling.cumulativeCuts — the exact

@@ -1325,6 +1325,28 @@ object Queries {
   private def x6ZipfFit(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.zipfFit(t(spark, dir, "documents"), col("text"))
 
+  /** X8e: composed pipeline v5 — the round's classifier + diversity family
+    * chained: NB quality gate (fit on domain-trust weak labels over the
+    * FULL corpus) → survivors' embeddings → cluster-balanced diversity
+    * sample (64 cells, quota 8) → classifier scores ride along. The kept
+    * set is pinned once: it feeds the semi-join AND the final score join.
+    */
+  private def x8CurationV5(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val embeds = t(spark, dir, "embeddings")
+    val model = Classify.nbFitOnDomainTrust(docs, "doc_id", "source", col("text"))
+    val kept = graft.ops.OpCaches.pin(
+      Classify.nbScore(docs, "doc_id", col("text"), model)
+        .where(col("pred"))
+        .select(col("doc_id").as("vec_id"), col("n_tokens"), col("llr")))
+    val sample = Sampling.clusterBalancedSample(
+      embeds.join(kept.select("vec_id"), Seq("vec_id"), "left_semi"),
+      dim = 64, bitsPerCell = 6, quota = 8)
+    sample.join(kept, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("cell_rank"), col("n_tokens"), col("llr"))
+      .orderBy("cell", "cell_rank")
+  }
+
   /** X7cs: cluster-balanced diversity sampling — 64 closed-form sign-LSH
     * cells, at most 16 members each in md5-priority order. The sample
     * covers embedding-space modes instead of corpus mass.
@@ -1522,7 +1544,8 @@ object Queries {
     "x4_wav_frames" -> (x4WavFrames _),
     "x5_nb_quality" -> (x5NbQuality _),
     "x6_hybrid_rrf" -> (x6HybridRrf _),
-    "x7_cluster_sample" -> (x7ClusterSample _)
+    "x7_cluster_sample" -> (x7ClusterSample _),
+    "x8_curation_v5" -> (x8CurationV5 _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

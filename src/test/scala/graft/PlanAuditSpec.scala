@@ -144,6 +144,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!streamSide.contains("Exchange"), "doc grams shuffle before the model lookup")
   }
 
+  test("curation v5: cartesian-free; NB survivors restrict embeddings via semi join before the cell window") {
+    val plan = planOf("x8_curation_v5")
+    assert(!plan.contains("CartesianProduct"), "v5 plans a cartesian product")
+    assert(plan.contains("LeftSemi"), "the NB-kept set should restrict embeddings via a semi join")
+    assert(plan.contains("hashpartitioning(cell"), "cell window shuffles on the cell key")
+  }
+
   test("cluster sample: one cell-keyed exchange feeds the rank window, no joins at all") {
     val plan = planOf("x7_cluster_sample")
     assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
