@@ -298,6 +298,11 @@ object Multimodal {
   def wavFrameEnergy(df: DataFrame, idCol: String, frameLen: Int = 16): DataFrame = {
     require(frameLen > 0, s"frameLen must be positive: $frameLen")
     decodeWavSamples(df, idCol)
+      // A structurally valid WAV with an empty data chunk (n_samples = 0)
+      // must yield zero frames — without this guard the ceil-div upper
+      // bound is -1 and Spark's sequence(0,-1) infers step -1, emitting
+      // two garbage frames [0,-1].
+      .where(size(col("smp")) > 0)
       .select(col("id"), posexplode(
         // integer ceil-div (n + L-1)/L via floor: exact — array sizes sit
         // far below the 2^52 double-integer ceiling

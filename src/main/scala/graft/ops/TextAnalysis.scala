@@ -555,12 +555,17 @@ object TextAnalysis {
       dsum(round(col("__x") * col("__y"), 6)).as("__sxy"))
     val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
     val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    // Degenerate spectra have no defined fit: a single token type (den = 0:
+    // every x identical) or an all-equal frequency spectrum (deny = 0) emit
+    // deliberate NULLs instead of NaN/Infinity — mirrored in the DuckDB twin.
+    val deny = col("__n") * col("__syy") - col("__sy") * col("__sy")
     val slope = num / den
     s.select(
       col("__n").as("n_types"),
       col("__ntok").as("n_tokens"),
-      round(-slope, 6).as("alpha"),
-      round((col("__sy") - slope * col("__sx")) / col("__n"), 6).as("intercept"),
-      round(num * num / (den * (col("__n") * col("__syy") - col("__sy") * col("__sy"))), 6).as("r2"))
+      when(den =!= 0.0, round(-slope, 6)).as("alpha"),
+      when(den =!= 0.0, round((col("__sy") - slope * col("__sx")) / col("__n"), 6)).as("intercept"),
+      when(den =!= 0.0 && deny =!= 0.0,
+        round(num * num / (den * deny), 6)).as("r2"))
   }
 }

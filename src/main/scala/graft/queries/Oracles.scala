@@ -1258,9 +1258,12 @@ object Oracles {
          |  CAST(sum(CAST(round(x*y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy
          | FROM p)
          |SELECT n AS n_types, CAST(ntok AS BIGINT) AS n_tokens,
-         |  round(-((n*sxy - sx*sy) / (n*sxx - sx*sx)), 6) AS alpha,
-         |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*sx) / n, 6) AS intercept,
-         |  round((n*sxy - sx*sy)*(n*sxy - sx*sy) / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+         |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+         |       ELSE round(-((n*sxy - sx*sy) / (n*sxx - sx*sx)), 6) END AS alpha,
+         |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+         |       ELSE round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*sx) / n, 6) END AS intercept,
+         |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+         |       ELSE round((n*sxy - sx*sy)*(n*sxy - sx*sy) / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) END AS r2
          |FROM s""".stripMargin,
 
     // Mirrors x8CurationV5: NB gate via the shared NbScoreChain, then the
@@ -1814,7 +1817,7 @@ object Oracles {
          |v4w AS (SELECT doc_id, $wordsOf AS ws FROM v4adm),
          |v4c AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1, 16)) AS s
          |        FROM v4w WHERE len(ws) > 0),
-         |v4ch AS (SELECT doc_id * 1024 + (s // 16) AS chunk_id,
+         |v4ch AS (SELECT doc_id * 4294967296 + (s // 16) AS chunk_id,
          |         round(CAST(len(ws[s+1:s+32]) AS DOUBLE), 6) AS score FROM v4c),
          |v4sp AS (SELECT score, count(*) AS cnt FROM v4ch GROUP BY score),
          |v4sw AS (SELECT score, cnt,

@@ -578,9 +578,10 @@ object Queries {
     Similarity.pairRecall(truth, found, threshold = 0.4)
   }
 
-  /** Rows-only (k-means quantizer fit is JVM-side, not SQL-expressible):
-    * per-query overlap of IVF top-k with brute-force top-k. The driver
-    * records the rows, putting quantizer/probe regressions in the artifact.
+  /** Per-query overlap of k-means IVF top-k with brute-force top-k.
+    * Hash-gated since r6: the maxmin-seeded Lloyd fit is engine-portable
+    * (Similarity.kmeansCells), so the DuckDB twin replays the exact
+    * assignment and the full recall row hashes.
     */
   private def x3IvfRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -1312,9 +1313,12 @@ object Queries {
     val frozen = trusted.where(col("doc_id") % 2 === 0)
     val admitted = Dedup.incrementalNearDupAdmit(incoming, frozen, "doc_id", col("text"))
       .where(col("admitted")).select("doc_id")
+    // Composite id in the high/low halves of a LONG: chunk_idx is an INT
+    // (< 2^32 by construction), so shiftLeft(doc_id, 32) + chunk_idx never
+    // collides — the old *1024 form aliased ids past 1024 chunks/doc.
     val chunks = Chunking.chunkOverlap(incoming.join(admitted, "doc_id"),
         "doc_id", col("text"), chunkSize = 32, stride = 16)
-      .select((col("doc_id") * 1024 + col("chunk_idx")).as("chunk_id"), col("n_tokens_chunk"))
+      .select((shiftleft(col("doc_id"), 32) + col("chunk_idx")).as("chunk_id"), col("n_tokens_chunk"))
     Sampling.curriculumOrder(chunks, "chunk_id", col("n_tokens_chunk").cast("double"), buckets = 6)
   }
 

@@ -44,7 +44,12 @@ object StreamingBloomDedup {
 
   /** Shard = last md5 byte mod `shards` — independent of the bit-position
     * slices (chars 0-29), so shard routing never correlates with bit
-    * placement inside the filter.
+    * placement inside the filter. One byte carries only 256 values, so
+    * `shards` is capped at 256 (enforced in [[dedupBloom]]): a larger
+    * setting would silently leave shards-256 shards empty, capping
+    * capacity below the configured `shards × mBits/8` bound. Scale
+    * capacity past 256 shards by raising `mBits`, which the bound scales
+    * with directly.
     */
   private[graft] def shardOf(keyMd5: String, shards: Int): Int =
     Integer.parseInt(keyMd5.substring(30, 32), 16) % shards
@@ -96,8 +101,9 @@ object StreamingBloomDedup {
     */
   def admitFirstSeen(docs: Dataset[Doc], mBits: Int = 1 << 22, k: Int = 5,
                      shards: Int = 64): Dataset[Admitted] = {
-    require(mBits >= 8 && k >= 1 && shards >= 1,
-      s"need mBits >= 8, k >= 1, shards >= 1: mBits=$mBits k=$k shards=$shards")
+    require(mBits >= 8 && k >= 1 && shards >= 1 && shards <= 256,
+      s"need mBits >= 8, k >= 1, 1 <= shards <= 256 (shard routing uses one " +
+        s"md5 byte): mBits=$mBits k=$k shards=$shards")
     import docs.sparkSession.implicits._
     docs.groupByKey(d => shardOf(contentKey(d.text), shards))
       .transformWithState(new BloomProcessor(mBits, k), TimeMode.None(), OutputMode.Append())

@@ -84,11 +84,15 @@ object StreamingSemanticDecon {
   def freeze(benchmark: DataFrame, dim: Int,
              idCol: String = "vec_id", vecCol: String = "embedding",
              bands: Int = 16, bitsPerBand: Int = 8): FrozenBenchmark = {
-    val rows = benchmark.select(idCol, vecCol).collect()
-    require(rows.length <= MaxBenchmarkVectors,
-      s"benchmark (${rows.length} vectors) exceeds MaxBenchmarkVectors " +
-        s"($MaxBenchmarkVectors): freeze eval-suite-sized sets only; decontaminate " +
+    // Enforce the ceiling BEFORE collect(): a corpus-scale benchmark must
+    // fail here cheaply, not OOM the driver on the collect the require
+    // would have guarded.
+    val overCap = benchmark.limit(MaxBenchmarkVectors + 1).count()
+    require(overCap <= MaxBenchmarkVectors,
+      s"benchmark (> $MaxBenchmarkVectors vectors) exceeds MaxBenchmarkVectors: " +
+        "freeze eval-suite-sized sets only; decontaminate " +
         "corpus-scale sets with the batch broadcast join")
+    val rows = benchmark.select(idCol, vecCol).collect()
     val ids = rows.map(_.getLong(0))
     val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
     vecs.foreach(v => require(v.length == dim, s"benchmark vector of dim ${v.length}, expected $dim"))

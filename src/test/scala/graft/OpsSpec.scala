@@ -740,6 +740,11 @@ class OpsSpec extends SparkSpec {
       .select("frame_idx", "n_in_frame", "rms", "peak")
       .as[(Long, Long, Double, Int)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((0L, 2L, 25185.0, 25185), (1L, 2L, 25185.0, 25185), (2L, 1L, 25185.0, 25185)))
+    // a structurally valid WAV with an EMPTY data chunk yields zero frames,
+    // not the sequence(0,-1) garbage pair [0,-1]
+    val empty = Seq((2L, "ab")).toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.encodeWav(col("text"), lit(0L), lit(8000)).as("media"))
+    assert(Multimodal.wavFrameEnergy(empty, "doc_id", frameLen = 2).count() == 0L)
   }
 
   test("X6z zipf fit: exact power-law corpus recovers alpha=2 with r2=1") {
@@ -754,6 +759,15 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(alpha - 2.0) < 1e-3, s"alpha=$alpha")
     assert(math.abs(intercept - math.log(36.0)) < 1e-3, s"intercept=$intercept")
     assert(r2 > 0.999999, s"r2=$r2")
+    // degenerate spectra: a single token type has no defined slope (den=0),
+    // an all-equal spectrum has no defined r2 (deny=0) — deliberate NULLs
+    val single = TextAnalysis.zipfFit(Seq((1L, "aa aa aa")).toDF("doc_id", "text"), col("text"))
+      .select("n_types", "alpha", "intercept", "r2").collect().head
+    assert(single.getLong(0) == 1L && single.isNullAt(1) && single.isNullAt(2) && single.isNullAt(3))
+    val flat = TextAnalysis.zipfFit(Seq((1L, "aa bb cc")).toDF("doc_id", "text"), col("text"))
+      .select("n_types", "alpha", "r2").collect().head
+    assert(flat.getLong(0) == 3L && !flat.isNullAt(1) && flat.isNullAt(2),
+      s"flat spectrum: alpha defined (all-zero y fits slope 0), r2 undefined: $flat")
   }
 
   test("X5d domain trust: lowest-mean domain flagged, filter drops exactly its docs") {
