@@ -17,11 +17,12 @@ import org.apache.spark.sql.types._
   * (SURVEY.md §7.4: custom Catalyst only where built-ins can't express the
   * semantics *efficiently*).
   *
-  * Semantics are IDENTICAL to the HOF form: elements cast to double
-  * (float->double is exact), products summed in index order — so results are
-  * bit-equal to the DuckDB oracle's ordered list_sum and to the previous
-  * implementation. Null elements contribute 0; mismatched lengths use the
-  * shorter prefix.
+  * Semantics are IDENTICAL to the HOF form on equal-length inputs (every
+  * registered plan): elements cast to double (float->double is exact),
+  * products summed in index order — so results are bit-equal to the DuckDB
+  * oracle's ordered list_sum and to the previous implementation. Null
+  * elements contribute 0; mismatched lengths use the shorter prefix (where
+  * the HOF form's null padding would instead annihilate the sum).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -81,12 +82,94 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd count of agreeing positions between two integral-array columns
+  * — the MinHash verify kernel (estimated Jaccard = agree/numPerm).
+  *
+  * Same motivation as [[DotProduct]]: the HOF form
+  * `aggregate(zip_with(a, b, (x,y) => when(x === y, 1).otherwise(0)), ...)`
+  * runs interpreted, and the verify stage executes once per LSH candidate
+  * pair — the hottest loop of the near-dup family at corpus scale.
+  *
+  * Semantics are IDENTICAL to that HOF form: positions beyond the shorter
+  * array and positions where either element is null contribute 0 (zip_with
+  * pads with nulls; `null === x` is null → otherwise(0)); equal non-null
+  * elements contribute 1.
+  */
+case class SigAgree(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private val integral: Set[DataType] = Set(IntegerType, LongType, ShortType, ByteType)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _)) if lt == rt && integral(lt) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_sig_agree expects two array<integral> args of the same element type, " +
+          s"got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def elemType: DataType = left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    val lt = elemType
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val eq = lt match {
+          case LongType  => a.getLong(i) == b.getLong(i)
+          case IntegerType => a.getInt(i) == b.getInt(i)
+          case ShortType => a.getShort(i) == b.getShort(i)
+          case _         => a.getByte(i) == b.getByte(i)
+        }
+        if (eq) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = elemType match {
+      case LongType    => "getLong"
+      case IntegerType => "getInt"
+      case ShortType   => "getShort"
+      case _           => "getByte"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int ${ev.value}Acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.$getter($i) == $b.$getter($i)) {
+         |    ${ev.value}Acc++;
+         |  }
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration for graft's native expressions (usable from SQL as
-  * `graft_dot(a, b)` and from the DataFrame API via `call_function`).
+  * `graft_dot(a, b)` / `graft_sig_agree(a, b)` and from the DataFrame API
+  * via `call_function`).
   */
 object GraftFunctions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (children => DotProduct(children.head, children(1))))
+    "graft_dot" -> (children => DotProduct(children.head, children(1))),
+    "graft_sig_agree" -> (children => SigAgree(children.head, children(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = functions.foreach { case (name, builder) =>

@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines
-  * (SURVEY.md §2.12 X1/X2). All pure Catalyst built-ins — no UDFs — so every
-  * hot path stays inside whole-stage codegen and scales by partitioning:
+  * (SURVEY.md §2.12 X1/X2). Catalyst built-ins plus the codegen'd
+  * `graft_sig_agree` native expression — no UDFs — so every hot path stays
+  * inside whole-stage codegen and scales by partitioning:
   *
   *  - exact dedup: one hash-aggregate shuffle on the normalized key;
   *  - MinHash+LSH: per-doc signatures via a single grouped aggregation
@@ -18,6 +19,17 @@ import org.apache.spark.sql.functions._
   *    verify LSH candidates, or standalone at small scale / within blocks).
   */
 object Dedup {
+
+  /** Count of agreeing signature components (estimated Jaccard numerator)
+    * via the codegen'd native expression — semantics identical to the
+    * interpreted `aggregate(zip_with(...))` form it replaced (equal
+    * non-null components count 1, everything else 0), so oracle hashes
+    * are unchanged; the verify loop runs once per LSH candidate pair,
+    * which made the interpreted per-element lambda dispatch the hottest
+    * non-codegen span of the near-dup family.
+    */
+  private def sigAgree(a: Column, b: Column): Column =
+    call_function("graft_sig_agree", a, b)
 
   /** Whitespace-collapsing, case-folding normalization used as the exact-dup
     * key (so formatting alone doesn't defeat dedup).
@@ -162,6 +174,7 @@ object Dedup {
     // degenerates every band to ONE bucket (an all-pairs self-join)
     require(bands > 0 && numPerm % bands == 0,
       s"numPerm ($numPerm) must divide into bands ($bands)")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val rowsPerBand = numPerm / bands
     val sigs = OpCaches.pin(minhashSignaturesExploded(
       explodedShingles(df, idCol, text, shingleLen), idCol, numPerm))
@@ -170,9 +183,7 @@ object Dedup {
     val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("__sigb"))
     pairs.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("__siga"), col("__sigb"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, e) => acc + e)
-          .cast("double") / numPerm)
+        sigAgree(col("__siga"), col("__sigb")).cast("double") / numPerm)
       .where(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
@@ -210,6 +221,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(bands > 0 && numPerm % bands == 0,
       s"numPerm ($numPerm) must divide into bands ($bands)")
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
     val rowsPerBand = numPerm / bands
     // one signature pass per side; the same deterministic hash family on
     // both, so a doc's signature is identical whichever side it sits on
@@ -218,8 +230,7 @@ object Dedup {
     val sigsCor = OpCaches.pin(minhashSignaturesExploded(
       explodedShingles(corpus, idCol, text, shingleLen), idCol, numPerm))
     def estOf(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, e) => acc + e).cast("double") / numPerm
+      sigAgree(a, b).cast("double") / numPerm
     // bipartite candidates: incoming meets corpus on the band key only
     val candIC = bandedKeys(sigsInc, idCol, "__id_i", bands, rowsPerBand)
       .join(bandedKeys(sigsCor, idCol, "__id_c", bands, rowsPerBand), Seq("band", "bandHash"))
@@ -280,23 +291,34 @@ object Dedup {
     * Candidates are verified with `bit_count(xor)`, so precision is exact;
     * more chunks = coarser buckets = more candidates, the usual LSH trade.
     */
-  def simhashNearDupPairs(df: DataFrame, idCol: String, tokens: Column, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDupPairs(df: DataFrame, idCol: String, tokens: Column, maxHamming: Int = 3): DataFrame =
+    hamming64NearDupPairs(simhash64(df, idCol, tokens), idCol, "simhash", maxHamming)
+
+  /** Banded Hamming self-join over ANY (id, 64-bit hash) table — the LSH
+    * core of [[simhashNearDupPairs]], factored out so other 64-bit
+    * perceptual fingerprints (image dHash, [[Multimodal.ppmDHash]]) reuse
+    * the identical plan. Chunking into `maxHamming + 1` bit ranges gives
+    * the pigeonhole guarantee (recall 1: a pair within the bound must
+    * agree on ≥ 1 chunk); `bit_count(xor)` verification makes precision
+    * exact. The hash table is pinned — both chunked join sides re-derive
+    * it, and it is ~16 bytes/doc (caller releases via OpCaches).
+    */
+  def hamming64NearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                            maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming ($maxHamming) out of range for a 64-bit simhash")
+      s"maxHamming ($maxHamming) out of range for a 64-bit hash")
     val nChunks = maxHamming + 1
-    // pinned for the same reason as the minhash signature table: both
-    // chunked join sides re-derive it, and it is ~16 bytes/doc
-    val sh = OpCaches.pin(simhash64(df, idCol, tokens))
+    val sh = OpCaches.pin(hashes.select(col(idCol), col(hashCol)))
     val chunkVals = array((0 until nChunks).map { ci =>
       val lo = ci * 64 / nChunks
       val width = (ci + 1) * 64 / nChunks - lo
       val mask = if (width >= 64) lit(-1L) else lit((1L << width) - 1)
-      shiftrightunsigned(col("simhash"), lo).bitwiseAND(mask)
+      shiftrightunsigned(col(hashCol), lo).bitwiseAND(mask)
     }: _*)
-    val chunked = sh.select(col(idCol), col("simhash"),
+    val chunked = sh.select(col(idCol), col(hashCol),
       posexplode(chunkVals).as(Seq("chunk", "chunkVal")))
-    val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("__sa"), col("chunk"), col("chunkVal"))
-    val r = chunked.select(col(idCol).as("id_b"), col("simhash").as("__sb"), col("chunk"), col("chunkVal"))
+    val l = chunked.select(col(idCol).as("id_a"), col(hashCol).as("__sa"), col("chunk"), col("chunkVal"))
+    val r = chunked.select(col(idCol).as("id_b"), col(hashCol).as("__sb"), col("chunk"), col("chunkVal"))
     l.join(r, Seq("chunk", "chunkVal")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))

@@ -166,6 +166,70 @@ object Multimodal {
     concat(header, cycledBytes(text, npix))
   }
 
+  /** P6 payload whose raster is `base` bytes cycled over all but the last
+    * `patchBytes` positions, with `patch` bytes cycled over the tail — the
+    * "same image, small local edit" fixture for perceptual near-dup:
+    * rows sharing `base` differ only in the trailing patch region, so
+    * their dHashes sit a few bits apart, while different bases decorrelate
+    * the whole raster. Portable: the DuckDB twin rebuilds both segments
+    * with repeat/substr over the same bytes.
+    */
+  def encodePpmPatch(base: org.apache.spark.sql.Column, patch: org.apache.spark.sql.Column,
+                     w: Int, h: Int, patchBytes: Int): org.apache.spark.sql.Column = {
+    val npix = w.toLong * h * 3
+    require(patchBytes > 0 && patchBytes < npix,
+      s"patchBytes ($patchBytes) must sit inside the $npix-byte raster")
+    val header = lit(s"P6\n$w $h\n255\n").cast(BinaryType)
+    concat(header, cycledBytes(base, lit(npix - patchBytes)),
+      cycledBytes(patch, lit(patchBytes.toLong)))
+  }
+
+  /** X4d: perceptual difference-hash (dHash) of a P6 payload — the image
+    * twin of SimHash: a 64-bit fingerprint whose Hamming distance tracks
+    * visual similarity, robust to resolution because it compares a fixed
+    * 9×8 sample grid, not raw pixels.
+    *
+    * Kernel (all integer, engine-portable): nearest-neighbor sample the
+    * raster at grid points (px, py) = (gx·w/9, gy·h/8) for gx ∈ [0,9),
+    * gy ∈ [0,8); per-sample brightness = r+g+b (0..765, exact); bit
+    * gy·8+gx of the hash is 1 iff brightness(gx+1, gy) > brightness(gx, gy)
+    * (strict, row-wise gradient sign). Decode runs partition-local after
+    * all shuffles like every kernel here — only (id, 8-byte hash) ever
+    * rides an exchange, which is what makes the downstream banded Hamming
+    * self-join ([[Dedup.hamming64NearDupPairs]]) a corpus-scale plan.
+    *
+    * Output: (id, dhash) — one LONG per image.
+    */
+  def ppmDHash(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] =
+      df.select(col(idCol).cast("long").as("id"), col("media")).as[MediaRow]
+    typed.mapPartitions(_.map { row =>
+      val b = row.media
+      val (width, height, _, dataAt) = ppmHeader(b, row.id)
+      require(width > 0 && height > 0, s"row ${row.id}: dHash needs a nonempty raster")
+      // 9 columns x 8 rows of brightness samples -> 8x8 horizontal gradients
+      val g = Array.tabulate(8, 9) { (gy, gx) =>
+        val px = gx * width / 9
+        val py = gy * height / 8
+        val off = dataAt + (py * width + px) * 3
+        (b(off) & 0xFF) + (b(off + 1) & 0xFF) + (b(off + 2) & 0xFF)
+      }
+      var hash = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (g(gy)(gx + 1) > g(gy)(gx)) hash |= (1L << (gy * 8 + gx))
+          gx += 1
+        }
+        gy += 1
+      }
+      (row.id, hash)
+    }).toDF("id", "dhash")
+  }
+
   /** Little-endian 32/16-bit binary renderings of an integral column —
     * RIFF header fields (hex → byte-swapped pairs → unhex; pure built-in
     * expressions, codegen'd).
@@ -316,6 +380,51 @@ object Multimodal {
         aggregate(col("__fr"), lit(0), (acc, v) => greatest(acc, abs(v))).as("peak"))
   }
 
+  /** The P6 header walk shared by [[decodePpm]] and [[ppmDHash]]: parses
+    * magic, whitespace/`#` comments, width, height, maxval and the single
+    * whitespace separator, validates sane bounds and raster length, and
+    * returns (width, height, maxval, rasterOffset).
+    */
+  private def ppmHeader(b: Array[Byte], rid: Long): (Int, Int, Int, Int) = {
+    require(b != null && b.length > 2 && b(0) == 'P' && b(1) == '6',
+      s"row $rid: not a P6 PPM payload")
+    var p = 2
+    def skipSpace(): Unit = {
+      var more = true
+      while (more && p < b.length) {
+        val c = b(p)
+        if (c == ' ' || c == '\n' || c == '\t' || c == '\r') p += 1
+        else if (c == '#') { while (p < b.length && b(p) != '\n') p += 1 } // comment to EOL
+        else more = false
+      }
+    }
+    def parseInt(): Int = {
+      skipSpace()
+      require(p < b.length && b(p) >= '0' && b(p) <= '9', s"row $rid: bad PPM header int at byte $p")
+      var v = 0
+      while (p < b.length && b(p) >= '0' && b(p) <= '9') {
+        v = v * 10 + (b(p) - '0'); p += 1
+        // fail loudly, never wrap: a forged header like 4294967296 would
+        // otherwise overflow to an arbitrary (possibly negative) dimension
+        // and slip past the raster-length require below
+        require(v >= 0 && v <= 100000000, s"row $rid: PPM header int overflows sane bounds")
+      }
+      v
+    }
+    val width = parseInt()
+    val height = parseInt()
+    val maxval = parseInt()
+    // maxval > 255 means 2 bytes per sample (big-endian) per the netpbm
+    // spec — this kernel reads 1-byte samples only, so reject rather than
+    // silently misdecode a 16-bit raster
+    require(maxval > 0 && maxval < 256,
+      s"row $rid: PPM maxval $maxval unsupported (2-byte-per-sample rasters not handled)")
+    p += 1 // exactly ONE whitespace byte separates maxval from raster data
+    val npix = width.toLong * height * 3
+    require(b.length - p >= npix, s"row $rid: raster truncated (${b.length - p} of $npix bytes)")
+    (width, height, maxval, p)
+  }
+
   /** Partition-local REAL decode kernel for PPM (P6) payloads: parses the
     * ASCII header (magic, whitespace/`#` comments, width, height, maxval,
     * single whitespace separator) from the raw bytes, then folds the
@@ -332,42 +441,8 @@ object Multimodal {
       df.select(col(idCol).cast("long").as("id"), col("media")).as[MediaRow]
     typed.mapPartitions(_.map { row =>
       val b = row.media
-      require(b != null && b.length > 2 && b(0) == 'P' && b(1) == '6',
-        s"row ${row.id}: not a P6 PPM payload")
-      var p = 2
-      def skipSpace(): Unit = {
-        var more = true
-        while (more && p < b.length) {
-          val c = b(p)
-          if (c == ' ' || c == '\n' || c == '\t' || c == '\r') p += 1
-          else if (c == '#') { while (p < b.length && b(p) != '\n') p += 1 } // comment to EOL
-          else more = false
-        }
-      }
-      def parseInt(): Int = {
-        skipSpace()
-        require(p < b.length && b(p) >= '0' && b(p) <= '9', s"row ${row.id}: bad PPM header int at byte $p")
-        var v = 0
-        while (p < b.length && b(p) >= '0' && b(p) <= '9') {
-          v = v * 10 + (b(p) - '0'); p += 1
-          // fail loudly, never wrap: a forged header like 4294967296 would
-          // otherwise overflow to an arbitrary (possibly negative) dimension
-          // and slip past the raster-length require below
-          require(v >= 0 && v <= 100000000, s"row ${row.id}: PPM header int overflows sane bounds")
-        }
-        v
-      }
-      val width = parseInt()
-      val height = parseInt()
-      val maxval = parseInt()
-      // maxval > 255 means 2 bytes per sample (big-endian) per the netpbm
-      // spec — this kernel reads 1-byte samples only, so reject rather than
-      // silently misdecode a 16-bit raster
-      require(maxval > 0 && maxval < 256,
-        s"row ${row.id}: PPM maxval $maxval unsupported (2-byte-per-sample rasters not handled)")
-      p += 1 // exactly ONE whitespace byte separates maxval from raster data
+      val (width, height, maxval, p) = ppmHeader(b, row.id)
       val npix = width.toLong * height * 3
-      require(b.length - p >= npix, s"row ${row.id}: raster truncated (${b.length - p} of $npix bytes)")
       val sums = new Array[Long](3)
       var checksum = 0L
       var i = 0

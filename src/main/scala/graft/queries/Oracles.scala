@@ -539,12 +539,48 @@ object Oracles {
        |  FROM ipq p JOIN cells cl ON cl.cell = p.cell WHERE cl.vec_id <> p.qid),
        |$PqScoreTail""".stripMargin
 
-  /** 16×4 equality-join candidate chain ending at `rhp_v`. */
+  /** 8×8 equality-join candidate chain ending at `rhp_v` — the registered
+    * base parameterization since r7 (the 16×4 coarse-band regime is a
+    * spec-level demo only).
+    */
   private val RhpChain =
-    s"""${rhpBucketChain(16, 4)},
+    s"""${rhpBucketChain(8, 8)},
        |rhp_cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |         FROM rhp_buck a JOIN rhp_buck b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
        |$RhpVerify""".stripMargin
+
+  /** The X4d dHash chain, ending at `dh(doc_id, dhash)`. Mirrors
+    * Multimodal.encodePpmPatch (raster = source bytes cycled over 273
+    * positions + text-prefix bytes cycled over the trailing 78 — the last
+    * two pixel rows) and Multimodal.ppmDHash byte-for-byte:
+    * nearest-neighbor 9×8 grid over the 13×9 raster (px = gx·13//9,
+    * py = gy·9//8), brightness = r+g+b, bit gy·8+gx = strict
+    * right-minus-left gradient sign, assembled through HUGEINT with the
+    * same two's-complement fold as the simhash twin.
+    */
+  private val DHashChain =
+    s"""img AS (SELECT doc_id,
+       |    md5(coalesce(source, '')) AS b0,
+       |    coalesce(nullif(substr(text, 1, 12), ''), 'x') AS p0
+       |  FROM documents),
+       |ihx AS (SELECT doc_id,
+       |    substr(hex(encode(repeat(b0, CAST((273 + octet_length(encode(b0)) - 1) // octet_length(encode(b0)) AS INT)))), 1, 546) ||
+       |    substr(hex(encode(repeat(p0, CAST((78 + octet_length(encode(p0)) - 1) // octet_length(encode(p0)) AS INT)))), 1, 156) AS hx
+       |  FROM img),
+       |grid AS (SELECT doc_id, gy, gx,
+       |    ('0x' || substr(hx, 2*(((gy*9//8)*13 + (gx*13//9))*3) + 1, 2))::BIGINT
+       |  + ('0x' || substr(hx, 2*(((gy*9//8)*13 + (gx*13//9))*3 + 1) + 1, 2))::BIGINT
+       |  + ('0x' || substr(hx, 2*(((gy*9//8)*13 + (gx*13//9))*3 + 2) + 1, 2))::BIGINT AS bright
+       |  FROM ihx CROSS JOIN generate_series(0, 7) ty(gy) CROSS JOIN generate_series(0, 8) tx(gx)),
+       |dbits AS (SELECT a.doc_id, a.gy*8 + a.gx AS i,
+       |    CASE WHEN b.bright > a.bright THEN 1 ELSE 0 END AS bit
+       |  FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+       |  WHERE a.gx < 8),
+       |dh AS (SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+       |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS dhash
+       |  FROM (SELECT doc_id, sum(CASE WHEN bit = 1 THEN
+       |      (CASE WHEN i = 63 THEN 9223372036854775808::HUGEINT ELSE ((1::BIGINT << i))::HUGEINT END)
+       |      ELSE 0::HUGEINT END) AS s FROM dbits GROUP BY 1))""".stripMargin
 
   /** Minhash pairs closed into components: appends the symmetric edge
     * list, recursive reachability and min-label CTEs to [[minhashChain]];
@@ -852,7 +888,7 @@ object Oracles {
     // Mirrors Similarity.randomHyperplaneNearDupPairs: identical md5-seeded
     // hyperplane components (first 8 md5 hex chars of "hp_<k>_<i>" over 2^31,
     // zero-centered — dyadic rationals, bit-exact in double), projections
-    // rounded to 6dp before the sign test, 16 bands x 4 sign bits, exact
+    // rounded to 6dp before the sign test, 8 bands x 8 sign bits, exact
     // cosine verification on candidates. CTE chain shared with x2_rhp_recall.
     "x2_rhp_near_dup" ->
       s"""WITH $RhpChain
@@ -1069,6 +1105,24 @@ object Oracles {
         |  round(list_sum(b)*1.0/(w*h), 6) AS mean_b,
         |  CAST(list_sum(r) + list_sum(g) + list_sum(b) AS BIGINT) AS px_checksum
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.ppmDHash over the encodePpmPatch fixture (see
+    // DHashChain): the 64-bit perceptual hash is pure integer math, so the
+    // twin reproduces it bit-for-bit.
+    "x4_dhash" ->
+      s"""WITH $DHashChain
+         |SELECT doc_id, dhash FROM dh ORDER BY doc_id""".stripMargin,
+
+    // Image near-dup pairs via the ALL-PAIRS form: the Spark side runs the
+    // banded pigeonhole LSH plan, which is exactly equal to all-pairs at
+    // hamming <= maxHamming (recall 1 by construction) — the hash gate
+    // proves the banded plan loses nothing.
+    "x4_image_near_dup" ->
+      s"""WITH $DHashChain
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+         |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 8 ORDER BY 1, 2""".stripMargin,
 
     // Mirrors Multimodal.encodeWav + decodeWav: samples are 16-bit LE
     // signed ints over the cycled text bytes (2 bytes each, recovered from
@@ -1928,15 +1982,16 @@ object Oracles {
          |FROM r ORDER BY curriculum_key""".stripMargin,
 
     // Mirrors Similarity.semanticContaminationReport at 16 bands x 8 bits,
-    // threshold 0.3: benchmark = vec_id % 25 = 0, corpus = the rest; band
-    // buckets from the shared rhp chain, candidates on (band, bucket)
-    // equality across the two sides, exact-cosine verification, per-corpus-
-    // vector hit count + max cosine.
+    // threshold 0.3: benchmark = the FIXED slice vec_id < 80 (constant at
+    // any sf, like a real eval suite), corpus = the rest; band buckets from
+    // the shared rhp chain, candidates on (band, bucket) equality across
+    // the two sides, exact-cosine verification, per-corpus-vector hit
+    // count + max cosine.
     "x2_semantic_decon" ->
       s"""WITH ${rhpBucketChain(16, 8)},
          |rhp_cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM rhp_buck a JOIN rhp_buck b ON a.band = b.band AND a.bkt = b.bkt
-         |  WHERE a.vec_id % 25 <> 0 AND b.vec_id % 25 = 0),
+         |  WHERE a.vec_id >= 80 AND b.vec_id < 80),
          |$RhpVerify
          |SELECT id_a AS vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
          |  max(cosine) AS max_cosine

@@ -482,15 +482,20 @@ object Queries {
       blockCol = Some("label"))
       .orderBy("id_a", "id_b")
 
-  /** X2 scale path for embeddings: random-hyperplane LSH (16 bands x 4 bits)
-    * with exact-cosine verification — no all-pairs join anywhere; candidate
-    * recall ~0.94 at cosine 0.4 per the sign-LSH collision formula. The
-    * md5-seeded hyperplanes are portable, so the DuckDB twin mirrors the
-    * full two-stage plan and this is hash-checked, not rows-only.
+  /** X2 scale path for embeddings: random-hyperplane LSH with exact-cosine
+    * verification — no all-pairs join anywhere. Registered at 8 bands ×
+    * 8 sign bits, the high-bit regime whose background collision rate
+    * (2^-8 per band) keeps the candidate set linear at corpus scale; the
+    * 16×4 coarse-band parameterization this replaced (r7) sits in a
+    * documented quadratic regime (SCALING.md r5/r6: exp 1.15–1.18) and
+    * survives only as the function default + OpsSpec regime demo, never a
+    * registered plan — the multiprobe twin got the same treatment in r6.
+    * The md5-seeded hyperplanes are portable, so the DuckDB twin mirrors
+    * the full two-stage plan and this is hash-checked, not rows-only.
     */
   private def x2RhpNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.randomHyperplaneNearDupPairs(t(spark, dir, "embeddings"),
-      threshold = 0.4, dim = 64)
+      threshold = 0.4, dim = 64, bands = 8, bitsPerBand = 8)
       .orderBy("id_a", "id_b")
 
   /** X2 RHP at its SCALE-form knobs: 8 bands × 8 sign bits, threshold 0.45.
@@ -574,7 +579,8 @@ object Queries {
   private def x2RhpRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val truth = Similarity.embeddingNearDupPairs(emb, threshold = 0.4, blockCol = None)
-    val found = Similarity.randomHyperplaneNearDupPairs(emb, threshold = 0.4, dim = 64)
+    val found = Similarity.randomHyperplaneNearDupPairs(emb, threshold = 0.4, dim = 64,
+      bands = 8, bitsPerBand = 8)
     Similarity.pairRecall(truth, found, threshold = 0.4)
   }
 
@@ -961,6 +967,53 @@ object Queries {
         round(col("mean_b"), 6).as("mean_b"), col("px_checksum"))
       .orderBy("doc_id")
   }
+
+  /** The shared X4d image fixture: every document becomes a genuine P6
+    * payload whose raster cycles the SOURCE string except for a 78-byte
+    * trailing patch (the last two pixel rows) cycled from the doc's text
+    * prefix — "the same picture with a small local edit" within a source,
+    * unrelated pictures across sources. 13×9 pixels so the 9×8 dHash grid
+    * exercises real nearest-neighbor downsampling (13/9 and 9/8 are
+    * non-integral); the patch must reach row 7 — a row the grid samples
+    * (py = gy·9/8 covers 0..7, never row 8) — so edits are VISIBLE to the
+    * hash but confined to one grid row (≤ 8 of 64 bits).
+    */
+  private def dhashMedia(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      // md5(source) as the base pattern: raw source names ("src3"/"src4")
+      // differ by one byte per cycle, leaving cross-source rasters a few
+      // gradient bits apart — hashing decorrelates distinct bases so only
+      // same-source images are perceptual neighbors
+      Multimodal.encodePpmPatch(md5(coalesce(col("source"), lit("")).cast("binary")),
+        substring(col("text"), 1, 12),
+        w = 13, h = 9, patchBytes = 78).as("media"))
+
+  /** X4d: perceptual dHash of every image — the decode kernel parses the
+    * P6 header for real and the 64-bit hash is pure integer math (grid
+    * sample, brightness sum, strict gradient sign), so the DuckDB twin
+    * rebuilds it bit-for-bit and any header/offset/grid bug breaks the
+    * hash gate.
+    */
+  private def x4DHash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.ppmDHash(dhashMedia(spark, dir), "doc_id")
+      .select(col("id").as("doc_id"), col("dhash"))
+      .orderBy("doc_id")
+
+  /** X4d: image near-dup pairs — dHash + the banded 64-bit Hamming
+    * self-join shared with SimHash ([[Dedup.hamming64NearDupPairs]]):
+    * pigeonhole chunking (9 chunks for maxHamming 8) keeps recall exactly
+    * 1 while only images agreeing on a full chunk ever meet, and
+    * `bit_count(xor)` verification keeps precision exact — the corpus-
+    * scale visual-dedup plan (16 bytes/image shuffles, pixels never do).
+    * The oracle verifies via the all-pairs form: at fixture scale the two
+    * are equal BY THE PIGEONHOLE GUARANTEE, so the hash gate proves the
+    * banded plan loses nothing.
+    */
+  private def x4ImageNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hamming64NearDupPairs(
+        Multimodal.ppmDHash(dhashMedia(spark, dir), "doc_id"), "id", "dhash", maxHamming = 8)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
 
   /** X4 real decode, audio flavor: every document becomes a genuine
     * RIFF/WAVE payload (44-byte canonical header + 16-bit LE PCM cycled
@@ -1422,18 +1475,24 @@ object Queries {
     Sampling.curriculumOrder(q, "doc_id", col("quality_score"), buckets = 6)
   }
 
-  /** X2sc: semantic decontamination report — corpus vectors (vec_id % 25
-    * != 0) within cosine 0.3 of any benchmark vector (vec_id % 25 == 0),
-    * via broadcast banded sign-LSH + exact verification. Knobs: 16 bands ×
-    * 8 bits — the high-bit regime (background collision rate 2^-8 per
-    * band) with the band count supplying recall, which is the axis that
-    * matters for a contamination GUARD (a missed near-benchmark doc leaks
-    * into training; a spurious candidate just costs one exact cosine).
+  /** X2sc: semantic decontamination report — corpus vectors (vec_id >= 80)
+    * within cosine 0.3 of any benchmark vector (vec_id < 80), via
+    * broadcast banded sign-LSH + exact verification. The benchmark side is
+    * a FIXED 80-vector slice — constant at every sf, exactly like a real
+    * eval suite — so the registered plan's candidate product scales
+    * linearly in the corpus (the r6 registration's `% 25` benchmark grew
+    * with the fixture, making the registered form quadratic-in-fixture;
+    * the deployment contract was only measured out-of-band in
+    * tools/AnnScaleProbe). Knobs: 16 bands × 8 bits — the high-bit regime
+    * (background collision rate 2^-8 per band) with the band count
+    * supplying recall, which is the axis that matters for a contamination
+    * GUARD (a missed near-benchmark doc leaks into training; a spurious
+    * candidate just costs one exact cosine).
     */
   private def x2SemanticDecon(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.semanticContaminationReport(
-        emb.where(col("vec_id") % 25 =!= 0), emb.where(col("vec_id") % 25 === 0),
+        emb.where(col("vec_id") >= 80), emb.where(col("vec_id") < 80),
         threshold = 0.3, dim = 64, bands = 16, bitsPerBand = 8)
       .orderBy("vec_id")
   }
@@ -1497,6 +1556,8 @@ object Queries {
     "x4_byte_features" -> (x4ByteFeatures _),
     "x4_decode_ppm" -> (x4DecodePpm _),
     "x4_decode_wav" -> (x4DecodeWav _),
+    "x4_dhash" -> (x4DHash _),
+    "x4_image_near_dup" -> (x4ImageNearDup _),
     "x6_clean_corpus" -> (x6CleanCorpus _),
     "x6_vocab_topk" -> (x6VocabTopk _),
     "j_asof_attribution" -> (jAsofAttribution _),

@@ -747,6 +747,40 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.wavFrameEnergy(empty, "doc_id", frameLen = 2).count() == 0L)
   }
 
+  test("X4d ppm dHash: identical images hash equal, patch edits stay in one grid row, banded join == all-pairs") {
+    import graft.ops.{Dedup, Multimodal}
+    val docs = Seq(
+      (0L, "srcA", "patch-one-xyz plus tail"),
+      (1L, "srcA", "patch-one-xyz plus tail"), // identical image to 0
+      (2L, "srcA", "patch-TWO-qrs different"), // same base, edited patch
+      (3L, "srcLongerB", "patch-one-xyz plus tail") // different base image
+    ).toDF("doc_id", "source", "text")
+    val media = docs.select(col("doc_id"),
+      Multimodal.encodePpmPatch(col("source"), substring(col("text"), 1, 12),
+        w = 13, h = 9, patchBytes = 78).as("media"))
+    val dh = Multimodal.ppmDHash(media, "doc_id").as[(Long, Long)].collect().toMap
+    assert(dh(0L) == dh(1L), "same base + same patch must hash identically")
+    val edit = dh(0L) ^ dh(2L)
+    val editBits = java.lang.Long.bitCount(edit)
+    // the 78-byte patch controls raster rows 7-8; only row 7 is sampled, so
+    // an edit can move at most the 8 bits of grid row gy=7 (bits 56..63)
+    assert(editBits > 0 && editBits <= 8, s"patch edit moved $editBits bits")
+    assert((edit & ((1L << 56) - 1)) == 0L,
+      f"edit leaked below grid row 7: $edit%016x")
+    assert(java.lang.Long.bitCount(dh(0L) ^ dh(3L)) > 8,
+      "different base images must sit beyond the near-dup bound")
+    // the banded pigeonhole join returns EXACTLY the all-pairs result
+    val dhDf = Multimodal.ppmDHash(media, "doc_id")
+    val pairs = Dedup.hamming64NearDupPairs(dhDf, "id", "dhash", maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    graft.ops.OpCaches.release()
+    val brute = (for {
+      a <- dh.keys; b <- dh.keys if a < b
+      h = java.lang.Long.bitCount(dh(a) ^ dh(b)) if h <= 8
+    } yield (a, b, h)).toSet
+    assert(pairs == brute, s"banded=$pairs brute=$brute")
+  }
+
   test("X6z zipf fit: exact power-law corpus recovers alpha=2 with r2=1") {
     // frequencies 36, 9, 4 at ranks 1, 2, 3 lie exactly on f = 36*r^-2
     val text = (Seq.fill(36)("aa") ++ Seq.fill(9)("bb") ++ Seq.fill(4)("cc")).mkString(" ")

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.ops.Similarity
+
+/** Native codegen'd expressions vs their interpreted HOF twins: the two
+  * formulations must be BIT-IDENTICAL on every shape (the oracle hash gate
+  * depends on swapping one for the other being invisible).
+  */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofAgree(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, e) => acc + e)
+
+  test("graft_sig_agree equals the interpreted zip_with form on all edge shapes") {
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),          // partial agreement
+      (Seq(1L, 2L), Seq(1L, 2L)),                          // full agreement
+      (Seq.empty[Long], Seq(1L, 2L)),                      // empty side
+      (Seq(5L, 6L, 7L), Seq(5L, 6L)),                      // length mismatch: tail ignored
+      (Seq(0L, -1L, Long.MaxValue), Seq(0L, -1L, Long.MaxValue))
+    ).toDF("a", "b")
+    val both = rows.select(
+      call_function("graft_sig_agree", col("a"), col("b")).as("native"),
+      hofAgree(col("a"), col("b")).as("hof")).collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1), s"mismatch: $r"))
+    assert(both.map(_.getInt(0)).toSeq == Seq(3, 2, 0, 2, 3))
+  }
+
+  test("graft_sig_agree null elements contribute 0, like the HOF form") {
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, null, 3L))
+    ).toDF("a", "b")
+    val r = rows.select(
+      call_function("graft_sig_agree", col("a"), col("b")).as("native"),
+      hofAgree(col("a"), col("b")).as("hof")).collect().head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2, s"null==null must NOT count: $r")
+  }
+
+  test("graft_dot equals the interpreted HOF fallback bit-for-bit on equal lengths") {
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      (Seq(0.5f, -1.25f, 2.0f), Seq(4.0f, 0.5f, -0.125f)),
+      (Seq.empty[Float], Seq.empty[Float])
+    ).toDF("a", "b")
+    val both = rows.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"bit mismatch: $r")
+    }
+    // mismatched lengths: the native expression's shorter-prefix contract
+    // (zip_with would pad with nulls and annihilate the HOF sum — vectors
+    // in every registered plan are equal-length, so the forms agree there)
+    val prefix = Seq((Seq(1.5f, 2.5f), Seq(3.0f))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(prefix == 4.5)
+  }
+
+  test("graft_sig_agree type check rejects non-integral and mixed element types") {
+    GraftFunctions.register(spark)
+    val bad = Seq((Seq(1.0, 2.0), Seq(1L, 2L))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      bad.select(call_function("graft_sig_agree", col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("graft_sig_agree"))
+  }
+}
