@@ -167,6 +167,34 @@ object Components {
     connectedComponents(pairs, aCol, bCol, maxIter, driverEdgeLimit)
       .select(col("id"), col("component"), (col("id") === col("component")).as("is_keeper"))
 
+  /** Dedup clusters under the KEEP-BEST policy: keeper = the cluster
+    * member with the highest `score` (ties → min id) instead of the min
+    * id — the policy a curation pipeline actually wants ("among the
+    * near-duplicates keep the longest / highest-quality copy", RefinedWeb
+    * §3.3 posture), where keep-min would keep whichever duplicate happens
+    * to carry the smallest id.
+    *
+    * `scores` is an (idCol, scoreCol) table; only cluster MEMBERS join it
+    * (pair-list-sized, not corpus-sized), and the per-cluster argmax is
+    * one window over that member table partitioned by component — bounded
+    * by the dedup fan-in, never a corpus-scale sort.
+    *
+    * Output: (id, component, score, is_keeper) — one row per clustered
+    * doc, exactly one keeper per component.
+    */
+  def keepBestClusters(pairs: DataFrame, scores: DataFrame,
+                       idCol: String, scoreCol: String,
+                       aCol: String = "id_a", bCol: String = "id_b",
+                       maxIter: Int = 20, driverEdgeLimit: Long = 4000000L): DataFrame = {
+    val members = connectedComponents(pairs, aCol, bCol, maxIter, driverEdgeLimit)
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("score")), Seq("id"))
+    members
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+          .orderBy(col("score").desc, col("id"))))
+      .select(col("id"), col("component"), col("score"), (col("__rk") === 1).as("is_keeper"))
+  }
+
   /** The APPLY step: the corpus minus every non-keeper cluster member —
     * rows never mentioned in the pair list survive untouched, each cluster
     * keeps exactly its min-id member. The drop list (non-keepers) is the

@@ -398,10 +398,31 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_grams"),
-        round((sum(col("__lp").cast(DecimalType(18, 6))).cast("double") / count(lit(1))), 6)
-          .as("lm_score"),
-        round(sum(col("__oov")).cast("double") / count(lit(1)), 6).as("oov_frac"))
+        // micros: DECIMAL(18,6)·10^6 is an exact integer, so the mean can
+        // round exactly instead of via double-divide-then-round (whose
+        // quotient can land ON the .xxxxxx5 shortest-repr boundary and
+        // round differently across engines — observed on 1 of 5000 docs
+        // at the sf0.1 gate, FIXTURES.md r7)
+        sum((col("__lp").cast(DecimalType(18, 6)) * 1000000).cast("long")).as("__su"),
+        sum(col("__oov")).as("__oo"))
+      .select(col(idCol), col("n_grams"),
+        (halfUpRatio(col("__su"), col("n_grams")).cast("double") / 1000000.0).as("lm_score"),
+        (halfUpRatio(col("__oo") * 1000000L, col("n_grams")).cast("double") / 1000000.0)
+          .as("oov_frac"))
   }
+
+  /** Exact HALF_UP (away-from-zero) rounding of the rational s/n to the
+    * nearest integer — the engine-portable form of "divide then round to a
+    * fixed scale" for integral s (micros) and positive n. `floor` over
+    * double is exact here: operands stay far below 2^53 (|s| ≲ 2·10^15
+    * even for 10^8-gram documents) and the quotient granularity 1/(2n)
+    * dwarfs one ulp; the DuckDB twin uses integer `//` on the same
+    * integers, which agrees by the same argument.
+    */
+  private def halfUpRatio(s: Column, n: Column): Column =
+    when(s >= 0, floor((s * 2 + n).cast("double") / (n * 2)))
+      .otherwise(-floor(((s * -1) * 2 + n).cast("double") / (n * 2)))
+      .cast("long")
 
   /** Per-document TF-IDF keyword extraction: the `k` highest-scoring word
     * tokens of each document under the sklearn-style smoothed IDF
@@ -536,6 +557,59 @@ object TextAnalysis {
     *
     * Output: one row (n_types, n_tokens, alpha, intercept, r2), 6 dp.
     */
+  /** X6pm: PMI collocations — the top-k adjacent word pairs by pointwise
+    * mutual information, the classic corpus-analysis signal for
+    * multi-word expressions (Church & Hanks, CL'90) and a template /
+    * boilerplate detector (machine-generated corpora over-represent a few
+    * collocations).
+    *
+    * Scale shape: bigrams are built map-side from the per-doc word array
+    * (`transform` over an index sequence — no window, no self-join, no
+    * per-doc shuffle), then ONE count agg per table (unigram, bigram; both
+    * map-side combined and vocabulary-bounded) plus two one-row totals
+    * that ride a broadcast cross join. The final ranking runs over the
+    * min-count-filtered bigram spine only — TakeOrderedAndProject, never a
+    * corpus-scale sort. The corpus is touched exactly once.
+    *
+    * Portability: PMI = ln(c_ab·N²/(B·c_a·c_b)) is assembled from the five
+    * 6-dp-rounded lns combined in exact DECIMAL(18,6) arithmetic (the
+    * x5_lm_score discipline — each ln agrees across engines only to 1 ulp,
+    * the decimal combination is then exact), so the ranking key is
+    * bit-stable; ties break on (w1, w2).
+    *
+    * Output: top-k (w1, w2, n_pair, pmi), pmi descending.
+    */
+  def pmiCollocations(df: DataFrame, text: Column,
+                      minCount: Long = 5, topK: Int = 50): DataFrame = {
+    val ws = OpCaches.pin(df.select(words(text).as("__ws")))
+    val uni = ws.select(explode(col("__ws")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__ca"))
+    // bigram counts are pinned: the total B (over ALL bigrams — the PMI
+    // denominator is the full event space, not the min-count survivors)
+    // and the ranked spine both read them
+    val bigAll = OpCaches.pin(ws.where(size(col("__ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__ws")) - 2),
+        i => struct(element_at(col("__ws"), i + 1).as("w1"),
+          element_at(col("__ws"), i + 2).as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__cab")))
+    val big = bigAll.where(col("__cab") >= minCount)
+    // one-row totals: vocabulary-bounded aggregates, broadcast back
+    val totals = broadcast(uni.agg(sum(col("__ca")).as("__n")))
+    val bTotal = broadcast(bigAll.agg(sum(col("__cab")).as("__b")))
+    def lnr(c: Column) = round(log(c.cast("double")), 6).cast(DecimalType(18, 6))
+    big
+      .join(uni.select(col("__w").as("w1"), col("__ca").as("__c1")), "w1")
+      .join(uni.select(col("__w").as("w2"), col("__ca").as("__c2")), "w2")
+      .crossJoin(totals).crossJoin(bTotal)
+      .select(col("w1"), col("w2"), col("__cab").as("n_pair"),
+        (lnr(col("__cab")) + lnr(col("__n")) + lnr(col("__n"))
+          - lnr(col("__b")) - lnr(col("__c1")) - lnr(col("__c2")))
+          .cast("double").as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   def zipfFit(df: DataFrame, text: Column): DataFrame = {
     val counts = df.select(explode(words(text)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("__f"))

@@ -960,10 +960,22 @@ object Oracles {
     // k-means path's recall clears its 0.2 floor. The fit itself is the
     // only remaining ungated surface (the raw recall values stay in the
     // rows-only x3_ivf_recall).
+    // The flag is RECOMPUTED, not pinned: since the r6 engine-portable
+    // maxmin fit the twin replays the whole k-means IVF search, so
+    // recall_ok = (recall >= 0.2) evaluates on both sides and the gate is
+    // scale-independent (a pinned TRUE was calibrated on the sf0.01
+    // fixture and broke at the sf0.1 gate — FIXTURES.md r7).
     "x3_ivf_recall_gate" ->
-      s"""WITH $KnnTruthChain
-         |SELECT qid AS query_id, CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
-         |FROM ranked WHERE rn <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH ${kmeansCellChain()},
+         |$IvfSearchChain,
+         |$KnnTruthChain,
+         |tr AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
+         |iv AS (SELECT qid, nid FROM ivfr WHERE rn <= 5),
+         |ne AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM tr GROUP BY 1),
+         |nh AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_hits FROM tr t JOIN iv v USING (qid, nid) GROUP BY 1)
+         |SELECT ne.qid AS query_id, ne.n_exact,
+         |  (round(CAST(coalesce(nh.n_hits, 0) AS DOUBLE) / ne.n_exact, 6) >= 0.2) AS recall_ok
+         |FROM ne LEFT JOIN nh USING (qid) ORDER BY 1""".stripMargin,
 
     // Mirrors Similarity.lshCells + ivfTopK end to end: cells = 4 sign bits
     // of RHP band 0 (rhpBucketChain(1,4)); centroids = per-dimension exact
@@ -1461,6 +1473,73 @@ object Oracles {
       s"""WITH RECURSIVE ${componentsChain("documents")}
          |SELECT id, component, id = component AS is_keeper FROM comp ORDER BY id""".stripMargin,
 
+    // Mirrors Components.keepBestClusters over the same minhash pairs:
+    // identical recursive closure, then the argmax-tokens window (ties ->
+    // min id) — the POLICY sits under the gate, not just the clustering.
+    "x7_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${componentsChain("documents")},
+         |tokc AS (SELECT doc_id, CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS ntk
+         |        FROM documents),
+         |krk AS (SELECT c.id, c.component, t.ntk AS score,
+         |        row_number() OVER (PARTITION BY c.component ORDER BY t.ntk DESC, c.id) AS rn
+         |      FROM comp c JOIN tokc t ON t.doc_id = c.id)
+         |SELECT id, component, score, (rn = 1) AS is_keeper FROM krk ORDER BY id""".stripMargin,
+
+    // Mirrors TextAnalysis.pmiCollocations: map-side adjacent bigrams, one
+    // unigram + one bigram count agg, B = the UNFILTERED bigram total, PMI
+    // assembled from five 6-dp lns in exact DECIMAL(18,6) (x5_lm_score
+    // discipline), top-50 by (pmi DESC, w1, w2) at min pair count 5.
+    "x6_pmi" ->
+      s"""WITH w AS (SELECT $wordsOf AS ws FROM documents),
+         |tok AS (SELECT unnest(ws) AS w FROM w),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+         |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+         |bgl AS (SELECT unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) AS g
+         |       FROM w WHERE len(ws) >= 2),
+         |big AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+         |        CAST(count(*) AS BIGINT) AS cab FROM bgl GROUP BY 1, 2),
+         |bt AS (SELECT CAST(sum(cab) AS BIGINT) AS bn FROM big),
+         |p AS (SELECT f.w1, f.w2, f.cab AS n_pair, CAST(
+         |      CAST(round(ln(CAST(f.cab AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |    + CAST(round(ln(CAST(nt.n AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |    + CAST(round(ln(CAST(nt.n AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |    - CAST(round(ln(CAST(bt.bn AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |    - CAST(round(ln(CAST(u1.c AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |    - CAST(round(ln(CAST(u2.c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+         |   FROM big f JOIN uni u1 ON f.w1 = u1.w JOIN uni u2 ON f.w2 = u2.w
+         |   CROSS JOIN nt CROSS JOIN bt
+         |   WHERE f.cab >= 5)
+         |SELECT w1, w2, n_pair, pmi FROM p ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // Mirrors x8CurationV6. Visual exact-dedup (dHash, maxHamming 0): the
+    // Spark side runs pairs -> union-find -> argmax, but hamming-0
+    // components are exactly dhash EQUALITY CLASSES (equality is
+    // transitive), so the twin groups by dhash — the gate proves the real
+    // machinery collapses to equality classes. Then the x5_gopher_rules
+    // keep conjunction and the strict 800-token-per-source quota, both
+    // copied verbatim from their per-stage twins.
+    "x8_curation_v6" ->
+      s"""WITH $DHashChain,
+         |vtok AS (SELECT doc_id, CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS ntk
+         |        FROM documents),
+         |vgrp AS (SELECT dh.doc_id, dh.dhash, t.ntk,
+         |        count(*) OVER (PARTITION BY dh.dhash) AS gn,
+         |        row_number() OVER (PARTITION BY dh.dhash ORDER BY t.ntk DESC, dh.doc_id) AS rn
+         |      FROM dh JOIN vtok t USING (doc_id)),
+         |keepv AS (SELECT doc_id, ntk FROM vgrp WHERE gn = 1 OR rn = 1),
+         |b AS (SELECT d.doc_id, $norm AS nt FROM documents d JOIN keepv USING (doc_id)),
+         |$GopherChain,
+         |gk AS (SELECT m.doc_id FROM m LEFT JOIN rep ON rep.doc_id = m.doc_id
+         |      WHERE $GopherKeep),
+         |qq AS (SELECT d.source, d.doc_id, k.ntk AS n_tokens, $hashUnit AS u
+         |      FROM documents d JOIN gk USING (doc_id) JOIN keepv k USING (doc_id)),
+         |qc AS (SELECT source, doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM qq)
+         |SELECT source, doc_id, n_tokens, cum_tokens FROM qc
+         |WHERE cum_tokens <= 800 ORDER BY source, cum_tokens""".stripMargin,
+
     // Patterns interpolated from TextAnalysis.PiiPatterns so the two
     // engines can never drift; 'g' mirrors Spark's replace-all default.
     "x5_pii_scrub" -> {
@@ -1543,11 +1622,16 @@ object Oracles {
     // shared with x8_curation_v2 ([[LmChain]]).
     "x5_lm_score" ->
       s"""WITH b AS (SELECT doc_id, $norm AS nt FROM documents),
-         |$LmChain
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         |  round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS lm_score,
-         |  round(sum(oov)*1.0 / count(*), 6) AS oov_frac
-         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+         |$LmChain,
+         |lma AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(CAST(lp AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS su,
+         |    CAST(sum(oov) AS BIGINT) AS oo
+         |  FROM j GROUP BY 1)
+         |SELECT doc_id, n AS n_grams,
+         |  CAST(CASE WHEN su >= 0 THEN (2*su + n) // (2*n)
+         |       ELSE -((2*(-su) + n) // (2*n)) END AS DOUBLE) / 1000000.0 AS lm_score,
+         |  CAST((2*oo*1000000 + n) // (2*n) AS DOUBLE) / 1000000.0 AS oov_frac
+         |FROM lma ORDER BY doc_id""".stripMargin,
 
     // Mirrors TextAnalysis.gopherRules (minWords=30, alpha>=0.8,
     // top_word<=0.15): per-rule verdicts over the SAME 6-dp-rounded metrics
@@ -1635,8 +1719,12 @@ object Oracles {
          |gk AS (SELECT m.doc_id FROM m LEFT JOIN rep ON rep.doc_id = m.doc_id
          |      WHERE $GopherKeep),
          |$LmChain,
-         |ls AS (SELECT doc_id FROM j GROUP BY 1
-         |      HAVING round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) >= -5.43),
+         |lsa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |      sum(CAST(CAST(lp AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS su
+         |    FROM j GROUP BY 1),
+         |ls AS (SELECT doc_id FROM lsa
+         |      WHERE (CASE WHEN su >= 0 THEN (2*su + n) // (2*n)
+         |             ELSE -((2*(-su) + n) // (2*n)) END) >= -5430000),
          |fd AS (SELECT d.* FROM documents d JOIN gk USING (doc_id) JOIN ls USING (doc_id)),
          |mc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM fd GROUP BY lang),
          |mt AS (SELECT sum(n) AS tot FROM mc),

@@ -1157,6 +1157,59 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X7kb: dedup clusters under the KEEP-BEST policy — the same minhash
+    * pair list as x7_dedup_clusters closed into components, but the keeper
+    * is the member with the most tokens (ties → min id): "among the
+    * near-duplicates keep the longest copy". The DuckDB twin recomputes
+    * pairs, closes them with the recursive CTE, and replays the argmax
+    * window, so the POLICY is hash-checked, not just the clustering.
+    */
+  private def x7DedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", col("text"),
+      shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5)
+    val scores = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Components.keepBestClusters(pairs, scores, "doc_id", "n_tokens").orderBy("id")
+  }
+
+  /** X6pm: PMI collocations — top-50 adjacent word pairs by pointwise
+    * mutual information at min pair count 5. Bigrams are map-side
+    * (transform over the word array, no window/self-join); PMI assembles
+    * five 6-dp lns in exact DECIMAL (the x5_lm discipline) so the ranking
+    * key is engine-portable.
+    */
+  private def x6Pmi(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(t(spark, dir, "documents"), col("text"),
+      minCount = 5, topK = 50)
+
+  /** X8f: composed pipeline v6 — the first MULTIMODAL composition: exact
+    * visual dedup (dHash equality via the banded join at maxHamming 0 —
+    * a pure hash equi-join) keeping the most-token copy per image cluster
+    * ([[Components.keepBestClusters]]), then the Gopher rule gate at the
+    * registered knobs, then the strict 800-token-per-source quota. The
+    * oracle exploits that hamming-0 components are dhash equality classes
+    * (equality is transitive — no recursive CTE needed), while the Spark
+    * side runs the real pairs → union-find → argmax machinery, so the
+    * gate also proves that machinery collapses to equality classes.
+    */
+  private def x8CurationV6(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val dh = Multimodal.ppmDHash(dhashMedia(spark, dir), "doc_id")
+    val pairs = Dedup.hamming64NearDupPairs(dh, "id", "dhash", maxHamming = 0)
+    val scores = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("__ntk"))
+    val drop = Components.keepBestClusters(pairs, scores, "doc_id", "__ntk")
+      .where(!col("is_keeper")).select(col("id").as("doc_id"))
+    val visKept = docs.join(drop, Seq("doc_id"), "left_anti")
+    val gKept = TextAnalysis.gopherRules(visKept, "doc_id", col("text"),
+        minWords = 30, minAlphaRatio = 0.8, maxTopWordFrac = 0.15)
+      .where(col("keep")).select("doc_id")
+    Sampling.tokenQuota(visKept.join(gKept, Seq("doc_id")), "doc_id", col("text"),
+        Seq("source"), budget = 800L, strict = true)
+      .orderBy("source", "cum_tokens")
+  }
+
   /** X7: sequence packing placement — concat-and-chunk into 512-token
     * sequences per source shard; every document's stream offset and
     * spanned sequence ids from pure window arithmetic.
@@ -1571,6 +1624,9 @@ object Queries {
     "x7_decontaminate" -> (x7Decontaminate _),
     "x7_dedup_clusters" -> (x7DedupClusters _),
     "x7_dedup_apply" -> (x7DedupApply _),
+    "x7_dedup_keep_best" -> (x7DedupKeepBest _),
+    "x6_pmi" -> (x6Pmi _),
+    "x8_curation_v6" -> (x8CurationV6 _),
     "x5_pii_scrub" -> (x5PiiScrub _),
     "x5_repetition" -> (x5Repetition _),
     "x5_collapse_repeats" -> (x5CollapseRepeats _),

@@ -781,6 +781,35 @@ class OpsSpec extends SparkSpec {
     assert(pairs == brute, s"banded=$pairs brute=$brute")
   }
 
+  test("X6pm PMI collocations: fixed pair outranks independent pairs, min count gates") {
+    // "aa bb" always adjacent (8x); "cc" and "dd" co-occur with everything
+    val docs = (1 to 8).map(i => (i.toLong, s"aa bb cc dd ee$i")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, col("text"), minCount = 5, topK = 10)
+      .select("w1", "w2", "n_pair", "pmi")
+      .as[(String, String, Long, Double)].collect()
+    graft.ops.OpCaches.release()
+    // only the 8x pairs clear minCount=5: aa->bb, bb->cc, cc->dd
+    assert(out.map(r => (r._1, r._2)).toSet == Set(("aa", "bb"), ("bb", "cc"), ("cc", "dd")))
+    assert(out.forall(_._3 == 8L))
+    // all three have identical counts -> identical PMI -> (w1, w2) tie order
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq(("aa", "bb"), ("bb", "cc"), ("cc", "dd")))
+    assert(out.map(_._4).distinct.length == 1)
+  }
+
+  test("X7kb keep-best clusters: argmax-score keeper, ties to min id, one keeper per component") {
+    import graft.ops.Components
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "n_tokens")
+    val out = Components.keepBestClusters(pairs, scores, "doc_id", "n_tokens")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // component {1,2,3}: max score 9 shared by 2 and 3 -> keeper = 2 (min id)
+    // component {10,11}: tie at 4 -> keeper = 10
+    assert(out.map(r => (r._1, r._4)).toSeq ==
+      Seq((1L, false), (2L, true), (3L, false), (10L, true), (11L, false)))
+    assert(out.count(_._4) == 2)
+  }
+
   test("X6z zipf fit: exact power-law corpus recovers alpha=2 with r2=1") {
     // frequencies 36, 9, 4 at ranks 1, 2, 3 lie exactly on f = 36*r^-2
     val text = (Seq.fill(36)("aa") ++ Seq.fill(9)("bb") ++ Seq.fill(4)("cc")).mkString(" ")
