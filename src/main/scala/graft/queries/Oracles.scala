@@ -560,7 +560,7 @@ object Oracles {
     */
   private val DHashChain =
     s"""img AS (SELECT doc_id,
-       |    md5(coalesce(source, '')) AS b0,
+       |    md5(CAST(doc_id // 25 AS VARCHAR)) AS b0,
        |    coalesce(nullif(substr(text, 1, 12), ''), 'x') AS p0
        |  FROM documents),
        |ihx AS (SELECT doc_id,

@@ -969,22 +969,26 @@ object Queries {
   }
 
   /** The shared X4d image fixture: every document becomes a genuine P6
-    * payload whose raster cycles the SOURCE string except for a 78-byte
-    * trailing patch (the last two pixel rows) cycled from the doc's text
-    * prefix — "the same picture with a small local edit" within a source,
-    * unrelated pictures across sources. 13×9 pixels so the 9×8 dHash grid
-    * exercises real nearest-neighbor downsampling (13/9 and 9/8 are
-    * non-integral); the patch must reach row 7 — a row the grid samples
-    * (py = gy·9/8 covers 0..7, never row 8) — so edits are VISIBLE to the
-    * hash but confined to one grid row (≤ 8 of 64 bits).
+    * payload whose raster cycles a per-GROUP base pattern (md5 of
+    * doc_id÷25 — 25 docs per base image) except for a 78-byte trailing
+    * patch (the last two pixel rows) cycled from the doc's text prefix —
+    * "the same picture with a small local edit" within a group, unrelated
+    * pictures across groups. The base is keyed by a BOUNDED id block, not
+    * by `source`: cluster SIZE stays 25 at every sf while cluster COUNT
+    * grows with the corpus, so the near-dup pair list scales linearly —
+    * a source-keyed base (20 constant images forever) would make the
+    * registered pair query quadratic-in-fixture, the exact anti-pattern
+    * the r6 decon registration was flagged for. md5 decorrelates distinct
+    * bases (raw block numbers differ by one byte per cycle). 13×9 pixels
+    * so the 9×8 dHash grid exercises real nearest-neighbor downsampling
+    * (13/9 and 9/8 are non-integral); the patch must reach row 7 — a row
+    * the grid samples (py = gy·9/8 covers 0..7, never row 8) — so edits
+    * are VISIBLE to the hash but confined to one grid row (≤ 8 of 64
+    * bits).
     */
   private def dhashMedia(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(col("doc_id"),
-      // md5(source) as the base pattern: raw source names ("src3"/"src4")
-      // differ by one byte per cycle, leaving cross-source rasters a few
-      // gradient bits apart — hashing decorrelates distinct bases so only
-      // same-source images are perceptual neighbors
-      Multimodal.encodePpmPatch(md5(coalesce(col("source"), lit("")).cast("binary")),
+      Multimodal.encodePpmPatch(md5(expr("CAST(doc_id DIV 25 AS STRING)").cast("binary")),
         substring(col("text"), 1, 12),
         w = 13, h = 9, patchBytes = 78).as("media"))
 
