@@ -58,32 +58,60 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    // a filtered run must never be mistaken for a full-registry total
-    val subsetTag = if (only.isDefined) s""","subset":true,"registry":${SparkEntry.queries.size}""" else ""
+    // a filtered run must never be mistaken for a full-registry total; the
+    // registry size is ALWAYS present so trend scripts can sanity-check
+    val subsetTag = s""","subset":${only.isDefined},"registry":${SparkEntry.queries.size}"""
+    // Noise floor: a fixed tiny CPU-bound job timed before every rep. Its
+    // wall-clock has nothing to do with the query under test, so any swing
+    // in the calibration series IS sandbox contention — cross-round
+    // comparisons can gate on it instead of mistaking a loaded machine for
+    // a code regression (r7 post-mortem: 15x phantom slowdowns).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, cpus)
+        .selectExpr("sum(id * 2654435761) as s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm the calibration path itself once
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to reps).map { _ =>
+      val timed = (1 to reps).map { _ =>
+        val cal = calibrate()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            if (!errors.contains(name))
+              errors += (name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+            false
+          }
         val elapsed = (System.nanoTime() - t0) / 1e9 // capture BEFORE cleanup
         // drop operator-internal persisted helpers outside the timed
         // region: the next rep must rebuild them, and the next query must
         // not compete with their blocks for executor memory
         graft.ops.OpCaches.release()
-        if (ok) elapsed else -1.0
+        (if (ok) Some(elapsed) else None, cal)
       }
-      // a query that failed ANY rep is reported failed (-1): partial timings
-      // of a flaky query are not comparable across rounds
-      val best = if (runs.exists(_ < 0)) -1.0 else runs.min
-      (name, best, runs)
+      val runs = timed.map(_._1)
+      val cals = timed.map(_._2)
+      // a query that failed ANY rep is reported failed (null): partial
+      // timings of a flaky query are not comparable across rounds
+      val best = if (runs.exists(_.isEmpty)) None else Some(runs.flatten.min)
+      (name, best, runs, cals)
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val raw = results.map { case (k, _, rs) => "\"" + k + "\":" + rs.map(f3).mkString("[", ",", "]") }.mkString("{", ",", "}")
-    // failures are recorded as -1.0 per query but MUST NOT pollute the total
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    val failed = results.count(_._2 < 0)
+    def f3o(v: Option[Double]): String = v.fold("null")(f3)
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f3o(v) }.mkString("{", ",", "}")
+    val raw = results.map { case (k, _, rs, _) => "\"" + k + "\":" + rs.map(f3o).mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val cal = results.map { case (k, _, _, cs) => "\"" + k + "\":" + cs.map(f3).mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replaceAll("[\\\\\"]", "'").replaceAll("[\\x00-\\x1f]", " ") + "\"" }
+      .mkString("{", ",", "}")
+    // failures are excluded from the total (they are named in "errors")
+    val total = results.flatMap(_._2).sum
+    val failed = results.count(_._2.isEmpty)
     // The driver captures only a 2000-char stdout tail and json-parses it
     // per line; rounds 1-5 all came back "parsed": null because the
     // queries-map summary outgrew the window (r1-r3) or sbt's logger
@@ -92,7 +120,7 @@ object Bench {
     // FILE artifact, the full line prints for humans, and a lean summary
     // (~160 chars, always inside the window) prints LAST.
     val detail =
-      s"""{"metric":"detail","reps":$reps$subsetTag,"mins":$qs,"runs":$raw,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","reps":$reps$subsetTag,"mins":$qs,"runs":$raw,"calibration":$cal,"errors":$errJson,"sf":"$sfDir"}"""
     val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"reps":$reps$subsetTag,"queries":$qs,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get(

@@ -6,9 +6,11 @@ import org.apache.spark.sql.SparkSession
   * graft operator depends on, so a user switching from the reference gets a
   * working session in one call instead of rediscovering each knob:
   *
-  *  - `nanosAsLong`: the event fixtures carry parquet TIMESTAMP(NANOS),
-  *    which Spark 4 refuses unless read as long (queries then use
-  *    `ts div 1000000` for epoch-ms);
+  *  - `nanosAsLong`: sources that emit parquet TIMESTAMP(NANOS) are only
+  *    readable in Spark 4 with this conf (as a nanos LONG); inert for
+  *    micros/NTZ encodings. Event-time math is schema-adaptive either way
+  *    ([[graft.functions.EventTime]]), so the engine tracks whatever
+  *    encoding the producer ships;
   *  - `chunkBase64String=false`: un-MIME-chunked base64, required for
   *    digest parity with external engines;
   *  - UTC session timezone: date/timestamp arithmetic independent of the

@@ -16,10 +16,11 @@ object SparkEntry {
     * Returns the committed state table; driver smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
-    // the driver may pass a session it built itself: events.ts is parquet
-    // TIMESTAMP(NANOS), which Spark 4 only reads with this (runtime-settable)
-    // legacy conf
+    // the driver may pass a session it built itself: keep nanos-encoded
+    // fixtures readable (inert for micros encodings) and pin the session
+    // zone so epoch-ms extraction is host-independent
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val sfDir = "/root/testdata/sf0.001"
     val events = spark.read.parquet(s"$sfDir/events.parquet")
 
@@ -30,7 +31,7 @@ object SparkEntry {
       .select(to_json(struct(
         col("event_id").cast("string").as("event_id"),
         col("event_type"), col("value").cast("string").as("value"), col("props"),
-        expr("ts div 1000000").as("updatedOnMs"))).as("j"))
+        graft.functions.EventTime.bind(events).ms.as("updatedOnMs"))).as("j"))
       .limit(500).collect().map(_.getString(0)).toSeq
     val page = EntityApiSource.Page(items, partialResults = false)
 

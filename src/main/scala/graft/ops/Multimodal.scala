@@ -262,6 +262,91 @@ object Multimodal {
       cycledBytes(text, dataSize))
   }
 
+  /** RIFF/WAVE payload whose PCM bytes are `base` cycled over all but the
+    * last `patchSamples` samples, with `patch` bytes cycled over the tail —
+    * the audio twin of [[encodePpmPatch]]: rows sharing `base` are "the
+    * same recording with a small trailing edit" (energy hashes a few bits
+    * apart), different bases decorrelate the whole sample stream. The
+    * sample count should NOT be a multiple of the energy-hash segment
+    * count or of the base byte-cycle length, so segment boundaries sweep
+    * through cycle phases instead of aliasing (see [[wavEnergyHash]]).
+    * Portable: the DuckDB twin rebuilds both byte segments with
+    * repeat/substr.
+    */
+  def encodeWavPatch(base: org.apache.spark.sql.Column, patch: org.apache.spark.sql.Column,
+                     nSamples: Int, sampleRate: Int, patchSamples: Int): org.apache.spark.sql.Column = {
+    require(patchSamples > 0 && patchSamples < nSamples,
+      s"patchSamples ($patchSamples) must sit inside the $nSamples-sample stream")
+    val dataSize = nSamples.toLong * 2
+    concat(
+      lit("RIFF").cast(BinaryType), le32(lit(36L) + lit(dataSize)),
+      lit("WAVE").cast(BinaryType),
+      lit("fmt ").cast(BinaryType), le32(lit(16L)),
+      le16(lit(1L)), le16(lit(1L)), // PCM, mono
+      le32(lit(sampleRate.toLong)), le32(lit(sampleRate.toLong * 2L)),
+      le16(lit(2L)), le16(lit(16L)),
+      lit("data").cast(BinaryType), le32(lit(dataSize)),
+      cycledBytes(base, lit(dataSize - patchSamples * 2L)),
+      cycledBytes(patch, lit(patchSamples * 2L)))
+  }
+
+  /** X4g: perceptual audio fingerprint — the audio twin of [[ppmDHash]]:
+    * a 64-bit energy-gradient hash whose Hamming distance tracks acoustic
+    * similarity. The decoded PCM is cut into 65 equal spans (span j covers
+    * samples [j·n/65, (j+1)·n/65) — integer floor boundaries, so the twin
+    * is engine-portable), each folded to its exact energy Σv² (LONG: a
+    * 16-bit sample squared needs 31 bits, spans stay far below 2^63), and
+    * bit j is 1 iff mean energy rises: E(j+1)·len(j) > E(j)·len(j+1),
+    * cross-multiplied so the comparison stays in exact integers — the
+    * PER-SAMPLE normalization matters, because floor boundaries make span
+    * lengths differ by one and a raw-sum comparison would encode the
+    * fixed length pattern (identical for every clip) instead of content,
+    * correlating unrelated clips. The hash is the temporal energy-envelope
+    * shape, robust to amplitude-preserving local edits. Decode runs
+    * partition-local after all shuffles like every kernel here; only
+    * (id, 8-byte hash) rides an exchange, which makes the downstream
+    * banded Hamming self-join ([[Dedup.hamming64NearDupPairs]]) the same
+    * corpus-scale plan images use.
+    *
+    * Output: (id, ahash) — one LONG per clip.
+    */
+  def wavEnergyHash(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] =
+      df.select(col(idCol).cast("long").as("id"), col("media")).as[MediaRow]
+    typed.mapPartitions(_.map { row =>
+      val (_, dataAt, n) = wavDataRange(row.media, row.id)
+      require(n > 0, s"row ${row.id}: energy hash needs a nonempty data chunk")
+      val e = new Array[Long](65)
+      val len = new Array[Long](65)
+      var j = 0
+      while (j < 65) {
+        val a = j * n / 65
+        val b = (j + 1) * n / 65
+        var s = 0L
+        var i = a
+        while (i < b) {
+          val v = wavSample(row.media, dataAt, i)
+          s += v.toLong * v
+          i += 1
+        }
+        e(j) = s
+        len(j) = b - a
+        j += 1
+      }
+      var hash = 0L
+      j = 0
+      while (j < 64) {
+        // mean-energy comparison in exact integers (e ≤ n·2^30, len ≤ n:
+        // the cross-products stay far below 2^63 for any real clip)
+        if (e(j + 1) * len(j) > e(j) * len(j + 1)) hash |= (1L << j)
+        j += 1
+      }
+      (row.id, hash)
+    }).toDF("id", "ahash")
+  }
+
   /** Partition-local REAL decode kernel for RIFF/WAVE payloads: validates
     * the RIFF envelope, walks the chunk list (any order, unknown chunks
     * skipped with even-size padding per the RIFF spec), reads the PCM

@@ -558,6 +558,45 @@ object Oracles {
     * right-minus-left gradient sign, assembled through HUGEINT with the
     * same two's-complement fold as the simhash twin.
     */
+  /** Rebuilds the encodeWavPatch PCM byte-for-byte (634 base-cycled bytes
+    * = samples 0..316, 32 patch-cycled bytes = samples 317..332), recovers
+    * signed 16-bit LE samples from hex pairs, folds the 65 floor-boundary
+    * spans ([333·j/65, 333·(j+1)/65), 1-based inclusive slice in DuckDB)
+    * to exact Σv² energies, compares MEAN energies via exact integer
+    * cross-products (e·ln), and packs the gradient-sign bits into the same
+    * two's-complement BIGINT the Spark kernel emits (HUGEINT fold for
+    * bit 63, as in DHashChain).
+    */
+  private val AWavChain =
+    s"""awav AS (SELECT doc_id,
+       |    ${(0 until 20).map(k => s"md5(CAST(doc_id // 25 AS VARCHAR) || '-$k')").mkString(" || ")} AS b0,
+       |    coalesce(nullif(substr(text, 1, 12), ''), 'x') AS p0
+       |  FROM documents),
+       |awhx AS (SELECT doc_id,
+       |    substr(hex(encode(repeat(b0, CAST((634 + octet_length(encode(b0)) - 1) // octet_length(encode(b0)) AS INT)))), 1, 1268) ||
+       |    substr(hex(encode(repeat(p0, CAST((32 + octet_length(encode(p0)) - 1) // octet_length(encode(p0)) AS INT)))), 1, 64) AS hx
+       |  FROM awav),
+       |awr AS (SELECT doc_id, list_transform(generate_series(0, 332),
+       |    i -> ('0x' || substr(hx, 4*i+1, 2))::BIGINT + 256*('0x' || substr(hx, 4*i+3, 2))::BIGINT) AS u
+       |  FROM awhx),
+       |aws AS (SELECT doc_id,
+       |    list_transform(u, v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS smp
+       |  FROM awr),
+       |awseg AS (SELECT doc_id, j,
+       |    coalesce(list_sum(list_transform(
+       |      smp[CAST(333*j//65 + 1 AS INT) : CAST(333*(j+1)//65 AS INT)], v -> v*v)), 0) AS e,
+       |    333*(j+1)//65 - 333*j//65 AS ln
+       |  FROM aws CROSS JOIN generate_series(0, 64) t(j)),
+       |awbits AS (SELECT a.doc_id, a.j AS i,
+       |    CASE WHEN b.e * a.ln > a.e * b.ln THEN 1 ELSE 0 END AS bit
+       |  FROM awseg a JOIN awseg b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+       |  WHERE a.j < 64),
+       |ah AS (SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+       |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS ahash
+       |  FROM (SELECT doc_id, sum(CASE WHEN bit = 1 THEN
+       |      (CASE WHEN i = 63 THEN 9223372036854775808::HUGEINT ELSE ((1::BIGINT << i))::HUGEINT END)
+       |      ELSE 0::HUGEINT END) AS s FROM awbits GROUP BY 1))""".stripMargin
+
   private val DHashChain =
     s"""img AS (SELECT doc_id,
        |    md5(CAST(doc_id // 25 AS VARCHAR)) AS b0,
@@ -1117,6 +1156,23 @@ object Oracles {
         |  round(list_sum(b)*1.0/(w*h), 6) AS mean_b,
         |  CAST(list_sum(r) + list_sum(g) + list_sum(b) AS BIGINT) AS px_checksum
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.wavEnergyHash over the encodeWavPatch fixture
+    // (see AWavChain): the 64-bit energy-gradient hash is pure integer
+    // math, so the twin reproduces it bit-for-bit.
+    "x4_awav_hash" ->
+      s"""WITH $AWavChain
+         |SELECT doc_id, ahash FROM ah ORDER BY doc_id""".stripMargin,
+
+    // Audio near-dup pairs via the ALL-PAIRS form: the Spark side runs the
+    // banded pigeonhole LSH plan, equal to all-pairs at hamming <= 8 by
+    // construction — the hash gate proves the banded plan loses nothing.
+    "x4_audio_near_dup" ->
+      s"""WITH $AWavChain
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+         |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 8 ORDER BY 1, 2""".stripMargin,
 
     // Mirrors Multimodal.ppmDHash over the encodePpmPatch fixture (see
     // DHashChain): the 64-bit perceptual hash is pure integer math, so the

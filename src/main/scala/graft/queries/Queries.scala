@@ -35,22 +35,16 @@ object Queries {
 
   private def tsMs(c: Column): Column = Canonical.tsMillis(c)
 
-  /** events.ts arrives as a nanos LONG (spark.sql.legacy.parquet.nanosAsLong
-    * — Spark 4 refuses parquet TIMESTAMP(NANOS) natively); exact integer
-    * division matches DuckDB's epoch_ms() floor.
+  /** events.ts physical encoding is driver-controlled and HAS changed across
+    * rounds (TIMESTAMP(NANOS)-as-LONG, then TIMESTAMP(MICROS)/NTZ), so all
+    * event-time math is schema-adaptive: [[graft.functions.EventTime]]
+    * inspects the bound column's DataType and emits epoch-ms arithmetic plus
+    * pushdown-friendly raw-column predicates (long bounds for integral
+    * columns, timestamp literals for timestamp columns — both prune parquet
+    * row groups via min/max stats).
     */
-  private val evTsMs: Column = expr("ts div 1000000")
-
-  /** Pushdown-friendly event-time predicates: `ts div 1000000 OP c` defeats
-    * parquet filter pushdown (arithmetic on the column), so filters compare
-    * the raw nanos column against pre-scaled bounds instead — exactly
-    * equivalent for integer nanos, and the scan skips row groups via
-    * min/max stats. floor(ts/1e6) > c  <=>  ts >= (c+1)*1e6;
-    * floor(ts/1e6) >= c  <=>  ts >= c*1e6;  floor(ts/1e6) < c  <=>  ts < c*1e6.
-    */
-  private def tsMsAfter(c: Long): Column = col("ts") >= (c + 1) * 1000000L
-  private def tsMsAtLeast(c: Long): Column = col("ts") >= c * 1000000L
-  private def tsMsBefore(c: Long): Column = col("ts") < c * 1000000L
+  private def evTime(ev: DataFrame): graft.functions.EventTime.Accessors =
+    graft.functions.EventTime.bind(ev)
 
   // epoch-millis constants used as checkpoints/cutoffs (events span
   // 2024-01-01 .. 2024-01-30 at every sf)
@@ -70,12 +64,14 @@ object Queries {
     * The predicate is pushed into the scan (parquet min/max pruning here;
     * the URL template in the live HTTP source).
     */
-  private def s2IncrementalScan(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .where(tsMsAfter(Jan15))
-      .select(col("event_id"), evTsMs.as("ts_ms"), col("user_id"),
+  private def s2IncrementalScan(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    ev.where(et.after(Jan15))
+      .select(col("event_id"), et.ms.as("ts_ms"), col("user_id"),
         col("event_type"), col("value"))
       .orderBy("event_id")
+  }
 
   /** F2/J1/J2: CDC filter — latest pre-checkpoint version per entity
     * (user_id) vs latest in-window version; emit only new-or-changed
@@ -83,20 +79,21 @@ object Queries {
     */
   private def f2CdcFilter(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
+    val et = evTime(ev)
     def lastPer(df: DataFrame): DataFrame = df
       .withColumn("__rn", row_number().over(
         Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
       .where(col("__rn") === 1).drop("__rn")
-    val state = lastPer(ev.where(tsMsBefore(Jan10)))
+    val state = lastPer(ev.where(et.before(Jan10)))
       .select(col("user_id").as("__sid"), col("event_type").as("__set"),
         col("value").as("__sv"), col("props").as("__sp"))
-    val batch = lastPer(ev.where(tsMsAtLeast(Jan10) && tsMsBefore(Jan20)))
+    val batch = lastPer(ev.where(et.atLeast(Jan10) && et.before(Jan20)))
     batch.join(state, batch("user_id") === col("__sid"), "left")
       .where(col("__sid").isNull ||
         !(col("event_type") <=> col("__set")) ||
         !(col("value") <=> col("__sv")) ||
         !(col("props") <=> col("__sp")))
-      .select(col("user_id"), col("event_id"), evTsMs.as("ts_ms"),
+      .select(col("user_id"), col("event_id"), et.ms.as("ts_ms"),
         col("event_type"), col("value"), col("props"))
       .orderBy("user_id")
   }
@@ -115,34 +112,38 @@ object Queries {
   /** F4/W5: TTL expiry — entries whose ttl (event time + 8h) survives `now`
     * (reference cache.js:60-67,95-97).
     */
-  private def f4TtlExpiry(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .where(tsMsAtLeast(Jan20 - 8L * 3600 * 1000)) // ttl >= now, pushed to the scan
-      .withColumn("__ttl", evTsMs + lit(8L * 3600 * 1000))
+  private def f4TtlExpiry(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    ev.where(et.atLeast(Jan20 - 8L * 3600 * 1000)) // ttl >= now, pushed to the scan
+      .withColumn("__ttl", et.ms + lit(8L * 3600 * 1000))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), min("__ttl").as("min_ttl"), max("__ttl").as("max_ttl"))
       .orderBy("event_type")
+  }
 
   /** A1: checkpoint = max(updatedOnMs) over all fetched items, per type
     * (reference cache.js:100-108).
     */
-  private def a1CheckpointMax(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .groupBy("event_type")
-      .agg(max(evTsMs).as("checkpoint"), count(lit(1)).as("n"))
+  private def a1CheckpointMax(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    ev.groupBy("event_type")
+      .agg(max(evTime(ev).ms).as("checkpoint"), count(lit(1)).as("n"))
       .orderBy("event_type")
+  }
 
   /** K2/§2.8: upsert = last-write-wins per entity id
     * (reference cache.js:50-58 overwrites by key).
     */
-  private def k2UpsertLww(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("__rn", row_number().over(
+  private def k2UpsertLww(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    ev.withColumn("__rn", row_number().over(
         Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
       .where(col("__rn") === 1)
-      .select(col("user_id"), col("event_id"), evTsMs.as("ts_ms"),
+      .select(col("user_id"), col("event_id"), evTime(ev).ms.as("ts_ms"),
         col("event_type"), col("value"))
       .orderBy("user_id")
+  }
 
   /** F5/T1/E1-E6: template projection — a Handlebars-subset template
     * compiled to a single Column (rename, #with coalesce-with-default,
@@ -262,8 +263,10 @@ object Queries {
     * purchased that day.
     */
   private def setExceptUsers(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-      .withColumn("day", expr("(ts div 1000000) div 86400000"))
+    val evRaw = t(spark, dir, "events")
+    val ev = evRaw
+      .withColumn("__ms", evTime(evRaw).ms)
+      .withColumn("day", expr("__ms div 86400000"))
     ev.where(col("event_type").isin("click", "view")).select("user_id", "day")
       .except(ev.where(col("event_type") === "purchase").select("user_id", "day"))
       .orderBy("user_id", "day")
@@ -379,19 +382,23 @@ object Queries {
 
   /** Set intersection: (user, day) pairs that clicked AND errored that day. */
   private def setIntersectUsers(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-      .withColumn("day", expr("(ts div 1000000) div 86400000"))
+    val evRaw = t(spark, dir, "events")
+    val ev = evRaw
+      .withColumn("__ms", evTime(evRaw).ms)
+      .withColumn("day", expr("__ms div 86400000"))
     ev.where(col("event_type") === "click").select("user_id", "day")
       .intersect(ev.where(col("event_type") === "error").select("user_id", "day"))
       .orderBy("user_id", "day")
   }
 
   /** W-family: tumbling hourly window aggregation on the event stream. */
-  private def wTumblingHourly(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .groupBy((expr("(ts div 1000000) div 3600000") * 3600000L).as("hour_ms"), col("event_type"))
+  private def wTumblingHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    ev.withColumn("__ms", evTime(ev).ms)
+      .groupBy((expr("__ms div 3600000") * 3600000L).as("hour_ms"), col("event_type"))
       .agg(count(lit(1)).as("n"), decSum(col("value"), 12, 2).as("sum_value"))
       .orderBy("hour_ms", "event_type")
+  }
 
   /** Sessionization: new session after a >30 min gap; per-user session and
     * event counts (lag + running sum — the window-function composition a
@@ -399,8 +406,9 @@ object Queries {
     */
   private def wSessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    t(spark, dir, "events")
-      .withColumn("__gap", evTsMs - lag(evTsMs, 1).over(byUser))
+    val ev = t(spark, dir, "events")
+    val ms = evTime(ev).ms
+    ev.withColumn("__gap", ms - lag(ms, 1).over(byUser))
       .withColumn("__new", when(col("__gap").isNull || col("__gap") > 30L * 60 * 1000, 1).otherwise(0))
       .groupBy("user_id")
       .agg(sum("__new").as("n_sessions"), count(lit(1)).as("n_events"))
@@ -772,10 +780,11 @@ object Queries {
     */
   private def jAsofAttribution(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
+    val ms = evTime(ev).ms
     val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), evTsMs.as("ts_ms"))
+      .select(col("user_id"), col("event_id"), ms.as("ts_ms"))
     val clicks = ev.where(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"), evTsMs.as("click_ts_ms"))
+      .select(col("user_id"), col("event_id").as("click_id"), ms.as("click_ts_ms"))
     AsOf.asofJoin(purchases, clicks, "user_id",
       col("ts_ms"), col("click_ts_ms"), col("click_id"))
       .select(col("user_id"), col("event_id"), col("ts_ms"),
@@ -791,10 +800,11 @@ object Queries {
     */
   private def jIntervalErrors(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
+    val ms = evTime(ev).ms
     val p = ev.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"), evTsMs.as("pts"))
+      .select(col("user_id"), col("event_id").as("purchase_id"), ms.as("pts"))
     val e = ev.where(col("event_type") === "error")
-      .select(col("user_id"), col("event_id").as("error_id"), evTsMs.as("ets"))
+      .select(col("user_id"), col("event_id").as("error_id"), ms.as("ets"))
     Intervals.windowJoin(p, e, "user_id", "pts", "ets", windowMs = 300000L)
       .select(col("user_id"), col("purchase_id"), col("error_id"),
         (col("ets") - col("pts")).as("delta_ms"))
@@ -1050,6 +1060,58 @@ object Queries {
       .select(col("id").as("doc_id"), col("frame_idx"), col("n_in_frame"), col("rms"), col("peak"))
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** The shared X4g audio fixture, mirroring [[dhashMedia]]'s group
+    * structure: every document becomes a genuine RIFF/WAVE payload whose
+    * PCM cycles a per-GROUP base pattern (md5 of doc_id÷25 — 25 clips per
+    * base recording) except for a 16-sample trailing patch cycled from the
+    * doc's text prefix — "the same recording with a small local edit"
+    * within a group, unrelated audio across groups. Group size stays 25 at
+    * every sf while group count grows, so the near-dup pair list scales
+    * linearly. The base is a 640-char md5 CHAIN (md5(g-0)‖…‖md5(g-19)) —
+    * LONGER than the 634-byte base region, so the PCM never cycles: a
+    * short repeated base (one 32-char md5) aliases against the ~5.12-
+    * sample segments into near-periodic bit patterns that unrelated
+    * groups share (measured: cross-group Hamming down to 0), while the
+    * chain makes segment energies phase-free pseudorandom per group.
+    * 333 samples: not a multiple of 65, so floor boundaries are genuinely
+    * non-uniform (5–6 samples — exercising the mean normalization). The
+    * patch covers samples 317..332 → segments 61..64 → at most 4 of 64
+    * bits differ within a group.
+    */
+  private def awavMedia(spark: SparkSession, dir: String): DataFrame = {
+    val g = expr("CAST(doc_id DIV 25 AS STRING)")
+    val base = concat((0 until 20).map(k => md5(concat(g, lit(s"-$k")).cast("binary"))): _*)
+    t(spark, dir, "documents").select(col("doc_id"),
+      Multimodal.encodeWavPatch(base, substring(col("text"), 1, 12),
+        nSamples = 333, sampleRate = 8000, patchSamples = 16).as("media"))
+  }
+
+  /** X4g: perceptual energy hash of every audio clip — the decode kernel
+    * walks the RIFF chunks for real and the 64-bit hash is pure integer
+    * math (65 floor-boundary spans, exact Σv² energies, strict gradient
+    * sign), so the DuckDB twin rebuilds it bit-for-bit and any chunk-walk/
+    * endianness/boundary bug breaks the hash gate.
+    */
+  private def x4AwavHash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.wavEnergyHash(awavMedia(spark, dir), "doc_id")
+      .select(col("id").as("doc_id"), col("ahash"))
+      .orderBy("doc_id")
+
+  /** X4g: audio near-dup pairs — energy hash + the SAME banded 64-bit
+    * Hamming self-join images and SimHash use
+    * ([[Dedup.hamming64NearDupPairs]]; recall exactly 1 at the bound by
+    * pigeonhole, bit_count(xor) verification for exact precision). The
+    * oracle verifies via the all-pairs form, so the hash gate proves the
+    * banded plan loses nothing. Completes the dedup modality matrix:
+    * text (MinHash/SimHash), embeddings (RHP/SemDeDup), images (dHash),
+    * audio (energy hash) all feed the same scale-safe pair machinery.
+    */
+  private def x4AudioNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hamming64NearDupPairs(
+        Multimodal.wavEnergyHash(awavMedia(spark, dir), "doc_id"), "id", "ahash", maxHamming = 8)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
 
   /** X7: deterministic train/val/test split — md5-hash interval
     * assignment, a pure projection (no shuffle at any scale; the orderBy
@@ -1615,6 +1677,8 @@ object Queries {
     "x4_decode_wav" -> (x4DecodeWav _),
     "x4_dhash" -> (x4DHash _),
     "x4_image_near_dup" -> (x4ImageNearDup _),
+    "x4_awav_hash" -> (x4AwavHash _),
+    "x4_audio_near_dup" -> (x4AudioNearDup _),
     "x6_clean_corpus" -> (x6CleanCorpus _),
     "x6_vocab_topk" -> (x6VocabTopk _),
     "j_asof_attribution" -> (jAsofAttribution _),

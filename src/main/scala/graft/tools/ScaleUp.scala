@@ -46,6 +46,23 @@ object ScaleUp {
       .withColumn("n_chars", length(col("text")).cast("long"))
     docs.repartition(32).write.mode("overwrite").parquet(s"$dest/documents.parquet")
 
+    // events: replica r maps every user (and event id) to a fresh key space
+    // with the SAME per-user history — the w_sessionize / CDC / as-of
+    // workload grows by user count, not per-user depth, exactly how a real
+    // event stream scales. ts passes through unchanged whatever its
+    // physical encoding (nanos-long or timestamp — EventTime adapts).
+    val evSrc = s"$src/events.parquet"
+    if (new java.io.File(evSrc).exists()) {
+      spark.read.parquet(evSrc)
+        .crossJoin(broadcast(reps))
+        .select(
+          (col("event_id") * factor + col("__r")).as("event_id"),
+          col("ts"),
+          (col("user_id") * factor + col("__r")).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(32).write.mode("overwrite").parquet(s"$dest/events.parquet")
+    }
+
     val dim = 64
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
       .crossJoin(broadcast(reps))

@@ -781,6 +781,44 @@ class OpsSpec extends SparkSpec {
     assert(pairs == brute, s"banded=$pairs brute=$brute")
   }
 
+  test("X4g wav energy hash: identical clips hash equal, tail edits stay in the tail bits, banded join == all-pairs") {
+    import graft.ops.{Dedup, Multimodal}
+    // 640-char chained bases (no PCM cycling — a short cycled base aliases
+    // against the ~5-sample spans and correlates unrelated clips)
+    def chain(seed: String): org.apache.spark.sql.Column =
+      concat((0 until 20).map(k => md5(concat(lit(seed), lit(s"-$k")).cast("binary"))): _*)
+    val docs = Seq(
+      (0L, "A", "!!!!!!!!!!!! quiet tail"),
+      (1L, "A", "!!!!!!!!!!!! quiet tail"), // identical clip to 0
+      (2L, "A", "zzzzzzzzzzzz loud tail"), // same base, edited tail (low- vs high-energy patch)
+      (3L, "B", "!!!!!!!!!!!! quiet tail") // different recording
+    ).toDF("doc_id", "seed", "text")
+    val media = docs.select(col("doc_id"),
+      Multimodal.encodeWavPatch(when(col("seed") === "B", chain("other")).otherwise(chain("grp")),
+        substring(col("text"), 1, 12),
+        nSamples = 333, sampleRate = 8000, patchSamples = 16).as("media"))
+    val ah = Multimodal.wavEnergyHash(media, "doc_id").as[(Long, Long)].collect().toMap
+    assert(ah(0L) == ah(1L), "same base + same patch must hash identically")
+    val edit = ah(0L) ^ ah(2L)
+    val editBits = java.lang.Long.bitCount(edit)
+    // the 16-sample patch covers samples 317..332 = spans 61..64, so an
+    // edit can move at most bits 60..63
+    assert(editBits > 0 && editBits <= 4, s"patch edit moved $editBits bits")
+    assert((edit & ((1L << 60) - 1)) == 0L, f"edit leaked below span 61: $edit%016x")
+    assert(java.lang.Long.bitCount(ah(0L) ^ ah(3L)) > 8,
+      "different recordings must sit beyond the near-dup bound")
+    // the banded pigeonhole join returns EXACTLY the all-pairs result
+    val ahDf = Multimodal.wavEnergyHash(media, "doc_id")
+    val pairs = Dedup.hamming64NearDupPairs(ahDf, "id", "ahash", maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    graft.ops.OpCaches.release()
+    val brute = (for {
+      a <- ah.keys; b <- ah.keys if a < b
+      h = java.lang.Long.bitCount(ah(a) ^ ah(b)) if h <= 8
+    } yield (a, b, h)).toSet
+    assert(pairs == brute, s"banded=$pairs brute=$brute")
+  }
+
   test("X6pm PMI collocations: fixed pair outranks independent pairs, min count gates") {
     // "aa bb" always adjacent (8x); "cc" and "dd" co-occur with everything
     val docs = (1 to 8).map(i => (i.toLong, s"aa bb cc dd ee$i")).toDF("doc_id", "text")
