@@ -69,7 +69,9 @@ object Bench {
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 20000000L, 1L, cpus)
-        .selectExpr("sum(id * 2654435761) as s")
+        // modulus BEFORE the sum: 2e7 terms < 1e9 each stays far below
+        // 2^63 (the raw products would overflow ANSI long addition)
+        .selectExpr("sum((id * 2654435761) % 1000000007) as s")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

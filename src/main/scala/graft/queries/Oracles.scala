@@ -597,6 +597,35 @@ object Oracles {
        |      (CASE WHEN i = 63 THEN 9223372036854775808::HUGEINT ELSE ((1::BIGINT << i))::HUGEINT END)
        |      ELSE 0::HUGEINT END) AS s FROM awbits GROUP BY 1))""".stripMargin
 
+  /** 128-bit SimHash rebuild: ±1 votes per bit from all four 32-bit md5
+    * words, sign-folded into two BIGINTs (HUGEINT fold for each word's
+    * top bit, as in the 64-bit twin).
+    */
+  private val Simhash128Chain =
+    s"""w128 AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+       |t128 AS (SELECT doc_id, unnest(ws) AS t FROM w128),
+       |h128 AS (SELECT doc_id,
+       |    ('0x' || substr(md5(t), 1, 8))::BIGINT AS w0,
+       |    ('0x' || substr(md5(t), 9, 8))::BIGINT AS w1,
+       |    ('0x' || substr(md5(t), 17, 8))::BIGINT AS w2,
+       |    ('0x' || substr(md5(t), 25, 8))::BIGINT AS w3
+       |  FROM t128),
+       |b128 AS (SELECT doc_id, i,
+       |    sum(CASE WHEN (((CASE i // 32 WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END) >> (i % 32)) & 1) = 1
+       |        THEN 1 ELSE -1 END) AS c
+       |  FROM h128 CROSS JOIN generate_series(0, 127) t(i) GROUP BY 1, 2),
+       |sh128 AS (SELECT doc_id,
+       |    CAST(CASE WHEN shi >= 9223372036854775808::HUGEINT THEN shi - 18446744073709551616::HUGEINT ELSE shi END AS BIGINT) AS simhash_hi,
+       |    CAST(CASE WHEN slo >= 9223372036854775808::HUGEINT THEN slo - 18446744073709551616::HUGEINT ELSE slo END AS BIGINT) AS simhash_lo
+       |  FROM (SELECT doc_id,
+       |      sum(CASE WHEN i >= 64 AND c >= 0 THEN
+       |            (CASE WHEN i = 127 THEN 9223372036854775808::HUGEINT ELSE ((1::BIGINT << (i - 64)))::HUGEINT END)
+       |          ELSE 0::HUGEINT END) AS shi,
+       |      sum(CASE WHEN i < 64 AND c >= 0 THEN
+       |            (CASE WHEN i = 63 THEN 9223372036854775808::HUGEINT ELSE ((1::BIGINT << i))::HUGEINT END)
+       |          ELSE 0::HUGEINT END) AS slo
+       |    FROM b128 GROUP BY 1))""".stripMargin
+
   private val DHashChain =
     s"""img AS (SELECT doc_id,
        |    md5(CAST(doc_id // 25 AS VARCHAR)) AS b0,
@@ -837,6 +866,25 @@ object Oracles {
     // +1/-1 votes per bit over the token MULTISET, bit set when the vote sum
     // is >= 0. Bit 63 is assembled through HUGEINT and wrapped back to the
     // signed 64-bit value Spark produces (1L << 63 = Long.MinValue).
+    // 128-bit SimHash twin: same ±1-vote construction over all four md5
+    // words; the two output longs are assembled with the same HUGEINT
+    // sign-bit fold as the 64-bit form.
+    "x2_simhash128" ->
+      s"""WITH $Simhash128Chain
+         |SELECT doc_id, simhash_hi, simhash_lo FROM sh128 ORDER BY doc_id""".stripMargin,
+
+    // Wide-fingerprint near-dup pairs via the ALL-PAIRS form at the same
+    // bound (7): proves the 8x16-bit banded plan loses nothing.
+    "x2_simhash128_pairs" ->
+      s"""WITH $Simhash128Chain
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+         |     + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS INT) AS hamming
+         |FROM sh128 a JOIN sh128 b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+         |    + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 7
+         |ORDER BY 1, 2""".stripMargin,
+
     "x2_simhash" ->
       s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
          |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
@@ -1172,7 +1220,7 @@ object Oracles {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
          |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 8 ORDER BY 1, 2""".stripMargin,
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3 ORDER BY 1, 2""".stripMargin,
 
     // Mirrors Multimodal.ppmDHash over the encodePpmPatch fixture (see
     // DHashChain): the 64-bit perceptual hash is pure integer math, so the
@@ -1190,7 +1238,7 @@ object Oracles {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
          |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 8 ORDER BY 1, 2""".stripMargin,
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3 ORDER BY 1, 2""".stripMargin,
 
     // Mirrors Multimodal.encodeWav + decodeWav: samples are 16-bit LE
     // signed ints over the cycled text bytes (2 bytes each, recovered from

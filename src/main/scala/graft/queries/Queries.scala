@@ -446,6 +446,28 @@ object Queries {
     Dedup.simhash64(t(spark, dir, "documents"), "doc_id", TextAnalysis.words(col("text")))
       .orderBy("doc_id")
 
+  /** X2b-128: the wide-fingerprint scale path — 128-bit SimHash value
+    * (two portable LONGs, oracle-checked bit-for-bit).
+    */
+  private def x2Simhash128(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash128(t(spark, dir, "documents"), "doc_id", TextAnalysis.words(col("text")))
+      .orderBy("doc_id")
+
+  /** X2b-128: near-dup pairs at Hamming ≤ 7 over the 128-bit fingerprint —
+    * the bound the 64-bit form cannot reach at corpus scale (regime note
+    * on [[Dedup.hamming64NearDupPairs]]): 8 chunks × 16 bits keeps the
+    * same 2^16-value keys as the scale-safe 64-bit bound-3 form while
+    * guaranteeing recall 1 up to distance 7. Oracle = all-pairs twin at
+    * the same bound, so the hash gate proves the banded plan loses
+    * nothing.
+    */
+  private def x2Simhash128Pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hamming128NearDupPairs(
+        Dedup.simhash128(t(spark, dir, "documents"), "doc_id", TextAnalysis.words(col("text"))),
+        "doc_id", "simhash_hi", "simhash_lo", maxHamming = 7)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+
   private def x3KnnCosine(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.cosineTopK(emb.where(col("vec_id") % 100 === 0), emb, k = 5)
@@ -1015,17 +1037,21 @@ object Queries {
 
   /** X4d: image near-dup pairs — dHash + the banded 64-bit Hamming
     * self-join shared with SimHash ([[Dedup.hamming64NearDupPairs]]):
-    * pigeonhole chunking (9 chunks for maxHamming 8) keeps recall exactly
-    * 1 while only images agreeing on a full chunk ever meet, and
-    * `bit_count(xor)` verification keeps precision exact — the corpus-
-    * scale visual-dedup plan (16 bytes/image shuffles, pixels never do).
-    * The oracle verifies via the all-pairs form: at fixture scale the two
-    * are equal BY THE PIGEONHOLE GUARANTEE, so the hash gate proves the
-    * banded plan loses nothing.
+    * pigeonhole chunking keeps recall exactly 1 at the bound while only
+    * images agreeing on a full chunk ever meet, and `bit_count(xor)`
+    * verification keeps precision exact — the corpus-scale visual-dedup
+    * plan (16 bytes/image shuffles, pixels never do). Registered at
+    * maxHamming = 3 — the 4×16-bit split (Manku et al., WWW '07), the
+    * SCALE regime: a round-8 ×100 measurement caught the 9×7-bit
+    * maxHamming = 8 form saturating its 128-value chunk space
+    * (~10^10 candidates at 500 k images, >20-minute stage vs seconds) —
+    * see the regime note on [[Dedup.hamming64NearDupPairs]]. The oracle
+    * verifies via the all-pairs form at the same bound, so the hash gate
+    * proves the banded plan loses nothing.
     */
   private def x4ImageNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.hamming64NearDupPairs(
-        Multimodal.ppmDHash(dhashMedia(spark, dir), "doc_id"), "id", "dhash", maxHamming = 8)
+        Multimodal.ppmDHash(dhashMedia(spark, dir), "doc_id"), "id", "dhash", maxHamming = 3)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
 
@@ -1101,15 +1127,18 @@ object Queries {
   /** X4g: audio near-dup pairs — energy hash + the SAME banded 64-bit
     * Hamming self-join images and SimHash use
     * ([[Dedup.hamming64NearDupPairs]]; recall exactly 1 at the bound by
-    * pigeonhole, bit_count(xor) verification for exact precision). The
-    * oracle verifies via the all-pairs form, so the hash gate proves the
-    * banded plan loses nothing. Completes the dedup modality matrix:
-    * text (MinHash/SimHash), embeddings (RHP/SemDeDup), images (dHash),
-    * audio (energy hash) all feed the same scale-safe pair machinery.
+    * pigeonhole, bit_count(xor) verification for exact precision).
+    * Registered at maxHamming = 3 (4×16-bit chunks), the scale regime —
+    * same round-8 finding as [[x4ImageNearDup]]: 7-bit chunks saturate at
+    * corpus scale. The oracle verifies via the all-pairs form at the same
+    * bound, so the hash gate proves the banded plan loses nothing.
+    * Completes the dedup modality matrix: text (MinHash/SimHash),
+    * embeddings (RHP/SemDeDup), images (dHash), audio (energy hash) all
+    * feed the same scale-safe pair machinery.
     */
   private def x4AudioNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.hamming64NearDupPairs(
-        Multimodal.wavEnergyHash(awavMedia(spark, dir), "doc_id"), "id", "ahash", maxHamming = 8)
+        Multimodal.wavEnergyHash(awavMedia(spark, dir), "doc_id"), "id", "ahash", maxHamming = 3)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
 
@@ -1656,6 +1685,8 @@ object Queries {
     "x2_ngram_jaccard" -> (x2NgramJaccard _),
     "x2_minhash_lsh" -> (x2MinhashLsh _),
     "x2_simhash" -> (x2Simhash _),
+    "x2_simhash128" -> (x2Simhash128 _),
+    "x2_simhash128_pairs" -> (x2Simhash128Pairs _),
     "x2_embedding_near_dup" -> (x2EmbeddingNearDup _),
     "x2_rhp_near_dup" -> (x2RhpNearDup _),
     "x3_knn_cosine" -> (x3KnnCosine _),

@@ -819,6 +819,48 @@ class OpsSpec extends SparkSpec {
     assert(pairs == brute, s"banded=$pairs brute=$brute")
   }
 
+  test("X2b-128 simhash128: matches simhash64 on the low word-votes, banded join == all-pairs at hamming 7") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // one-word edit
+      (3L, "totally different content with other words entirely")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.simhash128(docs, "doc_id", TextAnalysis.words(col("text")))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(sh(0L) == sh(1L), "identical docs must share the 128-bit hash")
+    // bits 0..63 use md5 words 0-1 exactly like simhash64 -> low longs equal
+    val sh64 = Dedup.simhash64(docs, "doc_id", TextAnalysis.words(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(sh.forall { case (id, (_, lo)) => lo == sh64(id) },
+      "simhash_lo must equal the 64-bit simhash (same words, same votes)")
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(ham(sh(0L), sh(3L)) > 7, "unrelated docs must sit beyond the bound")
+    // banded pigeonhole (8 chunks x 16 bits, straddling both words) == all-pairs
+    val pairs = Dedup.hamming128NearDupPairs(
+        Dedup.simhash128(docs, "doc_id", TextAnalysis.words(col("text"))),
+        "doc_id", "simhash_hi", "simhash_lo", maxHamming = 7)
+      .as[(Long, Long, Int)].collect().toSet
+    graft.ops.OpCaches.release()
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = ham(sh(a), sh(b)) if h <= 7
+    } yield (a, b, h)).toSet
+    assert(pairs == brute, s"banded=$pairs brute=$brute")
+    // crafted fingerprints: 7 flipped bits spread over BOTH words still
+    // leave >=1 clean 16-bit chunk -> pair found; 8 flips may not
+    val base = (0x0123456789abcdefL, 0x0fedcba987654321L)
+    val flip7 = (base._1 ^ 0x0001000100010001L, base._2 ^ 0x0100010001000000L) // 4+3 bits
+    val crafted = Seq((10L, base._1, base._2), (11L, flip7._1, flip7._2))
+      .toDF("doc_id", "simhash_hi", "simhash_lo")
+    val cp = Dedup.hamming128NearDupPairs(crafted, "doc_id", "simhash_hi", "simhash_lo", 7)
+      .as[(Long, Long, Int)].collect().toSet
+    graft.ops.OpCaches.release()
+    assert(cp == Set((10L, 11L, 7)), s"crafted pair missing: $cp")
+  }
+
   test("X6pm PMI collocations: fixed pair outranks independent pairs, min count gates") {
     // "aa bb" always adjacent (8x); "cc" and "dd" co-occur with everything
     val docs = (1 to 8).map(i => (i.toLong, s"aa bb cc dd ee$i")).toDF("doc_id", "text")
