@@ -34,6 +34,16 @@ class EventTimeSpec extends SparkSpec {
     spark.read.parquet(dir)
   }
 
+  private def writeInstantTs(dir: String): DataFrame = {
+    import spark.implicits._
+    // tz-adjusted TIMESTAMP (isAdjustedToUTC) — the third encoding a
+    // producer can ship; Instant encodes as TimestampType
+    msValues.zipWithIndex.map { case (ms, i) =>
+      (i.toLong, java.time.Instant.ofEpochMilli(ms).plusNanos(250000))
+    }.toDF("event_id", "ts").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
   private def collectMs(df: DataFrame): Seq[(Long, Long)] = {
     val et = EventTime.bind(df)
     df.select(col("event_id"), et.ms.as("ms")).collect()
@@ -47,11 +57,13 @@ class EventTimeSpec extends SparkSpec {
     val expected = msValues.zipWithIndex.map { case (ms, i) => (i.toLong, ms) }
     assert(collectMs(longDf) == expected)
     assert(collectMs(tsDf) == expected) // micros floor to the same millis
+    assert(collectMs(writeInstantTs(s"$tmp/inst")) == expected) // tz-adjusted flavor too
   }
 
-  test("after/atLeast/before are exact millisecond-floor boundaries on both encodings") {
+  test("after/atLeast/before are exact millisecond-floor boundaries on all encodings") {
     val tmp = java.nio.file.Files.createTempDirectory("evtime").toString
-    for (df <- Seq(writeNanosLong(s"$tmp/long"), writeMicrosTs(s"$tmp/ts"))) {
+    for (df <- Seq(writeNanosLong(s"$tmp/long"), writeMicrosTs(s"$tmp/ts"),
+        writeInstantTs(s"$tmp/inst"))) {
       val et = EventTime.bind(df)
       def ids(c: org.apache.spark.sql.Column): Set[Long] =
         df.where(c).select("event_id").collect().map(_.getLong(0)).toSet

@@ -103,6 +103,22 @@ class PlanAuditSpec extends SparkSpec {
       "collapse-repeats should not join or aggregate")
   }
 
+  test("perceptual fingerprint queries read only (doc_id, text); pair joins are equi-joins on the chunk key") {
+    // the fingerprints derive entirely from doc_id + text (the media/token
+    // construction is in-plan), so every scan must prune to those two
+    // columns — a wider ReadSchema means blob-or-metadata columns would
+    // ride the scan at corpus scale for nothing
+    for (q <- Seq("x4_awav_hash", "x4_audio_near_dup", "x4_image_near_dup",
+        "x2_simhash128", "x2_simhash128_pairs")) {
+      val plan = planOf(q)
+      assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q scan reads more than (doc_id, text)")
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q pairs must meet on the chunk equi-key, never via nested-loop")
+    }
+  }
+
   test("sequence packing shuffles once for the shard window, once for output order") {
     val plan = planOf("x7_pack_sequences")
     assert("Exchange".r.findAllIn(plan).size == 2,
