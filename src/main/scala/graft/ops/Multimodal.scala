@@ -465,6 +465,115 @@ object Multimodal {
         aggregate(col("__fr"), lit(0), (acc, v) => greatest(acc, abs(v))).as("peak"))
   }
 
+  /** X4e: nearest-neighbor resize of a parsed P6 raster — the downsample
+    * step of an image pipeline (thumbnailing before feature extraction),
+    * partition-local like every kernel here. Target pixel (x2, y2) samples
+    * source pixel (x2·w/w2, y2·h/h2) — the same integer floor map the
+    * dHash grid uses, so the twin is engine-portable. Emits the RESIZED
+    * raster's exact per-channel sums/means and checksum instead of bytes:
+    * any header-walk, offset, or rounding bug changes the sums, which is
+    * a stronger gate than comparing a blob the driver can't diff.
+    *
+    * Output: (id, width, height, mean_r, mean_g, mean_b, px_checksum) of
+    * the w2×h2 result.
+    */
+  def ppmResizeStats(df: DataFrame, idCol: String, w2: Int, h2: Int): DataFrame = {
+    require(w2 > 0 && h2 > 0, s"target dims must be positive: ${w2}x$h2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] =
+      df.select(col(idCol).cast("long").as("id"), col("media")).as[MediaRow]
+    typed.mapPartitions(_.map { row =>
+      val b = row.media
+      val (w, h, _, dataAt) = ppmHeader(b, row.id)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y2 = 0
+      while (y2 < h2) {
+        val py = y2 * h / h2
+        var x2 = 0
+        while (x2 < w2) {
+          val px = x2 * w / w2
+          val off = dataAt + (py * w + px) * 3
+          sr += b(off) & 0xFF; sg += b(off + 1) & 0xFF; sb += b(off + 2) & 0xFF
+          x2 += 1
+        }
+        y2 += 1
+      }
+      val n = w2.toLong * h2
+      (row.id, w2, h2, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+        sr + sg + sb)
+    }).toDF("id", "width", "height", "mean_r", "mean_g", "mean_b", "px_checksum")
+  }
+
+  /** Deterministic multi-frame container for the video fixture — a real
+    * parseable format the way [[encodePpm]]/[[encodeWav]] are: ASCII
+    * header `GV1\n<nframes> <w> <h>\n255\n` followed by `nframes` raw
+    * w·h·3-byte rasters back to back (frame f occupies byte range
+    * [f·w·h·3, (f+1)·w·h·3) of the payload body — an MJPEG-like
+    * concatenation). Frame bytes cycle from `text`, so consecutive frames
+    * differ by cycle phase and the twin rebuilds them with repeat/substr.
+    */
+  def encodeGvid(text: org.apache.spark.sql.Column, nFrames: org.apache.spark.sql.Column,
+                 w: Int, h: Int): org.apache.spark.sql.Column = {
+    val body = nFrames.cast("long") * (w.toLong * h * 3)
+    val header = concat_ws("", lit("GV1\n"), nFrames.cast("string"),
+      lit(s" $w $h\n255\n")).cast(BinaryType)
+    concat(header, cycledBytes(text, body))
+  }
+
+  /** X4v: video frame-sampling + per-frame feature extraction — the step a
+    * video curation pipeline runs before anything model-shaped (sample
+    * every `every`-th frame, reduce each to cheap features). The kernel
+    * PARSES the GV1 header for real (frame count and dimensions come from
+    * the bytes, the raster offsets from the parsed geometry), strides the
+    * frame list, and folds each sampled frame to exact per-channel sums —
+    * only (id, frame_idx, 4 numbers) ever leave the partition, the frames
+    * never ride an exchange.
+    *
+    * Output: (id, frame_idx, mean_r, mean_g, mean_b, px_checksum) — one
+    * row per SAMPLED frame.
+    */
+  def gvidFrameStats(df: DataFrame, idCol: String, every: Int): DataFrame = {
+    require(every > 0, s"frame stride must be positive: $every")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] =
+      df.select(col(idCol).cast("long").as("id"), col("media")).as[MediaRow]
+    typed.mapPartitions(_.flatMap { row =>
+      val b = row.media
+      require(b != null && b.length > 4 && b(0) == 'G' && b(1) == 'V' &&
+        b(2) == '1' && b(3) == '\n', s"row ${row.id}: not a GV1 payload")
+      var p = 4
+      def readInt(): Int = {
+        while (p < b.length && (b(p) == ' ' || b(p) == '\n')) p += 1
+        var v = 0
+        require(p < b.length && b(p) >= '0' && b(p) <= '9',
+          s"row ${row.id}: malformed GV1 header at $p")
+        while (p < b.length && b(p) >= '0' && b(p) <= '9') { v = v * 10 + (b(p) - '0'); p += 1 }
+        v
+      }
+      val nFrames = readInt(); val w = readInt(); val h = readInt(); val maxval = readInt()
+      require(maxval == 255, s"row ${row.id}: GV1 maxval $maxval unsupported")
+      require(p < b.length && b(p) == '\n', s"row ${row.id}: missing header terminator")
+      p += 1
+      val frameBytes = w * h * 3
+      require(b.length - p == nFrames.toLong * frameBytes,
+        s"row ${row.id}: body ${b.length - p} != $nFrames frames of $frameBytes")
+      (0 until nFrames by every).iterator.map { f =>
+        val at = p + f * frameBytes
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < frameBytes) {
+          sr += b(at + i) & 0xFF; sg += b(at + i + 1) & 0xFF; sb += b(at + i + 2) & 0xFF
+          i += 3
+        }
+        val n = w.toLong * h
+        (row.id, f.toLong, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+          sr + sg + sb)
+      }
+    }).toDF("id", "frame_idx", "mean_r", "mean_g", "mean_b", "px_checksum")
+  }
+
   /** The P6 header walk shared by [[decodePpm]] and [[ppmDHash]]: parses
     * magic, whitespace/`#` comments, width, height, maxval and the single
     * whitespace separator, validates sane bounds and raster length, and

@@ -1240,6 +1240,44 @@ object Oracles {
          |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3 ORDER BY 1, 2""".stripMargin,
 
+    // Mirrors Multimodal.ppmResizeStats over the same rebuilt 13x9 raster
+    // as x4_dhash (DHashChain's ihx): nearest-neighbor floor map
+    // (x2*13//8, y2*9//8), exact channel sums; /64 means are exact at 6 dp.
+    "x4_resize" ->
+      s"""WITH $DHashChain,
+         |rs AS (SELECT doc_id, y2, x2,
+         |    ('0x' || substr(hx, 2*(((y2*9//8)*13 + (x2*13//8))*3) + 1, 2))::BIGINT AS r,
+         |    ('0x' || substr(hx, 2*(((y2*9//8)*13 + (x2*13//8))*3 + 1) + 1, 2))::BIGINT AS g,
+         |    ('0x' || substr(hx, 2*(((y2*9//8)*13 + (x2*13//8))*3 + 2) + 1, 2))::BIGINT AS b
+         |  FROM ihx CROSS JOIN generate_series(0, 7) ty(y2) CROSS JOIN generate_series(0, 7) tx(x2))
+         |SELECT doc_id, 8 AS width, 8 AS height,
+         |  round(sum(r)*1.0/64, 6) AS mean_r, round(sum(g)*1.0/64, 6) AS mean_g,
+         |  round(sum(b)*1.0/64, 6) AS mean_b,
+         |  CAST(sum(r) + sum(g) + sum(b) AS BIGINT) AS px_checksum
+         |FROM rs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.encodeGvid + gvidFrameStats: rebuild the GV1 body
+    // (nf 6x5 frames cycled from the text, frame f = byte range
+    // [f*90, (f+1)*90)), stride every 2nd frame, exact channel sums per
+    // sampled frame; k/30 means cannot tie at 6 dp.
+    "x4_video_frames" ->
+      """WITH vd AS (SELECT doc_id, CAST(3 + doc_id % 3 AS BIGINT) AS nf,
+        |    coalesce(nullif(text, ''), 'x') AS base FROM documents),
+        |vp AS (SELECT doc_id, nf,
+        |    substr(hex(encode(repeat(base, CAST((nf*90 + octet_length(encode(base)) - 1) // octet_length(encode(base)) AS INT)))), 1, CAST(nf*180 AS INT)) AS hx
+        |  FROM vd),
+        |vf AS (SELECT doc_id, hx, unnest(generate_series(0, nf-1, 2)) AS f FROM vp),
+        |vpx AS (SELECT doc_id, f,
+        |    ('0x' || substr(hx, CAST(2*(f*90 + i) + 1 AS INT), 2))::BIGINT AS r,
+        |    ('0x' || substr(hx, CAST(2*(f*90 + i + 1) + 1 AS INT), 2))::BIGINT AS g,
+        |    ('0x' || substr(hx, CAST(2*(f*90 + i + 2) + 1 AS INT), 2))::BIGINT AS b
+        |  FROM vf CROSS JOIN generate_series(0, 87, 3) t(i))
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  round(sum(r)*1.0/30, 6) AS mean_r, round(sum(g)*1.0/30, 6) AS mean_g,
+        |  round(sum(b)*1.0/30, 6) AS mean_b,
+        |  CAST(sum(r) + sum(g) + sum(b) AS BIGINT) AS px_checksum
+        |FROM vpx GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
+
     // Mirrors Multimodal.encodeWav + decodeWav: samples are 16-bit LE
     // signed ints over the cycled text bytes (2 bytes each, recovered from
     // hex pairs); the Spark kernel reads sample rate and count from the

@@ -1142,6 +1142,35 @@ object Queries {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
 
+  /** X4e: nearest-neighbor resize of the patched image fixture to 8×8 —
+    * the thumbnail step; 13→8 and 9→8 are non-integral, so the floor map
+    * is genuinely exercised. /64 means are exact at 6 dp (1/64 =
+    * 0.015625), so the rounding is engine-stable by construction.
+    */
+  private def x4Resize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.ppmResizeStats(dhashMedia(spark, dir), "doc_id", w2 = 8, h2 = 8)
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        round(col("mean_r"), 6).as("mean_r"), round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"), col("px_checksum"))
+      .orderBy("doc_id")
+
+  /** X4v: video frame-sampling — every doc becomes a genuine GV1 container
+    * (parsed header: frame count 3..5 varies per doc, 6×5 rasters cycled
+    * from the text); the kernel strides every 2nd frame and folds each to
+    * exact channel sums. k/30 means cannot tie at 6 dp (10·k mod 30 never
+    * hits 15), so round() is engine-stable.
+    */
+  private def x4VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val media = docs.select(col("doc_id"),
+      Multimodal.encodeGvid(col("text"), lit(3L) + col("doc_id") % 3, w = 6, h = 5).as("media"))
+    Multimodal.gvidFrameStats(media, "doc_id", every = 2)
+      .select(col("id").as("doc_id"), col("frame_idx"),
+        round(col("mean_r"), 6).as("mean_r"), round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"), col("px_checksum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** X7: deterministic train/val/test split — md5-hash interval
     * assignment, a pure projection (no shuffle at any scale; the orderBy
     * is output canonicalization only). Split fractions are interpolated
@@ -1710,6 +1739,8 @@ object Queries {
     "x4_image_near_dup" -> (x4ImageNearDup _),
     "x4_awav_hash" -> (x4AwavHash _),
     "x4_audio_near_dup" -> (x4AudioNearDup _),
+    "x4_resize" -> (x4Resize _),
+    "x4_video_frames" -> (x4VideoFrames _),
     "x6_clean_corpus" -> (x6CleanCorpus _),
     "x6_vocab_topk" -> (x6VocabTopk _),
     "j_asof_attribution" -> (jAsofAttribution _),

@@ -861,6 +861,49 @@ class OpsSpec extends SparkSpec {
     assert(cp == Set((10L, 11L, 7)), s"crafted pair missing: $cp")
   }
 
+  test("X4e ppm resize: identity resize equals full decode; downsample sums are exact") {
+    import graft.ops.Multimodal
+    val media = Seq((1L, "some raster seed text"), (2L, "another payload"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.encodePpm(col("text"), lit(13), lit(9)).as("media"))
+    // identity resize (13x9 -> 13x9): floor map is x2 -> x2, so means and
+    // checksum must equal the full decode's
+    val full = Multimodal.decodePpm(media, "doc_id")
+      .select("id", "mean_r", "mean_g", "mean_b", "px_checksum")
+      .as[(Long, Double, Double, Double, Long)].collect()
+      .map { case (i, r, g, b, c) => i -> ((r, g, b, c)) }.toMap
+    val same = Multimodal.ppmResizeStats(media, "doc_id", 13, 9)
+      .select("id", "mean_r", "mean_g", "mean_b", "px_checksum")
+      .as[(Long, Double, Double, Double, Long)].collect()
+    assert(same.forall { case (i, r, g, b, c) => full(i) == ((r, g, b, c)) })
+    // genuine downsample: every sampled source byte is <= 255, so the 8x8
+    // checksum is bounded and deterministic across runs
+    val small = Multimodal.ppmResizeStats(media, "doc_id", 8, 8)
+      .select("width", "height", "px_checksum").as[(Int, Int, Long)].collect()
+    assert(small.forall { case (w, h, c) => w == 8 && h == 8 && c > 0 && c <= 64L * 3 * 255 })
+  }
+
+  test("X4v gvid frame sampling: parsed header drives the stride; 'ab' cycle gives exact 97.5 means") {
+    import graft.ops.Multimodal
+    // 'ab' cycled over 6x5 frames: each channel samples 15 'a' + 15 'b'
+    // bytes per frame -> mean exactly 97.5 for r, g and b, checksum 8775
+    val media = Seq((1L, "ab")).toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.encodeGvid(col("text"), lit(4L), w = 6, h = 5).as("media"))
+    val out = Multimodal.gvidFrameStats(media, "doc_id", every = 2)
+      .select("frame_idx", "mean_r", "mean_g", "mean_b", "px_checksum")
+      .as[(Long, Double, Double, Double, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 2L), "stride 2 over 4 frames samples frames 0 and 2")
+    assert(out.forall { case (_, r, g, b, c) => r == 97.5 && g == 97.5 && b == 97.5 && c == 8775L })
+    // every=1 samples all four frames
+    assert(Multimodal.gvidFrameStats(media, "doc_id", every = 1).count() == 4L)
+    // a truncated body must fail loudly, not mis-stride
+    val bad = media.select(col("doc_id"), expr("substring(media, 1, 100)").as("media"))
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.gvidFrameStats(bad, "doc_id", every = 1).count()
+    }
+    assert(err.getMessage.contains("body") || err.getCause.getMessage.contains("body"))
+  }
+
   test("X6pm PMI collocations: fixed pair outranks independent pairs, min count gates") {
     // "aa bb" always adjacent (8x); "cc" and "dd" co-occur with everything
     val docs = (1 to 8).map(i => (i.toLong, s"aa bb cc dd ee$i")).toDF("doc_id", "text")
