@@ -1278,6 +1278,33 @@ object Oracles {
         |  CAST(sum(r) + sum(g) + sum(b) AS BIGINT) AS px_checksum
         |FROM vpx GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // v7: cross-modal keeper gate — keeper of BOTH the dhash equality
+    // class and the ahash equality class (keep-most-tokens, min-id ties),
+    // then the strict per-lang token quota. hamming-0 components are
+    // equality classes, so the twin's GROUP BY hash mirrors Spark's
+    // pairs -> union-find -> argmax run on each modality.
+    "x8_curation_v7" ->
+      s"""WITH $DHashChain,
+         |$AWavChain,
+         |v7tok AS (SELECT doc_id, CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS ntk
+         |        FROM documents),
+         |v7v AS (SELECT dh.doc_id,
+         |        row_number() OVER (PARTITION BY dh.dhash ORDER BY t.ntk DESC, dh.doc_id) AS rn
+         |      FROM dh JOIN v7tok t USING (doc_id)),
+         |v7a AS (SELECT ah.doc_id,
+         |        row_number() OVER (PARTITION BY ah.ahash ORDER BY t.ntk DESC, ah.doc_id) AS rn
+         |      FROM ah JOIN v7tok t USING (doc_id)),
+         |v7k AS (SELECT v.doc_id FROM v7v v JOIN v7a a USING (doc_id)
+         |      WHERE v.rn = 1 AND a.rn = 1),
+         |v7q AS (SELECT d.lang, d.doc_id, t.ntk AS n_tokens, $hashUnit AS u
+         |      FROM documents d JOIN v7k USING (doc_id) JOIN v7tok t USING (doc_id)),
+         |v7c AS (SELECT lang, doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM v7q)
+         |SELECT lang, doc_id, n_tokens, cum_tokens FROM v7c
+         |WHERE cum_tokens <= 600 ORDER BY lang, cum_tokens""".stripMargin,
+
     // Mirrors Multimodal.encodeWav + decodeWav: samples are 16-bit LE
     // signed ints over the cycled text bytes (2 bytes each, recovered from
     // hex pairs); the Spark kernel reads sample rate and count from the

@@ -1334,6 +1334,38 @@ object Queries {
       .orderBy("source", "cum_tokens")
   }
 
+  /** X8g: composed pipeline v7 — CROSS-MODAL dedup curation, the first
+    * composition requiring agreement between two modality dedups: a
+    * document survives only if it is the keeper of BOTH its image cluster
+    * (exact visual classes, hamming-0 dHash) and its audio cluster
+    * (exact acoustic classes, hamming-0 energy hash) — keep-most-tokens,
+    * min-id tiebreak in each modality — then a strict per-language token
+    * quota. Spark runs the REAL pairs → union-find → argmax machinery
+    * TWICE (one per modality) while the twin groups by the hash values
+    * (hamming-0 components are equality classes by transitivity — the
+    * same collapse x8_curation_v6 proves, now exercised on two
+    * fingerprint kernels in one plan).
+    */
+  private def x8CurationV7(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val scores = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("__ntk"))
+    def dropNonKeepers(hashes: DataFrame, hashCol: String): DataFrame =
+      Components.keepBestClusters(
+          Dedup.hamming64NearDupPairs(hashes, "id", hashCol, maxHamming = 0),
+          scores, "doc_id", "__ntk")
+        .where(!col("is_keeper")).select(col("id").as("doc_id"))
+    val dropVisual = dropNonKeepers(
+      Multimodal.ppmDHash(dhashMedia(spark, dir), "doc_id"), "dhash")
+    val dropAudio = dropNonKeepers(
+      Multimodal.wavEnergyHash(awavMedia(spark, dir), "doc_id"), "ahash")
+    val kept = docs.join(dropVisual, Seq("doc_id"), "left_anti")
+      .join(dropAudio, Seq("doc_id"), "left_anti")
+    Sampling.tokenQuota(kept, "doc_id", col("text"),
+        Seq("lang"), budget = 600L, strict = true)
+      .orderBy("lang", "cum_tokens")
+  }
+
   /** X7: sequence packing placement — concat-and-chunk into 512-token
     * sequences per source shard; every document's stream offset and
     * spanned sequence ids from pure window arithmetic.
@@ -1757,6 +1789,7 @@ object Queries {
     "x7_dedup_keep_best" -> (x7DedupKeepBest _),
     "x6_pmi" -> (x6Pmi _),
     "x8_curation_v6" -> (x8CurationV6 _),
+    "x8_curation_v7" -> (x8CurationV7 _),
     "x5_pii_scrub" -> (x5PiiScrub _),
     "x5_repetition" -> (x5Repetition _),
     "x5_collapse_repeats" -> (x5CollapseRepeats _),
