@@ -52,6 +52,8 @@ object HammingIndex {
       .withColumn("pbucket", pbucket(buckets))
     val touched = probeChunks.select("pbucket").distinct()
       .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) // empty probe batch: no verdict rows, no scan
+      return probes.select(col(idCol)).limit(0).withColumn("corpus_dup", lit(false))
     val corpus = spark.read.parquet(path)
       .where(col("pbucket").isin(touched: _*)) // partition-pruned scan
     probeChunks.join(corpus, Seq("pbucket", "chunk", "chunkVal"), "left_outer")

@@ -93,4 +93,27 @@ object StreamingHammingAdmit {
         TimeMode.None(), OutputMode.Append())
       .toDF("docId", "corpus_dup", "admitted")
   }
+
+  /** The FLAT-WAVE admission form: screen each micro-batch against a
+    * [[graft.ops.HammingIndex]] written at `indexPath` instead of joining
+    * the corpus table per batch. [[admissionStream]]'s stream-static join
+    * re-scans the whole corpus every batch (SCALING.md: wave latency grew
+    * ~×8 over a ×100 corpus); this form's per-batch cost is the probed
+    * partition directories only (measured flat over the same range).
+    * `sink(verdicts, batchId)` receives one (docId, corpus_dup, admitted)
+    * row per batch doc — foreachBatch's batchId contract gives replay
+    * idempotence to any sink keyed on it. The caller starts the returned
+    * writer (checkpoint location, trigger) like any other stream.
+    */
+  def indexAdmissionWriter(fps: Dataset[Fp], indexPath: String, maxHamming: Int,
+                           buckets: Int = 256)(
+      sink: (org.apache.spark.sql.DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[Fp] =
+    fps.writeStream.foreachBatch { (batch: Dataset[Fp], batchId: Long) =>
+      val verdicts = graft.ops.HammingIndex
+        .screen(batch.sparkSession, indexPath, batch.toDF(), "docId", "hash",
+          maxHamming, buckets)
+        .withColumn("admitted", !col("corpus_dup"))
+      sink(verdicts, batchId)
+    }
 }

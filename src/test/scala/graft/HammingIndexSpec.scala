@@ -61,4 +61,35 @@ class HammingIndexSpec extends SparkSpec {
     assert(prunedFiles > 0 && prunedFiles < allFiles,
       s"expected a pruned scan: $prunedFiles of $allFiles files")
   }
+
+  test("flat-wave streaming admission via the index equals brute force across waves") {
+    import graft.streaming.StreamingHammingAdmit
+    import graft.streaming.StreamingHammingAdmit.Fp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = docs.select(col("doc_id"),
+      Multimodal.encodePpmPatch(md5(expr("CAST(doc_id DIV 25 AS STRING)").cast("binary")),
+        substring(col("text"), 1, 12), w = 13, h = 9, patchBytes = 78).as("media"))
+    val hashes = Multimodal.ppmDHash(media, "doc_id")
+    val corpus = hashes.where(col("id") % 2 === 0 && col("id") < 250)
+    val incoming = hashes.where(col("id") % 2 === 1 && col("id").between(200, 320))
+      .as[(Long, Long)].collect().map { case (id, h) => Fp(id, h) }.toSeq
+    val path = Files.createTempDirectory("hamming-index-fw").toString + "/idx"
+    HammingIndex.write(corpus, "id", "dhash", maxHamming = 3, path)
+
+    val got = scala.collection.concurrent.TrieMap.empty[Long, Boolean]
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Fp]
+    val q = StreamingHammingAdmit.indexAdmissionWriter(input.toDS(), path, maxHamming = 3) {
+      (verdicts, _) =>
+        verdicts.collect().foreach(r => got.put(r.getLong(0), r.getBoolean(1)))
+    }.option("checkpointLocation", Files.createTempDirectory("fw-ckpt").toString).start()
+    incoming.grouped(25).foreach { w => input.addData(w: _*); q.processAllAvailable() }
+    q.stop()
+
+    val corpusHashes = corpus.as[(Long, Long)].collect().map(_._2)
+    val truth = incoming.map(f => f.docId ->
+      corpusHashes.exists(c => java.lang.Long.bitCount(c ^ f.hash) <= 3)).toMap
+    assert(got.toMap == truth)
+  }
 }
