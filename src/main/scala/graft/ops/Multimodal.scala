@@ -541,26 +541,10 @@ object Multimodal {
       df.select(col(idCol).cast("long").as("id"), col("media")).as[MediaRow]
     typed.mapPartitions(_.flatMap { row =>
       val b = row.media
-      require(b != null && b.length > 4 && b(0) == 'G' && b(1) == 'V' &&
-        b(2) == '1' && b(3) == '\n', s"row ${row.id}: not a GV1 payload")
-      var p = 4
-      def readInt(): Int = {
-        while (p < b.length && (b(p) == ' ' || b(p) == '\n')) p += 1
-        var v = 0
-        require(p < b.length && b(p) >= '0' && b(p) <= '9',
-          s"row ${row.id}: malformed GV1 header at $p")
-        while (p < b.length && b(p) >= '0' && b(p) <= '9') { v = v * 10 + (b(p) - '0'); p += 1 }
-        v
-      }
-      val nFrames = readInt(); val w = readInt(); val h = readInt(); val maxval = readInt()
-      require(maxval == 255, s"row ${row.id}: GV1 maxval $maxval unsupported")
-      require(p < b.length && b(p) == '\n', s"row ${row.id}: missing header terminator")
-      p += 1
+      val (nFrames, w, h, dataAt) = gvidHeader(b, row.id)
       val frameBytes = w * h * 3
-      require(b.length - p == nFrames.toLong * frameBytes,
-        s"row ${row.id}: body ${b.length - p} != $nFrames frames of $frameBytes")
       (0 until nFrames by every).iterator.map { f =>
-        val at = p + f * frameBytes
+        val at = dataAt + f * frameBytes
         var sr = 0L; var sg = 0L; var sb = 0L
         var i = 0
         while (i < frameBytes) {
@@ -572,6 +556,118 @@ object Multimodal {
           sr + sg + sb)
       }
     }).toDF("id", "frame_idx", "mean_r", "mean_g", "mean_b", "px_checksum")
+  }
+
+  /** The GV1 header walk shared by [[gvidFrameStats]] and
+    * [[gvidTemporalHash]]: validates the magic, parses frame count /
+    * geometry / maxval, and checks the body length matches the declared
+    * frame list exactly. Returns (nFrames, w, h, dataAt).
+    */
+  private def gvidHeader(b: Array[Byte], rid: Long): (Int, Int, Int, Int) = {
+    require(b != null && b.length > 4 && b(0) == 'G' && b(1) == 'V' &&
+      b(2) == '1' && b(3) == '\n', s"row $rid: not a GV1 payload")
+    var p = 4
+    def readInt(): Int = {
+      while (p < b.length && (b(p) == ' ' || b(p) == '\n')) p += 1
+      var v = 0
+      require(p < b.length && b(p) >= '0' && b(p) <= '9',
+        s"row $rid: malformed GV1 header at $p")
+      while (p < b.length && b(p) >= '0' && b(p) <= '9') { v = v * 10 + (b(p) - '0'); p += 1 }
+      v
+    }
+    val nFrames = readInt(); val w = readInt(); val h = readInt(); val maxval = readInt()
+    require(maxval == 255, s"row $rid: GV1 maxval $maxval unsupported")
+    require(p < b.length && b(p) == '\n', s"row $rid: missing header terminator")
+    p += 1
+    require(b.length - p == nFrames.toLong * (w * h * 3),
+      s"row $rid: body ${b.length - p} != $nFrames frames of ${w * h * 3}")
+    (nFrames, w, h, p)
+  }
+
+  /** GV1 payload whose frame stream is `base` bytes cycled over all but
+    * the last `patchFrames` frames, with `patch` bytes cycled over the
+    * trailing frames — the video twin of [[encodePpmPatch]] /
+    * [[encodeWavPatch]]: rows sharing `base` (and a frame count) are "the
+    * same clip with a re-shot ending", so their temporal hashes sit a few
+    * bits apart, while different bases decorrelate the whole stream.
+    * Portable: the DuckDB twin rebuilds both byte segments with
+    * repeat/substr.
+    */
+  def encodeGvidPatch(base: org.apache.spark.sql.Column, patch: org.apache.spark.sql.Column,
+                      nFrames: org.apache.spark.sql.Column, w: Int, h: Int,
+                      patchFrames: Int): org.apache.spark.sql.Column = {
+    require(patchFrames > 0, s"patchFrames must be positive: $patchFrames")
+    val frameBytes = w.toLong * h * 3
+    val body = nFrames.cast("long") * lit(frameBytes)
+    val header = concat_ws("", lit("GV1\n"), nFrames.cast("string"),
+      lit(s" $w $h\n255\n")).cast(BinaryType)
+    concat(header, cycledBytes(base, body - lit(patchFrames * frameBytes)),
+      cycledBytes(patch, lit(patchFrames * frameBytes)))
+  }
+
+  /** X4h: perceptual video fingerprint — the temporal twin of [[ppmDHash]]
+    * (spatial) and [[wavEnergyHash]] (acoustic): a 64-bit
+    * brightness-envelope hash whose Hamming distance tracks temporal
+    * similarity. Each frame folds to its exact brightness Σ(r+g+b) (LONG),
+    * the frame list is cut into 65 floor-boundary spans (span j covers
+    * frames [j·nf/65, (j+1)·nf/65) — needs nf ≥ 65 so no span is empty),
+    * and bit j is 1 iff mean brightness rises: B(j+1)·len(j) >
+    * B(j)·len(j+1), cross-multiplied so the comparison stays in exact
+    * integers (the PER-FRAME normalization matters: floor boundaries make
+    * span lengths differ by one, and a raw-sum comparison would encode the
+    * length pattern — identical for every clip of a given frame count —
+    * instead of content). Robust to amplitude-preserving local edits;
+    * a re-shot ending moves only the trailing spans' bits. Decode runs
+    * partition-local after all shuffles like every kernel here; only
+    * (id, 8-byte hash) rides an exchange, so the downstream banded
+    * Hamming self-join ([[Dedup.hamming64NearDupPairs]]) is the same
+    * corpus-scale plan images and audio use.
+    *
+    * Output: (id, vhash) — one LONG per clip.
+    */
+  def gvidTemporalHash(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] =
+      df.select(col(idCol).cast("long").as("id"), col("media")).as[MediaRow]
+    typed.mapPartitions(_.map { row =>
+      val b = row.media
+      val (nFrames, w, h, dataAt) = gvidHeader(b, row.id)
+      require(nFrames >= 65, s"row ${row.id}: temporal hash needs >= 65 frames, got $nFrames")
+      val frameBytes = w * h * 3
+      val bright = new Array[Long](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        val at = dataAt + f * frameBytes
+        var s = 0L
+        var i = 0
+        while (i < frameBytes) { s += b(at + i) & 0xFF; i += 1 }
+        bright(f) = s
+        f += 1
+      }
+      val e = new Array[Long](65)
+      val len = new Array[Long](65)
+      var j = 0
+      while (j < 65) {
+        val a = j * nFrames / 65
+        val z = (j + 1) * nFrames / 65
+        var s = 0L
+        var i = a
+        while (i < z) { s += bright(i); i += 1 }
+        e(j) = s
+        len(j) = z - a
+        j += 1
+      }
+      var hash = 0L
+      j = 0
+      while (j < 64) {
+        // mean-brightness comparison in exact integers (e ≤ nf·765·w·h,
+        // len ≤ nf: the cross-products stay far below 2^63)
+        if (e(j + 1) * len(j) > e(j) * len(j + 1)) hash |= (1L << j)
+        j += 1
+      }
+      (row.id, hash)
+    }).toDF("id", "vhash")
   }
 
   /** The P6 header walk shared by [[decodePpm]] and [[ppmDHash]]: parses

@@ -597,6 +597,64 @@ object Oracles {
        |      (CASE WHEN i = 63 THEN 9223372036854775808::HUGEINT ELSE ((1::BIGINT << i))::HUGEINT END)
        |      ELSE 0::HUGEINT END) AS s FROM awbits GROUP BY 1))""".stripMargin
 
+  /** Rebuilds Multimodal.gvidTemporalHash over the encodeGvidPatch
+    * fixture (Queries.vidMedia). Per-frame brightness in the base region
+    * comes from PREFIX SUMS over the 640-byte group cycle (computed once
+    * per 25-doc GROUP, S(x) = (x÷640)·cyc + pre[x mod 640], frame f =
+    * S(90(f+1)) − S(90f)) instead of per-byte reconstruction — 640 ascii()
+    * calls per group rather than ~9000 substr() calls per doc, which keeps
+    * the twin runnable at sf0.1; the 180 patch bytes (2 trailing frames)
+    * are rebuilt per-doc from hex pairs exactly like AWavChain (the base
+    * cycle is md5 hex text, pure ASCII, so ascii() per char is the byte;
+    * the text-prefix patch can be multi-byte UTF-8, so it goes through
+    * encode/hex). Frame f's span is j = ((f+1)·65 − 1) ÷ nf (the exact
+    * inverse of the floor-boundary partition [j·nf/65, (j+1)·nf/65)),
+    * mean-brightness bits via exact integer cross-products, packed into
+    * the same two's-complement BIGINT the Spark kernel emits (HUGEINT
+    * fold for bit 63, as in DHashChain).
+    */
+  private val VidChain =
+    s"""vgrp AS (SELECT DISTINCT doc_id // 25 AS g FROM documents),
+       |vb0 AS (SELECT g,
+       |    ${(0 until 20).map(k => s"md5(CAST(g AS VARCHAR) || '-$k')").mkString(" || ")} AS b0
+       |  FROM vgrp),
+       |vcb AS (SELECT g, i, ascii(substr(b0, CAST(i + 1 AS INT), 1)) AS v
+       |  FROM vb0 CROSS JOIN generate_series(0, 639) t(i)),
+       |vpsl AS (SELECT g, list_prepend(0::BIGINT,
+       |      list(CAST(ps AS BIGINT) ORDER BY i)) AS pre
+       |  FROM (SELECT g, i, sum(v) OVER (PARTITION BY g ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps FROM vcb)
+       |  GROUP BY g),
+       |vdoc AS (SELECT doc_id, doc_id // 25 AS g,
+       |    CAST(72 + (doc_id // 25) % 41 AS BIGINT) AS nf,
+       |    coalesce(nullif(substr(text, 1, 12), ''), 'x') AS p0
+       |  FROM documents),
+       |vphx AS (SELECT doc_id,
+       |    substr(hex(encode(repeat(p0, CAST((180 + octet_length(encode(p0)) - 1) // octet_length(encode(p0)) AS INT)))), 1, 360) AS phx
+       |  FROM vdoc),
+       |vpf AS (SELECT doc_id, i // 90 AS pf, sum(('0x' || substr(phx, CAST(2*i+1 AS INT), 2))::BIGINT) AS bright
+       |  FROM vphx CROSS JOIN generate_series(0, 179) t(i) GROUP BY 1, 2),
+       |vfr AS (SELECT doc_id, g, nf, unnest(generate_series(0, nf - 1)) AS f FROM vdoc),
+       |vbrt AS (SELECT vfr.doc_id, nf, f,
+       |    CASE WHEN f < nf - 2 THEN
+       |      (90*(f+1) // 640 - 90*f // 640) * pre[641]
+       |        + pre[CAST(90*(f+1) % 640 AS INT) + 1] - pre[CAST(90*f % 640 AS INT) + 1]
+       |    ELSE vpf.bright END AS bright
+       |  FROM vfr JOIN vpsl USING (g)
+       |  LEFT JOIN vpf ON vpf.doc_id = vfr.doc_id AND vpf.pf = f - (nf - 2)),
+       |vseg AS (SELECT doc_id, ((f+1)*65 - 1) // nf AS j,
+       |    sum(bright) AS e, count(*) AS ln
+       |  FROM vbrt GROUP BY 1, 2),
+       |vbits AS (SELECT a.doc_id, a.j AS i,
+       |    CASE WHEN b.e * a.ln > a.e * b.ln THEN 1 ELSE 0 END AS bit
+       |  FROM vseg a JOIN vseg b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+       |  WHERE a.j < 64),
+       |vh AS (SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+       |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS vhash
+       |  FROM (SELECT doc_id, sum(CASE WHEN bit = 1 THEN
+       |      (CASE WHEN i = 63 THEN 9223372036854775808::HUGEINT ELSE ((1::BIGINT << i))::HUGEINT END)
+       |      ELSE 0::HUGEINT END) AS s FROM vbits GROUP BY 1))""".stripMargin
+
   /** 128-bit SimHash rebuild: ±1 votes per bit from all four 32-bit md5
     * words, sign-folded into two BIGINTs (HUGEINT fold for each word's
     * top bit, as in the 64-bit twin).
@@ -1277,6 +1335,23 @@ object Oracles {
         |  round(sum(b)*1.0/30, 6) AS mean_b,
         |  CAST(sum(r) + sum(g) + sum(b) AS BIGINT) AS px_checksum
         |FROM vpx GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Mirrors Multimodal.gvidTemporalHash over the encodeGvidPatch fixture
+    // (see VidChain): the 64-bit brightness-envelope hash is pure integer
+    // math, so the twin reproduces it bit-for-bit.
+    "x4_vhash" ->
+      s"""WITH $VidChain
+         |SELECT doc_id, vhash FROM vh ORDER BY doc_id""".stripMargin,
+
+    // Video near-dup pairs via the ALL-PAIRS form: the Spark side runs the
+    // banded pigeonhole LSH plan, equal to all-pairs at hamming <= 3 by
+    // construction — the hash gate proves the banded plan loses nothing.
+    "x4_video_near_dup" ->
+      s"""WITH $VidChain
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.vhash, b.vhash)) AS INT) AS hamming
+         |FROM vh a JOIN vh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.vhash, b.vhash)) <= 3 ORDER BY 1, 2""".stripMargin,
 
     // v7: cross-modal keeper gate — keeper of BOTH the dhash equality
     // class and the ahash equality class (keep-most-tokens, min-id ties),

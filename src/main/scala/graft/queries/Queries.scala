@@ -1142,6 +1142,59 @@ object Queries {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
 
+  /** The shared X4h video fixture: every document becomes a genuine GV1
+    * container whose frame stream cycles a per-GROUP base pattern (20
+    * concatenated md5s of doc_id÷25, a 320-byte cycle that sweeps phases
+    * across the 90-byte frames) except for the last TWO frames, cycled
+    * from the doc's text prefix — "the same clip with a re-shot ending"
+    * within a group, unrelated clips across groups. The frame count
+    * 72 + (doc_id÷25) % 41 is constant WITHIN a group (near-dups must
+    * share span geometry) and ≥ 65 so every one of the temporal hash's 65
+    * spans is nonempty. Like the image/audio fixtures, the base is keyed
+    * by a BOUNDED id block: cluster size stays 25 at every sf while
+    * cluster count grows with the corpus, so the pair list scales
+    * linearly. Both patch frames land in span 64 (for nf ≥ 66,
+    * span(nf-2) = span(nf-1) = 64), so within-group hashes differ only in
+    * bit 63 — comfortably inside the maxHamming = 3 bound while
+    * cross-group distances sit near 32.
+    */
+  private def vidMedia(spark: SparkSession, dir: String): DataFrame = {
+    val g = expr("CAST(doc_id DIV 25 AS STRING)")
+    val base = concat((0 until 20).map(k => md5(concat(g, lit(s"-$k")).cast("binary"))): _*)
+    t(spark, dir, "documents").select(col("doc_id"),
+      Multimodal.encodeGvidPatch(base, substring(col("text"), 1, 12),
+        expr("CAST(72 + (doc_id DIV 25) % 41 AS INT)"), w = 6, h = 5,
+        patchFrames = 2).as("media"))
+  }
+
+  /** X4h: temporal brightness-envelope hash of every video — the decode
+    * kernel parses the GV1 header for real and the 64-bit hash is pure
+    * integer math (exact per-frame brightness, 65 floor-boundary spans,
+    * cross-multiplied mean compare), so the DuckDB twin rebuilds it
+    * bit-for-bit and any header/boundary/normalization bug breaks the
+    * hash gate.
+    */
+  private def x4VHash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.gvidTemporalHash(vidMedia(spark, dir), "doc_id")
+      .select(col("id").as("doc_id"), col("vhash"))
+      .orderBy("doc_id")
+
+  /** X4h: video near-dup pairs — temporal hash + the SAME banded 64-bit
+    * Hamming self-join as SimHash/images/audio
+    * ([[Dedup.hamming64NearDupPairs]], maxHamming = 3: the 4×16-bit
+    * scale regime; recall exactly 1 at the bound by pigeonhole,
+    * bit_count(xor) verification for exact precision). The oracle
+    * verifies via the all-pairs form at the same bound, so the hash gate
+    * proves the banded plan loses nothing. Completes the dedup modality
+    * matrix: text, embeddings, images, audio, and now video all feed the
+    * same scale-safe pair machinery.
+    */
+  private def x4VideoNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hamming64NearDupPairs(
+        Multimodal.gvidTemporalHash(vidMedia(spark, dir), "doc_id"), "id", "vhash", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+
   /** X4e: nearest-neighbor resize of the patched image fixture to 8×8 —
     * the thumbnail step; 13→8 and 9→8 are non-integral, so the floor map
     * is genuinely exercised. /64 means are exact at 6 dp (1/64 =
@@ -1773,6 +1826,8 @@ object Queries {
     "x4_audio_near_dup" -> (x4AudioNearDup _),
     "x4_resize" -> (x4Resize _),
     "x4_video_frames" -> (x4VideoFrames _),
+    "x4_vhash" -> (x4VHash _),
+    "x4_video_near_dup" -> (x4VideoNearDup _),
     "x6_clean_corpus" -> (x6CleanCorpus _),
     "x6_vocab_topk" -> (x6VocabTopk _),
     "j_asof_attribution" -> (jAsofAttribution _),

@@ -819,6 +819,49 @@ class OpsSpec extends SparkSpec {
     assert(pairs == brute, s"banded=$pairs brute=$brute")
   }
 
+  test("X4h gvid temporal hash: identical clips hash equal, re-shot endings move only bit 63, banded join == all-pairs") {
+    import graft.ops.{Dedup, Multimodal}
+    // 640-char chained bases, as the audio test: the cycle must be long
+    // relative to the 90-byte frames so the envelope carries content
+    def chain(seed: String): org.apache.spark.sql.Column =
+      concat((0 until 20).map(k => md5(concat(lit(seed), lit(s"-$k")).cast("binary"))): _*)
+    val docs = Seq(
+      (0L, "A", "!!!!!!!!!!!! dim ending"),
+      (1L, "A", "!!!!!!!!!!!! dim ending"), // identical clip to 0
+      (2L, "A", "zzzzzzzzzzzz bright ending"), // same base, re-shot (brighter) ending
+      (3L, "B", "!!!!!!!!!!!! dim ending") // different clip
+    ).toDF("doc_id", "seed", "text")
+    val media = docs.select(col("doc_id"),
+      Multimodal.encodeGvidPatch(when(col("seed") === "B", chain("other")).otherwise(chain("grp")),
+        substring(col("text"), 1, 12), lit(72), w = 6, h = 5, patchFrames = 2).as("media"))
+    val vh = Multimodal.gvidTemporalHash(media, "doc_id").as[(Long, Long)].collect().toMap
+    assert(vh(0L) == vh(1L), "same base + same ending must hash identically")
+    val edit = vh(0L) ^ vh(2L)
+    // at nf = 72 both patch frames are span 64 = [70, 72), so an ending
+    // edit can move only bit 63 (span 64 vs span 63) — and a dim-vs-bright
+    // swap MUST move it (33·90 < base-mean < 122·90 per frame)
+    assert(edit == (1L << 63), f"ending edit moved the wrong bits: $edit%016x")
+    assert(java.lang.Long.bitCount(vh(0L) ^ vh(3L)) > 8,
+      "different clips must sit beyond the near-dup bound")
+    // the banded pigeonhole join returns EXACTLY the all-pairs result
+    val vhDf = Multimodal.gvidTemporalHash(media, "doc_id")
+    val pairs = Dedup.hamming64NearDupPairs(vhDf, "id", "vhash", maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    graft.ops.OpCaches.release()
+    val brute = (for {
+      a <- vh.keys; b <- vh.keys if a < b
+      h = java.lang.Long.bitCount(vh(a) ^ vh(b)) if h <= 8
+    } yield (a, b, h)).toSet
+    assert(pairs == brute, s"banded=$pairs brute=$brute")
+    // the temporal hash refuses clips too short for its 65-span geometry
+    val short = docs.limit(1).select(col("doc_id"),
+      Multimodal.encodeGvid(col("text"), lit(10L), w = 6, h = 5).as("media"))
+    val thrown = intercept[org.apache.spark.SparkException] {
+      Multimodal.gvidTemporalHash(short, "doc_id").count()
+    }
+    assert(thrown.getMessage.contains("65"), "short-clip error must name the span bound")
+  }
+
   test("X2b-128 simhash128: matches simhash64 on the low word-votes, banded join == all-pairs at hamming 7") {
     import graft.ops.{Dedup, TextAnalysis}
     val docs = Seq(
