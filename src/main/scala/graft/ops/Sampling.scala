@@ -306,4 +306,41 @@ object Sampling {
       .where(col("cell_rank") <= quota)
       .select(col(idCol), col("cell"), col("cell_rank"))
   }
+
+  /** X7sh: deterministic global shuffle + fixed-count shard export — the
+    * last step of every training-data pipeline: the curated corpus must
+    * reach the trainer in a reproducible pseudo-random order, cut into a
+    * fixed number of size-balanced shard files. Randomness is
+    * seed-keyed md5 (`md5(seed:id)`), never an RNG, so the permutation is
+    * a pure function of (seed, corpus): re-runs ship byte-identical
+    * shards, a changed seed reshuffles everything, and any md5-capable
+    * engine can replay the assignment (the DuckDB twin does,
+    * position-for-position).
+    *
+    * Assignment: shard = first 32 hash bits mod `nShards` (map-only — at
+    * 100 TB the shard column costs nothing); pos = 1-based rank of the
+    * full hash (id tiebreak) WITHIN the shard. Shape: the only shuffle is
+    * ONE hash exchange on the shard key for the rank window — there is
+    * deliberately no global sort: a total order across shards is never
+    * needed by a trainer that reads shards independently, and a
+    * range-partitioned global sort would pay sampling + skewed ranges for
+    * nothing. Within-shard rank parallelism equals `nShards`, so pick
+    * nShards ≈ the cluster's write parallelism (hundreds to thousands at
+    * 100 TB — also what keeps each shard file HDFS-block-sized). The
+    * physical write is `.repartition(nShards, $"shard")
+    * .sortWithinPartitions($"shard", $"pos")` + partitioned parquet —
+    * the same single exchange, sorted on the way out.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    seed: String = "shuffle"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    df.withColumn("__gh", h)
+      .withColumn("shard",
+        (Dedup.md5Hash32(concat_ws(":", lit(seed), col(idCol).cast("string")), 1)
+          % nShards.toLong).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__gh"), col(idCol))).cast("long"))
+      .drop("__gh")
+  }
 }

@@ -1380,6 +1380,37 @@ object Oracles {
          |SELECT lang, doc_id, n_tokens, cum_tokens FROM v7c
          |WHERE cum_tokens <= 600 ORDER BY lang, cum_tokens""".stripMargin,
 
+    // v8: v7's cross-modal keeper gate extended with the VIDEO equality
+    // class — keeper of image AND audio AND video hash classes
+    // (keep-most-tokens, min-id ties), then the strict per-lang token
+    // quota; same GROUP-BY-hash mirror of Spark's pairs -> union-find ->
+    // argmax, now over three fingerprints.
+    "x8_curation_v8" ->
+      s"""WITH $DHashChain,
+         |$AWavChain,
+         |$VidChain,
+         |v8tok AS (SELECT doc_id, CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS ntk
+         |        FROM documents),
+         |v8v AS (SELECT dh.doc_id,
+         |        row_number() OVER (PARTITION BY dh.dhash ORDER BY t.ntk DESC, dh.doc_id) AS rn
+         |      FROM dh JOIN v8tok t USING (doc_id)),
+         |v8a AS (SELECT ah.doc_id,
+         |        row_number() OVER (PARTITION BY ah.ahash ORDER BY t.ntk DESC, ah.doc_id) AS rn
+         |      FROM ah JOIN v8tok t USING (doc_id)),
+         |v8w AS (SELECT vh.doc_id,
+         |        row_number() OVER (PARTITION BY vh.vhash ORDER BY t.ntk DESC, vh.doc_id) AS rn
+         |      FROM vh JOIN v8tok t USING (doc_id)),
+         |v8k AS (SELECT v.doc_id FROM v8v v JOIN v8a a USING (doc_id) JOIN v8w w USING (doc_id)
+         |      WHERE v.rn = 1 AND a.rn = 1 AND w.rn = 1),
+         |v8q AS (SELECT d.lang, d.doc_id, t.ntk AS n_tokens, $hashUnit AS u
+         |      FROM documents d JOIN v8k USING (doc_id) JOIN v8tok t USING (doc_id)),
+         |v8c AS (SELECT lang, doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM v8q)
+         |SELECT lang, doc_id, n_tokens, cum_tokens FROM v8c
+         |WHERE cum_tokens <= 600 ORDER BY lang, cum_tokens""".stripMargin,
+
     // Mirrors Multimodal.encodeWav + decodeWav: samples are 16-bit LE
     // signed ints over the cycled text bytes (2 bytes each, recovered from
     // hex pairs); the Spark kernel reads sample rate and count from the
@@ -1675,6 +1706,18 @@ object Oracles {
          |SELECT doc_id, CASE $cases ELSE '${names.last}' END AS split
          |FROM u ORDER BY doc_id""".stripMargin
     },
+
+    // Mirrors Sampling.shuffleShards (seed "r8", 16 shards): shard = first
+    // 32 md5 bits mod 16, pos = within-shard rank of the full lowercase-hex
+    // digest (id tiebreak) — the twin replays the permutation
+    // position-for-position.
+    "x7_shuffle_shards" ->
+      """WITH sh AS (SELECT doc_id, md5('r8:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |sa AS (SELECT doc_id, h,
+        |    CAST(('0x' || substr(h, 1, 8))::BIGINT % 16 AS INT) AS shard FROM sh)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM sa ORDER BY doc_id""".stripMargin,
 
     "x7_stratified_sample" ->
       s"""WITH u AS (SELECT doc_id, lang, source, $hashUnit AS u FROM documents),

@@ -1235,6 +1235,16 @@ object Queries {
       .select(col("doc_id"), col("split"))
       .orderBy("doc_id")
 
+  /** X7sh: deterministic shuffle-shard export assignment — every doc's
+    * (shard, pos) under seed "r8" across 16 shards. The oracle replays
+    * the md5 permutation position-for-position (both engines emit
+    * lowercase hex, so the within-shard hash order is portable).
+    */
+  private def x7ShuffleShards(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleShards(t(spark, dir, "documents"), "doc_id", nShards = 16, seed = "r8")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
   /** X7: exact stratified sample — 25% of each (lang, source) stratum,
     * selected by md5 rank so the sample is reproducible and nested
     * (a 50% sample would contain this one).
@@ -1414,6 +1424,39 @@ object Queries {
       Multimodal.wavEnergyHash(awavMedia(spark, dir), "doc_id"), "ahash")
     val kept = docs.join(dropVisual, Seq("doc_id"), "left_anti")
       .join(dropAudio, Seq("doc_id"), "left_anti")
+    Sampling.tokenQuota(kept, "doc_id", col("text"),
+        Seq("lang"), budget = 600L, strict = true)
+      .orderBy("lang", "cum_tokens")
+  }
+
+  /** X8 v8: the full cross-modal keeper gate — v7's image∩audio keeper
+    * condition extended with the VIDEO equality class
+    * ([[graft.ops.Multimodal.gvidTemporalHash]] at hamming 0): a doc
+    * survives only as the keeper (most tokens, min-id ties) of its image
+    * class AND its audio class AND its video class, then the strict
+    * per-lang token quota. All three modalities reduce to 8-byte
+    * fingerprints before anything shuffles, so the composed plan's
+    * exchange payload is independent of media size — the property that
+    * makes a three-modality gate affordable at 100 TB.
+    */
+  private def x8CurationV8(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val scores = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("__ntk"))
+    def dropNonKeepers(hashes: DataFrame, hashCol: String): DataFrame =
+      Components.keepBestClusters(
+          Dedup.hamming64NearDupPairs(hashes, "id", hashCol, maxHamming = 0),
+          scores, "doc_id", "__ntk")
+        .where(!col("is_keeper")).select(col("id").as("doc_id"))
+    val dropVisual = dropNonKeepers(
+      Multimodal.ppmDHash(dhashMedia(spark, dir), "doc_id"), "dhash")
+    val dropAudio = dropNonKeepers(
+      Multimodal.wavEnergyHash(awavMedia(spark, dir), "doc_id"), "ahash")
+    val dropVideo = dropNonKeepers(
+      Multimodal.gvidTemporalHash(vidMedia(spark, dir), "doc_id"), "vhash")
+    val kept = docs.join(dropVisual, Seq("doc_id"), "left_anti")
+      .join(dropAudio, Seq("doc_id"), "left_anti")
+      .join(dropVideo, Seq("doc_id"), "left_anti")
     Sampling.tokenQuota(kept, "doc_id", col("text"),
         Seq("lang"), budget = 600L, strict = true)
       .orderBy("lang", "cum_tokens")
@@ -1836,6 +1879,7 @@ object Queries {
     "q6_percentiles" -> (q6Percentiles _),
     "q7_promo_by_brand" -> (q7PromoByBrand _),
     "x7_split" -> (x7Split _),
+    "x7_shuffle_shards" -> (x7ShuffleShards _),
     "x7_stratified_sample" -> (x7StratifiedSample _),
     "x7_token_quota" -> (x7TokenQuota _),
     "x7_decontaminate" -> (x7Decontaminate _),
@@ -1845,6 +1889,7 @@ object Queries {
     "x6_pmi" -> (x6Pmi _),
     "x8_curation_v6" -> (x8CurationV6 _),
     "x8_curation_v7" -> (x8CurationV7 _),
+    "x8_curation_v8" -> (x8CurationV8 _),
     "x5_pii_scrub" -> (x5PiiScrub _),
     "x5_repetition" -> (x5Repetition _),
     "x5_collapse_repeats" -> (x5CollapseRepeats _),

@@ -298,4 +298,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "decon must join on (band, bucket) keys, never pair all rows")
   }
+
+  test("shuffle-shard export: pruned scan, no joins, two exchanges (rank window + output order)") {
+    val plan = planOf("x7_shuffle_shards")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), "shard scan is not pruned to doc_id")
+    assert(!plan.contains("Join"), "shard assignment must be join-free")
+    // one hash exchange on the shard key for the rank window, one range
+    // exchange for the registered query's canonical output order — the
+    // export write path keeps only the first
+    assert("Exchange".r.findAllIn(plan).size == 2,
+      "shuffle-shards should shuffle exactly twice (shard window + output sort)")
+    assert(plan.contains("hashpartitioning(shard"), "rank window must partition by the shard key")
+  }
+
+  test("video temporal hash pair join is the banded equi-join, pruned to (doc_id, text)") {
+    val plan = planOf("x4_video_near_dup")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "video fixture scan should read only (doc_id, text)")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "video pairs must meet on chunk keys, never pair all rows")
+  }
 }

@@ -141,4 +141,37 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureSample(mixed, "doc_id", "grp", Map("a" -> 1.0), 0.0)
     }
   }
+
+  test("shuffleShards: total balanced partition, contiguous positions, seed-keyed permutation") {
+    val out = Sampling.shuffleShards(docs, "doc_id", nShards = 8, seed = "t")
+      .select($"doc_id", $"shard", $"pos").as[(Long, Int, Long)].collect()
+    assert(out.length == 400 && out.map(_._1).distinct.length == 400)
+    // every shard populated, sizes within loose multinomial spread of 400/8
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0 until 8).toSet, s"shards seen: ${sizes.keySet}")
+    assert(sizes.values.forall(n => n > 20 && n < 80), s"shard sizes skewed: $sizes")
+    // positions are exactly 1..size within each shard (a trainer can read
+    // any shard independently and see a gapless local order)
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"shard $s positions gapped")
+    }
+    // deterministic: re-run identical; reseeded: same sizes discipline but
+    // a genuinely different permutation
+    val again = Sampling.shuffleShards(docs, "doc_id", nShards = 8, seed = "t")
+      .select($"doc_id", $"shard", $"pos").as[(Long, Int, Long)].collect()
+    assert(out.toSet == again.toSet)
+    val reseeded = Sampling.shuffleShards(docs, "doc_id", nShards = 8, seed = "u")
+      .select($"doc_id", $"shard", $"pos").as[(Long, Int, Long)].collect()
+    assert(reseeded.toSet != out.toSet, "a new seed must reshuffle")
+    // stability: a doc's (shard, pos-order relative to peers) is a pure
+    // function of (seed, id) — growing the corpus never moves a doc to
+    // another shard (positions may shift as new docs interleave)
+    val small = Sampling.shuffleShards(docs.where($"doc_id" < 100), "doc_id", 8, "t")
+      .select($"doc_id", $"shard").as[(Long, Int)].collect().toMap
+    val bigShards = out.map(r => r._1 -> r._2).toMap
+    assert(small.forall { case (id, s) => bigShards(id) == s })
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleShards(docs, "doc_id", nShards = 0)
+    }
+  }
 }
