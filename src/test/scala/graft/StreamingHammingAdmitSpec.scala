@@ -55,4 +55,39 @@ class StreamingHammingAdmitSpec extends SparkSpec {
     assert(out.length == incoming.length, "exactly one verdict per doc, re-sends ignored")
     assert(out.toMap == truth)
   }
+
+  test("video temporal fingerprints flow through the same admission stream (modality-generic)") {
+    // the admission machinery is fingerprint-agnostic by design; this pins
+    // the VIDEO hash into that contract — ingest screening for clips uses
+    // the exact plan images do, no video-specific streaming code
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val g = expr("CAST(doc_id DIV 25 AS STRING)")
+    val base = concat((0 until 20).map(k => md5(concat(g, lit(s"-$k")).cast("binary"))): _*)
+    val media = docs.select(col("doc_id"),
+      Multimodal.encodeGvidPatch(base, substring(col("text"), 1, 12),
+        expr("CAST(72 + (doc_id DIV 25) % 41 AS INT)"), w = 6, h = 5,
+        patchFrames = 2).as("media"))
+    val hashes = Multimodal.gvidTemporalHash(media, "doc_id")
+    val corpus = hashes.where(col("id") % 2 === 0 && col("id") < 250)
+    val incoming = hashes.where(col("id") % 2 === 1 && col("id").between(200, 320))
+      .as[(Long, Long)].collect().map { case (id, h) => Fp(id, h) }.toSeq
+    val corpusHashes = corpus.as[(Long, Long)].collect().map(_._2)
+    val truth = incoming.map(f => f.docId ->
+      corpusHashes.exists(c => java.lang.Long.bitCount(c ^ f.hash) <= 3)).toMap
+    assert(truth.values.exists(identity) && !truth.values.forall(identity),
+      "fixture must contain both dup and admitted clips")
+
+    val chunked = StreamingHammingAdmit.frozenCorpusChunks(corpus, "id", "vhash", maxHamming = 3)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Fp]
+    val q = StreamingHammingAdmit.admissionStream(input.toDS(), chunked, maxHamming = 3)
+      .writeStream.format("memory").queryName("vhash_admit_out")
+      .option("checkpointLocation", Files.createTempDirectory("vadmit-ckpt").toString)
+      .outputMode("append").start()
+    incoming.grouped(40).foreach { w => input.addData(w: _*); q.processAllAvailable() }
+    q.stop()
+    val out = spark.table("vhash_admit_out").select("docId", "corpus_dup")
+      .as[(Long, Boolean)].collect()
+    assert(out.length == incoming.length && out.toMap == truth)
+  }
 }
