@@ -655,6 +655,49 @@ object Oracles {
        |      (CASE WHEN i = 63 THEN 9223372036854775808::HUGEINT ELSE ((1::BIGINT << i))::HUGEINT END)
        |      ELSE 0::HUGEINT END) AS s FROM vbits GROUP BY 1))""".stripMargin
 
+  /** BPE learn chain constants/builders shared by the merge-learning twin
+    * and the tokenization twin (Bpe.learnMerges defaults: 8 merges over the
+    * top-500 vocabulary, 8 replace passes per merge).
+    */
+  private val BpeN = 8
+  private val BpeVocabCap = 500
+  private val BpePasses = 8
+
+  /** `passes` nested leftmost non-overlapping replaces of the pair held by
+    * the correlated `x` row — the exact JVM [[graft.ops.Bpe.applyMerge]]
+    * primitive.
+    */
+  private def BpeApplySql(seg: String): String =
+    (1 to BpePasses).foldLeft(seg)((s, _) =>
+      s"replace($s, ' '||x.a||' '||x.b||' ', ' '||x.a||x.b||' ')")
+
+  /** Mirrors Bpe.learnMerges stage for stage: the iterative merge loop is
+    * UNROLLED into N CTE stages (SQL cannot aggregate in a recursive term);
+    * each stage applies the previous best pair as nested plain `replace()`
+    * calls on the padded symbol string, re-counts adjacent pairs and picks
+    * the (weight desc, lhs, rhs) argmax. An exhausted vocabulary empties
+    * every later stage in both engines identically. Ends with
+    * `best1..bestN(a, b, w)` and `segN` in scope.
+    */
+  private val BpeLearnChain: String = {
+    val stages = (1 to BpeN).map { k =>
+      val prev = if (k == 1) "seg0" else s"seg${k - 1}"
+      s"""toks$k AS (SELECT freq, list_filter(string_split(seg, ' '), t -> len(t) > 0) AS t FROM $prev),
+         |pairs$k AS (SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS w
+         |  FROM (SELECT freq, unnest(list_transform(generate_series(1, len(t)-1), i -> [t[i], t[i+1]])) AS pr
+         |        FROM toks$k WHERE len(t) > 1)
+         |  GROUP BY 1, 2),
+         |best$k AS (SELECT a, b, w FROM pairs$k ORDER BY w DESC, a, b LIMIT 1),
+         |seg$k AS (SELECT word, freq, ${BpeApplySql("seg")} AS seg FROM $prev, best$k x)""".stripMargin
+    }.mkString(",\n")
+    s"""vocab AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($wordsOf) AS word FROM documents)
+       |  GROUP BY word ORDER BY freq DESC, word LIMIT $BpeVocabCap),
+       |seg0 AS (SELECT word, freq, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg FROM vocab),
+       |$stages""".stripMargin
+  }
+
   /** 128-bit SimHash rebuild: ±1 votes per bit from all four 32-bit md5
     * words, sign-folded into two BIGINTs (HUGEINT fold for each word's
     * top bit, as in the 64-bit twin).
@@ -981,31 +1024,37 @@ object Oracles {
     // argmax. An exhausted vocabulary empties every later stage in both
     // engines identically.
     "x6_bpe_merges" -> {
-      val (n, vocabCap, passes) = (8, 500, 8)
-      def applySql(seg: String): String =
-        (1 to passes).foldLeft(seg)((s, _) =>
-          s"replace($s, ' '||x.a||' '||x.b||' ', ' '||x.a||x.b||' ')")
-      val stages = (1 to n).map { k =>
-        val prev = if (k == 1) "seg0" else s"seg${k - 1}"
-        s"""toks$k AS (SELECT freq, list_filter(string_split(seg, ' '), t -> len(t) > 0) AS t FROM $prev),
-           |pairs$k AS (SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS w
-           |  FROM (SELECT freq, unnest(list_transform(generate_series(1, len(t)-1), i -> [t[i], t[i+1]])) AS pr
-           |        FROM toks$k WHERE len(t) > 1)
-           |  GROUP BY 1, 2),
-           |best$k AS (SELECT a, b, w FROM pairs$k ORDER BY w DESC, a, b LIMIT 1),
-           |seg$k AS (SELECT word, freq, ${applySql("seg")} AS seg FROM $prev, best$k x)""".stripMargin
-      }.mkString(",\n")
-      val union = (1 to n).map(k =>
+      val union = (1 to BpeN).map(k =>
         s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, w AS pair_freq FROM best$k")
         .mkString("\nUNION ALL ")
-      s"""WITH vocab AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest($wordsOf) AS word FROM documents)
-         |  GROUP BY word ORDER BY freq DESC, word LIMIT $vocabCap),
-         |seg0 AS (SELECT word, freq, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg FROM vocab),
-         |$stages
+      s"""WITH $BpeLearnChain
          |$union
          |ORDER BY merge_rank""".stripMargin
+    },
+
+    // Mirrors Bpe.tokenCountWithMerges under the merges the SAME unrolled
+    // chain just learned: every doc word is padded-segmented and pushed
+    // through the 8 merge stages with the identical leftmost
+    // non-overlapping replace primitive — LEFT JOIN ON TRUE so a stage
+    // whose vocabulary-exhausted best is EMPTY passes segments through
+    // unchanged, exactly as Spark applies only the merges that exist.
+    // Wordless docs report 0 via the outer join (Spark: explode_outer).
+    "x6_bpe_tokens" -> {
+      val dstages = (1 to BpeN).map { k =>
+        val prev = if (k == 1) "dseg0" else s"dseg${k - 1}"
+        s"""dseg$k AS (SELECT doc_id,
+           |  CASE WHEN x.a IS NULL THEN seg ELSE ${BpeApplySql("seg")} END AS seg
+           |  FROM $prev LEFT JOIN best$k x ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $BpeLearnChain,
+         |dw AS (SELECT doc_id, unnest($wordsOf) AS word FROM documents),
+         |dseg0 AS (SELECT doc_id, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg FROM dw),
+         |$dstages,
+         |dn AS (SELECT doc_id,
+         |    CAST(sum(len(list_filter(string_split(seg, ' '), t -> len(t) > 0))) AS BIGINT) AS n
+         |  FROM dseg$BpeN GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(n.n, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN dn n USING (doc_id) ORDER BY doc_id""".stripMargin
     },
 
     // Mirrors Similarity.quantizeInt8: order-free max, exact float->double

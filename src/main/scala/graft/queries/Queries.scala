@@ -856,6 +856,27 @@ object Queries {
     graft.ops.Bpe.learnMerges(t(spark, dir, "documents"), col("text"))
       .orderBy("merge_rank")
 
+  /** X6t: BPE application — per-doc token count under the merges just
+    * learned from the corpus itself (the measure a token-budget quota
+    * would actually use once a tokenizer exists, vs the regex
+    * approximation). The learned table is tokenizer-sized (≤ 8 rows here;
+    * tens of thousands in production — still a broadcast artifact), so
+    * collecting it driver-side is the standard model-fit pattern; the
+    * corpus pass applies the merges as nested codegen'd string replaces —
+    * no UDF, no shuffle beyond the per-doc count agg. The twin re-learns
+    * the identical merges (unrolled stages) and re-applies them with the
+    * same leftmost non-overlapping primitive, so any divergence in EITHER
+    * phase breaks the hash.
+    */
+  private def x6BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = graft.ops.Bpe.learnMerges(docs, col("text"))
+      .orderBy("merge_rank")
+      .select("lhs", "rhs").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    graft.ops.Bpe.tokenCountWithMerges(docs, "doc_id", col("text"), merges)
+      .orderBy("doc_id")
+  }
+
   private def x4MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.asMedia(t(spark, dir, "documents"), "doc_id", col("text"), "text/plain")
       .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
@@ -1898,6 +1919,7 @@ object Queries {
     "x8_curation_pipeline" -> (x8CurationPipeline _),
     "x3_quantize_int8" -> (x3QuantizeInt8 _),
     "x6_bpe_merges" -> (x6BpeMerges _),
+    "x6_bpe_tokens" -> (x6BpeTokens _),
     "q8_salted_revenue" -> (q8SaltedRevenue _),
     "x7_mixture_sample" -> (x7MixtureSample _),
     "x2_semdedup" -> (x2Semdedup _),

@@ -26,8 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     // BPE vocab) - those are spot-checked above/below where cheap.
     val constructionRunsJobs = Set(
       "x3_ivf_topk", "x7_dedup_clusters", "x7_dedup_apply", "x8_curation_pipeline",
-      "x4_lazy_pointer", "x6_bpe_merges", "x3_pca_project", "x3_pq_topk", "x3_pq_recall",
-      "x3_ivfpq_topk", "x3_ivfpq_recall")
+      "x4_lazy_pointer", "x6_bpe_merges", "x6_bpe_tokens", "x3_pca_project", "x3_pq_topk",
+      "x3_pq_recall", "x3_ivfpq_topk", "x3_ivfpq_recall")
     (SparkEntry.queries.keySet -- constructionRunsJobs).toSeq.sorted.foreach { q =>
       assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian product")
     }
