@@ -343,4 +343,21 @@ object Sampling {
         Window.partitionBy(col("shard")).orderBy(col("__gh"), col(idCol))).cast("long"))
       .drop("__gh")
   }
+
+  /** The physical export for [[shuffleShards]]: one parquet directory per
+    * shard (`shard=K/`), rows stored in their permutation order, ONE file
+    * per shard. The plan is exactly the scaladoc recipe — one hash
+    * exchange on the shard key (`repartition(nShards, shard)` co-locates
+    * each shard on one reducer), rows sorted on the way out
+    * (`sortWithinPartitions` rides the shuffle's sort buffer — no second
+    * exchange), partitioned write. A trainer reads `shard=K` sequentially
+    * and sees the reproducible order; re-running the export on the same
+    * (corpus, seed, nShards) produces byte-identical shard contents.
+    */
+  def writeShards(df: DataFrame, idCol: String, path: String, nShards: Int,
+                  seed: String = "shuffle"): Unit =
+    shuffleShards(df, idCol, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
 }

@@ -174,4 +174,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.shuffleShards(docs, "doc_id", nShards = 0)
     }
   }
+
+  test("writeShards: one file per shard directory, rows stored in permutation order, re-run identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Sampling.writeShards(docs, "doc_id", dir, nShards = 4, seed = "t")
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.map(_.getName).toSet == (0 until 4).map(k => s"shard=$k").toSet)
+    shardDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName}: expected exactly one shard file")
+    }
+    // in-file physical order IS the permutation order (trainer reads the
+    // shard sequentially, no sort needed on its side)
+    val assign = Sampling.shuffleShards(docs, "doc_id", 4, "t")
+      .select($"doc_id", $"shard", $"pos").as[(Long, Int, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.sortBy(_._3).map(_._1).toSeq).toMap
+    (0 until 4).foreach { k =>
+      val stored = spark.read.parquet(s"$dir/shard=$k").select("doc_id")
+        .as[Long].collect().toSeq // parquet row order, no orderBy
+      assert(stored == assign(k), s"shard $k file order != permutation order")
+    }
+    // reproducibility: a second export produces identical shard contents
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    Sampling.writeShards(docs, "doc_id", dir2, nShards = 4, seed = "t")
+    (0 until 4).foreach { k =>
+      val a = spark.read.parquet(s"$dir/shard=$k").select("doc_id").as[Long].collect().toSeq
+      val b = spark.read.parquet(s"$dir2/shard=$k").select("doc_id").as[Long].collect().toSeq
+      assert(a == b, s"shard $k not reproducible across exports")
+    }
+  }
 }
