@@ -181,13 +181,18 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions`-style injection for clusters configured with
-  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`: the
+  * native expressions plus the banded-Hamming join rewrite
+  * ([[graft.plans.HammingJoinRewrite]] — naive `bit_count(a^b) <= k`
+  * theta-joins become pigeonhole equi-joins instead of cartesians).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[DotProduct].getName, name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
+  }
 }

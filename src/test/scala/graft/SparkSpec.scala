@@ -19,6 +19,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.chunkBase64String.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // stateful streaming: RocksDB provider (transformWithState) + no
       // Hadoop shell-outs (sandboxed fork stalls — see ShellFreeLocalFs)
       .config("spark.sql.streaming.stateStore.providerClass",
