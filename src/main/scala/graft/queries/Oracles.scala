@@ -1385,6 +1385,17 @@ object Oracles {
         |  CAST(sum(r) + sum(g) + sum(b) AS BIGINT) AS px_checksum
         |FROM vpx GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // The naive-form twin of x4_image_near_dup: the Spark side writes the
+    // theta-join and relies on the HammingJoinRewrite optimizer rule for
+    // the banded plan — same all-pairs oracle, so the hash gate proves the
+    // REWRITE is an exact equivalence on real fingerprints.
+    "x4_image_near_dup_sql" ->
+      s"""WITH $DHashChain
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+         |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3 ORDER BY 1, 2""".stripMargin,
+
     // Mirrors Multimodal.gvidTemporalHash over the encodeGvidPatch fixture
     // (see VidChain): the 64-bit brightness-envelope hash is pure integer
     // math, so the twin reproduces it bit-for-bit.

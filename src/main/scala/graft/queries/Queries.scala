@@ -1216,6 +1216,26 @@ object Queries {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
 
+  /** X4r: the image near-dup pair list written in the NAIVE declarative
+    * form — a theta-join on `bit_count(dhash_a ^ dhash_b) <= 3` — which
+    * Spark alone can only plan as a nested-loop pairing. The session's
+    * [[graft.plans.HammingJoinRewrite]] optimizer rule turns it into the
+    * banded pigeonhole equi-join, so this query puts the REWRITE itself
+    * under the driver's hash gate: its output must equal
+    * [[x4ImageNearDup]]'s hand-banded plan and the oracle's all-pairs SQL
+    * bit-for-bit, and PlanAuditSpec pins the cartesian-free plan shape.
+    */
+  private def x4ImageNearDupSql(spark: SparkSession, dir: String): DataFrame = {
+    val dh = Multimodal.ppmDHash(dhashMedia(spark, dir), "doc_id")
+    val a = dh.select(col("id").as("id_a"), col("dhash").as("__ha"))
+    val b = dh.select(col("id").as("id_b"), col("dhash").as("__hb"))
+    a.join(b, bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= lit(3) &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** X4e: nearest-neighbor resize of the patched image fixture to 8×8 —
     * the thumbnail step; 13→8 and 9→8 are non-integral, so the floor map
     * is genuinely exercised. /64 means are exact at 6 dp (1/64 =
@@ -1892,6 +1912,7 @@ object Queries {
     "x4_video_frames" -> (x4VideoFrames _),
     "x4_vhash" -> (x4VHash _),
     "x4_video_near_dup" -> (x4VideoNearDup _),
+    "x4_image_near_dup_sql" -> (x4ImageNearDupSql _),
     "x6_clean_corpus" -> (x6CleanCorpus _),
     "x6_vocab_topk" -> (x6VocabTopk _),
     "j_asof_attribution" -> (jAsofAttribution _),

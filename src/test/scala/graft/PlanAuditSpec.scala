@@ -311,6 +311,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(shard"), "rank window must partition by the shard key")
   }
 
+  test("naive-form image pair query is rescued by the optimizer rewrite: banded Expand, no cartesian") {
+    val plan = planOf("x4_image_near_dup_sql")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the bit_count theta-join must be rewritten to the banded equi-join")
+    assert(plan.contains("Expand"), "banded expansion missing — rewrite did not fire")
+  }
+
   test("video temporal hash pair join is the banded equi-join, pruned to (doc_id, text)") {
     val plan = planOf("x4_video_near_dup")
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
