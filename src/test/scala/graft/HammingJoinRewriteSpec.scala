@@ -76,6 +76,40 @@ class HammingJoinRewriteSpec extends SparkSpec {
     assert(outer.count() >= fps.count())
   }
 
+  test("128-bit form (sum of per-word bit_counts) is rewritten with word-straddling chunks") {
+    // pairs with planted 128-bit distances: (0,1)=1 in lo, (0,2)=5 in hi,
+    // (3) far away; chunk boundaries at bands=8 are 16-bit and straddle
+    // nothing, bands=6 gives 21/22-bit chunks straddling the word boundary
+    val rows = Seq(
+      (0L, 0x0123456789ABCDEFL, 0x0000000000000000L),
+      (1L, 0x0123456789ABCDEFL, 0x0000000000000001L),
+      (2L, 0x0123456789ABCDE0L, 0x0000000000000000L), // hi differs by 4 bits? 0xF^0x0 = 4 bits
+      (3L, 0x7EDCBA9876543210L, 0xFFFFFFFFFFFFFFFFL)
+    ).toDF("id", "hi", "lo")
+    def brute128(k: Int): Set[(Long, Long)] = {
+      val r = rows.as[(Long, Long, Long)].collect()
+      (for {
+        (ia, hia, loa) <- r; (ib, hib, lob) <- r
+        d = java.lang.Long.bitCount(hia ^ hib) + java.lang.Long.bitCount(loa ^ lob)
+        if d <= k && ia < ib
+      } yield (ia, ib)).toSet
+    }
+    val a = rows.toDF("id_a", "hi_a", "lo_a")
+    val b = rows.toDF("id_b", "hi_b", "lo_b")
+    for (k <- Seq(1, 5, 7)) {
+      val joined = a.join(b,
+        (bit_count(a("hi_a").bitwiseXOR(b("hi_b"))) +
+          bit_count(a("lo_a").bitwiseXOR(b("lo_b")))) <= lit(k) &&
+          a("id_a") < b("id_b"))
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"k=$k: 128-bit Hamming join was not rewritten:\n$plan")
+      assert(plan.contains("Expand"), s"k=$k: banded expansion missing")
+      assert(joined.select("id_a", "id_b").as[(Long, Long)].collect().toSet == brute128(k),
+        s"k=$k: 128-bit rewrite changed the result")
+    }
+  }
+
   test("SQL form is rewritten too (extension is session-wide, not API-bound)") {
     fps.createOrReplaceTempView("fp_sql")
     val out = spark.sql(
