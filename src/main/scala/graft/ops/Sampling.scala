@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Dataset-curation sampling operators for training-data pipelines
   * (SURVEY.md §2.12 extension surface): deterministic train/val/test
@@ -342,6 +343,37 @@ object Sampling {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("__gh"), col(idCol))).cast("long"))
       .drop("__gh")
+  }
+
+  /** X7p: probability-proportional-to-size (PPS) Poisson sampling — the
+    * weighted per-DOC draw of survey sampling and importance-weighted
+    * corpus selection: admit doc i independently with probability
+    * p_i = min(1, n·w_i / W) where w_i is the doc's weight (token count),
+    * W the corpus total and n the EXPECTED SAMPLE SIZE (Σp_i = n exactly
+    * while no weight saturates) — long documents are proportionally
+    * likelier to be drawn, so the admitted set concentrates token mass in
+    * ~n docs, one map-only corpus pass.
+    *
+    * The inclusion test is EXACT INTEGER arithmetic end-to-end:
+    * u < n·w/W ⇔ hash32·W < w·n·2^32 with u = hash32/2^32 the md5 unit —
+    * both sides computed in DECIMAL(38,0) (the operands bound the products
+    * far below 10^38), so there is no floating-point division anywhere,
+    * the replay is bit-exact in any engine with 128-bit integers, and the
+    * min(1,·) is free (w·n·2^32 ≥ W·2^32 > hash32·W whenever the rate
+    * saturates). W comes from one tiny sum aggregation (a scalar, the
+    * model-fit collect pattern); the corpus pass is a pure filter.
+    */
+  def ppsSample(df: DataFrame, idCol: String, weight: Column,
+                expectedDocs: Long): DataFrame = {
+    require(expectedDocs >= 0, s"expectedDocs must be >= 0: $expectedDocs")
+    val dec = DecimalType(38, 0)
+    val weighted = df.withColumn("__w", weight.cast("long"))
+    val total = weighted.agg(sum(col("__w"))).collect()(0)
+    val w0 = if (total.isNullAt(0)) 0L else total.getLong(0)
+    weighted
+      .where(Dedup.md5Hash32(col(idCol).cast("string"), 1).cast(dec) * lit(w0).cast(dec) <
+        col("__w").cast(dec) * lit(expectedDocs).cast(dec) * lit(4294967296L).cast(dec))
+      .drop("__w")
   }
 
   /** The physical export for [[shuffleShards]]: one parquet directory per

@@ -1786,6 +1786,20 @@ object Oracles {
          |      FROM u)
          |SELECT doc_id, lang, source FROM r WHERE rk <= ceil(n * 0.25) ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Sampling.ppsSample at expected size 60: the inclusion test
+    // is the exact integer comparison hash32·W < w·n·2^32 (HUGEINT here,
+    // DECIMAL(38,0) in Spark — both exact 128-bit paths), so the weighted
+    // draw replays bit-for-bit with no floating point on either side.
+    "x7_pps_sample" ->
+      s"""WITH ptw AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS w
+         |  FROM documents),
+         |ptt AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM ptw)
+         |SELECT doc_id, w AS n_tokens FROM ptw, ptt
+         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::HUGEINT * tot::HUGEINT
+         |    < w::HUGEINT * 60 * 4294967296
+         |ORDER BY doc_id""".stripMargin,
+
     "x7_token_quota" ->
       s"""WITH b AS (SELECT source, doc_id,
          |             CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,

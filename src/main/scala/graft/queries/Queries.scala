@@ -1286,6 +1286,21 @@ object Queries {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy("doc_id")
 
+  /** X7p: PPS Poisson sampling at expected size 60 — per-doc inclusion
+    * with p ∝ token count, decided by an exact integer comparison (no
+    * floating point anywhere), so the twin replays the weighted draw
+    * bit-for-bit. The rate adapts to the corpus total W, so the expected
+    * sample size stays 60 at every scale while the corpus grows under it
+    * (long docs proportionally favored — the PPS property).
+    */
+  private def x7PpsSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Sampling.ppsSample(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")).cast("long"), expectedDocs = 60L)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** X7: exact stratified sample — 25% of each (lang, source) stratum,
     * selected by md5 rank so the sample is reproducible and nested
     * (a 50% sample would contain this one).
@@ -1922,6 +1937,7 @@ object Queries {
     "q7_promo_by_brand" -> (q7PromoByBrand _),
     "x7_split" -> (x7Split _),
     "x7_shuffle_shards" -> (x7ShuffleShards _),
+    "x7_pps_sample" -> (x7PpsSample _),
     "x7_stratified_sample" -> (x7StratifiedSample _),
     "x7_token_quota" -> (x7TokenQuota _),
     "x7_decontaminate" -> (x7Decontaminate _),

@@ -175,6 +175,35 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("ppsSample: weighted draw is exact-integer, size-tracking, saturating, deterministic") {
+    import graft.ops.Dedup
+    val w = length($"text").cast("long") // weight proxy: doc length
+    val totalW = docs.agg(sum(length($"text"))).as[Long].head()
+    // deterministic: two runs identical
+    val once = Sampling.ppsSample(docs, "doc_id", w, expectedDocs = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    val again = Sampling.ppsSample(docs, "doc_id", w, expectedDocs = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(once == again)
+    // the draw equals a driver-side replay of the exact integer rule
+    val rows = docs.select($"doc_id", length($"text").cast("long"),
+      Dedup.md5Hash32($"doc_id".cast("string"), 1)).as[(Long, Long, Long)].collect()
+    val expect = rows.collect { case (id, wi, h)
+      if BigInt(h) * BigInt(totalW) < BigInt(wi) * BigInt(100L) * BigInt(4294967296L) => id }.toSet
+    assert(once == expect)
+    // E[sample size] = 100 while no weight saturates (max w << W/100);
+    // binomial spread on 400 docs keeps 3x bounds extremely safe
+    assert(rows.map(_._2).max * 100L < totalW, "fixture must not saturate")
+    assert(once.size > 33 && once.size < 300, s"sample size ${once.size} vs expected 100")
+    // the PPS property: the admitted set is token-denser than the corpus
+    val meanAll = totalW.toDouble / rows.length
+    val meanAdm = rows.filter(r => once(r._1)).map(_._2).sum.toDouble / once.size
+    assert(meanAdm > meanAll, "weighted draw must favor long docs")
+    // saturation: n >= corpus size with flat-ish weights admits everything
+    assert(Sampling.ppsSample(docs, "doc_id", w, 400L * 40).count() == docs.count())
+    assert(Sampling.ppsSample(docs, "doc_id", w, 0L).count() == 0)
+  }
+
   test("writeShards: one file per shard directory, rows stored in permutation order, re-run identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
     Sampling.writeShards(docs, "doc_id", dir, nShards = 4, seed = "t")
