@@ -1294,10 +1294,12 @@ object Queries {
     * (long docs proportionally favored — the PPS property).
     */
   private def x7PpsSample(spark: SparkSession, dir: String): DataFrame = {
+    // weight staged as a named column so the filter and the output share
+    // ONE tokenCount extraction per pass (the W aggregation pays its own)
     val docs = t(spark, dir, "documents")
-    Sampling.ppsSample(docs, "doc_id",
-        TextAnalysis.tokenCount(col("text")).cast("long"), expectedDocs = 60L)
-      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    Sampling.ppsSample(docs, "doc_id", col("n_tokens"), expectedDocs = 60L)
+      .select(col("doc_id"), col("n_tokens"))
       .orderBy("doc_id")
   }
 

@@ -48,6 +48,10 @@ object StreamingNearDup {
   private[graft] def md5Hash60Jvm(s: String): Long =
     java.lang.Long.parseLong(StreamingCdc.md5Hex(s).substring(0, 15), 16)
 
+  /** JVM twin of `Dedup.md5Hash32` at off = 1 (first 8 md5 hex chars). */
+  private[graft] def md5Hash32Jvm(s: String): Long =
+    java.lang.Long.parseLong(StreamingCdc.md5Hex(s).substring(0, 8), 16)
+
   /** JVM twin of the batch signature pipeline: normalize → word shingles
     * (distinct, whole-text fallback below `shingleLen` words) → md5 base
     * hash mod p → per-permutation affine min. Keep in sync with
