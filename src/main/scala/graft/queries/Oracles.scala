@@ -698,6 +698,34 @@ object Oracles {
        |$stages""".stripMargin
   }
 
+  /** The v8 cross-modal curation chain (image ∩ audio ∩ video keeper gate
+    * + per-lang token quota running sum), shared by the v8 and v9 twins;
+    * ends with `v8c(lang, doc_id, n_tokens, cum_tokens)` in scope.
+    */
+  private lazy val V8Chain =
+    s"""$DHashChain,
+       |$AWavChain,
+       |$VidChain,
+       |v8tok AS (SELECT doc_id, CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS ntk
+       |        FROM documents),
+       |v8v AS (SELECT dh.doc_id,
+       |        row_number() OVER (PARTITION BY dh.dhash ORDER BY t.ntk DESC, dh.doc_id) AS rn
+       |      FROM dh JOIN v8tok t USING (doc_id)),
+       |v8a AS (SELECT ah.doc_id,
+       |        row_number() OVER (PARTITION BY ah.ahash ORDER BY t.ntk DESC, ah.doc_id) AS rn
+       |      FROM ah JOIN v8tok t USING (doc_id)),
+       |v8w AS (SELECT vh.doc_id,
+       |        row_number() OVER (PARTITION BY vh.vhash ORDER BY t.ntk DESC, vh.doc_id) AS rn
+       |      FROM vh JOIN v8tok t USING (doc_id)),
+       |v8k AS (SELECT v.doc_id FROM v8v v JOIN v8a a USING (doc_id) JOIN v8w w USING (doc_id)
+       |      WHERE v.rn = 1 AND a.rn = 1 AND w.rn = 1),
+       |v8q AS (SELECT d.lang, d.doc_id, t.ntk AS n_tokens, $hashUnit AS u
+       |      FROM documents d JOIN v8k USING (doc_id) JOIN v8tok t USING (doc_id)),
+       |v8c AS (SELECT lang, doc_id, n_tokens,
+       |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |      FROM v8q)""".stripMargin
+
   /** 128-bit SimHash rebuild: ±1 votes per bit from all four 32-bit md5
     * words, sign-folded into two BIGINTs (HUGEINT fold for each word's
     * top bit, as in the 64-bit twin).
@@ -1446,30 +1474,23 @@ object Oracles {
     // quota; same GROUP-BY-hash mirror of Spark's pairs -> union-find ->
     // argmax, now over three fingerprints.
     "x8_curation_v8" ->
-      s"""WITH $DHashChain,
-         |$AWavChain,
-         |$VidChain,
-         |v8tok AS (SELECT doc_id, CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS ntk
-         |        FROM documents),
-         |v8v AS (SELECT dh.doc_id,
-         |        row_number() OVER (PARTITION BY dh.dhash ORDER BY t.ntk DESC, dh.doc_id) AS rn
-         |      FROM dh JOIN v8tok t USING (doc_id)),
-         |v8a AS (SELECT ah.doc_id,
-         |        row_number() OVER (PARTITION BY ah.ahash ORDER BY t.ntk DESC, ah.doc_id) AS rn
-         |      FROM ah JOIN v8tok t USING (doc_id)),
-         |v8w AS (SELECT vh.doc_id,
-         |        row_number() OVER (PARTITION BY vh.vhash ORDER BY t.ntk DESC, vh.doc_id) AS rn
-         |      FROM vh JOIN v8tok t USING (doc_id)),
-         |v8k AS (SELECT v.doc_id FROM v8v v JOIN v8a a USING (doc_id) JOIN v8w w USING (doc_id)
-         |      WHERE v.rn = 1 AND a.rn = 1 AND w.rn = 1),
-         |v8q AS (SELECT d.lang, d.doc_id, t.ntk AS n_tokens, $hashUnit AS u
-         |      FROM documents d JOIN v8k USING (doc_id) JOIN v8tok t USING (doc_id)),
-         |v8c AS (SELECT lang, doc_id, n_tokens,
-         |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-         |      FROM v8q)
+      s"""WITH $V8Chain
          |SELECT lang, doc_id, n_tokens, cum_tokens FROM v8c
          |WHERE cum_tokens <= 600 ORDER BY lang, cum_tokens""".stripMargin,
+
+    // v9: the end-to-end training-set story — the v8 survivors (three-
+    // modality keeper gate + per-lang quota) handed straight to the
+    // shuffle-shard export assignment (seed "r8", 4 shards); the twin
+    // replays the whole chain through the md5 permutation.
+    "x8_curation_v9" ->
+      s"""WITH $V8Chain,
+         |v9s AS (SELECT doc_id, n_tokens FROM v8c WHERE cum_tokens <= 600),
+         |v9h AS (SELECT doc_id, n_tokens, md5('r8:' || CAST(doc_id AS VARCHAR)) AS h FROM v9s),
+         |v9a AS (SELECT doc_id, n_tokens, h,
+         |    CAST(('0x' || substr(h, 1, 8))::BIGINT % 4 AS INT) AS shard FROM v9h)
+         |SELECT doc_id, n_tokens, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM v9a ORDER BY doc_id""".stripMargin,
 
     // Mirrors Multimodal.encodeWav + decodeWav: samples are 16-bit LE
     // signed ints over the cycled text bytes (2 bytes each, recovered from

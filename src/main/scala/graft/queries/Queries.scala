@@ -1520,6 +1520,21 @@ object Queries {
       .orderBy("lang", "cum_tokens")
   }
 
+  /** X8 v9: the complete training-set story end to end — the v8 survivors
+    * (three-modality keeper gate + per-lang token quota) handed straight
+    * to the shuffle-shard export assignment ([[Sampling.shuffleShards]],
+    * seed "r8", 4 shards): curate, budget, then cut into reproducible
+    * trainer shards — the pipeline a user actually ships. Every stage's
+    * exchange payload is fingerprint- or tag-sized; the twin replays the
+    * whole chain through the md5 permutation.
+    */
+  private def x8CurationV9(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleShards(
+        x8CurationV8(spark, dir).select(col("doc_id"), col("n_tokens")),
+        "doc_id", nShards = 4, seed = "r8")
+      .select(col("doc_id"), col("n_tokens"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
   /** X7: sequence packing placement — concat-and-chunk into 512-token
     * sequences per source shard; every document's stream offset and
     * spanned sequence ids from pure window arithmetic.
@@ -1950,6 +1965,7 @@ object Queries {
     "x8_curation_v6" -> (x8CurationV6 _),
     "x8_curation_v7" -> (x8CurationV7 _),
     "x8_curation_v8" -> (x8CurationV8 _),
+    "x8_curation_v9" -> (x8CurationV9 _),
     "x5_pii_scrub" -> (x5PiiScrub _),
     "x5_repetition" -> (x5Repetition _),
     "x5_collapse_repeats" -> (x5CollapseRepeats _),
