@@ -209,4 +209,29 @@ object Components {
       .where(!col("is_keeper")).select(col("id").as(idCol))
     corpus.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Cluster-size histogram over the near-dup components — the one-page
+    * dedup report a pipeline owner reads before approving a scrub ("how
+    * much is duplicated, and is it many pairs or a few megaclusters?").
+    * A heavy tail here (one component holding 1% of the corpus) is the
+    * operational signal to re-check the similarity threshold before
+    * deleting data; the total docs-removed count is Σ (size-1)·clusters.
+    *
+    * Shape: components (pair-list-sized, never corpus-sized) → one count
+    * agg keyed by component → one count agg keyed by size. The histogram
+    * is at most as wide as the largest cluster — bytes at any corpus
+    * scale. Singleton docs never appear in a pair list, so cluster_size
+    * starts at 2.
+    *
+    * Output: (cluster_size, n_clusters, n_docs = size·clusters), ascending
+    * by size.
+    */
+  def clusterSizeStats(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                       maxIter: Int = 20, driverEdgeLimit: Long = 4000000L): DataFrame =
+    connectedComponents(pairs, aCol, bCol, maxIter, driverEdgeLimit)
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
 }

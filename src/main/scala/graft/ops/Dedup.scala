@@ -559,6 +559,47 @@ object Dedup {
         concat_ws(" ", col("__keep")).as("clean_text"))
   }
 
+  /** Per-document duplicated-gram fraction — the corpus diagnostic behind
+    * substring dedup (Lee et al. arXiv:2107.06499 report duplicate-token
+    * fractions to size the problem before deduplicating): for every doc,
+    * what fraction of its k-token windows occur more than once in the
+    * whole corpus (within-doc repeats included, matching
+    * [[substringSpans]]'s duplicate definition — the two operators must
+    * agree on what "duplicated" means or the report mis-sizes the scrub).
+    * Docs carrying fewer than k tokens have zero windows and report 0.
+    *
+    * Shape (linear, no pair joins — the [[substringSpans]] skeleton minus
+    * the island merge): one posexplode of hashed k-gram windows, one
+    * count aggregate keyed by the 60-bit hash (map-side combine bounds
+    * hot grams), the >1 set joined back on the hash, then one per-doc
+    * count agg. Only (id, hash) pairs ever shuffle; text never does.
+    *
+    * Output: (idCol, n_grams, n_dup_grams, dup_fraction rounded 6), one
+    * row per input doc.
+    */
+  def dupGramFraction(df: DataFrame, idCol: String, text: Column, k: Int = 10): DataFrame = {
+    require(k >= 2, s"window length k must be >= 2, got $k")
+    // posexplode DIRECTLY over the staged words projection (lambda-staging
+    // rule — see substringSpans; collapsing the stages re-evaluates the
+    // normalize/split once per window)
+    val grams = df
+      .select(col(idCol), filter(split(normalizeText(text), " "), w => length(w) > 0).as("__words"))
+      .select(col(idCol), explode(shinglesOfWordsAll(col("__words"), k)).as("__sh"))
+      .select(col(idCol), (md5Hash60(col("__sh")) % MinhashP).as("__x"))
+    val dupGrams = grams.groupBy(col("__x")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).select(col("__x"), lit(1L).as("__dup"))
+    val per = grams.join(dupGrams, Seq("__x"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__ng"), sum(coalesce(col("__dup"), lit(0L))).as("__ndup"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__ng"), lit(0L)).as("n_grams"),
+        coalesce(col("__ndup"), lit(0L)).as("n_dup_grams"),
+        round(coalesce(col("__ndup"), lit(0L)).cast("double") /
+          greatest(coalesce(col("__ng"), lit(0L)), lit(1L)).cast("double"), 6)
+          .as("dup_fraction"))
+  }
+
   /** ALL k-token windows of an already-MATERIALIZED words array
     * (position-preserving — NOT deduplicated like [[shinglesOfWords]];
     * substring spans need every position). Callers must stage the words

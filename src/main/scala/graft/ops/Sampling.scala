@@ -145,6 +145,58 @@ object Sampling {
       .select(col(groupCol), col(idCol), round(col("__f"), 9).as("accept_frac"))
   }
 
+  /** Temperature-scaled mixture sampling — multilingual rebalancing where
+    * the mixture weights come from the corpus itself instead of a
+    * user-supplied map (XLM-R, Conneau et al. arXiv:1911.02116 §3.1;
+    * UniMax, Chung et al. arXiv:2304.09151, motivates capping): group g's
+    * share is q_g = n_g^(1/T) / Σ_m n_m^(1/T). T=1 reproduces the corpus
+    * distribution, T→∞ the uniform mix; the registered T=2 regime is the
+    * common sqrt flattening. Admission then follows [[mixtureSample]]:
+    * f_g = min(1, q_g · floor(targetFraction·N) / n_g), md5-deterministic
+    * per id — over-quota groups are hash-thinned, short groups pass whole.
+    *
+    * Portability: the only transcendental is the power itself, computed as
+    * IEEE `sqrt` when 1/T is exactly 0.5 (correctly rounded BY SPEC in
+    * both engines, hence bit-identical — `pow` carries no such guarantee,
+    * which is why only integer-root temperatures are registered) and
+    * rounded to 6 dp at the model boundary; the share denominator is an
+    * exact DECIMAL(38,6) sum of those rounded values, and every later step
+    * (double division, multiply, floor, compare) is IEEE-exact, so the
+    * DuckDB twin replays the draw bit-for-bit.
+    *
+    * Cost: identical to [[mixtureSample]] — one tiny group-count
+    * aggregate, single-partition window over the GROUP table (languages —
+    * bytes, never corpus-scale), quota table broadcast back, map-only
+    * corpus pass with zero corpus-scale shuffles.
+    *
+    * Output: kept rows as (groupCol, idCol, sample_prob = q_g rounded 6,
+    * accept_frac rounded 9).
+    */
+  def temperatureMixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                               temperature: Double, targetFraction: Double): DataFrame = {
+    require(temperature >= 1.0, s"temperature >= 1: $temperature")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction in (0,1]: $targetFraction")
+    val alpha = 1.0 / temperature
+    val counts = df.groupBy(col(groupCol).as("__g")).agg(count(lit(1)).as("__n"))
+    val powed: Column =
+      if (alpha == 0.5) sqrt(col("__n").cast("double"))
+      else pow(col("__n").cast("double"), lit(alpha))
+    val w = Window.partitionBy()
+    val quoted = counts
+      .withColumn("__s", round(powed, 6))
+      .withColumn("__den", sum(col("__s").cast(DecimalType(38, 6))).over(w).cast("double"))
+      .withColumn("__tot", sum(col("__n")).over(w))
+      .withColumn("__q", round(col("__s") / col("__den"), 6))
+      .withColumn("__f",
+        least(lit(1.0), col("__q") * floor(lit(targetFraction) * col("__tot")) / col("__n")))
+      .select(col("__g"), col("__q"), col("__f"))
+    df.join(broadcast(quoted), col(groupCol) === col("__g"))
+      .where(hashUnit(col(idCol)) < col("__f"))
+      .select(col(groupCol), col(idCol), col("__q").as("sample_prob"),
+        round(col("__f"), 9).as("accept_frac"))
+  }
+
   /** Token-budget quota: per group (source, language, domain …), admit
     * documents in deterministic md5 priority order while the group's
     * cumulative token count stays within `budget` — the "cap each source

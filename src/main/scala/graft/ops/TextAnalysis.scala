@@ -85,6 +85,48 @@ object TextAnalysis {
       blendedScore.as("quality_score"))
   }
 
+  /** Classifier-threshold sweep — the calibration report behind "pick the
+    * filter threshold" decisions (FineWeb-Edu, Penedo et al.
+    * arXiv:2406.17557, selects its educational-score cutoff exactly this
+    * way): for each candidate threshold t, how many documents and tokens
+    * survive `quality_score >= t`, plus the surviving fractions — in ONE
+    * corpus scan. Sweeping K thresholds costs the same as sweeping one.
+    *
+    * Shape: the per-doc (score, tokens) projection feeds a single
+    * hash-aggregate computing 2·K+2 conditional sums — no fan-out, no
+    * join, no window (a K-way explode would shuffle K copies of every
+    * doc's pair; the conditional-sum form shuffles exactly one partial-agg
+    * row per map partition regardless of K or corpus size). The one-row
+    * result unpivots through `inline` of a K-element literal-struct array
+    * — driver-trivial. Fractions are IEEE double divisions of exact BIGINT
+    * counts, rounded 6 dp, so the DuckDB twin reproduces them bit-for-bit.
+    *
+    * Output: (threshold, docs_kept, tokens_kept, doc_frac, token_frac),
+    * one row per threshold, ascending.
+    */
+  def thresholdSweep(df: DataFrame, idCol: String, text: Column,
+                     thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
+      thresholds.distinct == thresholds, s"thresholds must be sorted distinct: $thresholds")
+    val m = qualityMetrics(df, idCol, text)
+      .select(col("quality_score").as("__q"), col("n_tokens").as("__t"))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("__nd"), sum(col("__t")).as("__nt")) ++
+        thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+          sum(when(col("__q") >= t, 1L).otherwise(0L)).as(s"__d$i"),
+          sum(when(col("__q") >= t, col("__t")).otherwise(0L)).as(s"__k$i"))
+        }
+    val one = m.agg(aggs.head, aggs.tail: _*)
+    val rows = array(thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"),
+        col(s"__d$i").as("docs_kept"),
+        col(s"__k$i").as("tokens_kept"),
+        round(col(s"__d$i").cast("double") / col("__nd").cast("double"), 6).as("doc_frac"),
+        round(col(s"__k$i").cast("double") / col("__nt").cast("double"), 6).as("token_frac"))
+    }: _*)
+    one.select(inline(rows)).orderBy("threshold")
+  }
+
   /** Mean word length over [[stagedCounts]] columns (unrounded) — ONE
     * definition shared by [[qualityMetrics]], [[blendedScore]] and
     * [[gopherRules]] so the metric cannot drift between the emitters and

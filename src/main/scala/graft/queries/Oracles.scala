@@ -2465,6 +2465,74 @@ object Oracles {
          |$RhpVerify
          |SELECT id_a AS vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
          |  max(cosine) AS max_cosine
-         |FROM rhp_v WHERE cosine >= 0.3 GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM rhp_v WHERE cosine >= 0.3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors Sampling.temperatureMixtureSample at T=2, targetFraction
+    // 0.5: per-lang share q = round6(sqrt(n)) normalized by an exact
+    // DECIMAL(38,6) sum (sqrt is correctly rounded BY IEEE SPEC in both
+    // engines — the reason only integer-root temperatures register), then
+    // the mixtureSample admission f = min(1, q*floor(0.5*N)/n) and the
+    // md5-unit draw, every step IEEE-identical.
+    "x7_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(sum(CAST(round(sqrt(CAST(n AS DOUBLE)), 6) AS DECIMAL(38,6))) AS DOUBLE) AS den,
+         |             sum(n) AS tot FROM c),
+         |q AS (SELECT lang, round(round(sqrt(CAST(n AS DOUBLE)), 6) / den, 6) AS qq,
+         |        least(1.0, round(round(sqrt(CAST(n AS DOUBLE)), 6) / den, 6)
+         |              * floor(0.5 * CAST(tot AS DOUBLE)) / n) AS f
+         |      FROM c, t)
+         |SELECT d.lang, d.doc_id, q.qq AS sample_prob, round(q.f, 9) AS accept_frac
+         |FROM documents d JOIN q ON q.lang = d.lang
+         |WHERE $hashUnit < q.f
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.thresholdSweep over the x5_quality score chain:
+    // per-threshold conditional counts/sums of the SAME round6 blended
+    // score and token count, fractions = IEEE double division of exact
+    // BIGINTs rounded 6 dp.
+    "x5_threshold_sweep" ->
+      s"""WITH b AS (SELECT doc_id, $norm AS nt FROM documents),
+         |w AS (SELECT doc_id, nt, list_filter(string_split(nt, ' '), x -> len(x) > 0) AS ws FROM b),
+         |m AS (SELECT doc_id, nt, len(ws) AS nw,
+         |        coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS sumlen,
+         |        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','the','a','and','of','to','in','is','el','la','de','y','que','los','un','le','et','les','des','une','de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS nstop
+         |      FROM w),
+         |s AS (SELECT doc_id,
+         |        round((least(nw/50.0, 1.0)
+         |             + (CASE WHEN sumlen*1.0/greatest(nw, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+         |             + least((nstop*1.0/greatest(nw, 1))*5, 1.0))/3.0, 6) AS q,
+         |        CAST(len(regexp_extract_all(nt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS ntk
+         |      FROM m),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(ntk) AS BIGINT) AS ntt FROM s),
+         |thr AS (SELECT unnest([0.0, 0.2, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS th)
+         |SELECT th AS threshold,
+         |  CAST(count(*) FILTER (WHERE q >= th) AS BIGINT) AS docs_kept,
+         |  CAST(coalesce(sum(ntk) FILTER (WHERE q >= th), 0) AS BIGINT) AS tokens_kept,
+         |  round(count(*) FILTER (WHERE q >= th) * 1.0 / any_value(nd), 6) AS doc_frac,
+         |  round(coalesce(sum(ntk) FILTER (WHERE q >= th), 0) * 1.0 / any_value(ntt), 6) AS token_frac
+         |FROM s, tot, thr GROUP BY th ORDER BY threshold""".stripMargin,
+
+    // Mirrors Dedup.dupGramFraction over the x1_substring_spans gram chain
+    // (same k=10 windows, same 60-bit hash, same >1 duplicate definition):
+    // per-doc window count vs corpus-duplicated window count; docs shorter
+    // than k tokens report 0 via the left joins.
+    "x1_dup_gram_fraction" ->
+      s"""WITH ${SubstringSpanChain()},
+         |dgj AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS ng, CAST(count(d.x) AS BIGINT) AS ndup
+         |        FROM ssg g LEFT JOIN ssd d ON d.x = g.x GROUP BY g.doc_id)
+         |SELECT doc.doc_id, coalesce(ng, 0) AS n_grams, coalesce(ndup, 0) AS n_dup_grams,
+         |  round(coalesce(ndup, 0) * 1.0 / greatest(coalesce(ng, 0), 1), 6) AS dup_fraction
+         |FROM documents doc LEFT JOIN dgj ON dgj.doc_id = doc.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
+
+    // Mirrors Components.clusterSizeStats over the same recursive MinHash
+    // component closure as x7_dedup_clusters: per-component member count,
+    // then the size histogram with n_docs = size * clusters.
+    "x7_dedup_stats" ->
+      s"""WITH RECURSIVE ${componentsChain("documents")},
+         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY component)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
   )
 }

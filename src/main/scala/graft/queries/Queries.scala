@@ -717,6 +717,16 @@ object Queries {
     TextAnalysis.qualityMetrics(t(spark, dir, "documents"), "doc_id", col("text"))
       .orderBy("doc_id")
 
+  /** X5ts: classifier-threshold sweep — docs/tokens surviving each
+    * candidate quality floor, all eight thresholds in ONE corpus scan
+    * (2·K+2 conditional sums inside a single hash-aggregate; no fan-out).
+    * The report a pipeline owner reads to pick the x6_clean_corpus /
+    * x8 minQuality knob.
+    */
+  private def x5ThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.thresholdSweep(t(spark, dir, "documents"), "doc_id", col("text"),
+      thresholds = Seq(0.0, 0.2, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+
   private def x5LangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(t(spark, dir, "documents"), "doc_id", col("text"))
       .orderBy("doc_id")
@@ -1325,6 +1335,18 @@ object Queries {
       targetFraction = 0.6)
       .orderBy("doc_id")
 
+  /** X7tm: temperature-scaled mixture — rebalance the lang-skewed corpus
+    * (en ~3× fr) toward the T=2 (sqrt-flattened) distribution at 50% of
+    * corpus size. Unlike x7_mixture_sample the shares come from the corpus
+    * itself, q_l ∝ √n_l — the XLM-R multilingual recipe; sqrt is the one
+    * power IEEE guarantees correctly rounded, so the draw replays
+    * bit-for-bit in the twin.
+    */
+  private def x7TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixtureSample(t(spark, dir, "documents"), "doc_id", "lang",
+      temperature = 2.0, targetFraction = 0.5)
+      .orderBy("doc_id")
+
   /** X2: SemDeDup-style semantic dedup — within each closed-form LSH cell,
     * drop every embedding with a ≥ 0.4-cosine neighbor of lower
     * centroid-similarity (keep the least-typical representative). The
@@ -1386,6 +1408,16 @@ object Queries {
     val pairs = Dedup.minhashNearDupPairs(t(spark, dir, "documents"), "doc_id", col("text"),
       shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5)
     Components.dedupClusters(pairs).orderBy("id")
+  }
+
+  /** X7ds: cluster-size histogram over the same MinHash components as
+    * x7_dedup_clusters — the dedup sizing report (pairs vs megaclusters)
+    * read before approving the scrub.
+    */
+  private def x7DedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(t(spark, dir, "documents"), "doc_id", col("text"),
+      shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5)
+    Components.clusterSizeStats(pairs)
   }
 
   /** X7: the dedup APPLY step — the corpus anti-joined against non-keeper
@@ -1654,6 +1686,14 @@ object Queries {
     Dedup.substringScrub(t(spark, dir, "documents"), "doc_id", col("text"), k = 10)
       .select(col("doc_id"), col("n_tokens"), col("n_removed"),
         md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** X1df: per-doc duplicated-gram fraction — the sizing report for the
+    * substring scrub (same duplicate definition as x1_substring_spans, so
+    * the numbers agree with what the scrub would touch).
+    */
+  private def x1DupGramFraction(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupGramFraction(t(spark, dir, "documents"), "doc_id", col("text"), k = 10)
       .orderBy("doc_id")
 
   /** X7i: DSIR importance scores — target domain = the benchmark slice
@@ -2006,7 +2046,11 @@ object Queries {
     "x5_nb_quality" -> (x5NbQuality _),
     "x6_hybrid_rrf" -> (x6HybridRrf _),
     "x7_cluster_sample" -> (x7ClusterSample _),
-    "x8_curation_v5" -> (x8CurationV5 _)
+    "x8_curation_v5" -> (x8CurationV5 _),
+    "x7_temperature_mix" -> (x7TemperatureMix _),
+    "x5_threshold_sweep" -> (x5ThresholdSweep _),
+    "x1_dup_gram_fraction" -> (x1DupGramFraction _),
+    "x7_dedup_stats" -> (x7DedupStats _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -88,4 +88,13 @@ class ComponentsSpec extends SparkSpec {
       Components.connectedComponents(strPairs)
     }
   }
+
+  test("clusterSizeStats: histogram over one triangle, one chain-of-4, two pairs") {
+    // components: {1,2,3} (triangle), {10,11,12,13} (chain), {20,21}, {30,31}
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (12L, 13L), (20L, 21L), (30L, 31L)).toDF("id_a", "id_b")
+    val out = Components.clusterSizeStats(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 2L, 4L), (3L, 1L, 3L), (4L, 1L, 4L)), out.toString)
+  }
 }

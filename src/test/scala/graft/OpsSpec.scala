@@ -629,6 +629,48 @@ class OpsSpec extends SparkSpec {
     assert(repSpans == Set((1L, 20L))) // both copies covered, merged into one span
   }
 
+  test("X1df dup-gram fraction: planted passage counted, clean and short docs report zero") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (1L, s"pre one two $passage post tail end"),      // 18 tokens -> 9 windows, 3 dup
+      (2L, s"$passage totally other words here now"),   // 17 tokens -> 8 windows, 3 dup
+      (3L, "nothing shared with the others at all whatsoever in any window"), // clean
+      (4L, "too short for any window")                  // < k tokens -> 0 grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupGramFraction(d, "doc_id", col("text"), k = 10)
+      .select("doc_id", "n_grams", "n_dup_grams").as[(Long, Long, Long)].collect()
+      .map { case (id, ng, nd) => id -> ((ng, nd)) }.toMap
+    // doc1 windows start at 1..9; the passage (tokens 4..15) fills windows
+    // starting 4..6 in doc1 and 1..3 in doc2 — identical token content
+    assert(out(1L) == ((9L, 3L)), out.toString)
+    assert(out(2L) == ((8L, 3L)), out.toString)
+    assert(out(3L) == ((2L, 0L)) && out(4L) == ((0L, 0L)), out.toString)
+    // agreement with substringSpans: exactly the docs with dup grams carry spans
+    val spanned = Dedup.substringSpans(d, "doc_id", col("text"), k = 10)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(spanned == out.filter(_._2._2 > 0).keySet)
+  }
+
+  test("X5ts threshold sweep: rows agree with direct filtering; monotone; t=0 row is the total") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val thresholds = Seq(0.0, 0.5, 0.8)
+    val sweep = TextAnalysis.thresholdSweep(d, "doc_id", col("text"), thresholds)
+      .select("threshold", "docs_kept", "tokens_kept")
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    val m = TextAnalysis.qualityMetrics(d, "doc_id", col("text"))
+      .select("quality_score", "n_tokens").as[(Double, Long)].collect()
+    thresholds.zip(sweep).foreach { case (t, (th, dk, tk)) =>
+      assert(th == t)
+      assert(dk == m.count(_._1 >= t), s"docs at $t")
+      assert(tk == m.filter(_._1 >= t).map(_._2).sum, s"tokens at $t")
+    }
+    assert(sweep.head._2 == m.length) // t=0 keeps everything
+    assert(sweep.map(_._2).toSeq == sweep.map(_._2).sortBy(-_).toSeq) // monotone
+    intercept[IllegalArgumentException] {
+      TextAnalysis.thresholdSweep(d, "doc_id", col("text"), Seq(0.5, 0.2))
+    }
+  }
+
   test("X7i DSIR: docs sharing the target's vocabulary outrank docs that don't") {
     val target = Seq(
       (100L, "spark catalyst optimizer rules rewrite logical plans efficiently always"),

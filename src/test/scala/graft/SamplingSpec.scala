@@ -142,6 +142,43 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMixtureSample: sqrt-flattened shares, short-group saturation, md5-exact draw") {
+    // groups a=320, b=75, c=5 rows; T=2 -> shares proportional to sqrt(n):
+    // corpus shares (.80, .1875, .0125) flatten toward (0.64, 0.31, 0.08)
+    val mixed = (0L until 400L).map { i =>
+      (i, if (i < 320) "a" else if (i < 395) "b" else "c")
+    }.toDF("doc_id", "grp")
+    val out = Sampling.temperatureMixtureSample(mixed, "doc_id", "grp",
+      temperature = 2.0, targetFraction = 0.5)
+    val probs = out.select("grp", "sample_prob").distinct()
+      .as[(String, Double)].collect().toMap
+    // sqrt flattening sits strictly between corpus-proportional and uniform
+    assert(probs("a") < 320.0 / 400 && probs("a") > 1.0 / 3, probs.toString)
+    assert(probs("b") > 75.0 / 400 && probs("b") < 1.0 / 3, probs.toString)
+    // shares from the independently recomputed formula (round6 sqrt / sum)
+    val ns = Map("a" -> 320.0, "b" -> 75.0, "c" -> 5.0)
+    val s6 = ns.view.mapValues(n => BigDecimal(math.sqrt(n))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    val den = s6.values.map(BigDecimal(_)).sum.toDouble
+    ns.keys.foreach { g =>
+      val q = BigDecimal(s6(g) / den).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(probs(g) == q, s"$g: ${probs(g)} vs $q")
+    }
+    // tiny group saturates (f = 1): every c row admitted
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp("c") == 5, byGrp.toString)
+    // re-run reproduces the draw exactly
+    assert(Sampling.temperatureMixtureSample(mixed, "doc_id", "grp", 2.0, 0.5)
+      .select("doc_id").except(out.select("doc_id")).isEmpty)
+    // T=1 (pow path) reproduces the corpus distribution as shares
+    val t1 = Sampling.temperatureMixtureSample(mixed, "doc_id", "grp", 1.0, 0.5)
+      .select("grp", "sample_prob").distinct().as[(String, Double)].collect().toMap
+    assert(t1("a") == 0.8 && t1("c") == 0.0125, t1.toString)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixtureSample(mixed, "doc_id", "grp", 0.5, 0.5)
+    }
+  }
+
   test("shuffleShards: total balanced partition, contiguous positions, seed-keyed permutation") {
     val out = Sampling.shuffleShards(docs, "doc_id", nShards = 8, seed = "t")
       .select($"doc_id", $"shard", $"pos").as[(Long, Int, Long)].collect()
