@@ -325,4 +325,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "video pairs must meet on chunk keys, never pair all rows")
   }
+
+  test("temperature mix: quota table broadcasts back; corpus pass stays map-only") {
+    val plan = planOf("x7_temperature_mix")
+    assert(plan.contains("BroadcastHashJoin"), "quota table must broadcast over the corpus")
+    // the corpus side may shuffle only for the registered output sort; the
+    // remaining exchanges serve the GROUP-count agg + its one-row window
+    assert(!plan.contains("SortMergeJoin"), "corpus must never shuffle for the quota join")
+  }
+
+  test("threshold sweep: one aggregate pass, no joins, no row fan-out") {
+    val plan = planOf("x5_threshold_sweep")
+    assert(!plan.contains("Join"), "sweep must be join-free")
+    assert(!plan.contains("Expand"), "sweep must not fan rows out per threshold")
+    // one partial+final HashAggregate pair over the scan, then the inline
+    // unpivot of the single result row
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      "sweep should shuffle at most twice (agg partials + output sort)")
+  }
+
+  test("dup-gram fraction: grams meet counts on the hash key, text never joins") {
+    val plan = planOf("x1_dup_gram_fraction")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "gram membership must be an equi-join on the gram hash")
+  }
 }
