@@ -73,16 +73,20 @@ object TextAnalysis {
   /** Quality metrics: word count, token count, mean word length, stopword
     * ratio, alpha ratio, plus a blended [0,1] quality score (heuristic
     * length/stopword blend in the style of public pretraining-data filters).
+    * `carry` columns ride the staged scan unchanged (same contract as
+    * [[stagedCounts]]) so a caller gating by another attribute needs no
+    * corpus-scale re-join back to the input.
     */
-  def qualityMetrics(df: DataFrame, idCol: String, text: Column): DataFrame = {
-    val staged = stagedCounts(df, idCol, text)
-    staged.select(col(idCol),
-      col("__nw").cast("long").as("n_words"),
-      col("__ntok").cast("long").as("n_tokens"),
-      round(meanWordLen, 6).as("mean_word_len"),
-      round(stopRatioExpr, 6).as("stopword_ratio"),
-      round(alphaRatioExpr, 6).as("alpha_ratio"),
-      blendedScore.as("quality_score"))
+  def qualityMetrics(df: DataFrame, idCol: String, text: Column,
+                     carry: Seq[String] = Nil): DataFrame = {
+    val staged = stagedCounts(df, idCol, text, carry)
+    staged.select(col(idCol) +: carry.map(col) :+
+      col("__nw").cast("long").as("n_words") :+
+      col("__ntok").cast("long").as("n_tokens") :+
+      round(meanWordLen, 6).as("mean_word_len") :+
+      round(stopRatioExpr, 6).as("stopword_ratio") :+
+      round(alphaRatioExpr, 6).as("alpha_ratio") :+
+      blendedScore.as("quality_score"): _*)
   }
 
   /** Classifier-threshold sweep — the calibration report behind "pick the

@@ -2525,6 +2525,48 @@ object Oracles {
          |FROM documents doc LEFT JOIN dgj ON dgj.doc_id = doc.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
 
+    // Mirrors x8CurationV10 stage for stage: the x5_threshold_sweep chain
+    // picks the highest threshold keeping >= 60% of tokens, the gate
+    // filters on the SAME round6 score, the x7_temperature_mix chain
+    // re-derives shares from the SURVIVOR counts, and the x7_shuffle_shards
+    // md5 permutation (seed v10, 4 shards) places the admitted set.
+    "x8_curation_v10" ->
+      s"""WITH b AS (SELECT doc_id, lang, $norm AS nt FROM documents),
+         |w AS (SELECT doc_id, lang, nt, list_filter(string_split(nt, ' '), x -> len(x) > 0) AS ws FROM b),
+         |m AS (SELECT doc_id, lang, nt, len(ws) AS nw,
+         |        coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS sumlen,
+         |        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','the','a','and','of','to','in','is','el','la','de','y','que','los','un','le','et','les','des','une','de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS nstop
+         |      FROM w),
+         |s AS (SELECT doc_id, lang,
+         |        round((least(nw/50.0, 1.0)
+         |             + (CASE WHEN sumlen*1.0/greatest(nw, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+         |             + least((nstop*1.0/greatest(nw, 1))*5, 1.0))/3.0, 6) AS q,
+         |        CAST(len(regexp_extract_all(nt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS ntk
+         |      FROM m),
+         |stot AS (SELECT CAST(sum(ntk) AS BIGINT) AS ntt FROM s),
+         |thr AS (SELECT unnest([0.0, 0.2, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS th),
+         |sweep AS (SELECT th,
+         |    round(coalesce(sum(ntk) FILTER (WHERE q >= th), 0) * 1.0 / any_value(ntt), 6) AS tokf
+         |  FROM s, stot, thr GROUP BY th),
+         |chosen AS (SELECT max(th) AS thr FROM sweep WHERE tokf >= 0.6),
+         |gated AS (SELECT s.doc_id, s.lang FROM s, chosen WHERE s.q >= chosen.thr),
+         |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM gated GROUP BY lang),
+         |ct AS (SELECT CAST(sum(CAST(round(sqrt(CAST(n AS DOUBLE)), 6) AS DECIMAL(38,6))) AS DOUBLE) AS den,
+         |              sum(n) AS tot FROM c),
+         |qt AS (SELECT lang,
+         |        least(1.0, round(round(sqrt(CAST(n AS DOUBLE)), 6) / den, 6)
+         |              * floor(0.5 * CAST(tot AS DOUBLE)) / n) AS f
+         |      FROM c, ct),
+         |adm AS (SELECT g.doc_id, g.lang FROM gated g JOIN qt ON qt.lang = g.lang
+         |        WHERE $hashUnit < qt.f),
+         |sh AS (SELECT doc_id, lang, md5('v10:' || CAST(doc_id AS VARCHAR)) AS h FROM adm),
+         |sa AS (SELECT doc_id, lang, h,
+         |    CAST(('0x' || substr(h, 1, 8))::BIGINT % 4 AS INT) AS shard FROM sh)
+         |SELECT doc_id, lang, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
+         |  chosen.thr AS threshold_used
+         |FROM sa, chosen ORDER BY doc_id""".stripMargin,
+
     // Mirrors Components.clusterSizeStats over the same recursive MinHash
     // component closure as x7_dedup_clusters: per-component member count,
     // then the size histogram with n_docs = size * clusters.

@@ -1567,6 +1567,38 @@ object Queries {
       .select(col("doc_id"), col("n_tokens"), col("shard"), col("pos"))
       .orderBy("doc_id")
 
+  /** X8 v10: CALIBRATED curation — the quality floor is not a hand knob
+    * but the output of the threshold-sweep report inside the same plan:
+    * choose the HIGHEST candidate threshold that keeps >= 60% of corpus
+    * tokens ([[TextAnalysis.thresholdSweep]] → max over the qualifying
+    * rows, a one-row broadcast), gate the corpus on it (map-only — lang
+    * rides the quality scan via `carry`, no corpus self-join),
+    * temperature-mix the survivors toward the T=2 language distribution
+    * at 50% ([[Sampling.temperatureMixtureSample]] — counts over
+    * SURVIVORS, so the calibration feeds the mix), and cut the admitted
+    * set into 4 reproducible shards. Data-driven knob selection is the
+    * step human-tuned pipelines get wrong at scale; here the report, the
+    * decision, and the gate sit under one oracle.
+    */
+  private def x8CurationV10(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sweep = TextAnalysis.thresholdSweep(docs, "doc_id", col("text"),
+      thresholds = Seq(0.0, 0.2, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+    val chosen = sweep.where(col("token_frac") >= 0.6)
+      .agg(max(col("threshold")).as("threshold_used"))
+    val gated = TextAnalysis.qualityMetrics(docs, "doc_id", col("text"), carry = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .crossJoin(broadcast(chosen))
+      .where(col("quality_score") >= col("threshold_used"))
+    val mixed = Sampling.temperatureMixtureSample(gated, "doc_id", "lang",
+      temperature = 2.0, targetFraction = 0.5)
+    Sampling.shuffleShards(mixed.select(col("doc_id"), col("lang")), "doc_id",
+        nShards = 4, seed = "v10")
+      .crossJoin(broadcast(chosen))
+      .select(col("doc_id"), col("lang"), col("shard"), col("pos"), col("threshold_used"))
+      .orderBy("doc_id")
+  }
+
   /** X7: sequence packing placement — concat-and-chunk into 512-token
     * sequences per source shard; every document's stream offset and
     * spanned sequence ids from pure window arithmetic.
@@ -2050,7 +2082,8 @@ object Queries {
     "x7_temperature_mix" -> (x7TemperatureMix _),
     "x5_threshold_sweep" -> (x5ThresholdSweep _),
     "x1_dup_gram_fraction" -> (x1DupGramFraction _),
-    "x7_dedup_stats" -> (x7DedupStats _)
+    "x7_dedup_stats" -> (x7DedupStats _),
+    "x8_curation_v10" -> (x8CurationV10 _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

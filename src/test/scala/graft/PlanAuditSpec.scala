@@ -349,4 +349,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "gram membership must be an equi-join on the gram hash")
   }
+
+  test("curation v10: calibration gate and quota broadcast; no corpus-scale join anywhere") {
+    val plan = planOf("x8_curation_v10")
+    assert(!plan.contains("CartesianProduct"), "v10 must stay cartesian-free")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the chosen-threshold single row must broadcast over the corpus")
+    assert(plan.contains("BroadcastHashJoin"), "the temperature quota table must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "no join in v10 may shuffle the corpus")
+  }
 }
