@@ -70,4 +70,38 @@ object StreamingAdmission {
     */
   def admitQuality(docs: Dataset[Doc], rules: QualityRules = QualityRules()): Dataset[Doc] =
     docs.filter(d => keep(d.text, rules))
+
+  /** JVM twin of the batch blended quality score
+    * (`TextAnalysis.qualityMetrics` → `quality_score`, round6) — keep in
+    * sync with `blendedScore` (StreamingAdmissionSpec pins the
+    * equivalence value-for-value over the fixture corpus). A null text
+    * scores NaN, so every threshold comparison rejects it — exactly as the
+    * batch null-propagating comparison does.
+    */
+  private[graft] def qualityScore(text: String): Double = {
+    if (text == null) return Double.NaN
+    val norm = StreamingDedup.normalize(text)
+    val words = norm.split(" ").filter(_.nonEmpty)
+    val nw = words.length.toLong
+    val lengthScore = math.min(nw.toDouble / 50.0, 1.0)
+    // code points, not UTF-16 units — batch length() counts code points
+    val meanLen = words.map(w => w.codePointCount(0, w.length).toLong).sum.toDouble /
+      math.max(nw, 1L)
+    val wordLenScore = if (meanLen >= 3.0 && meanLen <= 10.0) 1.0 else 0.5
+    val stopScore =
+      math.min(words.count(stopwords).toDouble / math.max(nw, 1L) * 5, 1.0)
+    round6((lengthScore + wordLenScore + stopScore) / 3.0)
+  }
+
+  /** Stateless CALIBRATED admission: keep documents whose blended quality
+    * score clears a FROZEN threshold — the streaming half of the
+    * threshold-sweep calibration (`TextAnalysis.thresholdSweep`, the
+    * x8_curation_v10 gate). The sweep itself is corpus-global by
+    * definition (fractions of final totals), so it runs batch-side over
+    * the frozen corpus; the chosen floor ships to the ingest fleet as ONE
+    * double and each arrival is judged alone — no state store, composes
+    * with the quality/decontamination/quota admission stages.
+    */
+  def admitCalibrated(docs: Dataset[Doc], threshold: Double): Dataset[Doc] =
+    docs.filter(d => qualityScore(d.text) >= threshold)
 }

@@ -39,6 +39,42 @@ class StreamingAdmissionSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.size < docs.size) // the gate genuinely splits
   }
 
+  test("calibrated admission: stream set equals the batch sweep-chosen-floor keep set") {
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the batch-side calibration: highest sweep threshold keeping >= 60%
+    // of tokens (the x8_curation_v10 decision), frozen as one double
+    val chosen = TextAnalysis.thresholdSweep(fixture, "doc_id", col("text"),
+        Seq(0.0, 0.2, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+      .where(col("token_frac") >= 0.6).agg(max(col("threshold")))
+      .as[Double].head()
+    assert(chosen > 0.0, "the fixture must let the calibration pick a real floor")
+
+    val docs = fixture.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => Doc(id, t) }.toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingAdmission.admitCalibrated(input.toDS(), chosen)
+      .writeStream.format("memory").queryName("cal_out")
+      .option("checkpointLocation", Files.createTempDirectory("cal-ckpt").toString)
+      .outputMode("append").start()
+    docs.grouped(70).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("cal_out").as[Doc].collect().map(_.docId).toSet
+
+    val batch = TextAnalysis.qualityMetrics(fixture, "doc_id", col("text"))
+      .where(col("quality_score") >= chosen).select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.size < docs.size) // the floor genuinely cuts
+
+    // score twin is value-exact against the batch column, doc for doc
+    val batchScores = TextAnalysis.qualityMetrics(fixture, "doc_id", col("text"))
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    docs.foreach { d =>
+      assert(StreamingAdmission.qualityScore(d.text) == batchScores(d.docId),
+        s"score twin drifts on doc ${d.docId}")
+    }
+  }
+
   test("non-BMP words: JVM mean-word-length counts code points like the batch length()") {
     // "ab😀" is 3 code points but 4 UTF-16 units; four of them + "the"
     // give mean word length 15/5 = 3.0 in code points (inside [3.0, 3.5])
