@@ -559,6 +559,61 @@ object Dedup {
         concat_ws(" ", col("__keep")).as("clean_text"))
   }
 
+  /** Corpus-level overlap estimate — "how much does the incoming crawl
+    * overlap the frozen corpus" as ONE row, before any per-doc screening
+    * (Broder's original resemblance sketch applied at corpus granularity,
+    * Broder SEQUENCES'97): the two corpora's distinct-shingle sets are
+    * compared by (a) a corpus-level MinHash signature — per permutation
+    * the min hash over ALL of a corpus's shingles, component agreement
+    * estimating the shingle-set Jaccard — and (b) the exact hash-set
+    * Jaccard, emitted alongside so the estimate's error is part of the
+    * report. The universe is the hashed shingle space (same convention as
+    * per-doc MinHash estimation).
+    *
+    * Scale shape: each side is one linear shingle pass. The signature is
+    * ONE global aggregate whose map-side partials are numPerm longs per
+    * partition (min is associative — the reduce sees bytes); the exact
+    * part is one count agg keyed by the 60-bit shingle hash (map-side
+    * combined) plus a scalar agg. Nothing joins at corpus scale; at
+    * 100 TB the exact columns are the part to drop first, the signature
+    * costs nothing. Output: one row (n_perm, est_jaccard, exact_jaccard,
+    * n_shingles_a, n_shingles_b, n_common).
+    */
+  def corpusOverlapEstimate(a: DataFrame, b: DataFrame, idCol: String, text: Column,
+                            shingleLen: Int = 3, numPerm: Int = 64): DataFrame = {
+    require(numPerm > 0, s"numPerm must be positive: $numPerm")
+    def hashed(df: DataFrame): DataFrame =
+      explodedShingles(df, idCol, text, shingleLen)
+        .select((md5Hash60(col("__sh")) % MinhashP).as("__x"))
+    val ha = hashed(a)
+    val hb = hashed(b)
+    def sig(h: DataFrame, pref: String): DataFrame = {
+      val aggs = (0 until numPerm).map { i =>
+        val (p, q) = minhashPerm(i)
+        min((lit(p) * col("__x") + lit(q)) % MinhashP).as(s"$pref$i")
+      }
+      h.agg(aggs.head, aggs.tail: _*)
+    }
+    val flags = ha.withColumn("__ia", lit(1)).withColumn("__ib", lit(0))
+      .unionByName(hb.withColumn("__ia", lit(0)).withColumn("__ib", lit(1)))
+      .groupBy(col("__x"))
+      .agg(max(col("__ia")).as("__fa"), max(col("__ib")).as("__fb"))
+    val exact = flags.agg(
+      sum(col("__fa")).cast("long").as("n_shingles_a"),
+      sum(col("__fb")).cast("long").as("n_shingles_b"),
+      sum(col("__fa") * col("__fb")).cast("long").as("n_common"))
+    val agreeCnt = (0 until numPerm).map(i =>
+      when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0)).reduce(_ + _)
+    sig(ha, "__a").crossJoin(sig(hb, "__b")).crossJoin(exact)
+      .select(
+        lit(numPerm).as("n_perm"),
+        round(agreeCnt.cast("double") / lit(numPerm.toDouble), 6).as("est_jaccard"),
+        round(col("n_common").cast("double") /
+          greatest(col("n_shingles_a") + col("n_shingles_b") - col("n_common"), lit(1L))
+            .cast("double"), 6).as("exact_jaccard"),
+        col("n_shingles_a"), col("n_shingles_b"), col("n_common"))
+  }
+
   /** Per-document duplicated-gram fraction — the corpus diagnostic behind
     * substring dedup (Lee et al. arXiv:2107.06499 report duplicate-token
     * fractions to size the problem before deduplicating): for every doc,

@@ -2567,6 +2567,38 @@ object Oracles {
          |  chosen.thr AS threshold_used
          |FROM sa, chosen ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Dedup.corpusOverlapEstimate over the even/odd doc split:
+    // per-corpus distinct shingle hashes (same 3-gram + md5-60 chain as
+    // minhash), 64 corpus-level min-hash components per side, agreement
+    // count, plus the exact hash-set Jaccard from one grouped flag agg.
+    "x2_corpus_overlap" ->
+      s"""WITH wA AS (SELECT $wordsOf AS ws FROM documents WHERE doc_id % 2 = 0),
+         |sA AS (SELECT DISTINCT unnest(CASE WHEN len(ws) >= 3
+         |    THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+         |    ELSE [array_to_string(ws, ' ')] END) AS s FROM wA),
+         |xA AS (SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS x FROM sA),
+         |wB AS (SELECT $wordsOf AS ws FROM documents WHERE doc_id % 2 <> 0),
+         |sB AS (SELECT DISTINCT unnest(CASE WHEN len(ws) >= 3
+         |    THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+         |    ELSE [array_to_string(ws, ' ')] END) AS s FROM wB),
+         |xB AS (SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS x FROM sB),
+         |perms AS (SELECT i, ((i+1)*2654435761) % 2147483647 AS a, ((i+1)*40503 + 7) % 2147483647 AS b
+         |          FROM generate_series(0, 63) t(i)),
+         |gA AS (SELECT i, min((a*x + b) % 2147483647) AS h FROM xA CROSS JOIN perms GROUP BY i),
+         |gB AS (SELECT i, min((a*x + b) % 2147483647) AS h FROM xB CROSS JOIN perms GROUP BY i),
+         |agree AS (SELECT CAST(count(*) FILTER (WHERE ga.h = gb.h) AS BIGINT) AS na
+         |          FROM gA ga JOIN gB gb USING (i)),
+         |ex AS (SELECT CAST(count(*) FILTER (WHERE ia AND ib) AS BIGINT) AS c,
+         |              CAST(count(*) FILTER (WHERE ia) AS BIGINT) AS nsa,
+         |              CAST(count(*) FILTER (WHERE ib) AS BIGINT) AS nsb
+         |       FROM (SELECT x, bool_or(src = 'a') AS ia, bool_or(src = 'b') AS ib
+         |             FROM (SELECT x, 'a' AS src FROM xA UNION ALL SELECT x, 'b' AS src FROM xB)
+         |             GROUP BY x))
+         |SELECT 64 AS n_perm, round(na * 1.0 / 64.0, 6) AS est_jaccard,
+         |  round(c * 1.0 / greatest(nsa + nsb - c, 1), 6) AS exact_jaccard,
+         |  nsa AS n_shingles_a, nsb AS n_shingles_b, c AS n_common
+         |FROM agree, ex""".stripMargin,
+
     // Mirrors Components.clusterSizeStats over the same recursive MinHash
     // component closure as x7_dedup_clusters: per-component member count,
     // then the size histogram with n_docs = size * clusters.

@@ -1720,6 +1720,20 @@ object Queries {
         md5(col("clean_text")).as("clean_md5"))
       .orderBy("doc_id")
 
+  /** X2co: corpus-level overlap report — the even-id corpus vs the odd-id
+    * shard (the x2_incremental_admit split) compared as WHOLE shingle
+    * sets: a corpus-level MinHash signature agreement estimate next to
+    * the exact hash-set Jaccard, one row. The pre-screening number an
+    * ingest pipeline reads before deciding whether per-doc admission is
+    * worth running.
+    */
+  private def x2CorpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.corpusOverlapEstimate(
+      docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 =!= 0),
+      "doc_id", col("text"))
+  }
+
   /** X1df: per-doc duplicated-gram fraction — the sizing report for the
     * substring scrub (same duplicate definition as x1_substring_spans, so
     * the numbers agree with what the scrub would touch).
@@ -2083,7 +2097,8 @@ object Queries {
     "x5_threshold_sweep" -> (x5ThresholdSweep _),
     "x1_dup_gram_fraction" -> (x1DupGramFraction _),
     "x7_dedup_stats" -> (x7DedupStats _),
-    "x8_curation_v10" -> (x8CurationV10 _)
+    "x8_curation_v10" -> (x8CurationV10 _),
+    "x2_corpus_overlap" -> (x2CorpusOverlap _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -629,6 +629,27 @@ class OpsSpec extends SparkSpec {
     assert(repSpans == Set((1L, 20L))) // both copies covered, merged into one span
   }
 
+  test("X2co corpus overlap: identical corpora score 1, disjoint 0, estimate tracks exact") {
+    val base = (0L until 60L).map(i =>
+      (i, s"token$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")).toDF("doc_id", "text")
+    val same = Dedup.corpusOverlapEstimate(base, base, "doc_id", col("text"))
+      .select("est_jaccard", "exact_jaccard").as[(Double, Double)].head()
+    assert(same == ((1.0, 1.0)), same.toString)
+
+    val other = (100L until 160L).map(i =>
+      (i, s"word$i uno$i dos$i tres$i cuatro$i cinco$i seis$i")).toDF("doc_id", "text")
+    val disj = Dedup.corpusOverlapEstimate(base, other, "doc_id", col("text"))
+      .select("est_jaccard", "exact_jaccard", "n_common").as[(Double, Double, Long)].head()
+    assert(disj == ((0.0, 0.0, 0L)), disj.toString)
+
+    // half the docs shared: estimate within MinHash tolerance of exact
+    val mixed = base.where(col("doc_id") < 30).unionByName(other.where(col("doc_id") < 130))
+    val half = Dedup.corpusOverlapEstimate(base, mixed, "doc_id", col("text"))
+      .select("est_jaccard", "exact_jaccard").as[(Double, Double)].head()
+    assert(half._2 > 0.2 && half._2 < 0.6, half.toString)
+    assert(math.abs(half._1 - half._2) <= 0.25, s"estimate too far from exact: $half")
+  }
+
   test("X1df dup-gram fraction: planted passage counted, clean and short docs report zero") {
     val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val d = Seq(
