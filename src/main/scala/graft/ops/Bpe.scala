@@ -129,14 +129,51 @@ object Bpe {
     // plain explode would drop the doc from the output entirely
     val staged = df.select(col(idCol), TextAnalysis.words(text).as("__w"))
       .select(col(idCol), explode_outer(col("__w")).as("__word"))
-    val seg0 = concat(lit(" "), regexp_replace(col("__word"), "(.)", "$1 "))
+    staged.select(col(idCol),
+        when(col("__word").isNull, lit(0))
+          .otherwise(bpeTokenCount(col("__word"), merges, passes)).as("__n"))
+      .groupBy(col(idCol)).agg(sum(col("__n")).as("n_bpe_tokens"))
+  }
+
+  /** Per-word BPE token count as a pure codegen'd column expression: the
+    * padded character segmentation folded through the merge table as
+    * literal (regex-escaped) replaces — ONE definition shared by
+    * [[tokenCountWithMerges]] and [[fertilityByGroup]] so the application
+    * semantics cannot drift between the per-doc and per-group reports.
+    */
+  private def bpeTokenCount(word: Column, merges: Seq[(String, String)], passes: Int): Column = {
+    val seg0 = concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
     val segN = merges.foldLeft(seg0) { case (seg, (a, b)) =>
       (1 to passes).foldLeft(seg)((s, _) => regexp_replace(s, // literal replace: escape regex
         java.util.regex.Pattern.quote(s" $a $b "), s" $a$b "))
     }
-    staged.select(col(idCol),
-        when(col("__word").isNull, lit(0))
-          .otherwise(size(filter(split(segN, " "), t => length(t) > 0))).as("__n"))
-      .groupBy(col(idCol)).agg(sum(col("__n")).as("n_bpe_tokens"))
+    size(filter(split(segN, " "), t => length(t) > 0))
+  }
+
+  /** Tokenizer fertility by group — mean BPE tokens per WORD for each
+    * language/source under the learned merges: the multilingual
+    * tokenizer-fairness number (a language with fertility 3 pays 3× the
+    * sequence length per word — the metric multilingual tokenizer work
+    * optimizes, e.g. the byte-premium analyses around XLM-R/UniMax vocab
+    * allocation). A merge table learned on skewed data shows up here as a
+    * fertility gap before any training run pays for it.
+    *
+    * Shape: same map-only nested-replace projection as
+    * [[tokenCountWithMerges]], aggregated by group instead of doc — one
+    * group-keyed count/sum agg (map-side combined, output = one row per
+    * language). Words-only denominator: wordless docs contribute nothing
+    * to a per-word ratio. Output: (groupCol, n_words, n_bpe_tokens,
+    * fertility rounded 6), one row per group.
+    */
+  def fertilityByGroup(df: DataFrame, groupCol: String, text: Column,
+                       merges: Seq[(String, String)], passes: Int = 8): DataFrame = {
+    val staged = df.select(col(groupCol), TextAnalysis.words(text).as("__w"))
+      .select(col(groupCol), explode(col("__w")).as("__word"))
+    staged.select(col(groupCol), bpeTokenCount(col("__word"), merges, passes).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n")).cast("long").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"), 6))
   }
 }

@@ -1085,6 +1085,29 @@ object Oracles {
          |FROM documents d LEFT JOIN dn n USING (doc_id) ORDER BY doc_id""".stripMargin
     },
 
+    // Mirrors Bpe.fertilityByGroup under the SAME unrolled learn chain as
+    // x6_bpe_tokens: every word pushed through the merge stages (lang
+    // riding along), then one per-lang count/sum agg and the round6
+    // tokens-per-word ratio. Plain unnest (no outer): fertility is a
+    // per-WORD ratio, wordless docs contribute nothing.
+    "x6_bpe_fertility" -> {
+      val fstages = (1 to BpeN).map { k =>
+        val prev = if (k == 1) "fseg0" else s"fseg${k - 1}"
+        s"""fseg$k AS (SELECT lang,
+           |  CASE WHEN x.a IS NULL THEN seg ELSE ${BpeApplySql("seg")} END AS seg
+           |  FROM $prev LEFT JOIN best$k x ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $BpeLearnChain,
+         |fw AS (SELECT lang, unnest($wordsOf) AS word FROM documents),
+         |fseg0 AS (SELECT lang, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg FROM fw),
+         |$fstages
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(list_filter(string_split(seg, ' '), t -> len(t) > 0))) AS BIGINT) AS n_bpe_tokens,
+         |  round(sum(len(list_filter(string_split(seg, ' '), t -> len(t) > 0))) * 1.0
+         |        / greatest(count(*), 1), 6) AS fertility
+         |FROM fseg$BpeN GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
     // Mirrors Similarity.quantizeInt8: order-free max, exact float->double
     // widening, both engines round halves away from zero.
     "x3_quantize_int8" ->

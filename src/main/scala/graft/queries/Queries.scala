@@ -887,6 +887,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X6tf: tokenizer fertility by language — mean BPE tokens per word per
+    * lang under the corpus' own learned merges (same fit as
+    * x6_bpe_tokens). The multilingual tokenizer-fairness report: a merge
+    * table learned on skewed data shows up as a cross-language fertility
+    * gap here before any training run pays for it in sequence length.
+    */
+  private def x6BpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = graft.ops.Bpe.learnMerges(docs, col("text"))
+      .orderBy("merge_rank")
+      .select("lhs", "rhs").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    graft.ops.Bpe.fertilityByGroup(docs, "lang", col("text"), merges)
+      .orderBy("lang")
+  }
+
   private def x4MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.asMedia(t(spark, dir, "documents"), "doc_id", col("text"), "text/plain")
       .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
@@ -2098,7 +2113,8 @@ object Queries {
     "x1_dup_gram_fraction" -> (x1DupGramFraction _),
     "x7_dedup_stats" -> (x7DedupStats _),
     "x8_curation_v10" -> (x8CurationV10 _),
-    "x2_corpus_overlap" -> (x2CorpusOverlap _)
+    "x2_corpus_overlap" -> (x2CorpusOverlap _),
+    "x6_bpe_fertility" -> (x6BpeFertility _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

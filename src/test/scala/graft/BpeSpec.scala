@@ -52,4 +52,23 @@ class BpeSpec extends SparkSpec {
     // doc2: "xyz"->[x,y,z] (3), "abc"->[abc] (1) => 4
     assert(out == Map(1L -> 3L, 2L -> 4L))
   }
+
+  test("fertility by group: a language the merges cover pays fewer tokens per word") {
+    // merges learned (by construction) for lang A's vocabulary only:
+    // A words collapse to 1 token each, B words stay character-split
+    val docs = Seq(
+      (1L, "A", "abc abc abd"), (2L, "A", "abd abc"),
+      (3L, "B", "xyz wvu"), (4L, "B", "xyz")
+    ).toDF("doc_id", "lang", "text")
+    val merges = Seq(("a", "b"), ("ab", "c"), ("ab", "d"))
+    val out = Bpe.fertilityByGroup(docs, "lang", $"text", merges)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("A") == ((5L, 5L, 1.0)), out.toString)   // every A word fully merges
+    assert(out("B") == ((3L, 9L, 3.0)), out.toString)   // 3-char words stay split
+    // per-group sums agree with the per-doc operator under the same merges
+    val perDoc = Bpe.tokenCountWithMerges(docs, "doc_id", $"text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc.values.sum == out.values.map(_._2).sum)
+  }
 }
