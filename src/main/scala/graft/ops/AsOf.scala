@@ -31,7 +31,29 @@ object AsOf {
     * `tieBreak` is a right-side column ordering ties on equal `rightTs`.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-               leftTs: Column, rightTs: Column, tieBreak: Column): DataFrame = {
+               leftTs: Column, rightTs: Column, tieBreak: Column): DataFrame =
+    asofCore(left, right, keyCol, leftTs, rightTs, tieBreak, None)
+
+  /** As-of join with a staleness bound — the attribution-window variant
+    * every time-series store ships (kdb+ `wj`, pandas `merge_asof
+    * tolerance`): a match more than `toleranceMs` older than the left
+    * timestamp is treated as NO match (`asof` = null) — "credit the last
+    * click, but only within 2 hours". Same plan as [[asofJoin]]: the
+    * bound adds ONE more windowed `last` over the identical frame (the
+    * matched row's timestamp) plus a null-out projection — no extra
+    * exchange, no join node. The bound is inclusive:
+    * `matchedTs >= leftTs - toleranceMs` keeps the match.
+    */
+  def asofJoinWithin(left: DataFrame, right: DataFrame, keyCol: String,
+                     leftTs: Column, rightTs: Column, tieBreak: Column,
+                     toleranceMs: Long): DataFrame = {
+    require(toleranceMs >= 0, s"toleranceMs must be >= 0: $toleranceMs")
+    asofCore(left, right, keyCol, leftTs, rightTs, tieBreak, Some(toleranceMs))
+  }
+
+  private def asofCore(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTs: Column, rightTs: Column, tieBreak: Column,
+                       toleranceMs: Option[Long]): DataFrame = {
     val rpay = struct(right.columns.filter(_ != keyCol).map(col): _*)
     val lpay = struct(left.columns.map(col): _*)
     val rType = right.select(rpay.as("p")).schema("p").dataType
@@ -54,9 +76,21 @@ object AsOf {
     val w = Window.partitionBy("__k")
       .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ru.unionByName(lu)
+    val matched = ru.unionByName(lu)
       .withColumn("__m", last("__r", ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
-      .select(col("__l.*") +: Seq(col("__m").as("asof")): _*)
+    toleranceMs match {
+      case None =>
+        matched.where(col("__side") === 1)
+          .select(col("__l.*") +: Seq(col("__m").as("asof")): _*)
+      case Some(tol) =>
+        // the matched row's OWN timestamp, picked by the same frame order
+        // as __m (both `last ignoreNulls` resolve to the same right row)
+        matched
+          .withColumn("__mt",
+            last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+          .where(col("__side") === 1)
+          .select(col("__l.*") +: Seq(
+            when(col("__mt") >= col("__t") - tol, col("__m")).as("asof")): _*)
+    }
   }
 }

@@ -1667,6 +1667,34 @@ object Oracles {
     // Equivalent formulation of AsOf.asofJoin (union + running last) as a
     // theta-join + argmax: LEFT JOIN keeps no-predecessor purchases (one
     // all-null row, rn = 1), ties on click_ts_ms resolve to max click_id.
+    // Mirrors wSlidingHourly: 1-hour windows hopping every 30 minutes,
+    // epoch-aligned — each event unnests into exactly its two covering
+    // window starts; counts + exact-decimal sums under the hash gate.
+    "w_sliding_hourly" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS t, event_type, value FROM events),
+        |x AS (SELECT event_type, value,
+        |        unnest([(t // 1800000) * 1800000 - 1800000, (t // 1800000) * 1800000]) AS win_ms
+        |      FROM e)
+        |SELECT win_ms, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Mirrors jAsofTolerance: the j_asof_attribution theta-join + argmax
+    // with the candidate set bounded to clicks within the inclusive
+    // 2-hour window before the purchase.
+    "j_asof_tolerance" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS click_ts_ms
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.user_id, p.event_id, p.ts_ms, c.click_id, c.click_ts_ms,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |                           ORDER BY c.click_ts_ms DESC, c.click_id DESC) rn
+        |      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts_ms <= p.ts_ms
+        |                        AND c.click_ts_ms >= p.ts_ms - 7200000)
+        |SELECT user_id, event_id, ts_ms, click_id, click_ts_ms
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "j_asof_attribution" ->
       """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
         |           FROM events WHERE event_type = 'purchase'),

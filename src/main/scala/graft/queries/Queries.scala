@@ -400,6 +400,22 @@ object Queries {
       .orderBy("hour_ms", "event_type")
   }
 
+  /** Sliding (hopping) windows: 1-hour windows every 30 minutes — each
+    * event lands in exactly two windows (Spark's `window(col, len, slide)`
+    * generator); the twin replays the epoch-aligned window starts by
+    * integer arithmetic, so the alignment convention itself is under the
+    * hash gate alongside the counts and the exact-decimal sums.
+    */
+  private def wSlidingHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val tsCol = timestamp_millis(evTime(ev).ms)
+    ev.groupBy(window(tsCol, "1 hour", "30 minutes").as("__w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value"), 12, 2).as("sum_value"))
+      .select(unix_millis(col("__w.start")).as("win_ms"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("win_ms", "event_type")
+  }
+
   /** Sessionization: new session after a >30 min gap; per-user session and
     * event counts (lag + running sum — the window-function composition a
     * streaming session-window would produce).
@@ -819,6 +835,25 @@ object Queries {
       .select(col("user_id"), col("event_id").as("click_id"), ms.as("click_ts_ms"))
     AsOf.asofJoin(purchases, clicks, "user_id",
       col("ts_ms"), col("click_ts_ms"), col("click_id"))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("asof.click_id").as("click_id"), col("asof.click_ts_ms").as("click_ts_ms"))
+      .orderBy("event_id")
+  }
+
+  /** As-of with a staleness bound: purchases credited to the last click
+    * within 2 hours — [[AsOf.asofJoinWithin]]; matches older than the
+    * window null out. The twin is the bounded theta-join + argmax, so the
+    * inclusive boundary is hash-checked.
+    */
+  private def jAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val ms = evTime(ev).ms
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), ms.as("ts_ms"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), ms.as("click_ts_ms"))
+    AsOf.asofJoinWithin(purchases, clicks, "user_id",
+      col("ts_ms"), col("click_ts_ms"), col("click_id"), toleranceMs = 2L * 3600 * 1000)
       .select(col("user_id"), col("event_id"), col("ts_ms"),
         col("asof.click_id").as("click_id"), col("asof.click_ts_ms").as("click_ts_ms"))
       .orderBy("event_id")
@@ -2114,7 +2149,9 @@ object Queries {
     "x7_dedup_stats" -> (x7DedupStats _),
     "x8_curation_v10" -> (x8CurationV10 _),
     "x2_corpus_overlap" -> (x2CorpusOverlap _),
-    "x6_bpe_fertility" -> (x6BpeFertility _)
+    "x6_bpe_fertility" -> (x6BpeFertility _),
+    "w_sliding_hourly" -> (wSlidingHourly _),
+    "j_asof_tolerance" -> (jAsofTolerance _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -32,6 +32,28 @@ class AsOfSpec extends SparkSpec {
     assert(out == Map(10L -> Some(902L), 11L -> Some(900L), 20L -> None, 30L -> None))
   }
 
+  test("as-of within tolerance: stale matches null out, in-window matches survive, bound inclusive") {
+    val out = AsOf.asofJoinWithin(left, right, "k", col("lts"), col("rts"), col("rid"),
+        toleranceMs = 5L)
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // lid 10: match at rts=100, lts=100, age 0 <= 5 -> kept (tie to 902)
+    // lid 11: match at rts=90, lts=95, age 5 -> INCLUSIVE bound keeps it
+    assert(out == Map(10L -> Some(902L), 11L -> Some(900L), 20L -> None, 30L -> None))
+    val tight = AsOf.asofJoinWithin(left, right, "k", col("lts"), col("rts"), col("rid"),
+        toleranceMs = 4L)
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // age-5 match now stale -> null; age-0 match unaffected
+    assert(tight == Map(10L -> Some(902L), 11L -> None, 20L -> None, 30L -> None))
+    // tolerance 0: only exact-instant matches survive
+    val zero = AsOf.asofJoinWithin(left, right, "k", col("lts"), col("rts"), col("rid"),
+        toleranceMs = 0L)
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(zero == Map(10L -> Some(902L), 11L -> None, 20L -> None, 30L -> None))
+  }
+
   test("NULL keys and NULL right timestamps never match (SQL join semantics)") {
     val l = Seq((Option(1L), 100L, 10L), (Option.empty[Long], 100L, 11L))
       .toDF("k", "lts", "lid")
