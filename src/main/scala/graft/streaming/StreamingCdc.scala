@@ -131,6 +131,21 @@ object StreamingCdc {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermarked SLIDING (hopping) window aggregation — the streaming
+    * analog of the batch `w_sliding_hourly` query: Spark's
+    * `window(len, slide)` generator fans each event into its len/slide
+    * covering windows (state = one row per open (window, type), closed by
+    * the watermark), epoch-aligned exactly like the batch form.
+    */
+  def slidingCounts(events: DataFrame, tsCol: String, window: String, slide: String,
+                    watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** Watermarked SESSION-window aggregation — the streaming analog of the
     * batch sessionization query (`w_sessionize`): per user, events closer
     * than `gap` merge into one session; a session closes when the

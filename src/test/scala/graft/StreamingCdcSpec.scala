@@ -130,6 +130,36 @@ class StreamingCdcSpec extends SparkSpec {
     assert(rows.map(r => (r._2, r._3)).toSeq == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("sliding windows: each event lands in exactly two hopping windows, stream equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val events = Seq(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:40:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 4.0))
+    input.addData(events: _*)
+    val q = StreamingCdc.slidingCounts(df, "ts", "1 hour", "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("slide_out")
+      .select("window_start", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect()
+      .map(r => (r._1.getTime, r._2) -> ((r._3, r._4))).toMap
+    // batch twin: every event belongs to windows starting at
+    // floor(t/30m)*30m and that minus 30m (1h length, 30m hop)
+    val expected = events
+      .flatMap { case (ts, et, v) =>
+        val s1 = ts.getTime / 1800000L * 1800000L
+        Seq(((s1 - 1800000L, et), v), ((s1, et), v))
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> ((vs.size.toLong, vs.map(_._2).sum)) }
+    assert(rows == expected, s"stream $rows vs batch $expected")
+  }
+
   test("JVM normalize is the twin of Dedup.normalizeText on edge whitespace") {
     val tricky = Seq("foo\n", "  foo  ", "\tfoo\t", "a  b\n\nc", " Mixed CASE \r\n", "", "   ", "\n")
     val viaCol = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }
