@@ -579,19 +579,34 @@ object Dedup {
     * costs nothing. Output: one row (n_perm, est_jaccard, exact_jaccard,
     * n_shingles_a, n_shingles_b, n_common).
     */
+  /** Hashed shingle stream of a corpus: one `__x` row per k-gram
+    * occurrence, in the MinHash base-hash space. Shared by
+    * [[corpusOverlapEstimate]] and the streaming signature
+    * ([[graft.streaming.StreamingCorpusOverlap]]) so the two sketches hash
+    * identically.
+    */
+  private[graft] def corpusShingleHashes(df: DataFrame, idCol: String, text: Column,
+                                         shingleLen: Int): DataFrame =
+    explodedShingles(df, idCol, text, shingleLen)
+      .select((md5Hash60(col("__sh")) % MinhashP).as("__x"))
+
+  /** The corpus-level signature aggregates: per permutation, the min over
+    * a `__x` column — valid as a batch or (complete-mode) streaming global
+    * aggregate, since min is append-monotone. Shared for the same reason.
+    */
+  private[graft] def corpusSigAggs(numPerm: Int, pref: String): Seq[Column] =
+    (0 until numPerm).map { i =>
+      val (p, q) = minhashPerm(i)
+      min((lit(p) * col("__x") + lit(q)) % MinhashP).as(s"$pref$i")
+    }
+
   def corpusOverlapEstimate(a: DataFrame, b: DataFrame, idCol: String, text: Column,
                             shingleLen: Int = 3, numPerm: Int = 64): DataFrame = {
     require(numPerm > 0, s"numPerm must be positive: $numPerm")
-    def hashed(df: DataFrame): DataFrame =
-      explodedShingles(df, idCol, text, shingleLen)
-        .select((md5Hash60(col("__sh")) % MinhashP).as("__x"))
-    val ha = hashed(a)
-    val hb = hashed(b)
+    val ha = corpusShingleHashes(a, idCol, text, shingleLen)
+    val hb = corpusShingleHashes(b, idCol, text, shingleLen)
     def sig(h: DataFrame, pref: String): DataFrame = {
-      val aggs = (0 until numPerm).map { i =>
-        val (p, q) = minhashPerm(i)
-        min((lit(p) * col("__x") + lit(q)) % MinhashP).as(s"$pref$i")
-      }
+      val aggs = corpusSigAggs(numPerm, pref)
       h.agg(aggs.head, aggs.tail: _*)
     }
     val flags = ha.withColumn("__ia", lit(1)).withColumn("__ib", lit(0))
