@@ -1695,6 +1695,40 @@ object Oracles {
         |SELECT user_id, event_id, ts_ms, click_id, click_ts_ms
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+    // Mirrors q10Funnel: the j_asof_tolerance attribution (1h window) under
+    // a scalar conversion aggregate. countDistinct over the conditional
+    // user column ignores NULLs in both engines.
+    "q10_funnel" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS click_ts_ms
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.user_id, p.event_id, c.click_id,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |                           ORDER BY c.click_ts_ms DESC, c.click_id DESC) rn
+        |      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts_ms <= p.ts_ms
+        |                        AND c.click_ts_ms >= p.ts_ms - 3600000),
+        |a AS (SELECT user_id, event_id, click_id FROM j WHERE rn = 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+        |          CAST(count(click_id) AS BIGINT) AS n_converted,
+        |          CAST(count(DISTINCT user_id) AS BIGINT) AS n_purchase_users,
+        |          CAST(count(DISTINCT CASE WHEN click_id IS NOT NULL THEN user_id END) AS BIGINT)
+        |            AS n_converted_users
+        |        FROM a),
+        |ck AS (SELECT CAST(count(*) AS BIGINT) AS n_clicks FROM c)
+        |SELECT n_clicks, n_purchases, n_converted, n_purchase_users, n_converted_users,
+        |  round(n_converted * 1.0 / greatest(n_purchases, 1), 6) AS conversion_rate
+        |FROM agg, ck""".stripMargin,
+
+    // Mirrors q11Retention: cohort = per-user min active day (integer
+    // epoch-day), matrix = (cohort, offset) distinct-user counts.
+    "q11_retention" ->
+      """WITH d AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort FROM d)
+        |SELECT cohort AS cohort_day, day - cohort AS day_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "j_asof_attribution" ->
       """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
         |           FROM events WHERE event_type = 'purchase'),

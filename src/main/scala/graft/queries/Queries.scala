@@ -859,6 +859,50 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Conversion funnel: click → purchase within 1 hour, per user — the
+    * classic event-analytics report, composed from [[AsOf.asofJoinWithin]]
+    * (each purchase attributed to its last in-window click; no per-key
+    * fan-out) plus one scalar aggregate. One row: volumes, converted
+    * purchases/users, and the conversion rate.
+    */
+  private def q10Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val ms = evTime(ev).ms
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), ms.as("ts_ms"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), ms.as("click_ts_ms"))
+    val attributed = AsOf.asofJoinWithin(purchases, clicks, "user_id",
+      col("ts_ms"), col("click_ts_ms"), col("click_id"), toleranceMs = 3600000L)
+    attributed.agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("asof").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+        countDistinct(col("user_id")).as("n_purchase_users"),
+        countDistinct(when(col("asof").isNotNull, col("user_id"))).as("n_converted_users"))
+      .crossJoin(broadcast(clicks.agg(count(lit(1)).as("n_clicks"))))
+      .select(col("n_clicks"), col("n_purchases"), col("n_converted"),
+        col("n_purchase_users"), col("n_converted_users"),
+        round(col("n_converted").cast("double") /
+          greatest(col("n_purchases"), lit(1L)).cast("double"), 6).as("conversion_rate"))
+  }
+
+  /** Cohort retention: users grouped by first-active day, counted on each
+    * later active day — the other classic event-analytics table. Cohort
+    * assignment is one per-user window min (same exchange class as
+    * sessionize), the matrix one (cohort, offset) count-distinct agg.
+    */
+  private def q11Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val ms = evTime(ev).ms
+    val byUser = Window.partitionBy("user_id")
+    ev.select(col("user_id"), ms.as("__ms"))
+      .withColumn("__day", expr("__ms div 86400000"))
+      .withColumn("__cohort", min(col("__day")).over(byUser))
+      .groupBy(col("__cohort").as("cohort_day"), (col("__day") - col("__cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Interval join: errors within 5 minutes AFTER a purchase by the same
     * user — [[Intervals.windowJoin]]'s time-bucketed equi-join (constant 2×
     * fan-out, no per-key nested loop); the DuckDB twin is the plain
@@ -2151,7 +2195,9 @@ object Queries {
     "x2_corpus_overlap" -> (x2CorpusOverlap _),
     "x6_bpe_fertility" -> (x6BpeFertility _),
     "w_sliding_hourly" -> (wSlidingHourly _),
-    "j_asof_tolerance" -> (jAsofTolerance _)
+    "j_asof_tolerance" -> (jAsofTolerance _),
+    "q10_funnel" -> (q10Funnel _),
+    "q11_retention" -> (q11Retention _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
