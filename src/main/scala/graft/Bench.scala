@@ -75,11 +75,25 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    calibrate() // warm the calibration path itself once
+    // Second floor: allocation/hashing-bound (string building + md5),
+    // the profile of the shingle/gram family. The arithmetic spin above
+    // misses memory-bandwidth and GC-pressure drift — measured this round:
+    // same-binary re-runs of the shingle queries sat 1.3-1.7x above a
+    // prior artifact while the spin floor was byte-identical, so trend
+    // gating needs BOTH floors to call a slowdown credible.
+    def calibrateMem(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000L, 1L, cpus)
+        .selectExpr("max(md5(concat(repeat('x', CAST(id % 97 AS INT)), CAST(id AS STRING)))) as m")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate(); calibrateMem() // warm the calibration paths themselves once
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val timed = (1 to reps).map { _ =>
         val cal = calibrate()
+        val calM = calibrateMem()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -94,20 +108,22 @@ object Bench {
         // region: the next rep must rebuild them, and the next query must
         // not compete with their blocks for executor memory
         graft.ops.OpCaches.release()
-        (if (ok) Some(elapsed) else None, cal)
+        (if (ok) Some(elapsed) else None, cal, calM)
       }
       val runs = timed.map(_._1)
       val cals = timed.map(_._2)
+      val calMs = timed.map(_._3)
       // a query that failed ANY rep is reported failed (null): partial
       // timings of a flaky query are not comparable across rounds
       val best = if (runs.exists(_.isEmpty)) None else Some(runs.flatten.min)
-      (name, best, runs, cals)
+      (name, best, runs, cals, calMs)
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f3o(v: Option[Double]): String = v.fold("null")(f3)
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f3o(v) }.mkString("{", ",", "}")
-    val raw = results.map { case (k, _, rs, _) => "\"" + k + "\":" + rs.map(f3o).mkString("[", ",", "]") }.mkString("{", ",", "}")
-    val cal = results.map { case (k, _, _, cs) => "\"" + k + "\":" + cs.map(f3).mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f3o(v) }.mkString("{", ",", "}")
+    val raw = results.map { case (k, _, rs, _, _) => "\"" + k + "\":" + rs.map(f3o).mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val cal = results.map { case (k, _, _, cs, _) => "\"" + k + "\":" + cs.map(f3).mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val calM = results.map { case (k, _, _, _, cs) => "\"" + k + "\":" + cs.map(f3).mkString("[", ",", "]") }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[\\\\\"]", "'").replaceAll("[\\x00-\\x1f]", " ") + "\"" }
       .mkString("{", ",", "}")
@@ -122,7 +138,7 @@ object Bench {
     // FILE artifact, the full line prints for humans, and a lean summary
     // (~160 chars, always inside the window) prints LAST.
     val detail =
-      s"""{"metric":"detail","reps":$reps$subsetTag,"mins":$qs,"runs":$raw,"calibration":$cal,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","reps":$reps$subsetTag,"mins":$qs,"runs":$raw,"calibration":$cal,"calibration_mem":$calM,"errors":$errJson,"sf":"$sfDir"}"""
     val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"reps":$reps$subsetTag,"queries":$qs,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get(

@@ -46,11 +46,28 @@ def mins_of(rec):
     return out
 
 
-def cal_floor(rec, q):
-    series = rec.get("calibration", {}).get(q)
+def cal_floor(rec, q, key="calibration"):
+    series = rec.get(key, {}).get(q)
     if not series:
         return None
     return statistics.median(series)
+
+
+def comparable_floors(old, new, q):
+    """Machine-comparable = EVERY floor both artifacts carry is within 1.5x.
+
+    The arithmetic spin floor ("calibration") misses memory-bandwidth / GC
+    drift (round-8 measurement: same-binary shingle queries 1.3-1.7x apart
+    across runs with byte-identical spin floors), so artifacts since then
+    also carry an allocation/hashing floor ("calibration_mem"); a slowdown
+    is credible only when no available floor moved.
+    """
+    verdicts = []
+    for key in ("calibration", "calibration_mem"):
+        oc, nc = cal_floor(old, q, key), cal_floor(new, q, key)
+        if oc is not None and nc is not None:
+            verdicts.append(nc <= oc * 1.5)
+    return all(verdicts) if verdicts else True
 
 
 def main(old_path, new_path, threshold=1.5):
@@ -64,8 +81,7 @@ def main(old_path, new_path, threshold=1.5):
     for q in shared:
         ratio = nm[q] / om[q] if om[q] > 0 else float("inf")
         oc, nc = cal_floor(old, q), cal_floor(new, q)
-        # machine comparable = new floor within 1.5x of old (or no data)
-        comparable = oc is None or nc is None or nc <= oc * 1.5
+        comparable = comparable_floors(old, new, q)
         if ratio >= threshold:
             (credible if comparable else suspect).append((q, ratio, oc, nc))
         elif ratio <= 1 / threshold:
