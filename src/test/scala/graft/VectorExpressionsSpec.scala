@@ -71,4 +71,28 @@ class VectorExpressionsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("graft_sig_agree"))
   }
+
+  test("graft_minhash_sig equals the affine-min-per-permutation formula exactly") {
+    GraftFunctions.register(spark)
+    val xs = Seq(5L, 99L, 123456L, 2147483646L, 0L)
+    val sig = Seq(Tuple1(xs)).toDF("xs")
+      .select(call_function("graft_minhash_sig", col("xs"), lit(64)))
+      .collect().head.getSeq[Long](0)
+    val expected = (0 until 64).map { i =>
+      val (a, b) = graft.ops.Dedup.minhashPerm(i)
+      xs.map(x => (a * x + b) % graft.ops.Dedup.MinhashP).min
+    }
+    assert(sig == expected)
+    // empty array: components are p-1 sentinels (no shingle evidence)
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("xs")
+      .select(call_function("graft_minhash_sig", col("xs"), lit(8)))
+      .collect().head.getSeq[Long](0)
+    assert(empty == Seq.fill(8)(graft.ops.Dedup.MinhashP - 1))
+    // type check rejects non-long arrays
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Seq(1.0))).toDF("xs")
+        .select(call_function("graft_minhash_sig", col("xs"), lit(4))).collect()
+    }
+    assert(ex.getMessage.contains("graft_minhash_sig"))
+  }
 }
