@@ -223,6 +223,63 @@ case class MinhashSignature(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+/** SimHash bit votes over a document's flat token-word array: the input
+  * concatenates, per token, its `nWords` portable 32-bit md5 words
+  * (entry j belongs to word j % nWords); each word's 32 bits vote ±1 and
+  * the output packs each word's sign bits into one long in [0, 2^32) —
+  * callers assemble the final 64/128-bit fingerprint by shifting word
+  * packs together. Values are bit-identical to the 64/128-parallel
+  * conditional-sum-aggregate formulation (votes are order-insensitive) —
+  * a physical change only, same reasoning and measured class as
+  * [[MinhashSignature]].
+  */
+case class SimhashPack(child: Expression, nWords: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_simhash expects array<bigint>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    require(n % nWords == 0,
+      s"graft_simhash: flat array length $n is not a multiple of nWords=$nWords")
+    val counts = new Array[Int](nWords * 32)
+    var j = 0
+    while (j < n) {
+      val x = xs.getLong(j)
+      val base = (j % nWords) * 32
+      var b = 0
+      while (b < 32) {
+        if (((x >> b) & 1L) == 1L) counts(base + b) += 1 else counts(base + b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    val out = new Array[Long](nWords)
+    var w = 0
+    while (w < nWords) {
+      var acc = 0L
+      var b = 0
+      while (b < 32) {
+        if (counts(w * 32 + b) >= 0) acc |= (1L << b)
+        b += 1
+      }
+      out(w) = acc
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session registration for graft's native expressions (usable from SQL as
   * `graft_dot(a, b)` / `graft_sig_agree(a, b)` and from the DataFrame API
   * via `call_function`).
@@ -232,6 +289,8 @@ object GraftFunctions {
     "graft_dot" -> (children => DotProduct(children.head, children(1))),
     "graft_sig_agree" -> (children => SigAgree(children.head, children(1))),
     "graft_minhash_sig" -> (children => MinhashSignature(children.head,
+      children(1).eval().asInstanceOf[Int])),
+    "graft_simhash" -> (children => SimhashPack(children.head,
       children(1).eval().asInstanceOf[Int])))
 
   /** Idempotent per-session registration. */

@@ -278,18 +278,18 @@ object Dedup {
     * artifact of Spark's internal xxhash64.
     */
   def simhash64(df: DataFrame, idCol: String, tokens: Column): DataFrame = {
-    val exploded = df.select(col(idCol), explode(tokens).as("__tok"))
-      .withColumn("__lo", md5Hash32(col("__tok"), 1))
-      .withColumn("__hi", md5Hash32(col("__tok"), 9))
-    val aggs = (0 until 64).map { i =>
-      val part = if (i < 32) shiftright(col("__lo"), i) else shiftright(col("__hi"), i - 32)
-      sum(when(part.bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
-    }
-    val counted = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val sim = (0 until 64).map { i =>
-      when(col(s"__b$i") >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    counted.select(col(idCol), sim.as("simhash"))
+    // physical form (round 8): one collect_list + the native vote loop
+    // (graft_simhash) replaces 64 parallel conditional-sum aggregates —
+    // bit-identical values (votes are order-insensitive), same rewrite
+    // class as minhashSignaturesFromHashed
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol), explode(tokens).as("__tok"))
+      .select(col(idCol), array(md5Hash32(col("__tok"), 1), md5Hash32(col("__tok"), 9)).as("__ws"))
+      .groupBy(col(idCol)).agg(collect_list(col("__ws")).as("__wss"))
+      .select(col(idCol),
+        call_function("graft_simhash", flatten(col("__wss")), lit(2)).as("__p"))
+      .select(col(idCol),
+        (element_at(col("__p"), 1) + shiftleft(element_at(col("__p"), 2), 32)).as("simhash"))
   }
 
   /** SimHash near-dup pairs: LSH over `maxHamming + 1` bit chunks — the
@@ -314,20 +314,21 @@ object Dedup {
     * simhash_lo) — bits 64..127 and 0..63 as two LONGs.
     */
   def simhash128(df: DataFrame, idCol: String, tokens: Column): DataFrame = {
-    val exploded = df.select(col(idCol), explode(tokens).as("__tok"))
-      .withColumn("__w0", md5Hash32(col("__tok"), 1))
-      .withColumn("__w1", md5Hash32(col("__tok"), 9))
-      .withColumn("__w2", md5Hash32(col("__tok"), 17))
-      .withColumn("__w3", md5Hash32(col("__tok"), 25))
-    val aggs = (0 until 128).map { i =>
-      val part = shiftright(col(s"__w${i / 32}"), i % 32)
-      sum(when(part.bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
-    }
-    val counted = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    def word(lo: Int): Column = (lo until lo + 64).map { i =>
-      when(col(s"__b$i") >= 0, lit(1L << (i - lo))).otherwise(lit(0L))
-    }.reduce(_ + _)
-    counted.select(col(idCol), word(64).as("simhash_hi"), word(0).as("simhash_lo"))
+    // same one-collect_list + native-vote-loop physical form as
+    // [[simhash64]]; word packs assemble as lo = w0|w1<<32, hi = w2|w3<<32
+    // (bit i lives in word i/32 at position i%32, exactly the previous
+    // 128-aggregate layout)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol), explode(tokens).as("__tok"))
+      .select(col(idCol), array(
+        md5Hash32(col("__tok"), 1), md5Hash32(col("__tok"), 9),
+        md5Hash32(col("__tok"), 17), md5Hash32(col("__tok"), 25)).as("__ws"))
+      .groupBy(col(idCol)).agg(collect_list(col("__ws")).as("__wss"))
+      .select(col(idCol),
+        call_function("graft_simhash", flatten(col("__wss")), lit(4)).as("__p"))
+      .select(col(idCol),
+        (element_at(col("__p"), 3) + shiftleft(element_at(col("__p"), 4), 32)).as("simhash_hi"),
+        (element_at(col("__p"), 1) + shiftleft(element_at(col("__p"), 2), 32)).as("simhash_lo"))
   }
 
   /** Banded Hamming self-join over (id, hi, lo) 128-bit fingerprints —

@@ -72,6 +72,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("graft_sig_agree"))
   }
 
+  test("graft_simhash packs per-word sign votes exactly like the aggregate formula") {
+    GraftFunctions.register(spark)
+    // tokens' (w0, w1) words flattened; votes per bit of each 32-bit word
+    val toks = Seq((5L, 0xF0F0F0F0L), (7L, 0xF0F0F0F0L), (5L, 0x0L))
+    val flat = toks.flatMap { case (a, b) => Seq(a, b) }
+    val packs = Seq(Tuple1(flat)).toDF("xs")
+      .select(call_function("graft_simhash", col("xs"), lit(2)))
+      .collect().head.getSeq[Long](0)
+    def expectedWord(vals: Seq[Long]): Long =
+      (0 until 32).map { b =>
+        val votes = vals.map(v => if (((v >> b) & 1L) == 1L) 1 else -1).sum
+        if (votes >= 0) 1L << b else 0L
+      }.sum
+    assert(packs == Seq(expectedWord(toks.map(_._1)), expectedWord(toks.map(_._2))))
+    // a flat array not divisible by nWords is a loud error, never a wrong hash
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Seq(1L, 2L, 3L))).toDF("xs")
+        .select(call_function("graft_simhash", col("xs"), lit(2))).collect()
+    }
+    assert(ex.getMessage.contains("graft_simhash") || ex.getMessage.contains("multiple"))
+  }
+
   test("graft_minhash_sig equals the affine-min-per-permutation formula exactly") {
     GraftFunctions.register(spark)
     val xs = Seq(5L, 99L, 123456L, 2147483646L, 0L)
