@@ -126,4 +126,120 @@ object Classify {
           .as("llr"))
       .withColumn("pred", col("llr") > 0)
   }
+
+  // ------------------------------------------------------------------
+  // Logistic regression: the in-engine ITERATIVE optimizer
+  // ------------------------------------------------------------------
+
+  /** Number of full-batch gradient-descent iterations the registered
+    * logreg query trains for. Fixed (not a convergence test) so the
+    * computation is a finite, replayable chain the DuckDB twin can unroll.
+    */
+  val LogregIters = 3
+
+  /** Fixed learning rate for [[logregFitOnDomainTrust]]. With features in
+    * [0,1] and a mean-gradient update, weights stay within ±(iters·lr).
+    */
+  val LogregLr = 4.0
+
+  /** Engineered per-document features for the linear quality classifier —
+    * deliberately LOW-dimensional (d = 4 incl. bias) where NB is
+    * vocabulary-dimensional: this is the GPT-3/LLaMA-style "small linear
+    * probe over document statistics" filter, and the tiny fixed dimension
+    * is what makes full-batch gradient descent a per-iteration ungrouped
+    * aggregate of d+1 numbers. Every feature is rounded to 6 dp at the
+    * boundary so downstream decimal arithmetic is exact cross-engine.
+    *
+    * Output: (idCol, domainCol, x1 = 1 bias, x2 = blended quality score,
+    * x3 = capped length nw/100, x4 = alpha ratio).
+    */
+  def logregFeatures(df: DataFrame, idCol: String, domainCol: String,
+                     text: Column): DataFrame =
+    TextAnalysis.qualityMetrics(df, idCol, text, carry = Seq(domainCol))
+      .select(col(idCol), col(domainCol),
+        lit(1.0).as("x1"),
+        col("quality_score").as("x2"),
+        round(least(col("n_words").cast("double") / lit(100.0), lit(1.0)), 6).as("x3"),
+        col("alpha_ratio").as("x4"))
+
+  /** z = w·x with the 6-dp weights and 6-dp features multiplied and summed
+    * in exact DECIMAL — the double cast happens ONCE, at the sigmoid
+    * boundary, so both engines see the identical rational value.
+    */
+  private def zOf(w: Seq[Double]): Column =
+    (1 to 4).map(j =>
+      lit(w(j - 1)).cast(DecimalType(18, 6)) * col(s"x$j").cast(DecimalType(18, 6)))
+      .reduce(_ + _)
+
+  /** round(σ(z), 6): exp agrees across engines to 1 ulp on identical
+    * doubles (the [[nbFitOnDomainTrust]] ln precedent), and the 6-dp
+    * rounding absorbs it.
+    */
+  private def sigmoid6(w: Seq[Double]): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-zOf(w).cast("double"))), 6)
+
+  /** Driver-side HALF_UP 6-dp rounding — the same rule as SQL round(x,6)
+    * in both engines, applied to the weight update.
+    */
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Train a logistic-regression quality classifier on domain-trust weak
+    * labels by FULL-BATCH gradient descent run inside the engine: per
+    * iteration, ONE ungrouped aggregate over the pinned feature table
+    * computes the exact-decimal gradient Σ (σ(w·x) − y)·x (d+1 numbers —
+    * the only bytes that ever reach the driver), and the driver applies
+    * w ← w − lr·g/n with 6-dp rounding. This is the canonical Spark
+    * ML-training shape: K corpus passes over a cached projection a few
+    * doubles wide, partial aggregation map-side, driver state = d doubles.
+    * The reference admits entities by type (`/root/reference/app.js:20-27`);
+    * at corpus scale the admission gate must be LEARNED from content, and
+    * where [[nbFitOnDomainTrust]] shows the closed-form one-pass family,
+    * this shows the iterative-optimizer family on the same weak labels.
+    *
+    * Determinism: features and weights are 6-dp at every boundary; z and
+    * the gradient are exact DECIMAL; σ is the one double op per row and is
+    * rounded 6 dp before it re-enters decimal arithmetic — the whole
+    * K-iteration trajectory replays bit-for-bit in the DuckDB twin's
+    * unrolled CTE chain.
+    *
+    * Returns the d = 4 learned weights (bias first).
+    */
+  def logregFitOnDomainTrust(df: DataFrame, idCol: String, domainCol: String,
+                             text: Column, untrustedK: Int = 4,
+                             iters: Int = LogregIters, lr: Double = LogregLr): Array[Double] = {
+    // trust table is |domains|-sized: broadcast, the corpus never shuffles
+    val trust = broadcast(
+      Domains.domainStats(df, idCol, domainCol, text, untrustedK)
+        .select(col(domainCol), col("trusted")))
+    val feats = OpCaches.pin(
+      logregFeatures(df, idCol, domainCol, text)
+        .join(trust, Seq(domainCol))
+        .select((1 to 4).map(j => col(s"x$j")) :+
+          when(col("trusted"), lit(1)).otherwise(lit(0))
+            .cast(DecimalType(18, 6)).as("__y"): _*))
+    var w = Array.fill(4)(0.0)
+    for (_ <- 0 until iters) {
+      val resid = sigmoid6(w.toSeq).cast(DecimalType(18, 6)) - col("__y")
+      val aggs = (1 to 4).map(j =>
+        sum(resid * col(s"x$j").cast(DecimalType(18, 6))).as(s"g$j")) :+
+        count(lit(1)).as("n")
+      val row = feats.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getAs[Long]("n")
+      if (n > 0L)
+        w = Array.tabulate(4)(j =>
+          round6(w(j) - lr * (row.getAs[java.math.BigDecimal](s"g${j + 1}").doubleValue() / n)))
+    }
+    w
+  }
+
+  /** Score every document under learned weights: one map-only projection,
+    * score = round(σ(w·x), 6), pred = score > 0.5. Output
+    * (idCol, score, pred) — the shape a curation gate consumes.
+    */
+  def logregScore(df: DataFrame, idCol: String, domainCol: String, text: Column,
+                  w: Array[Double]): DataFrame =
+    logregFeatures(df, idCol, domainCol, text)
+      .select(col(idCol), sigmoid6(w.toSeq).as("score"))
+      .withColumn("pred", col("score") > 0.5)
 }

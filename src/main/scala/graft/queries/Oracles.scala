@@ -831,6 +831,27 @@ object Oracles {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
         |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // Mirrors state.Scd2.history: half-open [from, to) validity intervals
+    // via lead over the per-key (ms, id) order; the head row is current.
+    "k3_scd2_history" ->
+      """SELECT user_id, event_id, valid_from_ms,
+        |  lead(valid_from_ms) OVER w AS valid_to_ms,
+        |  (lead(valid_from_ms) OVER w IS NULL) AS is_current,
+        |  event_type, value
+        |FROM (SELECT user_id, event_id, epoch_ms(ts) AS valid_from_ms, event_type, value
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_ms, event_id)
+        |ORDER BY user_id, valid_from_ms, event_id""".stripMargin,
+
+    // Mirrors state.Scd2.asOf at cutoff Jan15: LWW head over versions with
+    // ms <= cutoff (the Spark side pushes ts < (cutoff+1)ms into the scan).
+    "k4_time_travel" ->
+      """SELECT user_id, event_id, ts_ms, event_type, value
+        |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) rn
+        |      FROM events WHERE epoch_ms(ts) <= 1705276800000)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "t1_template_render" ->
       """SELECT c_custkey AS doc_id,
         | '{"cmdb_ci": "cust-' || c_custkey || '", "name": "' ||
@@ -1860,6 +1881,40 @@ object Oracles {
     "x5_nb_quality" ->
       s"""WITH $NbScoreChain
          |SELECT doc_id, n_tokens, llr, (llr > 0) AS pred FROM nbs ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Classify.logregFitOnDomainTrust + logregScore: domain-trust
+    // weak labels, 4 features 6-dp at the boundary, then LogregIters
+    // full-batch GD steps UNROLLED as CTEs — z and the gradient in exact
+    // DECIMAL, sigma(z) the one double op per row (rounded 6 dp), weight
+    // update w - (lr * (g/n)) replayed with the driver's operation order.
+    "x5_logreg_quality" -> {
+      val iters = graft.ops.Classify.LogregIters
+      val lr = graft.ops.Classify.LogregLr
+      def z = (1 to 4).map(j =>
+        s"CAST(w$j AS DECIMAL(18,6)) * CAST(x$j AS DECIMAL(18,6))").mkString(" + ")
+      def sig = s"round(1.0/(1.0 + exp(-CAST($z AS DOUBLE))), 6)"
+      val iterCtes = (1 to iters).map { k =>
+        s"""lrp$k AS (SELECT f.*, $sig AS p FROM lrf f CROSS JOIN lrit${k - 1}),
+           |lrg$k AS (SELECT count(*) AS n,
+           |  ${(1 to 4).map(j => s"sum((CAST(p AS DECIMAL(18,6)) - y) * CAST(x$j AS DECIMAL(18,6))) AS g$j").mkString(", ")}
+           |  FROM lrp$k),
+           |lrit$k AS (SELECT ${(1 to 4).map(j => s"round(w$j - ($lr * (CAST(g$j AS DOUBLE) / n)), 6) AS w$j").mkString(", ")}
+           |  FROM lrit${k - 1} CROSS JOIN lrg$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $DomainTrustChain,
+         |lrf AS (SELECT q.doc_id,
+         |    CASE WHEN dmr.r > 4 THEN CAST(1 AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS y,
+         |    CAST(1.0 AS DOUBLE) AS x1,
+         |    q.score AS x2,
+         |    round(least(m.nw/100.0, 1.0), 6) AS x3,
+         |    round(len(regexp_replace(b.nt, '[^a-z]', '', 'g'))*1.0/greatest(len(b.nt), 1), 6) AS x4
+         |  FROM qs q JOIN qsm m USING (doc_id) JOIN qsb b USING (doc_id)
+         |  JOIN dmr ON dmr.source = q.source),
+         |lrit0 AS (SELECT ${(1 to 4).map(j => s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ")}),
+         |$iterCtes,
+         |lrsc AS (SELECT f.doc_id, $sig AS score FROM lrf f CROSS JOIN lrit$iters)
+         |SELECT doc_id, score, (score > 0.5) AS pred FROM lrsc ORDER BY doc_id""".stripMargin
+    },
 
     // Split cuts are interpolated from Sampling.cumulativeCuts — the exact
     // IEEE doubles the Spark comparison uses (0.9 + 0.05 != literal 0.95).

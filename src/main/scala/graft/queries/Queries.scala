@@ -145,6 +145,32 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** K3/§2.8: SCD2 history — every entity version with its half-open
+    * validity interval; the LWW head ([[k2UpsertLww]]) is the `is_current`
+    * slice. One key-hash exchange + per-key window (sessionize class).
+    */
+  private def k3Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    graft.state.Scd2.history(ev, "user_id", evTime(ev).ms, col("event_id"),
+        Seq("event_type", "value"))
+      .select(col("user_id"), col("__tie").as("event_id"), col("valid_from_ms"),
+        col("valid_to_ms"), col("is_current"), col("event_type"), col("value"))
+      .orderBy(col("user_id"), col("valid_from_ms"), col("event_id"))
+  }
+
+  /** K4/§2.8: point-in-time lookup — the state table AS OF Jan15, with the
+    * cutoff pushed to the parquet scan as a raw-column predicate.
+    */
+  private def k4TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    graft.state.Scd2.asOf(ev, "user_id", et.ms, col("event_id"),
+        et.before(Jan15 + 1), Seq("event_type", "value"))
+      .select(col("user_id"), col("__tie").as("event_id"), col("ts_ms"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
   /** F5/T1/E1-E6: template projection — a Handlebars-subset template
     * compiled to a single Column (rename, #with coalesce-with-default,
     * interpolation, literals).
@@ -1997,6 +2023,18 @@ object Queries {
     Classify.nbScore(docs, "doc_id", col("text"), model).orderBy("doc_id")
   }
 
+  /** X5lr: logistic-regression quality filter — the ITERATIVE in-engine
+    * optimizer complement to [[x5NbQuality]]'s closed-form fit. Trains
+    * [[Classify.LogregIters]] full-batch GD iterations on domain-trust weak
+    * labels (each iteration one ungrouped d+1-number aggregate over a
+    * pinned 4-wide feature projection), then scores the corpus map-only.
+    */
+  private def x5LogregQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val w = Classify.logregFitOnDomainTrust(docs, "doc_id", "source", col("text"))
+    Classify.logregScore(docs, "doc_id", "source", col("text"), w).orderBy("doc_id")
+  }
+
   /** X5d: per-domain trust report — exact-decimal mean quality per source,
     * bottom-4 domains marked untrusted (rank with full tiebreak). The
     * domain window runs over the aggregated domain table only.
@@ -2197,7 +2235,10 @@ object Queries {
     "w_sliding_hourly" -> (wSlidingHourly _),
     "j_asof_tolerance" -> (jAsofTolerance _),
     "q10_funnel" -> (q10Funnel _),
-    "q11_retention" -> (q11Retention _)
+    "q11_retention" -> (q11Retention _),
+    "x5_logreg_quality" -> (x5LogregQuality _),
+    "k3_scd2_history" -> (k3Scd2History _),
+    "k4_time_travel" -> (k4TimeTravel _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

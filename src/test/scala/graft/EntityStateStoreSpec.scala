@@ -80,4 +80,45 @@ class EntityStateStoreSpec extends SparkSpec {
     val kept = store.load("t")._1.select("entityHash").as[String].collect().toSeq
     assert(kept == Seq("zzz-new"))
   }
+
+  test("K3 SCD2 history: half-open intervals chain per key; current slice == LWW head") {
+    import graft.state.Scd2
+    val versions = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 30L, 102L, "c"),
+      (2L, 15L, 200L, "x"),
+      // same ms, tie on version id: 301 is the later version
+      (3L, 40L, 300L, "p"), (3L, 40L, 301L, "q")
+    ).toDF("key", "ms", "vid", "payload")
+    val h = Scd2.history(versions, "key", col("ms"), col("vid"), Seq("payload"))
+      .select("key", "__tie", "valid_from_ms", "valid_to_ms", "is_current", "payload")
+      .as[(Long, Long, Long, Option[Long], Boolean, String)].collect()
+      .sortBy(r => (r._1, r._3, r._2))
+    // intervals chain: each non-head valid_to equals the next valid_from
+    h.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sliding(2).foreach {
+        case Array(prev, next) => assert(prev._4.contains(next._3), s"chain broken: $prev -> $next")
+        case _ =>
+      }
+      assert(rows.count(_._5) == 1, "exactly one current version per key")
+      assert(rows.last._5, "the last version is the current one")
+    }
+    // tie at equal ms: higher vid is the survivor
+    val k3 = h.filter(_._1 == 3L)
+    assert(k3.find(_._2 == 300L).get._4.contains(40L) && k3.find(_._2 == 301L).get._5)
+    // the current slice IS the LWW head
+    val current = h.filter(_._5).map(r => (r._1, r._2)).toSet
+    assert(current == Set((1L, 102L), (2L, 200L), (3L, 301L)))
+  }
+
+  test("K4 time travel: as-of cutoff returns the version valid AT that moment") {
+    import graft.state.Scd2
+    val versions = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 30L, 102L, "c"),
+      (2L, 25L, 200L, "x") // born after the cutoff: absent as of 20
+    ).toDF("key", "ms", "vid", "payload")
+    val asOf20 = Scd2.asOf(versions, "key", col("ms"), col("vid"),
+        col("ms") <= 20L, Seq("payload"))
+      .select("key", "__tie", "payload").as[(Long, Long, String)].collect().toSet
+    assert(asOf20 == Set((1L, 101L, "b")), "key 1 at version b; key 2 not yet born")
+  }
 }

@@ -1244,4 +1244,41 @@ class OpsSpec extends SparkSpec {
     val expect = r6(r6(math.log(6.0 / 9)).subtract(r6(math.log(3.0 / 9))).doubleValue())
     assert(out(9L)._3 == expect.doubleValue(), "empty doc scores the prior log-odds alone")
   }
+
+  test("X5lr logistic regression: GD separates quality features, scores bounded, map-only apply") {
+    import graft.ops.Classify
+    // trusted domains: long stopword-rich alpha prose (high quality score,
+    // length, alpha ratio); junk domain: short digit noise — every feature
+    // strictly larger on the positive class, so after K GD steps the
+    // learned scores must order positives above negatives
+    val good = "the quick brown fox and the lazy dog run to the river in the " +
+      "morning and they are happy to see the sun rise over the hills"
+    val junk = "000 111 222"
+    val corpus = Seq(
+      (1L, "trustA", good), (2L, "trustA", good + " again"),
+      (3L, "trustB", good + " tonight"), (4L, "trustB", good),
+      (5L, "junkC", junk), (6L, "junkC", junk + " 333")
+    ).toDF("doc_id", "source", "text")
+    val w = Classify.logregFitOnDomainTrust(corpus, "doc_id", "source", col("text"),
+      untrustedK = 1)
+    graft.ops.OpCaches.release()
+    assert(w.length == 4 && w.exists(_ != 0.0), "weights moved off the origin")
+    assert(w.forall(x => !x.isNaN && math.abs(x) <= Classify.LogregIters * Classify.LogregLr),
+      s"weights bounded by iters*lr: ${w.mkString(",")}")
+    // weights are 6-dp exactly (the model-boundary rounding contract)
+    w.foreach { x =>
+      val bd = java.math.BigDecimal.valueOf(x)
+      assert(bd.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() == x)
+    }
+    val out = Classify.logregScore(corpus, "doc_id", "source", col("text"), w)
+      .select("doc_id", "score", "pred")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 6, "every document scores")
+    assert(out.values.forall(r => r._2 >= 0.0 && r._2 <= 1.0), "sigmoid scores in [0,1]")
+    val goodMin = Seq(1L, 2L, 3L, 4L).map(out(_)._2).min
+    val junkMax = Seq(5L, 6L).map(out(_)._2).max
+    assert(goodMin > junkMax,
+      s"trusted-class docs outscore junk: min good $goodMin vs max junk $junkMax")
+    assert(out.values.forall(r => r._3 == (r._2 > 0.5)), "pred is the 0.5 cut of score")
+  }
 }

@@ -49,6 +49,13 @@ class PlanAuditSpec extends SparkSpec {
       "checkpoint predicate did not reach the scan")
   }
 
+  test("time-travel as-of pushes its cutoff into the parquet scan; one exchange for the LWW window") {
+    val plan = planOf("k4_time_travel")
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,"),
+      "as-of cutoff did not reach the scan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("decontamination broadcasts the benchmark gram set") {
     val plan = planOf("x7_decontaminate")
     assert(plan.contains("BroadcastExchange"), "benchmark side is not broadcast")
