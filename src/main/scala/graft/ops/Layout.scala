@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical file-layout optimization: Z-ORDER clustering for multi-column
+  * data skipping.
+  *
+  * At 100 TB the dominant cost of a selective query is row groups the scan
+  * cannot prune. Sorting the table clusters ONE column's min/max stats;
+  * a query filtering the other column reads everything. Interleaving the
+  * bits of both columns' ranks (the Z-/Morton curve, Orenstein & Merrett
+  * PODS'84 — the same layout Delta/Iceberg expose as OPTIMIZE ZORDER BY)
+  * gives every row group a bounded range in EVERY interleaved dimension,
+  * so parquet min/max pruning works for predicates on any of them.
+  *
+  * Spark-first shape: the z-value is a pure per-row projection (shift/and
+  * arithmetic — whole-stage codegen, no UDF); the layout write is
+  * `repartitionByRange(zval)` + `sortWithinPartitions(zval)` — ONE range
+  * exchange, the same cost class as any global sort, paid once at write
+  * time and amortized over every scan thereafter.
+  *
+  * Determinism: ranks are exact-integer range scaling from the TRUE
+  * per-column min/max (one broadcast one-row aggregate — no sampling), so
+  * the z-value is a pure function of the data and replays in any engine:
+  * rank = ((v − min) · (2^bits − 1)) div (max − min), bit interleave =
+  * a fixed fold of shift/mask terms.
+  */
+object Layout {
+
+  /** Bits per dimension in the z-value. 21 bits × 2 dims = 42-bit codes;
+    * scale products stay < 2^63 for any realistic id/epoch-ms range.
+    */
+  val ZBits = 21
+
+  /** Exact-integer rank of column `v` in [0, 2^bits) given inclusive
+    * bound columns: ((v − min)·(2^bits − 1)) div (max − min); degenerate
+    * (min = max) columns rank 0. Integer `div` floors identically in
+    * Spark and DuckDB for non-negative operands. Operands are plain
+    * column NAMES so the expression parses verbatim in both engines.
+    */
+  def rank(v: String, minV: String, maxV: String, bits: Int = ZBits): Column =
+    when(col(maxV) === col(minV), lit(0L)).otherwise(
+      expr(s"(($v - $minV) * ${(1L << bits) - 1}) div ($maxV - $minV)"))
+
+  /** Interleave two `bits`-wide ranks into one z-value: bit i of `a` lands
+    * at position 2i, bit i of `b` at 2i+1. A fixed fold of codegen'd
+    * shift/mask terms — no lambda, no UDF.
+    */
+  def interleave(a: Column, b: Column, bits: Int = ZBits): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(1L), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The z-value projection over two long columns with bounds taken from
+    * ONE broadcast one-row aggregate of the input (deterministic — no
+    * sampling). Output: the input columns plus `zval`.
+    */
+  def withZValue(df: DataFrame, aCol: String, bCol: String,
+                 bits: Int = ZBits): DataFrame = {
+    val bounds = broadcast(df.agg(
+      min(col(aCol)).as("__amin"), max(col(aCol)).as("__amax"),
+      min(col(bCol)).as("__bmin"), max(col(bCol)).as("__bmax")))
+    df.crossJoin(bounds)
+      .withColumn("zval", interleave(
+        rank(aCol, "__amin", "__amax", bits),
+        rank(bCol, "__bmin", "__bmax", bits), bits))
+      .drop("__amin", "__amax", "__bmin", "__bmax")
+  }
+
+  /** Write `df` z-order-clustered on (aCol, bCol): one range exchange on
+    * the z-value, sorted within partitions so parquet row-group min/max
+    * stats are tight on BOTH dimensions. `numFiles` controls output file
+    * count (a real table would target the cluster's preferred file size).
+    */
+  def zorderWrite(df: DataFrame, aCol: String, bCol: String, path: String,
+                  numFiles: Int, bits: Int = ZBits): Unit =
+    withZValue(df, aCol, bCol, bits)
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(path)
+}

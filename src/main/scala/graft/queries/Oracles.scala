@@ -843,6 +843,25 @@ object Oracles {
         |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_ms, event_id)
         |ORDER BY user_id, valid_from_ms, event_id""".stripMargin,
 
+    // Mirrors Layout.withZValue on (user_id, epoch-ms): exact-integer range
+    // ranks from true min/max (// floors like Spark's div on non-negative
+    // operands), then the fixed 21-bit interleave fold.
+    "x9_zorder" -> {
+      val bits = graft.ops.Layout.ZBits
+      val m = (1L << bits) - 1
+      val fold = (0 until bits).map(i =>
+        s"(((ra >> $i) & 1) << ${2 * i}) + (((rb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH zb AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+         |zbd AS (SELECT min(user_id) AS amin, max(user_id) AS amax,
+         |               min(ts_ms) AS bmin, max(ts_ms) AS bmax FROM zb),
+         |zr AS (SELECT event_id,
+         |    CASE WHEN amax = amin THEN 0 ELSE ((user_id - amin) * $m) // (amax - amin) END AS ra,
+         |    CASE WHEN bmax = bmin THEN 0 ELSE ((ts_ms - bmin) * $m) // (bmax - bmin) END AS rb
+         |  FROM zb, zbd)
+         |SELECT event_id, CAST($fold AS BIGINT) AS zval FROM zr ORDER BY event_id""".stripMargin
+    },
+
     // Mirrors state.Scd2.asOf at cutoff Jan15: LWW head over versions with
     // ms <= cutoff (the Spark side pushes ts < (cutoff+1)ms into the scan).
     "k4_time_travel" ->

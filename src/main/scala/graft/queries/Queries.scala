@@ -171,6 +171,22 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** X9z: z-order layout key — the exact-integer Morton code the physical
+    * clustering write ([[graft.ops.Layout.zorderWrite]]) range-partitions
+    * and sorts by; gating the CODE gates the layout (the write path is a
+    * deterministic function of it). Pure per-row projection + one
+    * broadcast bounds row.
+    */
+  private def x9Zorder(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    graft.ops.Layout.withZValue(
+        ev.select(col("event_id"), col("user_id"), et.ms.as("ts_ms")),
+        "user_id", "ts_ms")
+      .select(col("event_id"), col("zval"))
+      .orderBy("event_id")
+  }
+
   /** F5/T1/E1-E6: template projection — a Handlebars-subset template
     * compiled to a single Column (rename, #with coalesce-with-default,
     * interpolation, literals).
@@ -2238,7 +2254,8 @@ object Queries {
     "q11_retention" -> (q11Retention _),
     "x5_logreg_quality" -> (x5LogregQuality _),
     "k3_scd2_history" -> (k3Scd2History _),
-    "k4_time_travel" -> (k4TimeTravel _)
+    "k4_time_travel" -> (k4TimeTravel _),
+    "x9_zorder" -> (x9Zorder _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

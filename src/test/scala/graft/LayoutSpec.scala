@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.Layout
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Z-order layout: the Morton code must match a plain-Scala reference
+  * bit-for-bit, stay injective on a grid, and the clustered write must
+  * bound BOTH dimensions per file — the property single-column sorting
+  * cannot deliver (its files always span the full other dimension).
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refRank(v: Long, min: Long, max: Long, bits: Int): Long =
+    if (max == min) 0L else (v - min) * ((1L << bits) - 1) / (max - min)
+
+  private def refInterleave(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+
+  test("X9z z-value matches the reference fold and is injective on a grid") {
+    val n = 64
+    val grid = (0 until n).flatMap(u => (0 until n).map(t => (u.toLong, t.toLong)))
+      .toDF("user_id", "ts_ms")
+    val out = Layout.withZValue(grid, "user_id", "ts_ms")
+      .select("user_id", "ts_ms", "zval").as[(Long, Long, Long)].collect()
+    assert(out.length == n * n)
+    assert(out.map(_._3).distinct.length == n * n, "z-values injective on distinct pairs")
+    out.take(500).foreach { case (u, t, z) =>
+      val expect = refInterleave(
+        refRank(u, 0, n - 1, Layout.ZBits), refRank(t, 0, n - 1, Layout.ZBits), Layout.ZBits)
+      assert(z == expect, s"zval mismatch at ($u, $t): $z != $expect")
+    }
+    // degenerate dimension ranks 0 everywhere: zval reduces to the other axis
+    val flat = Seq((5L, 1L), (5L, 2L)).toDF("user_id", "ts_ms")
+    val fz = Layout.withZValue(flat, "user_id", "ts_ms")
+      .select("zval").as[Long].collect().toSet
+    assert(fz.size == 2, "degenerate min=max column must not collapse distinct rows")
+  }
+
+  test("X9z clustered write bounds BOTH dimensions per file (single-sort cannot)") {
+    val n = 64
+    val grid = (0 until n).flatMap(u => (0 until n).map(t => (u.toLong, t.toLong)))
+      .toDF("user_id", "ts_ms")
+    val dir = Files.createTempDirectory("zorder").toString + "/t"
+    Layout.zorderWrite(grid, "user_id", "ts_ms", dir, numFiles = 16)
+    val perFile = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(
+        (max("user_id") - min("user_id") + 1).as("uspan"),
+        (max("ts_ms") - min("ts_ms") + 1).as("tspan"),
+        count(lit(1)).as("rows"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(perFile.length == 16 && perFile.forall(_._4 > 0))
+    val uspans = perFile.map(_._2).sorted
+    val tspans = perFile.map(_._3).sorted
+    // median span of EACH dimension at most half its domain — a file from a
+    // user-sorted layout would span the full ts domain (tspan = 64) always
+    assert(uspans(8) <= n / 2, s"median user span too wide: ${uspans.toSeq}")
+    assert(tspans(8) <= n / 2, s"median ts span too wide: ${tspans.toSeq}")
+    // mean bounding-box area far below the full grid: real 2-D clustering
+    val meanArea = perFile.map(f => f._2 * f._3).sum.toDouble / perFile.length
+    assert(meanArea <= (n * n) / 4.0, s"mean per-file bounding box $meanArea not clustered")
+  }
+}
