@@ -862,6 +862,43 @@ object Oracles {
          |SELECT event_id, CAST($fold AS BIGINT) AS zval FROM zr ORDER BY event_id""".stripMargin
     },
 
+    // Mirrors DataQuality.profile over orders: one aggregate, unpivoted —
+    // completeness = round(1 - nulls/rows, 6), distinct excludes NULL.
+    "x10_dq_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val branches = cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           |  round(1.0 - sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)*1.0
+           |        / greatest(count(*), 1), 6) AS completeness,
+           |  count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT * FROM ($branches) ORDER BY "column"""".stripMargin
+    },
+
+    // Mirrors the x10 constraint suite: PK uniqueness, two FK anti-join
+    // counts, one range rule — (constraint, n, violations, ok) rows.
+    "x10_dq_constraints" ->
+      """SELECT * FROM (
+        |SELECT 'orders_pk_unique' AS "constraint", count(*) AS n,
+        |  count(o_orderkey) - count(DISTINCT o_orderkey) AS violations,
+        |  (count(o_orderkey) - count(DISTINCT o_orderkey)) = 0 AS ok FROM orders
+        |UNION ALL
+        |SELECT 'orders_custkey_fk', count(*),
+        |  sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END),
+        |  sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk', count(*),
+        |  sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END),
+        |  sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'events_value_nonneg', count(*),
+        |  sum(CASE WHEN value < 0 THEN 1 ELSE 0 END),
+        |  sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0 FROM events
+        |) ORDER BY "constraint"""".stripMargin,
+
     // Mirrors state.Scd2.asOf at cutoff Jan15: LWW head over versions with
     // ms <= cutoff (the Spark side pushes ts < (cutoff+1)ms into the scan).
     "k4_time_travel" ->

@@ -187,6 +187,39 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** X10a: one-scan column profile of `orders` — completeness + exact
+    * distinct per column from a single aggregation ([[graft.ops.DataQuality]]).
+    */
+  private def x10DqProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.DataQuality.profile(t(spark, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+
+  /** X10b: constraint suite — PK uniqueness, two FK integrity checks, one
+    * range rule; each check one small agg/anti-join, unioned into the
+    * audit report shape (constraint, n, violations, ok).
+    */
+  private def x10DqConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataQuality
+    val orders = t(spark, dir, "orders")
+    val pk = DataQuality.uniqueness(orders, "o_orderkey")
+      .select(lit("orders_pk_unique").as("constraint"), col("n_rows").as("n"),
+        col("n_duplicate_rows").as("violations"), col("ok"))
+    val fk1 = DataQuality.fkViolations(orders, "o_custkey",
+        t(spark, dir, "customer"), "c_custkey")
+      .select(lit("orders_custkey_fk").as("constraint"), col("n_child").as("n"),
+        col("n_orphans").as("violations"), col("ok"))
+    val fk2 = DataQuality.fkViolations(t(spark, dir, "lineitem"), "l_orderkey",
+        orders, "o_orderkey")
+      .select(lit("lineitem_orderkey_fk").as("constraint"), col("n_child").as("n"),
+        col("n_orphans").as("violations"), col("ok"))
+    val ev = t(spark, dir, "events")
+    val rng = ev.agg(count(lit(1)).as("n"),
+        sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("violations"))
+      .select(lit("events_value_nonneg").as("constraint"), col("n"),
+        col("violations"), (col("violations") === 0L).as("ok"))
+    pk.unionByName(fk1).unionByName(fk2).unionByName(rng).orderBy("constraint")
+  }
+
   /** F5/T1/E1-E6: template projection — a Handlebars-subset template
     * compiled to a single Column (rename, #with coalesce-with-default,
     * interpolation, literals).
@@ -2255,7 +2288,9 @@ object Queries {
     "x5_logreg_quality" -> (x5LogregQuality _),
     "k3_scd2_history" -> (k3Scd2History _),
     "k4_time_travel" -> (k4TimeTravel _),
-    "x9_zorder" -> (x9Zorder _)
+    "x9_zorder" -> (x9Zorder _),
+    "x10_dq_profile" -> (x10DqProfile _),
+    "x10_dq_constraints" -> (x10DqConstraints _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

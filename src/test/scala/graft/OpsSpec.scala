@@ -1281,4 +1281,26 @@ class OpsSpec extends SparkSpec {
       s"trusted-class docs outscore junk: min good $goodMin vs max junk $junkMax")
     assert(out.values.forall(r => r._3 == (r._2 > 0.5)), "pred is the 0.5 cut of score")
   }
+
+  test("X10 data quality: profile counts nulls/distinct exactly; FK and uniqueness checks flag planted violations") {
+    import graft.ops.DataQuality
+    val tbl = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (2L, "b"), (null, "c"), (4L, null)
+    ).toDF("k", "v")
+    val prof = DataQuality.profile(tbl, Seq("k", "v"))
+      .as[(String, Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(prof("k") == ("k", 5L, 1L, 0.8, 3L), prof("k").toString)   // 1,2,2,null,4
+    assert(prof("v") == ("v", 5L, 1L, 0.8, 3L), prof("v").toString)   // a,b,b,c,null
+    val uniq = DataQuality.uniqueness(tbl, "k")
+      .as[(Long, Long, Long, Boolean)].collect().head
+    assert(uniq == ((5L, 3L, 1L, false)), s"one duplicate beyond first: $uniq") // 4 non-null, 3 distinct
+    val parent = Seq(1L, 2L).toDF("pk")
+    val fk = DataQuality.fkViolations(tbl, "k", parent, "pk")
+      .as[(Long, Long, Boolean)].collect().head
+    // orphans: the NULL key row + the k=4 row = 2 (two k=2 rows both match)
+    assert(fk == ((5L, 2L, false)), fk.toString)
+    val fkOk = DataQuality.fkViolations(Seq(1L, 2L).toDF("k"), "k", parent, "pk")
+      .as[(Long, Long, Boolean)].collect().head
+    assert(fkOk == ((2L, 0L, true)))
+  }
 }
