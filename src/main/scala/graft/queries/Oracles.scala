@@ -862,6 +862,14 @@ object Oracles {
          |SELECT event_id, CAST($fold AS BIGINT) AS zval FROM zr ORDER BY event_id""".stripMargin
     },
 
+    // The FULL RECOMPUTE twin of the incremental merge: the Spark side
+    // unions pre/post-checkpoint partials and re-aggregates their
+    // (count, decimal-sum) state; hash-equality proves merge == recompute.
+    "a2_incremental_rollup" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Mirrors DataQuality.profile over orders: one aggregate, unpivoted —
     // completeness = round(1 - nulls/rows, 6), distinct excludes NULL.
     "x10_dq_profile" -> {

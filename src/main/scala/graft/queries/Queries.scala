@@ -187,6 +187,28 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** A2i: incremental rollup maintenance — the reference's checkpoint-
+    * incremental model applied to AGGREGATES: the stored history rollup
+    * (pre-Jan20 partials, in a real deployment a persisted table) merges
+    * with the new increment's partials by associative re-aggregation of
+    * (count, exact-decimal sum) state — history ROWS are never rescanned,
+    * only partial-aggregate state rides the merge. The oracle is the full
+    * recompute, so the hash gate PROVES merge ≡ recompute.
+    */
+  private def a2IncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    def partial(pred: Column) = ev.where(pred)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(12, 2))).as("__s"))
+    val history = partial(et.before(Jan20))
+    val increment = partial(et.atLeast(Jan20))
+    history.unionByName(increment)
+      .groupBy("user_id", "event_type")
+      .agg(sum(col("n")).as("n"), sum(col("__s")).cast("double").as("sum_value"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** X10a: one-scan column profile of `orders` — completeness + exact
     * distinct per column from a single aggregation ([[graft.ops.DataQuality]]).
     */
@@ -2290,7 +2312,8 @@ object Queries {
     "k4_time_travel" -> (k4TimeTravel _),
     "x9_zorder" -> (x9Zorder _),
     "x10_dq_profile" -> (x10DqProfile _),
-    "x10_dq_constraints" -> (x10DqConstraints _)
+    "x10_dq_constraints" -> (x10DqConstraints _),
+    "a2_incremental_rollup" -> (a2IncrementalRollup _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
