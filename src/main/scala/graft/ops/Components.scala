@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Connected components over a pair list — the step that turns near-dup
@@ -234,4 +234,64 @@ object Components {
       .select(col("cluster_size"), col("n_clusters"),
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
       .orderBy("cluster_size")
+
+  /** Fixed iteration count / damping for the registered PageRank query —
+    * constants shared with the DuckDB twin so neither can drift.
+    */
+  val PageRankIters = 3
+  val PageRankDamping = 0.85
+
+  /** PageRank over an undirected pair list — graph CENTRALITY where
+    * [[connectedComponents]] gives membership and [[keepBestClusters]] an
+    * attribute argmax: within a near-dup cluster the highest-rank member
+    * is the copy most corroborated by distinct neighbors (hub pages,
+    * canonical mirrors), a standard "which copy is canonical" signal
+    * (Page et al., Stanford InfoLab'99). Also the engine's
+    * ITERATIVE-JOIN family witness: where the logreg trainer iterates
+    * aggregates into driver state, this iterates JOINS with NO driver
+    * state at all — rank flows edge→vertex each round entirely as
+    * chained DataFrames.
+    *
+    * Symmetric edges mean every vertex has both in- and out-degree ≥ 1,
+    * so there are no dangling nodes and no teleport-mass correction — the
+    * update is r' = (1−d)/N + d·Σ_in r/deg, carried in FIXED-POINT
+    * integer micro-rank units (1e6 µ = rank 1.0, every division a floor
+    * `div`): the x5_lm_score integer-micros discipline, because the
+    * divide-then-round DOUBLE form is not engine-portable whenever a
+    * quotient's shortest decimal repr lands on a rounding boundary
+    * (FIXTURES.md §C — and at 5k docs one did). Floor-div micro-units ARE
+    * the operator's defined arithmetic; they replay bit-for-bit anywhere.
+    *
+    * Scale shape: per iteration ONE edge-list join + one vertex-keyed sum
+    * — everything is edge-list-sized (an LSH output, orders of magnitude
+    * below the corpus), K fixed rounds, edges/degrees pinned once.
+    *
+    * Output: (id, pagerank_micros BIGINT) for every vertex incident to an
+    * edge; divide by 1e6 for the unit-mass rank.
+    */
+  def pageRank(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+               iters: Int = PageRankIters, damping: Double = PageRankDamping): DataFrame = {
+    val dampMilli = math.round(damping * 1000) // 850: exact per-mille damping
+    val edges = OpCaches.pin(
+      pairs.select(col(aCol).as("__s"), col(bCol).as("__d"))
+        .union(pairs.select(col(bCol).as("__s"), col(aCol).as("__d")))
+        .distinct())
+    val deg = OpCaches.pin(edges.groupBy("__s").agg(count(lit(1)).as("__dg")))
+    val n = broadcast(deg.agg(count(lit(1)).as("__nn")))
+    var ranks = deg.crossJoin(n)
+      .select(col("__s"), col("__dg"), col("__nn"),
+        expr("1000000 div __nn").as("__r"))
+    for (_ <- 0 until iters) {
+      val contrib = ranks
+        .join(edges, "__s")
+        .select(col("__d"), expr("__r div __dg").as("__c"))
+        .groupBy("__d").agg(sum(col("__c")).as("__m"))
+      ranks = deg.crossJoin(n)
+        .join(contrib, col("__s") === col("__d"))
+        .select(col("__s"), col("__dg"), col("__nn"),
+          expr(s"(${1000000 - dampMilli * 1000} div __nn) + (($dampMilli * __m) div 1000)")
+            .as("__r"))
+    }
+    ranks.select(col("__s").as("id"), col("__r").as("pagerank_micros"))
+  }
 }

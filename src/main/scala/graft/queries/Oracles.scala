@@ -862,6 +862,33 @@ object Oracles {
          |SELECT event_id, CAST($fold AS BIGINT) AS zval FROM zr ORDER BY event_id""".stripMargin
     },
 
+    // Mirrors Components.pageRank over the verified MinHash pair graph:
+    // symmetric edge list (no dangling nodes), FIXED-POINT micro-rank
+    // arithmetic (1e6 u = rank 1.0, every division a floor //) — no
+    // doubles anywhere, so the K unrolled iterations replay bit-for-bit.
+    // prp is AS MATERIALIZED: DuckDB 1.0 INLINES multiply-referenced CTEs,
+    // and the K-step chain references the pair list through ~9 paths — the
+    // inlined form re-evaluates the whole MinHash pipeline per path and
+    // spilled to disk-full at sf0.1; materialized it runs in ~1.5 s.
+    "x7_dedup_pagerank" -> {
+      val iters = graft.ops.Components.PageRankIters
+      val dm = math.round(graft.ops.Components.PageRankDamping * 1000)
+      val iterCtes = (1 to iters).map { k =>
+        s"""prc$k AS (SELECT e.d, sum(p.r // p.dg) AS m
+           |  FROM pr${k - 1} p JOIN pre e ON e.s = p.s GROUP BY e.d),
+           |pr$k AS (SELECT g.s, g.dg, (${1000000 - dm * 1000} // nn) + (($dm * c.m) // 1000) AS r
+           |  FROM prdg g JOIN prc$k c ON c.d = g.s CROSS JOIN prn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashPairChain,
+         |prp AS MATERIALIZED (SELECT id_a, id_b FROM est WHERE e >= 0.5),
+         |pre AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM prp UNION SELECT id_b, id_a FROM prp),
+         |prdg AS (SELECT s, count(*) AS dg FROM pre GROUP BY s),
+         |prn AS (SELECT count(*) AS nn FROM prdg),
+         |pr0 AS (SELECT s, dg, 1000000 // nn AS r FROM prdg, prn),
+         |$iterCtes
+         |SELECT s AS id, CAST(r AS BIGINT) AS pagerank_micros FROM pr$iters ORDER BY id""".stripMargin
+    },
+
     // The FULL RECOMPUTE twin of the incremental merge: the Spark side
     // unions pre/post-checkpoint partials and re-aggregates their
     // (count, decimal-sum) state; hash-equality proves merge == recompute.

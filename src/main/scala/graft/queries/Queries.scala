@@ -555,6 +555,16 @@ object Queries {
       shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** X7pr: near-dup-graph PageRank — centrality over the verified MinHash
+    * pair graph ([[Components.pageRank]]): the "which copy is canonical"
+    * signal, and the registry's iterative-JOIN witness (no driver state).
+    */
+  private def x7DedupPagerank(spark: SparkSession, dir: String): DataFrame =
+    Components.pageRank(
+        Dedup.minhashNearDupPairs(t(spark, dir, "documents"), "doc_id", col("text"),
+          shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5))
+      .orderBy("id")
+
   private def x2Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash64(t(spark, dir, "documents"), "doc_id", TextAnalysis.words(col("text")))
       .orderBy("doc_id")
@@ -2313,7 +2323,8 @@ object Queries {
     "x9_zorder" -> (x9Zorder _),
     "x10_dq_profile" -> (x10DqProfile _),
     "x10_dq_constraints" -> (x10DqConstraints _),
-    "a2_incremental_rollup" -> (a2IncrementalRollup _)
+    "a2_incremental_rollup" -> (a2IncrementalRollup _),
+    "x7_dedup_pagerank" -> (x7DedupPagerank _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

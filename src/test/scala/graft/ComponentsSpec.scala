@@ -97,4 +97,26 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((2L, 2L, 4L), (3L, 1L, 3L), (4L, 1L, 4L)), out.toString)
   }
+
+  test("X7pr pageRank: hub outranks leaves, symmetric pair ranks equal, micro-units exact") {
+    // star (1 hub, 3 leaves) plus an isolated pair {10, 11}
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val pr = Components.pageRank(pairs)
+      .as[(Long, Long)].collect().toMap
+    graft.ops.OpCaches.release()
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L), "every incident vertex ranks")
+    assert(pr.values.forall(_ > 0L), "micro-ranks positive")
+    assert(pr(1L) > pr(2L) && pr(1L) > pr(3L) && pr(1L) > pr(4L),
+      s"hub must outrank leaves: $pr")
+    assert(pr(2L) == pr(3L) && pr(3L) == pr(4L), "symmetric leaves rank equally")
+    assert(pr(10L) == pr(11L), "symmetric pair ranks equally")
+    // replay the fixed-point recurrence by hand for the pair component:
+    // N = 6, r0 = 1000000/6 = 166666; pair: deg 1 both sides, so each
+    // iteration r' = (150000/6) + (850*r)/1000 = 25000 + floor(0.85 r)
+    var r = 1000000L / 6
+    (1 to graft.ops.Components.PageRankIters).foreach { _ =>
+      r = 150000L / 6 + (850L * r) / 1000L
+    }
+    assert(pr(10L) == r, s"pair micro-rank must replay the recurrence: ${pr(10L)} != $r")
+  }
 }
