@@ -1282,6 +1282,39 @@ class OpsSpec extends SparkSpec {
     assert(out.values.forall(r => r._3 == (r._2 > 0.5)), "pred is the 0.5 cut of score")
   }
 
+  test("X11 model store: vector/matrix/tensor round-trip bit-exact; reloaded logreg scores identically") {
+    import graft.ops.{Classify, ModelStore}
+    val dir = java.nio.file.Files.createTempDirectory("modelstore").toString
+    val w = Array(0.123456, -3.2, 0.0, 1.0 / 3.0)
+    ModelStore.saveVector(spark, w, s"$dir/w")
+    assert(ModelStore.loadVector(spark, s"$dir/w").sameElements(w),
+      "vector round-trips bit-exact (parquet stores IEEE754 verbatim)")
+    val m = Array(Array(1.0 / 7.0, 2.0), Array(-0.5, math.Pi))
+    ModelStore.saveMatrix(spark, m, s"$dir/m")
+    assert(ModelStore.loadMatrix(spark, s"$dir/m").map(_.toSeq).toSeq == m.map(_.toSeq).toSeq)
+    val t3 = Array(Array(Array(1e-300, 2.0), Array(3.0, 4.0)),
+      Array(Array(5.0, -6.0), Array(7.0, 1.0 / 3.0)))
+    ModelStore.saveTensor3(spark, t3, s"$dir/t")
+    assert(ModelStore.loadTensor3(spark, s"$dir/t").map(_.map(_.toSeq).toSeq).toSeq ==
+      t3.map(_.map(_.toSeq).toSeq).toSeq)
+    // the deployment flow: fit once, persist, reload, score — identical
+    val corpus = Seq(
+      (1L, "a", "the quick brown fox and the lazy dog run to the river"),
+      (2L, "a", "the sun and the hills are happy in the morning light"),
+      (3L, "b", "000 111 222"), (4L, "b", "333 444")
+    ).toDF("doc_id", "source", "text")
+    val fit = Classify.logregFitOnDomainTrust(corpus, "doc_id", "source", col("text"),
+      untrustedK = 1)
+    ModelStore.saveVector(spark, fit, s"$dir/lr")
+    val reloaded = ModelStore.loadVector(spark, s"$dir/lr")
+    val a = Classify.logregScore(corpus, "doc_id", "source", col("text"), fit)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val b = Classify.logregScore(corpus, "doc_id", "source", col("text"), reloaded)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    graft.ops.OpCaches.release()
+    assert(a == b, "reloaded model scores bit-identically")
+  }
+
   test("X10 data quality: profile counts nulls/distinct exactly; FK and uniqueness checks flag planted violations") {
     import graft.ops.DataQuality
     val tbl = Seq[(java.lang.Long, String)](
