@@ -157,6 +157,44 @@ object Oracles {
        |    round(CAST(CAST(max(pp) AS DECIMAL(18,6)) - CAST(max(pn) AS DECIMAL(18,6)) + sum(d) AS DOUBLE), 6) AS llr
        |  FROM nbj GROUP BY doc_id)""".stripMargin
 
+  /** Logreg quality-classifier CTE chain (mirrors
+    * Classify.logregFitOnDomainTrust + logregScore): domain-trust weak
+    * labels over [[DomainTrustChain]], 4 features 6-dp at the boundary,
+    * then LogregIters full-batch GD steps UNROLLED as CTEs — z and the
+    * gradient in exact DECIMAL, sigma(z) the one double op per row
+    * (rounded 6 dp), weight update w - (lr * (g/n)) replayed with the
+    * driver's operation order. Ends with `lrsc(doc_id, score)`. Shared by
+    * x5_logreg_quality and x8_curation_v11 so the composed gate cannot
+    * drift from the scorer.
+    */
+  private val LogregScoreChain: String = {
+    val iters = graft.ops.Classify.LogregIters
+    val lr = graft.ops.Classify.LogregLr
+    def z = (1 to 4).map(j =>
+      s"CAST(w$j AS DECIMAL(18,6)) * CAST(x$j AS DECIMAL(18,6))").mkString(" + ")
+    def sig = s"round(1.0/(1.0 + exp(-CAST($z AS DOUBLE))), 6)"
+    val iterCtes = (1 to iters).map { k =>
+      s"""lrp$k AS (SELECT f.*, $sig AS p FROM lrf f CROSS JOIN lrit${k - 1}),
+         |lrg$k AS (SELECT count(*) AS n,
+         |  ${(1 to 4).map(j => s"sum((CAST(p AS DECIMAL(18,6)) - y) * CAST(x$j AS DECIMAL(18,6))) AS g$j").mkString(", ")}
+         |  FROM lrp$k),
+         |lrit$k AS (SELECT ${(1 to 4).map(j => s"round(w$j - ($lr * (CAST(g$j AS DOUBLE) / n)), 6) AS w$j").mkString(", ")}
+         |  FROM lrit${k - 1} CROSS JOIN lrg$k)""".stripMargin
+    }.mkString(",\n")
+    s"""$DomainTrustChain,
+       |lrf AS (SELECT q.doc_id,
+       |    CASE WHEN dmr.r > 4 THEN CAST(1 AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS y,
+       |    CAST(1.0 AS DOUBLE) AS x1,
+       |    q.score AS x2,
+       |    round(least(m.nw/100.0, 1.0), 6) AS x3,
+       |    round(len(regexp_replace(b.nt, '[^a-z]', '', 'g'))*1.0/greatest(len(b.nt), 1), 6) AS x4
+       |  FROM qs q JOIN qsm m USING (doc_id) JOIN qsb b USING (doc_id)
+       |  JOIN dmr ON dmr.source = q.source),
+       |lrit0 AS (SELECT ${(1 to 4).map(j => s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ")}),
+       |$iterCtes,
+       |lrsc AS (SELECT f.doc_id, $sig AS score FROM lrf f CROSS JOIN lrit$iters)""".stripMargin
+  }
+
   /** Substring-span CTE chain (mirrors Dedup.substringSpans at window
     * length k): positions via scalar generate_series + unnest (DuckDB's
     * table-function form rejects lateral column bounds), 60-bit md5 gram
@@ -887,6 +925,40 @@ object Oracles {
          |pr0 AS (SELECT s, dg, 1000000 // nn AS r FROM prdg, prn),
          |$iterCtes
          |SELECT s AS id, CAST(r AS BIGINT) AS pagerank_micros FROM pr$iters ORDER BY id""".stripMargin
+    },
+
+    // Composed v11 twin: pagerank iterations (micro-rank fixed point) +
+    // recursive component closure over the SAME materialized pair list,
+    // keeper = max-rank member per component (min-id tiebreak), singleton
+    // docs pass through, then the shared LogregScoreChain gate at 0.5.
+    "x8_curation_v11" -> {
+      val iters = graft.ops.Components.PageRankIters
+      val dm = math.round(graft.ops.Components.PageRankDamping * 1000)
+      val prIterCtes = (1 to iters).map { k =>
+        s"""prc$k AS (SELECT e.d, sum(p.r // p.dg) AS m
+           |  FROM pr${k - 1} p JOIN pre e ON e.s = p.s GROUP BY e.d),
+           |pr$k AS (SELECT g.s, g.dg, (${1000000 - dm * 1000} // nn) + (($dm * c.m) // 1000) AS r
+           |  FROM prdg g JOIN prc$k c ON c.d = g.s CROSS JOIN prn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $minhashPairChain,
+         |prp AS MATERIALIZED (SELECT id_a, id_b FROM est WHERE e >= 0.5),
+         |pre AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM prp UNION SELECT id_b, id_a FROM prp),
+         |prdg AS (SELECT s, count(*) AS dg FROM pre GROUP BY s),
+         |prn AS (SELECT count(*) AS nn FROM prdg),
+         |pr0 AS (SELECT s, dg, 1000000 // nn AS r FROM prdg, prn),
+         |$prIterCtes,
+         |reach(s, d) AS (SELECT s, d FROM pre
+         |                UNION SELECT r.s, e2.d FROM reach r JOIN pre e2 ON r.d = e2.s),
+         |comp AS (SELECT s AS id, least(s, min(d)) AS component FROM reach GROUP BY s),
+         |vkeep AS (SELECT id FROM (
+         |    SELECT c.id, row_number() OVER (PARTITION BY c.component
+         |        ORDER BY p.r DESC, c.id ASC) AS rn
+         |    FROM comp c JOIN pr$iters p ON p.s = c.id) WHERE rn = 1),
+         |vkept AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)
+         |          UNION ALL SELECT id FROM vkeep),
+         |$LogregScoreChain
+         |SELECT k.doc_id, s.score FROM vkept k JOIN lrsc s ON s.doc_id = k.doc_id
+         |WHERE s.score > 0.5 ORDER BY k.doc_id""".stripMargin
     },
 
     // The FULL RECOMPUTE twin of the incremental merge: the Spark side
@@ -1973,39 +2045,11 @@ object Oracles {
       s"""WITH $NbScoreChain
          |SELECT doc_id, n_tokens, llr, (llr > 0) AS pred FROM nbs ORDER BY doc_id""".stripMargin,
 
-    // Mirrors Classify.logregFitOnDomainTrust + logregScore: domain-trust
-    // weak labels, 4 features 6-dp at the boundary, then LogregIters
-    // full-batch GD steps UNROLLED as CTEs — z and the gradient in exact
-    // DECIMAL, sigma(z) the one double op per row (rounded 6 dp), weight
-    // update w - (lr * (g/n)) replayed with the driver's operation order.
-    "x5_logreg_quality" -> {
-      val iters = graft.ops.Classify.LogregIters
-      val lr = graft.ops.Classify.LogregLr
-      def z = (1 to 4).map(j =>
-        s"CAST(w$j AS DECIMAL(18,6)) * CAST(x$j AS DECIMAL(18,6))").mkString(" + ")
-      def sig = s"round(1.0/(1.0 + exp(-CAST($z AS DOUBLE))), 6)"
-      val iterCtes = (1 to iters).map { k =>
-        s"""lrp$k AS (SELECT f.*, $sig AS p FROM lrf f CROSS JOIN lrit${k - 1}),
-           |lrg$k AS (SELECT count(*) AS n,
-           |  ${(1 to 4).map(j => s"sum((CAST(p AS DECIMAL(18,6)) - y) * CAST(x$j AS DECIMAL(18,6))) AS g$j").mkString(", ")}
-           |  FROM lrp$k),
-           |lrit$k AS (SELECT ${(1 to 4).map(j => s"round(w$j - ($lr * (CAST(g$j AS DOUBLE) / n)), 6) AS w$j").mkString(", ")}
-           |  FROM lrit${k - 1} CROSS JOIN lrg$k)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $DomainTrustChain,
-         |lrf AS (SELECT q.doc_id,
-         |    CASE WHEN dmr.r > 4 THEN CAST(1 AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS y,
-         |    CAST(1.0 AS DOUBLE) AS x1,
-         |    q.score AS x2,
-         |    round(least(m.nw/100.0, 1.0), 6) AS x3,
-         |    round(len(regexp_replace(b.nt, '[^a-z]', '', 'g'))*1.0/greatest(len(b.nt), 1), 6) AS x4
-         |  FROM qs q JOIN qsm m USING (doc_id) JOIN qsb b USING (doc_id)
-         |  JOIN dmr ON dmr.source = q.source),
-         |lrit0 AS (SELECT ${(1 to 4).map(j => s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ")}),
-         |$iterCtes,
-         |lrsc AS (SELECT f.doc_id, $sig AS score FROM lrf f CROSS JOIN lrit$iters)
-         |SELECT doc_id, score, (score > 0.5) AS pred FROM lrsc ORDER BY doc_id""".stripMargin
-    },
+    // Mirrors Classify.logregFitOnDomainTrust + logregScore via the shared
+    // LogregScoreChain (see its scaladoc for the determinism discipline).
+    "x5_logreg_quality" ->
+      s"""WITH $LogregScoreChain
+         |SELECT doc_id, score, (score > 0.5) AS pred FROM lrsc ORDER BY doc_id""".stripMargin,
 
     // Split cuts are interpolated from Sampling.cumulativeCuts — the exact
     // IEEE doubles the Spark comparison uses (0.9 + 0.05 != literal 0.95).

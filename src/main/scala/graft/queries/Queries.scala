@@ -2116,6 +2116,35 @@ object Queries {
     Classify.logregScore(docs, "doc_id", "source", col("text"), w).orderBy("doc_id")
   }
 
+  /** X8g: composed pipeline v11 — this round's additions composed:
+    * near-dup clusters keep their highest-PAGERANK member (canonical copy
+    * by centrality, [[Components.pageRank]]), then the survivors pass the
+    * LEARNED logreg gate ([[Classify.logregFitOnDomainTrust]]). The pair
+    * list is pinned once and feeds both the rank and the component stage.
+    */
+  private def x8CurationV11(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = graft.ops.OpCaches.pin(
+      Dedup.minhashNearDupPairs(docs, "doc_id", col("text"),
+        shingleLen = 3, numPerm = 64, bands = 16, threshold = 0.5))
+    val pr = Components.pageRank(pairs)
+    val comp = Components.connectedComponents(pairs)
+    val keepers = comp.join(pr, Seq("id"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("component")
+          .orderBy(col("pagerank_micros").desc, col("id").asc)))
+      .where(col("__rn") === 1).select(col("id").as("doc_id"))
+    val kept = docs
+      .join(comp.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .unionByName(keepers)
+    val w = Classify.logregFitOnDomainTrust(docs, "doc_id", "source", col("text"))
+    val scores = Classify.logregScore(docs, "doc_id", "source", col("text"), w)
+    kept.join(scores, Seq("doc_id")).where(col("pred"))
+      .select(col("doc_id"), col("score"))
+      .orderBy("doc_id")
+  }
+
   /** X5d: per-domain trust report — exact-decimal mean quality per source,
     * bottom-4 domains marked untrusted (rank with full tiebreak). The
     * domain window runs over the aggregated domain table only.
@@ -2324,7 +2353,8 @@ object Queries {
     "x10_dq_profile" -> (x10DqProfile _),
     "x10_dq_constraints" -> (x10DqConstraints _),
     "a2_incremental_rollup" -> (a2IncrementalRollup _),
-    "x7_dedup_pagerank" -> (x7DedupPagerank _)
+    "x7_dedup_pagerank" -> (x7DedupPagerank _),
+    "x8_curation_v11" -> (x8CurationV11 _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
