@@ -242,4 +242,37 @@ object Classify {
     logregFeatures(df, idCol, domainCol, text)
       .select(col(idCol), sigmoid6(w.toSeq).as("score"))
       .withColumn("pred", col("score") > 0.5)
+
+  /** Confusion-matrix evaluation of a classifier's (idCol, pred) against
+    * (idCol, label): ONE scalar aggregate of four conditional sums, with
+    * accuracy / precision / recall / F1 in exact integer MICRO-units —
+    * acc_µ = 10^6·(tp+tn) div n, f1 via the single-division identity
+    * f1 = 2tp/(2tp+fp+fn) — because divide-then-round double ratios are
+    * not engine-portable on tie quotients (e.g. tp/(tp+fp) = 1/3200
+    * lands exactly on a 6-dp rounding boundary; the PageRank lesson).
+    * Degenerate denominators (no predicted / no actual positives) emit
+    * −1, never NULL, so the report row is total.
+    *
+    * Output: one row (model, n, tp, fp, fn, tn, accuracy_micros,
+    * precision_micros, recall_micros, f1_micros).
+    */
+  def confusionEval(name: String, labeled: DataFrame, predCol: String,
+                    labelCol: String): DataFrame = {
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val p = col(predCol)
+    val l = col(labelCol)
+    labeled.agg(
+        count(lit(1)).as("n"),
+        cnt(p && l).as("tp"), cnt(p && !l).as("fp"),
+        cnt(!p && l).as("fn"), cnt(!p && !l).as("tn"))
+      .select(lit(name).as("model"), col("n"), col("tp"), col("fp"),
+        col("fn"), col("tn"),
+        expr("(1000000 * (tp + tn)) div n").as("accuracy_micros"),
+        when(col("tp") + col("fp") === 0L, lit(-1L))
+          .otherwise(expr("(1000000 * tp) div (tp + fp)")).as("precision_micros"),
+        when(col("tp") + col("fn") === 0L, lit(-1L))
+          .otherwise(expr("(1000000 * tp) div (tp + fn)")).as("recall_micros"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L, lit(-1L))
+          .otherwise(expr("(2000000 * tp) div (2 * tp + fp + fn)")).as("f1_micros"))
+  }
 }

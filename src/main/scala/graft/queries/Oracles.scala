@@ -167,7 +167,11 @@ object Oracles {
     * x5_logreg_quality and x8_curation_v11 so the composed gate cannot
     * drift from the scorer.
     */
-  private val LogregScoreChain: String = {
+  /** The logreg-specific CTE tail (everything after [[DomainTrustChain]])
+    * — kept separate so a twin already carrying the trust chain (e.g. via
+    * [[NbScoreChain]]) can append it without redefining qsb/qsw/qsm/qs.
+    */
+  private val LogregTail: String = {
     val iters = graft.ops.Classify.LogregIters
     val lr = graft.ops.Classify.LogregLr
     def z = (1 to 4).map(j =>
@@ -181,8 +185,7 @@ object Oracles {
          |lrit$k AS (SELECT ${(1 to 4).map(j => s"round(w$j - ($lr * (CAST(g$j AS DOUBLE) / n)), 6) AS w$j").mkString(", ")}
          |  FROM lrit${k - 1} CROSS JOIN lrg$k)""".stripMargin
     }.mkString(",\n")
-    s"""$DomainTrustChain,
-       |lrf AS (SELECT q.doc_id,
+    s"""lrf AS (SELECT q.doc_id,
        |    CASE WHEN dmr.r > 4 THEN CAST(1 AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS y,
        |    CAST(1.0 AS DOUBLE) AS x1,
        |    q.score AS x2,
@@ -194,6 +197,12 @@ object Oracles {
        |$iterCtes,
        |lrsc AS (SELECT f.doc_id, $sig AS score FROM lrf f CROSS JOIN lrit$iters)""".stripMargin
   }
+
+  /** Full logreg chain: [[DomainTrustChain]] + [[LogregTail]]; ends with
+    * `lrsc(doc_id, score)`. Shared by x5_logreg_quality and
+    * x8_curation_v11.
+    */
+  private val LogregScoreChain: String = s"$DomainTrustChain,\n$LogregTail"
 
   /** Substring-span CTE chain (mirrors Dedup.substringSpans at window
     * length k): positions via scalar generate_series + unnest (DuckDB's
@@ -2050,6 +2059,34 @@ object Oracles {
     "x5_logreg_quality" ->
       s"""WITH $LogregScoreChain
          |SELECT doc_id, score, (score > 0.5) AS pred FROM lrsc ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Classify.confusionEval over both classifiers' predictions
+    // against the shared domain-trust labels: NbScoreChain + LogregTail
+    // composed once (the trust chain appears exactly once), four
+    // conditional sums per model, metrics in exact integer micro-units
+    // (floor //) — the fixed-point ratio discipline.
+    "x5_classifier_eval" ->
+      s"""WITH $NbScoreChain,
+         |$LogregTail,
+         |lbl AS (SELECT d.doc_id, (dmr.r > 4) AS label
+         |        FROM documents d JOIN dmr ON dmr.source = d.source),
+         |evu AS (SELECT 'nb' AS model, l.label, (s.llr > 0) AS pred
+         |        FROM lbl l JOIN nbs s USING (doc_id)
+         |        UNION ALL
+         |        SELECT 'logreg' AS model, l.label, (s.score > 0.5) AS pred
+         |        FROM lbl l JOIN lrsc s USING (doc_id)),
+         |evc AS (SELECT model, count(*) AS n,
+         |    CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM evu GROUP BY model)
+         |SELECT model, n, tp, fp, fn, tn,
+         |  CAST((1000000 * (tp + tn)) // n AS BIGINT) AS accuracy_micros,
+         |  CAST(CASE WHEN tp + fp = 0 THEN -1 ELSE (1000000 * tp) // (tp + fp) END AS BIGINT) AS precision_micros,
+         |  CAST(CASE WHEN tp + fn = 0 THEN -1 ELSE (1000000 * tp) // (tp + fn) END AS BIGINT) AS recall_micros,
+         |  CAST(CASE WHEN 2*tp + fp + fn = 0 THEN -1 ELSE (2000000 * tp) // (2*tp + fp + fn) END AS BIGINT) AS f1_micros
+         |FROM evc ORDER BY model""".stripMargin,
 
     // Split cuts are interpolated from Sampling.cumulativeCuts — the exact
     // IEEE doubles the Spark comparison uses (0.9 + 0.05 != literal 0.95).

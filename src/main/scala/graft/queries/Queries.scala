@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Canonical
-import graft.ops.{AsOf, Chunking, Classify, Components, Contamination, Dedup, Dsir, Intervals, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Chunking, Classify, Components, Contamination, Dedup, Domains, Dsir, Intervals, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.template.TemplateCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2145,6 +2145,30 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X5ev: classifier evaluation report — confusion matrices and
+    * fixed-point micro-metrics for BOTH trained quality filters (NB and
+    * logreg) against their own domain-trust labels ([[Classify
+    * .confusionEval]]): the train → persist → EVALUATE leg of the ML
+    * loop, one scalar aggregate per model.
+    */
+  private def x5ClassifierEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val trust = broadcast(Domains.domainStats(docs, "doc_id", "source", col("text"))
+      .select(col("source"), col("trusted")))
+    val labels = docs.join(trust, Seq("source"))
+      .select(col("doc_id"), col("trusted").as("label"))
+    val nbPred = Classify.nbScore(docs, "doc_id", col("text"),
+        Classify.nbFitOnDomainTrust(docs, "doc_id", "source", col("text")))
+      .select(col("doc_id"), col("pred"))
+    val w = Classify.logregFitOnDomainTrust(docs, "doc_id", "source", col("text"))
+    val lrPred = Classify.logregScore(docs, "doc_id", "source", col("text"), w)
+      .select(col("doc_id"), col("pred"))
+    Classify.confusionEval("nb", labels.join(nbPred, Seq("doc_id")), "pred", "label")
+      .unionByName(
+        Classify.confusionEval("logreg", labels.join(lrPred, Seq("doc_id")), "pred", "label"))
+      .orderBy("model")
+  }
+
   /** X5d: per-domain trust report — exact-decimal mean quality per source,
     * bottom-4 domains marked untrusted (rank with full tiebreak). The
     * domain window runs over the aggregated domain table only.
@@ -2354,7 +2378,8 @@ object Queries {
     "x10_dq_constraints" -> (x10DqConstraints _),
     "a2_incremental_rollup" -> (a2IncrementalRollup _),
     "x7_dedup_pagerank" -> (x7DedupPagerank _),
-    "x8_curation_v11" -> (x8CurationV11 _)
+    "x8_curation_v11" -> (x8CurationV11 _),
+    "x5_classifier_eval" -> (x5ClassifierEval _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
