@@ -27,7 +27,10 @@ class PlanAuditSpec extends SparkSpec {
     val constructionRunsJobs = Set(
       "x3_ivf_topk", "x7_dedup_clusters", "x7_dedup_apply", "x8_curation_pipeline",
       "x4_lazy_pointer", "x6_bpe_merges", "x6_bpe_tokens", "x3_pca_project", "x3_pq_topk",
-      "x3_pq_recall", "x3_ivfpq_topk", "x3_ivfpq_recall")
+      "x3_pq_recall", "x3_ivfpq_topk", "x3_ivfpq_recall",
+      // round-8 fifth wave: logreg fit (K gradient aggregates), union-find
+      // edge collect, classifier eval (both fits) run at construction
+      "x5_logreg_quality", "x5_classifier_eval", "x7_dedup_pagerank", "x8_curation_v11")
     (SparkEntry.queries.keySet -- constructionRunsJobs).toSeq.sorted.foreach { q =>
       assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian product")
     }
@@ -54,6 +57,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,"),
       "as-of cutoff did not reach the scan")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("incremental rollup pushes BOTH partial predicates into their scans") {
+    val plan = planOf("a2_incremental_rollup")
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,"),
+      "history-leg cutoff did not reach its scan")
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      "increment-leg cutoff did not reach its scan")
+  }
+
+  test("composed v11: no cartesian product; the learned-gate join keys on doc_id") {
+    val plan = planOf("x8_curation_v11")
+    assert(!plan.contains("CartesianProduct"), "v11 plans a cartesian product")
   }
 
   test("decontamination broadcasts the benchmark gram set") {
