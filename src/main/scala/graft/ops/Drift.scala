@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution-drift monitoring — the Population Stability Index
+  * (PSI = Σ_bins (p−q)·ln(p/q), the standard credit-scoring / ML-ops
+  * drift statistic): has the distribution of a model feature moved
+  * between a REFERENCE sample (training time) and the CURRENT stream?
+  * The quality filters ([[Classify]]) are fit once and applied for
+  * months; at 100 TB/day ingest the cheap invariant to watch is the
+  * FEATURE DISTRIBUTION, and PSI > 0.2 is the conventional "retrain"
+  * alarm.
+  *
+  * Scale shape: each side is ONE scan → fixed-width binning (a pure
+  * projection) → a `bins`-row count aggregate with map-side combine;
+  * everything after the two aggregates is bins-sized (≤ tens of rows).
+  *
+  * Determinism: bin = least(floor(v·bins), bins−1) is the same IEEE
+  * double product + floor in any engine; shares are add-one-smoothed
+  * exact-integer ratios (c+1)/(n+bins) divided in double (identical
+  * operands ⇒ identical quotients); each PSI term rounds 6 dp before
+  * the exact-DECIMAL sum (ln agrees to 1 ulp — the house model-boundary
+  * discipline), so the per-bin terms AND the total replay bit-for-bit.
+  */
+object Drift {
+
+  /** Per-bin PSI report for a [0,1]-bounded metric: one row per bin —
+    * (bin, ref_count, cur_count, psi_term) — plus the scalar `psi` total
+    * carried on every row (the bins-bounded unpartitioned-window pattern).
+    * Empty bins participate through the smoothing floor, so the index is
+    * defined even for disjoint distributions.
+    */
+  def psiReport(ref: DataFrame, cur: DataFrame, valueCol: String,
+                bins: Int = 10): DataFrame = {
+    require(bins > 1, s"need at least 2 bins: $bins")
+    def binCounts(df: DataFrame, out: String) =
+      df.select(least(floor(col(valueCol) * bins), lit(bins - 1))
+          .cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(out))
+    val spine = broadcast(
+      ref.sparkSession.range(bins).select(col("id").cast("int").as("bin")))
+    val joined = spine
+      .join(binCounts(ref, "ref_count"), Seq("bin"), "left")
+      .join(binCounts(cur, "cur_count"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_count"), lit(0L)).as("ref_count"),
+        coalesce(col("cur_count"), lit(0L)).as("cur_count"))
+    // totals over the bins-sized table: unpartitioned window bounded by
+    // `bins` rows (the Domains/charTrigram carry-the-totals pattern)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val p = (col("ref_count") + 1).cast("double") /
+      (sum(col("ref_count")).over(w) + bins).cast("double")
+    val q = (col("cur_count") + 1).cast("double") /
+      (sum(col("cur_count")).over(w) + bins).cast("double")
+    joined
+      .withColumn("psi_term", round((p - q) * log(p / q), 6))
+      .withColumn("psi",
+        round(sum(col("psi_term").cast(DecimalType(18, 6))).over(w).cast("double"), 6))
+      .orderBy("bin")
+  }
+}

@@ -2088,6 +2088,31 @@ object Oracles {
          |  CAST(CASE WHEN 2*tp + fp + fn = 0 THEN -1 ELSE (2000000 * tp) // (2*tp + fp + fn) END AS BIGINT) AS f1_micros
          |FROM evc ORDER BY model""".stripMargin,
 
+    // Mirrors Drift.psiReport on the quality-score halves: IEEE
+    // double-product binning (floor(score*10) capped at 9), add-one
+    // smoothed shares divided in DOUBLE (never bare-decimal literals),
+    // 6-dp-rounded PSI terms summed in exact DECIMAL.
+    "x5_feature_drift" ->
+      s"""WITH $QualityScoreChain,
+         |fdb AS (SELECT CAST(least(floor(score*10), 9) AS INT) AS bin, doc_id % 2 AS h FROM qs),
+         |fdr AS (SELECT bin, count(*) AS ref_count FROM fdb WHERE h = 0 GROUP BY bin),
+         |fdc AS (SELECT bin, count(*) AS cur_count FROM fdb WHERE h = 1 GROUP BY bin),
+         |fds AS (SELECT unnest(generate_series(0, 9)) AS bin),
+         |fdj AS (SELECT fds.bin, coalesce(fdr.ref_count, 0) AS ref_count,
+         |               coalesce(fdc.cur_count, 0) AS cur_count
+         |        FROM fds LEFT JOIN fdr USING (bin) LEFT JOIN fdc USING (bin)),
+         |fdt AS (SELECT sum(ref_count) AS rt, sum(cur_count) AS ct FROM fdj),
+         |fdm AS (SELECT bin, ref_count, cur_count,
+         |    round((CAST(ref_count+1 AS DOUBLE)/CAST(rt+10 AS DOUBLE)
+         |         - CAST(cur_count+1 AS DOUBLE)/CAST(ct+10 AS DOUBLE))
+         |      * ln((CAST(ref_count+1 AS DOUBLE)/CAST(rt+10 AS DOUBLE))
+         |          / (CAST(cur_count+1 AS DOUBLE)/CAST(ct+10 AS DOUBLE))), 6) AS psi_term
+         |  FROM fdj, fdt)
+         |SELECT bin, CAST(ref_count AS BIGINT) AS ref_count,
+         |  CAST(cur_count AS BIGINT) AS cur_count, psi_term,
+         |  round(CAST(sum(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DOUBLE), 6) AS psi
+         |FROM fdm ORDER BY bin""".stripMargin,
+
     // Split cuts are interpolated from Sampling.cumulativeCuts — the exact
     // IEEE doubles the Spark comparison uses (0.9 + 0.05 != literal 0.95).
     "x7_split" -> {

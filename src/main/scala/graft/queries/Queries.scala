@@ -2169,6 +2169,21 @@ object Queries {
       .orderBy("model")
   }
 
+  /** X5dr: feature-drift report — PSI of the quality-score distribution
+    * between the even- and odd-id corpus halves ([[graft.ops.Drift
+    * .psiReport]]): the retrain-alarm statistic a deployed filter fleet
+    * watches. On the synthetic corpus the halves are exchangeable, so the
+    * gate exercises the near-zero regime (every bin still contributes a
+    * smoothed term).
+    */
+  private def x5FeatureDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    def half(r: Int) =
+      TextAnalysis.qualityMetrics(docs.where(col("doc_id") % 2 === r), "doc_id", col("text"))
+        .select(col("quality_score"))
+    graft.ops.Drift.psiReport(half(0), half(1), "quality_score")
+  }
+
   /** X5d: per-domain trust report — exact-decimal mean quality per source,
     * bottom-4 domains marked untrusted (rank with full tiebreak). The
     * domain window runs over the aggregated domain table only.
@@ -2379,7 +2394,8 @@ object Queries {
     "a2_incremental_rollup" -> (a2IncrementalRollup _),
     "x7_dedup_pagerank" -> (x7DedupPagerank _),
     "x8_curation_v11" -> (x8CurationV11 _),
-    "x5_classifier_eval" -> (x5ClassifierEval _)
+    "x5_classifier_eval" -> (x5ClassifierEval _),
+    "x5_feature_drift" -> (x5FeatureDrift _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

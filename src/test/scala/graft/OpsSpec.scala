@@ -1315,6 +1315,24 @@ class OpsSpec extends SparkSpec {
     assert(a == b, "reloaded model scores bit-identically")
   }
 
+  test("X5dr drift: identical samples read PSI 0; a shifted distribution trips the 0.2 alarm") {
+    import graft.ops.Drift
+    val ref = (1 to 200).map(i => (i % 10) / 10.0 + 0.05).toDF("v")
+    val same = Drift.psiReport(ref, ref, "v")
+      .select("bin", "psi_term", "psi").as[(Int, Double, Double)].collect()
+    assert(same.length == 10 && same.forall(_._2 == 0.0) && same.forall(_._3 == 0.0),
+      "identical distributions have zero PSI in every bin")
+    // current sample collapses onto the top bins: drift alarm must trip
+    val cur = (1 to 200).map(i => 0.85 + (i % 2) / 10.0).toDF("v")
+    val drift = Drift.psiReport(ref, cur, "v")
+      .select("psi").as[Double].head()
+    assert(drift > 0.2, s"collapsed distribution must trip the 0.2 alarm: $drift")
+    // empty bins on one side still contribute smoothed terms, never NULL/NaN
+    val terms = Drift.psiReport(ref, cur, "v")
+      .select("psi_term").as[Double].collect()
+    assert(terms.length == 10 && terms.forall(t => !t.isNaN && !t.isInfinite))
+  }
+
   test("X10 data quality: profile counts nulls/distinct exactly; FK and uniqueness checks flag planted violations") {
     import graft.ops.DataQuality
     val tbl = Seq[(java.lang.Long, String)](
