@@ -33,17 +33,34 @@ object Drift {
     * defined even for disjoint distributions.
     */
   def psiReport(ref: DataFrame, cur: DataFrame, valueCol: String,
-                bins: Int = 10): DataFrame = {
+                bins: Int = 10): DataFrame =
+    psiFromCounts(binCounts(ref, valueCol, "ref_count", bins),
+      binCounts(cur, valueCol, "cur_count", bins), bins)
+
+  /** Fixed-width bin counts of a [0,1]-bounded metric — the ONE
+    * corpus-scale stage of [[psiReport]]. Works unchanged on a STREAMING
+    * frame (a plain groupBy count in update mode, state = `bins` counter
+    * rows forever): the streaming drift monitor is this stage on the live
+    * feed composed with [[psiFromCounts]] against a frozen reference
+    * histogram — see StreamingDriftSpec.
+    */
+  def binCounts(df: DataFrame, valueCol: String, out: String,
+                bins: Int = 10): DataFrame =
+    df.select(least(floor(col(valueCol) * bins), lit(bins - 1))
+        .cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
+
+  /** The bins-sized tail of [[psiReport]]: spine join + smoothed shares +
+    * 6-dp terms + exact-decimal total, from two (bin, count) tables.
+    */
+  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+                    bins: Int = 10): DataFrame = {
     require(bins > 1, s"need at least 2 bins: $bins")
-    def binCounts(df: DataFrame, out: String) =
-      df.select(least(floor(col(valueCol) * bins), lit(bins - 1))
-          .cast("int").as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as(out))
     val spine = broadcast(
-      ref.sparkSession.range(bins).select(col("id").cast("int").as("bin")))
+      refCounts.sparkSession.range(bins).select(col("id").cast("int").as("bin")))
     val joined = spine
-      .join(binCounts(ref, "ref_count"), Seq("bin"), "left")
-      .join(binCounts(cur, "cur_count"), Seq("bin"), "left")
+      .join(refCounts, Seq("bin"), "left")
+      .join(curCounts, Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("ref_count"), lit(0L)).as("ref_count"),
         coalesce(col("cur_count"), lit(0L)).as("cur_count"))
