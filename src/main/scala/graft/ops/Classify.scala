@@ -267,7 +267,8 @@ object Classify {
         cnt(!p && l).as("fn"), cnt(!p && !l).as("tn"))
       .select(lit(name).as("model"), col("n"), col("tp"), col("fp"),
         col("fn"), col("tn"),
-        expr("(1000000 * (tp + tn)) div n").as("accuracy_micros"),
+        when(col("n") === 0L, lit(-1L))
+          .otherwise(expr("(1000000 * (tp + tn)) div n")).as("accuracy_micros"),
         when(col("tp") + col("fp") === 0L, lit(-1L))
           .otherwise(expr("(1000000 * tp) div (tp + fp)")).as("precision_micros"),
         when(col("tp") + col("fn") === 0L, lit(-1L))

@@ -269,18 +269,35 @@ object Components {
     * Output: (id, pagerank_micros BIGINT) for every vertex incident to an
     * edge; divide by 1e6 for the unit-mass rank.
     */
+  /** Iteration count past which [[pageRank]] truncates plan lineage with a
+    * per-iteration `localCheckpoint`: below it the K-deep chained-join plan
+    * is cheap to analyze and fully lazy; past it Catalyst re-analysis cost
+    * and lineage depth grow per round while a checkpoint costs one eager
+    * materialization of a vertex-sized (3-long-column) table per round —
+    * the classic iterative-algorithm trade. Results are bit-identical
+    * either way (ComponentsSpec pins it): checkpointing changes WHEN a
+    * prefix is computed, never what it computes.
+    */
+  val PageRankCheckpointAfter = 12
+
   def pageRank(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-               iters: Int = PageRankIters, damping: Double = PageRankDamping): DataFrame = {
+               iters: Int = PageRankIters, damping: Double = PageRankDamping,
+               checkpointAfter: Int = PageRankCheckpointAfter): DataFrame = {
     val dampMilli = math.round(damping * 1000) // 850: exact per-mille damping
+    // Pin the incoming pair list BEFORE the symmetric union: the union
+    // scans `pairs` twice, and an unpinned caller (a raw LSH pair chain)
+    // would otherwise evaluate its whole candidate pipeline twice.
+    val p = OpCaches.pin(pairs.select(col(aCol).as("__a"), col(bCol).as("__b")))
     val edges = OpCaches.pin(
-      pairs.select(col(aCol).as("__s"), col(bCol).as("__d"))
-        .union(pairs.select(col(bCol).as("__s"), col(aCol).as("__d")))
+      p.select(col("__a").as("__s"), col("__b").as("__d"))
+        .union(p.select(col("__b").as("__s"), col("__a").as("__d")))
         .distinct())
     val deg = OpCaches.pin(edges.groupBy("__s").agg(count(lit(1)).as("__dg")))
     val n = broadcast(deg.agg(count(lit(1)).as("__nn")))
     var ranks = deg.crossJoin(n)
       .select(col("__s"), col("__dg"), col("__nn"),
         expr("1000000 div __nn").as("__r"))
+    val truncate = iters > checkpointAfter
     for (_ <- 0 until iters) {
       val contrib = ranks
         .join(edges, "__s")
@@ -291,6 +308,8 @@ object Components {
         .select(col("__s"), col("__dg"), col("__nn"),
           expr(s"(${1000000 - dampMilli * 1000} div __nn) + (($dampMilli * __m) div 1000)")
             .as("__r"))
+      // lineage truncation for deep K: eager, vertex-sized, value-neutral
+      if (truncate) ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("__s").as("id"), col("__r").as("pagerank_micros"))
   }

@@ -43,10 +43,19 @@ object Drift {
     * rows forever): the streaming drift monitor is this stage on the live
     * feed composed with [[psiFromCounts]] against a frozen reference
     * histogram — see StreamingDriftSpec.
+    *
+    * Out-of-range values CLAMP into the edge bins (v < 0 → bin 0,
+    * v ≥ 1 → bin bins−1) rather than producing phantom bins that would
+    * fall off the spine join in [[psiFromCounts]] — a violated [0,1]
+    * contract therefore shows up as edge-bin drift instead of silently
+    * vanishing from both the counts and the PSI total. NULLs are the one
+    * excluded class (no defensible bin exists for them); they count into
+    * neither histogram, same as a NULL feature is skipped at scoring time.
     */
   def binCounts(df: DataFrame, valueCol: String, out: String,
                 bins: Int = 10): DataFrame =
-    df.select(least(floor(col(valueCol) * bins), lit(bins - 1))
+    df.where(col(valueCol).isNotNull)
+      .select(greatest(least(floor(col(valueCol) * bins), lit(bins - 1)), lit(0))
         .cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as(out))
 

@@ -38,10 +38,23 @@ object Layout {
     * (min = max) columns rank 0. Integer `div` floors identically in
     * Spark and DuckDB for non-negative operands. Operands are plain
     * column NAMES so the expression parses verbatim in both engines.
+    *
+    * A column spanning ≥ 2^(63−bits) (≈ 2^42 at the default 21 bits —
+    * e.g. hash-derived 64-bit ids) would silently WRAP the Long product
+    * in non-ANSI Spark while the DuckDB twin raises; the guard turns that
+    * cross-engine divergence into an in-plan error telling the caller to
+    * pre-scale (v div k) or hash-bucket the column first.
     */
-  def rank(v: String, minV: String, maxV: String, bits: Int = ZBits): Column =
-    when(col(maxV) === col(minV), lit(0L)).otherwise(
-      expr(s"(($v - $minV) * ${(1L << bits) - 1}) div ($maxV - $minV)"))
+  def rank(v: String, minV: String, maxV: String, bits: Int = ZBits): Column = {
+    val maxSpan = 1L << (63 - bits) // (span)·(2^bits−1) < 2^63 ⇔ span < 2^(63−bits)
+    when(col(maxV) === col(minV), lit(0L))
+      .when(col(maxV) - col(minV) >= maxSpan,
+        raise_error(concat(
+          lit(s"Layout.rank($v): column span "), (col(maxV) - col(minV)).cast("string"),
+          lit(s" >= 2^${63 - bits} would overflow the Long rank product; " +
+            "pre-scale or hash-bucket the column"))).cast("long"))
+      .otherwise(expr(s"(($v - $minV) * ${(1L << bits) - 1}) div ($maxV - $minV)"))
+  }
 
   /** Interleave two `bits`-wide ranks into one z-value: bit i of `a` lands
     * at position 2i, bit i of `b` at 2i+1. A fixed fold of codegen'd

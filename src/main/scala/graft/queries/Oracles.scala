@@ -984,7 +984,7 @@ object Oracles {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       val branches = cols.map { c =>
         s"""SELECT '$c' AS "column", count(*) AS n_rows,
-           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            |  round(1.0 - sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)*1.0
            |        / greatest(count(*), 1), 6) AS completeness,
            |  count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin
@@ -1001,17 +1001,17 @@ object Oracles {
         |  (count(o_orderkey) - count(DISTINCT o_orderkey)) = 0 AS ok FROM orders
         |UNION ALL
         |SELECT 'orders_custkey_fk', count(*),
-        |  sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END),
+        |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         |UNION ALL
         |SELECT 'lineitem_orderkey_fk', count(*),
-        |  sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END),
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
         |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
         |UNION ALL
         |SELECT 'events_value_nonneg', count(*),
-        |  sum(CASE WHEN value < 0 THEN 1 ELSE 0 END),
+        |  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
         |  sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0 FROM events
         |) ORDER BY "constraint"""".stripMargin,
 
@@ -2082,7 +2082,7 @@ object Oracles {
          |    CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
          |  FROM evu GROUP BY model)
          |SELECT model, n, tp, fp, fn, tn,
-         |  CAST((1000000 * (tp + tn)) // n AS BIGINT) AS accuracy_micros,
+         |  CAST(CASE WHEN n = 0 THEN -1 ELSE (1000000 * (tp + tn)) // n END AS BIGINT) AS accuracy_micros,
          |  CAST(CASE WHEN tp + fp = 0 THEN -1 ELSE (1000000 * tp) // (tp + fp) END AS BIGINT) AS precision_micros,
          |  CAST(CASE WHEN tp + fn = 0 THEN -1 ELSE (1000000 * tp) // (tp + fn) END AS BIGINT) AS recall_micros,
          |  CAST(CASE WHEN 2*tp + fp + fn = 0 THEN -1 ELSE (2000000 * tp) // (2*tp + fp + fn) END AS BIGINT) AS f1_micros
@@ -2094,7 +2094,8 @@ object Oracles {
     // 6-dp-rounded PSI terms summed in exact DECIMAL.
     "x5_feature_drift" ->
       s"""WITH $QualityScoreChain,
-         |fdb AS (SELECT CAST(least(floor(score*10), 9) AS INT) AS bin, doc_id % 2 AS h FROM qs),
+         |fdb AS (SELECT CAST(greatest(least(floor(score*10), 9), 0) AS INT) AS bin, doc_id % 2 AS h
+         |        FROM qs WHERE score IS NOT NULL),
          |fdr AS (SELECT bin, count(*) AS ref_count FROM fdb WHERE h = 0 GROUP BY bin),
          |fdc AS (SELECT bin, count(*) AS cur_count FROM fdb WHERE h = 1 GROUP BY bin),
          |fds AS (SELECT unnest(generate_series(0, 9)) AS bin),

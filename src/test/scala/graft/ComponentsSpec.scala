@@ -119,4 +119,18 @@ class ComponentsSpec extends SparkSpec {
     }
     assert(pr(10L) == r, s"pair micro-rank must replay the recurrence: ${pr(10L)} != $r")
   }
+
+  test("X7pr pageRank: per-iteration localCheckpoint is value-neutral at deep K") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (10L, 11L),
+      (11L, 12L), (12L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val k = 25 // past PageRankCheckpointAfter → truncated lineage path
+    val lazyPath = Components.pageRank(pairs, iters = k, checkpointAfter = k + 1)
+      .as[(Long, Long)].collect().toMap
+    graft.ops.OpCaches.release()
+    val ckptPath = Components.pageRank(pairs, iters = k, checkpointAfter = 0)
+      .as[(Long, Long)].collect().toMap
+    graft.ops.OpCaches.release()
+    assert(lazyPath == ckptPath,
+      s"checkpointing changed values: $lazyPath vs $ckptPath")
+  }
 }

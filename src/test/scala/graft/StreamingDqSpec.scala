@@ -9,12 +9,30 @@ import java.nio.file.Files
   * evaluation of the same rules row-for-row, whatever the batching; and
   * the update-mode state must be monotone (counters only grow).
   */
+object StreamingDqSpec {
+  // Top-level scope (not suite-nested): a case class nested inside the
+  // suite captures an outer pointer, and its encoder then compiles broken
+  // generated code (Janino CompileException, silent interpreted fallback).
+  case class Ev(user_id: java.lang.Long, value: Double, props: String)
+}
+
 class StreamingDqSpec extends SparkSpec {
   import spark.implicits._
-
-  private case class Ev(user_id: java.lang.Long, value: Double, props: String)
+  import StreamingDqSpec.Ev
 
   test("stream monitor final counters equal the batch audit on fixture events") {
+    // Pin codegen: with fallback off, a broken encoder (e.g. a suite-nested
+    // case class) fails the test instead of silently running interpreted.
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try runMonitorTest()
+    finally prevFallback match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  private def runMonitorTest(): Unit = {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("user_id"), col("value"), col("props"))
     val rows = ev.as[(Long, Double, String)].collect()

@@ -18,10 +18,19 @@ def load_spark(outdir, name):
     return pq.read_table(files[0]).to_pandas()
 
 def canon(df):
+    import datetime
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # parquet date32 arrives as object-of-datetime.date while DuckDB
+            # DATE arrives as datetime64 — normalize to datetime64 so the
+            # dtype-kind check below flags real drift, not representation
+            nonnull = df[c].dropna()
+            if len(nonnull) and isinstance(nonnull.iloc[0], datetime.date) \
+                    and not isinstance(nonnull.iloc[0], datetime.datetime):
+                df[c] = pd.to_datetime(df[c])
+            else:
+                df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def main(sfdir, outdir):
@@ -51,6 +60,15 @@ def main(sfdir, outdir):
         s, d = canon(spark_df), canon(duck_df)
         if list(s.columns) != list(d.columns):
             print(f"FAIL  {name}: columns {list(s.columns)} vs {list(d.columns)}"); fail += 1; continue
+        # Driver-strictness mirror: a float64 oracle column vs an int64 Spark
+        # column hashes differently even when values compare equal (the r8
+        # x10 HUGEINT lesson) — treat dtype kind drift as a failure.
+        dt = [(c, s[c].dtype, d[c].dtype) for c in s.columns
+              if s[c].dtype.kind != d[c].dtype.kind]
+        if dt:
+            print(f"FAIL  {name}: dtype drift: " +
+                  "; ".join(f"{c}: spark {a} vs oracle {b}" for c, a, b in dt))
+            fail += 1; continue
         if len(s) != len(d):
             print(f"FAIL  {name}: rows {len(s)} vs {len(d)}"); fail += 1; continue
         if len(s) == 0:
