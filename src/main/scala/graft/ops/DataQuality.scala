@@ -49,6 +49,38 @@ object DataQuality {
     one.select(inline(rows)).orderBy("column")
   }
 
+  /** The 100-TB form of [[profile]]: identical one-scan shape, but the
+    * distinct count is an `approx_count_distinct` HLL++ sketch (fixed
+    *-width registers riding the same hash-aggregate) instead of the exact
+    * multi-distinct — so the (k+1)-replica EXPAND pass disappears and the
+    * scan cost is independent of how many columns are profiled. Exact
+    * multi-distinct replicates every row k+1 times before the partial
+    * aggregate and shuffles each column's full distinct key set; the
+    * sketch shuffles a few KB per column regardless of cardinality. Use
+    * this once the profiled table's expand no longer fits the scan budget
+    * (measured crossover in SCALING.md); `rsd` is the sketch's target
+    * relative standard deviation. Output column is `n_distinct_approx`
+    * so callers cannot mistake the estimate for the exact count.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profileApprox needs at least one column")
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +:
+      cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__dist_$c"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { c =>
+      struct(lit(c).as("column"),
+        col("__n").as("n_rows"),
+        col(s"__null_$c").as("n_nulls"),
+        round(lit(1.0) - col(s"__null_$c").cast("double") /
+          greatest(col("__n"), lit(1L)).cast("double"), 6).as("completeness"),
+        col(s"__dist_$c").as("n_distinct_approx"))
+    }: _*)
+    one.select(inline(rows)).orderBy("column")
+  }
+
   /** Referential-integrity check: one row
     * (n_child, n_orphans, ok) — child rows whose `childKey` has no match
     * in `parent.parentKey` (NULL child keys count as orphans: a NULL FK

@@ -50,6 +50,24 @@ object ModelStore {
       .map(_._2.sortBy(_._2).map(_._3))
   }
 
+  /** Save an ORDERED string-pair list (the BPE merge table: rank-ordered
+    * (lhs, rhs) merges — [[Bpe.learnMerges]] output): rows (i, lhs, rhs)
+    * with i the merge rank, so reload restores the exact application
+    * order the tokenizer's semantics depend on.
+    */
+  def savePairs(spark: SparkSession, pairs: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    pairs.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("i", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPairs(spark: SparkSession, path: String): Seq[(String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(path).select("i", "lhs", "rhs").as[(Int, String, String)]
+      .collect().sortBy(_._1).map(t => (t._2, t._3)).toSeq
+  }
+
   /** Save a 3-tensor (e.g. PQ codebooks, m × 2^bits × subDim):
     * rows (i, j, k, v).
     */

@@ -992,6 +992,22 @@ object Oracles {
       s"""SELECT * FROM ($branches) ORDER BY "column"""".stripMargin
     },
 
+    // The approx-profile gate: exact metrics verbatim plus the accuracy
+    // contract — DuckDB cannot reproduce Spark's HLL++ estimate, so the
+    // twin asserts the IN-PLAN 5%-of-exact boolean is true on every row
+    // (the x3_ivf_recall gate pattern).
+    "x10_dq_profile_approx" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val branches = cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  round(1.0 - sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)*1.0
+           |        / greatest(count(*), 1), 6) AS completeness,
+           |  count(DISTINCT $c) AS n_distinct, true AS approx_ok FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT * FROM ($branches) ORDER BY "column"""".stripMargin
+    },
+
     // Mirrors the x10 constraint suite: PK uniqueness, two FK anti-join
     // counts, one range rule — (constraint, n, violations, ok) rows.
     "x10_dq_constraints" ->
@@ -2057,6 +2073,13 @@ object Oracles {
     // Mirrors Classify.logregFitOnDomainTrust + logregScore via the shared
     // LogregScoreChain (see its scaladoc for the determinism discipline).
     "x5_logreg_quality" ->
+      s"""WITH $LogregScoreChain
+         |SELECT doc_id, score, (score > 0.5) AS pred FROM lrsc ORDER BY doc_id""".stripMargin,
+
+    // X11 persist→reload→score: the twin is the FRESH-FIT chain verbatim —
+    // hash equality is exactly the claim that the ModelStore parquet
+    // round-trip of the weight vector changes no scored bit.
+    "x11_model_reload" ->
       s"""WITH $LogregScoreChain
          |SELECT doc_id, score, (score > 0.5) AS pred FROM lrsc ORDER BY doc_id""".stripMargin,
 

@@ -3,9 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev tool: derive a ×N-scale copy of the `documents` and `embeddings`
-  * fixtures for scale rehearsals (SCALING.md) without touching the
-  * read-only test data.
+/** Dev tool: derive a ×N-scale copy of the `documents`, `embeddings`,
+  * `events`, and TPC-H-side (`customer`/`orders`/`lineitem`) fixtures for
+  * scale rehearsals (SCALING.md) without touching the read-only test data.
   *
   * The derivation is built so the WORKLOAD scales linearly — replica r of
   * the corpus preserves the original's internal similarity structure
@@ -61,6 +61,40 @@ object ScaleUp {
           (col("user_id") * factor + col("__r")).as("user_id"),
           col("event_type"), col("value"), col("props"))
         .repartition(32).write.mode("overwrite").parquet(s"$dest/events.parquet")
+    }
+
+    // TPC-H side (customer/orders/lineitem): replica r maps every KEY into
+    // a fresh key space while replicating both sides of every FK edge, so
+    // referential structure is preserved EXACTLY — the x10 constraint
+    // counts (0 violations) and PK uniqueness stay invariant while n_rows,
+    // join sizes, and per-column distinct counts scale ×N. Non-key
+    // attributes pass through, so selectivities and group counts
+    // (returnflag/status/segment) are scale-stable, matching how a real
+    // warehouse grows: more customers and orders, same schema physics.
+    val cuSrc = s"$src/customer.parquet"
+    if (new java.io.File(cuSrc).exists()) {
+      spark.read.parquet(cuSrc)
+        .crossJoin(broadcast(reps))
+        .select(
+          (col("c_custkey") * factor + col("__r")).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        .repartition(32).write.mode("overwrite").parquet(s"$dest/customer.parquet")
+      spark.read.parquet(s"$src/orders.parquet")
+        .crossJoin(broadcast(reps))
+        .select(
+          (col("o_orderkey") * factor + col("__r")).as("o_orderkey"),
+          (col("o_custkey") * factor + col("__r")).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .repartition(32).write.mode("overwrite").parquet(s"$dest/orders.parquet")
+      spark.read.parquet(s"$src/lineitem.parquet")
+        .crossJoin(broadcast(reps))
+        .select(
+          (col("l_orderkey") * factor + col("__r")).as("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+        .repartition(32).write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
     }
 
     val dim = 64

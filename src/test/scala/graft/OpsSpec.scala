@@ -1354,4 +1354,29 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().head
     assert(fkOk == ((2L, 0L, true)))
   }
+
+  test("X10a approx profile: same shape as exact, HLL estimate exact at small cardinality") {
+    import graft.ops.DataQuality
+    val tbl = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (2L, "b"), (null, "c"), (4L, null)
+    ).toDF("k", "v")
+    // HLL++ is exact below its sparse-mode threshold, so the estimate must
+    // EQUAL the exact distinct here; nulls/completeness identical to profile
+    val ap = DataQuality.profileApprox(tbl, Seq("k", "v"), rsd = 0.01)
+      .as[(String, Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(ap("k") == ("k", 5L, 1L, 0.8, 3L), ap("k").toString)
+    assert(ap("v") == ("v", 5L, 1L, 0.8, 3L), ap("v").toString)
+    assert(DataQuality.profileApprox(tbl, Seq("k")).columns.toSeq ==
+      Seq("column", "n_rows", "n_nulls", "completeness", "n_distinct_approx"),
+      "estimate column is named so it cannot be mistaken for the exact count")
+  }
+
+  test("X11 model store: ordered string-pair list (BPE merges) round-trips in rank order") {
+    import graft.ops.ModelStore
+    val dir = java.nio.file.Files.createTempDirectory("modelstore-pairs").toString
+    val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"))
+    ModelStore.savePairs(spark, merges, s"$dir/merges")
+    assert(ModelStore.loadPairs(spark, s"$dir/merges") == merges,
+      "pair list reloads in the exact merge-rank order application depends on")
+  }
 }

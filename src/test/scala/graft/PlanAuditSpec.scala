@@ -30,7 +30,11 @@ class PlanAuditSpec extends SparkSpec {
       "x3_pq_recall", "x3_ivfpq_topk", "x3_ivfpq_recall",
       // round-8 fifth wave: logreg fit (K gradient aggregates), union-find
       // edge collect, classifier eval (both fits) run at construction
-      "x5_logreg_quality", "x5_classifier_eval", "x7_dedup_pagerank", "x8_curation_v11")
+      "x5_logreg_quality", "x5_classifier_eval", "x7_dedup_pagerank", "x8_curation_v11",
+      // round-9: the persist→reload query runs the fit + artifact IO at
+      // construction (that IS the operator); its scoring plan is the
+      // x5_logreg_quality plan already swept
+      "x11_model_reload")
     (SparkEntry.queries.keySet -- constructionRunsJobs).toSeq.sorted.foreach { q =>
       assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian product")
     }

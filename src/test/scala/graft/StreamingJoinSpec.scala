@@ -10,12 +10,17 @@ import java.nio.file.Files
   * ingested (an inner interval join is watermark-insensitive at the end of
   * input), regardless of how the rows are batched.
   */
+object StreamingJoinSpec {
+  // top-level (not suite-nested) so the encoder compiles under codegen
+  // instead of silently falling back to interpreted mode
+  case class Row3(user_id: Long, event_id: Long, ts_ms: Long)
+}
+
 class StreamingJoinSpec extends SparkSpec {
   import spark.implicits._
+  import StreamingJoinSpec.Row3
 
   private val Tol = 2L * 3600 * 1000
-
-  private case class Row3(user_id: Long, event_id: Long, ts_ms: Long)
 
   test("stream-stream interval join equals the batch range join on the fixture events") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

@@ -1,0 +1,104 @@
+package graft
+
+import graft.streaming.StreamingZorder
+import graft.ops.Layout
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+object StreamingZorderSpec {
+  // top-level (not suite-nested) so the encoder compiles under codegen
+  case class Ev(event_id: Long, user_id: Long, ts_ms: Long)
+}
+
+/** The streaming OPTIMIZE pattern must deliver (a) exactly-once reads
+  * whatever the compaction cadence — every ingest batch is either covered
+  * by the latest clustered generation or in the live tail, never both or
+  * neither — and (b) a re-clustered layout whose 2-D pruning matches the
+  * one-shot batch z-order write of the same rows: compaction cannot cost
+  * clustering quality, only write amplification.
+  */
+class StreamingZorderSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingZorderSpec.Ev
+
+  /** Per-file (min,max) boxes of both dimensions for a parquet dir. */
+  private def boxes(path: String): Array[(Long, Long, Long, Long)] =
+    spark.read.parquet(path)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(
+        min("user_id").as("ul"), max("user_id").as("uh"),
+        min("ts_ms").as("tl"), max("ts_ms").as("th"))
+      .select("ul", "uh", "tl", "th").as[(Long, Long, Long, Long)].collect()
+
+  /** Files a min/max-pruning scan must read for a 2-D box predicate. */
+  private def filesRead(bx: Array[(Long, Long, Long, Long)],
+                        u: (Long, Long), t: (Long, Long)): Int =
+    bx.count { case (ul, uh, tl, th) =>
+      uh >= u._1 && ul <= u._2 && th >= t._1 && tl <= t._2
+    }
+
+  test("stream-compacted table reads exactly-once and prunes like the batch z-order write") {
+    val evRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val et = graft.functions.EventTime.bind(evRaw)
+    val rows = evRaw.select(col("event_id"), col("user_id"), et.ms.as("ts_ms"))
+      .as[(Long, Long, Long)].collect().map { case (e, u, m) => Ev(e, u, m) }
+
+    val root = Files.createTempDirectory("zorder-stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = input.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingZorder.appendBatch(df, root, id)
+      }
+      .option("checkpointLocation", Files.createTempDirectory("zs-ckpt").toString)
+      .start()
+    val batches = rows.grouped(250).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      input.addData(b.toSeq: _*); q.processAllAvailable()
+      // mid-stream compaction after the second batch: later batches land in
+      // the tail and the read below must union gen + tail seamlessly
+      if (i == 1) StreamingZorder.optimize(spark, root, "user_id", "ts_ms", 16)
+      val seen = StreamingZorder.read(spark, root).count()
+      val fed = batches.take(i + 1).map(_.length).sum
+      assert(seen == fed, s"after batch $i: read $seen rows, fed $fed")
+    }
+    q.stop()
+
+    // final OPTIMIZE: everything cold, tail empty, one covering generation
+    StreamingZorder.optimize(spark, root, "user_id", "ts_ms", 16)
+    val streamed = StreamingZorder.read(spark, root)
+      .select("event_id", "user_id", "ts_ms").as[(Long, Long, Long)].collect().sorted
+    assert(streamed.toSeq == rows.map(e => (e.event_id, e.user_id, e.ts_ms)).toSeq.sorted,
+      "compacted table must hold exactly the streamed rows (no loss, no dup)")
+    // idempotence: optimizing with nothing new is a no-op
+    val genBefore = StreamingZorder.latestClusteredPath(root).get
+    StreamingZorder.optimize(spark, root, "user_id", "ts_ms", 16)
+    assert(StreamingZorder.latestClusteredPath(root).get == genBefore,
+      "optimize with an empty tail must not write a new generation")
+
+    // pruning parity: one-shot batch z-order write of the SAME rows
+    val batchDir = Files.createTempDirectory("zorder-batch").toString + "/t"
+    val df = rows.toSeq.toDF("event_id", "user_id", "ts_ms")
+    Layout.zorderWrite(df, "user_id", "ts_ms", batchDir, numFiles = 16)
+    val sb = boxes(genBefore)
+    val bb = boxes(batchDir)
+    assert(sb.length == 16 && bb.length == 16)
+    // same clustering quality: mean per-file bounding-box area within 25%
+    // (range-sample boundaries may differ; the LAYOUT quality must not)
+    def meanArea(b: Array[(Long, Long, Long, Long)]) =
+      b.map { case (ul, uh, tl, th) => (uh - ul + 1).toDouble * (th - tl + 1) }.sum / b.length
+    assert(meanArea(sb) <= meanArea(bb) * 1.25,
+      s"stream-compacted boxes ${meanArea(sb)} vs batch ${meanArea(bb)}")
+    // same pruning on quarter-domain probes of each dimension + conjunction
+    val us = rows.map(_.user_id); val ts = rows.map(_.ts_ms)
+    val uq = (us.min, us.min + (us.max - us.min) / 4)
+    val tq = (ts.min, ts.min + (ts.max - ts.min) / 4)
+    val full = (Long.MinValue, Long.MaxValue)
+    Seq((uq, full), (full, tq), (uq, tq)).foreach { case (u, t) =>
+      val (s, b) = (filesRead(sb, u, t), filesRead(bb, u, t))
+      assert(math.abs(s - b) <= 1, s"probe u=$u t=$t: stream reads $s files, batch $b")
+      assert(s < 16, s"probe u=$u t=$t: no pruning at all ($s of 16 files)")
+    }
+  }
+}
