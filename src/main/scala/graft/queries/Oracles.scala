@@ -2076,6 +2076,60 @@ object Oracles {
       s"""WITH $LogregScoreChain
          |SELECT doc_id, score, (score > 0.5) AS pred FROM lrsc ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Anomaly.madOutlierReport: 6-dp-rounded interpolated medians
+    // (quantile_cont = Spark's exact percentile), MAD from the rounded
+    // median, flag boundary = literal double × rounded mad.
+    "x10_anomaly_mad" ->
+      """WITH amed AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        |amad AS (SELECT e.event_type, any_value(m.med) AS med,
+        |    round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |  FROM events e JOIN amed m USING (event_type) GROUP BY e.event_type)
+        |SELECT e.event_type, count(*) AS n, any_value(s.med) AS med,
+        |  any_value(s.mad) AS mad,
+        |  CAST(sum(CASE WHEN abs(e.value - s.med) >
+        |    CAST(5.1891 AS DOUBLE) * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN amad s USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // Mirrors Diff.snapshotDiff + the report agg: the mutated twin is
+    // derived by the same deterministic rules, the join is FULL OUTER on
+    // the key, and per-column null-safe compares (IS NOT DISTINCT FROM =
+    // Spark's <=>) decide changed vs unchanged.
+    "x10_table_diff" ->
+      """WITH dbase AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |              FROM orders),
+        |dmut AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 89 = 1 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM dbase WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT -(o_orderkey + 1), o_custkey, o_orderstatus, o_totalprice
+        |  FROM dbase WHERE o_orderkey % 101 = 0),
+        |dd AS (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN (a.o_custkey IS NOT DISTINCT FROM b.o_custkey)
+        |          AND (a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus)
+        |          AND (a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice)
+        |           THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM dbase a FULL OUTER JOIN dmut b ON a.o_orderkey = b.o_orderkey)
+        |SELECT status, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+        |FROM dd GROUP BY status ORDER BY status""".stripMargin,
+
+    // The quadratic all-pairs twin of the SymSpell deletion-banded edit-
+    // distance join: hash equality proves banding recall is exactly 1.
+    "x2_fuzzy_names" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // X11 persist→reload→score: the twin is the FRESH-FIT chain verbatim —
     // hash equality is exactly the claim that the ModelStore parquet
     // round-trip of the weight vector changes no scored bit.

@@ -240,6 +240,49 @@ object Queries {
       .orderBy("column")
   }
 
+  /** X10d: snapshot reconciliation ([[graft.ops.Diff]]) — diff the orders
+    * snapshot against a deterministically mutated twin (keys%97 dropped,
+    * totalprice bumped on keys%89==1, keys%101 re-added under negated
+    * keys), both derived IN-QUERY so either engine builds the identical
+    * pair; the audit report is (status, n, min_key, max_key) — the check
+    * that catches what timestamp-based CDC misses by construction.
+    */
+  private def x10TableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val mutated = base.where(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 89 === 1, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(base.where(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", -(col("o_orderkey") + 1)))
+    graft.ops.Diff.snapshotDiff(base, mutated, "o_orderkey")
+      .groupBy("status").agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("status")
+  }
+
+  /** X10m: robust metric anomaly report ([[graft.ops.Anomaly]]) — the
+    * median/MAD modified-z-score alarm per event type over the ingest
+    * feed's value column: the continuous-valued complement of the boolean
+    * constraint suite (x10_dq_constraints).
+    */
+  private def x10AnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    graft.ops.Anomaly.madOutlierReport(ev, "event_type", "value")
+  }
+
+  /** X2f: bounded-edit-distance name join ([[graft.ops.Fuzzy]]) — the
+    * entity-resolution primitive over customer names via SymSpell deletion
+    * banding: one codegen'd key projection + equi-join + exact levenshtein
+    * verify, never the quadratic theta-join. The twin IS that quadratic
+    * all-pairs form, so the hash gate proves the banding loses no pair.
+    */
+  private def x2FuzzyNames(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Fuzzy.editNeighborPairs(t(spark, dir, "customer"), "c_custkey",
+        col("c_name"))
+      .orderBy("id_a", "id_b")
+
   /** X10b: constraint suite — PK uniqueness, two FK integrity checks, one
     * range rule; each check one small agg/anti-join, unioned into the
     * audit report shape (constraint, n, violations, ok).
@@ -2461,7 +2504,10 @@ object Queries {
     "x8_curation_v11" -> (x8CurationV11 _),
     "x5_classifier_eval" -> (x5ClassifierEval _),
     "x5_feature_drift" -> (x5FeatureDrift _),
-    "x11_model_reload" -> (x11ModelReload _)
+    "x11_model_reload" -> (x11ModelReload _),
+    "x2_fuzzy_names" -> (x2FuzzyNames _),
+    "x10_table_diff" -> (x10TableDiff _),
+    "x10_anomaly_mad" -> (x10AnomalyMad _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

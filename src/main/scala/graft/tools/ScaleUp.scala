@@ -77,7 +77,16 @@ object ScaleUp {
         .crossJoin(broadcast(reps))
         .select(
           (col("c_custkey") * factor + col("__r")).as("c_custkey"),
-          col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+          // replica names get a TRIPLED-digit suffix (r=35 → "~333555"):
+          // any two distinct replica tags are ≥ 3 edits apart, so the
+          // fuzzy-join workload (x2_fuzzy_names) keeps its within-replica
+          // pair structure exactly and gains ZERO cross-replica pairs —
+          // pairs scale ×N, same contract as the documents `~r` suffixing
+          when(col("__r") === 0, col("c_name"))
+            .otherwise(concat(col("c_name"), lit("~"),
+              regexp_replace(col("__r").cast("string"), "(.)", "$1$1$1")))
+            .as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
         .repartition(32).write.mode("overwrite").parquet(s"$dest/customer.parquet")
       spark.read.parquet(s"$src/orders.parquet")
         .crossJoin(broadcast(reps))
