@@ -316,5 +316,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.FuzzyJoinRewrite)
   }
 }

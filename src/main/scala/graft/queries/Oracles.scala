@@ -2076,6 +2076,17 @@ object Oracles {
       s"""WITH $LogregScoreChain
          |SELECT doc_id, score, (score > 0.5) AS pred FROM lrsc ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Sequences.buildSequences: (ts, event_id) total order, cap
+    // BEFORE collection, space-joined token sequence per user.
+    "x7_build_sequences" ->
+      """WITH sq AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_ms(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  string_agg(event_type, ' ' ORDER BY rn) AS seq
+        |FROM sq WHERE rn <= 32 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // Mirrors Anomaly.madOutlierReport: 6-dp-rounded interpolated medians
     // (quantile_cont = Spark's exact percentile), MAD from the rounded
     // median, flag boundary = literal double × rounded mad.
@@ -2124,6 +2135,15 @@ object Oracles {
     // The quadratic all-pairs twin of the SymSpell deletion-banded edit-
     // distance join: hash equality proves banding recall is exactly 1.
     "x2_fuzzy_names" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // The NAIVE theta-join form planned through FuzzyJoinRewrite — same
+    // all-pairs twin; hash equality gates the optimizer rule on real data.
+    "x2_fuzzy_names_sql" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  levenshtein(a.c_name, b.c_name) AS dist
         |FROM customer a JOIN customer b

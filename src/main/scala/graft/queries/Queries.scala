@@ -262,6 +262,18 @@ object Queries {
       .orderBy("status")
   }
 
+  /** X7sq: per-user ordered event sequences ([[graft.ops.Sequences]]) —
+    * the training-example transpose of the event log, truncation pushed
+    * BEFORE collection so no buffer holds an unbounded history.
+    */
+  private def x7BuildSequences(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    graft.ops.Sequences.buildSequences(ev, "user_id",
+        graft.functions.EventTime.bind(ev).ms, "event_id", col("event_type"),
+        maxLen = 32)
+      .orderBy("user_id")
+  }
+
   /** X10m: robust metric anomaly report ([[graft.ops.Anomaly]]) — the
     * median/MAD modified-z-score alarm per event type over the ingest
     * feed's value column: the continuous-valued complement of the boolean
@@ -282,6 +294,23 @@ object Queries {
     graft.ops.Fuzzy.editNeighborPairs(t(spark, dir, "customer"), "c_custkey",
         col("c_name"))
       .orderBy("id_a", "id_b")
+
+  /** X2fr: the NAIVE declarative form of the same join — the theta-join a
+    * user would actually write — planned through
+    * [[graft.plans.FuzzyJoinRewrite]] into the deletion-key equi-join.
+    * Same all-pairs oracle as x2_fuzzy_names: the hash gate proves the
+    * optimizer rewrite is semantics-preserving on real data.
+    */
+  private def x2FuzzyNamesSql(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val a = cust.select(col("c_custkey").as("id_a"), col("c_name").as("__na"))
+    val b = cust.select(col("c_custkey").as("id_b"), col("c_name").as("__nb"))
+    a.join(b, levenshtein(col("__na"), col("__nb")) <= lit(1) &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__na"), col("__nb")).cast("long").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
 
   /** X10b: constraint suite — PK uniqueness, two FK integrity checks, one
     * range rule; each check one small agg/anti-join, unioned into the
@@ -2507,7 +2536,9 @@ object Queries {
     "x11_model_reload" -> (x11ModelReload _),
     "x2_fuzzy_names" -> (x2FuzzyNames _),
     "x10_table_diff" -> (x10TableDiff _),
-    "x10_anomaly_mad" -> (x10AnomalyMad _)
+    "x10_anomaly_mad" -> (x10AnomalyMad _),
+    "x2_fuzzy_names_sql" -> (x2FuzzyNamesSql _),
+    "x7_build_sequences" -> (x7BuildSequences _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
