@@ -2076,6 +2076,26 @@ object Oracles {
       s"""WITH $LogregScoreChain
          |SELECT doc_id, score, (score > 0.5) AS pred FROM lrsc ORDER BY doc_id""".stripMargin,
 
+    // Entity-resolution twin: the same fuzzy pair graph closed with the
+    // recursive-reachability pattern (x7_dedup_clusters), canonical = min
+    // reachable key, singletons canonical by themselves.
+    "x8_entity_resolution" ->
+      """WITH RECURSIVE
+        |erp AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1),
+        |eredges AS (SELECT id_a AS s, id_b AS d FROM erp
+        |            UNION SELECT id_b, id_a FROM erp),
+        |erreach(s, d) AS (SELECT s, d FROM eredges
+        |  UNION SELECT r.s, e2.d FROM erreach r JOIN eredges e2 ON r.d = e2.s),
+        |ercomp AS (SELECT s AS id, least(s, min(d)) AS component
+        |           FROM erreach GROUP BY s)
+        |SELECT c.c_custkey,
+        |  coalesce(p.component, c.c_custkey) AS canonical_key,
+        |  c.c_custkey = coalesce(p.component, c.c_custkey) AS is_canonical
+        |FROM customer c LEFT JOIN ercomp p ON c.c_custkey = p.id
+        |ORDER BY c.c_custkey""".stripMargin,
+
     // Mirrors Sequences.buildSequences: (ts, event_id) total order, cap
     // BEFORE collection, space-joined token sequence per user.
     "x7_build_sequences" ->

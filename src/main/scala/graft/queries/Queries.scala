@@ -274,6 +274,29 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** X8er: entity resolution — the MDM pipeline composed from this
+    * round's pieces: typo-tolerant name pairs ([[graft.ops.Fuzzy]]) →
+    * transitive closure ([[Components.connectedComponents]]) → canonical
+    * record per entity cluster (min key), singletons canonical by
+    * themselves. The sequential-name fixture chains into a few giant
+    * components (any two ids connected via single-digit steps), which is
+    * exactly the degenerate-blocking stress a resolution pipeline must
+    * survive; the twin closes the same graph recursively.
+    */
+  private def x8EntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val pairs = graft.ops.OpCaches.pin(
+      graft.ops.Fuzzy.editNeighborPairs(cust, "c_custkey", col("c_name"))
+        .select(col("id_a"), col("id_b")))
+    val comp = Components.connectedComponents(pairs)
+    cust.select(col("c_custkey"))
+      .join(comp, cust("c_custkey") === comp("id"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("component"), col("c_custkey")).as("canonical_key"))
+      .withColumn("is_canonical", col("c_custkey") === col("canonical_key"))
+      .orderBy("c_custkey")
+  }
+
   /** X10m: robust metric anomaly report ([[graft.ops.Anomaly]]) — the
     * median/MAD modified-z-score alarm per event type over the ingest
     * feed's value column: the continuous-valued complement of the boolean
@@ -2538,7 +2561,8 @@ object Queries {
     "x10_table_diff" -> (x10TableDiff _),
     "x10_anomaly_mad" -> (x10AnomalyMad _),
     "x2_fuzzy_names_sql" -> (x2FuzzyNamesSql _),
-    "x7_build_sequences" -> (x7BuildSequences _)
+    "x7_build_sequences" -> (x7BuildSequences _),
+    "x8_entity_resolution" -> (x8EntityResolution _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
