@@ -2076,6 +2076,23 @@ object Oracles {
       s"""WITH $LogregScoreChain
          |SELECT doc_id, score, (score > 0.5) AS pred FROM lrsc ORDER BY doc_id""".stripMargin,
 
+    // The quadratic all-pairs twin of the prefix-filtered exact Jaccard
+    // join: same trigram shingle sets (the decontaminate construction),
+    // integer-rational threshold — hash equality proves the prefix lemma
+    // loses no pair and the verify admits no extra.
+    "x2_allpairs_jaccard" -> {
+      s"""WITH apw AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         |apsh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+         |    THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+         |    ELSE [array_to_string(ws, ' ')] END) AS toks FROM apw),
+         |app AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+         |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+         |  FROM apsh a JOIN apsh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, inter, uni FROM app
+         |WHERE inter * 2 >= uni ORDER BY id_a, id_b""".stripMargin
+    },
+
     // Entity-resolution twin: the same fuzzy pair graph closed with the
     // recursive-reachability pattern (x7_dedup_clusters), canonical = min
     // reachable key, singletons canonical by themselves.

@@ -274,6 +274,17 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** X2ap: EXACT all-pairs Jaccard join ([[graft.ops.SetJoin]]) over
+    * trigram shingle sets at J ≥ 1/2 — the deterministic, no-false-
+    * negative complement to x2_minhash_lsh at the same threshold; the
+    * twin is the quadratic all-pairs form, so hash equality proves the
+    * prefix filter loses no pair.
+    */
+  private def x2AllpairsJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SetJoin.jaccardJoin(t(spark, dir, "documents"), "doc_id",
+        Dedup.wordShingles(col("text"), 3), tNum = 1, tDen = 2)
+      .orderBy("id_a", "id_b")
+
   /** X8er: entity resolution — the MDM pipeline composed from this
     * round's pieces: typo-tolerant name pairs ([[graft.ops.Fuzzy]]) →
     * transitive closure ([[Components.connectedComponents]]) → canonical
@@ -2562,7 +2573,8 @@ object Queries {
     "x10_anomaly_mad" -> (x10AnomalyMad _),
     "x2_fuzzy_names_sql" -> (x2FuzzyNamesSql _),
     "x7_build_sequences" -> (x7BuildSequences _),
-    "x8_entity_resolution" -> (x8EntityResolution _)
+    "x8_entity_resolution" -> (x8EntityResolution _),
+    "x2_allpairs_jaccard" -> (x2AllpairsJaccard _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
