@@ -34,7 +34,10 @@ class PlanAuditSpec extends SparkSpec {
       // round-9: the persist→reload query runs the fit + artifact IO at
       // construction (that IS the operator); its scoring plan is the
       // x5_logreg_quality plan already swept
-      "x11_model_reload")
+      "x11_model_reload",
+      // entity resolution runs the union-find edge collect at construction
+      // (its pair-join plan is x2_fuzzy_names', already swept)
+      "x8_entity_resolution")
     (SparkEntry.queries.keySet -- constructionRunsJobs).toSeq.sorted.foreach { q =>
       assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian product")
     }

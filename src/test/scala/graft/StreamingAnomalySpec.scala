@@ -54,5 +54,6 @@ class StreamingAnomalySpec extends SparkSpec {
     val streamed = spark.table("anom_out").as[(String, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(streamed == batchCounts, s"stream $streamed != batch $batchCounts")
+    stats.unpersist(blocking = true) // shared session: leave no cached blocks
   }
 }
