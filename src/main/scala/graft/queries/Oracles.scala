@@ -2093,6 +2093,15 @@ object Oracles {
          |WHERE inter * 2 >= uni ORDER BY id_a, id_b""".stripMargin
     },
 
+    // Heavy-hitters twin: plain exact count + HAVING — the MG sketch only
+    // bounds memory, the registered OUTPUT is exact by the recount.
+    "x6_heavy_hitters" ->
+      """WITH hhw AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |hhf AS (SELECT w, count(*) AS n_occurrences FROM hhw WHERE len(w) > 0 GROUP BY w),
+        |hht AS (SELECT sum(n_occurrences) AS total FROM hhf)
+        |SELECT w AS key, n_occurrences FROM hhf, hht
+        |WHERE n_occurrences * 20 > total ORDER BY key""".stripMargin,
+
     // Entity-resolution twin: the same fuzzy pair graph closed with the
     // recursive-reachability pattern (x7_dedup_clusters), canonical = min
     // reachable key, singletons canonical by themselves.

@@ -285,6 +285,19 @@ object Queries {
         Dedup.wordShingles(col("text"), 3), tNum = 1, tDen = 2)
       .orderBy("id_a", "id_b")
 
+  /** X6hh: exact heavy hitters in bounded memory ([[graft.ops.Frequent]])
+    * — every word with frequency > n/20 over the corpus via two-pass
+    * Misra–Gries; the sketch bounds MEMORY, the recount makes the OUTPUT
+    * exact, so the plain groupBy-HAVING twin gates it bit-for-bit.
+    */
+  private def x6HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val words = t(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    graft.ops.Frequent.heavyHitters(words, col("w"), k = 20)
+      .orderBy("key")
+  }
+
   /** X8er: entity resolution — the MDM pipeline composed from this
     * round's pieces: typo-tolerant name pairs ([[graft.ops.Fuzzy]]) →
     * transitive closure ([[Components.connectedComponents]]) → canonical
@@ -2574,7 +2587,8 @@ object Queries {
     "x2_fuzzy_names_sql" -> (x2FuzzyNamesSql _),
     "x7_build_sequences" -> (x7BuildSequences _),
     "x8_entity_resolution" -> (x8EntityResolution _),
-    "x2_allpairs_jaccard" -> (x2AllpairsJaccard _)
+    "x2_allpairs_jaccard" -> (x2AllpairsJaccard _),
+    "x6_heavy_hitters" -> (x6HeavyHitters _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
