@@ -280,6 +280,254 @@ case class SimhashPack(child: Expression, nWords: Int)
     copy(child = newChild)
 }
 
+/** Deterministic pseudo-random hyperplane components shared by the RHP /
+  * PQ families: dyadic rational in [-1, 1) derived from md5("hp_<k>_<i>"),
+  * portable to any engine with md5 (the DuckDB twins compute the identical
+  * value). Lives here so [[PqSignPack]] and `ops.Similarity.planeComponent`
+  * derive from one definition and cannot drift.
+  */
+object Hyperplanes {
+  def component(k: Int, i: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp_${k}_${i}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = digest.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xFFL))
+    v / 2147483648.0 - 1.0
+  }
+}
+
+/** The whole PQ code array in one compiled pass over a vector: for each of
+  * `m` contiguous subspaces, the packed sign bits of `bitsPerCode` md5
+  * hyperplane projections (plane k = s·bitsPerCode+j over sub-dimension
+  * indices — [[Hyperplanes.component]]).
+  *
+  * Why a native expression: the Column formulation inlines m·bitsPerCode
+  * `when(round(dot(slice...)) >= 0, …)` chains — 128 literal-plane CASE
+  * trees at the registered 32×4 regime — which blows Janino's 64 KB method
+  * limit and drops the whole stage to interpreted row-at-a-time eval
+  * (observed: `CodeGenerator: Failed to compile … Code grows beyond 64 KB`
+  * on the PQ fit path, VERDICT r9 §What's-wrong #1). Here the planes ride a
+  * codegen reference object and the generated method is one call — KB-sized
+  * regardless of m·bitsPerCode — so the fit/search stages stay inside
+  * whole-stage codegen.
+  *
+  * Semantics are IDENTICAL to the Column form, per bit:
+  * `round(dot(slice(vec, s·subDim+1, subDim), plane_k), 6) >= 0` with
+  * graft_dot's rules (floats widened exactly, null elements contribute 0,
+  * shorter side truncates — an out-of-range slice gives dot 0.0, whose
+  * round is >= 0, so the bit is SET), Spark `round` = HALF_UP via
+  * BigDecimal with NaN/Infinity passed through, and Spark double ordering
+  * (NaN > everything, so a NaN projection sets the bit). A null vector
+  * yields the all-zero code array (the `when(null >= 0).otherwise(0)`
+  * behavior of the Column form), hence `nullable = false`.
+  */
+case class PqSignPack(child: Expression, dim: Int, m: Int, bitsPerCode: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(m > 0 && dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
+
+  private val subDim = dim / m
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_codes expects array<float|double>, got $t")
+  }
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(m * bitsPerCode, subDim)(Hyperplanes.component)
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def zeros(): ArrayData = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Int](m))
+
+  def pack(input: ArrayData): ArrayData = {
+    val len = input.numElements()
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val start = s * subDim
+      val n = math.min(math.max(len - start, 0), subDim)
+      var code = 0
+      var j = 0
+      while (j < bitsPerCode) {
+        val pl = planes(s * bitsPerCode + j)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val x =
+            if (input.isNullAt(start + i)) 0.0
+            else if (isFloat) input.getFloat(start + i).toDouble
+            else input.getDouble(start + i)
+          acc += x * pl(i)
+          i += 1
+        }
+        val r =
+          if (java.lang.Double.isNaN(acc) || java.lang.Double.isInfinite(acc)) acc
+          else java.math.BigDecimal.valueOf(acc)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (java.lang.Double.isNaN(r) || r >= 0) code |= (1 << j)
+        j += 1
+      }
+      out(s) = code
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) zeros() else pack(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("pqSignPack", this, classOf[PqSignPack].getName)
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${c.isNull} ? $ref.zeros() : $ref.pack(${c.value});
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The PQ asymmetric-distance numerator (query · reconstruction) in one
+  * compiled pass: for each subspace s, the dot of the query's sub-vector
+  * with the codebook centroid addressed by code s, rounded to 6 dp, summed
+  * EXACTLY across subspaces (scale-6 BigDecimal — the same value chain as
+  * `round(dot) → DECIMAL(18,6) → reduce(+) → double` in Column form, so
+  * scores stay bit-identical to the DuckDB twin).
+  *
+  * Why native: the Column form is m parallel `element_at(map-literal)` +
+  * dot + decimal chains; at the registered m=32 regime the generated
+  * projection method exceeds HotSpot's 8 KB JIT ceiling
+  * (-XX:-DontCompileHugeMethods default), so the ADC loop — executed once
+  * per (query, candidate) pair, the hottest loop of the PQ family — runs in
+  * the BYTECODE INTERPRETER (~100 µs/pair measured at 32×4). Here the
+  * fitted codebook rides a codegen reference object and the whole ADC is
+  * one JIT-able loop.
+  *
+  * Null semantics mirror the Column form: null query vector or null codes
+  * array → null; a code outside the codebook, or a NaN/Infinite subspace
+  * dot (not representable in decimal) → null, like `element_at`'s
+  * missing-key null and `cast(NaN as decimal)` annihilating the sum. Null
+  * query elements contribute 0 (graft_dot's rule); a query shorter than
+  * s·subDim gives that subspace an empty slice → dot 0.0.
+  *
+  * `booksLit` must be a foldable array<array<array<double>>> literal
+  * (subspace → code → centroid) — the fitted model artifact riding the
+  * plan, exactly like the map literals it replaces.
+  */
+case class PqAdc(qv: Expression, codes: Expression, booksLit: Expression, subDim: Int)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(qv, codes, booksLit)
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (qv.dataType, codes.dataType) match {
+    case (ArrayType(q, _), ArrayType(IntegerType, _)) if q == FloatType || q == DoubleType =>
+      booksLit.dataType match {
+        case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) if booksLit.foldable =>
+          TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_adc expects a foldable array<array<array<double>>> codebook, got $t")
+      }
+    case (q, c) => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_adc expects (array<float|double>, array<int>), got ($q, $c)")
+  }
+
+  @transient private lazy val books: Array[Array[Array[Double]]] = {
+    val outer = booksLit.eval().asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements()) { s =>
+      val mid = outer.getArray(s)
+      Array.tabulate(mid.numElements()) { c =>
+        mid.getArray(c).toDoubleArray()
+      }
+    }
+  }
+
+  @transient private lazy val qvFloat: Boolean =
+    qv.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def adc(q: ArrayData, c: ArrayData): Any = {
+    val m = books.length
+    var acc = java.math.BigDecimal.ZERO.setScale(6)
+    var s = 0
+    while (s < m) {
+      if (s >= c.numElements() || c.isNullAt(s)) return null
+      val code = c.getInt(s)
+      if (code < 0 || code >= books(s).length) return null
+      val cent = books(s)(code)
+      val start = s * subDim
+      val n = math.min(math.max(q.numElements() - start, 0), math.min(subDim, cent.length))
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x =
+          if (q.isNullAt(start + i)) 0.0
+          else if (qvFloat) q.getFloat(start + i).toDouble
+          else q.getDouble(start + i)
+        d += x * cent(i)
+        i += 1
+      }
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
+      acc = acc.add(java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+      s += 1
+    }
+    acc.doubleValue()
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val q = qv.eval(input)
+    if (q == null) return null
+    val c = codes.eval(input)
+    if (c == null) return null
+    adc(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+    val qe = qv.genCode(ctx)
+    val ce = codes.genCode(ctx)
+    val r = ctx.freshName("adcRes")
+    ev.copy(code = code"""
+      ${qe.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = -1.0;
+      if (!${qe.isNull}) {
+        ${ce.code}
+        if (!${ce.isNull}) {
+          Object $r = $ref.adc(${qe.value}, ${ce.value});
+          if ($r != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = ((Double) $r).doubleValue();
+          }
+        }
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(qv = newChildren(0), codes = newChildren(1), booksLit = newChildren(2))
+}
+
 /** Session registration for graft's native expressions (usable from SQL as
   * `graft_dot(a, b)` / `graft_sig_agree(a, b)` and from the DataFrame API
   * via `call_function`).
@@ -291,7 +539,13 @@ object GraftFunctions {
     "graft_minhash_sig" -> (children => MinhashSignature(children.head,
       children(1).eval().asInstanceOf[Int])),
     "graft_simhash" -> (children => SimhashPack(children.head,
-      children(1).eval().asInstanceOf[Int])))
+      children(1).eval().asInstanceOf[Int])),
+    "graft_pq_codes" -> (children => PqSignPack(children.head,
+      children(1).eval().asInstanceOf[Int],
+      children(2).eval().asInstanceOf[Int],
+      children(3).eval().asInstanceOf[Int])),
+    "graft_pq_adc" -> (children => PqAdc(children.head, children(1), children(2),
+      children(3).eval().asInstanceOf[Int])))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = functions.foreach { case (name, builder) =>

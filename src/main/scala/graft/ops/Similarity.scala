@@ -122,12 +122,8 @@ object Similarity {
     * so RHP-LSH bucket keys are engine-independent, exactly like the md5
     * base hash of the minhash family.
     */
-  private[graft] def planeComponent(k: Int, i: Int): Double = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"hp_${k}_${i}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val v = digest.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xFFL))
-    v / 2147483648.0 - 1.0
-  }
+  private[graft] def planeComponent(k: Int, i: Int): Double =
+    graft.functions.Hyperplanes.component(k, i)
 
   /** X2 at scale: embedding near-duplicate pairs via random-hyperplane LSH
     * (sign-random-projection) — the sub-quadratic path that replaces the
@@ -680,15 +676,12 @@ object Similarity {
     */
   private[graft] def pqCodesExpr(vec: Column, dim: Int, m: Int, bitsPerCode: Int): Column = {
     require(dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
-    val subDim = dim / m
-    val planes = Array.tabulate(m * bitsPerCode, subDim)(planeComponent)
-    array((0 until m).map { s =>
-      (0 until bitsPerCode).map { j =>
-        val k = s * bitsPerCode + j
-        when(round(dot(slice(vec, s * subDim + 1, subDim),
-            typedlit(planes(k).toSeq)), 6) >= 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
+    // Native compiled form ([[graft.functions.PqSignPack]]): the Column
+    // formulation inlined m*bitsPerCode literal-plane CASE chains, blowing
+    // Janino's 64 KB method limit at the registered 32x4 regime and forcing
+    // the whole fit stage to interpreted eval (VERDICT r9). Semantics are
+    // bit-identical; callers all register graft functions first.
+    call_function("graft_pq_codes", vec, lit(dim), lit(m), lit(bitsPerCode))
   }
 
   def pqCodes(corpus: DataFrame, dim: Int, m: Int = 8, bitsPerCode: Int = 4,
@@ -750,18 +743,16 @@ object Similarity {
     * design (quantization error), audited by the recall query against the
     * brute-force truth.
     */
-  /** Literal per-subspace lookup tables for a fitted codebook:
-    * code → centroid, and code → round6 squared norm (norm2 summed
-    * index-order over the centroid, like the twin's list_sum). Shared by
-    * [[pqTopK]] and [[ivfPqTopK]] so ADC scoring cannot drift between the
-    * flat and the cell-restricted search.
+  /** Literal per-subspace norm lookup tables for a fitted codebook:
+    * code → round6 squared norm (norm2 summed index-order over the
+    * centroid, like the twin's list_sum). Shared by [[pqTopK]],
+    * [[ivfPqTopK]] and the streaming server so reconstruction norms cannot
+    * drift between the flat and the cell-restricted search. (Centroid
+    * lookups for the ADC numerator live in the native
+    * [[graft.functions.PqAdc]] expression instead.)
     */
-  private[graft] def pqLookupMaps(books: Array[Array[Array[Double]]], m: Int)
-      : (Seq[Column], Seq[Column]) = {
-    val centMaps = (0 until m).map { s =>
-      typedlit(books(s).indices.map(c => c -> books(s)(c).toSeq).toMap)
-    }
-    val normMaps = (0 until m).map { s =>
+  private[graft] def pqNormMaps(books: Array[Array[Array[Double]]], m: Int): Seq[Column] =
+    (0 until m).map { s =>
       typedlit(books(s).indices.map { c =>
         val v = books(s)(c)
         var ss = 0.0; var i = 0
@@ -769,25 +760,41 @@ object Similarity {
         c -> round6L(ss)
       }.toMap)
     }
-    (centMaps, normMaps)
-  }
 
   /** Reconstruction squared norm of a code array through the normMaps —
-    * round6 per subspace, exact DECIMAL(18,6) across subspaces. */
+    * round6 per subspace, exact decimal sum across subspaces.
+    *
+    * Formulated as ONE `zip_with`+`aggregate` pass so `codes` is referenced
+    * exactly once: the per-subspace `element_at(codes, s+1)` chain is
+    * "extract-only" to CollapseProject, which inlines the producer into all
+    * m references — free when codes was a `CreateArray` (each extract
+    * simplifies to one element expression), but a full per-reference
+    * re-evaluation of the native [[graft.functions.PqSignPack]] call (m×
+    * the whole pack per row — the measured 3× pq_topk regression when the
+    * native expression first landed). The decimal accumulator is exact
+    * (values are 6-dp multiples, bounded by m·dim), so the sum is
+    * bit-identical to the old per-column DECIMAL(18,6) reduce chain.
+    */
   private[graft] def pqReconNorm2(codes: Column, normMaps: Seq[Column], m: Int): Column =
-    (0 until m).map(s =>
-        element_at(normMaps(s), element_at(codes, s + 1)).cast(DecimalType(18, 6)))
-      .reduce(_ + _).cast("double")
+    aggregate(
+      zip_with(codes, array(normMaps: _*), (c, mp) => element_at(mp, c)),
+      lit(0).cast(DecimalType(38, 6)),
+      (acc, x) => (acc + x.cast(DecimalType(18, 6))).cast(DecimalType(38, 6)))
+      .cast("double")
 
   /** ADC numerator: query · reconstruction, round6 per subspace, exact
-    * DECIMAL(18,6) across subspaces. */
-  private[graft] def pqAdcNumerator(qv: Column, codes: Column, centMaps: Seq[Column],
-                             m: Int, subDim: Int): Column =
-    (0 until m).map { s =>
-      round(dot(slice(qv, s * subDim + 1, subDim),
-        element_at(centMaps(s), element_at(codes, s + 1))), 6)
-        .cast(DecimalType(18, 6))
-    }.reduce(_ + _).cast("double")
+    * decimal sum across subspaces — the native
+    * [[graft.functions.PqAdc]] expression (one JIT-able loop, codebook as
+    * a plan literal). The Column formulation (m parallel map-lookup +
+    * decimal chains) generated a method past HotSpot's 8 KB JIT ceiling at
+    * m=32, leaving the hottest per-pair loop of the PQ family running in
+    * the bytecode interpreter (~100 µs/pair measured); values are
+    * bit-identical.
+    */
+  private[graft] def pqAdcNumerator(qv: Column, codes: Column,
+                             books: Array[Array[Array[Double]]], subDim: Int): Column =
+    call_function("graft_pq_adc", qv, codes,
+      typedlit(books.map(_.map(_.toSeq).toSeq).toSeq), lit(subDim))
 
   private def pqRank(scored: DataFrame, k: Int): DataFrame =
     scored.withColumn("rank", row_number().over(
@@ -802,7 +809,7 @@ object Similarity {
     GraftFunctions.register(queries.sparkSession)
     val subDim = dim / m
     val books = pqFitCodebooks(corpus, dim, m, bitsPerCode, idCol, vecCol)
-    val (centMaps, normMaps) = pqLookupMaps(books, m)
+    val normMaps = pqNormMaps(books, m)
     val coded = pqCodes(corpus, dim, m, bitsPerCode, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("codes"),
         pqReconNorm2(col("codes"), normMaps, m).as("__rn2"))
@@ -810,7 +817,7 @@ object Similarity {
       norm(col(vecCol)).as("__qn")))
     val scored = coded.crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__num", pqAdcNumerator(col("__qv"), col("codes"), centMaps, m, subDim))
+      .withColumn("__num", pqAdcNumerator(col("__qv"), col("codes"), books, subDim))
       .withColumn("__cos",
         round(col("__num") / (col("__qn") * sqrt(col("__rn2"))), 6))
     pqRank(scored, k)
@@ -847,7 +854,7 @@ object Similarity {
     GraftFunctions.register(queries.sparkSession)
     val subDim = dim / m
     val books = pqFitCodebooks(corpus, dim, m, bitsPerCode, idCol, vecCol)
-    val (centMaps, normMaps) = pqLookupMaps(books, m)
+    val normMaps = pqNormMaps(books, m)
     val cellPlanes = Array.tabulate(bitsPerCell, dim)(planeComponent)
     def cellExpr(v: Column) =
       element_at(signBucketArray(v, cellPlanes, 1, bitsPerCell), 1).cast("int")
@@ -876,7 +883,7 @@ object Similarity {
       .select(col("query_id"), col("__qv"), col("__qn"), col("__cell"))
     val scored = broadcast(probes).join(coded, "__cell")
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__num", pqAdcNumerator(col("__qv"), col("codes"), centMaps, m, subDim))
+      .withColumn("__num", pqAdcNumerator(col("__qv"), col("codes"), books, subDim))
       .withColumn("__cos",
         round(col("__num") / (col("__qn") * sqrt(col("__rn2"))), 6))
     pqRank(scored, k)

@@ -93,7 +93,7 @@ object StreamingAnnServe {
   def codedIndex(corpus: DataFrame, fz: FrozenIvfPq,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val (_, normMaps) = Similarity.pqLookupMaps(fz.books, fz.m)
+    val normMaps = Similarity.pqNormMaps(fz.books, fz.m)
     corpus.select(col(idCol).as("neighbor_id"),
         cellCol(col(vecCol), fz.cellPlanes, fz.bitsPerCell).as("__cell"),
         Similarity.pqCodesExpr(col(vecCol), fz.dim, fz.m, fz.bitsPerCode).as("codes"))
@@ -120,7 +120,6 @@ object StreamingAnnServe {
     val spark = queries.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val (centMaps, _) = Similarity.pqLookupMaps(fz.books, fz.m)
     val subDim = fz.dim / fz.m
     // per arrival: nProbe (query, cell) rows, carrying the raw vector and
     // its norm for the ADC columns downstream
@@ -132,7 +131,7 @@ object StreamingAnnServe {
     val scored = probes.join(index, "__cell")
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("__num",
-        Similarity.pqAdcNumerator(col("__qv"), col("codes"), centMaps, fz.m, subDim))
+        Similarity.pqAdcNumerator(col("__qv"), col("codes"), fz.books, subDim))
       .withColumn("__cos", round(col("__num") / (col("__qn") * sqrt(col("__rn2"))), 6))
     // per-query top-k as a streaming agg: sort candidates by (cos desc,
     // neighbor asc) via a lexicographic struct and slice k
