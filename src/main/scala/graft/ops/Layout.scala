@@ -47,10 +47,22 @@ object Layout {
     */
   def rank(v: String, minV: String, maxV: String, bits: Int = ZBits): Column = {
     val maxSpan = 1L << (63 - bits) // (span)·(2^bits−1) < 2^63 ⇔ span < 2^(63−bits)
+    // The span via try_subtract: a raw `-` over a column range >= 2^63 (the
+    // full-width hash-id case) wraps negative in non-ANSI mode and throws an
+    // opaque ARITHMETIC_OVERFLOW in ANSI mode — either way the >= maxSpan
+    // product guard below never sees it. try_subtract returns NULL on
+    // overflow in BOTH modes (min/max aggregates guarantee a true span is
+    // representable-or-overflowed, never legitimately negative), so NULL or
+    // negative here proves the subtraction itself overflowed.
+    val span = try_subtract(col(maxV), col(minV))
     when(col(maxV) === col(minV), lit(0L))
-      .when(col(maxV) - col(minV) >= maxSpan,
+      .when(span.isNull || span < 0L,
         raise_error(concat(
-          lit(s"Layout.rank($v): column span "), (col(maxV) - col(minV)).cast("string"),
+          lit(s"Layout.rank($v): column range exceeds 2^63 (span subtraction " +
+            "overflowed); pre-scale or hash-bucket the column"))).cast("long"))
+      .when(span >= maxSpan,
+        raise_error(concat(
+          lit(s"Layout.rank($v): column span "), span.cast("string"),
           lit(s" >= 2^${63 - bits} would overflow the Long rank product; " +
             "pre-scale or hash-bucket the column"))).cast("long"))
       .otherwise(expr(s"(($v - $minV) * ${(1L << bits) - 1}) div ($maxV - $minV)"))

@@ -40,10 +40,34 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * cross-side equi conjunct may already exist (hand-banded plans keep
   * their keys). Marker attributes make the rule fixpoint-safe. Other
   * conjuncts ride along unchanged.
+  *
+  * LENGTH SCOPE: the deletion neighborhood is L+1 keys of ~L chars — an
+  * O(L²)-bytes-per-row generate that is the right trade for id-like
+  * strings and a memory cliff for long text (where the slow nested-loop
+  * join the user wrote would at least have COMPLETED). So the band-key
+  * expression is length-adaptive around `spark.graft.fuzzyRewrite.maxLen`
+  * (default 64; ≤ 0 disables the rewrite): strings under the cap band by
+  * deletion neighborhood as above; strings AT or over the cap emit just
+  * two LENGTH-BUCKET keys — edit distance ≤ 1 forces |len(a) − len(b)| ≤ 1,
+  * so keys {len, len+1} under a reserved prefix preserve recall 1 while
+  * restricting long-text candidates to Δlen ≤ 1 (never worse than the
+  * nested loop, O(1) key bytes per row). The one boundary pair class —
+  * len = cap−1 against len = cap — is covered by the cap−1 rows also
+  * emitting the {cap} bucket key. A data string colliding with a bucket
+  * key only creates a false CANDIDATE, which the exact levenshtein verify
+  * kills; the first-shared-key guards are key-agnostic, so multiplicity
+  * stays exact across mixed short/long/boundary pairs.
   */
 object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val Marker = "__graft_fband"
+
+  /** Length cap for the deletion-neighborhood premise (see LENGTH SCOPE
+    * above); ≤ 0 disables the rewrite.
+    */
+  val MaxLenKey = "spark.graft.fuzzyRewrite.maxLen"
+
+  private def maxLen: Int = conf.getConfString(MaxLenKey, "64").toInt
 
   /** `levenshtein(l, r) <= k` in any orientation (strict forms folded to
     * inclusive bounds); the 2-arg form only — a threshold form already
@@ -89,10 +113,35 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       ArrayTransform(seq, LambdaFunction(del, Seq(i))))))
   }
 
+  /** A length-bucket key under a reserved NUL prefix (collisions with data
+    * strings are harmless — verify kills false candidates).
+    */
+  private def bucketKey(n: Expression): Expression =
+    Concat(Seq(Literal.create("\u0000len:", StringType), Cast(n, StringType)))
+
+  /** The length-adaptive band-key array (see LENGTH SCOPE in the object
+    * scaladoc): deletion neighborhood under the cap, {len, len+1} bucket
+    * keys at/over it, both at the cap−1 boundary.
+    */
+  private def bandKeys(s: Expression, cap: Int): Expression = {
+    val len = Length(s)
+    // each branch gets a FRESH deletionKeys tree: the lambda variable
+    // inside carries an exprId, and the same id declared twice in one
+    // generated method is a Janino duplicate-local error
+    CaseWhen(
+      Seq(
+        (GreaterThanOrEqual(len, Literal(cap)),
+          CreateArray(Seq(bucketKey(len), bucketKey(Add(len, Literal(1)))))),
+        (EqualTo(len, Literal(cap - 1)),
+          ArrayDistinct(Concat(Seq(deletionKeys(s),
+            CreateArray(Seq(bucketKey(Add(len, Literal(1)))))))))),
+      Some(deletionKeys(s)))
+  }
+
   /** Child + (keys array, posexploded (pos, key)) via Project + Generate. */
-  private def expandSide(plan: LogicalPlan, s: Expression, tag: String):
+  private def expandSide(plan: LogicalPlan, s: Expression, cap: Int, tag: String):
       (LogicalPlan, Attribute, AttributeReference, AttributeReference) = {
-    val ka = Alias(deletionKeys(s), s"${Marker}_ka$tag")()
+    val ka = Alias(bandKeys(s, cap), s"${Marker}_ka$tag")()
     val projected = Project(plan.output :+ ka, plan)
     val posAttr = AttributeReference(s"${Marker}_p$tag", IntegerType, nullable = false)()
     val keyAttr = AttributeReference(s"${Marker}_k$tag", StringType, nullable = true)()
@@ -112,7 +161,8 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case EqualNullSafe(l, r) => crossSides(l, r, left, right)
         case _ => false
       }
-      val candidate = if (hasEquiKey) None else conjuncts.collectFirst {
+      val cap = maxLen
+      val candidate = if (hasEquiKey || cap <= 0) None else conjuncts.collectFirst {
         case EditBound(a, b, k)
             if k >= 0 && k <= 1 && a.dataType == StringType && b.dataType == StringType &&
               sidesSplit(a, b, left, right).isDefined =>
@@ -122,8 +172,8 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case None => j
         case Some((a, b, k)) =>
           val Some((sL, sR)) = sidesSplit(a, b, left, right)
-          val (genL, kaL, posL, keyL) = expandSide(left, sL, "l")
-          val (genR, kaR, posR, keyR) = expandSide(right, sR, "r")
+          val (genL, kaL, posL, keyL) = expandSide(left, sL, cap, "l")
+          val (genR, kaR, posR, keyR) = expandSide(right, sR, cap, "r")
           // first-shared-key guard: (1) no EARLIER left key occurs anywhere
           // in the right key set; (2) no earlier right position holds THIS
           // key — together the surviving (posL, posR) is unique per pair.
@@ -144,8 +194,13 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // identical tri-state semantics). Measured 10× on the verify-
           // dominated regime (SCALING.md r9).
           val banded = GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(k))), Literal(0))
+          // semanticEquals, not structural ==: a cosmetically different
+          // duplicate of the matched conjunct (case-differing attribute
+          // names, commuted casts) must ALSO get the banded form or it
+          // silently re-runs the full O(L²) DP per candidate
           val kept = conjuncts.map {
-            case EditBound(a2, b2, k2) if a2 == a && b2 == b && k2 == k => banded
+            case EditBound(a2, b2, k2)
+                if a2.semanticEquals(a) && b2.semanticEquals(b) && k2 == k => banded
             case other => other
           }
           val newCond = (Seq(EqualTo(keyL, keyR)) ++ kept ++ Seq(guard1, guard2))

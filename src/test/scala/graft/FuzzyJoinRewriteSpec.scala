@@ -70,6 +70,56 @@ class FuzzyJoinRewriteSpec extends SparkSpec {
     assert(thr.queryExecution.executedPlan.toString().contains("BroadcastNestedLoopJoin"))
   }
 
+  test("length scope: long strings band by length bucket — same result, no L+1-key explode") {
+    // cap = 8: "abcdefg" (7 = cap-1, boundary), "abcdefgh" (8, long),
+    // "abcdefghx" (9, long), an equal-length long substitution pair, a far
+    // long word, plus short words — every pair class crosses the cap
+    val mixed = Seq("abcdefg", "abcdefgh", "abcdefghx", "abcdefgX",
+      "zzzzzzzzzz", "spark", "spork").zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val bruteM = (for {
+      (ia, wa) <- mixed; (ib, wb) <- mixed if refDist(wa, wb) <= 1
+    } yield (ia, ib)).toSet
+    val a = mixed.toDF("id_a", "wa")
+    val b = mixed.toDF("id_b", "wb")
+    withSQLConf(graft.plans.FuzzyJoinRewrite.MaxLenKey -> "8") {
+      val joined = a.join(b, levenshtein(a("wa"), b("wb")) <= lit(1))
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"long-string join was not rewritten:\n$plan")
+      val got = joined.select("id_a", "id_b").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, "length-bucket banding duplicated pairs")
+      assert(got.toSet == bruteM, s"missing=${bruteM -- got.toSet} extra=${got.toSet -- bruteM}")
+    }
+  }
+
+  test("maxLen <= 0 disables the rewrite (the user's nested loop stands)") {
+    val a = words.toDF("id_a", "wa")
+    val b = words.toDF("id_b", "wb")
+    withSQLConf(graft.plans.FuzzyJoinRewrite.MaxLenKey -> "0") {
+      val joined = a.join(b, levenshtein(a("wa"), b("wb")) <= lit(1))
+      assert(joined.queryExecution.executedPlan.toString().contains("BroadcastNestedLoopJoin"))
+      assert(joined.select("id_a", "id_b").as[(Long, Long)].collect().toSet == brute(1))
+    }
+  }
+
+  test("a cosmetically different duplicate conjunct also gets the threshold form") {
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    words.toDF("id", "w").createOrReplaceTempView("fuzzy_words_dup")
+    // same predicate twice with case-differing column references: structural
+    // == misses the duplicate, semanticEquals must not
+    val df = spark.sql(
+      """SELECT a.id AS id_a, b.id AS id_b FROM fuzzy_words_dup a JOIN fuzzy_words_dup b
+        |ON levenshtein(a.w, b.w) <= 1 AND levenshtein(a.W, b.W) <= 1 AND a.id < b.id""".stripMargin)
+    val levs = df.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case l: Levenshtein => l }) ++
+      df.queryExecution.optimizedPlan.collect { case p => p.expressions }.flatten
+        .flatMap(_.collect { case l: Levenshtein => l })
+    assert(levs.nonEmpty)
+    assert(levs.forall { case Levenshtein(_, _, t) => t.isDefined },
+      s"an unbanded full-DP levenshtein survived: $levs")
+    assert(df.as[(Long, Long)].collect().toSet == brute(1).filter { case (x, y) => x < y })
+  }
+
   test("SQL path: a naive fuzzy self-join written in SQL gets the banded plan") {
     words.toDF("id", "w").createOrReplaceTempView("fuzzy_words")
     val df = spark.sql(

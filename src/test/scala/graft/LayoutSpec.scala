@@ -38,6 +38,22 @@ class LayoutSpec extends SparkSpec {
     assert(fz.size == 2, "degenerate min=max column must not collapse distinct rows")
   }
 
+  test("X9z over-span columns raise in-plan instead of silently wrapping") {
+    // span just past 2^42 at the default 21 bits: the product guard
+    val wide = Seq((0L, 0L), ((1L << 43), 1L)).toDF("user_id", "ts_ms")
+    val e1 = intercept[Exception] {
+      Layout.withZValue(wide, "user_id", "ts_ms").collect()
+    }
+    assert(e1.getMessage.contains("would overflow"), e1.getMessage)
+    // range >= 2^63: the span SUBTRACTION itself wraps negative, which the
+    // >= maxSpan product guard cannot see — the dedicated negative branch
+    val huge = Seq((Long.MinValue + 1, 0L), (Long.MaxValue, 1L)).toDF("user_id", "ts_ms")
+    val e2 = intercept[Exception] {
+      Layout.withZValue(huge, "user_id", "ts_ms").collect()
+    }
+    assert(e2.getMessage.contains("span subtraction"), e2.getMessage)
+  }
+
   test("X9z clustered write bounds BOTH dimensions per file (single-sort cannot)") {
     val n = 64
     val grid = (0 until n).flatMap(u => (0 until n).map(t => (u.toLong, t.toLong)))
