@@ -53,4 +53,38 @@ object Anomaly {
           .as("n_outliers"))
       .orderBy(groupCol)
   }
+
+  /** The 100-TB form of [[madOutlierReport]]: identical three-stage shape,
+    * but both grouped percentiles are `approx_percentile` Greenwald–Khanna
+    * sketches — fixed-size aggregation state per group (≤ accuracy
+    * entries) instead of the exact percentile's full per-group value
+    * buffer. Use this once per-group volumes no longer fit an executor's
+    * aggregation budget (exact state grows with the group, sketch state
+    * stays flat — measured, SCALING.md r10). The sketch guarantees the
+    * returned value's RANK is within ±n/accuracy of the target rank —
+    * that (not a value distance) is the accuracy contract the registered
+    * gate asserts in-plan, because a rank bound does not translate to a
+    * value bound on gappy distributions. Statistics are 6-dp-rounded at
+    * the model boundary like every learned statistic here.
+    */
+  def madOutlierReportApprox(df: DataFrame, groupCol: String, valueCol: String,
+                             k: Double = DefaultK,
+                             accuracy: Int = 10000): DataFrame = {
+    val v = col(valueCol)
+    val med = df.groupBy(groupCol)
+      .agg(round(expr(s"approx_percentile($valueCol, 0.5, $accuracy)"), 6)
+        .as("med"))
+    val stats = df.join(broadcast(med), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(first(col("med")).as("med"),
+        round(expr(s"approx_percentile(abs($valueCol - med), 0.5, $accuracy)"), 6)
+          .as("mad"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"), first(col("mad")).as("mad"),
+        sum(when(abs(v - col("med")) > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(groupCol)
+  }
 }

@@ -397,7 +397,7 @@ object Sampling {
       .drop("__gh")
   }
 
-  /** X7p: probability-proportional-to-size (PPS) Poisson sampling — the
+  /** X7pp: probability-proportional-to-size (PPS) Poisson sampling — the
     * weighted per-DOC draw of survey sampling and importance-weighted
     * corpus selection: admit doc i independently with probability
     * p_i = min(1, n·w_i / W) where w_i is the doc's weight (token count),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** EXACT set-similarity join — all pairs with Jaccard(A, B) ≥ t, no false
@@ -10,24 +11,39 @@ import org.apache.spark.sql.functions._
   * signature-sized shuffles; this operator is the right tool when the
   * contract is EVERY pair (dedup audits, legal-discovery joins).
   *
-  * Spark-first shape: |A∩B| is computed as a COUNT, never a set — the
-  * exploded (id, token) table self-joins on the token and the matches
-  * aggregate per id pair with full map-side combine, so the exchange
-  * carries 16-byte id pairs and nothing array-shaped ever rides a sort
-  * (the first formulation carried per-doc token ARRAYS through two
-  * verification joins and died sorting ~10^8 KB-wide rows at corpus
-  * scale — measured, see SCALING.md r9). Set sizes join back from a
-  * genuinely broadcastable (id, size) table and the threshold check is
-  * exact integer arithmetic (inter·tDen ≥ uni·tNum) — no doubles, so the
-  * gate replays bit-for-bit in any engine.
+  * Spark-first shape, two stages (the AllPairs/PPJoin decomposition,
+  * Bayardo et al. WWW'07, Xiao et al. WWW'08, parallelized à la Vernica
+  * et al. SIGMOD'10):
   *
-  * Scale posture: candidate volume is Σ_tokens C(occupancy, 2) — the
-  * same premise as every banded join here: bounded-occupancy tokens
-  * (shingles over a growing corpus) keep it linear. A corpus-frequent
-  * token (a stop-shingle) is the cliff; the SHINGLE LENGTH is the knob
-  * (longer shingles are rarer — raising n is this operator's
-  * bitsPerBand), and the AllPairs rarest-first prefix filter is the
-  * escalation if a workload genuinely needs frequency-unbounded tokens.
+  *  1. CANDIDATES by rarest-first prefix filter. Tokens get a global
+  *     canonical order (corpus frequency ascending, token value as
+  *     tiebreak); each set emits only its first |A| − ⌈t·|A|⌉ + 1 tokens
+  *     in that order as join keys. The prefix lemma guarantees recall 1:
+  *     J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two sets whose
+  *     prefixes at those lengths are disjoint can share at most
+  *     ⌈t·|A|⌉ − 1 tokens. Candidate volume is Σ_tokens C(prefix-occ, 2)
+  *     — and a corpus-FREQUENT token (a stop-shingle) sorts LAST, so it
+  *     almost never lands in a prefix: the quadratic cliff of the naive
+  *     Σ C(occ, 2) token self-join is capped by construction rather than
+  *     by a bounded-occupancy premise (measured: a shingle planted in 30%
+  *     of docs is quadratic-infeasible unfiltered and ~linear filtered,
+  *     SCALING.md r10).
+  *  2. VERIFY by counts, never arrays: candidate pairs re-join the
+  *     exploded (id, token) table on each side and shared tokens
+  *     aggregate per pair with full map-side combine — the exchange
+  *     carries ids and single tokens, nothing array-shaped ever rides a
+  *     sort (the formulation that carried per-doc token ARRAYS through
+  *     verification died sorting ~10^8 KB-wide rows at corpus scale —
+  *     measured, SCALING.md r9). Set sizes ride the prefix rows into the
+  *     aggregate keys — no size-table join at all (the broadcast-hinted
+  *     corpus-cardinality sizes join of the r9 form was itself a driver
+  *     OOM at the 100 TB posture). The threshold check is exact integer
+  *     arithmetic (inter·tDen ≥ uni·tNum) — no doubles, so the gate
+  *     replays bit-for-bit in any engine.
+  *
+  * Every join here sits downstream of an explode, so strategies are
+  * pinned sort-merge (Catalyst size estimates undercount generate
+  * fan-out and auto-broadcast multi-GB sides — measured, SCALING.md r9).
   */
 object SetJoin {
 
@@ -39,21 +55,34 @@ object SetJoin {
   def jaccardJoin(df: DataFrame, idCol: String, tokens: Column,
                   tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1]: $tNum/$tDen")
-    val docs = OpCaches.pin(
-      df.select(col(idCol).as("__id"), tokens.as("__tk"))
-        .where(size(col("__tk")) > 0))
-    val toks = docs.select(col("__id"), explode(col("__tk")).as("__t"))
-    val inter = toks.select(col("__t"), col("__id").as("id_a"))
-      .join(toks.select(col("__t"), col("__id").as("id_b")).hint("merge"),
-        Seq("__t"))
+    val docs = df.select(col(idCol).as("__id"), tokens.as("__tk"))
+      .where(size(col("__tk")) > 0)
+    val toks = OpCaches.pin(docs.select(
+      col("__id"), size(col("__tk")).cast("long").as("__n"),
+      explode(col("__tk")).as("__t")))
+    // Canonical order = (corpus frequency asc, token asc): rarest first,
+    // total (tokens are unique within a doc), identical for every doc.
+    val freq = toks.groupBy("__t").agg(count(lit(1)).as("__f"))
+    // Prefix length |A| − ⌈t·|A|⌉ + 1 with t = tNum/tDen, exact integers:
+    // ⌈tNum·n / tDen⌉ = (tNum·n + tDen − 1) div tDen.
+    val prefix = toks.join(freq.hint("merge"), Seq("__t"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__f"), col("__t"))))
+      .where(expr(s"__rn <= __n - (($tNum * __n + ${tDen - 1}) div $tDen) + 1"))
+      .select(col("__t"), col("__id"), col("__n"))
+    // A pair sharing k prefix tokens surfaces k times; distinct() is a
+    // map-side-combinable shuffle of 16-byte pairs (+ their sizes, which
+    // are functions of the ids and ride along into the verify keys).
+    val cand = prefix.select(col("__t"), col("__id").as("id_a"), col("__n").as("__na"))
+      .join(prefix.select(col("__t"), col("__id").as("id_b"), col("__n").as("__nb"))
+        .hint("merge"), Seq("__t"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val sizes = docs.select(col("__id"), size(col("__tk")).cast("long").as("__n"))
-    inter
-      .join(broadcast(sizes.select(col("__id").as("id_a"), col("__n").as("__na"))),
-        Seq("id_a"))
-      .join(broadcast(sizes.select(col("__id").as("id_b"), col("__n").as("__nb"))),
-        Seq("id_b"))
+      .select("id_a", "id_b", "__na", "__nb").distinct()
+    cand
+      .join(toks.select(col("__id").as("id_a"), col("__t")).hint("merge"), Seq("id_a"))
+      .join(toks.select(col("__id").as("id_b"), col("__t")).hint("merge"),
+        Seq("id_b", "__t"))
+      .groupBy("id_a", "id_b", "__na", "__nb").agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("__na") + col("__nb") - col("inter"))
       .where(col("inter") * tDen >= col("uni") * tNum)
       .select("id_a", "id_b", "inter", "uni")

@@ -851,9 +851,24 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int, dim: Int,
                 bitsPerCell: Int = 4, m: Int = 8, bitsPerCode: Int = 4,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = pqFitCodebooks(corpus, dim, m, bitsPerCode, idCol, vecCol)
+    ivfPqTopKWith(queries, corpus, books, k, nProbe, dim, bitsPerCell, m,
+      bitsPerCode, idCol, vecCol)
+  }
+
+  /** [[ivfPqTopK]]'s SERVING half with the fitted codebook supplied by the
+    * caller — the deployment split: a fleet fits codebooks once
+    * ([[pqFitCodebooks]]), persists them ([[graft.ops.ModelStore]]
+    * saveTensor3), and every scoring session reloads the artifact and
+    * serves through this entry without re-running the fit's corpus pass
+    * (gated bit-exact against the fresh-fit chain by `x11_ann_reload`).
+    */
+  def ivfPqTopKWith(queries: DataFrame, corpus: DataFrame,
+                    books: Array[Array[Array[Double]]], k: Int, nProbe: Int,
+                    dim: Int, bitsPerCell: Int = 4, m: Int = 8, bitsPerCode: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
     val subDim = dim / m
-    val books = pqFitCodebooks(corpus, dim, m, bitsPerCode, idCol, vecCol)
     val normMaps = pqNormMaps(books, m)
     val cellPlanes = Array.tabulate(bitsPerCell, dim)(planeComponent)
     def cellExpr(v: Column) =

@@ -2100,7 +2100,7 @@ object Oracles {
         |hhf AS (SELECT w, count(*) AS n_occurrences FROM hhw WHERE len(w) > 0 GROUP BY w),
         |hht AS (SELECT sum(n_occurrences) AS total FROM hhf)
         |SELECT w AS key, n_occurrences FROM hhf, hht
-        |WHERE n_occurrences * 20 > total ORDER BY key""".stripMargin,
+        |WHERE n_occurrences * 50 > total ORDER BY key""".stripMargin,
 
     // Entity-resolution twin: the same fuzzy pair graph closed with the
     // recursive-reachability pattern (x7_dedup_clusters), canonical = min
@@ -2147,6 +2147,25 @@ object Oracles {
         |  any_value(s.mad) AS mad,
         |  CAST(sum(CASE WHEN abs(e.value - s.med) >
         |    CAST(5.1891 AS DOUBLE) * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN amad s USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // The approx-anomaly gate: the exact report verbatim plus the rank
+    // accuracy contract — DuckDB cannot reproduce Spark's GK percentile
+    // sketch, so the twin asserts the IN-PLAN 45–55%-rank-window booleans
+    // are true on every row (the x10_dq_profile_approx gate pattern).
+    "x10_anomaly_mad_approx" ->
+      """WITH amed AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        |amad AS (SELECT e.event_type, any_value(m.med) AS med,
+        |    round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |  FROM events e JOIN amed m USING (event_type) GROUP BY e.event_type)
+        |SELECT e.event_type, count(*) AS n, any_value(s.med) AS med,
+        |  any_value(s.mad) AS mad,
+        |  CAST(sum(CASE WHEN abs(e.value - s.med) >
+        |    CAST(5.1891 AS DOUBLE) * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  true AS med_rank_ok, true AS mad_rank_ok
         |FROM events e JOIN amad s USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
@@ -2867,6 +2886,16 @@ object Oracles {
          |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin,
 
     "x3_ivfpq_topk" ->
+      s"""WITH $IvfPqChain
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank,
+         |  cos AS approx_cosine
+         |FROM pq_r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // The ANN deployment-loop gate: the Spark side persists the fitted
+    // codebooks through ModelStore and serves from the RELOADED tensor;
+    // the twin is the fresh-fit IVF-PQ chain verbatim, so hash equality
+    // proves the artifact round-trip is bit-exact at the query level.
+    "x11_ann_reload" ->
       s"""WITH $IvfPqChain
          |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank,
          |  cos AS approx_cosine

@@ -286,7 +286,7 @@ object Queries {
       .orderBy("id_a", "id_b")
 
   /** X6hh: exact heavy hitters in bounded memory ([[graft.ops.Frequent]])
-    * — every word with frequency > n/20 over the corpus via two-pass
+    * — every word with frequency > n/50 over the corpus via two-pass
     * Misra–Gries; the sketch bounds MEMORY, the recount makes the OUTPUT
     * exact, so the plain groupBy-HAVING twin gates it bit-for-bit.
     */
@@ -294,7 +294,7 @@ object Queries {
     val words = t(spark, dir, "documents")
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .where(length(col("w")) > 0)
-    graft.ops.Frequent.heavyHitters(words, col("w"), k = 20)
+    graft.ops.Frequent.heavyHitters(words, col("w"), k = 50)
       .orderBy("key")
   }
 
@@ -329,6 +329,47 @@ object Queries {
   private def x10AnomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
     graft.ops.Anomaly.madOutlierReport(ev, "event_type", "value")
+  }
+
+  /** X10ma: the unbounded-group anomaly form gated against the exact one
+    * (the x10_dq_profile_approx pattern): the sketch-based report's med
+    * and mad must each sit inside the exact 45–55% RANK window of their
+    * group, asserted IN-PLAN so the booleans ride the hash gate (the twin
+    * cannot reproduce Spark's GK sketch, only its accuracy contract).
+    * Rank, not value: a rank-ε guarantee gives no value bound on gappy
+    * distributions (a 2-row group {0, 100} has interpolated med 50 that
+    * NO data value approaches), so the check counts the group's values
+    * strictly below / at-or-below the estimate and requires that rank
+    * interval to intersect [45%, 55%] of n — exact integer arithmetic,
+    * and the sketch's ±n/10000 rank error sits 500× inside the window,
+    * so the gate is stable whatever the merge order. Exact report
+    * columns travel verbatim, so the row is fully hash-checked except
+    * the estimates themselves.
+    */
+  private def x10AnomalyMadApprox(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val exact = graft.ops.Anomaly.madOutlierReport(ev, "event_type", "value")
+    val approx = graft.ops.Anomaly
+      .madOutlierReportApprox(ev, "event_type", "value")
+      .select(col("event_type"), col("med").as("__ma"), col("mad").as("__da"))
+    val ranks = ev.join(broadcast(approx), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("value") < col("__ma"), 1L).otherwise(0L)).as("__lt_m"),
+        sum(when(col("value") <= col("__ma"), 1L).otherwise(0L)).as("__le_m"),
+        sum(when(abs(col("value") - col("__ma")) < col("__da"), 1L).otherwise(0L))
+          .as("__lt_d"),
+        sum(when(abs(col("value") - col("__ma")) <= col("__da"), 1L).otherwise(0L))
+          .as("__le_d"))
+      .select(col("event_type"),
+        (col("__lt_m") * 100 <= col("__n") * 55 &&
+          col("__le_m") * 100 >= col("__n") * 45).as("med_rank_ok"),
+        (col("__lt_d") * 100 <= col("__n") * 55 &&
+          col("__le_d") * 100 >= col("__n") * 45).as("mad_rank_ok"))
+    exact.join(broadcast(ranks), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"),
+        col("n_outliers"), col("med_rank_ok"), col("mad_rank_ok"))
+      .orderBy("event_type")
   }
 
   /** X2f: bounded-edit-distance name join ([[graft.ops.Fuzzy]]) — the
@@ -1659,7 +1700,7 @@ object Queries {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy("doc_id")
 
-  /** X7p: PPS Poisson sampling at expected size 60 — per-doc inclusion
+  /** X7pp: PPS Poisson sampling at expected size 60 — per-doc inclusion
     * with p ∝ token count, decided by an exact integer comparison (no
     * floating point anywhere), so the twin replays the weighted draw
     * bit-for-bit. The rate adapts to the corpus total W, so the expected
@@ -2299,6 +2340,28 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X11a: the ANN-index deployment loop — fit the PQ codebooks once,
+    * persist the m×2^bits×subDim tensor through [[graft.ops.ModelStore]],
+    * RELOAD it from the artifact, and serve IVF-PQ top-k under the
+    * reloaded codebooks ([[Similarity.ivfPqTopKWith]] — the serving half,
+    * no refit corpus pass). The oracle is the FRESH-FIT chain (the
+    * x3_ivfpq_topk twin verbatim, same parameters), so the hash gate
+    * proves the parquet round-trip reproduces every ADC score bit-exactly:
+    * a query fleet loading yesterday's index artifact returns the
+    * identical neighbors and cosines the fit session computed.
+    */
+  private def x11AnnReload(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val books = Similarity.pqFitCodebooks(emb, dim = 64, m = 32, bitsPerCode = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft-pq")
+      .resolve("codebooks").toString
+    graft.ops.ModelStore.saveTensor3(spark, books, path)
+    val reloaded = graft.ops.ModelStore.loadTensor3(spark, path)
+    Similarity.ivfPqTopKWith(emb.where(col("vec_id") % 100 === 0), emb, reloaded,
+        k = 5, nProbe = 3, dim = 64, bitsPerCell = 4, m = 32, bitsPerCode = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** X8g: composed pipeline v11 — this round's additions composed:
     * near-dup clusters keep their highest-PAGERANK member (canonical copy
     * by centrality, [[Components.pageRank]]), then the survivors pass the
@@ -2588,7 +2651,9 @@ object Queries {
     "x7_build_sequences" -> (x7BuildSequences _),
     "x8_entity_resolution" -> (x8EntityResolution _),
     "x2_allpairs_jaccard" -> (x2AllpairsJaccard _),
-    "x6_heavy_hitters" -> (x6HeavyHitters _)
+    "x6_heavy_hitters" -> (x6HeavyHitters _),
+    "x10_anomaly_mad_approx" -> (x10AnomalyMadApprox _),
+    "x11_ann_reload" -> (x11AnnReload _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
