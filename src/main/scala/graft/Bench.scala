@@ -7,11 +7,14 @@ import org.apache.spark.sql.SparkSession
   * materialized through a noop write (count() alone would let Catalyst prune
   * the projections we mean to measure).
   *
-  * Each query is timed REPS times in the same JVM and reported as the
-  * per-query MIN (raw runs included under "runs"): on a shared sandbox a
-  * single-shot timing swings 4-8x with machine load (round-3 driver bench
-  * read 84.6s where two same-binary re-runs read 45.0s / 34.0s), and the min
-  * is the standard noise-robust estimator of the code's actual cost.
+  * Each query is timed REPS times in the same JVM — one timing per FULL
+  * PASS over the registry, each pass in a seeded-shuffled order so no query
+  * keeps the same JVM neighbors across reps — and reported as the per-query
+  * MIN (raw runs under "runs", per-pass order under "order"): on a shared
+  * sandbox a single-shot timing swings 4-8x with machine load (round-3
+  * driver bench read 84.6s where two same-binary re-runs read 45.0s /
+  * 34.0s), and the min is the standard noise-robust estimator of the code's
+  * actual cost.
   * Operator-internal caches are released between runs so every repetition
   * pays the full pipeline (no warm-cache flattering), and released after the
   * last run so queries are isolated from each other.
@@ -90,8 +93,24 @@ object Bench {
     }
     calibrate(); calibrateMem() // warm the calibration paths themselves once
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val timed = (1 to reps).map { _ =>
+    // Reps are full PASSES over the registry, each pass in a seeded-shuffled
+    // order (seed = pass index, so the schedule is identical across rounds
+    // and machines): back-to-back alphabetical reps gave every query the
+    // same JVM neighbors every round, so a heavy newcomer adjacent in the
+    // registry read as a regression of its innocent neighbors
+    // (x5_feature_drift/x2_simhash128_pairs/x8_curation_v8, r9 post-mortem)
+    // — min-over-differently-ordered-passes makes any single bad
+    // neighborhood survivable, and the per-pass order is recorded in the
+    // detail artifact so a residual trend can be attributed to its actual
+    // predecessors instead of costing a manual A/B.
+    val names = selected.keys.toSeq.sorted
+    val byName = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> scala.collection.mutable.ArrayBuffer
+        .empty[(Option[Double], Double, Double)]): _*)
+    val orders = (1 to reps).map { rep =>
+      val order = new scala.util.Random(0xC0FFEEL + rep).shuffle(names)
+      order.foreach { name =>
+        val fn = selected(name)
         val cal = calibrate()
         val calM = calibrateMem()
         val t0 = System.nanoTime()
@@ -108,8 +127,12 @@ object Bench {
         // region: the next rep must rebuild them, and the next query must
         // not compete with their blocks for executor memory
         graft.ops.OpCaches.release()
-        (if (ok) Some(elapsed) else None, cal, calM)
+        byName(name) += ((if (ok) Some(elapsed) else None, cal, calM))
       }
+      order
+    }
+    val results = names.map { name =>
+      val timed = byName(name).toSeq
       val runs = timed.map(_._1)
       val cals = timed.map(_._2)
       val calMs = timed.map(_._3)
@@ -137,8 +160,10 @@ object Bench {
     // build.sbt). Defense in depth: per-query mins and per-rep runs go to a
     // FILE artifact, the full line prints for humans, and a lean summary
     // (~160 chars, always inside the window) prints LAST.
+    val orderJson = orders.map(_.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"detail","reps":$reps$subsetTag,"mins":$qs,"runs":$raw,"calibration":$cal,"calibration_mem":$calM,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","reps":$reps$subsetTag,"mins":$qs,"runs":$raw,"calibration":$cal,"calibration_mem":$calM,"order":$orderJson,"errors":$errJson,"sf":"$sfDir"}"""
     val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"reps":$reps$subsetTag,"queries":$qs,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get(

@@ -83,27 +83,43 @@ object StreamingZorder {
   private def genPath(root: String, gen: Long, upto: Long): String =
     s"$root/clustered/gen=${gen}_upto=$upto"
 
+  /** Listing goes through the Hadoop FileSystem of the ROOT's scheme (with
+    * the active session's hadoop conf, so store credentials and fs
+    * overrides apply) — the watermark-in-dirname protocol must work on
+    * HDFS/S3/anything Spark writes to, not just local disk (a
+    * java.io.File listing returns nothing on a remote store, which would
+    * silently restart the table at gen 0 and re-cluster nothing).
+    */
+  private def hadoopFs(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration()))
+
+  private def listDirs(dir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopFs(path)
+    if (!fs.exists(path)) Nil
+    else fs.listStatus(path).toIndexedSeq.filter(_.isDirectory).map(_.getPath)
+  }
+
   private def latestGen(root: String): (Long, Long) = {
-    val dirs = Option(new java.io.File(s"$root/clustered").listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory)
-      .flatMap { f =>
-        f.getName match {
-          case s if s.startsWith("gen=") && s.contains("_upto=") =>
-            val parts = s.stripPrefix("gen=").split("_upto=")
-            // only COMPLETE generations count: parquet commits _SUCCESS last
-            if (new java.io.File(f, "_SUCCESS").exists())
-              Some((parts(0).toLong, parts(1).toLong))
-            else None
-          case _ => None
-        }
+    val gens = listDirs(s"$root/clustered").flatMap { p =>
+      p.getName match {
+        case s if s.startsWith("gen=") && s.contains("_upto=") =>
+          val parts = s.stripPrefix("gen=").split("_upto=")
+          // only COMPLETE generations count: parquet commits _SUCCESS last
+          if (hadoopFs(p).exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+            Some((parts(0).toLong, parts(1).toLong))
+          else None
+        case _ => None
       }
-    if (dirs.isEmpty) (0L, -1L) else dirs.maxBy(_._1)
+    }
+    if (gens.isEmpty) (0L, -1L) else gens.maxBy(_._1)
   }
 
   private def ingestBatches(root: String): Seq[(Long, String)] =
-    Option(new java.io.File(s"$root/ingest").listFiles())
-      .getOrElse(Array.empty).toIndexedSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(f => (f.getName.stripPrefix("batch=").toLong, f.getAbsolutePath))
+    listDirs(s"$root/ingest")
+      .filter(_.getName.startsWith("batch="))
+      .map(p => (p.getName.stripPrefix("batch=").toLong, p.toString))
       .sortBy(_._1)
 }
