@@ -52,24 +52,35 @@ object SetJoin {
     * `tokens` must be a deduplicated array column (e.g.
     * [[Dedup.wordShingles]]); empty sets are excluded (J undefined).
     */
+  /** (__id, __n, __t) — one row per (doc, token) with the doc's set size
+    * attached, over docs shaped (__id, __tk).
+    */
+  private[graft] def explodedTokens(docs: DataFrame): DataFrame =
+    docs.select(col("__id"), size(col("__tk")).cast("long").as("__n"),
+      explode(col("__tk")).as("__t"))
+
+  /** The rarest-first prefix of every set: keep each doc's first
+    * |A| − ⌈t·|A|⌉ + 1 tokens under the canonical order (corpus frequency
+    * asc, token asc — total: tokens are unique within a doc, identical for
+    * every doc). Exact integers: ⌈tNum·n / tDen⌉ = (tNum·n + tDen−1) div
+    * tDen. Shared by [[jaccardJoin]] (both sides) and
+    * [[graft.streaming.StreamingSetJoinAdmit]] (frozen corpus side).
+    */
+  private[graft] def prefixTokens(toks: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    toks.join(toks.groupBy("__t").agg(count(lit(1)).as("__f")).hint("merge"),
+        Seq("__t"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__f"), col("__t"))))
+      .where(expr(s"__rn <= __n - (($tNum * __n + ${tDen - 1}) div $tDen) + 1"))
+      .select(col("__t"), col("__id"), col("__n"))
+
   def jaccardJoin(df: DataFrame, idCol: String, tokens: Column,
                   tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1]: $tNum/$tDen")
     val docs = df.select(col(idCol).as("__id"), tokens.as("__tk"))
       .where(size(col("__tk")) > 0)
-    val toks = OpCaches.pin(docs.select(
-      col("__id"), size(col("__tk")).cast("long").as("__n"),
-      explode(col("__tk")).as("__t")))
-    // Canonical order = (corpus frequency asc, token asc): rarest first,
-    // total (tokens are unique within a doc), identical for every doc.
-    val freq = toks.groupBy("__t").agg(count(lit(1)).as("__f"))
-    // Prefix length |A| − ⌈t·|A|⌉ + 1 with t = tNum/tDen, exact integers:
-    // ⌈tNum·n / tDen⌉ = (tNum·n + tDen − 1) div tDen.
-    val prefix = toks.join(freq.hint("merge"), Seq("__t"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__id").orderBy(col("__f"), col("__t"))))
-      .where(expr(s"__rn <= __n - (($tNum * __n + ${tDen - 1}) div $tDen) + 1"))
-      .select(col("__t"), col("__id"), col("__n"))
+    val toks = OpCaches.pin(explodedTokens(docs))
+    val prefix = prefixTokens(toks, tNum, tDen)
     // A pair sharing k prefix tokens surfaces k times; distinct() is a
     // map-side-combinable shuffle of 16-byte pairs (+ their sizes, which
     // are functions of the ids and ride along into the verify keys).
