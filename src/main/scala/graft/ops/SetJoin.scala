@@ -11,47 +11,64 @@ import org.apache.spark.sql.functions._
   * signature-sized shuffles; this operator is the right tool when the
   * contract is EVERY pair (dedup audits, legal-discovery joins).
   *
-  * Spark-first shape, two stages (the AllPairs/PPJoin decomposition,
-  * Bayardo et al. WWW'07, Xiao et al. WWW'08, parallelized à la Vernica
-  * et al. SIGMOD'10):
+  * Spark-first shape — |A∩B| is computed as a COUNT, never a set: the
+  * exchange carries ids and single tokens, nothing array-shaped ever
+  * rides a sort (the formulation that carried per-doc token ARRAYS
+  * through verification died sorting ~10^8 KB-wide rows at corpus scale —
+  * measured, SCALING.md r9). The threshold check is exact integer
+  * arithmetic (inter·tDen ≥ uni·tNum) — no doubles, so the gate replays
+  * bit-for-bit in any engine. Set sizes ride the exploded rows into
+  * aggregate keys — no size-table join (the broadcast-hinted
+  * corpus-cardinality sizes join of the r9 form was itself a driver OOM
+  * at the 100 TB posture).
   *
-  *  1. CANDIDATES by rarest-first prefix filter. Tokens get a global
-  *     canonical order (corpus frequency ascending, token value as
-  *     tiebreak); each set emits only its first |A| − ⌈t·|A|⌉ + 1 tokens
-  *     in that order as join keys. The prefix lemma guarantees recall 1:
-  *     J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two sets whose
-  *     prefixes at those lengths are disjoint can share at most
-  *     ⌈t·|A|⌉ − 1 tokens. Candidate volume is Σ_tokens C(prefix-occ, 2)
-  *     — and a corpus-FREQUENT token (a stop-shingle) sorts LAST, so it
-  *     almost never lands in a prefix: the quadratic cliff of the naive
-  *     Σ C(occ, 2) token self-join is capped by construction rather than
-  *     by a bounded-occupancy premise (measured: a shingle planted in 30%
-  *     of docs is quadratic-infeasible unfiltered and ~linear filtered,
-  *     SCALING.md r10).
-  *  2. VERIFY by counts, never arrays: candidate pairs re-join the
-  *     exploded (id, token) table on each side and shared tokens
-  *     aggregate per pair with full map-side combine — the exchange
-  *     carries ids and single tokens, nothing array-shaped ever rides a
-  *     sort (the formulation that carried per-doc token ARRAYS through
-  *     verification died sorting ~10^8 KB-wide rows at corpus scale —
-  *     measured, SCALING.md r9). Set sizes ride the prefix rows into the
-  *     aggregate keys — no size-table join at all (the broadcast-hinted
-  *     corpus-cardinality sizes join of the r9 form was itself a driver
-  *     OOM at the 100 TB posture). The threshold check is exact integer
-  *     arithmetic (inter·tDen ≥ uni·tNum) — no doubles, so the gate
-  *     replays bit-for-bit in any engine.
+  * The skew story (r10, the PPJoin lesson re-derived by measurement —
+  * Xiao et al. WWW'08, Bayardo et al. WWW'07, Vernica et al. SIGMOD'10):
+  * the natural Σ_t C(occ, 2) token self-join counts each (pair, shared
+  * token) once — the MINIMAL verify work — but goes quadratic on one
+  * corpus-frequent stop-shingle. The textbook answer, prefix-filtered
+  * candidates verified per pair, removes that cliff but pays
+  * Σ_cand(|A| + |B|) in verification — measured 150 GB of shuffle at
+  * ×100 on the registered corpus where the count form pays 127M rows
+  * (most candidates share ONE token; charging |A| per candidate instead
+  * of inter per candidate is the regression). So the shipped form SPLITS
+  * tokens by corpus occupancy at `heavyOcc`:
   *
-  * Every join here sits downstream of an explode, so strategies are
-  * pinned sort-merge (Catalyst size estimates undercount generate
-  * fan-out and auto-broadcast multi-GB sides — measured, SCALING.md r9).
+  *  - LIGHT tokens (occ ≤ heavyOcc): the count-based self-join, volume
+  *    capped at occ·rows/2 per type by construction — linear whatever
+  *    the distribution does above the cap.
+  *  - HEAVY tokens: never self-joined. Pairs sharing ONLY heavy tokens
+  *    are caught by a rarest-first PREFIX join (prefix lemma: a
+  *    qualifying pair shares a token in both prefixes, and an all-shared-
+  *    tokens-heavy pair has heavy tokens in its prefixes) restricted to
+  *    docs that CARRY a heavy token; then every spine pair's shared-heavy
+  *    count comes from two joins against the per-doc heavy token rows
+  *    (few per doc — a doc's heavy tokens are its stop-shingles).
+  *    inter = shared-light + shared-heavy, exactly.
+  *
+  * When NO token exceeds `heavyOcc` — every bounded-occupancy corpus —
+  * the heavy branch short-circuits (one cheap existence probe on the
+  * frequency aggregate) and the plan IS the minimal count form plus that
+  * probe. The quadratic cliff only survives where the OUTPUT itself is
+  * quadratic (a corpus that is 30% copies of one stop-shingle set owes
+  * quadratically many result pairs — no algorithm beats its output size).
+  * Measured: a shingle planted in 30% of docs is quadratic-infeasible for
+  * the unsplit form and ~linear here (SCALING.md r10).
+  *
+  * Every join sits downstream of an explode, so strategies are pinned
+  * sort-merge (Catalyst size estimates undercount generate fan-out and
+  * auto-broadcast multi-GB sides; at local[32] shuffle-hash build maps
+  * die where sort-merge spills — measured, SCALING.md r9).
   */
 object SetJoin {
 
-  /** All (id_a, id_b, inter, uni) with id_a < id_b and
-    * inter/uni ≥ tNum/tDen, where inter = |A∩B|, uni = |A∪B| — exact.
-    * `tokens` must be a deduplicated array column (e.g.
-    * [[Dedup.wordShingles]]); empty sets are excluded (J undefined).
+  /** Occupancy split point: tokens in more sets than this are "heavy" and
+    * excluded from the count self-join. Worst-case light candidate volume
+    * is heavyOcc·|token rows|/2; real corpora sit far below (occupancy
+    * ~40 on the registered shingle corpus at every scale).
     */
+  val DefaultHeavyOcc = 1024
+
   /** (__id, __n, __t) — one row per (doc, token) with the doc's set size
     * attached, over docs shaped (__id, __tk).
     */
@@ -63,37 +80,87 @@ object SetJoin {
     * |A| − ⌈t·|A|⌉ + 1 tokens under the canonical order (corpus frequency
     * asc, token asc — total: tokens are unique within a doc, identical for
     * every doc). Exact integers: ⌈tNum·n / tDen⌉ = (tNum·n + tDen−1) div
-    * tDen. Shared by [[jaccardJoin]] (both sides) and
+    * tDen. `toks` must already carry the corpus frequency column `__f`
+    * ([[withFreq]]). Shared by [[jaccardJoin]] (heavy-doc candidates) and
     * [[graft.streaming.StreamingSetJoinAdmit]] (frozen corpus side).
     */
-  private[graft] def prefixTokens(toks: DataFrame, tNum: Int, tDen: Int): DataFrame =
-    toks.join(toks.groupBy("__t").agg(count(lit(1)).as("__f")).hint("merge"),
-        Seq("__t"))
+  private[graft] def prefixTokens(toksF: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    toksF
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__id").orderBy(col("__f"), col("__t"))))
       .where(expr(s"__rn <= __n - (($tNum * __n + ${tDen - 1}) div $tDen) + 1"))
       .select(col("__t"), col("__id"), col("__n"))
 
+  /** Exploded token rows with the corpus frequency of each token joined
+    * on (pinned sort-merge: both sides descend from the explode).
+    */
+  private[graft] def withFreq(toks: DataFrame): DataFrame =
+    toks.join(toks.groupBy("__t").agg(count(lit(1)).as("__f")).hint("merge"),
+      Seq("__t"))
+
+  /** All (id_a, id_b, inter, uni) with id_a < id_b and
+    * inter/uni ≥ tNum/tDen, where inter = |A∩B|, uni = |A∪B| — exact.
+    * `tokens` must be a deduplicated array column (e.g.
+    * [[Dedup.wordShingles]]); empty sets are excluded (J undefined).
+    */
   def jaccardJoin(df: DataFrame, idCol: String, tokens: Column,
-                  tNum: Int, tDen: Int): DataFrame = {
+                  tNum: Int, tDen: Int,
+                  heavyOcc: Int = DefaultHeavyOcc): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1]: $tNum/$tDen")
+    require(heavyOcc >= 1, s"heavyOcc must be >= 1: $heavyOcc")
     val docs = df.select(col(idCol).as("__id"), tokens.as("__tk"))
       .where(size(col("__tk")) > 0)
-    val toks = OpCaches.pin(explodedTokens(docs))
-    val prefix = prefixTokens(toks, tNum, tDen)
-    // A pair sharing k prefix tokens surfaces k times; distinct() is a
-    // map-side-combinable shuffle of 16-byte pairs (+ their sizes, which
-    // are functions of the ids and ride along into the verify keys).
-    val cand = prefix.select(col("__t"), col("__id").as("id_a"), col("__n").as("__na"))
-      .join(prefix.select(col("__t"), col("__id").as("id_b"), col("__n").as("__nb"))
+    val toksF = OpCaches.pin(withFreq(explodedTokens(docs)))
+    val light = toksF.where(col("__f") <= heavyOcc)
+    val heavy = toksF.where(col("__f") > heavyOcc)
+    // shared-light counts: one row per (pair, shared light token) into a
+    // map-side-combined aggregate; sizes ride the rows into the keys
+    val lightCounts = light.select(col("__t"), col("__id").as("id_a"), col("__n").as("__na"))
+      .join(light.select(col("__t"), col("__id").as("id_b"), col("__n").as("__nb"))
         .hint("merge"), Seq("__t"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__na", "__nb").distinct()
-    cand
-      .join(toks.select(col("__id").as("id_a"), col("__t")).hint("merge"), Seq("id_a"))
-      .join(toks.select(col("__id").as("id_b"), col("__t")).hint("merge"),
-        Seq("id_b", "__t"))
-      .groupBy("id_a", "id_b", "__na", "__nb").agg(count(lit(1)).as("inter"))
+      .groupBy("id_a", "id_b", "__na", "__nb").agg(count(lit(1)).as("__l"))
+    // the existence probe is one driver boolean off the already-computed
+    // frequency aggregate — the price of skew-proofing on an unskewed
+    // corpus (the take(1) runs the pinned toksF build the verify reuses)
+    val heavyEmpty = heavy.take(1).isEmpty
+    val spine =
+      if (heavyEmpty) lightCounts
+      else {
+        // docs that CARRY a heavy token: the only ones whose pairs can
+        // share exclusively-heavy tokens (everything else is in
+        // lightCounts already); their prefixes are ranked over the FULL
+        // token set, so the prefix lemma applies verbatim
+        val heavyDocs = heavy.select("__id").distinct()
+        val prefix = prefixTokens(toksF.join(heavyDocs.hint("merge"), Seq("__id")),
+          tNum, tDen)
+        val cand = prefix.select(col("__t"), col("__id").as("id_a"), col("__n").as("__na"))
+          .join(prefix.select(col("__t"), col("__id").as("id_b"), col("__n").as("__nb"))
+            .hint("merge"), Seq("__t"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "__na", "__nb").distinct()
+          .withColumn("__l", lit(0L))
+        // spine = light pairs ∪ heavy-doc candidates; max(l) keeps the
+        // light count where a pair appears in both
+        lightCounts.unionByName(cand)
+          .groupBy("id_a", "id_b", "__na", "__nb").agg(max(col("__l")).as("__l"))
+      }
+    val withHeavy =
+      if (heavyEmpty) spine.withColumn("inter", col("__l"))
+      else {
+        // shared-heavy counts per spine pair: two joins against the
+        // per-doc heavy rows (few per doc); pairs sharing no heavy token
+        // drop from the inner joins and coalesce to 0
+        val h = spine.select("id_a", "id_b")
+          .join(heavy.select(col("__id").as("id_a"), col("__t")).hint("merge"),
+            Seq("id_a"))
+          .join(heavy.select(col("__id").as("id_b"), col("__t")).hint("merge"),
+            Seq("id_b", "__t"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("__h"))
+        spine.join(h.hint("merge"), Seq("id_a", "id_b"), "left_outer")
+          .withColumn("inter", col("__l") + coalesce(col("__h"), lit(0L)))
+      }
+    withHeavy
       .withColumn("uni", col("__na") + col("__nb") - col("inter"))
       .where(col("inter") * tDen >= col("uni") * tNum)
       .select("id_a", "id_b", "inter", "uni")

@@ -52,7 +52,7 @@ object StreamingSetJoinAdmit {
     require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1]: $tNum/$tDen")
     val docs = df.select(col(idCol).as("__id"), tokens.as("__tk"))
       .where(size(col("__tk")) > 0)
-    SetJoin.prefixTokens(SetJoin.explodedTokens(docs), tNum, tDen)
+    SetJoin.prefixTokens(SetJoin.withFreq(SetJoin.explodedTokens(docs)), tNum, tDen)
       .select(col("__t"), col("__id").as("corpus_id"), col("__n").as("__nc"))
   }
 

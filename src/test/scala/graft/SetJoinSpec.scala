@@ -42,6 +42,26 @@ class SetJoinSpec extends SparkSpec {
     assert(brute(1, 1) == Set((1L, 3L, 4L, 4L), (6L, 7L, 1L, 1L)))
   }
 
+  test("X2ap heavy-token path: brute parity when every token is heavy, and on a mixed split") {
+    val df = sets.toDF("id", "toks")
+    // heavyOcc = 1: EVERY repeated token is heavy — all shared counts flow
+    // through the prefix-candidate + heavy-count branch
+    for ((n, d) <- Seq((1, 2), (1, 1))) {
+      val got = SetJoin.jaccardJoin(df, "id", col("toks"), n, d, heavyOcc = 1)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      graft.ops.OpCaches.release()
+      assert(got == brute(n, d), s"heavyOcc=1 t=$n/$d: missing=${brute(n, d) -- got} extra=${got -- brute(n, d)}")
+    }
+    // heavyOcc = 2: tokens in >2 sets (a, b, c — and m,n,o,p,r,s,t in 2)
+    // split across branches; inter must still be exact light + heavy
+    for ((n, d) <- Seq((1, 2), (2, 3))) {
+      val got = SetJoin.jaccardJoin(df, "id", col("toks"), n, d, heavyOcc = 2)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      graft.ops.OpCaches.release()
+      assert(got == brute(n, d), s"heavyOcc=2 t=$n/$d: missing=${brute(n, d) -- got} extra=${got -- brute(n, d)}")
+    }
+  }
+
   test("X2ap empty sets are excluded; empty input yields empty output") {
     val df = Seq((1L, Seq.empty[String]), (2L, Seq.empty[String]), (3L, Seq("a")))
       .toDF("id", "toks")
