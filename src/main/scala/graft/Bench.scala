@@ -25,6 +25,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // The generated-class cache defaults to 100 entries — far under this
+      // registry's plan count, so with shuffled passes EVERY rep would pay
+      // Janino compilation for every query (back-to-back reps hid it in
+      // reps 2..n and min-of-reps measured steady state; measured r10: a
+      // flat +0.3-0.5 s on every small query, calibration floors unmoved).
+      // Sized to hold the whole registry so min-of-reps is steady-state
+      // again under any schedule.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

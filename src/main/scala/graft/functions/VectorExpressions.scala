@@ -545,7 +545,8 @@ object GraftFunctions {
       children(2).eval().asInstanceOf[Int],
       children(3).eval().asInstanceOf[Int])),
     "graft_pq_adc" -> (children => PqAdc(children.head, children(1), children(2),
-      children(3).eval().asInstanceOf[Int])))
+      children(3).eval().asInstanceOf[Int])),
+    "graft_jaro_winkler" -> (children => JaroWinkler(children.head, children(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = functions.foreach { case (name, builder) =>

@@ -2206,6 +2206,18 @@ object Oracles {
         |  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // JW-rerank twin: the same quadratic pair derivation scored with
+    // DuckDB's own jaro_winkler_similarity — the native graft expression
+    // is pinned to that reference implementation value-for-value
+    // (StringSimilaritySpec), so the 6-dp rounds agree.
+    "x2_jw_rerank" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // The NAIVE theta-join form planned through FuzzyJoinRewrite — same
     // all-pairs twin; hash equality gates the optimizer rule on real data.
     "x2_fuzzy_names_sql" ->

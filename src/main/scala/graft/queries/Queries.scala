@@ -383,6 +383,29 @@ object Queries {
         col("c_name"))
       .orderBy("id_a", "id_b")
 
+  /** X2jw: Jaro–Winkler rerank of the banded fuzzy pairs — the
+    * record-linkage scoring pass an entity-resolution pipeline runs after
+    * candidate generation: the typo-tolerant pair list
+    * ([[graft.ops.Fuzzy]]) scored by the native codegen'd
+    * [[graft.functions.JaroWinkler]] expression (pinned value-for-value
+    * to the DuckDB reference implementation, so the twin scores the same
+    * pairs with `jaro_winkler_similarity` and the 6-dp rounds hash-match).
+    */
+  private def x2JwRerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cust = t(spark, dir, "customer")
+    val names = cust.select(col("c_custkey"), col("c_name"))
+    graft.ops.Fuzzy.editNeighborPairs(cust, "c_custkey", col("c_name"))
+      .join(names.select(col("c_custkey").as("id_a"), col("c_name").as("__na")),
+        Seq("id_a"))
+      .join(names.select(col("c_custkey").as("id_b"), col("c_name").as("__nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("dist"),
+        round(call_function("graft_jaro_winkler", col("__na"), col("__nb")), 6)
+          .as("jw"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** X2fr: the NAIVE declarative form of the same join — the theta-join a
     * user would actually write — planned through
     * [[graft.plans.FuzzyJoinRewrite]] into the deletion-key equi-join.
@@ -2653,7 +2676,8 @@ object Queries {
     "x2_allpairs_jaccard" -> (x2AllpairsJaccard _),
     "x6_heavy_hitters" -> (x6HeavyHitters _),
     "x10_anomaly_mad_approx" -> (x10AnomalyMadApprox _),
-    "x11_ann_reload" -> (x11AnnReload _)
+    "x11_ann_reload" -> (x11AnnReload _),
+    "x2_jw_rerank" -> (x2JwRerank _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
