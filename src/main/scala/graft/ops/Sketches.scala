@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches — the INCREMENTAL complement to
+  * [[DataQuality.profileApprox]]'s one-shot HLL estimate: per-partition
+  * (per-day, per-source) sketches are tiny PERSISTED artifacts
+  * (2^lgK registers each, KBs), and tomorrow's corpus-wide distinct count
+  * is a union over stored sketches plus ONE new partition's scan — the
+  * only way a 100 TB table answers "distinct users to date" daily without
+  * rescanning history (the same incremental discipline as
+  * `a2_incremental_rollup`, one level up the aggregation lattice: counts
+  * and sums re-aggregate with +, distincts need a mergeable sketch).
+  *
+  * Built on Spark's DataSketches HLL functions (`hll_sketch_agg` /
+  * `hll_union_agg` / `hll_sketch_estimate`), so the sketch column is a
+  * standard binary parquet column any Spark reader can union. Register
+  * merge is a per-register max — ORDER-INSENSITIVE, so estimates are
+  * deterministic per dataset whatever the merge tree looks like (the same
+  * property the profileApprox gate stands on), and unioning per-group
+  * sketches of a partition of the data gives REGISTER-IDENTICAL state to
+  * one sketch over the whole (asserted by SketchesSpec and the registered
+  * gate's consistency boolean).
+  */
+object Sketches {
+
+  /** Per-group HLL sketches: (group, sketch, n_rows) — the artifact a
+    * daily job appends to the sketch store. lgK 12 = 4 KiB registers,
+    * ~1.6% relative standard error.
+    */
+  def hllGroupSketches(df: DataFrame, groupCol: Column, keyCol: Column,
+                       lgK: Int = 12): DataFrame =
+    df.groupBy(groupCol.as("group"))
+      .agg(hll_sketch_agg(keyCol, lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Distinct estimate from STORED sketches — the incremental read path:
+    * one row (n_groups, n_rows, distinct_approx), no touch of the
+    * original data.
+    */
+  def hllUnionEstimate(sketches: DataFrame): DataFrame =
+    sketches.agg(count(lit(1)).as("n_groups"),
+      sum(col("n_rows")).as("n_rows"),
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_approx"))
+}

@@ -2150,6 +2150,16 @@ object Oracles {
         |FROM events e JOIN amad s USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    // The incremental-HLL gate: exact day/row/distinct metrics verbatim;
+    // DuckDB cannot reproduce DataSketches registers, so the twin asserts
+    // the IN-PLAN booleans — the 5% accuracy contract and the
+    // merge-consistency property (the profileApprox gate pattern).
+    "x10_hll_incremental" ->
+      """SELECT count(DISTINCT epoch_ms(ts) // 86400000) AS n_days,
+        |  count(*) AS n_rows, count(DISTINCT user_id) AS n_distinct_users,
+        |  true AS approx_ok, true AS merge_consistent
+        |FROM events""".stripMargin,
+
     // The approx-anomaly gate: the exact report verbatim plus the rank
     // accuracy contract — DuckDB cannot reproduce Spark's GK percentile
     // sketch, so the twin asserts the IN-PLAN 45–55%-rank-window booleans

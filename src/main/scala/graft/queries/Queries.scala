@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Canonical
-import graft.ops.{AsOf, Chunking, Classify, Components, Contamination, Dedup, Domains, Dsir, Intervals, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Chunking, Classify, Components, Contamination, Dedup, Domains, Dsir, Intervals, Multimodal, Packing, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.template.TemplateCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -370,6 +370,38 @@ object Queries {
       .select(col("event_type"), col("n"), col("med"), col("mad"),
         col("n_outliers"), col("med_rank_ok"), col("mad_rank_ok"))
       .orderBy("event_type")
+  }
+
+  /** X10hll: incremental distinct counting through STORED mergeable
+    * sketches ([[graft.ops.Sketches]]) — per-day HLL sketches over the
+    * event feed's user ids, unioned into the to-date distinct estimate
+    * without rescanning history (the a2_incremental_rollup discipline one
+    * level up the aggregation lattice: distincts need a mergeable sketch
+    * where counts re-aggregate with +). Gated like every sketch here: the
+    * exact metrics travel verbatim, the estimate rides as two IN-PLAN
+    * booleans — the 5% accuracy contract, and the MERGE-CONSISTENCY
+    * property (union of daily sketches estimates EQUAL to one sketch over
+    * the whole feed — register max is grouping-insensitive), which is the
+    * property the incremental read path stands on.
+    */
+  private def x10HllIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val ms = graft.functions.EventTime.bind(ev).ms
+    val daily = Sketches.hllGroupSketches(
+      ev.select((ms / lit(86400000L)).cast("long").as("__day"), col("user_id")),
+      col("__day"), col("user_id"))
+    val incremental = Sketches.hllUnionEstimate(daily)
+      .select(col("n_groups").as("n_days"), col("n_rows"),
+        col("distinct_approx"))
+    val oneShot = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("__os"))
+    val exact = ev.agg(count(lit(1)).as("n_rows_exact"),
+      countDistinct(col("user_id")).as("n_distinct_users"))
+    incremental.crossJoin(broadcast(oneShot)).crossJoin(broadcast(exact))
+      .select(col("n_days"), col("n_rows"), col("n_distinct_users"),
+        (abs(col("distinct_approx") - col("n_distinct_users")).cast("double") <=
+          lit(0.05) * col("n_distinct_users").cast("double")).as("approx_ok"),
+        (col("distinct_approx") === col("__os")).as("merge_consistent"))
   }
 
   /** X2f: bounded-edit-distance name join ([[graft.ops.Fuzzy]]) — the
@@ -2677,7 +2709,8 @@ object Queries {
     "x6_heavy_hitters" -> (x6HeavyHitters _),
     "x10_anomaly_mad_approx" -> (x10AnomalyMadApprox _),
     "x11_ann_reload" -> (x11AnnReload _),
-    "x2_jw_rerank" -> (x2JwRerank _)
+    "x2_jw_rerank" -> (x2JwRerank _),
+    "x10_hll_incremental" -> (x10HllIncremental _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
