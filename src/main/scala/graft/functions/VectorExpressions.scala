@@ -546,7 +546,9 @@ object GraftFunctions {
       children(3).eval().asInstanceOf[Int])),
     "graft_pq_adc" -> (children => PqAdc(children.head, children(1), children(2),
       children(3).eval().asInstanceOf[Int])),
-    "graft_jaro_winkler" -> (children => JaroWinkler(children.head, children(1))))
+    "graft_jaro_winkler" -> (children => JaroWinkler(children.head, children(1))),
+    "graft_cms_merge" -> (children => CmsMergeAgg(children.head)),
+    "graft_cms_estimate" -> (children => CmsEstimate(children.head, children(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = functions.foreach { case (name, builder) =>

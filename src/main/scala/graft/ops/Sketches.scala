@@ -43,4 +43,41 @@ object Sketches {
     sketches.agg(count(lit(1)).as("n_groups"),
       sum(col("n_rows")).as("n_rows"),
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_approx"))
+
+  /** Per-group Count-Min sketches: (group, sketch, n_rows) — the
+    * FREQUENCY complement of [[hllGroupSketches]] (HLL answers "how many
+    * distinct", CMS answers "how often is THIS key"): the daily artifact a
+    * heavy-hitter store appends. NULL keys are excluded (the SQL producer
+    * skips them; [[Frequent.heavyHitters]]'s convention). All sketches of
+    * a store must share (eps, confidence, seed) to merge.
+    *
+    * Default geometry: eps 1e-4 → width 20000 columns, confidence 0.999 →
+    * depth 10 rows; 1.6 MB per sketch CONSTANT in input volume — the
+    * whole point vs a per-key count table whose size is the key space.
+    */
+  def cmsGroupSketches(df: DataFrame, groupCol: Column, keyCol: Column,
+                       eps: Double = 1e-4, confidence: Double = 0.999,
+                       seed: Int = 42): DataFrame =
+    df.groupBy(groupCol.as("group"))
+      .agg(count_min_sketch(keyCol.cast("string"), lit(eps), lit(confidence),
+        lit(seed)).as("sketch"),
+        count(keyCol).as("n_rows"))
+
+  /** One merged sketch from STORED sketches ([[graft.functions.CmsMergeAgg]])
+    * — cell-wise addition, so the union is table-identical to one sketch
+    * over the whole feed: (n_groups, n_rows, sketch).
+    */
+  def cmsUnionSketch(sketches: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(sketches.sparkSession)
+    sketches.agg(count(lit(1)).as("n_groups"),
+      sum(col("n_rows")).as("n_rows"),
+      call_function("graft_cms_merge", col("sketch")).as("sketch"))
+  }
+
+  /** Count upper-bound column for `keyCol` read from `sketchCol`
+    * ([[graft.functions.CmsEstimate]]): always >= the true count, over by
+    * more than eps*N with probability < 1−confidence.
+    */
+  def cmsEstimate(sketchCol: Column, keyCol: Column): Column =
+    call_function("graft_cms_estimate", sketchCol, keyCol.cast("string"))
 }

@@ -2160,6 +2160,17 @@ object Oracles {
         |  true AS approx_ok, true AS merge_consistent
         |FROM events""".stripMargin,
 
+    // The CMS heavy-hitter gate: exact top-50 word counts verbatim;
+    // DuckDB cannot reproduce Spark's Count-Min registers, so the twin
+    // asserts the IN-PLAN booleans — one-sided error, the eps*N
+    // over-estimate bound, and union-vs-one-shot merge consistency.
+    "x6_cms_heavy_hitters" ->
+      """WITH cmw AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |cmf AS (SELECT w, count(*) AS n_occurrences FROM cmw WHERE len(w) > 0 GROUP BY w)
+        |SELECT w AS word, n_occurrences, true AS est_lower_ok,
+        |  true AS est_upper_ok, true AS merge_consistent
+        |FROM cmf ORDER BY n_occurrences DESC, w LIMIT 50""".stripMargin,
+
     // The approx-anomaly gate: the exact report verbatim plus the rank
     // accuracy contract — DuckDB cannot reproduce Spark's GK percentile
     // sketch, so the twin asserts the IN-PLAN 45–55%-rank-window booleans

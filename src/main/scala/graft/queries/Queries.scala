@@ -298,6 +298,43 @@ object Queries {
       .orderBy("key")
   }
 
+  /** X6cms: heavy-hitter counts from STORED mergeable Count-Min sketches
+    * ([[graft.ops.Sketches]] CMS half + [[graft.functions.CmsMergeAgg]]) —
+    * the frequency complement of x10_hll_incremental's distinct story:
+    * per-source sketches are the persisted artifacts, the corpus count
+    * upper bound for any key is read from their UNION without rescanning
+    * history. Gated like every sketch here: the exact top-50 word counts
+    * travel verbatim (the candidate set the store would be probed for),
+    * the sketch rides as three IN-PLAN booleans — the one-sided error
+    * contract (estimate never below truth), the eps*N over-estimate bound,
+    * and MERGE-CONSISTENCY (estimates from the union of per-source
+    * sketches EQUAL to one sketch over the whole corpus — cell-wise
+    * addition is grouping-insensitive), which is the property the
+    * incremental read path stands on.
+    */
+  private def x6CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val words = graft.ops.OpCaches.pin(t(spark, dir, "documents")
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(length(col("w")) > 0))
+    val topk = words.groupBy(col("w")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("w")).limit(50)
+    val perSource = Sketches.cmsGroupSketches(words, col("source"), col("w"))
+    val merged = Sketches.cmsUnionSketch(perSource)
+      .select(col("sketch").as("__m"), col("n_rows").as("__n"))
+    val oneShot = words.agg(
+      count_min_sketch(col("w"), lit(1e-4), lit(0.999), lit(42)).as("__os"))
+    topk.crossJoin(broadcast(merged)).crossJoin(broadcast(oneShot))
+      .select(col("w").as("word"), col("n_occurrences"),
+        (Sketches.cmsEstimate(col("__m"), col("w")) >= col("n_occurrences"))
+          .as("est_lower_ok"),
+        (Sketches.cmsEstimate(col("__m"), col("w")).cast("double") <=
+          col("n_occurrences").cast("double") +
+            lit(1e-4) * col("__n").cast("double")).as("est_upper_ok"),
+        (Sketches.cmsEstimate(col("__m"), col("w")) ===
+          Sketches.cmsEstimate(col("__os"), col("w"))).as("merge_consistent"))
+      .orderBy(col("n_occurrences").desc, col("word"))
+  }
+
   /** X8er: entity resolution — the MDM pipeline composed from this
     * round's pieces: typo-tolerant name pairs ([[graft.ops.Fuzzy]]) →
     * transitive closure ([[Components.connectedComponents]]) → canonical
@@ -2710,7 +2747,8 @@ object Queries {
     "x10_anomaly_mad_approx" -> (x10AnomalyMadApprox _),
     "x11_ann_reload" -> (x11AnnReload _),
     "x2_jw_rerank" -> (x2JwRerank _),
-    "x10_hll_incremental" -> (x10HllIncremental _)
+    "x10_hll_incremental" -> (x10HllIncremental _),
+    "x6_cms_heavy_hitters" -> (x6CmsHeavyHitters _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -42,4 +42,60 @@ class SketchesSpec extends SparkSpec {
       .select(col("distinct_approx")).as[Long].head()
     assert(est2 == oneShot, s"7-way union=$est2 one-shot=$oneShot")
   }
+
+  // Zipf-ish fixture: key j appears 2000/j times for j in 1..200 plus a
+  // long tail of singletons — the skew regime CMS is for
+  private def cmsFixture = {
+    val heavy = spark.range(1, 201).select(explode(
+      transform(sequence(lit(1), (lit(2000) / col("id")).cast("int")),
+        _ => concat(lit("hh_"), col("id")))).as("k"),
+      (col("id") % 8).as("g"))
+    val tail = spark.range(50000).select(
+      concat(lit("tail_"), col("id")).as("k"), (col("id") % 8).as("g"))
+    heavy.unionByName(tail)
+  }
+
+  test("X6cms union of per-group CMS sketches is byte-identical to one-shot; estimates one-sided within eps*N") {
+    val df = cmsFixture
+    val sketches = Sketches.cmsGroupSketches(df, col("g"), col("k"))
+    assert(sketches.count() == 8)
+    val merged = Sketches.cmsUnionSketch(sketches)
+    val (nGroups, n, unionBytes) = merged
+      .select(col("n_groups"), col("n_rows"), col("sketch"))
+      .as[(Long, Long, Array[Byte])].head()
+    assert(nGroups == 8)
+    val oneShotBytes = df.agg(
+      count_min_sketch(col("k"), lit(1e-4), lit(0.999), lit(42)).as("s"))
+      .as[Array[Byte]].head()
+    // cell-wise addition reconstructs the one-shot table EXACTLY
+    assert(java.util.Arrays.equals(unionBytes, oneShotBytes),
+      "union sketch differs from one-shot sketch")
+    // every true count bounded below by its estimate; over by <= eps*N
+    val truth = df.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val checked = truth
+      .crossJoin(broadcast(merged.select(col("sketch"), col("n_rows"))))
+      .select(col("cnt"), Sketches.cmsEstimate(col("sketch"), col("k")).as("est"),
+        col("n_rows"))
+      .as[(Long, Long, Long)].collect()
+    assert(checked.length == 50200 && checked.forall { case (_, _, nr) => nr == n })
+    assert(checked.forall { case (cnt, est, _) => est >= cnt },
+      "CMS under-estimated a key (one-sided error violated)")
+    val over = checked.count { case (cnt, est, nr) => est > cnt + 1e-4 * nr }
+    assert(over == 0, s"$over keys over-estimated beyond eps*N")
+  }
+
+  test("X6cms incompatible sketch geometries fail the merge loudly") {
+    val df = cmsFixture.limit(1000)
+    val a = Sketches.cmsGroupSketches(df, col("g"), col("k"), eps = 1e-4)
+    val b = Sketches.cmsGroupSketches(df, col("g"), col("k"), eps = 1e-3)
+    val ex = intercept[Exception] {
+      Sketches.cmsUnionSketch(a.unionByName(b)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.getClass.getName.contains("IncompatibleMerge") ||
+        Option(c.getMessage).exists(_.toLowerCase.contains("cannot merge"))),
+      s"expected an incompatible-merge failure, got $ex")
+  }
 }
