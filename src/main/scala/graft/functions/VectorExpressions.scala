@@ -548,7 +548,8 @@ object GraftFunctions {
       children(3).eval().asInstanceOf[Int])),
     "graft_jaro_winkler" -> (children => JaroWinkler(children.head, children(1))),
     "graft_cms_merge" -> (children => CmsMergeAgg(children.head)),
-    "graft_cms_estimate" -> (children => CmsEstimate(children.head, children(1))))
+    "graft_cms_estimate" -> (children => CmsEstimate(children.head, children(1))),
+    "graft_nfc" -> (children => NfcNormalize(children.head)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = functions.foreach { case (name, builder) =>

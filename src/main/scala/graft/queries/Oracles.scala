@@ -2160,6 +2160,20 @@ object Oracles {
         |  true AS approx_ok, true AS merge_consistent
         |FROM events""".stripMargin,
 
+    // NFC twin: same planted decomposed sequences (\u escapes resolve at
+    // Scala compile time into raw UTF-8 inside the SQL text), normalized
+    // by DuckDB's utf8proc NFC — both engines implement UAX #15, so the
+    // normalized strings hash bit-for-bit.
+    "x5_unicode_normalize" ->
+      """WITH und AS (SELECT doc_id,
+        |  (['Cafe\u0301', '\u212B', '\u1100\u1161\u11A8', 'e\u0302tre',
+        |    'A\u030A', '\u2126'])[(doc_id % 6) + 1] || ' ' || text AS dirty
+        |FROM documents)
+        |SELECT doc_id, nfc_normalize(dirty) AS norm_text,
+        |  nfc_normalize(dirty) != dirty AS changed,
+        |  length(nfc_normalize(dirty)) AS n_chars_norm
+        |FROM und ORDER BY doc_id""".stripMargin,
+
     // The CMS heavy-hitter gate: exact top-50 word counts verbatim;
     // DuckDB cannot reproduce Spark's Count-Min registers, so the twin
     // asserts the IN-PLAN booleans — one-sided error, the eps*N

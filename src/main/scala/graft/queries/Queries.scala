@@ -335,6 +335,35 @@ object Queries {
       .orderBy(col("n_occurrences").desc, col("word"))
   }
 
+  /** X5u: Unicode NFC canonicalization ([[graft.functions.NfcNormalize]])
+    * — the cleaning pass that makes exact dedup / shingling / fingerprints
+    * see through encoding variance (decomposed vs precomposed graphemes).
+    * The synthetic corpus is pure ASCII (NFC's identity — verified), so
+    * the gate PLANTS the six canonical-equivalence classes that matter
+    * (combining marks, singleton signs like Å/Ω, Hangul jamo composition)
+    * per doc_id; both engines implement UAX #15 NFC, so the normalized
+    * strings hash bit-for-bit.
+    */
+  private def x5UnicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // decomposed on purpose: e+combining-acute, Angstrom SIGN (U+212B),
+    // Hangul jamo, e+combining-circumflex, A+combining-ring, Ohm SIGN —
+    // NFC composes every one; escapes keep the source encoding-proof
+    val seqs = array(lit("Cafe\u0301"), lit("\u212B"),
+      lit("\u1100\u1161\u11A8"), lit("e\u0302tre"), lit("A\u030A"),
+      lit("\u2126"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(element_at(seqs, (col("doc_id") % 6 + 1).cast("int")),
+          lit(" "), col("text")).as("__dirty"))
+      .select(col("doc_id"),
+        call_function("graft_nfc", col("__dirty")).as("norm_text"),
+        (call_function("graft_nfc", col("__dirty")) =!= col("__dirty"))
+          .as("changed"),
+        length(call_function("graft_nfc", col("__dirty"))).as("n_chars_norm"))
+      .orderBy("doc_id")
+  }
+
   /** X8er: entity resolution — the MDM pipeline composed from this
     * round's pieces: typo-tolerant name pairs ([[graft.ops.Fuzzy]]) →
     * transitive closure ([[Components.connectedComponents]]) → canonical
@@ -2748,7 +2777,8 @@ object Queries {
     "x11_ann_reload" -> (x11AnnReload _),
     "x2_jw_rerank" -> (x2JwRerank _),
     "x10_hll_incremental" -> (x10HllIncremental _),
-    "x6_cms_heavy_hitters" -> (x6CmsHeavyHitters _)
+    "x6_cms_heavy_hitters" -> (x6CmsHeavyHitters _),
+    "x5_unicode_normalize" -> (x5UnicodeNormalize _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
