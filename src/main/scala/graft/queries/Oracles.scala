@@ -2160,6 +2160,36 @@ object Oracles {
         |  true AS approx_ok, true AS merge_consistent
         |FROM events""".stripMargin,
 
+    // k-anonymity twins: the same window/grouping arithmetic verbatim
+    // (bucket via double division — exact at the only reachable
+    // boundaries, k*1000.00 being IEEE-exact; BIGINT casts per the
+    // HUGEINT dtype lesson).
+    "x5_k_anonymity" ->
+      """WITH kan AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  c_mktsegment AS segment,
+        |  CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_bucket
+        |FROM customer),
+        |kc AS (SELECT *, count(*) OVER (PARTITION BY nationkey, segment, bal_bucket)
+        |  AS class_size FROM kan)
+        |SELECT c_custkey,
+        |  CASE WHEN class_size < 10 THEN NULL ELSE nationkey END AS nationkey,
+        |  CASE WHEN class_size < 10 THEN NULL ELSE segment END AS segment,
+        |  CASE WHEN class_size < 10 THEN NULL ELSE bal_bucket END AS bal_bucket,
+        |  class_size, class_size < 10 AS suppressed
+        |FROM kc ORDER BY c_custkey""".stripMargin,
+
+    "x5_k_anonymity_audit" ->
+      """WITH kaa AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  c_mktsegment AS segment,
+        |  CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_bucket
+        |FROM customer),
+        |ks AS (SELECT count(*) AS sz FROM kaa GROUP BY nationkey, segment, bal_bucket)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows, count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
+        |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(min(sz) AS BIGINT) AS min_class_size
+        |FROM ks""".stripMargin,
+
     // NFC twin: same planted decomposed sequences (\u escapes resolve at
     // Scala compile time into raw UTF-8 inside the SQL text), normalized
     // by DuckDB's utf8proc NFC — both engines implement UAX #15, so the

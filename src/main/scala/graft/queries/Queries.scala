@@ -364,6 +364,36 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X5k: k-anonymity suppression ([[graft.ops.Privacy]]) — the release
+    * gate for user-derived metadata: rows whose quasi-identifier tuple
+    * (nation, segment, coarse balance bucket) is shared by fewer than 10
+    * rows get the tuple nulled; one window shuffle, no join-back.
+    */
+  private def x5KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal").cast("double") / 1000.0).cast("long")
+          .as("bal_bucket"))
+    graft.ops.Privacy
+      .suppressBelowK(cust, Seq("nationkey", "segment", "bal_bucket"), k = 10)
+      .orderBy("c_custkey")
+  }
+
+  /** X5ka: the matching one-row audit — what the gate checks before
+    * shipping ([[graft.ops.Privacy.kAnonymityAudit]]).
+    */
+  private def x5KAnonymityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal").cast("double") / 1000.0).cast("long")
+          .as("bal_bucket"))
+    graft.ops.Privacy
+      .kAnonymityAudit(cust, Seq("nationkey", "segment", "bal_bucket"), k = 10)
+  }
+
   /** X8er: entity resolution — the MDM pipeline composed from this
     * round's pieces: typo-tolerant name pairs ([[graft.ops.Fuzzy]]) →
     * transitive closure ([[Components.connectedComponents]]) → canonical
@@ -2778,7 +2808,9 @@ object Queries {
     "x2_jw_rerank" -> (x2JwRerank _),
     "x10_hll_incremental" -> (x10HllIncremental _),
     "x6_cms_heavy_hitters" -> (x6CmsHeavyHitters _),
-    "x5_unicode_normalize" -> (x5UnicodeNormalize _)
+    "x5_unicode_normalize" -> (x5UnicodeNormalize _),
+    "x5_k_anonymity" -> (x5KAnonymity _),
+    "x5_k_anonymity_audit" -> (x5KAnonymityAudit _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
