@@ -2160,6 +2160,41 @@ object Oracles {
         |  true AS approx_ok, true AS merge_consistent
         |FROM events""".stripMargin,
 
+    // v12 governance chain: NFC -> dedup-on-canonical -> quality gate ->
+    // k-anonymity drop; every stage's arithmetic shared verbatim with its
+    // standalone twin (planted decomposed prefixes as in
+    // x5_unicode_normalize; quality formula as in x5_quality over the
+    // canonicalized text; class filter as in x5_k_anonymity with rows at
+    // risk dropped).
+    "x8_curation_v12" ->
+      """WITH v12d AS (SELECT doc_id, lang, source,
+        |  nfc_normalize((['Cafe\u0301', '\u212B', '\u1100\u1161\u11A8',
+        |    'e\u0302tre', 'A\u030A', '\u2126'])[(doc_id % 6) + 1]
+        |    || ' ' || text) AS rawnt
+        |FROM documents),
+        |v12k AS (SELECT *, row_number() OVER (PARTITION BY rawnt ORDER BY doc_id) AS rn
+        |  FROM v12d),
+        |v12u AS (SELECT doc_id, lang, source,
+        |  regexp_replace(trim(lower(rawnt)), '\s+', ' ', 'g') AS nt
+        |FROM v12k WHERE rn = 1),
+        |v12w AS (SELECT doc_id, lang, source, nt,
+        |  list_filter(string_split(nt, ' '), x -> len(x) > 0) AS ws FROM v12u),
+        |v12m AS (SELECT doc_id, lang, source, nt, len(ws) AS nw,
+        |  coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS sumlen,
+        |  len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','the','a','and','of','to','in','is','el','la','de','y','que','los','un','le','et','les','des','une','de0','shi0','le0','bu0','wo0','zai0','you0'], x))) AS nstop
+        |FROM v12w),
+        |v12q AS (SELECT doc_id, lang, source,
+        |  CAST(floor(length(nt) / 500.0) AS BIGINT) AS len_bucket,
+        |  round((least(nw/50.0, 1.0)
+        |       + (CASE WHEN sumlen*1.0/greatest(nw, 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+        |       + least((nstop*1.0/greatest(nw, 1))*5, 1.0))/3.0, 6) AS quality_score
+        |FROM v12m),
+        |v12g AS (SELECT * FROM v12q WHERE quality_score >= 0.5),
+        |v12c AS (SELECT *, count(*) OVER (PARTITION BY lang, source, len_bucket)
+        |  AS class_size FROM v12g)
+        |SELECT doc_id, lang, source, quality_score, class_size
+        |FROM v12c WHERE class_size >= 5 ORDER BY doc_id""".stripMargin,
+
     // k-anonymity twins: the same window/grouping arithmetic verbatim
     // (bucket via double division — exact at the only reachable
     // boundaries, k*1000.00 being IEEE-exact; BIGINT casts per the

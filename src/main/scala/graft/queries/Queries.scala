@@ -2154,6 +2154,46 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X8v12: the governance release chain composed from the r10 pieces —
+    * NFC canonicalization ([[graft.functions.NfcNormalize]], over the
+    * same planted decomposed prefixes as x5_unicode_normalize so the
+    * stage does real work on the ASCII corpus) → exact dedup on the
+    * CANONICALIZED text (the order the two passes must run in: encoding
+    * variance defeats dedup run first) → quality gate ≥ 0.5 → k-anonymity
+    * release filter over (lang, source, length-bucket) with rows at risk
+    * DROPPED (k=5) — each stage's arithmetic shared verbatim with its
+    * standalone twin.
+    */
+  private def x8CurationV12(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val seqs = array(lit("Cafe\u0301"), lit("\u212B"),
+      lit("\u1100\u1161\u11A8"), lit("e\u0302tre"), lit("A\u030A"),
+      lit("\u2126"))
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        call_function("graft_nfc",
+          concat(element_at(seqs, (col("doc_id") % 6 + 1).cast("int")),
+            lit(" "), col("text"))).as("rawnt"))
+    val kept = docs
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("rawnt")).orderBy(col("doc_id"))))
+      .where(col("__rn") === 1).drop("__rn")
+    val gated = TextAnalysis
+      .qualityMetrics(kept, "doc_id", col("rawnt"),
+        carry = Seq("lang", "source", "rawnt"))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality_score"),
+        floor(length(graft.ops.Dedup.normalizeText(col("rawnt"))) / lit(500.0))
+          .cast("long").as("len_bucket"))
+      .where(col("quality_score") >= 0.5)
+    gated
+      .withColumn("class_size", count(lit(1)).over(
+        Window.partitionBy(col("lang"), col("source"), col("len_bucket"))))
+      .where(col("class_size") >= 5)
+      .select(col("doc_id"), col("lang"), col("source"), col("quality_score"),
+        col("class_size"))
+      .orderBy("doc_id")
+  }
+
   /** X7: sequence packing placement — concat-and-chunk into 512-token
     * sequences per source shard; every document's stream offset and
     * spanned sequence ids from pure window arithmetic.
@@ -2792,6 +2832,7 @@ object Queries {
     "a2_incremental_rollup" -> (a2IncrementalRollup _),
     "x7_dedup_pagerank" -> (x7DedupPagerank _),
     "x8_curation_v11" -> (x8CurationV11 _),
+    "x8_curation_v12" -> (x8CurationV12 _),
     "x5_classifier_eval" -> (x5ClassifierEval _),
     "x5_feature_drift" -> (x5FeatureDrift _),
     "x11_model_reload" -> (x11ModelReload _),
