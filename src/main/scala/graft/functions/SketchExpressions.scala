@@ -82,6 +82,172 @@ case class CmsMergeAgg(
     copy(child = newChild)
 }
 
+/** Distributed Bloom-filter build over a key column — the build half of
+  * the semi-join pruning pattern ([[graft.ops.BloomPrune]]): Spark's
+  * runtime row-level filtering injects this only under AQE's cost
+  * heuristics; this aggregate makes the technique an explicit, composable
+  * operator (and the filter a persistable artifact like the other
+  * sketches here). Buffer = ONE fixed-size bit array (`optimalNumOfBits
+  * (expectedItems, fpp)`) per aggregation buffer regardless of input
+  * volume; merge is bitwise OR. Long keys hash as longs, everything else
+  * as its string form — [[BloomContains]] dispatches identically, so
+  * build and probe agree. NULL keys are skipped (an equi-join never
+  * matches them).
+  *
+  * Capacity overflow degrades fpp, never correctness: a Bloom filter has
+  * false POSITIVES only, and the pruned join re-verifies with the real
+  * equi-join — the contract the result-identical oracle gate leans on.
+  */
+case class BloomBuildAgg(
+    child: Expression,
+    expectedItems: Long,
+    fpp: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.spark.util.sketch.BloomFilter]
+  with UnaryLike[Expression] {
+
+  import org.apache.spark.util.sketch.BloomFilter
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (expectedItems <= 0) TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_agg expects a positive expected-item count, got $expectedItems")
+    else if (fpp <= 0 || fpp >= 1) TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_agg expects fpp in (0, 1), got $fpp")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): BloomFilter =
+    BloomFilter.create(expectedItems, fpp)
+
+  override def update(buffer: BloomFilter, input: InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case LongType    => buffer.putLong(v.asInstanceOf[Long])
+      case IntegerType => buffer.putLong(v.asInstanceOf[Int].toLong)
+      case _           => buffer.putString(v.toString)
+    }
+    buffer
+  }
+
+  override def merge(b1: BloomFilter, b2: BloomFilter): BloomFilter =
+    b1.mergeInPlace(b2)
+
+  override def eval(buffer: BloomFilter): Any = serialize(buffer)
+
+  override def serialize(buffer: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    buffer.writeTo(out)
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBuildAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBuildAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomBuildAgg =
+    copy(child = newChild)
+}
+
+/** Per-instance decode cache for scalar sketch probes. The probe shape is
+  * ONE artifact tested by MANY rows, so the artifact must be decoded once,
+  * not per row. Two regimes, chosen by foldability:
+  *
+  *  - FOLDABLE sketch operand (the operators' own form — the bounded
+  *    artifact is collected and embedded as a literal, the PqAdc codebook
+  *    discipline): decoded exactly once per expression instance, zero
+  *    per-row validation cost.
+  *  - non-foldable operand (a user joins the sketch in as a column):
+  *    per-thread cache revalidated by byte equality. The memcmp is
+  *    O(artifact size) PER ROW — measured 138× wall on a 60M-row probe of
+  *    a 1.2 MB filter (SCALING r10), because a row-materialized binary is
+  *    a fresh array every access and identity never matches. Correct, but
+  *    a hot path should use the literal form.
+  */
+private[functions] trait DecodedSketchProbe[S >: Null <: AnyRef] {
+  self: BinaryExpression =>
+
+  protected def parse(bytes: Array[Byte]): S
+
+  @transient private lazy val foldableDecoded: S =
+    if (left.foldable) {
+      val v = left.eval()
+      if (v == null) null else parse(v.asInstanceOf[Array[Byte]])
+    } else null
+
+  @transient private lazy val threadCache = new ThreadLocal[(Array[Byte], S)]
+
+  protected final def decoded(bytes: Array[Byte]): S = {
+    val f = foldableDecoded
+    if (f != null) f
+    else {
+      var e = threadCache.get()
+      if (e == null || !java.util.Arrays.equals(e._1, bytes)) {
+        e = (bytes, parse(bytes))
+        threadCache.set(e)
+      }
+      e._2
+    }
+  }
+}
+
+/** Membership probe against a serialized Bloom filter: `(filter, key)` →
+  * might-contain. Key hashing mirrors [[BloomBuildAgg]] (longs as longs,
+  * other types as strings); decode caching per [[DecodedSketchProbe]].
+  */
+case class BloomContains(left: Expression, right: Expression)
+  extends BinaryExpression with BinaryLike[Expression]
+  with DecodedSketchProbe[org.apache.spark.util.sketch.BloomFilter] {
+
+  import org.apache.spark.util.sketch.BloomFilter
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, LongType | IntegerType | StringType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_contains expects (binary filter, bigint|int|string key), got ($l, $r)")
+  }
+
+  override protected def parse(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(bytes)
+
+  private def decode(bytes: Array[Byte]): BloomFilter = decoded(bytes)
+
+  // primitive overloads so generated code never relies on Janino autoboxing
+  def contains(bytes: Array[Byte], key: Long): Boolean =
+    decode(bytes).mightContainLong(key)
+  def contains(bytes: Array[Byte], key: Int): Boolean =
+    decode(bytes).mightContainLong(key.toLong)
+  def contains(bytes: Array[Byte], key: UTF8String): Boolean =
+    decode(bytes).mightContainString(key.toString)
+
+  override def nullSafeEval(bf: Any, key: Any): Any = {
+    val bytes = bf.asInstanceOf[Array[Byte]]
+    right.dataType match {
+      case LongType    => contains(bytes, key.asInstanceOf[Long])
+      case IntegerType => contains(bytes, key.asInstanceOf[Int])
+      case _           => contains(bytes, key.asInstanceOf[UTF8String])
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomHas", this, classOf[BloomContains].getName)
+    nullSafeCodeGen(ctx, ev, (bf, key) =>
+      s"${ev.value} = $ref.contains($bf, $key);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Point estimate from a serialized Count-Min sketch: `(sketch, key)` →
   * the sketch's count upper bound for the key (always >= the true count;
   * over by more than eps*N with probability < 1−confidence). Key hashing
@@ -89,15 +255,14 @@ case class CmsMergeAgg(
   * hashed as their UTF-8 bytes), so estimates read from either producer's
   * artifacts.
   *
-  * The sketch operand is typically one broadcast/merged artifact probed
-  * by MANY key rows; deserializing per row would dominate, so each thread
-  * caches the last decoded sketch and revalidates by byte equality (a
-  * memcmp per row — the sketch is KBs-to-MBs; decode only on change).
-  * Codegen keeps the call inside whole-stage pipelines via the PqAdc
-  * reference-object pattern.
+  * The sketch operand is typically one merged artifact probed by MANY key
+  * rows; decode caching per [[DecodedSketchProbe]] (pass the artifact as
+  * a LITERAL on hot paths). Codegen keeps the call inside whole-stage
+  * pipelines via the PqAdc reference-object pattern.
   */
 case class CmsEstimate(left: Expression, right: Expression)
-  extends BinaryExpression with BinaryLike[Expression] {
+  extends BinaryExpression with BinaryLike[Expression]
+  with DecodedSketchProbe[CountMinSketch] {
 
   override def dataType: DataType = LongType
 
@@ -107,17 +272,11 @@ case class CmsEstimate(left: Expression, right: Expression)
       s"graft_cms_estimate expects (binary sketch, string key), got ($l, $r)")
   }
 
-  @transient private lazy val cached =
-    new ThreadLocal[(Array[Byte], CountMinSketch)]
+  override protected def parse(bytes: Array[Byte]): CountMinSketch =
+    CountMinSketch.readFrom(bytes)
 
-  def estimate(bytes: Array[Byte], key: UTF8String): Long = {
-    var e = cached.get()
-    if (e == null || !java.util.Arrays.equals(e._1, bytes)) {
-      e = (bytes, CountMinSketch.readFrom(bytes))
-      cached.set(e)
-    }
-    e._2.estimateCount(key.getBytes)
-  }
+  def estimate(bytes: Array[Byte], key: UTF8String): Long =
+    decoded(bytes).estimateCount(key.getBytes)
 
   override def nullSafeEval(sk: Any, key: Any): Any =
     estimate(sk.asInstanceOf[Array[Byte]], key.asInstanceOf[UTF8String])

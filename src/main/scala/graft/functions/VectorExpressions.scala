@@ -549,7 +549,11 @@ object GraftFunctions {
     "graft_jaro_winkler" -> (children => JaroWinkler(children.head, children(1))),
     "graft_cms_merge" -> (children => CmsMergeAgg(children.head)),
     "graft_cms_estimate" -> (children => CmsEstimate(children.head, children(1))),
-    "graft_nfc" -> (children => NfcNormalize(children.head)))
+    "graft_nfc" -> (children => NfcNormalize(children.head)),
+    "graft_bloom_agg" -> (children => BloomBuildAgg(children.head,
+      children(1).eval().asInstanceOf[Number].longValue(),
+      children(2).eval().asInstanceOf[Number].doubleValue())),
+    "graft_bloom_contains" -> (children => BloomContains(children.head, children(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = functions.foreach { case (name, builder) =>

@@ -1245,6 +1245,17 @@ object Oracles {
 
     // The PLAIN join: Skew.saltedJoin is result-identical by contract, so
     // the oracle needs no salt at all - that identity IS what the gate checks.
+    // Bloom-pruned join twin: the PLAIN join — pruning is result-identical
+    // by contract (false positives only, re-verified by the real join), so
+    // any pruning defect breaks the hash match.
+    "q12_bloom_revenue" ->
+      """SELECT s_suppkey, s_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 9000.0
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
     "q8_salted_revenue" ->
       """SELECT s_nationkey,
         |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

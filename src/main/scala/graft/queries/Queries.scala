@@ -2231,6 +2231,26 @@ object Queries {
       .orderBy("s_nationkey")
   }
 
+  /** Q12: Bloom-pruned selective join ([[graft.ops.BloomPrune]]) — the
+    * fact side dropped against a Bloom filter of the selective dimension
+    * subset's keys BEFORE the shuffle; result-identical to the plain join
+    * by the false-positives-only + re-verify contract, so the twin is the
+    * plain SQL join (the saltedJoin gate style).
+    */
+  private def q12BloomRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val sup = t(spark, dir, "supplier").where(col("s_acctbal") > 9000.0)
+      .select(col("s_suppkey"), col("s_name"))
+    graft.ops.BloomPrune
+      .prunedEquiJoin(li, sup, col("l_suppkey"), col("s_suppkey"),
+        expectedItems = 1000000L, fpp = 0.01)
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 4)
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("s_suppkey")
+  }
+
   /** X8: the COMPOSED curation pipeline — what a user of this library
     * actually runs end to end over a raw corpus: quality/language clean +
     * exact dedup (x6) → benchmark decontamination (x7d; benchmark =
@@ -2780,6 +2800,7 @@ object Queries {
     "x6_bpe_merges" -> (x6BpeMerges _),
     "x6_bpe_tokens" -> (x6BpeTokens _),
     "q8_salted_revenue" -> (q8SaltedRevenue _),
+    "q12_bloom_revenue" -> (q12BloomRevenue _),
     "x7_mixture_sample" -> (x7MixtureSample _),
     "x2_semdedup" -> (x2Semdedup _),
     "x2_semdedup_scale" -> (x2SemdedupScale _),

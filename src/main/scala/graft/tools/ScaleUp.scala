@@ -106,6 +106,16 @@ object ScaleUp {
         .repartition(32).write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
     }
 
+    // supplier: pass-through copy — lineitem's l_suppkey is NOT rescaled,
+    // so the dim stays fixed-size while fact fan-in grows ×N per supplier
+    // (facts outgrow dims, the real-warehouse shape; also exactly the
+    // regime Bloom-pruned selective joins exist for)
+    val suSrc = s"$src/supplier.parquet"
+    if (new java.io.File(suSrc).exists()) {
+      spark.read.parquet(suSrc).write.mode("overwrite")
+        .parquet(s"$dest/supplier.parquet")
+    }
+
     val dim = 64
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
       .crossJoin(broadcast(reps))

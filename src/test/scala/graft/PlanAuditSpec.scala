@@ -37,7 +37,11 @@ class PlanAuditSpec extends SparkSpec {
       "x11_model_reload",
       // entity resolution runs the union-find edge collect at construction
       // (its pair-join plan is x2_fuzzy_names', already swept)
-      "x8_entity_resolution")
+      "x8_entity_resolution",
+      // round-10: the bloom build is collected at construction and embedded
+      // as a literal (the PqAdc codebook discipline); the pruned-join plan
+      // is audited in BloomPruneSpec
+      "q12_bloom_revenue")
     (SparkEntry.queries.keySet -- constructionRunsJobs).toSeq.sorted.foreach { q =>
       assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian product")
     }
