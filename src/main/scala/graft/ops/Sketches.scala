@@ -44,6 +44,33 @@ object Sketches {
       sum(col("n_rows")).as("n_rows"),
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_approx"))
 
+  /** Pairwise distinct-overlap estimates from STORED sketches — the
+    * cohort-analysis read path (audience overlap, cross-source user
+    * overlap, contamination triage): for every unordered group pair,
+    * |A∩B| by inclusion–exclusion over the HLL estimates (est(A) +
+    * est(B) − est(A∪B), the pair union via the SCALAR `hll_union` so no
+    * re-scan of any data), with the error contract inherited from the
+    * union's: the IE error is bounded relative to |A∪B|, NOT |A∩B| — a
+    * tiny intersection of two huge sets is not resolvable from HLL
+    * registers, which is why callers gate on a union-relative tolerance.
+    * Output: (group_a, group_b, est_a, est_b, est_union, est_intersect).
+    * The group count is assumed store-sized (pairs are O(G²) — G is
+    * sources/days/cohorts, not rows).
+    */
+  def hllPairOverlaps(sketches: DataFrame): DataFrame = {
+    val a = sketches.select(col("group").as("group_a"),
+      col("sketch").as("__sa"))
+    val b = sketches.select(col("group").as("group_b"),
+      col("sketch").as("__sb"))
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        hll_sketch_estimate(col("__sa")).as("est_a"),
+        hll_sketch_estimate(col("__sb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("__sa"), col("__sb"))).as("est_union"))
+      .withColumn("est_intersect",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
+
   /** Per-group Count-Min sketches: (group, sketch, n_rows) — the
     * FREQUENCY complement of [[hllGroupSketches]] (HLL answers "how many
     * distinct", CMS answers "how often is THIS key"): the daily artifact a

@@ -2161,6 +2161,23 @@ object Oracles {
         |FROM events e JOIN amad s USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    // Cohort-overlap gate: exact per-type/intersection counts verbatim;
+    // the sketch IE estimate rides as the pinned union-relative boolean.
+    "x10_hll_overlap" ->
+      """WITH hou AS (SELECT DISTINCT event_type, user_id FROM events),
+        |hpt AS (SELECT event_type, count(*) AS n_users FROM hou GROUP BY 1),
+        |hpi AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_intersect
+        |  FROM hou a JOIN hou b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b,
+        |  pa.n_users AS n_a, pb.n_users AS n_b, n_intersect,
+        |  true AS overlap_ok
+        |FROM hpi JOIN hpt pa ON pa.event_type = type_a
+        |  JOIN hpt pb ON pb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
     // The incremental-HLL gate: exact day/row/distinct metrics verbatim;
     // DuckDB cannot reproduce DataSketches registers, so the twin asserts
     // the IN-PLAN booleans — the 5% accuracy contract and the

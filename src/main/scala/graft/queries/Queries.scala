@@ -500,6 +500,43 @@ object Queries {
         (col("distinct_approx") === col("__os")).as("merge_consistent"))
   }
 
+  /** X10hlo: cohort distinct-overlap from STORED sketches
+    * ([[graft.ops.Sketches.hllPairOverlaps]]) — every event-type pair's
+    * shared-user count estimated by inclusion–exclusion over the per-type
+    * HLL artifacts alone (pair unions via the scalar `hll_union` — no
+    * re-scan). Gated like the rest of the store: exact per-type and
+    * intersection counts travel verbatim, the estimate rides as an
+    * IN-PLAN union-relative 5% contract boolean (IE error is bounded
+    * relative to |A∪B|, not |A∩B|).
+    */
+  private def x10HllOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.ops.OpCaches.pin(
+      t(spark, dir, "events").select(col("event_type"), col("user_id")))
+    val est = Sketches.hllPairOverlaps(
+      Sketches.hllGroupSketches(ev, col("event_type"), col("user_id")))
+      .select(col("group_a").as("type_a"), col("group_b").as("type_b"),
+        col("est_intersect"), col("est_union"))
+    val perType = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val users = ev.distinct()
+    val exact = users.select(col("event_type").as("type_a"), col("user_id"))
+      .join(users.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_intersect"))
+    exact
+      .join(perType.select(col("event_type").as("type_a"), col("n_users").as("n_a")), Seq("type_a"))
+      .join(perType.select(col("event_type").as("type_b"), col("n_users").as("n_b")), Seq("type_b"))
+      .join(est, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_intersect"),
+        (abs(col("est_intersect") - col("n_intersect")).cast("double") <=
+          lit(0.05) * greatest(col("n_a") + col("n_b") - col("n_intersect"),
+            lit(1L)).cast("double")).as("overlap_ok"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** X2f: bounded-edit-distance name join ([[graft.ops.Fuzzy]]) — the
     * entity-resolution primitive over customer names via SymSpell deletion
     * banding: one codegen'd key projection + equi-join + exact levenshtein
@@ -2872,7 +2909,8 @@ object Queries {
     "x6_cms_heavy_hitters" -> (x6CmsHeavyHitters _),
     "x5_unicode_normalize" -> (x5UnicodeNormalize _),
     "x5_k_anonymity" -> (x5KAnonymity _),
-    "x5_k_anonymity_audit" -> (x5KAnonymityAudit _)
+    "x5_k_anonymity_audit" -> (x5KAnonymityAudit _),
+    "x10_hll_overlap" -> (x10HllOverlap _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -43,6 +43,24 @@ class SketchesSpec extends SparkSpec {
     assert(est2 == oneShot, s"7-way union=$est2 one-shot=$oneShot")
   }
 
+  test("X10hlo pair overlap by inclusion-exclusion within 5% of union; disjoint pairs near zero") {
+    // A = 0..9999, B = 5000..14999 (|A∩B| = 5000, |A∪B| = 15000), C disjoint
+    val df = spark.range(10000).select(lit("A").as("g"), concat(lit("u"), col("id")).as("k"))
+      .unionByName(spark.range(5000, 15000).select(lit("B").as("g"), concat(lit("u"), col("id")).as("k")))
+      .unionByName(spark.range(100000, 108000).select(lit("C").as("g"), concat(lit("u"), col("id")).as("k")))
+    val pairs = Sketches.hllPairOverlaps(
+      Sketches.hllGroupSketches(df, col("g"), col("k")))
+      .select(col("group_a"), col("group_b"), col("est_intersect"))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.size == 3)
+    assert(math.abs(pairs(("A", "B")) - 5000L) <= 750L,
+      s"A-B overlap ${pairs(("A", "B"))} outside 5% of the 15000 union")
+    assert(math.abs(pairs(("A", "C"))) <= 900L &&
+      math.abs(pairs(("B", "C"))) <= 900L,
+      s"disjoint overlaps not near zero: $pairs")
+  }
+
   // Zipf-ish fixture: key j appears 2000/j times for j in 1..200 plus a
   // long tail of singletons — the skew regime CMS is for
   private def cmsFixture = {
