@@ -82,6 +82,221 @@ case class CmsMergeAgg(
     copy(child = newChild)
 }
 
+/** Serialization for the Greenwald–Khanna quantile summary behind the
+  * quantile-sketch store: [relativeError, count, nStats, (value, g,
+  * delta)*] — the summary's entire state, so a reloaded sketch answers
+  * queries identically to the one that was stored.
+  */
+private[graft] object QuantileCodec {
+  import org.apache.spark.sql.catalyst.util.QuantileSummaries
+  import org.apache.spark.sql.catalyst.util.QuantileSummaries.Stats
+
+  def toBytes(q: QuantileSummaries): Array[Byte] = {
+    val c = if (q.compressed) q else q.compress()
+    val s = c.sampled
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 + 4 + s.length * 24)
+    bb.putDouble(c.relativeError).putLong(c.count).putInt(s.length)
+    s.foreach(st => bb.putDouble(st.value).putLong(st.g).putLong(st.delta))
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte]): QuantileSummaries = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val err = bb.getDouble
+    val count = bb.getLong
+    val stats = Array.fill(bb.getInt)(Stats(bb.getDouble, bb.getLong, bb.getLong))
+    new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, err,
+      stats, count, true)
+  }
+}
+
+/** Quantile-sketch build aggregate — the third leg of the mergeable
+  * store trio ([[graft.ops.Sketches]]: HLL answers distincts, CMS
+  * frequencies, this answers QUANTILES from stored artifacts): a
+  * Greenwald–Khanna summary (the engine inside Spark's own
+  * `approx_percentile`) built per group and serialized as a persistable
+  * binary column. State ≤ O(1/relativeError) samples per buffer whatever
+  * the input volume. Unlike HLL/CMS, GK merge is NOT
+  * grouping-invariant — a union of stored sketches is a VALID summary at
+  * (2×) the error bound but not bit-identical to the one-shot sketch —
+  * so the store's contract is the RANK guarantee, which is exactly what
+  * the registered gate asserts in-plan (the x10_anomaly_mad_approx
+  * rank-window discipline).
+  */
+case class QuantileSketchAgg(
+    child: Expression,
+    relativeError: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.spark.sql.catalyst.util.QuantileSummaries]
+  with UnaryLike[Expression] {
+
+  import org.apache.spark.sql.catalyst.util.QuantileSummaries
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (relativeError <= 0 || relativeError >= 1) TypeCheckResult.TypeCheckFailure(
+      s"graft_qsketch_agg expects relativeError in (0, 1), got $relativeError")
+    else child.dataType match {
+      case DoubleType | FloatType | LongType | IntegerType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_qsketch_agg expects a numeric value column, got $t")
+    }
+
+  override def createAggregationBuffer(): QuantileSummaries =
+    new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, relativeError)
+
+  override def update(buffer: QuantileSummaries, input: InternalRow): QuantileSummaries = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else buffer.insert(v match {
+      case d: java.lang.Double  => d
+      case f: java.lang.Float   => f.toDouble
+      case l: java.lang.Long    => l.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case other                => other.toString.toDouble
+    })
+  }
+
+  override def merge(b1: QuantileSummaries, b2: QuantileSummaries): QuantileSummaries = {
+    val c1 = if (b1.compressed) b1 else b1.compress()
+    val c2 = if (b2.compressed) b2 else b2.compress()
+    if (c2.count == 0) c1 else if (c1.count == 0) c2 else c1.merge(c2)
+  }
+
+  override def eval(buffer: QuantileSummaries): Any =
+    if (buffer.count == 0) null else QuantileCodec.toBytes(buffer)
+
+  override def serialize(buffer: QuantileSummaries): Array[Byte] =
+    QuantileCodec.toBytes(buffer)
+
+  override def deserialize(bytes: Array[Byte]): QuantileSummaries =
+    QuantileCodec.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QuantileSketchAgg =
+    copy(child = newChild)
+}
+
+/** Merge aggregate over SERIALIZED quantile sketches — the union read
+  * path for stored per-day/per-source artifacts (the [[CmsMergeAgg]]
+  * role for quantiles). The merged summary honors the GK rank bound at
+  * the summed error; empty groups merge as identities.
+  */
+case class QuantileMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.spark.sql.catalyst.util.QuantileSummaries]
+  with UnaryLike[Expression] {
+
+  import org.apache.spark.sql.catalyst.util.QuantileSummaries
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_qsketch_merge expects a binary serialized quantile sketch, got $t")
+  }
+
+  override def createAggregationBuffer(): QuantileSummaries = null
+
+  override def update(buffer: QuantileSummaries, input: InternalRow): QuantileSummaries = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val sk = QuantileCodec.fromBytes(v.asInstanceOf[Array[Byte]])
+      if (buffer == null || buffer.count == 0) sk
+      else if (sk.count == 0) buffer
+      else buffer.merge(sk)
+    }
+  }
+
+  override def merge(b1: QuantileSummaries, b2: QuantileSummaries): QuantileSummaries =
+    if (b1 == null || b1.count == 0) b2
+    else if (b2 == null || b2.count == 0) b1
+    else b1.merge(b2)
+
+  override def eval(buffer: QuantileSummaries): Any =
+    if (buffer == null || buffer.count == 0) null else QuantileCodec.toBytes(buffer)
+
+  override def serialize(buffer: QuantileSummaries): Array[Byte] =
+    if (buffer == null) Array.emptyByteArray else QuantileCodec.toBytes(buffer)
+
+  override def deserialize(bytes: Array[Byte]): QuantileSummaries =
+    if (bytes.isEmpty) null else QuantileCodec.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QuantileMergeAgg =
+    copy(child = newChild)
+}
+
+/** Quantile query against a serialized GK sketch: `(sketch, p)` → the
+  * rank-p estimate; decode caching per [[DecodedSketchProbe]].
+  */
+case class QuantileSketchQuery(left: Expression, right: Expression)
+  extends BinaryExpression with BinaryLike[Expression]
+  with DecodedSketchProbe[org.apache.spark.sql.catalyst.util.QuantileSummaries] {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_qsketch_query expects (binary sketch, double p), got ($l, $r)")
+  }
+
+  override protected def parse(bytes: Array[Byte]) = QuantileCodec.fromBytes(bytes)
+
+  def queryP(bytes: Array[Byte], p: Double): Any =
+    decoded(bytes).query(p) match {
+      case scala.Some(v) => v
+      case _ => null
+    }
+
+  override def nullSafeEval(sk: Any, p: Any): Any =
+    queryP(sk.asInstanceOf[Array[Byte]], p.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("qsQuery", this, classOf[QuantileSketchQuery].getName)
+    val se = left.genCode(ctx)
+    val pe = right.genCode(ctx)
+    val r = ctx.freshName("qRes")
+    ev.copy(code = code"""
+      ${se.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = -1.0;
+      if (!${se.isNull}) {
+        ${pe.code}
+        if (!${pe.isNull}) {
+          Object $r = $ref.queryP(${se.value}, ${pe.value});
+          if ($r != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = ((Double) $r).doubleValue();
+          }
+        }
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Distributed Bloom-filter build over a key column — the build half of
   * the semi-join pruning pattern ([[graft.ops.BloomPrune]]): Spark's
   * runtime row-level filtering injects this only under AQE's cost

@@ -553,7 +553,11 @@ object GraftFunctions {
     "graft_bloom_agg" -> (children => BloomBuildAgg(children.head,
       children(1).eval().asInstanceOf[Number].longValue(),
       children(2).eval().asInstanceOf[Number].doubleValue())),
-    "graft_bloom_contains" -> (children => BloomContains(children.head, children(1))))
+    "graft_bloom_contains" -> (children => BloomContains(children.head, children(1))),
+    "graft_qsketch_agg" -> (children => QuantileSketchAgg(children.head,
+      children(1).eval().asInstanceOf[Number].doubleValue())),
+    "graft_qsketch_merge" -> (children => QuantileMergeAgg(children.head)),
+    "graft_qsketch_query" -> (children => QuantileSketchQuery(children.head, children(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = functions.foreach { case (name, builder) =>

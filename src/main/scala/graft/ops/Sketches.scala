@@ -107,4 +107,36 @@ object Sketches {
     */
   def cmsEstimate(sketchCol: Column, keyCol: Column): Column =
     call_function("graft_cms_estimate", sketchCol, keyCol.cast("string"))
+
+  /** Per-group quantile sketches: (group, sketch, n_rows) — the QUANTILE
+    * leg of the store trio ([[graft.functions.QuantileSketchAgg]], a
+    * persisted Greenwald–Khanna summary; state ≤ O(1/relativeError)
+    * samples per group). Unlike HLL/CMS the merge is not
+    * grouping-invariant — the union honors the RANK bound (at the summed
+    * error), not bit-equality with a one-shot sketch; gate accordingly.
+    */
+  def qsGroupSketches(df: DataFrame, groupCol: Column, valueCol: Column,
+                      relativeError: Double = 1e-4): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.groupBy(groupCol.as("group"))
+      .agg(call_function("graft_qsketch_agg", valueCol.cast("double"),
+        lit(relativeError)).as("sketch"),
+        count(valueCol).as("n_rows"))
+  }
+
+  /** One merged quantile sketch from STORED sketches
+    * ([[graft.functions.QuantileMergeAgg]]): (n_groups, n_rows, sketch).
+    */
+  def qsUnionSketch(sketches: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(sketches.sparkSession)
+    sketches.agg(count(lit(1)).as("n_groups"),
+      sum(col("n_rows")).as("n_rows"),
+      call_function("graft_qsketch_merge", col("sketch")).as("sketch"))
+  }
+
+  /** Rank-p estimate read from `sketchCol`
+    * ([[graft.functions.QuantileSketchQuery]]).
+    */
+  def qsQuantile(sketchCol: Column, p: Double): Column =
+    call_function("graft_qsketch_query", sketchCol, lit(p))
 }

@@ -2161,6 +2161,17 @@ object Oracles {
         |FROM events e JOIN amad s USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    // Quantile-store gate: exact interpolated percentiles verbatim
+    // (quantile_cont ≡ Spark percentile, the x10_anomaly_mad pairing);
+    // the GK union estimates ride as pinned rank-window booleans.
+    "x10_quantile_store" ->
+      """SELECT count(DISTINCT event_type) AS n_groups, count(*) AS n_rows,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(value, 0.9), 6) AS p90_exact,
+        |  round(quantile_cont(value, 0.99), 6) AS p99_exact,
+        |  true AS q50_rank_ok, true AS q90_rank_ok, true AS q99_rank_ok
+        |FROM events""".stripMargin,
+
     // Cohort-overlap gate: exact per-type/intersection counts verbatim;
     // the sketch IE estimate rides as the pinned union-relative boolean.
     "x10_hll_overlap" ->

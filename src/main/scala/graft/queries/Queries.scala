@@ -537,6 +537,46 @@ object Queries {
       .orderBy("type_a", "type_b")
   }
 
+  /** X10qs: feed quantiles from STORED mergeable quantile sketches — the
+    * third leg of the store trio (HLL distincts / CMS frequencies / GK
+    * QUANTILES): per-event-type sketches over `value` persisted once, the
+    * whole-feed p50/p90/p99 read from their UNION without rescanning.
+    * GK merge is rank-sound but not grouping-invariant, so the gate is
+    * the RANK contract (the x10_anomaly_mad_approx discipline): each
+    * estimate's below/at-or-below counts must place its rank inside
+    * p ± 5% of n, exact integer arithmetic; the exact (interpolated)
+    * percentiles travel verbatim beside it.
+    */
+  private def x10QuantileStore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.ops.OpCaches.pin(
+      t(spark, dir, "events").select(col("event_type"), col("value")))
+    val merged = Sketches.qsUnionSketch(
+      Sketches.qsGroupSketches(ev, col("event_type"), col("value")))
+      .select(col("n_groups"), col("n_rows"),
+        Sketches.qsQuantile(col("sketch"), 0.5).as("__q50"),
+        Sketches.qsQuantile(col("sketch"), 0.9).as("__q90"),
+        Sketches.qsQuantile(col("sketch"), 0.99).as("__q99"))
+    val exact = ev.agg(
+      round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+      round(expr("percentile(value, 0.9)"), 6).as("p90_exact"),
+      round(expr("percentile(value, 0.99)"), 6).as("p99_exact"))
+    def rankOk(q: Column, pMille: Int): Column = {
+      val lt = sum(when(col("value") < q, 1L).otherwise(0L))
+      val le = sum(when(col("value") <= q, 1L).otherwise(0L))
+      lt * 1000 <= col("n_rows") * (pMille + 50) &&
+        le * 1000 >= col("n_rows") * (pMille - 50)
+    }
+    ev.crossJoin(broadcast(merged))
+      .groupBy(col("n_groups"), col("n_rows"))
+      .agg(rankOk(col("__q50"), 500).as("q50_rank_ok"),
+        rankOk(col("__q90"), 900).as("q90_rank_ok"),
+        rankOk(col("__q99"), 990).as("q99_rank_ok"))
+      .crossJoin(broadcast(exact))
+      .select(col("n_groups"), col("n_rows"), col("p50_exact"),
+        col("p90_exact"), col("p99_exact"), col("q50_rank_ok"),
+        col("q90_rank_ok"), col("q99_rank_ok"))
+  }
+
   /** X2f: bounded-edit-distance name join ([[graft.ops.Fuzzy]]) — the
     * entity-resolution primitive over customer names via SymSpell deletion
     * banding: one codegen'd key projection + equi-join + exact levenshtein
@@ -2910,7 +2950,8 @@ object Queries {
     "x5_unicode_normalize" -> (x5UnicodeNormalize _),
     "x5_k_anonymity" -> (x5KAnonymity _),
     "x5_k_anonymity_audit" -> (x5KAnonymityAudit _),
-    "x10_hll_overlap" -> (x10HllOverlap _)
+    "x10_hll_overlap" -> (x10HllOverlap _),
+    "x10_quantile_store" -> (x10QuantileStore _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -102,6 +102,35 @@ class SketchesSpec extends SparkSpec {
     assert(over == 0, s"$over keys over-estimated beyond eps*N")
   }
 
+  test("X10qs union of per-group GK sketches honors the rank bound; reload answers identically") {
+    val n = 300000L
+    // skewed values: rank structure matters, uniform would be too easy
+    val df = spark.range(n).select((col("id") % 16).as("g"),
+      (pow(col("id") % 1000, 2.0) / lit(1000.0)).as("v"))
+    val sketches = Sketches.qsGroupSketches(df, col("g"), col("v"),
+      relativeError = 0.001)
+    assert(sketches.count() == 16)
+    val merged = Sketches.qsUnionSketch(sketches)
+    val (ng, nr, bytes) = merged.select(col("n_groups"), col("n_rows"), col("sketch"))
+      .as[(Long, Long, Array[Byte])].head()
+    assert(ng == 16 && nr == n)
+    val values = df.select(col("v")).as[Double].collect().sorted
+    Seq(0.5, 0.9, 0.99).foreach { p =>
+      val est = Sketches.qsUnionSketch(sketches)
+        .select(Sketches.qsQuantile(col("sketch"), p)).as[Double].head()
+      val rank = values.count(_ <= est).toDouble / n
+      // merged error ≤ sum of leg errors; 1% slack is 5× that
+      assert(math.abs(rank - p) <= 0.01,
+        s"p=$p estimate $est sits at rank $rank")
+    }
+    // a reloaded sketch answers bit-identically to the stored one
+    val q1 = graft.functions.QuantileCodec.fromBytes(bytes).query(0.9)
+    val q2 = graft.functions.QuantileCodec
+      .fromBytes(graft.functions.QuantileCodec.toBytes(
+        graft.functions.QuantileCodec.fromBytes(bytes))).query(0.9)
+    assert(q1 == q2 && q1.isDefined)
+  }
+
   test("X6cms incompatible sketch geometries fail the merge loudly") {
     val df = cmsFixture.limit(1000)
     val a = Sketches.cmsGroupSketches(df, col("g"), col("k"), eps = 1e-4)
