@@ -2161,6 +2161,26 @@ object Oracles {
         |FROM events e JOIN amad s USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    // Data-skipping gate: the probe-box aggregates replayed over raw
+    // events (a correct skip makes the file layout invisible); the
+    // pruned≡full and files-skipped witnesses ride as pinned booleans.
+    // Box bounds = exact integer arithmetic from min/max (// is floor
+    // div on non-negative operands, matching Spark Long division).
+    "x9_skipping" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |b AS (SELECT min(user_id) AS umin, max(user_id) AS umax FROM base),
+        |f AS (SELECT base.* FROM base, b
+        |  WHERE user_id BETWEEN umin + (umax - umin) // 4
+        |                    AND umin + (umax - umin) // 2
+        |    AND ts_ms BETWEEN 1705276800000 AND 1705708799999)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(event_id), 0) AS BIGINT) AS sum_ids,
+        |  CAST(coalesce(sum(CAST(round(value, 6) AS DECIMAL(18,6))), 0) AS DOUBLE)
+        |    AS sum_value,
+        |  true AS pruned_equals_full, true AS files_skipped
+        |FROM f""".stripMargin,
+
     // Quantile-store gate: exact interpolated percentiles verbatim
     // (quantile_cont ≡ Spark percentile, the x10_anomaly_mad pairing);
     // the GK union estimates ride as pinned rank-window booleans.

@@ -187,6 +187,55 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** X9ds: file-level data skipping — the READ-side payoff of the z-order
+    * write ([[graft.ops.DataSkipping]]): events written z-clustered on
+    * (user_id, ts_ms), a min/max manifest built from parquet FOOTERS
+    * alone, and a 2-d probe box answered by opening only candidate
+    * files. Gate: the pruned read's aggregates travel verbatim (the
+    * oracle replays the box over raw events — file layout is invisible
+    * to a correct skip), equality with the full-scan path and actual
+    * file skipping ride as pinned in-plan booleans. The box bounds are
+    * exact integer arithmetic from the data's own min/max (scale-
+    * adaptive, engine-replayable); sums use the round-cast-decimal
+    * discipline so addition order cannot leak through the hash.
+    */
+  private def x9Skipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataSkipping
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    val base = ev.select(col("event_id"), col("user_id"), et.ms.as("ts_ms"),
+      col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft-skip").toString
+    graft.ops.Layout.zorderWrite(base, "user_id", "ts_ms", path, numFiles = 32)
+    val manifest = DataSkipping.statsManifest(spark, path, Seq("user_id", "ts_ms"))
+      .cache() // bounded: one row per file
+    val b = base.agg(min("user_id"), max("user_id")).head()
+    val (umin, umax) = (b.getLong(0), b.getLong(1))
+    val (ulo, uhi) = (umin + (umax - umin) / 4, umin + (umax - umin) / 2)
+    val (tlo, thi) = (Jan15, Jan20 - 1)
+    val cand = DataSkipping.candidateFiles(manifest,
+      Seq(DataSkipping.longRange("user_id", ulo, uhi),
+        DataSkipping.longRange("ts_ms", tlo, thi)))
+    val rowFilter = col("user_id").between(ulo, uhi) && col("ts_ms").between(tlo, thi)
+    def summary(df: DataFrame, tag: String) = df.agg(
+      count(lit(1)).as(s"n_rows$tag"),
+      coalesce(sum("event_id"), lit(0L)).as(s"sum_ids$tag"),
+      coalesce(sum(round(col("value"), 6).cast(DecimalType(18, 6))),
+        lit(0).cast(DecimalType(18, 6))).as(s"sum_value$tag"))
+    val prunedS = summary(
+      DataSkipping.prunedRead(spark, path, cand).where(rowFilter), "")
+    val fullS = summary(base.where(rowFilter), "_f")
+    val counts = cand.agg(count(lit(1)).as("__n_cand"))
+      .crossJoin(manifest.agg(count(lit(1)).as("__n_files")))
+    prunedS.crossJoin(broadcast(fullS)).crossJoin(broadcast(counts))
+      .select(col("n_rows"), col("sum_ids"),
+        col("sum_value").cast("double").as("sum_value"),
+        (col("n_rows") === col("n_rows_f") && col("sum_ids") === col("sum_ids_f") &&
+          col("sum_value") === col("sum_value_f")).as("pruned_equals_full"),
+        (col("__n_cand") > 0L && col("__n_cand") < col("__n_files"))
+          .as("files_skipped"))
+  }
+
   /** A2i: incremental rollup maintenance — the reference's checkpoint-
     * incremental model applied to AGGREGATES: the stored history rollup
     * (pre-Jan20 partials, in a real deployment a persisted table) merges
@@ -2951,7 +3000,8 @@ object Queries {
     "x5_k_anonymity" -> (x5KAnonymity _),
     "x5_k_anonymity_audit" -> (x5KAnonymityAudit _),
     "x10_hll_overlap" -> (x10HllOverlap _),
-    "x10_quantile_store" -> (x10QuantileStore _)
+    "x10_quantile_store" -> (x10QuantileStore _),
+    "x9_skipping" -> (x9Skipping _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

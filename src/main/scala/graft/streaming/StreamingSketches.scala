@@ -38,4 +38,17 @@ object StreamingSketches {
                         eps: Double = 1e-4, confidence: Double = 0.999,
                         seed: Int = 42): DataFrame =
     graft.ops.Sketches.cmsGroupSketches(stream, groupCol, keyCol, eps, confidence, seed)
+
+  /** Per-group quantile sketches over a stream: the batch
+    * [[graft.ops.Sketches.qsGroupSketches]] plan on a streaming source —
+    * state = one serialized GK summary per group, ≤ O(1/relativeError)
+    * samples forever. Unlike HLL/CMS the GK summary is NOT
+    * order/batching-insensitive: the maintained state after a prefix is
+    * a VALID summary honoring the rank bound (the store's actual
+    * contract), not byte-identical to the batch one-shot — the spec
+    * gates rank-soundness at every arrival wave, not byte equality.
+    */
+  def quantileSketches(stream: DataFrame, groupCol: Column, valueCol: Column,
+                       relativeError: Double = 1e-4): DataFrame =
+    graft.ops.Sketches.qsGroupSketches(stream, groupCol, valueCol, relativeError)
 }

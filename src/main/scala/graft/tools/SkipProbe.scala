@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{DataSkipping, Layout}
+
+/** Dev probe: how many files does the stats manifest let a 2-d probe box
+  * skip ([[graft.ops.DataSkipping]]), and what does that do to scan wall
+  * time — on a Z-ORDERED layout vs the same data linear-sorted on one
+  * column (the layout a naive ORDER BY produces)?
+  *
+  * The claim under test is the whole point of X9z + X9ds together:
+  * linear sort gives tight file ranges on ONE column (a box on the other
+  * column prunes nothing), the z-layout bounds every interleaved
+  * dimension, so the SAME manifest logic skips in both dimensions.
+  * Observables per layout: candidate-file fraction for the registered
+  * probe-box shape and the pruned-read wall vs the full-scan filter.
+  *
+  * Usage: runMain graft.tools.SkipProbe <sfDir> [numFiles]
+  */
+object SkipProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val numFiles = if (args.length > 1) args(1).toInt else 128
+    val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val et = graft.functions.EventTime.bind(ev, "ts")
+    val base = ev.select(col("event_id"), col("user_id"), et.ms.as("ts_ms"),
+      col("value"))
+    val b = base.agg(min("user_id"), max("user_id"), min("ts_ms"), max("ts_ms")).head()
+    val (umin, umax, tmin, tmax) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val (ulo, uhi) = (umin + (umax - umin) / 4, umin + (umax - umin) / 2)
+    val (tlo, thi) = (tmin + (tmax - tmin) / 4, tmin + (tmax - tmin) / 2)
+    val rowFilter = col("user_id").between(ulo, uhi) && col("ts_ms").between(tlo, thi)
+
+    def probe(label: String, path: String): Unit = {
+      val m = DataSkipping.statsManifest(spark, path, Seq("user_id", "ts_ms")).cache()
+      val total = m.count()
+      // per-dimension boxes: the 1-d layout's blind spot is the ts-only box
+      val uOnly = DataSkipping.candidateFiles(m,
+        Seq(DataSkipping.longRange("user_id", ulo, uhi))).count()
+      val tOnly = DataSkipping.candidateFiles(m,
+        Seq(DataSkipping.longRange("ts_ms", tlo, thi))).count()
+      val cand = DataSkipping.candidateFiles(m,
+        Seq(DataSkipping.longRange("user_id", ulo, uhi),
+          DataSkipping.longRange("ts_ms", tlo, thi))).cache()
+      val nCand = cand.count()
+      println(s"$label userOnlyBox=$uOnly/$total tsOnlyBox=$tOnly/$total")
+      def time(f: => DataFrame): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = f.agg(count(lit(1))).head().getLong(0)
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val (nFull, tFull) = time(spark.read.parquet(path).where(rowFilter))
+      val (nPruned, tPruned) = time(
+        DataSkipping.prunedRead(spark, path, cand).where(rowFilter))
+      require(nFull == nPruned, s"$label: pruned $nPruned != full $nFull")
+      println(f"$label files=$nCand/$total (${100.0 * nCand / total}%.1f%%) " +
+        f"rows=$nFull fullScan=$tFull%.2f s pruned=$tPruned%.2f s")
+      m.unpersist(); cand.unpersist()
+    }
+
+    val zPath = java.nio.file.Files.createTempDirectory("graft-skip-z").toString
+    Layout.zorderWrite(base, "user_id", "ts_ms", zPath, numFiles)
+    probe("zorder", zPath)
+
+    val lPath = java.nio.file.Files.createTempDirectory("graft-skip-l").toString
+    base.repartitionByRange(numFiles, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(lPath)
+    probe("linear", lPath)
+
+    spark.stop()
+  }
+}

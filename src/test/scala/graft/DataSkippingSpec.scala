@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DataSkipping, Layout}
+
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def zTable(n: Long, files: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip-spec").toString
+    val df = spark.range(n).select(
+      col("id").as("a"),
+      ((col("id") * 7919L) % n).as("b"),
+      (col("id") % 100).cast("double").as("v"))
+    Layout.zorderWrite(df, "a", "b", dir, numFiles = files)
+    dir
+  }
+
+  test("X9ds manifest agrees with a full-scan recount per file") {
+    val dir = zTable(20000, 8)
+    // join on the basename: listDataFiles and input_file_name render the
+    // scheme differently (file:/ vs file:///)
+    def base(c: org.apache.spark.sql.Column) = element_at(split(c, "/"), -1)
+    val m = DataSkipping.statsManifest(spark, dir, Seq("a", "b", "v"))
+      .withColumn("fname", base(col("file"))).cache()
+    val truth = spark.read.parquet(dir)
+      .groupBy(base(input_file_name()).as("fname"))
+      .agg(count(lit(1)).as("t_rows"),
+        min("a").as("ta_min"), max("a").as("ta_max"),
+        min("b").as("tb_min"), max("b").as("tb_max"),
+        min("v").as("tv_min"), max("v").as("tv_max"))
+    assert(m.count() == 8)
+    val joined = m.join(truth, "fname").cache()
+    val bad = joined.where(
+      col("n_rows") =!= col("t_rows") ||
+        col("a_min") =!= col("ta_min") || col("a_max") =!= col("ta_max") ||
+        col("b_min") =!= col("tb_min") || col("b_max") =!= col("tb_max") ||
+        col("v_min") =!= col("tv_min") || col("v_max") =!= col("tv_max") ||
+        col("a_nulls") =!= 0L || col("b_nulls") =!= 0L || col("v_nulls") =!= 0L)
+    assert(joined.count() == 8 && bad.count() == 0)
+  }
+
+  test("X9ds pruned read equals full scan on every probe box, and skips files") {
+    val dir = zTable(20000, 16)
+    val m = DataSkipping.statsManifest(spark, dir, Seq("a", "b")).cache()
+    val full = spark.read.parquet(dir)
+    var skippedSomewhere = false
+    val boxes = Seq((0L, 999L, 0L, 999L), (5000L, 7000L, 5000L, 7000L),
+      (19000L, 19999L, 0L, 19999L), (0L, 19999L, 100L, 120L))
+    boxes.foreach { case (alo, ahi, blo, bhi) =>
+      val cand = DataSkipping.candidateFiles(m,
+        Seq(DataSkipping.longRange("a", alo, ahi), DataSkipping.longRange("b", blo, bhi)))
+      val nCand = cand.count()
+      if (nCand < 16) skippedSomewhere = true
+      val want = full.where(col("a").between(alo, ahi) && col("b").between(blo, bhi))
+      val got = DataSkipping.prunedRead(spark, dir, cand)
+        .where(col("a").between(alo, ahi) && col("b").between(blo, bhi))
+      val (wn, ws) = want.agg(count(lit(1)), coalesce(sum("a"), lit(0L)))
+        .as[(Long, Long)].head()
+      val (gn, gs) = got.agg(count(lit(1)), coalesce(sum("a"), lit(0L)))
+        .as[(Long, Long)].head()
+      assert(wn == gn && ws == gs, s"box ($alo,$ahi)x($blo,$bhi): $wn/$ws vs $gn/$gs from $nCand files")
+    }
+    assert(skippedSomewhere, "no probe box skipped any file on a z-ordered 16-file table")
+  }
+
+  test("X9ds empty candidate set short-circuits to an empty typed frame") {
+    val dir = zTable(1000, 4)
+    val m = DataSkipping.statsManifest(spark, dir, Seq("a"))
+    val cand = DataSkipping.candidateFiles(m, Seq(DataSkipping.longRange("a", -10L, -1L)))
+    assert(cand.count() == 0)
+    val out = DataSkipping.prunedRead(spark, dir, cand)
+    assert(out.count() == 0 && out.columns.toSeq == Seq("a", "b", "v"))
+  }
+
+  test("X9ds unknown stats keep a file candidate; all-null columns skip it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip-null").toString
+    // file with a present column and an all-null column
+    Seq((1L, Option.empty[Long]), (2L, None), (3L, None)).toDF("a", "g")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val m = DataSkipping.statsManifest(spark, dir, Seq("a", "g")).cache()
+    val row = m.head()
+    assert(row.getAs[Long]("g_nulls") == 3L && row.isNullAt(m.columns.indexOf("g_min")))
+    // range on the all-null column prunes the file (NULL matches no range)
+    assert(DataSkipping.candidateFiles(m, Seq(DataSkipping.longRange("g", 0L, 100L))).count() == 0)
+    // range on the populated column keeps it
+    assert(DataSkipping.candidateFiles(m, Seq(DataSkipping.longRange("a", 2L, 2L))).count() == 1)
+    // stats wiped (simulating a writer without stats) -> conservatively kept
+    val wiped = m.withColumn("a_min", lit(null).cast("long"))
+      .withColumn("a_max", lit(null).cast("long"))
+      .withColumn("a_nulls", lit(null).cast("long"))
+    assert(DataSkipping.candidateFiles(wiped, Seq(DataSkipping.longRange("a", -5L, -1L))).count() == 1)
+  }
+}

@@ -14,6 +14,7 @@ import java.nio.file.Files
   */
 object StreamingSketchesSpec {
   case class SkEv(g: Long, k: String)
+  case class QEv(g: Long, v: Double)
 }
 
 class StreamingSketchesSpec extends SparkSpec {
@@ -59,6 +60,44 @@ class StreamingSketchesSpec extends SparkSpec {
     val oneShot = rows.toDF("g", "k")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("k"), lit(12)))).as[Long].head()
     assert(unionEst == oneShot)
+  }
+
+  test("streaming quantile store honors the rank bound at every wave; state stays bounded") {
+    import StreamingSketchesSpec.QEv
+    // pseudo-shuffled values so arrival order is adversarial for GK
+    val rows = (0 until 60000).map(i => QEv(i % 4, ((i * 2654435761L) % 100003L).toDouble))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[QEv]
+    val q = StreamingSketches.quantileSketches(input.toDF(), col("g"), col("v"),
+        relativeError = 0.01)
+      .writeStream.format("memory").queryName("qs_out")
+      .option("checkpointLocation", Files.createTempDirectory("qs-ckpt").toString)
+      .outputMode("complete").start()
+    var seen = Map.empty[Long, Vector[Double]].withDefaultValue(Vector.empty)
+    var maxBytes = 0
+    rows.grouped(17000).foreach { b =>
+      input.addData(b.toSeq: _*); q.processAllAvailable()
+      b.foreach(e => seen += e.g -> (seen(e.g) :+ e.v))
+      val now = spark.table("qs_out").select("group", "sketch", "n_rows")
+        .as[(Long, Array[Byte], Long)].collect()
+      assert(now.map(_._1).toSet == seen.keySet)
+      now.foreach { case (g, bytes, n) =>
+        assert(n == seen(g).size)
+        maxBytes = math.max(maxBytes, bytes.length)
+        val sorted = seen(g).sorted
+        val sk = graft.functions.QuantileCodec.fromBytes(bytes)
+        Seq(0.5, 0.9).foreach { p =>
+          val est = sk.query(p).get
+          val rank = sorted.count(_ <= est).toDouble / n
+          assert(math.abs(rank - p) <= 0.02,
+            s"group $g wave-n=$n p=$p estimate $est at rank $rank")
+        }
+      }
+    }
+    q.stop()
+    // GK bound: ~(1/2e)·log2(2e·n) samples ≈ 10 KB at e=0.01, n=15k —
+    // far under the 120 KB the raw per-group values would occupy
+    assert(maxBytes > 0 && maxBytes < 30000, s"sketch state $maxBytes bytes")
   }
 
   test("streaming CMS store state is byte-identical to the batch store") {
