@@ -557,6 +557,7 @@ object GraftFunctions {
     "graft_qsketch_agg" -> (children => QuantileSketchAgg(children.head,
       children(1).eval().asInstanceOf[Number].doubleValue())),
     "graft_qsketch_merge" -> (children => QuantileMergeAgg(children.head)),
+    "graft_cms_inner" -> (children => CmsInnerProduct(children.head, children(1))),
     "graft_qsketch_query" -> (children => QuantileSketchQuery(children.head, children(1))))
 
   /** Idempotent per-session registration. */

@@ -139,4 +139,28 @@ object Sketches {
     */
   def qsQuantile(sketchCol: Column, p: Double): Column =
     call_function("graft_qsketch_query", sketchCol, lit(p))
+
+  /** Join-cardinality estimate `Σ_k f_A(k)·f_B(k) = |A ⋈ B|` from two
+    * per-table CMS sketches alone ([[graft.functions.CmsInnerProduct]])
+    * — the planner-side read path: decide join strategy/order from
+    * stored artifacts without touching either table. One row:
+    * (n_a, n_b, join_card_est). Estimate never undercounts; overshoots
+    * by more than eps·n_a·n_b with probability < 1−confidence. Both
+    * sketches must share (eps, confidence, seed).
+    */
+  def cmsJoinCardinality(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
+                         eps: Double = 1e-4, confidence: Double = 0.999,
+                         seed: Int = 42): DataFrame = {
+    graft.functions.GraftFunctions.register(a.sparkSession)
+    val sa = a.agg(count_min_sketch(keyA.cast("string"), lit(eps),
+        lit(confidence), lit(seed)).as("__ska"),
+      count(keyA).as("n_a"))
+    val sb = b.agg(count_min_sketch(keyB.cast("string"), lit(eps),
+        lit(confidence), lit(seed)).as("__skb"),
+      count(keyB).as("n_b"))
+    sa.crossJoin(sb)
+      .select(col("n_a"), col("n_b"),
+        call_function("graft_cms_inner", col("__ska"), col("__skb"))
+          .as("join_card_est"))
+  }
 }

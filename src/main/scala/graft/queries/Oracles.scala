@@ -2161,6 +2161,26 @@ object Oracles {
         |FROM events e JOIN amad s USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    // Join-cardinality gate: exact cardinalities verbatim (BIGINT-cast,
+    // the HUGEINT trap); the CMS inner-product estimate rides as its
+    // contract booleans (never undercounts, within eps*Na*Nb).
+    "x6_cms_join_card" ->
+      """SELECT * FROM (
+        |  SELECT 'events_self_f2' AS pair,
+        |    (SELECT CAST(count(user_id) AS BIGINT) FROM events) AS n_a,
+        |    (SELECT CAST(count(user_id) AS BIGINT) FROM events) AS n_b,
+        |    (SELECT CAST(sum(n * n) AS BIGINT) FROM
+        |      (SELECT count(*) AS n FROM events GROUP BY user_id)) AS exact_card,
+        |    true AS est_ge_exact, true AS est_le_bound
+        |  UNION ALL
+        |  SELECT 'orders_lineitem',
+        |    (SELECT CAST(count(o_orderkey) AS BIGINT) FROM orders),
+        |    (SELECT CAST(count(l_orderkey) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |       JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |    true, true)
+        |ORDER BY pair""".stripMargin,
+
     // Data-skipping gate: the probe-box aggregates replayed over raw
     // events (a correct skip makes the file layout invisible); the
     // pruned≡full and files-skipped witnesses ride as pinned booleans.

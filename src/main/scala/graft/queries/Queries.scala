@@ -626,6 +626,42 @@ object Queries {
         col("q90_rank_ok"), col("q99_rank_ok"))
   }
 
+  /** X6jc: join-cardinality estimation from stored CMS sketches — the
+    * planner-side read path ([[graft.ops.Sketches.cmsJoinCardinality]]):
+    * |A ⋈ B| on a key estimated by the AMS/CMS inner product of the two
+    * tables' sketch ARTIFACTS, no data touched. Two registered pairs:
+    * the canonical PK–FK join (orders ⋈ lineitem) and a self-join F2
+    * (events on user_id — the multiplicity-rich case). The estimate is
+    * engine-specific (DuckDB cannot replay Spark's CMS hashing), so the
+    * gate is the estimator's CONTRACT asserted in-plan: never
+    * undercounts, within eps·N_A·N_B above the exact cardinality — and
+    * the exact cardinalities travel verbatim.
+    */
+  private def x6CmsJoinCard(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    val ev = t(spark, dir, "events")
+    val eps = 1e-4
+    def gate(pair: String, est: DataFrame, exact: DataFrame): DataFrame =
+      est.crossJoin(broadcast(exact))
+        .select(lit(pair).as("pair"), col("n_a"), col("n_b"), col("exact_card"),
+          (col("join_card_est") >= col("exact_card")).as("est_ge_exact"),
+          (col("join_card_est").cast("double") <=
+            col("exact_card").cast("double") +
+              lit(eps) * col("n_a").cast("double") * col("n_b").cast("double"))
+            .as("est_le_bound"))
+    val ol = gate("orders_lineitem",
+      Sketches.cmsJoinCardinality(orders, col("o_orderkey"), lineitem,
+        col("l_orderkey"), eps),
+      orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("exact_card")))
+    val f2 = gate("events_self_f2",
+      Sketches.cmsJoinCardinality(ev, col("user_id"), ev, col("user_id"), eps),
+      ev.groupBy("user_id").agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__n") * col("__n")).as("exact_card")))
+    ol.unionByName(f2).orderBy("pair")
+  }
+
   /** X2f: bounded-edit-distance name join ([[graft.ops.Fuzzy]]) — the
     * entity-resolution primitive over customer names via SymSpell deletion
     * banding: one codegen'd key projection + equi-join + exact levenshtein
@@ -3001,7 +3037,8 @@ object Queries {
     "x5_k_anonymity_audit" -> (x5KAnonymityAudit _),
     "x10_hll_overlap" -> (x10HllOverlap _),
     "x10_quantile_store" -> (x10QuantileStore _),
-    "x9_skipping" -> (x9Skipping _)
+    "x9_skipping" -> (x9Skipping _),
+    "x6_cms_join_card" -> (x6CmsJoinCard _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

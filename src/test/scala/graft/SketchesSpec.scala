@@ -131,6 +131,60 @@ class SketchesSpec extends SparkSpec {
     assert(q1 == q2 && q1.isDefined)
   }
 
+  test("X6jc serialized-CMS layout parses; inner product exact on collision-free keys") {
+    import graft.functions.CmsCodec
+    // layout pin: a producer-built sketch parses to the geometry formulas
+    // (width = ceil(2/eps), depth = ceil(ln(1/(1-conf))/ln2)) and every
+    // table row sums to the insert count
+    val df = (1 to 500).map(i => ("g", s"k${i % 7}")).toDF("g", "k")
+    val bytes = Sketches.cmsGroupSketches(df, col("g"), col("k"))
+      .select("sketch").as[Array[Byte]].head()
+    val p = CmsCodec.parse(bytes)
+    assert(p.depth == 10 && p.width == 20000 && p.hashA.length == 10)
+    (0 until p.depth).foreach { d =>
+      val rowSum = (d * p.width until (d + 1) * p.width).map(p.table(_)).sum
+      assert(rowSum == 500L, s"row $d sums to $rowSum")
+    }
+    // collision-free regime (7 keys << 20k width): inner product is EXACT
+    val a = Seq.tabulate(30)(i => s"k${i % 3}").toDF("k") // f = (10,10,10)
+    val b = (Seq.fill(4)("k0") ++ Seq.fill(6)("k1") ++ Seq.fill(100)("kZ")).toDF("k")
+    val est = Sketches.cmsJoinCardinality(a, col("k"), b, col("k"))
+      .select("n_a", "n_b", "join_card_est").as[(Long, Long, Long)].head()
+    assert(est == ((30L, 110L, 10L * 4 + 10L * 6)), s"got $est")
+  }
+
+  test("X6jc self inner product brackets F2 within the eps*N^2 bound") {
+    val df = (0 until 50000).map(i => (i * 31L) % 1000L).toDF("k")
+    val exactF2 = df.groupBy("k").count()
+      .agg(sum(col("count") * col("count"))).as[Long].head()
+    val est = Sketches.cmsJoinCardinality(df, col("k"), df, col("k"))
+      .select("join_card_est").as[Long].head()
+    assert(est >= exactF2, s"inner product $est undercounts F2 $exactF2")
+    assert(est <= exactF2 + (1e-4 * 50000.0 * 50000.0).toLong,
+      s"inner product $est above the eps*N^2 bound over $exactF2")
+  }
+
+  test("X6jc mismatched geometry or seed fails the inner product loudly") {
+    val df = (1 to 100).map(i => s"k$i").toDF("k")
+    def sketchOf(eps: Double, seed: Int): org.apache.spark.sql.DataFrame =
+      df.agg(count_min_sketch(col("k"), lit(eps), lit(0.999), lit(seed)).as("s"))
+    def inner(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) = {
+      graft.functions.GraftFunctions.register(spark)
+      l.select(col("s").as("sa")).crossJoin(r.select(col("s").as("sb")))
+        .select(call_function("graft_cms_inner", col("sa"), col("sb")))
+        .collect()
+    }
+    val exGeom = intercept[Exception] { inner(sketchOf(1e-4, 42), sketchOf(1e-3, 42)) }
+    assert(causesOf(exGeom).exists(c => Option(c.getMessage)
+      .exists(_.contains("incompatible count-min geometries"))), s"got $exGeom")
+    val exSeed = intercept[Exception] { inner(sketchOf(1e-4, 42), sketchOf(1e-4, 7)) }
+    assert(causesOf(exSeed).exists(c => Option(c.getMessage)
+      .exists(_.contains("different seeds"))), s"got $exSeed")
+  }
+
+  private def causesOf(t: Throwable): Seq[Throwable] =
+    if (t == null) Nil else t +: causesOf(t.getCause)
+
   test("X6cms incompatible sketch geometries fail the merge loudly") {
     val df = cmsFixture.limit(1000)
     val a = Sketches.cmsGroupSketches(df, col("g"), col("k"), eps = 1e-4)
