@@ -198,6 +198,47 @@ object DataSkipping {
     manifest.where(keep)
   }
 
+  /** Proof that every row of a file satisfies every range: min/max both
+    * inside the interval and ZERO nulls on each predicate column (a
+    * null row would be inside the file but outside the box). Interior
+    * files contribute to box aggregates straight from the manifest —
+    * no task, no I/O.
+    */
+  private def interiorPredicate(ranges: Seq[Range]): Column =
+    ranges.map { r =>
+      val mn = col(s"${r.column}_min"); val mx = col(s"${r.column}_max")
+      val nu = col(s"${r.column}_nulls")
+      mn.isNotNull && mx.isNotNull && nu.isNotNull &&
+        mn >= r.lo && mx <= r.hi && nu === lit(0L)
+    }.reduce(_ && _)
+
+  /** Box row-count answered the metadata-first way (the Delta/Iceberg
+    * "metadata-only query" pattern): candidate files split into
+    * INTERIOR (provably all-inside — counted from the manifest, never
+    * opened) and BOUNDARY (scanned with the row filter). At 100 TB a
+    * large box is mostly interior — the scan cost is the box's SURFACE,
+    * not its volume. One row:
+    * (n_rows, n_rows_from_metadata, n_files_scanned, n_files_total).
+    * `rowFilter` must be the row-level equivalent of `ranges`.
+    */
+  def metadataBoxCount(spark: SparkSession, dir: String, manifest: DataFrame,
+                       ranges: Seq[Range], rowFilter: Column): DataFrame = {
+    val cand = candidateFiles(manifest, ranges)
+    val isIn = interiorPredicate(ranges)
+    val interior = cand.where(isIn)
+    val boundary = cand.where(!coalesce(isIn, lit(false)))
+    val metaCount = interior.agg(
+      coalesce(sum(col("n_rows")), lit(0L)).as("n_rows_from_metadata"))
+    val scanCount = prunedRead(spark, dir, boundary).where(rowFilter)
+      .agg(count(lit(1)).as("__n_scan"))
+    val files = boundary.agg(count(lit(1)).as("n_files_scanned"))
+      .crossJoin(manifest.agg(count(lit(1)).as("n_files_total")))
+    metaCount.crossJoin(scanCount).crossJoin(files)
+      .select((col("n_rows_from_metadata") + col("__n_scan")).as("n_rows"),
+        col("n_rows_from_metadata"), col("n_files_scanned"),
+        col("n_files_total"))
+  }
+
   /** Read only the candidate files (driver-side bounded file list — the
     * Delta-manifest class of artifact), with the row-level filter still
     * applied by the caller: skipping prunes FILES, the predicate prunes

@@ -2161,6 +2161,21 @@ object Oracles {
         |FROM events e JOIN amad s USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    // Metadata-count gate: the middle-half box count replayed over raw
+    // events (metadata-vs-scan split is invisible to a correct answer);
+    // recount equality and file pruning ride as pinned booleans.
+    "x9_meta_count" ->
+      """WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+        |             min(ts_ms) AS tmin, max(ts_ms) AS tmax FROM base)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS meta_plus_scan_eq_full, true AS files_pruned
+        |FROM base, b
+        |WHERE user_id BETWEEN umin + (umax - umin) // 4
+        |                  AND umin + 3 * (umax - umin) // 4
+        |  AND ts_ms BETWEEN tmin + (tmax - tmin) // 4
+        |                AND tmin + 3 * (tmax - tmin) // 4""".stripMargin,
+
     // Join-cardinality gate: exact cardinalities verbatim (BIGINT-cast,
     // the HUGEINT trap); the CMS inner-product estimate rides as its
     // contract booleans (never undercounts, within eps*Na*Nb).

@@ -236,6 +236,42 @@ object Queries {
           .as("files_skipped"))
   }
 
+  /** X9mc: metadata-only box aggregation over the skipping manifest
+    * ([[graft.ops.DataSkipping.metadataBoxCount]]): candidate files
+    * provably INTERIOR to the box are counted from manifest rows
+    * without being opened; only boundary files are scanned — at 100 TB
+    * the scan cost of a large box becomes its SURFACE, not its volume.
+    * Gate: the box count travels verbatim (the oracle replays the box
+    * over raw events), metadata+scan ≡ full recount and actual file
+    * pruning ride as pinned in-plan booleans. Box = middle half on
+    * both dimensions, bounds by exact integer arithmetic from the
+    * data's own min/max.
+    */
+  private def x9MetaCount(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataSkipping
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    val base = ev.select(col("user_id"), et.ms.as("ts_ms"))
+    val path = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    graft.ops.Layout.zorderWrite(base, "user_id", "ts_ms", path, numFiles = 32)
+    val manifest = DataSkipping.statsManifest(spark, path, Seq("user_id", "ts_ms"))
+      .cache()
+    val b = base.agg(min("user_id"), max("user_id"),
+      min("ts_ms"), max("ts_ms")).head()
+    val (umin, umax, tmin, tmax) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val (ulo, uhi) = (umin + (umax - umin) / 4, umin + 3 * (umax - umin) / 4)
+    val (tlo, thi) = (tmin + (tmax - tmin) / 4, tmin + 3 * (tmax - tmin) / 4)
+    val ranges = Seq(DataSkipping.longRange("user_id", ulo, uhi),
+      DataSkipping.longRange("ts_ms", tlo, thi))
+    val rowFilter = col("user_id").between(ulo, uhi) && col("ts_ms").between(tlo, thi)
+    val meta = DataSkipping.metadataBoxCount(spark, path, manifest, ranges, rowFilter)
+    val fullC = base.where(rowFilter).agg(count(lit(1)).as("__full"))
+    meta.crossJoin(broadcast(fullC))
+      .select(col("n_rows"),
+        (col("n_rows") === col("__full")).as("meta_plus_scan_eq_full"),
+        (col("n_files_scanned") < col("n_files_total")).as("files_pruned"))
+  }
+
   /** A2i: incremental rollup maintenance — the reference's checkpoint-
     * incremental model applied to AGGREGATES: the stored history rollup
     * (pre-Jan20 partials, in a real deployment a persisted table) merges
@@ -3038,6 +3074,7 @@ object Queries {
     "x10_hll_overlap" -> (x10HllOverlap _),
     "x10_quantile_store" -> (x10QuantileStore _),
     "x9_skipping" -> (x9Skipping _),
+    "x9_meta_count" -> (x9MetaCount _),
     "x6_cms_join_card" -> (x6CmsJoinCard _)
   )
 

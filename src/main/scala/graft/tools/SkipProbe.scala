@@ -59,6 +59,18 @@ object SkipProbe {
       require(nFull == nPruned, s"$label: pruned $nPruned != full $nFull")
       println(f"$label files=$nCand/$total (${100.0 * nCand / total}%.1f%%) " +
         f"rows=$nFull fullScan=$tFull%.2f s pruned=$tPruned%.2f s")
+      // metadata-only aggregation: middle-half box, interior counted
+      // from the manifest, only boundary files opened
+      val (mUlo, mUhi) = (umin + (umax - umin) / 4, umin + 3 * (umax - umin) / 4)
+      val (mTlo, mThi) = (tmin + (tmax - tmin) / 4, tmin + 3 * (tmax - tmin) / 4)
+      val mc = DataSkipping.metadataBoxCount(spark, path, m,
+        Seq(DataSkipping.longRange("user_id", mUlo, mUhi),
+          DataSkipping.longRange("ts_ms", mTlo, mThi)),
+        col("user_id").between(mUlo, mUhi) && col("ts_ms").between(mTlo, mThi)).head()
+      val (mn, mMeta, mScan) = (mc.getAs[Long]("n_rows"),
+        mc.getAs[Long]("n_rows_from_metadata"), mc.getAs[Long]("n_files_scanned"))
+      println(f"$label metaCount rows=$mn fromMetadata=$mMeta " +
+        f"(${100.0 * mMeta / math.max(1L, mn)}%.1f%%) filesOpened=$mScan/$total")
       m.unpersist(); cand.unpersist()
     }
 

@@ -64,6 +64,43 @@ class DataSkippingSpec extends SparkSpec {
     assert(skippedSomewhere, "no probe box skipped any file on a z-ordered 16-file table")
   }
 
+  test("X9ds metadata box count == recount on every box; whole-domain box opens ZERO files") {
+    val dir = zTable(20000, 16)
+    val m = DataSkipping.statsManifest(spark, dir, Seq("a", "b")).cache()
+    val full = spark.read.parquet(dir)
+    val boxes = Seq((0L, 19999L, 0L, 19999L), // whole domain
+      (2000L, 18000L, 2000L, 18000L), (0L, 999L, 0L, 999L))
+    boxes.zipWithIndex.foreach { case ((alo, ahi, blo, bhi), i) =>
+      val ranges = Seq(DataSkipping.longRange("a", alo, ahi),
+        DataSkipping.longRange("b", blo, bhi))
+      val rowFilter = col("a").between(alo, ahi) && col("b").between(blo, bhi)
+      val r = DataSkipping.metadataBoxCount(spark, dir, m, ranges, rowFilter).head()
+      val want = full.where(rowFilter).count()
+      assert(r.getAs[Long]("n_rows") == want,
+        s"box $i: ${r.getAs[Long]("n_rows")} != $want")
+      assert(r.getAs[Long]("n_files_total") == 16L)
+      if (i == 0) { // whole domain: every file provably interior
+        assert(r.getAs[Long]("n_files_scanned") == 0L &&
+          r.getAs[Long]("n_rows_from_metadata") == 20000L)
+      }
+    }
+  }
+
+  test("X9ds a null-bearing column blocks the interior proof but not the count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip-meta-null").toString
+    Seq[(Long, Option[Long])]((1L, Some(5L)), (2L, Some(6L)), (3L, None))
+      .toDF("a", "g").coalesce(1).write.mode("overwrite").parquet(dir)
+    val m = DataSkipping.statsManifest(spark, dir, Seq("g"))
+    val ranges = Seq(DataSkipping.longRange("g", 0L, 100L))
+    val r = DataSkipping.metadataBoxCount(spark, dir, m, ranges,
+      col("g").between(0L, 100L)).head()
+    // min/max inside the box but a null row exists: the file must be
+    // scanned (metadata would overcount the null row)
+    assert(r.getAs[Long]("n_rows") == 2L &&
+      r.getAs[Long]("n_rows_from_metadata") == 0L &&
+      r.getAs[Long]("n_files_scanned") == 1L)
+  }
+
   test("X9ds empty candidate set short-circuits to an empty typed frame") {
     val dir = zTable(1000, 4)
     val m = DataSkipping.statsManifest(spark, dir, Seq("a"))
