@@ -558,6 +558,8 @@ object GraftFunctions {
       children(1).eval().asInstanceOf[Number].doubleValue())),
     "graft_qsketch_merge" -> (children => QuantileMergeAgg(children.head)),
     "graft_cms_inner" -> (children => CmsInnerProduct(children.head, children(1))),
+    "graft_hilbert" -> (children => HilbertIndex(children.head, children(1),
+      children(2).eval().asInstanceOf[Number].intValue())),
     "graft_qsketch_query" -> (children => QuantileSketchQuery(children.head, children(1))))
 
   /** Idempotent per-session registration. */

@@ -106,4 +106,34 @@ object Layout {
       .sortWithinPartitions("zval")
       .drop("zval")
       .write.mode("overwrite").parquet(path)
+
+  /** The Hilbert-curve variant of [[withZValue]]
+    * ([[graft.functions.HilbertIndex]]): same exact-integer ranks from
+    * one broadcast bounds row, indexed along the Hilbert curve instead
+    * of the Morton interleave — every curve step is a grid neighbor, so
+    * boxes cut the curve into fewer runs (fewer boundary files for the
+    * same file count; measured vs Morton in SCALING r10). Output: the
+    * input columns plus `hval`.
+    */
+  def withHValue(df: DataFrame, aCol: String, bCol: String,
+                 bits: Int = ZBits): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val bounds = broadcast(df.agg(
+      min(col(aCol)).as("__amin"), max(col(aCol)).as("__amax"),
+      min(col(bCol)).as("__bmin"), max(col(bCol)).as("__bmax")))
+    df.crossJoin(bounds)
+      .withColumn("hval", call_function("graft_hilbert",
+        rank(aCol, "__amin", "__amax", bits),
+        rank(bCol, "__bmin", "__bmax", bits), lit(bits)))
+      .drop("__amin", "__amax", "__bmin", "__bmax")
+  }
+
+  /** [[zorderWrite]] along the Hilbert curve. */
+  def hilbertWrite(df: DataFrame, aCol: String, bCol: String, path: String,
+                   numFiles: Int, bits: Int = ZBits): Unit =
+    withHValue(df, aCol, bCol, bits)
+      .repartitionByRange(numFiles, col("hval"))
+      .sortWithinPartitions("hval")
+      .drop("hval")
+      .write.mode("overwrite").parquet(path)
 }

@@ -893,6 +893,39 @@ object Oracles {
     // Mirrors Layout.withZValue on (user_id, epoch-ms): exact-integer range
     // ranks from true min/max (// floors like Spark's div on non-negative
     // operands), then the fixed 21-bit interleave fold.
+    // Mirrors Layout.withHValue: identical exact-integer ranks, then the
+    // Hamilton xy2d bit descent unrolled — 21 chained single-reference
+    // CTEs (a LINEAR chain, so DuckDB's inliner builds a projection
+    // pipeline, not the multiply-referenced blowup the pagerank twin
+    // needed AS MATERIALIZED for). Every step is integer CASE
+    // arithmetic; xor() is DuckDB's bitwise XOR.
+    "x9_hilbert" -> {
+      val bits = graft.ops.Layout.ZBits
+      val m = (1L << bits) - 1
+      val steps = (0 until bits).map { k =>
+        val s = 1L << (bits - 1 - k)
+        val s2 = s * s
+        s"""h${k + 1} AS (SELECT event_id,
+           |  CASE WHEN ((y & $s) > 0) THEN x
+           |       ELSE CASE WHEN ((x & $s) > 0) THEN $m - y ELSE y END END AS x,
+           |  CASE WHEN ((y & $s) > 0) THEN y
+           |       ELSE CASE WHEN ((x & $s) > 0) THEN $m - x ELSE x END END AS y,
+           |  d + CAST($s2 AS BIGINT) * xor(3 * (CASE WHEN ((x & $s) > 0) THEN 1 ELSE 0 END),
+           |                (CASE WHEN ((y & $s) > 0) THEN 1 ELSE 0 END)) AS d
+           |FROM h$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH hb AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+         |hbd AS (SELECT min(user_id) AS amin, max(user_id) AS amax,
+         |               min(ts_ms) AS bmin, max(ts_ms) AS bmax FROM hb),
+         |h0 AS (SELECT event_id,
+         |    CASE WHEN amax = amin THEN 0 ELSE ((user_id - amin) * $m) // (amax - amin) END AS x,
+         |    CASE WHEN bmax = bmin THEN 0 ELSE ((ts_ms - bmin) * $m) // (bmax - bmin) END AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM hb, hbd),
+         |$steps
+         |SELECT event_id, CAST(d AS BIGINT) AS hval FROM h$bits ORDER BY event_id""".stripMargin
+    },
+
     "x9_zorder" -> {
       val bits = graft.ops.Layout.ZBits
       val m = (1L << bits) - 1

@@ -187,6 +187,23 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** X9h: Hilbert layout key — the locality-superior curve variant of
+    * [[x9Zorder]] ([[graft.ops.Layout.withHValue]] /
+    * [[graft.functions.HilbertIndex]]): gating the index gates the
+    * layout, and the 21-level bit descent replays bit-for-bit in the
+    * twin as an unrolled CTE chain (every step is integer CASE
+    * arithmetic over the same exact ranks the z-twin uses).
+    */
+  private def x9Hilbert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    graft.ops.Layout.withHValue(
+        ev.select(col("event_id"), col("user_id"), et.ms.as("ts_ms")),
+        "user_id", "ts_ms")
+      .select(col("event_id"), col("hval"))
+      .orderBy("event_id")
+  }
+
   /** X9ds: file-level data skipping — the READ-side payoff of the z-order
     * write ([[graft.ops.DataSkipping]]): events written z-clustered on
     * (user_id, ts_ms), a min/max manifest built from parquet FOOTERS
@@ -3075,6 +3092,7 @@ object Queries {
     "x10_quantile_store" -> (x10QuantileStore _),
     "x9_skipping" -> (x9Skipping _),
     "x9_meta_count" -> (x9MetaCount _),
+    "x9_hilbert" -> (x9Hilbert _),
     "x6_cms_join_card" -> (x6CmsJoinCard _)
   )
 

@@ -78,6 +78,10 @@ object SkipProbe {
     Layout.zorderWrite(base, "user_id", "ts_ms", zPath, numFiles)
     probe("zorder", zPath)
 
+    val hPath = java.nio.file.Files.createTempDirectory("graft-skip-h").toString
+    Layout.hilbertWrite(base, "user_id", "ts_ms", hPath, numFiles)
+    probe("hilbert", hPath)
+
     val lPath = java.nio.file.Files.createTempDirectory("graft-skip-l").toString
     base.repartitionByRange(numFiles, col("user_id"))
       .sortWithinPartitions("user_id")

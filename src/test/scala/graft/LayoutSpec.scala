@@ -38,6 +38,42 @@ class LayoutSpec extends SparkSpec {
     assert(fz.size == 2, "degenerate min=max column must not collapse distinct rows")
   }
 
+  test("X9h hilbert index: order-1 square, exhaustive order-5 bijection + unit-step curve") {
+    import graft.functions.HilbertIndex
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def h(bits: Int)(x: Long, y: Long): Long =
+      HilbertIndex(Literal(0L), Literal(0L), bits).hilbert(x, y)
+    // the canonical order-1 U: (0,0)→0, (0,1)→1, (1,1)→2, (1,0)→3
+    assert(h(1)(0, 0) == 0 && h(1)(0, 1) == 1 && h(1)(1, 1) == 2 && h(1)(1, 0) == 3)
+    // order 5: 32x32 — a bijection onto [0,1024) whose consecutive
+    // indices are MANHATTAN-DISTANCE-1 grid cells (the Hilbert property
+    // Morton lacks: refInterleave jumps diagonally at quadrant seams)
+    val n = 32
+    val cells = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+    val byD = cells.map { case (x, y) => h(5)(x, y) -> ((x, y)) }.sortBy(_._1)
+    assert(byD.map(_._1) == (0L until (n.toLong * n)).toVector.map(identity),
+      "order-5 hilbert is not a bijection onto [0,1024)")
+    byD.sliding(2).foreach { case Seq((_, (x1, y1)), (d2, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps at d=$d2: ($x1,$y1)->($x2,$y2)")
+    }
+    // the Morton fold does NOT have the unit-step property (sanity that
+    // the assertion above is non-vacuous): count its jumps
+    val mortonJumps = cells.map { case (x, y) => refInterleave(x, y, 5) -> ((x, y)) }
+      .sortBy(_._1).sliding(2).count {
+        case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+          math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+      }
+    assert(mortonJumps > 0)
+    // codegen path (DataFrame) == the kernel
+    val df = cells.toDF("x", "y")
+    graft.functions.GraftFunctions.register(spark)
+    val fromPlan = df.select(col("x"), col("y"),
+        call_function("graft_hilbert", col("x"), col("y"), lit(5)))
+      .as[(Long, Long, Long)].collect()
+    fromPlan.foreach { case (x, y, d) => assert(d == h(5)(x, y)) }
+  }
+
   test("X9z over-span columns raise in-plan instead of silently wrapping") {
     // span just past 2^42 at the default 21 bits: the product guard
     val wide = Seq((0L, 0L), ((1L << 43), 1L)).toDF("user_id", "ts_ms")
