@@ -239,6 +239,39 @@ object DataSkipping {
         col("n_files_total"))
   }
 
+  /** Per-file Bloom index over `keyCol` — the EQUALITY modality of data
+    * skipping (min/max is blind for point predicates on columns the
+    * layout scatters: a z-order on (user, ts) leaves every file's
+    * event-id range near-full-width, so a point lookup reads the whole
+    * table on range stats alone). One column-pruned scan builds a
+    * distributed Bloom per file ([[graft.functions.BloomBuildAgg]]
+    * grouped by `input_file_name`); the index is a bounded artifact —
+    * ~1.2 KB per 1k keys at fpp 1% — persisted/refreshed alongside the
+    * stats manifest. Write-time cost class: the OPTIMIZE job that lays
+    * the files out already scans them.
+    *
+    * Output: (file, n_rows, bloom), `file` in the reader's own URI form
+    * so candidates feed [[prunedRead]] directly.
+    */
+  def bloomIndex(spark: SparkSession, dir: String, keyCol: String,
+                 expectedItemsPerFile: Long, fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(dir)
+      .select(input_file_name().as("file"), col(keyCol))
+      .groupBy("file")
+      .agg(call_function("graft_bloom_agg", col(keyCol),
+        lit(expectedItemsPerFile), lit(fpp)).as("bloom"),
+        count(col(keyCol)).as("n_rows"))
+  }
+
+  /** Files that might contain `key`: false positives only (fpp per
+    * file), never false negatives — the sound-skipping contract again.
+    */
+  def candidateFilesByKey(index: DataFrame, key: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(index.sparkSession)
+    index.where(call_function("graft_bloom_contains", col("bloom"), key))
+  }
+
   /** Read only the candidate files (driver-side bounded file list — the
     * Delta-manifest class of artifact), with the row-level filter still
     * applied by the caller: skipping prunes FILES, the predicate prunes

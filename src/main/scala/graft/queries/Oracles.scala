@@ -2194,6 +2194,14 @@ object Oracles {
         |FROM events e JOIN amad s USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    // Point-lookup gate: the looked-up row replayed over raw events
+    // (the index is invisible to a correct lookup); pruning pinned.
+    "x9_point_lookup" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+        |  true AS files_pruned
+        |FROM events
+        |WHERE event_id = (SELECT max(event_id) FROM events)""".stripMargin,
+
     // Metadata-count gate: the middle-half box count replayed over raw
     // events (metadata-vs-scan split is invisible to a correct answer);
     // recount equality and file pruning ride as pinned booleans.

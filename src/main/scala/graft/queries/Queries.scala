@@ -289,6 +289,38 @@ object Queries {
         (col("n_files_scanned") < col("n_files_total")).as("files_pruned"))
   }
 
+  /** X9bl: Bloom-indexed point lookup — the EQUALITY modality of data
+    * skipping ([[graft.ops.DataSkipping.bloomIndex]]): the z-layout on
+    * (user_id, ts_ms) scatters event ids, so every file's id RANGE is
+    * near-full-width and min/max stats prune nothing for a point
+    * predicate; the per-file Bloom index opens ~1 file + fpp·files
+    * false positives instead. Gate: the looked-up row travels verbatim
+    * (key = max event id, derived in-engine), pruning rides as a
+    * pinned boolean.
+    */
+  private def x9PointLookup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataSkipping
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    val base = ev.select(col("event_id"), col("user_id"), et.ms.as("ts_ms"),
+      col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft-bloomidx").toString
+    graft.ops.Layout.zorderWrite(base, "user_id", "ts_ms", path, numFiles = 32)
+    val n = base.count()
+    val idx = DataSkipping.bloomIndex(spark, path, "event_id",
+      math.max(64L, n / 32), fpp = 0.01).cache()
+    val key = base.agg(max("event_id")).head().getLong(0)
+    val cand = DataSkipping.candidateFilesByKey(idx, lit(key))
+    val counts = cand.agg(count(lit(1)).as("__n_open"))
+      .crossJoin(idx.agg(count(lit(1)).as("__n_files")))
+    DataSkipping.prunedRead(spark, path, cand)
+      .where(col("event_id") === key)
+      .crossJoin(broadcast(counts))
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("value"),
+        (col("__n_open") >= 1L && col("__n_open") < col("__n_files"))
+          .as("files_pruned"))
+  }
+
   /** A2i: incremental rollup maintenance — the reference's checkpoint-
     * incremental model applied to AGGREGATES: the stored history rollup
     * (pre-Jan20 partials, in a real deployment a persisted table) merges
@@ -3093,6 +3125,7 @@ object Queries {
     "x9_skipping" -> (x9Skipping _),
     "x9_meta_count" -> (x9MetaCount _),
     "x9_hilbert" -> (x9Hilbert _),
+    "x9_point_lookup" -> (x9PointLookup _),
     "x6_cms_join_card" -> (x6CmsJoinCard _)
   )
 

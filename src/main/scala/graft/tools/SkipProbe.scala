@@ -82,6 +82,25 @@ object SkipProbe {
     Layout.hilbertWrite(base, "user_id", "ts_ms", hPath, numFiles)
     probe("hilbert", hPath)
 
+    // equality modality on the z layout: per-file Bloom over the
+    // scattered event_id vs its (useless) min/max ranges
+    val nRows = base.count()
+    val bloomIdx = DataSkipping.bloomIndex(spark, zPath, "event_id",
+      math.max(64L, nRows / numFiles), fpp = 0.01).cache()
+    val idManifest = DataSkipping.statsManifest(spark, zPath, Seq("event_id")).cache()
+    val probeKeys = Seq(0.1, 0.5, 0.9).map(q =>
+      base.stat.approxQuantile("event_id", Array(q), 0.0).head.toLong)
+    probeKeys.foreach { k =>
+      val viaRange = DataSkipping.candidateFiles(idManifest,
+        Seq(DataSkipping.longRange("event_id", k, k))).count()
+      val viaBloom = DataSkipping.candidateFilesByKey(bloomIdx, lit(k)).count()
+      val found = DataSkipping.prunedRead(spark, zPath,
+        DataSkipping.candidateFilesByKey(bloomIdx, lit(k)))
+        .where(col("event_id") === k).count()
+      println(s"pointLookup key=$k viaMinMax=$viaRange/$numFiles " +
+        s"viaBloom=$viaBloom/$numFiles rows=$found")
+    }
+
     val lPath = java.nio.file.Files.createTempDirectory("graft-skip-l").toString
     base.repartitionByRange(numFiles, col("user_id"))
       .sortWithinPartitions("user_id")

@@ -101,6 +101,38 @@ class DataSkippingSpec extends SparkSpec {
       r.getAs[Long]("n_files_scanned") == 1L)
   }
 
+  test("X9bl bloom index finds every key, prunes most files; min/max is blind on scattered ids") {
+    // layout clustered on (b, c) = id-locality dims; 'a' is a
+    // pseudo-random permutation — the hash-id shape range stats cannot
+    // prune
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-bloomidx-spec").toString
+    val df = spark.range(20000).select(
+      ((col("id") * 2654435761L) % 2000003L).as("a"),
+      col("id").as("b"), (col("id") % 97L).as("c"))
+    graft.ops.Layout.zorderWrite(df, "b", "c", dir2, numFiles = 16)
+    val idx = DataSkipping.bloomIndex(spark, dir2, "a", 2000L, fpp = 0.01).cache()
+    assert(idx.count() == 16)
+    // min/max on the scattered id: nearly every file is a candidate
+    val m = DataSkipping.statsManifest(spark, dir2, Seq("a"))
+    val keys = df.where(col("b").isin(17L, 9999L, 19999L))
+      .select("a").as[Long].collect().toSeq
+    assert(keys.size == 3)
+    keys.foreach { k =>
+      val rangeCand = DataSkipping.candidateFiles(m,
+        Seq(DataSkipping.longRange("a", k, k))).count()
+      assert(rangeCand >= 14, s"id $k: min/max unexpectedly pruned to $rangeCand")
+      val cand = DataSkipping.candidateFilesByKey(idx, lit(k))
+      val nCand = cand.count()
+      assert(nCand >= 1 && nCand <= 3, s"id $k: bloom candidates $nCand")
+      val rows = DataSkipping.prunedRead(spark, dir2, cand)
+        .where(col("a") === k).collect()
+      assert(rows.length == 1 && rows.head.getAs[Long]("a") == k)
+    }
+    // absent key: usually zero candidates, never a missed row
+    val ghost = DataSkipping.candidateFilesByKey(idx, lit(123456789L)).count()
+    assert(ghost <= 2, s"absent key matched $ghost files")
+  }
+
   test("X9ds empty candidate set short-circuits to an empty typed frame") {
     val dir = zTable(1000, 4)
     val m = DataSkipping.statsManifest(spark, dir, Seq("a"))
