@@ -2194,6 +2194,16 @@ object Oracles {
         |FROM events e JOIN amad s USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    // Compaction gate: content preservation IS the contract — the
+    // compacted table's aggregates replayed over raw events; the FFD
+    // plan invariants ride as pinned booleans.
+    "x9_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  true AS cover_ok, true AS bins_within_target, true AS files_reduced
+        |FROM events""".stripMargin,
+
     // Point-lookup gate: the looked-up row replayed over raw events
     // (the index is invisible to a correct lookup); pruning pinned.
     "x9_point_lookup" ->

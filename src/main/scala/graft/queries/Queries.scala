@@ -321,6 +321,46 @@ object Queries {
           .as("files_pruned"))
   }
 
+  /** X9cp: small-file compaction ([[graft.ops.Compaction]]) — the
+    * maintenance pass that re-amortizes streaming ingest's small-file
+    * tax: a 64-file events table FFD-packed toward total/8-sized bins
+    * and rewritten in ONE job (bin id joined on via input_file_name,
+    * one exchange, one file per bin). Gate: the compacted table's
+    * aggregates travel verbatim (content preservation is the whole
+    * contract — the oracle replays raw events); plan invariants (full
+    * cover, bins within target, fewer files) ride as pinned booleans.
+    */
+  private def x9Compact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Compaction
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    val base = ev.select(col("event_id"), col("user_id"), et.ms.as("ts_ms"),
+      col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft-compact-q").toString
+    base.repartition(64).write.mode("overwrite").parquet(path)
+    val sizes = Compaction.fileSizes(spark, path).cache()
+    val total = sizes.agg(sum(col("bytes"))).head().getLong(0)
+    val target = math.max(1L, total / 8)
+    val plan = Compaction.compactionPlan(sizes, target).cache()
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-o").toString
+    Compaction.compact(spark, path, plan, out)
+    val planChecks = plan.groupBy("bin")
+      .agg(sum(col("bytes")).as("__bb"), count(lit(1)).as("__bn"))
+      .agg((max(when(col("__bn") > 1, col("__bb")).otherwise(0L)) <= target)
+          .as("bins_within_target"),
+        (count(lit(1)) < 64L).as("files_reduced"))
+      .crossJoin(plan.agg((count(lit(1)) === 64L &&
+        sum(col("bytes")) === total).as("cover_ok")))
+    spark.read.parquet(out).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("event_id")).as("sum_ids"),
+        sum(round(col("value"), 6).cast(DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+      .crossJoin(broadcast(planChecks))
+      .select(col("n_rows"), col("sum_ids"), col("sum_value"),
+        col("cover_ok"), col("bins_within_target"), col("files_reduced"))
+  }
+
   /** A2i: incremental rollup maintenance — the reference's checkpoint-
     * incremental model applied to AGGREGATES: the stored history rollup
     * (pre-Jan20 partials, in a real deployment a persisted table) merges
@@ -3126,6 +3166,7 @@ object Queries {
     "x9_meta_count" -> (x9MetaCount _),
     "x9_hilbert" -> (x9Hilbert _),
     "x9_point_lookup" -> (x9PointLookup _),
+    "x9_compact" -> (x9Compact _),
     "x6_cms_join_card" -> (x6CmsJoinCard _)
   )
 
