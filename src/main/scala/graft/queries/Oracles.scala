@@ -1128,6 +1128,14 @@ object Oracles {
         |        ORDER BY o_totalprice DESC, o_orderkey) rn FROM orders)
         |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
 
+    // The native bounded top-k aggregate must reproduce the window
+    // idiom's survivor set exactly — same twin as w_topk_orders.
+    "x7_topk_agg" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey) rn FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+
     "q4_late_orders" ->
       """SELECT o_orderpriority, count(*) AS n_late FROM orders o
         |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey

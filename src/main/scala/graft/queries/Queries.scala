@@ -978,6 +978,26 @@ object Queries {
         col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_orderpriority", "rank")
 
+  /** X7tk: grouped top-k via the NATIVE bounded aggregate
+    * ([[graft.functions.TopKAgg]]) — the scale-path form of
+    * [[wTopkOrders]]'s window idiom: identical survivor set (the gate
+    * reuses the window twin verbatim), but the exchange carries at most
+    * k rows per (map partition, group) and nothing is globally sorted —
+    * the window form ships and sorts EVERY row of a group on one task
+    * (measured A/B `tools/TopKProbe`, SCALING r10).
+    */
+  private def x7TopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(call_function("graft_topk",
+        struct(col("o_totalprice"), col("o_orderkey")), lit(3)).as("__top"))
+      .select(col("o_orderpriority"), posexplode(col("__top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
   /** Set ops: (user, day) pairs engaged (click/view) minus pairs that
     * purchased that day.
     */
@@ -3167,6 +3187,7 @@ object Queries {
     "x9_hilbert" -> (x9Hilbert _),
     "x9_point_lookup" -> (x9PointLookup _),
     "x9_compact" -> (x9Compact _),
+    "x7_topk_agg" -> (x7TopkAgg _),
     "x6_cms_join_card" -> (x6CmsJoinCard _)
   )
 
