@@ -92,11 +92,23 @@ object DataSkipping {
     * file list distributes over the cluster — at 1M files the footer
     * reads are the parallel work, and no task reads a data page.
     */
-  def statsManifest(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+  def statsManifest(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
+    statsManifestFiles(spark, listDataFiles(spark, dir),
+      spark.read.parquet(dir).schema, cols)
+
+  /** [[statsManifest]] over an EXPLICIT file list — the incremental
+    * maintenance path: after an append, harvest footers for the NEW
+    * files only and union with the stored manifest; per-file rows are
+    * independent, so incremental ≡ full rebuild row-for-row (the
+    * `x9_manifest_incremental` gate) and history is never re-listed at
+    * manifest-build cost (the a2_incremental_rollup discipline applied
+    * to table METADATA).
+    */
+  def statsManifestFiles(spark: SparkSession, files: Seq[String],
+                         schema: StructType, cols: Seq[String]): DataFrame = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
 
-    val schema = spark.read.parquet(dir).schema
     val typed: Seq[(String, Boolean)] = cols.map { c =>
       schema(c).dataType match {
         case LongType | IntegerType | ShortType | ByteType => (c, true)
@@ -108,7 +120,6 @@ object DataSkipping {
     }
     val out = manifestSchema(typed)
     val bag = new ConfBag(spark.sessionState.newHadoopConf())
-    val files = listDataFiles(spark, dir)
     val parallelism = math.max(1, math.min(files.size, 32))
 
     val rows = spark.sparkContext

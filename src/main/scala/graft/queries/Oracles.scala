@@ -2202,6 +2202,14 @@ object Oracles {
         |FROM events e JOIN amad s USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    // Incremental-manifest gate: deterministic file count (8 pre-Jan15
+    // + 4 appended), total rows verbatim, union≡rebuild pinned.
+    "x9_manifest_incremental" ->
+      """SELECT CAST(12 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS incremental_eq_rebuild
+        |FROM events""".stripMargin,
+
     // Compaction gate: content preservation IS the contract — the
     // compacted table's aggregates replayed over raw events; the FFD
     // plan invariants ride as pinned booleans.

@@ -361,6 +361,39 @@ object Queries {
         col("cover_ok"), col("bins_within_target"), col("files_reduced"))
   }
 
+  /** X9mi: incremental manifest maintenance — the a2_incremental_rollup
+    * discipline applied to table METADATA: after a streaming-style
+    * append, footers are harvested for the NEW files only and unioned
+    * with the stored manifest ([[graft.ops.DataSkipping
+    * .statsManifestFiles]]); per-file rows are independent, so the
+    * union must equal a full rebuild ROW-FOR-ROW — asserted in-plan by
+    * symmetric anti-joins, with deterministic file/row totals traveling
+    * verbatim.
+    */
+  private def x9ManifestIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataSkipping
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    val base = ev.select(col("event_id"), col("user_id"), et.ms.as("ts_ms"))
+    val path = java.nio.file.Files.createTempDirectory("graft-mi").toString
+    base.where(col("ts_ms") < Jan15).repartition(8)
+      .write.mode("overwrite").parquet(path)
+    val m1 = DataSkipping.statsManifest(spark, path, Seq("user_id", "ts_ms")).cache()
+    val before = DataSkipping.listDataFiles(spark, path).toSet
+    base.where(col("ts_ms") >= Jan15).repartition(4)
+      .write.mode("append").parquet(path)
+    val newFiles = DataSkipping.listDataFiles(spark, path).filterNot(before)
+    val schema = spark.read.parquet(path).schema
+    val incremental = m1.unionByName(
+      DataSkipping.statsManifestFiles(spark, newFiles, schema, Seq("user_id", "ts_ms")))
+    val rebuilt = DataSkipping.statsManifest(spark, path, Seq("user_id", "ts_ms"))
+    val onlyInc = incremental.exceptAll(rebuilt).count()
+    val onlyReb = rebuilt.exceptAll(incremental).count()
+    incremental.agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
+      .select(col("n_files"), col("n_rows"),
+        lit(onlyInc == 0 && onlyReb == 0).as("incremental_eq_rebuild"))
+  }
+
   /** A2i: incremental rollup maintenance — the reference's checkpoint-
     * incremental model applied to AGGREGATES: the stored history rollup
     * (pre-Jan20 partials, in a real deployment a persisted table) merges
@@ -3188,6 +3221,7 @@ object Queries {
     "x9_point_lookup" -> (x9PointLookup _),
     "x9_compact" -> (x9Compact _),
     "x7_topk_agg" -> (x7TopkAgg _),
+    "x9_manifest_incremental" -> (x9ManifestIncremental _),
     "x6_cms_join_card" -> (x6CmsJoinCard _)
   )
 
