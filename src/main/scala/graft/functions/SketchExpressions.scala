@@ -297,6 +297,83 @@ case class QuantileSketchQuery(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Inverse-CDF query against a serialized GK sketch: `(sketch, v)` →
+  * the estimated rank FRACTION of `v` in [0, 1] — the percentile-rank
+  * feature ("where does this row sit within its group?") computed as a
+  * pure projection against a stored/broadcast artifact instead of a
+  * per-group sort or window. GK's symmetric guarantee covers rank
+  * queries too: for the last summary entry with value ≤ v the true
+  * rank lies in [rmin, rmin + delta], and the midpoint estimator is
+  * within ε·n (2ε·n after a union — the store's documented merge
+  * degradation). Values below the sketch minimum rank 0, above the
+  * maximum rank 1. Decode caching per [[DecodedSketchProbe]] — the
+  * artifact-as-literal hot-path rule applies.
+  */
+case class QuantileSketchRank(left: Expression, right: Expression)
+  extends BinaryExpression with BinaryLike[Expression]
+  with DecodedSketchProbe[org.apache.spark.sql.catalyst.util.QuantileSummaries] {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_qsketch_rank expects (binary sketch, double value), got ($l, $r)")
+  }
+
+  override protected def parse(bytes: Array[Byte]) = QuantileCodec.fromBytes(bytes)
+
+  def rankOf(bytes: Array[Byte], v: Double): Any = {
+    val q = decoded(bytes)
+    if (q.count == 0) null
+    else {
+      val s = q.sampled
+      var i = 0
+      var rmin = 0L
+      var last = -1L // rank estimate of the last entry with value <= v
+      while (i < s.length && s(i).value <= v) {
+        rmin += s(i).g
+        last = rmin + s(i).delta / 2
+        i += 1
+      }
+      if (last < 0) 0.0
+      else if (i == s.length) 1.0
+      else last.toDouble / q.count
+    }
+  }
+
+  override def nullSafeEval(sk: Any, v: Any): Any =
+    rankOf(sk.asInstanceOf[Array[Byte]], v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("qsRank", this, classOf[QuantileSketchRank].getName)
+    val se = left.genCode(ctx)
+    val ve = right.genCode(ctx)
+    val r = ctx.freshName("rkRes")
+    ev.copy(code = code"""
+      ${se.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = -1.0;
+      if (!${se.isNull}) {
+        ${ve.code}
+        if (!${ve.isNull}) {
+          Object $r = $ref.rankOf(${se.value}, ${ve.value});
+          if ($r != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = ((Double) $r).doubleValue();
+          }
+        }
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Parsed view of Spark's serialized Count-Min sketch (format V1:
   * int version, long totalCount, int depth, int width, long hashA[depth],
   * long table[depth][width] — big-endian, the exact layout

@@ -562,7 +562,8 @@ object GraftFunctions {
       children(2).eval().asInstanceOf[Number].intValue())),
     "graft_topk" -> (children => TopKAgg(children.head,
       children(1).eval().asInstanceOf[Number].intValue())),
-    "graft_qsketch_query" -> (children => QuantileSketchQuery(children.head, children(1))))
+    "graft_qsketch_query" -> (children => QuantileSketchQuery(children.head, children(1))),
+    "graft_qsketch_rank" -> (children => QuantileSketchRank(children.head, children(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = functions.foreach { case (name, builder) =>

@@ -140,6 +140,17 @@ object Sketches {
   def qsQuantile(sketchCol: Column, p: Double): Column =
     call_function("graft_qsketch_query", sketchCol, lit(p))
 
+  /** Percentile-rank feature ([[graft.functions.QuantileSketchRank]]):
+    * `valueCol`'s estimated rank fraction within the distribution the
+    * sketch summarizes — "where does this row sit in its group?" as a
+    * PROJECTION against broadcast artifacts (the deployed path: G
+    * sketches broadcast, one codegen'd probe per row — no per-group
+    * sort, no window, no second shuffle). Within ε of the true rank
+    * per the GK bound; 2ε after a store union.
+    */
+  def qsRank(sketchCol: Column, valueCol: Column): Column =
+    call_function("graft_qsketch_rank", sketchCol, valueCol.cast("double"))
+
   /** Join-cardinality estimate `Σ_k f_A(k)·f_B(k) = |A ⋈ B|` from two
     * per-table CMS sketches alone ([[graft.functions.CmsInnerProduct]])
     * — the planner-side read path: decide join strategy/order from

@@ -2283,6 +2283,18 @@ object Oracles {
         |  true AS pruned_equals_full, true AS files_skipped
         |FROM f""".stripMargin,
 
+    // Percentile-rank gate: exact group counts + interpolated
+    // percentiles verbatim (quantile_cont ≡ Spark percentile); the GK
+    // rank estimates ride as tie-aware in-plan booleans (the sketch
+    // cannot be replayed, its guarantee can).
+    "x5_percentile_rank" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(quantile_cont(value, 0.1), 6) AS p10_exact,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(value, 0.9), 6) AS p90_exact,
+        |  true AS rank10_ok, true AS rank50_ok, true AS rank90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Quantile-store gate: exact interpolated percentiles verbatim
     // (quantile_cont ≡ Spark percentile, the x10_anomaly_mad pairing);
     // the GK union estimates ride as pinned rank-window booleans.

@@ -820,6 +820,57 @@ object Queries {
     ol.unionByName(f2).orderBy("pair")
   }
 
+  /** X5pr: percentile-rank features from the quantile store
+    * ([[graft.ops.Sketches.qsRank]]): a row's rank within its group's
+    * value distribution as a PROJECTION against broadcast GK artifacts
+    * — no window, no per-group sort (the deployed feature path). The
+    * gate's witness is window-free too — the first form used exact
+    * per-row ranks via per-group RANGE windows and hit the hot-key
+    * window cliff at ×100 (single partition per group sorts 10M rows;
+    * 4.1 s → 18.3 s → timeout, SCALING r10) — so it probes the rank
+    * function at each group's EXACT p10/p50/p90 instead: one
+    * percentile aggregate + one conditional-count pass (both map-side
+    * combined, no shuffle larger than G rows), est·n within
+    * [count(<v_p) − slack, count(≤v_p) + slack], slack = 2ε·n + 1.
+    * Exact percentiles travel verbatim beside the booleans; per-ROW
+    * behavior is pinned exhaustively in SketchesSpec at 200k rows.
+    */
+  private def x5PercentileRank(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 1e-3
+    val evRaw = t(spark, dir, "events")
+    val ev = graft.ops.OpCaches.pin(
+      evRaw.select(col("event_type"), col("value")))
+    val sk = Sketches.qsGroupSketches(ev, col("event_type"), col("value"), eps)
+      .select(col("group").as("event_type"), col("sketch"), col("n_rows"))
+    val probes = ev.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.1D, 0.5D, 0.9D))").as("__ps"))
+      .select(col("event_type"), col("__ps").getItem(0).as("__p10"),
+        col("__ps").getItem(1).as("__p50"), col("__ps").getItem(2).as("__p90"))
+    val counts = ev.join(broadcast(probes), "event_type")
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("value") < col("__p10"), 1L).otherwise(0L)).as("__lt10"),
+        sum(when(col("value") <= col("__p10"), 1L).otherwise(0L)).as("__le10"),
+        sum(when(col("value") < col("__p50"), 1L).otherwise(0L)).as("__lt50"),
+        sum(when(col("value") <= col("__p50"), 1L).otherwise(0L)).as("__le50"),
+        sum(when(col("value") < col("__p90"), 1L).otherwise(0L)).as("__lt90"),
+        sum(when(col("value") <= col("__p90"), 1L).otherwise(0L)).as("__le90"))
+    def ok(p: String): Column = {
+      val est = Sketches.qsRank(col("sketch"), col(s"__p$p")) * col("n_rows")
+      val slack = lit(2 * eps) * col("n_rows") + lit(1.0)
+      (est >= col(s"__lt$p").cast("double") - slack &&
+        est <= col(s"__le$p").cast("double") + slack).as(s"rank${p}_ok")
+    }
+    sk.join(broadcast(probes), "event_type")
+      .join(broadcast(counts), "event_type")
+      .select(col("event_type"), col("n_rows"),
+        round(col("__p10"), 6).as("p10_exact"),
+        round(col("__p50"), 6).as("p50_exact"),
+        round(col("__p90"), 6).as("p90_exact"),
+        ok("10"), ok("50"), ok("90"))
+      .orderBy("event_type")
+  }
+
   /** X2f: bounded-edit-distance name join ([[graft.ops.Fuzzy]]) — the
     * entity-resolution primitive over customer names via SymSpell deletion
     * banding: one codegen'd key projection + equi-join + exact levenshtein
@@ -3222,6 +3273,7 @@ object Queries {
     "x9_compact" -> (x9Compact _),
     "x7_topk_agg" -> (x7TopkAgg _),
     "x9_manifest_incremental" -> (x9ManifestIncremental _),
+    "x5_percentile_rank" -> (x5PercentileRank _),
     "x6_cms_join_card" -> (x6CmsJoinCard _)
   )
 

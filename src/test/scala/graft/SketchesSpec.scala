@@ -131,6 +131,40 @@ class SketchesSpec extends SparkSpec {
     assert(q1 == q2 && q1.isDefined)
   }
 
+  test("X10qr rank query inverts the quantile query within the GK bound; boundary conventions hold") {
+    val n = 200000L
+    val eps = 0.001
+    val df = spark.range(n).select((col("id") % 8).as("g"),
+      (pow(col("id") % 3000, 1.5)).as("v"))
+    val merged = Sketches.qsUnionSketch(
+      Sketches.qsGroupSketches(df, col("g"), col("v"), eps))
+    val bytes = merged.select("sketch").as[Array[Byte]].head()
+    val values = df.select(col("v")).as[Double].collect().sorted
+    val rk = graft.functions.QuantileSketchRank(
+      org.apache.spark.sql.catalyst.expressions.Literal(bytes),
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0))
+    // probe actual data values at several depths: est within 2*eps of
+    // the true tie-aware rank window
+    Seq(0.01, 0.25, 0.5, 0.75, 0.99).foreach { q =>
+      val v = values(((n - 1) * q).toInt)
+      val est = rk.rankOf(bytes, v).asInstanceOf[Double]
+      val lo = values.count(_ < v).toDouble / n
+      val hi = values.count(_ <= v).toDouble / n
+      assert(est >= lo - 2 * eps && est <= hi + 2 * eps,
+        s"rank($v)=$est outside [$lo, $hi] ± ${2 * eps}")
+    }
+    // boundary conventions
+    assert(rk.rankOf(bytes, -1.0) == 0.0)
+    assert(rk.rankOf(bytes, values.last + 1.0) == 1.0)
+    // plan path == kernel (codegen parity through the registered function)
+    graft.functions.GraftFunctions.register(spark)
+    val viaPlan = df.limit(100)
+      .crossJoin(broadcast(merged.select(col("sketch"))))
+      .select(col("v"), Sketches.qsRank(col("sketch"), col("v")).as("r"))
+      .as[(Double, Double)].collect()
+    viaPlan.foreach { case (v, r) => assert(r == rk.rankOf(bytes, v)) }
+  }
+
   test("X6jc serialized-CMS layout parses; inner product exact on collision-free keys") {
     import graft.functions.CmsCodec
     // layout pin: a producer-built sketch parses to the geometry formulas
