@@ -2243,6 +2243,30 @@ object Oracles {
         |  AND ts_ms BETWEEN tmin + (tmax - tmin) // 4
         |                AND tmin + 3 * (tmax - tmin) // 4""".stripMargin,
 
+    // Join-key-overlap gate: exact distinct/intersection counts
+    // verbatim; the HLL inclusion-exclusion estimate rides as the
+    // union-relative 5% boolean (the X10hlo contract).
+    "x6_hll_join_keys" ->
+      """SELECT * FROM (
+        |  SELECT 'events_customer' AS pair,
+        |    (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS nd_a,
+        |    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer) AS nd_b,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT user_id FROM events) e
+        |      JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |        ON e.user_id = c.c_custkey) AS nd_intersect,
+        |    true AS overlap_ok
+        |  UNION ALL
+        |  SELECT 'orders_customer',
+        |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders),
+        |    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT o_custkey FROM orders) o
+        |      JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |        ON o.o_custkey = c.c_custkey),
+        |    true)
+        |ORDER BY pair""".stripMargin,
+
     // Join-cardinality gate: exact cardinalities verbatim (BIGINT-cast,
     // the HUGEINT trap); the CMS inner-product estimate rides as its
     // contract booleans (never undercounts, within eps*Na*Nb).

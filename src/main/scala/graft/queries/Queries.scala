@@ -784,6 +784,47 @@ object Queries {
         col("q90_rank_ok"), col("q99_rank_ok"))
   }
 
+  /** X6jk: distinct-key join overlap from stored HLL sketches — the
+    * companion planner statistic to [[x6CmsJoinCard]]: where the CMS
+    * inner product prices the join's OUTPUT (Σ f_A·f_B), the HLL
+    * inclusion–exclusion prices its KEY overlap |keys(A) ∩ keys(B)| —
+    * semi-join selectivity, FK-coverage checks, and "should this be a
+    * broadcast semi-join filter" decisions, all from per-table KB
+    * artifacts with no data touched. Error contract inherited from
+    * X10hlo: IE error is union-relative, so the gate tolerance is 5%
+    * of the exact UNION, never of the (possibly tiny) intersection.
+    */
+  private def x6HllJoinKeys(spark: SparkSession, dir: String): DataFrame = {
+    def gate(pair: String, dfA: DataFrame, kA: Column,
+             dfB: DataFrame, kB: Column): DataFrame = {
+      val est = dfA.agg(hll_sketch_agg(kA, lit(12)).as("__ska"))
+        .crossJoin(dfB.agg(hll_sketch_agg(kB, lit(12)).as("__skb")))
+        .select(
+          (hll_sketch_estimate(col("__ska")) + hll_sketch_estimate(col("__skb")) -
+            hll_sketch_estimate(hll_union(col("__ska"), col("__skb"))))
+            .as("__est_intersect"))
+      val exacts = dfA.select(kA.as("__k")).distinct()
+        .withColumn("__ina", lit(1))
+        .join(dfB.select(kB.as("__k")).distinct().withColumn("__inb", lit(1)),
+          Seq("__k"), "full_outer")
+        .agg(count(lit(1)).as("nd_union"),
+          sum(when(col("__ina").isNotNull, 1L).otherwise(0L)).as("nd_a"),
+          sum(when(col("__inb").isNotNull, 1L).otherwise(0L)).as("nd_b"),
+          sum(when(col("__ina").isNotNull && col("__inb").isNotNull, 1L)
+            .otherwise(0L)).as("nd_intersect"))
+      exacts.crossJoin(broadcast(est))
+        .select(lit(pair).as("pair"), col("nd_a"), col("nd_b"),
+          col("nd_intersect"),
+          (abs(col("__est_intersect") - col("nd_intersect").cast("double")) <=
+            lit(0.05) * col("nd_union").cast("double")).as("overlap_ok"))
+    }
+    val oc = gate("orders_customer", t(spark, dir, "orders"), col("o_custkey"),
+      t(spark, dir, "customer"), col("c_custkey"))
+    val ec = gate("events_customer", t(spark, dir, "events"), col("user_id"),
+      t(spark, dir, "customer"), col("c_custkey"))
+    oc.unionByName(ec).orderBy("pair")
+  }
+
   /** X6jc: join-cardinality estimation from stored CMS sketches — the
     * planner-side read path ([[graft.ops.Sketches.cmsJoinCardinality]]):
     * |A ⋈ B| on a key estimated by the AMS/CMS inner product of the two
@@ -3274,6 +3315,7 @@ object Queries {
     "x7_topk_agg" -> (x7TopkAgg _),
     "x9_manifest_incremental" -> (x9ManifestIncremental _),
     "x5_percentile_rank" -> (x5PercentileRank _),
+    "x6_hll_join_keys" -> (x6HllJoinKeys _),
     "x6_cms_join_card" -> (x6CmsJoinCard _)
   )
 
