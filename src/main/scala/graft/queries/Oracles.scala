@@ -2243,6 +2243,28 @@ object Oracles {
         |  AND ts_ms BETWEEN tmin + (tmax - tmin) // 4
         |                AND tmin + 3 * (tmax - tmin) // 4""".stripMargin,
 
+    // Quantile-drift gate: era-A deciles through era-B's exact CDF,
+    // max gap verbatim (decile values and count ratios are identical
+    // IEEE arithmetic in both engines); the sketch-only statistic
+    // rides as the pinned tolerance boolean.
+    "x5_drift_quantile" -> {
+      val ps = (1 to 9).map(_ / 10.0)
+      val fs = ps.indices.map(i =>
+        s"CAST(sum(CASE WHEN value <= qs[${i + 1}] THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS f$i")
+        .mkString(",\n        |  ")
+      val gaps = ps.indices.map(i => s"abs(${ps(i)} - f$i)").mkString(", ")
+      s"""WITH a AS (SELECT value FROM events WHERE epoch_ms(ts) < 1705276800000),
+         |b AS (SELECT value FROM events WHERE epoch_ms(ts) >= 1705276800000),
+         |q AS (SELECT quantile_cont(value, [${ps.mkString(", ")}]) AS qs FROM a),
+         |f AS (SELECT count(*) AS n_b,
+         |  $fs
+         |  FROM b, q)
+         |SELECT CAST(n_b AS BIGINT) AS n_b,
+         |  round(greatest($gaps), 6) AS drift_exact,
+         |  true AS drift_sketch_ok
+         |FROM f""".stripMargin
+    },
+
     // Join-key-overlap gate: exact distinct/intersection counts
     // verbatim; the HLL inclusion-exclusion estimate rides as the
     // union-relative 5% boolean (the X10hlo contract).

@@ -784,6 +784,56 @@ object Queries {
         col("q90_rank_ok"), col("q99_rank_ok"))
   }
 
+  /** X5dq: distribution drift from the quantile store — the BINLESS
+    * companion to the PSI histogram drift (X5dr's bin edges are a
+    * modeling choice; rank probes are not): era A's exact deciles
+    * probed through era B's CDF, drift = max decile gap
+    * max_p |p − F_B(q_A(p))| — a KS statistic coarsened to 9 fixed
+    * depths, so the witness stays window-free (percentile agg +
+    * conditional counts, the x5_percentile_rank lesson applied from
+    * the start). The exact statistic travels verbatim; the
+    * sketch-only version (both CDFs read from stored GK artifacts —
+    * the deployed path touches no data) rides as a ±(2ε_A + 2ε_B +
+    * tie-slack) boolean per depth.
+    */
+  private def x5DriftQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 1e-3
+    val evRaw = t(spark, dir, "events")
+    val et = evTime(evRaw)
+    val ev = graft.ops.OpCaches.pin(
+      evRaw.select(et.ms.as("__ms"), col("value")))
+    val eraA = ev.where(col("__ms") < Jan15).select(col("value"))
+    val eraB = ev.where(col("__ms") >= Jan15).select(col("value"))
+    val ps = (1 to 9).map(_ / 10.0)
+    val qa = eraA.agg(expr(
+      s"percentile(value, array(${ps.mkString("D,")}D))").as("__qs"))
+    val probed = eraB.crossJoin(broadcast(qa))
+    val fCols: Seq[Column] = ps.indices.map(i =>
+      (sum(when(col("value") <= col("__qs").getItem(i), 1L).otherwise(0L))
+        .cast("double") / count(lit(1))).as(s"__f$i"))
+    val exactF = probed.agg(count(lit(1)).as("n_b"), fCols: _*)
+    val skA = Sketches.qsGroupSketches(
+      eraA.select(lit(0L).as("g"), col("value")), col("g"), col("value"), eps)
+      .select(col("sketch").as("__ska"))
+    val skB = Sketches.qsGroupSketches(
+      eraB.select(lit(0L).as("g"), col("value")), col("g"), col("value"), eps)
+      .select(col("sketch").as("__skb"))
+    val gaps = ps.indices.map(i => abs(lit(ps(i)) - col(s"__f$i")))
+    val exactDrift = greatest(gaps: _*)
+    val sketchGaps = ps.indices.map { i =>
+      abs(lit(ps(i)) - Sketches.qsRank(col("__skb"),
+        Sketches.qsQuantile(col("__ska"), ps(i))))
+    }
+    val sketchDrift = greatest(sketchGaps: _*)
+    exactF.crossJoin(broadcast(qa)).crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
+      .select(col("n_b"),
+        round(exactDrift, 6).as("drift_exact"),
+        // sketch reads exact-ish quantiles through both artifacts: each
+        // leg contributes ε rank error plus interpolation-vs-sample
+        // discretization at a probe point — 0.01 covers 5× the stack
+        (abs(sketchDrift - exactDrift) <= lit(0.01)).as("drift_sketch_ok"))
+  }
+
   /** X6jk: distinct-key join overlap from stored HLL sketches — the
     * companion planner statistic to [[x6CmsJoinCard]]: where the CMS
     * inner product prices the join's OUTPUT (Σ f_A·f_B), the HLL
@@ -3316,6 +3366,7 @@ object Queries {
     "x9_manifest_incremental" -> (x9ManifestIncremental _),
     "x5_percentile_rank" -> (x5PercentileRank _),
     "x6_hll_join_keys" -> (x6HllJoinKeys _),
+    "x5_drift_quantile" -> (x5DriftQuantile _),
     "x6_cms_join_card" -> (x6CmsJoinCard _)
   )
 
