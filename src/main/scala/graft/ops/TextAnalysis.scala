@@ -520,6 +520,43 @@ object TextAnalysis {
   def bm25Search(df: DataFrame, idCol: String, text: Column,
                  queries: Seq[(String, String)], topK: Int = 10,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (scored, _) = bm25Scored(df, idCol, text, queries, k1, b)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col(idCol),
+        col("score"), col("n_terms"))
+  }
+
+  /** Hard negatives for retrieval training: the top-BM25-scoring docs
+    * that do NOT match every in-vocabulary query term — high lexical
+    * similarity without full relevance, the examples a reranker /
+    * embedding model learns the most from (the standard BM25-negatives
+    * mining recipe). Positives-by-definition (all in-vocab terms
+    * matched) are excluded; everything else ranks by the same
+    * engine-portable score as [[bm25Search]], so the twin reuses the
+    * search twin's arithmetic verbatim plus one filter.
+    */
+  def bm25HardNegatives(df: DataFrame, idCol: String, text: Column,
+                        queries: Seq[(String, String)], topK: Int = 10,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (scored, qTermCounts) = bm25Scored(df, idCol, text, queries, k1, b)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
+    scored.join(broadcast(qTermCounts), "query_id")
+      .where(col("n_terms") < col("__n_qterms"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col(idCol),
+        col("score"), col("n_terms"), col("__n_qterms").as("n_query_terms"))
+  }
+
+  /** Shared BM25 scoring stage: (scored docs, per-query in-vocab term
+    * counts). Scored = (query_id, id, score, n_terms) for every doc
+    * sharing at least one term with the query.
+    */
+  private def bm25Scored(df: DataFrame, idCol: String, text: Column,
+                         queries: Seq[(String, String)],
+                         k1: Double, b: Double): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val docWords = df.select(col(idCol), words(text).as("__w"))
@@ -549,11 +586,9 @@ object TextAnalysis {
     val scored = perTerm.groupBy(col("query_id"), col(idCol))
       .agg(round(sum(col("__contrib").cast(DecimalType(18, 6))).cast("double"), 6).as("score"),
         count(lit(1)).as("n_terms"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col(idCol),
-        col("score"), col("n_terms"))
+    val qTermCounts = idf.groupBy("query_id")
+      .agg(countDistinct(col("token")).as("__n_qterms"))
+    (scored, qTermCounts)
   }
 
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and a

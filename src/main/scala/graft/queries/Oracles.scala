@@ -2243,6 +2243,22 @@ object Oracles {
         |  AND ts_ms BETWEEN tmin + (tmax - tmin) // 4
         |                AND tmin + 3 * (tmax - tmin) // 4""".stripMargin,
 
+    // Winsorize gate: exact-cut clamp replayed verbatim (round-cast-
+    // decimal sum discipline); the sketch cutpoints ride as rank-window
+    // booleans.
+    "x5_winsorize" ->
+      """WITH c AS (SELECT quantile_cont(value, 0.01) AS c1,
+        |                  quantile_cont(value, 0.99) AS c99 FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN value < c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_floored,
+        |  CAST(sum(CASE WHEN value > c99 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+        |  round(any_value(c1), 6) AS c1_exact,
+        |  round(any_value(c99), 6) AS c99_exact,
+        |  CAST(sum(CAST(round(greatest(least(value, c99), c1), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsorized,
+        |  true AS sketch_c1_ok, true AS sketch_c99_ok
+        |FROM events, c""".stripMargin,
+
     // Quantile-drift gate: era-A deciles through era-B's exact CDF,
     // max gap verbatim (decile values and count ratios are identical
     // IEEE arithmetic in both engines); the sketch-only statistic
@@ -2826,6 +2842,39 @@ object Oracles {
          |      FROM pt GROUP BY 1, 2)
          |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, score, n_terms
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) rn FROM sc)
+         |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Hard negatives = the bm25 search twin plus the not-all-terms
+    // filter (positives-by-definition excluded); arithmetic shared
+    // verbatim with x6_bm25_search.
+    "x6_hard_negatives" ->
+      s"""WITH w AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         |dw AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+         |t AS (SELECT doc_id, dl, unnest(ws) AS token FROM dw),
+         |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2, 3),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS ndoc, CAST(sum(dl) AS BIGINT) AS sumdl FROM dw),
+         |q(query_id, qtext) AS (VALUES
+         |  ('q_join', 'spark join filter'),
+         |  ('q_scan', 'table scan fast'),
+         |  ('q_window', 'window order batch')),
+         |qt AS (SELECT DISTINCT query_id, token FROM (
+         |  SELECT query_id, unnest(list_filter(string_split(regexp_replace(trim(lower(qtext)), '\\s+', ' ', 'g'), ' '), x -> len(x) > 0)) AS token FROM q)),
+         |idf AS (SELECT query_id, token, round(ln(1.0 + (ndoc - dfc + 0.5) / (dfc + 0.5)), 6) AS idf
+         |      FROM qt JOIN dfq USING (token), st),
+         |qn AS (SELECT query_id, CAST(count(DISTINCT token) AS BIGINT) AS nq FROM idf GROUP BY 1),
+         |pt AS (SELECT idf.query_id, tf.doc_id,
+         |        round(idf.idf * (tf.tf * CAST(2.2 AS DOUBLE)) /
+         |          (tf.tf + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / ndoc))), 6) AS contrib
+         |      FROM tf JOIN idf USING (token), st),
+         |sc AS (SELECT query_id, doc_id,
+         |        round(CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE), 6) AS score,
+         |        CAST(count(*) AS BIGINT) AS n_terms
+         |      FROM pt GROUP BY 1, 2)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, score, n_terms,
+         |  nq AS n_query_terms
+         |FROM (SELECT sc.*, qn.nq, row_number() OVER (PARTITION BY sc.query_id ORDER BY score DESC, doc_id) rn
+         |      FROM sc JOIN qn USING (query_id) WHERE n_terms < nq)
          |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // Mirrors TextAnalysis.charTrigramLmFit + lmScore: 20% md5 sample,

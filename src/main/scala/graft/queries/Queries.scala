@@ -784,6 +784,53 @@ object Queries {
         col("q90_rank_ok"), col("q99_rank_ok"))
   }
 
+  /** X5wz: winsorization (outlier capping at p1/p99) — the feature-prep
+    * pass that keeps one corrupt metric from dominating a normalized
+    * feature: values clamped into [q01, q99]. The registered clamp uses
+    * EXACT percentiles so every output travels verbatim; the sketch
+    * cutpoints (the 100 TB path — read from the stored GK artifact, no
+    * percentile state) ride as rank-window booleans: count(< cut)/n
+    * must sit within p ± (2ε + ties) — conditional counts, window-free.
+    */
+  private def x5Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 1e-3
+    val evRaw = t(spark, dir, "events")
+    val ev = graft.ops.OpCaches.pin(evRaw.select(col("value")))
+    val cuts = ev.agg(
+      expr("percentile(value, 0.01D)").as("__c1"),
+      expr("percentile(value, 0.99D)").as("__c99"))
+    val sk = Sketches.qsGroupSketches(
+      ev.select(lit(0L).as("g"), col("value")), col("g"), col("value"), eps)
+      .select(col("sketch"), col("n_rows"))
+    val clamped = ev.crossJoin(broadcast(cuts)).agg(
+      count(lit(1)).as("n_rows_t"),
+      sum(when(col("value") < col("__c1"), 1L).otherwise(0L)).as("n_floored"),
+      sum(when(col("value") > col("__c99"), 1L).otherwise(0L)).as("n_capped"),
+      sum(round(greatest(least(col("value"), col("__c99")), col("__c1")), 6)
+        .cast(DecimalType(18, 6))).cast("double").as("sum_winsorized"))
+    def cutOk(p: Double, cut: Column): Column = {
+      // sketch cut's exact rank must sit inside p ± (2*eps) of n (+1 tie slack)
+      val lt = sum(when(col("value") < cut, 1L).otherwise(0L))
+      val le = sum(when(col("value") <= cut, 1L).otherwise(0L))
+      (lt.cast("double") <= (lit(p) + lit(2 * eps)) * count(lit(1)) + lit(1.0)) &&
+        (le.cast("double") >= (lit(p) - lit(2 * eps)) * count(lit(1)) - lit(1.0))
+    }
+    // the sketch cuts are two scalars — read them ONCE from the 1-row
+    // artifact and embed as literals (the DecodedSketchProbe hot-path
+    // rule: a non-foldable sketch column probed per data row pays a
+    // KB memcmp per row — measured 2.7 s → 53.6 s at ×10 before this)
+    val cutRow = sk.select(
+      Sketches.qsQuantile(col("sketch"), 0.01).as("__c1s"),
+      Sketches.qsQuantile(col("sketch"), 0.99).as("__c99s")).head()
+    val sketchCuts = ev.agg(
+      cutOk(0.01, lit(cutRow.getDouble(0))).as("sketch_c1_ok"),
+      cutOk(0.99, lit(cutRow.getDouble(1))).as("sketch_c99_ok"))
+    clamped.crossJoin(broadcast(cuts)).crossJoin(broadcast(sketchCuts))
+      .select(col("n_rows_t").as("n_rows"), col("n_floored"), col("n_capped"),
+        round(col("__c1"), 6).as("c1_exact"), round(col("__c99"), 6).as("c99_exact"),
+        col("sum_winsorized"), col("sketch_c1_ok"), col("sketch_c99_ok"))
+  }
+
   /** X5dq: distribution drift from the quantile store — the BINLESS
     * companion to the PSI histogram drift (X5dr's bin edges are a
     * modeling choice; rank probes are not): era A's exact deciles
@@ -1736,6 +1783,22 @@ object Queries {
     */
   private def x6Bm25Search(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25Search(t(spark, dir, "documents"), "doc_id", col("text"),
+      queries = Seq(
+        "q_join" -> "spark join filter",
+        "q_scan" -> "table scan fast",
+        "q_window" -> "window order batch"),
+      topK = 10)
+      .orderBy("query_id", "rank")
+
+  /** X6hn: BM25 hard-negative mining ([[TextAnalysis.bm25HardNegatives]])
+    * — the retrieval-training complement of [[x6Bm25Search]]: the
+    * top-scoring docs that do NOT match every in-vocabulary query term
+    * (high lexical similarity without full relevance — the examples a
+    * reranker learns the most from). Same engine-portable scoring
+    * chain; the twin is the search twin plus one filter.
+    */
+  private def x6HardNegatives(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25HardNegatives(t(spark, dir, "documents"), "doc_id", col("text"),
       queries = Seq(
         "q_join" -> "spark join filter",
         "q_scan" -> "table scan fast",
@@ -3367,6 +3430,8 @@ object Queries {
     "x5_percentile_rank" -> (x5PercentileRank _),
     "x6_hll_join_keys" -> (x6HllJoinKeys _),
     "x5_drift_quantile" -> (x5DriftQuantile _),
+    "x5_winsorize" -> (x5Winsorize _),
+    "x6_hard_negatives" -> (x6HardNegatives _),
     "x6_cms_join_card" -> (x6CmsJoinCard _)
   )
 
