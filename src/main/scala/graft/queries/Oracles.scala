@@ -2844,6 +2844,44 @@ object Oracles {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) rn FROM sc)
          |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // v13 training-export chain: quality gate (QualityScoreChain
+    // verbatim) -> min-id dedup on the canonical text -> pack window
+    // arithmetic copied from the x7_pack_sequences twin, collapsed to
+    // per-source totals (n_sequences = ceil(total/512) = the last
+    // doc's last_seq + 1).
+    "x8_curation_v13" ->
+      s"""WITH $QualityScoreChain,
+         |gk AS (SELECT doc_id, source FROM qs WHERE score >= 0.5),
+         |db AS (SELECT d.doc_id, d.source, $norm AS nt
+         |       FROM documents d JOIN gk USING (doc_id)),
+         |dd AS (SELECT doc_id, source, nt,
+         |        row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn FROM db),
+         |kept AS (SELECT doc_id, source, nt FROM dd WHERE rn = 1),
+         |pb AS (SELECT source, doc_id,
+         |        CAST(len(regexp_extract_all(nt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |        $hashUnit AS u
+         |      FROM kept),
+         |pc AS (SELECT source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM pb WHERE n_tokens > 0),
+         |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw FROM documents GROUP BY 1),
+         |qn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_quality FROM gk GROUP BY 1),
+         |dn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dedup FROM kept GROUP BY 1),
+         |pk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_packed,
+         |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |        CAST((max(cum) + 511) // 512 AS BIGINT) AS n_sequences
+         |      FROM pc GROUP BY 1)
+         |SELECT r.source, r.n_raw,
+         |  coalesce(q.n_quality, 0) AS n_quality,
+         |  coalesce(d.n_dedup, 0) AS n_dedup,
+         |  coalesce(p.n_docs_packed, 0) AS n_docs_packed,
+         |  coalesce(p.n_tokens, 0) AS n_tokens,
+         |  coalesce(p.n_sequences, 0) AS n_sequences
+         |FROM raw r LEFT JOIN qn q USING (source) LEFT JOIN dn d USING (source)
+         |  LEFT JOIN pk p USING (source)
+         |ORDER BY source""".stripMargin,
+
     // Hard negatives = the bm25 search twin plus the not-all-terms
     // filter (positives-by-definition excluded); arithmetic shared
     // verbatim with x6_bm25_search.

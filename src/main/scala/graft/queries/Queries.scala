@@ -1009,6 +1009,49 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** X8m: composed pipeline v13 — the TRAINING-EXPORT chain, the
+    * engine's end product in one gated query: quality gate ≥ 0.5
+    * (x5_quality arithmetic) → exact dedup on canonical text
+    * (x1 keep-min-id) → concat-and-chunk packing into 512-token
+    * sequences per source shard (x7_pack_sequences arithmetic, same
+    * hash-permuted placement order). Per-source report carries every
+    * stage's survivor count so a defect in any stage moves a gated
+    * number; each stage's arithmetic is shared verbatim with its
+    * standalone twin.
+    */
+  private def x8CurationV13(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val gated = TextAnalysis.qualityMetrics(docs, "doc_id", col("text"),
+        carry = Seq("source", "text"))
+      .where(col("quality_score") >= 0.5)
+      .select(col("doc_id"), col("source"), col("text"))
+    val kept = gated
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(graft.ops.Dedup.normalizeText(col("text")))
+          .orderBy(col("doc_id"))))
+      .where(col("__rn") === 1)
+      .select(col("doc_id"), col("source"), col("text"))
+    val placed = Packing.concatChunkPack(kept, "doc_id", col("text"),
+      seqLen = 512L, groupCols = Seq("source"))
+    val packAgg = placed.groupBy("source").agg(
+      count(lit(1)).as("n_docs_packed"),
+      sum(col("n_tokens")).as("n_tokens"),
+      (max(col("last_seq")) + 1L).as("n_sequences"))
+    val nRaw = docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
+    val nQuality = gated.groupBy("source").agg(count(lit(1)).as("n_quality"))
+    val nDedup = kept.groupBy("source").agg(count(lit(1)).as("n_dedup"))
+    nRaw.join(nQuality, Seq("source"), "left")
+      .join(nDedup, Seq("source"), "left")
+      .join(packAgg, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_docs_packed"), lit(0L)).as("n_docs_packed"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_sequences"), lit(0L)).as("n_sequences"))
+      .orderBy("source")
+  }
+
   /** X2f: bounded-edit-distance name join ([[graft.ops.Fuzzy]]) — the
     * entity-resolution primitive over customer names via SymSpell deletion
     * banding: one codegen'd key projection + equi-join + exact levenshtein
@@ -3432,6 +3475,7 @@ object Queries {
     "x5_drift_quantile" -> (x5DriftQuantile _),
     "x5_winsorize" -> (x5Winsorize _),
     "x6_hard_negatives" -> (x6HardNegatives _),
+    "x8_curation_v13" -> (x8CurationV13 _),
     "x6_cms_join_card" -> (x6CmsJoinCard _)
   )
 
