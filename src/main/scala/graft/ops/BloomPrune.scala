@@ -29,9 +29,28 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
+  /** Hash class a key type lands in: [[graft.functions.BloomBuildAgg]]
+    * hashes int/long keys via putLong and everything else via its string
+    * form, and [[graft.functions.BloomContains]] dispatches the same way
+    * on the PROBE column's type — so a long build key probed by a string
+    * key (legal to Spark, which equi-joins across types via implicit
+    * casts) would hash in different classes and produce false NEGATIVES:
+    * matching fact rows dropped before the join, silently. The pruning
+    * contract (false positives only, result ≡ plain join) therefore
+    * requires both keys in ONE class, checked here at plan-build time.
+    */
+  private def hashClass(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType => "long"
+    case _ => "string"
+  }
+
   /** `probe JOIN build ON probeKey = buildKey`, with the probe side
     * Bloom-pruned before the shuffle. `expectedItems` sizes the filter
-    * for the BUILD side's distinct key count.
+    * for the BUILD side's distinct key count. Both keys must hash in the
+    * same class (both integral, or both string-ish) — a cross-class pair
+    * is rejected at build time rather than risking unsound pruning; cast
+    * one side explicitly to choose the canonical type.
     */
   def prunedEquiJoin(probe: DataFrame, build: DataFrame,
                      probeKey: Column, buildKey: Column,
@@ -39,6 +58,12 @@ object BloomPrune {
                      joinType: String = "inner"): DataFrame = {
     require(Set("inner", "left_semi", "leftsemi")(joinType.toLowerCase),
       s"bloom pruning is semantics-preserving for inner/left_semi only: $joinType")
+    val buildDt = build.select(buildKey.as("__k")).schema.head.dataType
+    val probeDt = probe.select(probeKey.as("__k")).schema.head.dataType
+    require(hashClass(buildDt) == hashClass(probeDt),
+      s"prunedEquiJoin: buildKey ($buildDt) and probeKey ($probeDt) hash in " +
+        "different Bloom classes — a cross-class probe yields false negatives " +
+        "(dropped matches); cast both keys to one canonical type first")
     graft.functions.GraftFunctions.register(probe.sparkSession)
     // the filter is a BOUNDED artifact (optimalNumOfBits(expectedItems,
     // fpp) — KBs-to-MBs by construction), collected like the PQ codebooks

@@ -267,20 +267,49 @@ object DataSkipping {
   def bloomIndex(spark: SparkSession, dir: String, keyCol: String,
                  expectedItemsPerFile: Long, fpp: Double = 0.01): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    spark.read.parquet(dir)
+    val table = spark.read.parquet(dir)
+    val cls = bloomHashClass(table.schema(keyCol).dataType)
+    table
       .select(input_file_name().as("file"), col(keyCol))
       .groupBy("file")
       .agg(call_function("graft_bloom_agg", col(keyCol),
         lit(expectedItemsPerFile), lit(fpp)).as("bloom"),
         count(col(keyCol)).as("n_rows"))
+      .withColumn("key_class", lit(cls))
+  }
+
+  /** Hash class of a key type in the Bloom build/probe expressions
+    * (int/long via putLong, everything else via its string form) —
+    * recorded in the index so a probe in the WRONG class (a string probe
+    * of a long-built index, say) is rejected instead of unsoundly
+    * skipping the file that actually holds the key.
+    */
+  private def bloomHashClass(dt: DataType): String = dt match {
+    case LongType | IntegerType => "long"
+    case _                      => "string"
   }
 
   /** Files that might contain `key`: false positives only (fpp per
     * file), never false negatives — the sound-skipping contract again.
+    * The probe key's hash class is validated against the class recorded
+    * at index build (a mismatch hashes into unrelated bits — false
+    * negatives, unsound skipping) — in-plan via `raise_error`, so
+    * laziness is preserved and legacy indexes without the column pass
+    * unchecked as before.
     */
   def candidateFilesByKey(index: DataFrame, key: Column): DataFrame = {
     graft.functions.GraftFunctions.register(index.sparkSession)
-    index.where(call_function("graft_bloom_contains", col("bloom"), key))
+    val probeCls = bloomHashClass(index.select(key.as("__k")).schema.head.dataType)
+    val checked =
+      if (!index.columns.contains("key_class")) index
+      else index.where(
+        when(col("key_class") === lit(probeCls), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"candidateFilesByKey: probe key hashes as '$probeCls' but the " +
+              "index was built over a '"), col("key_class"),
+            lit("' column — cross-class probes are unsound (false negatives); " +
+              "cast the probe key to the indexed column's type")))))
+    checked.where(call_function("graft_bloom_contains", col("bloom"), key))
   }
 
   /** Read only the candidate files (driver-side bounded file list — the

@@ -2202,10 +2202,12 @@ object Oracles {
         |FROM events e JOIN amad s USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
-    // Incremental-manifest gate: deterministic file count (8 pre-Jan15
-    // + 4 appended), total rows verbatim, union≡rebuild pinned.
+    // Incremental-manifest gate: one-manifest-row-per-listed-file as a
+    // derived invariant (a pinned "12" would break on any config that
+    // yields an empty write task — Spark emits no file for one), total
+    // rows verbatim, union≡rebuild pinned.
     "x9_manifest_incremental" ->
-      """SELECT CAST(12 AS BIGINT) AS n_files,
+      """SELECT true AS one_row_per_file,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  true AS incremental_eq_rebuild
         |FROM events""".stripMargin,
