@@ -399,6 +399,34 @@ private[graft] object CmsCodec {
       s"count-min sketch payload has ${bb.remaining()} trailing bytes")
     CmsParsed(depth, width, hashA, table)
   }
+
+  /** AMS/CMS inner-product estimate `min_d Σ_w A[d][w]·B[d][w]` — shared
+    * by the [[CmsInnerProduct]] expression (in-plan estimation) and the
+    * planner rule [[graft.plans.SketchJoinPlanning]] (driver-side join
+    * ordering from stored artifacts). Geometry AND seed must match;
+    * exact arithmetic — overflow throws, never wraps into a silently
+    * wrong "estimate".
+    */
+  def innerProduct(a: CmsParsed, b: CmsParsed): Long = {
+    require(a.depth == b.depth && a.width == b.width,
+      s"incompatible count-min geometries: ${a.depth}x${a.width} vs ${b.depth}x${b.width}")
+    require(java.util.Arrays.equals(a.hashA, b.hashA),
+      "count-min sketches built with different seeds cannot be combined")
+    var best = Long.MaxValue
+    var d = 0
+    while (d < a.depth) {
+      var s = 0L
+      var j = d * a.width
+      val end = j + a.width
+      while (j < end) {
+        s = Math.addExact(s, Math.multiplyExact(a.table(j), b.table(j)))
+        j += 1
+      }
+      if (s < best) best = s
+      d += 1
+    }
+    best
+  }
 }
 
 /** Join-cardinality estimate from two serialized Count-Min sketches:
@@ -433,28 +461,8 @@ case class CmsInnerProduct(left: Expression, right: Expression)
 
   override protected def parse(bytes: Array[Byte]): CmsParsed = CmsCodec.parse(bytes)
 
-  def inner(lb: Array[Byte], rb: Array[Byte]): Long = {
-    val a = decoded(lb)
-    val b = CmsCodec.parse(rb)
-    require(a.depth == b.depth && a.width == b.width,
-      s"incompatible count-min geometries: ${a.depth}x${a.width} vs ${b.depth}x${b.width}")
-    require(java.util.Arrays.equals(a.hashA, b.hashA),
-      "count-min sketches built with different seeds cannot be combined")
-    var best = Long.MaxValue
-    var d = 0
-    while (d < a.depth) {
-      var s = 0L
-      var j = d * a.width
-      val end = j + a.width
-      while (j < end) {
-        s = Math.addExact(s, Math.multiplyExact(a.table(j), b.table(j)))
-        j += 1
-      }
-      if (s < best) best = s
-      d += 1
-    }
-    best
-  }
+  def inner(lb: Array[Byte], rb: Array[Byte]): Long =
+    CmsCodec.innerProduct(decoded(lb), CmsCodec.parse(rb))
 
   override def nullSafeEval(l: Any, r: Any): Any =
     inner(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])

@@ -589,5 +589,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     }
     ext.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.FuzzyJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.SketchJoinPlanning)
   }
 }

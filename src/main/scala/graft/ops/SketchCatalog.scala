@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Planner-facing statistics catalog — the artifact store that closes the
+  * loop the sketch layer opened: [[Sketches.cmsJoinCardinality]] and
+  * [[Sketches.hllPairOverlaps]] ESTIMATE join properties from sketches,
+  * and [[graft.plans.SketchJoinPlanning]] CONSUMES the stored artifacts
+  * to pick broadcast-vs-shuffle and join order for un-hinted equi-joins
+  * — the lakehouse analogue of ANALYZE TABLE statistics, except the
+  * stats are mergeable sketches, so they maintain incrementally like
+  * every other store here.
+  *
+  * One catalog row per (table, key column):
+  * `(table, key, n_rows, n_bytes, distinct_est, cms)` —
+  *  - `table`: the parquet directory, NORMALIZED through its Hadoop
+  *    FileSystem to the same qualified URI form a scan's
+  *    `HadoopFsRelation.location.rootPaths` carries, so the optimizer
+  *    rule can match leaf relations to catalog rows by string equality;
+  *  - `n_rows` / `n_bytes`: exact row count and on-disk file bytes (the
+  *    same size class Spark's own `sizeInBytes` uses for file sources);
+  *  - `distinct_est`: HLL distinct-key estimate (broadcast-key sanity,
+  *    fan-out = n_rows / distinct);
+  *  - `cms`: a Count-Min sketch of the key, the pairwise join-cardinality
+  *    oracle (`|A ⋈ B| ≈ cms_A · cms_B`, the AMS inner product) — the
+  *    one statistic file sizes can NEVER give a planner.
+  *
+  * Harvest is ONE pass over the table computing every key's sketch in a
+  * single aggregate; geometry defaults (eps 1e-3 → width 2000, conf 0.99
+  * → depth 5, seed 42) make each cms ~80 KB — a catalog of a thousand
+  * tables is MBs. All sketches in one catalog must share geometry/seed
+  * or the inner product refuses (loudly, [[graft.functions.CmsCodec]]).
+  *
+  * Activation is explicit: [[activate]] loads the catalog parquet into a
+  * driver-side registry and points the session conf
+  * `spark.graft.sketchPlanning.catalog` at it. The rule reads ONLY the
+  * in-memory registry — an optimizer rule must never run a nested Spark
+  * query per plan it inspects.
+  */
+object SketchCatalog {
+
+  val ConfKey = "spark.graft.sketchPlanning.catalog"
+  val BroadcastBytesKey = "spark.graft.sketchPlanning.broadcastBytes"
+
+  /** Driver-side view of one catalog row. */
+  final case class Entry(table: String, key: String, nRows: Long,
+                         nBytes: Long, distinctEst: Double, cms: Array[Byte])
+
+  /** An activated catalog: table-level stats + per-(table, key) sketches. */
+  final class Catalog(val entries: Seq[Entry]) extends Serializable {
+    val byTable: Map[String, Entry] = entries.groupBy(_.table).map {
+      case (t, es) => t -> es.head
+    }
+    val byTableKey: Map[(String, String), Entry] =
+      entries.map(e => (e.table, e.key) -> e).toMap
+  }
+
+  private val active = new java.util.concurrent.ConcurrentHashMap[String, Catalog]()
+
+  /** The catalog dir `dir` normalized to the qualified-URI form leaf scans
+    * carry in `rootPaths` — harvest and rule must agree on this form.
+    */
+  def normalizePath(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toString
+  }
+
+  private val catalogSchema = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("distinct_est", DoubleType, nullable = false),
+    StructField("cms", BinaryType, nullable = true)))
+
+  /** Harvest one table's planning artifacts in a single scan: one catalog
+    * row per key column. `eps`/`confidence`/`seed` must match across every
+    * table whose sketches will be inner-producted together.
+    */
+  def harvest(spark: SparkSession, dir: String, keys: Seq[String],
+              eps: Double = 1e-3, confidence: Double = 0.99,
+              seed: Int = 42): DataFrame = {
+    require(keys.nonEmpty, "harvest: at least one key column")
+    val table = normalizePath(spark, dir)
+    val df = spark.read.parquet(dir)
+    val nBytes = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    }
+    val aggs = count(lit(1)).as("__n") +: keys.flatMap { k =>
+      Seq(count_min_sketch(col(k).cast("string"), lit(eps), lit(confidence),
+          lit(seed)).as(s"__cms_$k"),
+        hll_sketch_estimate(hll_sketch_agg(col(k), lit(12)))
+          .cast("double").as(s"__nd_$k"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(row.fieldIndex("__n"))
+    val out = keys.map { k =>
+      Row(table, k, n, nBytes,
+        row.getDouble(row.fieldIndex(s"__nd_$k")),
+        row.getAs[Array[Byte]](row.fieldIndex(s"__cms_$k")))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), catalogSchema)
+  }
+
+  /** Persist catalog rows. `append = true` is the incremental-maintenance
+    * path (harvest only the new/changed tables, append; latest row per
+    * (table, key) wins at load via max n_rows — re-harvests supersede).
+    */
+  def save(catalog: DataFrame, path: String, append: Boolean = false): Unit =
+    catalog.write.mode(if (append) "append" else "overwrite").parquet(path)
+
+  /** Load a stored catalog into the driver registry and point the session
+    * conf at it — from here on [[graft.plans.SketchJoinPlanning]] plans
+    * un-hinted equi-joins over catalogued tables from these artifacts.
+    */
+  def activate(spark: SparkSession, path: String): Catalog = {
+    val rows = spark.read.schema(catalogSchema).parquet(path).collect()
+    val entries = rows.toSeq.map { r =>
+      Entry(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getAs[Array[Byte]](5))
+    }
+    // latest harvest wins per (table, key): append-mode maintenance leaves
+    // superseded rows behind; n_rows is monotone for append-only tables
+    val latest = entries.groupBy(e => (e.table, e.key)).values
+      .map(_.maxBy(_.nRows)).toSeq
+    val cat = new Catalog(latest)
+    active.put(path, cat)
+    spark.conf.set(ConfKey, path)
+    cat
+  }
+
+  /** Registry entries the spec/test path can plant directly (no files). */
+  def activateEntries(spark: SparkSession, name: String, entries: Seq[Entry]): Catalog = {
+    val cat = new Catalog(entries)
+    active.put(name, cat)
+    spark.conf.set(ConfKey, name)
+    cat
+  }
+
+  def deactivate(spark: SparkSession): Unit = spark.conf.unset(ConfKey)
+
+  /** The catalog the session conf names, if activated. */
+  def lookup(confValue: String): Option[Catalog] =
+    Option(active.get(confValue))
+}

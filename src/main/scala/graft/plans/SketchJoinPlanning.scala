@@ -1,0 +1,226 @@
+package graft.plans
+
+import graft.functions.CmsCodec
+import graft.ops.SketchCatalog
+import graft.ops.SketchCatalog.{Catalog, Entry}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Sketch-driven join planning: the optimizer rule that CONSUMES the
+  * stored CMS/HLL planning artifacts ([[graft.ops.SketchCatalog]]) — the
+  * loop-closer for the sketch store: estimates that previously only
+  * REPORTED join properties (`x6_cms_join_card`, `x6_hll_join_keys`) now
+  * pick the plan.
+  *
+  * Two decisions, both invisible to results (inner equi-joins commute and
+  * broadcast hints never change semantics):
+  *
+  *  1. **Join ORDER for a left-deep 3-table chain** `(A ⋈ B) ⋈ C`: the
+  *     output cardinality of each directly-joinable pair is estimated by
+  *     the AMS inner product of the two stored Count-Min sketches
+  *     (`|X ⋈ Y| ≈ cms_X · cms_Y` on the join key — the one statistic
+  *     file sizes cannot give a planner: a PK–FK join outputs |fact|
+  *     rows, a skewed many-many join can output orders of magnitude
+  *     more, and both sides' BYTES are identical in the two cases). If
+  *     the outer pair's estimate is strictly smaller than the inner
+  *     pair's, the chain is rotated so the cheaper join runs first — the
+  *     intermediate that rides the second exchange shrinks by the ratio
+  *     of the estimates. Classic Selinger-style left-deep ordering, with
+  *     sketch artifacts in place of catalog histograms.
+  *
+  *  2. **Broadcast-vs-shuffle for un-hinted equi-joins**: a side whose
+  *     catalogued size (`n_bytes`, the on-disk class Spark's own
+  *     `sizeInBytes` uses — or, for a catalogued-pair join, estimated
+  *     output rows × summed per-row bytes) is under
+  *     `spark.graft.sketchPlanning.broadcastBytes` (default 10 MB) gets
+  *     a BROADCAST hint. This matters exactly where Catalyst's own
+  *     size-based broadcast is blind at 100 TB: intermediates and
+  *     post-filter sides have no file size, and conservative deployments
+  *     run with `autoBroadcastJoinThreshold = -1`. The rule only ever
+  *     ADDS broadcasts — when the artifact says both sides are large it
+  *     leaves the join un-hinted (sort-merge), never overriding a
+  *     file-size decision toward a worse plan.
+  *
+  * Scope guards (all falling back to "do nothing"): inner joins only,
+  * no existing hints (user hints win), every condition conjunct must be
+  * a cross-side equi comparison of attributes that resolve through
+  * Project/Filter/SubqueryAlias chains to leaf columns of catalogued
+  * parquet relations. Estimation is conservative under filters: a
+  * filtered side keeps its UNFILTERED catalog stats, so the rule can
+  * miss a broadcast (safe) but never broadcasts on understated bytes.
+  * Activation is per-session and explicit ([[SketchCatalog.activate]]);
+  * without an activated catalog the rule is inert.
+  */
+object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def broadcastBytes: Long =
+    conf.getConfString(SketchCatalog.BroadcastBytesKey, (10L << 20).toString).toLong
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    SketchCatalog.lookup(conf.getConfString(SketchCatalog.ConfKey, "")) match {
+      case None      => plan
+      case Some(cat) => broadcastPass(reorderPass(plan, cat), cat)
+    }
+
+  // ---------------------------------------------------------------- //
+  // Leaf resolution: map a side's output attributes to (table, column)
+  // ---------------------------------------------------------------- //
+
+  /** A side that traces to ONE catalogued parquet relation:
+    * (normalized root path, output-attr → leaf-column name).
+    */
+  private final case class Base(table: String, colOf: Map[ExprId, String])
+
+  private def resolveBase(plan: LogicalPlan, cat: Catalog): Option[Base] = plan match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
+        val table = fs.location.rootPaths.head.toString
+        if (!cat.byTable.contains(table)) None
+        else Some(Base(table, lr.output.map(a => a.exprId -> a.name).toMap))
+      case _ => None
+    }
+    case Project(list, child) =>
+      resolveBase(child, cat).map { b =>
+        val m: Map[ExprId, String] = list.flatMap {
+          case a: AttributeReference => b.colOf.get(a.exprId).map(a.exprId -> _)
+          case al @ Alias(ar: AttributeReference, _) =>
+            b.colOf.get(ar.exprId).map(al.exprId -> _)
+          case _ => None
+        }.toMap
+        Base(b.table, m)
+      }
+    case Filter(_, child)          => resolveBase(child, cat)
+    case SubqueryAlias(_, child)   => resolveBase(child, cat)
+    case _                         => None
+  }
+
+  /** The catalog entry backing attribute `a` of a resolved side. */
+  private def entryFor(base: Base, cat: Catalog, a: AttributeReference): Option[Entry] =
+    base.colOf.get(a.exprId).flatMap(c => cat.byTableKey.get((base.table, c)))
+
+  /** Every conjunct is a cross-side attr = attr; returns the (left-side
+    * attr, right-side attr) pairs, orientation normalized.
+    */
+  private def equiPairs(cond: Expression, left: LogicalPlan, right: LogicalPlan)
+    : Option[Seq[(AttributeReference, AttributeReference)]] = {
+    val pairs = splitConjunctivePredicates(cond).map {
+      case EqualTo(l: AttributeReference, r: AttributeReference) =>
+        if (left.outputSet.contains(l) && right.outputSet.contains(r)) Some((l, r))
+        else if (left.outputSet.contains(r) && right.outputSet.contains(l)) Some((r, l))
+        else None
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined) && pairs.nonEmpty) Some(pairs.map(_.get)) else None
+  }
+
+  /** Estimated output rows of `left ⋈ right` on the FIRST equi pair, from
+    * the stored Count-Min sketches (None when either key is uncatalogued
+    * or geometries mismatch).
+    */
+  private def estJoinRows(cat: Catalog, left: LogicalPlan, right: LogicalPlan,
+                          pairs: Seq[(AttributeReference, AttributeReference)])
+    : Option[Long] =
+    for {
+      lb <- resolveBase(left, cat)
+      rb <- resolveBase(right, cat)
+      (la, ra) = pairs.head
+      le <- entryFor(lb, cat, la)
+      re <- entryFor(rb, cat, ra)
+      est <- try Some(CmsCodec.innerProduct(
+        CmsCodec.parse(le.cms), CmsCodec.parse(re.cms)))
+      catch { case e: IllegalArgumentException =>
+        logWarning(s"sketch planning: skipping estimate (${e.getMessage})"); None }
+    } yield est
+
+  // ---------------------------------------------------------------- //
+  // Pass 1: left-deep 3-chain reorder by estimated output cardinality
+  // ---------------------------------------------------------------- //
+
+  /** The inner join of a left-deep chain, seen through the pure-pruning
+    * Project column pruning inserts between the two joins (attribute-only
+    * project lists — dropping one is safe because the rewrite re-prunes
+    * via its own top Project and the optimizer's pruning batch re-runs).
+    */
+  private object ChainLeft {
+    def unapply(p: LogicalPlan): Option[Join] = p match {
+      case j: Join => Some(j)
+      case Project(list, j: Join) if list.forall(_.isInstanceOf[AttributeReference]) =>
+        Some(j)
+      case _ => None
+    }
+  }
+
+  private def reorderPass(plan: LogicalPlan, cat: Catalog): LogicalPlan =
+    plan.transformUp {
+      case outer @ Join(
+            ChainLeft(inner @ Join(a, b, Inner, Some(condAB), JoinHint(None, None))),
+            c, Inner, Some(condOut), JoinHint(None, None))
+          if outer.resolved && inner.resolved =>
+        val rewritten = for {
+          abPairs <- equiPairs(condAB, a, b)
+          estAB <- estJoinRows(cat, a, b, abPairs)
+          // the outer condition must reference EXACTLY ONE of the inner
+          // join's sides (plus C) — that side rotates out with C
+          x <-
+            if (condOut.references.subsetOf(b.outputSet ++ c.outputSet)) Some(b)
+            else if (condOut.references.subsetOf(a.outputSet ++ c.outputSet)) Some(a)
+            else None
+          y = if (x eq b) a else b
+          xcPairs <- equiPairs(condOut, x, c)
+          estXC <- estJoinRows(cat, x, c, xcPairs)
+          if estXC < estAB
+        } yield {
+          logInfo(s"sketch planning: reordered 3-chain (est inner=$estAB, " +
+            s"rotated pair=$estXC)")
+          Project(outer.output,
+            Join(Join(x, c, Inner, Some(condOut), JoinHint.NONE),
+              y, Inner, Some(condAB), JoinHint.NONE))
+        }
+        rewritten.getOrElse(outer)
+    }
+
+  // ---------------------------------------------------------------- //
+  // Pass 2: broadcast hints from artifact byte estimates
+  // ---------------------------------------------------------------- //
+
+  /** Estimated in-exchange bytes of a side: a catalogued leaf's on-disk
+    * bytes, or — for a catalogued-pair inner join (the reorder pass's
+    * intermediates) — estimated output rows × summed per-row bytes.
+    */
+  private def estBytes(plan: LogicalPlan, cat: Catalog): Option[Long] = plan match {
+    case Join(l, r, Inner, Some(cond), _) =>
+      for {
+        pairs <- equiPairs(cond, l, r)
+        rows <- estJoinRows(cat, l, r, pairs)
+        lb <- resolveBase(l, cat); le <- cat.byTable.get(lb.table)
+        rb <- resolveBase(r, cat); re <- cat.byTable.get(rb.table)
+        perRow = math.max(1L, le.nBytes / math.max(1L, le.nRows)) +
+          math.max(1L, re.nBytes / math.max(1L, re.nRows))
+      } yield rows * perRow
+    case Project(_, child)       => estBytes(child, cat)
+    case Filter(_, child)        => estBytes(child, cat)
+    case SubqueryAlias(_, child) => estBytes(child, cat)
+    case other =>
+      resolveBase(other, cat).flatMap(b => cat.byTable.get(b.table)).map(_.nBytes)
+  }
+
+  private def broadcastPass(plan: LogicalPlan, cat: Catalog): LogicalPlan =
+    plan.transformUp {
+      case j @ Join(l, r, Inner, Some(cond), JoinHint(None, None))
+          if j.resolved && equiPairs(cond, l, r).isDefined =>
+        val thr = broadcastBytes
+        val bcast = Some(HintInfo(strategy = Some(BROADCAST)))
+        (estBytes(l, cat), estBytes(r, cat)) match {
+          case (Some(lb), Some(rb)) if lb <= thr && lb <= rb =>
+            j.copy(hint = JoinHint(bcast, None))
+          case (_, Some(rb)) if rb <= thr =>
+            j.copy(hint = JoinHint(None, bcast))
+          case (Some(lb), _) if lb <= thr =>
+            j.copy(hint = JoinHint(bcast, None))
+          case _ => j
+        }
+    }
+}

@@ -1297,6 +1297,20 @@ object Oracles {
         |WHERE s_acctbal > 9000.0
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
+    // Sketch-planned join twin: the PLAIN 3-table join — artifact-driven
+    // reorder/broadcast is result-invisible by construction (inner
+    // equi-joins commute), so any planning defect breaks the hash; the
+    // plan flips (naive all-merge control, artifact broadcast, artifact
+    // rotation) ride as pinned booleans probed from the physical plans.
+    "q13_planned_join" ->
+      """SELECT c_mktsegment, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  true AS naive_all_merge, true AS artifact_broadcast,
+        |  true AS artifact_reordered
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q8_salted_revenue" ->
       """SELECT s_nationkey,
         |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

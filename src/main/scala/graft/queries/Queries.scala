@@ -2860,6 +2860,89 @@ object Queries {
       .orderBy("s_suppkey")
   }
 
+  /** One planning-artifact catalog per sf dir for [[q13PlannedJoin]],
+    * harvested once per JVM (the bpeMergePaths discipline): customer /
+    * orders / lineitem join keys, one scan each, ~80 KB of CMS per key.
+    */
+  private val q13CatalogPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q13Catalog(spark: SparkSession, dir: String): String =
+    q13CatalogPaths.computeIfAbsent(dir, { _ =>
+      import graft.ops.SketchCatalog
+      val cat = SketchCatalog.harvest(spark, s"$dir/customer.parquet", Seq("c_custkey"))
+        .unionByName(SketchCatalog.harvest(spark, s"$dir/orders.parquet",
+          Seq("o_orderkey", "o_custkey")))
+        .unionByName(SketchCatalog.harvest(spark, s"$dir/lineitem.parquet",
+          Seq("l_orderkey")))
+      val path = scratch(dir, "q13_catalog")
+      SketchCatalog.save(cat, path)
+      path
+    })
+
+  /** Q13: sketch-PLANNED join — the stored-artifact planner loop closed
+    * ([[graft.plans.SketchJoinPlanning]] consuming the
+    * [[graft.ops.SketchCatalog]] this query harvests): the 3-table chain
+    * is written WORST-first (lineitem ⋈ orders, then ⋈ customer) and
+    * un-hinted, with Catalyst's own size-based broadcast disabled — so
+    * any improvement is attributable to the artifacts alone. The rule
+    * must (a) rotate the chain so the pair whose CMS inner product is
+    * smaller (orders ⋈ customer) joins first, and (b) broadcast the side
+    * whose catalogued bytes are small (customer). Both flips are probed
+    * from the forced physical plans and ride the hash gate as pinned
+    * booleans, alongside the naive-baseline control (no catalog → all
+    * sort-merge); the revenue aggregate travels verbatim (the plain-join
+    * twin — planning must be invisible to results).
+    */
+  private def q13PlannedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchCatalog
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    def chain(): DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_items"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 4)
+          .as("revenue"))
+    def joins(df: DataFrame): Seq[SparkPlan] = {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+      root.collect {
+        case b: BroadcastHashJoinExec => b
+        case s: SortMergeJoinExec     => s
+      }
+    }
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (naiveAllMerge, artifactBroadcast, artifactReordered) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SketchCatalog.deactivate(spark)
+      val naive = joins(chain())
+      SketchCatalog.activate(spark, q13Catalog(spark, dir))
+      val planned = joins(chain())
+      // deepest join after the rotation must not touch the fact table
+      val bottomScans = planned.lastOption.toSeq.flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.head.toString
+      })
+      (naive.size == 2 && naive.forall(_.isInstanceOf[SortMergeJoinExec]),
+        planned.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        bottomScans.nonEmpty && bottomScans.forall(!_.contains("lineitem")))
+    } finally {
+      SketchCatalog.deactivate(spark)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    chain()
+      .select(col("c_mktsegment"), col("n_items"), col("revenue"),
+        lit(naiveAllMerge).as("naive_all_merge"),
+        lit(artifactBroadcast).as("artifact_broadcast"),
+        lit(artifactReordered).as("artifact_reordered"))
+      .orderBy("c_mktsegment")
+  }
+
   /** X8: the COMPOSED curation pipeline — what a user of this library
     * actually runs end to end over a raw corpus: quality/language clean +
     * exact dedup (x6) → benchmark decontamination (x7d; benchmark =
@@ -3495,7 +3578,8 @@ object Queries {
     "x5_winsorize" -> (x5Winsorize _),
     "x6_hard_negatives" -> (x6HardNegatives _),
     "x8_curation_v13" -> (x8CurationV13 _),
-    "x6_cms_join_card" -> (x6CmsJoinCard _)
+    "x6_cms_join_card" -> (x6CmsJoinCard _),
+    "q13_planned_join" -> (q13PlannedJoin _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,145 @@
+package graft
+
+import graft.ops.SketchCatalog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+/** [[graft.plans.SketchJoinPlanning]]: the stored-artifact planner rule.
+  * Asserted here: the executed join STRATEGY provably follows what the
+  * catalog artifact claims (broadcast when it says small, sort-merge when
+  * it says large — with Catalyst's own size-based broadcast disabled, so
+  * the artifact is the only possible cause), the 3-chain join ORDER
+  * rotates to the pair whose CMS inner product is smaller, results stay
+  * hash-identical to the un-ruled plan, and the rule is inert without an
+  * activated catalog and deferent to user hints.
+  */
+class SketchJoinPlanningSpec extends SparkSpec {
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-sjp").toString
+    import spark.implicits._
+    // dim: 40 rows; fact: 4000 rows, 100 per key
+    (0L until 40L).map(k => (k, s"seg${k % 4}")).toDF("d_key", "d_seg")
+      .repartition(2).write.parquet(s"$d/dim.parquet")
+    (0L until 4000L).map(i => (i % 40L, i, (i % 7).toDouble))
+      .toDF("f_key", "f_id", "f_val")
+      .repartition(4).write.parquet(s"$d/fact.parquet")
+    // third table joining the dim on a second key: 40 rows
+    (0L until 40L).map(k => (k, k * 10L)).toDF("e_key", "e_weight")
+      .repartition(2).write.parquet(s"$d/extra.parquet")
+    d
+  }
+
+  private def physicalJoins(df: DataFrame): Seq[SparkPlan] = {
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    root.collect {
+      case b: BroadcastHashJoinExec => b
+      case s: SortMergeJoinExec     => s
+    }
+  }
+
+  private def joinFrame(): DataFrame = {
+    val fact = spark.read.parquet(s"$dir/fact.parquet")
+    val dim = spark.read.parquet(s"$dir/dim.parquet")
+    fact.join(dim, col("f_key") === col("d_key"))
+      .groupBy("d_seg").agg(count(lit(1)).as("n"), sum("f_val").as("s"))
+      .orderBy("d_seg")
+  }
+
+  private def harvestAll(): String = {
+    val cat = SketchCatalog.harvest(spark, s"$dir/dim.parquet", Seq("d_key"))
+      .unionByName(SketchCatalog.harvest(spark, s"$dir/fact.parquet", Seq("f_key")))
+      .unionByName(SketchCatalog.harvest(spark, s"$dir/extra.parquet", Seq("e_key")))
+    val path = s"$dir/catalog"
+    SketchCatalog.save(cat, path)
+    path
+  }
+
+  test("broadcast hint follows the artifact, both directions; results unchanged") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plainRows = joinFrame().collect().toSeq
+      // no catalog: SMJ (auto-broadcast off, nothing to consult)
+      SketchCatalog.deactivate(spark)
+      assert(physicalJoins(joinFrame()).forall(_.isInstanceOf[SortMergeJoinExec]))
+
+      // artifact says the dim is small -> the rule broadcasts it
+      val path = harvestAll()
+      SketchCatalog.activate(spark, path)
+      val planned = joinFrame()
+      val joins = physicalJoins(planned)
+      assert(joins.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"expected BHJ from artifact, got: $joins")
+      assert(planned.collect().toSeq == plainRows)
+
+      // artifact says EVERYTHING is huge -> back to sort-merge
+      val cat = SketchCatalog.lookup(spark.conf.get(SketchCatalog.ConfKey)).get
+      SketchCatalog.activateEntries(spark, "huge",
+        cat.entries.map(_.copy(nRows = 1L << 32, nBytes = 1L << 40)))
+      assert(physicalJoins(joinFrame()).forall(_.isInstanceOf[SortMergeJoinExec]))
+      assert(joinFrame().collect().toSeq == plainRows)
+      SketchCatalog.deactivate(spark)
+    }
+  }
+
+  test("3-chain reorders to the smaller estimated pair, hash parity holds") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val path = harvestAll()
+      val fact = spark.read.parquet(s"$dir/fact.parquet")
+      val dim = spark.read.parquet(s"$dir/dim.parquet")
+      val extra = spark.read.parquet(s"$dir/extra.parquet")
+      // written WORST-first: fact⋈dim (est 4000) then ⋈extra; the
+      // dim⋈extra pair estimates 40 — the rule must rotate it inward
+      def chain() = fact
+        .join(dim, col("f_key") === col("d_key"))
+        .join(extra, col("d_key") === col("e_key"))
+        .groupBy("d_seg")
+        .agg(count(lit(1)).as("n"), sum(col("f_val") * col("e_weight")).as("s"))
+        .orderBy("d_seg")
+
+      SketchCatalog.deactivate(spark)
+      val plainRows = chain().collect().toSeq
+
+      SketchCatalog.activate(spark, path)
+      val planned = chain()
+      // the BOTTOM physical join must now be dim⋈extra: its subtree
+      // scans must NOT include the fact table
+      val joins = physicalJoins(planned)
+      assert(joins.size == 2, s"expected 2 joins, got $joins")
+      val bottom = joins.last // collect is pre-order; last = deepest
+      val bottomScans = bottom.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.head.toString
+      }
+      assert(bottomScans.nonEmpty &&
+        bottomScans.forall(!_.contains("fact.parquet")),
+        s"fact table still in the bottom join: $bottomScans")
+      assert(planned.collect().toSeq == plainRows)
+      SketchCatalog.deactivate(spark)
+    }
+  }
+
+  test("user hints win; rule inert on non-equi conditions") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val path = harvestAll()
+      SketchCatalog.activate(spark, path)
+      val fact = spark.read.parquet(s"$dir/fact.parquet")
+      val dim = spark.read.parquet(s"$dir/dim.parquet")
+      // user pinned merge: the rule must not override it
+      val hinted = fact.join(dim.hint("merge"), col("f_key") === col("d_key"))
+        .groupBy("d_seg").agg(count(lit(1)).as("n"))
+      assert(physicalJoins(hinted).forall(_.isInstanceOf[SortMergeJoinExec]))
+      // non-equi condition: nothing to hash-join, rule leaves it alone
+      val theta = fact.join(dim, col("f_key") < col("d_key"))
+        .agg(count(lit(1)).as("n"))
+      assert(theta.collect().head.getLong(0) > 0)
+      SketchCatalog.deactivate(spark)
+    }
+  }
+}
