@@ -73,15 +73,15 @@ object DataSkipping {
 
   /** Manifest schema for `cols`: one row per file —
     * (file, n_rows, <c>_min, <c>_max, <c>_nulls per column), min/max
-    * typed LONG for integral columns and DOUBLE for floating ones,
-    * NULL when any chunk of the file lacks stats (unknown ≠ skippable).
+    * typed LONG for integral columns, DOUBLE for floating ones and
+    * STRING for string columns, NULL when any chunk of the file lacks
+    * stats (unknown ≠ skippable).
     */
-  def manifestSchema(cols: Seq[(String, Boolean)]): StructType =
+  def manifestSchema(cols: Seq[(String, DataType)]): StructType =
     StructType(
       StructField("file", StringType, nullable = false) +:
       StructField("n_rows", LongType, nullable = false) +:
-      cols.flatMap { case (c, isLong) =>
-        val t = if (isLong) LongType else DoubleType
+      cols.flatMap { case (c, t) =>
         Seq(StructField(s"${c}_min", t, nullable = true),
           StructField(s"${c}_max", t, nullable = true),
           StructField(s"${c}_nulls", LongType, nullable = true))
@@ -109,13 +109,14 @@ object DataSkipping {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
 
-    val typed: Seq[(String, Boolean)] = cols.map { c =>
+    val typed: Seq[(String, DataType)] = cols.map { c =>
       schema(c).dataType match {
-        case LongType | IntegerType | ShortType | ByteType => (c, true)
-        case DoubleType | FloatType                        => (c, false)
+        case LongType | IntegerType | ShortType | ByteType => (c, LongType)
+        case DoubleType | FloatType                        => (c, DoubleType)
+        case StringType                                    => (c, StringType)
         case t => throw new IllegalArgumentException(
           s"DataSkipping.statsManifest: $c has unsupported type $t " +
-            "(integral and floating columns only)")
+            "(integral, floating and string columns only)")
       }
     }
     val out = manifestSchema(typed)
@@ -126,13 +127,25 @@ object DataSkipping {
       .parallelize(files, parallelism)
       .mapPartitions { paths =>
         val conf = bag.value
+        // string stats live in BYTE space end to end: parquet orders UTF8
+        // stats by unsigned lexicographic bytes — the SAME order Spark's
+        // UTF8String comparisons use — while Java String.compareTo orders
+        // by UTF-16 code unit (diverges above the BMP), so min-of-mins /
+        // max-of-maxs must compare the raw bytes, not decoded Strings.
+        // Truncated stats stay sound by parquet's own contract: a
+        // truncated min is a PREFIX (≤ true min, valid lower bound) and a
+        // truncated max is byte-incremented (≥ true max, valid upper
+        // bound) — candidate selection only widens.
+        def ucmp(a: Array[Byte], b: Array[Byte]): Int =
+          java.util.Arrays.compareUnsigned(a, b)
         paths.map { f =>
           val reader = ParquetFileReader.open(
             HadoopInputFile.fromPath(new Path(f), conf))
           try {
             val blocks = reader.getFooter.getBlocks
             var nRows = 0L
-            // per requested column: (min, max, nulls, statsKnown)
+            // per requested column: (min, max, nulls, statsKnown) — min/max
+            // held as Long / Double / Array[Byte] per the column's kind
             val acc = Array.fill[(Any, Any, Long, Boolean)](typed.size)((null, null, 0L, true))
             val it = blocks.iterator()
             while (it.hasNext) {
@@ -144,7 +157,7 @@ object DataSkipping {
                 while (ci.hasNext) { val cc = ci.next(); m(cc.getPath.toDotString) = cc }
                 m
               }
-              typed.zipWithIndex.foreach { case ((c, isLong), i) =>
+              typed.zipWithIndex.foreach { case ((c, kind), i) =>
                 val (mn, mx, nu, ok) = acc(i)
                 byName.get(c) match {
                   case Some(cc) =>
@@ -157,27 +170,58 @@ object DataSkipping {
                         acc(i) = (mn, mx, nulls, ok)
                       } else if (!st.hasNonNullValue) {
                         acc(i) = (mn, mx, nulls, false) // values exist, stats don't
-                      } else if (isLong) {
-                        val lo = st.genericGetMin.asInstanceOf[Number].longValue()
-                        val hi = st.genericGetMax.asInstanceOf[Number].longValue()
-                        val nmn = if (mn == null) lo else math.min(mn.asInstanceOf[Long], lo)
-                        val nmx = if (mx == null) hi else math.max(mx.asInstanceOf[Long], hi)
-                        acc(i) = (nmn, nmx, nulls, ok)
-                      } else {
-                        val lo = st.genericGetMin.asInstanceOf[Number].doubleValue()
-                        val hi = st.genericGetMax.asInstanceOf[Number].doubleValue()
-                        val nmn = if (mn == null) lo else math.min(mn.asInstanceOf[Double], lo)
-                        val nmx = if (mx == null) hi else math.max(mx.asInstanceOf[Double], hi)
-                        acc(i) = (nmn, nmx, nulls, ok)
+                      } else kind match {
+                        case LongType =>
+                          val lo = st.genericGetMin.asInstanceOf[Number].longValue()
+                          val hi = st.genericGetMax.asInstanceOf[Number].longValue()
+                          val nmn = if (mn == null) lo else math.min(mn.asInstanceOf[Long], lo)
+                          val nmx = if (mx == null) hi else math.max(mx.asInstanceOf[Long], hi)
+                          acc(i) = (nmn, nmx, nulls, ok)
+                        case DoubleType =>
+                          val lo = st.genericGetMin.asInstanceOf[Number].doubleValue()
+                          val hi = st.genericGetMax.asInstanceOf[Number].doubleValue()
+                          val nmn = if (mn == null) lo else math.min(mn.asInstanceOf[Double], lo)
+                          val nmx = if (mx == null) hi else math.max(mx.asInstanceOf[Double], hi)
+                          acc(i) = (nmn, nmx, nulls, ok)
+                        case _ =>
+                          val lo = st.genericGetMin
+                            .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                          val hi = st.genericGetMax
+                            .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                          val nmn = if (mn == null) lo
+                            else if (ucmp(lo, mn.asInstanceOf[Array[Byte]]) < 0) lo
+                            else mn
+                          val nmx = if (mx == null) hi
+                            else if (ucmp(hi, mx.asInstanceOf[Array[Byte]]) > 0) hi
+                            else mx
+                          acc(i) = (nmn, nmx, nulls, ok)
                       }
                     }
                   case None => acc(i) = (mn, mx, nu, false) // column absent in this file
                 }
               }
             }
-            val fields: Seq[Any] = f +: nRows +: typed.indices.flatMap { i =>
-              val (mn, mx, nu, ok) = acc(i)
-              if (ok) Seq(mn, mx, nu) else Seq(null, null, null)
+            val fields: Seq[Any] = f +: nRows +: typed.zipWithIndex.flatMap {
+              case ((_, kind), i) =>
+                val (mn, mx, nu, ok) = acc(i)
+                if (!ok) Seq(null, null, null)
+                else if (kind != StringType || mn == null) Seq(mn, mx, nu)
+                else {
+                  // decode the byte-space bounds for the STRING manifest
+                  // column. An incremented truncated max can land outside
+                  // valid UTF-8; decoding with replacement chars could
+                  // REORDER it below the true max (EF BF BD sorts under
+                  // high bytes) — unsound — so a non-round-tripping bound
+                  // degrades to unknown (sound, never lucky).
+                  val cs = java.nio.charset.StandardCharsets.UTF_8
+                  val mnB = mn.asInstanceOf[Array[Byte]]
+                  val mxB = mx.asInstanceOf[Array[Byte]]
+                  val mnS = new String(mnB, cs); val mxS = new String(mxB, cs)
+                  if (java.util.Arrays.equals(mnS.getBytes(cs), mnB) &&
+                      java.util.Arrays.equals(mxS.getBytes(cs), mxB))
+                    Seq(mnS, mxS, nu)
+                  else Seq(null, null, null)
+                }
             }
             Row.fromSeq(fields)
           } finally reader.close()
@@ -190,6 +234,14 @@ object DataSkipping {
   final case class Range(column: String, lo: Column, hi: Column)
 
   def longRange(column: String, lo: Long, hi: Long): Range =
+    Range(column, lit(lo), lit(hi))
+
+  /** Inclusive string range — ISO dates, id prefixes, enum keys: the
+    * predicate columns real tables prune on first. Spark compares strings
+    * by UTF-8 bytes (UTF8String), the same unsigned lexicographic order
+    * parquet UTF8 stats use, so manifest interval tests are exact.
+    */
+  def stringRange(column: String, lo: String, hi: String): Range =
     Range(column, lit(lo), lit(hi))
 
   /** Manifest rows whose files COULD hold a row satisfying every range:

@@ -2361,6 +2361,21 @@ object Oracles {
         |  true AS pruned_equals_full, true AS files_skipped
         |FROM f""".stripMargin,
 
+    // String-skipping gate: the 5-day ISO-date window replayed over raw
+    // events (string stats/truncation invisible to a correct skip);
+    // DuckDB's strftime over the naive UTC timestamp matches Spark's
+    // date_format under the pinned UTC session zone.
+    "x9_skipping_str" ->
+      """WITH base AS (
+        |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, value FROM events),
+        |f AS (SELECT * FROM base WHERE day BETWEEN '2024-01-15' AND '2024-01-19')
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(event_id), 0) AS BIGINT) AS sum_ids,
+        |  CAST(coalesce(sum(CAST(round(value, 6) AS DECIMAL(18,6))), 0) AS DOUBLE)
+        |    AS sum_value,
+        |  true AS pruned_equals_full, true AS files_skipped
+        |FROM f""".stripMargin,
+
     // Percentile-rank gate: exact group counts + interpolated
     // percentiles verbatim (quantile_cont ≡ Spark percentile); the GK
     // rank estimates ride as tie-aware in-plan booleans (the sketch

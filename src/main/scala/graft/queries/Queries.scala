@@ -267,6 +267,53 @@ object Queries {
           .as("files_skipped"))
   }
 
+  /** X9ss: STRING-column data skipping — the predicate modality real
+    * tables prune on first (ISO dates, id prefixes, enum keys):
+    * events rewritten day-clustered with an ISO `day` string key, the
+    * manifest built from parquet's truncated-binary UTF8 footer stats
+    * ([[graft.ops.DataSkipping.statsManifestFiles]] — truncation keeps
+    * candidate selection sound: a truncated min is a prefix lower
+    * bound, a truncated max is byte-incremented to stay an upper
+    * bound), and a 5-day string-range probe answered by opening only
+    * candidate files. Gate mirrors [[x9Skipping]]: pruned-read
+    * aggregates travel verbatim (the oracle replays the day window
+    * over raw events — layout invisible to a correct skip),
+    * pruned≡full and files-skipped ride as pinned booleans.
+    */
+  private def x9SkippingStr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataSkipping
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    val base = ev.select(col("event_id"), col("user_id"),
+      date_format(timestamp_millis(et.ms), "yyyy-MM-dd").as("day"), col("value"))
+    val path = scratch(dir, "x9_skipping_str")
+    base.repartitionByRange(32, col("day"), col("event_id"))
+      .sortWithinPartitions("day", "event_id")
+      .write.mode("overwrite").parquet(path)
+    val manifest = DataSkipping.statsManifest(spark, path, Seq("day")).cache()
+    val (dlo, dhi) = ("2024-01-15", "2024-01-19")
+    val cand = DataSkipping.candidateFiles(manifest,
+      Seq(DataSkipping.stringRange("day", dlo, dhi)))
+    val rowFilter = col("day").between(dlo, dhi)
+    def summary(df: DataFrame, tag: String) = df.agg(
+      count(lit(1)).as(s"n_rows$tag"),
+      coalesce(sum("event_id"), lit(0L)).as(s"sum_ids$tag"),
+      coalesce(sum(round(col("value"), 6).cast(DecimalType(18, 6))),
+        lit(0).cast(DecimalType(18, 6))).as(s"sum_value$tag"))
+    val prunedS = summary(
+      DataSkipping.prunedRead(spark, path, cand).where(rowFilter), "")
+    val fullS = summary(base.where(rowFilter), "_f")
+    val counts = cand.agg(count(lit(1)).as("__n_cand"))
+      .crossJoin(manifest.agg(count(lit(1)).as("__n_files")))
+    prunedS.crossJoin(broadcast(fullS)).crossJoin(broadcast(counts))
+      .select(col("n_rows"), col("sum_ids"),
+        col("sum_value").cast("double").as("sum_value"),
+        (col("n_rows") === col("n_rows_f") && col("sum_ids") === col("sum_ids_f") &&
+          col("sum_value") === col("sum_value_f")).as("pruned_equals_full"),
+        (col("__n_cand") > 0L && col("__n_cand") < col("__n_files"))
+          .as("files_skipped"))
+  }
+
   /** X9mc: metadata-only box aggregation over the skipping manifest
     * ([[graft.ops.DataSkipping.metadataBoxCount]]): candidate files
     * provably INTERIOR to the box are counted from manifest rows
@@ -3579,7 +3626,8 @@ object Queries {
     "x6_hard_negatives" -> (x6HardNegatives _),
     "x8_curation_v13" -> (x8CurationV13 _),
     "x6_cms_join_card" -> (x6CmsJoinCard _),
-    "q13_planned_join" -> (q13PlannedJoin _)
+    "q13_planned_join" -> (q13PlannedJoin _),
+    "x9_skipping_str" -> (x9SkippingStr _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -160,4 +160,72 @@ class DataSkippingSpec extends SparkSpec {
       .withColumn("a_nulls", lit(null).cast("long"))
     assert(DataSkipping.candidateFiles(wiped, Seq(DataSkipping.longRange("a", -5L, -1L))).count() == 1)
   }
+
+  test("X9ss string manifest agrees with a full-scan recount per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip-str").toString
+    val df = spark.range(4000).select(
+      col("id").as("a"),
+      concat(lit("2024-01-"), lpad((col("id") % 28 + 1).cast("string"), 2, "0"))
+        .as("day"))
+    df.repartitionByRange(8, col("day"), col("a"))
+      .sortWithinPartitions("day", "a")
+      .write.mode("overwrite").parquet(dir)
+    def base(c: org.apache.spark.sql.Column) = element_at(split(c, "/"), -1)
+    val m = DataSkipping.statsManifest(spark, dir, Seq("day"))
+      .withColumn("fname", base(col("file"))).cache()
+    val truth = spark.read.parquet(dir)
+      .groupBy(base(input_file_name()).as("fname"))
+      .agg(min("day").as("t_min"), max("day").as("t_max"))
+    val joined = m.join(truth, "fname")
+    assert(joined.count() == m.count() && m.count() > 1)
+    assert(joined.where(col("day_min") =!= col("t_min") ||
+      col("day_max") =!= col("t_max") || col("day_nulls") =!= 0L).count() == 0)
+    // a one-day probe prunes files and matches the full scan
+    val cand = DataSkipping.candidateFiles(m,
+      Seq(DataSkipping.stringRange("day", "2024-01-05", "2024-01-05")))
+    assert(cand.count() > 0 && cand.count() < m.count())
+    val got = DataSkipping.prunedRead(spark, dir, cand)
+      .where(col("day") === "2024-01-05").count()
+    val want = spark.read.parquet(dir).where(col("day") === "2024-01-05").count()
+    assert(got == want && want > 0)
+  }
+
+  test("X9ss truncated string stats stay sound past the truncation length") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip-trunc").toString
+    // keys share a long common prefix and differ only BEYOND the stats
+    // truncation length: truncated min stays a prefix lower bound,
+    // truncated max is byte-incremented to stay an upper bound
+    val df = spark.range(1000).select(
+      concat(lit("tenant-alpha-prefix-"), lpad(col("id").cast("string"), 6, "0"))
+        .as("k"),
+      col("id").as("v"))
+    df.repartitionByRange(4, col("k"))
+      .sortWithinPartitions("k")
+      .write.mode("overwrite")
+      .option("parquet.statistics.truncate.length", "8")
+      .parquet(dir)
+    val m = DataSkipping.statsManifest(spark, dir, Seq("k")).cache()
+    // prove the stats really ARE truncated (the case is vacuous otherwise):
+    // min = 8-byte prefix, max = byte-incremented 8-byte bound
+    val r0 = m.head()
+    assert(r0.getAs[String]("k_min").length == 8 &&
+      r0.getAs[String]("k_max").length <= 8 &&
+      r0.getAs[String]("k_max") > r0.getAs[String]("k_min"))
+    val full = spark.read.parquet(dir)
+    // with an 8-byte truncation every file's stats collapse to the shared
+    // prefix bounds — no pruning possible, but NEVER a lost row
+    Seq(("tenant-alpha-prefix-000100", "tenant-alpha-prefix-000199"),
+        ("tenant-alpha-prefix-000900", "tenant-alpha-prefix-999999"),
+        ("a", "z")).foreach { case (lo, hi) =>
+      val cand = DataSkipping.candidateFiles(m, Seq(DataSkipping.stringRange("k", lo, hi)))
+      val got = DataSkipping.prunedRead(spark, dir, cand)
+        .where(col("k").between(lo, hi)).count()
+      val want = full.where(col("k").between(lo, hi)).count()
+      assert(got == want, s"probe [$lo, $hi]: pruned $got != full $want")
+    }
+    // and a probe DISJOINT from the prefix region still prunes everything
+    val off = DataSkipping.candidateFiles(m,
+      Seq(DataSkipping.stringRange("k", "zz", "zzz")))
+    assert(off.count() == 0)
+  }
 }
