@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -71,4 +72,126 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** d-dimensional Hilbert-curve index — the general form of
+  * [[HilbertIndex]] for layouts clustering THREE or more columns
+  * (production OPTIMIZE ZORDER takes 3+ routinely; 2-D was the only
+  * arity the r10 expression served). `coords` are per-dimension ranks in
+  * [0, 2^bits); the result is the cell's position along the order-`bits`
+  * d-dimensional Hilbert curve in [0, 2^(d·bits)).
+  *
+  * Algorithm: Skilling's transpose form (J. Skilling, "Programming the
+  * Hilbert curve", AIP Conf. Proc. 707, 2004 — the standard
+  * dimension-generic formulation): an in-place inverse-undo sweep from
+  * the top bit plane down turns axes into "transpose" format, a Gray
+  * correction aligns the planes, and the index is the bit interleave of
+  * the transposed words (dimension 0 most significant within each
+  * plane). Every step is integer shift/mask/xor CASE arithmetic, so the
+  * oracle twin replays it bit-for-bit as an unrolled CTE chain exactly
+  * like the 2-D descent. Same native-kernel rationale as
+  * [[HilbertIndex]]: one static JIT-able loop beats (d·bits) chained
+  * projections.
+  *
+  * NOTE the 2-D special case of Skilling's convention is a reflected/
+  * rotated variant of [[HilbertIndex]]'s Hamilton xy2d — same locality
+  * class (consecutive indices are grid neighbors, spec-pinned
+  * exhaustively), different vertex orientation; the two curves are not
+  * bit-compatible and a table must be laid out by one of them.
+  */
+case class HilbertIndexNd(override val children: Seq[Expression], bits: Int)
+  extends Expression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.size < 2) TypeCheckResult.TypeCheckFailure(
+      s"graft_hilbert_nd expects at least 2 rank columns, got ${children.size}")
+    else if (bits < 1 || bits.toLong * children.size > 63) TypeCheckResult.TypeCheckFailure(
+      s"graft_hilbert_nd expects bits >= 1 with bits*dims <= 63, got " +
+        s"bits=$bits dims=${children.size}")
+    else children.map(_.dataType).find(_ != LongType) match {
+      case Some(t) => TypeCheckResult.TypeCheckFailure(
+        s"graft_hilbert_nd expects bigint rank columns, got $t")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+
+  /** Skilling AxesToTranspose + interleave. `xs` is a fresh per-row array
+    * (mutated in place).
+    */
+  def hilbert(xs: Array[Long]): Long = {
+    val n = xs.length
+    // inverse undo: top plane down to q=2
+    var q = 1L << (bits - 1)
+    while (q > 1L) {
+      val p = q - 1L
+      var i = 0
+      while (i < n) {
+        if ((xs(i) & q) != 0L) xs(0) ^= p // invert low bits of axis 0
+        else { val t = (xs(0) ^ xs(i)) & p; xs(0) ^= t; xs(i) ^= t } // exchange
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    var i = 1
+    while (i < n) { xs(i) ^= xs(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1L) {
+      if ((xs(n - 1) & q) != 0L) t ^= q - 1L
+      q >>= 1
+    }
+    i = 0
+    while (i < n) { xs(i) ^= t; i += 1 }
+    // interleave transposed words: plane b contributes n bits, dimension 0
+    // most significant within the plane
+    var d = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      i = 0
+      while (i < n) {
+        d = (d << 1) | ((xs(i) >>> b) & 1L)
+        i += 1
+      }
+      b -= 1
+    }
+    d
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val xs = new Array[Long](children.size)
+    var i = 0
+    while (i < xs.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      xs(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    hilbert(xs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("hilbertNd", this, classOf[HilbertIndexNd].getName)
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("coords")
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    val anyNull = evals.map(_.isNull.toString).mkString(" || ")
+    val values = evals.map(_.value.toString).mkString(", ")
+    ev.copy(code = code"""
+      $childCode
+      boolean ${ev.isNull} = $anyNull;
+      long ${ev.value} = -1L;
+      if (!${ev.isNull}) {
+        long[] $arr = new long[]{$values};
+        ${ev.value} = $ref.hilbert($arr);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
 }

@@ -560,6 +560,8 @@ object GraftFunctions {
     "graft_cms_inner" -> (children => CmsInnerProduct(children.head, children(1))),
     "graft_hilbert" -> (children => HilbertIndex(children.head, children(1),
       children(2).eval().asInstanceOf[Number].intValue())),
+    "graft_hilbert_nd" -> (children => HilbertIndexNd(children.init,
+      children.last.eval().asInstanceOf[Number].intValue())),
     "graft_topk" -> (children => TopKAgg(children.head,
       children(1).eval().asInstanceOf[Number].intValue())),
     "graft_qsketch_query" -> (children => QuantileSketchQuery(children.head, children(1))),

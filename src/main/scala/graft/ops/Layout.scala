@@ -136,4 +136,42 @@ object Layout {
       .sortWithinPartitions("hval")
       .drop("hval")
       .write.mode("overwrite").parquet(path)
+
+  /** Bits per dimension for 3-column Hilbert layouts: 3 × 16 = 48-bit
+    * keys (d·bits must stay ≤ 63).
+    */
+  val HBits3 = 16
+
+  /** d-COLUMN Hilbert projection ([[graft.functions.HilbertIndexNd]],
+    * Skilling's dimension-generic transpose form) — production OPTIMIZE
+    * ZORDER takes 3+ columns routinely; this is the layout key for it.
+    * Same exact-integer ranks from one broadcast bounds row; output: the
+    * input columns plus `hval`.
+    */
+  def withHValueN(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
+    require(cols.size >= 2 && cols.size * bits <= 63,
+      s"withHValueN: need >= 2 columns with dims*bits <= 63, got " +
+        s"${cols.size} cols x $bits bits")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).as(s"__min$i"), max(col(c)).as(s"__max$i"))
+    }
+    val bounds = broadcast(df.agg(aggs.head, aggs.tail: _*))
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      rank(c, s"__min$i", s"__max$i", bits)
+    }
+    df.crossJoin(bounds)
+      .withColumn("hval",
+        call_function("graft_hilbert_nd", ranks :+ lit(bits): _*))
+      .drop(cols.indices.flatMap(i => Seq(s"__min$i", s"__max$i")): _*)
+  }
+
+  /** [[zorderWrite]] along the d-dimensional Hilbert curve. */
+  def hilbertWriteN(df: DataFrame, cols: Seq[String], path: String,
+                    numFiles: Int, bits: Int): Unit =
+    withHValueN(df, cols, bits)
+      .repartitionByRange(numFiles, col("hval"))
+      .sortWithinPartitions("hval")
+      .drop("hval")
+      .write.mode("overwrite").parquet(path)
 }

@@ -926,6 +926,70 @@ object Oracles {
          |SELECT event_id, CAST(d AS BIGINT) AS hval FROM h$bits ORDER BY event_id""".stripMargin
     },
 
+    // Mirrors Layout.withHValueN (Skilling's d-dimensional transpose
+    // form) on (user_id, epoch-ms, event_id) at 16 bits/dim: identical
+    // exact-integer ranks, then the inverse-undo sweep unrolled — one
+    // CTE per (bit plane, dimension) step, each pure integer CASE/xor
+    // arithmetic evaluated against the PREVIOUS step's row (matching the
+    // kernel: within a step, t derives from current values and applies
+    // to x0 and xi together), then the Gray pair, the t-correction, and
+    // the 48-term interleave fold. A LINEAR single-reference chain, so
+    // DuckDB's inliner builds a projection pipeline.
+    "x9_hilbert3" -> {
+      val bits = graft.ops.Layout.HBits3
+      val m = (1L << bits) - 1
+      val qs = (1 until bits).map(k => 1L << (bits - k)) // 2^(bits-1) .. 2
+      val steps = scala.collection.mutable.ArrayBuffer.empty[String]
+      var idx = 0
+      def nm(i: Int) = s"s$i"
+      qs.foreach { q =>
+        val p = q - 1
+        idx += 1
+        steps += s"""${nm(idx)} AS (SELECT event_id,
+           |  CASE WHEN (x0 & $q) > 0 THEN xor(x0, $p) ELSE x0 END AS x0,
+           |  x1, x2 FROM ${nm(idx - 1)})""".stripMargin
+        idx += 1
+        steps += s"""${nm(idx)} AS (SELECT event_id,
+           |  CASE WHEN (x1 & $q) > 0 THEN xor(x0, $p)
+           |       ELSE xor(x0, xor(x0, x1) & $p) END AS x0,
+           |  CASE WHEN (x1 & $q) > 0 THEN x1
+           |       ELSE xor(x1, xor(x0, x1) & $p) END AS x1,
+           |  x2 FROM ${nm(idx - 1)})""".stripMargin
+        idx += 1
+        steps += s"""${nm(idx)} AS (SELECT event_id,
+           |  CASE WHEN (x2 & $q) > 0 THEN xor(x0, $p)
+           |       ELSE xor(x0, xor(x0, x2) & $p) END AS x0,
+           |  x1,
+           |  CASE WHEN (x2 & $q) > 0 THEN x2
+           |       ELSE xor(x2, xor(x0, x2) & $p) END AS x2
+           |FROM ${nm(idx - 1)})""".stripMargin
+      }
+      idx += 1
+      steps += s"${nm(idx)} AS (SELECT event_id, x0, xor(x1, x0) AS x1, x2 FROM ${nm(idx - 1)})"
+      idx += 1
+      steps += s"${nm(idx)} AS (SELECT event_id, x0, x1, xor(x2, x1) AS x2 FROM ${nm(idx - 1)})"
+      val tExpr = qs.map(q => s"(CASE WHEN (x2 & $q) > 0 THEN ${q - 1} ELSE 0 END)")
+        .reduce((a, b) => s"xor($a, $b)")
+      idx += 1
+      steps += s"""${nm(idx)} AS (SELECT event_id, xor(x0, t) AS x0,
+         |  xor(x1, t) AS x1, xor(x2, t) AS x2
+         |FROM (SELECT event_id, x0, x1, x2, $tExpr AS t FROM ${nm(idx - 1)}))""".stripMargin
+      val fold = (0 until bits).flatMap { b =>
+        (0 until 3).map(i => s"(((x$i >> $b) & 1) << ${3 * b + 2 - i})")
+      }.mkString(" + ")
+      s"""WITH hb AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+         |hbd AS (SELECT min(user_id) AS amin, max(user_id) AS amax,
+         |               min(ts_ms) AS bmin, max(ts_ms) AS bmax,
+         |               min(event_id) AS cmin, max(event_id) AS cmax FROM hb),
+         |s0 AS (SELECT event_id,
+         |    CASE WHEN amax = amin THEN 0 ELSE ((user_id - amin) * $m) // (amax - amin) END AS x0,
+         |    CASE WHEN bmax = bmin THEN 0 ELSE ((ts_ms - bmin) * $m) // (bmax - bmin) END AS x1,
+         |    CASE WHEN cmax = cmin THEN 0 ELSE ((event_id - cmin) * $m) // (cmax - cmin) END AS x2
+         |  FROM hb, hbd),
+         |${steps.mkString(",\n")}
+         |SELECT event_id, CAST($fold AS BIGINT) AS hval FROM ${nm(idx)} ORDER BY event_id""".stripMargin
+    },
+
     "x9_zorder" -> {
       val bits = graft.ops.Layout.ZBits
       val m = (1L << bits) - 1

@@ -267,6 +267,24 @@ object Queries {
           .as("files_skipped"))
   }
 
+  /** X9h3: 3-COLUMN Hilbert layout key ([[graft.ops.Layout.withHValueN]] /
+    * [[graft.functions.HilbertIndexNd]], Skilling's dimension-generic
+    * transpose form) — production OPTIMIZE ZORDER takes 3+ columns;
+    * gating the index gates the layout exactly as [[x9Hilbert]] does for
+    * 2-D. Every step is integer shift/mask/xor CASE arithmetic over the
+    * same exact-integer ranks, so the twin replays the full 16-level ×
+    * 3-dimension descent bit-for-bit as an unrolled CTE chain.
+    */
+  private def x9Hilbert3(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    graft.ops.Layout.withHValueN(
+        ev.select(col("event_id"), col("user_id"), et.ms.as("ts_ms")),
+        Seq("user_id", "ts_ms", "event_id"), graft.ops.Layout.HBits3)
+      .select(col("event_id"), col("hval"))
+      .orderBy("event_id")
+  }
+
   /** X9ss: STRING-column data skipping — the predicate modality real
     * tables prune on first (ISO dates, id prefixes, enum keys):
     * events rewritten day-clustered with an ISO `day` string key, the
@@ -3627,7 +3645,8 @@ object Queries {
     "x8_curation_v13" -> (x8CurationV13 _),
     "x6_cms_join_card" -> (x6CmsJoinCard _),
     "q13_planned_join" -> (q13PlannedJoin _),
-    "x9_skipping_str" -> (x9SkippingStr _)
+    "x9_skipping_str" -> (x9SkippingStr _),
+    "x9_hilbert3" -> (x9Hilbert3 _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -107,6 +107,52 @@ object SkipProbe {
       .write.mode("overwrite").parquet(lPath)
     probe("linear", lPath)
 
+    // 3-D: a box constraining ALL THREE dimensions, third dimension
+    // INDEPENDENT of the first two (value-derived key) — a 2-D layout on
+    // (user, ts) is blind on it, the d-dimensional Hilbert bounds every
+    // interleaved dimension. event_id is the CONTROL: it correlates with
+    // ts in this table, so interleaving it buys nothing over 2-D (the
+    // don't-cluster-correlated-columns lesson, measured).
+    val base3 = base.withColumn("vkey", (col("value") * 1e6).cast("long"))
+    val bv = base3.agg(min("vkey"), max("vkey"),
+      min("event_id"), max("event_id")).head()
+    val (vmin, vmax) = (bv.getLong(0), bv.getLong(1))
+    val (vlo, vhi) = (vmin + (vmax - vmin) / 4, vmin + (vmax - vmin) / 2)
+    val (emin, emax) = (bv.getLong(2), bv.getLong(3))
+    val (elo, ehi) = (emin + (emax - emin) / 4, emin + (emax - emin) / 2)
+    def probe3(label: String, path: String, dim3: String,
+               lo3: Long, hi3: Long): Unit = {
+      val m = DataSkipping.statsManifest(spark, path,
+        Seq("user_id", "ts_ms", dim3)).cache()
+      val total = m.count()
+      val ranges3 = Seq(DataSkipping.longRange("user_id", ulo, uhi),
+        DataSkipping.longRange("ts_ms", tlo, thi),
+        DataSkipping.longRange(dim3, lo3, hi3))
+      val filter3 = rowFilter && col(dim3).between(lo3, hi3)
+      val cand = DataSkipping.candidateFiles(m, ranges3).cache()
+      val nCand = cand.count()
+      val full = spark.read.parquet(path).where(filter3).count()
+      val pruned = DataSkipping.prunedRead(spark, path, cand).where(filter3).count()
+      require(full == pruned, s"$label: pruned $pruned != full $full")
+      println(f"$label box3($dim3) files=$nCand/$total " +
+        f"(${100.0 * nCand / total}%.1f%%) rows=$full")
+      m.unpersist(); cand.unpersist()
+    }
+    // independent third dimension: 3-D layout vs 2-D on two-of-three
+    val h3v = java.nio.file.Files.createTempDirectory("graft-skip-h3v").toString
+    Layout.hilbertWriteN(base3, Seq("user_id", "ts_ms", "vkey"), h3v,
+      numFiles, Layout.HBits3)
+    val h2v = java.nio.file.Files.createTempDirectory("graft-skip-h2v").toString
+    Layout.hilbertWrite(base3, "user_id", "ts_ms", h2v, numFiles)
+    probe3("hilbert3", h3v, "vkey", vlo, vhi)
+    probe3("hilbert2of3", h2v, "vkey", vlo, vhi)
+    // correlated third dimension (event_id ~ ts): the control
+    val h3e = java.nio.file.Files.createTempDirectory("graft-skip-h3e").toString
+    Layout.hilbertWriteN(base3, Seq("user_id", "ts_ms", "event_id"), h3e,
+      numFiles, Layout.HBits3)
+    probe3("hilbert3corr", h3e, "event_id", elo, ehi)
+    probe3("hilbert2corr", h2v, "event_id", elo, ehi)
+
     spark.stop()
   }
 }

@@ -74,6 +74,63 @@ class LayoutSpec extends SparkSpec {
     fromPlan.foreach { case (x, y, d) => assert(d == h(5)(x, y)) }
   }
 
+  test("X9h3 d-dim hilbert: exhaustive 3-D order-4 bijection + unit-step curve, codegen parity") {
+    import graft.functions.HilbertIndexNd
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def h(bits: Int)(xs: Long*): Long =
+      HilbertIndexNd(xs.map(_ => Literal(0L)), bits).hilbert(xs.toArray)
+    // 3-D order 4: 16^3 = 4096 cells — bijection onto [0, 4096) with
+    // every consecutive pair a Manhattan-distance-1 grid step (the
+    // dimension-generic Hilbert property)
+    val n = 16
+    val cells = for (x <- 0 until n; y <- 0 until n; z <- 0 until n)
+      yield (x.toLong, y.toLong, z.toLong)
+    val byD = cells.map { case (x, y, z) => h(4)(x, y, z) -> ((x, y, z)) }.sortBy(_._1)
+    assert(byD.map(_._1) == (0L until (n.toLong * n * n)).toVector,
+      "3-D order-4 hilbert is not a bijection onto [0,4096)")
+    byD.sliding(2).foreach { case Seq((_, (x1, y1, z1)), (d2, (x2, y2, z2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+        s"3-D curve jumps at d=$d2: ($x1,$y1,$z1)->($x2,$y2,$z2)")
+    }
+    // 4-D order 3 spot check: bijection onto [0, 4096) too
+    val cells4 = for (a <- 0 until 8; b <- 0 until 8; c <- 0 until 8; d <- 0 until 8)
+      yield (a.toLong, b.toLong, c.toLong, d.toLong)
+    val ds4 = cells4.map { case (a, b, c, d) => h(3)(a, b, c, d) }.sorted
+    assert(ds4 == (0L until 4096L).toVector, "4-D order-3 hilbert not a bijection")
+    // codegen path (DataFrame) == the kernel; null propagates
+    val df = cells.toDF("x", "y", "z")
+    graft.functions.GraftFunctions.register(spark)
+    val fromPlan = df.select(col("x"), col("y"), col("z"),
+        call_function("graft_hilbert_nd", col("x"), col("y"), col("z"), lit(4)))
+      .as[(Long, Long, Long, Long)].collect()
+    fromPlan.foreach { case (x, y, z, d) => assert(d == h(4)(x, y, z)) }
+    val withNull = spark.sql(
+      "SELECT graft_hilbert_nd(CAST(NULL AS BIGINT), 1L, 1L, 4)").head()
+    assert(withNull.isNullAt(0))
+  }
+
+  test("X9h3 withHValueN write bounds all three dimensions per file") {
+    val n = 16
+    val grid = (0 until n).flatMap(u => (0 until n).flatMap(t =>
+      (0 until n).map(v => (u.toLong, t.toLong, v.toLong))))
+      .toDF("a", "b", "c")
+    val dir = java.nio.file.Files.createTempDirectory("graft-h3").toString
+    Layout.hilbertWriteN(grid, Seq("a", "b", "c"), dir, numFiles = 16,
+      bits = Layout.HBits3)
+    // per-file spans must be bounded in EVERY dimension (a single-column
+    // sort bounds one); hilbert files cover ~1/16 of the cube each, so
+    // each dimension's average span must be well under the full extent
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"),
+        (max("c") - min("c")).as("sc"))
+      .agg(avg("sa"), avg("sb"), avg("sc")).head()
+    Seq(0, 1, 2).foreach { i =>
+      assert(spans.getDouble(i) < n - 1,
+        s"dimension $i unbounded per file: ${spans.getDouble(i)}")
+    }
+  }
+
   test("X9z over-span columns raise in-plan instead of silently wrapping") {
     // span just past 2^42 at the default 21 bits: the product guard
     val wide = Seq((0L, 0L), ((1L << 43), 1L)).toDF("user_id", "ts_ms")
