@@ -102,10 +102,20 @@ object SetJoin {
     * inter/uni ≥ tNum/tDen, where inter = |A∩B|, uni = |A∪B| — exact.
     * `tokens` must be a deduplicated array column (e.g.
     * [[Dedup.wordShingles]]); empty sets are excluded (J undefined).
+    *
+    * `heavyProbe`: when true (default), one bounded driver action — a
+    * `take(1)` on the already-pinned frequency aggregate — short-circuits
+    * the heavy branch on corpora with no over-occupancy token, keeping
+    * the plan the minimal count form. Pass false when COMPOSING this
+    * operator inside a larger lazy plan: the heavy branch is then built
+    * unconditionally (its joins degenerate to empty at runtime on
+    * unskewed corpora — same results, fully lazy, a slightly larger
+    * plan).
     */
   def jaccardJoin(df: DataFrame, idCol: String, tokens: Column,
                   tNum: Int, tDen: Int,
-                  heavyOcc: Int = DefaultHeavyOcc): DataFrame = {
+                  heavyOcc: Int = DefaultHeavyOcc,
+                  heavyProbe: Boolean = true): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1]: $tNum/$tDen")
     require(heavyOcc >= 1, s"heavyOcc must be >= 1: $heavyOcc")
     val docs = df.select(col(idCol).as("__id"), tokens.as("__tk"))
@@ -123,7 +133,7 @@ object SetJoin {
     // the existence probe is one driver boolean off the already-computed
     // frequency aggregate — the price of skew-proofing on an unskewed
     // corpus (the take(1) runs the pinned toksF build the verify reuses)
-    val heavyEmpty = heavy.take(1).isEmpty
+    val heavyEmpty = heavyProbe && heavy.take(1).isEmpty
     val spine =
       if (heavyEmpty) lightCounts
       else {
@@ -164,5 +174,112 @@ object SetJoin {
       .withColumn("uni", col("__na") + col("__nb") - col("inter"))
       .where(col("inter") * tDen >= col("uni") * tNum)
       .select("id_a", "id_b", "inter", "uni")
+  }
+
+  /** Integer micro-idf weight of a token: round(10^6 · ln((D+1)/(df+1)))
+    * — exact-integer thereafter, so the threshold check replays
+    * bit-for-bit in any engine (the x5_lm_score fixed-point discipline;
+    * ln agrees to 1 ulp across engines, and the single round at the
+    * model boundary absorbs it). `__f` is corpus doc-frequency (tokens
+    * are per-doc deduplicated), `__D` the corpus doc count. Weights are
+    * ≥ 0 (df ≤ D); a token in EVERY doc weighs 0 — non-discriminative
+    * tokens contribute nothing to either side of the ratio, which is
+    * the point of weighting.
+    */
+  private def microIdf: Column =
+    round(log((col("__D") + lit(1.0)) / (col("__f") + lit(1.0))) * lit(1e6))
+      .cast("long")
+
+  /** The weighted prefix of every set: under the same canonical order
+    * (corpus frequency asc, token asc), keep each token whose PRECEDING
+    * cumulative weight still allows a qualifying pair to hide entirely
+    * in the suffix — cumBefore·tDen ≤ wn·(tDen−tNum). The unweighted
+    * prefix is exactly this with w ≡ 1 (cumBefore = rank − 1). Lemma: a
+    * pair with WJ ≥ t has interW ≥ t·uniW ≥ t·max(wA, wB); if A and B
+    * shared no prefix token, every shared token would sit in both
+    * suffixes, whose weight is < t·wA by construction — contradiction.
+    */
+  private[graft] def weightedPrefixTokens(toksW: DataFrame, tNum: Int,
+                                          tDen: Int): DataFrame =
+    toksW
+      .withColumn("__cumb", coalesce(sum(col("__w")).over(
+        Window.partitionBy("__id").orderBy(col("__f"), col("__t"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .where(col("__cumb") * tDen <= col("__wn") * (tDen - tNum))
+      .select(col("__t"), col("__id"), col("__wn"))
+
+  /** WEIGHTED exact set-similarity join — all pairs with
+    * `WJ(A, B) = Σ_{t∈A∩B} w(t) / Σ_{t∈A∪B} w(t) ≥ tNum/tDen` under
+    * integer micro-idf token weights ([[microIdf]]) derived from the
+    * SAME corpus-occupancy aggregate the unweighted form already
+    * computes — the form boilerplate-heavy dedup corpora actually want
+    * (SSJoin with tf-idf weighting, Chaudhuri et al. ICDE'06 §5;
+    * a stop-shingle shared by half the corpus stops deciding
+    * near-duplication, a rare shared passage decides it strongly).
+    *
+    * Same scale shape as [[jaccardJoin]] — intersections are map-side-
+    * combinable WEIGHT SUMS (never sets), sizes ride aggregate keys,
+    * every join downstream of the explode pins sort-merge, and the
+    * light/heavy occupancy split caps the self-join volume with heavy
+    * pairs recovered through the weighted prefix lemma
+    * ([[weightedPrefixTokens]]). Output:
+    * (id_a, id_b, inter_w, uni_w) in micro-idf units; pairs with
+    * uni_w = 0 (all-ubiquitous-token docs) are excluded — WJ undefined,
+    * the empty-set convention one level up.
+    */
+  def weightedJaccardJoin(df: DataFrame, idCol: String, tokens: Column,
+                          tNum: Int, tDen: Int,
+                          heavyOcc: Int = DefaultHeavyOcc,
+                          heavyProbe: Boolean = true): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1]: $tNum/$tDen")
+    require(heavyOcc >= 1, s"heavyOcc must be >= 1: $heavyOcc")
+    val docs = df.select(col(idCol).as("__id"), tokens.as("__tk"))
+      .where(size(col("__tk")) > 0)
+    val dAgg = broadcast(docs.agg(count(lit(1)).as("__D")))
+    val toksW0 = withFreq(explodedTokens(docs)).crossJoin(dAgg)
+      .withColumn("__w", microIdf)
+    // per-doc total weight rides the rows the way __n does
+    val docW = toksW0.groupBy("__id").agg(sum(col("__w")).as("__wn"))
+    val toksF = OpCaches.pin(toksW0.join(docW.hint("merge"), Seq("__id")))
+    val light = toksF.where(col("__f") <= heavyOcc)
+    val heavy = toksF.where(col("__f") > heavyOcc)
+    val lightSums = light.select(col("__t"), col("__w"),
+        col("__id").as("id_a"), col("__wn").as("__wa"))
+      .join(light.select(col("__t"), col("__id").as("id_b"), col("__wn").as("__wb"))
+        .hint("merge"), Seq("__t"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "__wa", "__wb").agg(sum(col("__w")).as("__lw"))
+    val heavyEmpty = heavyProbe && heavy.take(1).isEmpty
+    val spine =
+      if (heavyEmpty) lightSums
+      else {
+        val heavyDocs = heavy.select("__id").distinct()
+        val prefix = weightedPrefixTokens(
+          toksF.join(heavyDocs.hint("merge"), Seq("__id")), tNum, tDen)
+        val cand = prefix.select(col("__t"), col("__id").as("id_a"), col("__wn").as("__wa"))
+          .join(prefix.select(col("__t"), col("__id").as("id_b"), col("__wn").as("__wb"))
+            .hint("merge"), Seq("__t"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "__wa", "__wb").distinct()
+          .withColumn("__lw", lit(0L))
+        lightSums.unionByName(cand)
+          .groupBy("id_a", "id_b", "__wa", "__wb").agg(max(col("__lw")).as("__lw"))
+      }
+    val withHeavy =
+      if (heavyEmpty) spine.withColumn("inter_w", col("__lw"))
+      else {
+        val h = spine.select("id_a", "id_b")
+          .join(heavy.select(col("__id").as("id_a"), col("__t"), col("__w"))
+            .hint("merge"), Seq("id_a"))
+          .join(heavy.select(col("__id").as("id_b"), col("__t")).hint("merge"),
+            Seq("id_b", "__t"))
+          .groupBy("id_a", "id_b").agg(sum(col("__w")).as("__hw"))
+        spine.join(h.hint("merge"), Seq("id_a", "id_b"), "left_outer")
+          .withColumn("inter_w", col("__lw") + coalesce(col("__hw"), lit(0L)))
+      }
+    withHeavy
+      .withColumn("uni_w", col("__wa") + col("__wb") - col("inter_w"))
+      .where(col("uni_w") > 0L && col("inter_w") * tDen >= col("uni_w") * tNum)
+      .select("id_a", "id_b", "inter_w", "uni_w")
   }
 }

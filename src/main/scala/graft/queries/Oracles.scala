@@ -2223,6 +2223,33 @@ object Oracles {
          |WHERE inter * 2 >= uni ORDER BY id_a, id_b""".stripMargin
     },
 
+    // Weighted all-pairs twin: the quadratic form with the IDENTICAL
+    // integer micro-idf weights (round(1e6·ln((D+1)/(df+1))) — one round
+    // at the model boundary absorbs the 1-ulp ln divergence, exact
+    // integers thereafter). sum(BIGINT) is HUGEINT in DuckDB — CAST.
+    "x2_weighted_jaccard" -> {
+      s"""WITH apw AS (SELECT doc_id, $wordsOf AS ws FROM documents),
+         |apsh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+         |    THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+         |    ELSE [array_to_string(ws, ' ')] END) AS toks FROM apw),
+         |apd AS (SELECT count(*) AS d FROM apsh WHERE len(toks) > 0),
+         |apt AS (SELECT doc_id, unnest(toks) AS t FROM apsh),
+         |apdf AS (SELECT t, count(*) AS df FROM apt GROUP BY t),
+         |apwt AS (SELECT t, CAST(round(ln((d + 1.0) / (df + 1.0)) * 1000000) AS BIGINT) AS w
+         |  FROM apdf, apd),
+         |aptw AS (SELECT doc_id, t, w FROM apt JOIN apwt USING (t)),
+         |apdw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS wn FROM aptw GROUP BY doc_id),
+         |appair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(sum(a.w) AS BIGINT) AS inter_w
+         |  FROM aptw a JOIN aptw b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |apj AS (SELECT id_a, id_b, inter_w, wa.wn + wb.wn - inter_w AS uni_w
+         |  FROM appair JOIN apdw wa ON wa.doc_id = id_a
+         |              JOIN apdw wb ON wb.doc_id = id_b)
+         |SELECT id_a, id_b, inter_w, CAST(uni_w AS BIGINT) AS uni_w FROM apj
+         |WHERE uni_w > 0 AND inter_w * 2 >= uni_w * 1 ORDER BY id_a, id_b""".stripMargin
+    },
+
     // Heavy-hitters twin: plain exact count + HAVING — the MG sketch only
     // bounds memory, the registered OUTPUT is exact by the recount.
     "x6_heavy_hitters" ->

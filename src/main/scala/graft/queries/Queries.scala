@@ -578,6 +578,21 @@ object Queries {
         Dedup.wordShingles(col("text"), 3), tNum = 1, tDen = 2)
       .orderBy("id_a", "id_b")
 
+  /** X2wj: WEIGHTED exact set-similarity join
+    * ([[graft.ops.SetJoin.weightedJaccardJoin]]) — tf-idf-weighted
+    * overlap at WJ ≥ 1/2 over the same trigram shingles as
+    * [[x2AllpairsJaccard]]: a corpus-frequent stop-shingle stops
+    * deciding near-duplication, a rare shared passage decides it
+    * strongly (the form boilerplate-heavy dedup actually wants). Twin =
+    * the quadratic all-pairs weighted form with the identical integer
+    * micro-idf weights, so hash equality proves the weighted prefix
+    * filter loses no pair AND the weight arithmetic replays exactly.
+    */
+  private def x2WeightedJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SetJoin.weightedJaccardJoin(t(spark, dir, "documents"), "doc_id",
+        Dedup.wordShingles(col("text"), 3), tNum = 1, tDen = 2)
+      .orderBy("id_a", "id_b")
+
   /** X6hh: exact heavy hitters in bounded memory ([[graft.ops.Frequent]])
     * — every word with frequency > n/50 over the corpus via two-pass
     * Misra–Gries; the sketch bounds MEMORY, the recount makes the OUTPUT
@@ -3646,7 +3661,8 @@ object Queries {
     "x6_cms_join_card" -> (x6CmsJoinCard _),
     "q13_planned_join" -> (q13PlannedJoin _),
     "x9_skipping_str" -> (x9SkippingStr _),
-    "x9_hilbert3" -> (x9Hilbert3 _)
+    "x9_hilbert3" -> (x9Hilbert3 _),
+    "x2_weighted_jaccard" -> (x2WeightedJaccard _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

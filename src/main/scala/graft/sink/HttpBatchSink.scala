@@ -64,6 +64,37 @@ object HttpBatchSink {
     }
   }
 
+  /** Keyed transport for effectively-once delivery:
+    * (idempotencyKey, body) => Unit. Must throw on failure.
+    */
+  type KeyedSenderFactory = () => (String, String) => Unit
+
+  /** [[httpSender]] that also stamps each request with its batch's
+    * idempotency key in `keyHeader` (the `Idempotency-Key` convention) —
+    * the transport half of [[sendIdempotent]].
+    */
+  def httpKeyedSender(url: String, method: String, headers: Map[String, String],
+                      keyHeader: String = "Idempotency-Key",
+                      timeout: Duration = Duration.ofSeconds(60),
+                      env: () => Map[String, String] = { val snap = sys.env; () => snap })
+    : KeyedSenderFactory = {
+    graft.template.TemplateCompiler.validateHeaderTemplates(headers, env())
+    () => {
+      val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+      (key, body) => {
+        val b = HttpRequest.newBuilder(URI.create(url)).timeout(timeout)
+          .method(method, HttpRequest.BodyPublishers.ofString(body))
+        val e = env()
+        headers.foreach { case (k, v) =>
+          b.header(k, graft.template.TemplateCompiler.renderWithEnv(v, Map.empty, e))
+        }
+        b.header(keyHeader, key)
+        val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode / 100 == 2, s"$method $url -> HTTP ${resp.statusCode}")
+      }
+    }
+  }
+
   /** Send `docs` (a single string column of rendered documents) in batches.
     * Skips empty input without a request (reference app.js:89-91).
     *
@@ -90,6 +121,56 @@ object HttpBatchSink {
           val send = senderFactory()
           it.map(_.getString(0)).grouped(maxBatchSize).foreach { chunk =>
             send(assemble(chunk))
+            sent.add(1)
+          }
+        }
+    }
+    sent.value
+  }
+
+  /** The at-least-once → EFFECTIVELY-ONCE upgrade the reference's design
+    * keeps promising and never ships ("the idempotent target method makes
+    * it effectively-once", README-level W2 discussion): every batch
+    * carries a DETERMINISTIC idempotency key
+    * `sha256(context ⊕ batch body)`, so a target that records applied
+    * keys (the standard `Idempotency-Key` contract) applies each batch
+    * exactly once however many times a Spark task retry, a crashed run's
+    * replay from the uncommitted checkpoint, or a duplicate page re-sends
+    * it.
+    *
+    * `context` should name the UNIT OF REPLAY — `s"$entityType:$checkpoint"`
+    * — so re-sends of the same page under the same checkpoint collide (as
+    * they must) while a later incremental pass with a new checkpoint never
+    * collides with history. The slice identity inside the page is the
+    * batch CONTENT hash: stable across task retries whenever the upstream
+    * plan is deterministic (the ETL chain's CDC output is: parquet scan +
+    * narrow transforms + deterministic slicing), and collision-safe the
+    * way content addressing always is. Delivery degrades to plain
+    * at-least-once — never worse — against a target that ignores the key.
+    */
+  def sendIdempotent(docs: DataFrame, maxBatchSize: Int,
+                     senderFactory: KeyedSenderFactory, context: String,
+                     targetBody: Option[String] = None): Long = {
+    require(maxBatchSize > 0, "maxBatchSize must be positive")
+    val sent: LongAccumulator = docs.sparkSession.sparkContext.longAccumulator("graft.batchesSent")
+    val colName = docs.columns.head
+    val assemble: Seq[String] => String = targetBody match {
+      case Some(t) => chunk => graft.template.TemplateCompiler.renderBatchBody(t, chunk)
+      case None    => chunk => chunk.mkString("[", ",", "]")
+    }
+    docs.select(col(colName).cast("string")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val send = senderFactory()
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          it.map(_.getString(0)).grouped(maxBatchSize).foreach { chunk =>
+            val body = assemble(chunk)
+            md.reset()
+            md.update(context.getBytes("UTF-8"))
+            md.update(0.toByte) // unambiguous context/body separator
+            md.update(body.getBytes("UTF-8"))
+            val key = md.digest().map("%02x".format(_)).mkString
+            send(key, body)
             sent.add(1)
           }
         }

@@ -21,6 +21,11 @@ object HttpLoopbackSpec {
   val tokens = new ConcurrentLinkedQueue[String]() // X-Token header per request
   @volatile var failPuts = false
   @volatile var liveToken = "tok-1" // simulated rotating credential
+  // idempotent-target state: applied bodies keyed by Idempotency-Key; a
+  // replayed key ACKs 200 without re-applying (the standard contract)
+  val applied = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val keyedRequests = new ConcurrentLinkedQueue[String]() // every key seen
+  @volatile var failAfterFirstApply = false
 }
 
 class HttpLoopbackSpec extends SparkSpec {
@@ -62,6 +67,23 @@ class HttpLoopbackSpec extends SparkSpec {
         if (failPuts) { ex.sendResponseHeaders(503, -1); ex.close() }
         else {
           received.add((ex.getRequestMethod, body))
+          ex.sendResponseHeaders(200, -1); ex.close()
+        }
+      }
+    })
+    server.createContext("/load-idem", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val key = Option(ex.getRequestHeaders.getFirst("Idempotency-Key")).getOrElse("")
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        keyedRequests.add(key)
+        if (applied.containsKey(key)) {
+          // replayed batch: acknowledge, do NOT re-apply
+          ex.sendResponseHeaders(200, -1); ex.close()
+        } else if (failAfterFirstApply && applied.size() >= 1) {
+          // injected mid-page failure: the SECOND distinct batch 503s
+          ex.sendResponseHeaders(503, -1); ex.close()
+        } else {
+          applied.put(key, body)
           ex.sendResponseHeaders(200, -1); ex.close()
         }
       }
@@ -132,6 +154,46 @@ class HttpLoopbackSpec extends SparkSpec {
       HttpBatchSink.send(docs, 10, sender, Some(tpl))
       assert(received.asScala.toSeq.map(_._2) ==
         Seq("""{"entities": [{"id":"1"},{"id":"2"}]}"""))
+    }
+  }
+
+  test("idempotent-key sink: replay after mid-page failure applies every batch exactly once (W2 upgrade)") {
+    import spark.implicits._
+    applied.clear(); keyedRequests.clear()
+    withServer { port =>
+      val sender = HttpBatchSink.httpKeyedSender(
+        s"http://127.0.0.1:$port/load-idem", "PUT", Map.empty)
+      // one page = 4 docs in 2 batches of 2; context = type + checkpoint
+      // (the unit of replay)
+      val docs = Seq("""{"id":"1"}""", """{"id":"2"}""", """{"id":"3"}""", """{"id":"4"}""")
+        .toDF("doc").coalesce(1)
+      val ctx = "widget:200"
+
+      // attempt 1: batch 1 applies, batch 2 hits the injected 503 → the
+      // send (and the run's commit) fails, checkpoint stays — the
+      // reference's crash-before-commit shape
+      failAfterFirstApply = true
+      intercept[Exception] { HttpBatchSink.sendIdempotent(docs, 2, sender, ctx) }
+      assert(applied.size() == 1)
+
+      // attempt 2 (the replay from the uncommitted checkpoint): batch 1's
+      // key collides → ACKed without re-applying; batch 2 applies
+      failAfterFirstApply = false
+      val n = HttpBatchSink.sendIdempotent(docs, 2, sender, ctx)
+      assert(n == 2)
+      assert(applied.size() == 2, "each batch applied EXACTLY once across the replay")
+      val allApplied = applied.values().asScala.mkString
+      assert(Seq("1", "2", "3", "4").forall(i => allApplied.contains(s"""{"id":"$i"}""")))
+      // the wire saw each batch twice (batch 2's first attempt reached the
+      // server and 503'd; at-least-once delivery is unchanged) but only
+      // TWO distinct keys — the key is what suppressed the duplicate apply
+      val k = keyedRequests.asScala.toSeq
+      assert(k.size == 4 && k.distinct.size == 2)
+
+      // a LATER page (new checkpoint) with identical content must NOT
+      // collide with history: keys namespace by context
+      val n2 = HttpBatchSink.sendIdempotent(docs, 2, sender, "widget:300")
+      assert(n2 == 2 && applied.size() == 4)
     }
   }
 

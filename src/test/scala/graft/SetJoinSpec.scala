@@ -69,4 +69,46 @@ class SetJoinSpec extends SparkSpec {
     graft.ops.OpCaches.release()
     assert(got == 0L, "no defined Jaccard pair exists")
   }
+
+  /** Brute-force weighted pairs under the SAME micro-idf weights the
+    * operator derives (round(1e6·ln((D+1)/(df+1)))).
+    */
+  private def bruteWeighted(tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] = {
+    val d = sets.size
+    val dfreq = sets.flatMap(_._2.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    def w(t: String): Long =
+      math.round(math.log((d + 1.0) / (dfreq(t) + 1.0)) * 1e6)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      interW = (sa.toSet & sb.toSet).toSeq.map(w).sum
+      uniW = (sa.toSet | sb.toSet).toSeq.map(w).sum
+      if uniW > 0 && interW * tDen >= uniW * tNum
+    } yield (ia, ib, interW, uniW)).toSet
+  }
+
+  test("X2wj weighted join equals weighted brute force, incl. forced heavy split") {
+    val df = sets.toDF("id", "toks")
+    for ((n, d) <- Seq((1, 2), (2, 3), (1, 1)); occ <- Seq(1024, 2, 1)) {
+      val got = SetJoin.weightedJaccardJoin(df, "id", col("toks"), n, d, heavyOcc = occ)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      graft.ops.OpCaches.release()
+      assert(got == bruteWeighted(n, d),
+        s"t=$n/$d occ=$occ: missing=${bruteWeighted(n, d) -- got} extra=${got -- bruteWeighted(n, d)}")
+    }
+  }
+
+  test("X2ap/X2wj heavyProbe=false is fully lazy and result-identical") {
+    val df = sets.toDF("id", "toks")
+    // laziness: constructing the plan must run ZERO Spark jobs
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val lazyPlain = SetJoin.jaccardJoin(df, "id", col("toks"), 1, 2, heavyProbe = false)
+    val lazyWeighted = SetJoin.weightedJaccardJoin(df, "id", col("toks"), 1, 2,
+      heavyProbe = false)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, s"plan construction ran ${after - before} eager job(s)")
+    // parity with the probing default
+    assert(lazyPlain.as[(Long, Long, Long, Long)].collect().toSet == brute(1, 2))
+    assert(lazyWeighted.as[(Long, Long, Long, Long)].collect().toSet == bruteWeighted(1, 2))
+    graft.ops.OpCaches.release()
+  }
 }
