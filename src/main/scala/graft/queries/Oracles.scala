@@ -878,6 +878,28 @@ object Oracles {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
         |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // MERGE twin: the full-outer + case-action form verbatim — state-only
+    // rows survive, matched tombstones drop, everything else takes the
+    // batch side; all three MERGE verbs ride one hash.
+    "k5_merge" ->
+      """WITH st AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) rn
+        |        FROM events WHERE epoch_ms(ts) < 1705708800000) WHERE rn = 1),
+        |bt AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) rn
+        |        FROM events WHERE epoch_ms(ts) >= 1705708800000) WHERE rn = 1)
+        |SELECT coalesce(b.user_id, s.user_id) AS user_id,
+        |  CASE WHEN b.user_id IS NOT NULL THEN b.event_id ELSE s.event_id END AS event_id,
+        |  CASE WHEN b.user_id IS NOT NULL THEN b.ts_ms ELSE s.ts_ms END AS ts_ms,
+        |  CASE WHEN b.user_id IS NOT NULL THEN b.event_type ELSE s.event_type END AS event_type,
+        |  CASE WHEN b.user_id IS NOT NULL THEN b.value ELSE s.value END AS value
+        |FROM st s FULL OUTER JOIN bt b ON s.user_id = b.user_id
+        |WHERE b.op IS NULL OR b.op <> 'delete'
+        |ORDER BY user_id""".stripMargin,
+
     // Mirrors state.Scd2.history: half-open [from, to) validity intervals
     // via lead over the per-key (ms, id) order; the head row is current.
     "k3_scd2_history" ->

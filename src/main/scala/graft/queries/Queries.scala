@@ -159,6 +159,34 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** K5/§2.8: MERGE-style multi-action commit ([[graft.state.Merge]]) —
+    * update + insert + tombstone-delete in ONE full-outer-join plan (the
+    * Delta MERGE INTO posture over K2's LWW state): state = the pre-Jan20
+    * LWW head per user, batch = one action per user from the Jan20+ slice
+    * (its newest event decides — an 'error' event tombstones the user,
+    * anything else upserts). The twin is the same full-outer +
+    * case-action SQL, so the hash gate pins all three verbs at once.
+    */
+  private def k5Merge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    def lwwHead(df: DataFrame): DataFrame = df
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("__rn") === 1)
+    val st = lwwHead(ev.where(et.before(Jan20)))
+      .select(col("user_id"), col("event_id"), et.ms.as("ts_ms"),
+        col("event_type"), col("value"))
+    val bt = lwwHead(ev.where(et.atLeast(Jan20)))
+      .select(col("user_id"), col("event_id"), et.ms.as("ts_ms"),
+        col("event_type"), col("value"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("op"))
+    graft.state.Merge.merge(st, bt, "user_id", "op",
+        Seq("event_id", "ts_ms", "event_type", "value"))
+      .orderBy("user_id")
+  }
+
   /** K3/§2.8: SCD2 history — every entity version with its half-open
     * validity interval; the LWW head ([[k2UpsertLww]]) is the `is_current`
     * slice. One key-hash exchange + per-key window (sessionize class).
@@ -3662,7 +3690,8 @@ object Queries {
     "q13_planned_join" -> (q13PlannedJoin _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_hilbert3" -> (x9Hilbert3 _),
-    "x2_weighted_jaccard" -> (x2WeightedJaccard _)
+    "x2_weighted_jaccard" -> (x2WeightedJaccard _),
+    "k5_merge" -> (k5Merge _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

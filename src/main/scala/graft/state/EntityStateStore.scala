@@ -93,6 +93,39 @@ final class EntityStateStore(spark: SparkSession, root: String) {
       .join(fresh.select(col("id").as("__bid")), col("id") === col("__bid"), "left_anti")
     val next = survivors.unionByName(fresh).select(Model.stateSchema.fieldNames.map(col): _*)
 
+    swapIn(entityType, next, nowMs, newCheckpoint)
+  }
+
+  /** K5: MERGE-style multi-action commit ([[Merge.merge]]) — one commit
+    * applying upserts AND tombstone deletes in a single plan. `batch`
+    * carries the K2 columns plus `op`: "delete" rows REMOVE their id from
+    * state (physical delete — the swap makes it durable), anything else
+    * upserts with a fresh TTL exactly like [[commit]]. Page-internal
+    * ordering is the same LWW dedup: the newest ACTION per id wins,
+    * whether version or tombstone (a delete followed by a newer upsert in
+    * one page upserts; the reverse deletes). TTL eviction and checkpoint
+    * semantics are unchanged.
+    */
+  def commitMerge(
+      entityType: String,
+      batch: DataFrame,
+      nowMs: Long,
+      ttlMs: Long,
+      newCheckpoint: Long,
+      preloadedState: Option[DataFrame] = None): Unit = {
+    val state = preloadedState.getOrElse(load(entityType)._1)
+    val actions = StateStores.dedupNewestPerId(batch)
+      .select(col("id"), lit(nowMs + ttlMs).as("ttl"), col("entityJson"),
+        col("entityHash"), col("op"))
+    val live = state.where(col("ttl") >= lit(nowMs)) // F4 eviction
+    val next = Merge.merge(live, actions, "id", "op",
+        Seq("ttl", "entityJson", "entityHash"))
+      .select(Model.stateSchema.fieldNames.map(col): _*)
+    swapIn(entityType, next, nowMs, newCheckpoint)
+  }
+
+  private def swapIn(entityType: String, next: DataFrame, nowMs: Long,
+                     newCheckpoint: Long): Unit = {
     val tmp = typeDir(entityType).resolve(s"tmp-$nowMs-${System.nanoTime()}")
     Files.createDirectories(typeDir(entityType))
     next.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
