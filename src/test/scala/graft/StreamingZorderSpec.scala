@@ -77,10 +77,11 @@ class StreamingZorderSpec extends SparkSpec {
     assert(StreamingZorder.latestClusteredPath(root).get == genBefore,
       "optimize with an empty tail must not write a new generation")
 
-    // pruning parity: one-shot batch z-order write of the SAME rows
+    // pruning parity: one-shot batch write of the SAME rows on the SAME
+    // curve (optimize defaults to the measured-better Hilbert rank now)
     val batchDir = Files.createTempDirectory("zorder-batch").toString + "/t"
     val df = rows.toSeq.toDF("event_id", "user_id", "ts_ms")
-    Layout.zorderWrite(df, "user_id", "ts_ms", batchDir, numFiles = 16)
+    Layout.hilbertWrite(df, "user_id", "ts_ms", batchDir, numFiles = 16)
     val sb = boxes(genBefore)
     val bb = boxes(batchDir)
     assert(sb.length == 16 && bb.length == 16)
