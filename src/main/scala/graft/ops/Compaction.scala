@@ -48,6 +48,13 @@ object Compaction {
 
   /** Deterministic FFD packing of `sizes` into bins of `targetBytes`:
     * (file, bytes, bin). Oversize files become singleton bins.
+    *
+    * Driver-memory bound, stated: the collected plan input is (path,
+    * bytes) pairs — ~100 B/file, so ~100 MB transient heap at 1M files
+    * (the Delta OPTIMIZE planning class), and the FFD sort is
+    * O(F log F) driver CPU. A table whose file COUNT outgrows that
+    * bound needs partition-scoped compaction passes (plan per
+    * partition), not a bigger driver.
     */
   def compactionPlan(sizes: DataFrame, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "compactionPlan: positive target size")

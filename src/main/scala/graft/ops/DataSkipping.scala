@@ -370,6 +370,15 @@ object DataSkipping {
     * rows, and parquet row-group pruning still applies inside survivors.
     * An empty candidate set short-circuits to an empty frame of the
     * table's schema.
+    *
+    * Driver-memory bound, stated: the collected list is CANDIDATE paths
+    * only — ~100 bytes each, so even the degenerate no-pruning case on a
+    * 1M-file / 100 TB table is ~100 MB transient driver heap, the same
+    * class as Delta's planning-time file list (and a selective predicate
+    * collects far fewer). The per-file manifest/Bloom artifacts
+    * themselves never collect — candidate selection runs distributed;
+    * only the surviving paths land on the driver, because
+    * `DataFrameReader.parquet(paths*)` is itself a driver-side API.
     */
   def prunedRead(spark: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
     val files = candidates.select(col("file")).collect().map(_.getString(0))

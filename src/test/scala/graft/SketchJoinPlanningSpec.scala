@@ -120,6 +120,12 @@ class SketchJoinPlanningSpec extends SparkSpec {
       assert(bottomScans.nonEmpty &&
         bottomScans.forall(!_.contains("fact.parquet")),
         s"fact table still in the bottom join: $bottomScans")
+      // AND the broadcast pass must see through the rotation: the bottom
+      // pair broadcasts by leaf bytes, and the rotated INTERMEDIATE
+      // (est 40 rows × per-row bytes — the estBytes Join branch, a size
+      // Catalyst itself can never know) broadcasts against the fact side
+      assert(joins.forall(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"expected both joins broadcast from artifacts, got $joins")
       assert(planned.collect().toSeq == plainRows)
       SketchCatalog.deactivate(spark)
     }
