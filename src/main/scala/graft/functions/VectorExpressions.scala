@@ -591,6 +591,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     }
     ext.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.FuzzyJoinRewrite)
-    ext.injectOptimizerRule(_ => graft.plans.SketchJoinPlanning)
+    // pre-CBO, not the operator batch: the planning rule runs ONCE,
+    // after InferFiltersFromConstraints — so the Bloom runtime filters it
+    // injects are never constraint-propagated back onto the build side
+    // (the same batch position Spark's own InjectRuntimeFilter holds)
+    ext.injectPreCBORule(_ => graft.plans.SketchJoinPlanning)
   }
 }

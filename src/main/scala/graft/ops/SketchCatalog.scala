@@ -45,9 +45,49 @@ object SketchCatalog {
   val ConfKey = "spark.graft.sketchPlanning.catalog"
   val BroadcastBytesKey = "spark.graft.sketchPlanning.broadcastBytes"
 
-  /** Driver-side view of one catalog row. */
+  /** Probe-key-overlap fraction at or under which the planning rule
+    * injects a Bloom runtime filter on the probe side (default 0.5 —
+    * inject only when the artifact says at least half the probe keys
+    * cannot match).
+    */
+  val RuntimeFilterSelectivityKey = "spark.graft.sketchPlanning.runtimeFilterSelectivity"
+
+  /** Build-side distinct-key cap for runtime-filter injection (default
+    * 4M keys ≈ 4 MB filter at fpp 1% — the bounded-artifact class).
+    */
+  val RuntimeFilterMaxKeysKey = "spark.graft.sketchPlanning.runtimeFilterMaxKeys"
+
+  /** Driver-side view of one catalog row. `hll` is the serialized
+    * DataSketches HLL sketch of the key (the `hll_sketch_agg` binary) —
+    * the KEY-OVERLAP oracle between two catalogued columns
+    * (inclusion–exclusion over heapified sketches, the
+    * [[Sketches.hllPairOverlaps]] estimate moved to plan time); null in
+    * catalogs written before the column existed, in which case
+    * overlap-driven decisions are skipped, never guessed.
+    */
   final case class Entry(table: String, key: String, nRows: Long,
-                         nBytes: Long, distinctEst: Double, cms: Array[Byte])
+                         nBytes: Long, distinctEst: Double, cms: Array[Byte],
+                         hll: Array[Byte] = null)
+
+  /** Estimated distinct-key overlap |A∩B| between two catalogued columns
+    * from their stored HLL sketches alone (None when either is missing):
+    * est(A) + est(B) − est(A∪B), the union via a driver-side DataSketches
+    * merge — the artifacts are KBs, and an optimizer rule must never run
+    * a nested Spark query. Error is bounded relative to |A∪B| (the
+    * hllPairOverlaps contract), so consumers must treat small estimates
+    * as "near zero", not exact.
+    */
+  def hllKeyOverlap(a: Entry, b: Entry): Option[Double] =
+    if (a.hll == null || b.hll == null) None
+    else try {
+      import org.apache.datasketches.hll.{HllSketch, Union}
+      val sa = HllSketch.heapify(a.hll)
+      val sb = HllSketch.heapify(b.hll)
+      val u = new Union(math.max(sa.getLgConfigK, sb.getLgConfigK))
+      u.update(sa); u.update(sb)
+      Some(math.max(0.0,
+        sa.getEstimate + sb.getEstimate - u.getResult.getEstimate))
+    } catch { case _: Exception => None }
 
   /** An activated catalog: table-level stats + per-(table, key) sketches. */
   final class Catalog(val entries: Seq[Entry]) extends Serializable {
@@ -75,7 +115,8 @@ object SketchCatalog {
     StructField("n_rows", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("distinct_est", DoubleType, nullable = false),
-    StructField("cms", BinaryType, nullable = true)))
+    StructField("cms", BinaryType, nullable = true),
+    StructField("hll", BinaryType, nullable = true)))
 
   /** Harvest one table's planning artifacts in a single scan: one catalog
     * row per key column. `eps`/`confidence`/`seed` must match across every
@@ -95,15 +136,21 @@ object SketchCatalog {
     val aggs = count(lit(1)).as("__n") +: keys.flatMap { k =>
       Seq(count_min_sketch(col(k).cast("string"), lit(eps), lit(confidence),
           lit(seed)).as(s"__cms_$k"),
-        hll_sketch_estimate(hll_sketch_agg(col(k), lit(12)))
-          .cast("double").as(s"__nd_$k"))
+        hll_sketch_agg(col(k), lit(12)).as(s"__hll_$k"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // distinct estimate derived FROM the stored sketch (scalar estimate
+    // over the agg output), so the catalog's number and its overlap
+    // artifact can never disagree
+    val row = df.agg(aggs.head, aggs.tail: _*)
+      .select(col("*") +: keys.map(k =>
+        hll_sketch_estimate(col(s"__hll_$k")).cast("double").as(s"__nd_$k")): _*)
+      .head()
     val n = row.getLong(row.fieldIndex("__n"))
     val out = keys.map { k =>
       Row(table, k, n, nBytes,
         row.getDouble(row.fieldIndex(s"__nd_$k")),
-        row.getAs[Array[Byte]](row.fieldIndex(s"__cms_$k")))
+        row.getAs[Array[Byte]](row.fieldIndex(s"__cms_$k")),
+        row.getAs[Array[Byte]](row.fieldIndex(s"__hll_$k")))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), catalogSchema)
   }
@@ -122,8 +169,11 @@ object SketchCatalog {
   def activate(spark: SparkSession, path: String): Catalog = {
     val rows = spark.read.schema(catalogSchema).parquet(path).collect()
     val entries = rows.toSeq.map { r =>
+      // `hll` reads as null from catalogs written before the column
+      // existed (parquet schema evolution) — overlap decisions degrade
+      // to "unknown", never to a guess
       Entry(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getAs[Array[Byte]](5))
+        r.getDouble(4), r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6))
     }
     // latest harvest wins per (table, key): append-mode maintenance leaves
     // superseded rows behind; n_rows is monotone for append-only tables

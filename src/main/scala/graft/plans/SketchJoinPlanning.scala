@@ -1,13 +1,15 @@
 package graft.plans
 
-import graft.functions.CmsCodec
+import graft.functions.{BloomBuildAgg, BloomContains, CmsCodec}
 import graft.ops.SketchCatalog
 import graft.ops.SketchCatalog.{Catalog, Entry}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 
 /** Sketch-driven join planning: the optimizer rule that CONSUMES the
   * stored CMS/HLL planning artifacts ([[graft.ops.SketchCatalog]]) — the
@@ -15,8 +17,9 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * REPORTED join properties (`x6_cms_join_card`, `x6_hll_join_keys`) now
   * pick the plan.
   *
-  * Two decisions, both invisible to results (inner equi-joins commute and
-  * broadcast hints never change semantics):
+  * Three decisions, all invisible to results (inner equi-joins commute,
+  * broadcast hints never change semantics, and a Bloom pre-filter has
+  * false positives only with the real join re-verifying):
   *
   *  1. **Join ORDER for a left-deep 3-table chain** `(A ⋈ B) ⋈ C`: the
   *     output cardinality of each directly-joinable pair is estimated by
@@ -44,6 +47,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *     leaves the join un-hinted (sort-merge), never overriding a
   *     file-size decision toward a worse plan.
   *
+  *  3. **Runtime-filter injection for shuffle joins** (the joins pass 2
+  *     left large-large): when the stored HLL key sketches say the two
+  *     key SETS barely overlap, a Bloom filter over the build side's
+  *     keys is injected as a probe-side pre-shuffle Filter (scalar
+  *     subquery + [[graft.functions.BloomContains]]) — the
+  *     [[graft.ops.BloomPrune]] reduction chosen BY the artifact instead
+  *     of by hand. See [[runtimeFilterPass]].
+  *
   * Scope guards (all falling back to "do nothing"): inner joins only,
   * no existing hints (user hints win), every condition conjunct must be
   * a cross-side equi comparison of attributes that resolve through
@@ -62,7 +73,8 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan =
     SketchCatalog.lookup(conf.getConfString(SketchCatalog.ConfKey, "")) match {
       case None      => plan
-      case Some(cat) => broadcastPass(reorderPass(plan, cat), cat)
+      case Some(cat) =>
+        runtimeFilterPass(broadcastPass(reorderPass(plan, cat), cat), cat)
     }
 
   // ---------------------------------------------------------------- //
@@ -222,5 +234,99 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
             j.copy(hint = JoinHint(bcast, None))
           case _ => j
         }
+    }
+
+  // ---------------------------------------------------------------- //
+  // Pass 3: artifact-driven runtime filter (Bloom semi-join reduction)
+  // ---------------------------------------------------------------- //
+
+  private def rfMaxKeys: Long =
+    conf.getConfString(SketchCatalog.RuntimeFilterMaxKeysKey,
+      (4L << 20).toString).toLong
+
+  private def rfSelectivity: Double =
+    conf.getConfString(SketchCatalog.RuntimeFilterSelectivityKey, "0.5").toDouble
+
+  /** Hash class of a key type in [[BloomBuildAgg]]/[[BloomContains]]
+    * (the [[graft.ops.BloomPrune]] contract): build and probe must land
+    * in ONE class or the filter produces false NEGATIVES — dropped
+    * matches. Types outside both classes are not probe-able at all.
+    */
+  private def bloomClass(dt: DataType): Option[String] = dt match {
+    case LongType | IntegerType => Some("long")
+    case StringType             => Some("string")
+    case _                      => None
+  }
+
+  /** Is a Bloom probe on `probeKey` already present anywhere below?
+    * (Idempotence inside the fixed-point batch: CombineFilters /
+    * pushdown may move or merge the injected Filter, so the guard walks
+    * the subtree and matches the probe ATTRIBUTE, not the filter shape.)
+    */
+  private def hasRuntimeFilter(plan: LogicalPlan, probeKey: AttributeReference): Boolean =
+    plan.exists {
+      case f: Filter => f.condition.exists {
+        case bc: BloomContains => bc.right.semanticEquals(probeKey)
+        case _                 => false
+      }
+      case _ => false
+    }
+
+  /** The pass that cashes in the stored KEY-OVERLAP artifact: for a join
+    * the first two passes left on the shuffle path (un-hinted — both
+    * sides large per the catalog), estimate what fraction of the probe
+    * side's keys can possibly match (HLL inclusion–exclusion between the
+    * two key sketches, [[SketchCatalog.hllKeyOverlap]]). When the
+    * artifact says the join is SELECTIVE (fraction ≤
+    * `spark.graft.sketchPlanning.runtimeFilterSelectivity`, default 0.5)
+    * and the build side's key count fits a bounded filter (≤
+    * `...runtimeFilterMaxKeys`, default 4M ≈ 4 MB at fpp 1%), inject the
+    * [[graft.ops.BloomPrune]] reduction as plan surgery: a scalar
+    * subquery builds the Bloom over the build side's keys and a Filter
+    * drops non-candidate probe rows BEFORE the exchange — the shuffle
+    * carries `matches + fpp·non-matches` rows instead of everything.
+    *
+    * Spark's own `InjectRuntimeFilter` fires on size thresholds and its
+    * own column statistics; this pass fires on what those can't see —
+    * the stored sketches KNOW the key sets barely overlap even when both
+    * sides' bytes are huge. Correctness is unconditional (false
+    * positives only, and the real equi-join re-verifies), so a wrong
+    * estimate costs speed, never results. The probe-row estimate assumes
+    * rows spread evenly over keys (a skewed matching key weakens the
+    * win, not the answer). NULL probe keys are dropped by the filter —
+    * an inner equi-join never matches them anyway.
+    */
+  private def runtimeFilterPass(plan: LogicalPlan, cat: Catalog): LogicalPlan =
+    plan.transformUp {
+      case j @ Join(l, r, Inner, Some(cond), JoinHint(None, None)) if j.resolved =>
+        val injected = for {
+          pairs <- equiPairs(cond, l, r)
+          (la, ra) = pairs.head
+          lb <- resolveBase(l, cat); rb <- resolveBase(r, cat)
+          le <- entryFor(lb, cat, la); re <- entryFor(rb, cat, ra)
+          // build over the side with FEWER distinct keys, probe the other
+          (build, probe, bKey, pKey, be, pe) =
+            if (le.distinctEst <= re.distinctEst) (l, r, la, ra, le, re)
+            else (r, l, ra, la, re, le)
+          bCls <- bloomClass(bKey.dataType); pCls <- bloomClass(pKey.dataType)
+          if bCls == pCls
+          if be.distinctEst <= rfMaxKeys.toDouble
+          overlap <- SketchCatalog.hllKeyOverlap(be, pe)
+          frac = overlap / math.max(1.0, pe.distinctEst)
+          if frac <= rfSelectivity
+          if !hasRuntimeFilter(probe, pKey)
+        } yield {
+          val expected = math.max(64L, math.ceil(be.distinctEst * 1.2).toLong)
+          val bloom = AggregateExpression(
+            BloomBuildAgg(bKey, expected, 0.01), Complete, isDistinct = false)
+          val sub = ScalarSubquery(
+            Aggregate(Nil, Seq(Alias(bloom, "__graft_rf")()), build))
+          val filtered = Filter(BloomContains(sub, pKey), probe)
+          logInfo(f"sketch planning: runtime filter on ${pKey.name} " +
+            f"(overlap=$overlap%.0f of ${pe.distinctEst}%.0f probe keys = " +
+            f"$frac%.3f, build keys=${be.distinctEst}%.0f)")
+          if (probe eq r) j.copy(right = filtered) else j.copy(left = filtered)
+        }
+        injected.getOrElse(j)
     }
 }

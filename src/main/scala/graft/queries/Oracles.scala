@@ -1397,6 +1397,18 @@ object Oracles {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the hot dim is a scratch table derived deterministically from
+    // customer (c_nationkey < 3) — the twin reconstructs it inline; the
+    // booleans pin that the un-ruled plan was a bare shuffle join and the
+    // catalogued plan carried exactly one probe-side Bloom filter
+    "q14_runtime_filter" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hot_revenue,
+        |  true AS naive_bare_shuffle, true AS artifact_bloom_filtered
+        |FROM orders JOIN (SELECT c_custkey FROM customer WHERE c_nationkey < 3) hot
+        |ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q8_salted_revenue" ->
       """SELECT s_nationkey,
         |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

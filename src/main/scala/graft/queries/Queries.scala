@@ -3051,6 +3051,98 @@ object Queries {
       .orderBy("c_mktsegment")
   }
 
+  /** Hot-dim scratch table + planning catalog for [[q14RuntimeFilter]],
+    * built once per JVM per sf dir: the dim is customers of three
+    * nations — its KEY SET is a ~11% subset of the custkeys orders
+    * carries, which is exactly what the stored HLL sketches must detect.
+    */
+  private val q14CatalogPaths = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q14Catalog(spark: SparkSession, dir: String): (String, String) =
+    q14CatalogPaths.computeIfAbsent(dir, { _ =>
+      import graft.ops.SketchCatalog
+      val hotPath = scratch(dir, "q14_hot_customer")
+      spark.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_nationkey") < 3)
+        .write.mode("overwrite").parquet(hotPath)
+      val cat = SketchCatalog.harvest(spark, s"$dir/orders.parquet", Seq("o_custkey"))
+        .unionByName(SketchCatalog.harvest(spark, hotPath, Seq("c_custkey")))
+      val catPath = scratch(dir, "q14_catalog")
+      SketchCatalog.save(cat, catPath)
+      (hotPath, catPath)
+    })
+
+  /** Q14: sketch-driven RUNTIME FILTER — pass 3 of
+    * [[graft.plans.SketchJoinPlanning]] closing the loop on the stored
+    * HLL key sketches: a shuffle join of orders against a hot-customer
+    * dim whose key set covers ~11% of the probe's custkeys (both
+    * broadcast paths disabled — Catalyst's by threshold −1, the rule's
+    * pass 2 by `broadcastBytes 0` — pinning the large-large shuffle
+    * scenario the operator exists for). With no catalog the plan must be
+    * a bare sort-merge join; with the catalog active the rule must
+    * inject exactly one Bloom probe-side Filter (scalar-subquery build
+    * over the dim keys, [[graft.functions.BloomContains]] above the
+    * ORDERS scan — shuffle now carries candidates, not the table). Both
+    * facts ride the hash gate as pinned booleans; the revenue aggregate
+    * is the plain-join twin (a filter defect — e.g. a false negative
+    * from cross-class hashing — breaks the hash, not just the plan).
+    */
+  private def q14RuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchCatalog
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val (hotPath, catPath) = q14Catalog(spark, dir)
+    def chain(): DataFrame = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(hotPath),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice"), 18, 2).as("hot_revenue"))
+    def bloomFilters(df: DataFrame): Seq[FilterExec] = {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+      root.collect {
+        case f: FilterExec
+            if f.condition.exists(_.isInstanceOf[graft.functions.BloomContains]) => f
+      }
+    }
+    def smj(df: DataFrame): Boolean = {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+      root.collect { case s: SortMergeJoinExec => s }.nonEmpty
+    }
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (naiveBare, artifactFiltered) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(SketchCatalog.BroadcastBytesKey, "0")
+      SketchCatalog.deactivate(spark)
+      val naive = chain()
+      val naiveOk = smj(naive) && bloomFilters(naive).isEmpty
+      SketchCatalog.activate(spark, catPath)
+      val planned = chain()
+      val fs = bloomFilters(planned)
+      val overProbe = fs.flatMap(_.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.head.toString
+      })
+      (naiveOk,
+        smj(planned) && fs.size == 1 && overProbe.exists(_.contains("orders")))
+    } finally {
+      SketchCatalog.deactivate(spark)
+      spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    chain()
+      .select(col("o_orderpriority"), col("n_orders"), col("hot_revenue"),
+        lit(naiveBare).as("naive_bare_shuffle"),
+        lit(artifactFiltered).as("artifact_bloom_filtered"))
+      .orderBy("o_orderpriority")
+  }
+
   /** X8: the COMPOSED curation pipeline — what a user of this library
     * actually runs end to end over a raw corpus: quality/language clean +
     * exact dedup (x6) → benchmark decontamination (x7d; benchmark =
@@ -3688,6 +3780,7 @@ object Queries {
     "x8_curation_v13" -> (x8CurationV13 _),
     "x6_cms_join_card" -> (x6CmsJoinCard _),
     "q13_planned_join" -> (q13PlannedJoin _),
+    "q14_runtime_filter" -> (q14RuntimeFilter _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_hilbert3" -> (x9Hilbert3 _),
     "x2_weighted_jaccard" -> (x2WeightedJaccard _),

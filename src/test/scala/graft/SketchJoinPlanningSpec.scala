@@ -31,6 +31,12 @@ class SketchJoinPlanningSpec extends SparkSpec {
     // third table joining the dim on a second key: 40 rows
     (0L until 40L).map(k => (k, k * 10L)).toDF("e_key", "e_weight")
       .repartition(2).write.parquet(s"$d/extra.parquet")
+    // runtime-filter fixture: big probe (1000 distinct keys) vs a hot
+    // build whose key SET is a 5% subset — selective by key overlap
+    (0L until 10000L).map(i => (i % 1000L, i)).toDF("b_key", "b_id")
+      .repartition(4).write.parquet(s"$d/big.parquet")
+    (0L until 200L).map(i => (i % 50L, s"h${i % 50L}")).toDF("h_key", "h_tag")
+      .repartition(2).write.parquet(s"$d/hot.parquet")
     d
   }
 
@@ -127,6 +133,78 @@ class SketchJoinPlanningSpec extends SparkSpec {
       assert(joins.forall(_.isInstanceOf[BroadcastHashJoinExec]),
         s"expected both joins broadcast from artifacts, got $joins")
       assert(planned.collect().toSeq == plainRows)
+      SketchCatalog.deactivate(spark)
+    }
+  }
+
+  test("runtime filter injected exactly when the key-overlap artifact is selective") {
+    import org.apache.spark.sql.execution.FilterExec
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      SketchCatalog.BroadcastBytesKey -> "0") { // pass 2 off: shuffle path
+      def bloomFilters(df: DataFrame): Seq[FilterExec] = {
+        val root = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p                        => p
+        }
+        root.collect {
+          case f: FilterExec
+              if f.condition.exists(_.isInstanceOf[graft.functions.BloomContains]) => f
+        }
+      }
+      def joinBigHot(): DataFrame =
+        spark.read.parquet(s"$dir/big.parquet")
+          .join(spark.read.parquet(s"$dir/hot.parquet"),
+            col("b_key") === col("h_key"))
+          .groupBy("h_tag").agg(count(lit(1)).as("n"), sum("b_id").as("s"))
+          .orderBy("h_tag")
+      def joinBigDim1000(): DataFrame = // overlap ≈ 1: every big key is hot
+        spark.read.parquet(s"$dir/big.parquet")
+          .join(spark.read.parquet(s"$dir/big.parquet")
+            .select(col("b_key").as("h_key")).distinct(), // not catalogued
+            col("b_key") === col("h_key"))
+          .agg(count(lit(1)).as("n"))
+
+      SketchCatalog.deactivate(spark)
+      val plainRows = joinBigHot().collect().toSeq
+      assert(bloomFilters(joinBigHot()).isEmpty, "no catalog, no filter")
+
+      val cat = SketchCatalog.harvest(spark, s"$dir/big.parquet", Seq("b_key"))
+        .unionByName(SketchCatalog.harvest(spark, s"$dir/hot.parquet", Seq("h_key")))
+      val path = s"$dir/rf_catalog"
+      SketchCatalog.save(cat, path)
+      SketchCatalog.activate(spark, path)
+
+      // selective overlap (50 of 1000 probe keys) -> filter on the PROBE
+      // side, results identical to the plain join
+      val planned = joinBigHot()
+      val filters = bloomFilters(planned)
+      assert(filters.size == 1, s"expected one bloom runtime filter, got $filters")
+      val scans = filters.head.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.head.toString
+      }
+      assert(scans.exists(_.contains("big.parquet")),
+        s"filter must sit above the PROBE scan, found scans: $scans")
+      assert(planned.collect().toSeq == plainRows)
+
+      // a side the catalog doesn't know -> rule stays out
+      assert(bloomFilters(joinBigDim1000()).isEmpty)
+
+      // overlap artifact missing (old catalog without hll) -> no injection
+      val active = SketchCatalog.lookup(spark.conf.get(SketchCatalog.ConfKey)).get
+      SketchCatalog.activateEntries(spark, "nohll",
+        active.entries.map(_.copy(hll = null)))
+      assert(bloomFilters(joinBigHot()).isEmpty, "no hll artifact, no filter")
+      assert(joinBigHot().collect().toSeq == plainRows)
+
+      // non-selective by artifact: pretend hot has the SAME key sketch as
+      // big (overlap fraction ~1) -> the artifact says don't bother
+      val bigE = active.entries.find(_.key == "b_key").get
+      SketchCatalog.activateEntries(spark, "dense",
+        active.entries.map(e =>
+          if (e.key == "h_key") e.copy(hll = bigE.hll, distinctEst = bigE.distinctEst)
+          else e))
+      assert(bloomFilters(joinBigHot()).isEmpty, "dense overlap, no filter")
       SketchCatalog.deactivate(spark)
     }
   }
