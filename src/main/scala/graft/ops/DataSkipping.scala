@@ -73,9 +73,10 @@ object DataSkipping {
 
   /** Manifest schema for `cols`: one row per file —
     * (file, n_rows, <c>_min, <c>_max, <c>_nulls per column), min/max
-    * typed LONG for integral columns, DOUBLE for floating ones and
-    * STRING for string columns, NULL when any chunk of the file lacks
-    * stats (unknown ≠ skippable).
+    * typed LONG for integral columns, DOUBLE for floating ones, STRING
+    * for string columns and the column's own type for timestamp / date
+    * columns, NULL when any chunk of the file lacks stats
+    * (unknown ≠ skippable).
     */
   def manifestSchema(cols: Seq[(String, DataType)]): StructType =
     StructType(
@@ -114,9 +115,12 @@ object DataSkipping {
         case LongType | IntegerType | ShortType | ByteType => (c, LongType)
         case DoubleType | FloatType                        => (c, DoubleType)
         case StringType                                    => (c, StringType)
+        case TimestampType                                 => (c, TimestampType)
+        case TimestampNTZType                              => (c, TimestampNTZType)
+        case DateType                                      => (c, DateType)
         case t => throw new IllegalArgumentException(
           s"DataSkipping.statsManifest: $c has unsupported type $t " +
-            "(integral, floating and string columns only)")
+            "(integral, floating, string, timestamp and date columns only)")
       }
     }
     val out = manifestSchema(typed)
@@ -138,6 +142,42 @@ object DataSkipping {
         // bound) — candidate selection only widens.
         def ucmp(a: Array[Byte], b: Array[Byte]): Int =
           java.util.Arrays.compareUnsigned(a, b)
+        // timestamp chunk bounds normalized to MICROS (the unit both
+        // Spark timestamp types carry internally), read honestly from
+        // the chunk's own logical annotation: MILLIS scale exactly,
+        // NANOS floor the min / ceil the max (a widened interval is a
+        // sound bound; a truncated one is not). INT96 — the deprecated
+        // encoding with undefined stats ordering — and any non-timestamp
+        // annotation degrade to unknown, never to a guess.
+        def tsMicrosBounds(
+            cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+            lo: Long, hi: Long): Option[(Long, Long)] = {
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+          val pt = cc.getPrimitiveType
+          if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT64) None
+          else pt.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                  Some((Math.multiplyExact(lo, 1000L), Math.multiplyExact(hi, 1000L)))
+                case LogicalTypeAnnotation.TimeUnit.MICROS => Some((lo, hi))
+                case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                  Some((Math.floorDiv(lo, 1000L), -Math.floorDiv(-hi, 1000L)))
+                case _ => None
+              }
+            case _ => None
+          }
+        }
+        def isDateChunk(
+            cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+          val pt = cc.getPrimitiveType
+          pt.getPrimitiveTypeName == PrimitiveTypeName.INT32 &&
+            pt.getLogicalTypeAnnotation
+              .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+        }
         paths.map { f =>
           val reader = ParquetFileReader.open(
             HadoopInputFile.fromPath(new Path(f), conf))
@@ -183,6 +223,25 @@ object DataSkipping {
                           val nmn = if (mn == null) lo else math.min(mn.asInstanceOf[Double], lo)
                           val nmx = if (mx == null) hi else math.max(mx.asInstanceOf[Double], hi)
                           acc(i) = (nmn, nmx, nulls, ok)
+                        case TimestampType | TimestampNTZType =>
+                          tsMicrosBounds(cc,
+                            st.genericGetMin.asInstanceOf[Number].longValue(),
+                            st.genericGetMax.asInstanceOf[Number].longValue()) match {
+                            case None => acc(i) = (mn, mx, nulls, false)
+                            case Some((lo, hi)) =>
+                              val nmn = if (mn == null) lo else math.min(mn.asInstanceOf[Long], lo)
+                              val nmx = if (mx == null) hi else math.max(mx.asInstanceOf[Long], hi)
+                              acc(i) = (nmn, nmx, nulls, ok)
+                          }
+                        case DateType =>
+                          if (!isDateChunk(cc)) acc(i) = (mn, mx, nulls, false)
+                          else {
+                            val lo = st.genericGetMin.asInstanceOf[Number].longValue()
+                            val hi = st.genericGetMax.asInstanceOf[Number].longValue()
+                            val nmn = if (mn == null) lo else math.min(mn.asInstanceOf[Long], lo)
+                            val nmx = if (mx == null) hi else math.max(mx.asInstanceOf[Long], hi)
+                            acc(i) = (nmn, nmx, nulls, ok)
+                          }
                         case _ =>
                           val lo = st.genericGetMin
                             .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
@@ -201,11 +260,25 @@ object DataSkipping {
                 }
               }
             }
+            def usMicros(v: Any): java.time.Instant = {
+              val us = v.asInstanceOf[Long]
+              java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+                Math.floorMod(us, 1000000L) * 1000L)
+            }
             val fields: Seq[Any] = f +: nRows +: typed.zipWithIndex.flatMap {
               case ((_, kind), i) =>
                 val (mn, mx, nu, ok) = acc(i)
                 if (!ok) Seq(null, null, null)
-                else if (kind != StringType || mn == null) Seq(mn, mx, nu)
+                else if (mn == null) Seq(mn, mx, nu)
+                else if (kind == TimestampType)
+                  Seq(usMicros(mn), usMicros(mx), nu)
+                else if (kind == TimestampNTZType)
+                  Seq(java.time.LocalDateTime.ofInstant(usMicros(mn), java.time.ZoneOffset.UTC),
+                    java.time.LocalDateTime.ofInstant(usMicros(mx), java.time.ZoneOffset.UTC), nu)
+                else if (kind == DateType)
+                  Seq(java.time.LocalDate.ofEpochDay(mn.asInstanceOf[Long]),
+                    java.time.LocalDate.ofEpochDay(mx.asInstanceOf[Long]), nu)
+                else if (kind != StringType) Seq(mn, mx, nu)
                 else {
                   // decode the byte-space bounds for the STRING manifest
                   // column. An incremented truncated max can land outside
@@ -242,6 +315,23 @@ object DataSkipping {
     * parquet UTF8 stats use, so manifest interval tests are exact.
     */
   def stringRange(column: String, lo: String, hi: String): Range =
+    Range(column, lit(lo), lit(hi))
+
+  /** Inclusive time-box range for a TimestampType manifest column (the
+    * "last N days" partition-pruning modality, without partitioning the
+    * table by date). Manifest bounds are stored at MICROS grain, so the
+    * interval test is exact for Spark-written data.
+    */
+  def timestampRange(column: String, lo: java.time.Instant, hi: java.time.Instant): Range =
+    Range(column, lit(lo), lit(hi))
+
+  /** Inclusive time-box range for a TimestampNTZType manifest column. */
+  def timestampNtzRange(column: String, lo: java.time.LocalDateTime,
+                        hi: java.time.LocalDateTime): Range =
+    Range(column, lit(lo), lit(hi))
+
+  /** Inclusive date range for a DateType manifest column. */
+  def dateRange(column: String, lo: java.time.LocalDate, hi: java.time.LocalDate): Range =
     Range(column, lit(lo), lit(hi))
 
   /** Manifest rows whose files COULD hold a row satisfying every range:

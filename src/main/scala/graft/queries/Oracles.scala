@@ -2501,6 +2501,19 @@ object Oracles {
         |  true AS pruned_equals_full, true AS files_skipped
         |FROM f""".stripMargin,
 
+    // the Spark side floors event time to MILLIS (timestamp_millis of
+    // the epoch-ms accessor) before boxing — the twin filters on
+    // epoch_ms(ts) against the same ms bounds, exactly equivalent
+    "x9_skipping_ts" ->
+      """WITH f AS (SELECT event_id, value FROM events
+        |  WHERE epoch_ms(ts) BETWEEN 1705276800000 AND 1705708799999)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(event_id), 0) AS BIGINT) AS sum_ids,
+        |  CAST(coalesce(sum(CAST(round(value, 6) AS DECIMAL(18,6))), 0) AS DOUBLE)
+        |    AS sum_value,
+        |  true AS pruned_equals_full, true AS files_skipped
+        |FROM f""".stripMargin,
+
     // Percentile-rank gate: exact group counts + interpolated
     // percentiles verbatim (quantile_cont ≡ Spark percentile); the GK
     // rank estimates ride as tie-aware in-plan booleans (the sketch

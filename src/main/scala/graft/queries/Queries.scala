@@ -326,6 +326,62 @@ object Queries {
     * over raw events — layout invisible to a correct skip),
     * pruned≡full and files-skipped ride as pinned booleans.
     */
+  /** X9ts: TIME-BOX file skipping on a TimestampType manifest column —
+    * the "last N days" scan every event table serves constantly, pruned
+    * WITHOUT date-partitioning the table: footer timestamp stats
+    * (INT64 micros logical annotation, read honestly per chunk —
+    * [[graft.ops.DataSkipping.statsManifestFiles]]) aggregated to file
+    * grain, a range-clustered write making the per-file time ranges
+    * tight, and a 5-of-30-day probe box that must (a) answer exactly
+    * what the full scan answers and (b) open strictly fewer files. The
+    * scratch write pins TIMESTAMP_MICROS explicitly — INT96, the
+    * deprecated default with undefined stats ordering, degrades the
+    * manifest to unknown (sound but skip-less), which the
+    * `files_skipped` boolean would catch.
+    */
+  private def x9SkippingTs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataSkipping
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    // ms-floored TimestampType event time, whatever the source encoding
+    val base = ev.select(col("event_id"), col("user_id"),
+      timestamp_millis(et.ms).as("ets"), col("value"))
+    val path = scratch(dir, "x9_skipping_ts")
+    val prevEnc = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      base.repartitionByRange(32, col("ets"), col("event_id"))
+        .sortWithinPartitions("ets", "event_id")
+        .write.mode("overwrite").parquet(path)
+    } finally prevEnc match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val manifest = DataSkipping.statsManifest(spark, path, Seq("ets")).cache()
+    val lo = java.time.Instant.ofEpochMilli(1705276800000L) // 2024-01-15T00:00:00Z
+    val hi = java.time.Instant.ofEpochMilli(1705708799999L) // 2024-01-19T23:59:59.999Z
+    val cand = DataSkipping.candidateFiles(manifest,
+      Seq(DataSkipping.timestampRange("ets", lo, hi)))
+    val rowFilter = col("ets").between(lit(lo), lit(hi))
+    def summary(df: DataFrame, tag: String) = df.agg(
+      count(lit(1)).as(s"n_rows$tag"),
+      coalesce(sum("event_id"), lit(0L)).as(s"sum_ids$tag"),
+      coalesce(sum(round(col("value"), 6).cast(DecimalType(18, 6))),
+        lit(0).cast(DecimalType(18, 6))).as(s"sum_value$tag"))
+    val prunedS = summary(
+      DataSkipping.prunedRead(spark, path, cand).where(rowFilter), "")
+    val fullS = summary(base.where(rowFilter), "_f")
+    val counts = cand.agg(count(lit(1)).as("__n_cand"))
+      .crossJoin(manifest.agg(count(lit(1)).as("__n_files")))
+    prunedS.crossJoin(broadcast(fullS)).crossJoin(broadcast(counts))
+      .select(col("n_rows"), col("sum_ids"),
+        col("sum_value").cast("double").as("sum_value"),
+        (col("n_rows") === col("n_rows_f") && col("sum_ids") === col("sum_ids_f") &&
+          col("sum_value") === col("sum_value_f")).as("pruned_equals_full"),
+        (col("__n_cand") > 0L && col("__n_cand") < col("__n_files"))
+          .as("files_skipped"))
+  }
+
   private def x9SkippingStr(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.DataSkipping
     val ev = t(spark, dir, "events")
@@ -3782,6 +3838,7 @@ object Queries {
     "q13_planned_join" -> (q13PlannedJoin _),
     "q14_runtime_filter" -> (q14RuntimeFilter _),
     "x9_skipping_str" -> (x9SkippingStr _),
+    "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_hilbert3" -> (x9Hilbert3 _),
     "x2_weighted_jaccard" -> (x2WeightedJaccard _),
     "k5_merge" -> (k5Merge _)

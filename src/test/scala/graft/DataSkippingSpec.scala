@@ -228,4 +228,85 @@ class DataSkippingSpec extends SparkSpec {
       Seq(DataSkipping.stringRange("k", "zz", "zzz")))
     assert(off.count() == 0)
   }
+
+  test("X9ts timestamp/date manifest agrees with a recount; time boxes prune and match") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip-ts").toString
+    val df = spark.range(4000).select(
+      col("id").as("a"),
+      timestamp_millis(lit(1704067200000L) + col("id") * 60000L).as("ts"), // minute grid from 2024-01-01
+      to_date(timestamp_millis(lit(1704067200000L) + col("id") * 60000L)).as("d"))
+    withSQLConf("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") {
+      df.repartitionByRange(8, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(dir)
+    }
+    def base(c: org.apache.spark.sql.Column) = element_at(split(c, "/"), -1)
+    val m = DataSkipping.statsManifest(spark, dir, Seq("ts", "d"))
+      .withColumn("fname", base(col("file"))).cache()
+    val truth = spark.read.parquet(dir)
+      .groupBy(base(input_file_name()).as("fname"))
+      .agg(min("ts").as("t_min"), max("ts").as("t_max"),
+        min("d").as("td_min"), max("d").as("td_max"))
+    val joined = m.join(truth, "fname")
+    assert(joined.count() == m.count() && m.count() > 1)
+    assert(joined.where(col("ts_min") =!= col("t_min") ||
+      col("ts_max") =!= col("t_max") || col("ts_nulls") =!= 0L ||
+      col("d_min") =!= col("td_min") || col("d_max") =!= col("td_max")).count() == 0)
+    // one-hour time box: prunes files, answers exactly the full scan
+    val lo = java.time.Instant.ofEpochMilli(1704067200000L + 1000L * 60000L)
+    val hi = java.time.Instant.ofEpochMilli(1704067200000L + 1059L * 60000L)
+    val cand = DataSkipping.candidateFiles(m,
+      Seq(DataSkipping.timestampRange("ts", lo, hi)))
+    assert(cand.count() > 0 && cand.count() < m.count())
+    val box = col("ts").between(lit(lo), lit(hi))
+    val got = DataSkipping.prunedRead(spark, dir, cand).where(box).count()
+    val want = spark.read.parquet(dir).where(box).count()
+    assert(got == want && want == 60)
+    // one-day date box on the DATE column
+    val d0 = java.time.LocalDate.of(2024, 1, 2)
+    val dcand = DataSkipping.candidateFiles(m,
+      Seq(DataSkipping.dateRange("d", d0, d0)))
+    assert(dcand.count() > 0 && dcand.count() < m.count())
+    val dGot = DataSkipping.prunedRead(spark, dir, dcand)
+      .where(col("d") === lit(d0)).count()
+    assert(dGot == spark.read.parquet(dir).where(col("d") === lit(d0)).count()
+      && dGot == 1440)
+  }
+
+  test("X9ts NTZ timestamps manifest at their own type; INT96 degrades to unknown, never wrong") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip-ntz").toString
+    val df = spark.range(2000).select(
+      col("id").as("a"),
+      timestamp_millis(lit(1704067200000L) + col("id") * 60000L)
+        .cast("timestamp_ntz").as("tn"))
+    df.repartitionByRange(4, col("tn")).sortWithinPartitions("tn")
+      .write.mode("overwrite").parquet(dir)
+    val m = DataSkipping.statsManifest(spark, dir, Seq("tn")).cache()
+    assert(m.schema("tn_min").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val lo = java.time.LocalDateTime.of(2024, 1, 1, 5, 0)
+    val hi = java.time.LocalDateTime.of(2024, 1, 1, 5, 59)
+    val cand = DataSkipping.candidateFiles(m,
+      Seq(DataSkipping.timestampNtzRange("tn", lo, hi)))
+    assert(cand.count() > 0 && cand.count() < m.count())
+    val box = col("tn").between(lit(lo), lit(hi))
+    val got = DataSkipping.prunedRead(spark, dir, cand).where(box).count()
+    assert(got == spark.read.parquet(dir).where(box).count() && got == 60)
+
+    // INT96 writes carry no usable ordering — the manifest must report
+    // UNKNOWN stats (every file a candidate), not a wrong bound
+    val dir96 = java.nio.file.Files.createTempDirectory("graft-skip-96").toString
+    withSQLConf("spark.sql.parquet.outputTimestampType" -> "INT96") {
+      spark.range(100).select(
+          timestamp_millis(lit(1704067200000L) + col("id") * 1000L).as("ts"))
+        .repartition(2).write.mode("overwrite").parquet(dir96)
+    }
+    val m96 = DataSkipping.statsManifest(spark, dir96, Seq("ts"))
+    assert(m96.where(col("ts_min").isNotNull || col("ts_max").isNotNull).count() == 0)
+    val all = DataSkipping.candidateFiles(m96,
+      Seq(DataSkipping.timestampRange("ts",
+        java.time.Instant.ofEpochMilli(0L),
+        java.time.Instant.ofEpochMilli(1L))))
+    assert(all.count() == m96.count(), "unknown stats must keep every file")
+  }
 }
