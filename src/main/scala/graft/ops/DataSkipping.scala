@@ -351,6 +351,23 @@ object DataSkipping {
     manifest.where(keep)
   }
 
+  /** Files that could hold a row where `column IS NULL` (`wantNull =
+    * true`) or `column IS NOT NULL` — the NULL modality of skipping,
+    * served from the null counts the manifest already carries (Delta
+    * tracks nullCount for exactly this). A known count proves absence
+    * EXACTLY — zero nulls has nothing for IS NULL, nulls == n_rows has
+    * nothing for IS NOT NULL — so unlike min/max this modality never
+    * widens; an unknown count keeps the file (sound, never lucky).
+    * Composes with [[candidateFiles]] by chaining: both filter manifest
+    * rows.
+    */
+  def nullCandidates(manifest: DataFrame, column: String, wantNull: Boolean): DataFrame = {
+    val nu = col(s"${column}_nulls")
+    manifest.where(
+      if (wantNull) nu.isNull || nu > lit(0L)
+      else nu.isNull || nu < col("n_rows"))
+  }
+
   /** Proof that every row of a file satisfies every range: min/max both
     * inside the interval and ZERO nulls on each predicate column (a
     * null row would be inside the file but outside the box). Interior

@@ -2501,6 +2501,19 @@ object Oracles {
         |  true AS pruned_equals_full, true AS files_skipped
         |FROM f""".stripMargin,
 
+    // payload is non-null exactly when event_type = 'click' (props is
+    // never null in the generated table; the Spark side's when() maps
+    // non-clicks to NULL) — the twin states that predicate directly
+    "x9_skipping_null" ->
+      """WITH f AS (SELECT event_id, value FROM events
+        |  WHERE event_type = 'click' AND props IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(event_id), 0) AS BIGINT) AS sum_ids,
+        |  CAST(coalesce(sum(CAST(round(value, 6) AS DECIMAL(18,6))), 0) AS DOUBLE)
+        |    AS sum_value,
+        |  true AS pruned_equals_full, true AS files_skipped
+        |FROM f""".stripMargin,
+
     // the Spark side floors event time to MILLIS (timestamp_millis of
     // the epoch-ms accessor) before boxing — the twin filters on
     // epoch_ms(ts) against the same ms bounds, exactly equivalent

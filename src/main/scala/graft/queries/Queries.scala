@@ -382,6 +382,47 @@ object Queries {
           .as("files_skipped"))
   }
 
+  /** X9nl: NULL-modality file skipping — `IS NOT NULL` probes answered
+    * from the null counts the manifest already carries (the Delta
+    * nullCount discipline). A sparse optional column (payload present
+    * only on click events, ~20%) clustered by presence makes most files
+    * provably all-null for it; the probe must skip those exactly and
+    * match the full scan. Unlike min/max this modality is EXACT per
+    * file — a known count proves absence, no interval widening — which
+    * is why both booleans can be pinned.
+    */
+  private def x9SkippingNull(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataSkipping
+    val ev = t(spark, dir, "events")
+    val base = ev.select(col("event_id"), col("value"),
+      when(col("event_type") === "click", col("props")).as("payload"))
+    val path = scratch(dir, "x9_skipping_null")
+    base.repartitionByRange(16, col("payload").isNull, col("event_id"))
+      .sortWithinPartitions(col("payload").isNull, col("event_id"))
+      .write.mode("overwrite").parquet(path)
+    val manifest = DataSkipping.statsManifest(spark, path, Seq("event_id", "payload"))
+      .cache()
+    val cand = DataSkipping.nullCandidates(manifest, "payload", wantNull = false)
+    def summary(df: DataFrame, tag: String) = df.agg(
+      count(lit(1)).as(s"n_rows$tag"),
+      coalesce(sum("event_id"), lit(0L)).as(s"sum_ids$tag"),
+      coalesce(sum(round(col("value"), 6).cast(DecimalType(18, 6))),
+        lit(0).cast(DecimalType(18, 6))).as(s"sum_value$tag"))
+    val prunedS = summary(
+      DataSkipping.prunedRead(spark, path, cand)
+        .where(col("payload").isNotNull), "")
+    val fullS = summary(base.where(col("payload").isNotNull), "_f")
+    val counts = cand.agg(count(lit(1)).as("__n_cand"))
+      .crossJoin(manifest.agg(count(lit(1)).as("__n_files")))
+    prunedS.crossJoin(broadcast(fullS)).crossJoin(broadcast(counts))
+      .select(col("n_rows"), col("sum_ids"),
+        col("sum_value").cast("double").as("sum_value"),
+        (col("n_rows") === col("n_rows_f") && col("sum_ids") === col("sum_ids_f") &&
+          col("sum_value") === col("sum_value_f")).as("pruned_equals_full"),
+        (col("__n_cand") > 0L && col("__n_cand") < col("__n_files"))
+          .as("files_skipped"))
+  }
+
   private def x9SkippingStr(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.DataSkipping
     val ev = t(spark, dir, "events")
@@ -3839,6 +3880,7 @@ object Queries {
     "q14_runtime_filter" -> (q14RuntimeFilter _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
+    "x9_skipping_null" -> (x9SkippingNull _),
     "x9_hilbert3" -> (x9Hilbert3 _),
     "x2_weighted_jaccard" -> (x2WeightedJaccard _),
     "k5_merge" -> (k5Merge _)

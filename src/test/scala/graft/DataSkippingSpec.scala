@@ -229,6 +229,45 @@ class DataSkippingSpec extends SparkSpec {
     assert(off.count() == 0)
   }
 
+  test("X9nl null-modality candidates are exact per file; unknown counts stay candidates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip-null").toString
+    // 4 files: ids 0-999 per file; payload null except in file regions
+    val df = spark.range(4000).select(
+      col("id").as("a"),
+      when(col("id") < 1000 || (col("id") >= 2000 && col("id") < 2500),
+        concat(lit("p"), col("id"))).as("payload"))
+    df.repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val m = DataSkipping.statsManifest(spark, dir, Seq("payload")).cache()
+    assert(m.count() == 4)
+    // truth: which files actually hold non-nulls / nulls (range-partition
+    // boundaries are sampled, so derive, don't hardcode)
+    def base(c: org.apache.spark.sql.Column) = element_at(split(c, "/"), -1)
+    val truth = spark.read.parquet(dir)
+      .groupBy(base(input_file_name()).as("fname"))
+      .agg(sum(col("payload").isNotNull.cast("long")).as("nn"),
+        sum(col("payload").isNull.cast("long")).as("nl")).cache()
+    val filesWithNonNull = truth.where(col("nn") > 0).count()
+    val filesWithNull = truth.where(col("nl") > 0).count()
+    assert(filesWithNonNull < 4, "fixture must leave at least one all-null file")
+    // IS NOT NULL: keeps exactly the files holding any non-null
+    val nn = DataSkipping.nullCandidates(m, "payload", wantNull = false)
+    assert(nn.count() == filesWithNonNull)
+    val got = DataSkipping.prunedRead(spark, dir, nn)
+      .where(col("payload").isNotNull).count()
+    assert(got == 1500 &&
+      got == spark.read.parquet(dir).where(col("payload").isNotNull).count())
+    // IS NULL: keeps exactly the files holding any null
+    val nl = DataSkipping.nullCandidates(m, "payload", wantNull = true)
+    assert(nl.count() == filesWithNull)
+    assert(DataSkipping.prunedRead(spark, dir, nl)
+      .where(col("payload").isNull).count() == 2500)
+    // wiped counts (unknown) keep every file, both modalities
+    val wiped = m.withColumn("payload_nulls", lit(null).cast("long"))
+    assert(DataSkipping.nullCandidates(wiped, "payload", wantNull = true).count() == 4)
+    assert(DataSkipping.nullCandidates(wiped, "payload", wantNull = false).count() == 4)
+  }
+
   test("X9ts timestamp/date manifest agrees with a recount; time boxes prune and match") {
     val dir = java.nio.file.Files.createTempDirectory("graft-skip-ts").toString
     val df = spark.range(4000).select(
