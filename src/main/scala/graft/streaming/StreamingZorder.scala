@@ -80,6 +80,30 @@ object StreamingZorder {
     newUpto
   }
 
+  /** The d-COLUMN OPTIMIZE pass ([[graft.ops.Layout.hilbertWriteN]],
+    * Skilling's dimension-generic form) — production OPTIMIZE ZORDER
+    * takes 3+ columns routinely, and the streaming cadence is no
+    * different: same watermark protocol as [[optimize]], the rank is
+    * just d-dimensional. Same one-curve-per-table rule; `bits` per
+    * dimension must satisfy d·bits ≤ 63 ([[graft.ops.Layout.HBits3]]
+    * for 3 columns). Interleave only dimensions with INDEPENDENT
+    * selectivity — the measured SCALING r11 rule: a correlated third
+    * column spends rank bits on information the 2-D layout delivers
+    * free and prunes WORSE.
+    */
+  def optimizeN(spark: SparkSession, root: String, cols: Seq[String],
+                numFiles: Int, bits: Int = Layout.HBits3): Long = {
+    val (gen, upto) = latestGen(root)
+    val fresh = ingestBatches(root).filter(_._1 > upto)
+    if (fresh.isEmpty) return upto
+    val newUpto = fresh.map(_._1).max
+    val freshDf = spark.read.parquet(fresh.map(_._2): _*)
+    val all = if (gen == 0L) freshDf
+      else freshDf.unionByName(spark.read.parquet(genPath(root, gen, upto)))
+    Layout.hilbertWriteN(all, cols, genPath(root, gen + 1, newUpto), numFiles, bits)
+    newUpto
+  }
+
   /** The live table: latest clustered generation + the unclustered tail. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val (gen, upto) = latestGen(root)

@@ -9,6 +9,7 @@ import java.nio.file.Files
 object StreamingZorderSpec {
   // top-level (not suite-nested) so the encoder compiles under codegen
   case class Ev(event_id: Long, user_id: Long, ts_ms: Long)
+  case class Ev3(event_id: Long, user_id: Long, ts_ms: Long, vkey: Long)
 }
 
 /** The streaming OPTIMIZE pattern must deliver (a) exactly-once reads
@@ -101,5 +102,64 @@ class StreamingZorderSpec extends SparkSpec {
       assert(math.abs(s - b) <= 1, s"probe u=$u t=$t: stream reads $s files, batch $b")
       assert(s < 16, s"probe u=$u t=$t: no pruning at all ($s of 16 files)")
     }
+  }
+
+  test("d-column streaming OPTIMIZE clusters like the one-shot 3-D hilbert write") {
+    import StreamingZorderSpec.Ev3
+    val evRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val et = graft.functions.EventTime.bind(evRaw)
+    // third dimension INDEPENDENT of (user, ts) — the SCALING r11 rule:
+    // only independent selectivity earns its rank bits
+    val rows = evRaw.select(col("event_id"), col("user_id"), et.ms.as("ts_ms"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (e, u, m) => Ev3(e, u, m, (e * 7919L) % 1000L) }
+
+    val root = Files.createTempDirectory("zorder3-stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev3]
+    val q = input.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingZorder.appendBatch(df, root, id)
+      }
+      .option("checkpointLocation", Files.createTempDirectory("zs3-ckpt").toString)
+      .start()
+    val cols = Seq("user_id", "ts_ms", "vkey")
+    val batches = rows.grouped(250).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      input.addData(b.toSeq: _*); q.processAllAvailable()
+      if (i == 1) StreamingZorder.optimizeN(spark, root, cols, 16)
+      val seen = StreamingZorder.read(spark, root).count()
+      val fed = batches.take(i + 1).map(_.length).sum
+      assert(seen == fed, s"after batch $i: read $seen rows, fed $fed")
+    }
+    q.stop()
+    StreamingZorder.optimizeN(spark, root, cols, 16)
+    val gen = StreamingZorder.latestClusteredPath(root).get
+    assert(StreamingZorder.read(spark, root).count() == rows.length)
+
+    // 3-D per-file boxes vs the one-shot batch twin of the same rows
+    def boxes3(path: String): Array[(Long, Long, Long, Long, Long, Long)] =
+      spark.read.parquet(path).withColumn("f", input_file_name())
+        .groupBy("f").agg(
+          min("user_id").as("ul"), max("user_id").as("uh"),
+          min("ts_ms").as("tl"), max("ts_ms").as("th"),
+          min("vkey").as("vl"), max("vkey").as("vh"))
+        .select("ul", "uh", "tl", "th", "vl", "vh")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val batchDir = Files.createTempDirectory("zorder3-batch").toString + "/t"
+    Layout.hilbertWriteN(rows.toSeq.toDF("event_id", "user_id", "ts_ms", "vkey")
+      .select("user_id", "ts_ms", "vkey", "event_id"), cols, batchDir,
+      numFiles = 16, bits = Layout.HBits3)
+    val (sb, bb) = (boxes3(gen), boxes3(batchDir))
+    assert(sb.length == 16 && bb.length == 16)
+    def meanVol(b: Array[(Long, Long, Long, Long, Long, Long)]) =
+      b.map { case (ul, uh, tl, th, vl, vh) =>
+        (uh - ul + 1).toDouble * (th - tl + 1) * (vh - vl + 1) }.sum / b.length
+    assert(meanVol(sb) <= meanVol(bb) * 1.25,
+      s"stream-compacted 3-D boxes ${meanVol(sb)} vs batch ${meanVol(bb)}")
+    // a middle-quarter box on the INDEPENDENT third dimension prunes
+    val (vLo, vHi) = (375L, 625L)
+    val vRead = sb.count { case (_, _, _, _, vl, vh) => vh >= vLo && vl <= vHi }
+    assert(vRead < 16, s"vkey box read $vRead of 16 files — no 3-D pruning")
   }
 }
