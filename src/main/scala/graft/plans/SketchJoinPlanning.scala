@@ -21,18 +21,21 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
   * broadcast hints never change semantics, and a Bloom pre-filter has
   * false positives only with the real join re-verifying):
   *
-  *  1. **Join ORDER for a left-deep 3-table chain** `(A ⋈ B) ⋈ C`: the
-  *     output cardinality of each directly-joinable pair is estimated by
-  *     the AMS inner product of the two stored Count-Min sketches
+  *  1. **Join ORDER for left-deep N-table chains** `((A ⋈ B) ⋈ C) ⋈ …`:
+  *     the output cardinality of each joinable pair is estimated by the
+  *     AMS inner product of the two stored Count-Min sketches
   *     (`|X ⋈ Y| ≈ cms_X · cms_Y` on the join key — the one statistic
   *     file sizes cannot give a planner: a PK–FK join outputs |fact|
   *     rows, a skewed many-many join can output orders of magnitude
-  *     more, and both sides' BYTES are identical in the two cases). If
-  *     the outer pair's estimate is strictly smaller than the inner
-  *     pair's, the chain is rotated so the cheaper join runs first — the
-  *     intermediate that rides the second exchange shrinks by the ratio
-  *     of the estimates. Classic Selinger-style left-deep ordering, with
-  *     sketch artifacts in place of catalog histograms.
+  *     more, and both sides' BYTES are identical in the two cases), each
+  *     edge's selectivity is `est / (n_a·n_b)`, and a greedy Selinger
+  *     left-deep order is built from every candidate starting pair
+  *     (edges ≤ N − 1, so trying all starts is free). The chain is
+  *     rewritten only when the greedy order's estimated cost — the SUM
+  *     of intermediate cardinalities, what the exchanges actually
+  *     carry — strictly beats the written order's under the same model.
+  *     Classic Selinger ordering, with sketch artifacts in place of
+  *     catalog histograms.
   *
   *  2. **Broadcast-vs-shuffle for un-hinted equi-joins**: a side whose
   *     catalogued size (`n_bytes`, the on-disk class Spark's own
@@ -148,48 +151,166 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     } yield est
 
   // ---------------------------------------------------------------- //
-  // Pass 1: left-deep 3-chain reorder by estimated output cardinality
+  // Pass 1: left-deep N-chain reorder by estimated output cardinality
   // ---------------------------------------------------------------- //
 
-  /** The inner join of a left-deep chain, seen through the pure-pruning
-    * Project column pruning inserts between the two joins (attribute-only
-    * project lists — dropping one is safe because the rewrite re-prunes
-    * via its own top Project and the optimizer's pruning batch re-runs).
+  /** A plan seen through the pure-pruning Project column pruning inserts
+    * between chain joins (attribute-only project lists — dropping one is
+    * safe because the rewrite re-prunes via its own top Project and the
+    * optimizer's pruning batch re-runs).
     */
-  private object ChainLeft {
-    def unapply(p: LogicalPlan): Option[Join] = p match {
-      case j: Join => Some(j)
-      case Project(list, j: Join) if list.forall(_.isInstanceOf[AttributeReference]) =>
-        Some(j)
+  @annotation.tailrec
+  private def stripPruneProject(p: LogicalPlan): LogicalPlan = p match {
+    // strip STACKS of attribute-only Projects (column pruning's Project
+    // lands on top of a previous rewrite's re-pruning Project)
+    case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) &&
+        (child.isInstanceOf[Join] || child.isInstanceOf[Project]) =>
+      stripPruneProject(child)
+    case other => other
+  }
+
+  /** The leaves and per-join conditions of a maximal left-deep chain of
+    * un-hinted inner joins whose every side resolves to a catalogued
+    * relation — `conds(i)` is the condition that joined `leaves(i + 1)`
+    * into the prefix. None when any link breaks the shape.
+    */
+  private def extractChain(p: LogicalPlan, cat: Catalog)
+    : Option[(List[LogicalPlan], List[Expression])] =
+    stripPruneProject(p) match {
+      case Join(l, r, Inner, Some(cond), JoinHint(None, None))
+          if resolveBase(r, cat).isDefined =>
+        extractChain(l, cat).map { case (leaves, conds) =>
+          (leaves :+ r, conds :+ cond)
+        }
+      case leaf if resolveBase(leaf, cat).isDefined => Some((List(leaf), Nil))
       case _ => None
     }
+
+  /** One chain condition resolved against the chain's leaves: it must be
+    * pure cross-leaf equi conjuncts between exactly TWO leaves (the
+    * Selinger edge). `a`/`b` are leaf indices; `attrA`/`attrB` the first
+    * conjunct's key attributes on each.
+    */
+  private final case class Edge(cond: Expression, a: Int, b: Int,
+                                attrA: AttributeReference, attrB: AttributeReference)
+
+  private def resolveEdge(cond: Expression, leaves: Seq[LogicalPlan]): Option[Edge] = {
+    def leafOf(attr: AttributeReference): Option[Int] = {
+      val hits = leaves.indices.filter(i => leaves(i).outputSet.contains(attr))
+      if (hits.size == 1) Some(hits.head) else None
+    }
+    val pairs = splitConjunctivePredicates(cond).map {
+      case EqualTo(l: AttributeReference, r: AttributeReference) =>
+        for { li <- leafOf(l); ri <- leafOf(r); if li != ri }
+          yield if (li < ri) (li, ri, l, r) else (ri, li, r, l)
+      case _ => None
+    }
+    if (pairs.isEmpty || pairs.exists(_.isEmpty)) None
+    else {
+      val es = pairs.map(_.get)
+      val (a, b, l, r) = es.head
+      if (es.forall(e => e._1 == a && e._2 == b)) Some(Edge(cond, a, b, l, r))
+      else None // one condition spanning three+ leaves: not a chain edge
+    }
+  }
+
+  /** Estimated `|leaves(e.a) ⋈ leaves(e.b)|` from the stored CMS pair. */
+  private def edgeEst(cat: Catalog, leaves: Seq[LogicalPlan], e: Edge): Option[Double] =
+    for {
+      ab <- resolveBase(leaves(e.a), cat); bb <- resolveBase(leaves(e.b), cat)
+      ae <- entryFor(ab, cat, e.attrA); be <- entryFor(bb, cat, e.attrB)
+      est <- try Some(CmsCodec.innerProduct(
+        CmsCodec.parse(ae.cms), CmsCodec.parse(be.cms)).toDouble)
+      catch { case ex: IllegalArgumentException =>
+        logWarning(s"sketch planning: skipping estimate (${ex.getMessage})"); None }
+    } yield est
+
+  /** Greedy Selinger left-deep ordering: selectivity of each edge comes
+    * from its CMS pair estimate (`sel = est / (n_a·n_b)` — the statistic
+    * file sizes cannot supply), intermediates scale multiplicatively,
+    * and the plan cost is the SUM of intermediate cardinalities (what
+    * the exchanges actually carry). Every edge is tried as the starting
+    * pair (edges ≤ leaves − 1, so this is cheap); ties keep the earlier
+    * edge. Returns the attach order as (startEdge, then (edge, newLeaf)*)
+    * plus its cost.
+    */
+  private def greedyOrder(nRows: Seq[Double], edges: Seq[Edge],
+                          ests: Map[Int, Double])
+    : Option[(Seq[(Int, Int)], Double)] = {
+    def sel(ei: Int): Double = {
+      val e = edges(ei)
+      ests(ei) / math.max(1.0, nRows(e.a) * nRows(e.b))
+    }
+    def complete(start: Int): Option[(Seq[(Int, Int)], Double)] = {
+      var included = Set(edges(start).a, edges(start).b)
+      var used = Set(start)
+      var e = ests(start)
+      var cost = e
+      val order = Seq.newBuilder[(Int, Int)]
+      order += ((start, -1))
+      while (used.size < edges.size) {
+        val cands = edges.indices.filter { i =>
+          !used(i) && (included(edges(i).a) ^ included(edges(i).b))
+        }
+        if (cands.isEmpty) return None // disconnected remainder: bail
+        val scored = cands.map { i =>
+          val nw = if (included(edges(i).a)) edges(i).b else edges(i).a
+          (i, nw, e * nRows(nw) * sel(i))
+        }
+        val (bi, bn, be) = scored.minBy(_._3)
+        included += bn; used += bi; e = be; cost += be
+        order += ((bi, bn))
+      }
+      Some((order.result(), cost))
+    }
+    edges.indices.flatMap(complete).sortBy(_._2).headOption
   }
 
   private def reorderPass(plan: LogicalPlan, cat: Catalog): LogicalPlan =
     plan.transformUp {
-      case outer @ Join(
-            ChainLeft(inner @ Join(a, b, Inner, Some(condAB), JoinHint(None, None))),
-            c, Inner, Some(condOut), JoinHint(None, None))
-          if outer.resolved && inner.resolved =>
+      case outer @ Join(_, _, Inner, Some(_), JoinHint(None, None))
+          if outer.resolved =>
         val rewritten = for {
-          abPairs <- equiPairs(condAB, a, b)
-          estAB <- estJoinRows(cat, a, b, abPairs)
-          // the outer condition must reference EXACTLY ONE of the inner
-          // join's sides (plus C) — that side rotates out with C
-          x <-
-            if (condOut.references.subsetOf(b.outputSet ++ c.outputSet)) Some(b)
-            else if (condOut.references.subsetOf(a.outputSet ++ c.outputSet)) Some(a)
-            else None
-          y = if (x eq b) a else b
-          xcPairs <- equiPairs(condOut, x, c)
-          estXC <- estJoinRows(cat, x, c, xcPairs)
-          if estXC < estAB
+          (leaves, conds) <- extractChain(outer, cat)
+          if leaves.size >= 3 // nothing to reorder below a 3-chain
+          edges <- {
+            val es = conds.map(resolveEdge(_, leaves))
+            if (es.exists(_.isEmpty)) None else Some(es.map(_.get))
+          }
+          ests <- {
+            val em = edges.indices.map(i => edgeEst(cat, leaves, edges(i)).map(i -> _))
+            if (em.exists(_.isEmpty)) None else Some(em.map(_.get).toMap)
+          }
+          nRows = leaves.map(l =>
+            resolveBase(l, cat).flatMap(b => cat.byTable.get(b.table))
+              .map(_.nRows.toDouble).getOrElse(1.0))
+          // cost of the ORIGINAL order under the same model: conds(i)
+          // attaches leaf i+1, selectivity from its edge estimate
+          origCost = {
+            var e = ests(0); var c = e
+            edges.indices.drop(1).foreach { i =>
+              val nw = leaves(i + 1)
+              val ni = nRows(i + 1)
+              e = e * ni * (ests(i) / math.max(1.0,
+                nRows(edges(i).a) * nRows(edges(i).b)))
+              c += e
+            }
+            c
+          }
+          (order, cost) <- greedyOrder(nRows, edges, ests)
+          if cost < origCost
         } yield {
-          logInfo(s"sketch planning: reordered 3-chain (est inner=$estAB, " +
-            s"rotated pair=$estXC)")
-          Project(outer.output,
-            Join(Join(x, c, Inner, Some(condOut), JoinHint.NONE),
-              y, Inner, Some(condAB), JoinHint.NONE))
+          val (startEdge, _) = order.head
+          var built: LogicalPlan = Join(leaves(edges(startEdge).a),
+            leaves(edges(startEdge).b), Inner, Some(edges(startEdge).cond),
+            JoinHint.NONE)
+          order.tail.foreach { case (ei, nw) =>
+            built = Join(built, leaves(nw), Inner, Some(edges(ei).cond),
+              JoinHint.NONE)
+          }
+          logInfo(f"sketch planning: reordered ${leaves.size}-chain " +
+            f"(est cost $origCost%.0f -> $cost%.0f)")
+          Project(outer.output, built)
         }
         rewritten.getOrElse(outer)
     }

@@ -1397,6 +1397,16 @@ object Oracles {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q15_planned_chain" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  true AS naive_all_merge, true AS artifact_fact_last,
+        |  true AS artifact_bottom_dims
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the hot dim is a scratch table derived deterministically from
     // customer (c_nationkey < 3) — the twin reconstructs it inline; the
     // booleans pin that the un-ruled plan was a bare shuffle join and the

@@ -3148,6 +3148,92 @@ object Queries {
       .orderBy("c_mktsegment")
   }
 
+  /** Planning catalog for [[q15PlannedChain]]: all four chain tables,
+    * one harvest scan each, built once per JVM per sf dir.
+    */
+  private val q15CatalogPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q15Catalog(spark: SparkSession, dir: String): String =
+    q15CatalogPaths.computeIfAbsent(dir, { _ =>
+      import graft.ops.SketchCatalog
+      val cat = SketchCatalog.harvest(spark, s"$dir/customer.parquet",
+          Seq("c_custkey", "c_nationkey"))
+        .unionByName(SketchCatalog.harvest(spark, s"$dir/orders.parquet",
+          Seq("o_orderkey", "o_custkey")))
+        .unionByName(SketchCatalog.harvest(spark, s"$dir/lineitem.parquet",
+          Seq("l_orderkey")))
+        .unionByName(SketchCatalog.harvest(spark, s"$dir/nation.parquet",
+          Seq("n_nationkey")))
+      val path = scratch(dir, "q15_catalog")
+      SketchCatalog.save(cat, path)
+      path
+    })
+
+  /** Q15: greedy Selinger over a FOUR-table chain — pass 1 generalized
+    * past the 3-chain rotation: the chain is written worst-first
+    * (lineitem ⋈ orders first, customer ⋈ nation last) and the rule must
+    * rebuild the whole left-deep order from the CMS edge estimates —
+    * cheapest pair (customer ⋈ nation) at the bottom, the fact table
+    * attached LAST, cost = Σ intermediate cardinalities strictly
+    * improved. Both structural facts are probed from the forced physical
+    * plan and ride the hash gate as pinned booleans; the revenue
+    * aggregate is the plain-join twin (reordering must be invisible to
+    * results).
+    */
+  private def q15PlannedChain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchCatalog
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    def chain(): DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .join(spark.read.parquet(s"$dir/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_items"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 4)
+          .as("revenue"))
+    def joins(df: DataFrame): Seq[SparkPlan] = {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+      root.collect {
+        case b: BroadcastHashJoinExec => b
+        case s: SortMergeJoinExec     => s
+      }
+    }
+    def scansOf(p: SparkPlan): Seq[String] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.head.toString
+    }
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (naiveAllMerge, factLast, bottomDims) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SketchCatalog.deactivate(spark)
+      val naive = joins(chain())
+      SketchCatalog.activate(spark, q15Catalog(spark, dir))
+      val planned = joins(chain())
+      val bottom = planned.lastOption.toSeq.flatMap(scansOf)
+      val mid = if (planned.size == 3) scansOf(planned(1)) else Nil
+      (naive.size == 3 && naive.forall(_.isInstanceOf[SortMergeJoinExec]),
+        planned.size == 3 && mid.nonEmpty && mid.forall(!_.contains("lineitem")),
+        bottom.nonEmpty && bottom.forall(s =>
+          s.contains("customer") || s.contains("nation")))
+    } finally {
+      SketchCatalog.deactivate(spark)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    chain()
+      .select(col("n_name"), col("n_items"), col("revenue"),
+        lit(naiveAllMerge).as("naive_all_merge"),
+        lit(factLast).as("artifact_fact_last"),
+        lit(bottomDims).as("artifact_bottom_dims"))
+      .orderBy("n_name")
+  }
+
   /** Hot-dim scratch table + planning catalog for [[q14RuntimeFilter]],
     * built once per JVM per sf dir: the dim is customers of three
     * nations — its KEY SET is a ~11% subset of the custkeys orders
@@ -3878,6 +3964,7 @@ object Queries {
     "x6_cms_join_card" -> (x6CmsJoinCard _),
     "q13_planned_join" -> (q13PlannedJoin _),
     "q14_runtime_filter" -> (q14RuntimeFilter _),
+    "q15_planned_chain" -> (q15PlannedChain _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),

@@ -115,6 +115,13 @@ object ScaleUp {
       spark.read.parquet(suSrc).write.mode("overwrite")
         .parquet(s"$dest/supplier.parquet")
     }
+    // nation: same pass-through — a 25-row static dim at any scale
+    // (customer c_nationkey references it; q15's chain bottom)
+    val naSrc = s"$src/nation.parquet"
+    if (new java.io.File(naSrc).exists()) {
+      spark.read.parquet(naSrc).write.mode("overwrite")
+        .parquet(s"$dest/nation.parquet")
+    }
 
     val dim = 64
     val emb = spark.read.parquet(s"$src/embeddings.parquet")

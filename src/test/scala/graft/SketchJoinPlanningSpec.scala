@@ -137,6 +137,62 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("4-chain greedy reorder sinks the fact table to the top; hash parity holds") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // fourth table: joins extra on its own key, 10 rows — the cheapest
+      // pair in the chain (extra⋈tiny est 40·(10/40)=10 — must join first)
+      import spark.implicits._
+      (0L until 10L).map(k => (k * 4L, s"t$k")).toDF("y_key", "y_tag")
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/tiny.parquet")
+      val path = {
+        val cat = SketchCatalog.harvest(spark, s"$dir/dim.parquet", Seq("d_key"))
+          .unionByName(SketchCatalog.harvest(spark, s"$dir/fact.parquet", Seq("f_key")))
+          .unionByName(SketchCatalog.harvest(spark, s"$dir/extra.parquet", Seq("e_key")))
+          .unionByName(SketchCatalog.harvest(spark, s"$dir/tiny.parquet", Seq("y_key")))
+        val p = s"$dir/catalog4"
+        SketchCatalog.save(cat, p)
+        p
+      }
+      val fact = spark.read.parquet(s"$dir/fact.parquet")
+      val dim = spark.read.parquet(s"$dir/dim.parquet")
+      val extra = spark.read.parquet(s"$dir/extra.parquet")
+      val tiny = spark.read.parquet(s"$dir/tiny.parquet")
+      // written WORST-first: the fact pair joins first, the cheapest
+      // (extra ⋈ tiny) last
+      def chain() = fact
+        .join(dim, col("f_key") === col("d_key"))
+        .join(extra, col("d_key") === col("e_key"))
+        .join(tiny, col("e_key") === col("y_key"))
+        .groupBy("d_seg")
+        .agg(count(lit(1)).as("n"), sum(col("f_val") * col("e_weight")).as("s"))
+        .orderBy("d_seg")
+
+      SketchCatalog.deactivate(spark)
+      val plainRows = chain().collect().toSeq
+
+      SketchCatalog.activate(spark, path)
+      val planned = chain()
+      val joins = physicalJoins(planned)
+      assert(joins.size == 3, s"expected 3 joins, got $joins")
+      // deepest join must be over the two SMALLEST tables; the fact scan
+      // must appear only under the TOP join (largest intermediate last)
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+        p.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.head.toString
+        }
+      val bottom = scansOf(joins.last)
+      assert(bottom.nonEmpty && bottom.forall(s =>
+        !s.contains("fact.parquet") && !s.contains("dim.parquet")),
+        s"bottom join must be extra x tiny, scans: $bottom")
+      val midScans = scansOf(joins(1))
+      assert(midScans.forall(!_.contains("fact.parquet")),
+        s"fact must attach LAST, mid-join scans: $midScans")
+      assert(planned.collect().toSeq == plainRows)
+      SketchCatalog.deactivate(spark)
+    }
+  }
+
   test("runtime filter injected exactly when the key-overlap artifact is selective") {
     import org.apache.spark.sql.execution.FilterExec
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
