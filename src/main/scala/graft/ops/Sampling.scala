@@ -415,6 +415,33 @@ object Sampling {
     * saturates). W comes from one tiny sum aggregation (a scalar, the
     * model-fit collect pattern); the corpus pass is a pure filter.
     */
+  /** Exact fixed-k per-group uniform sample WITHOUT replacement — the
+    * eval-set carve ([[stratifiedSample]] draws a hash-FRACTION, whose
+    * per-stratum count is binomial; benchmark construction wants exactly
+    * k): every group yields exactly min(k, |group|) rows, the k whose
+    * seeded id hash ranks highest — uniform over the group (the hash is
+    * a random permutation of ids) and deterministic from (corpus, seed),
+    * so the draw replays bit-exact in any engine with md5 (the x7_split
+    * portability discipline). One pass, one exchange carrying ≤ k heap
+    * entries per (partition, group) ([[graft.functions.TopKAgg]] — never
+    * the group's rows), so a 100 TB corpus ships k·G tuples, not data.
+    * Output: group columns + (rank, id), rank 1..k by hash desc / id asc.
+    */
+  def fixedKSample(df: DataFrame, idCol: String, groupCols: Seq[String],
+                   k: Int, seed: String = "fixedk"): DataFrame = {
+    require(k > 0, s"fixedKSample: k must be positive, got $k")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val score = Dedup.md5Hash32(
+      concat_ws("|", lit(seed), col(idCol).cast("string")), 1).cast("double")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_topk",
+        struct(score, col(idCol).cast("long")), lit(k)).as("__top"))
+      .select(groupCols.map(col) :+ posexplode(col("__top")): _*)
+      .select(groupCols.map(col) :+
+        (col("pos") + 1).cast("long").as("rank") :+
+        col("col.id").as(idCol): _*)
+  }
+
   def ppsSample(df: DataFrame, idCol: String, weight: Column,
                 expectedDocs: Long): DataFrame = {
     require(expectedDocs >= 0, s"expectedDocs must be >= 0: $expectedDocs")

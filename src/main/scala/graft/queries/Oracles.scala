@@ -2850,6 +2850,18 @@ object Oracles {
     // is the exact integer comparison hash32·W < w·n·2^32 (HUGEINT here,
     // DECIMAL(38,0) in Spark — both exact 128-bit paths), so the weighted
     // draw replays bit-for-bit with no floating point on either side.
+    // the seeded md5-rank permutation replayed verbatim: hash desc then
+    // id asc — identical tie order to the TopKAgg heap's (score desc,
+    // id asc) survivor convention
+    "x7_fixed_k_sample" ->
+      """SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id
+        |FROM (SELECT event_type, event_id,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY ('0x' || substr(md5('r11|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT DESC,
+        |      event_id ASC) AS rank
+        |  FROM events)
+        |WHERE rank <= 40 ORDER BY event_type, rank""".stripMargin,
+
     "x7_pps_sample" ->
       s"""WITH ptw AS (SELECT doc_id,
          |    CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS w

@@ -2672,6 +2672,20 @@ object Queries {
     * sample size stays 60 at every scale while the corpus grows under it
     * (long docs proportionally favored — the PPS property).
     */
+  /** X7fk: exact fixed-k per-group sample — exactly min(k, |group|)
+    * rows per event type, drawn by seeded id-hash rank
+    * ([[Sampling.fixedKSample]]): the eval-set carve where "about 10%"
+    * (the hash-fraction draw) is the wrong contract and "exactly 40 per
+    * class" is the point. The shuffle ships k-capped TopKAgg heaps, not
+    * rows; the twin replays the identical permutation via row_number
+    * over the same md5 rank, so every (group, rank, id) triple is
+    * hash-pinned.
+    */
+  private def x7FixedKSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.fixedKSample(t(spark, dir, "events"), "event_id",
+      Seq("event_type"), k = 40, seed = "r11")
+      .orderBy("event_type", "rank")
+
   private def x7PpsSample(spark: SparkSession, dir: String): DataFrame = {
     // weight staged as a named column so the filter and the output share
     // ONE tokenCount extraction per pass (the W aggregation pays its own)
@@ -3852,6 +3866,7 @@ object Queries {
     "x7_split" -> (x7Split _),
     "x7_shuffle_shards" -> (x7ShuffleShards _),
     "x7_pps_sample" -> (x7PpsSample _),
+    "x7_fixed_k_sample" -> (x7FixedKSample _),
     "x7_stratified_sample" -> (x7StratifiedSample _),
     "x7_token_quota" -> (x7TokenQuota _),
     "x7_decontaminate" -> (x7Decontaminate _),

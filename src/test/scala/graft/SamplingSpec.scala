@@ -269,4 +269,28 @@ class SamplingSpec extends SparkSpec {
       assert(a == b, s"shard $k not reproducible across exports")
     }
   }
+
+  test("fixedKSample: exactly min(k, |group|) per group, deterministic, seed-independent") {
+    val df = spark.range(1000).select(
+      col("id"), (col("id") % 7).cast("string").as("g"))
+      // one deliberately tiny group: 3 rows
+      .unionByName(spark.range(1000, 1003).select(
+        col("id"), lit("tiny").as("g")))
+    val s1 = Sampling.fixedKSample(df, "id", Seq("g"), k = 20, seed = "a")
+    val counts = s1.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("tiny") == 3 && (0 until 7).forall(i => counts(i.toString) == 20))
+    // ranks are 1..n contiguous per group
+    val ranks = s1.where(col("g") === "0").select("rank").as[Long].collect().sorted
+    assert(ranks.toSeq == (1L to 20L))
+    // deterministic replay; a different seed draws a different set
+    val s1b = Sampling.fixedKSample(df, "id", Seq("g"), k = 20, seed = "a")
+    assert(s1.collect().toSeq.sortBy(_.toString) == s1b.collect().toSeq.sortBy(_.toString))
+    val s2 = Sampling.fixedKSample(df, "id", Seq("g"), k = 20, seed = "b")
+    val ids1 = s1.select("id").as[Long].collect().toSet
+    val ids2 = s2.select("id").as[Long].collect().toSet
+    assert(ids1 != ids2 && (ids1 & ids2).nonEmpty)
+    // sampled ids are a subset of the corpus
+    assert(ids1.subsetOf((0L until 1003L).toSet))
+  }
 }
