@@ -104,6 +104,51 @@ object StreamingZorder {
     newUpto
   }
 
+  /** Retention cleanup — the VACUUM half of the OPTIMIZE story (the
+    * scaladoc above calls superseded generations and compacted ingest
+    * batches "garbage to vacuum out-of-band"; this is that band).
+    * Deletes clustered generations older than the newest
+    * `keepGenerations` COMPLETE ones, and ingest batches covered by
+    * every kept generation (id ≤ the OLDEST kept watermark — a reader
+    * pinned to any kept generation still finds its whole tail).
+    * [[read]] is untouched by construction: it only ever opens the
+    * latest generation and batches past its watermark. The
+    * `keepGenerations` knob is the Delta/Iceberg retention trade made
+    * explicit — a long-running reader that resolved the PREVIOUS
+    * generation before vacuum ran needs it kept; how long is a policy,
+    * not something the table can infer. Incomplete (no `_SUCCESS`)
+    * generation dirs older than the newest complete one are dead
+    * compaction attempts and are removed too. Returns
+    * (generations deleted, batches deleted).
+    */
+  def vacuum(root: String, keepGenerations: Int = 1): (Int, Int) = {
+    require(keepGenerations >= 1, "vacuum: must keep at least the latest generation")
+    val all = listDirs(s"$root/clustered").flatMap { p =>
+      p.getName match {
+        case s if s.startsWith("gen=") && s.contains("_upto=") =>
+          val parts = s.stripPrefix("gen=").split("_upto=")
+          val complete = hadoopFs(p).exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+          Some((parts(0).toLong, parts(1).toLong, p, complete))
+        case _ => None
+      }
+    }.sortBy(-_._1)
+    val complete = all.filter(_._4)
+    if (complete.isEmpty) return (0, 0) // nothing committed: delete nothing
+    val kept = complete.take(keepGenerations)
+    val newestGen = complete.head._1
+    val dropGens = all.filter { case (g, _, _, c) =>
+      (c && !kept.exists(_._1 == g)) || (!c && g < newestGen)
+    }
+    dropGens.foreach { case (_, _, p, _) => hadoopFs(p).delete(p, true) }
+    val keepUpto = kept.map(_._2).min
+    val dropBatches = ingestBatches(root).filter(_._1 <= keepUpto)
+    dropBatches.foreach { case (_, dir) =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      hadoopFs(p).delete(p, true)
+    }
+    (dropGens.size, dropBatches.size)
+  }
+
   /** The live table: latest clustered generation + the unclustered tail. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val (gen, upto) = latestGen(root)

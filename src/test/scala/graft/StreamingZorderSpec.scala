@@ -104,6 +104,43 @@ class StreamingZorderSpec extends SparkSpec {
     }
   }
 
+  test("vacuum drops superseded generations and covered batches; reads stay exact") {
+    import StreamingZorderSpec.Ev
+    val rows = (0L until 1000L).map(i => Ev(i, i % 37L, 1700000000000L + i * 1000L))
+    val root = Files.createTempDirectory("zorder-vac").toString
+    // 4 appends, optimize after batch 1 and batch 3: two generations
+    rows.grouped(250).zipWithIndex.foreach { case (b, i) =>
+      StreamingZorder.appendBatch(b.toDF(), root, i.toLong)
+      if (i == 1 || i == 3) StreamingZorder.optimize(spark, root, "user_id", "ts_ms", 8)
+    }
+    def dirs(sub: String) = {
+      val d = new java.io.File(s"$root/$sub")
+      if (!d.exists()) Array.empty[String] else d.listFiles().map(_.getName).sorted
+    }
+    assert(dirs("clustered").length == 2 && dirs("ingest").length == 4)
+    val before = StreamingZorder.read(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq
+
+    // keep 2 generations: nothing deletable except batches covered by BOTH
+    val (g2, b2) = StreamingZorder.vacuum(root, keepGenerations = 2)
+    assert(g2 == 0 && b2 == 2, s"keep-2 vacuum removed gens=$g2 batches=$b2")
+    assert(dirs("clustered").length == 2 && dirs("ingest").length == 2)
+    assert(StreamingZorder.read(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq == before)
+
+    // default keep-1: the superseded generation and its covered batches go
+    val (g1, b1) = StreamingZorder.vacuum(root)
+    assert(g1 == 1 && b1 == 2, s"keep-1 vacuum removed gens=$g1 batches=$b1")
+    assert(dirs("clustered").length == 1 && dirs("ingest").isEmpty)
+    assert(StreamingZorder.read(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq == before)
+
+    // idempotent: a second vacuum is a no-op; appends after vacuum flow
+    assert(StreamingZorder.vacuum(root) == ((0, 0)))
+    StreamingZorder.appendBatch(rows.take(10).toDF(), root, 4L)
+    assert(StreamingZorder.read(spark, root).count() == 1010L)
+  }
+
   test("d-column streaming OPTIMIZE clusters like the one-shot 3-D hilbert write") {
     import StreamingZorderSpec.Ev3
     val evRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
