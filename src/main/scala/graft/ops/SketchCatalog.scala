@@ -133,6 +133,38 @@ object SketchCatalog {
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
     }
+    harvestFrame(spark, table, df, nBytes, keys, eps, confidence, seed)
+  }
+
+  /** [[harvest]] over an EXPLICIT file list — the DELTA leg of catalog
+    * maintenance: after an append, harvest the NEW files only (cost ∝
+    * the append, not the table) and [[save]] the rows with
+    * `append = true`; [[compact]] later merges the slices to the
+    * full-table row, exactly, because every artifact in the row is
+    * mergeable — counts and bytes add, the CMS adds cell-wise, the HLL
+    * unions by register max. The `x9_manifest_incremental` discipline
+    * applied to PLANNER statistics: ANALYZE TABLE that never rescans
+    * history. Rows are labeled with `dir`'s normalized table path (the
+    * files must belong to it).
+    */
+  def harvestFiles(spark: SparkSession, dir: String, files: Seq[String],
+                   keys: Seq[String], eps: Double = 1e-3,
+                   confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    require(keys.nonEmpty, "harvestFiles: at least one key column")
+    require(files.nonEmpty, "harvestFiles: at least one file")
+    val table = normalizePath(spark, dir)
+    val schema = spark.read.parquet(dir).schema
+    val df = spark.read.schema(schema).parquet(files: _*)
+    val conf = spark.sessionState.newHadoopConf()
+    val nBytes = files.map { f =>
+      val p = new Path(f); p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    harvestFrame(spark, table, df, nBytes, keys, eps, confidence, seed)
+  }
+
+  private def harvestFrame(spark: SparkSession, table: String, df: DataFrame,
+                           nBytes: Long, keys: Seq[String], eps: Double,
+                           confidence: Double, seed: Int): DataFrame = {
     val aggs = count(lit(1)).as("__n") +: keys.flatMap { k =>
       Seq(count_min_sketch(col(k).cast("string"), lit(eps), lit(confidence),
           lit(seed)).as(s"__cms_$k"),
@@ -161,6 +193,38 @@ object SketchCatalog {
     */
   def save(catalog: DataFrame, path: String, append: Boolean = false): Unit =
     catalog.write.mode(if (append) "append" else "overwrite").parquet(path)
+
+  /** Merge a DELTA-style store ([[harvestFiles]] slices appended over
+    * time) down to ONE row per (table, key), exactly: n_rows/n_bytes
+    * sum, CMS merges cell-wise ([[graft.functions.CmsMergeAgg]] — the
+    * merged bytes are BIT-IDENTICAL to a one-shot harvest of the same
+    * rows), HLL unions by register max (estimate-identical to one-shot,
+    * the SketchesSpec property), distinct_est re-derived from the merged
+    * HLL. Rewrites the store in place (the merged rows are collected
+    * first — a catalog is KBs per table, and parquet cannot overwrite a
+    * path mid-read) and returns the merged frame.
+    *
+    * DELTA stores only: the slices must be disjoint (each file harvested
+    * once). A re-harvest-style store — full-table rows appended, where
+    * [[activate]]'s latest-wins policy applies — would double count
+    * under this merge; one store must follow one convention.
+    */
+  def compact(spark: SparkSession, path: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val merged = spark.read.schema(catalogSchema).parquet(path)
+      .groupBy("table", "key")
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_bytes")).as("n_bytes"),
+        call_function("graft_cms_merge", col("cms")).as("cms"),
+        hll_union_agg(col("hll")).as("hll"))
+      .select(col("table"), col("key"), col("n_rows"), col("n_bytes"),
+        hll_sketch_estimate(col("hll")).cast("double").as("distinct_est"),
+        col("cms"), col("hll"))
+      .collect()
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(merged.toIndexedSeq, 1), catalogSchema)
+    out.write.mode("overwrite").parquet(path)
+    spark.read.schema(catalogSchema).parquet(path)
+  }
 
   /** Load a stored catalog into the driver registry and point the session
     * conf at it — from here on [[graft.plans.SketchJoinPlanning]] plans

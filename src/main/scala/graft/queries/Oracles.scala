@@ -2435,6 +2435,15 @@ object Oracles {
     // Join-key-overlap gate: exact distinct/intersection counts
     // verbatim; the HLL inclusion-exclusion estimate rides as the
     // union-relative 5% boolean (the X10hlo contract).
+    // the merge-exactness invariants (CMS bit-equality, HLL register
+    // equality, planner inner-product parity) are computed Spark-side
+    // against the one-shot harvest and pinned; the row count replays
+    "x6_catalog_incremental" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS rows_eq, true AS bytes_eq, true AS cms_bitexact,
+        |  true AS distinct_eq, true AS join_card_eq
+        |FROM events""".stripMargin,
+
     "x6_hll_join_keys" ->
       """SELECT * FROM (
         |  SELECT 'events_customer' AS pair,

@@ -1107,6 +1107,54 @@ object Queries {
         (abs(sketchDrift - exactDrift) <= lit(0.01)).as("drift_sketch_ok"))
   }
 
+  /** X6ci: incremental catalog maintenance — ANALYZE TABLE that never
+    * rescans history: the table's files split into two disjoint slices,
+    * each harvested alone ([[graft.ops.SketchCatalog.harvestFiles]],
+    * cost ∝ the slice), appended to one store, then
+    * [[graft.ops.SketchCatalog.compact]] merges the slices to the
+    * full-table row. The gate pins EXACTNESS of the merge, not
+    * approximation: row/byte counts equal the one-shot harvest, the
+    * merged CMS is BIT-IDENTICAL to the one-shot sketch (cell-wise
+    * addition commutes with partitioning), the HLL distinct estimate is
+    * equal (register-max union ≡ one-shot registers), and the planner
+    * read path agrees — the CMS inner product against a second table's
+    * sketch is the same number through either artifact. All five ride
+    * the hash gate as pinned booleans beside a DuckDB-replayable row
+    * count.
+    */
+  private def x6CatalogIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{DataSkipping, SketchCatalog}
+    import graft.functions.CmsCodec
+    val tbl = scratch(dir, "x6_catalog_tbl")
+    t(spark, dir, "events").select(col("event_id"), col("user_id"))
+      .repartition(8, col("event_id"))
+      .write.mode("overwrite").parquet(tbl)
+    val files = DataSkipping.listDataFiles(spark, tbl)
+    val (a, b) = files.splitAt(files.size / 2)
+    val store = scratch(dir, "x6_catalog_store")
+    SketchCatalog.save(SketchCatalog.harvestFiles(spark, tbl, a, Seq("user_id")), store)
+    SketchCatalog.save(SketchCatalog.harvestFiles(spark, tbl, b, Seq("user_id")), store,
+      append = true)
+    val merged = SketchCatalog.compact(spark, store).collect().head
+    val full = SketchCatalog.harvest(spark, tbl, Seq("user_id")).collect().head
+    def bytes(r: org.apache.spark.sql.Row, c: String) = r.getAs[Array[Byte]](c)
+    val otherCms = SketchCatalog.harvest(spark, s"$dir/customer.parquet",
+      Seq("c_custkey")).collect().head
+    def card(r: org.apache.spark.sql.Row) = CmsCodec.innerProduct(
+      CmsCodec.parse(bytes(r, "cms")), CmsCodec.parse(bytes(otherCms, "cms")))
+    val evN = t(spark, dir, "events").agg(count(lit(1)).as("n_rows"))
+    evN.select(col("n_rows"),
+      lit(merged.getAs[Long]("n_rows") == full.getAs[Long]("n_rows"))
+        .as("rows_eq"),
+      lit(merged.getAs[Long]("n_bytes") == full.getAs[Long]("n_bytes"))
+        .as("bytes_eq"),
+      lit(java.util.Arrays.equals(bytes(merged, "cms"), bytes(full, "cms")))
+        .as("cms_bitexact"),
+      lit(merged.getAs[Double]("distinct_est") == full.getAs[Double]("distinct_est"))
+        .as("distinct_eq"),
+      lit(card(merged) == card(full)).as("join_card_eq"))
+  }
+
   /** X6jk: distinct-key join overlap from stored HLL sketches — the
     * companion planner statistic to [[x6CmsJoinCard]]: where the CMS
     * inner product prices the join's OUTPUT (Σ f_A·f_B), the HLL
@@ -3972,6 +4020,7 @@ object Queries {
     "x9_manifest_incremental" -> (x9ManifestIncremental _),
     "x5_percentile_rank" -> (x5PercentileRank _),
     "x6_hll_join_keys" -> (x6HllJoinKeys _),
+    "x6_catalog_incremental" -> (x6CatalogIncremental _),
     "x5_drift_quantile" -> (x5DriftQuantile _),
     "x5_winsorize" -> (x5Winsorize _),
     "x6_hard_negatives" -> (x6HardNegatives _),

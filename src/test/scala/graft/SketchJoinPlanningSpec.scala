@@ -265,6 +265,34 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("a compacted delta-harvest catalog plans identically to the one-shot harvest") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plainRows = joinFrame().collect().toSeq
+      // fact harvested as two disjoint file slices; dim as one full row
+      val files = graft.ops.DataSkipping.listDataFiles(spark, s"$dir/fact.parquet")
+      val (a, b) = files.splitAt(files.size / 2)
+      val store = s"$dir/delta_catalog"
+      SketchCatalog.save(
+        SketchCatalog.harvestFiles(spark, s"$dir/fact.parquet", a, Seq("f_key"))
+          .unionByName(SketchCatalog.harvest(spark, s"$dir/dim.parquet", Seq("d_key"))),
+        store)
+      SketchCatalog.save(
+        SketchCatalog.harvestFiles(spark, s"$dir/fact.parquet", b, Seq("f_key")),
+        store, append = true)
+      SketchCatalog.compact(spark, store)
+      SketchCatalog.activate(spark, store)
+      val planned = joinFrame()
+      assert(physicalJoins(planned).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "compacted delta catalog must drive the same broadcast flip")
+      assert(planned.collect().toSeq == plainRows)
+      // compact is idempotent: a second pass changes nothing the rule sees
+      SketchCatalog.compact(spark, store)
+      SketchCatalog.activate(spark, store)
+      assert(physicalJoins(joinFrame()).exists(_.isInstanceOf[BroadcastHashJoinExec]))
+      SketchCatalog.deactivate(spark)
+    }
+  }
+
   test("user hints win; rule inert on non-equi conditions") {
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val path = harvestAll()
