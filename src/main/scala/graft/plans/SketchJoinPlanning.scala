@@ -62,9 +62,12 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
   * no existing hints (user hints win), every condition conjunct must be
   * a cross-side equi comparison of attributes that resolve through
   * Project/Filter/SubqueryAlias chains to leaf columns of catalogued
-  * parquet relations. Estimation is conservative under filters: a
-  * filtered side keeps its UNFILTERED catalog stats, so the rule can
-  * miss a broadcast (safe) but never broadcasts on understated bytes.
+  * parquet relations. Estimation under filters is conservative but not
+  * blind: POINT predicates (`key = lit`, `key IN (...)`) on catalogued
+  * columns refine the byte estimate through the stored CMS's count
+  * upper bound ([[filterRowBound]] — never an undercount, so broadcasts
+  * stay safe); any other predicate keeps the UNFILTERED stats, so the
+  * rule can miss a broadcast but never broadcasts on understated bytes.
   * Activation is per-session and explicit ([[SketchCatalog.activate]]);
   * without an activated catalog the rule is inert.
   */
@@ -319,9 +322,59 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
   // Pass 2: broadcast hints from artifact byte estimates
   // ---------------------------------------------------------------- //
 
+  /** String form a point literal takes inside the catalog's CMS (the
+    * harvest sketches `CAST(key AS STRING)`): exact for strings and
+    * integrals; anything whose cast-to-string formatting is subtle
+    * (floats, dates) is declined rather than risked.
+    */
+  private def litString(v: Any, dt: DataType): Option[String] = dt match {
+    case StringType => Option(v).map(_.toString)
+    case LongType | IntegerType => Option(v).map(_.toString)
+    case _ => None
+  }
+
+  /** CMS count upper bound for one point key of a catalogued column —
+    * key hashing mirrors [[graft.functions.CmsEstimate]] exactly (UTF-8
+    * bytes of the string form). Never undercounts, which is what lets
+    * the broadcast pass consume it: refined bytes are never understated.
+    */
+  private def cmsPointBound(e: Entry, key: String): Long =
+    org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(e.cms))
+      .estimateCount(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Surviving-row upper bound for a Filter over a catalogued leaf, from
+    * POINT predicates priced by the stored CMS: each `key = literal` (or
+    * `key IN (literals)`) conjunct bounds the output by the sketch's
+    * count estimate for those keys; conjuncts AND, so the tightest bound
+    * wins. This is the statistic that turns "fact filtered to one key"
+    * into a broadcastable side — file sizes say 100 GB, the artifact
+    * says 40 rows. None when no conjunct is priceable.
+    */
+  private def filterRowBound(cond: Expression, base: Base, cat: Catalog): Option[Long] = {
+    def point(a: AttributeReference, v: Any, dt: DataType): Option[Long] =
+      for {
+        e <- entryFor(base, cat, a)
+        s <- litString(v, dt)
+      } yield cmsPointBound(e, s)
+    val bounds = splitConjunctivePredicates(cond).flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) => point(a, v, dt)
+      case EqualTo(Literal(v, dt), a: AttributeReference) => point(a, v, dt)
+      case In(a: AttributeReference, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val per = vs.map { case Literal(v, dt) => point(a, v, dt) }
+        if (per.exists(_.isEmpty)) None
+        else Some(per.flatten.foldLeft(0L)(Math.addExact))
+      case _ => None
+    }
+    if (bounds.isEmpty) None else Some(bounds.min)
+  }
+
   /** Estimated in-exchange bytes of a side: a catalogued leaf's on-disk
-    * bytes, or — for a catalogued-pair inner join (the reorder pass's
-    * intermediates) — estimated output rows × summed per-row bytes.
+    * bytes — refined through Filters whose point predicates the stored
+    * CMS can price ([[filterRowBound]]) — or, for a catalogued-pair
+    * inner join (the reorder pass's intermediates), estimated output
+    * rows × summed per-row bytes.
     */
   private def estBytes(plan: LogicalPlan, cat: Catalog): Option[Long] = plan match {
     case Join(l, r, Inner, Some(cond), _) =>
@@ -334,7 +387,17 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
           math.max(1L, re.nBytes / math.max(1L, re.nRows))
       } yield rows * perRow
     case Project(_, child)       => estBytes(child, cat)
-    case Filter(_, child)        => estBytes(child, cat)
+    case Filter(cond, child)     =>
+      val full = estBytes(child, cat)
+      val refined = for {
+        base <- resolveBase(child, cat)
+        e <- cat.byTable.get(base.table)
+        rows <- filterRowBound(cond, base, cat)
+      } yield rows * math.max(1L, e.nBytes / math.max(1L, e.nRows))
+      (refined, full) match {
+        case (Some(r), Some(f)) => Some(math.min(r, f))
+        case (r, f)             => r.orElse(f)
+      }
     case SubqueryAlias(_, child) => estBytes(child, cat)
     case other =>
       resolveBase(other, cat).flatMap(b => cat.byTable.get(b.table)).map(_.nBytes)

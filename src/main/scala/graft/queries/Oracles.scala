@@ -1397,6 +1397,15 @@ object Oracles {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q16_filtered_broadcast" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  true AS naive_bare_merge, true AS artifact_point_broadcast,
+        |  true AS artifact_unfiltered_merge
+        |FROM lineitem JOIN (SELECT * FROM orders WHERE o_custkey = 7) o
+        |ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q15_planned_chain" ->
       """SELECT n_name, count(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -3296,6 +3296,80 @@ object Queries {
       .orderBy("n_name")
   }
 
+  /** Q16: CMS point-selectivity broadcast — the filtered-side refinement
+    * of [[graft.plans.SketchJoinPlanning]]'s pass 2: a fact table
+    * filtered to ONE key is the classic broadcastable side whose FILE
+    * size lies (100 GB on disk, dozens of surviving rows), and the
+    * stored CMS prices the point predicate without touching data
+    * (count upper bound — never an undercount, so the broadcast
+    * contract holds). With the rule's broadcast threshold at 64 KB:
+    * the UNFILTERED lineitem ⋈ orders chain must stay sort-merge (both
+    * sides' bytes are honest and large), while the same chain with
+    * `o_custkey = 7` on orders must flip the filtered side to a
+    * broadcast — table bytes identical in both plans, so the flip is
+    * attributable to the refinement alone. Hash gate: revenue of that
+    * customer's orders, plain-join twin.
+    */
+  private def q16FilteredBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchCatalog
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    def filtered(): DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_custkey") === 7L),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 4)
+          .as("revenue"))
+    def unfiltered(): DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"))
+    def joins(df: DataFrame): Seq[SparkPlan] = {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+      root.collect {
+        case b: BroadcastHashJoinExec => b
+        case s: SortMergeJoinExec     => s
+      }
+    }
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // threshold pinned RELATIVE to the catalogued orders bytes (half),
+    // so the control holds at every scale: the unfiltered side is
+    // always over it, the point-refined estimate (~a dozen rows) always
+    // under it — the flip isolates the refinement at sf0.001 and sf10
+    // alike
+    val ordersBytes = spark.read.parquet(q15Catalog(spark, dir))
+      .where(col("key") === "o_custkey")
+      .select(col("n_bytes")).head().getLong(0)
+    val (naiveBare, refinedBroadcast, unfilteredMerge) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(SketchCatalog.BroadcastBytesKey,
+        math.max(1L, ordersBytes / 2).toString)
+      SketchCatalog.deactivate(spark)
+      val naive = joins(filtered())
+      SketchCatalog.activate(spark, q15Catalog(spark, dir))
+      (naive.forall(_.isInstanceOf[SortMergeJoinExec]) && naive.nonEmpty,
+        joins(filtered()).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        joins(unfiltered()).forall(_.isInstanceOf[SortMergeJoinExec]))
+    } finally {
+      SketchCatalog.deactivate(spark)
+      spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    filtered()
+      .select(col("o_orderpriority"), col("n_items"), col("revenue"),
+        lit(naiveBare).as("naive_bare_merge"),
+        lit(refinedBroadcast).as("artifact_point_broadcast"),
+        lit(unfilteredMerge).as("artifact_unfiltered_merge"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Hot-dim scratch table + planning catalog for [[q14RuntimeFilter]],
     * built once per JVM per sf dir: the dim is customers of three
     * nations — its KEY SET is a ~11% subset of the custkeys orders
@@ -4029,6 +4103,7 @@ object Queries {
     "q13_planned_join" -> (q13PlannedJoin _),
     "q14_runtime_filter" -> (q14RuntimeFilter _),
     "q15_planned_chain" -> (q15PlannedChain _),
+    "q16_filtered_broadcast" -> (q16FilteredBroadcast _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),
