@@ -293,6 +293,58 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("maintained catalog flips the plan as the table grows under appends") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft-sjp-grow").toString
+    // big dim: always above the broadcast threshold chosen below
+    (0L until 20000L).map(k => (k % 40L, s"seg${k % 4}", k.toString * 8))
+      .toDF("d_key", "d_seg", "d_pad")
+      .repartition(2).write.parquet(s"$d2/dim.parquet")
+    // fact v1: small — the artifact should broadcast it
+    (0L until 500L).map(i => (i % 40L, i)).toDF("f_key", "f_id")
+      .repartition(2).write.mode("overwrite").parquet(s"$d2/fact.parquet")
+    val store = s"$d2/catalog"
+    def filesOf() = graft.ops.DataSkipping.listDataFiles(spark, s"$d2/fact.parquet")
+    val v1Files = filesOf()
+    SketchCatalog.save(
+      SketchCatalog.harvestFiles(spark, s"$d2/fact.parquet", v1Files, Seq("f_key"))
+        .unionByName(SketchCatalog.harvest(spark, s"$d2/dim.parquet", Seq("d_key"))),
+      store)
+    SketchCatalog.compact(spark, store)
+    val factV1Bytes = spark.read.parquet(store)
+      .where(col("key") === "f_key").select("n_bytes").head().getLong(0)
+
+    def join() = spark.read.parquet(s"$d2/fact.parquet")
+      .join(spark.read.parquet(s"$d2/dim.parquet"), col("f_key") === col("d_key"))
+      .groupBy("d_seg").agg(count(lit(1)).as("n"))
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // threshold above fact-v1 bytes, below everything after growth
+      SketchCatalog.BroadcastBytesKey -> (factV1Bytes * 4).toString) {
+      SketchCatalog.activate(spark, store)
+      assert(physicalJoins(join()).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "small fact must broadcast from the maintained artifact")
+
+      // the table grows 40x; harvest ONLY the new files, compact, refresh
+      (0L until 20000L).map(i => (i % 40L, i)).toDF("f_key", "f_id")
+        .repartition(8).write.mode("append").parquet(s"$d2/fact.parquet")
+      val newFiles = filesOf().filterNot(v1Files.toSet)
+      assert(newFiles.nonEmpty && newFiles.size < filesOf().size)
+      SketchCatalog.save(
+        SketchCatalog.harvestFiles(spark, s"$d2/fact.parquet", newFiles, Seq("f_key")),
+        store, append = true)
+      SketchCatalog.compact(spark, store)
+      SketchCatalog.activate(spark, store)
+      // maintained row == one-shot re-harvest of the grown table
+      val maintained = spark.read.parquet(store)
+        .where(col("key") === "f_key").select("n_rows").head().getLong(0)
+      assert(maintained == 20500L)
+      // and the plan now reflects the growth: nothing small remains
+      assert(physicalJoins(join()).forall(_.isInstanceOf[SortMergeJoinExec]),
+        "grown fact must stop broadcasting without a re-scan of history")
+      SketchCatalog.deactivate(spark)
+    }
+  }
+
   test("user hints win; rule inert on non-equi conditions") {
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val path = harvestAll()
