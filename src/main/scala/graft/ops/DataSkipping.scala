@@ -339,16 +339,35 @@ object DataSkipping {
     * not lucky) unless the null count proves the file all-null for the
     * column (NULL satisfies no range predicate).
     */
+  /** The per-range candidate test: known stats → interval overlap;
+    * unknown stats → candidate (sound, not lucky) unless the null count
+    * proves the file all-null for the column.
+    */
+  private def rangeKeep(r: Range): Column = {
+    val mn = col(s"${r.column}_min"); val mx = col(s"${r.column}_max")
+    val nu = col(s"${r.column}_nulls")
+    when(mn.isNotNull && mx.isNotNull, mx >= r.lo && mn <= r.hi)
+      .when(nu.isNotNull && nu === col("n_rows"), lit(false))
+      .otherwise(lit(true))
+  }
+
   def candidateFiles(manifest: DataFrame, ranges: Seq[Range]): DataFrame = {
     require(ranges.nonEmpty, "candidateFiles: at least one range")
-    val keep = ranges.map { r =>
-      val mn = col(s"${r.column}_min"); val mx = col(s"${r.column}_max")
-      val nu = col(s"${r.column}_nulls")
-      when(mn.isNotNull && mx.isNotNull, mx >= r.lo && mn <= r.hi)
-        .when(nu.isNotNull && nu === col("n_rows"), lit(false))
-        .otherwise(lit(true))
-    }.reduce(_ && _)
-    manifest.where(keep)
+    manifest.where(ranges.map(rangeKeep).reduce(_ && _))
+  }
+
+  /** Files that could hold a row satisfying ANY range — the IN-list /
+    * OR-of-boxes modality (`key IN (...)` prunes as the union of point
+    * intervals; a disjunction of date windows prunes as the union of
+    * boxes). Same per-range soundness as [[candidateFiles]]; the two
+    * compose by chaining for predicates of the form AND-of-ORs. For
+    * hundreds of point keys on a scattered column prefer the Bloom
+    * index ([[candidateFilesByKey]]) — min/max unions stop cutting once
+    * the points blanket every file's range.
+    */
+  def candidateFilesAny(manifest: DataFrame, ranges: Seq[Range]): DataFrame = {
+    require(ranges.nonEmpty, "candidateFilesAny: at least one range")
+    manifest.where(ranges.map(rangeKeep).reduce(_ || _))
   }
 
   /** Files that could hold a row where `column IS NULL` (`wantNull =

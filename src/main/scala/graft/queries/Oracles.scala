@@ -2542,6 +2542,18 @@ object Oracles {
         |  true AS pruned_equals_full, true AS files_skipped
         |FROM f""".stripMargin,
 
+    "x9_skipping_in" ->
+      """WITH base AS (
+        |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, value FROM events),
+        |f AS (SELECT * FROM base
+        |  WHERE day IN ('2024-01-05', '2024-01-17', '2024-01-26'))
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(event_id), 0) AS BIGINT) AS sum_ids,
+        |  CAST(coalesce(sum(CAST(round(value, 6) AS DECIMAL(18,6))), 0) AS DOUBLE)
+        |    AS sum_value,
+        |  true AS pruned_equals_full, true AS files_skipped
+        |FROM f""".stripMargin,
+
     // the Spark side floors event time to MILLIS (timestamp_millis of
     // the epoch-ms accessor) before boxing — the twin filters on
     // epoch_ms(ts) against the same ms bounds, exactly equivalent

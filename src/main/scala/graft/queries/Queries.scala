@@ -423,6 +423,46 @@ object Queries {
           .as("files_skipped"))
   }
 
+  /** X9in: IN-LIST file skipping — `day IN (d1, d2, d3)` pruned as the
+    * UNION of point intervals over the same string manifest
+    * ([[graft.ops.DataSkipping.candidateFilesAny]]): three scattered
+    * days of a 30-day table must open only the files whose range covers
+    * one of them, and answer exactly what the full scan answers.
+    */
+  private def x9SkippingIn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataSkipping
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    val base = ev.select(col("event_id"), col("user_id"),
+      date_format(timestamp_millis(et.ms), "yyyy-MM-dd").as("day"), col("value"))
+    val path = scratch(dir, "x9_skipping_in")
+    base.repartitionByRange(32, col("day"), col("event_id"))
+      .sortWithinPartitions("day", "event_id")
+      .write.mode("overwrite").parquet(path)
+    val manifest = DataSkipping.statsManifest(spark, path, Seq("day")).cache()
+    val days = Seq("2024-01-05", "2024-01-17", "2024-01-26")
+    val cand = DataSkipping.candidateFilesAny(manifest,
+      days.map(d => DataSkipping.stringRange("day", d, d)))
+    val rowFilter = col("day").isin(days: _*)
+    def summary(df: DataFrame, tag: String) = df.agg(
+      count(lit(1)).as(s"n_rows$tag"),
+      coalesce(sum("event_id"), lit(0L)).as(s"sum_ids$tag"),
+      coalesce(sum(round(col("value"), 6).cast(DecimalType(18, 6))),
+        lit(0).cast(DecimalType(18, 6))).as(s"sum_value$tag"))
+    val prunedS = summary(
+      DataSkipping.prunedRead(spark, path, cand).where(rowFilter), "")
+    val fullS = summary(base.where(rowFilter), "_f")
+    val counts = cand.agg(count(lit(1)).as("__n_cand"))
+      .crossJoin(manifest.agg(count(lit(1)).as("__n_files")))
+    prunedS.crossJoin(broadcast(fullS)).crossJoin(broadcast(counts))
+      .select(col("n_rows"), col("sum_ids"),
+        col("sum_value").cast("double").as("sum_value"),
+        (col("n_rows") === col("n_rows_f") && col("sum_ids") === col("sum_ids_f") &&
+          col("sum_value") === col("sum_value_f")).as("pruned_equals_full"),
+        (col("__n_cand") > 0L && col("__n_cand") < col("__n_files"))
+          .as("files_skipped"))
+  }
+
   private def x9SkippingStr(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.DataSkipping
     val ev = t(spark, dir, "events")
@@ -4107,6 +4147,7 @@ object Queries {
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),
+    "x9_skipping_in" -> (x9SkippingIn _),
     "x9_hilbert3" -> (x9Hilbert3 _),
     "x2_weighted_jaccard" -> (x2WeightedJaccard _),
     "k5_merge" -> (k5Merge _)

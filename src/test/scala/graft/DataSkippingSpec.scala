@@ -190,6 +190,39 @@ class DataSkippingSpec extends SparkSpec {
     assert(got == want && want > 0)
   }
 
+  test("X9in OR-of-ranges candidates = union of per-range candidates; chaining gives AND-of-ORs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip-in").toString
+    val df = spark.range(4000).select(
+      col("id").as("a"),
+      concat(lit("2024-01-"), lpad((col("id") % 28 + 1).cast("string"), 2, "0"))
+        .as("day"))
+    df.repartitionByRange(8, col("day"), col("a"))
+      .sortWithinPartitions("day", "a")
+      .write.mode("overwrite").parquet(dir)
+    val m = DataSkipping.statsManifest(spark, dir, Seq("day", "a")).cache()
+    val days = Seq("2024-01-03", "2024-01-25")
+    val ranges = days.map(d => DataSkipping.stringRange("day", d, d))
+    val any = DataSkipping.candidateFilesAny(m, ranges)
+    val union = ranges.map(r => DataSkipping.candidateFiles(m, Seq(r))
+      .select("file")).reduce(_ unionByName _).distinct()
+    assert(any.select("file").collect().map(_.getString(0)).sorted.toSeq ==
+      union.collect().map(_.getString(0)).sorted.toSeq)
+    assert(any.count() > 0 && any.count() < m.count())
+    val got = DataSkipping.prunedRead(spark, dir, any)
+      .where(col("day").isin(days: _*)).count()
+    assert(got == spark.read.parquet(dir).where(col("day").isin(days: _*)).count()
+      && got > 0)
+    // AND-of-ORs by chaining: (day IN days) AND (a in a range)
+    val both = DataSkipping.candidateFiles(
+      DataSkipping.candidateFilesAny(m, ranges),
+      Seq(DataSkipping.longRange("a", 0L, 999L)))
+    assert(both.count() <= any.count())
+    val gotBoth = DataSkipping.prunedRead(spark, dir, both)
+      .where(col("day").isin(days: _*) && col("a").between(0L, 999L)).count()
+    assert(gotBoth == spark.read.parquet(dir)
+      .where(col("day").isin(days: _*) && col("a").between(0L, 999L)).count())
+  }
+
   test("X9ss truncated string stats stay sound past the truncation length") {
     val dir = java.nio.file.Files.createTempDirectory("graft-skip-trunc").toString
     // keys share a long common prefix and differ only BEYOND the stats
