@@ -345,6 +345,27 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("the rule plans SQL-path queries identically (temp views, spark.sql)") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val path = harvestAll()
+      spark.read.parquet(s"$dir/fact.parquet").createOrReplaceTempView("sjp_fact")
+      spark.read.parquet(s"$dir/dim.parquet").createOrReplaceTempView("sjp_dim")
+      def sqlJoin() = spark.sql(
+        """SELECT d_seg, count(*) AS n, sum(f_val) AS s
+          |FROM sjp_fact JOIN sjp_dim ON f_key = d_key
+          |GROUP BY d_seg ORDER BY d_seg""".stripMargin)
+      SketchCatalog.deactivate(spark)
+      val plainRows = sqlJoin().collect().toSeq
+      assert(physicalJoins(sqlJoin()).forall(_.isInstanceOf[SortMergeJoinExec]))
+      SketchCatalog.activate(spark, path)
+      val planned = sqlJoin()
+      assert(physicalJoins(planned).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "SQL-path join must get the artifact broadcast (the rule is plan-level, not API-level)")
+      assert(planned.collect().toSeq == plainRows)
+      SketchCatalog.deactivate(spark)
+    }
+  }
+
   test("user hints win; rule inert on non-equi conditions") {
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val path = harvestAll()
