@@ -303,6 +303,67 @@ object DataSkipping {
     spark.createDataFrame(rows, out)
   }
 
+  /** Manifest of a COMPACTED table derived from the SOURCE manifest and
+    * the compaction plan alone — ZERO footer reads: a bin's rows are
+    * exactly the union of its input files' rows
+    * ([[Compaction.compact]]'s contract), so per-column mins take
+    * min-of-mins, maxes max-of-maxes, null counts sum, and row counts
+    * sum. Soundness composes: an input file with UNKNOWN stats for a
+    * column makes its whole bin unknown for that column (never a
+    * narrowed guess); all-null inputs contribute their exact null
+    * counts and no bounds — exactly the footer-read semantics. The
+    * payoff at 100 TB: compaction cadence never forces a manifest
+    * rebuild scan — table metadata maintains at METADATA cost, the
+    * `x9_manifest_incremental` discipline extended from appends to
+    * rewrites.
+    *
+    * `plan` is the (file, bytes, bin) frame the compaction ran;
+    * `binFiles` maps bin → output file (one per bin, see
+    * [[compactedFiles]]). Join is on the full listing-form path both
+    * frames carry.
+    */
+  def manifestAfterCompaction(manifest: DataFrame, plan: DataFrame,
+                              binFiles: DataFrame): DataFrame = {
+    val statCols = manifest.columns.filter(_.endsWith("_min"))
+      .map(_.stripSuffix("_min")).toSeq
+    val joined = manifest.join(plan.select(col("file"), col("bin")), Seq("file"))
+    val aggs = sum(col("n_rows")).as("n_rows") +: statCols.flatMap { c =>
+      val unknown = max(when(col(s"${c}_nulls").isNull, 1).otherwise(0)) === 1
+      def t(s: String) = manifest.schema(s"${c}_$s").dataType
+      Seq(
+        when(unknown, lit(null).cast(t("min")))
+          .otherwise(min(col(s"${c}_min"))).as(s"${c}_min"),
+        when(unknown, lit(null).cast(t("max")))
+          .otherwise(max(col(s"${c}_max"))).as(s"${c}_max"),
+        when(unknown, lit(null).cast(LongType))
+          .otherwise(sum(col(s"${c}_nulls"))).as(s"${c}_nulls"))
+    }
+    joined.groupBy("bin").agg(aggs.head, aggs.tail: _*)
+      .join(binFiles, Seq("bin"))
+      .select(col("file") +: col("n_rows") +: statCols.flatMap(c =>
+        Seq(col(s"${c}_min"), col(s"${c}_max"), col(s"${c}_nulls"))): _*)
+  }
+
+  /** (bin, file) for a [[Compaction.compact]] output directory: one
+    * parquet file per `bin=K/` partition dir, listed through the
+    * path's own FileSystem.
+    */
+  def compactedFiles(spark: SparkSession, outDir: String): DataFrame = {
+    val p = new Path(outDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bin="))
+      .flatMap { d =>
+        val bin = d.getPath.getName.stripPrefix("bin=").toLong
+        fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => Row(bin, f.getPath.toString))
+      }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("bin", LongType, nullable = false),
+        StructField("file", StringType, nullable = false))))
+  }
+
   /** One inclusive range predicate against manifest stats columns. */
   final case class Range(column: String, lo: Column, hi: Column)
 

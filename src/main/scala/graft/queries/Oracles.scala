@@ -2542,6 +2542,14 @@ object Oracles {
         |  true AS pruned_equals_full, true AS files_skipped
         |FROM f""".stripMargin,
 
+    // the derived-vs-harvested manifest comparison is between two
+    // metadata artifacts (footer stats) DuckDB cannot see; it is pinned
+    // Spark-side and the preserved row count replays
+    "x9_manifest_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS derived_eq, true AS files_reduced
+        |FROM events""".stripMargin,
+
     "x9_skipping_in" ->
       """WITH base AS (
         |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, value FROM events),

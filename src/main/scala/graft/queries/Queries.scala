@@ -463,6 +463,43 @@ object Queries {
           .as("files_skipped"))
   }
 
+  /** X9mcft: manifest maintenance ACROSS a compaction — the derived
+    * manifest ([[graft.ops.DataSkipping.manifestAfterCompaction]]: bin
+    * stats folded from source-file stats + the FFD plan, zero footer
+    * reads) must equal, row for row, a fresh footer harvest of the
+    * compacted files. Pinned Spark-side (the comparison is between two
+    * metadata artifacts); the replayable column is the row count the
+    * compaction must preserve.
+    */
+  private def x9ManifestCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Compaction, DataSkipping}
+    val base = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val path = scratch(dir, "x9_mc_in")
+    base.repartitionByRange(16, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(path)
+    val m0 = DataSkipping.statsManifest(spark, path, Seq("event_id", "value")).cache()
+    val sizes = Compaction.fileSizes(spark, path)
+    val total = sizes.agg(sum(col("bytes"))).head().getLong(0)
+    val plan = Compaction.compactionPlan(sizes, math.max(1L, total / 4)).cache()
+    val out = scratch(dir, "x9_mc_out")
+    Compaction.compact(spark, path, plan, out)
+    val binFiles = DataSkipping.compactedFiles(spark, out).cache()
+    val derived = DataSkipping.manifestAfterCompaction(m0, plan, binFiles)
+    val harvested = DataSkipping.statsManifestFiles(spark,
+      binFiles.select("file").collect().map(_.getString(0)).toIndexedSeq,
+      base.schema, Seq("event_id", "value"))
+    def rows(df: DataFrame) = df.collect().sortBy(_.getAs[String]("file")).toSeq
+    val (d, h) = (rows(derived), rows(harvested))
+    val derivedEq = d.nonEmpty && d == h
+    val filesReduced = d.size < 16
+    base.agg(count(lit(1)).as("n_rows"))
+      .select(col("n_rows"),
+        lit(derivedEq).as("derived_eq"),
+        lit(filesReduced).as("files_reduced"))
+  }
+
   private def x9SkippingStr(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.DataSkipping
     val ev = t(spark, dir, "events")
@@ -4148,6 +4185,7 @@ object Queries {
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),
     "x9_skipping_in" -> (x9SkippingIn _),
+    "x9_manifest_compact" -> (x9ManifestCompact _),
     "x9_hilbert3" -> (x9Hilbert3 _),
     "x2_weighted_jaccard" -> (x2WeightedJaccard _),
     "k5_merge" -> (k5Merge _)

@@ -223,6 +223,48 @@ class DataSkippingSpec extends SparkSpec {
       .where(col("day").isin(days: _*) && col("a").between(0L, 999L)).count())
   }
 
+  test("X9mc derived post-compaction manifest = fresh harvest; unknown inputs poison their bin only") {
+    import graft.ops.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft-mc").toString
+    spark.range(4000).select(col("id").as("a"),
+        when(col("id") % 5 =!= 0, col("id") * 2).as("b")) // b sparsely null
+      .repartitionByRange(8, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(dir)
+    val m0 = DataSkipping.statsManifest(spark, dir, Seq("a", "b")).cache()
+    val sizes = Compaction.fileSizes(spark, dir)
+    val total = sizes.agg(sum(col("bytes"))).head().getLong(0)
+    val plan = Compaction.compactionPlan(sizes, math.max(1L, total / 3)).cache()
+    val out = java.nio.file.Files.createTempDirectory("graft-mc-out").toString + "/t"
+    Compaction.compact(spark, dir, plan, out)
+    val binFiles = DataSkipping.compactedFiles(spark, out).cache()
+    val derived = DataSkipping.manifestAfterCompaction(m0, plan, binFiles)
+    val harvested = DataSkipping.statsManifestFiles(spark,
+      binFiles.select("file").collect().map(_.getString(0)).toIndexedSeq,
+      spark.read.parquet(dir).schema, Seq("a", "b"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().sortBy(_.getAs[String]("file")).toSeq
+    assert(rows(derived) == rows(harvested) && derived.count() < 8)
+    // soundness: wiping ONE source file's stats for `a` must make exactly
+    // the bins containing it unknown for `a` — and leave `b` untouched
+    val victim = m0.select("file").head().getString(0)
+    val wiped = m0.withColumn("a_min",
+        when(col("file") === victim, lit(null)).otherwise(col("a_min")))
+      .withColumn("a_max",
+        when(col("file") === victim, lit(null)).otherwise(col("a_max")))
+      .withColumn("a_nulls",
+        when(col("file") === victim, lit(null)).otherwise(col("a_nulls")))
+    val derived2 = DataSkipping.manifestAfterCompaction(wiped, plan, binFiles).cache()
+    val victimBins = plan.where(col("file") === victim)
+      .select("bin").collect().map(_.getLong(0)).toSet
+    val binOf = binFiles.collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    derived2.collect().foreach { r =>
+      val poisoned = victimBins.contains(binOf(r.getAs[String]("file")))
+      assert(r.isNullAt(r.fieldIndex("a_min")) == poisoned,
+        s"bin of ${r.getAs[String]("file")}: a_min unknown=${r.isNullAt(r.fieldIndex("a_min"))}, want $poisoned")
+      assert(!r.isNullAt(r.fieldIndex("b_nulls")), "b stats must be untouched")
+    }
+  }
+
   test("X9ss truncated string stats stay sound past the truncation length") {
     val dir = java.nio.file.Files.createTempDirectory("graft-skip-trunc").toString
     // keys share a long common prefix and differ only BEYOND the stats
