@@ -493,6 +493,73 @@ case class CmsInnerProduct(left: Expression, right: Expression)
   * false POSITIVES only, and the pruned join re-verifies with the real
   * equi-join — the contract the result-identical oracle gate leans on.
   */
+/** Merge of serialized Bloom filters — bitwise OR of the bit arrays
+  * ([[org.apache.spark.util.sketch.BloomFilter.mergeInPlace]]): the
+  * Bloom of a UNION of key sets is exactly the OR of the sets' Blooms,
+  * so per-file index artifacts fold across file rewrites
+  * ([[graft.ops.DataSkipping.bloomIndexAfterCompaction]]) with no
+  * re-scan and BIT-IDENTICAL results to a rebuild. All inputs must
+  * share geometry (expectedItems, fpp at build) — `mergeInPlace`
+  * rejects incompatible sizes loudly. Null/empty groups evaluate null,
+  * the [[CmsMergeAgg]] convention.
+  */
+case class BloomMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.spark.util.sketch.BloomFilter]
+  with UnaryLike[Expression] {
+
+  import org.apache.spark.util.sketch.BloomFilter
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_merge expects a binary serialized bloom filter, got $t")
+  }
+
+  override def createAggregationBuffer(): BloomFilter = null
+
+  override def update(buffer: BloomFilter, input: InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val bf = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+      if (buffer == null) bf else buffer.mergeInPlace(bf)
+    }
+  }
+
+  override def merge(b1: BloomFilter, b2: BloomFilter): BloomFilter =
+    if (b1 == null) b2 else if (b2 == null) b1 else b1.mergeInPlace(b2)
+
+  private def toBytes(bf: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  override def eval(buffer: BloomFilter): Any =
+    if (buffer == null) null else toBytes(buffer)
+
+  override def serialize(buffer: BloomFilter): Array[Byte] =
+    if (buffer == null) Array.emptyByteArray else toBytes(buffer)
+
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    if (bytes.isEmpty) null
+    else BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomMergeAgg =
+    copy(child = newChild)
+}
+
 case class BloomBuildAgg(
     child: Expression,
     expectedItems: Long,

@@ -554,6 +554,7 @@ object GraftFunctions {
       children(1).eval().asInstanceOf[Number].longValue(),
       children(2).eval().asInstanceOf[Number].doubleValue())),
     "graft_bloom_contains" -> (children => BloomContains(children.head, children(1))),
+    "graft_bloom_merge" -> (children => BloomMergeAgg(children.head)),
     "graft_qsketch_agg" -> (children => QuantileSketchAgg(children.head,
       children(1).eval().asInstanceOf[Number].doubleValue())),
     "graft_qsketch_merge" -> (children => QuantileMergeAgg(children.head)),

@@ -364,6 +364,36 @@ object DataSkipping {
         StructField("file", StringType, nullable = false))))
   }
 
+  /** The [[bloomIndex]] of a compacted table derived from the SOURCE
+    * index and the plan alone — the equality modality's
+    * [[manifestAfterCompaction]]: the Bloom of a union of key sets is
+    * exactly the bitwise OR of the sets' Blooms
+    * ([[graft.functions.BloomMergeAgg]]), and a rebuild over the merged
+    * files inserts the same keys into the same geometry — so the
+    * derived artifact is BIT-IDENTICAL to a re-scan rebuild, for zero
+    * data reads. All input filters must share build geometry
+    * (one `expectedItemsPerFile`/fpp per index, the [[bloomIndex]]
+    * contract); the recorded key hash class rides through unchanged.
+    */
+  def bloomIndexAfterCompaction(index: DataFrame, plan: DataFrame,
+                                binFiles: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(index.sparkSession)
+    // join on the basename: the index carries input_file_name's URI form,
+    // the plan carries the FileSystem listing's (file:/ vs file:///)
+    def base(c: Column) = element_at(split(c, "/"), -1)
+    val joined = index.withColumn("__f", base(col("file")))
+      .join(plan.select(base(col("file")).as("__f"), col("bin")), Seq("__f"))
+    val withCls = index.columns.contains("key_class")
+    val merged = joined.groupBy("bin")
+      .agg(call_function("graft_bloom_merge", col("bloom")).as("bloom"),
+        sum(col("n_rows")).as("n_rows"))
+    val relabeled = merged.join(binFiles, Seq("bin"))
+      .select(col("file"), col("bloom"), col("n_rows"))
+    if (!withCls) relabeled
+    else relabeled.crossJoin(
+      broadcast(index.select(col("key_class")).limit(1)))
+  }
+
   /** One inclusive range predicate against manifest stats columns. */
   final case class Range(column: String, lo: Column, hi: Column)
 

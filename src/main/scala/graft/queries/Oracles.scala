@@ -2550,6 +2550,11 @@ object Oracles {
         |  true AS derived_eq, true AS files_reduced
         |FROM events""".stripMargin,
 
+    "x9_bloom_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS index_bitexact, true AS lookup_prunes
+        |FROM events""".stripMargin,
+
     "x9_skipping_in" ->
       """WITH base AS (
         |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, value FROM events),

@@ -500,6 +500,56 @@ object Queries {
         lit(filesReduced).as("files_reduced"))
   }
 
+  /** X9bc: Bloom-index maintenance across compaction — the equality
+    * modality's [[x9ManifestCompact]]: the derived index (bitwise OR of
+    * the input files' filters, zero data reads) must be BIT-IDENTICAL
+    * per file to a full re-scan rebuild over the compacted files (same
+    * keys into the same geometry set the same bits), and a point lookup
+    * through it must still prune. Pinned Spark-side; the row count
+    * replays.
+    */
+  private def x9BloomCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Compaction, DataSkipping}
+    val base = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val path = scratch(dir, "x9_bc_in")
+    base.repartitionByRange(16, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(path)
+    val idx0 = DataSkipping.bloomIndex(spark, path, "event_id",
+      expectedItemsPerFile = 4096).cache()
+    val sizes = Compaction.fileSizes(spark, path)
+    val total = sizes.agg(sum(col("bytes"))).head().getLong(0)
+    val plan = Compaction.compactionPlan(sizes, math.max(1L, total / 4)).cache()
+    val out = scratch(dir, "x9_bc_out")
+    Compaction.compact(spark, path, plan, out)
+    val binFiles = DataSkipping.compactedFiles(spark, out).cache()
+    val derived = DataSkipping.bloomIndexAfterCompaction(idx0, plan, binFiles)
+    val rebuilt = DataSkipping.bloomIndex(spark, out, "event_id",
+      expectedItemsPerFile = 4096)
+    // key by the bin=K path segment, not the basename: partitionBy names
+    // files per TASK, and two bins hashed to one task share a basename
+    def byBin(df: DataFrame) = df.collect().map { r =>
+      val f = r.getAs[String]("file")
+      "bin=\\d+".r.findFirstIn(f).getOrElse(f) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Array[Byte]]("bloom")))
+    }.toMap
+    val (d, h) = (byBin(derived), byBin(rebuilt))
+    val bitexact = d.nonEmpty && d.keySet == h.keySet && d.forall { case (f, (n, b)) =>
+      h(f)._1 == n && java.util.Arrays.equals(b, h(f)._2)
+    }
+    // a point key still prunes through the derived index
+    val probeKey = base.agg(min(col("event_id"))).head().getLong(0)
+    val cand = DataSkipping.candidateFilesByKey(derived, lit(probeKey))
+    val prunes = cand.count() > 0 && cand.count() < binFiles.count() &&
+      DataSkipping.prunedRead(spark, out, cand)
+        .where(col("event_id") === probeKey).count() == 1L
+    base.agg(count(lit(1)).as("n_rows"))
+      .select(col("n_rows"),
+        lit(bitexact).as("index_bitexact"),
+        lit(prunes).as("lookup_prunes"))
+  }
+
   private def x9SkippingStr(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.DataSkipping
     val ev = t(spark, dir, "events")
@@ -4186,6 +4236,7 @@ object Queries {
     "x9_skipping_null" -> (x9SkippingNull _),
     "x9_skipping_in" -> (x9SkippingIn _),
     "x9_manifest_compact" -> (x9ManifestCompact _),
+    "x9_bloom_compact" -> (x9BloomCompact _),
     "x9_hilbert3" -> (x9Hilbert3 _),
     "x2_weighted_jaccard" -> (x2WeightedJaccard _),
     "k5_merge" -> (k5Merge _)
