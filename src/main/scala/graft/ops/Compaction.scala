@@ -78,6 +78,41 @@ object Compaction {
         StructField("bin", LongType, nullable = false))))
   }
 
+  /** CLUSTERING-PRESERVING compaction plan: deterministic next-fit over
+    * files in `ord` order (their clustering-key minimum from the stats
+    * manifest) — adjacent files merge, so if the input files were
+    * range-DISJOINT on the layout key (a [[Layout]] write, a
+    * [[graft.streaming.StreamingZorder]] generation), the merged files
+    * are too, and every skipping property survives the rewrite. The FFD
+    * plan ([[compactionPlan]]) packs ~11/9·OPT bins but interleaves
+    * far-apart key ranges into one file, widening every merged file's
+    * min/max to near-full-domain — small-file tax traded for scan tax.
+    * Next-fit packs slightly worse (no lookback) and keeps the layout;
+    * `sizes` must carry (file, bytes, ord). Oversize files close their
+    * bin like any other — never split (the [[compactionPlan]] rule).
+    */
+  def sequentialCompactionPlan(sizes: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "sequentialCompactionPlan: positive target size")
+    val spark = sizes.sparkSession
+    // ordering happens IN Spark (orderBy knows the ord column's type;
+    // a driver-side string sort would misorder numerics)
+    val files = sizes.select(col("file"), col("bytes"), col("ord"))
+      .orderBy(col("ord"), col("file")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var bin = 0L
+    var filled = 0L
+    val placed = files.map { case (f, b) =>
+      if (filled > 0L && filled + b > targetBytes) { bin += 1; filled = 0L }
+      filled += b
+      Row(f, b, bin)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(placed.toIndexedSeq, 1),
+      StructType(Seq(StructField("file", StringType, nullable = false),
+        StructField("bytes", LongType, nullable = false),
+        StructField("bin", LongType, nullable = false))))
+  }
+
   /** Execute a plan: one job, one exchange on the bin id, one output
     * file per bin under `outDir` (`bin=*` partition dirs). Join key is
     * the file basename — `input_file_name` and the Hadoop listing

@@ -2555,6 +2555,12 @@ object Oracles {
         |  true AS index_bitexact, true AS lookup_prunes
         |FROM events""".stripMargin,
 
+    "x9_compact_ordered" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS ranges_disjoint, true AS box_prunes,
+        |  true AS pruned_equals_full, true AS files_reduced
+        |FROM events""".stripMargin,
+
     "x9_skipping_in" ->
       """WITH base AS (
         |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, value FROM events),

@@ -550,6 +550,55 @@ object Queries {
         lit(prunes).as("lookup_prunes"))
   }
 
+  /** X9co: clustering-PRESERVING compaction — next-fit over files in
+    * clustering-key order ([[graft.ops.Compaction.sequentialCompactionPlan]])
+    * so range-disjoint input files merge into range-disjoint bigger
+    * files and every skipping property survives the rewrite (FFD would
+    * interleave far-apart ranges and widen every merged file to
+    * near-full-domain). The derived post-compaction manifest (X9mcft —
+    * zero footer reads) supplies the evidence: pairwise-disjoint ranges,
+    * a mid-domain box that still prunes, and pruned ≡ full.
+    */
+  private def x9CompactOrdered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Compaction, DataSkipping}
+    val base = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val path = scratch(dir, "x9_co_in")
+    base.repartitionByRange(16, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(path)
+    val m0 = DataSkipping.statsManifest(spark, path, Seq("event_id")).cache()
+    val sizes = Compaction.fileSizes(spark, path)
+      .join(m0.select(col("file"), col("event_id_min").as("ord")), Seq("file"))
+    val total = sizes.agg(sum(col("bytes"))).head().getLong(0)
+    val plan = Compaction.sequentialCompactionPlan(sizes, math.max(1L, total / 4))
+      .cache()
+    val out = scratch(dir, "x9_co_out")
+    Compaction.compact(spark, path, plan, out)
+    val binFiles = DataSkipping.compactedFiles(spark, out).cache()
+    val derived = DataSkipping.manifestAfterCompaction(m0, plan, binFiles).cache()
+    val spans = derived.select(col("event_id_min"), col("event_id_max"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val disjoint = spans.nonEmpty && spans.sliding(2).forall {
+      case Array((_, aMax), (bMin, _)) => bMin > aMax
+      case _                           => true
+    }
+    val n = base.agg(count(lit(1))).head().getLong(0)
+    val (lo, hi) = (n / 2, n / 2 + n / 8)
+    val cand = DataSkipping.candidateFiles(derived,
+      Seq(DataSkipping.longRange("event_id", lo, hi)))
+    val boxPrunes = cand.count() > 0 && cand.count() < binFiles.count()
+    val prunedN = DataSkipping.prunedRead(spark, out, cand)
+      .where(col("event_id").between(lo, hi)).count()
+    val fullN = base.where(col("event_id").between(lo, hi)).count()
+    base.agg(count(lit(1)).as("n_rows"))
+      .select(col("n_rows"),
+        lit(disjoint).as("ranges_disjoint"),
+        lit(boxPrunes).as("box_prunes"),
+        lit(prunedN == fullN).as("pruned_equals_full"),
+        lit(binFiles.count() < 16L).as("files_reduced"))
+  }
+
   private def x9SkippingStr(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.DataSkipping
     val ev = t(spark, dir, "events")
@@ -4237,6 +4286,7 @@ object Queries {
     "x9_skipping_in" -> (x9SkippingIn _),
     "x9_manifest_compact" -> (x9ManifestCompact _),
     "x9_bloom_compact" -> (x9BloomCompact _),
+    "x9_compact_ordered" -> (x9CompactOrdered _),
     "x9_hilbert3" -> (x9Hilbert3 _),
     "x2_weighted_jaccard" -> (x2WeightedJaccard _),
     "k5_merge" -> (k5Merge _)
