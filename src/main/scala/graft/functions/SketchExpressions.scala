@@ -493,6 +493,32 @@ case class CmsInnerProduct(left: Expression, right: Expression)
   * false POSITIVES only, and the pruned join re-verifies with the real
   * equi-join — the contract the result-identical oracle gate leans on.
   */
+/** THE canonical key hash-class mapping for Bloom build/probe — the one
+  * place [[BloomBuildAgg.update]]'s type dispatch is mirrored. Every
+  * guard that enforces the build-and-probe-in-one-class contract
+  * ([[graft.ops.BloomPrune]], [[graft.ops.DataSkipping]],
+  * [[graft.plans.SketchJoinPlanning]]) reads it from here: a change to
+  * the aggregate's dispatch that misses a scattered copy reintroduces
+  * exactly the cross-class false-negative unsoundness the guards exist
+  * to prevent.
+  */
+object BloomHashClass {
+  /** Hash class [[BloomBuildAgg]] puts a key type in (build side). */
+  def of(dt: DataType): String = dt match {
+    case LongType | IntegerType => "long"
+    case _                      => "string"
+  }
+
+  /** The class IF [[BloomContains]] can also probe the type — the
+    * build∩probe intersection planners must stay inside.
+    */
+  def probeable(dt: DataType): Option[String] = dt match {
+    case LongType | IntegerType => Some("long")
+    case StringType             => Some("string")
+    case _                      => None
+  }
+}
+
 /** Merge of serialized Bloom filters — bitwise OR of the bit arrays
   * ([[org.apache.spark.util.sketch.BloomFilter.mergeInPlace]]): the
   * Bloom of a UNION of key sets is exactly the OR of the sets' Blooms,

@@ -29,21 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
-  /** Hash class a key type lands in: [[graft.functions.BloomBuildAgg]]
-    * hashes int/long keys via putLong and everything else via its string
-    * form, and [[graft.functions.BloomContains]] dispatches the same way
-    * on the PROBE column's type — so a long build key probed by a string
-    * key (legal to Spark, which equi-joins across types via implicit
-    * casts) would hash in different classes and produce false NEGATIVES:
-    * matching fact rows dropped before the join, silently. The pruning
-    * contract (false positives only, result ≡ plain join) therefore
-    * requires both keys in ONE class, checked here at plan-build time.
+  /** Hash class a key type lands in ([[graft.functions.BloomHashClass]],
+    * the canonical mapping mirroring [[graft.functions.BloomBuildAgg]]):
+    * a long build key probed by a string key (legal to Spark, which
+    * equi-joins across types via implicit casts) would hash in different
+    * classes and produce false NEGATIVES — matching fact rows dropped
+    * before the join, silently. The pruning contract (false positives
+    * only, result ≡ plain join) therefore requires both keys in ONE
+    * class, checked here at plan-build time.
     */
-  private def hashClass(dt: org.apache.spark.sql.types.DataType): String = dt match {
-    case org.apache.spark.sql.types.LongType |
-         org.apache.spark.sql.types.IntegerType => "long"
-    case _ => "string"
-  }
+  private def hashClass(dt: org.apache.spark.sql.types.DataType): String =
+    graft.functions.BloomHashClass.of(dt)
 
   /** `probe JOIN build ON probeKey = buildKey`, with the probe side
     * Bloom-pruned before the shuffle. `expectedItems` sizes the filter

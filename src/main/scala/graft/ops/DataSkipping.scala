@@ -326,6 +326,18 @@ object DataSkipping {
                               binFiles: DataFrame): DataFrame = {
     val statCols = manifest.columns.filter(_.endsWith("_min"))
       .map(_.stripSuffix("_min")).toSeq
+    // coverage is a REQUIREMENT, not a best effort: a planned file absent
+    // from the source manifest would silently NARROW its bin's folded
+    // bounds (and undercount its rows) — the one way this layer could
+    // lose rows. Refuse loudly; the caller harvests the missing footers
+    // (or rebuilds) instead. Planned-but-unmanifested files happen when
+    // the manifest predates an append the compaction saw.
+    val uncovered = plan.select(col("file"))
+      .join(manifest.select(col("file")), Seq("file"), "left_anti").count()
+    require(uncovered == 0L,
+      s"manifestAfterCompaction: $uncovered planned file(s) missing from the " +
+        "source manifest — folding would produce narrowed (unsound) bounds; " +
+        "harvest the missing files first (statsManifestFiles) or rebuild")
     val joined = manifest.join(plan.select(col("file"), col("bin")), Seq("file"))
     val aggs = sum(col("n_rows")).as("n_rows") +: statCols.flatMap { c =>
       val unknown = max(when(col(s"${c}_nulls").isNull, 1).otherwise(0)) === 1
@@ -381,6 +393,17 @@ object DataSkipping {
     // join on the basename: the index carries input_file_name's URI form,
     // the plan carries the FileSystem listing's (file:/ vs file:///)
     def base(c: Column) = element_at(split(c, "/"), -1)
+    // coverage required, same as manifestAfterCompaction — and stricter in
+    // consequence: a Bloom folded without one input's filter yields false
+    // NEGATIVES (dropped files on lookups), and there is no "unknown"
+    // state a Bloom row can degrade to
+    val uncovered = plan.select(base(col("file")).as("__f"))
+      .join(index.select(base(col("file")).as("__f")), Seq("__f"), "left_anti")
+      .count()
+    require(uncovered == 0L,
+      s"bloomIndexAfterCompaction: $uncovered planned file(s) missing from the " +
+        "source index — a folded Bloom missing keys gives false negatives; " +
+        "rebuild the index for the missing files first")
     val joined = index.withColumn("__f", base(col("file")))
       .join(plan.select(base(col("file")).as("__f"), col("bin")), Seq("__f"))
     val withCls = index.columns.contains("key_class")
@@ -425,11 +448,6 @@ object DataSkipping {
   def dateRange(column: String, lo: java.time.LocalDate, hi: java.time.LocalDate): Range =
     Range(column, lit(lo), lit(hi))
 
-  /** Manifest rows whose files COULD hold a row satisfying every range:
-    * known stats → interval overlap; unknown stats → candidate (sound,
-    * not lucky) unless the null count proves the file all-null for the
-    * column (NULL satisfies no range predicate).
-    */
   /** The per-range candidate test: known stats → interval overlap;
     * unknown stats → candidate (sound, not lucky) unless the null count
     * proves the file all-null for the column.
@@ -442,6 +460,11 @@ object DataSkipping {
       .otherwise(lit(true))
   }
 
+  /** Manifest rows whose files COULD hold a row satisfying every range:
+    * known stats → interval overlap; unknown stats → candidate (sound,
+    * not lucky) unless the null count proves the file all-null for the
+    * column (NULL satisfies no range predicate).
+    */
   def candidateFiles(manifest: DataFrame, ranges: Seq[Range]): DataFrame = {
     require(ranges.nonEmpty, "candidateFiles: at least one range")
     manifest.where(ranges.map(rangeKeep).reduce(_ && _))
@@ -553,10 +576,8 @@ object DataSkipping {
     * of a long-built index, say) is rejected instead of unsoundly
     * skipping the file that actually holds the key.
     */
-  private def bloomHashClass(dt: DataType): String = dt match {
-    case LongType | IntegerType => "long"
-    case _                      => "string"
-  }
+  private def bloomHashClass(dt: DataType): String =
+    graft.functions.BloomHashClass.of(dt)
 
   /** Files that might contain `key`: false positives only (fpp per
     * file), never false negatives — the sound-skipping contract again.

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /** Dataset-curation sampling operators for training-data pipelines
   * (SURVEY.md §2.12 extension surface): deterministic train/val/test
@@ -430,6 +430,14 @@ object Sampling {
   def fixedKSample(df: DataFrame, idCol: String, groupCols: Seq[String],
                    k: Int, seed: String = "fixedk"): DataFrame = {
     require(k > 0, s"fixedKSample: k must be positive, got $k")
+    // the TopKAgg heap carries (score, id BIGINT); a non-integral id would
+    // cast to null and be silently SKIPPED — empty samples with no error
+    df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case t => throw new IllegalArgumentException(
+        s"fixedKSample: $idCol must be an integral id column (got $t) — " +
+          "the heap carries ids as BIGINT; map string ids to a surrogate first")
+    }
     graft.functions.GraftFunctions.register(df.sparkSession)
     val score = Dedup.md5Hash32(
       concat_ws("|", lit(seed), col(idCol).cast("string")), 1).cast("double")

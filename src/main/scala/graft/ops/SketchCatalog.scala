@@ -89,10 +89,15 @@ object SketchCatalog {
         sa.getEstimate + sb.getEstimate - u.getResult.getEstimate))
     } catch { case _: Exception => None }
 
-  /** An activated catalog: table-level stats + per-(table, key) sketches. */
+  /** An activated catalog: table-level stats + per-(table, key) sketches.
+    * Table-level numbers take the max-n_rows entry — the same latest-wins
+    * convention [[activate]] applies per (table, key), so a table whose
+    * keys were harvested at different times never exposes a stale (and
+    * nondeterministically chosen) n_bytes to the broadcast pass.
+    */
   final class Catalog(val entries: Seq[Entry]) extends Serializable {
     val byTable: Map[String, Entry] = entries.groupBy(_.table).map {
-      case (t, es) => t -> es.head
+      case (t, es) => t -> es.maxBy(_.nRows)
     }
     val byTableKey: Map[(String, String), Entry] =
       entries.map(e => (e.table, e.key) -> e).toMap

@@ -147,9 +147,14 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
       (la, ra) = pairs.head
       le <- entryFor(lb, cat, la)
       re <- entryFor(rb, cat, ra)
+      // IllegalArgumentException = geometry/seed mismatch; ArithmeticException
+      // = the codec's deliberate exact-arithmetic overflow (totalCounts big
+      // enough that cell products pass 2^63 — exactly the 100 TB regime).
+      // Either way a PLANNING rule degrades to "no estimate", never crashes
+      // a query that runs fine un-ruled.
       est <- try Some(CmsCodec.innerProduct(
         CmsCodec.parse(le.cms), CmsCodec.parse(re.cms)))
-      catch { case e: IllegalArgumentException =>
+      catch { case e @ (_: IllegalArgumentException | _: ArithmeticException) =>
         logWarning(s"sketch planning: skipping estimate (${e.getMessage})"); None }
     } yield est
 
@@ -224,7 +229,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
       ae <- entryFor(ab, cat, e.attrA); be <- entryFor(bb, cat, e.attrB)
       est <- try Some(CmsCodec.innerProduct(
         CmsCodec.parse(ae.cms), CmsCodec.parse(be.cms)).toDouble)
-      catch { case ex: IllegalArgumentException =>
+      catch { case ex @ (_: IllegalArgumentException | _: ArithmeticException) =>
         logWarning(s"sketch planning: skipping estimate (${ex.getMessage})"); None }
     } yield est
 
@@ -353,10 +358,16 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def filterRowBound(cond: Expression, base: Base, cat: Catalog): Option[Long] = {
     def point(a: AttributeReference, v: Any, dt: DataType): Option[Long] =
-      for {
+      (for {
         e <- entryFor(base, cat, a)
         s <- litString(v, dt)
-      } yield cmsPointBound(e, s)
+      } yield e -> s).flatMap { case (e, s) =>
+        try Some(cmsPointBound(e, s))
+        catch { case ex: Exception => // corrupt artifact: no estimate, no crash
+          logWarning(s"sketch planning: unreadable cms for point bound (${ex.getMessage})")
+          None
+        }
+      }
     val bounds = splitConjunctivePredicates(cond).flatMap {
       case EqualTo(a: AttributeReference, Literal(v, dt)) => point(a, v, dt)
       case EqualTo(Literal(v, dt), a: AttributeReference) => point(a, v, dt)
@@ -364,11 +375,22 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
           vs.forall(_.isInstanceOf[Literal]) =>
         val per = vs.map { case Literal(v, dt) => point(a, v, dt) }
         if (per.exists(_.isEmpty)) None
-        else Some(per.flatten.foldLeft(0L)(Math.addExact))
+        else Some(per.flatten.foldLeft(0L)((a, b) =>
+          try Math.addExact(a, b)
+          catch { case _: ArithmeticException => Long.MaxValue }))
       case _ => None
     }
     if (bounds.isEmpty) None else Some(bounds.min)
   }
+
+  /** rows × per-row bytes, SATURATING at Long.MaxValue: a wrapped
+    * negative product would read as "tiny side" and broadcast a
+    * petabyte intermediate — the exact inversion of the never-understate
+    * contract. Saturation only ever makes a side look bigger (safe).
+    */
+  private def satBytes(rows: Long, perRow: Long): Long =
+    try Math.multiplyExact(rows, perRow)
+    catch { case _: ArithmeticException => Long.MaxValue }
 
   /** Estimated in-exchange bytes of a side: a catalogued leaf's on-disk
     * bytes — refined through Filters whose point predicates the stored
@@ -385,7 +407,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
         rb <- resolveBase(r, cat); re <- cat.byTable.get(rb.table)
         perRow = math.max(1L, le.nBytes / math.max(1L, le.nRows)) +
           math.max(1L, re.nBytes / math.max(1L, re.nRows))
-      } yield rows * perRow
+      } yield satBytes(rows, perRow)
     case Project(_, child)       => estBytes(child, cat)
     case Filter(cond, child)     =>
       val full = estBytes(child, cat)
@@ -393,7 +415,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
         base <- resolveBase(child, cat)
         e <- cat.byTable.get(base.table)
         rows <- filterRowBound(cond, base, cat)
-      } yield rows * math.max(1L, e.nBytes / math.max(1L, e.nRows))
+      } yield satBytes(rows, math.max(1L, e.nBytes / math.max(1L, e.nRows)))
       (refined, full) match {
         case (Some(r), Some(f)) => Some(math.min(r, f))
         case (r, f)             => r.orElse(f)
@@ -432,15 +454,13 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     conf.getConfString(SketchCatalog.RuntimeFilterSelectivityKey, "0.5").toDouble
 
   /** Hash class of a key type in [[BloomBuildAgg]]/[[BloomContains]]
-    * (the [[graft.ops.BloomPrune]] contract): build and probe must land
-    * in ONE class or the filter produces false NEGATIVES — dropped
+    * (the [[graft.ops.BloomPrune]] contract, read from the canonical
+    * [[graft.functions.BloomHashClass]] mapping): build and probe must
+    * land in ONE class or the filter produces false NEGATIVES — dropped
     * matches. Types outside both classes are not probe-able at all.
     */
-  private def bloomClass(dt: DataType): Option[String] = dt match {
-    case LongType | IntegerType => Some("long")
-    case StringType             => Some("string")
-    case _                      => None
-  }
+  private def bloomClass(dt: DataType): Option[String] =
+    graft.functions.BloomHashClass.probeable(dt)
 
   /** Is a Bloom probe on `probeKey` already present anywhere below?
     * (Idempotence inside the fixed-point batch: CombineFilters /

@@ -63,12 +63,52 @@ object Queries {
     * was dozens of copies per run).
     */
   private def scratch(dir: String, name: String): String = {
+    // keyed by basename PLUS a short hash of the full path: two sf dirs
+    // with the same basename under different parents must not clobber
+    // each other's scratch tables or cached catalogs within one tmpdir
+    val full = new java.io.File(dir).getAbsolutePath
+    val tag = f"${full.hashCode & 0xffffff}%06x"
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir", "/tmp"),
-      "graft-scratch", new java.io.File(dir).getName, name)
+      "graft-scratch", s"${new java.io.File(dir).getName}-$tag", name)
     java.nio.file.Files.createDirectories(base.getParent)
     base.toString
   }
+
+  /** AQE-unwrapped physical equi-joins of a frame (broadcast-hash +
+    * sort-merge, pre-order) — the plan probe every artifact-planning
+    * gate shares; one definition so a change to the AQE-root handling
+    * cannot diverge between gates claiming the same semantics.
+    */
+  private def physicalJoins(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    root.collect {
+      case b: BroadcastHashJoinExec => b
+      case s: SortMergeJoinExec     => s
+    }
+  }
+
+  /** Root paths of the parquet scans under a physical node. */
+  private def planScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.head.toString
+    }
+
+  /** The count / sum-ids / decimal-rounded sum-value summary every x9
+    * skipping gate pins (one definition: the decimal rounding is part of
+    * the oracle contract and must not drift between gates).
+    */
+  private def skipSummary(df: DataFrame, tag: String): DataFrame = df.agg(
+    count(lit(1)).as(s"n_rows$tag"),
+    coalesce(sum("event_id"), lit(0L)).as(s"sum_ids$tag"),
+    coalesce(sum(round(col("value"), 6).cast(DecimalType(18, 6))),
+      lit(0).cast(DecimalType(18, 6))).as(s"sum_value$tag"))
 
   // ==================================================================
   // Core reference semantics (SURVEY.md §2.1-§2.10), generalized
@@ -276,14 +316,9 @@ object Queries {
       Seq(DataSkipping.longRange("user_id", ulo, uhi),
         DataSkipping.longRange("ts_ms", tlo, thi)))
     val rowFilter = col("user_id").between(ulo, uhi) && col("ts_ms").between(tlo, thi)
-    def summary(df: DataFrame, tag: String) = df.agg(
-      count(lit(1)).as(s"n_rows$tag"),
-      coalesce(sum("event_id"), lit(0L)).as(s"sum_ids$tag"),
-      coalesce(sum(round(col("value"), 6).cast(DecimalType(18, 6))),
-        lit(0).cast(DecimalType(18, 6))).as(s"sum_value$tag"))
-    val prunedS = summary(
+    val prunedS = skipSummary(
       DataSkipping.prunedRead(spark, path, cand).where(rowFilter), "")
-    val fullS = summary(base.where(rowFilter), "_f")
+    val fullS = skipSummary(base.where(rowFilter), "_f")
     val counts = cand.agg(count(lit(1)).as("__n_cand"))
       .crossJoin(manifest.agg(count(lit(1)).as("__n_files")))
     prunedS.crossJoin(broadcast(fullS)).crossJoin(broadcast(counts))
@@ -363,14 +398,9 @@ object Queries {
     val cand = DataSkipping.candidateFiles(manifest,
       Seq(DataSkipping.timestampRange("ets", lo, hi)))
     val rowFilter = col("ets").between(lit(lo), lit(hi))
-    def summary(df: DataFrame, tag: String) = df.agg(
-      count(lit(1)).as(s"n_rows$tag"),
-      coalesce(sum("event_id"), lit(0L)).as(s"sum_ids$tag"),
-      coalesce(sum(round(col("value"), 6).cast(DecimalType(18, 6))),
-        lit(0).cast(DecimalType(18, 6))).as(s"sum_value$tag"))
-    val prunedS = summary(
+    val prunedS = skipSummary(
       DataSkipping.prunedRead(spark, path, cand).where(rowFilter), "")
-    val fullS = summary(base.where(rowFilter), "_f")
+    val fullS = skipSummary(base.where(rowFilter), "_f")
     val counts = cand.agg(count(lit(1)).as("__n_cand"))
       .crossJoin(manifest.agg(count(lit(1)).as("__n_files")))
     prunedS.crossJoin(broadcast(fullS)).crossJoin(broadcast(counts))
@@ -403,15 +433,10 @@ object Queries {
     val manifest = DataSkipping.statsManifest(spark, path, Seq("event_id", "payload"))
       .cache()
     val cand = DataSkipping.nullCandidates(manifest, "payload", wantNull = false)
-    def summary(df: DataFrame, tag: String) = df.agg(
-      count(lit(1)).as(s"n_rows$tag"),
-      coalesce(sum("event_id"), lit(0L)).as(s"sum_ids$tag"),
-      coalesce(sum(round(col("value"), 6).cast(DecimalType(18, 6))),
-        lit(0).cast(DecimalType(18, 6))).as(s"sum_value$tag"))
-    val prunedS = summary(
+    val prunedS = skipSummary(
       DataSkipping.prunedRead(spark, path, cand)
         .where(col("payload").isNotNull), "")
-    val fullS = summary(base.where(col("payload").isNotNull), "_f")
+    val fullS = skipSummary(base.where(col("payload").isNotNull), "_f")
     val counts = cand.agg(count(lit(1)).as("__n_cand"))
       .crossJoin(manifest.agg(count(lit(1)).as("__n_files")))
     prunedS.crossJoin(broadcast(fullS)).crossJoin(broadcast(counts))
@@ -444,14 +469,9 @@ object Queries {
     val cand = DataSkipping.candidateFilesAny(manifest,
       days.map(d => DataSkipping.stringRange("day", d, d)))
     val rowFilter = col("day").isin(days: _*)
-    def summary(df: DataFrame, tag: String) = df.agg(
-      count(lit(1)).as(s"n_rows$tag"),
-      coalesce(sum("event_id"), lit(0L)).as(s"sum_ids$tag"),
-      coalesce(sum(round(col("value"), 6).cast(DecimalType(18, 6))),
-        lit(0).cast(DecimalType(18, 6))).as(s"sum_value$tag"))
-    val prunedS = summary(
+    val prunedS = skipSummary(
       DataSkipping.prunedRead(spark, path, cand).where(rowFilter), "")
-    val fullS = summary(base.where(rowFilter), "_f")
+    val fullS = skipSummary(base.where(rowFilter), "_f")
     val counts = cand.agg(count(lit(1)).as("__n_cand"))
       .crossJoin(manifest.agg(count(lit(1)).as("__n_files")))
     prunedS.crossJoin(broadcast(fullS)).crossJoin(broadcast(counts))
@@ -614,14 +634,9 @@ object Queries {
     val cand = DataSkipping.candidateFiles(manifest,
       Seq(DataSkipping.stringRange("day", dlo, dhi)))
     val rowFilter = col("day").between(dlo, dhi)
-    def summary(df: DataFrame, tag: String) = df.agg(
-      count(lit(1)).as(s"n_rows$tag"),
-      coalesce(sum("event_id"), lit(0L)).as(s"sum_ids$tag"),
-      coalesce(sum(round(col("value"), 6).cast(DecimalType(18, 6))),
-        lit(0).cast(DecimalType(18, 6))).as(s"sum_value$tag"))
-    val prunedS = summary(
+    val prunedS = skipSummary(
       DataSkipping.prunedRead(spark, path, cand).where(rowFilter), "")
-    val fullS = summary(base.where(rowFilter), "_f")
+    val fullS = skipSummary(base.where(rowFilter), "_f")
     val counts = cand.agg(count(lit(1)).as("__n_cand"))
       .crossJoin(manifest.agg(count(lit(1)).as("__n_files")))
     prunedS.crossJoin(broadcast(fullS)).crossJoin(broadcast(counts))
@@ -3337,8 +3352,6 @@ object Queries {
     */
   private def q13PlannedJoin(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.SketchCatalog
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     def chain(): DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
       .join(spark.read.parquet(s"$dir/orders.parquet"),
@@ -3349,23 +3362,13 @@ object Queries {
       .agg(count(lit(1)).as("n_items"),
         decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 4)
           .as("revenue"))
-    def joins(df: DataFrame): Seq[SparkPlan] = {
-      val root = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.initialPlan
-        case p                        => p
-      }
-      root.collect {
-        case b: BroadcastHashJoinExec => b
-        case s: SortMergeJoinExec     => s
-      }
-    }
     val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val (naiveAllMerge, artifactBroadcast, artifactReordered) = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       SketchCatalog.deactivate(spark)
-      val naive = joins(chain())
+      val naive = physicalJoins(chain())
       SketchCatalog.activate(spark, q13Catalog(spark, dir))
-      val planned = joins(chain())
+      val planned = physicalJoins(chain())
       // deepest join after the rotation must not touch the fact table
       val bottomScans = planned.lastOption.toSeq.flatMap(_.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
@@ -3419,8 +3422,6 @@ object Queries {
     */
   private def q15PlannedChain(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.SketchCatalog
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     def chain(): DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
       .join(spark.read.parquet(s"$dir/orders.parquet"),
@@ -3433,29 +3434,15 @@ object Queries {
       .agg(count(lit(1)).as("n_items"),
         decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 4)
           .as("revenue"))
-    def joins(df: DataFrame): Seq[SparkPlan] = {
-      val root = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.initialPlan
-        case p                        => p
-      }
-      root.collect {
-        case b: BroadcastHashJoinExec => b
-        case s: SortMergeJoinExec     => s
-      }
-    }
-    def scansOf(p: SparkPlan): Seq[String] = p.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.relation.location.rootPaths.head.toString
-    }
     val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val (naiveAllMerge, factLast, bottomDims) = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       SketchCatalog.deactivate(spark)
-      val naive = joins(chain())
+      val naive = physicalJoins(chain())
       SketchCatalog.activate(spark, q15Catalog(spark, dir))
-      val planned = joins(chain())
-      val bottom = planned.lastOption.toSeq.flatMap(scansOf)
-      val mid = if (planned.size == 3) scansOf(planned(1)) else Nil
+      val planned = physicalJoins(chain())
+      val bottom = planned.lastOption.toSeq.flatMap(planScans)
+      val mid = if (planned.size == 3) planScans(planned(1)) else Nil
       (naive.size == 3 && naive.forall(_.isInstanceOf[SortMergeJoinExec]),
         planned.size == 3 && mid.nonEmpty && mid.forall(!_.contains("lineitem")),
         bottom.nonEmpty && bottom.forall(s =>
@@ -3488,8 +3475,6 @@ object Queries {
     */
   private def q16FilteredBroadcast(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.SketchCatalog
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     def filtered(): DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
       .join(spark.read.parquet(s"$dir/orders.parquet")
@@ -3504,17 +3489,8 @@ object Queries {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"))
-    def joins(df: DataFrame): Seq[SparkPlan] = {
-      val root = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.initialPlan
-        case p                        => p
-      }
-      root.collect {
-        case b: BroadcastHashJoinExec => b
-        case s: SortMergeJoinExec     => s
-      }
-    }
     val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBb = spark.conf.getOption(SketchCatalog.BroadcastBytesKey)
     // threshold pinned RELATIVE to the catalogued orders bytes (half),
     // so the control holds at every scale: the unfiltered side is
     // always over it, the point-refined estimate (~a dozen rows) always
@@ -3528,14 +3504,17 @@ object Queries {
       spark.conf.set(SketchCatalog.BroadcastBytesKey,
         math.max(1L, ordersBytes / 2).toString)
       SketchCatalog.deactivate(spark)
-      val naive = joins(filtered())
+      val naive = physicalJoins(filtered())
       SketchCatalog.activate(spark, q15Catalog(spark, dir))
       (naive.forall(_.isInstanceOf[SortMergeJoinExec]) && naive.nonEmpty,
-        joins(filtered()).exists(_.isInstanceOf[BroadcastHashJoinExec]),
-        joins(unfiltered()).forall(_.isInstanceOf[SortMergeJoinExec]))
+        physicalJoins(filtered()).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        physicalJoins(unfiltered()).forall(_.isInstanceOf[SortMergeJoinExec]))
     } finally {
       SketchCatalog.deactivate(spark)
-      spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      prevBb match { // restore, never blindly unset a user's setting
+        case Some(v) => spark.conf.set(SketchCatalog.BroadcastBytesKey, v)
+        case None    => spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      }
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
     }
     filtered()
@@ -3603,14 +3582,10 @@ object Queries {
             if f.condition.exists(_.isInstanceOf[graft.functions.BloomContains]) => f
       }
     }
-    def smj(df: DataFrame): Boolean = {
-      val root = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.initialPlan
-        case p                        => p
-      }
-      root.collect { case s: SortMergeJoinExec => s }.nonEmpty
-    }
+    def smj(df: DataFrame): Boolean =
+      physicalJoins(df).exists(_.isInstanceOf[SortMergeJoinExec])
     val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBb = spark.conf.getOption(SketchCatalog.BroadcastBytesKey)
     val (naiveBare, artifactFiltered) = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set(SketchCatalog.BroadcastBytesKey, "0")
@@ -3628,7 +3603,10 @@ object Queries {
         smj(planned) && fs.size == 1 && overProbe.exists(_.contains("orders")))
     } finally {
       SketchCatalog.deactivate(spark)
-      spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      prevBb match { // restore, never blindly unset a user's setting
+        case Some(v) => spark.conf.set(SketchCatalog.BroadcastBytesKey, v)
+        case None    => spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      }
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
     }
     chain()
