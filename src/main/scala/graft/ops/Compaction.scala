@@ -94,6 +94,16 @@ object Compaction {
   def sequentialCompactionPlan(sizes: DataFrame, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "sequentialCompactionPlan: positive target size")
     val spark = sizes.sparkSession
+    // a null ord (a file whose manifest stats are unknown) would sort
+    // nulls-first into the lowest-range bins, quietly breaking the
+    // range-disjointness this plan exists to preserve — refuse loudly,
+    // matching manifestAfterCompaction's coverage posture
+    val unknownOrd = sizes.where(col("ord").isNull).count()
+    require(unknownOrd == 0L,
+      s"sequentialCompactionPlan: $unknownOrd file(s) with null ord — a file " +
+        "with unknown clustering stats cannot be placed without breaking " +
+        "range disjointness; harvest the missing footers first " +
+        "(DataSkipping.statsManifestFiles) or exclude those files")
     // ordering happens IN Spark (orderBy knows the ord column's type;
     // a driver-side string sort would misorder numerics)
     val files = sizes.select(col("file"), col("bytes"), col("ord"))

@@ -390,22 +390,28 @@ object DataSkipping {
   def bloomIndexAfterCompaction(index: DataFrame, plan: DataFrame,
                                 binFiles: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(index.sparkSession)
-    // join on the basename: the index carries input_file_name's URI form,
-    // the plan carries the FileSystem listing's (file:/ vs file:///)
-    def base(c: Column) = element_at(split(c, "/"), -1)
+    // join on the CANONICAL full path — scheme/authority stripped, which
+    // reconciles input_file_name's URI form (file:/...) with the
+    // FileSystem listing's (file:///...) while keeping the directory
+    // part. A basename join would silently fan rows across bins whenever
+    // two listed files share a basename (files imported/copied in, or a
+    // non-Spark writer without per-job UUIDs): folded Blooms would absorb
+    // other bins' keys and n_rows would double count, with both coverage
+    // guards still passing.
+    def canon(c: Column) = canonicalPath(c)
     // coverage required, same as manifestAfterCompaction — and stricter in
     // consequence: a Bloom folded without one input's filter yields false
     // NEGATIVES (dropped files on lookups), and there is no "unknown"
     // state a Bloom row can degrade to
-    val uncovered = plan.select(base(col("file")).as("__f"))
-      .join(index.select(base(col("file")).as("__f")), Seq("__f"), "left_anti")
+    val uncovered = plan.select(canon(col("file")).as("__f"))
+      .join(index.select(canon(col("file")).as("__f")), Seq("__f"), "left_anti")
       .count()
     require(uncovered == 0L,
       s"bloomIndexAfterCompaction: $uncovered planned file(s) missing from the " +
         "source index — a folded Bloom missing keys gives false negatives; " +
         "rebuild the index for the missing files first")
-    val joined = index.withColumn("__f", base(col("file")))
-      .join(plan.select(base(col("file")).as("__f"), col("bin")), Seq("__f"))
+    val joined = index.withColumn("__f", canon(col("file")))
+      .join(plan.select(canon(col("file")).as("__f"), col("bin")), Seq("__f"))
     val withCls = index.columns.contains("key_class")
     val merged = joined.groupBy("bin")
       .agg(call_function("graft_bloom_merge", col("bloom")).as("bloom"),
@@ -416,6 +422,16 @@ object DataSkipping {
     else relabeled.crossJoin(
       broadcast(index.select(col("key_class")).limit(1)))
   }
+
+  /** A path column normalized to its scheme-and-authority-free form
+    * (`file:/t/x`, `file:///t/x`, `hdfs://nn:8020/t/x` all → `/t/x`) —
+    * the join-key form that reconciles `input_file_name()` URIs with
+    * Hadoop listing paths without collapsing distinct files the way a
+    * basename join does. Within one table both sides name files of the
+    * same store, so dropping the authority cannot alias two files.
+    */
+  def canonicalPath(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
 
   /** One inclusive range predicate against manifest stats columns. */
   final case class Range(column: String, lo: Column, hi: Column)

@@ -121,7 +121,19 @@ object SketchCatalog {
     StructField("n_bytes", LongType, nullable = false),
     StructField("distinct_est", DoubleType, nullable = false),
     StructField("cms", BinaryType, nullable = true),
-    StructField("hll", BinaryType, nullable = true)))
+    StructField("hll", BinaryType, nullable = true),
+    // store-convention marker: "full" rows are whole-table harvests
+    // (latest-wins at activate), "delta" rows are harvestFiles slices
+    // (summable only after compact). Stamped at harvest so activate can
+    // REFUSE a delta store instead of silently loading one slice's
+    // partial sketches — an understated cardinality is the one thing the
+    // broadcast pass's never-understate posture cannot survive. Null in
+    // catalogs written before the column existed (legacy: trusted as
+    // full, the documented convention).
+    StructField("convention", StringType, nullable = true)))
+
+  val ConventionFull = "full"
+  val ConventionDelta = "delta"
 
   /** Harvest one table's planning artifacts in a single scan: one catalog
     * row per key column. `eps`/`confidence`/`seed` must match across every
@@ -138,7 +150,8 @@ object SketchCatalog {
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
     }
-    harvestFrame(spark, table, df, nBytes, keys, eps, confidence, seed)
+    harvestFrame(spark, table, df, nBytes, keys, eps, confidence, seed,
+      ConventionFull)
   }
 
   /** [[harvest]] over an EXPLICIT file list — the DELTA leg of catalog
@@ -164,12 +177,14 @@ object SketchCatalog {
     val nBytes = files.map { f =>
       val p = new Path(f); p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
-    harvestFrame(spark, table, df, nBytes, keys, eps, confidence, seed)
+    harvestFrame(spark, table, df, nBytes, keys, eps, confidence, seed,
+      ConventionDelta)
   }
 
   private def harvestFrame(spark: SparkSession, table: String, df: DataFrame,
                            nBytes: Long, keys: Seq[String], eps: Double,
-                           confidence: Double, seed: Int): DataFrame = {
+                           confidence: Double, seed: Int,
+                           convention: String): DataFrame = {
     val aggs = count(lit(1)).as("__n") +: keys.flatMap { k =>
       Seq(count_min_sketch(col(k).cast("string"), lit(eps), lit(confidence),
           lit(seed)).as(s"__cms_$k"),
@@ -187,7 +202,8 @@ object SketchCatalog {
       Row(table, k, n, nBytes,
         row.getDouble(row.fieldIndex(s"__nd_$k")),
         row.getAs[Array[Byte]](row.fieldIndex(s"__cms_$k")),
-        row.getAs[Array[Byte]](row.fieldIndex(s"__hll_$k")))
+        row.getAs[Array[Byte]](row.fieldIndex(s"__hll_$k")),
+        convention)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), catalogSchema)
   }
@@ -209,25 +225,56 @@ object SketchCatalog {
     * first — a catalog is KBs per table, and parquet cannot overwrite a
     * path mid-read) and returns the merged frame.
     *
-    * DELTA stores only: the slices must be disjoint (each file harvested
-    * once). A re-harvest-style store — full-table rows appended, where
-    * [[activate]]'s latest-wins policy applies — would double count
-    * under this merge; one store must follow one convention.
+    * Disjointness is enforced via the stamped convention marker: the sum
+    * is exact when each (table, key) group holds disjoint delta slices
+    * plus AT MOST ONE full row (a previous [[compact]]'s output — the
+    * maintenance cadence is compact, append deltas, compact again). TWO
+    * full rows in one group mean latest-wins re-harvests, under which
+    * this sum double counts — refused loudly. Legacy null-convention
+    * rows are treated as deltas (the documented pre-marker convention).
+    * The merged rows are stamped "full" (they now ARE the whole table),
+    * so [[activate]] accepts the compacted store.
     */
   def compact(spark: SparkSession, path: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val merged = spark.read.schema(catalogSchema).parquet(path)
+    val store = spark.read.schema(catalogSchema).parquet(path)
+    val reharvested = store.where(col("convention") === ConventionFull)
+      .groupBy("table", "key").count().where(col("count") > 1L).count()
+    require(reharvested == 0L,
+      s"SketchCatalog.compact: $reharvested (table, key) group(s) in $path " +
+        "hold multiple full-table rows (latest-wins re-harvests) — summing " +
+        "them double counts; compact merges delta slices plus at most one " +
+        "prior compacted row per group")
+    val merged = store
       .groupBy("table", "key")
       .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_bytes")).as("n_bytes"),
         call_function("graft_cms_merge", col("cms")).as("cms"),
         hll_union_agg(col("hll")).as("hll"))
       .select(col("table"), col("key"), col("n_rows"), col("n_bytes"),
         hll_sketch_estimate(col("hll")).cast("double").as("distinct_est"),
-        col("cms"), col("hll"))
+        col("cms"), col("hll"), lit(ConventionFull).as("convention"))
       .collect()
     val out = spark.createDataFrame(
       spark.sparkContext.parallelize(merged.toIndexedSeq, 1), catalogSchema)
-    out.write.mode("overwrite").parquet(path)
+    // crash-safe swap (the EntityStateStore.swapIn pattern): a plain
+    // overwrite deletes the store BEFORE the new write commits, so a
+    // mid-write failure would destroy the whole planning-artifact store
+    // with the merged rows existing only in driver memory. Write to a
+    // sibling temp dir, then rename into place; the old store is removed
+    // only after the new one is durable.
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tag = System.nanoTime()
+    val tmp = new Path(p.getParent, s".${p.getName}.compact-tmp-$tag")
+    val old = new Path(p.getParent, s".${p.getName}.compact-old-$tag")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"SketchCatalog.compact: cannot move $p aside")
+    if (!fs.rename(tmp, p)) { // restore the original before failing
+      fs.rename(old, p)
+      throw new java.io.IOException(s"SketchCatalog.compact: cannot swap in $tmp")
+    }
+    fs.delete(old, true)
     spark.read.schema(catalogSchema).parquet(path)
   }
 
@@ -237,6 +284,17 @@ object SketchCatalog {
     */
   def activate(spark: SparkSession, path: String): Catalog = {
     val rows = spark.read.schema(catalogSchema).parquet(path).collect()
+    // an UNCOMPACTED delta store (harvestFiles slices) under latest-wins
+    // would load ONE slice's partial CMS/HLL — understated cardinalities,
+    // the exact inversion of the broadcast pass's never-understate
+    // posture. Refuse loudly; the caller compacts first. Null convention
+    // (legacy catalogs) passes as before: those stores predate the
+    // delta leg and are full-table by construction.
+    val deltas = rows.count(r => r.getString(7) == ConventionDelta)
+    require(deltas == 0,
+      s"SketchCatalog.activate: $path holds $deltas uncompacted delta row(s) " +
+        "— activating a slice store would understate cardinalities (unsafe " +
+        "broadcasts); run SketchCatalog.compact first")
     val entries = rows.toSeq.map { r =>
       // `hll` reads as null from catalogs written before the column
       // existed (parquet schema evolution) — overlap decisions degrade

@@ -132,7 +132,7 @@ object HttpBatchSink {
     * keeps promising and never ships ("the idempotent target method makes
     * it effectively-once", README-level W2 discussion): every batch
     * carries a DETERMINISTIC idempotency key
-    * `sha256(context ⊕ batch body)`, so a target that records applied
+    * `sha256(context ⊕ slice position ⊕ batch body)`, so a target that records applied
     * keys (the standard `Idempotency-Key` contract) applies each batch
     * exactly once however many times a Spark task retry, a crashed run's
     * replay from the uncommitted checkpoint, or a duplicate page re-sends
@@ -142,11 +142,15 @@ object HttpBatchSink {
     * — so re-sends of the same page under the same checkpoint collide (as
     * they must) while a later incremental pass with a new checkpoint never
     * collides with history. The slice identity inside the page is the
-    * batch CONTENT hash: stable across task retries whenever the upstream
-    * plan is deterministic (the ETL chain's CDC output is: parquet scan +
-    * narrow transforms + deterministic slicing), and collision-safe the
-    * way content addressing always is. Delivery degrades to plain
-    * at-least-once — never worse — against a target that ignores the key.
+    * batch CONTENT hash mixed with the batch's (partition id, ordinal):
+    * content alone would alias two DISTINCT batches with identical bodies
+    * under one checkpoint (silent loss at an append-semantics target),
+    * while the position alone would break on a re-planned replay; both
+    * components are stable across task retries whenever the upstream plan
+    * is deterministic (the ETL chain's CDC output is: parquet scan +
+    * narrow transforms + deterministic slicing). Delivery degrades to
+    * plain at-least-once — never worse — against a target that ignores
+    * the key.
     */
   def sendIdempotent(docs: DataFrame, maxBatchSize: Int,
                      senderFactory: KeyedSenderFactory, context: String,
@@ -163,13 +167,24 @@ object HttpBatchSink {
         if (it.hasNext) {
           val send = senderFactory()
           val md = java.security.MessageDigest.getInstance("SHA-256")
+          // (partition id, batch ordinal) ride the key alongside the body
+          // hash: two DISTINCT batches with identical bodies under one
+          // checkpoint must not share a key (an idempotency-honoring
+          // append target would apply only one — silent loss). Both are
+          // stable across task retries for a deterministic plan, so
+          // replays still collide as the contract requires.
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var ordinal = 0L
           it.map(_.getString(0)).grouped(maxBatchSize).foreach { chunk =>
             val body = assemble(chunk)
             md.reset()
             md.update(context.getBytes("UTF-8"))
             md.update(0.toByte) // unambiguous context/body separator
+            md.update(s"$pid:$ordinal".getBytes("UTF-8"))
+            md.update(0.toByte)
             md.update(body.getBytes("UTF-8"))
             val key = md.digest().map("%02x".format(_)).mkString
+            ordinal += 1
             send(key, body)
             sent.add(1)
           }
