@@ -597,5 +597,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // injects are never constraint-propagated back onto the build side
     // (the same batch position Spark's own InjectRuntimeFilter holds)
     ext.injectPreCBORule(_ => graft.plans.SketchJoinPlanning)
+    // scan-side twin of the planning rule: swaps a filtered relation's
+    // FileIndex for a manifest-pruned view. Also PreCBO — after filter
+    // pushdown has parked predicates directly on the relations, once.
+    ext.injectPreCBORule(_ => graft.plans.ScanPruneRewrite)
   }
 }

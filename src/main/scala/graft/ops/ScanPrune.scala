@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Activation registry for PLANNER-side data skipping — the scan half of
+  * the artifact-driven planning loop ([[graft.plans.SketchJoinPlanning]]
+  * is the join half): a stats manifest ([[DataSkipping.statsManifest]])
+  * registered here turns every plain
+  * `spark.read.parquet(table).where(...)` over the table into a
+  * manifest-pruned read via [[graft.plans.ScanPruneRewrite]], with no
+  * hand-invocation of [[DataSkipping.prunedRead]] at the call site.
+  *
+  * The registry holds the manifest DECODED into driver memory — per-file
+  * (min, max, nulls) triples normalized to directly comparable
+  * primitives — because an optimizer rule must never run a nested Spark
+  * query per plan it inspects (the [[SketchCatalog]] posture). The
+  * artifact is file-count bounded (~100 B/file/column: the Delta
+  * planning-metadata class — 1M files ≈ 100 MB driver heap at worst,
+  * and a manifest is usually registered for a handful of hot tables).
+  *
+  * Soundness contract (mirrors [[DataSkipping.candidateFiles]]): a file
+  * is dropped only when its KNOWN stats prove no row can satisfy the
+  * predicate; unknown stats keep the file; files the manifest does not
+  * cover are never dropped (the rewrite subtracts a DROP set from the
+  * live listing rather than intersecting a keep set, so a file appended
+  * after the manifest was built stays visible — a STALE manifest can
+  * only under-prune, never lose rows).
+  */
+object ScanPrune {
+
+  /** Comma-separated normalized table paths with an active manifest. The
+    * rule consults this session conf, so activation is per-session and
+    * explicit even though the decoded indexes live process-wide.
+    */
+  val ConfKey = "spark.graft.scanPrune.tables"
+
+  /** Comparison space of one manifest column: integral/timestamp/date
+    * stats compare as longs (micros / epoch days), floating as doubles,
+    * strings as unsigned UTF-8 bytes (Spark's UTF8String order = parquet
+    * UTF8 stats order), decimals as scaled BigDecimal.
+    */
+  sealed trait Kind
+  case object KLong extends Kind
+  case object KDouble extends Kind
+  case object KBytes extends Kind
+  case object KDecimal extends Kind
+
+  /** One column's file-grain stats, normalized to its Kind's comparable
+    * form; `min`/`max` null = unknown (sound: keeps the file).
+    */
+  final case class ColStats(min: Any, max: Any, nulls: Option[Long])
+
+  final case class FileStats(canonicalPath: String, nRows: Long,
+                             cols: Map[String, ColStats])
+
+  final class TableIndex(val table: String, val kinds: Map[String, Kind],
+                         val files: Seq[FileStats]) {
+    val canonicalPaths: Set[String] = files.map(_.canonicalPath).toSet
+  }
+
+  private val indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, TableIndex]()
+
+  /** Scheme/authority-free form of a manifest `file` string or listing
+    * path — the identity under which the rewrite matches manifest rows to
+    * the scan's live file listing (input_file_name URIs, Hadoop listing
+    * paths and FileIndex Paths all normalize to the same string).
+    */
+  def canonical(file: String): String = new Path(file).toUri.getPath
+
+  private def kindOf(dt: DataType): Option[Kind] = dt match {
+    case LongType                          => Some(KLong)
+    case DoubleType                        => Some(KDouble)
+    case StringType                        => Some(KBytes)
+    case TimestampType | TimestampNTZType  => Some(KLong)
+    case DateType                          => Some(KLong)
+    case _: DecimalType                    => Some(KDecimal)
+    case _                                 => None
+  }
+
+  /** A collected manifest cell normalized to its Kind's comparable form
+    * (timestamps → micros, dates → epoch days, strings → UTF-8 bytes).
+    */
+  private def normalize(v: Any, kind: Kind): Any = v match {
+    case null                         => null
+    case t: java.sql.Timestamp        =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    case i: java.time.Instant         =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+    case l: java.time.LocalDateTime   =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l)
+    case d: java.sql.Date             =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong
+    case d: java.time.LocalDate       => d.toEpochDay
+    case s: String                    =>
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case d: java.math.BigDecimal      => d
+    case d: BigDecimal                => d.bigDecimal
+    case n: java.lang.Number          => kind match {
+      case KDouble => n.doubleValue()
+      case _       => n.longValue()
+    }
+    case other                        => other
+  }
+
+  /** Kind-typed three-way compare; both sides must already be normalized. */
+  def cmp(kind: Kind, a: Any, b: Any): Int = kind match {
+    case KLong    => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case KDouble  => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case KBytes   => java.util.Arrays.compareUnsigned(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case KDecimal => a.asInstanceOf[java.math.BigDecimal]
+      .compareTo(b.asInstanceOf[java.math.BigDecimal])
+  }
+
+  /** Decode `manifest` (a [[DataSkipping.statsManifest]] frame for the
+    * table at `dir`) into the driver registry and add the table to the
+    * session's active set — from here on [[graft.plans.ScanPruneRewrite]]
+    * prunes filtered scans of the table from these stats.
+    */
+  def activateManifest(spark: SparkSession, dir: String,
+                       manifest: DataFrame): TableIndex = {
+    val table = SketchCatalog.normalizePath(spark, dir)
+    val schema = manifest.schema
+    val statCols: Seq[(String, Kind)] = schema.fields.toSeq.collect {
+      case f if f.name.endsWith("_min") =>
+        val c = f.name.stripSuffix("_min")
+        kindOf(f.dataType).map(c -> _)
+    }.flatten
+    val rows = manifest.collect() // file-count bounded (the Delta class)
+    val files = rows.toSeq.map { r =>
+      val cols = statCols.map { case (c, kind) =>
+        val nu = r.getAs[Any](s"${c}_nulls") match {
+          case null => None
+          case n: java.lang.Number => Some(n.longValue())
+        }
+        c -> ColStats(normalize(r.getAs[Any](s"${c}_min"), kind),
+          normalize(r.getAs[Any](s"${c}_max"), kind), nu)
+      }.toMap
+      FileStats(canonical(r.getAs[String]("file")), r.getAs[Long]("n_rows"), cols)
+    }
+    val idx = new TableIndex(table, statCols.toMap, files)
+    indexes.put(table, idx)
+    val cur = spark.conf.getOption(ConfKey).getOrElse("")
+    val active = cur.split(",").filter(_.nonEmpty).toSet + table
+    spark.conf.set(ConfKey, active.toSeq.sorted.mkString(","))
+    idx
+  }
+
+  /** Remove one table from the session's active set (its decoded index
+    * stays cached for re-activation).
+    */
+  def deactivate(spark: SparkSession, dir: String): Unit = {
+    val table = SketchCatalog.normalizePath(spark, dir)
+    val cur = spark.conf.getOption(ConfKey).getOrElse("")
+    val active = cur.split(",").filter(_.nonEmpty).toSet - table
+    if (active.isEmpty) spark.conf.unset(ConfKey)
+    else spark.conf.set(ConfKey, active.toSeq.sorted.mkString(","))
+  }
+
+  def deactivateAll(spark: SparkSession): Unit = spark.conf.unset(ConfKey)
+
+  /** The active table set named by the session conf's current value. */
+  def activeTables(confValue: String): Set[String] =
+    confValue.split(",").filter(_.nonEmpty).toSet
+
+  def lookup(table: String): Option[TableIndex] = Option(indexes.get(table))
+}

@@ -1,0 +1,262 @@
+package graft.plans
+
+import graft.ops.ScanPrune
+import graft.ops.ScanPrune.{ColStats, FileStats, Kind, KBytes, KDecimal, KDouble, KLong, TableIndex}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The SCAN side of the artifact-driven planner loop: when a stats
+  * manifest is activated for a table ([[ScanPrune.activateManifest]]),
+  * this rule rewrites `Filter(pred, scan(table))` so the scan lists only
+  * the files whose footer-derived (min, max, nulls) stats admit the
+  * predicate — a plain `spark.read.parquet(t).where(user_id = k AND day
+  * BETWEEN …)` prunes files exactly as a hand-invoked
+  * [[graft.ops.DataSkipping.prunedRead]] would, with zero call-site
+  * changes. At 100 TB the scan IS the query: parquet prunes row groups
+  * only after a task is scheduled and the footer fetched, so a 1M-file
+  * table pays a task per file unless the PLANNER stops listing them.
+  *
+  * Supported predicate modalities (the gated [[graft.ops.DataSkipping]]
+  * set): range and point comparisons on integral / floating / string /
+  * timestamp / date / decimal columns, IN-lists and general OR-of-atoms
+  * (union of candidates), IS NULL / IS NOT NULL (null counts), and
+  * AND-conjunctions (intersection). Unsupported conjuncts contribute no
+  * pruning and stay in the Filter — which is never removed, so the
+  * rewrite can only drop files the predicate provably cannot match:
+  *
+  *  - known stats → exact interval test per conjunct (strict bounds
+  *    honored: `a > v` keeps a file only when `max > v`);
+  *  - unknown stats → candidate, unless the null count proves the file
+  *    all-null for a compared column (NULL satisfies no comparison);
+  *  - files ABSENT from the manifest → always kept (the rewrite removes
+  *    a proven-impossible DROP set from the live listing rather than
+  *    imposing a keep list, so a manifest that predates an append
+  *    under-prunes instead of losing rows).
+  *
+  * Mechanically the rewrite swaps the relation's [[FileIndex]] for a
+  * [[PrunedFileIndex]] wrapper that filters the listing — Catalyst's own
+  * partition pruning, pushed filters, row-group pruning and whole-stage
+  * codegen all still apply downstream, because the plan shape is
+  * unchanged. Activation is per-session and explicit; without activated
+  * tables the rule is inert.
+  */
+object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val active = ScanPrune.activeTables(
+      conf.getConfString(ScanPrune.ConfKey, ""))
+    if (active.isEmpty) plan
+    else plan.transformUp {
+      case f @ Filter(cond, lr: LogicalRelation) =>
+        val rewritten = for {
+          fs <- lr.relation match {
+            case h: HadoopFsRelation if h.location.rootPaths.size == 1 &&
+                !h.location.isInstanceOf[PrunedFileIndex] => Some(h)
+            case _ => None
+          }
+          table = fs.location.rootPaths.head.toString
+          if active.contains(table)
+          idx <- ScanPrune.lookup(table)
+          drop <- droppedFiles(cond, idx)
+          if drop.nonEmpty
+        } yield {
+          logInfo(s"scan pruning: dropping ${drop.size} of " +
+            s"${idx.files.size} manifested files from $table")
+          f.copy(child = lr.copy(relation =
+            fs.copy(location = new PrunedFileIndex(fs.location, drop))(
+              fs.sparkSession)))
+        }
+        rewritten.getOrElse(f)
+    }
+  }
+
+  /** Canonical paths of manifested files the predicate PROVABLY cannot
+    * match; None when no conjunct is priceable against the manifest.
+    */
+  private def droppedFiles(cond: Expression, idx: TableIndex)
+    : Option[Set[String]] = {
+    val tests = splitConjunctivePredicates(cond).flatMap(atomTest(_, idx))
+    if (tests.isEmpty) None
+    else Some(idx.files.iterator
+      .filterNot(fs => tests.forall(_(fs)))
+      .map(_.canonicalPath).toSet)
+  }
+
+  /** The manifest comparison space of a scan attribute's type (must agree
+    * with the manifest column's own Kind or the atom is declined).
+    */
+  private def attrKind(dt: DataType): Option[Kind] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some(KLong)
+    case FloatType | DoubleType                        => Some(KDouble)
+    case StringType                                    => Some(KBytes)
+    case TimestampType | TimestampNTZType              => Some(KLong)
+    case DateType                                      => Some(KLong)
+    case _: DecimalType                                => Some(KDecimal)
+    case _                                             => None
+  }
+
+  /** A literal's internal value normalized to its Kind's comparable form;
+    * None declines the atom (null literal — three-valued comparisons
+    * never pass rows — or a NaN, whose footer-stats behavior across
+    * writers is not a contract worth trusting).
+    */
+  private def litValue(v: Any, dt: DataType): Option[Any] =
+    if (v == null) None
+    else dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(v.asInstanceOf[Number].longValue())
+      case FloatType =>
+        val d = v.asInstanceOf[Float].toDouble
+        if (d.isNaN) None else Some(d)
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (d.isNaN) None else Some(d)
+      case StringType => Some(v.asInstanceOf[UTF8String].getBytes.clone())
+      case TimestampType | TimestampNTZType => Some(v.asInstanceOf[Long])
+      case DateType => Some(v.asInstanceOf[Int].toLong)
+      case _: DecimalType => Some(v.asInstanceOf[Decimal].toJavaBigDecimal)
+      case _ => None
+    }
+
+  /** The attribute under an optional WIDENING cast — order-preserving
+    * and injective (int → long, float → double), so a comparison in the
+    * cast's space prices exactly against the manifest's (which already
+    * stores integrals as long and floats as double).
+    */
+  private def stripWidening(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case c: Cast => (c.child, c.child.dataType, c.dataType) match {
+      case (a: AttributeReference,
+            ByteType | ShortType | IntegerType | LongType,
+            ShortType | IntegerType | LongType) => Some(a)
+      case (a: AttributeReference, FloatType, DoubleType) => Some(a)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private type Test = FileStats => Boolean
+
+  /** Interval test against one column's stats: known bounds run `op`;
+    * unknown bounds keep the file unless the null count proves it
+    * all-null for the column (NULL satisfies no comparison). A column
+    * the manifest does not carry keeps every file.
+    */
+  private def statTest(colName: String, op: (ColStats) => Boolean): Test =
+    fs => fs.cols.get(colName) match {
+      case None => true
+      case Some(cs) =>
+        if (cs.min != null && cs.max != null) op(cs)
+        else !cs.nulls.contains(fs.nRows)
+    }
+
+  /** Compile `attrExpr ⊙ literal` into a file test (None = declined). */
+  private def cmpTest(attrExpr: Expression, v: Any, dt: DataType,
+                      idx: TableIndex,
+                      op: (Kind, ColStats, Any) => Boolean): Option[Test] =
+    for {
+      a <- stripWidening(attrExpr)
+      kind <- attrKind(a.dataType)
+      mkind <- idx.kinds.get(a.name)
+      if kind == mkind
+      value <- litValue(v, dt)
+    } yield statTest(a.name, cs => op(kind, cs, value))
+
+  private def ge(k: Kind, cs: ColStats, v: Any) = ScanPrune.cmp(k, cs.max, v) >= 0
+  private def gt(k: Kind, cs: ColStats, v: Any) = ScanPrune.cmp(k, cs.max, v) > 0
+  private def le(k: Kind, cs: ColStats, v: Any) = ScanPrune.cmp(k, cs.min, v) <= 0
+  private def lt(k: Kind, cs: ColStats, v: Any) = ScanPrune.cmp(k, cs.min, v) < 0
+  private def eq(k: Kind, cs: ColStats, v: Any) =
+    ScanPrune.cmp(k, cs.min, v) <= 0 && ScanPrune.cmp(k, cs.max, v) >= 0
+
+  /** One predicate atom compiled to a file test; None = unsupported (the
+    * conjunct then contributes no pruning — sound, never lucky).
+    */
+  private def atomTest(e: Expression, idx: TableIndex): Option[Test] = e match {
+    case GreaterThanOrEqual(l, Literal(v, dt)) => cmpTest(l, v, dt, idx, ge)
+    case GreaterThanOrEqual(Literal(v, dt), r) => cmpTest(r, v, dt, idx, le)
+    case GreaterThan(l, Literal(v, dt))        => cmpTest(l, v, dt, idx, gt)
+    case GreaterThan(Literal(v, dt), r)        => cmpTest(r, v, dt, idx, lt)
+    case LessThanOrEqual(l, Literal(v, dt))    => cmpTest(l, v, dt, idx, le)
+    case LessThanOrEqual(Literal(v, dt), r)    => cmpTest(r, v, dt, idx, ge)
+    case LessThan(l, Literal(v, dt))           => cmpTest(l, v, dt, idx, lt)
+    case LessThan(Literal(v, dt), r)           => cmpTest(r, v, dt, idx, gt)
+    case EqualTo(l, Literal(v, dt))            => cmpTest(l, v, dt, idx, eq)
+    case EqualTo(Literal(v, dt), r)            => cmpTest(r, v, dt, idx, eq)
+    case EqualNullSafe(l, lit @ Literal(v, dt)) if v != null =>
+      cmpTest(l, v, dt, idx, eq)
+    case EqualNullSafe(lit @ Literal(v, dt), r) if v != null =>
+      cmpTest(r, v, dt, idx, eq)
+    case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      // union of point intervals (the candidateFilesAny modality)
+      val per = vs.map { case Literal(v, dt) => cmpTest(a, v, dt, idx, eq) }
+      if (per.exists(_.isEmpty)) None
+      else Some(fs => per.exists(_.get(fs)))
+    case InSet(a, vs) if vs.nonEmpty =>
+      val dt = a.dataType
+      val per = vs.toSeq.map(v => cmpTest(a, v, dt, idx, eq))
+      if (per.exists(_.isEmpty)) None
+      else Some(fs => per.exists(_.get(fs)))
+    case IsNull(e1) =>
+      stripWidening(e1).filter(a => idx.kinds.contains(a.name)).map { a =>
+        // exact per file: zero nulls has nothing for IS NULL
+        fs => fs.cols.get(a.name).forall(_.nulls.forall(_ > 0L))
+      }
+    case IsNotNull(e1) =>
+      stripWidening(e1).filter(a => idx.kinds.contains(a.name)).map { a =>
+        fs => fs.cols.get(a.name)
+          .forall(_.nulls.forall(_ < fs.nRows))
+      }
+    case Or(x, y) =>
+      // union of candidates: a file survives when EITHER branch admits it
+      for { tx <- atomTest(x, idx); ty <- atomTest(y, idx) }
+        yield (fs: FileStats) => tx(fs) || ty(fs)
+    case And(x, y) => // nested AND under an OR branch
+      for { tx <- atomTest(x, idx); ty <- atomTest(y, idx) }
+        yield (fs: FileStats) => tx(fs) && ty(fs)
+    case _ => None
+  }
+}
+
+/** A [[FileIndex]] view with a proven-impossible DROP set subtracted from
+  * every listing: files outside the set — including files the manifest
+  * never saw — pass through untouched, so staleness can only under-prune.
+  * Partition values, metadata columns and the listing contract are the
+  * underlying index's own; `sizeInBytes` re-sums the surviving files so
+  * downstream size-based planning sees the pruned scan's real bytes.
+  */
+final class PrunedFileIndex(val underlying: FileIndex,
+                            droppedCanonical: Set[String]) extends FileIndex {
+
+  private def keep(p: Path): Boolean =
+    !droppedCanonical.contains(p.toUri.getPath)
+
+  override def rootPaths: Seq[Path] = underlying.rootPaths
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    underlying.listFiles(partitionFilters, dataFilters)
+      .map(pd => pd.copy(files = pd.files.filter(f => keep(f.getPath))))
+      .filter(_.files.nonEmpty)
+
+  override def inputFiles: Array[String] =
+    underlying.inputFiles.filter(s => keep(new Path(s)))
+
+  override def refresh(): Unit = underlying.refresh()
+
+  override lazy val sizeInBytes: Long =
+    listFiles(Nil, Nil).iterator.flatMap(_.files).map(_.getLen).sum
+
+  override def partitionSchema: StructType = underlying.partitionSchema
+
+  override def metadataOpsTimeNs: Option[Long] = underlying.metadataOpsTimeNs
+
+  override def toString: String =
+    s"PrunedFileIndex(${droppedCanonical.size} dropped, $underlying)"
+}

@@ -2514,6 +2514,27 @@ object Oracles {
         |  true AS pruned_equals_full, true AS files_skipped
         |FROM f""".stripMargin,
 
+    // Planned-scan gate: the same probe box as x9_skipping replayed over
+    // raw events — the ScanPruneRewrite rule's file pruning must be
+    // invisible to results; the plan-shape facts (naive control = full
+    // FileIndex, activated run = pruned location, strictly fewer files)
+    // ride as pinned booleans probed from the executed plans.
+    "q17_planned_scan" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |b AS (SELECT min(user_id) AS umin, max(user_id) AS umax FROM base),
+        |f AS (SELECT base.* FROM base, b
+        |  WHERE user_id BETWEEN umin + (umax - umin) // 4
+        |                    AND umin + (umax - umin) // 2
+        |    AND ts_ms BETWEEN 1705276800000 AND 1705708799999)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(event_id), 0) AS BIGINT) AS sum_ids,
+        |  CAST(coalesce(sum(CAST(round(value, 6) AS DECIMAL(18,6))), 0) AS DOUBLE)
+        |    AS sum_value,
+        |  true AS pruned_equals_full, true AS naive_full_scan,
+        |  true AS artifact_files_pruned
+        |FROM f""".stripMargin,
+
     // String-skipping gate: the 5-day ISO-date window replayed over raw
     // events (string stats/truncation invisible to a correct skip);
     // DuckDB's strftime over the naive UTC timestamp matches Spark's

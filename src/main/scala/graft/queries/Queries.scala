@@ -3616,6 +3616,80 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
+  /** Scratch table for [[q17PlannedScan]]: events z-clustered on
+    * (user_id, ts_ms), written once per JVM per sf dir (the q13Catalog
+    * discipline).
+    */
+  private val q17TablePaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q17Table(spark: SparkSession, dir: String): String =
+    q17TablePaths.computeIfAbsent(dir, { _ =>
+      val ev = t(spark, dir, "events")
+      val et = evTime(ev)
+      val path = scratch(dir, "q17_scan_table")
+      graft.ops.Layout.zorderWrite(
+        ev.select(col("event_id"), col("user_id"), et.ms.as("ts_ms"),
+          col("value")),
+        "user_id", "ts_ms", path, numFiles = 32)
+      path
+    })
+
+  /** Q17: PLANNED scan pruning — the scan side of the artifact-driven
+    * planner loop closed ([[graft.plans.ScanPruneRewrite]] consuming an
+    * activated [[graft.ops.ScanPrune]] manifest): a PLAIN
+    * `spark.read.parquet(t).where(box)` — no hand-invoked prunedRead at
+    * the call site — must open only candidate files once the table's
+    * stats manifest is activated. The naive control (no activation) must
+    * execute with the ordinary full FileIndex; the activated run's
+    * executed plan must carry the pruned location opening strictly fewer
+    * files. Both facts ride the hash gate as pinned booleans, probed
+    * from EXECUTED plans (the q14 discipline). The box aggregates are
+    * collected WHILE the manifest is active — the hashed values are the
+    * pruned read's own output — and the twin replays the box over raw
+    * events: file pruning must be invisible to results.
+    */
+  private def q17PlannedScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{DataSkipping, ScanPrune}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val path = q17Table(spark, dir)
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    val base = ev.select(col("event_id"), col("user_id"), et.ms.as("ts_ms"),
+      col("value"))
+    val bb = base.agg(min("user_id"), max("user_id")).head()
+    val (umin, umax) = (bb.getLong(0), bb.getLong(1))
+    val (ulo, uhi) = (umin + (umax - umin) / 4, umin + (umax - umin) / 2)
+    val (tlo, thi) = (Jan15, Jan20 - 1)
+    val box = col("user_id").between(ulo, uhi) && col("ts_ms").between(tlo, thi)
+    def boxRead(): DataFrame = spark.read.parquet(path).where(box)
+    def pruneProbe(df: DataFrame): Option[(Int, Int)] = {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+      root.collect { case f: FileSourceScanExec => f.relation.location }
+        .collectFirst { case p: graft.plans.PrunedFileIndex =>
+          (p.inputFiles.length, p.underlying.inputFiles.length) }
+    }
+    ScanPrune.deactivate(spark, path)
+    val naiveFull = pruneProbe(boxRead()).isEmpty
+    ScanPrune.activateManifest(spark, path,
+      DataSkipping.statsManifest(spark, path, Seq("user_id", "ts_ms")))
+    val (filesPruned, prunedRow) = try {
+      val probe = pruneProbe(boxRead())
+      (probe.exists { case (k, total) => k > 0 && k < total },
+        skipSummary(boxRead(), "").head())
+    } finally ScanPrune.deactivate(spark, path)
+    val fullRow = skipSummary(base.where(box), "").head()
+    spark.range(1).select(
+      lit(prunedRow.getLong(0)).as("n_rows"),
+      lit(prunedRow.getLong(1)).as("sum_ids"),
+      lit(prunedRow.getDecimal(2)).cast("double").as("sum_value"),
+      lit(prunedRow == fullRow).as("pruned_equals_full"),
+      lit(naiveFull).as("naive_full_scan"),
+      lit(filesPruned).as("artifact_files_pruned"))
+  }
+
   /** X8: the COMPOSED curation pipeline — what a user of this library
     * actually runs end to end over a raw corpus: quality/language clean +
     * exact dedup (x6) → benchmark decontamination (x7d; benchmark =
@@ -4258,6 +4332,7 @@ object Queries {
     "q14_runtime_filter" -> (q14RuntimeFilter _),
     "q15_planned_chain" -> (q15PlannedChain _),
     "q16_filtered_broadcast" -> (q16FilteredBroadcast _),
+    "q17_planned_scan" -> (q17PlannedScan _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),

@@ -1,0 +1,161 @@
+package graft
+
+import graft.ops.{DataSkipping, ScanPrune}
+import graft.plans.PrunedFileIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** [[graft.plans.ScanPruneRewrite]]: activating a stats manifest turns a
+  * PLAIN filtered read into a file-pruned scan — no call-site changes —
+  * with the same soundness contract as the hand-invoked
+  * [[DataSkipping.prunedRead]] path: a dropped file must be PROVABLY
+  * impossible for the predicate, unknown and unmanifested files stay,
+  * and the rewrite never changes results (asserted per modality and over
+  * a randomized predicate battery).
+  */
+class ScanPruneRewriteSpec extends SparkSpec {
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-scanprune").toString
+    import spark.implicits._
+    val rows = (0L until 4000L).map { i =>
+      val day = f"2024-01-${(i / 400) % 30 + 1}%02d"
+      val payload = if (i % 5 == 0) s"p$i" else null
+      (i, i.toInt, day, payload, (i % 997).toDouble / 7.0)
+    }
+    rows.toDF("k", "ki", "day", "payload", "v")
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$d/t")
+    s"$d/t"
+  }
+
+  private def activate(): Unit = {
+    val manifest = DataSkipping.statsManifest(spark, dir,
+      Seq("k", "ki", "day", "payload"))
+    ScanPrune.activateManifest(spark, dir, manifest)
+  }
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    root.collect { case f: FileSourceScanExec => f }
+  }
+
+  private def prunedFiles(df: DataFrame): Option[(Int, Int)] =
+    scans(df).headOption.flatMap(_.relation.location match {
+      case p: PrunedFileIndex =>
+        Some((p.inputFiles.length, p.underlying.inputFiles.length))
+      case _ => None
+    })
+
+  /** Pruned and plain runs of the same predicate must agree; returns the
+    * (kept, total) file counts when the scan was rewritten.
+    */
+  private def check(pred: org.apache.spark.sql.Column): Option[(Int, Int)] = {
+    ScanPrune.deactivateAll(spark)
+    val plain = spark.read.parquet(dir).where(pred)
+      .collect().map(_.toString).sorted.toSeq
+    activate()
+    try {
+      val df = spark.read.parquet(dir).where(pred)
+      val got = df.collect().map(_.toString).sorted.toSeq
+      assert(got == plain, s"results changed under scan pruning: $pred")
+      prunedFiles(df)
+    } finally ScanPruneRewriteSpecState.cleanup(spark)
+  }
+
+  test("range predicate on the clustering column prunes files, same results") {
+    val kept = check(col("k").between(500L, 900L))
+    assert(kept.exists { case (k, t) => k < t && k > 0 },
+      s"expected a strict file prune, got $kept")
+  }
+
+  test("strict bounds honored: k > max of a file's range drops it") {
+    val kept = check(col("k") > 3499L)
+    assert(kept.exists { case (k, t) => k < t })
+    // boundary: >= on an exact file-max keeps that file
+    assert(check(col("k") >= 3500L).exists { case (k, t) => k < t })
+  }
+
+  test("point and IN-list on a string column prune as unions of points") {
+    assert(check(col("day") === "2024-01-02").exists { case (k, t) => k < t })
+    assert(check(col("day").isin("2024-01-02", "2024-01-09"))
+      .exists { case (k, t) => k < t })
+  }
+
+  test("IS NOT NULL prunes nothing here (every file holds some payload); IS NULL sound") {
+    // payload is 1-in-5 scattered: no file is all-null or all-present, so
+    // the null modality must keep everything — and still match results
+    check(col("payload").isNotNull)
+    check(col("payload").isNull)
+  }
+
+  test("OR across columns unions candidates and stays sound") {
+    val kept = check(col("k") < 200L || col("day") === "2024-01-09")
+    assert(kept.exists { case (k, t) => k < t })
+  }
+
+  test("unsupported-only predicates leave the scan unrewritten") {
+    ScanPrune.deactivateAll(spark)
+    activate()
+    try {
+      val df = spark.read.parquet(dir).where(pmod(col("k"), lit(7)) === 0)
+      assert(prunedFiles(df).isEmpty, "modulo predicate must not rewrite")
+      // mixed: the supported conjunct prunes, the unsupported one rides along
+      val mixed = spark.read.parquet(dir)
+        .where(col("k") < 300L && pmod(col("k"), lit(7)) === 0)
+      assert(prunedFiles(mixed).exists { case (k, t) => k < t })
+    } finally ScanPruneRewriteSpecState.cleanup(spark)
+  }
+
+  test("a widening cast over an INT column still prices against the long manifest") {
+    // ki is IntegerType; a LONG literal forces Cast(ki AS BIGINT) = 42L,
+    // which must unwrap and prune exactly like the native long column
+    assert(check(col("ki") === lit(42L)).exists { case (k, t) => k == 1 && t == 8 })
+    assert(check(col("k") === 42).exists { case (k, t) => k == 1 && t == 8 })
+  }
+
+  test("files appended AFTER the manifest was built are never dropped (stale under-prunes)") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft-scanprune2").toString + "/t"
+    (0L until 1000L).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(d2)
+    val manifest = DataSkipping.statsManifest(spark, d2, Seq("k"))
+    // append rows OUTSIDE the manifested range, then activate the stale manifest
+    (5000L until 5100L).map(i => (i, s"b$i")).toDF("k", "s")
+      .coalesce(1).write.mode("append").parquet(d2)
+    ScanPrune.activateManifest(spark, d2, manifest)
+    try {
+      val got = spark.read.parquet(d2).where(col("k") >= 5000L).count()
+      assert(got == 100L, "appended (unmanifested) rows must stay visible")
+      // and the stale manifest still prunes what it CAN prove
+      val df = spark.read.parquet(d2).where(col("k") < 250L)
+      assert(prunedFiles(df).exists { case (k, t) => k < t })
+      assert(df.count() == 250L)
+    } finally ScanPruneRewriteSpecState.cleanup(spark)
+  }
+
+  test("randomized predicate battery: pruned ≡ plain on every draw") {
+    val rnd = new scala.util.Random(42)
+    (1 to 12).foreach { _ =>
+      val lo = rnd.nextInt(4000).toLong
+      val hi = lo + rnd.nextInt(1500)
+      val day = f"2024-01-${rnd.nextInt(30) + 1}%02d"
+      check(col("k").between(lo, hi))
+      check(col("k") >= lo && col("day") <= day)
+      check(col("day") === day || col("k") < lo)
+    }
+  }
+}
+
+/** Conf cleanup shared by the suite (the rule must be inert between tests). */
+object ScanPruneRewriteSpecState {
+  def cleanup(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.ops.ScanPrune.deactivateAll(spark)
+}

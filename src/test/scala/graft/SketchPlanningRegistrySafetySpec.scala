@@ -52,4 +52,37 @@ class SketchPlanningRegistrySafetySpec extends SparkSpec {
         s"$name: results changed under an activated catalog")
     }
   }
+
+  test("activated scan-prune manifests never change a registered query's results") {
+    import graft.ops.{DataSkipping, ScanPrune}
+    val dir = "/root/testdata/sf0.001"
+    // manifests over the columns the registered queries actually filter
+    // on — scan pruning must be invisible to every one of them
+    val tables = Seq(
+      ("events", Seq("event_id", "user_id")),
+      ("orders", Seq("o_orderkey", "o_custkey", "o_totalprice")),
+      ("lineitem", Seq("l_orderkey", "l_suppkey", "l_quantity")),
+      ("customer", Seq("c_custkey", "c_acctbal")),
+      ("supplier", Seq("s_suppkey", "s_acctbal")))
+    val names = Seq("q1_agg", "q3_top_orders", "q4_late_orders",
+      "q5_region_revenue", "q8_salted_revenue", "q10_funnel",
+      "q11_retention", "q12_bloom_revenue", "s2_incremental_scan",
+      "f2_cdc_filter", "j_anti_no_orders", "j_semi_suppliers",
+      "w_topk_orders")
+    val qs = graft.queries.Queries.all
+    names.foreach { name =>
+      val q = qs(name)
+      ScanPrune.deactivateAll(spark)
+      val plain = q(spark, dir).collect().map(_.toString).sorted.toSeq
+      tables.foreach { case (tbl, cols) =>
+        val p = s"$dir/$tbl.parquet"
+        ScanPrune.activateManifest(spark, p,
+          DataSkipping.statsManifest(spark, p, cols))
+      }
+      val pruned = try q(spark, dir).collect().map(_.toString).sorted.toSeq
+        finally ScanPrune.deactivateAll(spark)
+      assert(pruned == plain,
+        s"$name: results changed under activated scan-prune manifests")
+    }
+  }
 }
