@@ -118,9 +118,10 @@ object DataSkipping {
         case TimestampType                                 => (c, TimestampType)
         case TimestampNTZType                              => (c, TimestampNTZType)
         case DateType                                      => (c, DateType)
+        case d: DecimalType                                => (c, d)
         case t => throw new IllegalArgumentException(
           s"DataSkipping.statsManifest: $c has unsupported type $t " +
-            "(integral, floating, string, timestamp and date columns only)")
+            "(integral, floating, string, timestamp, date and decimal columns only)")
       }
     }
     val out = manifestSchema(typed)
@@ -177,6 +178,43 @@ object DataSkipping {
           pt.getPrimitiveTypeName == PrimitiveTypeName.INT32 &&
             pt.getLogicalTypeAnnotation
               .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+        }
+        // DECIMAL chunk bounds as exact unscaled values at the TABLE
+        // schema's scale, honestly per encoding: INT32/INT64 carry the
+        // unscaled long directly, FLBA/BINARY the big-endian
+        // two's-complement unscaled integer (the comparator parquet-mr
+        // defines for decimal stats is SIGNED, matching). A chunk whose
+        // own decimal annotation disagrees with the declared scale, or
+        // whose precision exceeds it, degrades to unknown — a rescaled
+        // bound would be a guess, and skipping must be sound, never
+        // lucky.
+        def decBounds(
+            cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+            dt: DecimalType): Option[(java.math.BigDecimal, java.math.BigDecimal)] = {
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          val pt = cc.getPrimitiveType
+          pt.getLogicalTypeAnnotation match {
+            case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+                if a.getScale == dt.scale && a.getPrecision <= dt.precision =>
+              val st = cc.getStatistics
+              pt.getPrimitiveTypeName match {
+                case INT32 | INT64 =>
+                  val lo = st.genericGetMin.asInstanceOf[Number].longValue()
+                  val hi = st.genericGetMax.asInstanceOf[Number].longValue()
+                  Some((java.math.BigDecimal.valueOf(lo, a.getScale),
+                    java.math.BigDecimal.valueOf(hi, a.getScale)))
+                case FIXED_LEN_BYTE_ARRAY | BINARY =>
+                  val lo = new java.math.BigInteger(st.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+                  val hi = new java.math.BigInteger(st.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+                  Some((new java.math.BigDecimal(lo, a.getScale),
+                    new java.math.BigDecimal(hi, a.getScale)))
+                case _ => None
+              }
+            case _ => None
+          }
         }
         paths.map { f =>
           val reader = ParquetFileReader.open(
@@ -241,6 +279,15 @@ object DataSkipping {
                             val nmn = if (mn == null) lo else math.min(mn.asInstanceOf[Long], lo)
                             val nmx = if (mx == null) hi else math.max(mx.asInstanceOf[Long], hi)
                             acc(i) = (nmn, nmx, nulls, ok)
+                          }
+                        case dt: DecimalType =>
+                          decBounds(cc, dt) match {
+                            case None => acc(i) = (mn, mx, nulls, false)
+                            case Some((lo, hi)) =>
+                              def bd(v: Any) = v.asInstanceOf[java.math.BigDecimal]
+                              val nmn = if (mn == null || lo.compareTo(bd(mn)) < 0) lo else mn
+                              val nmx = if (mx == null || hi.compareTo(bd(mx)) > 0) hi else mx
+                              acc(i) = (nmn, nmx, nulls, ok)
                           }
                         case _ =>
                           val lo = st.genericGetMin
@@ -462,6 +509,15 @@ object DataSkipping {
 
   /** Inclusive date range for a DateType manifest column. */
   def dateRange(column: String, lo: java.time.LocalDate, hi: java.time.LocalDate): Range =
+    Range(column, lit(lo), lit(hi))
+
+  /** Inclusive range for a DecimalType manifest column (prices, money
+    * measures — the columns financial tables cluster and prune on).
+    * Manifest bounds are exact unscaled values at the column's own
+    * scale, so the interval test is exact.
+    */
+  def decimalRange(column: String, lo: java.math.BigDecimal,
+                   hi: java.math.BigDecimal): Range =
     Range(column, lit(lo), lit(hi))
 
   /** The per-range candidate test: known stats → interval overlap;

@@ -2514,6 +2514,27 @@ object Oracles {
         |  true AS pruned_equals_full, true AS files_skipped
         |FROM f""".stripMargin,
 
+    // Decimal-skipping gate: the mid-domain price box replayed over raw
+    // lineitem. Bounds derive in exact unscaled cents (DECIMAL(12,2)*100
+    // is exact, CAST to BIGINT exact); the double->decimal price cast
+    // hops through DOUBLE per the engine-parity discipline, and the
+    // decimal sum is exact before the one double cast at the boundary.
+    "x9_skipping_dec" ->
+      """WITH base AS (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(12,2)) AS price
+        |  FROM lineitem),
+        |cb AS (SELECT CAST(min(price) * 100 AS BIGINT) AS cmin,
+        |              CAST(max(price) * 100 AS BIGINT) AS cmax FROM base),
+        |f AS (SELECT base.* FROM base, cb
+        |  WHERE CAST(price * 100 AS BIGINT)
+        |    BETWEEN cmin + (cmax - cmin) // 4 AND cmin + (cmax - cmin) // 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(l_orderkey), 0) AS BIGINT) AS sum_keys,
+        |  CAST(coalesce(sum(price), 0) AS DOUBLE) AS sum_price,
+        |  true AS pruned_equals_full, true AS files_skipped
+        |FROM f""".stripMargin,
+
     // Planned-scan gate: the same probe box as x9_skipping replayed over
     // raw events — the ScanPruneRewrite rule's file pruning must be
     // invisible to results; the plan-shape facts (naive control = full

@@ -483,6 +483,57 @@ object Queries {
           .as("files_skipped"))
   }
 
+  /** X9dc: DECIMAL-modality file skipping — price/money columns are what
+    * financial tables cluster and prune on, and parquet stores their
+    * footer stats as EXACT unscaled integers (INT64 at this precision;
+    * the FLBA encoding and the precision/scale-mismatch degrade are
+    * spec-gated). lineitem rewritten price-clustered with an exact
+    * DECIMAL(12,2) price, the manifest built from footer decimal stats
+    * alone, and a mid-domain price box answered by opening only
+    * candidate files. The box bounds derive from the data's own min/max
+    * in exact unscaled cents (scale-adaptive, engine-replayable); gate
+    * mirrors [[x9Skipping]]: pruned-read aggregates travel verbatim (the
+    * twin replays the box over raw lineitem), pruned≡full and
+    * files-skipped ride as pinned booleans.
+    */
+  private def x9SkippingDec(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataSkipping
+    val li = t(spark, dir, "lineitem")
+    val base = li.select(col("l_orderkey"),
+      col("l_extendedprice").cast(DecimalType(12, 2)).as("price"))
+    val path = scratch(dir, "x9_skipping_dec")
+    base.repartitionByRange(24, col("price"), col("l_orderkey"))
+      .sortWithinPartitions("price", "l_orderkey")
+      .write.mode("overwrite").parquet(path)
+    val manifest = DataSkipping.statsManifest(spark, path, Seq("price")).cache()
+    val cb = base.agg((min("price") * 100).cast("long"),
+      (max("price") * 100).cast("long")).head()
+    val (cmin, cmax) = (cb.getLong(0), cb.getLong(1))
+    val (lo, hi) = (cmin + (cmax - cmin) / 4, cmin + (cmax - cmin) / 2)
+    val (plo, phi) = (java.math.BigDecimal.valueOf(lo, 2),
+      java.math.BigDecimal.valueOf(hi, 2))
+    val cand = DataSkipping.candidateFiles(manifest,
+      Seq(DataSkipping.decimalRange("price", plo, phi)))
+    val rowFilter = col("price").between(lit(plo), lit(phi))
+    def summ(df: DataFrame, tag: String) = df.agg(
+      count(lit(1)).as(s"n_rows$tag"),
+      coalesce(sum("l_orderkey"), lit(0L)).as(s"sum_keys$tag"),
+      coalesce(sum("price"), lit(0).cast(DecimalType(12, 2)))
+        .as(s"sum_price$tag"))
+    val prunedS = summ(
+      DataSkipping.prunedRead(spark, path, cand).where(rowFilter), "")
+    val fullS = summ(base.where(rowFilter), "_f")
+    val counts = cand.agg(count(lit(1)).as("__n_cand"))
+      .crossJoin(manifest.agg(count(lit(1)).as("__n_files")))
+    prunedS.crossJoin(broadcast(fullS)).crossJoin(broadcast(counts))
+      .select(col("n_rows"), col("sum_keys"),
+        col("sum_price").cast("double").as("sum_price"),
+        (col("n_rows") === col("n_rows_f") && col("sum_keys") === col("sum_keys_f") &&
+          col("sum_price") === col("sum_price_f")).as("pruned_equals_full"),
+        (col("__n_cand") > 0L && col("__n_cand") < col("__n_files"))
+          .as("files_skipped"))
+  }
+
   /** X9mcft: manifest maintenance ACROSS a compaction — the derived
     * manifest ([[graft.ops.DataSkipping.manifestAfterCompaction]]: bin
     * stats folded from source-file stats + the FFD plan, zero footer
@@ -4337,6 +4388,7 @@ object Queries {
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),
     "x9_skipping_in" -> (x9SkippingIn _),
+    "x9_skipping_dec" -> (x9SkippingDec _),
     "x9_manifest_compact" -> (x9ManifestCompact _),
     "x9_bloom_compact" -> (x9BloomCompact _),
     "x9_compact_ordered" -> (x9CompactOrdered _),

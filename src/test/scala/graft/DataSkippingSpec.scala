@@ -387,6 +387,54 @@ class DataSkippingSpec extends SparkSpec {
       && dGot == 1440)
   }
 
+  test("X9dc decimal manifest is exact for INT64 and FLBA encodings, incl. negatives; scale mismatch degrades") {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip-dec").toString
+    // d18 fits INT64 (precision 12); d25 forces FIXED_LEN_BYTE_ARRAY
+    // (precision 25 > 18); values span NEGATIVE to positive so the
+    // signed big-endian decode is exercised where an unsigned-lex
+    // misread would invert the order
+    val df = spark.range(2000).select(
+      col("id").as("a"),
+      ((col("id") - 1000L) * 7L).cast(DecimalType(12, 2)).as("d18"),
+      ((col("id") - 1000L) * 1234567L).cast(DecimalType(25, 3)).as("d25"))
+    df.repartitionByRange(8, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(dir)
+    def base(c: org.apache.spark.sql.Column) = element_at(split(c, "/"), -1)
+    val m = DataSkipping.statsManifest(spark, dir, Seq("d18", "d25"))
+      .withColumn("fname", base(col("file"))).cache()
+    val truth = spark.read.parquet(dir)
+      .groupBy(base(input_file_name()).as("fname"))
+      .agg(min("d18").as("t18_min"), max("d18").as("t18_max"),
+        min("d25").as("t25_min"), max("d25").as("t25_max"))
+    val joined = m.join(truth, "fname")
+    assert(joined.count() == m.count() && m.count() > 1)
+    assert(joined.where(col("d18_min") =!= col("t18_min") ||
+      col("d18_max") =!= col("t18_max") || col("d18_nulls") =!= 0L ||
+      col("d25_min") =!= col("t25_min") || col("d25_max") =!= col("t25_max") ||
+      col("d25_nulls") =!= 0L).count() == 0,
+      "footer decimal stats must equal a full recount, both encodings")
+    // a NEGATIVE-range box on the FLBA column prunes and matches exactly
+    val lo = new java.math.BigDecimal("-900000000.000")
+    val hi = new java.math.BigDecimal("-500000000.000")
+    val cand = DataSkipping.candidateFiles(m,
+      Seq(DataSkipping.decimalRange("d25", lo, hi)))
+    assert(cand.count() > 0 && cand.count() < m.count())
+    val box = col("d25").between(lit(lo), lit(hi))
+    val got = DataSkipping.prunedRead(spark, dir, cand).where(box).count()
+    assert(got == spark.read.parquet(dir).where(box).count() && got > 0)
+    // precision/scale mismatch: declaring a DIFFERENT scale than the
+    // files carry must degrade to unknown (null stats), never rescale
+    val files = DataSkipping.listDataFiles(spark, dir)
+    val wrong = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("d18", DecimalType(12, 3))))
+    val m2 = DataSkipping.statsManifestFiles(spark, files, wrong, Seq("d18"))
+    assert(m2.where(col("d18_min").isNotNull || col("d18_max").isNotNull ||
+      col("d18_nulls").isNotNull).count() == 0,
+      "scale mismatch must degrade every file to unknown")
+  }
+
   test("X9ts NTZ timestamps manifest at their own type; INT96 degrades to unknown, never wrong") {
     val dir = java.nio.file.Files.createTempDirectory("graft-skip-ntz").toString
     val df = spark.range(2000).select(
