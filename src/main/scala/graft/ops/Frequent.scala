@@ -30,26 +30,32 @@ import org.apache.spark.sql.functions._
   */
 object Frequent {
 
+  /** One MG insert step (shared by [[mgFold]] and the multi-column
+    * single-pass fold in [[SketchCatalog]]): add weight `w` for `key`,
+    * keeping ≤ k−1 counters by the decrement-all rule.
+    */
+  private[graft] def mgAdd(m: scala.collection.mutable.HashMap[String, Long],
+                           key: String, w: Long, k: Int): Unit =
+    if (m.contains(key)) m(key) += w
+    else {
+      m(key) = w
+      if (m.size >= k) {
+        // decrement all by the smallest counter; drop zeros — one pass,
+        // charges the decrement against >= k distinct keys at once
+        val d = m.values.min
+        val dead = m.collect { case (kk, v) if v <= d => kk }
+        m.mapValuesInPlace((_, v) => v - d)
+        dead.foreach(m.remove)
+      }
+    }
+
   /** The MG invariant, reusable for merging: fold (key, weight) pairs
     * into ≤ k−1 counters.
     */
   private[graft] def mgFold(rows: Iterator[(String, Long)], k: Int):
       Map[String, Long] = {
     val m = scala.collection.mutable.HashMap.empty[String, Long]
-    rows.foreach { case (key, w) =>
-      if (m.contains(key)) m(key) += w
-      else {
-        m(key) = w
-        if (m.size >= k) {
-          // decrement all by the smallest counter; drop zeros — one pass,
-          // charges the decrement against >= k distinct keys at once
-          val d = m.values.min
-          val dead = m.collect { case (kk, v) if v <= d => kk }
-          m.mapValuesInPlace((_, v) => v - d)
-          dead.foreach(m.remove)
-        }
-      }
-    }
+    rows.foreach { case (key, w) => mgAdd(m, key, w, k) }
     m.toMap
   }
 

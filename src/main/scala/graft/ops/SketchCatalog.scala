@@ -57,17 +57,44 @@ object SketchCatalog {
     */
   val RuntimeFilterMaxKeysKey = "spark.graft.sketchPlanning.runtimeFilterMaxKeys"
 
+  /** Heaviest-key row fraction at or above which the skew pass salts an
+    * un-hinted shuffle join's skewed side (default 0.2 — a key pinning a
+    * fifth of the table pins one reducer ~6× over the average at 32
+    * partitions, and three orders of magnitude at cluster widths).
+    */
+  val SkewKeyFractionKey = "spark.graft.sketchPlanning.skewKeyFraction"
+
+  /** Salt bucket count for the skew pass's salted-join rewrite (default
+    * 8: the hot reducer's rows spread 8 ways; the replicated side pays
+    * ×8 through its exchange, which the pass bounds by the probe side's
+    * own bytes).
+    */
+  val SkewSaltBucketsKey = "spark.graft.sketchPlanning.skewSaltBuckets"
+
   /** Driver-side view of one catalog row. `hll` is the serialized
     * DataSketches HLL sketch of the key (the `hll_sketch_agg` binary) —
     * the KEY-OVERLAP oracle between two catalogued columns
     * (inclusion–exclusion over heapified sketches, the
     * [[Sketches.hllPairOverlaps]] estimate moved to plan time); null in
     * catalogs written before the column existed, in which case
-    * overlap-driven decisions are skipped, never guessed.
+    * overlap-driven decisions are skipped, never guessed. `heavy` is the
+    * Misra–Gries CANDIDATE set of the key's heavy hitters (string form,
+    * every key with frequency > n/[[HeavyK]] is guaranteed present) —
+    * counts are deliberately NOT stored: the skew pass re-prices each
+    * candidate against the stored CMS at plan time, so merged catalogs
+    * stay exact (candidate sets union; a global heavy hitter is heavy in
+    * at least one slice by the averaging argument) and the count bound
+    * inherits the CMS's never-undercount contract.
     */
   final case class Entry(table: String, key: String, nRows: Long,
                          nBytes: Long, distinctEst: Double, cms: Array[Byte],
-                         hll: Array[Byte] = null)
+                         hll: Array[Byte] = null, heavy: Seq[String] = Nil)
+
+  /** MG threshold for harvest-time heavy-key candidates: every key with
+    * frequency > n/HeavyK survives the summary (the skew pass's own
+    * firing threshold is far above 1/HeavyK, so recall is total).
+    */
+  val HeavyK = 16
 
   /** Estimated distinct-key overlap |A∩B| between two catalogued columns
     * from their stored HLL sketches alone (None when either is missing):
@@ -122,6 +149,9 @@ object SketchCatalog {
     StructField("distinct_est", DoubleType, nullable = false),
     StructField("cms", BinaryType, nullable = true),
     StructField("hll", BinaryType, nullable = true),
+    // Misra–Gries heavy-hitter CANDIDATE keys (string form) — see Entry
+    StructField("heavy", ArrayType(StringType, containsNull = false),
+      nullable = true),
     // store-convention marker: "full" rows are whole-table harvests
     // (latest-wins at activate), "delta" rows are harvestFiles slices
     // (summable only after compact). Stamped at harvest so activate can
@@ -181,6 +211,38 @@ object SketchCatalog {
       ConventionDelta)
   }
 
+  /** Single-pass multi-column Misra–Gries candidate fold: one scan of
+    * the key columns (string form), per-partition summaries of size
+    * 2·[[HeavyK]] merged on the driver by the same fold — the
+    * [[Frequent.heavyHitters]] recall argument, minus the exact recount
+    * (the skew pass re-prices candidates against the stored CMS
+    * instead). Output per key column: the sorted candidate key strings.
+    */
+  private def mgCandidates(df: DataFrame, keys: Seq[String]): Map[String, Seq[String]] = {
+    val n = keys.size
+    val cap = 2 * HeavyK
+    val partials: Array[(Int, String, Long)] =
+      df.select(keys.map(k => col(k).cast("string")): _*).rdd.mapPartitions { it =>
+        val maps = Array.fill(n)(scala.collection.mutable.HashMap.empty[String, Long])
+        it.foreach { row =>
+          var i = 0
+          while (i < n) {
+            if (!row.isNullAt(i)) Frequent.mgAdd(maps(i), row.getString(i), 1L, cap)
+            i += 1
+          }
+        }
+        maps.iterator.zipWithIndex.flatMap { case (m, i) =>
+          m.iterator.map { case (key, w) => (i, key, w) }
+        }
+      }.collect()
+    keys.indices.map { i =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      partials.iterator.filter(_._1 == i)
+        .foreach { case (_, key, w) => Frequent.mgAdd(m, key, w, cap) }
+      keys(i) -> m.keys.toSeq.sorted
+    }.toMap
+  }
+
   private def harvestFrame(spark: SparkSession, table: String, df: DataFrame,
                            nBytes: Long, keys: Seq[String], eps: Double,
                            confidence: Double, seed: Int,
@@ -198,11 +260,13 @@ object SketchCatalog {
         hll_sketch_estimate(col(s"__hll_$k")).cast("double").as(s"__nd_$k")): _*)
       .head()
     val n = row.getLong(row.fieldIndex("__n"))
+    val heavy = mgCandidates(df, keys)
     val out = keys.map { k =>
       Row(table, k, n, nBytes,
         row.getDouble(row.fieldIndex(s"__nd_$k")),
         row.getAs[Array[Byte]](row.fieldIndex(s"__cms_$k")),
         row.getAs[Array[Byte]](row.fieldIndex(s"__hll_$k")),
+        heavy(k),
         convention)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), catalogSchema)
@@ -249,10 +313,17 @@ object SketchCatalog {
       .groupBy("table", "key")
       .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_bytes")).as("n_bytes"),
         call_function("graft_cms_merge", col("cms")).as("cms"),
-        hll_union_agg(col("hll")).as("hll"))
+        hll_union_agg(col("hll")).as("hll"),
+        // heavy candidates UNION across slices: a globally heavy key is
+        // heavy in at least one slice (averaging argument), and counts
+        // re-price from the merged CMS at plan time — so the union is a
+        // superset-correct candidate set, never a guess
+        array_sort(array_distinct(flatten(
+          collect_list(coalesce(col("heavy"), array()))))).as("heavy"))
       .select(col("table"), col("key"), col("n_rows"), col("n_bytes"),
         hll_sketch_estimate(col("hll")).cast("double").as("distinct_est"),
-        col("cms"), col("hll"), lit(ConventionFull).as("convention"))
+        col("cms"), col("hll"), col("heavy"),
+        lit(ConventionFull).as("convention"))
       .collect()
     val out = spark.createDataFrame(
       spark.sparkContext.parallelize(merged.toIndexedSeq, 1), catalogSchema)
@@ -290,17 +361,19 @@ object SketchCatalog {
     // posture. Refuse loudly; the caller compacts first. Null convention
     // (legacy catalogs) passes as before: those stores predate the
     // delta leg and are full-table by construction.
-    val deltas = rows.count(r => r.getString(7) == ConventionDelta)
+    val deltas = rows.count(r => r.getString(8) == ConventionDelta)
     require(deltas == 0,
       s"SketchCatalog.activate: $path holds $deltas uncompacted delta row(s) " +
         "— activating a slice store would understate cardinalities (unsafe " +
         "broadcasts); run SketchCatalog.compact first")
     val entries = rows.toSeq.map { r =>
-      // `hll` reads as null from catalogs written before the column
-      // existed (parquet schema evolution) — overlap decisions degrade
-      // to "unknown", never to a guess
+      // `hll`/`heavy` read as null from catalogs written before the
+      // columns existed (parquet schema evolution) — overlap and skew
+      // decisions degrade to "unknown", never to a guess
       Entry(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6))
+        r.getDouble(4), r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
+        Option(r.getAs[scala.collection.Seq[String]](7))
+          .map(_.toSeq).getOrElse(Nil))
     }
     // latest harvest wins per (table, key): append-mode maintenance leaves
     // superseded rows behind; n_rows is monotone for append-only tables

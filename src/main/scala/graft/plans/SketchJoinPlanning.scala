@@ -80,7 +80,12 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     SketchCatalog.lookup(conf.getConfString(SketchCatalog.ConfKey, "")) match {
       case None      => plan
       case Some(cat) =>
-        runtimeFilterPass(broadcastPass(reorderPass(plan, cat), cat), cat)
+        // order matters: reorder sees clean chains; broadcast removes the
+        // joins salting cannot help (a broadcast join has no shuffle to
+        // skew); skew salts what stays on the shuffle path; the runtime
+        // filter takes whatever is left un-rewritten
+        runtimeFilterPass(
+          skewPass(broadcastPass(reorderPass(plan, cat), cat), cat), cat)
     }
 
   // ---------------------------------------------------------------- //
@@ -440,6 +445,103 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
             j.copy(hint = JoinHint(bcast, None))
           case _ => j
         }
+    }
+
+  // ---------------------------------------------------------------- //
+  // Pass 3½ (between broadcast and runtime filter): artifact-driven
+  // skew mitigation — the salted join chosen BY the stored heavy-key
+  // candidates instead of by hand
+  // ---------------------------------------------------------------- //
+
+  private def skewFraction: Double =
+    conf.getConfString(SketchCatalog.SkewKeyFractionKey, "0.2").toDouble
+
+  private def skewBuckets: Int =
+    conf.getConfString(SketchCatalog.SkewSaltBucketsKey, "8").toInt
+
+  /** Heaviest-key row fraction of a catalogued column: every stored MG
+    * candidate priced against the stored CMS ([[cmsPointBound]] — an
+    * upper bound, so the fraction is never UNDERSTATED: a wrong estimate
+    * salts a join that did not need it, costing a hash of salt columns,
+    * never results). 0 when the catalog predates the heavy column.
+    */
+  private def heavyFrac(e: Entry): Double =
+    if (e.heavy.isEmpty || e.nRows <= 0L) 0.0
+    else try
+      e.heavy.iterator.map(k => cmsPointBound(e, k)).max.toDouble / e.nRows
+    catch { case ex: Exception =>
+      logWarning(s"sketch planning: unreadable cms for skew probe (${ex.getMessage})")
+      0.0
+    }
+
+  /** Output attributes hashable for a deterministic salt (Spark's `hash`
+    * rejects MapType; everything else participates — the
+    * [[graft.ops.Skew.saltedJoin]] default).
+    */
+  private def hashableCols(plan: LogicalPlan): Seq[Attribute] =
+    plan.output.filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+
+  /** The pass that cashes in the stored HEAVY-KEY candidates: an
+    * un-hinted join the broadcast pass left on the shuffle path, whose
+    * probe-side key column's heaviest key holds ≥
+    * `spark.graft.sketchPlanning.skewKeyFraction` of its rows (MG
+    * candidates from the catalog, counts re-priced by the stored CMS —
+    * never understated), is rewritten to the salted form of
+    * [[graft.ops.Skew.saltedJoin]] as plan surgery: the skewed side gets
+    * a deterministic salt in [0, buckets) hashed from its own row
+    * (spreading the hot key's rows across reducers), the other side is
+    * replicated once per bucket via a Generate, and the join key becomes
+    * (key, salt). Result-identical for an inner equi-join — every
+    * matching pair appears under exactly one salt — so the rewrite rides
+    * the same invisible-to-results contract as every other pass.
+    *
+    * Guards: replication is paid only when bounded — the replicated
+    * side's catalogued bytes × buckets must not exceed the skewed side's
+    * (past that, the cure costs more than the straggler) — and a side
+    * with no hashable non-key columns cannot salt. AQE's skew-join
+    * splitting covers sort-merge stragglers at runtime when it can SEE
+    * them; this pass decides from an 80 KB artifact at plan time, which
+    * also covers the shuffle-hash and pre-AQE paths.
+    */
+  private def skewPass(plan: LogicalPlan, cat: Catalog): LogicalPlan =
+    plan.transformUp {
+      case j @ Join(l, r, Inner, Some(cond), JoinHint(None, None)) if j.resolved =>
+        val rewritten = for {
+          pairs <- equiPairs(cond, l, r)
+          (la, ra) = pairs.head
+          lb <- resolveBase(l, cat); rb <- resolveBase(r, cat)
+          le <- entryFor(lb, cat, la); re <- entryFor(rb, cat, ra)
+          lf = heavyFrac(le); rf = heavyFrac(re)
+          thr = skewFraction
+          if lf >= thr || rf >= thr
+          // salt the MORE skewed side; replicate the other
+          (probe, build, pe, be) =
+            if (lf >= rf) (l, r, le, re) else (r, l, re, le)
+          b = skewBuckets
+          // replication bounded by the probe side's own exchange volume
+          if satBytes(be.nBytes, b.toLong) <= pe.nBytes
+          salt = hashableCols(probe)
+          if salt.nonEmpty
+        } yield {
+          val saltAlias = Alias(
+            Pmod(new Murmur3Hash(salt), Literal(b)), "__graft_salt")()
+          val probeSalted = Project(probe.output :+ saltAlias, probe)
+          val repAttr = AttributeReference("__graft_rep", IntegerType,
+            nullable = false)()
+          val buildRep = Generate(
+            Explode(CreateArray((0 until b).map(Literal(_)))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(repAttr), child = build)
+          val newCond = And(cond,
+            EqualTo(saltAlias.toAttribute, repAttr))
+          val salted =
+            if (probe eq l) Join(probeSalted, buildRep, Inner, Some(newCond), JoinHint.NONE)
+            else Join(buildRep, probeSalted, Inner, Some(newCond), JoinHint.NONE)
+          logInfo(f"sketch planning: salted skewed join on ${if (lf >= rf) la.name else ra.name} " +
+            f"(heavy frac ${math.max(lf, rf)}%.3f >= $thr%.2f, $b buckets)")
+          Project(j.output, salted)
+        }
+        rewritten.getOrElse(j)
     }
 
   // ---------------------------------------------------------------- //

@@ -2514,6 +2514,27 @@ object Oracles {
         |  true AS pruned_equals_full, true AS files_skipped
         |FROM f""".stripMargin,
 
+    // Planned-skew gate: fact/dim derivation replayed from raw events
+    // (dim = distinct fact keys, so the join is lossless); the salted
+    // plan is result-identical BY CONTRACT, so the twin is the plain
+    // join — any salting defect (dropped bucket, replica duplication,
+    // wrong key composition) breaks the hash and the pinned
+    // salted_equals_plain boolean.
+    "q18_planned_skew" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN event_id % 3 = 0 THEN 7
+        |              ELSE user_id + 1000 END AS key,
+        |         value AS val
+        |  FROM events),
+        |dim AS (SELECT key AS m_key, key % 5 AS grp
+        |        FROM (SELECT DISTINCT key FROM fact)),
+        |j AS (SELECT d.grp, f.val FROM fact f JOIN dim d ON f.key = d.m_key)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_val,
+        |  true AS naive_bare_merge, true AS artifact_salted,
+        |  true AS salted_equals_plain
+        |FROM j GROUP BY grp ORDER BY grp""".stripMargin,
+
     // Decimal-skipping gate: the mid-domain price box replayed over raw
     // lineitem. Bounds derive in exact unscaled cents (DECIMAL(12,2)*100
     // is exact, CAST to BIGINT exact); the double->decimal price cast

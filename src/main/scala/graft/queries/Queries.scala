@@ -3667,6 +3667,100 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
+  /** Skewed fact + dim + planning catalog for [[q18PlannedSkew]], built
+    * once per JVM per sf dir: every third event collapses onto key 7
+    * (~33% of fact rows — far past the pass's 20% threshold), the rest
+    * spread over user-derived keys; the dim is the distinct key set, so
+    * the join is lossless and the oracle can replay it.
+    */
+  private val q18Paths = new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+  private def q18Fixture(spark: SparkSession, dir: String): (String, String, String) =
+    q18Paths.computeIfAbsent(dir, { _ =>
+      import graft.ops.SketchCatalog
+      val ev = t(spark, dir, "events")
+      val fact = ev.select(
+        when(col("event_id") % 3 === 0, 7L)
+          .otherwise(col("user_id") + 1000L).as("key"),
+        col("value").as("val"), col("event_id"))
+      val factPath = scratch(dir, "q18_fact")
+      fact.write.mode("overwrite").parquet(factPath)
+      val dimPath = scratch(dir, "q18_dim")
+      spark.read.parquet(factPath).select(col("key")).distinct()
+        .select(col("key").as("m_key"), (col("key") % 5).as("grp"))
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+      val cat = SketchCatalog.harvest(spark, factPath, Seq("key"))
+        .unionByName(SketchCatalog.harvest(spark, dimPath, Seq("m_key")))
+      val catPath = scratch(dir, "q18_catalog")
+      SketchCatalog.save(cat, catPath)
+      (factPath, dimPath, catPath)
+    })
+
+  /** Q18: artifact-driven SKEW mitigation — pass 4 of
+    * [[graft.plans.SketchJoinPlanning]] closing the loop on the stored
+    * Misra–Gries heavy-key candidates (re-priced by the stored CMS,
+    * never understated): an un-hinted shuffle join of a fact whose top
+    * key holds ~33% of its rows (both broadcast paths disabled, the q14
+    * pinning) must rewrite to the salted form — a Generate replicating
+    * the dim across salt buckets, the join keyed on (key, salt) — while
+    * the plain control without a catalog stays a bare sort-merge join.
+    * Both plan facts ride the hash gate as pinned booleans probed from
+    * EXECUTED plans, plus `salted_equals_plain`: the salted run's rows
+    * collected DURING activation and compared to the plain join's (the
+    * salted plan is result-identical BY CONTRACT — a dropped salt
+    * bucket, replica duplication, or wrong key composition breaks this
+    * boolean and the hash). The aggregate travels verbatim; the twin
+    * replays fact/dim derivation from raw events.
+    */
+  private def q18PlannedSkew(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchCatalog
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val (factPath, dimPath, catPath) = q18Fixture(spark, dir)
+    def chain(): DataFrame = spark.read.parquet(factPath)
+      .join(spark.read.parquet(dimPath), col("key") === col("m_key"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"),
+        decSum(round(col("val"), 6), 18, 6).as("sum_val"))
+      .orderBy("grp")
+    def gens(df: DataFrame): Int = {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+      root.collect { case g: GenerateExec => g }.size
+    }
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBb = spark.conf.getOption(SketchCatalog.BroadcastBytesKey)
+    val (naiveBare, artifactSalted, saltedEqualsPlain) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(SketchCatalog.BroadcastBytesKey, "0")
+      SketchCatalog.deactivate(spark)
+      val naive = chain()
+      val naiveOk = physicalJoins(naive).exists(_.isInstanceOf[SortMergeJoinExec]) &&
+        gens(naive) == 0
+      val plainRows = naive.collect().map(_.toString).sorted.toSeq
+      SketchCatalog.activate(spark, catPath)
+      val planned = chain()
+      val saltedOk = gens(planned) == 1 && physicalJoins(planned).nonEmpty
+      val same = planned.collect().map(_.toString).sorted.toSeq == plainRows
+      (naiveOk, saltedOk, same)
+    } finally {
+      SketchCatalog.deactivate(spark)
+      prevBb match { // restore, never blindly unset a user's setting
+        case Some(v) => spark.conf.set(SketchCatalog.BroadcastBytesKey, v)
+        case None    => spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    chain()
+      .select(col("grp"), col("n_rows"), col("sum_val"),
+        lit(naiveBare).as("naive_bare_merge"),
+        lit(artifactSalted).as("artifact_salted"),
+        lit(saltedEqualsPlain).as("salted_equals_plain"))
+      .orderBy("grp")
+  }
+
   /** Scratch table for [[q17PlannedScan]]: events z-clustered on
     * (user_id, ts_ms), written once per JVM per sf dir (the q13Catalog
     * discipline).
@@ -4384,6 +4478,7 @@ object Queries {
     "q15_planned_chain" -> (q15PlannedChain _),
     "q16_filtered_broadcast" -> (q16FilteredBroadcast _),
     "q17_planned_scan" -> (q17PlannedScan _),
+    "q18_planned_skew" -> (q18PlannedSkew _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),

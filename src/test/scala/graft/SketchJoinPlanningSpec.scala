@@ -383,4 +383,63 @@ class SketchJoinPlanningSpec extends SparkSpec {
       SketchCatalog.deactivate(spark)
     }
   }
+
+  test("skew pass salts exactly the joins the heavy-key artifact indicts; hash parity holds") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    // skewed fact: key 7 holds ~40% of 10k rows; control fact: uniform
+    (0L until 10000L).map(i =>
+        (if (i % 5 < 2) 7L else i % 500L, i, (i % 11).toDouble))
+      .toDF("s_key", "s_id", "s_val")
+      .repartition(4).write.parquet(s"$d/skfact.parquet")
+    (0L until 10000L).map(i => (i % 500L, i, (i % 11).toDouble))
+      .toDF("u_key", "u_id", "u_val")
+      .repartition(4).write.parquet(s"$d/unifact.parquet")
+    (0L until 500L).map(k => (k, s"g${k % 5}")).toDF("m_key", "m_grp")
+      .repartition(2).write.parquet(s"$d/mid.parquet")
+    val cat = SketchCatalog.harvest(spark, s"$d/skfact.parquet", Seq("s_key"))
+      .unionByName(SketchCatalog.harvest(spark, s"$d/unifact.parquet", Seq("u_key")))
+      .unionByName(SketchCatalog.harvest(spark, s"$d/mid.parquet", Seq("m_key")))
+    SketchCatalog.save(cat, s"$d/cat")
+
+    def gens(df: DataFrame): Int = {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+      root.collect { case g: GenerateExec => g }.size
+    }
+    def skJoin(): DataFrame =
+      spark.read.parquet(s"$d/skfact.parquet")
+        .join(spark.read.parquet(s"$d/mid.parquet"),
+          col("s_key") === col("m_key"))
+        .groupBy("m_grp").agg(count(lit(1)).as("n"),
+          sum("s_val").cast("long").as("s"))
+        .orderBy("m_grp")
+    def uniJoin(): DataFrame =
+      spark.read.parquet(s"$d/unifact.parquet")
+        .join(spark.read.parquet(s"$d/mid.parquet"),
+          col("u_key") === col("m_key"))
+        .groupBy("m_grp").agg(count(lit(1)).as("n"))
+        .orderBy("m_grp")
+
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      SketchCatalog.BroadcastBytesKey -> "0") {
+      SketchCatalog.deactivate(spark)
+      val plain = skJoin().collect().toSeq
+      assert(gens(skJoin()) == 0, "control: no salt without a catalog")
+      SketchCatalog.activate(spark, s"$d/cat")
+      try {
+        // the skewed join salts: a Generate replicates the mid table and
+        // the join carries the salt key; results are hash-identical
+        assert(gens(skJoin()) == 1, "skewed join must be salted")
+        assert(physicalJoins(skJoin()).nonEmpty)
+        assert(skJoin().collect().toSeq == plain,
+          "salting must be invisible to results")
+        // the uniform control join must NOT salt under the same catalog
+        assert(gens(uniJoin()) == 0, "uniform join must stay unsalted")
+      } finally SketchCatalog.deactivate(spark)
+    }
+  }
 }
