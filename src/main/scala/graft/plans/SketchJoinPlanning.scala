@@ -5,7 +5,7 @@ import graft.ops.SketchCatalog
 import graft.ops.SketchCatalog.{Catalog, Entry}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -85,7 +85,8 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
         // skew); skew salts what stays on the shuffle path; the runtime
         // filter takes whatever is left un-rewritten
         runtimeFilterPass(
-          skewPass(broadcastPass(reorderPass(plan, cat), cat), cat), cat)
+          skewPass(broadcastPass(
+            semiReorderPass(reorderPass(plan, cat), cat), cat), cat), cat)
     }
 
   // ---------------------------------------------------------------- //
@@ -183,20 +184,21 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** The leaves and per-join conditions of a maximal left-deep chain of
-    * un-hinted inner joins whose every side resolves to a catalogued
-    * relation — `conds(i)` is the condition that joined `leaves(i + 1)`
-    * into the prefix. None when any link breaks the shape.
+    * un-hinted inner joins — `conds(i)` is the condition that joined
+    * `leaves(i + 1)` into the prefix. Leaves are NOT required to resolve
+    * to catalogued relations: an uncatalogued (or opaque — aggregate,
+    * generate, bushy) side becomes an opaque leaf, and the reorder pass
+    * confines itself to the estimable PREFIX below the first opaque
+    * link, reattaching the rest in written order — one unknown table no
+    * longer disables the whole chain's reorder.
     */
-  private def extractChain(p: LogicalPlan, cat: Catalog)
-    : Option[(List[LogicalPlan], List[Expression])] =
+  private def extractChain(p: LogicalPlan)
+    : (List[LogicalPlan], List[Expression]) =
     stripPruneProject(p) match {
-      case Join(l, r, Inner, Some(cond), JoinHint(None, None))
-          if resolveBase(r, cat).isDefined =>
-        extractChain(l, cat).map { case (leaves, conds) =>
-          (leaves :+ r, conds :+ cond)
-        }
-      case leaf if resolveBase(leaf, cat).isDefined => Some((List(leaf), Nil))
-      case _ => None
+      case Join(l, r, Inner, Some(cond), JoinHint(None, None)) =>
+        val (leaves, conds) = extractChain(l)
+        (leaves :+ r, conds :+ cond)
+      case leaf => (List(leaf), Nil)
     }
 
   /** One chain condition resolved against the chain's leaves: it must be
@@ -279,30 +281,52 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     edges.indices.flatMap(complete).sortBy(_._2).headOption
   }
 
+  /** Length of the maximal ESTIMABLE prefix of a chain: every leaf in
+    * the prefix resolves to a catalogued relation, and every connecting
+    * edge joins two prefix leaves with a CMS-estimable pair. Leaves past
+    * the prefix (uncatalogued tables, opaque subplans, edges the
+    * sketches cannot price) keep their written position — conservative,
+    * never guessed.
+    */
+  private def estimablePrefix(cat: Catalog, leaves: Seq[LogicalPlan],
+                              edges: Seq[Option[Edge]],
+                              ests: Int => Option[Double]): Int = {
+    var k = if (resolveBase(leaves.head, cat).isDefined) 1 else 0
+    var i = 0
+    while (k > 0 && i < edges.size &&
+        resolveBase(leaves(i + 1), cat).isDefined &&
+        edges(i).exists(e => e.a <= i && e.b <= i + 1 && ests(i).isDefined)) {
+      k += 1; i += 1
+    }
+    k
+  }
+
   private def reorderPass(plan: LogicalPlan, cat: Catalog): LogicalPlan =
     plan.transformUp {
       case outer @ Join(_, _, Inner, Some(_), JoinHint(None, None))
           if outer.resolved =>
+        val (leaves, conds) = extractChain(outer)
+        val edgeOpts = conds.map(resolveEdge(_, leaves))
+        val estCache = scala.collection.mutable.HashMap.empty[Int, Option[Double]]
+        def estAt(i: Int): Option[Double] = estCache.getOrElseUpdate(i,
+          edgeOpts(i).flatMap(e => edgeEst(cat, leaves, e)))
+        val k = estimablePrefix(cat, leaves, edgeOpts, estAt)
         val rewritten = for {
-          (leaves, conds) <- extractChain(outer, cat)
-          if leaves.size >= 3 // nothing to reorder below a 3-chain
-          edges <- {
-            val es = conds.map(resolveEdge(_, leaves))
-            if (es.exists(_.isEmpty)) None else Some(es.map(_.get))
-          }
-          ests <- {
-            val em = edges.indices.map(i => edgeEst(cat, leaves, edges(i)).map(i -> _))
-            if (em.exists(_.isEmpty)) None else Some(em.map(_.get).toMap)
-          }
-          nRows = leaves.map(l =>
+          _ <- Some(())
+          if k >= 3 // nothing to reorder below a 3-prefix
+          edges = edgeOpts.take(k - 1).map(_.get)
+          ests = edges.indices.map(i => i -> estAt(i).get).toMap
+          nRows = leaves.take(k).map(l =>
             resolveBase(l, cat).flatMap(b => cat.byTable.get(b.table))
               .map(_.nRows.toDouble).getOrElse(1.0))
-          // cost of the ORIGINAL order under the same model: conds(i)
-          // attaches leaf i+1, selectivity from its edge estimate
+          // cost of the ORIGINAL prefix order under the same model:
+          // conds(i) attaches leaf i+1, selectivity from its edge
+          // estimate. The suffix (written-position joins) consumes the
+          // same prefix ROW SET either way, so comparing prefix costs
+          // decides the whole chain.
           origCost = {
             var e = ests(0); var c = e
             edges.indices.drop(1).foreach { i =>
-              val nw = leaves(i + 1)
               val ni = nRows(i + 1)
               e = e * ni * (ests(i) / math.max(1.0,
                 nRows(edges(i).a) * nRows(edges(i).b)))
@@ -321,8 +345,90 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
             built = Join(built, leaves(nw), Inner, Some(edges(ei).cond),
               JoinHint.NONE)
           }
-          logInfo(f"sketch planning: reordered ${leaves.size}-chain " +
-            f"(est cost $origCost%.0f -> $cost%.0f)")
+          // suffix joins reattach in written order on top of the
+          // reordered prefix (their conditions reference leaf attributes,
+          // all of which the rebuilt prefix still outputs)
+          (k until leaves.size).foreach { i =>
+            built = Join(built, leaves(i), Inner, Some(conds(i - 1)),
+              JoinHint.NONE)
+          }
+          logInfo(f"sketch planning: reordered $k-prefix of a " +
+            f"${leaves.size}-chain (est cost $origCost%.0f -> $cost%.0f)")
+          Project(outer.output, built)
+        }
+        rewritten.getOrElse(outer)
+    }
+
+  // ---------------------------------------------------------------- //
+  // Pass 1b: semi/anti stack reorder by HLL key-overlap selectivity
+  // ---------------------------------------------------------------- //
+
+  /** A stack of un-hinted LeftSemi/LeftAnti equi-filters over one base
+    * plan, bottom-up. Semi/anti joins are row FILTERS on the base (their
+    * output is the base's), so any stack over one base commutes freely —
+    * the only question is order, and the stored HLL key sketches answer
+    * it.
+    */
+  private def extractSemiStack(p: LogicalPlan)
+    : (LogicalPlan, List[(org.apache.spark.sql.catalyst.plans.JoinType, LogicalPlan, Expression)]) =
+    stripPruneProject(p) match {
+      case Join(l, r, jt, Some(cond), JoinHint(None, None))
+          if jt == LeftSemi || jt == LeftAnti =>
+        val (base, stack) = extractSemiStack(l)
+        (base, stack :+ ((jt, r, cond)))
+      case other => (other, Nil)
+    }
+
+  /** Estimated RETAINED row fraction of one semi/anti filter over `base`,
+    * from the stored HLL key overlap (the X6jk statistic consumed at
+    * plan time): semi retains overlap/distinct of the base's keys, anti
+    * the complement. Rows are assumed uniform over keys (the documented
+    * runtime-filter posture — a wrong estimate reorders filters, never
+    * results). None when anything is uncatalogued.
+    */
+  private def semiRetained(cat: Catalog, base: LogicalPlan,
+                           jt: org.apache.spark.sql.catalyst.plans.JoinType,
+                           r: LogicalPlan, cond: Expression): Option[Double] =
+    for {
+      pairs <- equiPairs(cond, base, r)
+      (la, ra) = pairs.head
+      bb <- resolveBase(base, cat); rb <- resolveBase(r, cat)
+      le <- entryFor(bb, cat, la); re <- entryFor(rb, cat, ra)
+      overlap <- SketchCatalog.hllKeyOverlap(le, re)
+      frac = math.min(1.0, overlap / math.max(1.0, le.distinctEst))
+    } yield if (jt == LeftSemi) frac else 1.0 - frac
+
+  /** Reorder a stack of ≥ 2 semi/anti filters most-selective-first: each
+    * filter scans every row the previous ones retained, so ascending
+    * retained-fraction order minimizes the total rows the stack's
+    * exchanges and probes carry — the Selinger argument applied to
+    * filter-shaped joins, with selectivity from the HLL artifacts
+    * instead of histograms. Fires only when EVERY element estimates
+    * (conservative) and the order actually changes; rebuilding commutes
+    * exactly, so results are untouched.
+    */
+  private def semiReorderPass(plan: LogicalPlan, cat: Catalog): LogicalPlan =
+    plan.transformUp {
+      case outer @ Join(_, _, jt, Some(_), JoinHint(None, None))
+          if outer.resolved && (jt == LeftSemi || jt == LeftAnti) =>
+        val (base, stack) = extractSemiStack(outer)
+        val rewritten = for {
+          _ <- Some(())
+          if stack.size >= 2
+          fracs <- {
+            val fs = stack.map { case (t, r, c) => semiRetained(cat, base, t, r, c) }
+            if (fs.exists(_.isEmpty)) None else Some(fs.map(_.get))
+          }
+          order = stack.indices.sortBy(i => (fracs(i), i)) // stable: ties keep written order
+          if order != stack.indices.toIndexedSeq
+        } yield {
+          var built: LogicalPlan = base
+          order.foreach { i =>
+            val (t, r, c) = stack(i)
+            built = Join(built, r, t, Some(c), JoinHint.NONE)
+          }
+          logInfo(f"sketch planning: reordered ${stack.size}-stack of " +
+            f"semi/anti filters (retained fractions ${fracs.mkString(", ")})")
           Project(outer.output, built)
         }
         rewritten.getOrElse(outer)

@@ -2514,6 +2514,39 @@ object Oracles {
         |  true AS pruned_equals_full, true AS files_skipped
         |FROM f""".stripMargin,
 
+    // Mixed-chain reorder gate: the q15 revenue chain extended with the
+    // (uncatalogued) region table; reordering the catalogued prefix is
+    // invisible to results, so the twin is the plain five-table join.
+    "q19_planned_mixed_chain" ->
+      """SELECT r_name, n_name,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue,
+        |  true AS naive_all_merge, true AS artifact_prefix_reordered,
+        |  true AS uncatalogued_kept_on_top
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    // Semi/anti stack reorder gate: the three commuting filters replayed
+    // as EXISTS / NOT EXISTS over the same key-subset derivations (null
+    // keys cannot occur: c_custkey is a PK slice).
+    "q20_planned_semi" ->
+      """WITH hot AS (SELECT c_custkey AS hk FROM customer WHERE c_nationkey < 3),
+        |wide AS (SELECT c_custkey AS wk FROM customer WHERE c_custkey % 20 <> 0),
+        |antik AS (SELECT c_custkey AS ak FROM customer WHERE c_custkey % 7 = 0),
+        |f AS (SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE EXISTS (SELECT 1 FROM wide WHERE wk = o_custkey)
+        |    AND NOT EXISTS (SELECT 1 FROM antik WHERE ak = o_custkey)
+        |    AND EXISTS (SELECT 1 FROM hot WHERE hk = o_custkey))
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  true AS naive_written_order, true AS artifact_selective_first
+        |FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     // Planned-skew gate: fact/dim derivation replayed from raw events
     // (dim = distinct fact keys, so the join is lossless); the salted
     // plan is result-identical BY CONTRACT, so the twin is the plain

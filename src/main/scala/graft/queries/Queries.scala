@@ -3667,6 +3667,138 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
+  /** Q19: greedy reorder past an UNCATALOGUED table — the generalized
+    * pass 1 ([[graft.plans.SketchJoinPlanning]].estimablePrefix): the
+    * q15 chain extended with a fifth table, region, that the catalog has
+    * never seen. The written order is still worst-first; the rule must
+    * reorder the four-table estimable PREFIX exactly as q15 pins
+    * (cheapest pair at the bottom, fact attached last within the
+    * prefix) while the region join keeps its written position on top —
+    * one unknown table no longer disables the whole chain. All three
+    * structural facts ride the hash gate as pinned booleans; the revenue
+    * aggregate is the plain-join twin.
+    */
+  private def q19PlannedMixedChain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchCatalog
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def chain(): DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .join(spark.read.parquet(s"$dir/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(spark.read.parquet(s"$dir/region.parquet"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_items"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 4)
+          .as("revenue"))
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (naiveAllMerge, prefixReordered, regionOnTop) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SketchCatalog.deactivate(spark)
+      val naive = physicalJoins(chain())
+      SketchCatalog.activate(spark, q15Catalog(spark, dir)) // region ABSENT
+      val planned = physicalJoins(chain())
+      val bottom = planned.lastOption.toSeq.flatMap(planScans)
+      // pre-order: the FIRST join is the topmost — region must sit there,
+      // in its written position, while the prefix below reordered
+      val top = planned.headOption.toSeq.flatMap(planScans)
+      (naive.size == 4 && naive.forall(_.isInstanceOf[SortMergeJoinExec]),
+        bottom.nonEmpty && bottom.forall(s =>
+          s.contains("customer") || s.contains("nation")),
+        planned.size == 4 && top.exists(_.contains("region")))
+    } finally {
+      SketchCatalog.deactivate(spark)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    chain()
+      .select(col("r_name"), col("n_name"), col("n_items"), col("revenue"),
+        lit(naiveAllMerge).as("naive_all_merge"),
+        lit(prefixReordered).as("artifact_prefix_reordered"),
+        lit(regionOnTop).as("uncatalogued_kept_on_top"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Filter dims + catalog for [[q20PlannedSemi]], built once per JVM
+    * per sf dir: three customer-key subsets with distinct retained
+    * fractions — hot (nations 0–2, ~12%), wide (19 of 20 keys, ~95%),
+    * and the anti-filter set (every 7th key, anti retains ~86%).
+    */
+  private val q20Paths = new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String)]()
+  private def q20Fixture(spark: SparkSession, dir: String): (String, String, String, String) =
+    q20Paths.computeIfAbsent(dir, { _ =>
+      import graft.ops.SketchCatalog
+      val cust = t(spark, dir, "customer")
+      val hotPath = scratch(dir, "q20_dim_hot")
+      cust.where(col("c_nationkey") < 3).select(col("c_custkey").as("hk"))
+        .coalesce(1).write.mode("overwrite").parquet(hotPath)
+      val widePath = scratch(dir, "q20_dim_wide")
+      cust.where(col("c_custkey") % 20 =!= 0).select(col("c_custkey").as("wk"))
+        .coalesce(1).write.mode("overwrite").parquet(widePath)
+      val antiPath = scratch(dir, "q20_dim_anti")
+      cust.where(col("c_custkey") % 7 === 0).select(col("c_custkey").as("ak"))
+        .coalesce(1).write.mode("overwrite").parquet(antiPath)
+      val cat = SketchCatalog.harvest(spark, s"$dir/orders.parquet", Seq("o_custkey"))
+        .unionByName(SketchCatalog.harvest(spark, hotPath, Seq("hk")))
+        .unionByName(SketchCatalog.harvest(spark, widePath, Seq("wk")))
+        .unionByName(SketchCatalog.harvest(spark, antiPath, Seq("ak")))
+      val catPath = scratch(dir, "q20_catalog")
+      SketchCatalog.save(cat, catPath)
+      (hotPath, widePath, antiPath, catPath)
+    })
+
+  /** Q20: semi/anti stack REORDER by the stored HLL key-overlap
+    * selectivity (pass 1b — the X6jk statistic finally picking a plan):
+    * orders filtered by three commuting semi/anti equi-filters written
+    * WORST-first (the ~95% semi, then the ~86% anti, then the ~12%
+    * semi). With no catalog the executed stack must keep the written
+    * order (wide dim at the bottom); with it the rule must sink the
+    * most selective filter (the hot dim) to the bottom, so every later
+    * filter scans an eighth of the rows. Both structural facts ride the
+    * hash gate as pinned booleans; the aggregate is the plain twin
+    * (semi/anti filters on one base commute EXACTLY, so reordering is
+    * invisible to results — EXISTS/NOT EXISTS replay in the oracle).
+    */
+  private def q20PlannedSemi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchCatalog
+    val (hotPath, widePath, antiPath, catPath) = q20Fixture(spark, dir)
+    def chain(): DataFrame = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(widePath),
+        col("o_custkey") === col("wk"), "left_semi")
+      .join(spark.read.parquet(antiPath),
+        col("o_custkey") === col("ak"), "left_anti")
+      .join(spark.read.parquet(hotPath),
+        col("o_custkey") === col("hk"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice"), 18, 2).as("revenue"))
+      .orderBy("o_orderpriority")
+    def bottomScan(df: DataFrame): Seq[String] = {
+      val js = physicalJoins(df)
+      js.lastOption.toSeq.flatMap(planScans)
+    }
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (naiveWritten, artifactSelectiveFirst) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SketchCatalog.deactivate(spark)
+      val naive = bottomScan(chain())
+      SketchCatalog.activate(spark, catPath)
+      val planned = bottomScan(chain())
+      (naive.exists(_.contains("q20_dim_wide")),
+        planned.exists(_.contains("q20_dim_hot")))
+    } finally {
+      SketchCatalog.deactivate(spark)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    chain()
+      .select(col("o_orderpriority"), col("n_orders"), col("revenue"),
+        lit(naiveWritten).as("naive_written_order"),
+        lit(artifactSelectiveFirst).as("artifact_selective_first"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Skewed fact + dim + planning catalog for [[q18PlannedSkew]], built
     * once per JVM per sf dir: every third event collapses onto key 7
     * (~33% of fact rows — far past the pass's 20% threshold), the rest
@@ -4479,6 +4611,8 @@ object Queries {
     "q16_filtered_broadcast" -> (q16FilteredBroadcast _),
     "q17_planned_scan" -> (q17PlannedScan _),
     "q18_planned_skew" -> (q18PlannedSkew _),
+    "q19_planned_mixed_chain" -> (q19PlannedMixedChain _),
+    "q20_planned_semi" -> (q20PlannedSemi _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),

@@ -384,6 +384,78 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("reorder survives an uncatalogued chain table: prefix reorders, unknown stays put") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-mixed").toString
+    // opaque: a table the catalog never sees, joined on the dim's key
+    (0L until 40L).map(k => (k, s"z$k")).toDF("z_key", "z_tag")
+      .repartition(2).write.parquet(s"$d/zdim.parquet")
+    val path = harvestAll()
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      def chain() = spark.read.parquet(s"$dir/fact.parquet")
+        .join(spark.read.parquet(s"$dir/dim.parquet"), col("f_key") === col("d_key"))
+        .join(spark.read.parquet(s"$dir/extra.parquet"), col("d_key") === col("e_key"))
+        .join(spark.read.parquet(s"$d/zdim.parquet"), col("e_key") === col("z_key"))
+        .groupBy("d_seg").agg(count(lit(1)).as("n"), sum("e_weight").as("w"))
+        .orderBy("d_seg")
+      SketchCatalog.deactivate(spark)
+      val plain = chain().collect().toSeq
+      SketchCatalog.activate(spark, path)
+      try {
+        val joins = physicalJoins(chain())
+        // 3 joins; the topmost (pre-order first) must scan the
+        // uncatalogued zdim (written position), the prefix below may
+        // reorder; results are identical either way
+        assert(joins.size == 3)
+        val top = joins.headOption.toSeq.flatMap(_.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.head.toString
+        })
+        assert(top.exists(_.contains("zdim")), s"uncatalogued table must keep its written position, got $top")
+        assert(chain().collect().toSeq == plain)
+      } finally SketchCatalog.deactivate(spark)
+    }
+  }
+
+  test("semi/anti stack reorders most-selective-first from HLL overlap; parity holds") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-semistack").toString
+    // base: 4000 rows over 400 keys; selective dim: 5% of keys; wide dim: 90%
+    (0L until 4000L).map(i => (i % 400L, i)).toDF("b_key", "b_id")
+      .repartition(4).write.parquet(s"$d/base.parquet")
+    (0L until 400L).filter(_ % 20 == 0).map(k => Tuple1(k)).toDF("sel_k")
+      .repartition(1).write.parquet(s"$d/sel.parquet")
+    (0L until 400L).filter(_ % 10 != 0).map(k => Tuple1(k)).toDF("wide_k")
+      .repartition(1).write.parquet(s"$d/wide.parquet")
+    val cat = SketchCatalog.harvest(spark, s"$d/base.parquet", Seq("b_key"))
+      .unionByName(SketchCatalog.harvest(spark, s"$d/sel.parquet", Seq("sel_k")))
+      .unionByName(SketchCatalog.harvest(spark, s"$d/wide.parquet", Seq("wide_k")))
+    SketchCatalog.save(cat, s"$d/cat")
+    def chain() = spark.read.parquet(s"$d/base.parquet")
+      .join(spark.read.parquet(s"$d/wide.parquet"),
+        col("b_key") === col("wide_k"), "left_semi")
+      .join(spark.read.parquet(s"$d/sel.parquet"),
+        col("b_key") === col("sel_k"), "left_semi")
+      .agg(count(lit(1)).as("n"), sum("b_id").as("s"))
+    def bottomScan(df: DataFrame): Seq[String] =
+      physicalJoins(df).lastOption.toSeq.flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.head.toString
+      })
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      SketchCatalog.deactivate(spark)
+      val plain = chain().collect().toSeq
+      assert(bottomScan(chain()).exists(_.contains("wide")),
+        "control: written order applies the wide filter first")
+      SketchCatalog.activate(spark, s"$d/cat")
+      try {
+        assert(bottomScan(chain()).exists(_.contains("sel")),
+          "the 5% filter must sink below the 90% one")
+        assert(chain().collect().toSeq == plain)
+      } finally SketchCatalog.deactivate(spark)
+    }
+  }
+
   test("skew pass salts exactly the joins the heavy-key artifact indicts; hash parity holds") {
     import org.apache.spark.sql.execution.GenerateExec
     import spark.implicits._
