@@ -2447,6 +2447,21 @@ object Oracles {
     // the merge-exactness invariants (CMS bit-equality, HLL register
     // equality, planner inner-product parity) are computed Spark-side
     // against the one-shot harvest and pinned; the row count replays
+    // Planner audit: the actual join counts replay as plain SQL; the
+    // estimate-contract booleans (never-undercount, bounded overcount)
+    // are pinned true — a CMS defect on a real execution breaks them.
+    "x6_planner_audit" ->
+      """SELECT 'l_orderkey|o_orderkey' AS join_keys,
+        |  CAST(count(*) AS BIGINT) AS actual_rows,
+        |  true AS never_undercount, true AS overcount_bounded
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'o_custkey|c_custkey',
+        |  CAST(count(*) AS BIGINT),
+        |  true, true
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY join_keys""".stripMargin,
+
     "x6_catalog_incremental" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  true AS rows_eq, true AS bytes_eq, true AS cms_bitexact,

@@ -1397,6 +1397,35 @@ object Queries {
       lit(card(merged) == card(full)).as("join_card_eq"))
   }
 
+  /** X6pa: planner self-audit — estimated vs ACTUAL join cardinality
+    * recorded from REAL executions ([[graft.ops.PlannerAudit]]): the
+    * actual count rides the audited join itself via `Observation`
+    * (CollectMetrics drained through a QueryExecutionListener — no
+    * second job), the estimate is the stored-CMS inner product the
+    * planner consumes, and the report pins the contract the planning
+    * passes depend on — never-undercount (what keeps artifact-driven
+    * broadcasts safe) and the ε·|A|·|B| overcount bound — as booleans
+    * on every audited join. The replayable column is the actual join
+    * count (plain SQL); the estimate itself is CMS-deterministic but
+    * engine-specific, so it stays Spark-side.
+    */
+  private def x6PlannerAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{PlannerAudit, SketchCatalog}
+    val cat = SketchCatalog.activate(spark, q15Catalog(spark, dir))
+    SketchCatalog.deactivate(spark) // audit the UN-ruled executions
+    val rows = Seq(
+      PlannerAudit.auditEquiJoin(spark, cat, s"$dir/lineitem.parquet",
+        "l_orderkey", s"$dir/orders.parquet", "o_orderkey"),
+      PlannerAudit.auditEquiJoin(spark, cat, s"$dir/orders.parquet",
+        "o_custkey", s"$dir/customer.parquet", "c_custkey"))
+    val store = scratch(dir, "x6_planner_audit")
+    PlannerAudit.record(spark, store, rows, append = false)
+    PlannerAudit.report(spark, store)
+      .select(concat_ws("|", col("key_a"), col("key_b")).as("join_keys"),
+        col("actual_rows"), col("never_undercount"), col("overcount_bounded"))
+      .orderBy("join_keys")
+  }
+
   /** X6jk: distinct-key join overlap from stored HLL sketches — the
     * companion planner statistic to [[x6CmsJoinCard]]: where the CMS
     * inner product prices the join's OUTPUT (Σ f_A·f_B), the HLL
@@ -4600,6 +4629,7 @@ object Queries {
     "x5_percentile_rank" -> (x5PercentileRank _),
     "x6_hll_join_keys" -> (x6HllJoinKeys _),
     "x6_catalog_incremental" -> (x6CatalogIncremental _),
+    "x6_planner_audit" -> (x6PlannerAudit _),
     "x5_drift_quantile" -> (x5DriftQuantile _),
     "x5_winsorize" -> (x5Winsorize _),
     "x6_hard_negatives" -> (x6HardNegatives _),
