@@ -120,6 +120,84 @@ object StreamingCdc {
       .transformWithState(new CdcProcessor(ttlMs), timeMode, OutputMode.Append())
   }
 
+  /** One incoming MERGE action on the stream: `op = "delete"` is a
+    * tombstone, anything else upserts (the [[graft.state.Merge]]
+    * two-verb contract carried onto the stream).
+    */
+  final case class Action(id: String, updatedOnMs: Long, op: String, payload: String)
+
+  /** K5 streaming — MERGE with tombstones through the CDC state (the
+    * stream form of [[graft.state.Merge.merge]] /
+    * [[graft.state.EntityStateStore.commitMerge]]): upserts flow through
+    * the exact [[CdcProcessor]] semantics (new / updated / suppressed /
+    * stale-late-arrival), and a `delete` action CLEARS the key's state
+    * and suppresses any content emission — downstream sees one tombstone
+    * Change (`changeType = "deleted"`, empty payload: targets need the
+    * marker to propagate the delete) and nothing else, a re-appearing id
+    * is emitted as "new" again (state truly cleared, not blanked), an
+    * unmatched delete is a silent no-op (the MERGE contract), and a
+    * tombstone OLDER than the applied version is suppressed like any
+    * stale late arrival. Intra-batch actions fold in (ms, delete-first,
+    * payload) order — deterministic, with the delete sorting BEFORE an
+    * equal-timestamp upsert so the upsert supersedes its tombstone (the
+    * batch page dedup keeps exactly one action per (id, page); feeds
+    * that carry true same-ms conflicts should disambiguate upstream).
+    */
+  final class MergeProcessor(ttlMs: Long) extends StatefulProcessor[String, Action, Change] {
+    @transient private var verState: ValueState[(Long, String)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl = if (ttlMs > 0) new TTLConfig(java.time.Duration.ofMillis(ttlMs)) else TTLConfig.NONE
+      verState = getHandle.getValueState[(Long, String)]("entityVerHash",
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING), ttl)
+    }
+
+    override def handleInputRows(id: String, rows: Iterator[Action],
+        timerValues: TimerValues): Iterator[Change] = {
+      val out = Seq.newBuilder[Change]
+      rows.toSeq.sortBy(a =>
+          (a.updatedOnMs, a.op != "delete", Option(a.payload).getOrElse("")))
+        .foreach { a =>
+          val isDelete = a.op == "delete"
+          val prev = Option(verState.get())
+          (prev, isDelete) match {
+            case (None, true) => // unmatched delete: MERGE no-op, no emission
+            case (Some((prevMs, _)), true) =>
+              if (a.updatedOnMs >= prevMs) {
+                verState.clear()
+                out += Change(id, a.updatedOnMs, "", "deleted")
+              } else if (ttlMs > 0) verState.update(verState.get()) // stale tombstone: suppress
+            case (p, false) =>
+              val h = md5Hex(Option(a.payload).getOrElse(""))
+              p match {
+                case None =>
+                  out += Change(id, a.updatedOnMs, a.payload, "new")
+                  verState.update((a.updatedOnMs, h))
+                case Some((prevMs, _)) if a.updatedOnMs < prevMs =>
+                  if (ttlMs > 0) verState.update(verState.get())
+                case Some((_, prevHash)) if prevHash != h =>
+                  out += Change(id, a.updatedOnMs, a.payload, "updated")
+                  verState.update((a.updatedOnMs, h))
+                case Some((prevMs, prevHash)) =>
+                  if (ttlMs > 0 || a.updatedOnMs > prevMs)
+                    verState.update((math.max(prevMs, a.updatedOnMs), prevHash))
+              }
+          }
+        }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming MERGE keyed by entity id: upsert/tombstone change log out,
+    * one live version per key in state.
+    */
+  def mergeStream(actions: Dataset[Action], ttlMs: Long): Dataset[Change] = {
+    import actions.sparkSession.implicits._
+    val timeMode = if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    actions.groupByKey(_.id)
+      .transformWithState(new MergeProcessor(ttlMs), timeMode, OutputMode.Append())
+  }
+
   /** Watermarked tumbling-window aggregation over the event stream — the
     * streaming analog of the hourly rollup (late rows older than the
     * watermark are dropped, mirroring W3's checkpoint-boundary semantics).
