@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, HintInfo, Join, JoinHint, LogicalPlan, Project, SHUFFLE_MERGE}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
@@ -205,8 +205,20 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           }
           val newCond = (Seq(EqualTo(keyL, keyR)) ++ kept ++ Seq(guard1, guard2))
             .reduceLeft[Expression](And)
+          // pin SORT-MERGE when the user left the join un-hinted: Catalyst
+          // sizes the exploded Generate children from their pre-fan-out
+          // stats, undercounting L+1-fold — the auto strategy then builds
+          // hash maps over the key-array-carrying rows (measured 3.7×
+          // slower than SMJ on this shape at sf0.1: 4.18 s vs 1.13 s,
+          // FuzzyAb V3/V4) and OOMs outright at corpus scale, the exact
+          // trap the direct op (Fuzzy.editNeighborPairs) documents and
+          // pins against. A user-supplied hint still wins.
+          val pinned =
+            if (hint == JoinHint.NONE)
+              JoinHint(None, Some(HintInfo(strategy = Some(SHUFFLE_MERGE))))
+            else hint
           Project(left.output ++ right.output,
-            Join(genL, genR, Inner, Some(newCond), hint))
+            Join(genL, genR, Inner, Some(newCond), pinned))
       }
   }
 
