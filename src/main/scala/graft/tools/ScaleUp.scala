@@ -122,6 +122,13 @@ object ScaleUp {
       spark.read.parquet(naSrc).write.mode("overwrite")
         .parquet(s"$dest/nation.parquet")
     }
+    // region: same pass-through — the 5-row static dim above nation
+    // (q19's uncatalogued chain top)
+    val reSrc = s"$src/region.parquet"
+    if (new java.io.File(reSrc).exists()) {
+      spark.read.parquet(reSrc).write.mode("overwrite")
+        .parquet(s"$dest/region.parquet")
+    }
 
     val dim = 64
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
