@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Activation registry for PLANNER-side data skipping — the scan half of
@@ -60,8 +61,42 @@ object ScanPrune {
     val canonicalPaths: Set[String] = files.map(_.canonicalPath).toSet
   }
 
+  /** One column's decoded per-file Bloom index ([[DataSkipping.bloomIndex]]):
+    * the EQUALITY modality — min/max is blind for point predicates on
+    * columns the layout scatters. `keyClass` is the recorded build hash
+    * class; a probe whose literal hashes in the other class is DECLINED
+    * (cross-class probes are false-negative-unsound, the
+    * candidateFilesByKey contract).
+    */
+  final class BloomColIdx(val column: String, val keyClass: String,
+                          val byFile: Map[String, org.apache.spark.util.sketch.BloomFilter])
+
+  /** Everything activated for one table, with the decoded file UNIVERSE
+    * the rewrite evaluates: per file, its manifest stats (if manifested)
+    * and its per-column Bloom filters (if indexed). Files outside every
+    * artifact are unknown to the rule and always kept.
+    */
+  final class TableArtifacts(val table: String,
+                             val manifest: Option[TableIndex],
+                             val blooms: Map[String, BloomColIdx]) {
+    val kinds: Map[String, Kind] = manifest.map(_.kinds).getOrElse(Map.empty)
+    val universe: Seq[FileCtx] = {
+      val stats = manifest.map(_.files.map(f => f.canonicalPath -> f).toMap)
+        .getOrElse(Map.empty)
+      val paths = (stats.keySet ++ blooms.values.flatMap(_.byFile.keys)).toSeq.sorted
+      paths.map { p =>
+        FileCtx(p, stats.get(p),
+          blooms.collect { case (c, bi) if bi.byFile.contains(p) => c -> bi.byFile(p) })
+      }
+    }
+  }
+
+  /** One file as the rewrite sees it. */
+  final case class FileCtx(path: String, stats: Option[FileStats],
+                           fileBlooms: Map[String, org.apache.spark.util.sketch.BloomFilter])
+
   private val indexes =
-    new java.util.concurrent.ConcurrentHashMap[String, TableIndex]()
+    new java.util.concurrent.ConcurrentHashMap[String, TableArtifacts]()
 
   /** Scheme/authority-free form of a manifest `file` string or listing
     * path — the identity under which the rewrite matches manifest rows to
@@ -142,11 +177,44 @@ object ScanPrune {
       FileStats(canonical(r.getAs[String]("file")), r.getAs[Long]("n_rows"), cols)
     }
     val idx = new TableIndex(table, statCols.toMap, files)
-    indexes.put(table, idx)
+    indexes.compute(table, (_, prev) => new TableArtifacts(table, Some(idx),
+      Option(prev).map(_.blooms).getOrElse(Map.empty)))
+    addActive(spark, table)
+    idx
+  }
+
+  /** Decode a per-file Bloom index ([[DataSkipping.bloomIndex]] output
+    * over `column` of the table at `dir`) into the driver registry — the
+    * EQUALITY modality of planner-side skipping: point and IN-list
+    * predicates on `column` prune to the files whose filters might
+    * contain the key (false positives only; an unindexed file always
+    * stays). The decoded artifact is the index's own bytes (~1.2 KB per
+    * 1k keys per file — the same bounded class as the stored parquet).
+    */
+  def activateBloomIndex(spark: SparkSession, dir: String, column: String,
+                         index: DataFrame): Unit = {
+    val table = SketchCatalog.normalizePath(spark, dir)
+    val keyClass =
+      if (index.columns.contains("key_class"))
+        index.select("key_class").head().getString(0)
+      else graft.functions.BloomHashClass.of(
+        spark.read.parquet(dir).schema(column).dataType)
+    val byFile = index.select(col("file"), col("bloom")).collect().map { r =>
+      canonical(r.getString(0)) ->
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+    }.toMap
+    val bi = new BloomColIdx(column, keyClass, byFile)
+    indexes.compute(table, (_, prev) => new TableArtifacts(table,
+      Option(prev).flatMap(_.manifest),
+      Option(prev).map(_.blooms).getOrElse(Map.empty) + (column -> bi)))
+    addActive(spark, table)
+  }
+
+  private def addActive(spark: SparkSession, table: String): Unit = {
     val cur = spark.conf.getOption(ConfKey).getOrElse("")
     val active = cur.split(",").filter(_.nonEmpty).toSet + table
     spark.conf.set(ConfKey, active.toSeq.sorted.mkString(","))
-    idx
   }
 
   /** Remove one table from the session's active set (its decoded index
@@ -166,5 +234,5 @@ object ScanPrune {
   def activeTables(confValue: String): Set[String] =
     confValue.split(",").filter(_.nonEmpty).toSet
 
-  def lookup(table: String): Option[TableIndex] = Option(indexes.get(table))
+  def lookup(table: String): Option[TableArtifacts] = Option(indexes.get(table))
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.ops.ScanPrune
-import graft.ops.ScanPrune.{ColStats, FileStats, Kind, KBytes, KDecimal, KDouble, KLong, TableIndex}
+import graft.ops.ScanPrune.{ColStats, FileCtx, FileStats, Kind, KBytes, KDecimal, KDouble, KLong, TableArtifacts}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
@@ -62,12 +62,12 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
           }
           table = fs.location.rootPaths.head.toString
           if active.contains(table)
-          idx <- ScanPrune.lookup(table)
-          drop <- droppedFiles(cond, idx)
+          arts <- ScanPrune.lookup(table)
+          drop <- droppedFiles(cond, arts)
           if drop.nonEmpty
         } yield {
           logInfo(s"scan pruning: dropping ${drop.size} of " +
-            s"${idx.files.size} manifested files from $table")
+            s"${arts.universe.size} artifact-covered files from $table")
           f.copy(child = lr.copy(relation =
             fs.copy(location = new PrunedFileIndex(fs.location, drop))(
               fs.sparkSession)))
@@ -76,16 +76,17 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Canonical paths of manifested files the predicate PROVABLY cannot
-    * match; None when no conjunct is priceable against the manifest.
+  /** Canonical paths of artifact-covered files the predicate PROVABLY
+    * cannot match; None when no conjunct is priceable against any
+    * activated artifact.
     */
-  private def droppedFiles(cond: Expression, idx: TableIndex)
+  private def droppedFiles(cond: Expression, arts: TableArtifacts)
     : Option[Set[String]] = {
-    val tests = splitConjunctivePredicates(cond).flatMap(atomTest(_, idx))
+    val tests = splitConjunctivePredicates(cond).flatMap(atomTest(_, arts))
     if (tests.isEmpty) None
-    else Some(idx.files.iterator
-      .filterNot(fs => tests.forall(_(fs)))
-      .map(_.canonicalPath).toSet)
+    else Some(arts.universe.iterator
+      .filterNot(fc => tests.forall(_(fc)))
+      .map(_.path).toSet)
   }
 
   /** The manifest comparison space of a scan attribute's type (must agree
@@ -141,85 +142,125 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  private type Test = FileStats => Boolean
+  private type Test = FileCtx => Boolean
 
   /** Interval test against one column's stats: known bounds run `op`;
     * unknown bounds keep the file unless the null count proves it
-    * all-null for the column (NULL satisfies no comparison). A column
-    * the manifest does not carry keeps every file.
+    * all-null for the column (NULL satisfies no comparison). A file
+    * without manifest stats, or a column the manifest does not carry,
+    * keeps the file.
     */
   private def statTest(colName: String, op: (ColStats) => Boolean): Test =
-    fs => fs.cols.get(colName) match {
+    fc => fc.stats.forall(fs => fs.cols.get(colName) match {
       case None => true
       case Some(cs) =>
         if (cs.min != null && cs.max != null) op(cs)
         else !cs.nulls.contains(fs.nRows)
+    })
+
+  /** Bloom membership test for one EQUALITY key on `colName` — the
+    * modality min/max cannot serve on scattered columns: a file whose
+    * filter says the key is absent is PROVABLY impossible (false
+    * positives only); unindexed files keep. Declined unless the probe
+    * value hashes in the index's recorded build class (a cross-class
+    * probe is false-negative-unsound — the candidateFilesByKey
+    * contract).
+    */
+  private def bloomTest(arts: TableArtifacts, colName: String, dt: DataType,
+                        v: Any): Option[Test] =
+    for {
+      bi <- arts.blooms.get(colName)
+      probeCls <- graft.functions.BloomHashClass.probeable(dt)
+      if probeCls == bi.keyClass
+      key <- Option(v)
+    } yield (fc: FileCtx) => fc.fileBlooms.get(colName) match {
+      case None => true
+      case Some(bf) => probeCls match {
+        case "long" => bf.mightContainLong(key.asInstanceOf[Number].longValue())
+        case _      => bf.mightContainString(key.toString)
+      }
     }
 
-  /** Compile `attrExpr ⊙ literal` into a file test (None = declined). */
+  /** Compile `attrExpr ⊙ literal` into a file test (None = declined):
+    * the manifest interval test where the column is manifested, AND the
+    * Bloom membership test for EQUALITY atoms on indexed columns — both
+    * sound alone, so their conjunction is.
+    */
   private def cmpTest(attrExpr: Expression, v: Any, dt: DataType,
-                      idx: TableIndex,
-                      op: (Kind, ColStats, Any) => Boolean): Option[Test] =
-    for {
+                      arts: TableArtifacts,
+                      op: (Kind, ColStats, Any) => Boolean): Option[Test] = {
+    val manifestT = for {
       a <- stripWidening(attrExpr)
       kind <- attrKind(a.dataType)
-      mkind <- idx.kinds.get(a.name)
+      mkind <- arts.kinds.get(a.name)
       if kind == mkind
       value <- litValue(v, dt)
     } yield statTest(a.name, cs => op(kind, cs, value))
+    val bloomT =
+      if (op ne eqOp) None
+      else stripWidening(attrExpr).flatMap(a => bloomTest(arts, a.name, dt, v))
+    (manifestT, bloomT) match {
+      case (Some(m), Some(b)) => Some(fc => m(fc) && b(fc))
+      case (m, b)             => m.orElse(b)
+    }
+  }
 
-  private def ge(k: Kind, cs: ColStats, v: Any) = ScanPrune.cmp(k, cs.max, v) >= 0
-  private def gt(k: Kind, cs: ColStats, v: Any) = ScanPrune.cmp(k, cs.max, v) > 0
-  private def le(k: Kind, cs: ColStats, v: Any) = ScanPrune.cmp(k, cs.min, v) <= 0
-  private def lt(k: Kind, cs: ColStats, v: Any) = ScanPrune.cmp(k, cs.min, v) < 0
-  private def eq(k: Kind, cs: ColStats, v: Any) =
-    ScanPrune.cmp(k, cs.min, v) <= 0 && ScanPrune.cmp(k, cs.max, v) >= 0
+  private val ge: (Kind, ColStats, Any) => Boolean =
+    (k, cs, v) => ScanPrune.cmp(k, cs.max, v) >= 0
+  private val gt: (Kind, ColStats, Any) => Boolean =
+    (k, cs, v) => ScanPrune.cmp(k, cs.max, v) > 0
+  private val le: (Kind, ColStats, Any) => Boolean =
+    (k, cs, v) => ScanPrune.cmp(k, cs.min, v) <= 0
+  private val lt: (Kind, ColStats, Any) => Boolean =
+    (k, cs, v) => ScanPrune.cmp(k, cs.min, v) < 0
+  private val eqOp: (Kind, ColStats, Any) => Boolean =
+    (k, cs, v) => ScanPrune.cmp(k, cs.min, v) <= 0 && ScanPrune.cmp(k, cs.max, v) >= 0
 
   /** One predicate atom compiled to a file test; None = unsupported (the
     * conjunct then contributes no pruning — sound, never lucky).
     */
-  private def atomTest(e: Expression, idx: TableIndex): Option[Test] = e match {
-    case GreaterThanOrEqual(l, Literal(v, dt)) => cmpTest(l, v, dt, idx, ge)
-    case GreaterThanOrEqual(Literal(v, dt), r) => cmpTest(r, v, dt, idx, le)
-    case GreaterThan(l, Literal(v, dt))        => cmpTest(l, v, dt, idx, gt)
-    case GreaterThan(Literal(v, dt), r)        => cmpTest(r, v, dt, idx, lt)
-    case LessThanOrEqual(l, Literal(v, dt))    => cmpTest(l, v, dt, idx, le)
-    case LessThanOrEqual(Literal(v, dt), r)    => cmpTest(r, v, dt, idx, ge)
-    case LessThan(l, Literal(v, dt))           => cmpTest(l, v, dt, idx, lt)
-    case LessThan(Literal(v, dt), r)           => cmpTest(r, v, dt, idx, gt)
-    case EqualTo(l, Literal(v, dt))            => cmpTest(l, v, dt, idx, eq)
-    case EqualTo(Literal(v, dt), r)            => cmpTest(r, v, dt, idx, eq)
+  private def atomTest(e: Expression, arts: TableArtifacts): Option[Test] = e match {
+    case GreaterThanOrEqual(l, Literal(v, dt)) => cmpTest(l, v, dt, arts, ge)
+    case GreaterThanOrEqual(Literal(v, dt), r) => cmpTest(r, v, dt, arts, le)
+    case GreaterThan(l, Literal(v, dt))        => cmpTest(l, v, dt, arts, gt)
+    case GreaterThan(Literal(v, dt), r)        => cmpTest(r, v, dt, arts, lt)
+    case LessThanOrEqual(l, Literal(v, dt))    => cmpTest(l, v, dt, arts, le)
+    case LessThanOrEqual(Literal(v, dt), r)    => cmpTest(r, v, dt, arts, ge)
+    case LessThan(l, Literal(v, dt))           => cmpTest(l, v, dt, arts, lt)
+    case LessThan(Literal(v, dt), r)           => cmpTest(r, v, dt, arts, gt)
+    case EqualTo(l, Literal(v, dt))            => cmpTest(l, v, dt, arts, eqOp)
+    case EqualTo(Literal(v, dt), r)            => cmpTest(r, v, dt, arts, eqOp)
     case EqualNullSafe(l, lit @ Literal(v, dt)) if v != null =>
-      cmpTest(l, v, dt, idx, eq)
+      cmpTest(l, v, dt, arts, eqOp)
     case EqualNullSafe(lit @ Literal(v, dt), r) if v != null =>
-      cmpTest(r, v, dt, idx, eq)
+      cmpTest(r, v, dt, arts, eqOp)
     case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       // union of point intervals (the candidateFilesAny modality)
-      val per = vs.map { case Literal(v, dt) => cmpTest(a, v, dt, idx, eq) }
+      val per = vs.map { case Literal(v, dt) => cmpTest(a, v, dt, arts, eqOp) }
       if (per.exists(_.isEmpty)) None
-      else Some(fs => per.exists(_.get(fs)))
+      else Some(fc => per.exists(_.get(fc)))
     case InSet(a, vs) if vs.nonEmpty =>
       val dt = a.dataType
-      val per = vs.toSeq.map(v => cmpTest(a, v, dt, idx, eq))
+      val per = vs.toSeq.map(v => cmpTest(a, v, dt, arts, eqOp))
       if (per.exists(_.isEmpty)) None
-      else Some(fs => per.exists(_.get(fs)))
+      else Some(fc => per.exists(_.get(fc)))
     case IsNull(e1) =>
-      stripWidening(e1).filter(a => idx.kinds.contains(a.name)).map { a =>
+      stripWidening(e1).filter(a => arts.kinds.contains(a.name)).map { a =>
         // exact per file: zero nulls has nothing for IS NULL
-        fs => fs.cols.get(a.name).forall(_.nulls.forall(_ > 0L))
+        fc => fc.stats.forall(_.cols.get(a.name).forall(_.nulls.forall(_ > 0L)))
       }
     case IsNotNull(e1) =>
-      stripWidening(e1).filter(a => idx.kinds.contains(a.name)).map { a =>
-        fs => fs.cols.get(a.name)
-          .forall(_.nulls.forall(_ < fs.nRows))
+      stripWidening(e1).filter(a => arts.kinds.contains(a.name)).map { a =>
+        fc => fc.stats.forall(fs =>
+          fs.cols.get(a.name).forall(_.nulls.forall(_ < fs.nRows)))
       }
     case Or(x, y) =>
       // union of candidates: a file survives when EITHER branch admits it
-      for { tx <- atomTest(x, idx); ty <- atomTest(y, idx) }
-        yield (fs: FileStats) => tx(fs) || ty(fs)
+      for { tx <- atomTest(x, arts); ty <- atomTest(y, arts) }
+        yield (fc: FileCtx) => tx(fc) || ty(fc)
     case And(x, y) => // nested AND under an OR branch
-      for { tx <- atomTest(x, idx); ty <- atomTest(y, idx) }
-        yield (fs: FileStats) => tx(fs) && ty(fs)
+      for { tx <- atomTest(x, arts); ty <- atomTest(y, arts) }
+        yield (fc: FileCtx) => tx(fc) && ty(fc)
     case _ => None
   }
 }

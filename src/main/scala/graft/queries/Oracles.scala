@@ -2609,6 +2609,26 @@ object Oracles {
     // invisible to results; the plan-shape facts (naive control = full
     // FileIndex, activated run = pruned location, strictly fewer files)
     // ride as pinned booleans probed from the executed plans.
+    // Bloom point-lookup gate: the key derivation (smallest event_id at
+    // or above the exact integer midpoint of the id domain) replays over
+    // raw events; the plan-shape facts (manifest provably blind on the
+    // scattered column, Bloom index pruning the same plain read) are
+    // pinned booleans probed from executed plans.
+    "q21_planned_point" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |b AS (SELECT min(event_id) AS emin, max(event_id) AS emax FROM base),
+        |kk AS (SELECT min(event_id) AS k FROM base, b
+        |  WHERE event_id >= emin + (emax - emin) // 2),
+        |f AS (SELECT base.* FROM base, kk WHERE event_id = k)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(event_id), 0) AS BIGINT) AS sum_ids,
+        |  CAST(coalesce(sum(CAST(round(value, 6) AS DECIMAL(18,6))), 0) AS DOUBLE)
+        |    AS sum_value,
+        |  true AS pruned_equals_full, true AS manifest_blind,
+        |  true AS bloom_pruned
+        |FROM f""".stripMargin,
+
     "q17_planned_scan" ->
       """WITH base AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events),

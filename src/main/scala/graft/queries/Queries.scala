@@ -3996,6 +3996,84 @@ object Queries {
       lit(filesPruned).as("artifact_files_pruned"))
   }
 
+  /** Per-file Bloom index over q17's z-ordered scratch table for
+    * [[q21PlannedPoint]], built once per JVM per sf dir (one
+    * column-pruned scan — the write-time cost class).
+    */
+  private val q21IndexPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q21Index(spark: SparkSession, dir: String, tablePath: String): String =
+    q21IndexPaths.computeIfAbsent(dir, { _ =>
+      import graft.ops.DataSkipping
+      val n = spark.read.parquet(tablePath).count()
+      val idxPath = scratch(dir, "q21_bloom_index")
+      DataSkipping.bloomIndex(spark, tablePath, "event_id",
+          expectedItemsPerFile = math.max(1000L, n / 16), fpp = 0.01)
+        .write.mode("overwrite").parquet(idxPath)
+      idxPath
+    })
+
+  /** Q21: planner-side BLOOM point lookup — the EQUALITY modality of
+    * [[graft.plans.ScanPruneRewrite]] ([[graft.ops.ScanPrune.activateBloomIndex]]):
+    * the z-order on (user_id, ts_ms) scatters event_id, so every file's
+    * event_id range is near-full-width and the activated min/max
+    * manifest must prune NOTHING for a point predicate on it (the
+    * manifest-blind control, probed from the executed plan) — while the
+    * activated per-file Bloom index must cut the same plain
+    * `.where(event_id = k)` read to the filter-positive files (false
+    * positives only — the key's own file always survives). The point
+    * row's aggregates are collected DURING activation; the twin replays
+    * the key derivation (exact integer midpoint seek) over raw events.
+    */
+  private def q21PlannedPoint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{DataSkipping, ScanPrune}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val path = q17Table(spark, dir)
+    val idxPath = q21Index(spark, dir, path)
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    val base = ev.select(col("event_id"), col("user_id"), et.ms.as("ts_ms"),
+      col("value"))
+    // deterministic existing key: the smallest event_id at or above the
+    // integer midpoint of the id domain (engine-replayable)
+    val bb = base.agg(min("event_id"), max("event_id")).head()
+    val mid = bb.getLong(0) + (bb.getLong(1) - bb.getLong(0)) / 2
+    val k = base.where(col("event_id") >= mid).agg(min("event_id")).head().getLong(0)
+    def pointRead(): DataFrame = spark.read.parquet(path)
+      .where(col("event_id") === k)
+    def pruneProbe(df: DataFrame): Option[(Int, Int)] = {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+      root.collect { case f: FileSourceScanExec => f.relation.location }
+        .collectFirst { case p: graft.plans.PrunedFileIndex =>
+          (p.inputFiles.length, p.underlying.inputFiles.length) }
+    }
+    ScanPrune.deactivate(spark, path)
+    ScanPrune.activateManifest(spark, path,
+      DataSkipping.statsManifest(spark, path, Seq("user_id", "ts_ms")))
+    val (manifestBlind, bloomPruned, prunedRow) = try {
+      // manifest carries no event_id stats: the point predicate must not
+      // rewrite the scan at all
+      val blind = pruneProbe(pointRead()).isEmpty
+      ScanPrune.activateBloomIndex(spark, path, "event_id",
+        spark.read.parquet(idxPath))
+      val probe = pruneProbe(pointRead())
+      (blind,
+        probe.exists { case (kept, total) => kept > 0 && kept < total },
+        skipSummary(pointRead(), "").head())
+    } finally ScanPrune.deactivate(spark, path)
+    val fullRow = skipSummary(base.where(col("event_id") === k), "").head()
+    spark.range(1).select(
+      lit(prunedRow.getLong(0)).as("n_rows"),
+      lit(prunedRow.getLong(1)).as("sum_ids"),
+      lit(prunedRow.getDecimal(2)).cast("double").as("sum_value"),
+      lit(prunedRow == fullRow).as("pruned_equals_full"),
+      lit(manifestBlind).as("manifest_blind"),
+      lit(bloomPruned).as("bloom_pruned"))
+  }
+
   /** X8: the COMPOSED curation pipeline — what a user of this library
     * actually runs end to end over a raw corpus: quality/language clean +
     * exact dedup (x6) → benchmark decontamination (x7d; benchmark =
@@ -4643,6 +4721,7 @@ object Queries {
     "q18_planned_skew" -> (q18PlannedSkew _),
     "q19_planned_mixed_chain" -> (q19PlannedMixedChain _),
     "q20_planned_semi" -> (q20PlannedSemi _),
+    "q21_planned_point" -> (q21PlannedPoint _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),

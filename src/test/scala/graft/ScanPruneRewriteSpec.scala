@@ -141,6 +141,64 @@ class ScanPruneRewriteSpec extends SparkSpec {
     } finally ScanPruneRewriteSpecState.cleanup(spark)
   }
 
+  test("bloom modality: point lookups prune where min/max is blind; cross-class probes declined") {
+    import spark.implicits._
+    val d3 = java.nio.file.Files.createTempDirectory("graft-scanprune3").toString + "/t"
+    // id is SCATTERED across files (hash layout): every file's id range is
+    // near-full-width, so the manifest is blind for point predicates
+    (0L until 4000L).map(i => (i, s"tag${i % 7}")).toDF("id", "tag")
+      .repartition(8, col("id")).write.mode("overwrite").parquet(d3)
+    ScanPrune.activateManifest(spark, d3, DataSkipping.statsManifest(spark, d3, Seq("id")))
+    try {
+      def probe(pred: org.apache.spark.sql.Column): Option[(Int, Int)] = {
+        val df = spark.read.parquet(d3).where(pred)
+        val got = df.collect().map(_.toString).sorted.toSeq
+        ScanPrune.deactivateAll(spark)
+        val want = spark.read.parquet(d3).where(pred).collect().map(_.toString).sorted.toSeq
+        // re-activate for the next probe (registry persists; conf was cleared)
+        ScanPrune.activateManifest(spark, d3, DataSkipping.statsManifest(spark, d3, Seq("id")))
+        ScanPrune.activateBloomIndex(spark, d3, "id",
+          spark.read.parquet(s"${d3}_idx"))
+        assert(got == want, s"results changed: $pred")
+        prunedFiles(df)
+      }
+      assert(prunedFiles(spark.read.parquet(d3).where(col("id") === 42L)).isEmpty,
+        "manifest alone must be blind on the scattered column")
+      DataSkipping.bloomIndex(spark, d3, "id", expectedItemsPerFile = 1000L)
+        .write.mode("overwrite").parquet(s"${d3}_idx")
+      ScanPrune.activateBloomIndex(spark, d3, "id", spark.read.parquet(s"${d3}_idx"))
+      // point: exactly the filter-positive files survive, results equal
+      assert(probe(col("id") === 42L).exists { case (k, t) => k < t && k > 0 })
+      // IN-list: union of point candidates
+      assert(probe(col("id").isin(42L, 3999L)).exists { case (k, t) => k < t })
+      // cross-class probe (string literal on a long-built index): Spark
+      // casts the column, the cast is non-widening -> atom declined, scan
+      // unrewritten, results still fine
+      assert(probe(col("id").cast("string") === "42").isEmpty)
+    } finally ScanPruneRewriteSpecState.cleanup(spark)
+  }
+
+  test("bloom index over a SUBSET of files: unindexed files always stay") {
+    import spark.implicits._
+    val d4 = java.nio.file.Files.createTempDirectory("graft-scanprune4").toString + "/t"
+    (0L until 1000L).map(i => (i, i % 5)).toDF("id", "g")
+      .repartition(4, col("id")).write.mode("overwrite").parquet(d4)
+    val idx = DataSkipping.bloomIndex(spark, d4, "id", 500L)
+    // drop one file's row from the index: that file is UNKNOWN, not absent
+    val files = idx.select("file").collect().map(_.getString(0)).sorted
+    val partial = idx.where(col("file") =!= files.head)
+    ScanPrune.activateBloomIndex(spark, d4, "id", partial)
+    try {
+      val total = spark.read.parquet(d4).where(col("id") >= 0L).count()
+      assert(total == 1000L)
+      // every id still found, including ids living in the unindexed file
+      (0L until 1000L by 97L).foreach { k =>
+        assert(spark.read.parquet(d4).where(col("id") === k).count() == 1L,
+          s"id $k lost under a partial bloom index")
+      }
+    } finally ScanPruneRewriteSpecState.cleanup(spark)
+  }
+
   test("randomized predicate battery: pruned ≡ plain on every draw") {
     val rnd = new scala.util.Random(42)
     (1 to 12).foreach { _ =>
