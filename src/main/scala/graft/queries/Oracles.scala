@@ -2609,6 +2609,28 @@ object Oracles {
     // invisible to results; the plan-shape facts (naive control = full
     // FileIndex, activated run = pruned location, strictly fewer files)
     // ride as pinned booleans probed from the executed plans.
+    // Pruned-broadcast composition gate: the box self-join replays over
+    // raw events; the plan facts (naive control sort-merge at the pinned
+    // scale-relative threshold, the manifest-pruned side flipping to
+    // Catalyst's NATIVE broadcast purely via the wrapper's honest
+    // sizeInBytes) ride as pinned booleans.
+    "q22_pruned_broadcast" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |b AS (SELECT min(user_id) AS umin, max(user_id) AS umax FROM base),
+        |box AS (SELECT user_id AS b_user, event_id AS b_id FROM base, b
+        |  WHERE user_id BETWEEN umin + (umax - umin) // 4
+        |                    AND umin + (umax - umin) // 2
+        |    AND ts_ms BETWEEN 1705276800000 AND 1705708799999),
+        |j AS (SELECT base.value, box.b_id FROM base JOIN box
+        |  ON base.user_id = box.b_user)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(sum(b_id), 0) AS BIGINT) AS sum_box_ids,
+        |  CAST(coalesce(sum(CAST(round(value, 6) AS DECIMAL(18,6))), 0) AS DOUBLE)
+        |    AS sum_value,
+        |  true AS naive_sort_merge, true AS pruned_native_broadcast
+        |FROM j""".stripMargin,
+
     // Bloom point-lookup gate: the key derivation (smallest event_id at
     // or above the exact integer midpoint of the id domain) replays over
     // raw events; the plan-shape facts (manifest provably blind on the

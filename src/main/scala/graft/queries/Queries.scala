@@ -4074,6 +4074,78 @@ object Queries {
       lit(bloomPruned).as("bloom_pruned"))
   }
 
+  /** Q22: scan pruning composing with Spark's OWN planner — the payoff
+    * of [[graft.plans.PrunedFileIndex]] reporting the KEPT files' real
+    * bytes as `sizeInBytes`: a box-filtered side of a self-join that is
+    * 100%-of-table bytes to Catalyst's size estimator (default stats do
+    * not shrink through Filters) becomes few-files bytes once the
+    * manifest prunes its listing, and Catalyst's native size-based
+    * broadcast — no graft planner rule, no SketchCatalog — flips the
+    * join. The threshold is pinned scale-relative (half the table's
+    * on-disk bytes), so the naive control is always sort-merge and the
+    * pruned side always under it. Probes from EXECUTED plans; the box
+    * aggregates are collected DURING activation; the twin replays the
+    * self-join over raw events.
+    */
+  private def q22PrunedBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{DataSkipping, ScanPrune}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val path = q17Table(spark, dir)
+    val ev = t(spark, dir, "events")
+    val et = evTime(ev)
+    val base = ev.select(col("event_id"), col("user_id"), et.ms.as("ts_ms"),
+      col("value"))
+    val bb = base.agg(min("user_id"), max("user_id")).head()
+    val (umin, umax) = (bb.getLong(0), bb.getLong(1))
+    val (ulo, uhi) = (umin + (umax - umin) / 4, umin + (umax - umin) / 2)
+    val (tlo, thi) = (Jan15, Jan20 - 1)
+    def boxJoin(): DataFrame = {
+      val box = spark.read.parquet(path)
+        .where(col("user_id").between(ulo, uhi) && col("ts_ms").between(tlo, thi))
+        .select(col("user_id").as("b_user"), col("event_id").as("b_id"))
+      spark.read.parquet(path)
+        .join(box, col("user_id") === col("b_user"))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("b_id")), lit(0L)).as("sum_box_ids"),
+          coalesce(sum(round(col("value"), 6).cast(DecimalType(18, 6))),
+            lit(0).cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+    }
+    val tableBytes = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    }
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqeThr = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    ScanPrune.deactivate(spark, path)
+    val (naiveMerge, prunedBroadcast, row) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        math.max(1L, tableBytes / 2).toString)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        math.max(1L, tableBytes / 2).toString)
+      val naive = physicalJoins(boxJoin())
+      ScanPrune.activateManifest(spark, path,
+        DataSkipping.statsManifest(spark, path, Seq("user_id", "ts_ms")))
+      val planned = physicalJoins(boxJoin())
+      (naive.nonEmpty && naive.forall(_.isInstanceOf[SortMergeJoinExec]),
+        planned.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        boxJoin().head())
+    } finally {
+      ScanPrune.deactivate(spark, path)
+      prevAqeThr match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    spark.range(1).select(
+      lit(row.getLong(0)).as("n_pairs"),
+      lit(row.getLong(1)).as("sum_box_ids"),
+      lit(row.getDouble(2)).as("sum_value"),
+      lit(naiveMerge).as("naive_sort_merge"),
+      lit(prunedBroadcast).as("pruned_native_broadcast"))
+  }
+
   /** X8: the COMPOSED curation pipeline — what a user of this library
     * actually runs end to end over a raw corpus: quality/language clean +
     * exact dedup (x6) → benchmark decontamination (x7d; benchmark =
@@ -4722,6 +4794,7 @@ object Queries {
     "q19_planned_mixed_chain" -> (q19PlannedMixedChain _),
     "q20_planned_semi" -> (q20PlannedSemi _),
     "q21_planned_point" -> (q21PlannedPoint _),
+    "q22_pruned_broadcast" -> (q22PrunedBroadcast _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),
