@@ -199,6 +199,45 @@ class ScanPruneRewriteSpec extends SparkSpec {
     } finally ScanPruneRewriteSpecState.cleanup(spark)
   }
 
+  test("partitioned tables: wrapper preserves partition values and composes with partition pruning") {
+    import spark.implicits._
+    val d5 = java.nio.file.Files.createTempDirectory("graft-scanprune5").toString + "/t"
+    (0L until 2000L).map(i => (i, s"g${i % 2}")).toDF("k", "g")
+      .repartitionByRange(4, col("k"))
+      .write.partitionBy("g").mode("overwrite").parquet(d5)
+    // recursive data-file listing (partition dirs have no top-level files)
+    val fs = new org.apache.hadoop.fs.Path(d5)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val files = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(d5), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+      }
+      b.result()
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    ScanPrune.activateManifest(spark, d5,
+      DataSkipping.statsManifestFiles(spark, files, schema, Seq("k")))
+    try {
+      val pred = col("k") < 300L && col("g") === "g1"
+      val df = spark.read.parquet(d5).where(pred)
+      val got = df.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("g"))).sorted.toSeq
+      ScanPrune.deactivateAll(spark)
+      val want = spark.read.parquet(d5).where(pred)
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("g"))).sorted.toSeq
+      assert(got == want && want.nonEmpty && want.forall(_._2 == "g1"),
+        "partition values must survive the pruned listing")
+      ScanPrune.activateManifest(spark, d5,
+        DataSkipping.statsManifestFiles(spark, files, schema, Seq("k")))
+      assert(prunedFiles(spark.read.parquet(d5).where(pred))
+        .exists { case (kept, total) => kept < total && kept > 0 },
+        "stats pruning must fire inside partition dirs")
+    } finally ScanPruneRewriteSpecState.cleanup(spark)
+  }
+
   test("randomized predicate battery: pruned ≡ plain on every draw") {
     val rnd = new scala.util.Random(42)
     (1 to 12).foreach { _ =>
