@@ -238,6 +238,36 @@ class ScanPruneRewriteSpec extends SparkSpec {
     } finally ScanPruneRewriteSpecState.cleanup(spark)
   }
 
+  test("maintenance loop: a DERIVED post-compaction manifest (zero footer reads) activates and prunes exactly") {
+    import graft.ops.Compaction
+    import spark.implicits._
+    val d6 = java.nio.file.Files.createTempDirectory("graft-scanprune6").toString + "/t"
+    (0L until 4000L).map(i => (i, i % 13)).toDF("k", "v")
+      .repartitionByRange(12, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(d6)
+    val m0 = DataSkipping.statsManifest(spark, d6, Seq("k"))
+    val sizes = Compaction.fileSizes(spark, d6)
+      .join(m0.select(col("file"), col("k_min").as("ord")), Seq("file"))
+    val total = sizes.agg(sum(col("bytes"))).head().getLong(0)
+    val plan = Compaction.sequentialCompactionPlan(sizes, math.max(1L, total / 4))
+    val out = java.nio.file.Files.createTempDirectory("graft-scanprune6o").toString + "/t"
+    Compaction.compact(spark, d6, plan, out)
+    val binFiles = DataSkipping.compactedFiles(spark, out)
+    // the maintenance path: manifest FOLDED from the plan, no footer read
+    val derived = DataSkipping.manifestAfterCompaction(m0, plan, binFiles)
+    ScanPrune.activateManifest(spark, out, derived)
+    try {
+      val pred = col("k").between(1700L, 2100L)
+      val df = spark.read.parquet(out).where(pred)
+      val got = df.agg(count(lit(1)), sum("k")).head()
+      assert(prunedFiles(df).exists { case (kept, tot) => kept < tot && kept > 0 },
+        "the derived manifest must prune the compacted table")
+      ScanPrune.deactivateAll(spark)
+      val want = spark.read.parquet(out).where(pred).agg(count(lit(1)), sum("k")).head()
+      assert(got == want && got.getLong(0) == 401L)
+    } finally ScanPruneRewriteSpecState.cleanup(spark)
+  }
+
   test("randomized predicate battery: pruned ≡ plain on every draw") {
     val rnd = new scala.util.Random(42)
     (1 to 12).foreach { _ =>
