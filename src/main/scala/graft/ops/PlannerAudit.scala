@@ -51,8 +51,13 @@ object PlannerAudit {
       throw new IllegalArgumentException(s"auditEquiJoin: ($tb, $keyB) not catalogued"))
     val est = CmsCodec.innerProduct(CmsCodec.parse(ea.cms), CmsCodec.parse(eb.cms))
     val obs = Observation()
-    val joined = spark.read.parquet(dirA)
-      .join(spark.read.parquet(dirB), col(keyA) === col(keyB))
+    // keys aliased apart: bare col(keyA) === col(keyB) is ambiguous for
+    // self-joins (dirA == dirB — the shape the skew pass targets) or
+    // whenever the key name exists on both sides; column-pruned to the
+    // keys, which is all a count needs
+    val joined = spark.read.parquet(dirA).select(col(keyA).as("__audit_ka"))
+      .join(spark.read.parquet(dirB).select(col(keyB).as("__audit_kb")),
+        col("__audit_ka") === col("__audit_kb"))
       .observe(obs, count(lit(1)).as("rows"))
     joined.write.mode("overwrite").format("noop").save()
     val actual = obs.get("rows").asInstanceOf[Long]
@@ -77,12 +82,12 @@ object PlannerAudit {
     * into a vacuous bound).
     */
   def report(spark: SparkSession, path: String): DataFrame = {
-    val slack = {
-      // ceil(eps * n_a * n_b) with saturation at Long.MaxValue
-      val prod = col("n_a").cast("double") * col("n_b").cast("double") * col("eps")
-      when(prod >= lit(Long.MaxValue.toDouble), lit(Long.MaxValue))
-        .otherwise(ceil(prod).cast("long"))
-    }
+    // the bound compares in DOUBLE space end to end: a Long-space
+    // `actual + slack` would re-overflow exactly where the slack
+    // saturates (eps·n_a·n_b past 2^63) and wrap negative — a false
+    // alarm from the artifact meant to certify the estimator. Double
+    // ulps at that magnitude are dwarfed by the slack itself.
+    val slackD = col("n_a").cast("double") * col("n_b").cast("double") * col("eps")
     spark.read.schema(recordSchema).parquet(path)
       .select(
         concat_ws("|", col("table_a"), col("key_a"), col("table_b"),
@@ -92,7 +97,8 @@ object PlannerAudit {
         round(col("est_rows").cast("double") /
           greatest(col("actual_rows").cast("double"), lit(1.0)), 6).as("est_ratio"),
         (col("est_rows") >= col("actual_rows")).as("never_undercount"),
-        (col("est_rows") <= col("actual_rows") + slack).as("overcount_bounded"))
+        (col("est_rows").cast("double") <=
+          col("actual_rows").cast("double") + ceil(slackD)).as("overcount_bounded"))
       .orderBy("pair")
   }
 }

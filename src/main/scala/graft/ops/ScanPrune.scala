@@ -134,7 +134,10 @@ object ScanPrune {
     case d: java.math.BigDecimal      => d
     case d: BigDecimal                => d.bigDecimal
     case n: java.lang.Number          => kind match {
-      case KDouble => n.doubleValue()
+      // -0.0 normalizes to 0.0: Double.compare orders -0.0 < 0.0 while
+      // Spark SQL comparisons treat them equal — a file whose footer
+      // bounds are -0.0 must not be dropped for `v >= 0.0`
+      case KDouble => val d = n.doubleValue(); if (d == 0.0) 0.0 else d
       case _       => n.longValue()
     }
     case other                        => other
@@ -211,9 +214,18 @@ object ScanPrune {
     addActive(spark, table)
   }
 
+  // the active set serializes into ONE conf string comma-separated, so
+  // entries are URL-encoded: a table path containing a comma would
+  // otherwise split into fragments that never match a scan's root path
+  // (the rule silently inert, deactivate unable to remove the shards)
+  private def encode(t: String): String =
+    java.net.URLEncoder.encode(t, "UTF-8")
+  private def decode(t: String): String =
+    java.net.URLDecoder.decode(t, "UTF-8")
+
   private def addActive(spark: SparkSession, table: String): Unit = {
     val cur = spark.conf.getOption(ConfKey).getOrElse("")
-    val active = cur.split(",").filter(_.nonEmpty).toSet + table
+    val active = cur.split(",").filter(_.nonEmpty).toSet + encode(table)
     spark.conf.set(ConfKey, active.toSeq.sorted.mkString(","))
   }
 
@@ -223,7 +235,7 @@ object ScanPrune {
   def deactivate(spark: SparkSession, dir: String): Unit = {
     val table = SketchCatalog.normalizePath(spark, dir)
     val cur = spark.conf.getOption(ConfKey).getOrElse("")
-    val active = cur.split(",").filter(_.nonEmpty).toSet - table
+    val active = cur.split(",").filter(_.nonEmpty).toSet - encode(table)
     if (active.isEmpty) spark.conf.unset(ConfKey)
     else spark.conf.set(ConfKey, active.toSeq.sorted.mkString(","))
   }
@@ -232,7 +244,7 @@ object ScanPrune {
 
   /** The active table set named by the session conf's current value. */
   def activeTables(confValue: String): Set[String] =
-    confValue.split(",").filter(_.nonEmpty).toSet
+    confValue.split(",").filter(_.nonEmpty).map(decode).toSet
 
   def lookup(table: String): Option[TableArtifacts] = Option(indexes.get(table))
 }

@@ -28,10 +28,14 @@ import org.apache.spark.sql.types._
   *    oracle (`|A ⋈ B| ≈ cms_A · cms_B`, the AMS inner product) — the
   *    one statistic file sizes can NEVER give a planner.
   *
-  * Harvest is ONE pass over the table computing every key's sketch in a
-  * single aggregate; geometry defaults (eps 1e-3 → width 2000, conf 0.99
-  * → depth 5, seed 42) make each cms ~80 KB — a catalog of a thousand
-  * tables is MBs. All sketches in one catalog must share geometry/seed
+  * Harvest is TWO column-pruned passes over the key columns: one
+  * aggregate computing every key's CMS/HLL sketches, plus one
+  * Misra–Gries fold for the heavy-key candidates (r12 — the MG summary
+  * is per-partition imperative state no builtin aggregate expresses;
+  * folding it into the sketch aggregate is the known follow-up).
+  * Geometry defaults (eps 1e-3 → width 2000, conf 0.99 → depth 5,
+  * seed 42) make each cms ~80 KB — a catalog of a thousand tables is
+  * MBs. All sketches in one catalog must share geometry/seed
   * or the inner product refuses (loudly, [[graft.functions.CmsCodec]]).
   *
   * Activation is explicit: [[activate]] loads the catalog parquet into a
@@ -165,9 +169,10 @@ object SketchCatalog {
   val ConventionFull = "full"
   val ConventionDelta = "delta"
 
-  /** Harvest one table's planning artifacts in a single scan: one catalog
-    * row per key column. `eps`/`confidence`/`seed` must match across every
-    * table whose sketches will be inner-producted together.
+  /** Harvest one table's planning artifacts (two column-pruned passes —
+    * see the object scaladoc): one catalog row per key column.
+    * `eps`/`confidence`/`seed` must match across every table whose
+    * sketches will be inner-producted together.
     */
   def harvest(spark: SparkSession, dir: String, keys: Seq[String],
               eps: Double = 1e-3, confidence: Double = 0.99,
@@ -295,13 +300,23 @@ object SketchCatalog {
     * maintenance cadence is compact, append deltas, compact again). TWO
     * full rows in one group mean latest-wins re-harvests, under which
     * this sum double counts — refused loudly. Legacy null-convention
-    * rows are treated as deltas (the documented pre-marker convention).
-    * The merged rows are stamped "full" (they now ARE the whole table),
-    * so [[activate]] accepts the compacted store.
+    * rows are refused outright: without the marker a store could be
+    * either delta slices (summable) or latest-wins re-harvests (summing
+    * double counts), and guessing wrong silently corrupts the one
+    * artifact the broadcast pass trusts — re-harvest such stores with a
+    * marker-stamping build instead. The merged rows are stamped "full"
+    * (they now ARE the whole table), so [[activate]] accepts the
+    * compacted store.
     */
   def compact(spark: SparkSession, path: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val store = spark.read.schema(catalogSchema).parquet(path)
+    val unmarked = store.where(col("convention").isNull).count()
+    require(unmarked == 0L,
+      s"SketchCatalog.compact: $unmarked unmarked (pre-convention) row(s) in " +
+        s"$path — delta slices and latest-wins re-harvests are " +
+        "indistinguishable without the marker and only the former sum " +
+        "exactly; re-harvest the store to stamp conventions first")
     val reharvested = store.where(col("convention") === ConventionFull)
       .groupBy("table", "key").count().where(col("count") > 1L).count()
     require(reharvested == 0L,

@@ -114,10 +114,10 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
         Some(v.asInstanceOf[Number].longValue())
       case FloatType =>
         val d = v.asInstanceOf[Float].toDouble
-        if (d.isNaN) None else Some(d)
+        if (d.isNaN) None else Some(if (d == 0.0) 0.0 else d) // -0.0 ≡ 0.0 in SQL
       case DoubleType =>
         val d = v.asInstanceOf[Double]
-        if (d.isNaN) None else Some(d)
+        if (d.isNaN) None else Some(if (d == 0.0) 0.0 else d)
       case StringType => Some(v.asInstanceOf[UTF8String].getBytes.clone())
       case TimestampType | TimestampNTZType => Some(v.asInstanceOf[Long])
       case DateType => Some(v.asInstanceOf[Int].toLong)
@@ -125,17 +125,25 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  /** The attribute under an optional WIDENING cast — order-preserving
-    * and injective (int → long, float → double), so a comparison in the
-    * cast's space prices exactly against the manifest's (which already
-    * stores integrals as long and floats as double).
+  /** The attribute under an optional STRICTLY WIDENING cast —
+    * order-preserving and injective (int → long, float → double), so a
+    * comparison in the cast's space prices exactly against the
+    * manifest's (which already stores integrals as long and floats as
+    * double). Strictness matters: a NARROWING cast (long → int) WRAPS
+    * under non-ANSI semantics — `cast(k AS INT) = 5` can match a row
+    * whose k is 2^32 + 5, which sits nowhere near 5 in the manifest's
+    * long space — so unwrapping it would drop files holding matches.
     */
+  private def intWidth(dt: DataType): Int = dt match {
+    case ByteType => 1; case ShortType => 2; case IntegerType => 4
+    case LongType => 8; case _ => 0
+  }
+
   private def stripWidening(e: Expression): Option[AttributeReference] = e match {
     case a: AttributeReference => Some(a)
     case c: Cast => (c.child, c.child.dataType, c.dataType) match {
-      case (a: AttributeReference,
-            ByteType | ShortType | IntegerType | LongType,
-            ShortType | IntegerType | LongType) => Some(a)
+      case (a: AttributeReference, f, t)
+          if intWidth(f) > 0 && intWidth(t) > intWidth(f) => Some(a)
       case (a: AttributeReference, FloatType, DoubleType) => Some(a)
       case _ => None
     }

@@ -559,11 +559,20 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
   // candidates instead of by hand
   // ---------------------------------------------------------------- //
 
-  private def skewFraction: Double =
-    conf.getConfString(SketchCatalog.SkewKeyFractionKey, "0.2").toDouble
+  private def skewFraction: Double = {
+    val f = conf.getConfString(SketchCatalog.SkewKeyFractionKey, "0.2").toDouble
+    require(f > 0.0 && f <= 1.0,
+      s"${SketchCatalog.SkewKeyFractionKey} must be in (0, 1], got $f")
+    f
+  }
 
-  private def skewBuckets: Int =
-    conf.getConfString(SketchCatalog.SkewSaltBucketsKey, "8").toInt
+  private def skewBuckets: Int = {
+    val b = conf.getConfString(SketchCatalog.SkewSaltBucketsKey, "8").toInt
+    // buckets <= 0 would make the Generate emit ZERO replica rows and the
+    // salted join silently return nothing — refuse loudly instead
+    require(b >= 1, s"${SketchCatalog.SkewSaltBucketsKey} must be >= 1, got $b")
+    b
+  }
 
   /** Heaviest-key row fraction of a catalogued column: every stored MG
     * candidate priced against the stored CMS ([[cmsPointBound]] — an
@@ -573,9 +582,15 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def heavyFrac(e: Entry): Double =
     if (e.heavy.isEmpty || e.nRows <= 0L) 0.0
-    else try
-      e.heavy.iterator.map(k => cmsPointBound(e, k)).max.toDouble / e.nRows
-    catch { case ex: Exception =>
+    else try {
+      // parse the sketch ONCE, not per candidate: the ~130 KB
+      // deserialization would otherwise repeat ≤ 31 times per side per
+      // un-hinted join the optimizer inspects
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(e.cms))
+      e.heavy.iterator.map(k => cms.estimateCount(
+        k.getBytes(java.nio.charset.StandardCharsets.UTF_8))).max.toDouble / e.nRows
+    } catch { case ex: Exception =>
       logWarning(s"sketch planning: unreadable cms for skew probe (${ex.getMessage})")
       0.0
     }

@@ -80,18 +80,39 @@ object Queries {
     * gate shares; one definition so a change to the AQE-root handling
     * cannot diverge between gates claiming the same semantics.
     */
-  private def physicalJoins(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
-    val root = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.initialPlan
-      case p                        => p
+  /** AQE-unwrapped executed-plan root — ONE definition for every plan
+    * probe (initialPlan: the gates pin what the PLANNER produced; AQE
+    * re-optimization happens downstream of the asserted facts).
+    */
+  private def executedRoot(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
     }
-    root.collect {
+
+  private def physicalJoins(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    executedRoot(df).collect {
       case b: BroadcastHashJoinExec => b
       case s: SortMergeJoinExec     => s
     }
   }
+
+  /** (kept, total) file counts when a scan executed through a
+    * [[graft.plans.PrunedFileIndex]]; None = unrewritten scan.
+    */
+  private def scanPruneProbe(df: DataFrame): Option[(Int, Int)] =
+    executedRoot(df)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location }
+      .collectFirst { case p: graft.plans.PrunedFileIndex =>
+        (p.inputFiles.length, p.underlying.inputFiles.length) }
+
+  /** GenerateExec count in the executed plan (the salted-join probe). */
+  private def generateCount(df: DataFrame): Int =
+    executedRoot(df)
+      .collect { case g: org.apache.spark.sql.execution.GenerateExec => g }.size
 
   /** Root paths of the parquet scans under a physical node. */
   private def planScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
@@ -3652,16 +3673,11 @@ object Queries {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
         decSum(col("o_totalprice"), 18, 2).as("hot_revenue"))
-    def bloomFilters(df: DataFrame): Seq[FilterExec] = {
-      val root = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.initialPlan
-        case p                        => p
-      }
-      root.collect {
+    def bloomFilters(df: DataFrame): Seq[FilterExec] =
+      executedRoot(df).collect {
         case f: FilterExec
             if f.condition.exists(_.isInstanceOf[graft.functions.BloomContains]) => f
       }
-    }
     def smj(df: DataFrame): Boolean =
       physicalJoins(df).exists(_.isInstanceOf[SortMergeJoinExec])
     val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -3884,13 +3900,6 @@ object Queries {
       .agg(count(lit(1)).as("n_rows"),
         decSum(round(col("val"), 6), 18, 6).as("sum_val"))
       .orderBy("grp")
-    def gens(df: DataFrame): Int = {
-      val root = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.initialPlan
-        case p                        => p
-      }
-      root.collect { case g: GenerateExec => g }.size
-    }
     val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevBb = spark.conf.getOption(SketchCatalog.BroadcastBytesKey)
     val (naiveBare, artifactSalted, saltedEqualsPlain) = try {
@@ -3899,11 +3908,11 @@ object Queries {
       SketchCatalog.deactivate(spark)
       val naive = chain()
       val naiveOk = physicalJoins(naive).exists(_.isInstanceOf[SortMergeJoinExec]) &&
-        gens(naive) == 0
+        generateCount(naive) == 0
       val plainRows = naive.collect().map(_.toString).sorted.toSeq
       SketchCatalog.activate(spark, catPath)
       val planned = chain()
-      val saltedOk = gens(planned) == 1 && physicalJoins(planned).nonEmpty
+      val saltedOk = generateCount(planned) == 1 && physicalJoins(planned).nonEmpty
       val same = planned.collect().map(_.toString).sorted.toSeq == plainRows
       (naiveOk, saltedOk, same)
     } finally {
@@ -3968,21 +3977,12 @@ object Queries {
     val (tlo, thi) = (Jan15, Jan20 - 1)
     val box = col("user_id").between(ulo, uhi) && col("ts_ms").between(tlo, thi)
     def boxRead(): DataFrame = spark.read.parquet(path).where(box)
-    def pruneProbe(df: DataFrame): Option[(Int, Int)] = {
-      val root = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.initialPlan
-        case p                        => p
-      }
-      root.collect { case f: FileSourceScanExec => f.relation.location }
-        .collectFirst { case p: graft.plans.PrunedFileIndex =>
-          (p.inputFiles.length, p.underlying.inputFiles.length) }
-    }
     ScanPrune.deactivate(spark, path)
-    val naiveFull = pruneProbe(boxRead()).isEmpty
+    val naiveFull = scanPruneProbe(boxRead()).isEmpty
     ScanPrune.activateManifest(spark, path,
       DataSkipping.statsManifest(spark, path, Seq("user_id", "ts_ms")))
     val (filesPruned, prunedRow) = try {
-      val probe = pruneProbe(boxRead())
+      val probe = scanPruneProbe(boxRead())
       (probe.exists { case (k, total) => k > 0 && k < total },
         skipSummary(boxRead(), "").head())
     } finally ScanPrune.deactivate(spark, path)
@@ -4041,25 +4041,16 @@ object Queries {
     val k = base.where(col("event_id") >= mid).agg(min("event_id")).head().getLong(0)
     def pointRead(): DataFrame = spark.read.parquet(path)
       .where(col("event_id") === k)
-    def pruneProbe(df: DataFrame): Option[(Int, Int)] = {
-      val root = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.initialPlan
-        case p                        => p
-      }
-      root.collect { case f: FileSourceScanExec => f.relation.location }
-        .collectFirst { case p: graft.plans.PrunedFileIndex =>
-          (p.inputFiles.length, p.underlying.inputFiles.length) }
-    }
     ScanPrune.deactivate(spark, path)
     ScanPrune.activateManifest(spark, path,
       DataSkipping.statsManifest(spark, path, Seq("user_id", "ts_ms")))
     val (manifestBlind, bloomPruned, prunedRow) = try {
       // manifest carries no event_id stats: the point predicate must not
       // rewrite the scan at all
-      val blind = pruneProbe(pointRead()).isEmpty
+      val blind = scanPruneProbe(pointRead()).isEmpty
       ScanPrune.activateBloomIndex(spark, path, "event_id",
         spark.read.parquet(idxPath))
-      val probe = pruneProbe(pointRead())
+      val probe = scanPruneProbe(pointRead())
       (blind,
         probe.exists { case (kept, total) => kept > 0 && kept < total },
         skipSummary(pointRead(), "").head())
