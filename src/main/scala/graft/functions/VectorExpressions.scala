@@ -601,5 +601,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // FileIndex for a manifest-pruned view. Also PreCBO — after filter
     // pushdown has parked predicates directly on the relations, once.
     ext.injectPreCBORule(_ => graft.plans.ScanPruneRewrite)
+    // the composition of the two: build-side join keys prune the probe
+    // table's file listing at plan time (dynamic file pruning). Runs
+    // LAST so it sees the reordered/hinted joins and composes its drop
+    // set over any static prune the scan rule already applied.
+    ext.injectPreCBORule(_ => graft.plans.DynamicFilePruning)
   }
 }

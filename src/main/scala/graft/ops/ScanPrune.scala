@@ -31,9 +31,14 @@ import org.apache.spark.sql.types._
   */
 object ScanPrune {
 
-  /** Comma-separated normalized table paths with an active manifest. The
-    * rule consults this session conf, so activation is per-session and
-    * explicit even though the decoded indexes live process-wide.
+  /** Comma-separated `table~generation` entries (table URL-encoded) with
+    * an active manifest. The rule consults this session conf AND the
+    * generation it names, so activation is fully per-session: each
+    * activate call decodes into a fresh generation of the process-wide
+    * registry, and two sessions in one JVM that activate different
+    * manifests for the SAME table path each keep pruning from their own
+    * decode — session B re-activating can never silently change what
+    * session A's rule sees (the r12 shared-registry hazard).
     */
   val ConfKey = "spark.graft.scanPrune.tables"
 
@@ -95,8 +100,46 @@ object ScanPrune {
   final case class FileCtx(path: String, stats: Option[FileStats],
                            fileBlooms: Map[String, org.apache.spark.util.sketch.BloomFilter])
 
+  /** Decoded artifacts keyed by `table@generation`: one immutable
+    * generation per activate call, so sessions pin the exact decode they
+    * activated. Old generations are evicted past [[KeptGenerations]] per
+    * table — eviction is SOUND by construction: a session whose pinned
+    * generation was evicted gets `lookup = None` and its rule degrades to
+    * no-rewrite (the full listing), never to another session's artifacts.
+    */
   private val indexes =
     new java.util.concurrent.ConcurrentHashMap[String, TableArtifacts]()
+  private val generations = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Generations retained per table (newest first). 8 bounds registry
+    * growth under re-activation churn while keeping every realistically
+    * live session's pin; an evicted pin under-prunes, never mis-prunes.
+    */
+  val KeptGenerations = 8
+
+  private def genKey(table: String, gen: Long): String = s"$table@$gen"
+
+  // newest-first generation list per table, for eviction
+  private val byTableGens =
+    new java.util.concurrent.ConcurrentHashMap[String, List[Long]]()
+
+  private def registerGeneration(table: String, arts: TableArtifacts): Long = {
+    val gen = generations.incrementAndGet()
+    indexes.put(genKey(table, gen), arts)
+    byTableGens.compute(table, (_, prev) => {
+      val gens = gen :: Option(prev).getOrElse(Nil)
+      val (keep, drop) = gens.splitAt(KeptGenerations)
+      drop.foreach(g => indexes.remove(genKey(table, g)))
+      keep
+    })
+    gen
+  }
+
+  /** The session's currently-pinned generation for `table`, if any —
+    * the base a composing activation (manifest then Bloom) inherits.
+    */
+  private def sessionGen(spark: SparkSession, table: String): Option[Long] =
+    activeEntries(spark.conf.getOption(ConfKey).getOrElse("")).get(table)
 
   /** Scheme/authority-free form of a manifest `file` string or listing
     * path — the identity under which the rewrite matches manifest rows to
@@ -180,9 +223,13 @@ object ScanPrune {
       FileStats(canonical(r.getAs[String]("file")), r.getAs[Long]("n_rows"), cols)
     }
     val idx = new TableIndex(table, statCols.toMap, files)
-    indexes.compute(table, (_, prev) => new TableArtifacts(table, Some(idx),
-      Option(prev).map(_.blooms).getOrElse(Map.empty)))
-    addActive(spark, table)
+    // compose with the SESSION's pinned generation (a Bloom index
+    // activated earlier in this session rides along), never with another
+    // session's latest
+    val prev = sessionGen(spark, table).flatMap(g => lookupGen(table, g))
+    val gen = registerGeneration(table, new TableArtifacts(table, Some(idx),
+      prev.map(_.blooms).getOrElse(Map.empty)))
+    setActive(spark, table, gen)
     idx
   }
 
@@ -208,43 +255,63 @@ object ScanPrune {
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
     }.toMap
     val bi = new BloomColIdx(column, keyClass, byFile)
-    indexes.compute(table, (_, prev) => new TableArtifacts(table,
-      Option(prev).flatMap(_.manifest),
-      Option(prev).map(_.blooms).getOrElse(Map.empty) + (column -> bi)))
-    addActive(spark, table)
+    val prev = sessionGen(spark, table).flatMap(g => lookupGen(table, g))
+    val gen = registerGeneration(table, new TableArtifacts(table,
+      prev.flatMap(_.manifest),
+      prev.map(_.blooms).getOrElse(Map.empty) + (column -> bi)))
+    setActive(spark, table, gen)
   }
 
   // the active set serializes into ONE conf string comma-separated, so
   // entries are URL-encoded: a table path containing a comma would
   // otherwise split into fragments that never match a scan's root path
-  // (the rule silently inert, deactivate unable to remove the shards)
+  // (the rule silently inert, deactivate unable to remove the shards).
+  // The generation rides each entry after '~' — URLEncoder never emits a
+  // literal '~' (it escapes to %7E), so the separator cannot collide.
   private def encode(t: String): String =
     java.net.URLEncoder.encode(t, "UTF-8")
   private def decode(t: String): String =
     java.net.URLDecoder.decode(t, "UTF-8")
 
-  private def addActive(spark: SparkSession, table: String): Unit = {
-    val cur = spark.conf.getOption(ConfKey).getOrElse("")
-    val active = cur.split(",").filter(_.nonEmpty).toSet + encode(table)
-    spark.conf.set(ConfKey, active.toSeq.sorted.mkString(","))
+  private def setActive(spark: SparkSession, table: String, gen: Long): Unit = {
+    val cur = activeEntries(spark.conf.getOption(ConfKey).getOrElse(""))
+    val active = cur + (table -> gen)
+    spark.conf.set(ConfKey, active.toSeq.sortBy(_._1)
+      .map { case (t, g) => s"${encode(t)}~$g" }.mkString(","))
   }
 
-  /** Remove one table from the session's active set (its decoded index
-    * stays cached for re-activation).
+  /** Remove one table from the session's active set (its decoded
+    * generation stays registered for other sessions until evicted).
     */
   def deactivate(spark: SparkSession, dir: String): Unit = {
     val table = SketchCatalog.normalizePath(spark, dir)
-    val cur = spark.conf.getOption(ConfKey).getOrElse("")
-    val active = cur.split(",").filter(_.nonEmpty).toSet - encode(table)
+    val active = activeEntries(spark.conf.getOption(ConfKey).getOrElse("")) - table
     if (active.isEmpty) spark.conf.unset(ConfKey)
-    else spark.conf.set(ConfKey, active.toSeq.sorted.mkString(","))
+    else spark.conf.set(ConfKey, active.toSeq.sortBy(_._1)
+      .map { case (t, g) => s"${encode(t)}~$g" }.mkString(","))
   }
 
   def deactivateAll(spark: SparkSession): Unit = spark.conf.unset(ConfKey)
 
-  /** The active table set named by the session conf's current value. */
-  def activeTables(confValue: String): Set[String] =
-    confValue.split(",").filter(_.nonEmpty).map(decode).toSet
+  /** table → pinned generation, parsed from the session conf's current
+    * value. Legacy entries without a generation (a conf string written by
+    * a pre-generation build riding a cloned session) parse to generation
+    * -1, which no registry key carries — the rule degrades to no-rewrite
+    * rather than guessing another session's decode.
+    */
+  def activeEntries(confValue: String): Map[String, Long] =
+    confValue.split(",").filter(_.nonEmpty).map { e =>
+      e.lastIndexOf('~') match {
+        case -1 => decode(e) -> -1L
+        case i  => decode(e.substring(0, i)) ->
+          scala.util.Try(e.substring(i + 1).toLong).getOrElse(-1L)
+      }
+    }.toMap
 
-  def lookup(table: String): Option[TableArtifacts] = Option(indexes.get(table))
+  private def lookupGen(table: String, gen: Long): Option[TableArtifacts] =
+    Option(indexes.get(genKey(table, gen)))
+
+  /** The artifacts a session pinned for `table`, per its conf value. */
+  def lookup(table: String, gen: Long): Option[TableArtifacts] =
+    lookupGen(table, gen)
 }

@@ -61,6 +61,16 @@ object SketchCatalog {
     */
   val RuntimeFilterMaxKeysKey = "spark.graft.sketchPlanning.runtimeFilterMaxKeys"
 
+  /** Build-side distinct-key cap for DYNAMIC FILE PRUNING
+    * ([[graft.plans.DynamicFilePruning]]): above this many catalogued
+    * distinct build keys the pass declines (collecting them at plan time
+    * would cost more than the listing saves). 0 disables the pass.
+    * Default 64k — pruning wants far fewer keys than a runtime filter
+    * tolerates, because the keys are COLLECTED to the driver and priced
+    * against every manifest file, not just hashed into a Bloom.
+    */
+  val DynamicPruneMaxKeysKey = "spark.graft.sketchPlanning.dynamicPruneMaxKeys"
+
   /** Heaviest-key row fraction at or above which the skew pass salts an
     * un-hinted shuffle join's skewed side (default 0.2 — a key pinning a
     * fifth of the table pins one reducer ~6× over the average at 32

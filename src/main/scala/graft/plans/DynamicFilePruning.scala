@@ -1,0 +1,195 @@
+package graft.plans
+
+import graft.ops.{ScanPrune, SketchCatalog}
+import graft.ops.SketchCatalog.Catalog
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Dynamic (join-driven) file pruning — the composition of the two
+  * artifact loops this planner already closes separately: the JOIN side
+  * knows from the [[SketchCatalog]] that a join's build side holds few
+  * distinct keys, and the SCAN side holds a decoded per-file stats
+  * manifest / Bloom index ([[ScanPrune]]) for the probe table — so when
+  * both fire on one join, the build side's actual keys can prune the
+  * probe table's FILE LISTING, not just its rows. At 100 TB the listing
+  * is the query: [[SketchJoinPlanning.runtimeFilterPass]]'s Bloom filter
+  * drops probe ROWS after the scan is scheduled, so a selective
+  * dim ⋈ 1M-file fact still launches a task per fact file; this pass
+  * stops the dead files from being listed at all — the Delta/Photon
+  * "dynamic file pruning" pattern, driven here by the same artifacts the
+  * rest of the planner trusts.
+  *
+  * Mechanics per inner/left-semi equi-join (any hint state — pruning is
+  * orthogonal to strategy):
+  *
+  *  1. the PROBE side must resolve (through Project/Filter/SubqueryAlias)
+  *     to a single-root parquet relation whose table has activated
+  *     [[ScanPrune]] artifacts covering the probe join key (manifest
+  *     kind and/or Bloom column);
+  *  2. the BUILD side must resolve to a catalogued relation whose join
+  *     key's stored HLL distinct estimate is within
+  *     `spark.graft.sketchPlanning.dynamicPruneMaxKeys` (default 64k;
+  *     0 disables) — the artifact-priced gate that keeps the plan-time
+  *     collect bounded BEFORE paying it, the same discipline as the
+  *     runtime filter's key cap;
+  *  3. the build side's DISTINCT keys are collected once on the driver
+  *     (`Limit(maxKeys + 1)` as the hard guard — an artifact that
+  *     understated declines the rewrite rather than over-collecting),
+  *     the same bounded-artifact class as the Bloom literal the runtime
+  *     filter ships;
+  *  4. the keys price against the probe table's decoded artifacts as ONE
+  *     sorted point set ([[ScanPruneRewrite.pointSetTest]]: O(log keys)
+  *     interval probe per file, Bloom short-circuit under the probe
+  *     budget), and the proven-impossible files are subtracted from the
+  *     probe scan's listing via [[PrunedFileIndex]] — composing with any
+  *     static prune already wrapped there.
+  *
+  * Soundness: a dropped file provably contains no row whose key equals
+  * ANY build key, and inner/left-semi equi-joins emit nothing for
+  * unmatched (or NULL-keyed) probe rows, so dropping the file cannot
+  * change results; files the artifacts do not cover are never dropped
+  * (the DROP-set posture — a stale manifest under-prunes). Left-ANTI
+  * joins are out of scope by construction: their output is exactly the
+  * unmatched rows this pass removes. The plan-time collect runs inside
+  * the optimizer on the driver; failures degrade to "no prune" (the
+  * query runs exactly as un-ruled), and a re-entrancy guard keeps the
+  * collect's own optimization from recursing into this pass.
+  */
+object DynamicFilePruning extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def maxKeys: Long =
+    conf.getConfString(SketchCatalog.DynamicPruneMaxKeysKey,
+      (64L << 10).toString).toLong
+
+  /** Re-entrancy guard: the bounded key collect triggers a full
+    * analyze/optimize of the build subplan on this thread; that nested
+    * optimization must not re-enter the pass (its plan holds no joins,
+    * but the guard makes non-recursion a property, not an observation).
+    */
+  private val collecting = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val active = ScanPrune.activeEntries(
+      conf.getConfString(ScanPrune.ConfKey, ""))
+    val cat = SketchCatalog.lookup(conf.getConfString(SketchCatalog.ConfKey, ""))
+    if (active.isEmpty || cat.isEmpty || maxKeys <= 0L || collecting.get()) plan
+    else plan.transformUp {
+      case j @ Join(l, r, jt, Some(cond), _)
+          if j.resolved && (jt == Inner || jt == LeftSemi) =>
+        val pruned = for {
+          pairs <- SketchJoinPlanning.equiPairs(cond, l, r)
+          (la, ra) = pairs.head
+          // try the LEFT side as probe first, then the right — for a
+          // left-semi join both are valid: the right side is a pure
+          // existence filter, so its unmatched files are equally dead
+          out <- pruneSide(j, l, la, r, ra, cat.get, active)
+            .orElse(pruneSide(j, r, ra, l, la, cat.get, active))
+        } yield out
+        pruned.getOrElse(j)
+    }
+  }
+
+  /** The probe relation under `probe` when its table has activated
+    * artifacts covering leaf column `keyCol`: (relation node, fs, table,
+    * artifacts).
+    */
+  private def probeTarget(probe: LogicalPlan, key: AttributeReference,
+                          active: Map[String, Long])
+    : Option[(LogicalRelation, HadoopFsRelation, String,
+        ScanPrune.TableArtifacts, String)] = probe match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
+        val table = fs.location.rootPaths.head.toString
+        for {
+          gen <- active.get(table)
+          arts <- ScanPrune.lookup(table, gen)
+          // the attr must BE a leaf output of this relation (name = leaf
+          // column name at the scan)
+          if lr.output.exists(_.exprId == key.exprId)
+          colName = lr.output.find(_.exprId == key.exprId).get.name
+          if arts.kinds.contains(colName) || arts.blooms.contains(colName)
+        } yield (lr, fs, table, arts, colName)
+      case _ => None
+    }
+    case Project(list, child)
+        if list.exists(a => a.exprId == key.exprId) =>
+      // follow a rename/pass-through down to the leaf attribute
+      list.collectFirst {
+        case a: AttributeReference if a.exprId == key.exprId => a
+        case al @ Alias(ar: AttributeReference, _) if al.exprId == key.exprId => ar
+      }.flatMap(leafKey => probeTarget(child, leafKey, active))
+    case Filter(_, child)        => probeTarget(child, key, active)
+    case SubqueryAlias(_, child) => probeTarget(child, key, active)
+    case _ => None
+  }
+
+  private def pruneSide(j: Join, probe: LogicalPlan, probeKey: AttributeReference,
+                        build: LogicalPlan, buildKey: AttributeReference,
+                        cat: Catalog, active: Map[String, Long]): Option[Join] =
+    for {
+      (lr, fs, table, arts, colName) <- probeTarget(probe, probeKey, active)
+      // artifact-priced gate BEFORE paying the collect: catalogued
+      // distinct keys within the cap (refined through priceable point
+      // filters below the build side, the broadcast pass's discipline)
+      bb <- SketchJoinPlanning.resolveBase(build, cat)
+      be <- SketchJoinPlanning.entryFor(bb, cat, buildKey)
+      bound = build match {
+        case Filter(c, _) =>
+          SketchJoinPlanning.filterRowBound(c, bb, cat)
+            .map(math.min(_, be.distinctEst.toLong))
+            .getOrElse(be.distinctEst.toLong)
+        case _ => be.distinctEst.toLong
+      }
+      if bound <= maxKeys
+      keys <- collectKeys(fs, build, buildKey)
+      test <- ScanPruneRewrite.pointSetTest(arts,
+        AttributeReference(colName, probeKey.dataType)(),
+        keys.map(v => (v, probeKey.dataType)))
+      drop = arts.universe.iterator.filterNot(test).map(_.path).toSet
+      if drop.nonEmpty
+    } yield {
+      logInfo(s"dynamic file pruning: ${keys.size} build keys on " +
+        s"${buildKey.name} drop ${drop.size} of ${arts.universe.size} " +
+        s"artifact-covered files from $table")
+      val newLr = lr.copy(relation = fs.copy(
+        location = new PrunedFileIndex(fs.location, drop))(fs.sparkSession))
+      val newProbe = probe.transformUp { case x if x eq lr => newLr }
+      if (probe eq j.left) j.copy(left = newProbe) else j.copy(right = newProbe)
+    }
+
+  /** The build side's distinct non-null keys, collected once, bounded by
+    * `Limit(maxKeys + 1)` — overflow or any execution failure declines
+    * the rewrite (the query then runs exactly as un-ruled). Values come
+    * back in INTERNAL form (UTF8String / Long / Decimal …), which is the
+    * form [[ScanPruneRewrite.pointSetTest]] normalizes.
+    */
+  private def collectKeys(fs: HadoopFsRelation, build: LogicalPlan,
+                          key: AttributeReference): Option[Seq[Any]] = {
+    // Limit is INT-typed; a cap configured past Int.MaxValue − 1 clamps
+    // (the overflow check below still sees rows > cap only when real)
+    val cap = math.min(maxKeys, Int.MaxValue - 1L)
+    collecting.set(true)
+    try {
+      val keyPlan = Limit(Literal(cap.toInt + 1),
+        Distinct(Project(Seq(key), build)))
+      val rows = fs.sparkSession.sessionState.executePlan(keyPlan)
+        .executedPlan.executeCollect()
+      if (rows.length > cap) {
+        logInfo(s"dynamic file pruning: build side exceeded $cap distinct " +
+          "keys at collect time (artifact understated) — declined")
+        None
+      } else {
+        val vals = rows.iterator.map(_.get(0, key.dataType)).filter(_ != null).toSeq
+        if (vals.isEmpty) None else Some(vals)
+      }
+    } catch { case e: Exception =>
+      logWarning(s"dynamic file pruning: key collect failed (${e.getMessage}) — declined")
+      None
+    } finally collecting.set(false)
+  }
+}

@@ -49,7 +49,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val active = ScanPrune.activeTables(
+    val active = ScanPrune.activeEntries(
       conf.getConfString(ScanPrune.ConfKey, ""))
     if (active.isEmpty) plan
     else plan.transformUp {
@@ -61,8 +61,8 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
             case _ => None
           }
           table = fs.location.rootPaths.head.toString
-          if active.contains(table)
-          arts <- ScanPrune.lookup(table)
+          gen <- active.get(table)
+          arts <- ScanPrune.lookup(table, gen)
           drop <- droppedFiles(cond, arts)
           if drop.nonEmpty
         } yield {
@@ -213,6 +213,84 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Plan-time pricing caps for point SETS (IN-lists and the dynamic
+    * file-pruning pass's collected build keys). `MaxPricedPoints` bounds
+    * the one-off normalize+sort (a 10k-key IN over a 1M-file manifest
+    * used to cost ~10^10 per-literal interval tests; sorted, each file
+    * is one O(log n) probe). `BloomPointProbeBudget` bounds the Bloom
+    * modality's worst case — a file containing NO point pays one probe
+    * per value, so dropped files cost |values| probes each; past the
+    * budget the Bloom part is declined (sound: less pruning, never
+    * wrong) while the interval part still prices.
+    */
+  private[plans] val MaxPricedPoints = 1 << 16
+  private[plans] val BloomPointProbeBudget = 64L << 20
+
+  /** Admission test for a SET of equality points on one column, built
+    * once per atom: values normalize and sort once; per file the
+    * interval modality binary-searches for any value inside the file's
+    * [min, max] and the Bloom modality short-circuits on the first
+    * might-contain hit. The two modalities combine conjunctively at SET
+    * grain — a file survives when some value fits its interval AND some
+    * value is Bloom-positive — marginally weaker than the per-value
+    * conjunction (which would require one value passing both) but sound,
+    * and what keeps each file O(log |values|) instead of O(|values|).
+    * None = declined: no priceable modality, an unreadable non-null
+    * value (a missing point could match anything), or past the caps.
+    */
+  private[plans] def pointSetTest(arts: TableArtifacts, attrExpr: Expression,
+                                  values: Seq[(Any, DataType)]): Option[Test] = {
+    val nonNull = values.filter(_._1 != null)
+    if (nonNull.isEmpty || nonNull.size > MaxPricedPoints) return None
+    stripWidening(attrExpr).flatMap { a =>
+      val manifestT: Option[Test] = for {
+        kind <- attrKind(a.dataType)
+        mkind <- arts.kinds.get(a.name)
+        if kind == mkind
+        normed <- {
+          val ns = nonNull.map { case (v, dt) => litValue(v, dt) }
+          if (ns.exists(_.isEmpty)) None else Some(ns.map(_.get))
+        }
+      } yield {
+        val sorted = normed.toArray[Any]
+        java.util.Arrays.sort(sorted.asInstanceOf[Array[Object]],
+          ((x: Any, y: Any) => ScanPrune.cmp(kind, x, y)): java.util.Comparator[Any])
+        statTest(a.name, cs => anySortedInRange(kind, sorted, cs))
+      }
+      val bloomT: Option[Test] = for {
+        bi <- arts.blooms.get(a.name)
+        classes = nonNull.map { case (_, dt) =>
+          graft.functions.BloomHashClass.probeable(dt) }.distinct
+        if classes == Seq(Some(bi.keyClass))
+        if nonNull.size.toLong * math.max(1L, arts.universe.size.toLong) <=
+          BloomPointProbeBudget
+      } yield (fc: FileCtx) => fc.fileBlooms.get(a.name) match {
+        case None => true
+        case Some(bf) => nonNull.exists { case (v, _) => bi.keyClass match {
+          case "long" => bf.mightContainLong(v.asInstanceOf[Number].longValue())
+          case _      => bf.mightContainString(v.toString)
+        }}
+      }
+      (manifestT, bloomT) match {
+        case (Some(m), Some(b)) => Some((fc: FileCtx) => m(fc) && b(fc))
+        case (m, b)             => m.orElse(b)
+      }
+    }
+  }
+
+  /** Does any element of `sorted` (ascending in `kind`'s order) fall in
+    * [cs.min, cs.max]? Binary search for the first element ≥ min, then
+    * one compare against max.
+    */
+  private def anySortedInRange(kind: Kind, sorted: Array[Any], cs: ColStats): Boolean = {
+    var lo = 0; var hi = sorted.length // first idx with elem >= cs.min
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ScanPrune.cmp(kind, sorted(mid), cs.min) < 0) lo = mid + 1 else hi = mid
+    }
+    lo < sorted.length && ScanPrune.cmp(kind, sorted(lo), cs.max) <= 0
+  }
+
   private val ge: (Kind, ColStats, Any) => Boolean =
     (k, cs, v) => ScanPrune.cmp(k, cs.max, v) >= 0
   private val gt: (Kind, ColStats, Any) => Boolean =
@@ -243,15 +321,12 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case EqualNullSafe(lit @ Literal(v, dt), r) if v != null =>
       cmpTest(r, v, dt, arts, eqOp)
     case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-      // union of point intervals (the candidateFilesAny modality)
-      val per = vs.map { case Literal(v, dt) => cmpTest(a, v, dt, arts, eqOp) }
-      if (per.exists(_.isEmpty)) None
-      else Some(fc => per.exists(_.get(fc)))
+      // union of point intervals (the candidateFilesAny modality), priced
+      // as ONE sorted set: O(log |values|) per file, capped — null
+      // elements drop from the set (NULL = x passes no Filter row)
+      pointSetTest(arts, a, vs.map { case Literal(v, dt) => (v, dt) })
     case InSet(a, vs) if vs.nonEmpty =>
-      val dt = a.dataType
-      val per = vs.toSeq.map(v => cmpTest(a, v, dt, arts, eqOp))
-      if (per.exists(_.isEmpty)) None
-      else Some(fc => per.exists(_.get(fc)))
+      pointSetTest(arts, a, vs.toSeq.map(v => (v, a.dataType)))
     case IsNull(e1) =>
       stripWidening(e1).filter(a => arts.kinds.contains(a.name)).map { a =>
         // exact per file: zero nulls has nothing for IS NULL

@@ -96,9 +96,9 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
   /** A side that traces to ONE catalogued parquet relation:
     * (normalized root path, output-attr → leaf-column name).
     */
-  private final case class Base(table: String, colOf: Map[ExprId, String])
+  private[plans] final case class Base(table: String, colOf: Map[ExprId, String])
 
-  private def resolveBase(plan: LogicalPlan, cat: Catalog): Option[Base] = plan match {
+  private[plans] def resolveBase(plan: LogicalPlan, cat: Catalog): Option[Base] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
         val table = fs.location.rootPaths.head.toString
@@ -122,13 +122,13 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** The catalog entry backing attribute `a` of a resolved side. */
-  private def entryFor(base: Base, cat: Catalog, a: AttributeReference): Option[Entry] =
+  private[plans] def entryFor(base: Base, cat: Catalog, a: AttributeReference): Option[Entry] =
     base.colOf.get(a.exprId).flatMap(c => cat.byTableKey.get((base.table, c)))
 
   /** Every conjunct is a cross-side attr = attr; returns the (left-side
     * attr, right-side attr) pairs, orientation normalized.
     */
-  private def equiPairs(cond: Expression, left: LogicalPlan, right: LogicalPlan)
+  private[plans] def equiPairs(cond: Expression, left: LogicalPlan, right: LogicalPlan)
     : Option[Seq[(AttributeReference, AttributeReference)]] = {
     val pairs = splitConjunctivePredicates(cond).map {
       case EqualTo(l: AttributeReference, r: AttributeReference) =>
@@ -467,7 +467,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     * into a broadcastable side — file sizes say 100 GB, the artifact
     * says 40 rows. None when no conjunct is priceable.
     */
-  private def filterRowBound(cond: Expression, base: Base, cat: Catalog): Option[Long] = {
+  private[plans] def filterRowBound(cond: Expression, base: Base, cat: Catalog): Option[Long] = {
     def point(a: AttributeReference, v: Any, dt: DataType): Option[Long] =
       (for {
         e <- entryFor(base, cat, a)
@@ -617,9 +617,15 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     * the same invisible-to-results contract as every other pass.
     *
     * Guards: replication is paid only when bounded — the replicated
-    * side's catalogued bytes × buckets must not exceed the skewed side's
-    * (past that, the cure costs more than the straggler) — and a side
-    * with no hashable non-key columns cannot salt. AQE's skew-join
+    * side's bytes × buckets must not exceed the skewed side's (past
+    * that, the cure costs more than the straggler), both sides priced
+    * through priceable Filters via [[estBytes]] so a join whose skew a
+    * filter already removed is not salted and one whose replicated side
+    * a filter made cheap is not skipped — and a side with no hashable
+    * non-key columns cannot salt. The heavy FRACTION itself stays the
+    * whole-column artifact's (a filter's effect on the key distribution
+    * is unknowable from point bounds alone); a misfire there costs a
+    * bounded replication, never results. AQE's skew-join
     * splitting covers sort-merge stragglers at runtime when it can SEE
     * them; this pass decides from an 80 KB artifact at plan time, which
     * also covers the shuffle-hash and pre-AQE paths.
@@ -639,8 +645,15 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
           (probe, build, pe, be) =
             if (lf >= rf) (l, r, le, re) else (r, l, re, le)
           b = skewBuckets
-          // replication bounded by the probe side's own exchange volume
-          if satBytes(be.nBytes, b.toLong) <= pe.nBytes
+          // replication bounded by the probe side's own exchange volume,
+          // priced through any priceable Filters below the join
+          // ([[estBytes]], the broadcast pass's own refinement): whole-
+          // table nBytes would salt a join whose skewed side was already
+          // filtered to nothing (replication dearer than the straggler)
+          // and skip one whose to-be-replicated side a filter made cheap
+          probeBytes = estBytes(probe, cat).getOrElse(pe.nBytes)
+          buildBytes = estBytes(build, cat).getOrElse(be.nBytes)
+          if satBytes(buildBytes, b.toLong) <= probeBytes
           salt = hashableCols(probe)
           if salt.nonEmpty
         } yield {

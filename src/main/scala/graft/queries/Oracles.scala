@@ -2651,6 +2651,26 @@ object Oracles {
         |  true AS bloom_pruned
         |FROM f""".stripMargin,
 
+    // Dynamic file pruning gate: the bottom-eighth user box replayed
+    // over raw events (each fact row matches exactly one distinct-user
+    // dim row, so the join aggregates ARE the box aggregates); the plan
+    // facts (naive control full FileIndex, activated run's listing
+    // dynamically pruned from the dim's collected keys, strictly fewer
+    // files opened) ride as pinned booleans probed from executed plans.
+    "q23_dynamic_prune" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |b AS (SELECT min(user_id) AS umin, max(user_id) AS umax FROM base),
+        |f AS (SELECT base.* FROM base, b
+        |  WHERE user_id <= umin + (umax - umin) // 8)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(event_id), 0) AS BIGINT) AS sum_ids,
+        |  CAST(coalesce(sum(CAST(round(value, 6) AS DECIMAL(18,6))), 0) AS DOUBLE)
+        |    AS sum_value,
+        |  true AS pruned_equals_full, true AS naive_full_scan,
+        |  true AS dynamic_files_pruned
+        |FROM f""".stripMargin,
+
     "q17_planned_scan" ->
       """WITH base AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events),

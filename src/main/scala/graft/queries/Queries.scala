@@ -4137,6 +4137,78 @@ object Queries {
       lit(prunedBroadcast).as("pruned_native_broadcast"))
   }
 
+  /** Selective-dim fixture for [[q23DynamicPrune]], built once per JVM
+    * per sf dir: the distinct user_ids of the BOTTOM eighth of the user
+    * domain (engine-replayable derivation) plus a planning-catalog
+    * harvest of the dim's key — the build-side artifact the dynamic
+    * prune gates on.
+    */
+  private val q23Paths = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q23Fixture(spark: SparkSession, dir: String): (String, String) =
+    q23Paths.computeIfAbsent(dir, { _ =>
+      import graft.ops.SketchCatalog
+      val ev = t(spark, dir, "events")
+      val et = evTime(ev)
+      val base = ev.select(col("user_id"))
+      val bb = base.agg(min("user_id"), max("user_id")).head()
+      val cut = bb.getLong(0) + (bb.getLong(1) - bb.getLong(0)) / 8
+      val dimPath = scratch(dir, "q23_dim")
+      base.where(col("user_id") <= cut).distinct()
+        .select(col("user_id").as("m_user"))
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+      val catPath = scratch(dir, "q23_catalog")
+      SketchCatalog.save(
+        SketchCatalog.harvest(spark, dimPath, Seq("m_user")), catPath)
+      (dimPath, catPath)
+    })
+
+  /** Q23: DYNAMIC file pruning — the composition gate for
+    * [[graft.plans.DynamicFilePruning]]: a selective dim joined to the
+    * z-ordered fact must prune the fact's FILE LISTING from the dim's
+    * actual keys (collected once at plan time, bounded by the catalogued
+    * distinct estimate) against the activated stats manifest — the scan
+    * work Spark's own runtime filter leaves on the table, because a
+    * Bloom filter drops probe ROWS only after every file has already
+    * become a task. The naive control (nothing activated) must execute
+    * with the ordinary full FileIndex; the activated run's executed plan
+    * must carry a [[graft.plans.PrunedFileIndex]] opening strictly fewer
+    * files (the q17 executed-plan probe discipline). The join aggregates
+    * are collected WHILE the artifacts are active — the hashed values
+    * are the dynamically-pruned read's own output — and the twin replays
+    * the bottom-eighth user box over raw events (each fact row matches
+    * exactly one distinct-user dim row): listing surgery must be
+    * invisible to results.
+    */
+  private def q23DynamicPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{DataSkipping, ScanPrune, SketchCatalog}
+    val path = q17Table(spark, dir)
+    val (dimPath, catPath) = q23Fixture(spark, dir)
+    def joined(): DataFrame = spark.read.parquet(path)
+      .join(spark.read.parquet(dimPath), col("user_id") === col("m_user"))
+    ScanPrune.deactivate(spark, path)
+    SketchCatalog.deactivate(spark)
+    val naiveFull = scanPruneProbe(joined()).isEmpty
+    ScanPrune.activateManifest(spark, path,
+      DataSkipping.statsManifest(spark, path, Seq("user_id", "ts_ms")))
+    SketchCatalog.activate(spark, catPath)
+    val (filesPruned, prunedRow) = try {
+      val probe = scanPruneProbe(joined())
+      (probe.exists { case (k, total) => k > 0 && k < total },
+        skipSummary(joined(), "").head())
+    } finally {
+      ScanPrune.deactivate(spark, path)
+      SketchCatalog.deactivate(spark)
+    }
+    val fullRow = skipSummary(joined(), "").head()
+    spark.range(1).select(
+      lit(prunedRow.getLong(0)).as("n_rows"),
+      lit(prunedRow.getLong(1)).as("sum_ids"),
+      lit(prunedRow.getDecimal(2)).cast("double").as("sum_value"),
+      lit(prunedRow == fullRow).as("pruned_equals_full"),
+      lit(naiveFull).as("naive_full_scan"),
+      lit(filesPruned).as("dynamic_files_pruned"))
+  }
+
   /** X8: the COMPOSED curation pipeline — what a user of this library
     * actually runs end to end over a raw corpus: quality/language clean +
     * exact dedup (x6) → benchmark decontamination (x7d; benchmark =
@@ -4786,6 +4858,7 @@ object Queries {
     "q20_planned_semi" -> (q20PlannedSemi _),
     "q21_planned_point" -> (q21PlannedPoint _),
     "q22_pruned_broadcast" -> (q22PrunedBroadcast _),
+    "q23_dynamic_prune" -> (q23DynamicPrune _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),

@@ -144,13 +144,25 @@ object HttpBatchSink {
     * collides with history. The slice identity inside the page is the
     * batch CONTENT hash mixed with the batch's (partition id, ordinal):
     * content alone would alias two DISTINCT batches with identical bodies
-    * under one checkpoint (silent loss at an append-semantics target),
-    * while the position alone would break on a re-planned replay; both
-    * components are stable across task retries whenever the upstream plan
-    * is deterministic (the ETL chain's CDC output is: parquet scan +
-    * narrow transforms + deterministic slicing). Delivery degrades to
-    * plain at-least-once — never worse — against a target that ignores
-    * the key.
+    * under one checkpoint — an idempotency-honoring APPEND target would
+    * apply only one, silent loss, the failure mode this key must never
+    * have — while position alone would collide across checkpoints.
+    *
+    * The replay-collision guarantee, stated honestly: keys collide across
+    * task retries and whole-run replays whenever the replay re-plans
+    * IDENTICALLY — deterministic upstream plan AND the same partitioning
+    * (parallelism, `spark.sql.files.maxPartitionBytes`, upstream file
+    * layout unchanged), which is what a Spark task retry and a same-config
+    * crash replay give. A replay that re-plans with DIFFERENT partitioning
+    * re-slices the page into different batches (different bodies — there
+    * is nothing batch-grained left to collide), so its keys are fresh and
+    * delivery for the overlapping content degrades to the documented
+    * at-least-once floor; an idempotent target needs row-grained dedup to
+    * absorb that case. Positional mixing is the safe side of this
+    * trade-off: the alternative (content-only keys) turns the same
+    * re-planned replay into silent LOSS instead of duplicates. Against a
+    * target that ignores the key entirely, delivery is plain
+    * at-least-once — never worse.
     */
   def sendIdempotent(docs: DataFrame, maxBatchSize: Int,
                      senderFactory: KeyedSenderFactory, context: String,

@@ -136,12 +136,16 @@ object StreamingCdc {
     * marker to propagate the delete) and nothing else, a re-appearing id
     * is emitted as "new" again (state truly cleared, not blanked), an
     * unmatched delete is a silent no-op (the MERGE contract), and a
-    * tombstone OLDER than the applied version is suppressed like any
-    * stale late arrival. Intra-batch actions fold in (ms, delete-first,
-    * payload) order — deterministic, with the delete sorting BEFORE an
-    * equal-timestamp upsert so the upsert supersedes its tombstone (the
-    * batch page dedup keeps exactly one action per (id, page); feeds
-    * that carry true same-ms conflicts should disambiguate upstream).
+    * tombstone not STRICTLY newer than the applied version is suppressed
+    * like any stale late arrival. Ties are upsert-wins EVERYWHERE:
+    * intra-batch actions fold in (ms, delete-first, payload) order — the
+    * delete sorts BEFORE an equal-timestamp upsert so the upsert
+    * supersedes its tombstone — and a cross-batch equal-timestamp
+    * tombstone is suppressed by the strict comparison, so the same
+    * (upsert, delete) tie folds to the same final state however an
+    * at-least-once replay re-pages the feed (micro-batch boundaries are
+    * not semantics). Feeds carrying true same-ms conflicts should still
+    * disambiguate upstream.
     */
   final class MergeProcessor(ttlMs: Long) extends StatefulProcessor[String, Action, Change] {
     @transient private var verState: ValueState[(Long, String)] = _
@@ -163,7 +167,14 @@ object StreamingCdc {
           (prev, isDelete) match {
             case (None, true) => // unmatched delete: MERGE no-op, no emission
             case (Some((prevMs, _)), true) =>
-              if (a.updatedOnMs >= prevMs) {
+              // STRICTLY newer only: an equal-timestamp tombstone loses to
+              // the applied version (upsert-wins ties), matching the
+              // intra-batch fold where the delete sorts first and the
+              // same-ms upsert supersedes it — so a (upsert, delete) tie
+              // folds to the same final state however the feed is paged
+              // (at-least-once replays re-page; the tie rule must not
+              // depend on micro-batch boundaries)
+              if (a.updatedOnMs > prevMs) {
                 verState.clear()
                 out += Change(id, a.updatedOnMs, "", "deleted")
               } else if (ttlMs > 0) verState.update(verState.get()) // stale tombstone: suppress

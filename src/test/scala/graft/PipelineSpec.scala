@@ -86,6 +86,61 @@ class PipelineSpec extends SparkSpec {
     assert(stats.head.emitted == 1 && store.load("t")._2 == 10)
   }
 
+  test("parallelism=4 run ≡ serial run: per-type PageStats and final state identical") {
+    sentBodies.clear(); failSends = false
+    val names = (0 until 4).map(i => s"pt$i")
+    // per-type two-page feeds with DISTINCT ids/timestamps so any
+    // cross-type state bleed would shift a checkpoint or a count
+    def pagesFor(i: Int): Map[Long, EntityApiSource.Page] = Map(
+      1L -> EntityApiSource.Page(
+        Seq(entity(100 * i + 1, s"a$i", 10 + i), entity(100 * i + 2, s"b$i", 20 + i)),
+        partialResults = true),
+      (20L + i) -> EntityApiSource.Page(
+        Seq(entity(100 * i + 3, s"c$i", 30 + i)), partialResults = false))
+    val fetch: EntityApiSource.Fetcher = url => {
+      val tpe = url.split("type=")(1).split("&")(0)
+      val ckpt = url.split("updatedFromMs=")(1).toLong
+      val page = pagesFor(tpe.stripPrefix("pt").toInt)
+        .getOrElse(ckpt, EntityApiSource.Page(Nil, partialResults = false))
+      s"""{"items": ${page.items.mkString("[", ",", "]")}, "partialResults": ${page.partialResults}}"""
+    }
+    def mk(root: String, par: Int) = new EntityEtlJob(spark,
+      new EntityStateStore(spark, root), fetch,
+      entitiesUrlTemplate = "stub://e?type={{type}}&updatedFromMs={{updatedFromMs}}",
+      senderFactory = collectingSender,
+      templates = names.map(_ -> tpl).toMap,
+      maxBatchSize = 2, ttlMs = 1000000, now = () => 5000, parallelism = par)
+    val types = names.map(n => EntityType(n, "id"))
+    val serialRoot = Files.createTempDirectory("pl-ser").toString
+    val parRoot = Files.createTempDirectory("pl-par").toString
+    val serial = mk(serialRoot, 1).run(types)
+    val parallel = mk(parRoot, 4).run(types)
+    assert(parallel == serial,
+      s"per-type stats diverge under parallelism=4: $parallel vs $serial")
+    names.foreach { n =>
+      val (ss, sc) = new EntityStateStore(spark, serialRoot).load(n)
+      val (ps, pc) = new EntityStateStore(spark, parRoot).load(n)
+      assert(pc == sc, s"checkpoint diverges for $n")
+      val key = ss.columns.toSeq
+      assert(ps.collect().map(_.toString).sorted.toSeq ==
+        ss.collect().map(_.toString).sorted.toSeq, s"state diverges for $n ($key)")
+    }
+  }
+
+  test("parallel run refuses duplicate type names (cross-type state-path collision)") {
+    sentBodies.clear(); failSends = false
+    val store = new EntityStateStore(spark, Files.createTempDirectory("pl-dup").toString)
+    val job = new EntityEtlJob(spark, store,
+      url => """{"items": [], "partialResults": false}""",
+      entitiesUrlTemplate = "stub://e?type={{type}}&updatedFromMs={{updatedFromMs}}",
+      senderFactory = collectingSender, templates = Map("t" -> tpl),
+      maxBatchSize = 2, ttlMs = 1000000, now = () => 5000, parallelism = 2)
+    val dup = Seq(EntityType("t", "id"), EntityType("t", "id"))
+    val e = intercept[IllegalArgumentException] { job.run(dup) }
+    assert(e.getMessage.contains("state path"),
+      s"expected loud state-path collision refusal, got: ${e.getMessage}")
+  }
+
   test("types without a template are skipped (app.js:22-25); CLI filter respected (F1)") {
     sentBodies.clear(); failSends = false
     val store = new EntityStateStore(spark, Files.createTempDirectory("pl3").toString)

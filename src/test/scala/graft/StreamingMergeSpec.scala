@@ -86,6 +86,28 @@ class StreamingMergeSpec extends SparkSpec {
       s"got ${a.map(c => (c.updatedOnMs, c.changeType))}")
   }
 
+  test("equal-ms (upsert, delete) tie folds to the same final state under every paging") {
+    // the SAME action pair fed three ways: one batch, upsert-then-delete
+    // across batches, delete-then-upsert across batches — final state
+    // must be identical (upsert-wins), or at-least-once replays that
+    // re-page the feed would fold to different states (r12 ADVICE)
+    val pair = Seq(Action("t", 50L, "upsert", "seed"))
+    val pagings = Seq(
+      Seq(pair, Seq(Action("t", 100L, "delete", null),
+        Action("t", 100L, "upsert", "vT"))),
+      Seq(pair, Seq(Action("t", 100L, "upsert", "vT")),
+        Seq(Action("t", 100L, "delete", null))),
+      Seq(pair, Seq(Action("t", 100L, "delete", null)),
+        Seq(Action("t", 100L, "upsert", "vT"))))
+    val finals = pagings.zipWithIndex.map { case (batches, i) =>
+      val out = runStream(batches, s"merge_page$i").filter(_.id == "t")
+      val last = out.maxBy(c => (c.updatedOnMs, c.changeType != "deleted"))
+      if (last.changeType == "deleted") None else Some(last.payload)
+    }
+    assert(finals.distinct == Seq(Some("vT")),
+      s"paging-dependent tie fold: $finals")
+  }
+
   test("equal-ms tombstone + upsert resolves upsert-wins, deterministically") {
     val batches = Seq(Seq(
       Action("x", 100L, "upsert", "v0")),
