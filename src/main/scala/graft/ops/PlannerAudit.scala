@@ -33,7 +33,25 @@ object PlannerAudit {
     StructField("actual_rows", LongType, nullable = false),
     StructField("n_a", LongType, nullable = false),
     StructField("n_b", LongType, nullable = false),
-    StructField("eps", DoubleType, nullable = false)))
+    StructField("eps", DoubleType, nullable = false),
+    // md5 of each side's CMS bytes at audit time — the artifact-identity
+    // column that lets [[SketchCatalog.activate]] attribute a violation
+    // to the EXACT sketch it audited: demotion keys on the fingerprint,
+    // so a re-harvest (new bytes) recovers automatically while the bad
+    // artifact stays demoted however often it is re-activated. Nullable:
+    // stores written before the column existed read as null and are
+    // never matched (conservative — an unattributable violation demotes
+    // nothing).
+    StructField("cms_a_md5", StringType, nullable = true),
+    StructField("cms_b_md5", StringType, nullable = true)))
+
+  /** Hex md5 of a CMS artifact's serialized bytes — the audit store's
+    * artifact-identity key (null-safe for legacy entries).
+    */
+  def cmsFingerprint(cms: Array[Byte]): String =
+    if (cms == null) null
+    else java.security.MessageDigest.getInstance("MD5").digest(cms)
+      .map("%02x".format(_)).mkString
 
   /** Execute `a ⋈ b` on `keyA = keyB` to completion with an attached
     * observation and return the (estimate, actual) audit row. `catalog`
@@ -61,7 +79,8 @@ object PlannerAudit {
       .observe(obs, count(lit(1)).as("rows"))
     joined.write.mode("overwrite").format("noop").save()
     val actual = obs.get("rows").asInstanceOf[Long]
-    Row(ta, keyA, tb, keyB, est, actual, ea.nRows, eb.nRows, eps)
+    Row(ta, keyA, tb, keyB, est, actual, ea.nRows, eb.nRows, eps,
+      cmsFingerprint(ea.cms), cmsFingerprint(eb.cms))
   }
 
   /** Append audit rows to the artifact store at `path` (the same
@@ -81,6 +100,36 @@ object PlannerAudit {
     * product's own error bound — saturating, so a huge pair cannot wrap
     * into a vacuous bound).
     */
+  /** CMS fingerprints whose artifacts should no longer drive plan
+    * decisions: fingerprints appearing on ≥ `minViolations` recorded
+    * audit rows that violate EITHER estimator contract (est < actual —
+    * the never-undercount inversion that makes artifact broadcasts
+    * unsafe; or est > actual + ⌈ε·n_a·n_b⌉ — an overcount past the
+    * sketch's own bound, the stale-artifact signature). A violating row
+    * impugns BOTH sides' sketches (the inner product cannot attribute
+    * blame), so both fingerprints count — conservative: a demotion
+    * costs plan quality, never results. Legacy rows without
+    * fingerprints demote nothing. The count is per-fingerprint, so a
+    * re-harvest (new bytes → new fingerprint) starts clean while the
+    * bad artifact stays demoted no matter how often it re-activates —
+    * recency via identity, no clock column needed.
+    */
+  def demotedFingerprints(spark: SparkSession, path: String,
+                          minViolations: Int): Set[String] = {
+    val slackD = col("n_a").cast("double") * col("n_b").cast("double") * col("eps")
+    val violating =
+      !(col("est_rows") >= col("actual_rows")) ||
+      !(col("est_rows").cast("double") <=
+        col("actual_rows").cast("double") + ceil(slackD))
+    spark.read.schema(recordSchema).parquet(path)
+      .where(violating)
+      .select(explode(array(col("cms_a_md5"), col("cms_b_md5"))).as("fp"))
+      .where(col("fp").isNotNull)
+      .groupBy("fp").count()
+      .where(col("count") >= minViolations.toLong)
+      .collect().map(_.getString(0)).toSet
+  }
+
   def report(spark: SparkSession, path: String): DataFrame = {
     // the bound compares in DOUBLE space end to end: a Long-space
     // `actual + slack` would re-overflow exactly where the slack

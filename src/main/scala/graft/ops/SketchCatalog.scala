@@ -71,6 +71,22 @@ object SketchCatalog {
     */
   val DynamicPruneMaxKeysKey = "spark.graft.sketchPlanning.dynamicPruneMaxKeys"
 
+  /** Audit-store path [[activate]] consults to close the planner
+    * feedback loop ([[PlannerAudit]]): entries whose CMS fingerprint
+    * appears on ≥ [[AuditDemoteAfterKey]] recorded contract-violating
+    * audits are DEMOTED — no reorder / broadcast / skew / semi-order
+    * decisions from them (the runtime-filter pass stays allowed: a
+    * Bloom pre-filter is result-safe, so even a lying artifact can only
+    * cost speed there). Unset = no demotion (the pre-r13 behavior).
+    */
+  val AuditStoreKey = "spark.graft.sketchPlanning.auditStore"
+
+  /** Violating-audit count at or above which an artifact demotes
+    * (default 3 — one bad audit can be a skewed sample of a join the
+    * bound barely misses; three against the SAME bytes is a verdict).
+    */
+  val AuditDemoteAfterKey = "spark.graft.sketchPlanning.auditDemoteAfter"
+
   /** Heaviest-key row fraction at or above which the skew pass salts an
     * un-hinted shuffle join's skewed side (default 0.2 — a key pinning a
     * fifth of the table pins one reducer ~6× over the average at 32
@@ -136,12 +152,24 @@ object SketchCatalog {
     * keys were harvested at different times never exposes a stale (and
     * nondeterministically chosen) n_bytes to the broadcast pass.
     */
-  final class Catalog(val entries: Seq[Entry]) extends Serializable {
+  final class Catalog(val entries: Seq[Entry],
+                      val demoted: Set[(String, String)] = Set.empty)
+      extends Serializable {
     val byTable: Map[String, Entry] = entries.groupBy(_.table).map {
       case (t, es) => t -> es.maxBy(_.nRows)
     }
     val byTableKey: Map[(String, String), Entry] =
       entries.map(e => (e.table, e.key) -> e).toMap
+    /** Tables with ANY demoted key: their table-level stats (n_bytes /
+      * n_rows) were harvested in the same pass as the impugned sketch,
+      * so byte-driven broadcast decisions decline them too.
+      */
+    val demotedTables: Set[String] = demoted.map(_._1)
+    /** Is this entry still allowed to drive reorder/broadcast/skew
+      * decisions? (The runtime-filter pass deliberately does NOT
+      * consult this — a Bloom pre-filter is result-safe.)
+      */
+    def trusted(e: Entry): Boolean = !demoted((e.table, e.key))
   }
 
   private val active = new java.util.concurrent.ConcurrentHashMap[String, Catalog]()
@@ -404,15 +432,43 @@ object SketchCatalog {
     // superseded rows behind; n_rows is monotone for append-only tables
     val latest = entries.groupBy(e => (e.table, e.key)).values
       .map(_.maxBy(_.nRows)).toSeq
-    val cat = new Catalog(latest)
+    val cat = new Catalog(latest, demotions(spark, latest))
     active.put(path, cat)
     spark.conf.set(ConfKey, path)
     cat
   }
 
-  /** Registry entries the spec/test path can plant directly (no files). */
-  def activateEntries(spark: SparkSession, name: String, entries: Seq[Entry]): Catalog = {
-    val cat = new Catalog(entries)
+  /** The audit-feedback loop, closed at activation time: when the
+    * session conf names a [[PlannerAudit]] store, every entry whose CMS
+    * fingerprint has ≥ [[AuditDemoteAfterKey]] recorded contract
+    * violations is demoted from plan decisions (see [[Catalog.trusted]]).
+    * Fingerprint matching means a re-harvest of a changed table (new
+    * bytes) recovers automatically, while re-activating the SAME stale
+    * artifact stays demoted — no human in the loop. The conf is an
+    * explicit opt-in, so an unreadable store fails loudly rather than
+    * silently trusting an artifact its own audits condemned.
+    */
+  private def demotions(spark: SparkSession, entries: Seq[Entry])
+    : Set[(String, String)] =
+    spark.conf.getOption(AuditStoreKey).filter(_.nonEmpty) match {
+      case None => Set.empty
+      case Some(auditPath) =>
+        val k = spark.conf.getOption(AuditDemoteAfterKey).map(_.toInt).getOrElse(3)
+        require(k >= 1, s"$AuditDemoteAfterKey must be >= 1, got $k")
+        val bad = PlannerAudit.demotedFingerprints(spark, auditPath, k)
+        if (bad.isEmpty) Set.empty
+        else entries.iterator
+          .filter(e => bad(PlannerAudit.cmsFingerprint(e.cms)))
+          .map(e => (e.table, e.key)).toSet
+    }
+
+  /** Registry entries the spec/test path can plant directly (no files).
+    * `demoted` plants audit demotions the same way; the file path
+    * ([[activate]]) derives them from the conf-named audit store.
+    */
+  def activateEntries(spark: SparkSession, name: String, entries: Seq[Entry],
+                      demoted: Set[(String, String)] = Set.empty): Catalog = {
+    val cat = new Catalog(entries, demoted)
     active.put(name, cat)
     spark.conf.set(ConfKey, name)
     cat

@@ -125,6 +125,23 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
   private[plans] def entryFor(base: Base, cat: Catalog, a: AttributeReference): Option[Entry] =
     base.colOf.get(a.exprId).flatMap(c => cat.byTableKey.get((base.table, c)))
 
+  /** [[entryFor]] filtered through the audit-demotion set
+    * ([[Catalog.trusted]]): reorder / broadcast / skew / semi-order
+    * decisions must not consume an artifact whose own audits condemned
+    * it. The runtime-filter pass stays on plain [[entryFor]] — a Bloom
+    * pre-filter is result-safe (false positives re-verified by the real
+    * join), so even a demoted artifact can only cost speed there.
+    */
+  private[plans] def trustedEntryFor(base: Base, cat: Catalog,
+                                     a: AttributeReference): Option[Entry] =
+    entryFor(base, cat, a).filter(cat.trusted)
+
+  /** Table-level stats, declined for tables with any demoted key (the
+    * bytes were harvested in the same pass as the impugned sketch).
+    */
+  private def trustedTable(cat: Catalog, table: String): Option[Entry] =
+    if (cat.demotedTables(table)) None else cat.byTable.get(table)
+
   /** Every conjunct is a cross-side attr = attr; returns the (left-side
     * attr, right-side attr) pairs, orientation normalized.
     */
@@ -151,8 +168,8 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
       lb <- resolveBase(left, cat)
       rb <- resolveBase(right, cat)
       (la, ra) = pairs.head
-      le <- entryFor(lb, cat, la)
-      re <- entryFor(rb, cat, ra)
+      le <- trustedEntryFor(lb, cat, la)
+      re <- trustedEntryFor(rb, cat, ra)
       // IllegalArgumentException = geometry/seed mismatch; ArithmeticException
       // = the codec's deliberate exact-arithmetic overflow (totalCounts big
       // enough that cell products pass 2^63 — exactly the 100 TB regime).
@@ -233,7 +250,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
   private def edgeEst(cat: Catalog, leaves: Seq[LogicalPlan], e: Edge): Option[Double] =
     for {
       ab <- resolveBase(leaves(e.a), cat); bb <- resolveBase(leaves(e.b), cat)
-      ae <- entryFor(ab, cat, e.attrA); be <- entryFor(bb, cat, e.attrB)
+      ae <- trustedEntryFor(ab, cat, e.attrA); be <- trustedEntryFor(bb, cat, e.attrB)
       est <- try Some(CmsCodec.innerProduct(
         CmsCodec.parse(ae.cms), CmsCodec.parse(be.cms)).toDouble)
       catch { case ex @ (_: IllegalArgumentException | _: ArithmeticException) =>
@@ -317,7 +334,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
           edges = edgeOpts.take(k - 1).map(_.get)
           ests = edges.indices.map(i => i -> estAt(i).get).toMap
           nRows = leaves.take(k).map(l =>
-            resolveBase(l, cat).flatMap(b => cat.byTable.get(b.table))
+            resolveBase(l, cat).flatMap(b => trustedTable(cat, b.table))
               .map(_.nRows.toDouble).getOrElse(1.0))
           // cost of the ORIGINAL prefix order under the same model:
           // conds(i) attaches leaf i+1, selectivity from its edge
@@ -393,7 +410,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
       pairs <- equiPairs(cond, base, r)
       (la, ra) = pairs.head
       bb <- resolveBase(base, cat); rb <- resolveBase(r, cat)
-      le <- entryFor(bb, cat, la); re <- entryFor(rb, cat, ra)
+      le <- trustedEntryFor(bb, cat, la); re <- trustedEntryFor(rb, cat, ra)
       overlap <- SketchCatalog.hllKeyOverlap(le, re)
       frac = math.min(1.0, overlap / math.max(1.0, le.distinctEst))
     } yield if (jt == LeftSemi) frac else 1.0 - frac
@@ -470,7 +487,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
   private[plans] def filterRowBound(cond: Expression, base: Base, cat: Catalog): Option[Long] = {
     def point(a: AttributeReference, v: Any, dt: DataType): Option[Long] =
       (for {
-        e <- entryFor(base, cat, a)
+        e <- trustedEntryFor(base, cat, a)
         s <- litString(v, dt)
       } yield e -> s).flatMap { case (e, s) =>
         try Some(cmsPointBound(e, s))
@@ -514,8 +531,8 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
       for {
         pairs <- equiPairs(cond, l, r)
         rows <- estJoinRows(cat, l, r, pairs)
-        lb <- resolveBase(l, cat); le <- cat.byTable.get(lb.table)
-        rb <- resolveBase(r, cat); re <- cat.byTable.get(rb.table)
+        lb <- resolveBase(l, cat); le <- trustedTable(cat, lb.table)
+        rb <- resolveBase(r, cat); re <- trustedTable(cat, rb.table)
         perRow = math.max(1L, le.nBytes / math.max(1L, le.nRows)) +
           math.max(1L, re.nBytes / math.max(1L, re.nRows))
       } yield satBytes(rows, perRow)
@@ -524,7 +541,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
       val full = estBytes(child, cat)
       val refined = for {
         base <- resolveBase(child, cat)
-        e <- cat.byTable.get(base.table)
+        e <- trustedTable(cat, base.table)
         rows <- filterRowBound(cond, base, cat)
       } yield satBytes(rows, math.max(1L, e.nBytes / math.max(1L, e.nRows)))
       (refined, full) match {
@@ -533,7 +550,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
       }
     case SubqueryAlias(_, child) => estBytes(child, cat)
     case other =>
-      resolveBase(other, cat).flatMap(b => cat.byTable.get(b.table)).map(_.nBytes)
+      resolveBase(other, cat).flatMap(b => trustedTable(cat, b.table)).map(_.nBytes)
   }
 
   private def broadcastPass(plan: LogicalPlan, cat: Catalog): LogicalPlan =
@@ -637,7 +654,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
           pairs <- equiPairs(cond, l, r)
           (la, ra) = pairs.head
           lb <- resolveBase(l, cat); rb <- resolveBase(r, cat)
-          le <- entryFor(lb, cat, la); re <- entryFor(rb, cat, ra)
+          le <- trustedEntryFor(lb, cat, la); re <- trustedEntryFor(rb, cat, ra)
           lf = heavyFrac(le); rf = heavyFrac(re)
           thr = skewFraction
           if lf >= thr || rf >= thr

@@ -2671,6 +2671,47 @@ object Oracles {
         |  true AS dynamic_files_pruned
         |FROM f""".stripMargin,
 
+    // Star-reorder gate: the three dims replay as derivations over the
+    // fact's own distinct keys (hot = users x4, med = even users, sel =
+    // users % 16 = 0), so the star join is exactly replayable; the plan
+    // facts (naive control keeps the worst-first written order, activated
+    // run attaches most-selective-first) ride as pinned booleans probed
+    // from forced physical plans.
+    "q24_planned_star" ->
+      """WITH u AS (SELECT DISTINCT user_id AS k FROM events),
+        |hot AS (SELECT k AS h_key, CAST(r AS BIGINT) AS h_w
+        |        FROM u CROSS JOIN (VALUES (1),(2),(3),(4)) t(r)),
+        |med AS (SELECT k AS m_key FROM u WHERE k % 2 = 0),
+        |sel AS (SELECT k AS s_key, (k // 16) % 4 AS s_grp FROM u WHERE k % 16 = 0),
+        |j AS (SELECT s.s_grp, f.value, h.h_w FROM events f
+        |  JOIN hot h ON f.user_id = h.h_key
+        |  JOIN med m ON f.user_id = m.m_key
+        |  JOIN sel s ON f.user_id = s.s_key)
+        |SELECT s_grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(h_w) AS BIGINT) AS sum_w,
+        |  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_value,
+        |  true AS naive_written_order, true AS artifact_selective_first
+        |FROM j GROUP BY s_grp ORDER BY s_grp""".stripMargin,
+
+    // Audit-demotion gate: the good-first chain's revenue replays as the
+    // plain three-table join (demotion must be invisible to results);
+    // the loop facts (3 recorded contract violations, poisoned artifact
+    // flipping the plan fact-first, demoted activation keeping the good
+    // written order, fingerprint-keyed recovery of the re-harvested
+    // customer sketch) ride as pinned booleans probed from forced plans
+    // and the activation registry.
+    "x6_audit_demotion" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue,
+        |  true AS audit_violations, true AS poisoned_flipped,
+        |  true AS demoted_kept_order, true AS customer_recovered
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q17_planned_scan" ->
       """WITH base AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events),

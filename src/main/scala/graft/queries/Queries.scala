@@ -4209,6 +4209,219 @@ object Queries {
       lit(filesPruned).as("dynamic_files_pruned"))
   }
 
+  /** Star-schema fixture for [[q24PlannedStar]], built once per JVM per
+    * sf dir: three dims of wildly different join selectivity over the
+    * SAME fact key (events.user_id) — hot: every distinct user ×4
+    * (est 4·|fact|), med: users with even ids (est |fact|/2), sel: users
+    * divisible by 16 (est |fact|/16) — plus a planning catalog over all
+    * four key columns.
+    */
+  private val q24Paths = new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String)]()
+  private def q24Fixture(spark: SparkSession, dir: String): (String, String, String, String) =
+    q24Paths.computeIfAbsent(dir, { _ =>
+      import graft.ops.SketchCatalog
+      val users = t(spark, dir, "events").select(col("user_id")).distinct()
+      val hotPath = scratch(dir, "q24_hot")
+      users.crossJoin(spark.range(1L, 5L).select(col("id").as("h_w")))
+        .select(col("user_id").as("h_key"), col("h_w"))
+        .write.mode("overwrite").parquet(hotPath)
+      val medPath = scratch(dir, "q24_med")
+      users.where(col("user_id") % 2 === 0)
+        .select(col("user_id").as("m_key"))
+        .write.mode("overwrite").parquet(medPath)
+      val selPath = scratch(dir, "q24_sel")
+      users.where(col("user_id") % 16 === 0)
+        .select(col("user_id").as("s_key"),
+          expr("(user_id div 16) % 4").as("s_grp"))
+        .write.mode("overwrite").parquet(selPath)
+      val cat = SketchCatalog.harvest(spark, s"$dir/events.parquet", Seq("user_id"))
+        .unionByName(SketchCatalog.harvest(spark, hotPath, Seq("h_key")))
+        .unionByName(SketchCatalog.harvest(spark, medPath, Seq("m_key")))
+        .unionByName(SketchCatalog.harvest(spark, selPath, Seq("s_key")))
+      val catPath = scratch(dir, "q24_catalog")
+      SketchCatalog.save(cat, catPath)
+      (hotPath, medPath, selPath, catPath)
+    })
+
+  /** Q24: STAR-schema reorder — pass 1 on the fact ⋈ {dim_i} shape: all
+    * three edges hang off the SAME fact key, so the dims commute freely
+    * and the only question is attach order. Written worst-first
+    * (hot ×4 fan-out, then med 1/2, then sel 1/16); with the catalog
+    * active the greedy Selinger pass must rebuild the star
+    * most-selective-first — sel at the bottom against the fact, hot
+    * attached last — because each dim's CMS edge estimate prices its
+    * fan-out (4·|F| vs |F|/16) where file sizes see three similar dims.
+    * Both structural facts (naive control keeps written order; activated
+    * bottom join touches sel and not hot/med, hot on top) are probed from
+    * forced physical plans and ride the hash gate as pinned booleans;
+    * the aggregate is the plain-join twin (reordering must be invisible
+    * to results).
+    */
+  private def q24PlannedStar(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchCatalog
+    val (hotPath, medPath, selPath, catPath) = q24Fixture(spark, dir)
+    def star(): DataFrame = {
+      val f = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("value"))
+      f.join(spark.read.parquet(hotPath), col("user_id") === col("h_key"))
+        .join(spark.read.parquet(medPath), col("user_id") === col("m_key"))
+        .join(spark.read.parquet(selPath), col("user_id") === col("s_key"))
+        .groupBy("s_grp")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h_w")).as("sum_w"),
+          decSum(round(col("value"), 6), 18, 6).as("sum_value"))
+    }
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBb = spark.conf.getOption(SketchCatalog.BroadcastBytesKey)
+    val (naiveWritten, selectiveFirst) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(SketchCatalog.BroadcastBytesKey, "0")
+      SketchCatalog.deactivate(spark)
+      val naive = physicalJoins(star())
+      SketchCatalog.activate(spark, catPath)
+      val planned = physicalJoins(star())
+      val bottom = planned.lastOption.toSeq.flatMap(planScans)
+      val mid = if (planned.size == 3) planScans(planned(1)) else Nil
+      (naive.size == 3 &&
+        naive.lastOption.toSeq.flatMap(planScans).exists(_.contains("q24_hot")),
+        planned.size == 3 &&
+          bottom.exists(_.contains("q24_sel")) &&
+          !bottom.exists(s => s.contains("q24_hot") || s.contains("q24_med")) &&
+          mid.nonEmpty && !mid.exists(_.contains("q24_hot")))
+    } finally {
+      SketchCatalog.deactivate(spark)
+      prevBb match {
+        case Some(v) => spark.conf.set(SketchCatalog.BroadcastBytesKey, v)
+        case None    => spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    star()
+      .select(col("s_grp"), col("n_rows"), col("sum_w"), col("sum_value"),
+        lit(naiveWritten).as("naive_written_order"),
+        lit(selectiveFirst).as("artifact_selective_first"))
+      .orderBy("s_grp")
+  }
+
+  /** Poisoned-catalog + audit-store fixture for [[x6AuditDemotion]],
+    * built once per JVM per sf dir: the q15 catalog with the CUSTOMER
+    * key's CMS swapped for a sketch of the same keys replicated ×64
+    * (a 64× overcounting artifact — ×64 because the flip condition is
+    * est'(o⋈c) > est(o⋈l) and the honest o⋈l estimate carries CMS noise
+    * ≈ ε·N_o·N_l that grows with scale²; multiplying the honest o⋈c
+    * ESTIMATE (noise included) by 64 keeps a ≥3× margin at every sf — the stale-sketch signature: honest
+    * n_rows/n_bytes/hll, lying counts), plus three recorded
+    * [[graft.ops.PlannerAudit]] executions of the orders ⋈ customer join
+    * against it — each violating `overcount_bounded` (est ≈ 64×actual,
+    * far past the ε·n_a·n_b slack).
+    */
+  private val x6DemotePaths = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def x6DemoteFixture(spark: SparkSession, dir: String): (String, String) =
+    x6DemotePaths.computeIfAbsent(dir, { _ =>
+      import graft.ops.{PlannerAudit, SketchCatalog}
+      val fatPath = scratch(dir, "x6_demote_fat")
+      spark.read.parquet(s"$dir/customer.parquet").select(col("c_custkey"))
+        .crossJoin(spark.range(64))
+        .select(col("c_custkey"))
+        .write.mode("overwrite").parquet(fatPath)
+      val fatCms = SketchCatalog.harvest(spark, fatPath, Seq("c_custkey"))
+        .select(col("cms")).head().getAs[Array[Byte]](0)
+      val poisonedPath = scratch(dir, "x6_demote_catalog")
+      SketchCatalog.save(
+        spark.read.parquet(q15Catalog(spark, dir))
+          .withColumn("cms",
+            when(col("key") === "c_custkey", lit(fatCms)).otherwise(col("cms"))),
+        poisonedPath)
+      val pcat = SketchCatalog.activate(spark, poisonedPath)
+      SketchCatalog.deactivate(spark)
+      val auditPath = scratch(dir, "x6_demote_audit")
+      val rows = (1 to 3).map { _ =>
+        PlannerAudit.auditEquiJoin(spark, pcat, s"$dir/orders.parquet",
+          "o_custkey", s"$dir/customer.parquet", "c_custkey")
+      }
+      PlannerAudit.record(spark, auditPath, rows, append = false)
+      (poisonedPath, auditPath)
+    })
+
+  /** X6ad: the planner-audit FEEDBACK loop closed —
+    * [[graft.ops.SketchCatalog.activate]] consulting the recorded
+    * [[graft.ops.PlannerAudit]] store: an artifact whose CMS fingerprint
+    * sits on ≥ 3 contract-violating audits is DEMOTED from reorder/
+    * broadcast/skew decisions (runtime filters stay allowed — they are
+    * result-safe). The fixture chain is written GOOD-first
+    * (orders ⋈ customer, then lineitem): the honest catalog leaves it
+    * alone; the poisoned ×64 customer sketch flips it fact-first (a
+    * genuinely worse plan chosen by a lying artifact — the failure mode
+    * the loop exists to stop); with the audit store named in the session
+    * conf the SAME poisoned activation is demoted and the good written
+    * order survives. Recovery is fingerprint-keyed: activating the
+    * honest catalog against the same store exonerates the re-harvested
+    * customer sketch (new bytes, clean record) while the o_custkey
+    * sketch that participated in every bad estimate stays conservatively
+    * demoted. All four facts are probed from forced physical plans /
+    * the activation registry and ride the hash gate as pinned booleans;
+    * the revenue aggregate is computed DURING the demoted activation
+    * (demotion must be invisible to results).
+    */
+  private def x6AuditDemotion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{PlannerAudit, SketchCatalog}
+    def chain(): DataFrame = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 4)
+          .as("revenue"))
+    def bottomHasLineitem(df: DataFrame): Boolean =
+      physicalJoins(df).lastOption.toSeq.flatMap(planScans)
+        .exists(_.contains("lineitem"))
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBb = spark.conf.getOption(SketchCatalog.BroadcastBytesKey)
+    val prevAudit = spark.conf.getOption(SketchCatalog.AuditStoreKey)
+    spark.conf.unset(SketchCatalog.AuditStoreKey) // fixture builds un-audited
+    val (poisonedPath, auditPath) = x6DemoteFixture(spark, dir)
+    val (violations, poisonedFlipped, demotedKept, customerRecovered, row) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(SketchCatalog.BroadcastBytesKey, "0")
+      SketchCatalog.deactivate(spark)
+      val nViol = PlannerAudit.report(spark, auditPath)
+        .where(!col("overcount_bounded")).count()
+      SketchCatalog.activate(spark, poisonedPath)
+      val flipped = bottomHasLineitem(chain())
+      spark.conf.set(SketchCatalog.AuditStoreKey, auditPath)
+      val demotedCat = SketchCatalog.activate(spark, poisonedPath)
+      val kept = !bottomHasLineitem(chain()) &&
+        demotedCat.demoted.exists(_._2 == "c_custkey")
+      val r = chain().orderBy("o_orderpriority").collect()
+      val honestCat = SketchCatalog.activate(spark, q15Catalog(spark, dir))
+      val recovered = !honestCat.demoted.exists(_._2 == "c_custkey") &&
+        honestCat.demoted.exists(_._2 == "o_custkey")
+      (nViol >= 3L, flipped, kept, recovered, r)
+    } finally {
+      SketchCatalog.deactivate(spark)
+      prevAudit match {
+        case Some(v) => spark.conf.set(SketchCatalog.AuditStoreKey, v)
+        case None    => spark.conf.unset(SketchCatalog.AuditStoreKey)
+      }
+      prevBb match {
+        case Some(v) => spark.conf.set(SketchCatalog.BroadcastBytesKey, v)
+        case None    => spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    import spark.implicits._
+    row.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.toDF("o_orderpriority", "n_items", "revenue")
+      .select(col("o_orderpriority"), col("n_items"), col("revenue"),
+        lit(violations).as("audit_violations"),
+        lit(poisonedFlipped).as("poisoned_flipped"),
+        lit(demotedKept).as("demoted_kept_order"),
+        lit(customerRecovered).as("customer_recovered"))
+      .orderBy("o_orderpriority")
+  }
+
   /** X8: the COMPOSED curation pipeline — what a user of this library
     * actually runs end to end over a raw corpus: quality/language clean +
     * exact dedup (x6) → benchmark decontamination (x7d; benchmark =
@@ -4859,6 +5072,8 @@ object Queries {
     "q21_planned_point" -> (q21PlannedPoint _),
     "q22_pruned_broadcast" -> (q22PrunedBroadcast _),
     "q23_dynamic_prune" -> (q23DynamicPrune _),
+    "x6_audit_demotion" -> (x6AuditDemotion _),
+    "q24_planned_star" -> (q24PlannedStar _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),

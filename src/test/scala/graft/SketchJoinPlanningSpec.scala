@@ -514,4 +514,118 @@ class SketchJoinPlanningSpec extends SparkSpec {
       } finally SketchCatalog.deactivate(spark)
     }
   }
+
+  test("planted demotions decline plan decisions; runtime filter survives") {
+    import org.apache.spark.sql.execution.FilterExec
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val path = harvestAll()
+      SketchCatalog.deactivate(spark)
+      val plainRows = joinFrame().collect().toSeq
+      val cat = SketchCatalog.activate(spark, path)
+      // control: the artifact broadcasts the join
+      assert(physicalJoins(joinFrame()).exists(_.isInstanceOf[BroadcastHashJoinExec]))
+      // demote both sides' keys: the broadcast pass must decline their
+      // table stats and the join falls back to sort-merge — results
+      // untouched (demoting only one side would just flip the broadcast
+      // to the other tiny table, which is correct and uninteresting)
+      val dimTable = SketchCatalog.normalizePath(spark, s"$dir/dim.parquet")
+      val factTable = SketchCatalog.normalizePath(spark, s"$dir/fact.parquet")
+      SketchCatalog.activateEntries(spark, "demoted", cat.entries,
+        demoted = Set((dimTable, "d_key"), (factTable, "f_key")))
+      assert(physicalJoins(joinFrame()).forall(_.isInstanceOf[SortMergeJoinExec]),
+        "a demoted artifact must not drive a broadcast")
+      assert(joinFrame().collect().toSeq == plainRows)
+      // the runtime filter is result-safe and deliberately IGNORES
+      // demotion: the selective big⋈hot join still gets its Bloom with
+      // both entries demoted
+      def bloomFilters(df: DataFrame): Seq[FilterExec] = {
+        val root = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p                        => p
+        }
+        root.collect {
+          case f: FilterExec
+              if f.condition.exists(_.isInstanceOf[graft.functions.BloomContains]) => f
+        }
+      }
+      def joinBigHot(): DataFrame =
+        spark.read.parquet(s"$dir/big.parquet")
+          .join(spark.read.parquet(s"$dir/hot.parquet"),
+            col("b_key") === col("h_key"))
+          .groupBy("h_tag").agg(count(lit(1)).as("n"), sum("b_id").as("s"))
+          .orderBy("h_tag")
+      withSQLConf(SketchCatalog.BroadcastBytesKey -> "0") {
+        val rfCat = SketchCatalog.harvest(spark, s"$dir/big.parquet", Seq("b_key"))
+          .unionByName(SketchCatalog.harvest(spark, s"$dir/hot.parquet", Seq("h_key")))
+        SketchCatalog.save(rfCat, s"$dir/rf_demoted_catalog")
+        val loaded = SketchCatalog.activate(spark, s"$dir/rf_demoted_catalog")
+        SketchCatalog.activateEntries(spark, "rf_demoted", loaded.entries,
+          demoted = loaded.entries.map(e => (e.table, e.key)).toSet)
+        val plainBigHot = {
+          SketchCatalog.deactivate(spark)
+          joinBigHot().collect().toSeq
+        }
+        spark.conf.set(SketchCatalog.ConfKey, "rf_demoted")
+        assert(bloomFilters(joinBigHot()).size == 1,
+          "runtime filter must survive demotion (result-safe)")
+        assert(joinBigHot().collect().toSeq == plainBigHot)
+      }
+      SketchCatalog.deactivate(spark)
+    }
+  }
+
+  test("audit store demotes the poisoned artifact at activate; fingerprint recovery") {
+    import graft.ops.PlannerAudit
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val honestPath = harvestAll()
+      // poisoned catalog: the dim key's CMS swapped for a x16-replicated
+      // harvest (honest n_rows/bytes, 16x-lying counts — the stale sketch)
+      import spark.implicits._
+      spark.read.parquet(s"$dir/dim.parquet").select(col("d_key"))
+        .crossJoin(spark.range(16)).select(col("d_key"))
+        .write.mode("overwrite").parquet(s"$dir/fatdim.parquet")
+      val fatCms = SketchCatalog.harvest(spark, s"$dir/fatdim.parquet", Seq("d_key"))
+        .select(col("cms")).head().getAs[Array[Byte]](0)
+      val poisonedPath = s"$dir/catalog_poisoned"
+      SketchCatalog.save(
+        spark.read.parquet(honestPath).withColumn("cms",
+          when(col("key") === "d_key", lit(fatCms)).otherwise(col("cms"))),
+        poisonedPath)
+      spark.conf.unset(SketchCatalog.AuditStoreKey)
+      val pcat = SketchCatalog.activate(spark, poisonedPath)
+      SketchCatalog.deactivate(spark)
+      // three real audited executions of fact ⋈ dim against the poisoned
+      // artifact: est ~16x actual, far past the eps*na*nb slack
+      val auditPath = s"$dir/audit_store"
+      PlannerAudit.record(spark, auditPath, (1 to 3).map { _ =>
+        PlannerAudit.auditEquiJoin(spark, pcat, s"$dir/fact.parquet", "f_key",
+          s"$dir/dim.parquet", "d_key")
+      }, append = false)
+      assert(PlannerAudit.report(spark, auditPath)
+        .where(!col("overcount_bounded")).count() == 3L)
+      try {
+        spark.conf.set(SketchCatalog.AuditStoreKey, auditPath)
+        val demotedCat = SketchCatalog.activate(spark, poisonedPath)
+        val dimTable = SketchCatalog.normalizePath(spark, s"$dir/dim.parquet")
+        val factTable = SketchCatalog.normalizePath(spark, s"$dir/fact.parquet")
+        assert(demotedCat.demoted((dimTable, "d_key")),
+          "the poisoned sketch must demote")
+        // demoted: no broadcast from the condemned artifact; parity holds
+        SketchCatalog.deactivate(spark)
+        val plainRows = joinFrame().collect().toSeq
+        SketchCatalog.activate(spark, poisonedPath)
+        assert(physicalJoins(joinFrame()).forall(_.isInstanceOf[SortMergeJoinExec]))
+        assert(joinFrame().collect().toSeq == plainRows)
+        // recovery is fingerprint-keyed: the honest (re-harvested) dim
+        // sketch has a clean record and trusts again — while the fact
+        // sketch that participated in every bad estimate stays demoted
+        val honestCat = SketchCatalog.activate(spark, honestPath)
+        assert(!honestCat.demoted((dimTable, "d_key")),
+          "re-harvested bytes must recover")
+        assert(honestCat.demoted((factTable, "f_key")),
+          "the co-audited sketch stays conservatively demoted")
+        SketchCatalog.deactivate(spark)
+      } finally spark.conf.unset(SketchCatalog.AuditStoreKey)
+    }
+  }
 }
