@@ -97,20 +97,11 @@ object DataSkipping {
     statsManifestFiles(spark, listDataFiles(spark, dir),
       spark.read.parquet(dir).schema, cols)
 
-  /** [[statsManifest]] over an EXPLICIT file list — the incremental
-    * maintenance path: after an append, harvest footers for the NEW
-    * files only and union with the stored manifest; per-file rows are
-    * independent, so incremental ≡ full rebuild row-for-row (the
-    * `x9_manifest_incremental` gate) and history is never re-listed at
-    * manifest-build cost (the a2_incremental_rollup discipline applied
-    * to table METADATA).
+  /** Manifest kinds resolved from the table schema (shared by the file
+    * and row-group builders — ONE definition of what is manifest-able).
     */
-  def statsManifestFiles(spark: SparkSession, files: Seq[String],
-                         schema: StructType, cols: Seq[String]): DataFrame = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-
-    val typed: Seq[(String, DataType)] = cols.map { c =>
+  private def typedCols(schema: StructType, cols: Seq[String]): Seq[(String, DataType)] =
+    cols.map { c =>
       schema(c).dataType match {
         case LongType | IntegerType | ShortType | ByteType => (c, LongType)
         case DoubleType | FloatType                        => (c, DoubleType)
@@ -124,230 +115,413 @@ object DataSkipping {
             "(integral, floating, string, timestamp, date and decimal columns only)")
       }
     }
+
+  // string stats live in BYTE space end to end: parquet orders UTF8
+  // stats by unsigned lexicographic bytes — the SAME order Spark's
+  // UTF8String comparisons use — while Java String.compareTo orders
+  // by UTF-16 code unit (diverges above the BMP), so min-of-mins /
+  // max-of-maxs must compare the raw bytes, not decoded Strings.
+  // Truncated stats stay sound by parquet's own contract: a
+  // truncated min is a PREFIX (≤ true min, valid lower bound) and a
+  // truncated max is byte-incremented (≥ true max, valid upper
+  // bound) — candidate selection only widens.
+  private def ucmp(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
+  // timestamp chunk bounds normalized to MICROS (the unit both
+  // Spark timestamp types carry internally), read honestly from
+  // the chunk's own logical annotation: MILLIS scale exactly,
+  // NANOS floor the min / ceil the max (a widened interval is a
+  // sound bound; a truncated one is not). INT96 — the deprecated
+  // encoding with undefined stats ordering — and any non-timestamp
+  // annotation degrade to unknown, never to a guess.
+  private def tsMicrosBounds(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      lo: Long, hi: Long): Option[(Long, Long)] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val pt = cc.getPrimitiveType
+    if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT64) None
+    else pt.getLogicalTypeAnnotation match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            Some((Math.multiplyExact(lo, 1000L), Math.multiplyExact(hi, 1000L)))
+          case LogicalTypeAnnotation.TimeUnit.MICROS => Some((lo, hi))
+          case LogicalTypeAnnotation.TimeUnit.NANOS =>
+            Some((Math.floorDiv(lo, 1000L), -Math.floorDiv(-hi, 1000L)))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  private def isDateChunk(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val pt = cc.getPrimitiveType
+    pt.getPrimitiveTypeName == PrimitiveTypeName.INT32 &&
+      pt.getLogicalTypeAnnotation
+        .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+  }
+
+  // DECIMAL chunk bounds as exact unscaled values at the TABLE
+  // schema's scale, honestly per encoding: INT32/INT64 carry the
+  // unscaled long directly, FLBA/BINARY the big-endian
+  // two's-complement unscaled integer (the comparator parquet-mr
+  // defines for decimal stats is SIGNED, matching). A chunk whose
+  // own decimal annotation disagrees with the declared scale, or
+  // whose precision exceeds it, degrades to unknown — a rescaled
+  // bound would be a guess, and skipping must be sound, never
+  // lucky.
+  private def decBounds(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      dt: DecimalType): Option[(java.math.BigDecimal, java.math.BigDecimal)] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val pt = cc.getPrimitiveType
+    pt.getLogicalTypeAnnotation match {
+      case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+          if a.getScale == dt.scale && a.getPrecision <= dt.precision =>
+        val st = cc.getStatistics
+        pt.getPrimitiveTypeName match {
+          case INT32 | INT64 =>
+            val lo = st.genericGetMin.asInstanceOf[Number].longValue()
+            val hi = st.genericGetMax.asInstanceOf[Number].longValue()
+            Some((java.math.BigDecimal.valueOf(lo, a.getScale),
+              java.math.BigDecimal.valueOf(hi, a.getScale)))
+          case FIXED_LEN_BYTE_ARRAY | BINARY =>
+            val lo = new java.math.BigInteger(st.genericGetMin
+              .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+            val hi = new java.math.BigInteger(st.genericGetMax
+              .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+            Some((new java.math.BigDecimal(lo, a.getScale),
+              new java.math.BigDecimal(hi, a.getScale)))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** One column chunk's (min, max, nulls, statsKnown) in the manifest's
+    * internal representation (Long / Double / Array[Byte] / BigDecimal
+    * per kind; min/max null for an all-null chunk). `None` for the
+    * chunk = absent column — unknown, never a guess. Shared by the
+    * file-grain fold and the per-row-group rows, so the honesty rules
+    * (missing stats, all-null counts, annotation mismatches) cannot
+    * diverge between the two grains.
+    */
+  private def chunkStat(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      kind: DataType): (Any, Any, Long, Boolean) = {
+    val st = cc.getStatistics
+    if (st == null || !st.isNumNullsSet) (null, null, 0L, false)
+    else if (st.getNumNulls == cc.getValueCount)
+      (null, null, st.getNumNulls, true) // all-null chunk: count exact
+    else if (!st.hasNonNullValue)
+      (null, null, st.getNumNulls, false) // values exist, stats don't
+    else kind match {
+      case LongType =>
+        (st.genericGetMin.asInstanceOf[Number].longValue(),
+          st.genericGetMax.asInstanceOf[Number].longValue(), st.getNumNulls, true)
+      case DoubleType =>
+        (st.genericGetMin.asInstanceOf[Number].doubleValue(),
+          st.genericGetMax.asInstanceOf[Number].doubleValue(), st.getNumNulls, true)
+      case TimestampType | TimestampNTZType =>
+        tsMicrosBounds(cc,
+          st.genericGetMin.asInstanceOf[Number].longValue(),
+          st.genericGetMax.asInstanceOf[Number].longValue()) match {
+          case None           => (null, null, st.getNumNulls, false)
+          case Some((lo, hi)) => (lo, hi, st.getNumNulls, true)
+        }
+      case DateType =>
+        if (!isDateChunk(cc)) (null, null, st.getNumNulls, false)
+        else (st.genericGetMin.asInstanceOf[Number].longValue(),
+          st.genericGetMax.asInstanceOf[Number].longValue(), st.getNumNulls, true)
+      case dt: DecimalType =>
+        decBounds(cc, dt) match {
+          case None           => (null, null, st.getNumNulls, false)
+          case Some((lo, hi)) => (lo, hi, st.getNumNulls, true)
+        }
+      case _ => // StringType: byte-space bounds
+        (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+          st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+          st.getNumNulls, true)
+    }
+  }
+
+  /** Merge a chunk's stat into a running accumulator of the same kind:
+    * min-of-mins / max-of-maxs / sum nulls / AND statsKnown.
+    */
+  private def mergeStat(kind: DataType, acc: (Any, Any, Long, Boolean),
+                        add: (Any, Any, Long, Boolean)): (Any, Any, Long, Boolean) = {
+    val (mn, mx, nu, ok) = acc
+    val (lo, hi, anu, aok) = add
+    val nulls = nu + anu
+    val known = ok && aok
+    if (lo == null) (mn, mx, nulls, known)
+    else {
+      val nmn: Any =
+        if (mn == null) lo
+        else kind match {
+          case LongType | TimestampType | TimestampNTZType | DateType =>
+            math.min(mn.asInstanceOf[Long], lo.asInstanceOf[Long])
+          case DoubleType => math.min(mn.asInstanceOf[Double], lo.asInstanceOf[Double])
+          case _: DecimalType =>
+            if (lo.asInstanceOf[java.math.BigDecimal]
+                .compareTo(mn.asInstanceOf[java.math.BigDecimal]) < 0) lo else mn
+          case _ =>
+            if (ucmp(lo.asInstanceOf[Array[Byte]], mn.asInstanceOf[Array[Byte]]) < 0) lo else mn
+        }
+      val nmx: Any =
+        if (mx == null) hi
+        else kind match {
+          case LongType | TimestampType | TimestampNTZType | DateType =>
+            math.max(mx.asInstanceOf[Long], hi.asInstanceOf[Long])
+          case DoubleType => math.max(mx.asInstanceOf[Double], hi.asInstanceOf[Double])
+          case _: DecimalType =>
+            if (hi.asInstanceOf[java.math.BigDecimal]
+                .compareTo(mx.asInstanceOf[java.math.BigDecimal]) > 0) hi else mx
+          case _ =>
+            if (ucmp(hi.asInstanceOf[Array[Byte]], mx.asInstanceOf[Array[Byte]]) > 0) hi else mx
+        }
+      (nmn, nmx, nulls, known)
+    }
+  }
+
+  /** One column's accumulated stat formatted for the output Row:
+    * (min, max, nulls) in manifest-schema types, all-null triple when
+    * stats are unknown. String bounds must round-trip UTF-8 exactly —
+    * an incremented truncated max can land outside valid UTF-8, and
+    * decoding with replacement chars could REORDER it below the true
+    * max (EF BF BD sorts under high bytes) — unsound — so a
+    * non-round-tripping bound degrades to unknown (sound, never lucky).
+    */
+  private def formatStat(kind: DataType, s: (Any, Any, Long, Boolean)): Seq[Any] = {
+    val (mn, mx, nu, ok) = s
+    def usMicros(v: Any): java.time.Instant = {
+      val us = v.asInstanceOf[Long]
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L)
+    }
+    if (!ok) Seq(null, null, null)
+    else if (mn == null) Seq(mn, mx, nu)
+    else if (kind == TimestampType) Seq(usMicros(mn), usMicros(mx), nu)
+    else if (kind == TimestampNTZType)
+      Seq(java.time.LocalDateTime.ofInstant(usMicros(mn), java.time.ZoneOffset.UTC),
+        java.time.LocalDateTime.ofInstant(usMicros(mx), java.time.ZoneOffset.UTC), nu)
+    else if (kind == DateType)
+      Seq(java.time.LocalDate.ofEpochDay(mn.asInstanceOf[Long]),
+        java.time.LocalDate.ofEpochDay(mx.asInstanceOf[Long]), nu)
+    else if (kind != StringType) Seq(mn, mx, nu)
+    else {
+      val cs = java.nio.charset.StandardCharsets.UTF_8
+      val mnB = mn.asInstanceOf[Array[Byte]]
+      val mxB = mx.asInstanceOf[Array[Byte]]
+      val mnS = new String(mnB, cs); val mxS = new String(mxB, cs)
+      if (java.util.Arrays.equals(mnS.getBytes(cs), mnB) &&
+          java.util.Arrays.equals(mxS.getBytes(cs), mxB))
+        Seq(mnS, mxS, nu)
+      else Seq(null, null, null)
+    }
+  }
+
+  /** Per-block stat array for the requested columns (absent column →
+    * unknown).
+    */
+  private def blockStats(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+                         typed: Seq[(String, DataType)]): Array[(Any, Any, Long, Boolean)] = {
+    val byName = {
+      val m = scala.collection.mutable.HashMap
+        .empty[String, org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]
+      val ci = b.getColumns.iterator()
+      while (ci.hasNext) { val cc = ci.next(); m(cc.getPath.toDotString) = cc }
+      m
+    }
+    typed.map { case (c, kind) =>
+      byName.get(c) match {
+        case Some(cc) => chunkStat(cc, kind)
+        case None     => (null: Any, null: Any, 0L, false)
+      }
+    }.toArray
+  }
+
+  /** [[statsManifest]] over an EXPLICIT file list — the incremental
+    * maintenance path: after an append, harvest footers for the NEW
+    * files only and union with the stored manifest; per-file rows are
+    * independent, so incremental ≡ full rebuild row-for-row (the
+    * `x9_manifest_incremental` gate) and history is never re-listed at
+    * manifest-build cost (the a2_incremental_rollup discipline applied
+    * to table METADATA).
+    */
+  def statsManifestFiles(spark: SparkSession, files: Seq[String],
+                         schema: StructType, cols: Seq[String]): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val typed = typedCols(schema, cols)
     val out = manifestSchema(typed)
     val bag = new ConfBag(spark.sessionState.newHadoopConf())
     val parallelism = math.max(1, math.min(files.size, 32))
-
     val rows = spark.sparkContext
       .parallelize(files, parallelism)
       .mapPartitions { paths =>
         val conf = bag.value
-        // string stats live in BYTE space end to end: parquet orders UTF8
-        // stats by unsigned lexicographic bytes — the SAME order Spark's
-        // UTF8String comparisons use — while Java String.compareTo orders
-        // by UTF-16 code unit (diverges above the BMP), so min-of-mins /
-        // max-of-maxs must compare the raw bytes, not decoded Strings.
-        // Truncated stats stay sound by parquet's own contract: a
-        // truncated min is a PREFIX (≤ true min, valid lower bound) and a
-        // truncated max is byte-incremented (≥ true max, valid upper
-        // bound) — candidate selection only widens.
-        def ucmp(a: Array[Byte], b: Array[Byte]): Int =
-          java.util.Arrays.compareUnsigned(a, b)
-        // timestamp chunk bounds normalized to MICROS (the unit both
-        // Spark timestamp types carry internally), read honestly from
-        // the chunk's own logical annotation: MILLIS scale exactly,
-        // NANOS floor the min / ceil the max (a widened interval is a
-        // sound bound; a truncated one is not). INT96 — the deprecated
-        // encoding with undefined stats ordering — and any non-timestamp
-        // annotation degrade to unknown, never to a guess.
-        def tsMicrosBounds(
-            cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
-            lo: Long, hi: Long): Option[(Long, Long)] = {
-          import org.apache.parquet.schema.LogicalTypeAnnotation
-          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-          val pt = cc.getPrimitiveType
-          if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT64) None
-          else pt.getLogicalTypeAnnotation match {
-            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-              t.getUnit match {
-                case LogicalTypeAnnotation.TimeUnit.MILLIS =>
-                  Some((Math.multiplyExact(lo, 1000L), Math.multiplyExact(hi, 1000L)))
-                case LogicalTypeAnnotation.TimeUnit.MICROS => Some((lo, hi))
-                case LogicalTypeAnnotation.TimeUnit.NANOS =>
-                  Some((Math.floorDiv(lo, 1000L), -Math.floorDiv(-hi, 1000L)))
-                case _ => None
-              }
-            case _ => None
-          }
-        }
-        def isDateChunk(
-            cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
-          import org.apache.parquet.schema.LogicalTypeAnnotation
-          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-          val pt = cc.getPrimitiveType
-          pt.getPrimitiveTypeName == PrimitiveTypeName.INT32 &&
-            pt.getLogicalTypeAnnotation
-              .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
-        }
-        // DECIMAL chunk bounds as exact unscaled values at the TABLE
-        // schema's scale, honestly per encoding: INT32/INT64 carry the
-        // unscaled long directly, FLBA/BINARY the big-endian
-        // two's-complement unscaled integer (the comparator parquet-mr
-        // defines for decimal stats is SIGNED, matching). A chunk whose
-        // own decimal annotation disagrees with the declared scale, or
-        // whose precision exceeds it, degrades to unknown — a rescaled
-        // bound would be a guess, and skipping must be sound, never
-        // lucky.
-        def decBounds(
-            cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
-            dt: DecimalType): Option[(java.math.BigDecimal, java.math.BigDecimal)] = {
-          import org.apache.parquet.schema.LogicalTypeAnnotation
-          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-          val pt = cc.getPrimitiveType
-          pt.getLogicalTypeAnnotation match {
-            case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
-                if a.getScale == dt.scale && a.getPrecision <= dt.precision =>
-              val st = cc.getStatistics
-              pt.getPrimitiveTypeName match {
-                case INT32 | INT64 =>
-                  val lo = st.genericGetMin.asInstanceOf[Number].longValue()
-                  val hi = st.genericGetMax.asInstanceOf[Number].longValue()
-                  Some((java.math.BigDecimal.valueOf(lo, a.getScale),
-                    java.math.BigDecimal.valueOf(hi, a.getScale)))
-                case FIXED_LEN_BYTE_ARRAY | BINARY =>
-                  val lo = new java.math.BigInteger(st.genericGetMin
-                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
-                  val hi = new java.math.BigInteger(st.genericGetMax
-                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
-                  Some((new java.math.BigDecimal(lo, a.getScale),
-                    new java.math.BigDecimal(hi, a.getScale)))
-                case _ => None
-              }
-            case _ => None
-          }
-        }
         paths.map { f =>
           val reader = ParquetFileReader.open(
             HadoopInputFile.fromPath(new Path(f), conf))
           try {
             val blocks = reader.getFooter.getBlocks
             var nRows = 0L
-            // per requested column: (min, max, nulls, statsKnown) — min/max
-            // held as Long / Double / Array[Byte] per the column's kind
+            // per requested column: (min, max, nulls, statsKnown) — the
+            // file row is the fold of its blocks' chunk stats
             val acc = Array.fill[(Any, Any, Long, Boolean)](typed.size)((null, null, 0L, true))
             val it = blocks.iterator()
             while (it.hasNext) {
               val b = it.next()
               nRows += b.getRowCount
-              val byName = {
-                val m = scala.collection.mutable.HashMap.empty[String, org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]
-                val ci = b.getColumns.iterator()
-                while (ci.hasNext) { val cc = ci.next(); m(cc.getPath.toDotString) = cc }
-                m
+              val bs = blockStats(b, typed)
+              typed.indices.foreach { i =>
+                acc(i) = mergeStat(typed(i)._2, acc(i), bs(i))
               }
-              typed.zipWithIndex.foreach { case ((c, kind), i) =>
-                val (mn, mx, nu, ok) = acc(i)
-                byName.get(c) match {
-                  case Some(cc) =>
-                    val st = cc.getStatistics
-                    if (st == null || !st.isNumNullsSet) acc(i) = (mn, mx, nu, false)
-                    else {
-                      val nulls = nu + st.getNumNulls
-                      if (st.getNumNulls == cc.getValueCount) {
-                        // all-null chunk: no min/max, but the count is exact
-                        acc(i) = (mn, mx, nulls, ok)
-                      } else if (!st.hasNonNullValue) {
-                        acc(i) = (mn, mx, nulls, false) // values exist, stats don't
-                      } else kind match {
-                        case LongType =>
-                          val lo = st.genericGetMin.asInstanceOf[Number].longValue()
-                          val hi = st.genericGetMax.asInstanceOf[Number].longValue()
-                          val nmn = if (mn == null) lo else math.min(mn.asInstanceOf[Long], lo)
-                          val nmx = if (mx == null) hi else math.max(mx.asInstanceOf[Long], hi)
-                          acc(i) = (nmn, nmx, nulls, ok)
-                        case DoubleType =>
-                          val lo = st.genericGetMin.asInstanceOf[Number].doubleValue()
-                          val hi = st.genericGetMax.asInstanceOf[Number].doubleValue()
-                          val nmn = if (mn == null) lo else math.min(mn.asInstanceOf[Double], lo)
-                          val nmx = if (mx == null) hi else math.max(mx.asInstanceOf[Double], hi)
-                          acc(i) = (nmn, nmx, nulls, ok)
-                        case TimestampType | TimestampNTZType =>
-                          tsMicrosBounds(cc,
-                            st.genericGetMin.asInstanceOf[Number].longValue(),
-                            st.genericGetMax.asInstanceOf[Number].longValue()) match {
-                            case None => acc(i) = (mn, mx, nulls, false)
-                            case Some((lo, hi)) =>
-                              val nmn = if (mn == null) lo else math.min(mn.asInstanceOf[Long], lo)
-                              val nmx = if (mx == null) hi else math.max(mx.asInstanceOf[Long], hi)
-                              acc(i) = (nmn, nmx, nulls, ok)
-                          }
-                        case DateType =>
-                          if (!isDateChunk(cc)) acc(i) = (mn, mx, nulls, false)
-                          else {
-                            val lo = st.genericGetMin.asInstanceOf[Number].longValue()
-                            val hi = st.genericGetMax.asInstanceOf[Number].longValue()
-                            val nmn = if (mn == null) lo else math.min(mn.asInstanceOf[Long], lo)
-                            val nmx = if (mx == null) hi else math.max(mx.asInstanceOf[Long], hi)
-                            acc(i) = (nmn, nmx, nulls, ok)
-                          }
-                        case dt: DecimalType =>
-                          decBounds(cc, dt) match {
-                            case None => acc(i) = (mn, mx, nulls, false)
-                            case Some((lo, hi)) =>
-                              def bd(v: Any) = v.asInstanceOf[java.math.BigDecimal]
-                              val nmn = if (mn == null || lo.compareTo(bd(mn)) < 0) lo else mn
-                              val nmx = if (mx == null || hi.compareTo(bd(mx)) > 0) hi else mx
-                              acc(i) = (nmn, nmx, nulls, ok)
-                          }
-                        case _ =>
-                          val lo = st.genericGetMin
-                            .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
-                          val hi = st.genericGetMax
-                            .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
-                          val nmn = if (mn == null) lo
-                            else if (ucmp(lo, mn.asInstanceOf[Array[Byte]]) < 0) lo
-                            else mn
-                          val nmx = if (mx == null) hi
-                            else if (ucmp(hi, mx.asInstanceOf[Array[Byte]]) > 0) hi
-                            else mx
-                          acc(i) = (nmn, nmx, nulls, ok)
-                      }
-                    }
-                  case None => acc(i) = (mn, mx, nu, false) // column absent in this file
-                }
-              }
-            }
-            def usMicros(v: Any): java.time.Instant = {
-              val us = v.asInstanceOf[Long]
-              java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
-                Math.floorMod(us, 1000000L) * 1000L)
             }
             val fields: Seq[Any] = f +: nRows +: typed.zipWithIndex.flatMap {
-              case ((_, kind), i) =>
-                val (mn, mx, nu, ok) = acc(i)
-                if (!ok) Seq(null, null, null)
-                else if (mn == null) Seq(mn, mx, nu)
-                else if (kind == TimestampType)
-                  Seq(usMicros(mn), usMicros(mx), nu)
-                else if (kind == TimestampNTZType)
-                  Seq(java.time.LocalDateTime.ofInstant(usMicros(mn), java.time.ZoneOffset.UTC),
-                    java.time.LocalDateTime.ofInstant(usMicros(mx), java.time.ZoneOffset.UTC), nu)
-                else if (kind == DateType)
-                  Seq(java.time.LocalDate.ofEpochDay(mn.asInstanceOf[Long]),
-                    java.time.LocalDate.ofEpochDay(mx.asInstanceOf[Long]), nu)
-                else if (kind != StringType) Seq(mn, mx, nu)
-                else {
-                  // decode the byte-space bounds for the STRING manifest
-                  // column. An incremented truncated max can land outside
-                  // valid UTF-8; decoding with replacement chars could
-                  // REORDER it below the true max (EF BF BD sorts under
-                  // high bytes) — unsound — so a non-round-tripping bound
-                  // degrades to unknown (sound, never lucky).
-                  val cs = java.nio.charset.StandardCharsets.UTF_8
-                  val mnB = mn.asInstanceOf[Array[Byte]]
-                  val mxB = mx.asInstanceOf[Array[Byte]]
-                  val mnS = new String(mnB, cs); val mxS = new String(mxB, cs)
-                  if (java.util.Arrays.equals(mnS.getBytes(cs), mnB) &&
-                      java.util.Arrays.equals(mxS.getBytes(cs), mxB))
-                    Seq(mnS, mxS, nu)
-                  else Seq(null, null, null)
-                }
+              case ((_, kind), i) => formatStat(kind, acc(i))
             }
             Row.fromSeq(fields)
           } finally reader.close()
         }
       }
     spark.createDataFrame(rows, out)
+  }
+
+  /** Manifest schema one level DOWN: one row per (file, row group). */
+  def rowGroupManifestSchema(cols: Seq[(String, DataType)]): StructType =
+    StructType(
+      StructField("file", StringType, nullable = false) +:
+      StructField("row_group", LongType, nullable = false) +:
+      StructField("n_rows", LongType, nullable = false) +:
+      cols.flatMap { case (c, t) =>
+        Seq(StructField(s"${c}_min", t, nullable = true),
+          StructField(s"${c}_max", t, nullable = true),
+          StructField(s"${c}_nulls", LongType, nullable = true))
+      })
+
+  /** Per-ROW-GROUP min/max/null-count manifest — [[statsManifest]] one
+    * level down, from the same footers at the same cost (footer I/O is
+    * per FILE; the blocks are already in it). Why the level matters at
+    * 100 TB: compaction ([[Compaction]]) pushes file sizes UP — a 1 GB
+    * compacted file with one hot row group is fully scheduled under
+    * file-grain stats, and parquet prunes its row groups only after the
+    * task launched and fetched the footer. Per-row-group manifest rows
+    * price the predicate at the grain the reader actually skips:
+    * [[candidateFiles]] / [[candidateFilesAny]] / [[nullCandidates]]
+    * work on this frame unchanged (same stats columns), a file is
+    * opened only when ≥ 1 of ITS row groups survives (strictly stronger
+    * than the file-grain test: a file's range is the UNION of its row
+    * groups' ranges, so a box can overlap the file while missing every
+    * row group — the band-gap case), and [[metadataBoxCountRg]] counts
+    * provably-interior row groups from metadata without scanning their
+    * files. File-grain rows remain derivable exactly: fold rows per
+    * file with min/max/sum — [[chunkStat]]/[[mergeStat]] are shared, so
+    * the two grains cannot disagree on honesty rules.
+    */
+  def rowGroupManifest(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
+    rowGroupManifestFiles(spark, listDataFiles(spark, dir),
+      spark.read.parquet(dir).schema, cols)
+
+  /** [[rowGroupManifest]] over an explicit file list (the incremental
+    * leg, same contract as [[statsManifestFiles]]).
+    */
+  def rowGroupManifestFiles(spark: SparkSession, files: Seq[String],
+                            schema: StructType, cols: Seq[String]): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val typed = typedCols(schema, cols)
+    val out = rowGroupManifestSchema(typed)
+    val bag = new ConfBag(spark.sessionState.newHadoopConf())
+    val parallelism = math.max(1, math.min(files.size, 32))
+    val rows = spark.sparkContext
+      .parallelize(files, parallelism)
+      .mapPartitions { paths =>
+        val conf = bag.value
+        paths.flatMap { f =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(f), conf))
+          try {
+            val blocks = reader.getFooter.getBlocks
+            val b = Seq.newBuilder[Row]
+            val it = blocks.iterator()
+            var ordinal = 0L
+            while (it.hasNext) {
+              val blk = it.next()
+              val bs = blockStats(blk, typed)
+              val fields: Seq[Any] = f +: ordinal +: blk.getRowCount +:
+                typed.zipWithIndex.flatMap { case ((_, kind), i) =>
+                  formatStat(kind, bs(i))
+                }
+              b += Row.fromSeq(fields)
+              ordinal += 1L
+            }
+            b.result()
+          } finally reader.close()
+        }
+      }
+    spark.createDataFrame(rows, out)
+  }
+
+  /** Expected row-group survivors of a range predicate, per file:
+    * (file, rgs_total, rgs_candidate, rows_total, rows_candidate) —
+    * the accounting [[prunedRead]] callers use to report scan work at
+    * the grain the reader skips. A file with `rgs_candidate = 0` is
+    * provably dead for the predicate even when its FILE-grain range
+    * overlaps (the band-gap case).
+    */
+  def rowGroupSurvivors(rgManifest: DataFrame, ranges: Seq[Range]): DataFrame = {
+    require(ranges.nonEmpty, "rowGroupSurvivors: at least one range")
+    val keep = ranges.map(rangeKeep).reduce(_ && _)
+    rgManifest.groupBy("file").agg(
+      count(lit(1)).as("rgs_total"),
+      sum(when(keep, 1L).otherwise(0L)).as("rgs_candidate"),
+      sum(col("n_rows")).as("rows_total"),
+      sum(when(keep, col("n_rows")).otherwise(0L)).as("rows_candidate"))
+  }
+
+  /** [[metadataBoxCount]] at ROW-GROUP grain: candidate row groups
+    * split into INTERIOR (provably all-inside — counted from the
+    * manifest) and BOUNDARY; a file is scanned only when it has ≥ 1
+    * boundary row group, and then the WHOLE file is scanned with the
+    * row filter (so its interior row groups contribute nothing to the
+    * metadata count — no double counting; parquet's own row-group
+    * pruning still skips its dead groups at read time). Files whose
+    * candidate row groups are ALL interior count purely from metadata —
+    * including interior∪dead mixtures the file-grain split must scan.
+    * One row: (n_rows, n_rows_from_metadata, n_files_scanned,
+    * n_files_total, n_rgs_candidate, n_rgs_total).
+    */
+  def metadataBoxCountRg(spark: SparkSession, dir: String, rgManifest: DataFrame,
+                         ranges: Seq[Range], rowFilter: Column): DataFrame = {
+    val keep = ranges.map(rangeKeep).reduce(_ && _)
+    val isIn = interiorPredicate(ranges)
+    val perFile = rgManifest.groupBy("file").agg(
+      sum(when(keep && isIn, col("n_rows")).otherwise(0L)).as("__interior_rows"),
+      sum(when(keep && !coalesce(isIn, lit(false)), 1L).otherwise(0L)).as("__boundary"),
+      sum(when(keep, 1L).otherwise(0L)).as("__cand"),
+      count(lit(1)).as("__rgs"))
+    val scanned = perFile.where(col("__boundary") > 0L).select(col("file"))
+    val metaCount = perFile.where(col("__boundary") === 0L)
+      .agg(coalesce(sum(col("__interior_rows")), lit(0L)).as("n_rows_from_metadata"))
+    val scanCount = prunedRead(spark, dir, scanned).where(rowFilter)
+      .agg(count(lit(1)).as("__n_scan"))
+    val files = perFile.agg(
+      sum(when(col("__boundary") > 0L, 1L).otherwise(0L)).as("n_files_scanned"),
+      count(lit(1)).as("n_files_total"),
+      sum(col("__cand")).as("n_rgs_candidate"),
+      sum(col("__rgs")).as("n_rgs_total"))
+    metaCount.crossJoin(scanCount).crossJoin(files)
+      .select((col("n_rows_from_metadata") + col("__n_scan")).as("n_rows"),
+        col("n_rows_from_metadata"), col("n_files_scanned"),
+        col("n_files_total"), col("n_rgs_candidate"), col("n_rgs_total"))
   }
 
   /** Manifest of a COMPACTED table derived from the SOURCE manifest and

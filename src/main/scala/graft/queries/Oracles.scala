@@ -2728,6 +2728,26 @@ object Oracles {
         |  true AS artifact_files_pruned
         |FROM f""".stripMargin,
 
+    // Row-group-skipping gate: the band-gap box replayed over raw events
+    // (u = (event_id % 2) * 4 * max(user_id) + user_id; box = upper low
+    // band + the empty gap). The layout facts (multi-row-group files,
+    // strict candidate-row reduction vs file grain, pruned == full,
+    // metadata box count consistent) ride as pinned booleans measured
+    // from real footers.
+    "x9_skipping_rg" ->
+      """WITH b AS (SELECT max(user_id) AS um FROM events),
+        |base AS (SELECT event_id,
+        |  (event_id % 2) * 4 * um + user_id AS u, value FROM events, b),
+        |f AS (SELECT base.* FROM base, b
+        |  WHERE u BETWEEN um // 2 AND 3 * um)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(event_id), 0) AS BIGINT) AS sum_ids,
+        |  CAST(coalesce(sum(CAST(round(value, 6) AS DECIMAL(18,6))), 0) AS DOUBLE)
+        |    AS sum_value,
+        |  true AS multi_rg_layout, true AS rg_candidate_rows_fewer,
+        |  true AS pruned_equals_full, true AS meta_count_matches
+        |FROM f""".stripMargin,
+
     // String-skipping gate: the 5-day ISO-date window replayed over raw
     // events (string stats/truncation invisible to a correct skip);
     // DuckDB's strftime over the naive UTC timestamp matches Spark's

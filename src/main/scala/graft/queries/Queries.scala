@@ -351,6 +351,75 @@ object Queries {
           .as("files_skipped"))
   }
 
+  /** X9rg: ROW-GROUP-grain data skipping —
+    * [[graft.ops.DataSkipping.rowGroupManifest]] pricing the predicate
+    * one level below the file, where the reader actually skips. The
+    * fixture is the adversarial band-gap layout: every file holds a LOW
+    * band (u = user_id, even event ids) and a far HIGH band
+    * (u = 4·umax + user_id, odd ids) sorted together with a small
+    * parquet block size, so each file splits into several row groups
+    * whose ranges are tight sub-bands while the FILE range spans the
+    * whole gap. The probe box [umax/2, 3·umax] covers the upper low
+    * band plus the (empty) gap: file-grain candidates are whole files
+    * (every file's range overlaps), row-group-grain candidates are only
+    * the in-box and straddling groups — strictly fewer expected rows,
+    * the accounting that matters when compaction pushes file sizes up
+    * at 100 TB. Pinned: multi-row-group layout (measured from footers),
+    * strict candidate-row reduction vs the file-grain manifest, pruned
+    * (files with ≥ 1 surviving row group) ≡ full, and
+    * [[graft.ops.DataSkipping.metadataBoxCountRg]] agreeing with the
+    * direct count (its interior/boundary split must never double count).
+    * The aggregates replay over raw events (layout invisible to a
+    * correct skip).
+    */
+  private def x9SkippingRg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataSkipping
+    val ev = t(spark, dir, "events")
+    val base0 = ev.select(col("event_id"), col("user_id"), col("value"))
+    val um = base0.agg(max("user_id")).head().getLong(0)
+    val base = base0.select(col("event_id"),
+      ((col("event_id") % 2) * lit(4L * um) + col("user_id")).as("u"),
+      col("value"))
+    val path = scratch(dir, "x9_skipping_rg")
+    base.repartition(4, col("event_id"))
+      .sortWithinPartitions("u")
+      .write.mode("overwrite")
+      // 2 KB row groups: parquet's writer size-checks every ~100 records,
+      // so even the smallest sf's ~250-row files split into 2+ groups
+      .option("parquet.block.size", "2048")
+      .option("parquet.page.size", "512")
+      .parquet(path)
+    val rg = DataSkipping.rowGroupManifest(spark, path, Seq("u")).cache()
+    val fileM = DataSkipping.statsManifest(spark, path, Seq("u")).cache()
+    val (lo, hi) = (um / 2, 3L * um)
+    val ranges = Seq(DataSkipping.longRange("u", lo, hi))
+    val rowFilter = col("u").between(lo, hi)
+    val multiRg = rg.groupBy("file").count()
+      .agg(min("count")).head().getLong(0) >= 2L
+    val surv = DataSkipping.rowGroupSurvivors(rg, ranges)
+      .agg(coalesce(sum(col("rows_candidate")), lit(0L)).as("rg_rows"),
+        coalesce(sum(col("rows_total")), lit(0L)).as("all_rows")).head()
+    val fileCandRows = DataSkipping.candidateFiles(fileM, ranges)
+      .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
+    val candFiles = DataSkipping.rowGroupSurvivors(rg, ranges)
+      .where(col("rgs_candidate") > 0L).select(col("file"))
+    val prunedRow = skipSummary(
+      DataSkipping.prunedRead(spark, path, candFiles).where(rowFilter), "").head()
+    val fullRow = skipSummary(base.where(rowFilter), "").head()
+    val meta = DataSkipping.metadataBoxCountRg(spark, path, rg, ranges, rowFilter)
+      .head()
+    rg.unpersist(); fileM.unpersist()
+    spark.range(1).select(
+      lit(prunedRow.getLong(0)).as("n_rows"),
+      lit(prunedRow.getLong(1)).as("sum_ids"),
+      lit(prunedRow.getDecimal(2)).cast("double").as("sum_value"),
+      lit(multiRg).as("multi_rg_layout"),
+      lit(surv.getLong(0) < fileCandRows && surv.getLong(0) < surv.getLong(1))
+        .as("rg_candidate_rows_fewer"),
+      lit(prunedRow == fullRow).as("pruned_equals_full"),
+      lit(meta.getLong(0) == fullRow.getLong(0)).as("meta_count_matches"))
+  }
+
   /** X9h3: 3-COLUMN Hilbert layout key ([[graft.ops.Layout.withHValueN]] /
     * [[graft.functions.HilbertIndexNd]], Skilling's dimension-generic
     * transpose form) — production OPTIMIZE ZORDER takes 3+ columns;
@@ -5079,6 +5148,7 @@ object Queries {
     "x9_skipping_null" -> (x9SkippingNull _),
     "x9_skipping_in" -> (x9SkippingIn _),
     "x9_skipping_dec" -> (x9SkippingDec _),
+    "x9_skipping_rg" -> (x9SkippingRg _),
     "x9_manifest_compact" -> (x9ManifestCompact _),
     "x9_bloom_compact" -> (x9BloomCompact _),
     "x9_compact_ordered" -> (x9CompactOrdered _),

@@ -471,4 +471,99 @@ class DataSkippingSpec extends SparkSpec {
         java.time.Instant.ofEpochMilli(1L))))
     assert(all.count() == m96.count(), "unknown stats must keep every file")
   }
+
+  test("X9rg row-group manifest folds exactly to the file manifest; grains agree") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rg-spec").toString + "/tbl"
+    spark.range(4000).select(col("id").as("a"),
+        (col("id") % 50).cast("double").as("v"))
+      .repartition(2, col("id")).sortWithinPartitions("a")
+      .write.option("parquet.block.size", "2048")
+      .option("parquet.page.size", "512").parquet(dir)
+    val rg = DataSkipping.rowGroupManifest(spark, dir, Seq("a", "v")).cache()
+    val fm = DataSkipping.statsManifest(spark, dir, Seq("a", "v"))
+    // multiple row groups per file, ordinals dense from 0
+    val perFile = rg.groupBy("file").agg(count(lit(1)).as("n_rgs"),
+      min("row_group").as("lo"), max("row_group").as("hi"))
+    assert(perFile.where(col("n_rgs") < 2).count() == 0, "fixture must split files")
+    assert(perFile.where(col("lo") =!= 0L ||
+      col("hi") =!= col("n_rgs") - 1L).count() == 0)
+    // file-grain rows must be EXACTLY the fold of the row-group rows
+    val folded = rg.groupBy("file").agg(
+      sum("n_rows").as("f_rows"),
+      min("a_min").as("fa_min"), max("a_max").as("fa_max"), sum("a_nulls").as("fa_nulls"),
+      min("v_min").as("fv_min"), max("v_max").as("fv_max"), sum("v_nulls").as("fv_nulls"))
+    val joined = fm.join(folded, "file")
+    assert(joined.count() == fm.count())
+    assert(joined.where(
+      col("n_rows") =!= col("f_rows") ||
+        col("a_min") =!= col("fa_min") || col("a_max") =!= col("fa_max") ||
+        col("a_nulls") =!= col("fa_nulls") ||
+        col("v_min") =!= col("fv_min") || col("v_max") =!= col("fv_max") ||
+        col("v_nulls") =!= col("fv_nulls")).count() == 0)
+    rg.unpersist()
+  }
+
+  test("X9rg aligned box: metadataBoxCountRg counts from metadata where file grain must scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rg-meta").toString + "/tbl"
+    // ONE file, unique sorted values -> adjacent row groups never share a
+    // value, so a box ending exactly on a group's max has NO boundary group
+    spark.range(3000).select(col("id").as("a"), col("id").cast("double").as("v"))
+      .coalesce(1).sortWithinPartitions("a")
+      .write.option("parquet.block.size", "2048")
+      .option("parquet.page.size", "512").parquet(dir)
+    val rg = DataSkipping.rowGroupManifest(spark, dir, Seq("a")).cache()
+    assert(rg.count() >= 3, "need >= 3 row groups")
+    // box = [global min, second row group's max]: groups 0-1 interior,
+    // the rest provably dead, NO boundary group
+    val bounds = rg.orderBy("row_group").limit(2)
+      .agg(min("a_min").as("lo"), max("a_max").as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val ranges = Seq(DataSkipping.longRange("a", lo, hi))
+    val rowFilter = col("a").between(lo, hi)
+    val expected = spark.read.parquet(dir).where(rowFilter).count()
+    val metaRg = DataSkipping.metadataBoxCountRg(spark, dir, rg, ranges, rowFilter).head()
+    assert(metaRg.getLong(0) == expected, "rg box count must match recount")
+    assert(metaRg.getLong(1) == expected && metaRg.getLong(2) == 0L,
+      s"aligned box must count purely from metadata, got $metaRg")
+    // file grain on the same box MUST scan (the file range exceeds the box)
+    val fm = DataSkipping.statsManifest(spark, dir, Seq("a"))
+    val metaFile = DataSkipping.metadataBoxCount(spark, dir, fm, ranges, rowFilter).head()
+    assert(metaFile.getLong(0) == expected)
+    assert(metaFile.getLong(2) == 1L, "file grain must scan the boundary file")
+    // survivors accounting: candidate rows strictly under the file total
+    val surv = DataSkipping.rowGroupSurvivors(rg, ranges).head()
+    assert(surv.getLong(4) < surv.getLong(3), "candidate rows must shrink")
+    rg.unpersist()
+  }
+
+  test("X9rg unaligned box never double counts; gap box opens only straddlers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rg-gap").toString + "/tbl"
+    // band-gap file: low band [0,1000) and far high band [100000,101000)
+    val df = spark.range(2000).select(
+      when(col("id") < 1000, col("id")).otherwise(col("id") + 99000L).as("a"),
+      col("id").cast("double").as("v"))
+    df.coalesce(1).sortWithinPartitions("a")
+      .write.option("parquet.block.size", "2048")
+      .option("parquet.page.size", "512").parquet(dir)
+    val rg = DataSkipping.rowGroupManifest(spark, dir, Seq("a")).cache()
+    assert(rg.count() >= 3)
+    // box strictly inside the gap: file-grain candidate (range spans the
+    // gap), row-group candidates = at most the one straddling group
+    val gapRanges = Seq(DataSkipping.longRange("a", 5000L, 50000L))
+    val surv = DataSkipping.rowGroupSurvivors(rg, gapRanges).head()
+    assert(surv.getLong(2) <= 1L, s"gap box: at most the straddler survives, got $surv")
+    val fm = DataSkipping.statsManifest(spark, dir, Seq("a"))
+    assert(DataSkipping.candidateFiles(fm, gapRanges).count() == 1L,
+      "file grain keeps the file (its range spans the gap)")
+    val meta = DataSkipping.metadataBoxCountRg(spark, dir, rg, gapRanges,
+      col("a").between(5000L, 50000L)).head()
+    assert(meta.getLong(0) == 0L, "gap holds no rows")
+    // unaligned box over half the low band: scan path and metadata path
+    // partition the files exactly (no double counting)
+    val ranges = Seq(DataSkipping.longRange("a", 0L, 499L))
+    val meta2 = DataSkipping.metadataBoxCountRg(spark, dir, rg, ranges,
+      col("a").between(0L, 499L)).head()
+    assert(meta2.getLong(0) == 500L, s"expected 500 rows, got $meta2")
+    rg.unpersist()
+  }
 }
