@@ -2728,6 +2728,28 @@ object Oracles {
         |  true AS artifact_files_pruned
         |FROM f""".stripMargin,
 
+    // Schema-evolution gate: the box replays over the even-event rows
+    // (the appended renamed-column batch holds null user_id on the
+    // unified read, excluded by the row filter on every path); the
+    // degrade facts (renamed column kept candidate, long-under-decimal
+    // manifest unknown, stale manifest keeping appended files) ride as
+    // pinned booleans measured from footers and executed plans.
+    "x9_schema_evolution" ->
+      """WITH base AS (SELECT event_id, user_id, value FROM events
+        |  WHERE event_id % 2 = 0),
+        |b AS (SELECT min(user_id) AS umin, max(user_id) AS umax FROM base),
+        |f AS (SELECT base.* FROM base, b
+        |  WHERE user_id BETWEEN umin + (umax - umin) // 4
+        |                    AND umin + (umax - umin) // 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(event_id), 0) AS BIGINT) AS sum_ids,
+        |  CAST(coalesce(sum(CAST(round(value, 6) AS DECIMAL(18,6))), 0) AS DOUBLE)
+        |    AS sum_value,
+        |  true AS renamed_kept_candidate, true AS pruned_equals_full,
+        |  true AS widened_degraded_unknown,
+        |  true AS stale_manifest_keeps_appended
+        |FROM f""".stripMargin,
+
     // Row-group-skipping gate: the band-gap box replayed over raw events
     // (u = (event_id % 2) * 4 * max(user_id) + user_id; box = upper low
     // band + the empty gap). The layout facts (multi-row-group files,

@@ -420,6 +420,117 @@ object Queries {
       lit(meta.getLong(0) == fullRow.getLong(0)).as("meta_count_matches"))
   }
 
+  /** X9se: schema-evolution SOUNDNESS across the artifact classes — the
+    * gate that proves evolved tables degrade to unknown, never to a
+    * mispriced guess. Three legs over append-evolved scratch tables:
+    *
+    *  1. RENAMED column: batch1 carries `user_id`, batch2 (appended) the
+    *     renamed `uid`. The manifest built under the unified schema
+    *     marks each batch's missing column UNKNOWN (absent chunk ≠
+    *     zero-stats), so every evolved file stays a candidate for the
+    *     user_id box and the pruned read equals the full one (batch2's
+    *     null user_id falls to the row filter on both paths).
+    *  2. WIDENED type: batch1 writes `price` as LONG cents, batch2 as
+    *     DECIMAL(12,2); under the declared decimal schema the long
+    *     chunks carry no decimal annotation → manifest stats NULL
+    *     (unknown, kept) while the true-decimal files price normally —
+    *     the old-files-long/new-files-decimal rewrite handled per chunk.
+    *  3. STALE artifact under append: a manifest harvested over batch1
+    *     ONLY is activated via [[graft.ops.ScanPrune]]; the rewrite's
+    *     DROP-set subtraction prunes among covered files and must keep
+    *     every appended (uncovered) file visible — parity collected
+    *     DURING activation, kept/total probed from the executed plan.
+    *
+    * Aggregates replay over raw even-event rows (evolution must be
+    * invisible to a correct reader); the three degrade facts ride as
+    * pinned booleans measured from real footers and executed plans.
+    */
+  private def x9SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{DataSkipping, ScanPrune}
+    val ev = t(spark, dir, "events")
+    val evens = ev.where(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val odds = ev.where(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id").as("uid"), col("value"))
+    val tblA = scratch(dir, "x9_evo_renamed")
+    // batch1 range-clustered on user_id so leg 3's stale manifest has
+    // something to prune; batch2 appended under the RENAMED schema
+    val fs = {
+      val p = new org.apache.hadoop.fs.Path(tblA)
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tblA), true)
+    evens.repartitionByRange(4, col("user_id"))
+      .write.mode("overwrite").parquet(tblA)
+    val batch1Files = DataSkipping.listDataFiles(spark, tblA)
+    odds.coalesce(2).write.mode("append").parquet(tblA)
+    val allFiles = DataSkipping.listDataFiles(spark, tblA)
+    val unified = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("uid", LongType), StructField("value", DoubleType)))
+    def evolved(): DataFrame = spark.read.schema(unified).parquet(tblA)
+    val b = evens.agg(min("user_id"), max("user_id")).head()
+    val (umin, umax) = (b.getLong(0), b.getLong(1))
+    val (lo, hi) = (umin + (umax - umin) / 4, umin + (umax - umin) / 2)
+    val box = col("user_id").between(lo, hi)
+    val ranges = Seq(DataSkipping.longRange("user_id", lo, hi))
+    // leg 1: renamed column stays candidate wherever its stats are unknown
+    val manifest = DataSkipping.statsManifestFiles(spark, allFiles, unified,
+      Seq("user_id", "uid")).cache()
+    val unknownFiles = manifest.where(col("user_id_nulls").isNull)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val candFiles = DataSkipping.candidateFiles(manifest, ranges)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val renamedKept = unknownFiles.nonEmpty && unknownFiles.subsetOf(candFiles) &&
+      unknownFiles.size == (allFiles.size - batch1Files.size)
+    val prunedRow = skipSummary(
+      DataSkipping.prunedRead(spark, tblA,
+        manifest.where(col("file").isin(candFiles.toSeq: _*))).where(box), "").head()
+    val fullRow = skipSummary(evolved().where(box), "").head()
+    manifest.unpersist()
+    // leg 2: long-written chunks under a declared decimal schema
+    val tblB = scratch(dir, "x9_evo_widened")
+    fs.delete(new org.apache.hadoop.fs.Path(tblB), true)
+    ev.where(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id").as("price"))
+      .coalesce(2).write.mode("overwrite").parquet(tblB)
+    val widenOld = DataSkipping.listDataFiles(spark, tblB)
+    ev.where(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id").cast(DecimalType(12, 2)).as("price"))
+      .coalesce(2).write.mode("append").parquet(tblB)
+    val declB = StructType(Seq(StructField("event_id", LongType),
+      StructField("price", DecimalType(12, 2))))
+    val manB = DataSkipping.statsManifestFiles(spark,
+      DataSkipping.listDataFiles(spark, tblB), declB, Seq("price")).collect()
+    val widenedUnknown =
+      manB.filter(r => widenOld.contains(r.getString(0)))
+        .forall(_.isNullAt(manB.head.fieldIndex("price_nulls"))) &&
+      manB.filter(r => !widenOld.contains(r.getString(0)))
+        .forall(!_.isNullAt(manB.head.fieldIndex("price_nulls"))) &&
+      widenOld.nonEmpty && manB.length > widenOld.size
+    // leg 3: STALE manifest (batch1 only) activated; appended files must
+    // survive the rewrite's drop-set subtraction, parity during activation
+    ScanPrune.deactivate(spark, tblA)
+    val staleManifest = DataSkipping.statsManifestFiles(spark, batch1Files,
+      unified, Seq("user_id"))
+    ScanPrune.activateManifest(spark, tblA, staleManifest)
+    val (staleSafe, staleRow) = try {
+      val probe = scanPruneProbe(evolved().where(box))
+      val appended = allFiles.size - batch1Files.size
+      (probe.exists { case (kept, total) =>
+        kept < total && (total - kept) <= batch1Files.size && kept >= appended },
+        skipSummary(evolved().where(box), "").head())
+    } finally ScanPrune.deactivate(spark, tblA)
+    spark.range(1).select(
+      lit(fullRow.getLong(0)).as("n_rows"),
+      lit(fullRow.getLong(1)).as("sum_ids"),
+      lit(fullRow.getDecimal(2)).cast("double").as("sum_value"),
+      lit(renamedKept).as("renamed_kept_candidate"),
+      lit(prunedRow == fullRow && staleRow == fullRow).as("pruned_equals_full"),
+      lit(widenedUnknown).as("widened_degraded_unknown"),
+      lit(staleSafe).as("stale_manifest_keeps_appended"))
+  }
+
   /** X9h3: 3-COLUMN Hilbert layout key ([[graft.ops.Layout.withHValueN]] /
     * [[graft.functions.HilbertIndexNd]], Skilling's dimension-generic
     * transpose form) — production OPTIMIZE ZORDER takes 3+ columns;
@@ -5149,6 +5260,7 @@ object Queries {
     "x9_skipping_in" -> (x9SkippingIn _),
     "x9_skipping_dec" -> (x9SkippingDec _),
     "x9_skipping_rg" -> (x9SkippingRg _),
+    "x9_schema_evolution" -> (x9SchemaEvolution _),
     "x9_manifest_compact" -> (x9ManifestCompact _),
     "x9_bloom_compact" -> (x9BloomCompact _),
     "x9_compact_ordered" -> (x9CompactOrdered _),

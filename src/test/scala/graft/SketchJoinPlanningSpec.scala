@@ -628,4 +628,60 @@ class SketchJoinPlanningSpec extends SparkSpec {
       } finally spark.conf.unset(SketchCatalog.AuditStoreKey)
     }
   }
+
+  test("schema evolution: renamed/retyped keys degrade the rule to inert, parity holds") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val path = harvestAll()
+      // RENAMED: the dim rewritten under a new column name at a NEW path —
+      // the catalog knows neither the path nor the name; the rule must
+      // stay out entirely (no estimate is not a guess) and results hold
+      spark.read.parquet(s"$dir/dim.parquet")
+        .select(col("d_key").as("renamed_key"), col("d_seg"))
+        .write.mode("overwrite").parquet(s"$dir/dim_renamed.parquet")
+      def renamedJoin() = spark.read.parquet(s"$dir/fact.parquet")
+        .join(spark.read.parquet(s"$dir/dim_renamed.parquet"),
+          col("f_key") === col("renamed_key"))
+        .groupBy("d_seg").agg(count(lit(1)).as("n"), sum("f_val").as("s"))
+        .orderBy("d_seg")
+      SketchCatalog.deactivate(spark)
+      val plain = renamedJoin().collect().toSeq
+      SketchCatalog.activate(spark, path)
+      // the fact side is catalogued and tiny, so a broadcast of FACT from
+      // its honest bytes is fine; what must NOT happen is a crash or a
+      // wrong result from the unknown side
+      assert(renamedJoin().collect().toSeq == plain)
+
+      // RETYPED: the catalogued dim path rewritten with d_key as STRING;
+      // the join now carries an implicit cast, which the rule's
+      // equi-pair scope declines — inert (sort-merge), parity holds
+      val retypedDir = s"$dir/dim_retyped.parquet"
+      spark.read.parquet(s"$dir/dim.parquet")
+        .select(col("d_key").cast("string").as("d_key"), col("d_seg"))
+        .write.mode("overwrite").parquet(retypedDir)
+      val retypedCat = SketchCatalog.harvest(spark, s"$dir/fact.parquet", Seq("f_key"))
+        .unionByName(SketchCatalog.harvest(spark, s"$dir/dim.parquet", Seq("d_key")))
+      // relabel the STALE long-keyed dim artifact onto the retyped path —
+      // the pre-evolution catalog pointing at the evolved table
+      val stale = retypedCat.withColumn("table",
+        when(col("table").contains("dim.parquet"),
+          lit(SketchCatalog.normalizePath(spark, retypedDir)))
+          .otherwise(col("table")))
+      SketchCatalog.save(stale, s"$dir/catalog_stale_retyped")
+      def retypedJoin() = spark.read.parquet(s"$dir/fact.parquet")
+        .join(spark.read.parquet(retypedDir),
+          col("f_key") === col("d_key"))
+        .groupBy("d_seg").agg(count(lit(1)).as("n"), sum("f_val").as("s"))
+        .orderBy("d_seg")
+      SketchCatalog.deactivate(spark)
+      val plainRe = retypedJoin().collect().toSeq
+      SketchCatalog.activate(spark, s"$dir/catalog_stale_retyped")
+      withSQLConf(SketchCatalog.BroadcastBytesKey -> "0") {
+        // equi-pair scope declines the cast-wrapped condition: no hints,
+        // no reorder, no runtime filter from the stale long-keyed sketch
+        assert(physicalJoins(retypedJoin()).forall(_.isInstanceOf[SortMergeJoinExec]))
+        assert(retypedJoin().collect().toSeq == plainRe)
+      }
+      SketchCatalog.deactivate(spark)
+    }
+  }
 }
