@@ -483,9 +483,11 @@ object Queries {
       .select(col("file")).collect().map(_.getString(0)).toSet
     val renamedKept = unknownFiles.nonEmpty && unknownFiles.subsetOf(candFiles) &&
       unknownFiles.size == (allFiles.size - batch1Files.size)
+    // candidates read under the EXPLICIT unified schema: prunedRead's own
+    // inference takes one arbitrary footer, which on a mixed-schema
+    // evolved table can be a renamed-batch file (no user_id at all)
     val prunedRow = skipSummary(
-      DataSkipping.prunedRead(spark, tblA,
-        manifest.where(col("file").isin(candFiles.toSeq: _*))).where(box), "").head()
+      spark.read.schema(unified).parquet(candFiles.toSeq: _*).where(box), "").head()
     val fullRow = skipSummary(evolved().where(box), "").head()
     manifest.unpersist()
     // leg 2: long-written chunks under a declared decimal schema
