@@ -141,6 +141,16 @@ object Similarity {
     * cosine >= 0.8 should raise bitsPerBand to 8-16, which collapses the
     * background candidate rate to ~L/2^bits.
     *
+    * SIZING RULE (measured, SCALING.md r13): the background candidate set
+    * is ~bands·n²/2^bits — sub-quadratic behavior holds only while bucket
+    * occupancy n/2^bits stays small. Any FIXED bits re-enters the
+    * quadratic regime once n outgrows ~occupancy·2^bits: 8-bit bands that
+    * were linear at 20k vectors (78 per bucket... fine) turned measurably
+    * quadratic at 200k (780 per bucket → ~620M candidate pairs; the
+    * Hamming-1 multiprobe ×9 on top exhausted executor memory). Size bits
+    * from the corpus with [[rhpBitsFor]] (bits ≈ log2(n/occupancy)) and
+    * re-derive per growth decade, exactly like IVF's nlist.
+    *
     * Projections are rounded to 6 dp before the sign test so bucket bits are
     * reproducible across engines regardless of last-ulp summation noise.
     *
@@ -177,6 +187,25 @@ object Similarity {
           .otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
+
+  /** Corpus-sized sign bits per band: smallest `bits` keeping expected
+    * bucket occupancy `n / 2^bits` at or under `targetOccupancy`, clamped
+    * to [4, 24]. The background candidate volume is
+    * ~bands·n·occupancy/2, so holding occupancy constant holds the
+    * candidate set LINEAR in n — the knob that keeps sign-LSH out of the
+    * quadratic regime at any corpus size (measured wall at fixed bits:
+    * SCALING.md r13). Recall at a given threshold then depends on bits,
+    * so growers compensate with more bands (recall = 1-(1-p^bits)^bands)
+    * or Hamming-1 probing — candidate cost scales LINEARLY in both,
+    * versus quadratically in occupancy.
+    */
+  def rhpBitsFor(n: Long, targetOccupancy: Int = 16): Int = {
+    require(n >= 0 && targetOccupancy >= 1,
+      s"rhpBitsFor: n >= 0 and occupancy >= 1 required, got ($n, $targetOccupancy)")
+    val needed = math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy))
+      / math.log(2.0)).toInt
+    math.min(24, math.max(4, needed))
+  }
 
   def randomHyperplaneNearDupPairs(
       df: DataFrame, threshold: Double, dim: Int,

@@ -2293,7 +2293,11 @@ object Queries {
   /** X2 scale path for embeddings: random-hyperplane LSH with exact-cosine
     * verification — no all-pairs join anywhere. Registered at 8 bands ×
     * 8 sign bits, the high-bit regime whose background collision rate
-    * (2^-8 per band) keeps the candidate set linear at corpus scale; the
+    * (2^-8 per band) keeps the candidate set linear UP TO bucket
+    * occupancy ~16·2^8 ≈ 4k vectors... more precisely, while n/2^bits
+    * stays small — at 200k vectors the r13 one-JVM ×100 run measured the
+    * 8-bit regime quadratic again (SCALING.md r13); corpus-scale callers
+    * derive bits from n via [[graft.ops.Similarity.rhpBitsFor]]. The
     * 16×4 coarse-band parameterization this replaced (r7) sits in a
     * documented quadratic regime (SCALING.md r5/r6: exp 1.15–1.18) and
     * survives only as the function default + OpsSpec regime demo, never a
@@ -2327,6 +2331,11 @@ object Queries {
     * single flipped sign bit would lose, buying back recall the 8-bit
     * quantization gave up — same knobs and threshold as x2_rhp_scale, so
     * the two gated plans differ ONLY in probing and the recall it adds.
+    * At CORPUS scale the same sizing rule as x2_rhp_scale applies with
+    * probing's ×(bits+1) candidate multiplier on top — fixed 8-bit bands
+    * exhausted executor memory at 200k vectors (SCALING.md r13), so
+    * production sizes bits by [[graft.ops.Similarity.rhpBitsFor]] BEFORE
+    * enabling probing.
     * (The 8×4 coarse-band parameterization this replaced is kept as a
     * spec-level regime demonstration in OpsSpec: with 16 buckets/band the
     * probe expansion multiplies an already-quadratic background — measured

@@ -1379,4 +1379,28 @@ class OpsSpec extends SparkSpec {
     assert(ModelStore.loadPairs(spark, s"$dir/merges") == merges,
       "pair list reloads in the exact merge-rank order application depends on")
   }
+
+  test("rhpBitsFor holds bucket occupancy constant, clamps, and is monotone") {
+    import graft.ops.Similarity.rhpBitsFor
+    // occupancy contract: n / 2^bits <= target whenever bits is unclamped
+    for (n <- Seq(1L, 100L, 2000L, 20000L, 200000L, 2000000L, 2000000000L);
+         occ <- Seq(1, 8, 16, 64)) {
+      val bits = rhpBitsFor(n, occ)
+      assert(bits >= 4 && bits <= 24)
+      if (bits < 24 && bits > 4)
+        assert(n.toDouble / (1L << bits) <= occ,
+          s"occupancy bound broken at n=$n occ=$occ bits=$bits")
+    }
+    // the r13 measured case: 200k vectors need 14 bits at occupancy 16 —
+    // the fixed 8-bit regime (780/bucket) is what went quadratic
+    assert(rhpBitsFor(200000L) == 14)
+    assert(rhpBitsFor(20000L) == 11)
+    // monotone in n, antitone in occupancy
+    val ns = Seq(10L, 1000L, 100000L, 10000000L)
+    assert(ns.map(rhpBitsFor(_)) == ns.map(rhpBitsFor(_)).sorted)
+    assert(rhpBitsFor(100000L, 4) >= rhpBitsFor(100000L, 64))
+    // clamps
+    assert(rhpBitsFor(0L) == 4)
+    assert(rhpBitsFor(Long.MaxValue) == 24)
+  }
 }
