@@ -18,6 +18,12 @@ import org.apache.spark.sql.SparkSession
   * Operator-internal caches are released between runs so every repetition
   * pays the full pipeline (no warm-cache flattering), and released after the
   * last run so queries are isolated from each other.
+  *
+  * Artifact note: BENCH_r*.json "queries" values are therefore per-query
+  * MIN over the passes; the ×100 one-JVM registry runs (bench_x100_*.json)
+  * are single-pass — an interference measurement by design, so their cells
+  * are NOT directly comparable to min-of-reps numbers (the r13 ×100 run's
+  * Finding 2: compare like with like, or isolate the query in its own JVM).
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -92,10 +92,19 @@ object DataSkipping {
     * floating columns of the table at `dir`), from footers only. The
     * file list distributes over the cluster — at 1M files the footer
     * reads are the parallel work, and no task reads a data page.
+    *
+    * Schema comes from `mergeSchema=true` inference: default inference
+    * reads ONE arbitrary footer, and on a schema-evolved table with
+    * mixed batches that nondeterministically picks whichever batch's
+    * schema wins (the x9_schema_evolution hazard, commit 1336373) —
+    * the merged schema is the union, so every column any batch carries
+    * resolves to its widened declared type and retyped chunks degrade
+    * honestly in [[chunkStat]]. Callers that already KNOW the declared
+    * schema should use [[statsManifestFiles]] and pass it.
     */
   def statsManifest(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
     statsManifestFiles(spark, listDataFiles(spark, dir),
-      spark.read.parquet(dir).schema, cols)
+      spark.read.option("mergeSchema", "true").parquet(dir).schema, cols)
 
   /** Manifest kinds resolved from the table schema (shared by the file
     * and row-group builders — ONE definition of what is manifest-able).
@@ -215,39 +224,50 @@ object DataSkipping {
   private def chunkStat(
       cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
       kind: DataType): (Any, Any, Long, Boolean) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val st = cc.getStatistics
+    // Every kind checks the chunk's PHYSICAL type before casting its
+    // stats: a schema-evolved table can hold a retyped chunk (a string
+    // batch under an integral declared schema, or vice versa) and the
+    // soundness contract is DEGRADE to unknown, never throw mid-manifest
+    // — the same posture tsMicrosBounds / isDateChunk / decBounds already
+    // take for their annotations. DoubleType deliberately excludes
+    // INT32/INT64 chunks: longValue→double rounds past 2^53, and a
+    // rounded min can sit ABOVE the true min — an unsound bound.
+    val phys = cc.getPrimitiveType.getPrimitiveTypeName
     if (st == null || !st.isNumNullsSet) (null, null, 0L, false)
     else if (st.getNumNulls == cc.getValueCount)
       (null, null, st.getNumNulls, true) // all-null chunk: count exact
     else if (!st.hasNonNullValue)
       (null, null, st.getNumNulls, false) // values exist, stats don't
     else kind match {
-      case LongType =>
+      case LongType if phys == INT32 || phys == INT64 =>
         (st.genericGetMin.asInstanceOf[Number].longValue(),
           st.genericGetMax.asInstanceOf[Number].longValue(), st.getNumNulls, true)
-      case DoubleType =>
+      case DoubleType if phys == FLOAT || phys == DOUBLE =>
         (st.genericGetMin.asInstanceOf[Number].doubleValue(),
           st.genericGetMax.asInstanceOf[Number].doubleValue(), st.getNumNulls, true)
-      case TimestampType | TimestampNTZType =>
+      case TimestampType | TimestampNTZType if phys == INT64 =>
         tsMicrosBounds(cc,
           st.genericGetMin.asInstanceOf[Number].longValue(),
           st.genericGetMax.asInstanceOf[Number].longValue()) match {
           case None           => (null, null, st.getNumNulls, false)
           case Some((lo, hi)) => (lo, hi, st.getNumNulls, true)
         }
-      case DateType =>
-        if (!isDateChunk(cc)) (null, null, st.getNumNulls, false)
-        else (st.genericGetMin.asInstanceOf[Number].longValue(),
+      case DateType if isDateChunk(cc) =>
+        (st.genericGetMin.asInstanceOf[Number].longValue(),
           st.genericGetMax.asInstanceOf[Number].longValue(), st.getNumNulls, true)
       case dt: DecimalType =>
         decBounds(cc, dt) match {
           case None           => (null, null, st.getNumNulls, false)
           case Some((lo, hi)) => (lo, hi, st.getNumNulls, true)
         }
-      case _ => // StringType: byte-space bounds
+      case StringType if phys == BINARY || phys == FIXED_LEN_BYTE_ARRAY =>
         (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
           st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
           st.getNumNulls, true)
+      case _ => // physical/declared mismatch (retyped chunk): unknown
+        (null, null, st.getNumNulls, false)
     }
   }
 
@@ -427,8 +447,12 @@ object DataSkipping {
     * the two grains cannot disagree on honesty rules.
     */
   def rowGroupManifest(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
+    // mergeSchema=true for the same reason as [[statsManifest]]: one
+    // arbitrary footer must not pick the declared types on an evolved
+    // table; pass an explicit schema via [[rowGroupManifestFiles]] when
+    // the caller knows it.
     rowGroupManifestFiles(spark, listDataFiles(spark, dir),
-      spark.read.parquet(dir).schema, cols)
+      spark.read.option("mergeSchema", "true").parquet(dir).schema, cols)
 
   /** [[rowGroupManifest]] over an explicit file list (the incremental
     * leg, same contract as [[statsManifestFiles]]).

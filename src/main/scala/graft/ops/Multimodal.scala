@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * payloads as opaque `binary` columns with a typed metadata struct, and run
   * decode / feature-extraction as partition-local transforms.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernel is a clearly-marked deterministic STUB — the Spark-side
-  * plumbing (schema, batching, partition-local execution, feature-vector
-  * shape) is real and tested. At 100 TB the payload column would be a lazy
-  * pointer (path + offset) materialized only inside the decode partition —
-  * both shapes are supported here.
+  * The decode kernels parse REAL container formats (since r7 — earlier
+  * rounds stubbed them): P6 PPM headers with exact raster geometry, RIFF
+  * WAV chunk walking to the data range, and the GV1 video container's
+  * header-derived frame table — the oracle gates depend on the parsed
+  * geometry, not on a fake. Only the heavyweight codec families that the
+  * container formats here don't need (JPEG entropy decode, MP3, H.264) are
+  * out of scope. At 100 TB the payload column would be a lazy pointer
+  * (path + offset) materialized only inside the decode partition — both
+  * shapes are supported here.
   */
 object Multimodal {
 

@@ -123,7 +123,11 @@ object PlannerAudit {
         col("actual_rows").cast("double") + ceil(slackD))
     spark.read.schema(recordSchema).parquet(path)
       .where(violating)
-      .select(explode(array(col("cms_a_md5"), col("cms_b_md5"))).as("fp"))
+      // array_distinct BEFORE explode: a self-join audit carries the
+      // same fingerprint on both sides, and double-counting it would
+      // reach the "three audits is a verdict" threshold after only two
+      // audits — one violating ROW is one violation per fingerprint
+      .select(explode(array_distinct(array(col("cms_a_md5"), col("cms_b_md5")))).as("fp"))
       .where(col("fp").isNotNull)
       .groupBy("fp").count()
       .where(col("count") >= minViolations.toLong)

@@ -198,12 +198,20 @@ object Similarity {
     * so growers compensate with more bands (recall = 1-(1-p^bits)^bands)
     * or Hamming-1 probing — candidate cost scales LINEARLY in both,
     * versus quadratically in occupancy.
+    *
+    * INTEGER-EXACT on purpose: bits = bitLength(ceil(n/occupancy) - 1)
+    * (the smallest b with occupancy·2^b ≥ n), never a float log — the
+    * registered `x2_rhp_*` gates derive bits from the corpus count on
+    * BOTH engines (the DuckDB twin replays the same derivation in SQL),
+    * and a float log2 at a power-of-two boundary could disagree across
+    * engines by 1 ulp and flip every bucket key.
     */
   def rhpBitsFor(n: Long, targetOccupancy: Int = 16): Int = {
     require(n >= 0 && targetOccupancy >= 1,
       s"rhpBitsFor: n >= 0 and occupancy >= 1 required, got ($n, $targetOccupancy)")
-    val needed = math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy))
-      / math.log(2.0)).toInt
+    // ceil(n/occ) without the (n + occ - 1) overflow at n near Long.Max
+    val m = n / targetOccupancy + (if (n % targetOccupancy > 0) 1L else 0L)
+    val needed = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     math.min(24, math.max(4, needed))
   }
 
@@ -493,14 +501,18 @@ object Similarity {
     * `truth` (exact, quadratic — bounded-sample contract), the fraction
     * present in `found` (the LSH path). Single-row output
     * (threshold, n_true, n_captured, recall); both count aggregates are
-    * 1-row so the final join is a broadcast, never a cartesian.
+    * 1-row so the final join is a broadcast, never a cartesian. An EMPTY
+    * truth set (a small fixture whose anchor sample has no near-dups)
+    * reports recall NULL, not a divide-by-zero — the DuckDB twin emits
+    * the same NULL, so the degenerate row still hash-matches.
     */
   def pairRecall(truth: DataFrame, found: DataFrame, threshold: Double): DataFrame = {
     val captured = truth.join(found.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
     broadcast(truth.agg(count(lit(1)).as("n_true")))
       .crossJoin(captured.agg(count(lit(1)).as("n_captured")))
       .select(lit(threshold).as("threshold"), col("n_true"), col("n_captured"),
-        round(col("n_captured") / col("n_true"), 6).as("recall"))
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_captured") / col("n_true"), 6)).as("recall"))
   }
 
   /** Int8 scalar quantization of the embedding column — the standard 4×
@@ -533,21 +545,29 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (X2 flavor): all pairs above a
     * cosine threshold, blocked by a cell column to avoid the full cross
     * join (exact within blocks).
+    *
+    * `anchorPred` restricts the LEFT (id_a) side — the bounded-sample
+    * discipline for the unblocked recall-audit form: truth pairs are
+    * (sampled anchor, any corpus row) with id_a < id_b, so the audit's
+    * left side is O(sample) while the corpus side still never shuffles.
     */
   def embeddingNearDupPairs(
       df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      blockCol: Option[String] = None): DataFrame = {
+      blockCol: Option[String] = None,
+      anchorPred: Option[Column] = None): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol) +: norm(col(vecCol)).as("__norm") +:
       col(vecCol) +: blockCol.map(col).toSeq: _*)
     def side(suffix: String) = {
+      val pred = if (suffix == "a") anchorPred else None
       val cols = Seq(col(idCol).as(s"id_$suffix"), col(vecCol).as(s"__v$suffix"),
         col("__norm").as(s"__n$suffix")) ++ blockCol.map(col)
-      base.select(cols: _*)
+      pred.fold(base)(base.where).select(cols: _*)
     }
     // The unblocked form is quadratic BY CONTRACT — it is the ground-truth /
-    // recall-audit path, meant for bounded samples, never the 100 TB corpus.
+    // recall-audit path, meant for bounded samples (anchorPred), never the
+    // 100 TB corpus.
     // Broadcasting the left side makes it a BroadcastNestedLoopJoin (the
     // corpus side never shuffles), keeping the registry's no-CartesianProduct
     // plan audit intact.

@@ -75,6 +75,33 @@ object Oracles {
        |rhp_buck AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS bkt FROM rhp_proj GROUP BY 1, 2)""".stripMargin
   }
 
+  /** The corpus-sized variant of [[rhpBucketChain]] (mirrors the r14
+    * registered x2_rhp_* plans): bits per band are DERIVED from the
+    * corpus count exactly as Similarity.rhpBitsFor does — integer-exact
+    * bitLength(ceil(n/16) - 1) clamped to [4, 24], computed here as a
+    * count of set-bit positions so no float log can disagree across
+    * engines. Ends with `rhp_bits(bits)` and `rhp_buck(vec_id, band,
+    * bkt)`. Plane indexing matches the Spark side: plane k serves band
+    * k // bits, sign bit k % bits, so both engines pick the SAME md5
+    * hyperplanes for whatever bits the count implies.
+    */
+  private def rhpBucketChainDyn(bands: Int): String =
+    s"""rhp_bits AS (
+       |  SELECT least(24, greatest(4, CAST((
+       |    SELECT count(*) FROM generate_series(0, 62) g(b)
+       |    WHERE ((((SELECT count(*) FROM embeddings) + 15) // 16) - 1) >> b > 0) AS INT))) AS bits),
+       |rhp_planes AS (
+       |  SELECT k, list_transform(generate_series(0, 63),
+       |           i -> ('0x' || substr(md5('hp_' || k || '_' || i), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS p
+       |  FROM rhp_bits CROSS JOIN generate_series(0, ${bands * 24 - 1}) t(k) WHERE k < $bands * bits),
+       |rhp_proj AS (
+       |  SELECT e.vec_id, pl.k // rb.bits AS band,
+       |    CASE WHEN round(list_sum(list_transform(generate_series(1, 64),
+       |                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])), 6) >= 0
+       |         THEN CAST(1 << (pl.k % rb.bits) AS BIGINT) ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN rhp_planes pl CROSS JOIN rhp_bits rb),
+       |rhp_buck AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS bkt FROM rhp_proj GROUP BY 1, 2)""".stripMargin
+
   /** Exact-cosine verification of `rhp_cand(id_a, id_b)`; ends with
     * `rhp_v(id_a, id_b, cosine)`.
     */
@@ -586,12 +613,13 @@ object Oracles {
        |  FROM ipq p JOIN cells cl ON cl.cell = p.cell WHERE cl.vec_id <> p.qid),
        |$PqScoreTail""".stripMargin
 
-  /** 8×8 equality-join candidate chain ending at `rhp_v` — the registered
-    * base parameterization since r7 (the 16×4 coarse-band regime is a
-    * spec-level demo only).
+  /** 8-band, corpus-derived-bits candidate chain ending at `rhp_v` — the
+    * registered base parameterization since r14 (fixed 8×8 was the r7–r13
+    * form; it broke at ×100, SCALING.md r13; the 16×4 coarse-band regime
+    * is a spec-level demo only).
     */
   private val RhpChain =
-    s"""${rhpBucketChain(8, 8)},
+    s"""${rhpBucketChainDyn(8)},
        |rhp_cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |         FROM rhp_buck a JOIN rhp_buck b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
        |$RhpVerify""".stripMargin
@@ -1525,16 +1553,20 @@ object Oracles {
     // Mirrors Similarity.randomHyperplaneNearDupPairs: identical md5-seeded
     // hyperplane components (first 8 md5 hex chars of "hp_<k>_<i>" over 2^31,
     // zero-centered — dyadic rationals, bit-exact in double), projections
-    // rounded to 6dp before the sign test, 8 bands x 8 sign bits, exact
-    // cosine verification on candidates. CTE chain shared with x2_rhp_recall.
+    // rounded to 6dp before the sign test, 8 bands x corpus-derived sign
+    // bits (rhp_bits replays Similarity.rhpBitsFor), exact cosine
+    // verification on candidates. CTE chain shared with x2_rhp_recall.
     "x2_rhp_near_dup" ->
       s"""WITH $RhpChain
          |SELECT id_a, id_b, cosine FROM rhp_v WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin,
 
-    // Mirrors Similarity.pairRecall over (exact ground truth, RHP found):
-    // n_true = unblocked exact pairs at cosine >= 0.4, n_captured = those
-    // present in the RHP output. Both stages reuse the engine-portable
-    // expressions above, so the recall ROW is hash-checked, not rows-only.
+    // Mirrors Similarity.pairRecall over (sampled exact ground truth, RHP
+    // found): n_true = exact pairs at cosine >= 0.4 whose ANCHOR (id_a)
+    // is in the vec_id % 100 = 0 sample — the bounded-sample audit form
+    // (r14; the full-corpus quadratic truth was the most expensive ×100
+    // cell in r13) — n_captured = those present in the RHP output. Both
+    // stages reuse the engine-portable expressions above, so the recall
+    // ROW is hash-checked, not rows-only.
     "x2_rhp_recall" ->
       s"""WITH $RhpChain,
          |rhp AS (SELECT id_a, id_b FROM rhp_v WHERE cosine >= 0.4),
@@ -1543,35 +1575,35 @@ object Oracles {
          |    list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) /
          |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)))) *
          |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id < b.vec_id),
          |tp AS (SELECT id_a, id_b FROM truth WHERE cosine >= 0.4),
          |n AS (SELECT count(*) AS n_true FROM tp),
          |c AS (SELECT count(*) AS n_captured FROM tp t JOIN rhp r ON t.id_a = r.id_a AND t.id_b = r.id_b)
          |SELECT CAST(0.4 AS DOUBLE) AS threshold, n_true, n_captured,
-         |  round(n_captured / n_true, 6) AS recall
+         |  CASE WHEN n_true = 0 THEN NULL
+         |       ELSE round(n_captured / n_true, 6) END AS recall
          |FROM n, c""".stripMargin,
 
-    // Multi-probe twin in its design regime: 8 bands x 8 bits, left side
-    // expanded to the bucket plus its eight 1-bit-flip neighbors (xor),
-    // equality join against the exact right side, exact-cosine
-    // verification. Same knobs/threshold as x2_rhp_scale, so the two gated
-    // results differ only by the probed pairs. Mirrors
-    // Similarity.rhpMultiProbePairs.
-    "x2_rhp_multiprobe" -> {
-      val probes = ("bkt" +: (0 until 8).map(j => s"xor(bkt, ${1L << j})")).mkString(", ")
-      s"""WITH ${rhpBucketChain(8, 8)},
-         |rhp_probe AS (SELECT vec_id, band, unnest([$probes]) AS key
-         |  FROM rhp_buck),
+    // Multi-probe twin in its design regime: 8 bands x corpus-derived
+    // bits (rhp_bits), left side expanded to the bucket plus its `bits`
+    // 1-bit-flip neighbors (xor), equality join against the exact right
+    // side, exact-cosine verification. Same knobs/threshold as
+    // x2_rhp_scale, so the two gated results differ only by the probed
+    // pairs. Mirrors Similarity.rhpMultiProbePairs.
+    "x2_rhp_multiprobe" ->
+      s"""WITH ${rhpBucketChainDyn(8)},
+         |rhp_probe AS (SELECT vec_id, band, unnest(list_prepend(bkt,
+         |    list_transform(generate_series(0, bits - 1), j -> xor(bkt, CAST(1 << j AS BIGINT))))) AS key
+         |  FROM rhp_buck CROSS JOIN rhp_bits),
          |rhp_cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |         FROM rhp_probe a JOIN rhp_buck b ON a.band = b.band AND a.key = b.bkt AND a.vec_id < b.vec_id),
          |$RhpVerify
-         |SELECT id_a, id_b, cosine FROM rhp_v WHERE cosine >= 0.45 ORDER BY 1, 2""".stripMargin
-    },
+         |SELECT id_a, id_b, cosine FROM rhp_v WHERE cosine >= 0.45 ORDER BY 1, 2""".stripMargin,
 
-    // Scale-form RHP twin: 8 bands x 8 bits, threshold 0.45 (see the query
-    // scaladoc for the knob rationale).
+    // Scale-form RHP twin: 8 bands x corpus-derived bits, threshold 0.45
+    // (see the query scaladoc for the sizing rationale).
     "x2_rhp_scale" ->
-      s"""WITH ${rhpBucketChain(8, 8)},
+      s"""WITH ${rhpBucketChainDyn(8)},
          |rhp_cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |         FROM rhp_buck a JOIN rhp_buck b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
          |$RhpVerify

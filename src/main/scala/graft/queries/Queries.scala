@@ -2291,61 +2291,69 @@ object Queries {
       .orderBy("id_a", "id_b")
 
   /** X2 scale path for embeddings: random-hyperplane LSH with exact-cosine
-    * verification — no all-pairs join anywhere. Registered at 8 bands ×
-    * 8 sign bits, the high-bit regime whose background collision rate
-    * (2^-8 per band) keeps the candidate set linear UP TO bucket
-    * occupancy ~16·2^8 ≈ 4k vectors... more precisely, while n/2^bits
-    * stays small — at 200k vectors the r13 one-JVM ×100 run measured the
-    * 8-bit regime quadratic again (SCALING.md r13); corpus-scale callers
-    * derive bits from n via [[graft.ops.Similarity.rhpBitsFor]]. The
-    * 16×4 coarse-band parameterization this replaced (r7) sits in a
-    * documented quadratic regime (SCALING.md r5/r6: exp 1.15–1.18) and
-    * survives only as the function default + OpsSpec regime demo, never a
-    * registered plan — the multiprobe twin got the same treatment in r6.
-    * The md5-seeded hyperplanes are portable, so the DuckDB twin mirrors
-    * the full two-stage plan and this is hash-checked, not rows-only.
+    * verification — no all-pairs join anywhere. Since r14 the registered
+    * plan derives `bitsPerBand = rhpBitsFor(count)` FROM THE CORPUS —
+    * bits grow with n so expected bucket occupancy stays ≤ 16 and the
+    * candidate set stays LINEAR at any scale (fixed 8-bit bands measured
+    * quadratic again at 200k vectors, SCALING.md r13; the fixed-bits form
+    * survives only as the OpsSpec regime demo). The derivation is
+    * integer-exact and the hyperplanes are md5-seeded, so the DuckDB twin
+    * replays count → bits → buckets → verify bit-for-bit and this stays
+    * hash-checked at EVERY scale — the gate exercises different bits at
+    * sf0.001 and sf0.01 by construction.
     */
-  private def x2RhpNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.randomHyperplaneNearDupPairs(t(spark, dir, "embeddings"),
-      threshold = 0.4, dim = 64, bands = 8, bitsPerBand = 8)
+  private def x2RhpNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.randomHyperplaneNearDupPairs(emb, threshold = 0.4, dim = 64,
+      bands = 8, bitsPerBand = Similarity.rhpBitsFor(emb.count()))
       .orderBy("id_a", "id_b")
+  }
 
-  /** X2 RHP at its SCALE-form knobs: 8 bands × 8 sign bits, threshold 0.45.
-    * The 16×4 default's background collision rate (1/16 per band for
-    * unrelated vectors) makes its candidate set quadratic at corpus scale —
-    * measured exp ≈ 1.2 in the sf1 rehearsal (SCALING.md) — while 8-bit
-    * bands collapse it ~32× (1/256 per band). The price is recall at this
-    * fixture's low max cosine (~0.5, far below the 0.8+ regime sign-LSH is
-    * designed for, where 8-bit bands keep recall high). Registered to pin
-    * the scale-form plan and its candidate math under the hash gate.
+  /** X2 RHP at its SCALE-form knobs: 8 bands × corpus-derived sign bits
+    * (rhpBitsFor: occupancy ≤ 16 ⇒ candidates linear in n), threshold
+    * 0.45. Until r13 this pinned bits = 8 — the regime that exhausted
+    * executor memory at ×100 (SCALING.md r13 Finding 1) because fixed
+    * bits put 200k vectors at ~780/bucket and the background candidate
+    * volume regrew quadratically. The registered plan now IS the sizing
+    * rule: the count() is deterministic per fixture, the DuckDB twin
+    * replays the same integer derivation, and the hash gate survives
+    * every scale including ×100. The price of high bits is recall at
+    * this fixture's low max cosine (~0.5); growers buy recall back with
+    * more bands or Hamming-1 probing (see x2_rhp_multiprobe), both
+    * linear in n.
     */
-  private def x2RhpScale(spark: SparkSession, dir: String): DataFrame =
-    Similarity.randomHyperplaneNearDupPairs(t(spark, dir, "embeddings"),
-      threshold = 0.45, dim = 64, bands = 8, bitsPerBand = 8)
+  private def x2RhpScale(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.randomHyperplaneNearDupPairs(emb, threshold = 0.45, dim = 64,
+      bands = 8, bitsPerBand = Similarity.rhpBitsFor(emb.count()))
       .orderBy("id_a", "id_b")
+  }
 
-  /** X2 multi-probe sign-LSH in its DESIGN regime: 8 bands × 8 bits,
-    * each bucket probed at Hamming distance ≤ 1 (9 keys/band). High-bit
-    * bands make exact collisions rare (background rate ~L/256 per band),
+  /** X2 multi-probe sign-LSH in its DESIGN regime: 8 bands ×
+    * corpus-derived bits, each bucket probed at Hamming distance ≤ 1
+    * (bits+1 keys/band). High-bit bands make exact collisions rare,
     * which is exactly where 1-bit probing pays: it recovers the pairs a
-    * single flipped sign bit would lose, buying back recall the 8-bit
+    * single flipped sign bit would lose, buying back the recall the
     * quantization gave up — same knobs and threshold as x2_rhp_scale, so
     * the two gated plans differ ONLY in probing and the recall it adds.
-    * At CORPUS scale the same sizing rule as x2_rhp_scale applies with
-    * probing's ×(bits+1) candidate multiplier on top — fixed 8-bit bands
-    * exhausted executor memory at 200k vectors (SCALING.md r13), so
-    * production sizes bits by [[graft.ops.Similarity.rhpBitsFor]] BEFORE
-    * enabling probing.
+    * Bits come from [[graft.ops.Similarity.rhpBitsFor]] (since r14 —
+    * the registered fixed-8-bit form OOM'd at ×100, SCALING.md r13
+    * Finding 1): occupancy stays ≤ 16, so probing's ×(bits+1) candidate
+    * multiplier rides on a LINEAR background instead of multiplying a
+    * quadratic one.
     * (The 8×4 coarse-band parameterization this replaced is kept as a
     * spec-level regime demonstration in OpsSpec: with 16 buckets/band the
     * probe expansion multiplies an already-quadratic background — measured
     * exp 1.42 in SCALING.md round 5 — and must not be the registered plan.)
-    * Hash-checked: md5 hyperplanes and the probe expansion are portable.
+    * Hash-checked: the count→bits derivation is integer-exact and the
+    * md5 hyperplanes and probe expansion are portable.
     */
-  private def x2RhpMultiprobe(spark: SparkSession, dir: String): DataFrame =
-    Similarity.rhpMultiProbePairs(t(spark, dir, "embeddings"),
-      threshold = 0.45, dim = 64, bands = 8, bitsPerBand = 8)
+  private def x2RhpMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.rhpMultiProbePairs(emb, threshold = 0.45, dim = 64,
+      bands = 8, bitsPerBand = Similarity.rhpBitsFor(emb.count()))
       .orderBy("id_a", "id_b")
+  }
 
   /** Sketch aggregates under the oracle gate (the 100 TB form of
     * count-distinct and percentile): the query emits the EXACT values plus
@@ -2390,14 +2398,22 @@ object Queries {
     * `x2_rhp_recall` is HASH-CHECKED: both the RHP candidate path and the
     * exact ground truth are engine-portable (md5 hyperplanes, 6-dp rounds),
     * so the DuckDB twin reproduces the exact (n_true, n_captured, recall)
-    * row. The ground truth is quadratic by contract — a bounded-sample
-    * audit, broadcast-nested-loop, not a corpus-scale operator.
+    * row. The ground truth is a BOUNDED-SAMPLE audit since r14: anchors
+    * are `vec_id % 100 == 0` (the x3_ivf_recall sampling pattern), so the
+    * exact side is O(sample × corpus) via broadcast-nested-loop — the
+    * corpus never shuffles and never self-pairs. (Until r13 the truth was
+    * the FULL unblocked quadratic — 1332 s at ×100, the single most
+    * expensive cell of the r13 one-JVM run; a recall ESTIMATE over a
+    * deterministic anchor sample is statistically the same audit at 1% of
+    * the cost.) The RHP side derives bits from the corpus count like
+    * every registered x2_rhp_* plan.
     */
   private def x2RhpRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val truth = Similarity.embeddingNearDupPairs(emb, threshold = 0.4, blockCol = None)
+    val truth = Similarity.embeddingNearDupPairs(emb, threshold = 0.4, blockCol = None,
+      anchorPred = Some(col("vec_id") % 100 === 0))
     val found = Similarity.randomHyperplaneNearDupPairs(emb, threshold = 0.4, dim = 64,
-      bands = 8, bitsPerBand = 8)
+      bands = 8, bitsPerBand = Similarity.rhpBitsFor(emb.count()))
     Similarity.pairRecall(truth, found, threshold = 0.4)
   }
 
@@ -4571,9 +4587,12 @@ object Queries {
     val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevBb = spark.conf.getOption(SketchCatalog.BroadcastBytesKey)
     val prevAudit = spark.conf.getOption(SketchCatalog.AuditStoreKey)
-    spark.conf.unset(SketchCatalog.AuditStoreKey) // fixture builds un-audited
-    val (poisonedPath, auditPath) = x6DemoteFixture(spark, dir)
     val (violations, poisonedFlipped, demotedKept, customerRecovered, row) = try {
+      // unset + fixture build INSIDE the restore scope: a fixture-build
+      // failure must not leave a previously-set audit-store conf unset
+      // for the rest of the session (ADVICE r13)
+      spark.conf.unset(SketchCatalog.AuditStoreKey) // fixture builds un-audited
+      val (poisonedPath, auditPath) = x6DemoteFixture(spark, dir)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set(SketchCatalog.BroadcastBytesKey, "0")
       SketchCatalog.deactivate(spark)
