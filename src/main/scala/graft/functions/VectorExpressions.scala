@@ -528,6 +528,110 @@ case class PqAdc(qv: Expression, codes: Expression, booksLit: Expression, subDim
     copy(qv = newChildren(0), codes = newChildren(1), booksLit = newChildren(2))
 }
 
+/** All `bands × bits` sign-LSH band buckets of one vector in ONE pass —
+  * the bucket-projection kernel of the corpus-sized RHP family
+  * (Similarity.signBucketArray). The Column-composed form it replaces
+  * (per sign bit: `when(round(graft_dot(v, typedlit(plane)), 6) >= 0, …)`)
+  * pays a boxed GenericArrayData element read per plane literal element —
+  * 8 bands × 14 corpus-derived bits × 64 dims = 7168 boxed reads PER ROW,
+  * measured 87 s of a 123 s ×100 near-dup run (r14 RhpStageProbe). This
+  * expression keeps the plane matrix as a primitive double[][] reference
+  * and runs the whole projection as tight JIT-able loops: same
+  * arithmetic, ~1000× fewer allocations.
+  *
+  * Semantics are IDENTICAL to the composed form, bit for bit:
+  *  - per plane k (serving band k/bits, sign bit k%bits): dot of the
+  *    vector prefix against the plane in index order (DotProduct's exact
+  *    left-to-right double sum; null elements contribute 0, mismatched
+  *    lengths use the shorter prefix);
+  *  - the dot is rounded HALF_UP to 6 dp BEFORE the sign test (Spark
+  *    `round` semantics via BigDecimal.valueOf — taken on the slow path
+  *    only when the raw sum sits in (-1e-6, 0), the single interval
+  *    where rounding can flip the comparison);
+  *  - a NULL input vector yields the all-zero bucket array (the when/
+  *    otherwise fold's behavior: null dots contribute 0 to every band),
+  *    NOT a null array — callers posexplode the result, and a null row
+  *    must keep colliding in bucket 0 of every band exactly as before.
+  */
+case class SignBandBuckets(child: Expression, planes: Array[Array[Double]],
+                           bands: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planes.length == bands * bits,
+    s"SignBandBuckets: ${planes.length} planes for $bands bands x $bits bits")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"SignBandBuckets expects array<float|double>, got $other")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      SignBandBuckets.compute(v.asInstanceOf[ArrayData], isFloat, planes, bands, bits))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("signPlanes", planes, "double[][]")
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            graft.functions.SignBandBuckets.compute(
+              ${childGen.isNull} ? null : ${childGen.value},
+              $isFloat, $ref, $bands, $bits));
+      """
+    ev.copy(code = code,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignBandBuckets {
+  /** The shared eval/codegen kernel (public: generated code calls it). */
+  def compute(v: ArrayData, isFloat: Boolean, planes: Array[Array[Double]],
+              bands: Int, bits: Int): Array[Long] = {
+    val res = new Array[Long](bands)
+    if (v == null) return res // null vector: bucket 0 in every band (see scaladoc)
+    val nPlanes = bands * bits
+    var k = 0
+    while (k < nPlanes) {
+      val p = planes(k)
+      val n = math.min(v.numElements(), p.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (v.isNullAt(i)) 0.0
+                else if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * p(i)
+        i += 1
+      }
+      // round(s, 6) >= 0 — BigDecimal only where rounding can flip the
+      // sign: s in (-1e-6, 0) may round UP to exactly zero (>= 0 true)
+      val pos =
+        if (s >= 0.0) true
+        else if (s <= -1e-6) false
+        else java.math.BigDecimal.valueOf(s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).signum() >= 0
+      if (pos) res(k / bits) |= 1L << (k % bits)
+      k += 1
+    }
+    res
+  }
+}
+
 /** Session registration for graft's native expressions (usable from SQL as
   * `graft_dot(a, b)` / `graft_sig_agree(a, b)` and from the DataFrame API
   * via `call_function`).

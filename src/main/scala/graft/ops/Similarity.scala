@@ -180,13 +180,15 @@ object Similarity {
     */
   private[graft] def signBucketArray(v: Column, planes: Array[Array[Double]],
                               bands: Int, bitsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      (0 until bitsPerBand).map { j =>
-        val k = b * bitsPerBand + j
-        when(round(dot(v, typedlit(planes(k).toSeq)), 6) >= 0, lit(1L << j))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    // native one-pass kernel (r14): bit-identical to the Column-composed
+    // `when(round(dot(v, plane), 6) >= 0, 1L << j)` fold it replaced, but
+    // the plane matrix stays a primitive double[][] instead of bands×bits
+    // boxed array literals — the composed form's boxed element reads were
+    // 87 s of a 123 s ×100 near-dup run (RhpStageProbe, SCALING.md r14)
+    org.apache.spark.sql.graftbridge.column(
+      graft.functions.SignBandBuckets(
+        org.apache.spark.sql.graftbridge.expression(v),
+        planes, bands, bitsPerBand))
 
   /** Corpus-sized sign bits per band: smallest `bits` keeping expected
     * bucket occupancy `n / 2^bits` at or under `targetOccupancy`, clamped
@@ -277,6 +279,17 @@ object Similarity {
     * for an unordered pair at Hamming distance ≤1 the left expansion
     * always covers the right key, and symmetric expansion would only
     * duplicate candidates.
+    *
+    * Shape (r14): candidates-then-rejoin — the probe expansion carries
+    * ONLY (id, band, key), never the vectors. The pre-r14 form carried
+    * vectors on both sides and built the shuffle-hash map from the
+    * EXPANDED side: n × bands × (bits+1) vector-wide rows, which at
+    * 200k × 8 × 15 was a multi-GB per-partition hash build — the ×100
+    * executor OOM of SCALING.md r13/r14. Now the hash map is built from
+    * the UNEXPANDED banded side (n × bands skinny rows), candidates
+    * dedup BEFORE vectors are fetched, and the exact-cosine verify joins
+    * the pinned (id, vector, norm) projection twice — each candidate
+    * pays the vector bytes exactly once.
     */
   def rhpMultiProbePairs(
       df: DataFrame, threshold: Double, dim: Int,
@@ -284,22 +297,26 @@ object Similarity {
       bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val planes = Array.tabulate(bands * bitsPerBand, dim)(planeComponent)
-    val base = df.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
-      .select(col(idCol), col("__v"), col("__n"),
-        posexplode(signBucketArray(col("__v"), planes, bands, bitsPerBand))
-          .as(Seq("__band", "__bkt")))
+    val base = OpCaches.pin(df.select(col(idCol), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n")))
+    val banded = base.select(col(idCol),
+      posexplode(signBucketArray(col("__v"), planes, bands, bitsPerBand))
+        .as(Seq("__band", "__bkt")))
     val probeKeys = array(col("__bkt") +:
       (0 until bitsPerBand).map(j => col("__bkt").bitwiseXOR(lit(1L << j))): _*)
-    val left = base.select(col(idCol).as("id_a"), col("__v").as("__va"),
-      col("__n").as("__na"), col("__band"), explode(probeKeys).as("__key"))
-    val right = base.select(col(idCol).as("id_b"), col("__v").as("__vb"),
-      col("__n").as("__nb"), col("__band"), col("__bkt").as("__key"))
-    left.hint("shuffle_hash").join(right, Seq("__band", "__key"))
+    val probes = banded.select(col(idCol).as("id_a"), col("__band"),
+      explode(probeKeys).as("__key"))
+    val right = banded.select(col(idCol).as("id_b"), col("__band"),
+      col("__bkt").as("__key"))
+    val cand = probes.join(right.hint("shuffle_hash"), Seq("__band", "__key"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")), "id_b")
       .withColumn("cosine", round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-      .distinct()
   }
 
   /** Deterministic spherical k-means (Lloyd) over the embedding column —

@@ -207,15 +207,61 @@ object SketchCatalog {
   val ConventionFull = "full"
   val ConventionDelta = "delta"
 
+  /** Canonical value separator inside a composite-key (tuple) sketch:
+    * the tuple's components are cast to string and concatenated with
+    * this unit separator, in the tuple's DECLARED column order. A key
+    * value that itself contains the separator can only make two distinct
+    * tuples collide, and a CMS/HLL collision only ever OVERCOUNTS —
+    * the safe direction for every consumer (broadcast stays
+    * never-understated). Rows with ANY null component are excluded
+    * (an equi-join never matches a null key), matching the join
+    * semantics the tuple artifact prices.
+    */
+  val TupleSep = "\u0001"
+
+  /** Catalog key name of a tuple entry: the declared column order,
+    * comma-joined — `"o_custkey,o_orderdate"`. Order is load-bearing:
+    * the planner must concatenate BOTH sides' values in pairwise-
+    * corresponding order, so it matches a right tuple by permuting the
+    * join pairs into the left entry's declared order (see
+    * SketchJoinPlanning.tupleEntryPair).
+    */
+  def tupleKeyName(cols: Seq[String]): String = cols.mkString(",")
+
+  /** The canonical tuple value column (string; null when any component
+    * is null).
+    */
+  def tupleColumn(cols: Seq[String]): org.apache.spark.sql.Column =
+    when(cols.map(col(_).isNotNull).reduce(_ && _),
+      concat_ws(TupleSep, cols.map(c => col(c).cast("string")): _*))
+
+  /** The canonical tuple STRING for literal values in declared order —
+    * the form [[tupleColumn]] produces, for plan-time point bounds.
+    */
+  def tupleLiteral(values: Seq[String]): String = values.mkString(TupleSep)
+
   /** Harvest one table's planning artifacts (two column-pruned passes —
     * see the object scaladoc): one catalog row per key column.
     * `eps`/`confidence`/`seed` must match across every table whose
     * sketches will be inner-producted together.
+    *
+    * `tuples` declares COMPOSITE join keys to harvest alongside the
+    * single columns: each becomes one catalog row keyed
+    * [[tupleKeyName]] whose CMS/HLL/heavy artifacts are built over the
+    * canonical [[tupleColumn]] string — the statistic a multi-column
+    * equi-join needs. A single-column CMS prices a 2-column join by ONE
+    * column's frequencies, which is never an undercount but routinely a
+    * gross overcount (the per-column products count pairs the second
+    * equality rejects); the tuple artifact prices the actual composite
+    * key. Declare the tuples that match your join patterns, exactly as
+    * you would declare a composite index.
     */
   def harvest(spark: SparkSession, dir: String, keys: Seq[String],
               eps: Double = 1e-3, confidence: Double = 0.99,
-              seed: Int = 42): DataFrame = {
+              seed: Int = 42, tuples: Seq[Seq[String]] = Nil): DataFrame = {
     require(keys.nonEmpty, "harvest: at least one key column")
+    require(tuples.forall(_.size >= 2),
+      "harvest: a tuple key needs at least 2 columns (use keys for singles)")
     val table = normalizePath(spark, dir)
     val df = spark.read.parquet(dir)
     val nBytes = {
@@ -224,7 +270,7 @@ object SketchCatalog {
       fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
     }
     harvestFrame(spark, table, df, nBytes, keys, eps, confidence, seed,
-      ConventionFull)
+      ConventionFull, tuples)
   }
 
   /** [[harvest]] over an EXPLICIT file list — the DELTA leg of catalog
@@ -240,9 +286,12 @@ object SketchCatalog {
     */
   def harvestFiles(spark: SparkSession, dir: String, files: Seq[String],
                    keys: Seq[String], eps: Double = 1e-3,
-                   confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+                   confidence: Double = 0.99, seed: Int = 42,
+                   tuples: Seq[Seq[String]] = Nil): DataFrame = {
     require(keys.nonEmpty, "harvestFiles: at least one key column")
     require(files.nonEmpty, "harvestFiles: at least one file")
+    require(tuples.forall(_.size >= 2),
+      "harvestFiles: a tuple key needs at least 2 columns (use keys for singles)")
     val table = normalizePath(spark, dir)
     val schema = spark.read.parquet(dir).schema
     val df = spark.read.schema(schema).parquet(files: _*)
@@ -251,7 +300,7 @@ object SketchCatalog {
       val p = new Path(f); p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
     harvestFrame(spark, table, df, nBytes, keys, eps, confidence, seed,
-      ConventionDelta)
+      ConventionDelta, tuples)
   }
 
   /** Single-pass multi-column Misra–Gries candidate fold: one scan of
@@ -289,8 +338,20 @@ object SketchCatalog {
   private def harvestFrame(spark: SparkSession, table: String, df: DataFrame,
                            nBytes: Long, keys: Seq[String], eps: Double,
                            confidence: Double, seed: Int,
-                           convention: String): DataFrame = {
-    val aggs = count(lit(1)).as("__n") +: keys.flatMap { k =>
+                           convention: String,
+                           tuples: Seq[Seq[String]] = Nil): DataFrame = {
+    // tuples ride the same scan as the single columns: projected to
+    // their canonical string form under internal names (a catalog key
+    // name contains commas, which a working column name must not), so
+    // one column-pruned pass harvests everything
+    val tupleInternal = tuples.indices.map(i => s"__graft_tuple_$i")
+    val staged = df.select(keys.map(col) ++
+      tuples.zip(tupleInternal).map { case (tc, nm) =>
+        tupleColumn(tc).as(nm) }: _*)
+    val allKeys = keys ++ tupleInternal
+    val outName = (keys.map(k => k -> k) ++
+      tuples.zip(tupleInternal).map { case (tc, nm) => nm -> tupleKeyName(tc) }).toMap
+    val aggs = count(lit(1)).as("__n") +: allKeys.flatMap { k =>
       Seq(count_min_sketch(col(k).cast("string"), lit(eps), lit(confidence),
           lit(seed)).as(s"__cms_$k"),
         hll_sketch_agg(col(k), lit(12)).as(s"__hll_$k"))
@@ -298,14 +359,14 @@ object SketchCatalog {
     // distinct estimate derived FROM the stored sketch (scalar estimate
     // over the agg output), so the catalog's number and its overlap
     // artifact can never disagree
-    val row = df.agg(aggs.head, aggs.tail: _*)
-      .select(col("*") +: keys.map(k =>
+    val row = staged.agg(aggs.head, aggs.tail: _*)
+      .select(col("*") +: allKeys.map(k =>
         hll_sketch_estimate(col(s"__hll_$k")).cast("double").as(s"__nd_$k")): _*)
       .head()
     val n = row.getLong(row.fieldIndex("__n"))
-    val heavy = mgCandidates(df, keys)
-    val out = keys.map { k =>
-      Row(table, k, n, nBytes,
+    val heavy = mgCandidates(staged, allKeys)
+    val out = allKeys.map { k =>
+      Row(table, outName(k), n, nBytes,
         row.getDouble(row.fieldIndex(s"__nd_$k")),
         row.getAs[Array[Byte]](row.fieldIndex(s"__cms_$k")),
         row.getAs[Array[Byte]](row.fieldIndex(s"__hll_$k")),

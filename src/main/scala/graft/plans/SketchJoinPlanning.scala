@@ -142,6 +142,49 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
   private def trustedTable(cat: Catalog, table: String): Option[Entry] =
     if (cat.demotedTables(table)) None else cat.byTable.get(table)
 
+  /** The tuple-keyed catalog entries backing a COMPOSITE equi-join, when
+    * both sides harvested the matching tuple ([[SketchCatalog.harvest]]'s
+    * `tuples` leg). A left tuple entry declares a column order; the
+    * pairs are permuted into it and the right tuple is looked up under
+    * the SAME pairwise order — concatenation order must correspond
+    * across sides or equal tuples would hash differently. Requires
+    * every pair distinct-columned on both sides (a duplicated column
+    * inside one condition has no canonical tuple) and both entries
+    * trusted. None falls consumers back to single-column pricing.
+    */
+  private[plans] def tupleEntryPair(cat: Catalog, lb: Base, rb: Base,
+      pairs: Seq[(AttributeReference, AttributeReference)])
+    : Option[(Entry, Entry)] = {
+    if (pairs.size < 2) return None
+    val cols = pairs.map { case (la, ra) =>
+      (lb.colOf.get(la.exprId), rb.colOf.get(ra.exprId)) }
+    if (cols.exists(c => c._1.isEmpty || c._2.isEmpty)) return None
+    val lc = cols.map(_._1.get); val rc = cols.map(_._2.get)
+    if (lc.distinct.size != lc.size || rc.distinct.size != rc.size) return None
+    val byLeftCol = lc.zip(rc).toMap
+    val lcSet = lc.toSet
+    // candidate left tuple entries: comma-keyed rows of the left table
+    // whose column set is exactly the pairs' left columns
+    cat.entries.iterator
+      .filter(e => e.table == lb.table && e.key.contains(","))
+      .map(e => e -> e.key.split(",").toSeq)
+      .filter { case (_, ks) => ks.size == pairs.size && ks.toSet == lcSet }
+      .flatMap { case (le, ks) =>
+        val rightName = SketchCatalog.tupleKeyName(ks.map(byLeftCol))
+        cat.byTableKey.get((rb.table, rightName)).map(re => (le, re))
+      }
+      .find { case (le, re) => cat.trusted(le) && cat.trusted(re) }
+  }
+
+  /** CMS inner product of two entries, degraded to None on geometry
+    * mismatch or the codec's deliberate exact-arithmetic overflow — a
+    * PLANNING rule never crashes a query that runs fine un-ruled.
+    */
+  private def cmsInner(a: Entry, b: Entry): Option[Long] =
+    try Some(CmsCodec.innerProduct(CmsCodec.parse(a.cms), CmsCodec.parse(b.cms)))
+    catch { case e @ (_: IllegalArgumentException | _: ArithmeticException) =>
+      logWarning(s"sketch planning: skipping estimate (${e.getMessage})"); None }
+
   /** Every conjunct is a cross-side attr = attr; returns the (left-side
     * attr, right-side attr) pairs, orientation normalized.
     */
@@ -157,9 +200,14 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     if (pairs.forall(_.isDefined) && pairs.nonEmpty) Some(pairs.map(_.get)) else None
   }
 
-  /** Estimated output rows of `left ⋈ right` on the FIRST equi pair, from
-    * the stored Count-Min sketches (None when either key is uncatalogued
-    * or geometries mismatch).
+  /** Estimated output rows of `left ⋈ right` from the stored Count-Min
+    * sketches (None when nothing is catalogued or geometries mismatch).
+    * Composite joins prefer the TUPLE artifact ([[tupleEntryPair]]) —
+    * the only estimate that prices the actual composite key; without
+    * one, the MIN over every priceable single pair (each single-column
+    * inner product upper-bounds the composite join's true cardinality,
+    * because a second equality can only reject pairs — so the min is
+    * still sound and strictly tighter than the first pair alone).
     */
   private def estJoinRows(cat: Catalog, left: LogicalPlan, right: LogicalPlan,
                           pairs: Seq[(AttributeReference, AttributeReference)])
@@ -167,18 +215,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     for {
       lb <- resolveBase(left, cat)
       rb <- resolveBase(right, cat)
-      (la, ra) = pairs.head
-      le <- trustedEntryFor(lb, cat, la)
-      re <- trustedEntryFor(rb, cat, ra)
-      // IllegalArgumentException = geometry/seed mismatch; ArithmeticException
-      // = the codec's deliberate exact-arithmetic overflow (totalCounts big
-      // enough that cell products pass 2^63 — exactly the 100 TB regime).
-      // Either way a PLANNING rule degrades to "no estimate", never crashes
-      // a query that runs fine un-ruled.
-      est <- try Some(CmsCodec.innerProduct(
-        CmsCodec.parse(le.cms), CmsCodec.parse(re.cms)))
-      catch { case e @ (_: IllegalArgumentException | _: ArithmeticException) =>
-        logWarning(s"sketch planning: skipping estimate (${e.getMessage})"); None }
+      est <- estPairRows(cat, lb, rb, pairs)
     } yield est
 
   // ---------------------------------------------------------------- //
@@ -221,10 +258,13 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
   /** One chain condition resolved against the chain's leaves: it must be
     * pure cross-leaf equi conjuncts between exactly TWO leaves (the
     * Selinger edge). `a`/`b` are leaf indices; `attrA`/`attrB` the first
-    * conjunct's key attributes on each.
+    * conjunct's key attributes on each; `pairsAB` every conjunct's
+    * (a-side, b-side) attribute pair — composite edges price through
+    * the tuple artifact / min-pair bound like any other join.
     */
   private final case class Edge(cond: Expression, a: Int, b: Int,
-                                attrA: AttributeReference, attrB: AttributeReference)
+                                attrA: AttributeReference, attrB: AttributeReference,
+                                pairsAB: Seq[(AttributeReference, AttributeReference)])
 
   private def resolveEdge(cond: Expression, leaves: Seq[LogicalPlan]): Option[Edge] = {
     def leafOf(attr: AttributeReference): Option[Int] = {
@@ -241,21 +281,39 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     else {
       val es = pairs.map(_.get)
       val (a, b, l, r) = es.head
-      if (es.forall(e => e._1 == a && e._2 == b)) Some(Edge(cond, a, b, l, r))
+      if (es.forall(e => e._1 == a && e._2 == b))
+        Some(Edge(cond, a, b, l, r, es.map(e => (e._3, e._4))))
       else None // one condition spanning three+ leaves: not a chain edge
     }
   }
+
+  /** Estimated rows from a resolved (base, base) pair set: tuple
+    * artifact first, else min over priceable single pairs — shared by
+    * [[estJoinRows]]'s plan-shaped caller and the reorder pass's
+    * leaf-indexed edges so composite pricing cannot diverge between
+    * passes.
+    */
+  private def estPairRows(cat: Catalog, lb: Base, rb: Base,
+      pairs: Seq[(AttributeReference, AttributeReference)]): Option[Long] =
+    tupleEntryPair(cat, lb, rb, pairs)
+      .flatMap { case (le, re) => cmsInner(le, re) }
+      .orElse {
+        val perPair = pairs.flatMap { case (la, ra) =>
+          for {
+            le <- trustedEntryFor(lb, cat, la)
+            re <- trustedEntryFor(rb, cat, ra)
+            e <- cmsInner(le, re)
+          } yield e
+        }
+        if (perPair.isEmpty) None else Some(perPair.min)
+      }
 
   /** Estimated `|leaves(e.a) ⋈ leaves(e.b)|` from the stored CMS pair. */
   private def edgeEst(cat: Catalog, leaves: Seq[LogicalPlan], e: Edge): Option[Double] =
     for {
       ab <- resolveBase(leaves(e.a), cat); bb <- resolveBase(leaves(e.b), cat)
-      ae <- trustedEntryFor(ab, cat, e.attrA); be <- trustedEntryFor(bb, cat, e.attrB)
-      est <- try Some(CmsCodec.innerProduct(
-        CmsCodec.parse(ae.cms), CmsCodec.parse(be.cms)).toDouble)
-      catch { case ex @ (_: IllegalArgumentException | _: ArithmeticException) =>
-        logWarning(s"sketch planning: skipping estimate (${ex.getMessage})"); None }
-    } yield est
+      est <- estPairRows(cat, ab, bb, e.pairsAB)
+    } yield est.toDouble
 
   /** Greedy Selinger left-deep ordering: selectivity of each edge comes
     * from its CMS pair estimate (`sel = est / (n_a·n_b)` — the statistic
@@ -408,9 +466,17 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
                            r: LogicalPlan, cond: Expression): Option[Double] =
     for {
       pairs <- equiPairs(cond, base, r)
-      (la, ra) = pairs.head
       bb <- resolveBase(base, cat); rb <- resolveBase(r, cat)
-      le <- trustedEntryFor(bb, cat, la); re <- trustedEntryFor(rb, cat, ra)
+      // composite semi-filters price on the TUPLE key sets when both
+      // sides harvested them (a single column's overlap overstates what
+      // a multi-column filter retains); else the first pair, as before
+      (le, re) <- tupleEntryPair(cat, bb, rb, pairs).orElse {
+        val (la, ra) = pairs.head
+        for {
+          l <- trustedEntryFor(bb, cat, la)
+          r2 <- trustedEntryFor(rb, cat, ra)
+        } yield (l, r2)
+      }
       overlap <- SketchCatalog.hllKeyOverlap(le, re)
       frac = math.min(1.0, overlap / math.max(1.0, le.distinctEst))
     } yield if (jt == LeftSemi) frac else 1.0 - frac
@@ -496,7 +562,8 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
           None
         }
       }
-    val bounds = splitConjunctivePredicates(cond).flatMap {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val bounds = conjuncts.flatMap {
       case EqualTo(a: AttributeReference, Literal(v, dt)) => point(a, v, dt)
       case EqualTo(Literal(v, dt), a: AttributeReference) => point(a, v, dt)
       case In(a: AttributeReference, vs) if vs.nonEmpty &&
@@ -508,7 +575,32 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
           catch { case _: ArithmeticException => Long.MaxValue }))
       case _ => None
     }
-    if (bounds.isEmpty) None else Some(bounds.min)
+    // multi-column point predicates price through a TUPLE artifact when
+    // one covers exactly the point-bound columns' superset: the tuple
+    // CMS counts rows matching ALL equalities at once — never above the
+    // min of the single bounds, often far below (the composite-index
+    // argument applied to filters)
+    val pointByCol: Map[String, String] = conjuncts.flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+        for { c <- base.colOf.get(a.exprId); s <- litString(v, dt) } yield c -> s
+      case EqualTo(Literal(v, dt), a: AttributeReference) =>
+        for { c <- base.colOf.get(a.exprId); s <- litString(v, dt) } yield c -> s
+      case _ => None
+    }.toMap
+    val tupleBounds =
+      if (pointByCol.size < 2) Nil
+      else cat.entries.iterator
+        .filter(e => e.table == base.table && e.key.contains(",") && cat.trusted(e))
+        .map(e => e -> e.key.split(",").toSeq)
+        .filter { case (_, ks) => ks.forall(pointByCol.contains) }
+        .flatMap { case (e, ks) =>
+          try Some(cmsPointBound(e, SketchCatalog.tupleLiteral(ks.map(pointByCol))))
+          catch { case ex: Exception =>
+            logWarning(s"sketch planning: unreadable tuple cms for point bound (${ex.getMessage})")
+            None }
+        }.toSeq
+    val all = bounds ++ tupleBounds
+    if (all.isEmpty) None else Some(all.min)
   }
 
   /** rows × per-row bytes, SATURATING at Long.MaxValue: a wrapped
@@ -654,7 +746,16 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
           pairs <- equiPairs(cond, l, r)
           (la, ra) = pairs.head
           lb <- resolveBase(l, cat); rb <- resolveBase(r, cat)
-          le <- trustedEntryFor(lb, cat, la); re <- trustedEntryFor(rb, cat, ra)
+          // a composite join's straggler is the heaviest TUPLE, not the
+          // heaviest single key (a hot single key split across many
+          // second-column values skews no reducer of a composite-keyed
+          // exchange) — prefer the tuple artifact's heavy candidates
+          (le, re) <- tupleEntryPair(cat, lb, rb, pairs).orElse {
+            for {
+              l2 <- trustedEntryFor(lb, cat, la)
+              r2 <- trustedEntryFor(rb, cat, ra)
+            } yield (l2, r2)
+          }
           lf = heavyFrac(le); rf = heavyFrac(re)
           thr = skewFraction
           if lf >= thr || rf >= thr

@@ -2726,6 +2726,29 @@ object Oracles {
         |  true AS naive_written_order, true AS artifact_selective_first
         |FROM j GROUP BY s_grp ORDER BY s_grp""".stripMargin,
 
+    // Composite-key pricing gate: the revenue replays as the plain
+    // 2-column-key join chain (planning must be invisible to results);
+    // the structural facts — naive all-sort-merge, singles catalog
+    // provably NOT flipping the top join (the pre-r14 planner's miss),
+    // tuple catalog broadcasting the intermediate, and the >=10x
+    // single-column overpricing measured from the CMS artifacts — ride
+    // as pinned booleans probed from forced physical plans.
+    "q25_planned_composite" ->
+      """WITH fact AS (SELECT o_custkey % 40 AS k1, o_orderkey % 40 AS k2,
+        |    o_orderkey, o_totalprice FROM orders),
+        |dim0 AS (SELECT DISTINCT o_custkey % 40 AS k1, o_orderkey % 40 AS k2
+        |    FROM orders WHERE o_orderkey % 173 = 0),
+        |dim AS (SELECT k1, k2, (k1 * 40 + k2) % 5 AS grp FROM dim0)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue,
+        |  true AS naive_all_merge, true AS single_col_no_flip,
+        |  true AS tuple_broadcast, true AS single_overprices_10x
+        |FROM lineitem l
+        |JOIN fact f ON l.l_orderkey = f.o_orderkey
+        |JOIN dim d ON f.k1 = d.k1 AND f.k2 = d.k2
+        |GROUP BY grp ORDER BY grp""".stripMargin,
+
     // Audit-demotion gate: the good-first chain's revenue replays as the
     // plain three-table join (demotion must be invisible to results);
     // the loop facts (3 recorded contract violations, poisoned artifact

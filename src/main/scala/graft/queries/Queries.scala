@@ -4510,6 +4510,127 @@ object Queries {
       .orderBy("s_grp")
   }
 
+  /** Composite-key fixture for [[q25PlannedComposite]], built once per
+    * JVM per sf dir: a fact and a dim joined on a 2-COLUMN key
+    * (k1, k2) engineered so each single column is 40-ways shared
+    * (single-column CMS products overcount the join ~40×) while the
+    * composite tuples are near-unique — the event/fact-schema norm the
+    * r13 VERDICT named (missing #1). Two catalogs over the same
+    * harvests: `singles` (per-column rows only — the pre-r14 planner's
+    * view) and `tuple` (plus the (k1,k2) composite rows).
+    */
+  private val q25Paths = new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String)]()
+  private def q25Fixture(spark: SparkSession, dir: String): (String, String, String, String) =
+    q25Paths.computeIfAbsent(dir, { _ =>
+      import graft.ops.SketchCatalog
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val factPath = scratch(dir, "q25_fact")
+      orders.select((col("o_custkey") % 40).as("k1"),
+          (col("o_orderkey") % 40).as("k2"),
+          col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(factPath)
+      val dimPath = scratch(dir, "q25_dim")
+      orders.where(col("o_orderkey") % 173 === 0)
+        .select((col("o_custkey") % 40).as("k1"),
+          (col("o_orderkey") % 40).as("k2"))
+        .distinct()
+        .select(col("k1"), col("k2"), ((col("k1") * 40 + col("k2")) % 5).as("grp"))
+        .write.mode("overwrite").parquet(dimPath)
+      def harvestBoth(tuples: Seq[Seq[String]]) =
+        SketchCatalog.harvest(spark, factPath, Seq("k1", "k2", "o_orderkey"),
+            tuples = tuples)
+          .unionByName(SketchCatalog.harvest(spark, dimPath, Seq("k1", "k2"),
+            tuples = tuples))
+          .unionByName(SketchCatalog.harvest(spark, s"$dir/lineitem.parquet",
+            Seq("l_orderkey")))
+      val singlesPath = scratch(dir, "q25_catalog_singles")
+      SketchCatalog.save(harvestBoth(Nil), singlesPath)
+      val tuplePath = scratch(dir, "q25_catalog_tuple")
+      SketchCatalog.save(harvestBoth(Seq(Seq("k1", "k2"))), tuplePath)
+      (factPath, dimPath, singlesPath, tuplePath)
+    })
+
+  /** Q25: COMPOSITE-KEY join pricing — the tuple-artifact leg of
+    * [[graft.plans.SketchJoinPlanning]] ([[graft.ops.SketchCatalog]]
+    * `tuples` harvests): the intermediate (fact ⋈ dim ON k1 AND k2) is
+    * the candidate broadcast side of an outer lineitem join, and the
+    * broadcast byte threshold is pinned at the GEOMETRIC MEAN of the
+    * single-column and tuple byte estimates (computed from the stored
+    * artifacts themselves, so the pin is scale-free). Three runs:
+    * naive (no catalog, Catalyst broadcast off) — all sort-merge;
+    * singles catalog — the min-over-pairs single-column estimate still
+    * overprices the composite join ~40× (each column is 40-ways
+    * shared), sits ABOVE the threshold, top join stays sort-merge: the
+    * pre-r14 planner provably misses this broadcast; tuple catalog —
+    * the composite artifact prices the actual key, lands BELOW, and
+    * the intermediate broadcasts. A fourth boolean pins the ≥10×
+    * overpricing directly from the CMS inner products. The aggregate
+    * is the plain-join twin (planning must be invisible to results).
+    */
+  private def q25PlannedComposite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchCatalog
+    import graft.functions.CmsCodec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val (factPath, dimPath, singlesPath, tuplePath) = q25Fixture(spark, dir)
+    def chain(): DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(factPath)
+          .join(spark.read.parquet(dimPath), Seq("k1", "k2")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_items"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 4)
+          .as("revenue"))
+    // estimates recomputed from the stored artifacts (the same
+    // CmsCodec.innerProduct the rule runs), so the threshold pin and
+    // the overpricing boolean are exactly what the planner sees
+    val cat = spark.read.parquet(tuplePath).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getAs[Array[Byte]](5))).toMap
+    val factTable = SketchCatalog.normalizePath(spark, factPath)
+    val dimTable = SketchCatalog.normalizePath(spark, dimPath)
+    def inner(key: String): Long = CmsCodec.innerProduct(
+      CmsCodec.parse(cat((factTable, key))._3),
+      CmsCodec.parse(cat((dimTable, key))._3))
+    val tupleEst = inner("k1,k2")
+    val singleEst = math.min(inner("k1"), inner("k2"))
+    val perRow = {
+      val (fr, fb, _) = cat((factTable, "k1")); val (dr, db, _) = cat((dimTable, "k1"))
+      math.max(1L, fb / math.max(1L, fr)) + math.max(1L, db / math.max(1L, dr))
+    }
+    val thr = math.max(1L,
+      (math.sqrt(tupleEst.toDouble * singleEst.toDouble) * perRow).toLong)
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBb = spark.conf.getOption(SketchCatalog.BroadcastBytesKey)
+    val (naiveAllMerge, singlesNoFlip, tupleBroadcast) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(SketchCatalog.BroadcastBytesKey, thr.toString)
+      SketchCatalog.deactivate(spark)
+      val naive = physicalJoins(chain())
+      SketchCatalog.activate(spark, singlesPath)
+      val singles = physicalJoins(chain())
+      SketchCatalog.activate(spark, tuplePath)
+      val tuple = physicalJoins(chain())
+      // head = the TOP (lineitem ⋈ intermediate) join in pre-order
+      (naive.nonEmpty && naive.forall(_.isInstanceOf[SortMergeJoinExec]),
+        singles.headOption.exists(_.isInstanceOf[SortMergeJoinExec]),
+        tuple.headOption.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    } finally {
+      SketchCatalog.deactivate(spark)
+      prevBb match {
+        case Some(v) => spark.conf.set(SketchCatalog.BroadcastBytesKey, v)
+        case None    => spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    chain()
+      .select(col("grp"), col("n_items"), col("revenue"),
+        lit(naiveAllMerge).as("naive_all_merge"),
+        lit(singlesNoFlip).as("single_col_no_flip"),
+        lit(tupleBroadcast).as("tuple_broadcast"),
+        lit(singleEst >= 10L * math.max(1L, tupleEst)).as("single_overprices_10x"))
+      .orderBy("grp")
+  }
+
   /** Poisoned-catalog + audit-store fixture for [[x6AuditDemotion]],
     * built once per JVM per sf dir: the q15 catalog with the CUSTOMER
     * key's CMS swapped for a sketch of the same keys replicated ×64
@@ -5284,6 +5405,7 @@ object Queries {
     "q23_dynamic_prune" -> (q23DynamicPrune _),
     "x6_audit_demotion" -> (x6AuditDemotion _),
     "q24_planned_star" -> (q24PlannedStar _),
+    "q25_planned_composite" -> (q25PlannedComposite _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),

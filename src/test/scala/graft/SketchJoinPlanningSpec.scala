@@ -684,4 +684,91 @@ class SketchJoinPlanningSpec extends SparkSpec {
       SketchCatalog.deactivate(spark)
     }
   }
+
+  test("composite-key tuple artifact prices the join; permuted conditions match; partial falls back") {
+    // cfact: every single key 200-ways shared, tuples 10-ways (20x gap
+    // between single-column and tuple inner products); cdim: 20 distinct
+    // tuples, one row each
+    val d = java.nio.file.Files.createTempDirectory("graft-sjp-tuple").toString
+    import spark.implicits._
+    (0L until 4000L).map(i => (i % 20L, (i / 20L) % 20L, i))
+      .toDF("a1", "a2", "a_id")
+      .repartition(4).write.parquet(s"$d/cfact.parquet")
+    (0L until 20L).map(j => (j, (j * 7L + 3L) % 20L, s"g${j % 3}"))
+      .toDF("b1", "b2", "b_grp")
+      .repartition(2).write.parquet(s"$d/cdim.parquet")
+    // outer probe table, deliberately UNCATALOGUED (no leaf-bytes hint
+    // can fire from it): the decision under test is whether the
+    // composite INTERMEDIATE (cfact ⋈ cdim) broadcasts — the q25 shape
+    (0L until 4000L).map(i => (i, i % 7L)).toDF("o_id", "o_w")
+      .repartition(4).write.parquet(s"$d/couter.parquet")
+    def joined(permuted: Boolean): DataFrame = {
+      val f = spark.read.parquet(s"$d/cfact.parquet")
+      val dm = spark.read.parquet(s"$d/cdim.parquet")
+      val o = spark.read.parquet(s"$d/couter.parquet")
+      val cond =
+        if (permuted) col("a2") === col("b2") && col("a1") === col("b1")
+        else col("a1") === col("b1") && col("a2") === col("b2")
+      o.join(f.join(dm, cond), col("o_id") === col("a_id"))
+        .groupBy("b_grp").agg(count(lit(1)).as("n"), sum("o_w").as("w"))
+        .orderBy("b_grp")
+    }
+    // pre-order head of physicalJoins = the TOP (outer ⋈ intermediate)
+    // join — the inner join may legitimately broadcast the tiny dim by
+    // its own table bytes in every catalog state
+    def topJoin(df: DataFrame) = physicalJoins(df).head
+    def harvest(factTuple: Boolean, dimTuple: Boolean): String = {
+      val t2 = Seq(Seq("a1", "a2")); val t2d = Seq(Seq("b1", "b2"))
+      val cat = SketchCatalog.harvest(spark, s"$d/cfact.parquet",
+          Seq("a1", "a2"), tuples = if (factTuple) t2 else Nil)
+        .unionByName(SketchCatalog.harvest(spark, s"$d/cdim.parquet",
+          Seq("b1", "b2"), tuples = if (dimTuple) t2d else Nil))
+      val path = s"$d/catalog_${factTuple}_$dimTuple"
+      SketchCatalog.save(cat, path)
+      path
+    }
+    // threshold between the tuple estimate (~200 rows) and the single
+    // estimate (~4000 rows), scaled by the joined per-row bytes the rule
+    // derives from the catalog — read them back so the pin is exact
+    val both = harvest(factTuple = true, dimTuple = true)
+    val rows = spark.read.parquet(both).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val perRow = math.max(1L, rows("a1")._2 / rows("a1")._1) +
+      math.max(1L, rows("b1")._2 / rows("b1")._1)
+    val thr = 1000L * perRow // 200 << 1000 << 4000
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        SketchCatalog.BroadcastBytesKey -> thr.toString) {
+      val plain = joined(permuted = false).collect().toSeq
+      SketchCatalog.deactivate(spark)
+      assert(physicalJoins(joined(permuted = false)).forall(_.isInstanceOf[SortMergeJoinExec]))
+
+      // singles only: min-over-pairs estimate (~4000 rows) stays over
+      // the threshold — the top join must not flip (the pre-r14 view)
+      SketchCatalog.activate(spark, harvest(factTuple = false, dimTuple = false))
+      assert(topJoin(joined(permuted = false)).isInstanceOf[SortMergeJoinExec],
+        "singles-only catalog must not flip a 20x-overpriced composite join")
+
+      // tuple on BOTH sides: composite estimate (~200 rows) flips the
+      // intermediate to broadcast; results identical; the PERMUTED
+      // condition (a2 first) must match the same artifacts through
+      // pair reordering
+      SketchCatalog.activate(spark, both)
+      val planned = joined(permuted = false)
+      assert(topJoin(planned).isInstanceOf[BroadcastHashJoinExec],
+        "tuple artifact must flip the composite intermediate to broadcast")
+      assert(planned.collect().toSeq == plain)
+      val perm = joined(permuted = true)
+      assert(topJoin(perm).isInstanceOf[BroadcastHashJoinExec],
+        "permuted condition order must resolve the same tuple artifacts")
+      assert(perm.collect().toSeq == plain)
+
+      // tuple on ONE side only: no pairable tuple artifact -> falls back
+      // to the single-column min (over threshold) -> no flip, no crash
+      SketchCatalog.activate(spark, harvest(factTuple = true, dimTuple = false))
+      assert(topJoin(joined(permuted = false)).isInstanceOf[SortMergeJoinExec],
+        "one-sided tuple harvest must fall back to single-column pricing")
+      assert(joined(permuted = false).collect().toSeq == plain)
+      SketchCatalog.deactivate(spark)
+    }
+  }
 }
