@@ -61,8 +61,17 @@ object ScanPrune {
   final case class FileStats(canonicalPath: String, nRows: Long,
                              cols: Map[String, ColStats])
 
+  /** `rowGroups` (r14): per-file ROW-GROUP-grain stats when the activated
+    * manifest was a [[DataSkipping.rowGroupManifest]] — the rewrite then
+    * drops a file when EVERY row group is excluded, strictly stronger
+    * than the file-grain test at identical soundness (a file's range is
+    * the union of its groups' ranges, so a predicate box can overlap the
+    * file while missing every group — the band-gap layout compaction
+    * creates). Empty for file-grain manifests: behavior unchanged.
+    */
   final class TableIndex(val table: String, val kinds: Map[String, Kind],
-                         val files: Seq[FileStats]) {
+                         val files: Seq[FileStats],
+                         val rowGroups: Map[String, Seq[FileStats]] = Map.empty) {
     val canonicalPaths: Set[String] = files.map(_.canonicalPath).toSet
   }
 
@@ -91,14 +100,16 @@ object ScanPrune {
       val paths = (stats.keySet ++ blooms.values.flatMap(_.byFile.keys)).toSeq.sorted
       paths.map { p =>
         FileCtx(p, stats.get(p),
-          blooms.collect { case (c, bi) if bi.byFile.contains(p) => c -> bi.byFile(p) })
+          blooms.collect { case (c, bi) if bi.byFile.contains(p) => c -> bi.byFile(p) },
+          manifest.map(_.rowGroups.getOrElse(p, Nil)).getOrElse(Nil))
       }
     }
   }
 
-  /** One file as the rewrite sees it. */
+  /** One file as the rewrite sees it. `rowGroups` empty = file grain. */
   final case class FileCtx(path: String, stats: Option[FileStats],
-                           fileBlooms: Map[String, org.apache.spark.util.sketch.BloomFilter])
+                           fileBlooms: Map[String, org.apache.spark.util.sketch.BloomFilter],
+                           rowGroups: Seq[FileStats] = Nil)
 
   /** Decoded artifacts keyed by `table@generation`: one immutable
     * generation per activate call, so sessions pin the exact decode they
@@ -196,10 +207,18 @@ object ScanPrune {
       .compareTo(b.asInstanceOf[java.math.BigDecimal])
   }
 
-  /** Decode `manifest` (a [[DataSkipping.statsManifest]] frame for the
-    * table at `dir`) into the driver registry and add the table to the
-    * session's active set — from here on [[graft.plans.ScanPruneRewrite]]
-    * prunes filtered scans of the table from these stats.
+  /** Decode `manifest` (a [[DataSkipping.statsManifest]] OR
+    * [[DataSkipping.rowGroupManifest]] frame for the table at `dir`)
+    * into the driver registry and add the table to the session's active
+    * set — from here on [[graft.plans.ScanPruneRewrite]] prunes filtered
+    * scans of the table from these stats. A row-group-grain manifest
+    * (detected by its `row_group` column) additionally registers the
+    * per-group stats, so the rewrite (and dynamic file pruning) drops a
+    * file when EVERY row group is excluded; the file-grain rows are
+    * derived here by the conservative fold — min of KNOWN mins / max of
+    * KNOWN maxs with any-unknown → unknown, null counts summed only when
+    * every group's is known — so the two grains cannot disagree on
+    * honesty rules.
     */
   def activateManifest(spark: SparkSession, dir: String,
                        manifest: DataFrame): TableIndex = {
@@ -210,8 +229,9 @@ object ScanPrune {
         val c = f.name.stripSuffix("_min")
         kindOf(f.dataType).map(c -> _)
     }.flatten
-    val rows = manifest.collect() // file-count bounded (the Delta class)
-    val files = rows.toSeq.map { r =>
+    val rgGrain = schema.fieldNames.contains("row_group")
+    val rows = manifest.collect() // file/row-group-count bounded (the Delta class)
+    def decodeRow(r: org.apache.spark.sql.Row): FileStats = {
       val cols = statCols.map { case (c, kind) =>
         val nu = r.getAs[Any](s"${c}_nulls") match {
           case null => None
@@ -222,7 +242,26 @@ object ScanPrune {
       }.toMap
       FileStats(canonical(r.getAs[String]("file")), r.getAs[Long]("n_rows"), cols)
     }
-    val idx = new TableIndex(table, statCols.toMap, files)
+    val idx = if (!rgGrain) {
+      new TableIndex(table, statCols.toMap, rows.toSeq.map(decodeRow))
+    } else {
+      val groups = rows.toSeq.map(decodeRow).groupBy(_.canonicalPath)
+      val files = groups.toSeq.sortBy(_._1).map { case (p, gs) =>
+        val cols = statCols.map { case (c, kind) =>
+          val css = gs.map(_.cols.getOrElse(c, ColStats(null, null, None)))
+          val known = css.forall(cs => cs.min != null && cs.max != null)
+          val mn = if (known) css.map(_.min).reduce((a, b) =>
+            if (cmp(kind, a, b) <= 0) a else b) else null
+          val mx = if (known) css.map(_.max).reduce((a, b) =>
+            if (cmp(kind, a, b) >= 0) a else b) else null
+          val nu = if (css.forall(_.nulls.isDefined))
+            Some(css.map(_.nulls.get).sum) else None
+          c -> ColStats(mn, mx, nu)
+        }.toMap
+        FileStats(p, gs.map(_.nRows).sum, cols)
+      }
+      new TableIndex(table, statCols.toMap, files, groups)
+    }
     // compose with the SESSION's pinned generation (a Bloom index
     // activated earlier in this session rides along), never with another
     // session's latest

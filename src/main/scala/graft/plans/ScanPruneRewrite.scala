@@ -76,6 +76,22 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Survival of one file under the conjunct tests, at the finest
+    * activated grain (r14): the file-grain conjunction as before, AND —
+    * when the manifest was row-group grain — SOME row group must admit
+    * every conjunct. Sound because a surviving row lives in exactly one
+    * row group and must satisfy the whole conjunction there; strictly
+    * stronger than file grain (a box can overlap the file's folded range
+    * while missing every group — the band-gap layout). Bloom tests are
+    * per-file and simply re-pass per group. Shared with
+    * [[DynamicFilePruning]] so the two listing-surgery paths cannot
+    * disagree on grain.
+    */
+  private[plans] def fileSurvives(fc: FileCtx, tests: Seq[Test]): Boolean =
+    tests.forall(_(fc)) && (fc.rowGroups.isEmpty ||
+      fc.rowGroups.exists(g =>
+        tests.forall(_(fc.copy(stats = Some(g), rowGroups = Nil)))))
+
   /** Canonical paths of artifact-covered files the predicate PROVABLY
     * cannot match; None when no conjunct is priceable against any
     * activated artifact.
@@ -85,7 +101,7 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val tests = splitConjunctivePredicates(cond).flatMap(atomTest(_, arts))
     if (tests.isEmpty) None
     else Some(arts.universe.iterator
-      .filterNot(fc => tests.forall(_(fc)))
+      .filterNot(fc => fileSurvives(fc, tests))
       .map(_.path).toSet)
   }
 

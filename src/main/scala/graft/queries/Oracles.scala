@@ -2749,6 +2749,37 @@ object Oracles {
         |JOIN dim d ON f.k1 = d.k1 AND f.k2 = d.k2
         |GROUP BY grp ORDER BY grp""".stripMargin,
 
+    // Row-group-grain planner gate: the Spark side's first predicate
+    // branch is a layout-derived inter-group box that provably matches
+    // NO row (strictly between consecutive multiples of 1000 — see the
+    // query scaladoc), so the twin replays only the second branch: the
+    // class-B (odd event_id) rows. The pinned booleans price the
+    // LISTING: naive full, file grain provably no-drop, row-group grain
+    // strictly fewer files opened, pruned == full.
+    "q27_planned_rg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(event_id), 0) AS BIGINT) AS sum_ids,
+        |  CAST(coalesce(sum(CAST(round(value, 6) AS DECIMAL(18,6))),
+        |       CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  true AS naive_full_listing, true AS file_grain_no_drop,
+        |  true AS rg_fewer_files, true AS pruned_equals_full,
+        |  true AS multi_rg_layout
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
+
+    // Left-outer artifact-broadcast gate: the twin replays the LEFT
+    // join against the reconstructed hot dim (c_nationkey < 3) with the
+    // null-extension riding the hash via coalesce(..., -1); the plan
+    // facts (naive sort-merge, activated non-preserved-side broadcast)
+    // are pinned booleans probed from forced physical plans.
+    "q26_planned_outer" ->
+      """WITH hot AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey < 3)
+        |SELECT coalesce(h.c_nationkey, -1) AS nation_grp,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  true AS naive_outer_merge, true AS artifact_outer_broadcast
+        |FROM orders o LEFT JOIN hot h ON o.o_custkey = h.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Audit-demotion gate: the good-first chain's revenue replays as the
     // plain three-table join (demotion must be invisible to results);
     // the loop facts (3 recorded contract violations, poisoned artifact

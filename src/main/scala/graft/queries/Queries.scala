@@ -4510,6 +4510,142 @@ object Queries {
       .orderBy("s_grp")
   }
 
+  /** Q26: LEFT-OUTER artifact broadcast — the r13 VERDICT's missing #2
+    * closed: dim-enrichment LEFT joins are the most common 100 TB shape
+    * after inner, and until r14 every [[graft.plans.SketchJoinPlanning]]
+    * pass skipped them. The hot-customer dim (the q14 fixture) is
+    * LEFT-joined onto orders; with Catalyst's own broadcast off and the
+    * rule's threshold pinned relative to the catalogued orders bytes
+    * (hot dim always under, orders always over — scale-free), the naive
+    * run must stay sort-merge and the activated run must broadcast the
+    * NON-PRESERVED side only (a preserved-side broadcast has no valid
+    * physical form; the rule never hints it). The aggregate groups on
+    * `coalesce(c_nationkey, -1)` so the null-extended (unmatched) rows
+    * ride the hash — a LeftOuter that silently turned inner would lose
+    * the −1 group and break the gate.
+    */
+  private def q26PlannedOuter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchCatalog
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val (hotPath, catPath) = q14Catalog(spark, dir)
+    def chain(): DataFrame = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(hotPath).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_nationkey"), lit(-1L)).as("nation_grp"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice"), 18, 2).as("revenue"))
+    val ordersBytes = spark.read.parquet(catPath)
+      .where(col("key") === "o_custkey")
+      .select(col("n_bytes")).head().getLong(0)
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBb = spark.conf.getOption(SketchCatalog.BroadcastBytesKey)
+    val (naiveMerge, outerBroadcast) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(SketchCatalog.BroadcastBytesKey,
+        math.max(1L, ordersBytes / 2).toString)
+      SketchCatalog.deactivate(spark)
+      val naive = physicalJoins(chain())
+      SketchCatalog.activate(spark, catPath)
+      val planned = physicalJoins(chain())
+      (naive.nonEmpty && naive.forall(_.isInstanceOf[SortMergeJoinExec]),
+        planned.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    } finally {
+      SketchCatalog.deactivate(spark)
+      prevBb match {
+        case Some(v) => spark.conf.set(SketchCatalog.BroadcastBytesKey, v)
+        case None    => spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    chain()
+      .select(col("nation_grp"), col("n_orders"), col("revenue"),
+        lit(naiveMerge).as("naive_outer_merge"),
+        lit(outerBroadcast).as("artifact_outer_broadcast"))
+      .orderBy("nation_grp")
+  }
+
+  /** Q27: ROW-GROUP grain in the PLANNER path — the r13 VERDICT's
+    * missing #3 closed: [[graft.ops.ScanPrune.activateManifest]] now
+    * accepts a [[graft.ops.DataSkipping.rowGroupManifest]], and the
+    * rewrite drops a file when EVERY row group is excluded (the shared
+    * `fileSurvives` rule, also consumed by DynamicFilePruning).
+    *
+    * Fixture discipline: a sorted file's straddling row group makes any
+    * fixed in-gap box land inside SOME group's range (the
+    * x9_skipping_rg gap-straddler lesson), so the probe box here is
+    * derived from an ACTUAL group boundary of the rg manifest: class A
+    * rows carry u = event_id·1000 (distinct, multiples of 1000), the box
+    * is (X, X+1000) exclusive where X = the first file's first-group
+    * max — provably row-free globally (every u is a multiple of 1000)
+    * and provably missed by EVERY group of that file (sorted distinct
+    * values ⇒ the next group's min is the next multiple, ≥ X+1000).
+    * The second predicate branch covers class B (odd event_ids, written
+    * above the A range), so the surviving aggregate is non-trivial and
+    * the twin replays it as a plain odd-event filter — the box branch
+    * matches nothing by construction. Booleans: naive full listing,
+    * file grain provably no-drop (the box sits inside the chosen file's
+    * folded range), rg grain strictly fewer files opened, pruned ≡ full.
+    */
+  private def q27PlannedRg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{DataSkipping, ScanPrune}
+    val ev = t(spark, dir, "events").select(col("event_id"), col("user_id"), col("value"))
+    val em = ev.agg(max("event_id")).head().getLong(0)
+    val path = scratch(dir, "q27_rg_table")
+    // class A (even event_id): u = event_id * 1000 — distinct multiples
+    // of 1000, so every inter-group interval is a guaranteed empty gap
+    ev.where(col("event_id") % 2 === 0)
+      .select(col("event_id"), (col("event_id") * 1000L).as("u"), col("value"))
+      .repartition(2, col("event_id")).sortWithinPartitions("u")
+      .write.mode("overwrite")
+      .option("parquet.block.size", "2048").option("parquet.page.size", "512")
+      .parquet(path)
+    // class B (odd event_id): strictly above the whole A range
+    ev.where(col("event_id") % 2 === 1)
+      .select(col("event_id"), ((lit(em + 1L) + col("event_id")) * 1000L).as("u"),
+        col("value"))
+      .repartition(2, col("event_id")).sortWithinPartitions("u")
+      .write.mode("append")
+      .option("parquet.block.size", "2048").option("parquet.page.size", "512")
+      .parquet(path)
+    val rg = DataSkipping.rowGroupManifest(spark, path, Seq("u")).cache()
+    val multiRg = rg.groupBy("file").count()
+      .agg(min("count")).head().getLong(0) >= 2L
+    // X = first group's max of the lowest-starting (class A) file: its
+    // groups are sorted distinct multiples of 1000, so (X, X+1000) is
+    // missed by every group of THAT file and contains no row globally
+    val first = rg.orderBy(col("u_min").asc, col("file").asc, col("row_group").asc)
+      .select(col("file"), col("u_max")).head()
+    val x = first.getLong(1)
+    val (lo1, hi1) = (x + 1L, x + 999L)
+    val (lo2, hi2) = ((em + 1L) * 1000L, (2L * em + 2L) * 1000L)
+    def q(): DataFrame = skipSummary(
+      spark.read.parquet(path).where(
+        col("u").between(lo1, hi1) || col("u").between(lo2, hi2)), "")
+    ScanPrune.deactivate(spark, path)
+    val naiveFull = scanPruneProbe(q()).isEmpty
+    val (fileNoDrop, rgFewer, prunedRow) = try {
+      ScanPrune.activateManifest(spark, path,
+        DataSkipping.statsManifest(spark, path, Seq("u")))
+      val fileProbe = scanPruneProbe(q())
+      ScanPrune.activateManifest(spark, path, rg)
+      val rgProbe = scanPruneProbe(q())
+      (fileProbe.isEmpty,
+        rgProbe.exists { case (k, total) => k > 0 && k < total },
+        q().head())
+    } finally ScanPrune.deactivate(spark, path)
+    rg.unpersist()
+    val fullRow = q().head()
+    spark.range(1).select(
+      lit(prunedRow.getLong(0)).as("n_rows"),
+      lit(prunedRow.getLong(1)).as("sum_ids"),
+      lit(prunedRow.getDecimal(2)).cast("double").as("sum_value"),
+      lit(naiveFull).as("naive_full_listing"),
+      lit(fileNoDrop).as("file_grain_no_drop"),
+      lit(rgFewer).as("rg_fewer_files"),
+      lit(prunedRow == fullRow).as("pruned_equals_full"),
+      lit(multiRg).as("multi_rg_layout"))
+  }
+
   /** Composite-key fixture for [[q25PlannedComposite]], built once per
     * JVM per sf dir: a fact and a dim joined on a 2-COLUMN key
     * (k1, k2) engineered so each single column is 40-ways shared
@@ -5406,6 +5542,8 @@ object Queries {
     "x6_audit_demotion" -> (x6AuditDemotion _),
     "q24_planned_star" -> (q24PlannedStar _),
     "q25_planned_composite" -> (q25PlannedComposite _),
+    "q26_planned_outer" -> (q26PlannedOuter _),
+    "q27_planned_rg" -> (q27PlannedRg _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),

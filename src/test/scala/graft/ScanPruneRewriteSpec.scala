@@ -279,6 +279,59 @@ class ScanPruneRewriteSpec extends SparkSpec {
       check(col("day") === day || col("k") < lo)
     }
   }
+
+  test("row-group-grain manifest: strictly more drops than file grain, pruned ≡ plain, randomized parity") {
+    import spark.implicits._
+    // sparse distinct values (multiples of 1000), 2 KB row groups: every
+    // inter-group interval is a guaranteed empty gap at rg grain while
+    // the file-grain folded range covers it
+    val d = java.nio.file.Files.createTempDirectory("graft-rgprune").toString
+    (0L until 2000L).map(i => (i * 1000L, i, (i % 13).toDouble))
+      .toDF("k", "id", "v")
+      .repartition(2, col("id")).sortWithinPartitions("k")
+      .write.option("parquet.block.size", "2048")
+      .option("parquet.page.size", "512").parquet(s"$d/t")
+    val rg = DataSkipping.rowGroupManifest(spark, s"$d/t", Seq("k"))
+    val rgRows = rg.collect()
+    assert(rgRows.map(_.getAs[String]("file")).distinct.length == 2)
+    assert(rgRows.length > 4, "fixture must have multiple row groups per file")
+    // box strictly inside the first file's first inter-group gap
+    val first = rg.orderBy(col("k_min").asc, col("file").asc, col("row_group").asc)
+      .select("k_max").head().getLong(0)
+    val gapPred = col("k").between(first + 1, first + 999)
+    def run(pred: org.apache.spark.sql.Column): (Seq[String], Option[(Int, Int)]) = {
+      val df = spark.read.parquet(s"$d/t").where(pred)
+      (df.collect().map(_.toString).sorted.toSeq, prunedFiles(df))
+    }
+    ScanPrune.deactivateAll(spark)
+    val (plainGap, _) = run(gapPred)
+    try {
+      // file grain: the box is interior to the first file's folded range
+      ScanPrune.activateManifest(spark, s"$d/t",
+        DataSkipping.statsManifest(spark, s"$d/t", Seq("k")))
+      val (fgRows, fgProbe) = run(gapPred)
+      assert(fgRows == plainGap)
+      val fgKept = fgProbe.map(_._1).getOrElse(2)
+      // rg grain: the first file's every group misses the box — fewer
+      // files open than file grain kept
+      ScanPrune.activateManifest(spark, s"$d/t", rg)
+      val (rgRows2, rgProbe) = run(gapPred)
+      assert(rgRows2 == plainGap)
+      assert(rgProbe.exists(_._1 < fgKept),
+        s"rg grain must open strictly fewer files (file-grain kept $fgKept, rg $rgProbe)")
+      // randomized parity battery under the rg-grain activation
+      val rnd = new scala.util.Random(7)
+      (1 to 8).foreach { _ =>
+        val lo = rnd.nextInt(2000000).toLong
+        val hi = lo + rnd.nextInt(800000)
+        val (got, _) = run(col("k").between(lo, hi))
+        ScanPrune.deactivateAll(spark)
+        val (plain, _) = run(col("k").between(lo, hi))
+        assert(got == plain, s"rg-grain pruning changed results for [$lo,$hi]")
+        ScanPrune.activateManifest(spark, s"$d/t", rg)
+      }
+    } finally ScanPruneRewriteSpecState.cleanup(spark)
+  }
 }
 
 /** Conf cleanup shared by the suite (the rule must be inert between tests). */

@@ -685,6 +685,86 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("left-outer joins: broadcast/salt/filter fire only in result-safe directions; parity holds") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-sjp-outer").toString
+    // left fact: key 7 holds ~40% (skewed preserved side); dim covers
+    // only keys < 300 of the fact's 500, so ~40% of fact rows are
+    // null-extended — outer semantics ride every parity check
+    (0L until 10000L).map(i =>
+        (if (i % 5 < 2) 7L else i % 500L, i, (i % 11).toDouble))
+      .toDF("s_key", "s_id", "s_val")
+      .repartition(4).write.parquet(s"$d/ofact.parquet")
+    (0L until 300L).map(k => (k, s"g${k % 5}")).toDF("m_key", "m_grp")
+      .repartition(2).write.parquet(s"$d/odim.parquet")
+    // mirror tables with the skew on the NON-preserved side: outer must
+    // NOT salt there (replicating the preserved side duplicates its
+    // null-extended rows)
+    (0L until 500L).map(k => (k, s"g${k % 5}")).toDF("p_key", "p_grp")
+      .repartition(2).write.parquet(s"$d/opres.parquet")
+    (0L until 10000L).map(i =>
+        (if (i % 5 < 2) 7L else i % 500L, i)).toDF("w_key", "w_id")
+      .repartition(4).write.parquet(s"$d/oskewdim.parquet")
+    val cat = SketchCatalog.harvest(spark, s"$d/ofact.parquet", Seq("s_key"))
+      .unionByName(SketchCatalog.harvest(spark, s"$d/odim.parquet", Seq("m_key")))
+      .unionByName(SketchCatalog.harvest(spark, s"$d/opres.parquet", Seq("p_key")))
+      .unionByName(SketchCatalog.harvest(spark, s"$d/oskewdim.parquet", Seq("w_key")))
+    SketchCatalog.save(cat, s"$d/cat")
+    def gens(df: DataFrame): Int = {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p                        => p
+      }
+      root.collect { case g: GenerateExec => g }.size
+    }
+    def outerJoin(): DataFrame =
+      spark.read.parquet(s"$d/ofact.parquet")
+        .join(spark.read.parquet(s"$d/odim.parquet"),
+          col("s_key") === col("m_key"), "left")
+        .groupBy(coalesce(col("m_grp"), lit("none")).as("grp"))
+        .agg(count(lit(1)).as("n"), sum("s_val").cast("long").as("s"))
+        .orderBy("grp")
+    def rightSkewOuter(): DataFrame =
+      spark.read.parquet(s"$d/opres.parquet")
+        .join(spark.read.parquet(s"$d/oskewdim.parquet"),
+          col("p_key") === col("w_key"), "left")
+        .groupBy("p_grp").agg(count(lit(1)).as("n"))
+        .orderBy("p_grp")
+
+    // (a) broadcast: non-preserved dim under the threshold gets the hint
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      SketchCatalog.deactivate(spark)
+      val plain = outerJoin().collect().toSeq
+      assert(physicalJoins(outerJoin()).forall(_.isInstanceOf[SortMergeJoinExec]))
+      SketchCatalog.activate(spark, s"$d/cat")
+      try {
+        val planned = outerJoin()
+        assert(physicalJoins(planned).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+          "artifact must broadcast the non-preserved dim of a left-outer join")
+        assert(planned.collect().toSeq == plain,
+          "outer broadcast must preserve null-extended rows")
+      } finally SketchCatalog.deactivate(spark)
+    }
+    // (b) skew: preserved-side skew salts (parity incl. null-extension);
+    //     non-preserved-side skew must NOT salt (unsafe direction)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      SketchCatalog.BroadcastBytesKey -> "0") {
+      SketchCatalog.deactivate(spark)
+      val plain = outerJoin().collect().toSeq
+      val plainRight = rightSkewOuter().collect().toSeq
+      SketchCatalog.activate(spark, s"$d/cat")
+      try {
+        assert(gens(outerJoin()) == 1, "preserved-side skew must salt the left-outer join")
+        assert(outerJoin().collect().toSeq == plain,
+          "outer salting must be invisible to results")
+        assert(gens(rightSkewOuter()) == 0,
+          "non-preserved-side skew must NOT salt a left-outer join")
+        assert(rightSkewOuter().collect().toSeq == plainRight)
+      } finally SketchCatalog.deactivate(spark)
+    }
+  }
+
   test("composite-key tuple artifact prices the join; permuted conditions match; partial falls back") {
     // cfact: every single key 200-ways shared, tuples 10-ways (20x gap
     // between single-column and tuple inner products); cdim: 20 distinct
