@@ -138,7 +138,24 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       Some(deletionKeys(s)))
   }
 
-  /** Child + (keys array, posexploded (pos, key)) via Project + Generate. */
+  /** Child + (keys array, posexploded (pos, key)) via Project + Generate.
+    *
+    * The key array deliberately RIDES the exchange on every exploded row
+    * (~L+1 short strings). Both alternatives were measured isolated at
+    * ×100 (1.5M heavily-duplicated names, SCALING.md r14): carrying the
+    * arrays = 266 s; recomputing them inside the guards = 546 s — the
+    * ×100 name distribution makes most equi-candidates PASS the banded
+    * verify, so the guards evaluate on nearly every candidate and the
+    * per-candidate O(L²) array rebuild dwarfs the wider sort rows (the
+    * r9 5× measurement, reconfirmed). The remaining gap to the direct
+    * operator (33 s) is the documented exactness tax: theta-join
+    * multiplicity without row identity needs the first-shared-key
+    * guards, and a synthesized row id would break under partial stage
+    * recomputation (two attempts can assign different ids to one row —
+    * the Spark nondeterminism caveat), so the rewrite keeps the
+    * slower-but-sound shape and users who can name an id column keep
+    * the operator.
+    */
   private def expandSide(plan: LogicalPlan, s: Expression, cap: Int, tag: String):
       (LogicalPlan, Attribute, AttributeReference, AttributeReference) = {
     val ka = Alias(bandKeys(s, cap), s"${Marker}_ka$tag")()
@@ -177,14 +194,14 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // first-shared-key guard: (1) no EARLIER left key occurs anywhere
           // in the right key set; (2) no earlier right position holds THIS
           // key — together the surviving (posL, posR) is unique per pair.
-          // The guard references the MATERIALIZED key arrays (they ride
-          // the exchange with each exploded row): recomputing them per
-          // candidate was measured 5× SLOWER at 10^8 candidates — L+1
-          // string allocations per candidate dwarf the wider shuffle row.
-          // This exactness tax (vs the hand-written operator's id-keyed
-          // DISTINCT, which a rewrite without row identity cannot use) is
-          // the rule's price for bit-exact theta multiplicity; see the
-          // SCALING.md r9 note for the measured gap.
+          // The guards reference the MATERIALIZED key arrays — the
+          // measured-fastest exact shape (see the expandSide scaladoc for
+          // the r14 ×100 three-way numbers); recomputing per candidate is
+          // 2× worse because duplicate-heavy corpora pass the verify on
+          // most candidates. This exactness tax (vs the hand-written
+          // operator's id-keyed DISTINCT, which a rewrite without row
+          // identity cannot use) is the rule's price for bit-exact theta
+          // multiplicity.
           val guard1 = Not(ArraysOverlap(Slice(kaL, Literal(1), posL), kaR))
           val guard2 = Not(ArrayContains(Slice(kaR, Literal(1), posR), keyL))
           // swap the matched conjunct's verification for the THRESHOLD

@@ -314,6 +314,33 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** A SNOWFLAKE leaf: a chain leaf that is itself a catalogued 2-table
+    * inner equi-join (dim ⋈ sub-dim) — priced as a composite so the
+    * reorder pass can place it instead of treating it as opaque (r13
+    * VERDICT missing #4). `estRows` is its CMS join estimate;
+    * `leftRows`/`rightRows` the constituent tables' catalogued counts,
+    * so an edge INTO the subtree through one constituent prices as
+    * `inner(chainKey, constituentKey) × (estRows / constituentRows)` —
+    * the constituent's average fan-out through its sub-dim. Ordering
+    * heuristic only: inner joins commute, so a wrong estimate reorders,
+    * never changes results.
+    */
+  private final case class Snow(left: Base, right: Base, estRows: Double,
+                                leftRows: Double, rightRows: Double)
+
+  private def snowSubtree(p: LogicalPlan, cat: Catalog): Option[Snow] =
+    stripPruneProject(p) match {
+      case Join(l, r, Inner, Some(c), JoinHint(None, None)) =>
+        for {
+          lb <- resolveBase(l, cat); rb <- resolveBase(r, cat)
+          pairs <- equiPairs(c, l, r)
+          est <- estPairRows(cat, lb, rb, pairs)
+          le <- trustedTable(cat, lb.table); re <- trustedTable(cat, rb.table)
+        } yield Snow(lb, rb, est.toDouble,
+          math.max(1.0, le.nRows.toDouble), math.max(1.0, re.nRows.toDouble))
+      case _ => None
+    }
+
   /** Estimated rows from a resolved (base, base) pair set: tuple
     * artifact first, else min over priceable single pairs — shared by
     * [[estJoinRows]]'s plan-shaped caller and the reorder pass's
@@ -335,12 +362,41 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
         if (perPair.isEmpty) None else Some(perPair.min)
       }
 
-  /** Estimated `|leaves(e.a) ⋈ leaves(e.b)|` from the stored CMS pair. */
+  /** Endpoint resolution for edge pricing: a plain catalogued base
+    * (fan-out 1) or ONE constituent of a snowflake leaf (fan-out =
+    * subtree estimate / constituent rows — each constituent row carries
+    * that many subtree rows on average). Every edge attribute on this
+    * endpoint must resolve within a single constituent; a condition
+    * spanning both constituents of a subtree is declined.
+    */
+  private def edgeSide(leaf: LogicalPlan, attrs: Seq[AttributeReference],
+                       cat: Catalog): Option[(Base, Double)] =
+    resolveBase(leaf, cat).map(b => (b, 1.0)).orElse {
+      snowSubtree(leaf, cat).flatMap { s =>
+        if (attrs.forall(a => s.left.colOf.contains(a.exprId)))
+          Some((s.left, s.estRows / s.leftRows))
+        else if (attrs.forall(a => s.right.colOf.contains(a.exprId)))
+          Some((s.right, s.estRows / s.rightRows))
+        else None
+      }
+    }
+
+  /** Estimated `|leaves(e.a) ⋈ leaves(e.b)|` from the stored CMS pair,
+    * with snowflake-leaf endpoints priced through their constituent ×
+    * fan-out (see [[edgeSide]]).
+    */
   private def edgeEst(cat: Catalog, leaves: Seq[LogicalPlan], e: Edge): Option[Double] =
     for {
-      ab <- resolveBase(leaves(e.a), cat); bb <- resolveBase(leaves(e.b), cat)
+      (ab, fa) <- edgeSide(leaves(e.a), e.pairsAB.map(_._1), cat)
+      (bb, fb) <- edgeSide(leaves(e.b), e.pairsAB.map(_._2), cat)
       est <- estPairRows(cat, ab, bb, e.pairsAB)
-    } yield est.toDouble
+    } yield est.toDouble * fa * fb
+
+  /** A chain leaf the reorder pass can price: a catalogued base or a
+    * catalogued snowflake subtree.
+    */
+  private def priceableLeaf(leaf: LogicalPlan, cat: Catalog): Boolean =
+    resolveBase(leaf, cat).isDefined || snowSubtree(leaf, cat).isDefined
 
   /** Greedy Selinger left-deep ordering: selectivity of each edge comes
     * from its CMS pair estimate (`sel = est / (n_a·n_b)` — the statistic
@@ -393,10 +449,10 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
   private def estimablePrefix(cat: Catalog, leaves: Seq[LogicalPlan],
                               edges: Seq[Option[Edge]],
                               ests: Int => Option[Double]): Int = {
-    var k = if (resolveBase(leaves.head, cat).isDefined) 1 else 0
+    var k = if (priceableLeaf(leaves.head, cat)) 1 else 0
     var i = 0
     while (k > 0 && i < edges.size &&
-        resolveBase(leaves(i + 1), cat).isDefined &&
+        priceableLeaf(leaves(i + 1), cat) &&
         edges(i).exists(e => e.a <= i && e.b <= i + 1 && ests(i).isDefined)) {
       k += 1; i += 1
     }
@@ -420,7 +476,9 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
           ests = edges.indices.map(i => i -> estAt(i).get).toMap
           nRows = leaves.take(k).map(l =>
             resolveBase(l, cat).flatMap(b => trustedTable(cat, b.table))
-              .map(_.nRows.toDouble).getOrElse(1.0))
+              .map(_.nRows.toDouble)
+              .orElse(snowSubtree(l, cat).map(_.estRows))
+              .getOrElse(1.0))
           // cost of the ORIGINAL prefix order under the same model:
           // conds(i) attaches leaf i+1, selectivity from its edge
           // estimate. The suffix (written-position joins) consumes the

@@ -2749,6 +2749,29 @@ object Oracles {
         |JOIN dim d ON f.k1 = d.k1 AND f.k2 = d.k2
         |GROUP BY grp ORDER BY grp""".stripMargin,
 
+    // Snowflake-reorder gate: the twin replays the full 4-table join
+    // (inner joins commute — reordering must be invisible to results);
+    // the plan facts (written order keeps no fact+sel-only join,
+    // activated bottom join touches exactly fact + sel) ride as pinned
+    // booleans probed from forced physical plans.
+    "q28_planned_snowflake" ->
+      """WITH u AS (SELECT DISTINCT user_id AS k FROM events),
+        |dim AS (SELECT k AS d_key, (k * 2 + r) % 8 AS d_sub
+        |        FROM u CROSS JOIN (VALUES (0),(1)) t(r)),
+        |sub AS (SELECT s, CAST(s * 4 + w AS BIGINT) AS s_weight
+        |        FROM (SELECT unnest(generate_series(0, 7)) AS s)
+        |        CROSS JOIN (VALUES (0),(1),(2),(3)) t2(w)),
+        |sel AS (SELECT k AS sel_key, (k // 16) % 4 AS sel_grp FROM u WHERE k % 16 = 0)
+        |SELECT sel_grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(s_weight) AS BIGINT) AS sum_w,
+        |  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  true AS naive_written_order, true AS artifact_selective_bottom
+        |FROM events f
+        |JOIN dim d ON f.user_id = d.d_key
+        |JOIN sub s2 ON d.d_sub = s2.s
+        |JOIN sel ON f.user_id = sel.sel_key
+        |GROUP BY sel_grp ORDER BY sel_grp""".stripMargin,
+
     // Row-group-grain planner gate: the Spark side's first predicate
     // branch is a layout-derived inter-group box that provably matches
     // NO row (strictly between consecutive multiples of 1000 — see the
@@ -3140,7 +3163,8 @@ object Oracles {
     // all-pairs twin; hash equality gates the optimizer rule on real data.
     "x2_fuzzy_names_sql" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-        |  levenshtein(a.c_name, b.c_name) AS dist
+        |  levenshtein(a.c_name, b.c_name) AS dist,
+        |  true AS rewrite_banded, true AS merge_pinned
         |FROM customer a JOIN customer b
         |  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,

@@ -1838,16 +1838,32 @@ object Queries {
     * user would actually write — planned through
     * [[graft.plans.FuzzyJoinRewrite]] into the deletion-key equi-join.
     * Same all-pairs oracle as x2_fuzzy_names: the hash gate proves the
-    * optimizer rewrite is semantics-preserving on real data.
+    * optimizer rewrite is semantics-preserving on real data. Since r14
+    * the PLAN SHAPE rides the hash too (pinned booleans from the
+    * executed plan): both sides banded through Generates and the join
+    * left on the pinned sort-merge strategy — the ×100 isolation run
+    * (SCALING.md r14) showed the rewrite's residual gap to the direct
+    * operator is the exactness tax, and these probes keep a strategy
+    * regression from ever hiding inside that tax.
     */
   private def x2FuzzyNamesSql(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     val cust = t(spark, dir, "customer")
-    val a = cust.select(col("c_custkey").as("id_a"), col("c_name").as("__na"))
-    val b = cust.select(col("c_custkey").as("id_b"), col("c_name").as("__nb"))
-    a.join(b, levenshtein(col("__na"), col("__nb")) <= lit(1) &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("__na"), col("__nb")).cast("long").as("dist"))
+    def q(): DataFrame = {
+      val a = cust.select(col("c_custkey").as("id_a"), col("c_name").as("__na"))
+      val b = cust.select(col("c_custkey").as("id_b"), col("c_name").as("__nb"))
+      a.join(b, levenshtein(col("__na"), col("__nb")) <= lit(1) &&
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("__na"), col("__nb")).cast("long").as("dist"))
+    }
+    val banded = generateCount(q()) == 2
+    val merged = physicalJoins(q()) match {
+      case Seq(j) => j.isInstanceOf[SortMergeJoinExec]
+      case _      => false
+    }
+    q().select(col("id_a"), col("id_b"), col("dist"),
+        lit(banded).as("rewrite_banded"), lit(merged).as("merge_pinned"))
       .orderBy("id_a", "id_b")
   }
 
@@ -4646,6 +4662,99 @@ object Queries {
       lit(multiRg).as("multi_rg_layout"))
   }
 
+  /** Snowflake fixture for [[q28PlannedSnowflake]], built once per JVM
+    * per sf dir: a fan-out dim (every distinct user ×2) whose sub-dim
+    * amplifies it ×4 (the dim-of-dim), plus a 1/16-selective flat dim —
+    * so the written-worst chain (fact ⋈ snowflake first) is ~128×
+    * costlier than selective-first, and only subtree-composite pricing
+    * can see it (file sizes say the dims are all small).
+    */
+  private val q28Paths = new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String)]()
+  private def q28Fixture(spark: SparkSession, dir: String): (String, String, String, String) =
+    q28Paths.computeIfAbsent(dir, { _ =>
+      import graft.ops.SketchCatalog
+      val users = t(spark, dir, "events").select(col("user_id")).distinct()
+      val dimPath = scratch(dir, "q28_dim")
+      users.crossJoin(spark.range(0L, 2L).select(col("id").as("__r")))
+        .select(col("user_id").as("d_key"),
+          ((col("user_id") * 2 + col("__r")) % 8).as("d_sub"))
+        .write.mode("overwrite").parquet(dimPath)
+      val subPath = scratch(dir, "q28_sub")
+      spark.range(0L, 8L).crossJoin(spark.range(0L, 4L).select(col("id").as("__w")))
+        .select(col("id").as("s_sub"), (col("id") * 4 + col("__w")).as("s_weight"))
+        .write.mode("overwrite").parquet(subPath)
+      val selPath = scratch(dir, "q28_sel")
+      users.where(col("user_id") % 16 === 0)
+        .select(col("user_id").as("sel_key"),
+          expr("(user_id div 16) % 4").as("sel_grp"))
+        .write.mode("overwrite").parquet(selPath)
+      val cat = SketchCatalog.harvest(spark, s"$dir/events.parquet", Seq("user_id"))
+        .unionByName(SketchCatalog.harvest(spark, dimPath, Seq("d_key", "d_sub")))
+        .unionByName(SketchCatalog.harvest(spark, subPath, Seq("s_sub")))
+        .unionByName(SketchCatalog.harvest(spark, selPath, Seq("sel_key")))
+      val catPath = scratch(dir, "q28_catalog")
+      SketchCatalog.save(cat, catPath)
+      (dimPath, subPath, selPath, catPath)
+    })
+
+  /** Q28: SNOWFLAKE reorder — the r13 VERDICT's missing #4 prototype:
+    * a dim-of-dim subtree (dim ⋈ sub-dim) joined to the fact is priced
+    * as a COMPOSITE edge (SketchJoinPlanning.snowSubtree — constituent
+    * CMS estimate × subtree fan-out) instead of an opaque leaf that
+    * disabled the whole chain's reorder. Written worst-first: the fact
+    * joins the ×8-fan-out snowflake FIRST and the 1/16-selective flat
+    * dim last; with the catalog active the greedy pass must rebuild
+    * selective-first — the bottom join touches ONLY fact + sel (probed
+    * from the forced plan: in the written order no join's subtree scans
+    * are exactly {fact, sel}) while the snowflake subtree reattaches
+    * INTACT above. Inner joins commute, so the aggregate is the
+    * plain-join twin.
+    */
+  private def q28PlannedSnowflake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchCatalog
+    val (dimPath, subPath, selPath, catPath) = q28Fixture(spark, dir)
+    def chain(): DataFrame = {
+      val dimSub = spark.read.parquet(dimPath)
+        .join(spark.read.parquet(subPath), col("d_sub") === col("s_sub"))
+      spark.read.parquet(s"$dir/events.parquet").select(col("user_id"), col("value"))
+        .join(dimSub, col("user_id") === col("d_key"))
+        .join(spark.read.parquet(selPath), col("user_id") === col("sel_key"))
+        .groupBy("sel_grp")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("s_weight")).as("sum_w"),
+          decSum(round(col("value"), 6), 18, 6).as("sum_value"))
+    }
+    def bottomFactSel(df: DataFrame): Boolean =
+      physicalJoins(df).exists { j =>
+        val scans = planScans(j).toSet
+        scans.nonEmpty && scans.forall(s =>
+          s.contains("events") || s.contains("q28_sel")) &&
+          scans.exists(_.contains("events")) && scans.exists(_.contains("q28_sel"))
+      }
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBb = spark.conf.getOption(SketchCatalog.BroadcastBytesKey)
+    val (naiveWritten, selectiveBottom) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(SketchCatalog.BroadcastBytesKey, "0")
+      SketchCatalog.deactivate(spark)
+      val naiveOk = physicalJoins(chain()).size == 3 && !bottomFactSel(chain())
+      SketchCatalog.activate(spark, catPath)
+      (naiveOk, bottomFactSel(chain()))
+    } finally {
+      SketchCatalog.deactivate(spark)
+      prevBb match {
+        case Some(v) => spark.conf.set(SketchCatalog.BroadcastBytesKey, v)
+        case None    => spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    chain()
+      .select(col("sel_grp"), col("n_rows"), col("sum_w"), col("sum_value"),
+        lit(naiveWritten).as("naive_written_order"),
+        lit(selectiveBottom).as("artifact_selective_bottom"))
+      .orderBy("sel_grp")
+  }
+
   /** Composite-key fixture for [[q25PlannedComposite]], built once per
     * JVM per sf dir: a fact and a dim joined on a 2-COLUMN key
     * (k1, k2) engineered so each single column is 40-ways shared
@@ -5544,6 +5653,7 @@ object Queries {
     "q25_planned_composite" -> (q25PlannedComposite _),
     "q26_planned_outer" -> (q26PlannedOuter _),
     "q27_planned_rg" -> (q27PlannedRg _),
+    "q28_planned_snowflake" -> (q28PlannedSnowflake _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),

@@ -685,6 +685,148 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("AQE composition: salted exchange not re-split by AQE skew join; artifact broadcast survives to the final plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val d3 = java.nio.file.Files.createTempDirectory("graft-sjp-aqe").toString
+    // ~60% of 50k rows on key 7 — with the lowered AQE thresholds below,
+    // the UNSALTED join's hot partition is decisively AQE-skew-splittable
+    // (compressed map-output sizes, not raw bytes, feed the skew test)
+    (0L until 50000L).map(i =>
+        (if (i % 5 < 3) 7L else i % 500L, i, (i % 11).toDouble))
+      .toDF("s_key", "s_id", "s_val")
+      .repartition(4).write.parquet(s"$d3/aqfact.parquet")
+    (0L until 500L).map(k => (k, s"g${k % 5}")).toDF("m_key", "m_grp")
+      .repartition(2).write.parquet(s"$d3/aqmid.parquet")
+    val cat = SketchCatalog.harvest(spark, s"$d3/aqfact.parquet", Seq("s_key"))
+      .unionByName(SketchCatalog.harvest(spark, s"$d3/aqmid.parquet", Seq("m_key")))
+    SketchCatalog.save(cat, s"$d3/cat")
+    def join(): DataFrame =
+      spark.read.parquet(s"$d3/aqfact.parquet")
+        .join(spark.read.parquet(s"$d3/aqmid.parquet"), col("s_key") === col("m_key"))
+        .groupBy("m_grp").agg(count(lit(1)).as("n"), sum("s_val").cast("long").as("s"))
+        .orderBy("m_grp")
+    // FINAL adaptive plan (after execution), where AQE's skew handling
+    // is visible as SortMergeJoinExec.isSkewJoin. collect() stops at
+    // QueryStageExec boundaries (stages have no children), so the walk
+    // descends into each stage's materialized plan explicitly.
+    def deepNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(deepNodes)
+    }
+    def finalNodes(df: DataFrame): Seq[SparkPlan] = {
+      df.collect()
+      deepNodes(df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      })
+    }
+    def finalSmjSkew(df: DataFrame): (Boolean, Int) = {
+      val nodes = finalNodes(df)
+      (nodes.exists { case s: SortMergeJoinExec => s.isSkewJoin; case _ => false },
+        nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]))
+    }
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.5",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      SketchCatalog.BroadcastBytesKey -> "0") {
+      SketchCatalog.deactivate(spark)
+      val plain = join().collect().toSeq
+      // control: with no catalog the knobs ARM AQE — its own skew split
+      // fires on the bare sort-merge join (proves the thresholds bite)
+      val (bareSkew, bareGens) = finalSmjSkew(join())
+      assert(bareGens == 0)
+      assert(bareSkew, "control: AQE's skew join must fire on the unsalted hot key")
+      SketchCatalog.activate(spark, s"$d3/cat")
+      try {
+        // salted plan under the SAME armed AQE: the Generate survives to
+        // the final plan, and NO SMJ is AQE-skew-split — the salt already
+        // balanced the exchange, so the two mitigations do not fight
+        val planned = join()
+        val rows = planned.collect().toSeq
+        assert(rows == plain, "salting under AQE must be invisible to results")
+        val (saltedSkew, saltedGens) = finalSmjSkew(join())
+        assert(saltedGens == 1, "salted Generate must survive AQE re-planning")
+        assert(!saltedSkew,
+          "AQE must find nothing to skew-split in the salted exchange")
+      } finally SketchCatalog.deactivate(spark)
+    }
+    // artifact broadcast under AQE: the hint must survive to the FINAL
+    // adaptive plan (AQE can only upgrade toward broadcast, never revert
+    // a logical-side hint)
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      SketchCatalog.deactivate(spark)
+      val plain = joinFrame().collect().toSeq
+      SketchCatalog.activate(spark, harvestAll())
+      try {
+        val df = joinFrame()
+        val got = df.collect().toSeq
+        assert(finalNodes(df).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+          "artifact broadcast must survive to the final adaptive plan")
+        assert(got == plain)
+      } finally SketchCatalog.deactivate(spark)
+    }
+  }
+
+  test("snowflake subtree priced as a composite edge: selective dim sinks below it; parity holds") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft-sjp-snow").toString
+    // sub-dim amplifies the 40-key dim x4; sel keeps 1/8 of the fact keys
+    (0L until 40L).flatMap(k => (0L until 4L).map(w => (k % 8L, k * 4 + w)))
+      .toDF("x_sub", "x_w").repartition(2).write.parquet(s"$d2/xsub.parquet")
+    (0L until 40L).map(k => (k, k % 8L)).toDF("sd_key", "sd_sub")
+      .repartition(2).write.parquet(s"$d2/sdim.parquet")
+    (0L until 40L).filter(_ % 8 == 0).map(k => (k, s"s$k")).toDF("z_key", "z_tag")
+      .repartition(1).write.parquet(s"$d2/zsel.parquet")
+    val cat = SketchCatalog.harvest(spark, s"$dir/fact.parquet", Seq("f_key"))
+      .unionByName(SketchCatalog.harvest(spark, s"$d2/sdim.parquet", Seq("sd_key", "sd_sub")))
+      .unionByName(SketchCatalog.harvest(spark, s"$d2/xsub.parquet", Seq("x_sub")))
+      .unionByName(SketchCatalog.harvest(spark, s"$d2/zsel.parquet", Seq("z_key")))
+    SketchCatalog.save(cat, s"$d2/cat")
+    def chain(): DataFrame = {
+      val snow = spark.read.parquet(s"$d2/sdim.parquet")
+        .join(spark.read.parquet(s"$d2/xsub.parquet"), col("sd_sub") === col("x_sub"))
+      spark.read.parquet(s"$dir/fact.parquet")
+        .join(snow, col("f_key") === col("sd_key"))
+        .join(spark.read.parquet(s"$d2/zsel.parquet"), col("f_key") === col("z_key"))
+        .groupBy("z_tag").agg(count(lit(1)).as("n"), sum("x_w").as("w"))
+        .orderBy("z_tag")
+    }
+    def scansOf(j: SparkPlan): Set[String] = j.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.head.toString
+    }.toSet
+    def bottomFactSel(df: DataFrame): Boolean =
+      physicalJoins(df).exists { j =>
+        val s = scansOf(j)
+        s.nonEmpty && s.forall(p => p.contains("fact") || p.contains("zsel")) &&
+          s.exists(_.contains("fact")) && s.exists(_.contains("zsel"))
+      }
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      SketchCatalog.BroadcastBytesKey -> "0") {
+      SketchCatalog.deactivate(spark)
+      val plain = chain().collect().toSeq
+      assert(!bottomFactSel(chain()), "written-worst order joins the snowflake first")
+      SketchCatalog.activate(spark, s"$d2/cat")
+      try {
+        val planned = chain()
+        assert(bottomFactSel(planned),
+          "composite-priced snowflake must let the selective dim sink to the bottom")
+        assert(planned.collect().toSeq == plain,
+          "snowflake reorder must be invisible to results")
+      } finally SketchCatalog.deactivate(spark)
+    }
+  }
+
   test("left-outer joins: broadcast/salt/filter fire only in result-safe directions; parity holds") {
     import org.apache.spark.sql.execution.GenerateExec
     import spark.implicits._
