@@ -78,18 +78,21 @@ object Oracles {
   /** The corpus-sized variant of [[rhpBucketChain]] (mirrors the r14
     * registered x2_rhp_* plans): bits per band are DERIVED from the
     * corpus count exactly as Similarity.rhpBitsFor does — integer-exact
-    * bitLength(ceil(n/16) - 1) clamped to [4, 24], computed here as a
+    * bitLength(ceil(n/occ) - 1) clamped to [4, 24], computed here as a
     * count of set-bit positions so no float log can disagree across
-    * engines. Ends with `rhp_bits(bits)` and `rhp_buck(vec_id, band,
+    * engines. `occ` is the target bucket occupancy: 16 for the exact-
+    * collision plans, 1 for the multiprobe plan (which spends its probe
+    * multiplier on hash selectivity — see x2_rhp_multiprobe's scaladoc).
+    * Ends with `rhp_bits(bits)` and `rhp_buck(vec_id, band,
     * bkt)`. Plane indexing matches the Spark side: plane k serves band
     * k // bits, sign bit k % bits, so both engines pick the SAME md5
     * hyperplanes for whatever bits the count implies.
     */
-  private def rhpBucketChainDyn(bands: Int): String =
+  private def rhpBucketChainDyn(bands: Int, occ: Int = 16): String =
     s"""rhp_bits AS (
        |  SELECT least(24, greatest(4, CAST((
        |    SELECT count(*) FROM generate_series(0, 62) g(b)
-       |    WHERE ((((SELECT count(*) FROM embeddings) + 15) // 16) - 1) >> b > 0) AS INT))) AS bits),
+       |    WHERE ((((SELECT count(*) FROM embeddings) + ${occ - 1}) // $occ) - 1) >> b > 0) AS INT))) AS bits),
        |rhp_planes AS (
        |  SELECT k, list_transform(generate_series(0, 63),
        |           i -> ('0x' || substr(md5('hp_' || k || '_' || i), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS p
@@ -1585,13 +1588,15 @@ object Oracles {
          |FROM n, c""".stripMargin,
 
     // Multi-probe twin in its design regime: 8 bands x corpus-derived
-    // bits (rhp_bits), left side expanded to the bucket plus its `bits`
-    // 1-bit-flip neighbors (xor), equality join against the exact right
-    // side, exact-cosine verification. Same knobs/threshold as
-    // x2_rhp_scale, so the two gated results differ only by the probed
-    // pairs. Mirrors Similarity.rhpMultiProbePairs.
+    // bits at occupancy target 1 (rhp_bits — more selective hashes than
+    // the exact-collision plans, the Lv et al. trade: probing buys the
+    // recall back while the candidate background shrinks ~occupancy-fold),
+    // left side expanded to the bucket plus its `bits` 1-bit-flip
+    // neighbors (xor), equality join against the exact right side,
+    // exact-cosine verification. Same bands/threshold as x2_rhp_scale.
+    // Mirrors Similarity.rhpMultiProbePairs.
     "x2_rhp_multiprobe" ->
-      s"""WITH ${rhpBucketChainDyn(8)},
+      s"""WITH ${rhpBucketChainDyn(8, occ = 1)},
          |rhp_probe AS (SELECT vec_id, band, unnest(list_prepend(bkt,
          |    list_transform(generate_series(0, bits - 1), j -> xor(bkt, CAST(1 << j AS BIGINT))))) AS key
          |  FROM rhp_buck CROSS JOIN rhp_bits),

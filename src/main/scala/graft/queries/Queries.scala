@@ -2350,13 +2350,19 @@ object Queries {
     * (bits+1 keys/band). High-bit bands make exact collisions rare,
     * which is exactly where 1-bit probing pays: it recovers the pairs a
     * single flipped sign bit would lose, buying back the recall the
-    * quantization gave up — same knobs and threshold as x2_rhp_scale, so
-    * the two gated plans differ ONLY in probing and the recall it adds.
-    * Bits come from [[graft.ops.Similarity.rhpBitsFor]] (since r14 —
-    * the registered fixed-8-bit form OOM'd at ×100, SCALING.md r13
-    * Finding 1): occupancy stays ≤ 16, so probing's ×(bits+1) candidate
-    * multiplier rides on a LINEAR background instead of multiplying a
-    * quadratic one.
+    * quantization gave up.
+    * Bits come from [[graft.ops.Similarity.rhpBitsFor]] at occupancy
+    * target 1 — MORE selective hashes than the exact-collision plans.
+    * That is the actual multiprobe trade (Lv et al., VLDB'07): probing
+    * exists so you can afford sharper hashes at the same recall. The
+    * candidate volume is ~bands·(bits+1)·n·occupancy; at occupancy 16
+    * (the x2_rhp_scale sizing, the r14 first cut) the ×(bits+1) probe
+    * multiplier rode on a ×16 background and the ×100 cell measured
+    * 61 s — occupancy 1 cuts that background ~16-fold while Hamming≤1
+    * over the extra ~4 bits keeps per-band capture HIGHER than the
+    * coarser exact-collision band (p^b vs p^(b+4)+(b+4)p^(b+3)(1−p):
+    * the probed form wins for any p ≥ 0.6, i.e. everywhere above
+    * cosine ≈ 0.31).
     * (The 8×4 coarse-band parameterization this replaced is kept as a
     * spec-level regime demonstration in OpsSpec: with 16 buckets/band the
     * probe expansion multiplies an already-quadratic background — measured
@@ -2367,7 +2373,8 @@ object Queries {
   private def x2RhpMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.rhpMultiProbePairs(emb, threshold = 0.45, dim = 64,
-      bands = 8, bitsPerBand = Similarity.rhpBitsFor(emb.count()))
+      bands = 8,
+      bitsPerBand = Similarity.rhpBitsFor(emb.count(), targetOccupancy = 1))
       .orderBy("id_a", "id_b")
   }
 
