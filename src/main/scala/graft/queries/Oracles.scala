@@ -2777,6 +2777,33 @@ object Oracles {
         |JOIN sel ON f.user_id = sel.sel_key
         |GROUP BY sel_grp ORDER BY sel_grp""".stripMargin,
 
+    // Bushy-reorder gate (q28 one level deeper and right-nested): the
+    // twin replays the full 5-table join — inner joins commute, so the
+    // recursive-subtree reorder must be invisible to results; the plan
+    // facts (written order keeps no fact+sel-only join, activated
+    // bottom join touches exactly fact + sel) ride as pinned booleans
+    // probed from forced physical plans.
+    "q29_planned_bushy" ->
+      """WITH u AS (SELECT DISTINCT user_id AS k FROM events),
+        |dim AS (SELECT k AS d_key, (k * 2 + r) % 8 AS d_sub
+        |        FROM u CROSS JOIN (VALUES (0),(1)) t(r)),
+        |sub AS (SELECT s AS s_sub, s % 4 AS s_cat
+        |        FROM (SELECT unnest(generate_series(0, 7)) AS s)),
+        |subsub AS (SELECT c AS c_cat, CAST(c * 2 + w AS BIGINT) AS c_weight
+        |        FROM (SELECT unnest(generate_series(0, 3)) AS c)
+        |        CROSS JOIN (VALUES (0),(1)) t2(w)),
+        |sel AS (SELECT k AS sel_key, (k // 16) % 4 AS sel_grp FROM u WHERE k % 16 = 0)
+        |SELECT sel_grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c_weight) AS BIGINT) AS sum_w,
+        |  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  true AS naive_written_order, true AS artifact_selective_bottom
+        |FROM events f
+        |JOIN dim d ON f.user_id = d.d_key
+        |JOIN sub s2 ON d.d_sub = s2.s_sub
+        |JOIN subsub c2 ON s2.s_cat = c2.c_cat
+        |JOIN sel ON f.user_id = sel.sel_key
+        |GROUP BY sel_grp ORDER BY sel_grp""".stripMargin,
+
     // Row-group-grain planner gate: the Spark side's first predicate
     // branch is a layout-derived inter-group box that provably matches
     // NO row (strictly between consecutive multiples of 1000 — see the

@@ -4762,6 +4762,109 @@ object Queries {
       .orderBy("sel_grp")
   }
 
+  /** Bushy-subtree fixture for [[q29PlannedBushy]], built once per JVM
+    * per sf dir: the q28 snowflake taken one level deeper AND bushy —
+    * dim ⋈ (sub ⋈ sub-sub), where the dim's join partner is ITSELF a
+    * join (right-nested), so 2-table subtree pricing (the q28 form)
+    * declines the leaf and only the recursive composite pricing can
+    * place it. Fan-outs: dim ×2 per user, sub-sub ×2 per sub row → the
+    * snowflake arm amplifies the fact ×4 while the flat sel dim keeps
+    * 1/16 of it.
+    */
+  private val q29Paths = new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String, String)]()
+  private def q29Fixture(spark: SparkSession, dir: String): (String, String, String, String, String) =
+    q29Paths.computeIfAbsent(dir, { _ =>
+      import graft.ops.SketchCatalog
+      val users = t(spark, dir, "events").select(col("user_id")).distinct()
+      val dimPath = scratch(dir, "q29_dim")
+      users.crossJoin(spark.range(0L, 2L).select(col("id").as("__r")))
+        .select(col("user_id").as("d_key"),
+          ((col("user_id") * 2 + col("__r")) % 8).as("d_sub"))
+        .write.mode("overwrite").parquet(dimPath)
+      val subPath = scratch(dir, "q29_sub")
+      spark.range(0L, 8L)
+        .select(col("id").as("s_sub"), (col("id") % 4).as("s_cat"))
+        .write.mode("overwrite").parquet(subPath)
+      val subsubPath = scratch(dir, "q29_subsub")
+      spark.range(0L, 4L).crossJoin(spark.range(0L, 2L).select(col("id").as("__w")))
+        .select(col("id").as("c_cat"), (col("id") * 2 + col("__w")).as("c_weight"))
+        .write.mode("overwrite").parquet(subsubPath)
+      val selPath = scratch(dir, "q29_sel")
+      users.where(col("user_id") % 16 === 0)
+        .select(col("user_id").as("sel_key"),
+          expr("(user_id div 16) % 4").as("sel_grp"))
+        .write.mode("overwrite").parquet(selPath)
+      val cat = SketchCatalog.harvest(spark, s"$dir/events.parquet", Seq("user_id"))
+        .unionByName(SketchCatalog.harvest(spark, dimPath, Seq("d_key", "d_sub")))
+        .unionByName(SketchCatalog.harvest(spark, subPath, Seq("s_sub", "s_cat")))
+        .unionByName(SketchCatalog.harvest(spark, subsubPath, Seq("c_cat")))
+        .unionByName(SketchCatalog.harvest(spark, selPath, Seq("sel_key")))
+      val catPath = scratch(dir, "q29_catalog")
+      SketchCatalog.save(cat, catPath)
+      (dimPath, subPath, subsubPath, selPath, catPath)
+    })
+
+  /** Q29: BUSHY/deep-snowflake reorder — the recursive generalization of
+    * q28 (r14): the chain leaf is dim ⋈ (sub ⋈ sub-sub), a right-NESTED
+    * join the 2-table subtree pricing declined, so before the recursion
+    * the whole chain kept its written-worst order even with every edge
+    * catalogued. `SketchJoinPlanning.subTree` now prices the leaf by
+    * composing its internal CMS estimates (each join's pair estimate ×
+    * both children's fan-outs over their joining constituents, depth ≤
+    * 3), and the greedy pass sinks the 1/16-selective flat dim to the
+    * bottom — probed from the forced plan exactly as q28: in the
+    * written order no join's subtree scans are exactly {fact, sel};
+    * with the catalog active the bottom join touches ONLY fact + sel
+    * while the bushy subtree reattaches INTACT above. Inner joins
+    * commute, so the aggregate is the plain-join twin.
+    */
+  private def q29PlannedBushy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchCatalog
+    val (dimPath, subPath, subsubPath, selPath, catPath) = q29Fixture(spark, dir)
+    def chain(): DataFrame = {
+      val bushy = spark.read.parquet(dimPath)
+        .join(spark.read.parquet(subPath)
+            .join(spark.read.parquet(subsubPath), col("s_cat") === col("c_cat")),
+          col("d_sub") === col("s_sub"))
+      spark.read.parquet(s"$dir/events.parquet").select(col("user_id"), col("value"))
+        .join(bushy, col("user_id") === col("d_key"))
+        .join(spark.read.parquet(selPath), col("user_id") === col("sel_key"))
+        .groupBy("sel_grp")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_weight")).as("sum_w"),
+          decSum(round(col("value"), 6), 18, 6).as("sum_value"))
+    }
+    def bottomFactSel(df: DataFrame): Boolean =
+      physicalJoins(df).exists { j =>
+        val scans = planScans(j).toSet
+        scans.nonEmpty && scans.forall(s =>
+          s.contains("events") || s.contains("q29_sel")) &&
+          scans.exists(_.contains("events")) && scans.exists(_.contains("q29_sel"))
+      }
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBb = spark.conf.getOption(SketchCatalog.BroadcastBytesKey)
+    val (naiveWritten, selectiveBottom) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(SketchCatalog.BroadcastBytesKey, "0")
+      SketchCatalog.deactivate(spark)
+      val naiveOk = physicalJoins(chain()).size == 4 && !bottomFactSel(chain())
+      SketchCatalog.activate(spark, catPath)
+      (naiveOk, bottomFactSel(chain()))
+    } finally {
+      SketchCatalog.deactivate(spark)
+      prevBb match {
+        case Some(v) => spark.conf.set(SketchCatalog.BroadcastBytesKey, v)
+        case None    => spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    chain()
+      .select(col("sel_grp"), col("n_rows"), col("sum_w"), col("sum_value"),
+        lit(naiveWritten).as("naive_written_order"),
+        lit(selectiveBottom).as("artifact_selective_bottom"))
+      .orderBy("sel_grp")
+  }
+
   /** Composite-key fixture for [[q25PlannedComposite]], built once per
     * JVM per sf dir: a fact and a dim joined on a 2-COLUMN key
     * (k1, k2) engineered so each single column is 40-ways shared
@@ -5661,6 +5764,7 @@ object Queries {
     "q26_planned_outer" -> (q26PlannedOuter _),
     "q27_planned_rg" -> (q27PlannedRg _),
     "q28_planned_snowflake" -> (q28PlannedSnowflake _),
+    "q29_planned_bushy" -> (q29PlannedBushy _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),

@@ -827,6 +827,64 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("bushy subtree (right-nested, depth 2) priced recursively: selective dim still sinks; parity holds") {
+    import spark.implicits._
+    val d3 = java.nio.file.Files.createTempDirectory("graft-sjp-bushy").toString
+    // dim -> sub -> subsub, with the leaf written RIGHT-NESTED:
+    // dim JOIN (sub JOIN subsub) — the 2-table subtree pricing (q28 form)
+    // declined this shape and the chain kept its written-worst order
+    (0L until 40L).map(k => (k, k % 8L)).toDF("bd_key", "bd_sub")
+      .repartition(2).write.parquet(s"$d3/bdim.parquet")
+    (0L until 8L).map(s => (s, s % 4L)).toDF("bs_sub", "bs_cat")
+      .repartition(1).write.parquet(s"$d3/bsub.parquet")
+    (0L until 4L).flatMap(c => (0L until 4L).map(w => (c, c * 4 + w)))
+      .toDF("bc_cat", "bc_w").repartition(1).write.parquet(s"$d3/bsubsub.parquet")
+    (0L until 40L).filter(_ % 8 == 0).map(k => (k, s"b$k")).toDF("bz_key", "bz_tag")
+      .repartition(1).write.parquet(s"$d3/bzsel.parquet")
+    val cat = SketchCatalog.harvest(spark, s"$dir/fact.parquet", Seq("f_key"))
+      .unionByName(SketchCatalog.harvest(spark, s"$d3/bdim.parquet", Seq("bd_key", "bd_sub")))
+      .unionByName(SketchCatalog.harvest(spark, s"$d3/bsub.parquet", Seq("bs_sub", "bs_cat")))
+      .unionByName(SketchCatalog.harvest(spark, s"$d3/bsubsub.parquet", Seq("bc_cat")))
+      .unionByName(SketchCatalog.harvest(spark, s"$d3/bzsel.parquet", Seq("bz_key")))
+    SketchCatalog.save(cat, s"$d3/cat")
+    def chain(): DataFrame = {
+      val bushy = spark.read.parquet(s"$d3/bdim.parquet")
+        .join(spark.read.parquet(s"$d3/bsub.parquet")
+            .join(spark.read.parquet(s"$d3/bsubsub.parquet"),
+              col("bs_cat") === col("bc_cat")),
+          col("bd_sub") === col("bs_sub"))
+      spark.read.parquet(s"$dir/fact.parquet")
+        .join(bushy, col("f_key") === col("bd_key"))
+        .join(spark.read.parquet(s"$d3/bzsel.parquet"), col("f_key") === col("bz_key"))
+        .groupBy("bz_tag").agg(count(lit(1)).as("n"), sum("bc_w").as("w"))
+        .orderBy("bz_tag")
+    }
+    def scansOf(j: SparkPlan): Set[String] = j.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.head.toString
+    }.toSet
+    def bottomFactSel(df: DataFrame): Boolean =
+      physicalJoins(df).exists { j =>
+        val s = scansOf(j)
+        s.nonEmpty && s.forall(p => p.contains("fact") || p.contains("bzsel")) &&
+          s.exists(_.contains("fact")) && s.exists(_.contains("bzsel"))
+      }
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      SketchCatalog.BroadcastBytesKey -> "0") {
+      SketchCatalog.deactivate(spark)
+      val plain = chain().collect().toSeq
+      assert(!bottomFactSel(chain()), "written-worst order joins the bushy arm first")
+      SketchCatalog.activate(spark, s"$d3/cat")
+      try {
+        val planned = chain()
+        assert(bottomFactSel(planned),
+          "recursively-priced bushy subtree must let the selective dim sink to the bottom")
+        assert(planned.collect().toSeq == plain,
+          "bushy reorder must be invisible to results")
+      } finally SketchCatalog.deactivate(spark)
+    }
+  }
+
   test("left-outer joins: broadcast/salt/filter fire only in result-safe directions; parity holds") {
     import org.apache.spark.sql.execution.GenerateExec
     import spark.implicits._
