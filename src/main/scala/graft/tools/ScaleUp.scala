@@ -115,6 +115,15 @@ object ScaleUp {
       spark.read.parquet(suSrc).write.mode("overwrite")
         .parquet(s"$dest/supplier.parquet")
     }
+    // part: same pass-through as supplier — l_partkey is not rescaled, so
+    // the part dim stays fixed-size under growing fact fan-in. (Its
+    // absence made q7_promo_by_brand the ONLY red cell of the first r14
+    // ×100 registry run — a fixture gap, not an engine one.)
+    val paSrc = s"$src/part.parquet"
+    if (new java.io.File(paSrc).exists()) {
+      spark.read.parquet(paSrc).write.mode("overwrite")
+        .parquet(s"$dest/part.parquet")
+    }
     // nation: same pass-through — a 25-row static dim at any scale
     // (customer c_nationkey references it; q15's chain bottom)
     val naSrc = s"$src/nation.parquet"
