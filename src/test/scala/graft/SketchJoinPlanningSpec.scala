@@ -94,6 +94,57 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("stream-static join: artifact broadcast fires on the static side inside microbatches; parity holds") {
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The planner rule runs inside IncrementalExecution's optimizer too —
+    // a stream-static equi-join (the StreamingAnnServe / dim-enrichment
+    // shape) must pick up the artifact broadcast on its STATIC side, the
+    // only side the catalog can price (the stream side has no relation to
+    // resolve, and broadcasting it would be wrong anyway: it grows per
+    // batch). Asserted exactly like the batch cases: auto-broadcast off,
+    // plan probed from lastExecution, results bit-equal either way.
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val factRows = (0L until 4000L).map(i => (i % 40L, i))
+      def run(name: String): (Seq[String], Boolean) = {
+        val input = MemoryStream[(Long, Long)]
+        val joined = input.toDS().toDF("s_key", "s_id")
+          .join(spark.read.parquet(s"$dir/dim.parquet"),
+            col("s_key") === col("d_key"))
+          .groupBy("d_seg").agg(count(lit(1)).as("n"), sum("s_id").as("s"))
+        val q = joined.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"graft-ss-$name").toString)
+          .outputMode("complete").start()
+        try {
+          // two arrival waves: the hint must hold across re-planned batches
+          factRows.grouped(2500).foreach { b =>
+            input.addData(b: _*); q.processAllAvailable()
+          }
+          val plan = q.asInstanceOf[StreamingQueryWrapper]
+            .streamingQuery.lastExecution.executedPlan
+          val bhj = plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty
+          val rows = spark.table(name).orderBy("d_seg").collect()
+            .map(_.toString).toSeq
+          (rows, bhj)
+        } finally q.stop()
+      }
+      SketchCatalog.deactivate(spark)
+      val (plainRows, plainBhj) = run("ss_plain")
+      assert(!plainBhj,
+        "control: with auto-broadcast off and no catalog, no BHJ can appear")
+      SketchCatalog.activate(spark, harvestAll())
+      try {
+        val (plannedRows, plannedBhj) = run("ss_planned")
+        assert(plannedBhj,
+          "artifact must broadcast the catalogued static dim inside the microbatch plan")
+        assert(plannedRows == plainRows,
+          "stream-static artifact broadcast must be invisible to results")
+      } finally SketchCatalog.deactivate(spark)
+    }
+  }
+
   test("3-chain reorders to the smaller estimated pair, hash parity holds") {
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val path = harvestAll()
