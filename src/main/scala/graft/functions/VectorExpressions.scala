@@ -619,9 +619,14 @@ object SignBandBuckets {
         i += 1
       }
       // round(s, 6) >= 0 — BigDecimal only where rounding can flip the
-      // sign: s in (-1e-6, 0) may round UP to exactly zero (>= 0 true)
+      // sign: s in (-1e-6, 0) may round UP to exactly zero (>= 0 true).
+      // NaN (a NaN vector element, or +Inf and -Inf elements in one dot
+      // sum) sets the bit: both Spark and DuckDB order NaN GREATER than
+      // every number, so the composed `round(s, 6) >= 0` form this
+      // kernel replicates evaluated TRUE — and BigDecimal.valueOf(NaN)
+      // would throw, failing the whole query instead of bucketing.
       val pos =
-        if (s >= 0.0) true
+        if (s >= 0.0 || s.isNaN) true
         else if (s <= -1e-6) false
         else java.math.BigDecimal.valueOf(s)
           .setScale(6, java.math.RoundingMode.HALF_UP).signum() >= 0

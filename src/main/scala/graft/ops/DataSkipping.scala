@@ -98,13 +98,31 @@ object DataSkipping {
     * mixed batches that nondeterministically picks whichever batch's
     * schema wins (the x9_schema_evolution hazard, commit 1336373) —
     * the merged schema is the union, so every column any batch carries
-    * resolves to its widened declared type and retyped chunks degrade
-    * honestly in [[chunkStat]]. Callers that already KNOW the declared
-    * schema should use [[statsManifestFiles]] and pass it.
+    * resolves to its declared type and retyped chunks degrade honestly
+    * in [[chunkStat]]. Caveat: Spark's merge does NOT widen CONFLICTING
+    * primitive types (a long batch + a string batch on one name makes
+    * the merge THROW), so [[inferredSchema]] falls back to one-footer
+    * inference there — the pre-merge behavior, still sound because
+    * [[chunkStat]]'s physical-type guards degrade mismatched chunks to
+    * unknown. Callers that already KNOW the declared schema should use
+    * [[statsManifestFiles]] and pass it.
     */
   def statsManifest(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
     statsManifestFiles(spark, listDataFiles(spark, dir),
-      spark.read.option("mergeSchema", "true").parquet(dir).schema, cols)
+      inferredSchema(spark, dir), cols)
+
+  /** Union-schema inference with the honest fallback: `mergeSchema=true`
+    * when the batches merge, one-footer default inference when they
+    * CONFLICT on a primitive type (Spark's StructType.merge throws
+    * there — a retyped table must still get a manifest, just a
+    * degraded-honest one instead of a crash).
+    */
+  private def inferredSchema(spark: SparkSession, dir: String): StructType =
+    try spark.read.option("mergeSchema", "true").parquet(dir).schema
+    catch {
+      case _: org.apache.spark.SparkException =>
+        spark.read.parquet(dir).schema
+    }
 
   /** Manifest kinds resolved from the table schema (shared by the file
     * and row-group builders — ONE definition of what is manifest-able).
@@ -447,12 +465,13 @@ object DataSkipping {
     * the two grains cannot disagree on honesty rules.
     */
   def rowGroupManifest(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
-    // mergeSchema=true for the same reason as [[statsManifest]]: one
+    // inferredSchema for the same reason as [[statsManifest]]: one
     // arbitrary footer must not pick the declared types on an evolved
-    // table; pass an explicit schema via [[rowGroupManifestFiles]] when
-    // the caller knows it.
+    // table (and a retype-CONFLICTED table must degrade, not throw);
+    // pass an explicit schema via [[rowGroupManifestFiles]] when the
+    // caller knows it.
     rowGroupManifestFiles(spark, listDataFiles(spark, dir),
-      spark.read.option("mergeSchema", "true").parquet(dir).schema, cols)
+      inferredSchema(spark, dir), cols)
 
   /** [[rowGroupManifest]] over an explicit file list (the incremental
     * leg, same contract as [[statsManifestFiles]]).

@@ -98,7 +98,15 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     */
   private[plans] final case class Base(table: String, colOf: Map[ExprId, String])
 
-  private[plans] def resolveBase(plan: LogicalPlan, cat: Catalog): Option[Base] = plan match {
+  private[plans] def resolveBase(plan: LogicalPlan, cat: Catalog): Option[Base] =
+    resolveVia(plan, cat, throughPreserved = false)
+
+  /** The one Project/Filter/SubqueryAlias walker behind BOTH resolvers —
+    * `throughPreserved` additionally descends the preserved side of
+    * outer joins (see [[resolvePreservedBase]]'s contract).
+    */
+  private def resolveVia(plan: LogicalPlan, cat: Catalog,
+                         throughPreserved: Boolean): Option[Base] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
         val table = fs.location.rootPaths.head.toString
@@ -106,8 +114,12 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
         else Some(Base(table, lr.output.map(a => a.exprId -> a.name).toMap))
       case _ => None
     }
+    case Join(l, _, LeftOuter, _, _) if throughPreserved =>
+      resolveVia(l, cat, throughPreserved)
+    case Join(_, r, RightOuter, _, _) if throughPreserved =>
+      resolveVia(r, cat, throughPreserved)
     case Project(list, child) =>
-      resolveBase(child, cat).map { b =>
+      resolveVia(child, cat, throughPreserved).map { b =>
         val m: Map[ExprId, String] = list.flatMap {
           case a: AttributeReference => b.colOf.get(a.exprId).map(a.exprId -> _)
           case al @ Alias(ar: AttributeReference, _) =>
@@ -116,8 +128,8 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
         }.toMap
         Base(b.table, m)
       }
-    case Filter(_, child)          => resolveBase(child, cat)
-    case SubqueryAlias(_, child)   => resolveBase(child, cat)
+    case Filter(_, child)          => resolveVia(child, cat, throughPreserved)
+    case SubqueryAlias(_, child)   => resolveVia(child, cat, throughPreserved)
     case _                         => None
   }
 
@@ -130,23 +142,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     * broadcast decisions — those stay on the strict resolver.
     */
   private[plans] def resolvePreservedBase(plan: LogicalPlan, cat: Catalog): Option[Base] =
-    plan match {
-      case Join(l, _, LeftOuter, _, _)  => resolvePreservedBase(l, cat)
-      case Join(_, r, RightOuter, _, _) => resolvePreservedBase(r, cat)
-      case Project(list, child) =>
-        resolvePreservedBase(child, cat).map { b =>
-          val m: Map[ExprId, String] = list.flatMap {
-            case a: AttributeReference => b.colOf.get(a.exprId).map(a.exprId -> _)
-            case al @ Alias(ar: AttributeReference, _) =>
-              b.colOf.get(ar.exprId).map(al.exprId -> _)
-            case _ => None
-          }.toMap
-          Base(b.table, m)
-        }
-      case Filter(_, child)        => resolvePreservedBase(child, cat)
-      case SubqueryAlias(_, child) => resolvePreservedBase(child, cat)
-      case other                   => resolveBase(other, cat)
-    }
+    resolveVia(plan, cat, throughPreserved = true)
 
   /** The catalog entry backing attribute `a` of a resolved side. */
   private[plans] def entryFor(base: Base, cat: Catalog, a: AttributeReference): Option[Entry] =
@@ -402,9 +398,10 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     * spanning two constituents of a subtree is declined.
     */
   private def edgeSide(leaf: LogicalPlan, attrs: Seq[AttributeReference],
-                       cat: Catalog): Option[(Base, Double)] =
+                       cat: Catalog,
+                       stOf: LogicalPlan => Option[SubTree]): Option[(Base, Double)] =
     resolveBase(leaf, cat).map(b => (b, 1.0)).orElse {
-      subTree(leaf, cat).flatMap { s =>
+      stOf(leaf).flatMap { s =>
         s.constituentFor(attrs).map { case (b, rows) =>
           (b, s.estRows / rows)
         }
@@ -415,18 +412,20 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     * with subtree-leaf endpoints priced through their constituent ×
     * fan-out (see [[edgeSide]]).
     */
-  private def edgeEst(cat: Catalog, leaves: Seq[LogicalPlan], e: Edge): Option[Double] =
+  private def edgeEst(cat: Catalog, leaves: Seq[LogicalPlan], e: Edge,
+                      stOf: LogicalPlan => Option[SubTree]): Option[Double] =
     for {
-      (ab, fa) <- edgeSide(leaves(e.a), e.pairsAB.map(_._1), cat)
-      (bb, fb) <- edgeSide(leaves(e.b), e.pairsAB.map(_._2), cat)
+      (ab, fa) <- edgeSide(leaves(e.a), e.pairsAB.map(_._1), cat, stOf)
+      (bb, fb) <- edgeSide(leaves(e.b), e.pairsAB.map(_._2), cat, stOf)
       est <- estPairRows(cat, ab, bb, e.pairsAB)
     } yield est.toDouble * fa * fb
 
   /** A chain leaf the reorder pass can price: a catalogued base or a
     * catalogued join subtree.
     */
-  private def priceableLeaf(leaf: LogicalPlan, cat: Catalog): Boolean =
-    resolveBase(leaf, cat).isDefined || subTree(leaf, cat).isDefined
+  private def priceableLeaf(leaf: LogicalPlan, cat: Catalog,
+                            stOf: LogicalPlan => Option[SubTree]): Boolean =
+    resolveBase(leaf, cat).isDefined || stOf(leaf).isDefined
 
   /** Greedy Selinger left-deep ordering: selectivity of each edge comes
     * from its CMS pair estimate (`sel = est / (n_a·n_b)` — the statistic
@@ -478,11 +477,12 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def estimablePrefix(cat: Catalog, leaves: Seq[LogicalPlan],
                               edges: Seq[Option[Edge]],
-                              ests: Int => Option[Double]): Int = {
-    var k = if (priceableLeaf(leaves.head, cat)) 1 else 0
+                              ests: Int => Option[Double],
+                              stOf: LogicalPlan => Option[SubTree]): Int = {
+    var k = if (priceableLeaf(leaves.head, cat, stOf)) 1 else 0
     var i = 0
     while (k > 0 && i < edges.size &&
-        priceableLeaf(leaves(i + 1), cat) &&
+        priceableLeaf(leaves(i + 1), cat, stOf) &&
         edges(i).exists(e => e.a <= i && e.b <= i + 1 && ests(i).isDefined)) {
       k += 1; i += 1
     }
@@ -496,9 +496,20 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
         val (leaves, conds) = extractChain(outer)
         val edgeOpts = conds.map(resolveEdge(_, leaves))
         val estCache = scala.collection.mutable.HashMap.empty[Int, Option[Double]]
+        // subtree pricing memoized per chain extraction (reference keys:
+        // the leaves are the same objects across every probe below) —
+        // priceableLeaf, edgeSide (twice per edge) and the nRows fallback
+        // would otherwise each re-run the recursive CMS deserialization
+        // per leaf per optimizer pass
+        val stCache = new java.util.IdentityHashMap[LogicalPlan, Option[SubTree]]()
+        def stOf(p: LogicalPlan): Option[SubTree] = {
+          val hit = stCache.get(p)
+          if (hit != null) hit
+          else { val v = subTree(p, cat); stCache.put(p, v); v }
+        }
         def estAt(i: Int): Option[Double] = estCache.getOrElseUpdate(i,
-          edgeOpts(i).flatMap(e => edgeEst(cat, leaves, e)))
-        val k = estimablePrefix(cat, leaves, edgeOpts, estAt)
+          edgeOpts(i).flatMap(e => edgeEst(cat, leaves, e, stOf)))
+        val k = estimablePrefix(cat, leaves, edgeOpts, estAt, stOf)
         val rewritten = for {
           _ <- Some(())
           if k >= 3 // nothing to reorder below a 3-prefix
@@ -507,7 +518,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
           nRows = leaves.take(k).map(l =>
             resolveBase(l, cat).flatMap(b => trustedTable(cat, b.table))
               .map(_.nRows.toDouble)
-              .orElse(subTree(l, cat).map(_.estRows))
+              .orElse(stOf(l).map(_.estRows))
               .getOrElse(1.0))
           // cost of the ORIGINAL prefix order under the same model:
           // conds(i) attaches leaf i+1, selectivity from its edge
@@ -947,8 +958,11 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
           val salted =
             if (probe eq l) Join(probeSalted, buildRep, jt, Some(newCond), JoinHint.NONE)
             else Join(buildRep, probeSalted, jt, Some(newCond), JoinHint.NONE)
-          logInfo(f"sketch planning: salted skewed join on ${if (lf >= rf) la.name else ra.name} " +
-            f"(heavy frac ${math.max(lf, rf)}%.3f >= $thr%.2f, $b buckets)")
+          // log the side that was ACTUALLY salted and the fraction that
+          // gated it — for LeftOuter that is always the left/preserved
+          // side whatever the right's fraction reads
+          logInfo(f"sketch planning: salted skewed join on ${if (probe eq l) la.name else ra.name} " +
+            f"(heavy frac ${if (probe eq l) lf else rf}%.3f >= $thr%.2f, $b buckets)")
           Project(j.output, salted)
         }
         rewritten.getOrElse(j)

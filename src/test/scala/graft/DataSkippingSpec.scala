@@ -472,6 +472,33 @@ class DataSkippingSpec extends SparkSpec {
     assert(all.count() == m96.count(), "unknown stats must keep every file")
   }
 
+  test("retype-CONFLICTED table: manifest builds (one-footer fallback), mismatched chunks degrade to unknown") {
+    // two batches that CONFLICT on k's primitive type: Spark's
+    // mergeSchema THROWS on long-vs-string, so inferredSchema must fall
+    // back to one-footer inference and chunkStat's physical-type guards
+    // must degrade the other batch's chunks to (null, null) instead of
+    // ClassCastException-ing the manifest build
+    val dir = java.nio.file.Files.createTempDirectory("graft-retype-spec").toString + "/tbl"
+    spark.range(100).select(col("id").as("k"), col("id").as("x"))
+      .coalesce(1).write.parquet(dir)
+    spark.range(100).select(concat(lit("s"), col("id")).as("k"), col("id").as("x"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    for (cols <- Seq(Seq("k"), Seq("k", "x"))) {
+      val m = DataSkipping.statsManifest(spark, dir, cols).cache()
+      assert(m.count() == 2, "both files manifest")
+      // exactly one file's k-chunks match the inferred type; the other
+      // degrades to unknown (NULL min/max) — never a wrong bound
+      assert(m.where(col("k_min").isNull).count() == 1)
+      assert(m.where(col("k_min").isNotNull).count() == 1)
+      if (cols.contains("x"))
+        assert(m.where(col("x_min").isNull).count() == 0,
+          "the un-conflicted column stays exact on every file")
+      m.unpersist()
+    }
+    val rg = DataSkipping.rowGroupManifest(spark, dir, Seq("k"))
+    assert(rg.count() >= 2 && rg.where(col("k_min").isNull).count() >= 1)
+  }
+
   test("X9rg row-group manifest folds exactly to the file manifest; grains agree") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rg-spec").toString + "/tbl"
     spark.range(4000).select(col("id").as("a"),

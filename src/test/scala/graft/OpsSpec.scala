@@ -1403,4 +1403,31 @@ class OpsSpec extends SparkSpec {
     assert(rhpBitsFor(0L) == 4)
     assert(rhpBitsFor(Long.MaxValue) == 24)
   }
+
+  test("sign-LSH kernel on NaN/Inf dot sums: bucket, never crash (NaN sets the bit)") {
+    import graft.functions.SignBandBuckets
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val planes = Array(Array(1.0, 1.0), Array(-1.0, 0.0))
+    def buckets(v: Array[Double]) =
+      SignBandBuckets.compute(ArrayData.toArrayData(v), isFloat = false,
+        planes, bands = 1, bits = 2)
+    // NaN element -> NaN dot sum on both planes: both engines order NaN
+    // GREATER than any number, so round(s,6) >= 0 is TRUE and both bits
+    // set (BigDecimal.valueOf(NaN) would have thrown instead)
+    assert(buckets(Array(Double.NaN, 1.0)).head == 3L)
+    // +Inf rides the fast >= 0 branch on plane 0, -Inf the <= -1e-6
+    // branch on plane 1 (sum = -Inf): bucket 0b01
+    assert(buckets(Array(Double.PositiveInfinity, 0.0)).head == 1L)
+    // query-level: a NaN vector flows through the registered RHP plan
+    // without an exception (it buckets deterministically; whether it
+    // pairs is the verify stage's business)
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array.fill(4)(1.0f)), (2L, Array.fill(4)(1.0f)),
+      (3L, Array(Float.NaN, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomHyperplaneNearDupPairs(vecs, threshold = 0.9,
+      dim = 4, bands = 2, bitsPerBand = 4).collect()
+    graft.ops.OpCaches.release()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
 }
