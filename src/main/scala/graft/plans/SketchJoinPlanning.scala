@@ -353,8 +353,13 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
           SubTree(Seq((b, n)), n)
         }
       case None => s match {
-        case Join(l, r, Inner, Some(c), JoinHint(None, None))
-            if depth < SubtreeMaxDepth =>
+        // hints are NOT a decline here: subTree only PRICES (bytes and
+        // ordering heuristics), it never rewrites — and the broadcast
+        // pass itself runs bottom-up, so an arm's internal joins carry
+        // artifact hints by the time the arm is priced as a side. The
+        // no-touching-hinted-joins contract lives at the REWRITE sites
+        // (reorderPass / broadcastPass match un-hinted joins only).
+        case Join(l, r, Inner, Some(c), _) if depth < SubtreeMaxDepth =>
           for {
             lt <- subTree(l, cat, depth + 1)
             rt <- subTree(r, cat, depth + 1)
@@ -745,20 +750,33 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Estimated in-exchange bytes of a side: a catalogued leaf's on-disk
     * bytes — refined through Filters whose point predicates the stored
-    * CMS can price ([[filterRowBound]]) — or, for a catalogued-pair
-    * inner join (the reorder pass's intermediates), estimated output
-    * rows × summed per-row bytes.
+    * CMS can price ([[filterRowBound]]) — or, for a catalogued inner
+    * join (the reorder pass's intermediates), estimated output rows ×
+    * summed per-row bytes. The pair form prices hinted joins too; the
+    * [[subTree]] fallback extends pricing to DEEPER un-hinted arms
+    * (dim ⋈ (sub ⋈ sub-sub)) so a whole catalogued dim stack can earn a
+    * broadcast under the fact join — the star-schema serving norm.
     */
   private def estBytes(plan: LogicalPlan, cat: Catalog): Option[Long] = plan match {
-    case Join(l, r, Inner, Some(cond), _) =>
-      for {
+    case jn @ Join(l, r, Inner, Some(cond), _) =>
+      (for {
         pairs <- equiPairs(cond, l, r)
         rows <- estJoinRows(cat, l, r, pairs)
         lb <- resolveBase(l, cat); le <- trustedTable(cat, lb.table)
         rb <- resolveBase(r, cat); re <- trustedTable(cat, rb.table)
         perRow = math.max(1L, le.nBytes / math.max(1L, le.nRows)) +
           math.max(1L, re.nBytes / math.max(1L, re.nRows))
-      } yield satBytes(rows, perRow)
+      } yield satBytes(rows, perRow)).orElse {
+        subTree(jn, cat).flatMap { s =>
+          val perRows = s.constituents.map { case (b, _) =>
+            trustedTable(cat, b.table)
+              .map(e => math.max(1L, e.nBytes / math.max(1L, e.nRows)))
+          }
+          if (perRows.exists(_.isEmpty)) None
+          else Some(satBytes(math.max(1L, math.ceil(s.estRows).toLong),
+            perRows.flatten.sum))
+        }
+      }
     case Project(_, child)       => estBytes(child, cat)
     case Filter(cond, child)     =>
       val full = estBytes(child, cat)

@@ -936,6 +936,61 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("catalogued dim STACK (depth-2 arm) earns the broadcast under the fact join; parity holds") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val d4 = java.nio.file.Files.createTempDirectory("graft-sjp-armbc").toString
+    (0L until 40L).map(k => (k, k % 8L)).toDF("ad_key", "ad_sub")
+      .repartition(2).write.parquet(s"$d4/adim.parquet")
+    (0L until 8L).map(s => (s, s % 4L)).toDF("as_sub", "as_cat")
+      .repartition(1).write.parquet(s"$d4/asub.parquet")
+    (0L until 4L).flatMap(c => (0L until 2L).map(w => (c, c * 2 + w)))
+      .toDF("ac_cat", "ac_w").repartition(1).write.parquet(s"$d4/asubsub.parquet")
+    val cat = SketchCatalog.harvest(spark, s"$dir/fact.parquet", Seq("f_key"))
+      .unionByName(SketchCatalog.harvest(spark, s"$d4/adim.parquet", Seq("ad_key", "ad_sub")))
+      .unionByName(SketchCatalog.harvest(spark, s"$d4/asub.parquet", Seq("as_sub", "as_cat")))
+      .unionByName(SketchCatalog.harvest(spark, s"$d4/asubsub.parquet", Seq("ac_cat")))
+    SketchCatalog.save(cat, s"$d4/cat")
+    def chain(): DataFrame = {
+      val arm = spark.read.parquet(s"$d4/adim.parquet")
+        .join(spark.read.parquet(s"$d4/asub.parquet")
+            .join(spark.read.parquet(s"$d4/asubsub.parquet"),
+              col("as_cat") === col("ac_cat")),
+          col("ad_sub") === col("as_sub"))
+      spark.read.parquet(s"$dir/fact.parquet")
+        .join(arm, col("f_key") === col("ad_key"))
+        .groupBy("ad_sub").agg(count(lit(1)).as("n"), sum("ac_w").as("w"))
+        .orderBy("ad_sub")
+    }
+    // the broadcast EXCHANGE subtree must hold exactly the three arm
+    // tables — the whole catalogued dim stack built as one hash side
+    def armBroadcast(df: DataFrame): Boolean = {
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      root.collect { case e: BroadcastExchangeExec =>
+        e.collect { case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.head.toString }.toSet
+      }.exists(s => s.exists(_.contains("adim")) && s.exists(_.contains("asub")) &&
+        s.exists(_.contains("asubsub")) && !s.exists(_.contains("fact")))
+    }
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      SketchCatalog.deactivate(spark)
+      val plain = chain().collect().toSeq
+      assert(!armBroadcast(chain()),
+        "control: no catalog, auto-broadcast off - the arm cannot broadcast")
+      SketchCatalog.activate(spark, s"$d4/cat")
+      try {
+        val planned = chain()
+        assert(armBroadcast(planned),
+          "estBytes must price the depth-2 arm through subTree and broadcast it whole")
+        assert(planned.collect().toSeq == plain,
+          "arm broadcast must be invisible to results")
+      } finally SketchCatalog.deactivate(spark)
+    }
+  }
+
   test("left-outer joins: broadcast/salt/filter fire only in result-safe directions; parity holds") {
     import org.apache.spark.sql.execution.GenerateExec
     import spark.implicits._
