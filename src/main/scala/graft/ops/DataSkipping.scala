@@ -120,8 +120,25 @@ object DataSkipping {
   private def inferredSchema(spark: SparkSession, dir: String): StructType =
     try spark.read.option("mergeSchema", "true").parquet(dir).schema
     catch {
-      case _: org.apache.spark.SparkException =>
+      // ONLY the merge-conflict condition degrades to one-footer
+      // inference: Spark wraps StructType.merge's type conflict as
+      // CANNOT_MERGE_SCHEMAS (cause: CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE).
+      // Any other SparkException here (a task failure footer-reading a
+      // partially corrupt table, an FS error) is a REAL read failure and
+      // must surface, not silently produce a one-footer manifest.
+      case e: org.apache.spark.SparkException if isSchemaMergeConflict(e) =>
         spark.read.parquet(dir).schema
+    }
+
+  /** True when the exception (or any cause within 8 links) carries the
+    * schema-merge-conflict error condition.
+    */
+  private def isSchemaMergeConflict(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
+      case st: org.apache.spark.SparkThrowable =>
+        val c = st.getCondition
+        c == "CANNOT_MERGE_SCHEMAS" || c == "CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE"
+      case _ => false
     }
 
   /** Manifest kinds resolved from the table schema (shared by the file

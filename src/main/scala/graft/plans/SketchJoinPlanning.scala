@@ -324,9 +324,19 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     * the constituent's average fan-out through the whole subtree.
     * Ordering heuristic only: inner joins commute, so a wrong estimate
     * reorders, never changes results.
+    *
+    * `estRows` is floored at `maxPairEst` — the largest internal pair
+    * estimate anywhere in the subtree: the composed value multiplies
+    * pair estimates by AVERAGE fan-outs, and correlated skew (a dim's
+    * hot keys concentrated on its sub-dim's hot keys) can push the true
+    * size above the product of averages. The floor keeps the estimate on
+    * the never-understate side that [[estBytes]]'s broadcast decisions
+    * assume: a skewed arm prices no smaller than its heaviest internal
+    * join, so it cannot talk its way into executor memory.
     */
   private final case class SubTree(constituents: Seq[(Base, Double)],
-                                   estRows: Double) {
+                                   estRows: Double,
+                                   maxPairEst: Double = 0.0) {
     /** The single constituent holding EVERY given attribute — an edge
       * condition spanning two constituents of the subtree is declined.
       */
@@ -367,8 +377,15 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
             ls <- lt.constituentFor(pairs.map(_._1))
             rs <- rt.constituentFor(pairs.map(_._2))
             est <- estPairRows(cat, ls._1, rs._1, pairs)
-          } yield SubTree(lt.constituents ++ rt.constituents,
-            est.toDouble * (lt.estRows / ls._2) * (rt.estRows / rs._2))
+          } yield {
+            val composed = est.toDouble * (lt.estRows / ls._2) * (rt.estRows / rs._2)
+            // never-understate floor: average fan-outs < 1 must not price
+            // the arm below its heaviest internal join (ADVICE r14)
+            val floor = math.max(est.toDouble,
+              math.max(lt.maxPairEst, rt.maxPairEst))
+            SubTree(lt.constituents ++ rt.constituents,
+              math.max(composed, floor), floor)
+          }
         case _ => None
       }
     }
@@ -748,6 +765,31 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     try Math.multiplyExact(rows, perRow)
     catch { case _: ArithmeticException => Long.MaxValue }
 
+  /** Per-pass pricing memo (ADVICE r14): [[subTree]] and [[estBytes]]
+    * results keyed by plan-node identity, one instance per
+    * broadcastPass / skewPass invocation — the same shape as the
+    * reorder pass's stCache. estBytes otherwise re-runs the recursive
+    * CMS deserialization twice per un-hinted join per optimizer
+    * invocation (plus once more per Project/Filter wrapper level, and
+    * again at every ancestor join that prices the same arm as a side).
+    * Nodes transformUp rebuilds (hinted copies) miss by identity and
+    * recompute — a cost, never a staleness hazard.
+    */
+  private final class PriceCache(cat: Catalog) {
+    private val st = new java.util.IdentityHashMap[LogicalPlan, Option[SubTree]]()
+    private val eb = new java.util.IdentityHashMap[LogicalPlan, Option[Long]]()
+    def stOf(p: LogicalPlan): Option[SubTree] = {
+      val hit = st.get(p)
+      if (hit != null) hit
+      else { val v = subTree(p, cat); st.put(p, v); v }
+    }
+    def bytesMemo(p: LogicalPlan)(compute: => Option[Long]): Option[Long] = {
+      val hit = eb.get(p)
+      if (hit != null) hit
+      else { val v = compute; eb.put(p, v); v }
+    }
+  }
+
   /** Estimated in-exchange bytes of a side: a catalogued leaf's on-disk
     * bytes — refined through Filters whose point predicates the stored
     * CMS can price ([[filterRowBound]]) — or, for a catalogued inner
@@ -757,7 +799,8 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     * (dim ⋈ (sub ⋈ sub-sub)) so a whole catalogued dim stack can earn a
     * broadcast under the fact join — the star-schema serving norm.
     */
-  private def estBytes(plan: LogicalPlan, cat: Catalog): Option[Long] = plan match {
+  private def estBytes(plan: LogicalPlan, cat: Catalog,
+                       pc: PriceCache): Option[Long] = pc.bytesMemo(plan)(plan match {
     case jn @ Join(l, r, Inner, Some(cond), _) =>
       (for {
         pairs <- equiPairs(cond, l, r)
@@ -767,7 +810,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
         perRow = math.max(1L, le.nBytes / math.max(1L, le.nRows)) +
           math.max(1L, re.nBytes / math.max(1L, re.nRows))
       } yield satBytes(rows, perRow)).orElse {
-        subTree(jn, cat).flatMap { s =>
+        pc.stOf(jn).flatMap { s =>
           val perRows = s.constituents.map { case (b, _) =>
             trustedTable(cat, b.table)
               .map(e => math.max(1L, e.nBytes / math.max(1L, e.nRows)))
@@ -777,9 +820,9 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
             perRows.flatten.sum))
         }
       }
-    case Project(_, child)       => estBytes(child, cat)
+    case Project(_, child)       => estBytes(child, cat, pc)
     case Filter(cond, child)     =>
-      val full = estBytes(child, cat)
+      val full = estBytes(child, cat, pc)
       val refined = for {
         base <- resolveBase(child, cat)
         e <- trustedTable(cat, base.table)
@@ -789,18 +832,19 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
         case (Some(r), Some(f)) => Some(math.min(r, f))
         case (r, f)             => r.orElse(f)
       }
-    case SubqueryAlias(_, child) => estBytes(child, cat)
+    case SubqueryAlias(_, child) => estBytes(child, cat, pc)
     case other =>
       resolveBase(other, cat).flatMap(b => trustedTable(cat, b.table)).map(_.nBytes)
-  }
+  })
 
-  private def broadcastPass(plan: LogicalPlan, cat: Catalog): LogicalPlan =
+  private def broadcastPass(plan: LogicalPlan, cat: Catalog): LogicalPlan = {
+    val pc = new PriceCache(cat)
     plan.transformUp {
       case j @ Join(l, r, Inner, Some(cond), JoinHint(None, None))
           if j.resolved && equiPairs(cond, l, r).isDefined =>
         val thr = broadcastBytes
         val bcast = Some(HintInfo(strategy = Some(BROADCAST)))
-        (estBytes(l, cat), estBytes(r, cat)) match {
+        (estBytes(l, cat, pc), estBytes(r, cat, pc)) match {
           case (Some(lb), Some(rb)) if lb <= thr && lb <= rb =>
             j.copy(hint = JoinHint(bcast, None))
           case (_, Some(rb)) if rb <= thr =>
@@ -827,19 +871,20 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
       case j @ Join(l, r, jt, Some(cond), JoinHint(None, None))
           if j.resolved && (jt == LeftOuter || jt == LeftSemi || jt == LeftAnti) &&
             equiPairs(cond, l, r).isDefined =>
-        estBytes(r, cat) match {
+        estBytes(r, cat, pc) match {
           case Some(rb) if rb <= broadcastBytes =>
             j.copy(hint = JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
           case _ => j
         }
       case j @ Join(l, r, RightOuter, Some(cond), JoinHint(None, None))
           if j.resolved && equiPairs(cond, l, r).isDefined =>
-        estBytes(l, cat) match {
+        estBytes(l, cat, pc) match {
           case Some(lb) if lb <= broadcastBytes =>
             j.copy(hint = JoinHint(Some(HintInfo(strategy = Some(BROADCAST))), None))
           case _ => j
         }
     }
+  }
 
   // ---------------------------------------------------------------- //
   // Pass 3½ (between broadcast and runtime filter): artifact-driven
@@ -918,7 +963,8 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     * them; this pass decides from an 80 KB artifact at plan time, which
     * also covers the shuffle-hash and pre-AQE paths.
     */
-  private def skewPass(plan: LogicalPlan, cat: Catalog): LogicalPlan =
+  private def skewPass(plan: LogicalPlan, cat: Catalog): LogicalPlan = {
+    val pc = new PriceCache(cat)
     plan.transformUp {
       case j @ Join(l, r, jt, Some(cond), JoinHint(None, None))
           if j.resolved && (jt == Inner || jt == LeftOuter) =>
@@ -956,8 +1002,8 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
           // table nBytes would salt a join whose skewed side was already
           // filtered to nothing (replication dearer than the straggler)
           // and skip one whose to-be-replicated side a filter made cheap
-          probeBytes = estBytes(probe, cat).getOrElse(pe.nBytes)
-          buildBytes = estBytes(build, cat).getOrElse(be.nBytes)
+          probeBytes = estBytes(probe, cat, pc).getOrElse(pe.nBytes)
+          buildBytes = estBytes(build, cat, pc).getOrElse(be.nBytes)
           if satBytes(buildBytes, b.toLong) <= probeBytes
           salt = hashableCols(probe)
           if salt.nonEmpty
@@ -985,6 +1031,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
         }
         rewritten.getOrElse(j)
     }
+  }
 
   // ---------------------------------------------------------------- //
   // Pass 3: artifact-driven runtime filter (Bloom semi-join reduction)
