@@ -8,16 +8,24 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over an embedding column (SURVEY.md §2.12 X3).
   *
-  * Baseline: brute-force cosine top-k — broadcast the (small) query set
+  * Baseline: brute-force cosine top-k — broadcast the query set
   * against the corpus, score with higher-order functions (`zip_with` +
   * `aggregate`, codegen'd, no UDF), rank with a window per query. At scale
   * the corpus side stays partitioned and never shuffles for scoring; the
   * only shuffle is the per-query top-k (tiny after per-partition pruning).
+  * "Small query set" is a CONTRACT, not a hope: callers bound the query
+  * side to a fixed COUNT ([[md5Anchors]] — K fixed, never a fraction of
+  * the corpus), because a query set that grows with n turns the
+  * broadcast scan O(n²/const) — the registered gates all derive their
+  * probe sets this way since r15.
   *
   * Scale path: IVF — partition the corpus by a coarse quantizer
   * ([[kmeansCells]], or any pre-existing cell column), search only the
   * probe cells nearest the query centroid. Turns a full scan into a
-  * `#probes/#cells` fraction of the data.
+  * `#probes/#cells` fraction of the data. Both quantizer regimes are
+  * corpus-derived ([[ivfCellsFor]] for k-means nlist, [[ivfBitsFor]]
+  * for sign-LSH cell bits): occupancy held constant, never a fixed cell
+  * count that a growing corpus can outrun.
   */
 object Similarity {
 
@@ -216,6 +224,63 @@ object Similarity {
     val needed = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     math.min(24, math.max(4, needed))
   }
+
+  /** Corpus-sized k-means cell count for [[ivfTopKKmeans]] — the
+    * [[rhpBitsFor]] discipline applied to IVF's nlist: cells =
+    * ceil(n / targetCellSize) clamped to [2, maxCells], so expected
+    * per-cell occupancy stays ≈ `targetCellSize` and the per-query
+    * scanned-candidate count (`nProbe × occupancy`) stays CONSTANT as
+    * the corpus grows. Any FIXED cell count re-enters the linear-scan
+    * regime once n outgrows cells × occupancy: the r14-registered
+    * kCells = 10 made every probe scan ~30% of the corpus at ANY scale
+    * (nProbe 3 of 10 cells) — 1,738 s of the r14 ×100 registry run.
+    *
+    * INTEGER-EXACT on purpose, like [[rhpBitsFor]]: the registered
+    * gates derive cells from `count()` on BOTH engines (the DuckDB twin
+    * replays `(n + target − 1) // target` in SQL), so no float division
+    * can disagree across engines and flip the quantizer.
+    *
+    * `maxCells` defaults to 512 because the driver-local fit runs over a
+    * bounded 4096-row sample ([[kmeansCells]]): past ~sample/8 cells the
+    * fit has under 8 points per centroid and degrades. Past the clamp,
+    * occupancy grows linearly again — growers raise `fitSampleSize` and
+    * `maxCells` together, one decade at a time, exactly like IVF's
+    * nlist ≈ n/occupancy rule in production ANN systems.
+    */
+  def ivfCellsFor(n: Long, targetCellSize: Int = 50, maxCells: Int = 512): Int = {
+    require(n >= 0 && targetCellSize >= 1 && maxCells >= 2,
+      s"ivfCellsFor: n >= 0, targetCellSize >= 1, maxCells >= 2 required, " +
+        s"got ($n, $targetCellSize, $maxCells)")
+    // ceil without the (n + target - 1) overflow at n near Long.Max
+    val cells = n / targetCellSize + (if (n % targetCellSize > 0) 1L else 0L)
+    math.max(2L, math.min(maxCells.toLong, cells)).toInt
+  }
+
+  /** Corpus-sized coarse-quantizer sign bits for [[lshCells]] /
+    * [[ivfPqTopK]]: [[rhpBitsFor]] at occupancy target 32, so cell
+    * count 2^bits grows with the corpus and the per-probe candidate
+    * volume (`nProbe × n / 2^bits` ≈ nProbe × 32) stays constant.
+    * Yields the historical bitsPerCell = 4 (16 cells) at the 500-vector
+    * oracle fixtures, 13 bits (8192 cells) at the 200k-vector ×100
+    * fixture. Twin-replayable: the same integer derivation the
+    * `x2_rhp_*` twins run in SQL, at occ = 32.
+    */
+  def ivfBitsFor(n: Long): Int = rhpBitsFor(n, targetOccupancy = 32)
+
+  /** Fixed-count deterministic anchor/probe sample: the `k` rows ranking
+    * first by (md5(id as string), id) — the x7_split md5-rank discipline
+    * applied to ANN probe sets. COUNT-bounded on purpose: a fractional
+    * predicate (`id % 100 = 0`) grows the probe set with the corpus, so
+    * every brute-force truth or flat-scan leg it feeds is O(n²/100) —
+    * quadratic in disguise; a fixed K keeps those legs O(K·n), linear at
+    * any scale. Engine-portable: md5 of the decimal id string ranks
+    * identically in any engine (lowercase hex is ASCII-ordered), the
+    * DuckDB twins replay `ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT K`
+    * verbatim, and Spark plans the orderBy+limit as a single
+    * TakeOrdered job — never a global sort.
+    */
+  def md5Anchors(df: DataFrame, k: Int, idCol: String = "vec_id"): DataFrame =
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
 
   def randomHyperplaneNearDupPairs(
       df: DataFrame, threshold: Double, dim: Int,
@@ -563,24 +628,28 @@ object Similarity {
     * cosine threshold, blocked by a cell column to avoid the full cross
     * join (exact within blocks).
     *
-    * `anchorPred` restricts the LEFT (id_a) side — the bounded-sample
-    * discipline for the unblocked recall-audit form: truth pairs are
-    * (sampled anchor, any corpus row) with id_a < id_b, so the audit's
-    * left side is O(sample) while the corpus side still never shuffles.
+    * `anchors` restricts the LEFT (id_a) side to a bounded sample (rows
+    * of the same schema as `df`, e.g. [[md5Anchors]]) — the
+    * bounded-sample discipline for the unblocked recall-audit form:
+    * truth pairs are (sampled anchor, any corpus row) with id_a < id_b,
+    * so the audit's left side is O(|anchors|) while the corpus side
+    * still never shuffles. Prefer a COUNT-bounded anchor set over a
+    * fractional predicate: K fixed keeps the audit linear in n.
     */
   def embeddingNearDupPairs(
       df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       blockCol: Option[String] = None,
-      anchorPred: Option[Column] = None): DataFrame = {
+      anchors: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val base = df.select(col(idCol) +: norm(col(vecCol)).as("__norm") +:
+    def project(src: DataFrame) = src.select(col(idCol) +: norm(col(vecCol)).as("__norm") +:
       col(vecCol) +: blockCol.map(col).toSeq: _*)
+    val base = project(df)
     def side(suffix: String) = {
-      val pred = if (suffix == "a") anchorPred else None
+      val src = if (suffix == "a") anchors.map(project).getOrElse(base) else base
       val cols = Seq(col(idCol).as(s"id_$suffix"), col(vecCol).as(s"__v$suffix"),
         col("__norm").as(s"__n$suffix")) ++ blockCol.map(col)
-      pred.fold(base)(base.where).select(cols: _*)
+      src.select(cols: _*)
     }
     // The unblocked form is quadratic BY CONTRACT — it is the ground-truth /
     // recall-audit path, meant for bounded samples (anchorPred), never the

@@ -421,6 +421,23 @@ object Oracles {
     * `graft_dot` codegen kernel, so the pre-round double is bit-identical
     * across all three engines.
     */
+  /** Registered ANN probe-set size — mirrors Queries.AnnAnchorK: every
+    * X3/X11 twin draws its query anchors as the FIRST K rows by
+    * (md5(vec_id as varchar), vec_id) — the fixed-count md5-rank
+    * discipline (r15; replaces the fractional `vec_id % 100 = 0`
+    * predicate whose probe count grew with the corpus). Lowercase-hex
+    * md5 orders identically in every engine, so the anchor set is
+    * bit-reproducible against Spark's TakeOrdered plan.
+    */
+  private val AnnAnchorK = 200
+
+  /** The ORDER BY ... LIMIT tail that realizes the md5-rank anchor set
+    * inside a CTE — shared verbatim by every X3/X11 twin's query-side
+    * CTE so the anchor definition cannot drift between chains.
+    */
+  private val AnchorRank =
+    s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $AnnAnchorK"
+
   private def listCos(a: String, b: String) =
     s"""round(
        |    list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i])) /
@@ -428,8 +445,10 @@ object Oracles {
        |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> $b[i] * $b[i])))), 6)""".stripMargin
 
   /** The deterministic k-means quantizer twin (mirrors
-    * Similarity.kmeansCells + KmeansLocal.fit STAGE FOR STAGE): md5-ordered
-    * bounded fit sample, maxmin seeding unrolled into k-1 CTE stages
+    * Similarity.kmeansCells + KmeansLocal.fit STAGE FOR STAGE, with the
+    * cell count DERIVED from the corpus exactly as Similarity.ivfCellsFor
+    * does — r15): md5-ordered
+    * bounded fit sample, maxmin seeding unrolled into gated CTE stages
     * (argmin of the 6-dp-rounded nearest-seed cosine, ties to the first
     * sample row), `iters` Lloyd stages (assignment = max_by on the rounded
     * cosine with ties to the larger cell — and means through the exact
@@ -440,15 +459,29 @@ object Oracles {
     * unrolling it (the x6_bpe_merges technique) puts the whole operator
     * under the hash gate.
     */
-  private def kmeansCellChain(k: Int = 10, iters: Int = 3, sampleLimit: Int = 4096): String = {
-    val seeding = (2 to k).map { s =>
+  private def kmeansCellChain(kMaxUnroll: Int = 16, iters: Int = 3,
+                              sampleLimit: Int = 4096,
+                              targetCellSize: Int = 50, maxCells: Int = 512): String = {
+    // kc is CORPUS-DERIVED — the Similarity.ivfCellsFor derivation
+    // (ceil(n/targetCellSize) clamped to [2, maxCells]) replayed as
+    // integer SQL, the same count→regime discipline as rhpBucketChainDyn.
+    // The seeding unroll is static (CTE stages cannot be data-dependent)
+    // but each stage past kc adds NO seed (the WHERE gate), so the chain
+    // replays any kc ≤ kMaxUnroll bit-for-bit; the oracle fixtures
+    // (n = 500 → kc = 10) sit well inside the 16-stage unroll. A fixture
+    // whose derived kc exceeded the unroll would produce a WRONG twin —
+    // the ivf_kc CASE guard makes that loud (error() instead of a
+    // silently under-seeded fit; ivf_kc is consumed by every seeding
+    // gate, so it cannot be pruned away).
+    val seeding = (2 to kMaxUnroll).map { s =>
       s"""nr$s AS MATERIALIZED (SELECT i.idx, max(${listCos("i.ev", "sd.ev")}) AS nr
          |  FROM smp i CROSS JOIN seeds${s - 1} sd GROUP BY 1),
          |seeds$s AS MATERIALIZED (SELECT sid, ev FROM seeds${s - 1}
          |  UNION ALL
          |  SELECT ${s - 1} AS sid, s2.ev
          |  FROM (SELECT idx FROM nr$s ORDER BY nr ASC, idx ASC LIMIT 1) p
-         |  JOIN smp s2 USING (idx))""".stripMargin
+         |  JOIN smp s2 USING (idx)
+         |  WHERE $s <= (SELECT kc FROM ivf_kc))""".stripMargin
     }.mkString(",\n")
     val lloyd = (1 to iters).map { t =>
       val prev = s"ct${t - 1}"
@@ -463,14 +496,20 @@ object Oracles {
          |nc$t AS MATERIALIZED (SELECT cid, list(m ORDER BY i) AS ev FROM mu$t GROUP BY 1),
          |ct$t AS MATERIALIZED (SELECT c.cid, coalesce(n.ev, c.ev) AS ev FROM $prev c LEFT JOIN nc$t n USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""ed AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+    s"""ivf_kc0 AS (SELECT least($maxCells, greatest(2, CAST(
+       |    ((SELECT count(*) FROM embeddings) + ${targetCellSize - 1}) // $targetCellSize
+       |    AS INT))) AS kc),
+       |ivf_kc AS (SELECT CASE WHEN kc <= $kMaxUnroll THEN kc
+       |    ELSE CAST(error('kmeansCellChain: derived kc exceeds the $kMaxUnroll-stage unroll') AS INT)
+       |    END AS kc FROM ivf_kc0),
+       |ed AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
        |smp AS MATERIALIZED (SELECT vec_id, ev, idx FROM (
        |    SELECT vec_id, ev,
        |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS idx
        |    FROM ed) WHERE idx <= $sampleLimit),
        |seeds1 AS MATERIALIZED (SELECT 0 AS sid, ev FROM smp WHERE idx = 1),
        |$seeding,
-       |ct0 AS MATERIALIZED (SELECT sid AS cid, ev FROM seeds$k),
+       |ct0 AS MATERIALIZED (SELECT sid AS cid, ev FROM seeds$kMaxUnroll),
        |$lloyd,
        |cells AS MATERIALIZED (SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, CAST(c.cid AS INT) AS cell,
@@ -491,7 +530,7 @@ object Oracles {
        |        CROSS JOIN generate_series(1, 64) gs(i)),
        |icent AS (SELECT cell, i, CAST(sum(xd) AS DOUBLE) / count(*) AS m FROM iexpd GROUP BY 1, 2),
        |icentarr AS (SELECT cell, list(m ORDER BY i) AS cv FROM icent GROUP BY 1),
-       |iq AS (SELECT vec_id AS qid, ev AS qe FROM ed WHERE vec_id % 100 = 0),
+       |iq AS (SELECT vec_id AS qid, ev AS qe FROM ed $AnchorRank),
        |ipr AS (SELECT qid, qe, cell FROM (
        |    SELECT iq.qid, iq.qe, ca.cell,
        |      row_number() OVER (PARTITION BY iq.qid ORDER BY ${listCos("iq.qe", "ca.cv")} DESC, ca.cell) AS rnk
@@ -507,7 +546,7 @@ object Oracles {
     * the x3_ivf_recall_gate truth side so the two cannot drift.
     */
   private val KnnTruthChain =
-    """q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+    s"""q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings $AnchorRank),
       |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
       |s AS (SELECT qid, nid, round(
       |    list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE))) /
@@ -558,7 +597,7 @@ object Oracles {
        |  FROM pq_centarr),
        |pq_q AS (SELECT vec_id AS qid, ev AS qv,
        |    sqrt(list_sum(list_transform(generate_series(1, 64), i -> ev[i] * ev[i]))) AS qn
-       |  FROM ed WHERE vec_id % 100 = 0)""".stripMargin
+       |  FROM ed $AnchorRank)""".stripMargin
 
   /** ADC scoring tail over a candidate CTE `pq_cand(qid, qv, nid)` —
     * round6 per-subspace sums through DECIMAL(18,6), 6-dp cosine ranked
@@ -593,14 +632,15 @@ object Oracles {
        |  FROM pq_q q CROSS JOIN ed e WHERE e.vec_id <> q.qid),
        |$PqScoreTail""".stripMargin
 
-  /** IVF-PQ search (mirrors Similarity.ivfPqTopK at bitsPerCell=4,
-    * nProbe=3, m=32, bits=4): coarse cells = 4 sign bits of RHP band 0
+  /** IVF-PQ search (mirrors Similarity.ivfPqTopK at corpus-derived
+    * bitsPerCell = ivfBitsFor(n) — rhpBucketChainDyn at occ=32 —
+    * nProbe=3, m=32, bits=4): coarse cells = sign bits of RHP band 0
     * (the x3_ivf_lsh_topk quantizer), exact-decimal cell centroids, 6-dp
     * probe ranking with cell-id ties, candidates restricted to probed
     * cells by an equi-join, then the shared ADC tail. Ends with `pq_r`.
     */
   private val IvfPqChain =
-    s"""${rhpBucketChain(1, 4)},
+    s"""${rhpBucketChainDyn(1, occ = 32)},
        |cells AS (SELECT vec_id, CAST(bkt AS INT) AS cell FROM rhp_buck),
        |$PqCodeChain,
        |iexpd AS (SELECT c.cell, gs.i, CAST(CAST(e.embedding[gs.i] AS DOUBLE) AS DECIMAL(27,10)) AS xd
@@ -1565,9 +1605,10 @@ object Oracles {
 
     // Mirrors Similarity.pairRecall over (sampled exact ground truth, RHP
     // found): n_true = exact pairs at cosine >= 0.4 whose ANCHOR (id_a)
-    // is in the vec_id % 100 = 0 sample — the bounded-sample audit form
-    // (r14; the full-corpus quadratic truth was the most expensive ×100
-    // cell in r13) — n_captured = those present in the RHP output. Both
+    // is in the fixed-count md5-rank anchor set (AnchorRank, K = 200 —
+    // r15; the r14 vec_id % 100 = 0 fraction still grew with the corpus;
+    // the r13 full-corpus quadratic truth was the most expensive ×100
+    // cell) — n_captured = those present in the RHP output. Both
     // stages reuse the engine-portable expressions above, so the recall
     // ROW is hash-checked, not rows-only.
     "x2_rhp_recall" ->
@@ -1578,7 +1619,8 @@ object Oracles {
          |    list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) /
          |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)))) *
          |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id < b.vec_id),
+         |  FROM (SELECT * FROM embeddings $AnchorRank) a
+         |  JOIN embeddings b ON a.vec_id < b.vec_id),
          |tp AS (SELECT id_a, id_b FROM truth WHERE cosine >= 0.4),
          |n AS (SELECT count(*) AS n_true FROM tp),
          |c AS (SELECT count(*) AS n_captured FROM tp t JOIN rhp r ON t.id_a = r.id_a AND t.id_b = r.id_b)
@@ -1651,14 +1693,15 @@ object Oracles {
          |  (round(CAST(coalesce(nh.n_hits, 0) AS DOUBLE) / ne.n_exact, 6) >= 0.2) AS recall_ok
          |FROM ne LEFT JOIN nh USING (qid) ORDER BY 1""".stripMargin,
 
-    // Mirrors Similarity.lshCells + ivfTopK end to end: cells = 4 sign bits
-    // of RHP band 0 (rhpBucketChain(1,4)); centroids = per-dimension exact
+    // Mirrors Similarity.lshCells + ivfTopK end to end: cells = ivfBitsFor
+    // sign bits of RHP band 0 (rhpBucketChainDyn at occ=32 — corpus-derived,
+    // 4 bits at the 500-vector fixtures); centroids = per-dimension exact
     // DECIMAL(27,10) sums cast to double over the cell count; probes = top-3
     // cells by 6-dp-rounded cosine (ties to the smaller cell); final top-k
     // restricted to probed cells, ranked on the 6-dp cosine with neighbor-id
     // ties — every stage reproduced bit-exactly.
     "x3_ivf_lsh_topk" ->
-      s"""WITH ${rhpBucketChain(1, 4)},
+      s"""WITH ${rhpBucketChainDyn(1, occ = 32)},
          |cells AS (SELECT vec_id, CAST(bkt AS INT) AS cell FROM rhp_buck),
          |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
          |$IvfSearchChain

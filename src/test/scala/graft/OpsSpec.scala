@@ -1404,6 +1404,36 @@ class OpsSpec extends SparkSpec {
     assert(rhpBitsFor(Long.MaxValue) == 24)
   }
 
+  test("ivfCellsFor/ivfBitsFor hold cell occupancy constant; md5Anchors is a fixed-count TakeOrdered sample") {
+    import graft.ops.Similarity.{ivfCellsFor, ivfBitsFor, md5Anchors}
+    // occupancy contract: cells ≈ ceil(n/target) until the clamp
+    assert(ivfCellsFor(500L) == 10)        // the oracle-fixture regime (was the r14 pinned value)
+    assert(ivfCellsFor(2000L) == 40)       // sf0.1
+    assert(ivfCellsFor(200000L) == 512)    // ×100: clamped at maxCells
+    assert(ivfCellsFor(0L) == 2 && ivfCellsFor(1L) == 2)
+    assert(ivfCellsFor(Long.MaxValue) == 512)
+    // exact ceil at boundaries (integer-exact: the DuckDB twin replays it)
+    assert(ivfCellsFor(100L) == 2 && ivfCellsFor(101L) == 3 && ivfCellsFor(150L) == 3)
+    // monotone in n
+    val ns = Seq(10L, 600L, 5000L, 30000L)
+    assert(ns.map(ivfCellsFor(_)) == ns.map(ivfCellsFor(_)).sorted)
+    // coarse-quantizer bits: 4 bits (16 cells) at the 500-vector fixtures,
+    // growing with the corpus so the probed fraction shrinks
+    assert(ivfBitsFor(500L) == 4)
+    assert(ivfBitsFor(2000L) == 6)
+    assert(ivfBitsFor(200000L) == 13)
+    // md5Anchors: exactly k rows, deterministic, and the Spark plan is a
+    // TakeOrdered (no global sort) — the cosineTopK "small query set"
+    // contract is a COUNT bound
+    val emb = (0L until 50L).map(i => (i, Array.fill(4)(i.toDouble / 50))).toDF("vec_id", "embedding")
+    val a1 = md5Anchors(emb, 7).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val a2 = md5Anchors(emb, 7).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(a1.length == 7 && a1 == a2)
+    assert(md5Anchors(emb, 500).count() == 50) // k past n: whole set, no error
+    val plan = md5Anchors(emb, 7).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrdered, got:\n$plan")
+  }
+
   test("sign-LSH kernel on NaN/Inf dot sums: bucket, never crash (NaN sets the bit)") {
     import graft.functions.SignBandBuckets
     import org.apache.spark.sql.catalyst.util.ArrayData
