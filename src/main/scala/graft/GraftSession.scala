@@ -55,6 +55,19 @@ object GraftSession {
   def local(cores: Int, logLevel: String = "WARN"): SparkSession = {
     val spark = builder(s"local[$cores]", cores).getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
+    attach(spark)
     spark
   }
+
+  /** Activate every artifact the session's persisted activation registry
+    * names ([[graft.ops.ActivationStore.RegistryConfKey]] — set it in
+    * spark-defaults / the builder config and manifests, Bloom indexes
+    * and the sketch catalog prune with zero per-session code). No-op
+    * when the conf is unset; a registered-but-unreadable artifact logs
+    * and degrades, never fails session construction. Sessions built
+    * outside [[local]] (spark-submit, notebooks handed a session) call
+    * this once after construction.
+    */
+  def attach(spark: SparkSession): Option[graft.ops.ActivationStore.LoadReport] =
+    graft.ops.ActivationStore.autoLoad(spark)
 }

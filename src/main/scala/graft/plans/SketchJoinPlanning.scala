@@ -43,9 +43,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
   *     output rows × summed per-row bytes) is under
   *     `spark.graft.sketchPlanning.broadcastBytes` (default 10 MB) gets
   *     a BROADCAST hint. This matters exactly where Catalyst's own
-  *     size-based broadcast is blind at 100 TB: intermediates and
-  *     post-filter sides have no file size, and conservative deployments
-  *     run with `autoBroadcastJoinThreshold = -1`. The rule only ever
+  *     size-based broadcast is blind at 100 TB: intermediates,
+  *     post-filter sides, and grouped subqueries (priced here from the
+  *     stored HLL distinct of their grouping keys — [[aggBytes]], the
+  *     pre-aggregated-dim shape) have no file size, and conservative
+  *     deployments run with `autoBroadcastJoinThreshold = -1`. The rule only ever
   *     ADDS broadcasts — when the artifact says both sides are large it
   *     leaves the join un-hinted (sort-merge), never overriding a
   *     file-size decision toward a worse plan.
@@ -765,6 +767,84 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     try Math.multiplyExact(rows, perRow)
     catch { case _: ArithmeticException => Long.MaxValue }
 
+  /** Inflation applied to an HLL distinct estimate before it bounds an
+    * aggregate's output rows: the sketch is an ESTIMATE (±2% typical at
+    * the harvest precision), and the broadcast pass's contract is
+    * never-understate — 1.2 puts the bound past any realistic HLL error
+    * while still separating a grouped dim from its base by orders of
+    * magnitude (the shapes this pricing exists for).
+    */
+  private val HllRowSafety = 1.2
+
+  /** Output-row upper bound for a GROUP BY over `cols` of a catalogued
+    * base: one row per distinct grouping tuple, so the bound is the
+    * catalogued HLL distinct — the TUPLE artifact's when one covers
+    * exactly this column set (the only estimate of the actual composite
+    * key), else the saturating PRODUCT of per-column distincts (exact
+    * upper bound on tuple distincts, before HLL error) — inflated by
+    * [[HllRowSafety]] and capped at the base's row count (group count ≤
+    * rows, exact). None when any needed artifact is missing/untrusted.
+    */
+  private def aggRowBound(cat: Catalog, base: Base, cols: Seq[String],
+                          nRows: Long): Option[Long] = {
+    def distinctOf(c: String): Option[Double] =
+      cat.byTableKey.get((base.table, c)).filter(cat.trusted).map(_.distinctEst)
+    val est: Option[Double] =
+      if (cols.size == 1) distinctOf(cols.head)
+      else {
+        val tuple = cat.entries.iterator
+          .filter(e => e.table == base.table && e.key.contains(",") && cat.trusted(e))
+          .find { e =>
+            val ks = e.key.split(",").toSeq
+            ks.size == cols.size && ks.toSet == cols.toSet
+          }.map(_.distinctEst)
+        tuple.orElse {
+          val per = cols.map(distinctOf)
+          if (per.exists(_.isEmpty)) None
+          else Some(per.flatten.foldLeft(1.0)((a, b) => a * math.max(1.0, b)))
+        }
+      }
+    est.map { d =>
+      val bounded = math.min(d * HllRowSafety, nRows.toDouble)
+      math.max(1L, math.ceil(bounded).toLong)
+    }
+  }
+
+  /** Byte estimate for a pre-aggregated side — `Aggregate(groupingKeys,
+    * catalogued base)`, the "grouped dim" shape rollup-feeding pipelines
+    * put under joins: output rows bound via [[aggRowBound]] (the stored
+    * HLL distinct of the grouping keys — the statistic Catalyst's own
+    * size-only estimator cannot see: it scales the CHILD's bytes, so a
+    * small group-by over a big fact always looks big), per-row bytes =
+    * the base's on-disk per-row bytes (grouping columns at true width)
+    * + the aggregate output schema's defaultSize (the aggregated
+    * columns) — double-counting the grouping columns, on the
+    * never-understate side. Grouping exprs must all be plain columns of
+    * ONE catalogued base (reached through Project/Filter/SubqueryAlias
+    * — a Filter below only shrinks the group count, so the unfiltered
+    * bound stays sound); anything else declines to None.
+    */
+  private def aggBytes(agg: Aggregate, cat: Catalog): Option[Long] = {
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference => Some(a)
+      case _                     => None
+    }
+    if (groupAttrs.isEmpty || groupAttrs.exists(_.isEmpty)) return None
+    for {
+      base <- resolveBase(agg.child, cat)
+      e <- trustedTable(cat, base.table)
+      cols <- {
+        val cs = groupAttrs.flatten.map(a => base.colOf.get(a.exprId))
+        if (cs.exists(_.isEmpty)) None else Some(cs.flatten.distinct)
+      }
+      rows <- aggRowBound(cat, base, cols, e.nRows)
+    } yield {
+      val perRow = math.max(1L, e.nBytes / math.max(1L, e.nRows)) +
+        agg.output.map(_.dataType.defaultSize.toLong).sum
+      satBytes(rows, perRow)
+    }
+  }
+
   /** Per-pass pricing memo (ADVICE r14): [[subTree]] and [[estBytes]]
     * results keyed by plan-node identity, one instance per
     * broadcastPass / skewPass invocation — the same shape as the
@@ -820,6 +900,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
             perRows.flatten.sum))
         }
       }
+    case agg: Aggregate          => aggBytes(agg, cat)
     case Project(_, child)       => estBytes(child, cat, pc)
     case Filter(cond, child)     =>
       val full = estBytes(child, cat, pc)

@@ -2869,6 +2869,25 @@ object Oracles {
     // null-extension riding the hash via coalesce(..., -1); the plan
     // facts (naive sort-merge, activated non-preserved-side broadcast)
     // are pinned booleans probed from forced physical plans.
+    // Aggregate-leaf pricing gate: the twin replays the per-user rollup
+    // joined back to the fact — broadcast hints are semantics-preserving,
+    // so the values are the plain rollup-join's; the plan facts (control
+    // run sort-merge, activated run broadcasting the AGGREGATE side —
+    // priced from the stored HLL distinct of the grouping key, the
+    // statistic size-only estimation cannot see) ride as pinned booleans
+    // probed from forced physical plans.
+    "q30_planned_agg" ->
+      """WITH per AS (SELECT user_id AS agg_user,
+        |    SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS user_total,
+        |    CAST(count(*) AS BIGINT) AS user_events
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id % 8 AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(user_events) AS BIGINT) AS sum_events,
+        |  CAST(sum(user_total) AS DOUBLE) AS sum_total,
+        |  true AS naive_merge, true AS artifact_agg_broadcast
+        |FROM events e JOIN per p ON e.user_id = p.agg_user
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q26_planned_outer" ->
       """WITH hot AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey < 3)
         |SELECT coalesce(h.c_nationkey, -1) AS nation_grp,

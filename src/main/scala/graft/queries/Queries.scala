@@ -4912,6 +4912,97 @@ object Queries {
       .orderBy("sel_grp")
   }
 
+  /** Catalog fixture for [[q30PlannedAgg]], built once per JVM per sf
+    * dir: the events table harvested on `user_id` — the one entry whose
+    * HLL distinct bounds the per-user rollup's output rows.
+    */
+  private val q30Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q30Catalog(spark: SparkSession, dir: String): String =
+    q30Paths.computeIfAbsent(dir, { _ =>
+      import graft.ops.SketchCatalog
+      val cat = SketchCatalog.harvest(spark, s"$dir/events.parquet", Seq("user_id"))
+      val catPath = scratch(dir, "q30_catalog")
+      SketchCatalog.save(cat, catPath)
+      catPath
+    })
+
+  /** Q30: AGGREGATE-leaf pricing — the r14 VERDICT's missing #3 closed:
+    * a grouped subquery under a join (the "pre-aggregated dim" shape
+    * rollup-feeding pipelines put there) was an opaque leaf to every
+    * pricing path, even though the catalog already stores the one
+    * number that bounds its output — the HLL distinct of its grouping
+    * keys. [[graft.plans.SketchJoinPlanning]] `estBytes` now prices
+    * `Aggregate(groupingKeys, catalogued-base)` as HLL-bounded rows ×
+    * (base per-row bytes + output schema width), so the per-user rollup
+    * of events earns a broadcast under the fact join. This is exactly
+    * where Catalyst's own size-only estimator is blind: it scales the
+    * CHILD's bytes by column-width ratio, so a group-by over a big fact
+    * always looks big, and the conservative-deployment posture pins
+    * `autoBroadcastJoinThreshold = -1` besides. Threshold pinned
+    * relative to the catalogued events bytes (half — the 150-user
+    * rollup prices orders of magnitude under it at every sf, the fact
+    * always over: scale-free). Booleans: the control (deactivated) run
+    * is sort-merge everywhere — the no-flip pin; the activated run
+    * broadcasts, and the BUILD side of the broadcast join contains the
+    * hash aggregate (the rollup side, not the fact). Broadcast hints
+    * are semantics-preserving, so the result replays as the plain
+    * rollup-join twin.
+    */
+  private def q30PlannedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchCatalog
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val catPath = q30Catalog(spark, dir)
+    def chain(): DataFrame = {
+      val per = spark.read.parquet(s"$dir/events.parquet")
+        .groupBy("user_id")
+        .agg(sum(round(col("value"), 6).cast(DecimalType(18, 6))).as("user_total"),
+          count(lit(1)).as("user_events"))
+        .withColumnRenamed("user_id", "agg_user")
+      spark.read.parquet(s"$dir/events.parquet").select("user_id", "value")
+        .join(per, col("user_id") === col("agg_user"))
+        .groupBy((col("user_id") % 8).as("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("user_events")).as("sum_events"),
+          sum(col("user_total")).cast("double").as("sum_total"))
+    }
+    val evBytes = spark.read.parquet(catPath)
+      .where(col("key") === "user_id")
+      .select(col("n_bytes")).head().getLong(0)
+    def aggOnBuildSide(df: DataFrame): Boolean =
+      executedRoot(df).collect { case b: BroadcastHashJoinExec => b }.exists { b =>
+        val build = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+          case _                                                 => b.right
+        }
+        build.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+      }
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBb = spark.conf.getOption(SketchCatalog.BroadcastBytesKey)
+    val (naiveMerge, aggBroadcast) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(SketchCatalog.BroadcastBytesKey,
+        math.max(1L, evBytes / 2).toString)
+      SketchCatalog.deactivate(spark)
+      val naive = physicalJoins(chain())
+      SketchCatalog.activate(spark, catPath)
+      (naive.nonEmpty && naive.forall(_.isInstanceOf[SortMergeJoinExec]),
+        aggOnBuildSide(chain()))
+    } finally {
+      SketchCatalog.deactivate(spark)
+      prevBb match {
+        case Some(v) => spark.conf.set(SketchCatalog.BroadcastBytesKey, v)
+        case None    => spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    chain()
+      .select(col("grp"), col("n_rows"), col("sum_events"), col("sum_total"),
+        lit(naiveMerge).as("naive_merge"),
+        lit(aggBroadcast).as("artifact_agg_broadcast"))
+      .orderBy("grp")
+  }
+
   /** Composite-key fixture for [[q25PlannedComposite]], built once per
     * JVM per sf dir: a fact and a dim joined on a 2-COLUMN key
     * (k1, k2) engineered so each single column is 40-ways shared
@@ -5815,6 +5906,7 @@ object Queries {
     "q27_planned_rg" -> (q27PlannedRg _),
     "q28_planned_snowflake" -> (q28PlannedSnowflake _),
     "q29_planned_bushy" -> (q29PlannedBushy _),
+    "q30_planned_agg" -> (q30PlannedAgg _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),

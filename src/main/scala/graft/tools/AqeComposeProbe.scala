@@ -20,10 +20,14 @@ object AqeComposeProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-aqeprobe").toString
-    (0L until scale.toLong).map(i =>
-        (if (i % 5 < 2) 7L else i % 500L, i, (i % 11).toDouble))
-      .toDF("s_key", "s_id", "s_val")
-      .repartition(4).write.parquet(s"$d/fact.parquet")
+    // distributed generation (same data law as the original driver-side
+    // Seq) so the probe runs at the ×100 fixture class (10M rows) too
+    spark.range(0L, scale.toLong)
+      .select(
+        when(col("id") % 5 < 2, 7L).otherwise(col("id") % 500L).as("s_key"),
+        col("id").as("s_id"),
+        (col("id") % 11).cast("double").as("s_val"))
+      .repartition(4).write.mode("overwrite").parquet(s"$d/fact.parquet")
     (0L until 500L).map(k => (k, s"g${k % 5}")).toDF("m_key", "m_grp")
       .repartition(2).write.parquet(s"$d/mid.parquet")
     val cat = SketchCatalog.harvest(spark, s"$d/fact.parquet", Seq("s_key"))

@@ -1,0 +1,149 @@
+package graft
+
+import graft.ops.{ActivationStore, DataSkipping, SketchCatalog}
+import graft.plans.PrunedFileIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** [[graft.ops.ActivationStore]]: the persisted activation registry.
+  * Asserted here: a FRESH session that knows only the registry path
+  * (the conf + `GraftSession.attach` — exactly what `GraftSession.local`
+  * runs) opens strictly fewer files on a manifested table with ZERO
+  * explicit `activate*` calls, with results identical to the unpruned
+  * read; a registry gone STALE under an append stays sound (appended
+  * rows visible — the drop-set subtraction) while still pruning the
+  * manifested files; re-registration supersedes compactly; the
+  * highest-revision catalog wins; and a registered-but-unreadable
+  * artifact degrades loudly (failed list) without blocking the rest.
+  */
+class ActivationStoreSpec extends SparkSpec {
+
+  private def prunedFiles(df: DataFrame): Option[(Int, Int)] = {
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    root.collect { case f: FileSourceScanExec => f }
+      .headOption.flatMap(_.relation.location match {
+        case p: PrunedFileIndex =>
+          Some((p.inputFiles.length, p.underlying.inputFiles.length))
+        case _ => None
+      })
+  }
+
+  private def fixture(name: String): (String, String, String) = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-actstore-$name").toString
+    val tbl = s"$d/t"
+    spark.range(0L, 4000L)
+      .select(col("id").as("u"), (col("id") % 7).cast("double").as("v"))
+      .repartitionByRange(8, col("u")).sortWithinPartitions("u")
+      .write.mode("overwrite").parquet(tbl)
+    val manPath = s"$d/manifest"
+    DataSkipping.statsManifest(spark, tbl, Seq("u"))
+      .write.mode("overwrite").parquet(manPath)
+    (d, tbl, manPath)
+  }
+
+  test("fresh session auto-activates the stored registry: strictly fewer files, rows identical, zero activate* calls") {
+    val (d, tbl, manPath) = fixture("auto")
+    val registry = s"$d/registry"
+    ActivationStore.registerManifest(spark, registry, tbl, manPath)
+
+    def q(s: SparkSession): DataFrame =
+      s.read.parquet(tbl).where(col("u").between(500L, 900L))
+
+    // control: a fresh session with no registry conf stays on the full listing
+    val control = spark.newSession()
+    val plain = q(control).collect().map(_.toString).sorted.toSeq
+    assert(prunedFiles(q(control)).isEmpty,
+      "control fresh session must not prune")
+
+    // the zero-code path: conf + attach (what GraftSession.local runs)
+    val fresh = spark.newSession()
+    fresh.conf.set(ActivationStore.RegistryConfKey, registry)
+    val report = GraftSession.attach(fresh).get
+    assert(report.failed.isEmpty && report.activated.size == 1, s"$report")
+    val kept = prunedFiles(q(fresh))
+    assert(kept.exists { case (k, t) => k > 0 && k < t },
+      s"expected a strict file prune from the auto-loaded manifest, got $kept")
+    assert(q(fresh).collect().map(_.toString).sorted.toSeq == plain,
+      "auto-activated pruning must be invisible to results")
+  }
+
+  test("stale registry under an append: appended rows stay visible, manifested files still prune") {
+    val (d, tbl, manPath) = fixture("stale")
+    val registry = s"$d/registry"
+    ActivationStore.registerManifest(spark, registry, tbl, manPath)
+    // the append the registry does NOT know about
+    spark.range(4000L, 4200L)
+      .select(col("id").as("u"), (col("id") % 7).cast("double").as("v"))
+      .coalesce(1).write.mode("append").parquet(tbl)
+
+    val fresh = spark.newSession()
+    fresh.conf.set(ActivationStore.RegistryConfKey, registry)
+    GraftSession.attach(fresh)
+    val control = spark.newSession()
+
+    // a predicate ONLY the appended (unmanifested) file satisfies: its
+    // rows must all surface — the drop-set subtraction never drops a
+    // file the manifest has no stats for
+    def late(s: SparkSession): Seq[String] =
+      s.read.parquet(tbl).where(col("u") >= 4100L)
+        .collect().map(_.toString).sorted.toSeq
+    assert(late(fresh) == late(control) && late(fresh).size == 100,
+      "stale manifest must not hide appended rows")
+
+    // and the manifested files still prune for an old-range predicate
+    def old(s: SparkSession): DataFrame =
+      s.read.parquet(tbl).where(col("u").between(500L, 900L))
+    val kept = prunedFiles(old(fresh))
+    assert(kept.exists { case (k, t) => k > 0 && k < t },
+      s"stale-but-covering manifest must still prune, got $kept")
+    assert(old(fresh).collect().map(_.toString).sorted.toSeq ==
+      old(control).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("re-registration supersedes compactly; latest catalog wins; unreadable artifact is loud but non-fatal") {
+    val (d, tbl, manPath) = fixture("super")
+    val registry = s"$d/registry"
+    ActivationStore.registerManifest(spark, registry, tbl, manPath)
+    val r2 = ActivationStore.registerManifest(spark, registry, tbl, manPath)
+    assert(r2.revision == 2L)
+    assert(ActivationStore.registrations(spark, registry).size == 1,
+      "same (table, kind, column) re-registration must supersede, not accrete")
+
+    // two catalogs: load must activate the LATEST revision only
+    val cat1 = s"$d/cat1"; val cat2 = s"$d/cat2"
+    SketchCatalog.save(SketchCatalog.harvest(spark, tbl, Seq("u")), cat1)
+    SketchCatalog.save(SketchCatalog.harvest(spark, tbl, Seq("u")), cat2)
+    ActivationStore.registerCatalog(spark, registry, cat1)
+    ActivationStore.registerCatalog(spark, registry, cat2)
+    val s1 = spark.newSession()
+    s1.conf.set(ActivationStore.RegistryConfKey, registry)
+    val rep1 = GraftSession.attach(s1).get
+    assert(rep1.failed.isEmpty)
+    assert(s1.conf.get(SketchCatalog.ConfKey) ==
+      SketchCatalog.normalizePath(spark, cat2),
+      "the highest-revision catalog registration must win")
+
+    // a second table whose registered manifest was deleted: its row
+    // lands in failed, everything else still activates
+    val tbl2 = s"$d/t2"
+    spark.range(0L, 100L).select(col("id").as("u"))
+      .coalesce(1).write.parquet(tbl2)
+    ActivationStore.registerManifest(spark, registry, tbl2, s"$d/no-such-manifest")
+    val s2 = spark.newSession()
+    s2.conf.set(ActivationStore.RegistryConfKey, registry)
+    val rep2 = GraftSession.attach(s2).get
+    assert(rep2.failed.size == 1 && rep2.failed.head._1.table.endsWith("/t2"),
+      s"unreadable artifact must be reported, got $rep2")
+    assert(rep2.activated.size == 2, // tbl manifest + latest catalog
+      s"remaining registrations must still activate, got $rep2")
+    // and the manifested first table still prunes in that session
+    val kept = prunedFiles(
+      s2.read.parquet(tbl).where(col("u").between(500L, 900L)))
+    assert(kept.exists { case (k, t) => k > 0 && k < t })
+  }
+}

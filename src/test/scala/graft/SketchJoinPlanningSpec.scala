@@ -94,6 +94,69 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("aggregate leaf priced from the grouping key's HLL distinct: the rollup earns its broadcast; parity holds") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val path = harvestAll()
+      // the pre-aggregated-dim shape: a per-key rollup of the fact joined
+      // back under the fact — the rollup side has NO file size, and
+      // size-only estimation scales the CHILD's bytes, so only the
+      // artifact (HLL distinct of f_key = 40 rows out) can price it
+      def frame(): DataFrame = {
+        val per = spark.read.parquet(s"$dir/fact.parquet")
+          .groupBy("f_key").agg(sum("f_val").as("key_total"))
+          .withColumnRenamed("f_key", "agg_key")
+        spark.read.parquet(s"$dir/fact.parquet")
+          .join(per, col("f_key") === col("agg_key"))
+          .groupBy((col("f_key") % 4).as("g"))
+          .agg(count(lit(1)).as("n"), sum("key_total").as("s"))
+          .orderBy("g")
+      }
+      def aggOnBuildSide(df: DataFrame): Boolean = {
+        val root = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p                        => p
+        }
+        root.collect { case b: BroadcastHashJoinExec => b }.exists { b =>
+          val build = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case _                                                 => b.right
+          }
+          build.exists(_.isInstanceOf[BaseAggregateExec])
+        }
+      }
+      // threshold pinned relative to the catalogued fact bytes: the fact
+      // itself must stay over it (no broadcast from file size alone), the
+      // 40-row rollup orders of magnitude under
+      val factBytes = spark.read.parquet(path).where(col("key") === "f_key")
+        .select("n_bytes").head().getLong(0)
+      withSQLConf(SketchCatalog.BroadcastBytesKey ->
+          math.max(1L, factBytes / 2).toString) {
+        SketchCatalog.deactivate(spark)
+        val plainRows = frame().collect().toSeq
+        assert(physicalJoins(frame()).forall(_.isInstanceOf[SortMergeJoinExec]),
+          "control: with auto-broadcast off and no catalog, the rollup join must stay sort-merge")
+        SketchCatalog.activate(spark, path)
+        try {
+          assert(aggOnBuildSide(frame()),
+            "activated: the aggregate side must be the broadcast build side")
+          assert(frame().collect().toSeq == plainRows,
+            "aggregate-leaf broadcast must be invisible to results")
+          // never-understate: a grouping key claiming a HUGE distinct
+          // count caps at the base's row count — the rollup then prices
+          // over the threshold and the hint must NOT fire
+          val cat = SketchCatalog.lookup(spark.conf.get(SketchCatalog.ConfKey)).get
+          SketchCatalog.activateEntries(spark, "wide-distinct",
+            cat.entries.map(e =>
+              if (e.key == "f_key") e.copy(distinctEst = 1e9) else e))
+          assert(physicalJoins(frame()).forall(_.isInstanceOf[SortMergeJoinExec]),
+            "a wide-distinct grouping key must price the rollup past the threshold")
+          assert(frame().collect().toSeq == plainRows)
+        } finally SketchCatalog.deactivate(spark)
+      }
+    }
+  }
+
   test("stream-static join: artifact broadcast fires on the static side inside microbatches; parity holds") {
     import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
     import spark.implicits._
