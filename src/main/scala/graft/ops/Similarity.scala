@@ -509,24 +509,48 @@ object Similarity {
     }
 
     def fit(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
-      // maxmin seeding: sample is already md5-ordered, so element 0 is the
-      // deterministic first seed
+      val n = sample.length
+      // point norms cached once: cosL recomputed sqrt(dot(a,a)) per call —
+      // identical values, so every rounded cosine below is bit-unchanged
+      val norms = sample.map(v => math.sqrt(dotL(v, v)))
+      def cosAt(i: Int, c: Array[Double], cNorm: Double): Double = {
+        val d = norms(i) * cNorm
+        if (d == 0) 0.0 else round6(dotL(sample(i), c) / d)
+      }
+      // maxmin seeding, INCREMENTAL: near(i) = max rounded cosine to any
+      // chosen seed, updated in O(n) per new seed instead of recomputed
+      // against every seed per candidate — the naive loop was O(k²·n·d)
+      // with a BigDecimal round per cosine, ~150 s at the corpus-derived
+      // k = 400–512 (r15 ×10 bench). Max over seeds is associative and
+      // the strictly-less argmin keeps the FIRST (md5-order) row on ties,
+      // so selection order and every centroid are bit-identical to the
+      // naive form (the seeding-unroll DuckDB twin stays green).
       val seeds = scala.collection.mutable.ArrayBuffer(sample(0))
+      val near = Array.tabulate(n)(i => cosAt(i, sample(0), norms(0)))
       while (seeds.size < k) {
         var bestIdx = -1; var bestNear = Double.MaxValue
         var i = 0
-        while (i < sample.length) {
-          var near = Double.MinValue
-          seeds.foreach { s => val c = cosL(sample(i), s); if (c > near) near = c }
-          // strictly-less keeps the FIRST (md5-order) row on ties — stable
-          if (near < bestNear) { bestNear = near; bestIdx = i }
+        while (i < n) {
+          if (near(i) < bestNear) { bestNear = near(i); bestIdx = i }
           i += 1
         }
-        seeds += sample(bestIdx)
+        val s = sample(bestIdx); val sn = norms(bestIdx)
+        seeds += s
+        var j = 0
+        while (j < n) {
+          val c = cosAt(j, s, sn)
+          if (c > near(j)) near(j) = c
+          j += 1
+        }
       }
       var centroids = seeds.toArray
+      // exact 10-dp decimal addends precomputed once (the sample never
+      // changes across Lloyd iterations)
+      val sampleDec = sample.map(_.map(x =>
+        new java.math.BigDecimal(x).setScale(10, java.math.RoundingMode.HALF_UP)))
       (1 to iters).foreach { _ =>
         val dim = centroids(0).length
+        val cNorms = centroids.map(c => math.sqrt(dotL(c, c)))
         // exact DECIMAL(·,10) addends, like the distributed centroid
         // aggregates (`sum(x.cast(DecimalType(27,10)))`): each value is the
         // EXACT binary double rounded to 10 dp, summed exactly — order-free,
@@ -534,21 +558,22 @@ object Similarity {
         val sums = Array.fill(centroids.length)(
           Array.fill(dim)(java.math.BigDecimal.ZERO))
         val counts = new Array[Long](centroids.length)
-        sample.foreach { v =>
+        var vi = 0
+        while (vi < n) {
           var best = 0; var bestCos = Double.MinValue
           var c = 0
           while (c < centroids.length) {
-            val cs = cosL(v, centroids(c))
+            val cs = cosAt(vi, centroids(c), cNorms(c))
             if (cs >= bestCos) { bestCos = cs; best = c } // ties -> larger cell, like max_by
             c += 1
           }
           var i = 0
           while (i < dim) {
-            sums(best)(i) = sums(best)(i).add(
-              new java.math.BigDecimal(v(i)).setScale(10, java.math.RoundingMode.HALF_UP))
+            sums(best)(i) = sums(best)(i).add(sampleDec(vi)(i))
             i += 1
           }
           counts(best) += 1
+          vi += 1
         }
         centroids = centroids.indices.map { c =>
           if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
