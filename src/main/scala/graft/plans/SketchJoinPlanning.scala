@@ -1040,9 +1040,13 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     * whole-column artifact's (a filter's effect on the key distribution
     * is unknowable from point bounds alone); a misfire there costs a
     * bounded replication, never results. AQE's skew-join
-    * splitting covers sort-merge stragglers at runtime when it can SEE
-    * them; this pass decides from an 80 KB artifact at plan time, which
-    * also covers the shuffle-hash and pre-AQE paths.
+    * splitting covers shuffle-join stragglers at runtime when it can
+    * SEE them — measured at the 10M-row class it recovers the straggler
+    * fully, and composes with this pass at zero cost (the salted
+    * exchange is balanced, so AQE finds nothing to split — SCALING
+    * r15); this pass decides from an 80 KB artifact at plan time, which
+    * also covers AQE-disabled deployments and engines without runtime
+    * re-planning.
     */
   private def skewPass(plan: LogicalPlan, cat: Catalog): LogicalPlan = {
     val pc = new PriceCache(cat)
