@@ -177,4 +177,91 @@ object ActivationStore {
   def autoLoad(spark: SparkSession): Option[LoadReport] =
     spark.conf.getOption(RegistryConfKey).filter(_.nonEmpty)
       .map(load(spark, _))
+
+  final case class RefreshReport(refreshed: Seq[Registration],
+                                 failed: Seq[(Registration, String)])
+
+  /** Re-derive every registered artifact from its table's CURRENT state
+    * and re-register it (revision bump) — the maintenance primitive a
+    * pipeline runs after appends/compactions, closing the staleness
+    * window the activations otherwise only DEGRADE through (a stale
+    * manifest under-prunes appended files; a stale catalog misprices
+    * them). Each artifact's build parameters are recovered from the
+    * stored artifact itself, so refresh needs no out-of-band config:
+    *
+    *  - manifest: columns from the stored `<col>_min` schema, grain
+    *    from the `row_group` column ([[DataSkipping.rowGroupManifest]]
+    *    vs [[DataSkipping.statsManifest]]);
+    *  - Bloom index: the registry row's column; expected-items-per-file
+    *    from the stored per-file `n_rows` max (fpp stays the build
+    *    default — not recorded in the artifact);
+    *  - sketch catalog: per table, single keys and comma-joined tuple
+    *    keys re-harvested exactly as stored ([[SketchCatalog.harvest]]
+    *    defaults, the registered gates' regime).
+    *
+    * Artifacts rewrite IN PLACE (`overwrite`, the [[ModelStore]]
+    * discipline); sessions that activated the prior decode keep their
+    * pinned generation (the r12 discipline), and a crash mid-rewrite
+    * degrades honestly — the next [[load]] reports that artifact failed
+    * and the session runs unpruned, never mispruned. Refresh does NOT
+    * re-activate into the calling session; call [[load]] (or construct
+    * sessions through `GraftSession`) to pick the new artifacts up.
+    */
+  def refresh(spark: SparkSession, registry: String): RefreshReport = {
+    val results = registrations(spark, registry).map { r =>
+      try {
+        r.kind match {
+          case KindManifest =>
+            val prior = spark.read.parquet(r.artifact)
+            val cols = prior.schema.fieldNames
+              .filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSeq
+            require(cols.nonEmpty, s"no stat columns in '${r.artifact}'")
+            val fresh =
+              if (prior.schema.fieldNames.contains("row_group"))
+                DataSkipping.rowGroupManifest(spark, r.table, cols)
+              else DataSkipping.statsManifest(spark, r.table, cols)
+            fresh.write.mode("overwrite").parquet(r.artifact)
+            Right(register(spark, registry, KindManifest, r.table, r.artifact))
+          case KindBloomIndex =>
+            val prior = spark.read.parquet(r.artifact)
+            val perFile = prior.agg(
+              org.apache.spark.sql.functions.max("n_rows")).head().getLong(0)
+            DataSkipping.bloomIndex(spark, r.table, r.column,
+                math.max(64L, perFile))
+              .write.mode("overwrite").parquet(r.artifact)
+            Right(register(spark, registry, KindBloomIndex, r.table,
+              r.artifact, r.column))
+          case KindSketchCatalog =>
+            val prior = spark.read.parquet(r.artifact)
+              .select("table", "key").collect()
+              .map(row => (row.getString(0), row.getString(1)))
+              .toSeq.distinct
+            val fresh = prior.groupBy(_._1).toSeq.sortBy(_._1).map {
+              case (table, rows) =>
+                val (tupleKeys, singleKeys) = rows.map(_._2).partition(_.contains(","))
+                require(singleKeys.nonEmpty,
+                  s"catalog for '$table' holds only tuple rows; refresh " +
+                    "needs at least one single-key row per table")
+                SketchCatalog.harvest(spark, table,
+                  keys = singleKeys,
+                  tuples = tupleKeys.map(_.split(",").toSeq))
+            }.reduce(_.unionByName(_))
+            SketchCatalog.save(fresh, r.artifact)
+            Right(register(spark, registry, KindSketchCatalog, "", r.artifact))
+        }
+      } catch {
+        case e: Exception =>
+          Left(r -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    val report = RefreshReport(results.collect { case Right(r) => r },
+      results.collect { case Left(f) => f })
+    report.failed.foreach { case (r, msg) =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"activation registry: refresh of ${r.kind} for '${r.table}' at " +
+          s"'${r.artifact}' failed ($msg) — the stored artifact keeps its " +
+          "prior (stale-but-sound) state unless the rewrite itself died midway")
+    }
+    report
+  }
 }

@@ -105,6 +105,54 @@ class ActivationStoreSpec extends SparkSpec {
       old(control).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("refresh re-derives every artifact from the grown table: appended files prune, catalog rows grow") {
+    val (d, tbl, manPath) = fixture("refresh")
+    val registry = s"$d/registry"
+    ActivationStore.registerManifest(spark, registry, tbl, manPath)
+    val bloomPath = s"$d/bloom"
+    DataSkipping.bloomIndex(spark, tbl, "u", expectedItemsPerFile = 1024)
+      .write.mode("overwrite").parquet(bloomPath)
+    ActivationStore.registerBloomIndex(spark, registry, tbl, "u", bloomPath)
+    val catPath = s"$d/cat"
+    SketchCatalog.save(SketchCatalog.harvest(spark, tbl, Seq("u")), catPath)
+    ActivationStore.registerCatalog(spark, registry, catPath)
+
+    // the table grows: one appended file far above the original range
+    spark.range(100000L, 100500L)
+      .select(col("id").as("u"), (col("id") % 7).cast("double").as("v"))
+      .coalesce(1).write.mode("append").parquet(tbl)
+
+    val rep = ActivationStore.refresh(spark, registry)
+    assert(rep.failed.isEmpty && rep.refreshed.size == 3, s"$rep")
+
+    val fresh = spark.newSession()
+    fresh.conf.set(ActivationStore.RegistryConfKey, registry)
+    GraftSession.attach(fresh)
+    // an old-range predicate must now DROP the appended file too: with
+    // the stale manifest it stayed (unmanifested files are never
+    // dropped); post-refresh its stats prove it out of range
+    val kept = prunedFiles(
+      fresh.read.parquet(tbl).where(col("u").between(500L, 900L)))
+    assert(kept.exists { case (k, t) => k > 0 && k <= 2 && t == 9 },
+      "refreshed manifest must keep only the 1-2 in-range originals of all " +
+        s"9 files — the appended file now has stats proving it out of range — got $kept")
+    // parity against an unactivated session on both ranges
+    val control = spark.newSession()
+    def rows(s: SparkSession, lo: Long, hi: Long): Seq[String] =
+      s.read.parquet(tbl).where(col("u").between(lo, hi))
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(fresh, 500L, 900L) == rows(control, 500L, 900L))
+    assert(rows(fresh, 100000L, 100500L) == rows(control, 100000L, 100500L) &&
+      rows(fresh, 100000L, 100500L).size == 500)
+    // the refreshed catalog counts the appended rows
+    val nRows = spark.read.parquet(catPath).where(col("key") === "u")
+      .select("n_rows").head().getLong(0)
+    assert(nRows == 4500L, s"refreshed catalog must count appended rows, got $nRows")
+    // the refreshed bloom index covers the appended file
+    val idxFiles = spark.read.parquet(bloomPath).count()
+    assert(idxFiles == 9L, s"refreshed index must cover all 9 files, got $idxFiles")
+  }
+
   test("re-registration supersedes compactly; latest catalog wins; unreadable artifact is loud but non-fatal") {
     val (d, tbl, manPath) = fixture("super")
     val registry = s"$d/registry"
