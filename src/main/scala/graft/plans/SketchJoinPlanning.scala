@@ -355,6 +355,41 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     */
   private val SubtreeMaxDepth = 3
 
+  /** The Aggregate-leaf subtree: one constituent (the catalogued base)
+    * with estRows = the HLL-bounded group count ([[aggRowBound]]). The
+    * constituent's colOf is keyed by the aggregate's OUTPUT ExprIds
+    * (CollapseProject folds `withColumnRenamed` into
+    * aggregateExpressions, so a renamed grouping key's output id is an
+    * Alias id, not the child's) — grouping columns map through, whether
+    * passed plain or re-aliased; aggregated outputs map to nothing, so
+    * an edge on one declines, as it must.
+    */
+  private def aggSubTree(agg: Aggregate, cat: Catalog): Option[SubTree] = {
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference => Some(a)
+      case _                     => None
+    }
+    if (groupAttrs.isEmpty || groupAttrs.exists(_.isEmpty)) None
+    else for {
+      base <- resolveBase(agg.child, cat)
+      e <- trustedTable(cat, base.table)
+      cols <- {
+        val cs = groupAttrs.flatten.map(a => base.colOf.get(a.exprId))
+        if (cs.exists(_.isEmpty)) None else Some(cs.flatten.distinct)
+      }
+      rows <- aggRowBound(cat, base, cols, e.nRows)
+    } yield {
+      val outMap: Map[ExprId, String] = agg.aggregateExpressions.flatMap {
+        case a: AttributeReference => base.colOf.get(a.exprId).map(a.exprId -> _)
+        case al @ Alias(ar: AttributeReference, _) =>
+          base.colOf.get(ar.exprId).map(al.exprId -> _)
+        case _ => None
+      }.toMap
+      SubTree(Seq((Base(base.table, outMap), math.max(1.0, e.nRows.toDouble))),
+        rows.toDouble)
+    }
+  }
+
   private def subTree(p: LogicalPlan, cat: Catalog,
                       depth: Int = 0): Option[SubTree] = {
     val s = stripPruneProject(p)
@@ -365,6 +400,36 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
           SubTree(Seq((b, n)), n)
         }
       case None => s match {
+        // an AGGREGATE leaf prices as a one-constituent subtree: its base
+        // with estRows = the HLL-bounded group count ([[aggRowBound]]),
+        // so [[edgeSide]]'s fan-out (estRows / baseRows) is exactly the
+        // collapse factor — an edge into the rollup prices as the base
+        // pair estimate scaled down by the per-key multiplicity the
+        // group-by removed. Edges can only reach GROUPING columns by
+        // construction: aggregated outputs carry fresh ExprIds that
+        // resolve in no constituent's colOf, so they decline. Ordering
+        // heuristic only (the leaf reattaches INTACT, like snowflake
+        // arms); estBytes' subtree fallback prices the arm's bytes from
+        // the same bound.
+        case agg: Aggregate => aggSubTree(agg, cat)
+        // a RENAMING Project over the aggregate (withColumnRenamed, select
+        // aliases) — remap the outer ExprIds through to the base's leaf
+        // columns so grouping-key edges still resolve in constituentFor
+        case Project(list, agg: Aggregate) if list.forall {
+            case _: AttributeReference          => true
+            case Alias(_: AttributeReference, _) => true
+            case _                               => false
+          } =>
+          aggSubTree(agg, cat).map { st =>
+            val (b, rows) = st.constituents.head
+            val m: Map[ExprId, String] = list.flatMap {
+              case a: AttributeReference => b.colOf.get(a.exprId).map(a.exprId -> _)
+              case al @ Alias(ar: AttributeReference, _) =>
+                b.colOf.get(ar.exprId).map(al.exprId -> _)
+              case _ => None
+            }.toMap
+            SubTree(Seq((Base(b.table, m), rows)), st.estRows)
+          }
         // hints are NOT a decline here: subTree only PRICES (bytes and
         // ordering heuristics), it never rewrites — and the broadcast
         // pass itself runs bottom-up, so an arm's internal joins carry

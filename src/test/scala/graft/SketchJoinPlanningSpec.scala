@@ -157,6 +157,68 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("aggregate leaf in the reorder chain: the selective dim sinks below the rollup; parity holds") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // chain written worst-first: fact joins its own per-key rollup FIRST
+    // (output = |fact| rows — every fact row has a group) and a
+    // 1/8-selective flat dim LAST. Only the aggregate-leaf subtree
+    // pricing can see the rollup edge's true cost relative to the
+    // selective one: the rollup leaf prices as base x collapse fan-out
+    // (aggRowBound / baseRows), so greedy sinks fact ⋈ sel to the bottom.
+    val selPath = s"$dir/sel_agg.parquet"
+    if (!new java.io.File(selPath).exists()) {
+      import spark.implicits._
+      (0L until 40L).filter(_ % 8 == 0).map(k => (k, k / 8))
+        .toDF("sel_key", "sel_grp").repartition(1).write.parquet(selPath)
+    }
+    val catPath = {
+      val cat = SketchCatalog.harvest(spark, s"$dir/fact.parquet", Seq("f_key"))
+        .unionByName(SketchCatalog.harvest(spark, selPath, Seq("sel_key")))
+      val p = s"$dir/catalog_agg"
+      SketchCatalog.save(cat, p)
+      p
+    }
+    def frame(): DataFrame = {
+      val rollup = spark.read.parquet(s"$dir/fact.parquet")
+        .groupBy("f_key").agg(sum("f_val").as("key_total"))
+        .withColumnRenamed("f_key", "agg_key")
+      spark.read.parquet(s"$dir/fact.parquet")
+        .join(rollup, col("f_key") === col("agg_key"))
+        .join(spark.read.parquet(selPath), col("f_key") === col("sel_key"))
+        .groupBy("sel_grp")
+        .agg(count(lit(1)).as("n"), sum("key_total").as("s"))
+        .orderBy("sel_grp")
+    }
+    // the bottom join of the PLANNED run touches exactly fact + sel with
+    // no aggregate below it; in the written order every join above the
+    // bottom-most has 3 scans, and the 2-scan bottom join contains the
+    // rollup's hash aggregate
+    def bottomFactSelNoAgg(df: DataFrame): Boolean =
+      physicalJoins(df).exists { j =>
+        val scans = j.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.head.toString
+        }
+        scans.size == 2 && scans.exists(_.contains("sel_agg")) &&
+          scans.exists(_.contains("fact")) &&
+          j.collectFirst { case a: BaseAggregateExec => a }.isEmpty
+      }
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        SketchCatalog.BroadcastBytesKey -> "0") {
+      SketchCatalog.deactivate(spark)
+      val plainRows = frame().collect().toSeq
+      assert(physicalJoins(frame()).size == 2 && !bottomFactSelNoAgg(frame()),
+        "control: the written order joins the rollup first")
+      SketchCatalog.activate(spark, catPath)
+      try {
+        assert(bottomFactSelNoAgg(frame()),
+          "activated: greedy must sink fact ⋈ sel below the rollup join")
+        assert(frame().collect().toSeq == plainRows,
+          "aggregate-leaf reorder must be invisible to results")
+      } finally SketchCatalog.deactivate(spark)
+    }
+  }
+
   test("stream-static join: artifact broadcast fires on the static side inside microbatches; parity holds") {
     import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
     import spark.implicits._
