@@ -166,7 +166,7 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  private type Test = FileCtx => Boolean
+  private[plans] type Test = FileCtx => Boolean
 
   /** Interval test against one column's stats: known bounds run `op`;
     * unknown bounds keep the file unless the null count proves it
@@ -320,8 +320,12 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** One predicate atom compiled to a file test; None = unsupported (the
     * conjunct then contributes no pruning — sound, never lucky).
+    * `private[plans]`: [[SketchJoinPlanning]] reuses the compiled tests
+    * to SUM surviving manifested rows into a Filter row bound (the range
+    * modality its CMS point bounds cannot price), so the two consumers
+    * cannot disagree on what a predicate admits.
     */
-  private def atomTest(e: Expression, arts: TableArtifacts): Option[Test] = e match {
+  private[plans] def atomTest(e: Expression, arts: TableArtifacts): Option[Test] = e match {
     case GreaterThanOrEqual(l, Literal(v, dt)) => cmpTest(l, v, dt, arts, ge)
     case GreaterThanOrEqual(Literal(v, dt), r) => cmpTest(r, v, dt, arts, le)
     case GreaterThan(l, Literal(v, dt))        => cmpTest(l, v, dt, arts, gt)

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.functions.{BloomBuildAgg, BloomContains, CmsCodec}
-import graft.ops.SketchCatalog
+import graft.ops.{ScanPrune, SketchCatalog}
 import graft.ops.SketchCatalog.{Catalog, Entry}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
@@ -823,6 +823,55 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     if (all.isEmpty) None else Some(all.min)
   }
 
+  /** Manifest-refined surviving-row bound for a Filter over a catalogued
+    * leaf — the RANGE modality [[filterRowBound]]'s CMS point bounds
+    * cannot price (a fact filtered to a narrow time/id window is THE
+    * dim-sized side file bytes never reveal): when the session has an
+    * activated stats manifest for the table ([[ScanPrune]]), compile the
+    * Filter's conjuncts with [[ScanPruneRewrite.atomTest]] — the same
+    * tests the scan rewrite drops files with, so the two consumers
+    * cannot disagree — and SUM `n_rows` over the manifested files the
+    * predicate cannot exclude. Guards, each declining to None:
+    *
+    *  - every referenced attribute must map un-renamed to a leaf column
+    *    (atomTest matches stats by NAME);
+    *  - every surviving file must carry stats (a Bloom-only universe
+    *    entry has no row count to sum);
+    *  - joint-coverage: the manifest's total rows must be ≥ the
+    *    catalogued table row count — a manifest that predates the
+    *    catalog's harvest (missing appended files) cannot bound what the
+    *    catalog says is there. Within jointly-stale artifacts the bound
+    *    reflects the harvested state, the documented artifact posture
+    *    (a hint mis-sized by staleness reorders/broadcasts, never
+    *    changes results).
+    */
+  private def manifestRowBound(cond: Expression, base: Base,
+                               cat: Catalog): Option[Long] = {
+    val attrsOk = cond.references.toSeq.forall {
+      case a: AttributeReference => base.colOf.get(a.exprId).contains(a.name)
+      case _                     => false
+    }
+    if (!attrsOk) return None
+    for {
+      gen <- ScanPrune.activeEntries(
+        conf.getConfString(ScanPrune.ConfKey, "")).get(base.table)
+      arts <- ScanPrune.lookup(base.table, gen)
+      if arts.manifest.isDefined
+      tests = splitConjunctivePredicates(cond)
+        .flatMap(ScanPruneRewrite.atomTest(_, arts))
+      if tests.nonEmpty
+      e <- trustedTable(cat, base.table)
+      manifestTotal = arts.manifest.get.files.iterator.map(_.nRows).sum
+      if manifestTotal >= e.nRows
+      survivors = arts.universe.filter(fc =>
+        ScanPruneRewrite.fileSurvives(fc, tests))
+      if survivors.forall(_.stats.isDefined)
+    } yield survivors.iterator.map(_.stats.get.nRows)
+      .foldLeft(0L)((a, b) =>
+        try Math.addExact(a, b)
+        catch { case _: ArithmeticException => Long.MaxValue })
+  }
+
   /** rows × per-row bytes, SATURATING at Long.MaxValue: a wrapped
     * negative product would read as "tiny side" and broadcast a
     * petabyte intermediate — the exact inversion of the never-understate
@@ -972,7 +1021,17 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
       val refined = for {
         base <- resolveBase(child, cat)
         e <- trustedTable(cat, base.table)
-        rows <- filterRowBound(cond, base, cat)
+        rows <- {
+          // both bounds are never-understating over their artifacts'
+          // knowledge, so the tighter one prices: CMS points for
+          // equality/IN, the activated manifest for ranges
+          val cms = filterRowBound(cond, base, cat)
+          val man = manifestRowBound(cond, base, cat)
+          (cms, man) match {
+            case (Some(a), Some(b)) => Some(math.min(a, b))
+            case (a, b)             => a.orElse(b)
+          }
+        }
       } yield satBytes(rows, math.max(1L, e.nBytes / math.max(1L, e.nRows)))
       (refined, full) match {
         case (Some(r), Some(f)) => Some(math.min(r, f))

@@ -2888,6 +2888,23 @@ object Oracles {
         |FROM events e JOIN per p ON e.user_id = p.agg_user
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Manifest-range pricing gate: the twin replays the lowest-eighth
+    // window join (integer cut arithmetic verbatim — `//` is DuckDB's
+    // integer division, matching Spark's Long `/`); the plan facts
+    // (naive merge, catalog-only STILL merge — the differential control
+    // proving the manifest is the enabling artifact — manifest+catalog
+    // broadcast) ride as pinned booleans probed from forced plans.
+    "q31_planned_range" ->
+      """WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+        |f AS (SELECT user_id, value FROM events, b
+        |      WHERE event_id <= lo + (hi - lo) // 8)
+        |SELECT f.user_id % 8 AS ugrp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(f.value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  true AS naive_merge, true AS catalog_only_merge,
+        |  true AS manifest_range_broadcast
+        |FROM f JOIN events e ON f.user_id = e.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q26_planned_outer" ->
       """WITH hot AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey < 3)
         |SELECT coalesce(h.c_nationkey, -1) AS nation_grp,

@@ -5003,6 +5003,99 @@ object Queries {
       .orderBy("grp")
   }
 
+  /** Range-clustered fixture + artifacts for [[q31PlannedRange]], built
+    * once per JVM per sf dir: events re-written range-partitioned by
+    * event_id into 8 files (so a window predicate provably excludes
+    * files), a stats manifest over event_id, and a catalog over both
+    * join sides' user_id.
+    */
+  private val q31Paths = new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+  private def q31Fixture(spark: SparkSession, dir: String): (String, String, String) =
+    q31Paths.computeIfAbsent(dir, { _ =>
+      import graft.ops.{DataSkipping, SketchCatalog}
+      val factPath = scratch(dir, "q31_fact")
+      t(spark, dir, "events").select(col("event_id"), col("user_id"), col("value"))
+        .repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(factPath)
+      val manPath = scratch(dir, "q31_manifest")
+      DataSkipping.statsManifest(spark, factPath, Seq("event_id"))
+        .write.mode("overwrite").parquet(manPath)
+      val cat = SketchCatalog.harvest(spark, factPath, Seq("user_id"))
+        .unionByName(SketchCatalog.harvest(spark, s"$dir/events.parquet", Seq("user_id")))
+      val catPath = scratch(dir, "q31_catalog")
+      SketchCatalog.save(cat, catPath)
+      (factPath, manPath, catPath)
+    })
+
+  /** Q31: MANIFEST-refined RANGE pricing — the X9 scan artifact feeding
+    * the X6 broadcast decision: a fact filtered to a narrow id/time
+    * WINDOW is THE dim-sized side file bytes never reveal, and the CMS
+    * point bounds ([[graft.plans.SketchJoinPlanning]] `filterRowBound`)
+    * cannot price a range. With a stats manifest activated
+    * ([[graft.ops.ScanPrune]]), `estBytes` now sums `n_rows` over the
+    * manifested files the predicate cannot exclude — compiled with the
+    * SAME `atomTest`s the scan rewrite drops files with — so the
+    * lowest-eighth window of the range-clustered fixture prices at ~1/8
+    * of the table and earns its broadcast. Three pinned plan facts:
+    * naive (nothing active) sort-merge; CATALOG-ONLY still sort-merge —
+    * the differential control proving the manifest is the enabling
+    * artifact, not the catalog bytes; catalog+manifest broadcasts. The
+    * window bound `lo = emin + (emax − emin)/8` is integer arithmetic
+    * replayed verbatim by the twin, and hints are semantics-preserving,
+    * so the aggregate replays as the plain filtered join.
+    */
+  private def q31PlannedRange(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{ScanPrune, SketchCatalog}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val (factPath, manPath, catPath) = q31Fixture(spark, dir)
+    val b = t(spark, dir, "events")
+      .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi")).head()
+    val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8L
+    def chain(): DataFrame =
+      spark.read.parquet(factPath).where(col("event_id") <= cut)
+        .join(spark.read.parquet(s"$dir/events.parquet")
+            .select(col("user_id").as("e_user"), col("event_type")),
+          col("user_id") === col("e_user"))
+        .groupBy((col("user_id") % 8).as("ugrp"))
+        .agg(count(lit(1)).as("n_rows"),
+          decSum(round(col("value"), 6), 18, 6).as("sum_value"))
+    val factBytes = spark.read.parquet(catPath)
+      .where(col("table").endsWith("q31_fact") && col("key") === "user_id")
+      .select("n_bytes").head().getLong(0)
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBb = spark.conf.getOption(SketchCatalog.BroadcastBytesKey)
+    val (naiveMerge, catalogOnlyMerge, manifestBroadcast) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(SketchCatalog.BroadcastBytesKey,
+        math.max(1L, factBytes / 4).toString)
+      ScanPrune.deactivate(spark, factPath)
+      SketchCatalog.deactivate(spark)
+      val naive = physicalJoins(chain())
+      SketchCatalog.activate(spark, catPath)
+      val catOnly = physicalJoins(chain())
+      ScanPrune.activateManifest(spark, factPath,
+        spark.read.parquet(manPath))
+      val planned = physicalJoins(chain())
+      (naive.nonEmpty && naive.forall(_.isInstanceOf[SortMergeJoinExec]),
+        catOnly.nonEmpty && catOnly.forall(_.isInstanceOf[SortMergeJoinExec]),
+        planned.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    } finally {
+      ScanPrune.deactivate(spark, factPath)
+      SketchCatalog.deactivate(spark)
+      prevBb match {
+        case Some(v) => spark.conf.set(SketchCatalog.BroadcastBytesKey, v)
+        case None    => spark.conf.unset(SketchCatalog.BroadcastBytesKey)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    chain()
+      .select(col("ugrp"), col("n_rows"), col("sum_value"),
+        lit(naiveMerge).as("naive_merge"),
+        lit(catalogOnlyMerge).as("catalog_only_merge"),
+        lit(manifestBroadcast).as("manifest_range_broadcast"))
+      .orderBy("ugrp")
+  }
+
   /** Composite-key fixture for [[q25PlannedComposite]], built once per
     * JVM per sf dir: a fact and a dim joined on a 2-COLUMN key
     * (k1, k2) engineered so each single column is 40-ways shared
@@ -5907,6 +6000,7 @@ object Queries {
     "q28_planned_snowflake" -> (q28PlannedSnowflake _),
     "q29_planned_bushy" -> (q29PlannedBushy _),
     "q30_planned_agg" -> (q30PlannedAgg _),
+    "q31_planned_range" -> (q31PlannedRange _),
     "x9_skipping_str" -> (x9SkippingStr _),
     "x9_skipping_ts" -> (x9SkippingTs _),
     "x9_skipping_null" -> (x9SkippingNull _),

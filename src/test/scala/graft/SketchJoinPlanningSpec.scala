@@ -219,6 +219,76 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("manifest-refined range pricing: a narrow time-window filter earns the broadcast; stale manifest declines") {
+    import graft.ops.{DataSkipping, ScanPrune}
+    // range-clustered table so a range predicate provably excludes files:
+    // 4000 rows over 8 range-partitioned files; r_grp is the join key
+    val rfPath = s"$dir/rangefact.parquet"
+    if (!new java.io.File(rfPath).exists()) {
+      spark.range(0L, 4000L)
+        .select(col("id").as("r_key"), (col("id") % 40).as("r_grp"),
+          (col("id") % 11).cast("double").as("r_val"))
+        .repartitionByRange(8, col("r_key")).sortWithinPartitions("r_key")
+        .write.parquet(rfPath)
+    }
+    def freshCat(): String = {
+      val cat = SketchCatalog.harvest(spark, rfPath, Seq("r_grp"))
+        .unionByName(SketchCatalog.harvest(spark, s"$dir/fact.parquet", Seq("f_key")))
+      val p = s"$dir/catalog_range"
+      SketchCatalog.save(cat, p)
+      p
+    }
+    val catPath = freshCat()
+    def frame(): DataFrame =
+      spark.read.parquet(rfPath).where(col("r_key") < 500L)
+        .join(spark.read.parquet(s"$dir/fact.parquet"),
+          col("r_grp") === col("f_key"))
+        .groupBy("r_grp").agg(count(lit(1)).as("n"), sum("f_val").as("s"))
+        .orderBy("r_grp")
+    val rfBytes = spark.read.parquet(catPath).where(col("key") === "r_grp")
+      .select("n_bytes").head().getLong(0)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        SketchCatalog.BroadcastBytesKey -> math.max(1L, rfBytes / 4).toString) {
+      ScanPrune.deactivate(spark, rfPath)
+      SketchCatalog.deactivate(spark)
+      val plainRows = frame().collect().toSeq
+      SketchCatalog.activate(spark, catPath)
+      try {
+        // catalog alone: the CMS point bounds cannot price `r_key < 500`
+        // — the filtered fact stays unpriceable-small, join stays merge
+        assert(physicalJoins(frame()).forall(_.isInstanceOf[SortMergeJoinExec]),
+          "catalog-only control must stay sort-merge: ranges are invisible to CMS points")
+        // + activated manifest: the range bound (500 of 4000 rows) prices
+        // the filtered side under the threshold
+        ScanPrune.activateManifest(spark, rfPath,
+          DataSkipping.statsManifest(spark, rfPath, Seq("r_key")))
+        assert(physicalJoins(frame()).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+          "manifest range bound must earn the filtered side its broadcast")
+        assert(frame().collect().toSeq == plainRows,
+          "manifest-refined pricing must be invisible to results")
+        // joint-coverage guard: append rows, re-harvest the CATALOG only
+        // (now claims 5000 rows) while the manifest still totals 4000 —
+        // the bound must decline and the hint must NOT fire
+        spark.range(4000L, 5000L)
+          .select(col("id").as("r_key"), (col("id") % 40).as("r_grp"),
+            (col("id") % 11).cast("double").as("r_val"))
+          .coalesce(1).write.mode("append").parquet(rfPath)
+        SketchCatalog.activate(spark, freshCat())
+        val stale = frame()
+        assert(physicalJoins(stale).forall(_.isInstanceOf[SortMergeJoinExec]),
+          "a manifest that predates the catalogued row count must decline the bound")
+        val freshRows = frame().collect().toSeq
+        ScanPrune.deactivate(spark, rfPath)
+        SketchCatalog.deactivate(spark)
+        assert(freshRows == frame().collect().toSeq,
+          "stale-manifest runs must still see every appended row")
+      } finally {
+        ScanPrune.deactivate(spark, rfPath)
+        SketchCatalog.deactivate(spark)
+      }
+    }
+  }
+
   test("stream-static join: artifact broadcast fires on the static side inside microbatches; parity holds") {
     import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
     import spark.implicits._
