@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * → no rewrite) hides exactly the sessions that skipped the call.
   *
   * This store closes the loop: artifact paths are REGISTERED once
-  * (tiny parquet at a well-known path, the [[ModelStore]] persistence
-  * discipline — coalesce(1), deterministic ordering, driver-trivial to
-  * read), and every new session that knows the registry path activates
+  * (tiny parquet rows at a well-known path — APPEND-only, one footer
+  * per registration, so a concurrent reader never sees a half-written
+  * registry and concurrent registrations of different artifacts never
+  * lose each other; [[compactRegistry]] folds history in a maintenance
+  * window), and every new session that knows the registry path activates
   * all of them in one call — [[autoLoad]], which [[graft.GraftSession]]
   * runs automatically when `spark.graft.activation.registry` is set, so
   * a fleet configures the conf in spark-defaults and gets pruning with
@@ -48,37 +50,60 @@ object ActivationStore {
     * [[KindBloomIndex]], "" otherwise; `table` is "" for
     * [[KindSketchCatalog]] (the catalog file carries its own table
     * paths). `revision` orders re-registrations: latest wins per
-    * (table, kind, column) key.
+    * (table, kind, column) key. `params` records the build parameters
+    * the artifact itself does not (catalog eps/confidence/seed, Bloom
+    * fpp), so [[refresh]] rebuilds at the operator's chosen regime
+    * instead of silently resetting to defaults.
     */
   final case class Registration(table: String, kind: String, column: String,
-                                artifact: String, revision: Long)
+                                artifact: String, revision: Long,
+                                params: Map[String, String] = Map.empty)
 
   private val schema = StructType(Seq(
     StructField("table", StringType, nullable = false),
     StructField("kind", StringType, nullable = false),
     StructField("column", StringType, nullable = false),
     StructField("artifact", StringType, nullable = false),
-    StructField("revision", LongType, nullable = false)))
+    StructField("revision", LongType, nullable = false),
+    StructField("params", StringType, nullable = true)))
+
+  // params ride as sorted `k=v` pairs joined by ';' — values here are
+  // numeric literals, so no quoting/escaping machinery is warranted
+  private def encodeParams(m: Map[String, String]): String = {
+    require(m.forall { case (k, v) =>
+      !k.contains('=') && !k.contains(';') && !v.contains('=') && !v.contains(';') },
+      s"params must not contain '=' or ';': $m")
+    m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+  }
+  private def decodeParams(s: String): Map[String, String] =
+    Option(s).getOrElse("").split(";").filter(_.contains('='))
+      .map { kv => val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1) }
+      .toMap
 
   private def readAll(spark: SparkSession, registry: String): Seq[Registration] =
     try {
       spark.read.schema(schema).parquet(registry).collect().toSeq.map { r =>
         Registration(r.getString(0), r.getString(1), r.getString(2),
-          r.getString(3), r.getLong(4))
+          r.getString(3), r.getLong(4), decodeParams(r.getString(5)))
       }
     } catch {
       case _: AnalysisException => Nil // no registry written yet
     }
 
   /** Register one artifact, superseding any prior registration of the
-    * same (table, kind, column). The registry is rewritten COMPACTED —
-    * one row per key, deterministic (table, kind, column) order — so it
-    * stays one tiny parquet footer no matter how many times a pipeline
-    * re-registers after each rebuild.
+    * same (table, kind, column) in the latest-wins view. Each call
+    * APPENDS one tiny parquet file — never delete-and-rewrite — so a
+    * concurrently-constructing session can never observe an empty
+    * registry window, and two pipelines registering DIFFERENT artifacts
+    * concurrently both land (same-key concurrent registrations race on
+    * the revision draw; either winner is a valid latest, resolved
+    * deterministically at read). Growth is one footer per registration;
+    * [[compactRegistry]] folds history down during a maintenance window.
     */
   def register(spark: SparkSession, registry: String, kind: String,
                tableDir: String, artifactDir: String,
-               column: String = ""): Registration = {
+               column: String = "",
+               params: Map[String, String] = Map.empty): Registration = {
     require(Set(KindManifest, KindBloomIndex, KindSketchCatalog)(kind),
       s"unknown artifact kind '$kind'")
     require(kind != KindBloomIndex || column.nonEmpty,
@@ -87,16 +112,12 @@ object ActivationStore {
       if (kind == KindSketchCatalog) ""
       else SketchCatalog.normalizePath(spark, tableDir)
     val artifact = SketchCatalog.normalizePath(spark, artifactDir)
-    val existing = readAll(spark, registry)
-    val rev = existing.map(_.revision).foldLeft(0L)(math.max) + 1L
-    val reg = Registration(table, kind, column, artifact, rev)
-    val kept = existing.filterNot(e =>
-      e.table == table && e.kind == kind && e.column == column) :+ reg
-    val rows = kept.sortBy(e => (e.table, e.kind, e.column)).map(e =>
-      Row(e.table, e.kind, e.column, e.artifact, e.revision))
+    val rev = readAll(spark, registry).map(_.revision).foldLeft(0L)(math.max) + 1L
+    val reg = Registration(table, kind, column, artifact, rev, params)
     spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
-      .coalesce(1).write.mode("overwrite").parquet(registry)
+        spark.sparkContext.parallelize(Seq(Row(reg.table, reg.kind, reg.column,
+          reg.artifact, reg.revision, encodeParams(reg.params))), 1), schema)
+      .coalesce(1).write.mode("append").parquet(registry)
     reg
   }
 
@@ -104,23 +125,50 @@ object ActivationStore {
                        tableDir: String, manifestDir: String): Registration =
     register(spark, registry, KindManifest, tableDir, manifestDir)
 
+  /** `fpp` is recorded in the registry (the stored index does not carry
+    * it), so [[refresh]] rebuilds at the registered false-positive rate.
+    */
   def registerBloomIndex(spark: SparkSession, registry: String,
                          tableDir: String, column: String,
-                         indexDir: String): Registration =
-    register(spark, registry, KindBloomIndex, tableDir, indexDir, column)
+                         indexDir: String, fpp: Double = 0.01): Registration =
+    register(spark, registry, KindBloomIndex, tableDir, indexDir, column,
+      Map("fpp" -> fpp.toString))
 
+  /** `eps`/`confidence`/`seed` are recorded in the registry (the stored
+    * catalog does not carry them), so [[refresh]] re-harvests at the
+    * registered sketch geometry instead of resetting to defaults.
+    */
   def registerCatalog(spark: SparkSession, registry: String,
-                      catalogDir: String): Registration =
-    register(spark, registry, KindSketchCatalog, "", catalogDir)
+                      catalogDir: String, eps: Double = 1e-3,
+                      confidence: Double = 0.99, seed: Int = 42): Registration =
+    register(spark, registry, KindSketchCatalog, "", catalogDir,
+      params = Map("eps" -> eps.toString, "confidence" -> confidence.toString,
+        "seed" -> seed.toString))
 
   /** The registry's current latest-wins view (empty when nothing was
-    * ever registered or the path does not exist).
+    * ever registered or the path does not exist). Same-revision ties
+    * (concurrent same-key registrations that drew one revision) resolve
+    * deterministically by (revision, artifact, params) so every reader
+    * sees the same winner.
     */
   def registrations(spark: SparkSession, registry: String): Seq[Registration] =
     readAll(spark, registry)
       .groupBy(e => (e.table, e.kind, e.column))
-      .map(_._2.maxBy(_.revision)).toSeq
+      .map(_._2.maxBy(e => (e.revision, e.artifact, encodeParams(e.params)))).toSeq
       .sortBy(e => (e.table, e.kind, e.column))
+
+  /** Fold registration history down to the latest-wins rows (one file).
+    * Overwrite is NOT concurrency-safe — run it in a maintenance window,
+    * like any compaction; [[register]]/[[load]] never need it for
+    * correctness, only to bound footer count under register churn.
+    */
+  def compactRegistry(spark: SparkSession, registry: String): Unit = {
+    val keep = registrations(spark, registry)
+    val rows = keep.map(e => Row(e.table, e.kind, e.column, e.artifact,
+      e.revision, encodeParams(e.params)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(registry)
+  }
 
   final case class LoadReport(activated: Seq[Registration],
                               failed: Seq[(Registration, String)])
@@ -187,17 +235,20 @@ object ActivationStore {
     * window the activations otherwise only DEGRADE through (a stale
     * manifest under-prunes appended files; a stale catalog misprices
     * them). Each artifact's build parameters are recovered from the
-    * stored artifact itself, so refresh needs no out-of-band config:
+    * stored artifact itself or the registration's recorded `params`, so
+    * refresh needs no out-of-band config and never silently resets an
+    * operator-chosen regime to defaults:
     *
     *  - manifest: columns from the stored `<col>_min` schema, grain
     *    from the `row_group` column ([[DataSkipping.rowGroupManifest]]
     *    vs [[DataSkipping.statsManifest]]);
     *  - Bloom index: the registry row's column; expected-items-per-file
-    *    from the stored per-file `n_rows` max (fpp stays the build
-    *    default — not recorded in the artifact);
+    *    from the stored per-file `n_rows` max; fpp from the recorded
+    *    `params` ([[registerBloomIndex]] records it — the artifact
+    *    itself does not carry it);
     *  - sketch catalog: per table, single keys and comma-joined tuple
-    *    keys re-harvested exactly as stored ([[SketchCatalog.harvest]]
-    *    defaults, the registered gates' regime).
+    *    keys re-harvested exactly as stored, at the recorded
+    *    eps/confidence/seed geometry ([[registerCatalog]] records them).
     *
     * Artifacts rewrite IN PLACE (`overwrite`, the [[ModelStore]]
     * discipline); sessions that activated the prior decode keep their
@@ -226,16 +277,20 @@ object ActivationStore {
             val prior = spark.read.parquet(r.artifact)
             val perFile = prior.agg(
               org.apache.spark.sql.functions.max("n_rows")).head().getLong(0)
+            val fpp = r.params.get("fpp").map(_.toDouble).getOrElse(0.01)
             DataSkipping.bloomIndex(spark, r.table, r.column,
-                math.max(64L, perFile))
+                math.max(64L, perFile), fpp)
               .write.mode("overwrite").parquet(r.artifact)
             Right(register(spark, registry, KindBloomIndex, r.table,
-              r.artifact, r.column))
+              r.artifact, r.column, r.params))
           case KindSketchCatalog =>
             val prior = spark.read.parquet(r.artifact)
               .select("table", "key").collect()
               .map(row => (row.getString(0), row.getString(1)))
               .toSeq.distinct
+            val eps = r.params.get("eps").map(_.toDouble).getOrElse(1e-3)
+            val confidence = r.params.get("confidence").map(_.toDouble).getOrElse(0.99)
+            val seed = r.params.get("seed").map(_.toInt).getOrElse(42)
             val fresh = prior.groupBy(_._1).toSeq.sortBy(_._1).map {
               case (table, rows) =>
                 val (tupleKeys, singleKeys) = rows.map(_._2).partition(_.contains(","))
@@ -243,11 +298,12 @@ object ActivationStore {
                   s"catalog for '$table' holds only tuple rows; refresh " +
                     "needs at least one single-key row per table")
                 SketchCatalog.harvest(spark, table,
-                  keys = singleKeys,
-                  tuples = tupleKeys.map(_.split(",").toSeq))
+                  keys = singleKeys, eps = eps, confidence = confidence,
+                  seed = seed, tuples = tupleKeys.map(_.split(",").toSeq))
             }.reduce(_.unionByName(_))
             SketchCatalog.save(fresh, r.artifact)
-            Right(register(spark, registry, KindSketchCatalog, "", r.artifact))
+            Right(register(spark, registry, KindSketchCatalog, "", r.artifact,
+              params = r.params))
         }
       } catch {
         case e: Exception =>

@@ -355,16 +355,14 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     */
   private val SubtreeMaxDepth = 3
 
-  /** The Aggregate-leaf subtree: one constituent (the catalogued base)
-    * with estRows = the HLL-bounded group count ([[aggRowBound]]). The
-    * constituent's colOf is keyed by the aggregate's OUTPUT ExprIds
-    * (CollapseProject folds `withColumnRenamed` into
-    * aggregateExpressions, so a renamed grouping key's output id is an
-    * Alias id, not the child's) — grouping columns map through, whether
-    * passed plain or re-aliased; aggregated outputs map to nothing, so
-    * an edge on one declines, as it must.
+  /** Shared resolution for BOTH aggregate-pricing consumers — the
+    * broadcast pass's [[aggBytes]] and the reorder pass's [[aggSubTree]]
+    * price the same Aggregate through this one path (the atomTest
+    * argument applied to aggregates: two consumers must not disagree):
+    * every grouping expr a plain column of ONE catalogued base, the
+    * base's table entry trusted, output rows bounded by [[aggRowBound]].
     */
-  private def aggSubTree(agg: Aggregate, cat: Catalog): Option[SubTree] = {
+  private def aggResolve(agg: Aggregate, cat: Catalog): Option[(Base, Entry, Long)] = {
     val groupAttrs = agg.groupingExpressions.map {
       case a: AttributeReference => Some(a)
       case _                     => None
@@ -378,7 +376,20 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
         if (cs.exists(_.isEmpty)) None else Some(cs.flatten.distinct)
       }
       rows <- aggRowBound(cat, base, cols, e.nRows)
-    } yield {
+    } yield (base, e, rows)
+  }
+
+  /** The Aggregate-leaf subtree: one constituent (the catalogued base)
+    * with estRows = the HLL-bounded group count ([[aggRowBound]]). The
+    * constituent's colOf is keyed by the aggregate's OUTPUT ExprIds
+    * (CollapseProject folds `withColumnRenamed` into
+    * aggregateExpressions, so a renamed grouping key's output id is an
+    * Alias id, not the child's) — grouping columns map through, whether
+    * passed plain or re-aliased; aggregated outputs map to nothing, so
+    * an edge on one declines, as it must.
+    */
+  private def aggSubTree(agg: Aggregate, cat: Catalog): Option[SubTree] =
+    aggResolve(agg, cat).map { case (base, e, rows) =>
       val outMap: Map[ExprId, String] = agg.aggregateExpressions.flatMap {
         case a: AttributeReference => base.colOf.get(a.exprId).map(a.exprId -> _)
         case al @ Alias(ar: AttributeReference, _) =>
@@ -388,7 +399,6 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
       SubTree(Seq((Base(base.table, outMap), math.max(1.0, e.nRows.toDouble))),
         rows.toDouble)
     }
-  }
 
   private def subTree(p: LogicalPlan, cat: Catalog,
                       depth: Int = 0): Option[SubTree] = {
@@ -938,26 +948,12 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     * — a Filter below only shrinks the group count, so the unfiltered
     * bound stays sound); anything else declines to None.
     */
-  private def aggBytes(agg: Aggregate, cat: Catalog): Option[Long] = {
-    val groupAttrs = agg.groupingExpressions.map {
-      case a: AttributeReference => Some(a)
-      case _                     => None
-    }
-    if (groupAttrs.isEmpty || groupAttrs.exists(_.isEmpty)) return None
-    for {
-      base <- resolveBase(agg.child, cat)
-      e <- trustedTable(cat, base.table)
-      cols <- {
-        val cs = groupAttrs.flatten.map(a => base.colOf.get(a.exprId))
-        if (cs.exists(_.isEmpty)) None else Some(cs.flatten.distinct)
-      }
-      rows <- aggRowBound(cat, base, cols, e.nRows)
-    } yield {
+  private def aggBytes(agg: Aggregate, cat: Catalog): Option[Long] =
+    aggResolve(agg, cat).map { case (_, e, rows) =>
       val perRow = math.max(1L, e.nBytes / math.max(1L, e.nRows)) +
         agg.output.map(_.dataType.defaultSize.toLong).sum
       satBytes(rows, perRow)
     }
-  }
 
   /** Per-pass pricing memo (ADVICE r14): [[subTree]] and [[estBytes]]
     * results keyed by plan-node identity, one instance per

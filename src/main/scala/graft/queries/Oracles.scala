@@ -416,11 +416,6 @@ object Oracles {
        |ORDER BY k.vec_id""".stripMargin
   }
 
-  /** 6-dp-rounded cosine over two 64-dim DOUBLE list expressions —
-    * `list_sum` folds in index order, exactly like the JVM loop and the
-    * `graft_dot` codegen kernel, so the pre-round double is bit-identical
-    * across all three engines.
-    */
   /** Registered ANN probe-set size — mirrors Queries.AnnAnchorK: every
     * X3/X11 twin draws its query anchors as the FIRST K rows by
     * (md5(vec_id as varchar), vec_id) — the fixed-count md5-rank
@@ -438,6 +433,11 @@ object Oracles {
   private val AnchorRank =
     s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $AnnAnchorK"
 
+  /** 6-dp-rounded cosine over two 64-dim DOUBLE list expressions —
+    * `list_sum` folds in index order, exactly like the JVM loop and the
+    * `graft_dot` codegen kernel, so the pre-round double is bit-identical
+    * across all three engines.
+    */
   private def listCos(a: String, b: String) =
     s"""round(
        |    list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i])) /
@@ -459,7 +459,7 @@ object Oracles {
     * unrolling it (the x6_bpe_merges technique) puts the whole operator
     * under the hash gate.
     */
-  private def kmeansCellChain(kMaxUnroll: Int = 16, iters: Int = 3,
+  private def kmeansCellChain(kMaxUnroll: Int = 48, iters: Int = 3,
                               sampleLimit: Int = 4096,
                               targetCellSize: Int = 50, maxCells: Int = 512): String = {
     // kc is CORPUS-DERIVED — the Similarity.ivfCellsFor derivation
@@ -467,10 +467,14 @@ object Oracles {
     // integer SQL, the same count→regime discipline as rhpBucketChainDyn.
     // The seeding unroll is static (CTE stages cannot be data-dependent)
     // but each stage past kc adds NO seed (the WHERE gate), so the chain
-    // replays any kc ≤ kMaxUnroll bit-for-bit; the oracle fixtures
-    // (n = 500 → kc = 10) sit well inside the 16-stage unroll. A fixture
-    // whose derived kc exceeded the unroll would produce a WRONG twin —
-    // the ivf_kc CASE guard makes that loud (error() instead of a
+    // replays any kc ≤ kMaxUnroll bit-for-bit. 48 stages cover all three
+    // gated fixtures (n = 500 → kc = 10 at sf0.001/sf0.01; n = 2000 →
+    // kc = 40 at sf0.1 — the r15 review caught the prior 16-stage
+    // ceiling silently shrinking the twin's scale coverage to the two
+    // small fixtures); each no-op stage costs one gated scan of the
+    // bounded sample, so the widened unroll stays check.py-cheap. A
+    // fixture whose derived kc exceeded the unroll would produce a WRONG
+    // twin — the ivf_kc CASE guard makes that loud (error() instead of a
     // silently under-seeded fit; ivf_kc is consumed by every seeding
     // gate, so it cannot be pruned away).
     val seeding = (2 to kMaxUnroll).map { s =>

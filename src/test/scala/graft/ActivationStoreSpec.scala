@@ -161,6 +161,10 @@ class ActivationStoreSpec extends SparkSpec {
     assert(r2.revision == 2L)
     assert(ActivationStore.registrations(spark, registry).size == 1,
       "same (table, kind, column) re-registration must supersede, not accrete")
+    // compaction folds append history without changing the logical view
+    ActivationStore.compactRegistry(spark, registry)
+    assert(ActivationStore.registrations(spark, registry) ==
+      Seq(r2), "compaction must preserve the latest-wins view")
 
     // two catalogs: load must activate the LATEST revision only
     val cat1 = s"$d/cat1"; val cat2 = s"$d/cat2"
