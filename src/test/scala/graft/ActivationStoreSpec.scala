@@ -153,6 +153,57 @@ class ActivationStoreSpec extends SparkSpec {
     assert(idxFiles == 9L, s"refreshed index must cover all 9 files, got $idxFiles")
   }
 
+  test("row-group-grain manifest survives the registry round trip: the band-gap file drops for a fresh session") {
+    // band-gap layout: sorted DISTINCT multiples of 1000 forced into tiny
+    // row groups — any (x+1, x+999) box between one group's max and the
+    // next group's min overlaps the FILE's folded range while provably
+    // missing every group (the x9_skipping_rg shape). File grain cannot
+    // drop the file; row-group grain must — and must still do so after
+    // the manifest rides the registry's parquet round trip.
+    val d = java.nio.file.Files.createTempDirectory("graft-actstore-rg").toString
+    val tbl = s"$d/t"
+    spark.range(0L, 2000L).select((col("id") * 1000L).as("u"))
+      .coalesce(1).sortWithinPartitions("u")
+      .write.option("parquet.block.size", "2048").option("parquet.page.size", "512")
+      .parquet(tbl)
+    val rg = DataSkipping.rowGroupManifest(spark, tbl, Seq("u"))
+    assert(rg.groupBy("file").count().agg(min("count")).head().getLong(0) >= 2L,
+      "fixture must have multiple row groups per file")
+    val x = rg.orderBy(col("u_min").asc, col("row_group").asc)
+      .select("u_max").head().getLong(0)
+    val rgPath = s"$d/rg_manifest"
+    rg.write.mode("overwrite").parquet(rgPath)
+    val fgPath = s"$d/fg_manifest"
+    DataSkipping.statsManifest(spark, tbl, Seq("u"))
+      .write.mode("overwrite").parquet(fgPath)
+
+    def kept(s: SparkSession): Option[(Int, Int)] =
+      prunedFiles(s.read.parquet(tbl).where(col("u").between(x + 1L, x + 999L)))
+
+    // file grain through the registry: no drop possible (the box sits
+    // inside the file's folded range)
+    val regFg = s"$d/registry_fg"
+    ActivationStore.registerManifest(spark, regFg, tbl, fgPath)
+    val sFg = spark.newSession()
+    sFg.conf.set(ActivationStore.RegistryConfKey, regFg)
+    assert(GraftSession.attach(sFg).get.failed.isEmpty)
+    // a zero-drop prune leaves the plan unrewritten (no PrunedFileIndex)
+    assert(kept(sFg).isEmpty,
+      s"file grain must prove no drop for the band-gap box, got ${kept(sFg)}")
+
+    // row-group grain through the registry: every group excludes the box,
+    // so the file drops — proving the rg rows round-tripped intact
+    val regRg = s"$d/registry_rg"
+    ActivationStore.registerManifest(spark, regRg, tbl, rgPath)
+    val sRg = spark.newSession()
+    sRg.conf.set(ActivationStore.RegistryConfKey, regRg)
+    assert(GraftSession.attach(sRg).get.failed.isEmpty)
+    assert(kept(sRg).exists { case (k, t) => k < t },
+      s"row-group grain must drop the band-gap file, got ${kept(sRg)}")
+    // and the box is provably row-free either way
+    assert(sRg.read.parquet(tbl).where(col("u").between(x + 1L, x + 999L)).count() == 0L)
+  }
+
   test("re-registration supersedes compactly; latest catalog wins; unreadable artifact is loud but non-fatal") {
     val (d, tbl, manPath) = fixture("super")
     val registry = s"$d/registry"

@@ -219,6 +219,70 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("composite-grouping aggregate prices through the tuple artifact; product fallback stays sound") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // 4000 rows; (g1, g2) has 40 distinct tuples, but g1 and g2 each have
+    // 40 distinct values — the per-column PRODUCT bound (1600) is 40×
+    // looser than the tuple bound (40). Thresholds pinned between the two
+    // so only the tuple artifact earns the broadcast.
+    val cgPath = s"$dir/cgfact.parquet"
+    if (!new java.io.File(cgPath).exists()) {
+      spark.range(0L, 4000L)
+        .select((col("id") % 40).as("g1"), ((col("id") + 7) % 40).as("g2"),
+          col("id").as("cg_id"), (col("id") % 5).cast("double").as("cg_val"))
+        .repartition(4).write.parquet(cgPath)
+    }
+    def cat(withTuple: Boolean): String = {
+      val c = SketchCatalog.harvest(spark, cgPath, Seq("g1", "g2"),
+        tuples = if (withTuple) Seq(Seq("g1", "g2")) else Nil)
+      val p = s"$dir/catalog_cg_$withTuple"
+      SketchCatalog.save(c, p)
+      p
+    }
+    def frame(): DataFrame = {
+      val rollup = spark.read.parquet(cgPath)
+        .groupBy("g1", "g2").agg(sum("cg_val").as("pair_total"))
+        .withColumnRenamed("g1", "a1").withColumnRenamed("g2", "a2")
+      spark.read.parquet(cgPath)
+        .join(rollup, col("g1") === col("a1") && col("g2") === col("a2"))
+        .groupBy("g1").agg(count(lit(1)).as("n"), sum("pair_total").as("s"))
+        .orderBy("g1")
+    }
+    def aggBroadcast(df: DataFrame): Boolean =
+      physicalJoins(df).exists {
+        case b: BroadcastHashJoinExec =>
+          val build = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case _                                                 => b.right
+          }
+          build.exists(_.isInstanceOf[BaseAggregateExec])
+        case _ => false
+      }
+    val tuplePath = cat(withTuple = true)
+    val factBytes = spark.read.parquet(tuplePath).where(col("key") === "g1")
+      .select("n_bytes").head().getLong(0)
+    val perRowDisk = math.max(1L, factBytes / 4000L)
+    // rollup output defaultSize: two longs + a double = 24; bound bytes =
+    // rows × (perRowDisk + 24). Tuple bound ≈ 48 rows; product bound ≈
+    // min(1.2×1600-ish, 4000) rows. Pin the threshold at the 400-row
+    // class — far above the tuple estimate, far below the product's.
+    val thr = 400L * (perRowDisk + 24L)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        SketchCatalog.BroadcastBytesKey -> thr.toString) {
+      SketchCatalog.deactivate(spark)
+      val plainRows = frame().collect().toSeq
+      SketchCatalog.activate(spark, cat(withTuple = false))
+      try {
+        assert(!aggBroadcast(frame()),
+          "singles-only catalog: the per-column product bound must price past the threshold")
+        SketchCatalog.activate(spark, tuplePath)
+        assert(aggBroadcast(frame()),
+          "tuple catalog: the composite-grouping bound must earn the broadcast")
+        assert(frame().collect().toSeq == plainRows)
+      } finally SketchCatalog.deactivate(spark)
+    }
+  }
+
   test("manifest-refined range pricing: a narrow time-window filter earns the broadcast; stale manifest declines") {
     import graft.ops.{DataSkipping, ScanPrune}
     // range-clustered table so a range predicate provably excludes files:
