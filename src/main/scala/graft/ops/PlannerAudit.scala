@@ -83,6 +83,46 @@ object PlannerAudit {
       cmsFingerprint(ea.cms), cmsFingerprint(eb.cms))
   }
 
+  /** Execute `GROUP BY groupCols` over the table at `dir` to completion
+    * and audit the AGGREGATE-output bound the planner prices
+    * pre-aggregated dims with ([[SketchCatalog.aggGroupBound]] — the
+    * shared definition, so estimator and auditor cannot drift): one
+    * audit row PER CONSUMED ENTRY (a violation must impugn every sketch
+    * that fed the bound — the tuple artifact, or each per-column entry
+    * of the product fallback), est = the bound, actual = the observed
+    * group count from the audited execution itself. The contract under
+    * audit is never-understate (`est ≥ actual` — what keeps an
+    * artifact-driven aggregate broadcast inside executor memory); the
+    * overcount column is parameterized vacuously true (eps = 1, n_b = 1
+    * ⇒ slack = n_rows ≥ any bound) because the bound's designed
+    * overcount — the HLL safety margin and the row-count cap — is not a
+    * defect to demote on. A violating row lands in
+    * [[demotedFingerprints]] like any join audit, and
+    * [[SketchCatalog.activate]]'s demotion then makes
+    * `aggGroupBound` decline the entry — the same closed loop, one more
+    * estimator inside it.
+    */
+  def auditAggBound(spark: SparkSession, catalog: SketchCatalog.Catalog,
+                    dir: String, groupCols: Seq[String]): Seq[Row] = {
+    val t = SketchCatalog.normalizePath(spark, dir)
+    val (bound, consumed) = SketchCatalog.aggGroupBound(catalog, t, groupCols)
+      .getOrElse(throw new IllegalArgumentException(
+        s"auditAggBound: ($t, ${groupCols.mkString(",")}) not fully catalogued"))
+    val nRows = catalog.byTable.get(t).map(_.nRows).getOrElse(0L)
+    val obs = Observation()
+    import org.apache.spark.sql.functions.{col => fcol}
+    spark.read.parquet(dir)
+      .groupBy(groupCols.map(fcol): _*).agg(count(lit(1)).as("__audit_n"))
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").format("noop").save()
+    val actual = obs.get("rows").asInstanceOf[Long]
+    consumed.map { e =>
+      Row(t, SketchCatalog.tupleKeyName(groupCols), t, "",
+        bound, actual, nRows, 1L, 1.0,
+        cmsFingerprint(e.cms), null)
+    }
+  }
+
   /** Append audit rows to the artifact store at `path` (the same
     * append-then-report cadence as every maintenance artifact here).
     */

@@ -172,6 +172,58 @@ object SketchCatalog {
     def trusted(e: Entry): Boolean = !demoted((e.table, e.key))
   }
 
+  /** Inflation applied to an HLL distinct estimate before it bounds a
+    * GROUP BY's output rows — the sketch is an estimate (±2% typical at
+    * the harvest precision) and the consumers' contract is
+    * never-understate.
+    */
+  val HllRowSafety = 1.2
+
+  /** HLL-derived upper bound on `GROUP BY cols`' output rows over a
+    * catalogued table, with the entries the bound consumed (for audit
+    * fingerprinting): one row per distinct grouping tuple, so the bound
+    * is the catalogued HLL distinct — the TUPLE artifact's when one
+    * covers exactly this column set (the only estimate of the actual
+    * composite key), else the saturating PRODUCT of per-column distincts
+    * (exact upper bound on tuple distincts, before HLL error) — inflated
+    * by [[HllRowSafety]] and capped at the table's row count (group
+    * count ≤ rows, exact). Shared by the planner's aggregate pricing
+    * ([[graft.plans.SketchJoinPlanning]]) and [[PlannerAudit]]'s
+    * aggregate audit so estimator and auditor cannot drift. None when
+    * any needed artifact is missing or demoted.
+    */
+  def aggGroupBound(cat: Catalog, table: String,
+                    cols: Seq[String]): Option[(Long, Seq[Entry])] = {
+    val distinctCols = cols.distinct
+    if (distinctCols.isEmpty || cat.demotedTables(table)) return None
+    val tableEntry = cat.byTable.get(table)
+    def entryOf(c: String): Option[Entry] =
+      cat.byTableKey.get((table, c)).filter(cat.trusted)
+    val est: Option[(Double, Seq[Entry])] =
+      if (distinctCols.size == 1) entryOf(distinctCols.head).map(e => (e.distinctEst, Seq(e)))
+      else {
+        val tuple = cat.entries.iterator
+          .filter(e => e.table == table && e.key.contains(",") && cat.trusted(e))
+          .find { e =>
+            val ks = e.key.split(",").toSeq
+            ks.size == distinctCols.size && ks.toSet == distinctCols.toSet
+          }.map(e => (e.distinctEst, Seq(e)))
+        tuple.orElse {
+          val per = distinctCols.map(entryOf)
+          if (per.exists(_.isEmpty)) None
+          else Some((per.flatten.foldLeft(1.0)((a, e) => a * math.max(1.0, e.distinctEst)),
+            per.flatten))
+        }
+      }
+    for {
+      (d, consumed) <- est
+      te <- tableEntry
+    } yield {
+      val bounded = math.min(d * HllRowSafety, math.max(1L, te.nRows).toDouble)
+      (math.max(1L, math.ceil(bounded).toLong), consumed)
+    }
+  }
+
   private val active = new java.util.concurrent.ConcurrentHashMap[String, Catalog]()
 
   /** The catalog dir `dir` normalized to the qualified-URI form leaf scans

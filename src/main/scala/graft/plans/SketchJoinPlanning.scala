@@ -891,48 +891,18 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     try Math.multiplyExact(rows, perRow)
     catch { case _: ArithmeticException => Long.MaxValue }
 
-  /** Inflation applied to an HLL distinct estimate before it bounds an
-    * aggregate's output rows: the sketch is an ESTIMATE (±2% typical at
-    * the harvest precision), and the broadcast pass's contract is
-    * never-understate — 1.2 puts the bound past any realistic HLL error
-    * while still separating a grouped dim from its base by orders of
-    * magnitude (the shapes this pricing exists for).
-    */
-  private val HllRowSafety = 1.2
-
   /** Output-row upper bound for a GROUP BY over `cols` of a catalogued
-    * base: one row per distinct grouping tuple, so the bound is the
-    * catalogued HLL distinct — the TUPLE artifact's when one covers
-    * exactly this column set (the only estimate of the actual composite
-    * key), else the saturating PRODUCT of per-column distincts (exact
-    * upper bound on tuple distincts, before HLL error) — inflated by
-    * [[HllRowSafety]] and capped at the base's row count (group count ≤
-    * rows, exact). None when any needed artifact is missing/untrusted.
+    * base — [[SketchCatalog.aggGroupBound]], the ONE definition shared
+    * with [[graft.ops.PlannerAudit.auditAggBound]] so the estimator and
+    * its auditor cannot drift (tuple artifact preferred, per-column
+    * product fallback, [[SketchCatalog.HllRowSafety]] inflation, capped
+    * exactly at the base's row count). None when any needed artifact is
+    * missing/untrusted — including entries DEMOTED by recorded aggregate
+    * audits, closing the same feedback loop the join estimates ride.
     */
   private def aggRowBound(cat: Catalog, base: Base, cols: Seq[String],
-                          nRows: Long): Option[Long] = {
-    def distinctOf(c: String): Option[Double] =
-      cat.byTableKey.get((base.table, c)).filter(cat.trusted).map(_.distinctEst)
-    val est: Option[Double] =
-      if (cols.size == 1) distinctOf(cols.head)
-      else {
-        val tuple = cat.entries.iterator
-          .filter(e => e.table == base.table && e.key.contains(",") && cat.trusted(e))
-          .find { e =>
-            val ks = e.key.split(",").toSeq
-            ks.size == cols.size && ks.toSet == cols.toSet
-          }.map(_.distinctEst)
-        tuple.orElse {
-          val per = cols.map(distinctOf)
-          if (per.exists(_.isEmpty)) None
-          else Some(per.flatten.foldLeft(1.0)((a, b) => a * math.max(1.0, b)))
-        }
-      }
-    est.map { d =>
-      val bounded = math.min(d * HllRowSafety, nRows.toDouble)
-      math.max(1L, math.ceil(bounded).toLong)
-    }
-  }
+                          nRows: Long): Option[Long] =
+    SketchCatalog.aggGroupBound(cat, base.table, cols).map(_._1)
 
   /** Byte estimate for a pre-aggregated side — `Aggregate(groupingKeys,
     * catalogued base)`, the "grouped dim" shape rollup-feeding pipelines

@@ -939,6 +939,99 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  test("aggregate-bound audit: an understating sketch is caught on real executions, demotes, and the rollup broadcast declines") {
+    import graft.ops.PlannerAudit
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // table: 4000 rows, 40 distinct g1 (written by the composite-grouping
+    // test's fixture shape; rebuilt here standalone for ordering safety)
+    val agPath = s"$dir/agfact.parquet"
+    if (!new java.io.File(agPath).exists()) {
+      spark.range(0L, 4000L)
+        .select((col("id") % 40).as("g1"), col("id").as("ag_id"),
+          (col("id") % 5).cast("double").as("ag_val"))
+        .repartition(4).write.parquet(agPath)
+    }
+    val honestPath = {
+      val p = s"$dir/catalog_ag"
+      SketchCatalog.save(SketchCatalog.harvest(spark, agPath, Seq("g1")), p)
+      p
+    }
+    // poisoned: g1's distinct/cms swapped for a single-group harvest —
+    // the stale sketch that predates a 40× group-count explosion
+    spark.range(0L, 4000L).select(lit(7L).as("g1"))
+      .write.mode("overwrite").parquet(s"$dir/thin_ag.parquet")
+    val thin = SketchCatalog.harvest(spark, s"$dir/thin_ag.parquet", Seq("g1"))
+      .select(col("distinct_est"), col("cms")).head()
+    val poisonedPath = s"$dir/catalog_ag_poisoned"
+    SketchCatalog.save(
+      spark.read.parquet(honestPath)
+        .withColumn("distinct_est",
+          when(col("key") === "g1", lit(thin.getDouble(0))).otherwise(col("distinct_est")))
+        .withColumn("cms",
+          when(col("key") === "g1", lit(thin.getAs[Array[Byte]](1))).otherwise(col("cms"))),
+      poisonedPath)
+    def frame(): DataFrame = {
+      val rollup = spark.read.parquet(agPath)
+        .groupBy("g1").agg(sum("ag_val").as("g_total"))
+        .withColumnRenamed("g1", "a1")
+      spark.read.parquet(agPath)
+        .join(rollup, col("g1") === col("a1"))
+        .groupBy((col("g1") % 4).as("g")).agg(count(lit(1)).as("n"), sum("g_total").as("s"))
+        .orderBy("g")
+    }
+    def aggBroadcast(df: DataFrame): Boolean =
+      physicalJoins(df).exists {
+        case b: BroadcastHashJoinExec =>
+          val build = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case _                                                 => b.right
+          }
+          build.exists(_.isInstanceOf[BaseAggregateExec])
+        case _ => false
+      }
+    val factBytes = spark.read.parquet(honestPath).where(col("key") === "g1")
+      .select("n_bytes").head().getLong(0)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        SketchCatalog.BroadcastBytesKey -> math.max(1L, factBytes / 4).toString) {
+      spark.conf.unset(SketchCatalog.AuditStoreKey)
+      SketchCatalog.deactivate(spark)
+      val plainRows = frame().collect().toSeq
+      // the hazard: the lying artifact prices the rollup at ~2 rows and
+      // broadcasts it — correct results (hints are semantics-safe), but
+      // exactly the estimate the audit exists to catch
+      val pcat = SketchCatalog.activate(spark, poisonedPath)
+      assert(aggBroadcast(frame()),
+        "the understating sketch must (unsafely) earn the broadcast pre-audit")
+      assert(frame().collect().toSeq == plainRows)
+      SketchCatalog.deactivate(spark)
+      // three audited real executions of the GROUP BY: est ≈ 2, actual 40
+      val auditPath = s"$dir/audit_store_ag"
+      PlannerAudit.record(spark, auditPath, (1 to 3).flatMap { _ =>
+        PlannerAudit.auditAggBound(spark, pcat, agPath, Seq("g1"))
+      }, append = false)
+      assert(PlannerAudit.report(spark, auditPath)
+        .where(!col("never_undercount")).count() == 3L,
+        "every audited execution must record the undercount violation")
+      try {
+        spark.conf.set(SketchCatalog.AuditStoreKey, auditPath)
+        val demoted = SketchCatalog.activate(spark, poisonedPath)
+        val agTable = SketchCatalog.normalizePath(spark, agPath)
+        assert(demoted.demoted((agTable, "g1")), "the lying sketch must demote")
+        // demoted: aggGroupBound declines, the join stays sort-merge
+        assert(physicalJoins(frame()).forall(_.isInstanceOf[SortMergeJoinExec]),
+          "a demoted grouping-key artifact must not price the rollup")
+        assert(frame().collect().toSeq == plainRows)
+        // fingerprint recovery: the honest harvest (different bytes) has a
+        // clean record and earns the broadcast again
+        SketchCatalog.activate(spark, honestPath)
+        assert(aggBroadcast(frame()),
+          "the honest re-harvest must recover by fingerprint")
+        assert(frame().collect().toSeq == plainRows)
+        SketchCatalog.deactivate(spark)
+      } finally spark.conf.unset(SketchCatalog.AuditStoreKey)
+    }
+  }
+
   test("schema evolution: renamed/retyped keys degrade the rule to inert, parity holds") {
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val path = harvestAll()
