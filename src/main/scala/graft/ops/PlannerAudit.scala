@@ -88,14 +88,20 @@ object PlannerAudit {
     * pre-aggregated dims with ([[SketchCatalog.aggGroupBound]] — the
     * shared definition, so estimator and auditor cannot drift): one
     * audit row PER CONSUMED ENTRY (a violation must impugn every sketch
-    * that fed the bound — the tuple artifact, or each per-column entry
-    * of the product fallback), est = the bound, actual = the observed
-    * group count from the audited execution itself. The contract under
-    * audit is never-understate (`est ≥ actual` — what keeps an
-    * artifact-driven aggregate broadcast inside executor memory); the
-    * overcount column is parameterized vacuously true (eps = 1, n_b = 1
-    * ⇒ slack = n_rows ≥ any bound) because the bound's designed
-    * overcount — the HLL safety margin and the row-count cap — is not a
+    * that fed the bound — the tuple artifact AND each constituent, or
+    * each per-column entry of the product fallback), keyed by the
+    * entry's OWN key (`key_a`, so a report reader can attribute a
+    * violating row to the exact sketch) with the audited grouping's
+    * tuple name as context (`key_b`); est = the bound, actual = the
+    * observed group count from the audited execution itself. The
+    * contract under audit is never-understate (`est ≥ actual` — what
+    * keeps an artifact-driven aggregate broadcast inside executor
+    * memory); the overcount column is parameterized vacuously true
+    * (eps = 1, n_b = 1, n_a = max(1, rows) ⇒ slack ≥ any bound — the
+    * floor matters on an EMPTY table, where rows = 0 would zero the
+    * slack and record false overcount violations against an honest
+    * sketch) because the bound's designed overcount — the HLL safety
+    * margin, the null-group terms and the row-count cap — is not a
     * defect to demote on. A violating row lands in
     * [[demotedFingerprints]] like any join audit, and
     * [[SketchCatalog.activate]]'s demotion then makes
@@ -117,8 +123,8 @@ object PlannerAudit {
       .write.mode("overwrite").format("noop").save()
     val actual = obs.get("rows").asInstanceOf[Long]
     consumed.map { e =>
-      Row(t, SketchCatalog.tupleKeyName(groupCols), t, "",
-        bound, actual, nRows, 1L, 1.0,
+      Row(t, e.key, t, SketchCatalog.tupleKeyName(groupCols),
+        bound, actual, math.max(1L, nRows), 1L, 1.0,
         cmsFingerprint(e.cms), null)
     }
   }

@@ -181,45 +181,65 @@ object SketchCatalog {
 
   /** HLL-derived upper bound on `GROUP BY cols`' output rows over a
     * catalogued table, with the entries the bound consumed (for audit
-    * fingerprinting): one row per distinct grouping tuple, so the bound
-    * is the catalogued HLL distinct — the TUPLE artifact's when one
-    * covers exactly this column set (the only estimate of the actual
-    * composite key), else the saturating PRODUCT of per-column distincts
-    * (exact upper bound on tuple distincts, before HLL error) — inflated
-    * by [[HllRowSafety]] and capped at the table's row count (group
-    * count ≤ rows, exact). Shared by the planner's aggregate pricing
+    * fingerprinting). NULL-AWARE: the stored HLLs skip nulls (Spark
+    * aggregate semantics) while GROUP BY emits null groups, so each
+    * column's contribution is `distinct × HllRowSafety + 1` (the null
+    * group the sketch never counted) — without the +1 the bound
+    * genuinely understates on nullable grouping columns, the exact
+    * inversion of the never-understate contract (and the audit would
+    * demote HONEST artifacts for it). Forms:
+    *
+    *  - single column: `d·s + 1`;
+    *  - composite with a TUPLE artifact (the only estimate of the
+    *    actual composite key — the tuple HLL counts all-non-null tuples
+    *    only): `tupleD·s + (Π(dᵢ·s + 1) − Π(dᵢ·s))` — the second term
+    *    bounds the groups carrying ≥ 1 null component, and needs the
+    *    constituent singles (a tuple-only catalog falls through);
+    *  - composite without: the product `Π(dᵢ·s + 1)` (exact upper bound
+    *    on null-inclusive tuple distincts, before HLL error).
+    *
+    * All capped at the table's row count (group count ≤ rows, exact).
+    * Shared by the planner's aggregate pricing
     * ([[graft.plans.SketchJoinPlanning]]) and [[PlannerAudit]]'s
     * aggregate audit so estimator and auditor cannot drift. None when
-    * any needed artifact is missing or demoted.
+    * any needed artifact is missing, or when ANY of the table's keys is
+    * demoted — the row-count cap rides the table-level stats, which the
+    * demotion posture declines wholesale ([[Catalog.demotedTables]];
+    * the table-wide gate subsumes per-entry trusted checks here).
     */
   def aggGroupBound(cat: Catalog, table: String,
                     cols: Seq[String]): Option[(Long, Seq[Entry])] = {
     val distinctCols = cols.distinct
     if (distinctCols.isEmpty || cat.demotedTables(table)) return None
-    val tableEntry = cat.byTable.get(table)
-    def entryOf(c: String): Option[Entry] =
-      cat.byTableKey.get((table, c)).filter(cat.trusted)
+    val s = HllRowSafety
+    def entryOf(c: String): Option[Entry] = cat.byTableKey.get((table, c))
+    def singles: Option[Seq[Entry]] = {
+      val per = distinctCols.map(entryOf)
+      if (per.exists(_.isEmpty)) None else Some(per.flatten)
+    }
     val est: Option[(Double, Seq[Entry])] =
-      if (distinctCols.size == 1) entryOf(distinctCols.head).map(e => (e.distinctEst, Seq(e)))
+      if (distinctCols.size == 1)
+        entryOf(distinctCols.head).map(e => (e.distinctEst * s + 1.0, Seq(e)))
       else {
         val tuple = cat.entries.iterator
-          .filter(e => e.table == table && e.key.contains(",") && cat.trusted(e))
+          .filter(e => e.table == table && e.key.contains(","))
           .find { e =>
             val ks = e.key.split(",").toSeq
             ks.size == distinctCols.size && ks.toSet == distinctCols.toSet
-          }.map(e => (e.distinctEst, Seq(e)))
-        tuple.orElse {
-          val per = distinctCols.map(entryOf)
-          if (per.exists(_.isEmpty)) None
-          else Some((per.flatten.foldLeft(1.0)((a, e) => a * math.max(1.0, e.distinctEst)),
-            per.flatten))
+          }
+        val viaTuple = for { te <- tuple; ss <- singles } yield {
+          val withNull = ss.foldLeft(1.0)((a, e) => a * (math.max(1.0, e.distinctEst) * s + 1.0))
+          val nonNull = ss.foldLeft(1.0)((a, e) => a * (math.max(1.0, e.distinctEst) * s))
+          (te.distinctEst * s + (withNull - nonNull), te +: ss)
         }
+        viaTuple.orElse(singles.map(ss =>
+          (ss.foldLeft(1.0)((a, e) => a * (math.max(1.0, e.distinctEst) * s + 1.0)), ss)))
       }
     for {
       (d, consumed) <- est
-      te <- tableEntry
+      te <- cat.byTable.get(table)
     } yield {
-      val bounded = math.min(d * HllRowSafety, math.max(1L, te.nRows).toDouble)
+      val bounded = math.min(d, math.max(1L, te.nRows).toDouble)
       (math.max(1L, math.ceil(bounded).toLong), consumed)
     }
   }

@@ -360,7 +360,13 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     * price the same Aggregate through this one path (the atomTest
     * argument applied to aggregates: two consumers must not disagree):
     * every grouping expr a plain column of ONE catalogued base, the
-    * base's table entry trusted, output rows bounded by [[aggRowBound]].
+    * base's table entry trusted, output rows bounded by
+    * [[SketchCatalog.aggGroupBound]] — the ONE definition shared with
+    * [[graft.ops.PlannerAudit.auditAggBound]] so the estimator and its
+    * auditor cannot drift (tuple artifact preferred, null-aware
+    * per-column product fallback, capped exactly at the base's row
+    * count; entries DEMOTED by recorded aggregate audits decline,
+    * closing the same feedback loop the join estimates ride).
     */
   private def aggResolve(agg: Aggregate, cat: Catalog): Option[(Base, Entry, Long)] = {
     val groupAttrs = agg.groupingExpressions.map {
@@ -375,12 +381,12 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
         val cs = groupAttrs.flatten.map(a => base.colOf.get(a.exprId))
         if (cs.exists(_.isEmpty)) None else Some(cs.flatten.distinct)
       }
-      rows <- aggRowBound(cat, base, cols, e.nRows)
+      rows <- SketchCatalog.aggGroupBound(cat, base.table, cols).map(_._1)
     } yield (base, e, rows)
   }
 
   /** The Aggregate-leaf subtree: one constituent (the catalogued base)
-    * with estRows = the HLL-bounded group count ([[aggRowBound]]). The
+    * with estRows = the HLL-bounded group count ([[aggResolve]]). The
     * constituent's colOf is keyed by the aggregate's OUTPUT ExprIds
     * (CollapseProject folds `withColumnRenamed` into
     * aggregateExpressions, so a renamed grouping key's output id is an
@@ -411,7 +417,7 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
         }
       case None => s match {
         // an AGGREGATE leaf prices as a one-constituent subtree: its base
-        // with estRows = the HLL-bounded group count ([[aggRowBound]]),
+        // with estRows = the HLL-bounded group count ([[aggResolve]]),
         // so [[edgeSide]]'s fan-out (estRows / baseRows) is exactly the
         // collapse factor — an edge into the rollup prices as the base
         // pair estimate scaled down by the per-key multiplicity the
@@ -891,22 +897,9 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     try Math.multiplyExact(rows, perRow)
     catch { case _: ArithmeticException => Long.MaxValue }
 
-  /** Output-row upper bound for a GROUP BY over `cols` of a catalogued
-    * base — [[SketchCatalog.aggGroupBound]], the ONE definition shared
-    * with [[graft.ops.PlannerAudit.auditAggBound]] so the estimator and
-    * its auditor cannot drift (tuple artifact preferred, per-column
-    * product fallback, [[SketchCatalog.HllRowSafety]] inflation, capped
-    * exactly at the base's row count). None when any needed artifact is
-    * missing/untrusted — including entries DEMOTED by recorded aggregate
-    * audits, closing the same feedback loop the join estimates ride.
-    */
-  private def aggRowBound(cat: Catalog, base: Base, cols: Seq[String],
-                          nRows: Long): Option[Long] =
-    SketchCatalog.aggGroupBound(cat, base.table, cols).map(_._1)
-
   /** Byte estimate for a pre-aggregated side — `Aggregate(groupingKeys,
     * catalogued base)`, the "grouped dim" shape rollup-feeding pipelines
-    * put under joins: output rows bound via [[aggRowBound]] (the stored
+    * put under joins: output rows bound via [[aggResolve]] (the stored
     * HLL distinct of the grouping keys — the statistic Catalyst's own
     * size-only estimator cannot see: it scales the CHILD's bytes, so a
     * small group-by over a big fact always looks big), per-row bytes =

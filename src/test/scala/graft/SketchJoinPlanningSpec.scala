@@ -51,6 +51,23 @@ class SketchJoinPlanningSpec extends SparkSpec {
     }
   }
 
+  /** Does some broadcast-hash join BUILD on a subtree containing a hash
+    * aggregate — i.e. did the rollup side win the broadcast? One
+    * definition for every aggregate-pricing test so a change to the
+    * build-side detection cannot silently diverge between them.
+    */
+  private def aggOnBuildSide(df: DataFrame): Boolean =
+    physicalJoins(df).exists {
+      case b: BroadcastHashJoinExec =>
+        val build = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+          case _                                                 => b.right
+        }
+        build.exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+      case _ => false
+    }
+
   private def joinFrame(): DataFrame = {
     val fact = spark.read.parquet(s"$dir/fact.parquet")
     val dim = spark.read.parquet(s"$dir/dim.parquet")
@@ -111,19 +128,6 @@ class SketchJoinPlanningSpec extends SparkSpec {
           .groupBy((col("f_key") % 4).as("g"))
           .agg(count(lit(1)).as("n"), sum("key_total").as("s"))
           .orderBy("g")
-      }
-      def aggOnBuildSide(df: DataFrame): Boolean = {
-        val root = df.queryExecution.executedPlan match {
-          case a: AdaptiveSparkPlanExec => a.initialPlan
-          case p                        => p
-        }
-        root.collect { case b: BroadcastHashJoinExec => b }.exists { b =>
-          val build = b.buildSide match {
-            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
-            case _                                                 => b.right
-          }
-          build.exists(_.isInstanceOf[BaseAggregateExec])
-        }
       }
       // threshold pinned relative to the catalogued fact bytes: the fact
       // itself must stay over it (no broadcast from file size alone), the
@@ -248,16 +252,6 @@ class SketchJoinPlanningSpec extends SparkSpec {
         .groupBy("g1").agg(count(lit(1)).as("n"), sum("pair_total").as("s"))
         .orderBy("g1")
     }
-    def aggBroadcast(df: DataFrame): Boolean =
-      physicalJoins(df).exists {
-        case b: BroadcastHashJoinExec =>
-          val build = b.buildSide match {
-            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
-            case _                                                 => b.right
-          }
-          build.exists(_.isInstanceOf[BaseAggregateExec])
-        case _ => false
-      }
     val tuplePath = cat(withTuple = true)
     val factBytes = spark.read.parquet(tuplePath).where(col("key") === "g1")
       .select("n_bytes").head().getLong(0)
@@ -273,10 +267,10 @@ class SketchJoinPlanningSpec extends SparkSpec {
       val plainRows = frame().collect().toSeq
       SketchCatalog.activate(spark, cat(withTuple = false))
       try {
-        assert(!aggBroadcast(frame()),
+        assert(!aggOnBuildSide(frame()),
           "singles-only catalog: the per-column product bound must price past the threshold")
         SketchCatalog.activate(spark, tuplePath)
-        assert(aggBroadcast(frame()),
+        assert(aggOnBuildSide(frame()),
           "tuple catalog: the composite-grouping bound must earn the broadcast")
         assert(frame().collect().toSeq == plainRows)
       } finally SketchCatalog.deactivate(spark)
@@ -979,16 +973,6 @@ class SketchJoinPlanningSpec extends SparkSpec {
         .groupBy((col("g1") % 4).as("g")).agg(count(lit(1)).as("n"), sum("g_total").as("s"))
         .orderBy("g")
     }
-    def aggBroadcast(df: DataFrame): Boolean =
-      physicalJoins(df).exists {
-        case b: BroadcastHashJoinExec =>
-          val build = b.buildSide match {
-            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
-            case _                                                 => b.right
-          }
-          build.exists(_.isInstanceOf[BaseAggregateExec])
-        case _ => false
-      }
     val factBytes = spark.read.parquet(honestPath).where(col("key") === "g1")
       .select("n_bytes").head().getLong(0)
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
@@ -1000,7 +984,7 @@ class SketchJoinPlanningSpec extends SparkSpec {
       // broadcasts it — correct results (hints are semantics-safe), but
       // exactly the estimate the audit exists to catch
       val pcat = SketchCatalog.activate(spark, poisonedPath)
-      assert(aggBroadcast(frame()),
+      assert(aggOnBuildSide(frame()),
         "the understating sketch must (unsafely) earn the broadcast pre-audit")
       assert(frame().collect().toSeq == plainRows)
       SketchCatalog.deactivate(spark)
@@ -1024,7 +1008,7 @@ class SketchJoinPlanningSpec extends SparkSpec {
         // fingerprint recovery: the honest harvest (different bytes) has a
         // clean record and earns the broadcast again
         SketchCatalog.activate(spark, honestPath)
-        assert(aggBroadcast(frame()),
+        assert(aggOnBuildSide(frame()),
           "the honest re-harvest must recover by fingerprint")
         assert(frame().collect().toSeq == plainRows)
         SketchCatalog.deactivate(spark)
