@@ -224,7 +224,23 @@ object ActivationStore {
     */
   def autoLoad(spark: SparkSession): Option[LoadReport] =
     spark.conf.getOption(RegistryConfKey).filter(_.nonEmpty)
-      .map(load(spark, _))
+      .map { registry =>
+        // a PRESENT but unreadable registry (corrupt/partially-committed
+        // footer from the append design, permission error) must not fail
+        // session construction fleet-wide: autoLoad degrades to an
+        // all-failed report and the session runs unpruned (the per-
+        // artifact posture, applied to the registry itself). Explicit
+        // load() callers keep the hard failure. (ADVICE r15, medium)
+        try load(spark, registry)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"activation registry '$registry' unreadable " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}) — session " +
+                "starts with no activated artifacts (unpruned scans)")
+            LoadReport(Nil, Nil)
+        }
+      }
 
   final case class RefreshReport(refreshed: Seq[Registration],
                                  failed: Seq[(Registration, String)])
@@ -274,9 +290,14 @@ object ActivationStore {
             fresh.write.mode("overwrite").parquet(r.artifact)
             Right(register(spark, registry, KindManifest, r.table, r.artifact))
           case KindBloomIndex =>
-            val prior = spark.read.parquet(r.artifact)
-            val perFile = prior.agg(
-              org.apache.spark.sql.functions.max("n_rows")).head().getLong(0)
+            // size expectedItemsPerFile from the CURRENT table's parquet
+            // footers (metadata-only pass), not the PRIOR index's max
+            // n_rows: an append introducing much larger files would
+            // otherwise saturate the rebuilt filters to an effective fpp
+            // far above the registered rate (ADVICE r15). Footer row
+            // counts ≥ non-null key counts — over-sizing is the safe side.
+            val perFile = DataSkipping.statsManifest(spark, r.table, Seq(r.column))
+              .agg(org.apache.spark.sql.functions.max("n_rows")).head().getLong(0)
             val fpp = r.params.get("fpp").map(_.toDouble).getOrElse(0.01)
             DataSkipping.bloomIndex(spark, r.table, r.column,
                 math.max(64L, perFile), fpp)

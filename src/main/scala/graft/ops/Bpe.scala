@@ -121,6 +121,16 @@ object Bpe {
   /** Distributed application: token count per document AFTER the learned
     * merges — the merge list is tiny and rides into the projection as
     * nested `replace` calls (codegen'd string ops, no UDF, no shuffle).
+    *
+    * Cost shape (r16): the merge fold is `numMerges × passes` string
+    * replaces per evaluated word — evaluating it once per word OCCURRENCE
+    * made this the hottest projection of the registry (64 replaces × every
+    * token of the corpus). The fold is a pure function of the word, so it
+    * now runs once per DISTINCT word (vocabulary-bounded — the same
+    * fit-small observation as [[learnMerges]]) and rides back to the
+    * occurrences through a broadcast join on the word. Occurrence sums are
+    * unchanged: Σ_occurrences f(word) = Σ_occurrences (lookup f)(word),
+    * so results are bit-identical (oracle-gated both scales).
     */
   def tokenCountWithMerges(df: DataFrame, idCol: String, text: Column,
                            merges: Seq[(String, String)], passes: Int = 8): DataFrame = {
@@ -129,23 +139,40 @@ object Bpe {
     // plain explode would drop the doc from the output entirely
     val staged = df.select(col(idCol), TextAnalysis.words(text).as("__w"))
       .select(col(idCol), explode_outer(col("__w")).as("__word"))
-    staged.select(col(idCol),
-        when(col("__word").isNull, lit(0))
-          .otherwise(bpeTokenCount(col("__word"), merges, passes)).as("__n"))
+    // left join: the null word of a wordless doc matches nothing and
+    // coalesces to 0 — same value the old per-occurrence `when` produced
+    staged.join(broadcast(distinctWordTokenCounts(staged, merges, passes)),
+        Seq("__word"), "left")
+      .select(col(idCol), coalesce(col("__n1"), lit(0)).as("__n"))
       .groupBy(col(idCol)).agg(sum(col("__n")).as("n_bpe_tokens"))
   }
 
+  /** (__word, __n1) — the BPE token count of every distinct word of the
+    * staged (…, __word) rows: the vocabulary-sized model-application table
+    * both reports broadcast back to the occurrence stream.
+    */
+  private def distinctWordTokenCounts(staged: DataFrame,
+                                      merges: Seq[(String, String)],
+                                      passes: Int): DataFrame =
+    staged.where(col("__word").isNotNull).select(col("__word")).distinct()
+      .withColumn("__n1", bpeTokenCount(col("__word"), merges, passes))
+
   /** Per-word BPE token count as a pure codegen'd column expression: the
     * padded character segmentation folded through the merge table as
-    * literal (regex-escaped) replaces — ONE definition shared by
-    * [[tokenCountWithMerges]] and [[fertilityByGroup]] so the application
-    * semantics cannot drift between the per-doc and per-group reports.
+    * literal replaces — ONE definition shared by [[tokenCountWithMerges]]
+    * and [[fertilityByGroup]] so the application semantics cannot drift
+    * between the per-doc and per-group reports.
+    *
+    * r16: the fold uses the literal `replace` string function instead of
+    * `regexp_replace(Pattern.quote(...))` — same leftmost non-overlapping
+    * replacement semantics (the operator's defined primitive, scaladoc
+    * above), no regex engine per evaluation, and no `$group`-reference
+    * hazard in the replacement string.
     */
   private def bpeTokenCount(word: Column, merges: Seq[(String, String)], passes: Int): Column = {
     val seg0 = concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
     val segN = merges.foldLeft(seg0) { case (seg, (a, b)) =>
-      (1 to passes).foldLeft(seg)((s, _) => regexp_replace(s, // literal replace: escape regex
-        java.util.regex.Pattern.quote(s" $a $b "), s" $a$b "))
+      (1 to passes).foldLeft(seg)((s, _) => replace(s, lit(s" $a $b "), lit(s" $a$b ")))
     }
     size(filter(split(segN, " "), t => length(t) > 0))
   }
@@ -169,9 +196,12 @@ object Bpe {
                        merges: Seq[(String, String)], passes: Int = 8): DataFrame = {
     val staged = df.select(col(groupCol), TextAnalysis.words(text).as("__w"))
       .select(col(groupCol), explode(col("__w")).as("__word"))
-    staged.select(col(groupCol), bpeTokenCount(col("__word"), merges, passes).as("__n"))
+    // distinct-word application + broadcast back (see tokenCountWithMerges):
+    // plain explode emits no null words, so the join is inner and total
+    staged.join(broadcast(distinctWordTokenCounts(staged, merges, passes)),
+        Seq("__word"))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_words"), sum(col("__n")).cast("long").as("n_bpe_tokens"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n1")).cast("long").as("n_bpe_tokens"))
       .withColumn("fertility",
         round(col("n_bpe_tokens").cast("double") /
           greatest(col("n_words"), lit(1L)).cast("double"), 6))

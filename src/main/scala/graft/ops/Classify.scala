@@ -52,12 +52,21 @@ object Classify {
     * __v (vocabulary size), __npos/__nneg (per-class document counts).
     */
   def nbFitOnDomainTrust(df: DataFrame, idCol: String, domainCol: String,
-                         text: Column, untrustedK: Int = 4): DataFrame = {
-    // the trust table is |domains|-sized: broadcast, corpus never shuffles
-    val trust = broadcast(
+                         text: Column, untrustedK: Int = 4): DataFrame =
+    nbFitWithTrust(df, domainCol, text,
       Domains.domainStats(df, idCol, domainCol, text, untrustedK)
         .select(col(domainCol), col("trusted")))
-    val labeled = df.join(trust, Seq(domainCol))
+
+  /** [[nbFitOnDomainTrust]] with the (domainCol, trusted) table supplied by
+    * the caller — the shared-scan split (r16): a query that already derived
+    * the trust verdicts (e.g. through [[featuresWithTrust]]) fits on them
+    * directly instead of paying [[Domains.domainStats]]' corpus pass again.
+    * Bit-identical when `trust` equals the internal derivation.
+    */
+  def nbFitWithTrust(df: DataFrame, domainCol: String, text: Column,
+                     trust: DataFrame): DataFrame = {
+    // the trust table is |domains|-sized: broadcast, corpus never shuffles
+    val labeled = df.join(broadcast(trust.select(col(domainCol), col("trusted"))), Seq(domainCol))
       .select(col("trusted").as("__pos"), TextAnalysis.words(text).as("__ws"))
     // per-class document counts (priors): one tiny ungrouped aggregate
     val priors = labeled.agg(
@@ -208,16 +217,48 @@ object Classify {
   def logregFitOnDomainTrust(df: DataFrame, idCol: String, domainCol: String,
                              text: Column, untrustedK: Int = 4,
                              iters: Int = LogregIters, lr: Double = LogregLr): Array[Double] = {
-    // trust table is |domains|-sized: broadcast, the corpus never shuffles
-    val trust = broadcast(
-      Domains.domainStats(df, idCol, domainCol, text, untrustedK)
-        .select(col(domainCol), col("trusted")))
-    val feats = OpCaches.pin(
-      logregFeatures(df, idCol, domainCol, text)
-        .join(trust, Seq(domainCol))
-        .select((1 to 4).map(j => col(s"x$j")) :+
-          when(col("trusted"), lit(1)).otherwise(lit(0))
-            .cast(DecimalType(18, 6)).as("__y"): _*))
+    val (feats, trust) = featuresWithTrust(df, idCol, domainCol, text, untrustedK)
+    logregFitWithFeats(feats, trust, domainCol, iters, lr)
+  }
+
+  /** ONE corpus scan shared by the whole domain-trust classifier family
+    * (r16): returns the PINNED per-doc feature table
+    * (idCol, domainCol, x1..x4) and the (domainCol, …, trusted) trust table
+    * derived from that same scan — x2 IS the blended quality score, so
+    * [[Domains.domainTrustFromQuality]] over it equals
+    * [[Domains.domainStats]] bit-for-bit (one shared aggregate definition).
+    * Before this split, a fit+score query paid the quality pass three
+    * times (trust, fit features, score features). Caller releases the pin
+    * via OpCaches, house pattern.
+    */
+  def featuresWithTrust(df: DataFrame, idCol: String, domainCol: String, text: Column,
+                        untrustedK: Int = 4): (DataFrame, DataFrame) = {
+    val feats = OpCaches.pin(logregFeatures(df, idCol, domainCol, text))
+    val trust = Domains.domainTrustFromQuality(
+      feats.select(col(domainCol), col("x2").as("__q")), domainCol, untrustedK)
+    (feats, trust)
+  }
+
+  /** The gradient-descent loop of [[logregFitOnDomainTrust]] over an
+    * already-staged feature table (r16 split): `featsAll` must carry
+    * x1..x4 and `domainCol` (the [[logregFeatures]] shape — normally the
+    * pinned half of [[featuresWithTrust]]). Labeling joins the
+    * |domains|-row trust table broadcast-style per iteration over the
+    * pinned scan; the aggregate sums are order-free decimals, so the
+    * weight trajectory is bit-identical to the one-call form.
+    */
+  def logregFitWithFeats(featsAll: DataFrame, trust: DataFrame, domainCol: String,
+                         iters: Int = LogregIters, lr: Double = LogregLr): Array[Double] = {
+    // the labeled projection is pinned SEPARATELY from featsAll: each GD
+    // iteration is its own action, and unpinned it would re-run the trust
+    // aggregate + label join per iteration (4 doubles + 1 decimal per row
+    // — a cheap second cache that keeps the loop's per-action work at
+    // "scan cached rows + one ungrouped agg", as the one-call form had)
+    val feats = OpCaches.pin(featsAll
+      .join(broadcast(trust.select(col(domainCol), col("trusted"))), Seq(domainCol))
+      .select((1 to 4).map(j => col(s"x$j")) :+
+        when(col("trusted"), lit(1)).otherwise(lit(0))
+          .cast(DecimalType(18, 6)).as("__y"): _*))
     var w = Array.fill(4)(0.0)
     for (_ <- 0 until iters) {
       val resid = sigmoid6(w.toSeq).cast(DecimalType(18, 6)) - col("__y")
@@ -239,7 +280,15 @@ object Classify {
     */
   def logregScore(df: DataFrame, idCol: String, domainCol: String, text: Column,
                   w: Array[Double]): DataFrame =
-    logregFeatures(df, idCol, domainCol, text)
+    logregScoreWithFeats(logregFeatures(df, idCol, domainCol, text), idCol, w)
+
+  /** [[logregScore]] over an already-staged feature table (r16 split) —
+    * with the pinned [[featuresWithTrust]] scan, fit and score share one
+    * corpus pass. Same projection, bit-identical scores.
+    */
+  def logregScoreWithFeats(featsAll: DataFrame, idCol: String,
+                           w: Array[Double]): DataFrame =
+    featsAll
       .select(col(idCol), sigmoid6(w.toSeq).as("score"))
       .withColumn("pred", col("score") > 0.5)
 

@@ -514,11 +514,18 @@ object Dedup {
     // staging one and inline the split/normalize into the interpreted
     // lambda — re-evaluated once PER WINDOW (measured 17.7s -> 2.7s at
     // sf0.1; the explodedShingles shape)
-    val grams = df
+    //
+    // Pinned (r16): the gram stream feeds BOTH the duplicate-count
+    // aggregate and the join-back — unpinned, the normalize + window
+    // explode + md5 pass (the operator's dominant cost) executed twice.
+    // The pinned rows are (id, pos, hash) — ~24 bytes/window, far below
+    // the text they derive from (the SetJoin toksF precedent); caller
+    // releases via OpCaches like every operator-internal persist.
+    val grams = OpCaches.pin(df
       .select(col(idCol), filter(split(normalizeText(text), " "), w => length(w) > 0).as("__words"))
       .select(col(idCol), posexplode(shinglesOfWordsAll(col("__words"), k)).as(Seq("__p0", "__sh")))
       .select(col(idCol), (col("__p0") + 1).cast("long").as("__p"),
-        (md5Hash60(col("__sh")) % MinhashP).as("__x"))
+        (md5Hash60(col("__sh")) % MinhashP).as("__x")))
     val dupGrams = grams.groupBy(col("__x")).agg(count(lit(1)).as("__c"))
       .where(col("__c") > 1).select(col("__x"))
     val hits = grams.join(dupGrams, "__x")
@@ -662,10 +669,13 @@ object Dedup {
     // posexplode DIRECTLY over the staged words projection (lambda-staging
     // rule — see substringSpans; collapsing the stages re-evaluates the
     // normalize/split once per window)
-    val grams = df
+    //
+    // Pinned (r16): consumed by the duplicate-count aggregate AND the
+    // join-back — see the substringSpans pin note
+    val grams = OpCaches.pin(df
       .select(col(idCol), filter(split(normalizeText(text), " "), w => length(w) > 0).as("__words"))
       .select(col(idCol), explode(shinglesOfWordsAll(col("__words"), k)).as("__sh"))
-      .select(col(idCol), (md5Hash60(col("__sh")) % MinhashP).as("__x"))
+      .select(col(idCol), (md5Hash60(col("__sh")) % MinhashP).as("__x")))
     val dupGrams = grams.groupBy(col("__x")).agg(count(lit(1)).as("__c"))
       .where(col("__c") > 1).select(col("__x"), lit(1L).as("__dup"))
     val per = grams.join(dupGrams, Seq("__x"), "left")

@@ -42,8 +42,21 @@ object Domains {
   def domainStats(df: DataFrame, idCol: String, domainCol: String, text: Column,
                   untrustedK: Int = 4): DataFrame = {
     val staged = TextAnalysis.stagedCounts(df, idCol, text, carry = Seq(domainCol))
-    val perDomain = staged
-      .select(col(domainCol), TextAnalysis.blendedScoreCol.as("__q"))
+    domainTrustFromQuality(
+      staged.select(col(domainCol), TextAnalysis.blendedScoreCol.as("__q")),
+      domainCol, untrustedK)
+  }
+
+  /** [[domainStats]] over an ALREADY-SCORED (domainCol, __q) projection —
+    * the split that lets a caller who has computed the per-doc blended
+    * quality for its own purposes (e.g. [[Classify.logregFeatures]], whose
+    * x2 IS the blended score) derive the trust verdicts from that same
+    * scan instead of paying a second corpus pass (r16). One definition of
+    * the aggregate/rank, so the two routes cannot drift.
+    */
+  private[ops] def domainTrustFromQuality(perDoc: DataFrame, domainCol: String,
+                                          untrustedK: Int): DataFrame = {
+    val perDomain = perDoc
       .groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"),
         // scores are 6dp-rounded doubles in [0,1]: DECIMAL(18,6) holds the

@@ -63,19 +63,28 @@ object Dsir {
     * result is exactly `buckets` rows. Returns (bucket, log_ratio).
     */
   def fitLogRatios(target: DataFrame, source: DataFrame, idCol: String, text: Column,
-                   buckets: Int = 4096): DataFrame = {
+                   buckets: Int = 4096): DataFrame =
+    fitFromBucketed(bucketed(target, idCol, text, buckets),
+      bucketed(source, idCol, text, buckets), buckets)
+
+  /** [[fitLogRatios]] over pre-bucketed (id, bucket) sides — the split
+    * that lets [[fitAndScore]] share the source side's gram explode with
+    * the scoring pass instead of running it twice (r16).
+    */
+  private def fitFromBucketed(bTarget: DataFrame, bSource: DataFrame,
+                              buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     // pinned: each side's bucket-count table feeds BOTH the ratio join and
     // its total aggregate — unpinned, the corpus-scale gram explode + count
     // would execute twice per side (caller releases via OpCaches, like
     // every operator-internal persist)
-    def side(df: DataFrame, cName: String): DataFrame = OpCaches.pin(
-      bucketed(df, idCol, text, buckets).groupBy("bucket").agg(count(lit(1)).as(cName)))
-    val spark = target.sparkSession
+    def side(b: DataFrame, cName: String): DataFrame = OpCaches.pin(
+      b.groupBy("bucket").agg(count(lit(1)).as(cName)))
+    val spark = bTarget.sparkSession
     // dense bucket spine: every bucket gets a ratio, seen or not
     val spine = spark.range(buckets).select(col("id").as("bucket"))
-    val t = side(target, "__ct")
-    val s = side(source, "__cs")
+    val t = side(bTarget, "__ct")
+    val s = side(bSource, "__cs")
     // totals as 1-row broadcast aggregates (C_t, C_s are corpus facts)
     val tot = t.agg(sum(col("__ct")).as("__tt")).crossJoin(s.agg(sum(col("__cs")).as("__ts")))
     def logp(c: Column, tot: Column): Column =
@@ -95,12 +104,29 @@ object Dsir {
     */
   def score(df: DataFrame, idCol: String, text: Column, ratios: DataFrame,
             buckets: Int = 4096): DataFrame =
-    bucketed(df, idCol, text, buckets)
-      .join(broadcast(ratios), "bucket")
+    scoreBucketed(bucketed(df, idCol, text, buckets), idCol, ratios)
+
+  private def scoreBucketed(b: DataFrame, idCol: String, ratios: DataFrame): DataFrame =
+    b.join(broadcast(ratios), "bucket")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         round(sum(col("log_ratio").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
           .as("dsir_score"))
+
+  /** Fit on (target, source) and score the SOURCE side in one call —
+    * bit-identical to `score(source, …, fitLogRatios(target, source, …))`
+    * (the fit and the scoring see exactly the same (id, bucket) rows), but
+    * the source corpus' gram explode + md5 bucketing — the operator's
+    * dominant cost — runs ONCE, pinned, instead of once for the fit's
+    * count aggregate and again for scoring (r16; caller releases via
+    * OpCaches).
+    */
+  def fitAndScore(target: DataFrame, source: DataFrame, idCol: String, text: Column,
+                  buckets: Int = 4096): DataFrame = {
+    val bSource = OpCaches.pin(bucketed(source, idCol, text, buckets))
+    val ratios = fitFromBucketed(bucketed(target, idCol, text, buckets), bSource, buckets)
+    scoreBucketed(bSource, idCol, ratios)
+  }
 
   /** The selection step: the `k` documents whose features look most like
     * the target domain, deterministic ties by id. `orderBy + limit` plans

@@ -219,7 +219,11 @@ object SketchCatalog {
     }
     val est: Option[(Double, Seq[Entry])] =
       if (distinctCols.size == 1)
-        entryOf(distinctCols.head).map(e => (e.distinctEst * s + 1.0, Seq(e)))
+        // same max(1, d) normalization as the composite branches below —
+        // benign today (the result floors at 1), kept symmetric so
+        // independent edits to either branch cannot drift (ADVICE r15)
+        entryOf(distinctCols.head)
+          .map(e => (math.max(1.0, e.distinctEst) * s + 1.0, Seq(e)))
       else {
         val tuple = cat.entries.iterator
           .filter(e => e.table == table && e.key.contains(","))

@@ -860,6 +860,16 @@ object SketchJoinPlanning extends Rule[LogicalPlan] with PredicateHelper {
     *    reflects the harvested state, the documented artifact posture
     *    (a hint mis-sized by staleness reorders/broadcasts, never
     *    changes results).
+    *
+    * Known residual (ADVICE r15, low): the joint-coverage guard detects
+    * APPEND staleness only. After an in-place rewrite/compaction a stale
+    * manifest can pass it while describing files that no longer exist,
+    * and the bound can then understate — still hint-only blast radius (a
+    * mis-sized broadcast), and the maintenance contract
+    * ([[graft.ops.ActivationStore.refresh]] after rewrites) is the
+    * designed closure; intersecting manifest paths with a live listing
+    * here would put a filesystem listing on the planner's hot path for a
+    * case refresh already owns.
     */
   private def manifestRowBound(cond: Expression, base: Base,
                                cat: Catalog): Option[Long] = {

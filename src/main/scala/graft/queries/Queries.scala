@@ -5454,8 +5454,9 @@ object Queries {
     val docs = t(spark, dir, "documents")
     val target = docs.where(col("doc_id") % 20 === 0)
     val source = docs.where(col("doc_id") % 20 =!= 0)
-    val ratios = Dsir.fitLogRatios(target, source, "doc_id", col("text"), buckets = 4096)
-    Dsir.score(source, "doc_id", col("text"), ratios, buckets = 4096)
+    // fitAndScore ≡ score(source, fitLogRatios(target, source)) with the
+    // source gram pass shared between fit and scoring (r16, bit-identical)
+    Dsir.fitAndScore(target, source, "doc_id", col("text"), buckets = 4096)
       .orderBy("doc_id")
   }
 
@@ -5466,8 +5467,7 @@ object Queries {
     val docs = t(spark, dir, "documents")
     val target = docs.where(col("doc_id") % 20 === 0)
     val source = docs.where(col("doc_id") % 20 =!= 0)
-    val ratios = Dsir.fitLogRatios(target, source, "doc_id", col("text"), buckets = 4096)
-    val scored = Dsir.score(source, "doc_id", col("text"), ratios, buckets = 4096)
+    val scored = Dsir.fitAndScore(target, source, "doc_id", col("text"), buckets = 4096)
     Dsir.topK(scored, "doc_id", k = 100)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("dsir_score").desc, col("doc_id"))).cast("long"))
@@ -5505,9 +5505,9 @@ object Queries {
         .select(col("doc_id"), col("source"), col("clean_text").as("text")))
     val target = scrubbed.where(col("doc_id") % 20 === 0)
     val source = scrubbed.where(col("doc_id") % 20 =!= 0)
-    val ratios = Dsir.fitLogRatios(target, source, "doc_id", col("text"), buckets = 4096)
     val selected = Dsir.topK(
-      Dsir.score(source, "doc_id", col("text"), ratios, buckets = 4096), "doc_id", k = 300)
+      Dsir.fitAndScore(target, source, "doc_id", col("text"), buckets = 4096),
+      "doc_id", k = 300)
       .select("doc_id")
     val train = Sampling.assignSplit(scrubbed.join(selected, "doc_id"), "doc_id")
       .where(col("split") === "train")
@@ -5614,8 +5614,11 @@ object Queries {
     */
   private def x5LogregQuality(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val w = Classify.logregFitOnDomainTrust(docs, "doc_id", "source", col("text"))
-    Classify.logregScore(docs, "doc_id", "source", col("text"), w).orderBy("doc_id")
+    // shared-scan split (r16): fit and score read ONE pinned feature pass,
+    // trust derives from the same scan — bit-identical to fit-then-score
+    val (feats, trust) = Classify.featuresWithTrust(docs, "doc_id", "source", col("text"))
+    val w = Classify.logregFitWithFeats(feats, trust, "source")
+    Classify.logregScoreWithFeats(feats, "doc_id", w).orderBy("doc_id")
   }
 
   /** X11: the model DEPLOYMENT loop end-to-end — fit the logreg gate,
@@ -5630,11 +5633,14 @@ object Queries {
     */
   private def x11ModelReload(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val w = Classify.logregFitOnDomainTrust(docs, "doc_id", "source", col("text"))
+    // shared feature scan between fit and scoring (r16) — the reload gate
+    // is the WEIGHT artifact round-trip, which is untouched
+    val (feats, trust) = Classify.featuresWithTrust(docs, "doc_id", "source", col("text"))
+    val w = Classify.logregFitWithFeats(feats, trust, "source")
     val path = scratch(dir, "x11_model_reload") + "/weights"
     graft.ops.ModelStore.saveVector(spark, w, path)
     val reloaded = graft.ops.ModelStore.loadVector(spark, path)
-    Classify.logregScore(docs, "doc_id", "source", col("text"), reloaded)
+    Classify.logregScoreWithFeats(feats, "doc_id", reloaded)
       .orderBy("doc_id")
   }
 
@@ -5684,8 +5690,10 @@ object Queries {
       .join(comp.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
       .unionByName(keepers)
-    val w = Classify.logregFitOnDomainTrust(docs, "doc_id", "source", col("text"))
-    val scores = Classify.logregScore(docs, "doc_id", "source", col("text"), w)
+    // shared feature scan between the gate's fit and scoring (r16)
+    val (feats, trust) = Classify.featuresWithTrust(docs, "doc_id", "source", col("text"))
+    val w = Classify.logregFitWithFeats(feats, trust, "source")
+    val scores = Classify.logregScoreWithFeats(feats, "doc_id", w)
     kept.join(scores, Seq("doc_id")).where(col("pred"))
       .select(col("doc_id"), col("score"))
       .orderBy("doc_id")
@@ -5699,15 +5707,20 @@ object Queries {
     */
   private def x5ClassifierEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val trust = broadcast(Domains.domainStats(docs, "doc_id", "source", col("text"))
-      .select(col("source"), col("trusted")))
+    // shared-scan split (r16): ONE pinned quality/feature pass feeds the
+    // trust table, the labels, the logreg fit AND the logreg scoring;
+    // the NB fit consumes the same trust instead of re-deriving it —
+    // bit-identical to the independent-operator form (one aggregate
+    // definition, Domains.domainTrustFromQuality)
+    val (feats, trustFull) = Classify.featuresWithTrust(docs, "doc_id", "source", col("text"))
+    val trust = broadcast(trustFull.select(col("source"), col("trusted")))
     val labels = docs.join(trust, Seq("source"))
       .select(col("doc_id"), col("trusted").as("label"))
     val nbPred = Classify.nbScore(docs, "doc_id", col("text"),
-        Classify.nbFitOnDomainTrust(docs, "doc_id", "source", col("text")))
+        Classify.nbFitWithTrust(docs, "source", col("text"), trust))
       .select(col("doc_id"), col("pred"))
-    val w = Classify.logregFitOnDomainTrust(docs, "doc_id", "source", col("text"))
-    val lrPred = Classify.logregScore(docs, "doc_id", "source", col("text"), w)
+    val w = Classify.logregFitWithFeats(feats, trust, "source")
+    val lrPred = Classify.logregScoreWithFeats(feats, "doc_id", w)
       .select(col("doc_id"), col("pred"))
     Classify.confusionEval("nb", labels.join(nbPred, Seq("doc_id")), "pred", "label")
       .unionByName(
