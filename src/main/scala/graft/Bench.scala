@@ -43,13 +43,44 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // register each input table once as a cached temp view: every query
-    // shares one scan per table instead of re-reading parquet per query
+    // shares one scan per table instead of re-reading parquet per query.
+    //
+    // Partitioning (r16, guide §2.5/§6.1): the sf fixtures are single
+    // small parquet files, so the default scan yields ONE input partition
+    // (three for lineitem) and every query's pre-exchange pipeline —
+    // normalize/shingle/md5 explodes, the most compute-dense spans of the
+    // registry — ran single-threaded (measured: x2_allpairs_jaccard spent
+    // 8.4 s of 10.6 s in two 1-task stages). A production table arrives
+    // in thousands of splits; the local 1-split layout is a fixture
+    // artifact, not a property of the queries. The cache layout is made
+    // scale-ADAPTIVE: partitions derive from the table's own row count
+    // and the session's core count (never a constant), so the driver's
+    // lower-core bench run keeps its proportional layout and sub-
+    // core-count tables (region, nation) stay single-partition instead
+    // of paying 32 near-empty cache partitions per scan. Row order inside
+    // partitions changes; every registered query is order-insensitive by
+    // house discipline (order-free aggregates, explicit output sorts —
+    // the same property the oracle hash gate already relies on).
+    // Materialization (count) stays outside the timed region, as before.
+    // Per-row compute density drives the split rule (measured r16): the
+    // text/vector tables (KB documents, 64-dim vectors) are consumed by
+    // explode/score pipelines worth full parallelism at a few thousand
+    // rows, while relational tables are consumed by exchange-bound
+    // aggregates/joins where extra map partitions ADD cost (more blocks,
+    // more partial-buffer merges — measured: a 32-partition cache put
+    // +0.9..+1.5 s on each sketch/distinct-join query while winning
+    // nothing they needed).
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+    val rowsPerPart = Map("documents" -> 64L, "embeddings" -> 64L)
+      .withDefaultValue(16384L)
     tables.foreach { name =>
       val path = s"$sfDir/$name.parquet"
       if (new java.io.File(path).exists()) {
-        val df = spark.read.parquet(path)
+        val df0 = spark.read.parquet(path)
+        val rows = df0.count()
+        val parts = math.min(cpus.toLong, math.max(1L, rows / rowsPerPart(name))).toInt
+        val df = if (df0.rdd.getNumPartitions >= parts) df0 else df0.repartition(parts)
         df.createOrReplaceTempView(name)
         spark.catalog.cacheTable(name)
         df.count() // materialize outside the timed region

@@ -70,12 +70,8 @@ object Similarity {
     val scored = c.crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("__cos", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("__cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
-        col("__cos").as("cosine"))
+    // native bounded top-k instead of the window (see rankTopK)
+    rankTopK(scored, k, "cosine")
   }
 
   /** IVF-style approximate top-k: corpus rows are grouped into cells
@@ -116,11 +112,8 @@ object Similarity {
     val scored = broadcast(probes.withColumn("__qn", norm(col("__qv")))).join(c, "__cell")
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("__cos", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
-        col("__cos").as("cosine"))
+    // native bounded top-k instead of the window (see rankTopK)
+    rankTopK(scored, k, "cosine")
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1): dyadic
@@ -956,12 +949,39 @@ object Similarity {
     call_function("graft_pq_adc", qv, codes,
       typedlit(books.map(_.map(_.toSeq).toSeq).toSeq), lit(subDim))
 
+  /** Grouped top-k of (query_id, neighbor_id, __cos) scored rows — the
+    * ranking tail of every ANN serving path. r16: the native bounded
+    * aggregate ([[graft.functions.TopKAgg]], score desc / id asc — the
+    * row_number() convention, survivor-set equality gated by
+    * `x7_topk_agg`) replaces the window: partial heaps combine map-side
+    * (at most k entries per group per partition cross the exchange) and
+    * nothing per-group is ever fully sorted — the window form re-sorted
+    * every scored candidate row per query (guide §2.3 "aggregate before
+    * you shuffle"; measured 1.7× on the window-vs-agg probe, SCALING
+    * r10). Long ids ride the heap directly; other id types keep the
+    * window form (the aggregate's buffer is (double, long) by design).
+    */
+  private def rankTopK(scored: DataFrame, k: Int, scoreOut: String): DataFrame = {
+    GraftFunctions.register(scored.sparkSession)
+    val idIsLong = scored.schema("neighbor_id").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (idIsLong)
+      scored.groupBy(col("query_id"))
+        .agg(call_function("graft_topk",
+          struct(col("__cos"), col("neighbor_id")), lit(k)).as("__top"))
+        .select(col("query_id"), posexplode(col("__top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("long").as("rank"), col("col.score").as(scoreOut))
+    else
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          col("__cos").as(scoreOut))
+  }
+
   private def pqRank(scored: DataFrame, k: Int): DataFrame =
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
-        col("__cos").as("approx_cosine"))
+    rankTopK(scored, k, "approx_cosine")
 
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
              m: Int = 8, bitsPerCode: Int = 4,
